@@ -1,13 +1,43 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{queries => q}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  * Aggregates every implemented operator key (SURVEY §2) from the query
+  * modules under [[graft.queries]].
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  private val modules: Seq[QueryModule] = Seq(
+    q.Relational,
+    q.CdxOps,
+    q.Aggregates)
+
+  /** Flagship (SURVEY §7 minimum slice): latest 200-status capture for each
+    * URL under a SURT prefix — sorted-key lookup + ranking, the core value
+    * of the index the reference pipeline builds.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val c = Cdx.df(spark, "/root/testdata/sf0.001")
+    val w = Window.partitionBy("urlkey").orderBy(col("ts").desc, col("id").desc)
+    c.filter(col("urlkey").startsWith("org,example,") && col("status") === 200)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("urlkey", "ts", "url", "status")
+      .orderBy("urlkey", "ts")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    modules.flatMap(_.queries).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] =
+    modules.flatMap(_.oracleSql).toMap
 }

@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated parquet tables (TESTDATA.md). */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // events.parquet carries nanosecond timestamps (TESTDATA.md), which
+    // Spark 4 rejects by default (PARQUET_TYPE_ILLEGAL). Read them as
+    // long nanos and normalize in [[events]].
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** `events` with `ts` normalized from long-nanos to TIMESTAMP (µs). */
+  def events(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events").withColumn(
+      "ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+}
+
+/** A query module contributes operator implementations (SURVEY.md §2 keys)
+  * plus, where SQL-expressible, an ANSI-SQL oracle for DuckDB.
+  */
+trait QueryModule {
+  type QFn = (SparkSession, String) => DataFrame
+  def queries: Map[String, QFn]
+  def oracleSql: Map[String, String]
+}

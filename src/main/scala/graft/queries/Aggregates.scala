@@ -1,0 +1,100 @@
+package graft.queries
+
+import graft.{Cdx, QueryModule, Tables}
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.5 aggregations. All hash-aggregate with automatic
+  * partial (map-side) + final phases under Catalyst; `agg_rollup` expands
+  * grouping sets; `agg_count_distinct` uses Spark's expand+two-phase plan.
+  */
+object Aggregates extends QueryModule {
+
+  private def o(sql: String): String = Cdx.duckCte + sql
+
+  override def queries: Map[String, QFn] = Map(
+    // crawl stats (mrjob increment_counter analog, indexwarcsjob.py recon ~L90–110)
+    "agg_count_by_key" -> ((s, d) =>
+      Cdx.df(s, d).groupBy("record_type", "status").count()
+        .withColumnRenamed("count", "cnt")
+        .orderBy("record_type", "status")),
+
+    "agg_sum_min_max" -> ((s, d) =>
+      Tables.t(s, d, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 6).as("sum_qty"),
+          round(avg("l_extendedprice"), 6).as("avg_price"),
+          date_format(min("l_shipdate"), "yyyy-MM-dd").as("min_ship"),
+          date_format(max("l_shipdate"), "yyyy-MM-dd").as("max_ship"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    "agg_count_distinct" -> ((s, d) =>
+      Cdx.df(s, d).groupBy("hostword")
+        .agg(
+          countDistinct("urlkey").as("n_urlkeys"),
+          countDistinct("path").as("n_paths"),
+          count(lit(1)).as("cnt"))
+        .orderBy("hostword")),
+
+    // HLL cardinality — oracle-exempt (sketch is engine-specific); the
+    // ScalaTest spec asserts relative error vs exact.
+    "agg_approx_distinct" -> ((s, d) =>
+      Cdx.df(s, d).groupBy("hostword")
+        .agg(approx_count_distinct("urlkey").as("approx_urlkeys"))
+        .orderBy("hostword")),
+
+    "agg_rollup" -> ((s, d) =>
+      Cdx.df(s, d).rollup("hostword", "status")
+        .agg(grouping_id().cast("int").as("gid"), count(lit(1)).as("cnt"))
+        .selectExpr("gid", "coalesce(hostword, '') AS hostword_c", "coalesce(status, -1) AS status_c", "cnt")
+        .orderBy("gid", "hostword_c", "status_c")),
+
+    // per-group ordered capture timeline (cdx-server per-url capture list)
+    "agg_collect_sorted" -> ((s, d) =>
+      Cdx.df(s, d)
+        .withColumn("prefix_key", split_part(col("urlkey"), lit("?"), lit(1)))
+        .withColumn("capture", concat_ws(":", col("ts"), col("id")))
+        .groupBy("prefix_key")
+        .agg(concat_ws(",", sort_array(collect_list("capture"))).as("timeline"))
+        .orderBy("prefix_key")),
+
+    // first/last capture per host (limit=1 / reverse cdx-server params)
+    "agg_first_last" -> ((s, d) =>
+      Cdx.df(s, d)
+        .withColumn("ord", concat(col("ts"), lpad(col("id").cast("string"), 10, "0")))
+        .groupBy("hostword")
+        .agg(
+          min_by(col("url"), col("ord")).as("first_url"),
+          max_by(col("url"), col("ord")).as("last_url"),
+          min("ts").as("first_ts"),
+          max("ts").as("last_ts"))
+        .orderBy("hostword"))
+  )
+
+  override def oracleSql: Map[String, String] = Map(
+    "agg_count_by_key" -> o(
+      "SELECT record_type, status, count(*) AS cnt FROM cdx GROUP BY record_type, status ORDER BY record_type, status"),
+    "agg_sum_min_max" ->
+      ("SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 6) AS sum_qty, " +
+        "round(avg(l_extendedprice), 6) AS avg_price, " +
+        "strftime(min(l_shipdate), '%Y-%m-%d') AS min_ship, " +
+        "strftime(max(l_shipdate), '%Y-%m-%d') AS max_ship, count(*) AS cnt " +
+        "FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
+    "agg_count_distinct" -> o(
+      "SELECT hostword, count(DISTINCT urlkey) AS n_urlkeys, count(DISTINCT path) AS n_paths, count(*) AS cnt " +
+        "FROM cdx GROUP BY hostword ORDER BY hostword"),
+    "agg_rollup" -> o(
+      "SELECT CAST(GROUPING(hostword, status) AS INT) AS gid, coalesce(hostword, '') AS hostword_c, " +
+        "coalesce(status, -1) AS status_c, count(*) AS cnt " +
+        "FROM cdx GROUP BY ROLLUP (hostword, status) ORDER BY gid, hostword_c, status_c"),
+    "agg_collect_sorted" -> o(
+      "SELECT split_part(urlkey, '?', 1) AS prefix_key, string_agg(ts || ':' || id, ',' ORDER BY ts || ':' || id) AS timeline " +
+        "FROM cdx GROUP BY split_part(urlkey, '?', 1) ORDER BY prefix_key"),
+    "agg_first_last" -> o(
+      "SELECT hostword, arg_min(url, ts || lpad(id::VARCHAR, 10, '0')) AS first_url, " +
+        "arg_max(url, ts || lpad(id::VARCHAR, 10, '0')) AS last_url, " +
+        "min(ts) AS first_ts, max(ts) AS last_ts " +
+        "FROM cdx GROUP BY hostword ORDER BY hostword")
+  )
+}

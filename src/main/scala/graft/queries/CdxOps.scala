@@ -1,0 +1,174 @@
+package graft.queries
+
+import graft.{Cdx, QueryModule, Tables}
+import graft.functions.Surt
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.2 projections/scalar functions + §2.3 filters, over the
+  * synthetic CDX capture table ([[graft.Cdx]]) and `events`.
+  */
+object CdxOps extends QueryModule {
+
+  private def o(sql: String): String = Cdx.duckCte + sql
+
+  override def queries: Map[String, QFn] = Map(
+    // ---- §2.2 projections / scalars ----
+    "proj_cdx_fields" -> ((s, d) =>
+      Cdx.df(s, d)
+        .select("urlkey", "ts", "url", "mime", "status", "digest", "length", "filename", "id")
+        .orderBy("id")),
+
+    "surt_key" -> ((s, d) =>
+      Cdx.df(s, d).select(col("id"), col("url"), Surt.surtKey(col("url")).as("urlkey"))
+        .orderBy("id")),
+
+    "surt_host_reverse" -> ((s, d) =>
+      Cdx.df(s, d).select(col("host")).distinct()
+        .select(col("host"), Surt.hostReverse(col("host")).as("rhost"))
+        .orderBy("host")),
+
+    "surt_query_sort" -> ((s, d) =>
+      Cdx.df(s, d).select(col("id"), col("qs"), Surt.querySort(col("qs")).as("qsorted"))
+        .orderBy("id")),
+
+    "url_parse" -> ((s, d) =>
+      Cdx.df(s, d).select(
+        col("id"),
+        parse_url(col("url"), lit("HOST")).as("u_host"),
+        parse_url(col("url"), lit("PATH")).as("u_path"),
+        parse_url(col("url"), lit("QUERY")).as("u_query"))
+        .orderBy("id")),
+
+    "ts_14digit" -> ((s, d) =>
+      Cdx.df(s, d).select(
+        col("id"), col("ts"),
+        unix_micros(to_timestamp(col("ts"), "yyyyMMddHHmmss")).as("roundtrip_epoch_us"))
+        .orderBy("id")),
+
+    "digest_sha1" -> ((s, d) =>
+      Cdx.df(s, d).select(col("id"), sha2(col("url"), 256).as("url_digest"), col("digest"))
+        .orderBy("id")),
+
+    "json_pack_cdxj" -> ((s, d) =>
+      Cdx.df(s, d).selectExpr("id", s"${cdxjJsonSpark} AS json")
+        .selectExpr("id", "json")
+        .orderBy("id")),
+
+    "json_extract_cdxj" -> ((s, d) =>
+      Cdx.df(s, d)
+        .selectExpr("id", s"${cdxjJsonSpark} AS json")
+        .selectExpr(
+          "id",
+          "from_json(json, 'url STRING, mime STRING, status STRING, digest STRING, length STRING, filename STRING') AS j")
+        .selectExpr("id", "j.url AS url", "j.mime AS mime", "j.status AS status_s", "j.length AS length_s")
+        .orderBy("id")),
+
+    "split_cdx_line" -> ((s, d) =>
+      Cdx.df(s, d)
+        .selectExpr("id", s"urlkey || ' ' || ts || ' ' || ${cdxjJsonSpark} AS line")
+        .selectExpr(
+          "id",
+          "element_at(split(line, ' ', 3), 1) AS k",
+          "element_at(split(line, ' ', 3), 2) AS t",
+          "element_at(split(line, ' ', 3), 3) AS j")
+        .orderBy("id")),
+
+    "status_class" -> ((s, d) =>
+      Cdx.df(s, d).selectExpr(
+        "id", "status",
+        "CAST(floor(status / 100) AS INT) AS cls",
+        "CAST(floor(status / 100) AS INT) || 'xx' AS cls_label")
+        .orderBy("id")),
+
+    "mime_norm" -> ((s, d) =>
+      Cdx.df(s, d).selectExpr(
+        "id", "mime",
+        "lower(trim(regexp_extract(mime, '^[^;]+', 0))) AS mime_norm")
+        .orderBy("id")),
+
+    "props_map" -> ((s, d) =>
+      Tables.t(s, d, "events")
+        .select(
+          col("event_id"),
+          element_at(from_json(col("props"), org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.StringType)), "k").as("k_str"))
+        .orderBy("event_id")),
+
+    // ---- §2.3 filters ----
+    "filter_record_type" -> ((s, d) =>
+      Cdx.df(s, d).filter(col("record_type").isin("response", "revisit"))
+        .select("id", "record_type", "url").orderBy("id")),
+
+    "filter_status" -> ((s, d) =>
+      Cdx.df(s, d).filter(col("status").between(200, 399))
+        .select("id", "status").orderBy("id")),
+
+    "filter_regex" -> ((s, d) =>
+      Cdx.df(s, d).filter(col("mime").rlike("(?i)(html|json)"))
+        .select("id", "mime").orderBy("id")),
+
+    "filter_prefix" -> ((s, d) =>
+      Cdx.df(s, d).filter(col("urlkey").startsWith("org,example,medium)/order/1"))
+        .select("id", "urlkey", "ts").orderBy("urlkey", "ts", "id")),
+
+    "filter_ts_range" -> ((s, d) =>
+      Cdx.df(s, d).filter(col("ts") >= "19970101000000" && col("ts") < "19990101000000")
+        .select("id", "ts").orderBy("id")),
+
+    "filter_null_safe" -> ((s, d) =>
+      Cdx.df(s, d).filter(col("redirect") <=> col("robotflags"))
+        .selectExpr("id", "coalesce(redirect, '-') AS redirect_c", "coalesce(robotflags, '-') AS robot_c")
+        .orderBy("id"))
+  )
+
+  /** CDXJ JSON payload expression — identical Spark SQL and DuckDB forms. */
+  private val cdxjJsonSpark =
+    "to_json(named_struct('url', url, 'mime', mime, 'status', CAST(status AS STRING), " +
+      "'digest', digest, 'length', CAST(length AS STRING), 'filename', filename))"
+  private val cdxjJsonDuck =
+    "to_json(struct_pack(url := url, mime := mime, status := status::VARCHAR, " +
+      "digest := digest, length := length::VARCHAR, filename := filename))"
+
+  override def oracleSql: Map[String, String] = Map(
+    "proj_cdx_fields" -> o(
+      "SELECT urlkey, ts, url, mime, status, digest, length, filename, id FROM cdx ORDER BY id"),
+    "surt_key" -> o("SELECT id, url, urlkey FROM cdx ORDER BY id"),
+    "surt_host_reverse" -> o(
+      "SELECT DISTINCT host, array_to_string(list_reverse(string_split(regexp_replace(host, '^www\\.', ''), '.')), ',') AS rhost " +
+        "FROM cdx ORDER BY host"),
+    "surt_query_sort" -> o(
+      "SELECT id, qs, array_to_string(list_sort(string_split(qs, '&')), '&') AS qsorted FROM cdx ORDER BY id"),
+    "url_parse" -> o(
+      "SELECT id, host AS u_host, path AS u_path, qs AS u_query FROM cdx ORDER BY id"),
+    "ts_14digit" -> o(
+      "SELECT id, ts, epoch_us AS roundtrip_epoch_us FROM cdx ORDER BY id"),
+    "digest_sha1" -> o(
+      "SELECT id, sha256(url) AS url_digest, digest FROM cdx ORDER BY id"),
+    "json_pack_cdxj" -> o(
+      s"SELECT id, $cdxjJsonDuck AS json FROM cdx ORDER BY id"),
+    "json_extract_cdxj" -> o(
+      "SELECT id, url, mime, status::VARCHAR AS status_s, length::VARCHAR AS length_s FROM cdx ORDER BY id"),
+    "split_cdx_line" -> o(
+      s"SELECT id, urlkey AS k, ts AS t, $cdxjJsonDuck AS j FROM cdx ORDER BY id"),
+    "status_class" -> o(
+      "SELECT id, status, CAST(floor(status / 100) AS INT) AS cls, " +
+        "CAST(floor(status / 100) AS INT) || 'xx' AS cls_label FROM cdx ORDER BY id"),
+    "mime_norm" -> o(
+      "SELECT id, mime, lower(trim(regexp_extract(mime, '^[^;]+'))) AS mime_norm FROM cdx ORDER BY id"),
+    "props_map" ->
+      "SELECT event_id, json_extract_string(props, '$.k') AS k_str FROM events ORDER BY event_id",
+    "filter_record_type" -> o(
+      "SELECT id, record_type, url FROM cdx WHERE record_type IN ('response', 'revisit') ORDER BY id"),
+    "filter_status" -> o(
+      "SELECT id, status FROM cdx WHERE status BETWEEN 200 AND 399 ORDER BY id"),
+    "filter_regex" -> o(
+      "SELECT id, mime FROM cdx WHERE regexp_matches(mime, '(?i)(html|json)') ORDER BY id"),
+    "filter_prefix" -> o(
+      "SELECT id, urlkey, ts FROM cdx WHERE urlkey LIKE 'org,example,medium)/order/1%' ORDER BY urlkey, ts, id"),
+    "filter_ts_range" -> o(
+      "SELECT id, ts FROM cdx WHERE ts >= '19970101000000' AND ts < '19990101000000' ORDER BY id"),
+    "filter_null_safe" -> o(
+      "SELECT id, coalesce(redirect, '-') AS redirect_c, coalesce(robotflags, '-') AS robot_c " +
+        "FROM cdx WHERE redirect IS NOT DISTINCT FROM robotflags ORDER BY id")
+  )
+}

@@ -1,0 +1,126 @@
+package graft.queries
+
+import graft.{Cdx, QueryModule, Tables}
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.1 parquet scan + §2.7 sorts / limits / top-k / set ops /
+  * sampling / range partitioning.
+  *
+  * `sort_global` is the reference pipeline's raison d'être: jobs 2+3
+  * (samplecdxjob.py + zipnumclusterjob.py TotalOrderPartitioner, recon) are
+  * subsumed by a single `repartitionByRange + sortWithinPartitions`
+  * (Catalyst RangePartitioning reservoir-samples internally).
+  */
+object Relational extends QueryModule {
+
+  private def o(sql: String): String = Cdx.duckCte + sql
+
+  override def queries: Map[String, QFn] = Map(
+    "scan_parquet" -> ((s, d) =>
+      Tables.t(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // Global total-order sort — identical plan shape to orderBy, written as
+    // the explicit range-exchange + local sort used by the ZipNum sink path.
+    "sort_global" -> ((s, d) =>
+      Cdx.df(s, d)
+        .repartitionByRange(col("urlkey"), col("ts"), col("id"))
+        .sortWithinPartitions("urlkey", "ts", "id")
+        .select("urlkey", "ts", "id")),
+
+    "sort_within_partitions" -> ((s, d) =>
+      Cdx.df(s, d)
+        .repartitionByRange(8, col("urlkey"), col("ts"), col("id"))
+        .sortWithinPartitions("urlkey", "ts", "id")
+        .select("urlkey", "ts", "id")),
+
+    // k captures closest to a target instant (cdx-server sort=closest&limit=k)
+    "topk_closest" -> ((s, d) =>
+      Cdx.df(s, d)
+        .withColumn("diff_us", abs(col("epoch_us") - expr("unix_micros(TIMESTAMP '1998-06-01 00:00:00')")))
+        .orderBy(col("diff_us"), col("id"))
+        .limit(50)
+        .select("id", "urlkey", "ts", "diff_us")),
+
+    // key-range pagination over the sorted key space (limit=N)
+    "limit_page" -> ((s, d) =>
+      Cdx.df(s, d)
+        .filter(col("urlkey") >= "org,example,medium)")
+        .orderBy("urlkey", "ts", "id")
+        .limit(200)
+        .select("urlkey", "ts", "id")),
+
+    "union_segments" -> ((s, d) => {
+      val c = Cdx.df(s, d)
+      val a = c.filter(col("id") % 2 === 0).select(col("id"), col("urlkey"), lit("segA").as("seg"))
+      val b = c.filter(col("id") % 3 === 0).select(col("id"), col("urlkey"), lit("segB").as("seg"))
+      a.unionByName(b).orderBy("id", "seg")
+    }),
+
+    "except_new_urls" -> ((s, d) => {
+      val c = Cdx.df(s, d)
+      c.filter(col("id") % 2 === 1).select("urlkey")
+        .except(c.filter(col("id") % 2 === 0).select("urlkey"))
+        .orderBy("urlkey")
+    }),
+
+    "intersect_stable" -> ((s, d) => {
+      val c = Cdx.df(s, d)
+      c.filter(col("id") % 2 === 1).select("hostword")
+        .intersect(c.filter(col("id") % 2 === 0).select("hostword"))
+        .orderBy("hostword")
+    }),
+
+    // Bernoulli sample (samplecdxjob.py §mapper, recon ~L20–40).
+    // Oracle-exempt: sampling RNG is engine-specific.
+    "sample_fraction" -> ((s, d) =>
+      Cdx.df(s, d).sample(withReplacement = false, 0.1, 42).select("id").orderBy("id")),
+
+    // N−1 sorted split points (samplecdxjob.py §reducer, recon ~L40–70) —
+    // exact every-k-th-row variant so DuckDB can oracle it.
+    "split_points" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy("urlkey", "ts", "id")
+      Cdx.df(s, d)
+        .select(col("urlkey"), row_number().over(w).as("rn"), count(lit(1)).over().as("cnt"))
+        .filter(col("rn") % ceil(col("cnt") / 8).cast("bigint") === 0 && col("rn") < col("cnt"))
+        .select(col("urlkey").as("boundary"), col("rn"))
+        .orderBy("rn")
+    }),
+
+    // Range partitioning visibility: per-partition key stats. Oracle-exempt
+    // (partition ids are engine-specific); ScalaTest asserts monotonicity.
+    "repartition_range" -> ((s, d) =>
+      Cdx.df(s, d)
+        .repartitionByRange(8, col("urlkey"), col("ts"), col("id"))
+        .select(spark_partition_id().as("pid"), col("urlkey"))
+        .groupBy("pid")
+        .agg(min("urlkey").as("min_key"), max("urlkey").as("max_key"), count(lit(1)).as("cnt"))
+        .orderBy("pid"))
+  )
+
+  override def oracleSql: Map[String, String] = Map(
+    "scan_parquet" ->
+      "SELECT l_orderkey, l_linenumber, l_partkey, l_quantity FROM lineitem ORDER BY l_orderkey, l_linenumber",
+    "sort_global" -> o("SELECT urlkey, ts, id FROM cdx ORDER BY urlkey, ts, id"),
+    "sort_within_partitions" -> o("SELECT urlkey, ts, id FROM cdx ORDER BY urlkey, ts, id"),
+    "topk_closest" -> o(
+      "SELECT id, urlkey, ts, abs(epoch_us - epoch_us(TIMESTAMP '1998-06-01 00:00:00')) AS diff_us " +
+        "FROM cdx ORDER BY diff_us, id LIMIT 50"),
+    "limit_page" -> o(
+      "SELECT urlkey, ts, id FROM cdx WHERE urlkey >= 'org,example,medium)' ORDER BY urlkey, ts, id LIMIT 200"),
+    "union_segments" -> o(
+      "SELECT id, urlkey, 'segA' AS seg FROM cdx WHERE id % 2 = 0 " +
+        "UNION ALL SELECT id, urlkey, 'segB' AS seg FROM cdx WHERE id % 3 = 0 ORDER BY id, seg"),
+    "except_new_urls" -> o(
+      "SELECT urlkey FROM cdx WHERE id % 2 = 1 EXCEPT SELECT urlkey FROM cdx WHERE id % 2 = 0 ORDER BY urlkey"),
+    "intersect_stable" -> o(
+      "SELECT hostword FROM cdx WHERE id % 2 = 1 INTERSECT SELECT hostword FROM cdx WHERE id % 2 = 0 ORDER BY hostword"),
+    // subquery, not a second WITH — the cdx CTE prefix already opens one
+    "split_points" -> o(
+      "SELECT urlkey AS boundary, rn FROM " +
+        "(SELECT urlkey, row_number() OVER (ORDER BY urlkey, ts, id) AS rn, count(*) OVER () AS cnt FROM cdx) " +
+        "WHERE rn % CAST(ceil(cnt / 8.0) AS BIGINT) = 0 AND rn < cnt ORDER BY rn")
+  )
+}

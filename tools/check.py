@@ -1,0 +1,103 @@
+#!/usr/bin/env python3
+"""Dev-only local mirror of the driver's DuckDB-oracle correctness gate.
+
+NOT part of the shipped library (the Scala engine has no Python deps) --
+this exists so we can validate `SparkEntry.queries` vs `SparkEntry.oracleSql`
+locally before the driver runs the real gate.
+
+Usage: python3 tools/check.py [sfDir] [verifyOutDir]
+after: sbt "runMain graft.Verify <sfDir> <verifyOutDir>"
+"""
+import json
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].reset_index(drop=True)
+    for c in df.columns:
+        dt = str(df[c].dtype)
+        if dt.startswith("datetime64") and "," in dt:  # tz-aware -> naive UTC
+            df[c] = df[c].dt.tz_convert("UTC").dt.tz_localize(None)
+        if dt.startswith("datetime64"):
+            df[c] = df[c].astype("datetime64[us]")
+    return df
+
+
+def cmp_col(a: pd.Series, b: pd.Series):
+    """Return (status, detail). status in OK|NEAR|FAIL."""
+    if str(a.dtype).startswith("float") or str(b.dtype).startswith("float"):
+        av, bv = a.astype(float).values, b.astype(float).values
+        both_nan = np.isnan(av) & np.isnan(bv)
+        eq = (av == bv) | both_nan
+        if eq.all():
+            return "OK", ""
+        close = np.isclose(av, bv, rtol=0, atol=1e-9, equal_nan=True)
+        if close.all():
+            i = int(np.argmin(eq))
+            return "NEAR", f"max float diff at row {i}: {av[i]!r} vs {bv[i]!r}"
+        i = int(np.argmin(close))
+        return "FAIL", f"float mismatch row {i}: {av[i]!r} vs {bv[i]!r}"
+    eq = (a.values == b.values) | (pd.isna(a).values & pd.isna(b).values)
+    if eq.all():
+        return "OK", ""
+    i = int(np.argmin(eq))
+    return "FAIL", f"mismatch row {i}: {a.iloc[i]!r} vs {b.iloc[i]!r}"
+
+
+def main():
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    oracle = json.load(open(f"{out}/oracle_sql.json"))
+    n_ok = n_fail = 0
+    for name in sorted(oracle):
+        try:
+            exp = norm(con.execute(oracle[name]).fetchdf())
+        except Exception as e:
+            print(f"FAIL {name}: oracle sql error: {e}")
+            n_fail += 1
+            continue
+        try:
+            got = norm(pq.read_table(f"{out}/{name}").to_pandas())
+        except Exception as e:
+            print(f"FAIL {name}: spark output unreadable: {e}")
+            n_fail += 1
+            continue
+        if sorted(exp.columns) != sorted(got.columns):
+            print(f"FAIL {name}: cols spark={list(got.columns)} oracle={list(exp.columns)}")
+            n_fail += 1
+            continue
+        if len(exp) != len(got):
+            print(f"FAIL {name}: rows spark={len(got)} oracle={len(exp)}")
+            n_fail += 1
+            continue
+        bad = []
+        for c in exp.columns:
+            st, detail = cmp_col(got[c], exp[c])
+            if st != "OK":
+                bad.append((c, st, detail))
+        if not bad:
+            print(f"OK   {name} ({len(got)} rows)")
+            n_ok += 1
+        else:
+            for c, st, detail in bad:
+                print(f"{st} {name}.{c}: {detail}")
+            n_fail += 1
+    print(f"\n{n_ok} ok / {n_fail} fail / {len(oracle)} total")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
