@@ -15,7 +15,11 @@ object SparkEntry {
   private val modules: Seq[QueryModule] = Seq(
     q.Relational,
     q.CdxOps,
-    q.Aggregates)
+    q.Aggregates,
+    q.Joins,
+    q.Windows,
+    q.TimeWindows,
+    q.Llm)
 
   /** Flagship (SURVEY §7 minimum slice): latest 200-status capture for each
     * URL under a SURT prefix — sorted-key lookup + ranking, the core value

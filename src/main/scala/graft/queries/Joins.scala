@@ -1,0 +1,154 @@
+package graft.queries
+
+import graft.{Cdx, QueryModule, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.4 joins: anti (skip-existing), equi on digest (revisit
+  * resolution), broadcast dim, large-large sort-merge, semi, non-equi
+  * range-block (the join form of pywb's cluster.idx binary search), and
+  * as-of/closest.
+  *
+  * Scale notes (100 TB): the dim sides of `join_broadcast_dim` and the idx
+  * side of `join_range_block` are explicitly `broadcast()` — the idx is
+  * ~1/3000 of the data by construction (zipnumclusterjob.py §reducer block
+  * accounting, recon ~L90–170), so a broadcast nested-loop join on the
+  * range predicate is the right physical plan at any scale. The
+  * revisit/original join keys on `digest`, which is high-cardinality and
+  * well-distributed (SHA-1), so the shuffle is skew-free.
+  */
+object Joins extends QueryModule {
+
+  private def o(sql: String): String = Cdx.duckCte + sql
+
+  override def queries: Map[String, QFn] = Map(
+    // --skip-existing: WARCs in the manifest whose output doesn't already
+    // exist (indexwarcsjob.py §skip-existing option, recon ~L40–60).
+    "join_skip_existing" -> ((s, d) => {
+      val c = Cdx.df(s, d)
+      val manifest = c.select("filename").distinct()
+      val done = c.filter(col("id") % 3 === 0).select("filename").distinct()
+      manifest.join(done, Seq("filename"), "left_anti").orderBy("filename")
+    }),
+
+    // resolve revisit records to their original capture by payload digest
+    "join_revisit_resolve" -> ((s, d) => {
+      val c = Cdx.df(s, d)
+      val revisits = c.filter(col("record_type") === "revisit")
+        .select(col("id").as("revisit_id"), col("urlkey").as("revisit_key"), col("digest"))
+      val originals = c.filter(col("record_type") === "response")
+        .select(col("id").as("orig_id"), col("url").as("orig_url"), col("digest"))
+      revisits.join(originals, "digest")
+        .select("revisit_id", "orig_id", "revisit_key", "orig_url")
+        .orderBy("revisit_id", "orig_id")
+    }),
+
+    // small-dim enrich: customer -> nation -> region, counts per region
+    "join_broadcast_dim" -> ((s, d) => {
+      val customer = Tables.t(s, d, "customer")
+      val nation = broadcast(Tables.t(s, d, "nation"))
+      val region = broadcast(Tables.t(s, d, "region"))
+      customer
+        .join(nation, customer("c_nationkey") === nation("n_nationkey"))
+        .join(region, nation("n_regionkey") === region("r_regionkey"))
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("n_customers"), round(sum("c_acctbal"), 6).as("sum_bal"))
+        .orderBy("r_name")
+    }),
+
+    // large-large equi join (SMJ/shuffled-hash path under AQE)
+    "join_sortmerge_large" -> ((s, d) => {
+      val li = Tables.t(s, d, "lineitem")
+      val ord = Tables.t(s, d, "orders")
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // EXISTS-style semi join: orders having a high-quantity line
+    "join_semi" -> ((s, d) => {
+      val li = Tables.t(s, d, "lineitem").filter(col("l_quantity") > 45)
+      val ord = Tables.t(s, d, "orders")
+      ord.join(li, ord("o_orderkey") === li("l_orderkey"), "left_semi")
+        .select("o_orderkey", "o_orderpriority")
+        .orderBy("o_orderkey")
+    }),
+
+    // non-equi range join: probe key -> containing ZipNum block
+    // (join form of pywb.cdx.zipnum §search over cluster.idx)
+    "join_range_block" -> ((s, d) => {
+      val c = Cdx.df(s, d)
+      val keys = c.select("urlkey").distinct()
+        .withColumn("rn", row_number().over(Window.orderBy("urlkey")))
+      val idx = keys
+        .withColumn("block", expr("CAST((rn - 1) DIV 50 AS BIGINT)"))
+        .groupBy("block").agg(min("urlkey").as("start_key"))
+        .withColumn("next_key", lead("start_key", 1).over(Window.orderBy("block")))
+      val probes = c.filter(col("id") % 97 === 0).select("id", "urlkey")
+      probes.join(
+          broadcast(idx),
+          probes("urlkey") >= idx("start_key") &&
+            (idx("next_key").isNull || probes("urlkey") < idx("next_key")))
+        .select("id", "urlkey", "block")
+        .orderBy("id")
+    }),
+
+    // as-of/nearest: capture closest to a target instant per url-prefix
+    // (cdx-server sort=closest consumer contract)
+    "join_asof_closest" -> ((s, d) => {
+      val target = "unix_micros(TIMESTAMP '1998-06-01 00:00:00')"
+      val w = Window.partitionBy("prefix_key")
+        .orderBy(col("diff_us"), col("id"))
+      Cdx.df(s, d)
+        .withColumn("prefix_key", split_part(col("urlkey"), lit("?"), lit(1)))
+        .withColumn("diff_us", abs(col("epoch_us") - expr(target)))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("prefix_key", "id", "ts", "diff_us")
+        .orderBy("prefix_key")
+    })
+  )
+
+  override def oracleSql: Map[String, String] = Map(
+    "join_skip_existing" -> o(
+      "SELECT DISTINCT filename FROM cdx m WHERE NOT EXISTS " +
+        "(SELECT 1 FROM cdx f WHERE f.id % 3 = 0 AND f.filename = m.filename) ORDER BY filename"),
+    "join_revisit_resolve" -> o(
+      "SELECT r.id AS revisit_id, o.id AS orig_id, r.urlkey AS revisit_key, o.url AS orig_url " +
+        "FROM cdx r JOIN cdx o ON r.digest = o.digest " +
+        "WHERE r.record_type = 'revisit' AND o.record_type = 'response' " +
+        "ORDER BY revisit_id, orig_id"),
+    "join_broadcast_dim" ->
+      ("SELECT r_name, count(*) AS n_customers, round(sum(c_acctbal), 6) AS sum_bal " +
+        "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey " +
+        "GROUP BY r_name ORDER BY r_name"),
+    "join_sortmerge_large" ->
+      ("SELECT o_orderpriority, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue, " +
+        "count(*) AS n_lines FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+    "join_semi" ->
+      ("SELECT o_orderkey, o_orderpriority FROM orders WHERE EXISTS " +
+        "(SELECT 1 FROM lineitem WHERE l_quantity > 45 AND l_orderkey = o_orderkey) " +
+        "ORDER BY o_orderkey"),
+    // extra CTEs compose with the cdx prefix via a leading comma
+    "join_range_block" -> o(
+      ", keys AS (SELECT urlkey, row_number() OVER (ORDER BY urlkey) AS rn " +
+        "FROM (SELECT DISTINCT urlkey FROM cdx)), " +
+        "idx AS (SELECT (rn - 1) // 50 AS block, min(urlkey) AS start_key FROM keys GROUP BY block), " +
+        "idx2 AS (SELECT block, start_key, lead(start_key) OVER (ORDER BY block) AS next_key FROM idx) " +
+        "SELECT c.id, c.urlkey, i.block FROM cdx c JOIN idx2 i " +
+        "ON c.id % 97 = 0 AND c.urlkey >= i.start_key AND (i.next_key IS NULL OR c.urlkey < i.next_key) " +
+        "ORDER BY c.id"),
+    "join_asof_closest" -> o(
+      "SELECT prefix_key, id, ts, diff_us FROM (" +
+        "SELECT split_part(urlkey, '?', 1) AS prefix_key, id, ts, " +
+        "abs(epoch_us - epoch_us(TIMESTAMP '1998-06-01 00:00:00')) AS diff_us, " +
+        "row_number() OVER (PARTITION BY split_part(urlkey, '?', 1) " +
+        "ORDER BY abs(epoch_us - epoch_us(TIMESTAMP '1998-06-01 00:00:00')), id) AS rn " +
+        "FROM cdx) WHERE rn = 1 ORDER BY prefix_key")
+  )
+}

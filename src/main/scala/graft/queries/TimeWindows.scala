@@ -1,0 +1,75 @@
+package graft.queries
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.8 time windows over the `events` table, batch-mode.
+  * The reference pipeline is pure batch (incremental indexing = re-run with
+  * --skip-existing), so these are extension surface; the same expressions
+  * run unchanged on a stream (`readStream` + watermark) per Spark's unified
+  * model — the streaming wiring lives in [[graft.streaming]] and is
+  * unit-tested with MemoryStream rather than DuckDB.
+  *
+  * Scale notes: tumbling/sliding windows are plain hash aggregations on a
+  * derived key (no global sort); session windows shuffle once on user_id.
+  */
+object TimeWindows extends QueryModule {
+
+  override def queries: Map[String, QFn] = Map(
+    // per-hour event counts (tumbling)
+    "win_tumbling" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("window.start").as("wstart"), col("event_type"), col("cnt"))
+        .orderBy("wstart", "event_type")),
+
+    // 1h window sliding every 15m — each event lands in 4 windows
+    "win_sliding" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("window.start").as("wstart"), col("event_type"), col("cnt"))
+        .orderBy("wstart", "event_type")),
+
+    // session windows, 30m inactivity gap, per user
+    "win_session" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("session_window.start").as("sstart"), col("user_id"), col("n_events"))
+        .orderBy("user_id", "sstart")),
+
+    // drop duplicate event_ids (batch form of streaming dedup): feed the
+    // stream twice, expect the original back
+    "stream_dedup" -> ((s, d) => {
+      val e = Tables.events(s, d).select("event_id", "user_id", "event_type")
+      e.unionAll(e).dropDuplicates("event_id").orderBy("event_id")
+    })
+  )
+
+  override def oracleSql: Map[String, String] = Map(
+    "win_tumbling" ->
+      ("SELECT date_trunc('hour', ts) AS wstart, event_type, count(*) AS cnt " +
+        "FROM events GROUP BY wstart, event_type ORDER BY wstart, event_type"),
+    // Spark aligns sliding windows to epoch multiples of the slide; an event
+    // at t is in the 4 windows starting at floor(t/15m)*15m - i*15m, i=0..3
+    "win_sliding" ->
+      ("SELECT wstart, event_type, count(*) AS cnt FROM (" +
+        "SELECT make_timestamp(((floor(epoch(ts))::BIGINT // 900) * 900 - i * 900) * 1000000) AS wstart, event_type " +
+        "FROM events, (SELECT unnest([0, 1, 2, 3]) AS i)) " +
+        "GROUP BY wstart, event_type ORDER BY wstart, event_type"),
+    // gaps-and-islands; new session when gap >= 30m (Spark windows are
+    // [start, end), so an event exactly at prev+30m opens a new session)
+    "win_session" ->
+      ("WITH marked AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL " +
+        "OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)), " +
+        "sess AS (SELECT user_id, ts, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts " +
+        "ROWS UNBOUNDED PRECEDING) AS sid FROM marked) " +
+        "SELECT min(ts) AS sstart, user_id, count(*) AS n_events " +
+        "FROM sess GROUP BY user_id, sid ORDER BY user_id, sstart"),
+    "stream_dedup" ->
+      "SELECT event_id, user_id, event_type FROM events ORDER BY event_id"
+  )
+}
