@@ -19,7 +19,8 @@ object SparkEntry {
     q.Joins,
     q.Windows,
     q.TimeWindows,
-    q.Llm)
+    q.Llm,
+    q.Formats)
 
   /** Flagship (SURVEY §7 minimum slice): latest 200-status capture for each
     * URL under a SURT prefix — sorted-key lookup + ranking, the core value

@@ -1,0 +1,140 @@
+package graft.formats
+
+import java.io.ByteArrayOutputStream
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** ZipNum cluster format (SURVEY.md §1.4): shards `cdx-NNNNN.gz` of
+  * concatenated gzip members ("blocks") of `linesPerBlock` CDX lines each,
+  * globally sorted by key across shards, plus a secondary index
+  * `cluster.idx` — one line per block:
+  * `firstkey<TAB>shard<TAB>offset<TAB>length<TAB>seq`.
+  *
+  * Mirrors zipnumclusterjob.py §reducer (recon ~L90–170) + the
+  * TotalOrderPartitioner jobconf (recon ~L30–55); the sample/split-point
+  * job disappears into `repartitionByRange`, whose RangePartitioner
+  * reservoir-samples internally (SURVEY §2.7 `sort_global`).
+  *
+  * Scale notes: the writer is one range exchange + local sort (exactly the
+  * reference's shuffle), writing each shard from its partition with
+  * streaming block accounting; `cluster.idx` is ~1/linesPerBlock of the
+  * data and is the only thing collected to the driver. The reader prunes
+  * at block granularity through the idx (the batch analog of pywb's
+  * binary search; same spirit as Parquet row-group pruning), so a prefix
+  * query touches O(matching blocks) bytes, not O(dataset).
+  */
+object ZipNum {
+
+  final case class IdxEntry(firstKey: String, shard: String, offset: Long, length: Long, seq: Long)
+
+  /** Write `df` (must have a `line` STRING column whose prefix is the sort
+    * key) as a ZipNum cluster under `dir`. */
+  def write(df: DataFrame, dir: String, shards: Int, linesPerBlock: Int): Unit = {
+    val spark = df.sparkSession
+    val dirPath = new Path(dir)
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(dirPath)) fs.delete(dirPath, true)
+    fs.mkdirs(dirPath)
+
+    val sorted = df.select(col("line"))
+      .repartitionByRange(shards, col("line"))
+      .sortWithinPartitions("line")
+
+    // per-partition shard write; idx entries (1 per block) come back small
+    val idxEntries: Array[IdxEntry] = sorted.rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        if (!it.hasNext) Iterator.empty
+        else {
+          val shardName = f"cdx-$pid%05d.gz"
+          val conf = new Configuration()
+          val shardPath = new Path(dir, shardName)
+          val out = shardPath.getFileSystem(conf).create(shardPath, true)
+          val entries = Vector.newBuilder[IdxEntry]
+          var offset = 0L
+          var blockSeq = 0L
+          try {
+            it.map(_.getString(0)).grouped(linesPerBlock).foreach { blockLines =>
+              val payload = new ByteArrayOutputStream()
+              blockLines.foreach { l => payload.write(l.getBytes(UTF_8)); payload.write('\n') }
+              val compLen = Gzip.writeMember(out, payload.toByteArray)
+              val firstKey = blockLines.head.split(" ", 3).take(2).mkString(" ")
+              entries += IdxEntry(firstKey, shardName, offset, compLen, blockSeq)
+              offset += compLen
+              blockSeq += 1
+            }
+          } finally out.close()
+          entries.result().iterator
+        }
+      }.collect()
+
+    // shards are range-ordered, so (shard, seq) order == global key order
+    val sortedIdx = idxEntries.sortBy(e => (e.shard, e.seq))
+    val withGlobalSeq = sortedIdx.zipWithIndex.map { case (e, i) =>
+      s"${e.firstKey}\t${e.shard}\t${e.offset}\t${e.length}\t$i"
+    }
+    val idxOut = fs.create(new Path(dirPath, "cluster.idx"), true)
+    try idxOut.write((withGlobalSeq.mkString("\n") + "\n").getBytes(UTF_8))
+    finally idxOut.close()
+  }
+
+  /** Parse cluster.idx (driver-side — it is the small binary-searchable
+    * secondary index by construction). */
+  def readIdx(spark: SparkSession, dir: String): Seq[IdxEntry] = {
+    val path = new Path(dir, "cluster.idx")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(path)
+    val content = try {
+      val out = new ByteArrayOutputStream()
+      val buf = new Array[Byte](65536)
+      var n = in.read(buf)
+      while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+      new String(out.toByteArray, UTF_8)
+    } finally in.close()
+    content.split("\n").filter(_.nonEmpty).toSeq.map { l =>
+      val f = l.split("\t")
+      IdxEntry(f(0), f(1), f(2).toLong, f(3).toLong, f(4).toLong)
+    }
+  }
+
+  /** Read lines back, pruning blocks through cluster.idx when a key prefix
+    * is given: a block can contain prefix matches iff its key range
+    * [firstKey_i, firstKey_i+1) intersects [prefix, prefix + U+10FFFF). */
+  def readLines(spark: SparkSession, dir: String, prefix: Option[String] = None): DataFrame = {
+    import spark.implicits._
+    val idx = readIdx(spark, dir)
+    val selected = prefix match {
+      case None => idx
+      case Some(p) =>
+        val hi = p + "￿"
+        idx.zipAll(idx.drop(1).map(e => Some(e.firstKey)), null, None)
+          .collect { case (e, nextKey) if e != null => (e, nextKey) }
+          .filter { case (e, next) =>
+            e.firstKey < hi && next.forall(_ >= p)
+          }.map(_._1)
+    }
+    val work = selected.map(e => (dir + "/" + e.shard, e.offset, e.length, e.seq))
+    val lines = spark.sparkContext
+      .parallelize(work, math.max(1, math.min(work.size, 32)))
+      .flatMap { case (file, offset, length, seq) =>
+        val conf = new Configuration()
+        val path = new Path(file)
+        val in = path.getFileSystem(conf).open(path)
+        val buf = new Array[Byte](length.toInt)
+        try { in.seek(offset); in.readFully(buf) } finally in.close()
+        val member = Gzip.members(new java.io.ByteArrayInputStream(buf)).next()
+        new String(member.bytes, UTF_8).split("\n").iterator
+          .filter(_.nonEmpty).zipWithIndex.map { case (l, i) => (seq, i, l) }
+      }
+    // stable global order: block sequence, then line position in block
+    val pruned = lines.toDF("blockseq", "lineno", "line")
+    val filtered = prefix match {
+      case Some(p) => pruned.filter(col("line").startsWith(p))
+      case None => pruned
+    }
+    filtered.orderBy("blockseq", "lineno").select("line")
+  }
+}

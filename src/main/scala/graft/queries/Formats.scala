@@ -1,0 +1,133 @@
+package graft.queries
+
+import java.nio.file.{Files, Paths}
+
+import graft.{Cdx, QueryModule}
+import graft.formats.{Warc, ZipNum}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.1 sources/sinks as end-to-end round trips: every sink
+  * query WRITES the format then READS it back through the engine, so the
+  * DuckDB oracle checks the whole encode→decode path, not just a schema.
+  *
+  * The CDX line set is derived from [[graft.Cdx]] so the oracle can
+  * reconstruct the exact expected lines.
+  */
+object Formats extends QueryModule {
+
+  private def o(sql: String): String = Cdx.duckCte + sql
+
+  /** CDX line = `urlkey SP ts SP {json}` (CDXJ dialect, SURVEY §1.2). */
+  private val lineExprSpark =
+    "concat(urlkey, ' ', ts, ' ', to_json(named_struct(" +
+      "'url', url, 'mime', mime, 'status', CAST(status AS STRING), " +
+      "'digest', digest, 'length', CAST(length AS STRING), 'filename', filename)))"
+  private val lineExprDuck =
+    "urlkey || ' ' || ts || ' ' || to_json(struct_pack(" +
+      "url := url, mime := mime, status := status::VARCHAR, " +
+      "digest := digest, length := length::VARCHAR, filename := filename))"
+
+  private def cdxLines(s: SparkSession, d: String): DataFrame =
+    Cdx.df(s, d).selectExpr(s"$lineExprSpark AS line")
+
+  /** per-sf scratch dir so sf0.001/sf0.01 runs don't collide */
+  private def tmp(d: String, name: String): String = {
+    val sf = Paths.get(d).getFileName.toString
+    val p = s"/tmp/graft_fmt/$sf/$name"
+    Files.createDirectories(Paths.get(p).getParent)
+    p
+  }
+
+  override def queries: Map[String, QFn] = Map(
+    // newline text scan incl. transparent .gz (zipnumclusterjob.py §mapper)
+    "scan_text_lines" -> ((s, d) => {
+      val dir = tmp(d, "text_gz")
+      cdxLines(s, d).coalesce(4)
+        .write.mode("overwrite").option("compression", "gzip").text(dir)
+      s.read.text(dir).orderBy("value")
+    }),
+
+    // per-key gzipped text upload (indexwarcsjob.py §upload) — same
+    // round-trip as scan_text_lines but partitioned by crawl segment
+    "sink_text_gz" -> ((s, d) => {
+      val dir = tmp(d, "text_gz_by_seg")
+      Cdx.df(s, d)
+        .withColumn("seg", split_part(col("filename"), lit("/"), lit(2)))
+        .selectExpr("seg", s"$lineExprSpark AS line")
+        .write.mode("overwrite").partitionBy("seg").option("compression", "gzip").text(dir)
+      s.read.option("basePath", dir).text(dir + "/seg=*")
+        .select("value").orderBy("value")
+    }),
+
+    // WARC-path manifest: one task per N lines (NLineInputFormat analog)
+    "scan_manifest" -> ((s, d) => {
+      val dir = tmp(d, "manifest")
+      Cdx.df(s, d).select("filename").distinct()
+        .coalesce(1).sortWithinPartitions("filename")
+        .write.mode("overwrite").text(dir)
+      s.read.text(dir).repartition(8)
+        .select(col("value").as("warc_path")).orderBy("warc_path")
+    }),
+
+    // parquet sink round-trip
+    "sink_parquet" -> ((s, d) => {
+      val dir = tmp(d, "parquet_rt")
+      Cdx.df(s, d).select("id", "urlkey", "ts", "status", "length")
+        .write.mode("overwrite").parquet(dir)
+      s.read.parquet(dir).orderBy("id")
+    }),
+
+    // ZipNum cluster: range-partition + sort + gzip-member blocks + idx,
+    // then read EVERY block back through the member reader
+    "sink_zipnum" -> ((s, d) => {
+      val dir = tmp(d, "zipnum")
+      ZipNum.write(cdxLines(s, d), dir, shards = 8, linesPerBlock = 100)
+      ZipNum.readLines(s, dir)
+        .selectExpr(
+          "element_at(split(line, ' ', 3), 1) AS urlkey",
+          "element_at(split(line, ' ', 3), 2) AS ts",
+          "element_at(split(line, ' ', 3), 3) AS json")
+        .orderBy("urlkey", "ts", "json")
+    }),
+
+    // the index's reason to exist: prefix lookup touching only the blocks
+    // cluster.idx selects (pywb zipnum §search, as batch pruning)
+    "zipnum_prefix_lookup" -> ((s, d) => {
+      val dir = tmp(d, "zipnum_lookup")
+      ZipNum.write(cdxLines(s, d), dir, shards = 8, linesPerBlock = 100)
+      ZipNum.readLines(s, dir, prefix = Some("org,example,medium)"))
+        .selectExpr(
+          "element_at(split(line, ' ', 3), 1) AS urlkey",
+          "element_at(split(line, ' ', 3), 2) AS ts",
+          "element_at(split(line, ' ', 3), 3) AS json")
+        .orderBy("urlkey", "ts", "json")
+    }),
+
+    // WARC member scan — oracle-exempt (binary fixture input; golden
+    // CDX-level assertions live in WarcSpec); driver records rows>0
+    "scan_warc" -> ((s, d) => {
+      val file = tmp(d, "fixture.warc.gz")
+      Warc.writeFixture(file, Warc.fixtureRecords)
+      Warc.scan(s, file)
+        .select("record_type", "url", "ts", "digest", "status", "mime", "offset", "length")
+        .orderBy("offset")
+    })
+  )
+
+  /** json payload = everything after the first two space-separated fields */
+  private val jsonExprDuck =
+    s"substr($lineExprDuck, length(urlkey) + length(ts) + 3) AS json"
+
+  override def oracleSql: Map[String, String] = Map(
+    "scan_text_lines" -> o(s"SELECT $lineExprDuck AS value FROM cdx ORDER BY value"),
+    "sink_text_gz" -> o(s"SELECT $lineExprDuck AS value FROM cdx ORDER BY value"),
+    "scan_manifest" -> o("SELECT DISTINCT filename AS warc_path FROM cdx ORDER BY warc_path"),
+    "sink_parquet" -> o("SELECT id, urlkey, ts, status, length FROM cdx ORDER BY id"),
+    "sink_zipnum" -> o(
+      s"SELECT urlkey, ts, $jsonExprDuck FROM cdx ORDER BY urlkey, ts, json"),
+    "zipnum_prefix_lookup" -> o(
+      s"SELECT urlkey, ts, $jsonExprDuck FROM cdx " +
+        "WHERE urlkey LIKE 'org,example,medium)%' ORDER BY urlkey, ts, json")
+  )
+}

@@ -1,0 +1,67 @@
+package graft
+
+import graft.queries.{Llm, Relational}
+import org.apache.spark.sql.functions._
+
+/** Properties for the oracle-exempt operators (SURVEY §5.3):
+  * approx-distinct relative error, range-partition monotonicity,
+  * sample-fraction bounds, and minhash-LSH recall of planted near-dups. */
+class OperatorPropertiesSpec extends SparkSpec {
+
+  test("agg_approx_distinct: relative error < 10% vs exact") {
+    val approx = SparkEntry.queries("agg_approx_distinct")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Cdx.df(spark, sfDir).groupBy("hostword")
+      .agg(countDistinct("urlkey").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, n) =>
+      val a = approx(k).toDouble
+      assert(math.abs(a - n) / n < 0.10, s"$k: approx $a vs exact $n")
+    }
+  }
+
+  test("repartition_range: partition key ranges are disjoint and ordered") {
+    val rows = SparkEntry.queries("repartition_range")(spark, sfDir)
+      .collect() // pid, min_key, max_key, cnt — ordered by pid
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[String]("max_key") <= b.getAs[String]("min_key"),
+          s"overlap between partition ${a.getInt(0)} and ${b.getInt(0)}")
+      case _ =>
+    }
+    assert(rows.map(_.getAs[Long]("cnt")).sum == Cdx.df(spark, sfDir).count())
+  }
+
+  test("sample_fraction: count within 4 sigma of expectation, deterministic by seed") {
+    val n = Cdx.df(spark, sfDir).count()
+    val s1 = SparkEntry.queries("sample_fraction")(spark, sfDir).collect().map(_.getLong(0)).toSeq
+    val s2 = SparkEntry.queries("sample_fraction")(spark, sfDir).collect().map(_.getLong(0)).toSeq
+    assert(s1 == s2, "same seed must give the same sample")
+    val expectMean = n * 0.1
+    val sigma = math.sqrt(n * 0.1 * 0.9)
+    assert(math.abs(s1.size - expectMean) < 4 * sigma)
+  }
+
+  test("dedup_fuzzy_minhash: planted near-dup pairs are recovered") {
+    val pairs = SparkEntry.queries("dedup_fuzzy_minhash")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // planted: doc_id % 7 == 0 duplicated as doc_id + 200000 minus first token
+    val planted = Tables.t(spark, sfDir, "documents")
+      .filter(col("doc_id") % 7 === 0).select("doc_id")
+      .collect().map(_.getLong(0))
+      .map(id => (id, id + 200000L)).toSet
+    val recovered = planted.intersect(pairs)
+    // banded LSH is probabilistic per pair, but dropping one token of ~50
+    // keeps shingle overlap ~90%+: essentially all planted pairs collide
+    assert(recovered.size >= (planted.size * 0.95).toInt,
+      s"recovered ${recovered.size}/${planted.size}")
+  }
+
+  test("split_points: boundaries are sorted and strictly inside the key range") {
+    val rows = SparkEntry.queries("split_points")(spark, sfDir).collect()
+    val bounds = rows.map(_.getString(0)).toSeq
+    assert(bounds == bounds.sorted)
+    assert(bounds.size <= 7) // 8 shards -> at most N-1 boundaries
+  }
+}

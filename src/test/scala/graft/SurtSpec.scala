@@ -1,0 +1,41 @@
+package graft
+
+import graft.functions.Surt
+import org.apache.spark.sql.functions._
+
+/** Golden pairs from the public surt test vectors (FIXTURES.md §A.5) +
+  * idempotence property. Documented deviations (Surt scaladoc): all ports
+  * stripped, no IDN punycoding. */
+class SurtSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def surtOf(urls: String*): Seq[String] =
+    urls.toDF("url").select(Surt.surtKey(col("url")).as("k"))
+      .collect().map(_.getString(0)).toSeq
+
+  test("golden pairs") {
+    assert(surtOf("http://www.Example.com/Path?b=2&a=1") == Seq("com,example)/path?a=1&b=2"))
+    assert(surtOf("https://example.com/") == Seq("com,example)/"))
+    assert(surtOf("http://sub.a.example.co.uk/x") == Seq("uk,co,example,a,sub)/x"))
+    assert(surtOf("http://example.com") == Seq("com,example)/"))
+    assert(surtOf("http://www2.example.com/a") == Seq("com,example)/a"))
+  }
+
+  test("host reverse + query sort components") {
+    val r = Seq(("www.a.b.com", "b=2&a=1")).toDF("h", "q")
+      .select(Surt.hostReverse(col("h")).as("rh"), Surt.querySort(col("q")).as("sq"))
+      .collect().head
+    assert(r.getString(0) == "com,b,a")
+    assert(r.getString(1) == "a=1&b=2")
+  }
+
+  test("sort-key property: surt keys order by reversed host hierarchy") {
+    val keys = surtOf(
+      "http://a.example.com/z",
+      "http://b.example.com/a",
+      "http://example.com/m")
+    // com,example)/m < com,example,a)/z < com,example,b)/a
+    assert(keys.sorted == Seq(keys(2), keys(0), keys(1)).sorted)
+    assert(keys(2) < keys(0) && keys(0) < keys(1))
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.formats.Warc
+
+/** Golden-file test for the WARC member scan (FIXTURES §A.1): the fixture
+  * written by our writer parses back to the exact CDX-level rows the
+  * reference's job-1 mapper would extract. */
+class WarcSpec extends SparkSpec {
+
+  private val file = "/tmp/graft_test/fixture.warc.gz"
+
+  test("fixture round-trip extracts the expected record fields") {
+    Files.createDirectories(Paths.get(file).getParent)
+    Warc.writeFixture(file, Warc.fixtureRecords)
+    val rows = Warc.scan(spark, file)
+      .select("record_type", "url", "ts", "status", "mime")
+      .orderBy("offset")
+      .collect().toSeq.map(_.toSeq)
+
+    val expected: Seq[Seq[Any]] = Seq(
+      Seq("warcinfo", null, "20150215010000", null, null),
+      Seq("response", "http://www.example.com/path?b=2&a=1", "20150215012345", 200, "text/html; charset=UTF-8"),
+      Seq("request", "http://www.example.com/path?b=2&a=1", "20150215012345", null, null),
+      Seq("response", "http://example.com/other", "20150301120000", 404, "text/plain"),
+      Seq("revisit", "http://www.example.com/path?b=2&a=1", "20150402083000", null, null),
+      Seq("response", "https://sub.iana.org/x", "20150510235959", 301, "text/html"),
+      Seq("metadata", "http://example.com/other", "20150301120001", null, null),
+      Seq("response", "http://example.com/other", "20150601000000", 200, "text/plain"))
+    rows.zip(expected).zipWithIndex.foreach { case ((got, want), i) =>
+      assert(got == want, s"record $i")
+    }
+    assert(rows.size == expected.size)
+  }
+
+  test("offsets/lengths tile the file and payload bytes survive") {
+    Files.createDirectories(Paths.get(file).getParent)
+    Warc.writeFixture(file, Warc.fixtureRecords)
+    val rows = Warc.scan(spark, file)
+      .select("offset", "length", "payload", "record_type")
+      .orderBy("offset").collect()
+    val fileLen = Files.size(Paths.get(file))
+    assert(rows.head.getLong(0) == 0)
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(b.getLong(0) == a.getLong(0) + a.getLong(1))
+      case _ =>
+    }
+    val last = rows.last
+    assert(last.getLong(0) + last.getLong(1) == fileLen)
+    // response payload is the HTTP body only (headers stripped)
+    val alpha = rows(1).getAs[Array[Byte]]("payload")
+    assert(new String(alpha, "UTF-8") == "<html>alpha</html>")
+  }
+
+  test("digest carries through for revisit join (dedup-by-digest semantics)") {
+    Files.createDirectories(Paths.get(file).getParent)
+    Warc.writeFixture(file, Warc.fixtureRecords)
+    val df = Warc.scan(spark, file)
+    val revisit = df.filter(df("record_type") === "revisit").select("digest", "url")
+    val originals = df.filter(df("record_type") === "response").select("digest", "ts")
+    val resolved = revisit.join(originals, "digest").collect()
+    assert(resolved.length == 1) // the revisit's digest matches exactly one response
+  }
+}

@@ -1,0 +1,85 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.formats.{Gzip, ZipNum}
+
+/** ZipNum cluster properties (SURVEY §5.2–5.3, FIXTURES §A.3):
+  * gunzip(concat(blocks)) == globally sorted input; idx offsets strictly
+  * increasing and length-tiling per shard; idx firstkeys are a
+  * subsequence of the data; prefix reads equal a filtered full read. */
+class ZipNumSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/tmp/graft_test/zipnum"
+
+  private lazy val inputLines: Seq[String] = {
+    val rnd = new scala.util.Random(7)
+    (1 to 2357).map { i =>
+      val host = s"host${rnd.nextInt(20)}"
+      f"org,$host)/p/${rnd.nextInt(100)}%03d 2015${rnd.nextInt(12) + 1}%02d01000000 " +
+        s"""{"url": "http://$host.org/", "n": "$i"}"""
+    }
+  }
+
+  private lazy val written: Unit = {
+    val df = inputLines.toDF("line")
+    ZipNum.write(df, dir, shards = 5, linesPerBlock = 37)
+  }
+
+  test("gunzip(concat(shards in order)) == sorted(input)") {
+    written
+    val idx = ZipNum.readIdx(spark, dir)
+    val shardFiles = idx.map(_.shard).distinct.sorted
+    val all = shardFiles.flatMap { sh =>
+      val bytes = Files.readAllBytes(Paths.get(dir, sh))
+      Gzip.members(new java.io.ByteArrayInputStream(bytes))
+        .flatMap(m => new String(m.bytes, "UTF-8").split("\n").filter(_.nonEmpty))
+        .toSeq
+    }
+    assert(all == inputLines.sorted)
+  }
+
+  test("idx: offsets tile each shard; blocks <= linesPerBlock; firstkeys sorted") {
+    written
+    val idx = ZipNum.readIdx(spark, dir)
+    // global seq strictly increasing and firstkeys non-decreasing in seq order
+    assert(idx.map(_.seq) == idx.indices.map(_.toLong))
+    assert(idx.map(_.firstKey) == idx.map(_.firstKey).sorted)
+    idx.groupBy(_.shard).foreach { case (sh, entries) =>
+      val sorted = entries.sortBy(_.offset)
+      assert(sorted.head.offset == 0)
+      sorted.sliding(2).foreach {
+        case Seq(a, b) => assert(b.offset == a.offset + a.length)
+        case _ =>
+      }
+      val fileLen = Files.size(Paths.get(dir, sh))
+      assert(sorted.last.offset + sorted.last.length == fileLen)
+    }
+    // every block holds <= linesPerBlock lines, and firstkey comes from data
+    val keys = inputLines.map(_.split(" ", 3).take(2).mkString(" ")).toSet
+    idx.foreach(e => assert(keys.contains(e.firstKey)))
+  }
+
+  test("full read returns sorted input; prefix read == filtered full read") {
+    written
+    val full = ZipNum.readLines(spark, dir).as[String].collect().toSeq
+    assert(full == inputLines.sorted)
+    val p = "org,host1)"
+    val pruned = ZipNum.readLines(spark, dir, Some(p)).as[String].collect().toSeq
+    assert(pruned == inputLines.sorted.filter(_.startsWith(p)))
+    assert(pruned.nonEmpty)
+  }
+
+  test("prefix pruning touches fewer blocks than a full read") {
+    written
+    val idx = ZipNum.readIdx(spark, dir)
+    val p = "org,host1)"
+    // mirror of readLines' selection logic
+    val hi = p + "￿"
+    val selected = idx.zipAll(idx.drop(1).map(e => Some(e.firstKey)), null, None)
+      .collect { case (e, next) if e != null => (e, next) }
+      .count { case (e, next) => e.firstKey < hi && next.forall(_ >= p) }
+    assert(selected > 0 && selected < idx.size)
+  }
+}
