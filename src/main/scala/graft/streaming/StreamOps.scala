@@ -1,0 +1,99 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** SURVEY.md §2.8 — the streaming side of the time-window operators.
+  * Each transform takes a (possibly streaming) events DataFrame with
+  * columns (event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING,
+  * value DOUBLE) and returns the transformed frame; identical expressions
+  * run in batch (DuckDB-oracled via graft.queries.TimeWindows) and on a
+  * stream (unit-tested with MemoryStream in StreamingSpec).
+  *
+  * The reference pipeline is pure batch — incremental indexing is re-run
+  * with --skip-existing (indexwarcsjob.py, recon) — so this surface is the
+  * engine's extension for continuous ingest: the same CDX derivations
+  * running on a WARC-arrival stream.
+  *
+  * Scale notes: watermarks bound all state; session/dedup state is keyed
+  * (user_id / event_id) so it shards across executors; no global windows.
+  */
+object StreamOps {
+
+  /** per-hour event counts; watermark bounds window state to 1h of lag */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("wstart"), col("event_type"), col("cnt"))
+
+  /** 1h windows sliding every 15m */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("wstart"), col("event_type"), col("cnt"))
+
+  /** session windows with a 30m inactivity gap, per user */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("sstart"), col("user_id"), col("n_events"))
+
+  /** exactly-once style dedup on event_id within the watermark horizon —
+    * the streaming form of `stream_dedup`; late duplicates beyond 1h of
+    * event time are dropped by the same watermark that bounds the state */
+  def dedup(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+
+  /** `stream_late_policy`: records older than the watermark are dropped
+    * from aggregations — demonstrated by aggregating AFTER the watermark;
+    * the spec drives late rows through MemoryStream and asserts they do
+    * not resurrect closed windows */
+  def lateDataCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("wstart"), col("cnt"))
+
+  // ---- custom stateful operator (crawl-frontier-style state) ----
+
+  final case class UserEvent(event_id: Long, user_id: Long, event_type: String, tsMs: Long)
+  final case class UserState(nEvents: Long, lastTsMs: Long)
+  final case class UserUpdate(user_id: Long, nEvents: Long, newInBatch: Long)
+
+  /** per-user running counts via mapGroupsWithState — the pattern a
+    * continuous crawl frontier would use (per-host politeness state,
+    * last-fetch time, fetch counts). ProcessingTimeTimeout keeps state
+    * bounded in real deployments; the spec uses NoTimeout determinism. */
+  def userRunningCounts(events: Dataset[UserEvent]): Dataset[UserUpdate] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserState, UserUpdate](GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[UserEvent], state: GroupState[UserState]) =>
+          val events = batch.toSeq
+          val prev = state.getOption.getOrElse(UserState(0L, 0L))
+          val next = UserState(
+            prev.nEvents + events.size,
+            math.max(prev.lastTsMs, if (events.isEmpty) 0L else events.map(_.tsMs).max))
+          state.update(next)
+          UserUpdate(userId, next.nEvents, events.size.toLong)
+      }
+  }
+
+  /** outputMode for each op when run as a sink (update for stateful aggs) */
+  val outputModes: Map[String, OutputMode] = Map(
+    "tumbling" -> OutputMode.Update(),
+    "session" -> OutputMode.Complete(),
+    "dedup" -> OutputMode.Append(),
+    "late" -> OutputMode.Update())
+}

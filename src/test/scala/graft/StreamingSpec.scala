@@ -1,0 +1,120 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.streaming.StreamOps
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Structured Streaming semantics via MemoryStream (SURVEY §5.4):
+  * watermark/late-data drop, streaming dedup, session windows, and the
+  * custom stateful operator. Each test drives batches through a query and
+  * reads the in-memory sink. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+  private def tsAt(hour: Int, minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 $hour%02d:$minute%02d:00")
+
+  // (event_id, ts, user_id, event_type, value)
+  private type E = (Long, Timestamp, Long, String, Double)
+  private def toDf(s: MemoryStream[E]) =
+    s.toDF.toDF("event_id", "ts", "user_id", "event_type", "value")
+
+  test("stream_dedup drops duplicate event_ids across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[E]
+    val q = StreamOps.dedup(toDf(input)).writeStream
+      .format("memory").queryName("dedup_sink").outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((1L, ts(0), 1L, "a", 1.0), (2L, ts(1), 1L, "b", 1.0))
+      q.processAllAvailable()
+      input.addData((1L, ts(2), 1L, "a", 1.0), (3L, ts(3), 2L, "c", 1.0)) // 1 is a dup
+      q.processAllAvailable()
+      val ids = spark.table("dedup_sink").select("event_id").as[Long].collect().sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
+  test("late data beyond the watermark does not resurrect closed windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[E]
+    val q = StreamOps.lateDataCounts(toDf(input)).writeStream
+      .format("memory").queryName("late_sink").outputMode(OutputMode.Update()).start()
+    try {
+      // batch 1: events at 10:00 and 10:05 -> window 10:00 has 2
+      input.addData((1L, ts(0), 1L, "a", 1.0), (2L, ts(5), 1L, "a", 1.0))
+      q.processAllAvailable()
+      // batch 2: advance event time to 11:00 -> watermark = 10:50
+      input.addData((3L, tsAt(11, 0), 1L, "a", 1.0))
+      q.processAllAvailable()
+      // batch 3: a LATE event at 10:01 — behind the 10:50 watermark, dropped
+      input.addData((4L, ts(1), 1L, "a", 1.0))
+      q.processAllAvailable()
+      val counts = spark.table("late_sink")
+        .groupBy("wstart").agg(max("cnt").as("cnt"))
+        .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+      assert(counts(ts(0)) == 2L, "late event must not bump the closed 10:00 window")
+    } finally q.stop()
+  }
+
+  test("session windows merge events within the 30m gap per user") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[E]
+    val q = StreamOps.sessionCounts(toDf(input)).writeStream
+      .format("memory").queryName("session_sink").outputMode(OutputMode.Complete()).start()
+    try {
+      input.addData(
+        (1L, ts(0), 1L, "a", 1.0),   // user 1 session A
+        (2L, ts(20), 1L, "a", 1.0),  // +20m -> same session
+        (3L, tsAt(11, 30), 1L, "a", 1.0), // +70m -> new session
+        (4L, ts(0), 2L, "a", 1.0))   // user 2 own session
+      q.processAllAvailable()
+      val rows = spark.table("session_sink")
+        .select("user_id", "n_events").as[(Long, Long)].collect().sorted.toSeq
+      assert(rows == Seq((1L, 1L), (1L, 2L), (2L, 1L)))
+    } finally q.stop()
+  }
+
+  test("tumbling stream counts match the batch expression on the same data") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[E]
+    val q = StreamOps.tumblingCounts(toDf(input)).writeStream
+      .format("memory").queryName("tumbling_sink").outputMode(OutputMode.Update()).start()
+    try {
+      val data: Seq[E] = Seq(
+        (1L, tsAt(10, 5), 1L, "a", 1.0), (2L, tsAt(10, 55), 1L, "a", 1.0),
+        (3L, tsAt(11, 5), 1L, "a", 1.0), (4L, tsAt(10, 10), 2L, "b", 1.0))
+      input.addData(data: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("tumbling_sink")
+        .groupBy("wstart", "event_type").agg(max("cnt").as("cnt"))
+        .as[(Timestamp, String, Long)].collect().toSet
+      val batch = StreamOps.tumblingCounts(
+          data.toDF("event_id", "ts", "user_id", "event_type", "value"))
+        .as[(Timestamp, String, Long)].collect().toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState accumulates per-user counts across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamOps.UserEvent]
+    val q = StreamOps.userRunningCounts(input.toDS()).writeStream
+      .format("memory").queryName("state_sink").outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(
+        StreamOps.UserEvent(1, 10, "a", 1000), StreamOps.UserEvent(2, 10, "b", 2000),
+        StreamOps.UserEvent(3, 20, "a", 1500))
+      q.processAllAvailable()
+      input.addData(StreamOps.UserEvent(4, 10, "c", 3000))
+      q.processAllAvailable()
+      val latest = spark.table("state_sink")
+        .groupBy("user_id").agg(max("nEvents").as("n"))
+        .as[(Long, Long)].collect().toMap
+      assert(latest == Map(10L -> 3L, 20L -> 1L))
+    } finally q.stop()
+  }
+}
