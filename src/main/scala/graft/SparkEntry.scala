@@ -20,7 +20,9 @@ object SparkEntry {
     q.Windows,
     q.TimeWindows,
     q.Llm,
-    q.Formats)
+    q.Formats,
+    q.Multimodal,
+    q.Similarity)
 
   /** Flagship (SURVEY §7 minimum slice): latest 200-status capture for each
     * URL under a SURT prefix — sorted-key lookup + ranking, the core value

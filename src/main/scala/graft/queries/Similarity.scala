@@ -1,0 +1,121 @@
+package graft.queries
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2.10 similarity / fuzzy-dedup extensions beyond the Llm module:
+  * embedding normalization, embedding-cosine near-dup, SimHash content
+  * fingerprints, and LSH-bucketed approximate nearest neighbors.
+  *
+  * Scale notes (100 TB):
+  *  - `sim_ann_lsh` prunes the candidate set to one hyperplane-sign bucket
+  *    (expected N/2^bits vectors) before scoring — the scale path over
+  *    `sim_cosine_topk`'s full scan; buckets are an equi-shuffle key.
+  *  - `dedup_simhash` reduces each doc to 64 bits; near-dup candidates at
+  *    scale pair up via band equi-joins on simhash prefixes, never a cross
+  *    join (same banding idea as minhash-LSH).
+  *  - All per-row math is codegen'd higher-order functions over the
+  *    embedding arrays; no UDFs in the hot path.
+  */
+object Similarity extends QueryModule {
+
+  private def dotD(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+  private def normD(a: String): String =
+    s"sqrt(aggregate($a, 0D, (acc, v) -> acc + v * v))"
+
+  /** embeddings with a double-cast copy of the vector */
+  private def emb(s: SparkSession, d: String): DataFrame =
+    Tables.t(s, d, "embeddings")
+      .withColumn("ed", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+
+  override def queries: Map[String, QFn] = Map(
+    // L2 normalization (unit vectors) — first element + norm checked
+    "emb_normalize" -> ((s, d) =>
+      emb(s, d)
+        .withColumn("nrm", expr(normD("ed")))
+        .withColumn("unit", expr(s"transform(ed, x -> x / nrm)"))
+        .select(
+          col("vec_id"),
+          round(col("nrm"), 6).as("nrm"),
+          round(element_at(col("unit"), 1), 6).as("u0"),
+          round(expr(normD("unit")), 6).as("unit_norm"))
+        .orderBy("vec_id")),
+
+    // embedding-cosine near-dup over consecutive vec_id pairs
+    "dedup_embedding_cos" -> ((s, d) => {
+      val e = emb(s, d).select(col("vec_id"), col("ed"))
+      val a = e.select(col("vec_id"), col("ed").as("ea"))
+      val b = e.select((col("vec_id") - 1).as("vec_id"), col("ed").as("eb"))
+      a.join(b, "vec_id")
+        .withColumn("cos", expr(
+          s"${dotD("ea", "eb")} / (${normD("ea")} * ${normD("eb")})"))
+        .select(col("vec_id"), round(col("cos"), 6).as("cos"),
+          (col("cos") > 0.95).as("near_dup"))
+        .orderBy("vec_id")
+    }),
+
+    // 64-bit SimHash over token hashes (oracle-exempt: xxhash64 is
+    // engine-specific; SimilaritySpec asserts near-dups land close in
+    // Hamming distance, far pairs far)
+    "dedup_simhash" -> ((s, d) => {
+      val docs = Tables.t(s, d, "documents")
+        .select(col("doc_id"),
+          explode(expr("filter(split(lower(text), '[^a-z0-9]+'), t -> t <> '')")).as("tok"))
+        .withColumn("h", xxhash64(col("tok")))
+      val bitSums: Seq[Column] = (0 until 64).map { b =>
+        sum(when(expr(s"(h >> $b) & 1") === 1, 1).otherwise(-1)).as(s"s$b")
+      }
+      val packed = (0 until 64)
+        .map(b => expr(s"IF(s$b > 0, shiftleft(CAST(1 AS BIGINT), $b), CAST(0 AS BIGINT))"))
+        .reduce(_ + _)
+      docs.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+        .withColumn("simhash", packed)
+        .select("doc_id", "simhash")
+        .orderBy("doc_id")
+    }),
+
+    // ANN: 8 hyperplane sign bits -> bucket; score only the query's bucket
+    "sim_ann_lsh" -> ((s, d) => {
+      val planes = hyperplanes(8, 64)
+      val planesCol = typedLit(planes)
+      val e = emb(s, d)
+        .withColumn("planes", planesCol)
+        .withColumn("bucket", expr(
+          "aggregate(transform(planes, (p, i) -> " +
+            "IF(aggregate(zip_with(ed, p, (x, y) -> x * y), 0D, (acc, v) -> acc + v) > 0, " +
+            "shiftleft(1, i), 0)), 0, (acc, v) -> acc + v)"))
+        .drop("planes")
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("ed").as("qd"), col("bucket").as("qbucket"))
+      e.join(broadcast(q), col("bucket") === col("qbucket"))
+        .withColumn("cos", expr(
+          s"${dotD("ed", "qd")} / (${normD("ed")} * ${normD("qd")})"))
+        .select(col("vec_id"), col("bucket"), round(col("cos"), 6).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(10)
+    })
+  )
+
+  /** deterministic pseudo-random hyperplanes (seeded; same across runs) */
+  def hyperplanes(nPlanes: Int, dim: Int): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(20260812L)
+    Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  override def oracleSql: Map[String, String] = Map(
+    "emb_normalize" ->
+      ("SELECT vec_id, round(nrm, 6) AS nrm, round(embedding[1]::DOUBLE / nrm, 6) AS u0, " +
+        "round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> (x / nrm) * (x / nrm)))), 6) AS unit_norm " +
+        "FROM (SELECT vec_id, embedding, " +
+        "sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm FROM embeddings) " +
+        "ORDER BY vec_id"),
+    "dedup_embedding_cos" ->
+      ("SELECT a.vec_id - 1 AS vec_id, " +
+        "round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos, " +
+        "list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0.95 AS near_dup " +
+        "FROM embeddings a JOIN embeddings b ON a.vec_id = b.vec_id + 1 ORDER BY vec_id")
+  )
+}

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Properties for the oracle-exempt similarity ops. */
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dedup_simhash: near-identical docs are close in Hamming distance, random pairs are not") {
+    // corpus: originals + a perturbed copy of doc 0 (one token changed)
+    val hashes = SparkEntry.queries("dedup_simhash")(spark, sfDir)
+      .as[(Long, Long)].collect().toMap
+    val doc0 = Tables.t(spark, sfDir, "documents")
+      .filter(col("doc_id") === 0).select("text").as[String].head()
+    val perturbed = doc0.split(" ").drop(1).mkString(" ") // drop first token
+    val twoDocs = Seq((0L, doc0), (1L, perturbed)).toDF("doc_id", "text")
+    twoDocs.createOrReplaceTempView("sim_docs")
+    // recompute simhash for the pair through the same expression path
+    val docs = twoDocs
+      .select(col("doc_id"),
+        explode(expr("filter(split(lower(text), '[^a-z0-9]+'), t -> t <> '')")).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map(b =>
+      sum(when(expr(s"(h >> $b) & 1") === 1, 1).otherwise(-1)).as(s"s$b"))
+    val packed = (0 until 64)
+      .map(b => expr(s"IF(s$b > 0, shiftleft(CAST(1 AS BIGINT), $b), CAST(0 AS BIGINT))"))
+      .reduce(_ + _)
+    val two = docs.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .withColumn("simhash", packed).select("doc_id", "simhash")
+      .as[(Long, Long)].collect().toMap
+
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val nearDist = hamming(two(0L), two(1L))
+    assert(nearDist <= 12, s"near-dup pair at Hamming distance $nearDist")
+    // random far pair from the corpus
+    val far = hamming(hashes(1L), hashes(2L))
+    assert(far > nearDist, s"distinct docs ($far) should be farther than near-dups ($nearDist)")
+    assert(two(0L) == hashes(0L), "pipeline and spec must agree on doc 0's simhash")
+  }
+
+  test("sim_ann_lsh: query is its own top hit; candidates share the query bucket") {
+    val rows = SparkEntry.queries("sim_ann_lsh")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val top = rows.head
+    assert(top.getAs[Long]("vec_id") == 0L, "query vector must rank first")
+    assert(math.abs(top.getAs[Double]("cos") - 1.0) < 1e-6)
+    val buckets = rows.map(_.getAs[Int]("bucket")).distinct
+    assert(buckets.length == 1, "all candidates must come from the query's bucket")
+  }
+
+  test("sim_ann_lsh: bucketing partitions the corpus (multiple non-trivial buckets)") {
+    // recompute buckets for the full corpus through the same expression
+    val planes = graft.queries.Similarity.hyperplanes(8, 64)
+    val e = Tables.t(spark, sfDir, "embeddings")
+      .withColumn("ed", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("planes", typedLit(planes))
+      .withColumn("bucket", expr(
+        "aggregate(transform(planes, (p, i) -> " +
+          "IF(aggregate(zip_with(ed, p, (x, y) -> x * y), 0D, (acc, v) -> acc + v) > 0, " +
+          "shiftleft(1, i), 0)), 0, (acc, v) -> acc + v)"))
+    val counts = e.groupBy("bucket").count().collect()
+    assert(counts.length > 16, s"expected a spread over buckets, got ${counts.length}")
+    val total = counts.map(_.getLong(1)).sum
+    assert(total == e.count())
+  }
+
+  test("emb_normalize: unit vectors have norm 1") {
+    val rows = SparkEntry.queries("emb_normalize")(spark, sfDir).collect()
+    rows.foreach(r => assert(math.abs(r.getAs[Double]("unit_norm") - 1.0) <= 1e-6))
+  }
+}
