@@ -1,0 +1,80 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{BinaryType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions (SURVEY §4 custom work, items 1–2):
+  * codegen'd SURT canonicalization and RFC 4648 base32 — both participate
+  * in whole-stage codegen via a static kernel call, replacing the 8-deep
+  * composed-builtin expression tree of [[Surt.surtKey]] on the hot path.
+  */
+case class SurtKeyExpr(child: Expression)
+  extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "surt_key_native"
+
+  override def nullSafeEval(input: Any): Any =
+    SurtAlg.surtKeyUTF8(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val resultCode = nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |${ev.value} = graft.functions.SurtAlg.surtKeyUTF8($c);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin)
+    resultCode
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SurtKeyExpr =
+    copy(child = newChild)
+}
+
+/** binary -> base32 string (WARC-Payload-Digest dialect). */
+case class Base32Expr(child: Expression)
+  extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "base32"
+
+  override def nullSafeEval(input: Any): Any =
+    SurtAlg.base32UTF8(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SurtAlg.base32UTF8($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Base32Expr =
+    copy(child = newChild)
+}
+
+/** Registration — either per-session ([[GraftFunctions.register]]) or at
+  * session build time via
+  * `.withExtensions(new GraftExtensions)` / the
+  * `spark.sql.extensions=graft.functions.GraftExtensions` conf. */
+object GraftFunctions {
+  val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "surt_key_native" -> ((exprs: Seq[Expression]) => SurtKeyExpr(exprs.head)),
+    "base32" -> ((exprs: Seq[Expression]) => Base32Expr(exprs.head)))
+
+  def register(spark: SparkSession): Unit = all.foreach { case (name, builder) =>
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "built-in")
+  }
+}
+
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (name, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions.NativeExpressions", name),
+        builder))
+    }
+}

@@ -22,6 +22,23 @@ object CdxOps extends QueryModule {
       Cdx.df(s, d).select(col("id"), col("url"), Surt.surtKey(col("url")).as("urlkey"))
         .orderBy("id")),
 
+    // same op through the native codegen Expression (SURVEY §4 item 1);
+    // oracle identical to surt_key -> cross-checks expr vs DuckDB
+    "surt_key_native" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      Cdx.df(s, d).selectExpr("id", "url", "surt_key_native(url) AS urlkey")
+        .orderBy("id")
+    }),
+
+    // base32(sha1) digest parity with pywb's WARC-Payload-Digest encoding.
+    // Oracle-exempt (DuckDB has no base32); NativeExprSpec holds goldens.
+    "digest_b32" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      Cdx.df(s, d)
+        .selectExpr("id", "base32(unhex(sha1(url))) AS digest_b32")
+        .orderBy("id")
+    }),
+
     "surt_host_reverse" -> ((s, d) =>
       Cdx.df(s, d).select(col("host")).distinct()
         .select(col("host"), Surt.hostReverse(col("host")).as("rhost"))
@@ -133,6 +150,7 @@ object CdxOps extends QueryModule {
     "proj_cdx_fields" -> o(
       "SELECT urlkey, ts, url, mime, status, digest, length, filename, id FROM cdx ORDER BY id"),
     "surt_key" -> o("SELECT id, url, urlkey FROM cdx ORDER BY id"),
+    "surt_key_native" -> o("SELECT id, url, urlkey FROM cdx ORDER BY id"),
     "surt_host_reverse" -> o(
       "SELECT DISTINCT host, array_to_string(list_reverse(string_split(regexp_replace(host, '^www\\.', ''), '.')), ',') AS rhost " +
         "FROM cdx ORDER BY host"),

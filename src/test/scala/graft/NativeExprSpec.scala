@@ -1,0 +1,66 @@
+package graft
+
+import graft.functions.{GraftFunctions, Surt, SurtAlg}
+import org.apache.spark.sql.functions._
+
+/** Native Catalyst expressions vs the composed-builtin forms, plus base32
+  * golden vectors computed through an independent BigInteger encoder. */
+class NativeExprSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("surt_key_native == composed-builtin surt on the cdx url corpus") {
+    GraftFunctions.register(spark)
+    val diff = Cdx.df(spark, sfDir)
+      .select(
+        col("url"),
+        expr("surt_key_native(url)").as("native"),
+        Surt.surtKey(col("url")).as("composed"))
+      .filter(not(col("native") <=> col("composed")))
+      .collect()
+    assert(diff.isEmpty, diff.take(5).mkString("\n"))
+  }
+
+  test("surt_key_native edge cases (interpreted path)") {
+    assert(SurtAlg.surtKey("http://www.Example.com/Path?b=2&a=1") == "com,example)/path?a=1&b=2")
+    assert(SurtAlg.surtKey("https://example.com") == "com,example)/")
+    assert(SurtAlg.surtKey("http://u:p@host.org:8080/a#frag") == "org,host)/a")
+    assert(SurtAlg.surtKey("http://h.io?a=1") == "io,h)/?a=1")
+    assert(SurtAlg.surtKey("not a url") == null)
+    assert(SurtAlg.surtKey(null) == null)
+  }
+
+  test("codegen and interpreted eval agree (nulls in the column)") {
+    GraftFunctions.register(spark)
+    val urls = Seq(
+      Some("http://a.b/x"), None, Some("nourl"), Some("HTTPS://UP.example.ORG/Q?z=1&y=2"))
+      .toDF("url")
+    val rows = urls.selectExpr("surt_key_native(url) AS k").as[Option[String]].collect()
+    assert(rows.toSeq == Seq(Some("b,a)/x"), None, None, Some("org,example,up)/q?y=2&z=1")))
+  }
+
+  test("base32 golden vectors (independent BigInteger encoder)") {
+    // independent re-implementation for cross-checking
+    def b32ref(bytes: Array[Byte]): String = {
+      val alphabet = "ABCDEFGHIJKLMNOPQRSTUVWXYZ234567"
+      val bits = bytes.flatMap(b => (7 to 0 by -1).map(i => (b >> i) & 1))
+      bits.grouped(5).map { g =>
+        val padded = g.padTo(5, 0)
+        alphabet(padded.foldLeft(0)((acc, b) => (acc << 1) | b))
+      }.mkString
+    }
+    val rnd = new scala.util.Random(3)
+    for (n <- Seq(0, 1, 2, 5, 19, 20, 64)) {
+      val bytes = new Array[Byte](n); rnd.nextBytes(bytes)
+      assert(SurtAlg.base32(bytes) == b32ref(bytes), s"length $n")
+    }
+    // RFC 4648 test vector (unpadded): "foobar" -> MZXW6YTBOI
+    assert(SurtAlg.base32("foobar".getBytes("UTF-8")) == "MZXW6YTBOI")
+    // sha1("abc") in the pywb digest dialect
+    GraftFunctions.register(spark)
+    val digest = Seq("abc").toDF("s")
+      .selectExpr("base32(unhex(sha1(s))) AS d").as[String].head()
+    assert(digest == b32ref(
+      java.security.MessageDigest.getInstance("SHA-1").digest("abc".getBytes("UTF-8"))))
+    assert(digest.length == 32) // 160 bits -> exactly 32 base32 chars
+  }
+}
