@@ -29,6 +29,14 @@ object Relational extends QueryModule {
         .sortWithinPartitions("urlkey", "ts", "id")
         .select("urlkey", "ts", "id")),
 
+    // predicate + projection pushdown into the parquet scan — PlanSpec
+    // asserts PushedFilters/ReadSchema on this exact plan
+    "filter_pushdown" -> ((s, d) =>
+      Tables.t(s, d, "lineitem")
+        .filter(col("l_quantity") > 45 && col("l_discount") <= 0.05)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+        .orderBy("l_orderkey", "l_linenumber")),
+
     "sort_within_partitions" -> ((s, d) =>
       Cdx.df(s, d)
         .repartitionByRange(8, col("urlkey"), col("ts"), col("id"))
@@ -104,6 +112,9 @@ object Relational extends QueryModule {
     "scan_parquet" ->
       "SELECT l_orderkey, l_linenumber, l_partkey, l_quantity FROM lineitem ORDER BY l_orderkey, l_linenumber",
     "sort_global" -> o("SELECT urlkey, ts, id FROM cdx ORDER BY urlkey, ts, id"),
+    "filter_pushdown" ->
+      ("SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem " +
+        "WHERE l_quantity > 45 AND l_discount <= 0.05 ORDER BY l_orderkey, l_linenumber"),
     "sort_within_partitions" -> o("SELECT urlkey, ts, id FROM cdx ORDER BY urlkey, ts, id"),
     "topk_closest" -> o(
       "SELECT id, urlkey, ts, abs(epoch_us - epoch_us(TIMESTAMP '1998-06-01 00:00:00')) AS diff_us " +
