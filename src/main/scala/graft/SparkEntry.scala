@@ -22,7 +22,8 @@ object SparkEntry {
     q.Llm,
     q.Formats,
     q.Multimodal,
-    q.Similarity)
+    q.Similarity,
+    q.UdfSurface)
 
   /** Flagship (SURVEY §7 minimum slice): latest 200-status capture for each
     * URL under a SURT prefix — sorted-key lookup + ranking, the core value

@@ -42,6 +42,18 @@ object TimeWindows extends QueryModule {
 
     // drop duplicate event_ids (batch form of streaming dedup): feed the
     // stream twice, expect the original back
+    // batch contract of the watermark: keep rows within `delay` of the
+    // max event time (the streaming form + late-drop proof lives in
+    // StreamOps.lateDataCounts / StreamingSpec)
+    "stream_late_policy" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val horizon = e.agg(max("ts").as("max_ts"))
+      e.crossJoin(broadcast(horizon))
+        .filter(col("ts") >= col("max_ts") - expr("INTERVAL 1 HOUR"))
+        .select("event_id", "user_id")
+        .orderBy("event_id")
+    }),
+
     "stream_dedup" -> ((s, d) => {
       val e = Tables.events(s, d).select("event_id", "user_id", "event_type")
       e.unionAll(e).dropDuplicates("event_id").orderBy("event_id")
@@ -69,6 +81,9 @@ object TimeWindows extends QueryModule {
         "ROWS UNBOUNDED PRECEDING) AS sid FROM marked) " +
         "SELECT min(ts) AS sstart, user_id, count(*) AS n_events " +
         "FROM sess GROUP BY user_id, sid ORDER BY user_id, sstart"),
+    "stream_late_policy" ->
+      ("SELECT event_id, user_id FROM events " +
+        "WHERE ts >= (SELECT max(ts) - INTERVAL 1 HOUR FROM events) ORDER BY event_id"),
     "stream_dedup" ->
       "SELECT event_id, user_id, event_type FROM events ORDER BY event_id"
   )

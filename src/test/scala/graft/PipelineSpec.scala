@@ -1,0 +1,55 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.formats.{Warc, ZipNum}
+
+/** End-to-end: WARC fixture -> CDXJ -> ZipNum cluster -> indexed lookup.
+  * This is the reference's whole workflow in one plan (SURVEY §3.3). */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val warcFile = "/tmp/graft_test/pipeline.warc.gz"
+  private val outDir = "/tmp/graft_test/pipeline_zipnum"
+
+  private def run(): Unit = {
+    Files.createDirectories(Paths.get(warcFile).getParent)
+    Warc.writeFixture(warcFile, Warc.fixtureRecords)
+    Pipeline.warcToZipNum(spark, warcFile, outDir, shards = 2, linesPerBlock = 2)
+  }
+
+  test("pipeline keeps exactly the response/revisit records, globally sorted") {
+    run()
+    val lines = ZipNum.readLines(spark, outDir).as[String].collect().toSeq
+    val expectedCount = Warc.fixtureRecords.count(r =>
+      (r.recordType == "response" || r.recordType == "revisit") && r.url != null)
+    assert(lines.size == expectedCount)
+    assert(lines == lines.sorted, "cluster must be globally sorted")
+    // SURT keys: fixture URLs canonicalize as expected
+    val keys = lines.map(_.split(" ", 2).head)
+    assert(keys.contains("com,example)/path?a=1&b=2"), keys.mkString(", "))
+    assert(keys.contains("org,iana,sub)/x"))
+  }
+
+  test("prefix lookup through cluster.idx answers the index's core query") {
+    run()
+    val hits = ZipNum.readLines(spark, outDir, prefix = Some("com,example)/path"))
+      .as[String].collect().toSeq
+    // 1 response + 1 revisit for that URL in the fixture
+    assert(hits.size == 2, hits.mkString("\n"))
+    assert(hits.forall(_.startsWith("com,example)/path?a=1&b=2")))
+    // timestamps come back in capture order (ts is the secondary sort key)
+    val tss = hits.map(_.split(" ", 3)(1))
+    assert(tss == tss.sorted)
+  }
+
+  test("CDXJ payload carries digest/offset/length for replay") {
+    run()
+    val line = ZipNum.readLines(spark, outDir, prefix = Some("com,example)/path"))
+      .as[String].collect().head
+    val json = line.split(" ", 3)(2)
+    assert(json.contains("\"digest\""))
+    assert(json.contains("\"offset\""))
+    assert(json.contains("\"filename\":\"pipeline.warc.gz\""))
+  }
+}
