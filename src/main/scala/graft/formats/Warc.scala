@@ -73,8 +73,19 @@ object Warc {
     headers.getBytes(UTF_8) ++ block
   }
 
+  /** Parse one decompressed WARC record into raw fields:
+    * (record_type, url, ts14, digest, status (nullable), mime, payload). */
+  private[graft] def parseRow(
+      bytes: Array[Byte], offset: Long, length: Long, filename: String)
+      : (String, String, String, String, java.lang.Integer, String, Array[Byte]) = {
+    val r = parseRecord(bytes, offset, length, filename)
+    (r.getString(0), r.getString(1), r.getString(2), r.getString(3),
+      r.get(4).asInstanceOf[java.lang.Integer], r.getString(5),
+      r.get(9).asInstanceOf[Array[Byte]])
+  }
+
   /** Parse one decompressed WARC record into a row-shaped tuple. */
-  private[formats] def parseRecord(
+  private[graft] def parseRecord(
       bytes: Array[Byte], offset: Long, length: Long, filename: String): Row = {
     val text = new String(bytes, UTF_8)
     val headerEnd = text.indexOf("\r\n\r\n")

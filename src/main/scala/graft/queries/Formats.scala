@@ -104,6 +104,17 @@ object Formats extends QueryModule {
         .orderBy("urlkey", "ts", "json")
     }),
 
+    // same lookup through the V2 source: Catalyst pushes the startsWith
+    // filter into the scan, which prunes blocks via cluster.idx
+    "zipnum_v2_pushdown" -> ((s, d) => {
+      val dir = tmp(d, "zipnum_v2")
+      ZipNum.write(cdxLines(s, d), dir, shards = 8, linesPerBlock = 100)
+      s.read.format("zipnum").load(dir)
+        .filter(col("urlkey").startsWith("org,example,medium)"))
+        .select("urlkey", "ts", "json")
+        .orderBy("urlkey", "ts", "json")
+    }),
+
     // WARC member scan — oracle-exempt (binary fixture input; golden
     // CDX-level assertions live in WarcSpec); driver records rows>0
     "scan_warc" -> ((s, d) => {
@@ -127,6 +138,9 @@ object Formats extends QueryModule {
     "sink_zipnum" -> o(
       s"SELECT urlkey, ts, $jsonExprDuck FROM cdx ORDER BY urlkey, ts, json"),
     "zipnum_prefix_lookup" -> o(
+      s"SELECT urlkey, ts, $jsonExprDuck FROM cdx " +
+        "WHERE urlkey LIKE 'org,example,medium)%' ORDER BY urlkey, ts, json"),
+    "zipnum_v2_pushdown" -> o(
       s"SELECT urlkey, ts, $jsonExprDuck FROM cdx " +
         "WHERE urlkey LIKE 'org,example,medium)%' ORDER BY urlkey, ts, json")
   )

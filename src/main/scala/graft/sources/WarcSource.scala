@@ -1,0 +1,88 @@
+package graft.sources
+
+import java.util
+
+import graft.formats.{Gzip, Warc}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 for WARC files: `spark.read.format("warc").load(glob)`.
+  * One input partition per WARC file (gzip members are not splittable
+  * mid-file — SURVEY §2.1 scan_warc); the partition reader iterates
+  * members and parses records, so executors stream records without
+  * materializing whole files.
+  */
+class WarcSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "warc"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = Warc.schema
+  override def getTable(
+      schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new WarcTable(properties.getOrDefault("path", ""))
+}
+
+final class WarcTable(path: String) extends Table with SupportsRead {
+  override def name(): String = s"warc:$path"
+  override def schema(): StructType = Warc.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val p = Option(options.get("path")).filter(_.nonEmpty).getOrElse(path)
+    () => new WarcScan(p)
+  }
+}
+
+final class WarcScan(pathGlob: String) extends Scan with Batch {
+  override def readSchema(): StructType = Warc.schema
+  override def description(): String = s"WarcScan[$pathGlob]"
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val path = new Path(pathGlob)
+    val fs = path.getFileSystem(new Configuration())
+    val statuses = Option(fs.globStatus(path))
+      .map(_.toSeq).getOrElse(Seq.empty)
+      .filter(_.isFile)
+    statuses.map(s => WarcFilePartition(s.getPath.toString): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    (partition: InputPartition) =>
+      new WarcPartitionReader(partition.asInstanceOf[WarcFilePartition].file)
+}
+
+final case class WarcFilePartition(file: String) extends InputPartition
+
+final class WarcPartitionReader(file: String) extends PartitionReader[InternalRow] {
+  private val path = new Path(file)
+  private val in = path.getFileSystem(new Configuration()).open(path)
+  private val shortName = file.substring(file.lastIndexOf('/') + 1)
+  private val members = Gzip.members(in)
+  private var row: InternalRow = _
+
+  override def next(): Boolean = {
+    if (!members.hasNext) return false
+    val m = members.next()
+    val r = Warc.parseRow(m.bytes, m.offset, m.compressedLength, shortName)
+    row = new GenericInternalRow(Array[Any](
+      utf8(r._1), utf8(r._2), utf8(r._3), utf8(r._4),
+      r._5, utf8(r._6), m.offset, m.compressedLength,
+      UTF8String.fromString(shortName), r._7))
+    true
+  }
+
+  private def utf8(s: String): UTF8String =
+    if (s == null) null else UTF8String.fromString(s)
+
+  override def get(): InternalRow = row
+  override def close(): Unit = in.close()
+}

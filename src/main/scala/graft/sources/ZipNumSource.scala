@@ -1,0 +1,183 @@
+package graft.sources
+
+import java.util
+
+import graft.formats.{Gzip, ZipNum}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, StringStartsWith}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 for ZipNum clusters:
+  * `spark.read.format("zipnum").load(dir)` with columns
+  * (urlkey, ts, json, blockseq). `SupportsPushDownFilters` translates
+  * urlkey predicates (=, startsWith, range) into cluster.idx block
+  * selection — the batch mirror of pywb's binary search, same shape as
+  * Parquet row-group pruning (SURVEY §4 "custom" table, idx-pruning row).
+  * Filters are kept as residuals (Spark re-applies them row-level), so
+  * pushdown is purely an I/O reduction and can never change results.
+  */
+class ZipNumSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "zipnum"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = ZipNumSource.schema
+  override def getTable(
+      schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new ZipNumTable(properties.getOrDefault("path", ""))
+}
+
+object ZipNumSource {
+  val schema: StructType = StructType(Seq(
+    StructField("urlkey", StringType),
+    StructField("ts", StringType),
+    StructField("json", StringType),
+    StructField("blockseq", org.apache.spark.sql.types.LongType)))
+
+  /** key range [lo, hi) implied by the pushed urlkey filters; None = unbounded */
+  final case class KeyRange(lo: Option[String], hi: Option[String]) {
+    def intersectBlock(firstKey: String, nextKey: Option[String]): Boolean = {
+      // block covers [firstKey, nextKey); keys in idx are "urlkey ts"
+      val loOk = nextKey.forall(nk => lo.forall(l => nk >= l))
+      val hiOk = hi.forall(h => firstKey < h)
+      loOk && hiOk
+    }
+  }
+
+  def rangeFromFilters(filters: Seq[Filter]): KeyRange = {
+    var lo: Option[String] = None
+    var hi: Option[String] = None
+    def tightenLo(v: String): Unit = if (lo.forall(_ < v)) lo = Some(v)
+    def tightenHi(v: String): Unit = if (hi.forall(_ > v)) hi = Some(v)
+    filters.foreach {
+      case EqualTo("urlkey", v: String) => tightenLo(v); tightenHi(v + "￿")
+      case StringStartsWith("urlkey", p) => tightenLo(p); tightenHi(p + "￿")
+      case GreaterThanOrEqual("urlkey", v: String) => tightenLo(v)
+      case GreaterThan("urlkey", v: String) => tightenLo(v)
+      case LessThanOrEqual("urlkey", v: String) => tightenHi(v + "￿")
+      case LessThan("urlkey", v: String) => tightenHi(v)
+      case _ =>
+    }
+    KeyRange(lo, hi)
+  }
+}
+
+final class ZipNumTable(path: String) extends Table with SupportsRead {
+  override def name(): String = s"zipnum:$path"
+  override def schema(): StructType = ZipNumSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val p = Option(options.get("path")).filter(_.nonEmpty).getOrElse(path)
+    new ZipNumScanBuilder(p)
+  }
+}
+
+final class ZipNumScanBuilder(dir: String)
+  extends ScanBuilder with SupportsPushDownFilters {
+
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter {
+      case EqualTo("urlkey", _: String) => true
+      case StringStartsWith("urlkey", _) => true
+      case GreaterThanOrEqual("urlkey", _: String) => true
+      case GreaterThan("urlkey", _: String) => true
+      case LessThanOrEqual("urlkey", _: String) => true
+      case LessThan("urlkey", _: String) => true
+      case _ => false
+    }
+    filters // everything stays residual: pruning is I/O-only
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new ZipNumScan(dir, ZipNumSource.rangeFromFilters(pushed))
+}
+
+final class ZipNumScan(dir: String, range: ZipNumSource.KeyRange) extends Scan with Batch {
+  override def readSchema(): StructType = ZipNumSource.schema
+  override def description(): String =
+    s"ZipNumScan[$dir, lo=${range.lo.getOrElse("-inf")}, hi=${range.hi.getOrElse("+inf")}]"
+  override def toBatch: Batch = this
+
+  /** idx entries surviving block pruning, grouped ≤64 contiguous blocks
+    * per partition so a huge cluster doesn't explode the task count */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val idx = ZipNumScan.readIdxStatic(dir)
+    val selected = idx.zipAll(idx.drop(1).map(e => Some(e.firstKey)), null, None)
+      .collect { case (e, next) if e != null => (e, next) }
+      .filter { case (e, next) => range.intersectBlock(e.firstKey, next) }
+      .map(_._1)
+    selected.grouped(64).map { group =>
+      ZipNumBlockPartition(
+        group.map(e => (dir + "/" + e.shard, e.offset, e.length, e.seq)).toArray): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    (partition: InputPartition) =>
+      new ZipNumPartitionReader(partition.asInstanceOf[ZipNumBlockPartition].blocks)
+}
+
+object ZipNumScan {
+  /** driver-side idx read without needing a SparkSession */
+  def readIdxStatic(dir: String): Seq[ZipNum.IdxEntry] = {
+    val path = new Path(dir, "cluster.idx")
+    val fs = path.getFileSystem(new Configuration())
+    val in = fs.open(path)
+    val content = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    content.split("\n").filter(_.nonEmpty).toSeq.map { l =>
+      val f = l.split("\t")
+      ZipNum.IdxEntry(f(0), f(1), f(2).toLong, f(3).toLong, f(4).toLong)
+    }
+  }
+}
+
+final case class ZipNumBlockPartition(blocks: Array[(String, Long, Long, Long)])
+  extends InputPartition
+
+final class ZipNumPartitionReader(blocks: Array[(String, Long, Long, Long)])
+  extends PartitionReader[InternalRow] {
+
+  private val conf = new Configuration()
+  private var blockIdx = 0
+  private var lines: Iterator[(String, Long)] = Iterator.empty
+  private var row: InternalRow = _
+
+  private def loadNextBlock(): Boolean = {
+    if (blockIdx >= blocks.length) return false
+    val (file, offset, length, seq) = blocks(blockIdx)
+    blockIdx += 1
+    val path = new Path(file)
+    val in = path.getFileSystem(conf).open(path)
+    val buf = new Array[Byte](length.toInt)
+    try { in.seek(offset); in.readFully(buf) } finally in.close()
+    val member = Gzip.members(new java.io.ByteArrayInputStream(buf)).next()
+    lines = new String(member.bytes, "UTF-8").split("\n").iterator
+      .filter(_.nonEmpty).map(l => (l, seq))
+    true
+  }
+
+  override def next(): Boolean = {
+    while (!lines.hasNext) if (!loadNextBlock()) return false
+    val (line, seq) = lines.next()
+    val parts = line.split(" ", 3)
+    row = new GenericInternalRow(Array[Any](
+      UTF8String.fromString(parts(0)),
+      if (parts.length > 1) UTF8String.fromString(parts(1)) else null,
+      if (parts.length > 2) UTF8String.fromString(parts(2)) else null,
+      seq))
+    true
+  }
+
+  override def get(): InternalRow = row
+  override def close(): Unit = ()
+}

