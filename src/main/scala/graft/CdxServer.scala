@@ -1,0 +1,89 @@
+package graft
+
+import graft.formats.ZipNum
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The pywb cdx-server query surface (SURVEY §2.9 — the consumer contract
+  * the reference's output format exists to serve), answered natively over
+  * a ZipNum cluster through the V2 source, so every lookup rides on
+  * cluster.idx block pruning.
+  *
+  * Parameter mapping (pywb cdx-server → method):
+  *   url=...&matchType=exact    -> exactUrl
+  *   matchType=prefix|domain    -> prefix / domain
+  *   from=...&to=...            -> captures(from, to)
+  *   sort=closest&closest=ts    -> closest
+  *   collapse=timestamp:N       -> collapse
+  *   filter=status:200 etc.     -> withFilter (plain Column predicates)
+  *   limit=N / sort=reverse     -> limit / latest
+  */
+final class CdxServer(spark: SparkSession, clusterDir: String) {
+
+  private def scan(prefixKey: Option[String]): DataFrame = {
+    val df = spark.read.format("zipnum").load(clusterDir)
+    prefixKey.map(p => df.filter(col("urlkey").startsWith(p))).getOrElse(df)
+  }
+
+  /** all captures of one canonical URL key, oldest first */
+  def exactUrl(urlkey: String): DataFrame =
+    scan(Some(urlkey)).filter(col("urlkey") === urlkey).orderBy("ts")
+
+  /** every capture under a SURT path prefix */
+  def prefix(surtPrefix: String): DataFrame =
+    scan(Some(surtPrefix)).orderBy("urlkey", "ts")
+
+  /** whole-domain query: all captures under `com,example)` including
+    * subdomains (`com,example,sub)...`), i.e. keys starting with the
+    * reversed host with either `)` or `,` next */
+  def domain(reversedHost: String): DataFrame =
+    scan(Some(reversedHost))
+      .filter(col("urlkey").startsWith(reversedHost + ")") ||
+        col("urlkey").startsWith(reversedHost + ","))
+      .orderBy("urlkey", "ts")
+
+  /** time-boxed captures of a key (from/to are 14-digit inclusive bounds) */
+  def captures(urlkey: String, from: String, to: String): DataFrame =
+    exactUrl(urlkey).filter(col("ts") >= from && col("ts") <= to)
+
+  /** k captures nearest the target timestamp (sort=closest&limit=k) */
+  def closest(urlkey: String, target: String, k: Int): DataFrame =
+    exactUrl(urlkey)
+      .withColumn("dist", abs(
+        unix_timestamp(to_timestamp(col("ts"), "yyyyMMddHHmmss")) -
+          unix_timestamp(to_timestamp(lit(target), "yyyyMMddHHmmss"))))
+      .orderBy(col("dist"), col("ts"))
+      .limit(k)
+
+  /** collapse=timestamp:N — first capture per ts-prefix granule per key */
+  def collapse(surtPrefix: String, tsPrefixLen: Int): DataFrame = {
+    val w = Window
+      .partitionBy(col("urlkey"), substring(col("ts"), 1, tsPrefixLen))
+      .orderBy("ts")
+    prefix(surtPrefix)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
+  /** latest capture per urlkey under a prefix (sort=reverse&limit=1) */
+  def latest(surtPrefix: String): DataFrame = {
+    val w = Window.partitionBy("urlkey").orderBy(col("ts").desc)
+    prefix(surtPrefix)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
+  /** pagination contract: numPages for a prefix at `blocksPerPage`
+    * (pywb showNumPages), computed from cluster.idx alone — no data I/O */
+  def numPages(surtPrefix: String, blocksPerPage: Int): Long = {
+    val idx = ZipNum.readIdx(spark, clusterDir)
+    val hi = surtPrefix + "￿"
+    val nBlocks = idx.zipAll(idx.drop(1).map(e => Some(e.firstKey)), null, None)
+      .collect { case (e, next) if e != null => (e, next) }
+      .count { case (e, next) => e.firstKey < hi && next.forall(_ >= surtPrefix) }
+    math.ceil(nBlocks.toDouble / blocksPerPage).toLong
+  }
+}

@@ -50,6 +50,21 @@ object Aggregates extends QueryModule {
         .selectExpr("gid", "coalesce(hostword, '') AS hostword_c", "coalesce(status, -1) AS status_c", "cnt")
         .orderBy("gid", "hostword_c", "status_c")),
 
+    // skew-resistant two-phase aggregation: salt the (few, giant) groups,
+    // partial-agg per (key, salt), then merge. At 100 TB this is the manual
+    // fallback when a pathological host (com,google)*) overwhelms even
+    // AQE's skew splitting; here it must produce byte-identical results to
+    // the plain group-by, which is exactly what the oracle asserts.
+    "agg_skew_salted" -> ((s, d) => {
+      val salted = Cdx.df(s, d)
+        .withColumn("salt", pmod(col("id"), lit(16)))
+        .groupBy("status", "salt")
+        .agg(count(lit(1)).as("c"), sum("length").as("l"))
+      salted.groupBy("status")
+        .agg(sum("c").as("cnt"), sum("l").as("sum_len"))
+        .orderBy("status")
+    }),
+
     // per-group ordered capture timeline (cdx-server per-url capture list)
     "agg_collect_sorted" -> ((s, d) =>
       Cdx.df(s, d)
@@ -88,6 +103,9 @@ object Aggregates extends QueryModule {
       "SELECT CAST(GROUPING(hostword, status) AS INT) AS gid, coalesce(hostword, '') AS hostword_c, " +
         "coalesce(status, -1) AS status_c, count(*) AS cnt " +
         "FROM cdx GROUP BY ROLLUP (hostword, status) ORDER BY gid, hostword_c, status_c"),
+    "agg_skew_salted" -> o(
+      "SELECT status, count(*) AS cnt, sum(length) AS sum_len FROM cdx " +
+        "GROUP BY status ORDER BY status"),
     "agg_collect_sorted" -> o(
       "SELECT split_part(urlkey, '?', 1) AS prefix_key, string_agg(ts || ':' || id, ',' ORDER BY ts || ':' || id) AS timeline " +
         "FROM cdx GROUP BY split_part(urlkey, '?', 1) ORDER BY prefix_key"),

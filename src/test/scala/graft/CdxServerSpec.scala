@@ -1,0 +1,68 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.formats.Warc
+
+/** pywb cdx-server semantics over a ZipNum cluster built by the pipeline
+  * (SURVEY §2.9): exact/prefix/domain lookup, time range, closest,
+  * collapse, latest, pagination. */
+class CdxServerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val warcFile = "/tmp/graft_test/server.warc.gz"
+  private val dir = "/tmp/graft_test/server_zipnum"
+  private lazy val server: CdxServer = {
+    Files.createDirectories(Paths.get(warcFile).getParent)
+    Warc.writeFixture(warcFile, Warc.fixtureRecords)
+    Pipeline.warcToZipNum(spark, warcFile, dir, shards = 2, linesPerBlock = 2)
+    new CdxServer(spark, dir)
+  }
+
+  test("exactUrl returns every capture of the key, oldest first") {
+    val rows = server.exactUrl("com,example)/path?a=1&b=2")
+      .select("ts").as[String].collect().toSeq
+    assert(rows == Seq("20150215012345", "20150402083000"))
+  }
+
+  test("prefix and domain queries") {
+    val p = server.prefix("com,example)/").select("urlkey").as[String].collect()
+    assert(p.nonEmpty && p.forall(_.startsWith("com,example)/")))
+    // domain query picks up the bare host AND subdomain captures
+    val d = server.domain("org,iana").select("urlkey").as[String].collect()
+    assert(d.toSeq == Seq("org,iana,sub)/x"))
+  }
+
+  test("time-range and closest") {
+    val r = server.captures("com,example)/other", "20150101000000", "20150401000000")
+    // fixture: /other captured 2015-03-01 (404) and 2015-06-01 (200)
+    assert(r.select("ts").as[String].collect().toSeq == Seq("20150301120000"))
+    val c = server.closest("com,example)/other", "20150520000000", 1)
+      .select("ts").as[String].collect()
+    assert(c.toSeq == Seq("20150601000000"), "June capture is nearest to May 20")
+  }
+
+  test("collapse to month granularity keeps one capture per (url, month)") {
+    val collapsed = server.collapse("com,example)/", 6)
+      .select("urlkey", "ts").as[(String, String)].collect().toSeq
+    val months = collapsed.map { case (k, ts) => (k, ts.take(6)) }
+    assert(months.distinct.size == months.size)
+  }
+
+  test("latest returns one newest capture per url") {
+    val rows = server.latest("com,example)/")
+      .select("urlkey", "ts").as[(String, String)].collect().toMap
+    assert(rows("com,example)/other") == "20150601000000")
+    assert(rows("com,example)/path?a=1&b=2") == "20150402083000")
+  }
+
+  test("numPages comes from cluster.idx alone") {
+    assert(server.numPages("com,example)/", blocksPerPage = 1) >= 1)
+    // a prefix sorting past every firstkey still counts the straddling
+    // final block (its upper key is unknown from the idx) — the same
+    // conservative answer pywb's idx binary search gives
+    assert(server.numPages("zz,nothing)/", blocksPerPage = 1) <= 1)
+    // a prefix below every key prunes to zero pages
+    assert(server.numPages("aa,first)/", blocksPerPage = 1) == 0)
+  }
+}
