@@ -90,6 +90,46 @@ object StreamOps {
       }
   }
 
+  /** transformWithState form of the frontier state (Spark 4 arbitrary
+    * state v2): typed ValueState per user, TTL-capable handle — the
+    * SURVEY §2.8 "stateful custom ops" hard-tail item. */
+  final class UserCountProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, UserEvent, UserUpdate] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+
+    @transient private var state: ValueState[UserState] = _
+
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: TimeMode): Unit = {
+      state = getHandle.getValueState[UserState](
+        "userState", Encoders.product[UserState], TTLConfig.NONE)
+    }
+
+    override def handleInputRows(
+        key: Long, inputRows: Iterator[UserEvent],
+        timerValues: TimerValues): Iterator[UserUpdate] = {
+      val events = inputRows.toSeq
+      val prev = Option(state.get()).getOrElse(UserState(0L, 0L))
+      val next = UserState(
+        prev.nEvents + events.size,
+        math.max(prev.lastTsMs, if (events.isEmpty) 0L else events.map(_.tsMs).max))
+      state.update(next)
+      Iterator.single(UserUpdate(key, next.nEvents, events.size.toLong))
+    }
+  }
+
+  /** same running counts through transformWithState */
+  def userRunningCountsTws(events: Dataset[UserEvent]): Dataset[UserUpdate] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new UserCountProcessor, TimeMode.None(), OutputMode.Update())
+  }
+
   /** outputMode for each op when run as a sink (update for stateful aggs) */
   val outputModes: Map[String, OutputMode] = Map(
     "tumbling" -> OutputMode.Update(),

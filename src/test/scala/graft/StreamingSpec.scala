@@ -99,6 +99,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState accumulates per-user counts across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    // TWS requires the RocksDB state store provider
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[StreamOps.UserEvent]
+    val q = StreamOps.userRunningCountsTws(input.toDS()).writeStream
+      .format("memory").queryName("tws_sink").outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(
+        StreamOps.UserEvent(1, 10, "a", 1000), StreamOps.UserEvent(2, 20, "b", 2000))
+      q.processAllAvailable()
+      input.addData(StreamOps.UserEvent(3, 10, "c", 3000))
+      q.processAllAvailable()
+      val latest = spark.table("tws_sink")
+        .groupBy("user_id").agg(max("nEvents").as("n"))
+        .as[(Long, Long)].collect().toMap
+      assert(latest == Map(10L -> 2L, 20L -> 1L))
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("mapGroupsWithState accumulates per-user counts across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[StreamOps.UserEvent]
