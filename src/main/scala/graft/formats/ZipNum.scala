@@ -116,18 +116,41 @@ object ZipNum {
             e.firstKey < hi && next.forall(_ >= p)
           }.map(_._1)
     }
+    // sort work by (file, offset) so a partition reads each shard file
+    // with ONE open handle and forward-only seeks — at object-store scale
+    // this turns per-block GETs into a few ranged sequential reads
     val work = selected.map(e => (dir + "/" + e.shard, e.offset, e.length, e.seq))
+      .sortBy(w => (w._1, w._2))
     val lines = spark.sparkContext
       .parallelize(work, math.max(1, math.min(work.size, 32)))
-      .flatMap { case (file, offset, length, seq) =>
+      .mapPartitions { it =>
         val conf = new Configuration()
-        val path = new Path(file)
-        val in = path.getFileSystem(conf).open(path)
-        val buf = new Array[Byte](length.toInt)
-        try { in.seek(offset); in.readFully(buf) } finally in.close()
-        val member = Gzip.members(new java.io.ByteArrayInputStream(buf)).next()
-        new String(member.bytes, UTF_8).split("\n").iterator
-          .filter(_.nonEmpty).zipWithIndex.map { case (l, i) => (seq, i, l) }
+        var openFile: String = null
+        var in: org.apache.hadoop.fs.FSDataInputStream = null
+        val closer = () => if (in != null) in.close()
+        new Iterator[(Long, Int, String)] {
+          private var current: Iterator[(Long, Int, String)] = Iterator.empty
+          override def hasNext: Boolean = {
+            while (!current.hasNext && it.hasNext) {
+              val (file, offset, length, seq) = it.next()
+              if (file != openFile) {
+                closer()
+                val path = new Path(file)
+                in = path.getFileSystem(conf).open(path)
+                openFile = file
+              }
+              val buf = new Array[Byte](length.toInt)
+              in.seek(offset); in.readFully(buf)
+              val member = Gzip.members(new java.io.ByteArrayInputStream(buf)).next()
+              current = new String(member.bytes, UTF_8).split("\n").iterator
+                .filter(_.nonEmpty).zipWithIndex.map { case (l, i) => (seq, i, l) }
+            }
+            val has = current.hasNext
+            if (!has) closer()
+            has
+          }
+          override def next(): (Long, Int, String) = current.next()
+        }
       }
     // stable global order: block sequence, then line position in block
     val pruned = lines.toDF("blockseq", "lineno", "line")

@@ -151,15 +151,22 @@ final class ZipNumPartitionReader(blocks: Array[(String, Long, Long, Long)])
   private var blockIdx = 0
   private var lines: Iterator[(String, Long)] = Iterator.empty
   private var row: InternalRow = _
+  // one open handle per shard file, reused across the partition's blocks
+  private var openFile: String = null
+  private var in: org.apache.hadoop.fs.FSDataInputStream = null
 
   private def loadNextBlock(): Boolean = {
     if (blockIdx >= blocks.length) return false
     val (file, offset, length, seq) = blocks(blockIdx)
     blockIdx += 1
-    val path = new Path(file)
-    val in = path.getFileSystem(conf).open(path)
+    if (file != openFile) {
+      if (in != null) in.close()
+      val path = new Path(file)
+      in = path.getFileSystem(conf).open(path)
+      openFile = file
+    }
     val buf = new Array[Byte](length.toInt)
-    try { in.seek(offset); in.readFully(buf) } finally in.close()
+    in.seek(offset); in.readFully(buf)
     val member = Gzip.members(new java.io.ByteArrayInputStream(buf)).next()
     lines = new String(member.bytes, "UTF-8").split("\n").iterator
       .filter(_.nonEmpty).map(l => (l, seq))
@@ -179,5 +186,5 @@ final class ZipNumPartitionReader(blocks: Array[(String, Long, Long, Long)])
   }
 
   override def get(): InternalRow = row
-  override def close(): Unit = ()
+  override def close(): Unit = if (in != null) in.close()
 }
