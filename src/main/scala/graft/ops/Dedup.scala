@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Parameterized fuzzy-dedup operators (SURVEY §2.10 + hard-tail note:
+  * "band/bucket counts must be configurable; LSH join must avoid
+  * cross-join blowup"). The `queries` entries call these with defaults;
+  * a pipeline at 100 TB tunes recall vs candidate volume here.
+  *
+  * Both operators pair candidates through equi-joins on band/bucket keys —
+  * never an all-pairs cross join — so candidate generation shuffles on a
+  * uniformly-hashed key and scales linearly in corpus size + collisions.
+  */
+object Dedup {
+
+  /** lowercase alphanumeric token runs (shared tokenizer) */
+  def tokens(c: Column): Column =
+    filter(split(lower(c), "[^a-z0-9]+"), t => t =!= "")
+
+  /** MinHash-LSH candidate pairs over `df(idCol, textCol)`.
+    *
+    * shingle(shingleSize words) → minhash signature (nHashes seeds) →
+    * `bands` bands of nHashes/bands rows → docs sharing any (band, sig)
+    * bucket become a candidate pair (a < b).
+    */
+  def minhashCandidates(
+      df: DataFrame, idCol: String, textCol: String,
+      nHashes: Int = 16, bands: Int = 4, shingleSize: Int = 3): DataFrame = {
+    require(nHashes % bands == 0, "bands must divide nHashes")
+    val rows = nHashes / bands
+    val corpus = df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("w"))
+      .filter(size(col("w")) >= shingleSize)
+    val shingled = corpus.select(
+      col("doc_id"),
+      explode(expr(
+        s"transform(sequence(1, size(w) - ${shingleSize - 1}), " +
+          s"i -> concat_ws(' ', ${(0 until shingleSize).map(k => s"w[i-1+$k]").mkString(", ")}))"))
+        .as("shingle"))
+    val sigCols = (0 until nHashes).map(i =>
+      min(xxhash64(col("shingle"), lit(i))).as(s"m$i"))
+    val sigs = shingled.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    val bandCols = (0 until bands).map(b =>
+      hash((0 until rows).map(r => col(s"m${b * rows + r}")): _*))
+    val banded = sigs.select(
+      col("doc_id"), posexplode(array(bandCols: _*)))
+      .toDF("doc_id", "band", "sig")
+    val l = banded.select(col("band"), col("sig"), col("doc_id").as("a"))
+    val r = banded.select(col("band"), col("sig"), col("doc_id").as("b"))
+    l.join(r, Seq("band", "sig"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+  }
+
+  /** 64-bit SimHash per document over `df(idCol, textCol)`: for each bit,
+    * sign of Σ(±1) over token hashes. Output: (doc_id, simhash). */
+  def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val exploded = df.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map(b =>
+      sum(when(expr(s"(h >> $b) & 1") === 1, 1).otherwise(-1)).as(s"s$b"))
+    val packed = (0 until 64)
+      .map(b => expr(s"IF(s$b > 0, shiftleft(CAST(1 AS BIGINT), $b), CAST(0 AS BIGINT))"))
+      .reduce(_ + _)
+    exploded.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .withColumn("simhash", packed)
+      .select("doc_id", "simhash")
+  }
+
+  /** SimHash near-dup candidates: docs whose simhash agrees on one of
+    * `bands` 16-bit bands (same no-cross-join banding idea). */
+  def simhashCandidates(hashes: DataFrame, bands: Int = 4): DataFrame = {
+    val width = 64 / bands
+    val bandCols = (0 until bands).map(b =>
+      expr(s"(simhash >> ${b * width}) & ${(1L << width) - 1}"))
+    val banded = hashes.select(col("doc_id"), posexplode(array(bandCols: _*)))
+      .toDF("doc_id", "band", "sig")
+    val l = banded.select(col("band"), col("sig"), col("doc_id").as("a"))
+    val r = banded.select(col("band"), col("sig"), col("doc_id").as("b"))
+    l.join(r, Seq("band", "sig"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+  }
+}

@@ -87,27 +87,8 @@ object Llm extends QueryModule {
         // perturb: drop the first token — high but non-exact overlap
         .withColumn("text", expr("substring(text, instr(text, ' ') + 1)"))
       val corpus = Tables.t(s, d, "documents").unionByName(nearDup)
-        .select(col("doc_id"), tokens(col("text")).as("w"))
-        .filter(size(col("w")) >= 3)
-      // 3-word shingles
-      val shingled = corpus.select(
-        col("doc_id"),
-        explode(expr(
-          "transform(sequence(1, size(w) - 2), i -> concat_ws(' ', w[i-1], w[i], w[i+1]))")).as("shingle"))
-      // 16 minhashes; 4 bands × 4 rows
-      val sigCols = (0 until 16).map(i =>
-        min(xxhash64(col("shingle"), lit(i))).as(s"m$i"))
-      val sigs = shingled.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
-      val bands = sigs.select(
-        col("doc_id"),
-        posexplode(array((0 until 4).map(b =>
-          hash((0 until 4).map(r => col(s"m${b * 4 + r}")): _*)): _*)))
-        .toDF("doc_id", "band", "sig")
-      val l = bands.select(col("band"), col("sig"), col("doc_id").as("a"))
-      val r = bands.select(col("band"), col("sig"), col("doc_id").as("b"))
-      l.join(r, Seq("band", "sig"))
-        .filter(col("a") < col("b"))
-        .select("a", "b").distinct()
+      graft.ops.Dedup.minhashCandidates(corpus, "doc_id", "text",
+          nHashes = 16, bands = 4, shingleSize = 3)
         .orderBy("a", "b")
     }),
 

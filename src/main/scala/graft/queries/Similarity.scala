@@ -60,21 +60,21 @@ object Similarity extends QueryModule {
     // 64-bit SimHash over token hashes (oracle-exempt: xxhash64 is
     // engine-specific; SimilaritySpec asserts near-dups land close in
     // Hamming distance, far pairs far)
-    "dedup_simhash" -> ((s, d) => {
-      val docs = Tables.t(s, d, "documents")
-        .select(col("doc_id"),
-          explode(expr("filter(split(lower(text), '[^a-z0-9]+'), t -> t <> '')")).as("tok"))
-        .withColumn("h", xxhash64(col("tok")))
-      val bitSums: Seq[Column] = (0 until 64).map { b =>
-        sum(when(expr(s"(h >> $b) & 1") === 1, 1).otherwise(-1)).as(s"s$b")
-      }
-      val packed = (0 until 64)
-        .map(b => expr(s"IF(s$b > 0, shiftleft(CAST(1 AS BIGINT), $b), CAST(0 AS BIGINT))"))
-        .reduce(_ + _)
-      docs.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-        .withColumn("simhash", packed)
-        .select("doc_id", "simhash")
-        .orderBy("doc_id")
+    "dedup_simhash" -> ((s, d) =>
+      graft.ops.Dedup.simhash64(Tables.t(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // banded SimHash candidate pairs over a corpus with planted near-dups
+    // (oracle-exempt; SimilaritySpec asserts the planted pairs appear)
+    "dedup_simhash_pairs" -> ((s, d) => {
+      val nearDup = Tables.t(s, d, "documents")
+        .filter(col("doc_id") % 11 === 0)
+        .withColumn("doc_id", col("doc_id") + 300000L)
+        .withColumn("text", expr("substring(text, instr(text, ' ') + 1)"))
+      val corpus = Tables.t(s, d, "documents").unionByName(nearDup)
+      graft.ops.Dedup.simhashCandidates(
+          graft.ops.Dedup.simhash64(corpus, "doc_id", "text"), bands = 4)
+        .orderBy("a", "b")
     }),
 
     // ANN: 8 hyperplane sign bits -> bucket; score only the query's bucket

@@ -64,6 +64,18 @@ class SimilaritySpec extends SparkSpec {
     assert(total == e.count())
   }
 
+  test("dedup_simhash_pairs recovers most planted near-dups via banding") {
+    val pairs = SparkEntry.queries("dedup_simhash_pairs")(spark, sfDir)
+      .as[(Long, Long)].collect().toSet
+    val planted = Tables.t(spark, sfDir, "documents")
+      .filter(col("doc_id") % 11 === 0).select("doc_id")
+      .collect().map(_.getLong(0))
+      .map(id => (id, id + 300000L)).toSet
+    val recovered = planted.intersect(pairs)
+    assert(recovered.size >= (planted.size * 0.8).toInt,
+      s"recovered ${recovered.size}/${planted.size}")
+  }
+
   test("emb_normalize: unit vectors have norm 1") {
     val rows = SparkEntry.queries("emb_normalize")(spark, sfDir).collect()
     rows.foreach(r => assert(math.abs(r.getAs[Double]("unit_norm") - 1.0) <= 1e-6))
