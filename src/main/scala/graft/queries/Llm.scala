@@ -103,44 +103,28 @@ object Llm extends QueryModule {
     // per-doc char/word/distinct/stopword stats
     "text_stats" -> ((s, d) =>
       Tables.t(s, d, "documents")
-        .withColumn("toks", tokens(col("text")))
         .select(
           col("doc_id"),
           col("lang"),
           length(col("text")).as("n_chars_calc"),
-          size(col("toks")).as("n_words"),
-          size(array_distinct(col("toks"))).as("n_distinct"),
-          round(
-            size(filter(col("toks"), t => t.isInCollection(stopwords))).cast("double") /
-              greatest(size(col("toks")), lit(1)), 6).as("stop_ratio"))
+          graft.ops.Text.wordCount(col("text")).as("n_words"),
+          graft.ops.Text.distinctWordCount(col("text")).as("n_distinct"),
+          round(graft.ops.Text.stopwordRatio(col("text")), 6).as("stop_ratio"))
         .orderBy("doc_id")),
 
     // language-ID heuristic: stopword ratio thresholds (n-gram-free
     // stand-in; the signal the real classifier would threshold)
     "text_lang_id" -> ((s, d) =>
       Tables.t(s, d, "documents")
-        .withColumn("toks", tokens(col("text")))
-        .withColumn("stop_ratio",
-          size(filter(col("toks"), t => t.isInCollection(stopwords))).cast("double") /
-            greatest(size(col("toks")), lit(1)))
-        .select(
-          col("doc_id"), col("lang"),
-          when(col("stop_ratio") >= 0.15, "en_like")
-            .when(col("stop_ratio") >= 0.05, "latin_like")
-            .otherwise("other").as("pred_class"))
+        .select(col("doc_id"), col("lang"),
+          graft.ops.Text.langClass(col("text")).as("pred_class"))
         .orderBy("doc_id")),
 
     // quality score: length saturation + stopword-ratio composite
     "text_quality" -> ((s, d) =>
       Tables.t(s, d, "documents")
-        .withColumn("toks", tokens(col("text")))
-        .withColumn("stop_ratio",
-          size(filter(col("toks"), t => t.isInCollection(stopwords))).cast("double") /
-            greatest(size(col("toks")), lit(1)))
-        .select(
-          col("doc_id"),
-          round(least(length(col("text")) / lit(500.0), lit(1.0)) * 0.5 +
-            col("stop_ratio") * 0.5, 6).as("quality"))
+        .select(col("doc_id"),
+          graft.ops.Text.qualityScore(col("text")).as("quality"))
         .orderBy("doc_id")),
 
     // token counting: whitespace tokens + a chars/4 BPE-style estimate
@@ -148,18 +132,16 @@ object Llm extends QueryModule {
       Tables.t(s, d, "documents")
         .select(
           col("doc_id"),
-          size(tokens(col("text"))).as("ws_tokens"),
-          ceil(length(col("text")) / lit(4.0)).cast("bigint").as("bpe_est"))
+          graft.ops.Text.wordCount(col("text")).as("ws_tokens"),
+          graft.ops.Text.bpeEstimate(col("text")).as("bpe_est"))
         .orderBy("doc_id")),
 
     // fingerprint: hash of whitespace-normalized content (prefix kept
     // short — collision-safe enough for grouping, cheap to store)
     "doc_fingerprint" -> ((s, d) =>
       Tables.t(s, d, "documents")
-        .select(
-          col("doc_id"),
-          substring(sha2(regexp_replace(lower(col("text")), "\\s+", " "), 256), 1, 16)
-            .as("fingerprint"))
+        .select(col("doc_id"),
+          graft.ops.Text.fingerprint(col("text")).as("fingerprint"))
         .orderBy("doc_id")),
 
     // brute-force cosine top-k against the vec_id=0 query vector
