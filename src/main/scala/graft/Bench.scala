@@ -10,9 +10,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // untimed warm-up: JIT + codegen + parquet footer caches
-    try SparkEntry.queries.get("scan_parquet").foreach(_(spark, sfDir).count())
-    catch { case _: Throwable => }
+    // untimed warm-up: JIT + codegen + shuffle/window machinery + parquet
+    // footer caches (one representative query per physical-plan family)
+    Seq("scan_parquet", "agg_count_by_key", "win_rank_captures", "join_broadcast_dim")
+      .foreach { q =>
+        try SparkEntry.queries.get(q).foreach(_(spark, sfDir).count())
+        catch { case _: Throwable => }
+      }
     // deterministic execution order so per-query numbers are comparable
     // across rounds (Map iteration order is arbitrary)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
