@@ -34,6 +34,9 @@ object ZipNum {
   /** Write `df` (must have a `line` STRING column whose prefix is the sort
     * key) as a ZipNum cluster under `dir`. */
   def write(df: DataFrame, dir: String, shards: Int, linesPerBlock: Int): Unit = {
+    require(df.columns.contains("line"),
+      s"ZipNum.write needs a 'line' STRING column; got [${df.columns.mkString(", ")}]")
+    require(shards > 0 && linesPerBlock > 0, "shards and linesPerBlock must be positive")
     val spark = df.sparkSession
     val dirPath = new Path(dir)
     val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)

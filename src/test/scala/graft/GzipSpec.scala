@@ -34,6 +34,15 @@ class GzipSpec extends SparkSpec {
     }
   }
 
+  test("zero-length payload member round-trips") {
+    val out = new ByteArrayOutputStream()
+    Gzip.writeMember(out, Array.emptyByteArray)
+    Gzip.writeMember(out, "after-empty".getBytes("UTF-8"))
+    val ms = Gzip.members(new ByteArrayInputStream(out.toByteArray)).toList
+    assert(ms.map(_.bytes.length) == List(0, 11))
+    assert(new String(ms(1).bytes, "UTF-8") == "after-empty")
+  }
+
   test("interop: JDK GZIPInputStream reads the concatenated members") {
     val chunks = Seq("hello world\n", "second member\n", "third\n").map(_.getBytes("UTF-8"))
     val out = new ByteArrayOutputStream()
