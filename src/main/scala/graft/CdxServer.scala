@@ -80,10 +80,8 @@ final class CdxServer(spark: SparkSession, clusterDir: String) {
     * (pywb showNumPages), computed from cluster.idx alone — no data I/O */
   def numPages(surtPrefix: String, blocksPerPage: Int): Long = {
     val idx = ZipNum.readIdx(spark, clusterDir)
-    val hi = surtPrefix + "￿"
-    val nBlocks = idx.zipAll(idx.drop(1).map(e => Some(e.firstKey)), null, None)
-      .collect { case (e, next) if e != null => (e, next) }
-      .count { case (e, next) => e.firstKey < hi && next.forall(_ >= surtPrefix) }
+    val (lo, hi) = ZipNum.prefixBounds(surtPrefix)
+    val nBlocks = ZipNum.selectBlocks(idx, lo, hi).size
     math.ceil(nBlocks.toDouble / blocksPerPage).toLong
   }
 }

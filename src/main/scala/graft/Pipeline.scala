@@ -27,7 +27,8 @@ object Pipeline {
   def cdxLines(spark: SparkSession, warcGlob: String): DataFrame = {
     GraftFunctions.register(spark)
     Warc.scan(spark, warcGlob)
-      .filter(col("record_type").isin("response", "revisit") && col("url").isNotNull)
+      .filter(col("record_type").isin("response", "revisit") &&
+        col("url").isNotNull && col("ts").isNotNull)
       .selectExpr(
         "surt_key_native(url) AS urlkey",
         "ts",

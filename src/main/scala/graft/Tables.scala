@@ -11,8 +11,10 @@ object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     // events.parquet carries nanosecond timestamps (TESTDATA.md), which
     // Spark 4 rejects by default (PARQUET_TYPE_ILLEGAL). Read them as
-    // long nanos and normalize in [[events]].
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // long nanos and normalize in [[events]]. Scoped to the events table
+    // so the legacy flag doesn't leak into unrelated parquet reads.
+    if (name == "events")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/$name.parquet")
   }
 

@@ -85,11 +85,24 @@ object Warc {
   }
 
   /** Parse one decompressed WARC record into a row-shaped tuple. */
+  /** byte index of the first CRLF CRLF, or -1 — header/body split MUST be
+    * found on bytes: non-ASCII header values (UTF-8 URLs are common in
+    * real crawls) make char indexes diverge from byte offsets. */
+  private def crlfCrlf(bytes: Array[Byte], from: Int = 0): Int = {
+    var i = from
+    while (i + 3 < bytes.length) {
+      if (bytes(i) == '\r' && bytes(i + 1) == '\n' &&
+        bytes(i + 2) == '\r' && bytes(i + 3) == '\n') return i
+      i += 1
+    }
+    -1
+  }
+
   private[graft] def parseRecord(
       bytes: Array[Byte], offset: Long, length: Long, filename: String): Row = {
-    val text = new String(bytes, UTF_8)
-    val headerEnd = text.indexOf("\r\n\r\n")
-    val headerBlock = if (headerEnd >= 0) text.substring(0, headerEnd) else text
+    val headerEnd = crlfCrlf(bytes)
+    val headerBlock =
+      new String(bytes, 0, if (headerEnd >= 0) headerEnd else bytes.length, UTF_8)
     val headers = headerBlock.split("\r\n").drop(1).flatMap { line =>
       val i = line.indexOf(':')
       if (i > 0) Some(line.substring(0, i).toLowerCase -> line.substring(i + 1).trim) else None
@@ -99,17 +112,17 @@ object Warc {
     val isoDate = headers.get("warc-date")
     val ts = isoDate.map(_.replaceAll("[^0-9]", "").take(14)).orNull
     val digest = headers.get("warc-payload-digest").map(_.stripPrefix("sha1:")).orNull
-    val body = bytes.drop(headerEnd + 4)
+    // no terminator -> header-only record, empty body
+    val body = if (headerEnd >= 0) bytes.drop(headerEnd + 4) else Array.emptyByteArray
     val isHttpResponse = recordType == "response" &&
       headers.getOrElse("content-type", "").startsWith("application/http")
     var status: Integer = null
     var mime: String = null
     var payload = body
     if (isHttpResponse) {
-      val bodyText = new String(body, UTF_8)
-      val httpEnd = bodyText.indexOf("\r\n\r\n")
+      val httpEnd = crlfCrlf(body)
       if (httpEnd >= 0) {
-        val httpHead = bodyText.substring(0, httpEnd).split("\r\n")
+        val httpHead = new String(body, 0, httpEnd, UTF_8).split("\r\n")
         val statusLine = httpHead.headOption.getOrElse("")
         val parts = statusLine.split(" ")
         if (parts.length >= 2 && parts(1).forall(_.isDigit)) status = parts(1).toInt
@@ -119,7 +132,6 @@ object Warc {
             Some(line.substring(i + 1).trim)
           else None
         }.headOption.orNull
-        // payload = HTTP body after the head (byte-accurate: head is ASCII)
         payload = body.drop(httpEnd + 4)
       }
     }
@@ -132,9 +144,20 @@ object Warc {
     val rows = spark.sparkContext.binaryFiles(pathGlob).flatMap {
       case (file, pds) =>
         val in = pds.open()
+        // close even when the downstream stops consuming early (limit, error)
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => try in.close() catch { case _: Throwable => }))
         val shortName = file.substring(file.lastIndexOf('/') + 1)
-        Gzip.members(in).map(m =>
+        val it = Gzip.members(in).map(m =>
           parseRecord(m.bytes, m.offset, m.compressedLength, shortName))
+        new Iterator[Row] {
+          override def hasNext: Boolean = {
+            val h = it.hasNext
+            if (!h) try in.close() catch { case _: Throwable => }
+            h
+          }
+          override def next(): Row = it.next()
+        }
     }
     spark.createDataFrame(rows, schema)
   }

@@ -48,14 +48,14 @@ object ZipNum {
       .sortWithinPartitions("line")
 
     // per-partition shard write; idx entries (1 per block) come back small
+    val sconf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
     val idxEntries: Array[IdxEntry] = sorted.rdd
       .mapPartitionsWithIndex { (pid, it) =>
         if (!it.hasNext) Iterator.empty
         else {
           val shardName = f"cdx-$pid%05d.gz"
-          val conf = new Configuration()
           val shardPath = new Path(dir, shardName)
-          val out = shardPath.getFileSystem(conf).create(shardPath, true)
+          val out = shardPath.getFileSystem(sconf.value).create(shardPath, true)
           val entries = Vector.newBuilder[IdxEntry]
           var offset = 0L
           var blockSeq = 0L
@@ -103,34 +103,55 @@ object ZipNum {
     }
   }
 
+  /** THE block-pruning rule, shared by every reader (library, V2 source,
+    * CdxServer pagination): keep block i when its key range
+    * [firstKey_i, firstKey_i+1) can intersect [lo, hi) — conservatively
+    * keeping the straddling predecessor, like pywb's idx binary search. */
+  def selectBlocks(
+      idx: Seq[IdxEntry], lo: Option[String], hi: Option[String]): Seq[IdxEntry] =
+    idx.zipAll(idx.drop(1).map(e => Some(e.firstKey)), null, None)
+      .collect { case (e, nextKey) if e != null => (e, nextKey) }
+      .filter { case (e, next) =>
+        hi.forall(h => e.firstKey < h) && lo.forall(l => next.forall(_ >= l))
+      }.map(_._1)
+
+  /** [lo, hi) bounds for a key prefix */
+  def prefixBounds(prefix: String): (Option[String], Option[String]) =
+    (Some(prefix), Some(prefix + "￿"))
+
   /** Read lines back, pruning blocks through cluster.idx when a key prefix
-    * is given: a block can contain prefix matches iff its key range
-    * [firstKey_i, firstKey_i+1) intersects [prefix, prefix + U+10FFFF). */
-  def readLines(spark: SparkSession, dir: String, prefix: Option[String] = None): DataFrame = {
+    * is given. `ordered=false` skips the final global sort when the caller
+    * re-orders anyway (one less range exchange). */
+  def readLines(
+      spark: SparkSession, dir: String, prefix: Option[String] = None,
+      ordered: Boolean = true): DataFrame = {
     import spark.implicits._
     val idx = readIdx(spark, dir)
     val selected = prefix match {
       case None => idx
       case Some(p) =>
-        val hi = p + "￿"
-        idx.zipAll(idx.drop(1).map(e => Some(e.firstKey)), null, None)
-          .collect { case (e, nextKey) if e != null => (e, nextKey) }
-          .filter { case (e, next) =>
-            e.firstKey < hi && next.forall(_ >= p)
-          }.map(_._1)
+        val (lo, hi) = prefixBounds(p)
+        selectBlocks(idx, lo, hi)
     }
     // sort work by (file, offset) so a partition reads each shard file
     // with ONE open handle and forward-only seeks — at object-store scale
     // this turns per-block GETs into a few ranged sequential reads
     val work = selected.map(e => (dir + "/" + e.shard, e.offset, e.length, e.seq))
       .sortBy(w => (w._1, w._2))
+    val sconf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
+    val slices = math.max(1,
+      math.min(work.size, math.max(32, spark.sparkContext.defaultParallelism)))
     val lines = spark.sparkContext
-      .parallelize(work, math.max(1, math.min(work.size, 32)))
+      .parallelize(work, slices)
       .mapPartitions { it =>
-        val conf = new Configuration()
+        val conf = sconf.value
         var openFile: String = null
         var in: org.apache.hadoop.fs.FSDataInputStream = null
         val closer = () => if (in != null) in.close()
+        // close on early termination (limit/exception), not just on drain
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ =>
+            try closer() catch { case _: Throwable => }))
         new Iterator[(Long, Int, String)] {
           private var current: Iterator[(Long, Int, String)] = Iterator.empty
           override def hasNext: Boolean = {
@@ -161,6 +182,7 @@ object ZipNum {
       case Some(p) => pruned.filter(col("line").startsWith(p))
       case None => pruned
     }
-    filtered.orderBy("blockseq", "lineno").select("line")
+    if (ordered) filtered.orderBy("blockseq", "lineno").select("line")
+    else filtered.select("line")
   }
 }

@@ -31,11 +31,16 @@ object SurtAlg {
     val authority = rest.substring(0, pathStart)
     val afterAuth = rest.substring(pathStart)
     if (authority.isEmpty) return null
-    // strip userinfo and port
+    // strip userinfo and port; bracketed IPv6 literals keep their colons
     val at = authority.lastIndexOf('@')
     val hostPort = if (at >= 0) authority.substring(at + 1) else authority
-    val ci = hostPort.indexOf(':')
-    val host = (if (ci >= 0) hostPort.substring(0, ci) else hostPort).toLowerCase
+    val host = (if (hostPort.startsWith("[")) {
+      val close = hostPort.indexOf(']')
+      if (close >= 0) hostPort.substring(0, close + 1) else hostPort
+    } else {
+      val ci = hostPort.indexOf(':')
+      if (ci >= 0) hostPort.substring(0, ci) else hostPort
+    }).toLowerCase
     val hostNoWww = host.replaceFirst("^www\\d*\\.", "")
     val reversed = hostNoWww.split("\\.").reverse.mkString(",")
     val qi = afterAuth.indexOf('?')

@@ -2,7 +2,7 @@ package graft.sources
 
 import java.util
 
-import graft.formats.{Gzip, Warc}
+import graft.formats.{Gzip, SerializableHadoopConf, Warc}
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.catalyst.InternalRow
@@ -46,25 +46,33 @@ final class WarcScan(pathGlob: String) extends Scan with Batch {
   override def description(): String = s"WarcScan[$pathGlob]"
   override def toBatch: Batch = this
 
+  private def sessionConf: Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new Configuration())
+
   override def planInputPartitions(): Array[InputPartition] = {
     val path = new Path(pathGlob)
-    val fs = path.getFileSystem(new Configuration())
+    val fs = path.getFileSystem(sessionConf)
     val statuses = Option(fs.globStatus(path))
       .map(_.toSeq).getOrElse(Seq.empty)
       .filter(_.isFile)
     statuses.map(s => WarcFilePartition(s.getPath.toString): InputPartition).toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val sconf = new SerializableHadoopConf(sessionConf)
     (partition: InputPartition) =>
-      new WarcPartitionReader(partition.asInstanceOf[WarcFilePartition].file)
+      new WarcPartitionReader(partition.asInstanceOf[WarcFilePartition].file, sconf)
+  }
 }
 
 final case class WarcFilePartition(file: String) extends InputPartition
 
-final class WarcPartitionReader(file: String) extends PartitionReader[InternalRow] {
+final class WarcPartitionReader(file: String, sconf: SerializableHadoopConf)
+  extends PartitionReader[InternalRow] {
   private val path = new Path(file)
-  private val in = path.getFileSystem(new Configuration()).open(path)
+  private val in = path.getFileSystem(sconf.value).open(path)
   private val shortName = file.substring(file.lastIndexOf('/') + 1)
   private val members = Gzip.members(in)
   private var row: InternalRow = _

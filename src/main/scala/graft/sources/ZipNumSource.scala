@@ -2,7 +2,7 @@ package graft.sources
 
 import java.util
 
-import graft.formats.{Gzip, ZipNum}
+import graft.formats.{Gzip, SerializableHadoopConf, ZipNum}
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.catalyst.InternalRow
@@ -40,14 +40,15 @@ object ZipNumSource {
     StructField("json", StringType),
     StructField("blockseq", org.apache.spark.sql.types.LongType)))
 
-  /** key range [lo, hi) implied by the pushed urlkey filters; None = unbounded */
+  /** key range [lo, hi) implied by the pushed urlkey filters; None =
+    * unbounded. Block intersection delegates to ZipNum.selectBlocks'
+    * rule (single source of truth for the pruning boundary). */
   final case class KeyRange(lo: Option[String], hi: Option[String]) {
-    def intersectBlock(firstKey: String, nextKey: Option[String]): Boolean = {
-      // block covers [firstKey, nextKey); keys in idx are "urlkey ts"
-      val loOk = nextKey.forall(nk => lo.forall(l => nk >= l))
-      val hiOk = hi.forall(h => firstKey < h)
-      loOk && hiOk
-    }
+    def intersectBlock(firstKey: String, nextKey: Option[String]): Boolean =
+      ZipNum.selectBlocks(
+        Seq(ZipNum.IdxEntry(firstKey, "", 0, 0, 0)).++(
+          nextKey.map(k => ZipNum.IdxEntry(k, "", 0, 0, 1))),
+        lo, hi).exists(_.seq == 0)
   }
 
   def rangeFromFilters(filters: Seq[Filter]): KeyRange = {
@@ -108,30 +109,37 @@ final class ZipNumScan(dir: String, range: ZipNumSource.KeyRange) extends Scan w
     s"ZipNumScan[$dir, lo=${range.lo.getOrElse("-inf")}, hi=${range.hi.getOrElse("+inf")}]"
   override def toBatch: Batch = this
 
-  /** idx entries surviving block pruning, grouped ≤64 contiguous blocks
-    * per partition so a huge cluster doesn't explode the task count */
+  private def sessionConf: Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new Configuration())
+
+  /** idx entries surviving block pruning (shared ZipNum.selectBlocks
+    * rule), grouped ≤64 contiguous blocks per partition so a huge cluster
+    * doesn't explode the task count */
   override def planInputPartitions(): Array[InputPartition] = {
-    val idx = ZipNumScan.readIdxStatic(dir)
-    val selected = idx.zipAll(idx.drop(1).map(e => Some(e.firstKey)), null, None)
-      .collect { case (e, next) if e != null => (e, next) }
-      .filter { case (e, next) => range.intersectBlock(e.firstKey, next) }
-      .map(_._1)
+    val idx = ZipNumScan.readIdxStatic(dir, sessionConf)
+    val selected = ZipNum.selectBlocks(idx, range.lo, range.hi)
     selected.grouped(64).map { group =>
       ZipNumBlockPartition(
         group.map(e => (dir + "/" + e.shard, e.offset, e.length, e.seq)).toArray): InputPartition
     }.toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val sconf = new SerializableHadoopConf(sessionConf)
     (partition: InputPartition) =>
-      new ZipNumPartitionReader(partition.asInstanceOf[ZipNumBlockPartition].blocks)
+      new ZipNumPartitionReader(
+        partition.asInstanceOf[ZipNumBlockPartition].blocks, sconf)
+  }
 }
 
 object ZipNumScan {
-  /** driver-side idx read without needing a SparkSession */
-  def readIdxStatic(dir: String): Seq[ZipNum.IdxEntry] = {
+  /** driver-side idx read */
+  def readIdxStatic(
+      dir: String, conf: Configuration = new Configuration()): Seq[ZipNum.IdxEntry] = {
     val path = new Path(dir, "cluster.idx")
-    val fs = path.getFileSystem(new Configuration())
+    val fs = path.getFileSystem(conf)
     val in = fs.open(path)
     val content = try new String(in.readAllBytes(), "UTF-8") finally in.close()
     content.split("\n").filter(_.nonEmpty).toSeq.map { l =>
@@ -144,10 +152,11 @@ object ZipNumScan {
 final case class ZipNumBlockPartition(blocks: Array[(String, Long, Long, Long)])
   extends InputPartition
 
-final class ZipNumPartitionReader(blocks: Array[(String, Long, Long, Long)])
+final class ZipNumPartitionReader(
+    blocks: Array[(String, Long, Long, Long)], sconf: SerializableHadoopConf)
   extends PartitionReader[InternalRow] {
 
-  private val conf = new Configuration()
+  private def conf = sconf.value
   private var blockIdx = 0
   private var lines: Iterator[(String, Long)] = Iterator.empty
   private var row: InternalRow = _

@@ -29,6 +29,17 @@ class NativeExprSpec extends SparkSpec {
     assert(SurtAlg.surtKey(null) == null)
   }
 
+  test("IPv6 literal hosts keep their colons (native vs composed parity)") {
+    GraftFunctions.register(spark)
+    val urls = Seq("http://[2001:db8::1]/x", "http://[2001:DB8::1]:8080/y?b=1&a=2").toDF("url")
+    val rows = urls.select(
+        expr("surt_key_native(url)").as("native"),
+        Surt.surtKey(col("url")).as("composed"))
+      .collect()
+    rows.foreach(r => assert(r.getString(0) == r.getString(1), r.toString))
+    assert(rows.head.getString(0) == "[2001:db8::1])/x")
+  }
+
   test("codegen and interpreted eval agree (nulls in the column)") {
     GraftFunctions.register(spark)
     val urls = Seq(

@@ -53,6 +53,22 @@ class WarcSpec extends SparkSpec {
     assert(new String(alpha, "UTF-8") == "<html>alpha</html>")
   }
 
+  test("non-ASCII header values don't shift the payload (byte-exact split)") {
+    val utf8File = "/tmp/graft_test/utf8.warc.gz"
+    Files.createDirectories(Paths.get(utf8File).getParent)
+    // URL with multi-byte UTF-8: char count < byte count in the headers
+    val rec = Warc.FixtureRecord(
+      "response", "http://example.org/café/日本語",
+      "2015-02-15T01:23:45Z", "A" * 32, 200, "text/html",
+      "payload-bytes-ok".getBytes("UTF-8"))
+    Warc.writeFixture(utf8File, Seq(rec))
+    val row = Warc.scan(spark, utf8File)
+      .select("url", "status", "payload").collect().head
+    assert(row.getString(0) == "http://example.org/café/日本語")
+    assert(row.getInt(1) == 200)
+    assert(new String(row.getAs[Array[Byte]]("payload"), "UTF-8") == "payload-bytes-ok")
+  }
+
   test("digest carries through for revisit join (dedup-by-digest semantics)") {
     Files.createDirectories(Paths.get(file).getParent)
     Warc.writeFixture(file, Warc.fixtureRecords)
