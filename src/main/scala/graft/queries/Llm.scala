@@ -144,6 +144,24 @@ object Llm extends QueryModule {
           graft.ops.Text.fingerprint(col("text")).as("fingerprint"))
         .orderBy("doc_id")),
 
+    // the composed training-data flow: quality-filter -> exact-dedup ->
+    // per-language corpus stats (what a 100 TB curation job aggregates)
+    "pipeline_training_corpus" -> ((s, d) => {
+      val w = Window.partitionBy("content_hash").orderBy("doc_id")
+      docsWithDups(s, d)
+        .withColumn("quality", graft.ops.Text.qualityScore(col("text")))
+        .filter(col("quality") >= 0.3)
+        .withColumn("content_hash", sha2(col("text"), 256))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(graft.ops.Text.bpeEstimate(col("text"))).as("est_tokens"),
+          round(avg("quality"), 6).as("avg_quality"))
+        .orderBy("lang")
+    }),
+
     // brute-force cosine top-k against the vec_id=0 query vector
     "sim_cosine_topk" -> ((s, d) => {
       val e = Tables.t(s, d, "embeddings")
@@ -199,6 +217,13 @@ object Llm extends QueryModule {
     "doc_fingerprint" ->
       ("SELECT doc_id, substr(sha256(regexp_replace(lower(text), '\\s+', ' ', 'g')), 1, 16) AS fingerprint " +
         "FROM documents ORDER BY doc_id"),
+    "pipeline_training_corpus" ->
+      (s"WITH src AS (SELECT * FROM $docsWithDupsDuck), " +
+        s"scored AS (SELECT *, round(least(length(text) / 500.0, 1.0) * 0.5 + ($stopRatioDuck) * 0.5, 6) AS quality FROM src), " +
+        "kept AS (SELECT * FROM scored WHERE quality >= 0.3), " +
+        "dedup AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn FROM kept) WHERE rn = 1) " +
+        "SELECT lang, count(*) AS n_docs, sum(CAST(ceil(length(text) / 4.0) AS BIGINT)) AS est_tokens, " +
+        "round(avg(quality), 6) AS avg_quality FROM dedup GROUP BY lang ORDER BY lang"),
     "sim_cosine_topk" ->
       ("SELECT vec_id, label, round(list_cosine_similarity(embedding::DOUBLE[], " +
         "(SELECT embedding FROM embeddings WHERE vec_id = 0)::DOUBLE[]), 6) AS cos " +

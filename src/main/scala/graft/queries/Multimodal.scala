@@ -80,6 +80,27 @@ object Multimodal extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // batched "inference": partition iterator chunked into fixed batches,
+    // the shape a GPU-backed encoder needs (amortized model call per
+    // batch). Scores are the per-row deterministic stub so the oracle can
+    // check the chunked path returns exactly the per-row answers.
+    "mm_batch_infer" -> ((s, d) => {
+      import s.implicits._
+      media(s, d)
+        .mapPartitions { it =>
+          it.grouped(32).flatMap { batch =>
+            // a real impl would run ONE model call on the whole batch here
+            batch.map { r =>
+              val n = r.payload.length.toLong
+              (r.doc_id, (n % 89).toDouble / 89.0)
+            }
+          }
+        }
+        .toDF("doc_id", "score_raw")
+        .select(col("doc_id"), round(col("score_raw"), 6).as("score"))
+        .orderBy("doc_id")
+    }),
+
     // frame sampling: every 4th frame of each video payload (Generator
     // shape: one input row -> n output rows)
     "mm_frame_sample" -> ((s, d) => {
@@ -107,6 +128,9 @@ object Multimodal extends QueryModule {
       ("SELECT doc_id, round(sqrt(list_sum(list_transform([1, 2, 3, 4, 5, 6, 7, 8], " +
         "k -> ((length(text) * k % 97) / 97.0) * ((length(text) * k % 97) / 97.0)))), 6) AS norm, " +
         "round((length(text) % 97) / 97.0, 6) AS f0 " +
+        "FROM documents ORDER BY doc_id"),
+    "mm_batch_infer" ->
+      ("SELECT doc_id, round((length(text) % 89) / 89.0, 6) AS score " +
         "FROM documents ORDER BY doc_id"),
     "mm_frame_sample" ->
       ("SELECT doc_id, CAST(frame_no AS INT) AS frame_no FROM (" +
