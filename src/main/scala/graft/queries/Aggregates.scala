@@ -50,6 +50,16 @@ object Aggregates extends QueryModule {
         .selectExpr("gid", "coalesce(hostword, '') AS hostword_c", "coalesce(status, -1) AS status_c", "cnt")
         .orderBy("gid", "hostword_c", "status_c")),
 
+    // full cube over (record_type, status-class): all 4 grouping sets —
+    // same Expand code path as rollup, covering the GROUPING SETS surface
+    "agg_cube" -> ((s, d) =>
+      Cdx.df(s, d)
+        .withColumn("cls", expr("CAST(floor(status / 100) AS INT)"))
+        .cube("record_type", "cls")
+        .agg(grouping_id().cast("int").as("gid"), count(lit(1)).as("cnt"))
+        .selectExpr("gid", "coalesce(record_type, '') AS rt", "coalesce(cls, -1) AS cls_c", "cnt")
+        .orderBy("gid", "rt", "cls_c")),
+
     // skew-resistant two-phase aggregation: salt the (few, giant) groups,
     // partial-agg per (key, salt), then merge. At 100 TB this is the manual
     // fallback when a pathological host (com,google)*) overwhelms even
@@ -103,6 +113,11 @@ object Aggregates extends QueryModule {
       "SELECT CAST(GROUPING(hostword, status) AS INT) AS gid, coalesce(hostword, '') AS hostword_c, " +
         "coalesce(status, -1) AS status_c, count(*) AS cnt " +
         "FROM cdx GROUP BY ROLLUP (hostword, status) ORDER BY gid, hostword_c, status_c"),
+    "agg_cube" -> o(
+      "SELECT CAST(GROUPING(record_type, cls) AS INT) AS gid, coalesce(record_type, '') AS rt, " +
+        "coalesce(cls, -1) AS cls_c, count(*) AS cnt " +
+        "FROM (SELECT record_type, CAST(floor(status / 100) AS INT) AS cls FROM cdx) " +
+        "GROUP BY CUBE (record_type, cls) ORDER BY gid, rt, cls_c"),
     "agg_skew_salted" -> o(
       "SELECT status, count(*) AS cnt, sum(length) AS sum_len FROM cdx " +
         "GROUP BY status ORDER BY status"),
