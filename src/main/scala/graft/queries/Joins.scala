@@ -78,7 +78,9 @@ object Joins extends QueryModule {
     }),
 
     // non-equi range join: probe key -> containing ZipNum block
-    // (join form of pywb.cdx.zipnum §search over cluster.idx)
+    // (join form of pywb.cdx.zipnum §search over cluster.idx). The global
+    // window builds the idx side, which is ~1/3000 of the data by
+    // construction — driver/sample-sized at any scale, then broadcast.
     "join_range_block" -> ((s, d) => {
       val c = Cdx.df(s, d)
       val keys = c.select("urlkey").distinct()

@@ -86,7 +86,11 @@ object Relational extends QueryModule {
       Cdx.df(s, d).sample(withReplacement = false, 0.1, 42).select("id").orderBy("id")),
 
     // N−1 sorted split points (samplecdxjob.py §reducer, recon ~L40–70) —
-    // exact every-k-th-row variant so DuckDB can oracle it.
+    // exact every-k-th-row variant so DuckDB can oracle it. The global
+    // window here is the job-2 shape: at 100 TB it runs over a Bernoulli
+    // SAMPLE (tiny by construction), so the single-partition WindowExec is
+    // sample-sized, never data-sized — and the production path doesn't use
+    // it at all (repartitionByRange samples internally, SURVEY §2.7).
     "split_points" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.orderBy("urlkey", "ts", "id")
