@@ -28,6 +28,7 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.files.maxPartitionBytes", "256m")
       .config("spark.sql.parquet.aggregatePushdown", "true")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")

@@ -11,8 +11,12 @@ object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     // events.parquet carries nanosecond timestamps (TESTDATA.md), which
     // Spark 4 rejects by default (PARQUET_TYPE_ILLEGAL). Read them as
-    // long nanos and normalize in [[events]]. Scoped to the events table
-    // so the legacy flag doesn't leak into unrelated parquet reads.
+    // long nanos and normalize in [[events]]. NOTE: conf.set persists for
+    // the whole session — harmless (the flag only changes how INT64(nanos)
+    // parquet columns decode, and `events` is the only table with one),
+    // and Verify/Bench/GraftSession additionally set it once at session
+    // build so this per-read fallback isn't load-bearing under their
+    // concurrent query pools.
     if (name == "events")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/$name.parquet")

@@ -11,13 +11,18 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // set once up front — queries must not mutate session conf from the
+      // worker pool while other queries plan concurrently
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // run queries on a small pool — Spark's scheduler interleaves the jobs,
-    // hiding per-query planning latency (outputs are independent dirs)
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    // hiding per-query planning latency (outputs are independent dirs);
+    // pool scales with the executor thread count
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(4, math.min(12, cpus.toInt / 4)))
     val tasks = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       pool.submit(new Runnable {
         override def run(): Unit =

@@ -8,10 +8,13 @@ import org.apache.spark.sql.functions._
   *
   * Mirrors the behavior of the public `surt` package as used by the
   * reference pipeline (indexwarcsjob.py via pywb write_cdx_index, recon):
-  * lowercase; strip scheme, `www\d*.` prefix, port and fragment; reverse
-  * host labels joined by `,` with `)` separator; sort query params.
-  * Deviation from full surt, documented: ALL ports are stripped (surt keeps
-  * non-default ports); IDN hosts are not punycoded.
+  * lowercase; strip scheme, `www\d*.` prefix, default port, userinfo and
+  * fragment; KEEP non-default ports (`com,example:8080)`); reverse host
+  * labels joined by `,` with `)` separator; sort query params. Returns
+  * null for URLs with no parseable host (agreeing with [[SurtAlg]]).
+  * Remaining deviation from full surt, documented: IDN hosts are not
+  * punycoded on this composed path (no builtin exposes IDN) — the native
+  * [[SurtKeyExpr]] path punycodes; the two paths agree on ASCII hosts.
   */
 object Surt {
 
@@ -24,16 +27,33 @@ object Surt {
     concat_ws("&", array_sort(split(q, "&")))
 
   /** Full URL -> SURT key, e.g.
-    * `http://www.Example.com/Path?b=2&a=1` -> `com,example)/path?a=1&b=2`.
+    * `http://www.Example.com/Path?b=2&a=1` -> `com,example)/path?a=1&b=2`;
+    * `http://example.com:8080/p` -> `com,example:8080)/p`.
     */
   def surtKey(url: Column): Column = {
-    val host = parse_url(url, lit("HOST"))
-    val path = lower(coalesce(parse_url(url, lit("PATH")), lit("/")))
-    val q    = lower(parse_url(url, lit("QUERY")))
-    concat(
-      hostReverse(host),
-      lit(")"),
-      when(length(path) === 0, lit("/")).otherwise(path),
-      when(q.isNotNull && length(q) > 0, concat(lit("?"), querySort(q))).otherwise(lit("")))
+    // try_parse_url: ANSI-mode parse_url (Spark 4 default) throws on
+    // malformed URLs; the SURT contract is null for those
+    val host  = try_parse_url(url, lit("HOST"))
+    val path  = lower(coalesce(try_parse_url(url, lit("PATH")), lit("/")))
+    val q     = lower(try_parse_url(url, lit("QUERY")))
+    val proto = lower(try_parse_url(url, lit("PROTOCOL")))
+    // port lives only in AUTHORITY (HOST strips it); scheme-default ports
+    // are dropped, the rest survive in the key — public surt behavior
+    val port = regexp_extract(try_parse_url(url, lit("AUTHORITY")), ":(\\d+)$", 1)
+    val defaultPort = when(proto === "http", lit("80"))
+      .when(proto === "https", lit("443"))
+      .when(proto === "ftp", lit("21"))
+      .otherwise(lit(""))
+    val portSuffix = when(port =!= lit("") && port =!= defaultPort,
+      concat(lit(":"), port)).otherwise(lit(""))
+    // no otherwise(): null host (schemeless/malformed URL) -> null key,
+    // matching SurtAlg.surtKey
+    when(host.isNotNull && length(host) > 0,
+      concat(
+        hostReverse(host),
+        portSuffix,
+        lit(")"),
+        when(length(path) === 0, lit("/")).otherwise(path),
+        when(q.isNotNull && length(q) > 0, concat(lit("?"), querySort(q))).otherwise(lit(""))))
   }
 }

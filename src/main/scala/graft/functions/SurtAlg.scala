@@ -14,12 +14,16 @@ import org.apache.spark.unsafe.types.UTF8String
 object SurtAlg {
 
   /** Full URL -> SURT key; null when the URL has no scheme://host part
-    * (matching the null propagation of the parse_url composition). */
+    * (the composed [[Surt.surtKey]] nulls out identically). Non-default
+    * ports survive in the key (`com,example:8080)`), scheme-default ports
+    * (http 80 / https 443 / ftp 21) are dropped, and IDN hosts are
+    * punycoded — all matching the public surt package. */
   def surtKey(url: String): String = {
     if (url == null) return null
     val noFrag = { val i = url.indexOf('#'); if (i >= 0) url.substring(0, i) else url }
     val schemeEnd = noFrag.indexOf("://")
     if (schemeEnd < 0) return null
+    val scheme = noFrag.substring(0, schemeEnd).toLowerCase
     val rest = noFrag.substring(schemeEnd + 3)
     var pathStart = rest.length
     var i = 0
@@ -31,18 +35,33 @@ object SurtAlg {
     val authority = rest.substring(0, pathStart)
     val afterAuth = rest.substring(pathStart)
     if (authority.isEmpty) return null
-    // strip userinfo and port; bracketed IPv6 literals keep their colons
+    // strip userinfo; bracketed IPv6 literals keep their colons
     val at = authority.lastIndexOf('@')
     val hostPort = if (at >= 0) authority.substring(at + 1) else authority
-    val host = (if (hostPort.startsWith("[")) {
+    val (rawHost, port) = if (hostPort.startsWith("[")) {
       val close = hostPort.indexOf(']')
-      if (close >= 0) hostPort.substring(0, close + 1) else hostPort
+      if (close >= 0) {
+        val tail = hostPort.substring(close + 1)
+        (hostPort.substring(0, close + 1),
+          if (tail.startsWith(":")) tail.substring(1) else "")
+      } else (hostPort, "")
     } else {
       val ci = hostPort.indexOf(':')
-      if (ci >= 0) hostPort.substring(0, ci) else hostPort
-    }).toLowerCase
+      if (ci >= 0) (hostPort.substring(0, ci), hostPort.substring(ci + 1))
+      else (hostPort, "")
+    }
+    var host = rawHost.toLowerCase
+    // IDN hosts -> punycode (public surt canonicalizes to ASCII)
+    if (host.exists(_ > 127))
+      try host = java.net.IDN.toASCII(host).toLowerCase
+      catch { case _: IllegalArgumentException => /* keep as-is */ }
+    val defaultPort = scheme match {
+      case "http" => "80"; case "https" => "443"; case "ftp" => "21"; case _ => ""
+    }
+    val portSuffix =
+      if (port.nonEmpty && port.forall(_.isDigit) && port != defaultPort) ":" + port else ""
     val hostNoWww = host.replaceFirst("^www\\d*\\.", "")
-    val reversed = hostNoWww.split("\\.").reverse.mkString(",")
+    val reversed = hostNoWww.split("\\.").reverse.mkString(",") + portSuffix
     val qi = afterAuth.indexOf('?')
     val rawPath = if (qi >= 0) afterAuth.substring(0, qi) else afterAuth
     val rawQuery = if (qi >= 0) afterAuth.substring(qi + 1) else null

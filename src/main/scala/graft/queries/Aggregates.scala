@@ -119,7 +119,7 @@ object Aggregates extends QueryModule {
         "FROM (SELECT record_type, CAST(floor(status / 100) AS INT) AS cls FROM cdx) " +
         "GROUP BY CUBE (record_type, cls) ORDER BY gid, rt, cls_c"),
     "agg_skew_salted" -> o(
-      "SELECT status, count(*) AS cnt, sum(length) AS sum_len FROM cdx " +
+      "SELECT status, count(*) AS cnt, CAST(sum(length) AS BIGINT) AS sum_len FROM cdx " +
         "GROUP BY status ORDER BY status"),
     "agg_collect_sorted" -> o(
       "SELECT split_part(urlkey, '?', 1) AS prefix_key, string_agg(ts || ':' || id, ',' ORDER BY ts || ':' || id) AS timeline " +

@@ -78,17 +78,41 @@ object Joins extends QueryModule {
     }),
 
     // non-equi range join: probe key -> containing ZipNum block
-    // (join form of pywb.cdx.zipnum §search over cluster.idx). The global
-    // window builds the idx side, which is ~1/3000 of the data by
-    // construction — driver/sample-sized at any scale, then broadcast.
+    // (join form of pywb.cdx.zipnum §search over cluster.idx).
+    //
+    // The idx side is built WITHOUT any data-sized single-partition window:
+    // the global rank over distinct urlkeys uses the two-phase pattern —
+    // range-partition the keys, rank locally per partition, then add each
+    // partition's prefix offset (a triangular broadcast self-join over the
+    // 32-row per-partition count table — never the keys themselves, and no
+    // unpartitioned WindowExec anywhere in the plan, which PlanSpec
+    // asserts). next_key comes from a broadcast self-join on block+1
+    // instead of a global lead(). Every stage is parallel in the number of
+    // key partitions, so the same plan survives 10^9 distinct keys; only
+    // the finished idx (~1/50 of keys, the cluster.idx analog) is
+    // broadcast to the probes.
     "join_range_block" -> ((s, d) => {
       val c = Cdx.df(s, d)
-      val keys = c.select("urlkey").distinct()
-        .withColumn("rn", row_number().over(Window.orderBy("urlkey")))
-      val idx = keys
+      val parted = c.select("urlkey").distinct()
+        .repartitionByRange(32, col("urlkey"))
+        .withColumn("pid", spark_partition_id())
+      val localRanked = parted.withColumn("local_rn",
+        row_number().over(Window.partitionBy("pid").orderBy("urlkey")))
+      // 32-row offset table: cumulative key count of all preceding
+      // partitions, via triangular self-join (input is #partitions-sized)
+      val counts = parted.groupBy("pid").agg(count(lit(1)).as("n"))
+      val offsets = counts.alias("a")
+        .join(broadcast(counts.alias("b")), col("b.pid") < col("a.pid"), "left")
+        .groupBy(col("a.pid").as("pid"))
+        .agg(coalesce(sum(col("b.n")), lit(0L)).as("offset"))
+      val keys = localRanked.join(broadcast(offsets), "pid")
+        .withColumn("rn", col("local_rn") + col("offset"))
+      val blocks = keys
         .withColumn("block", expr("CAST((rn - 1) DIV 50 AS BIGINT)"))
         .groupBy("block").agg(min("urlkey").as("start_key"))
-        .withColumn("next_key", lead("start_key", 1).over(Window.orderBy("block")))
+      val idx = blocks.join(
+          broadcast(blocks.select((col("block") - 1).as("block"), col("start_key").as("next_key"))),
+          Seq("block"), "left")
       val probes = c.filter(col("id") % 97 === 0).select("id", "urlkey")
       probes.join(
           broadcast(idx),

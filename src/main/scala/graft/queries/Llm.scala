@@ -222,7 +222,7 @@ object Llm extends QueryModule {
         s"scored AS (SELECT *, round(least(length(text) / 500.0, 1.0) * 0.5 + ($stopRatioDuck) * 0.5, 6) AS quality FROM src), " +
         "kept AS (SELECT * FROM scored WHERE quality >= 0.3), " +
         "dedup AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn FROM kept) WHERE rn = 1) " +
-        "SELECT lang, count(*) AS n_docs, sum(CAST(ceil(length(text) / 4.0) AS BIGINT)) AS est_tokens, " +
+        "SELECT lang, count(*) AS n_docs, CAST(sum(CAST(ceil(length(text) / 4.0) AS BIGINT)) AS BIGINT) AS est_tokens, " +
         "round(avg(quality), 6) AS avg_quality FROM dedup GROUP BY lang ORDER BY lang"),
     "sim_cosine_topk" ->
       ("SELECT vec_id, label, round(list_cosine_similarity(embedding::DOUBLE[], " +

@@ -85,16 +85,19 @@ object Relational extends QueryModule {
     "sample_fraction" -> ((s, d) =>
       Cdx.df(s, d).sample(withReplacement = false, 0.1, 42).select("id").orderBy("id")),
 
-    // N−1 sorted split points (samplecdxjob.py §reducer, recon ~L40–70) —
-    // exact every-k-th-row variant so DuckDB can oracle it. The global
-    // window here is the job-2 shape: at 100 TB it runs over a Bernoulli
-    // SAMPLE (tiny by construction), so the single-partition WindowExec is
-    // sample-sized, never data-sized — and the production path doesn't use
-    // it at all (repartitionByRange samples internally, SURVEY §2.7).
+    // N−1 sorted split points (samplecdxjob.py §mapper+§reducer, recon
+    // ~L20–70): SAMPLE FIRST (deterministic 1-in-20, id % 20 = 0, so DuckDB
+    // can oracle it — the reference's Bernoulli mapper emit), THEN pick
+    // every-k-th sampled row as a boundary. The single-partition WindowExec
+    // only ever sees the sample — sample-sized in code, not by assumption —
+    // exactly the reference's "only the sample reaches the single reducer".
+    // The production path doesn't use this at all (repartitionByRange
+    // reservoir-samples internally, SURVEY §2.7).
     "split_points" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.orderBy("urlkey", "ts", "id")
       Cdx.df(s, d)
+        .filter(col("id") % 20 === 0) // sample BEFORE the global window
         .select(col("urlkey"), row_number().over(w).as("rn"), count(lit(1)).over().as("cnt"))
         .filter(col("rn") % ceil(col("cnt") / 8).cast("bigint") === 0 && col("rn") < col("cnt"))
         .select(col("urlkey").as("boundary"), col("rn"))
@@ -135,7 +138,8 @@ object Relational extends QueryModule {
     // subquery, not a second WITH — the cdx CTE prefix already opens one
     "split_points" -> o(
       "SELECT urlkey AS boundary, rn FROM " +
-        "(SELECT urlkey, row_number() OVER (ORDER BY urlkey, ts, id) AS rn, count(*) OVER () AS cnt FROM cdx) " +
+        "(SELECT urlkey, row_number() OVER (ORDER BY urlkey, ts, id) AS rn, count(*) OVER () AS cnt " +
+        "FROM cdx WHERE id % 20 = 0) " +
         "WHERE rn % CAST(ceil(cnt / 8.0) AS BIGINT) = 0 AND rn < cnt ORDER BY rn")
   )
 }

@@ -64,7 +64,7 @@ object UdfSurface extends QueryModule {
   override def oracleSql: Map[String, String] = Map(
     "udf_surface" -> o(
       "SELECT hostword, (status // 100) || 'xx' AS cls, count(*) AS cnt, " +
-        "min(length) AS min_len, max(length) AS max_len, sum(length) AS sum_len " +
+        "min(length) AS min_len, max(length) AS max_len, CAST(sum(length) AS BIGINT) AS sum_len " +
         "FROM cdx GROUP BY hostword, cls ORDER BY hostword, cls"),
     "udtf_explode_params" -> o(
       "SELECT id, CAST(i - 1 AS INT) AS pos, str_split(qs, '&')[i] AS param " +

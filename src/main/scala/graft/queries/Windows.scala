@@ -93,8 +93,8 @@ object Windows extends QueryModule {
         "(SELECT id, hostword, row_number() OVER (PARTITION BY hostword ORDER BY urlkey, ts, id) AS rn FROM cdx) " +
         "ORDER BY hostword, rn"),
     "win_running_offset" -> o(
-      "SELECT id, hostword, length, coalesce(sum(length) OVER (PARTITION BY hostword " +
-        "ORDER BY urlkey, ts, id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS boffset " +
+      "SELECT id, hostword, length, CAST(coalesce(sum(length) OVER (PARTITION BY hostword " +
+        "ORDER BY urlkey, ts, id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS boffset " +
         "FROM cdx ORDER BY hostword, boffset, id"),
     "win_lead_next_key" -> o(
       ", blocks AS (SELECT hostword, (rn - 1) // 100 AS block, min(urlkey) AS first_key, count(*) AS n_lines " +

@@ -23,7 +23,10 @@ class NativeExprSpec extends SparkSpec {
   test("surt_key_native edge cases (interpreted path)") {
     assert(SurtAlg.surtKey("http://www.Example.com/Path?b=2&a=1") == "com,example)/path?a=1&b=2")
     assert(SurtAlg.surtKey("https://example.com") == "com,example)/")
-    assert(SurtAlg.surtKey("http://u:p@host.org:8080/a#frag") == "org,host)/a")
+    assert(SurtAlg.surtKey("http://u:p@host.org:8080/a#frag") == "org,host:8080)/a")
+    assert(SurtAlg.surtKey("http://host.org:80/a") == "org,host)/a")
+    assert(SurtAlg.surtKey("https://host.org:443/a") == "org,host)/a")
+    assert(SurtAlg.surtKey("https://host.org:80/a") == "org,host:80)/a")
     assert(SurtAlg.surtKey("http://h.io?a=1") == "io,h)/?a=1")
     assert(SurtAlg.surtKey("not a url") == null)
     assert(SurtAlg.surtKey(null) == null)

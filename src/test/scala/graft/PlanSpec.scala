@@ -85,4 +85,29 @@ class PlanSpec extends SparkSpec {
     val p = plan("join_range_block")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
+
+  test("join_range_block: idx built distributed — no unpartitioned WindowExec") {
+    val df = SparkEntry.queries("join_range_block")(spark, sfDir)
+    val wins = df.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(wins.nonEmpty, "expected the per-partition two-phase rank window")
+    wins.foreach(w => assert(w.partitionSpec.nonEmpty,
+      s"data-sized single-partition WindowExec found:\n$w"))
+  }
+
+  test("split_points: 1-in-20 sample filter sits below every global window") {
+    val df = SparkEntry.queries("split_points")(spark, sfDir)
+    val wins = df.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(wins.nonEmpty, "expected the boundary-picking window")
+    wins.foreach { w =>
+      val sampled = w.child.collectFirst {
+        case f: org.apache.spark.sql.execution.FilterExec
+          if f.condition.toString.contains("% 20") => f
+      }
+      assert(sampled.nonEmpty, s"sample filter must precede the window:\n$w")
+    }
+  }
 }

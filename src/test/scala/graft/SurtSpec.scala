@@ -4,8 +4,9 @@ import graft.functions.Surt
 import org.apache.spark.sql.functions._
 
 /** Golden pairs from the public surt test vectors (FIXTURES.md §A.5) +
-  * idempotence property. Documented deviations (Surt scaladoc): all ports
-  * stripped, no IDN punycoding. */
+  * idempotence property. Non-default ports are kept, default ports
+  * dropped, IDN hosts punycoded (native path; the composed path has no
+  * IDN builtin — documented in Surt's scaladoc). */
 class SurtSpec extends SparkSpec {
   import spark.implicits._
 
@@ -19,6 +20,38 @@ class SurtSpec extends SparkSpec {
     assert(surtOf("http://sub.a.example.co.uk/x") == Seq("uk,co,example,a,sub)/x"))
     assert(surtOf("http://example.com") == Seq("com,example)/"))
     assert(surtOf("http://www2.example.com/a") == Seq("com,example)/a"))
+  }
+
+  test("ports: non-default kept, scheme-default dropped (both paths agree)") {
+    val urls = Seq(
+      "http://example.com:8080/p",
+      "http://example.com:80/p",
+      "https://example.com:443/",
+      "https://example.com:8443/",
+      "http://user:pw@example.com:8080/p")
+    val expected = Seq(
+      "com,example:8080)/p",
+      "com,example)/p",
+      "com,example)/",
+      "com,example:8443)/",
+      "com,example:8080)/p")
+    assert(surtOf(urls: _*) == expected)
+    assert(urls.map(functions.SurtAlg.surtKey) == expected)
+  }
+
+  test("IDN hosts punycode on the native path") {
+    assert(functions.SurtAlg.surtKey("http://bücher.example/x")
+      == "example,xn--bcher-kva)/x")
+    // already-ASCII xn-- hosts pass through unchanged on both paths
+    assert(surtOf("http://xn--bcher-kva.example/x") == Seq("example,xn--bcher-kva)/x"))
+    assert(functions.SurtAlg.surtKey("http://xn--bcher-kva.example/x")
+      == "example,xn--bcher-kva)/x")
+  }
+
+  test("malformed URLs null out identically on both paths") {
+    val urls = Seq("not a url", "relative/path", "")
+    assert(surtOf(urls: _*).forall(_ == null))
+    assert(urls.map(functions.SurtAlg.surtKey).forall(_ == null))
   }
 
   test("host reverse + query sort components") {

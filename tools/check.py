@@ -34,7 +34,19 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def cmp_col(a: pd.Series, b: pd.Series):
-    """Return (status, detail). status in OK|NEAR|FAIL."""
+    """Return (status, detail). status in OK|NEAR|FAIL.
+
+    The driver's gate hashes raw value encodings after sorting columns, so
+    an int64 Spark column vs a HUGEINT/float DuckDB column hash-mismatches
+    even when numerically equal (this bit us in round 1: un-cast DuckDB
+    sum(BIGINT) returns HUGEINT). Mirror that strictness: differing numeric
+    kinds (int vs float) are a FAIL here, never silently compared as float.
+    """
+    ka, kb = a.dtype.kind, b.dtype.kind
+    numeric = {"i", "u", "f"}
+    if ka != kb and ((ka in numeric and kb in numeric and "f" in {ka, kb})
+                     or (ka in numeric) != (kb in numeric)):
+        return "FAIL", f"dtype kind mismatch: spark={a.dtype} oracle={b.dtype} (driver hash would differ)"
     if str(a.dtype).startswith("float") or str(b.dtype).startswith("float"):
         av, bv = a.astype(float).values, b.astype(float).values
         both_nan = np.isnan(av) & np.isnan(bv)
