@@ -84,4 +84,20 @@ final class CdxServer(spark: SparkSession, clusterDir: String) {
     val nBlocks = ZipNum.selectBlocks(idx, lo, hi).size
     math.ceil(nBlocks.toDouble / blocksPerPage).toLong
   }
+
+  /** page `n` (0-based) of a prefix query: the n-th run of `blocksPerPage`
+    * idx blocks, read and filtered to the prefix — completing the pywb
+    * showNumPages/page contract. Pages are disjoint and their union is the
+    * full [[prefix]] result; only the selected blocks' bytes are read. */
+  def page(surtPrefix: String, blocksPerPage: Int, n: Int): DataFrame = {
+    val idx = ZipNum.readIdx(spark, clusterDir)
+    val (lo, hi) = ZipNum.prefixBounds(surtPrefix)
+    val blocks = ZipNum.selectBlocks(idx, lo, hi)
+      .slice(n * blocksPerPage, (n + 1) * blocksPerPage)
+    ZipNum.readBlockLines(spark, clusterDir, blocks, Some(surtPrefix))
+      .selectExpr(
+        "element_at(split(line, ' ', 3), 1) AS urlkey",
+        "element_at(split(line, ' ', 3), 2) AS ts",
+        "element_at(split(line, ' ', 3), 3) AS json")
+  }
 }

@@ -1,0 +1,68 @@
+package graft.formats
+
+import java.util.zip.GZIPOutputStream
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Per-WARC CDX sink: one sorted `<warcbase>.cdx.gz` per input WARC file,
+  * the reference's job-1 upload layout (indexwarcsjob.py §upload recon
+  * ~L120–150: output key = WARC name with `.warc.gz` -> `.cdx.gz`). This
+  * name contract is what makes `--skip-existing` interoperate with
+  * existing pywb-written index layouts (anti-join manifest vs the names
+  * already present, see `join_skip_existing`).
+  *
+  * Scale notes: parallelism is per WARC (repartition on filename — the
+  * same unit of work as the WARC scan itself); each task streams its
+  * sorted group through one GZIPOutputStream, so memory is O(1) per file
+  * and skew is bounded by the largest single WARC's index (tiny — CDX is
+  * ~1/1000 of the WARC bytes).
+  */
+object CdxSink {
+
+  /** `crawl/seg-3/warc-17.warc.gz` -> `warc-17.cdx.gz` */
+  def cdxName(warcPath: String): String = {
+    val base = warcPath.substring(warcPath.lastIndexOf('/') + 1)
+    (if (base.endsWith(".warc.gz")) base.dropRight(8)
+     else if (base.endsWith(".arc.gz")) base.dropRight(7)
+     else base) + ".cdx.gz"
+  }
+
+  /** Write one sorted gz of `line`s per distinct `filename` under `dir`. */
+  def writePerWarc(df: DataFrame, dir: String): Unit = {
+    require(df.columns.contains("filename") && df.columns.contains("line"),
+      s"CdxSink.writePerWarc needs filename+line columns; got [${df.columns.mkString(", ")}]")
+    val spark = df.sparkSession
+    val dirPath = new Path(dir)
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(dirPath)) fs.delete(dirPath, true)
+    fs.mkdirs(dirPath)
+    val sconf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
+    df.select(col("filename"), col("line"))
+      .repartition(col("filename"))
+      .sortWithinPartitions("filename", "line")
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        val pfs = new Path(dir).getFileSystem(sconf.value)
+        // no .crc sidecars — the written listing must be exactly the
+        // <warc>.cdx.gz names a pywb layout expects
+        pfs.setWriteChecksum(false)
+        // filenames are grouped by the sort; roll files on change
+        var current: String = null
+        var out: GZIPOutputStream = null
+        def close(): Unit = if (out != null) { out.finish(); out.close(); out = null }
+        try {
+          it.foreach { row =>
+            val warc = row.getString(0)
+            if (warc != current) {
+              close()
+              out = new GZIPOutputStream(pfs.create(new Path(dir, cdxName(warc)), true))
+              current = warc
+            }
+            out.write(row.getString(1).getBytes("UTF-8"))
+            out.write('\n')
+          }
+        } finally close()
+      }
+  }
+}

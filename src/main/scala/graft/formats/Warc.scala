@@ -7,9 +7,13 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
 
-/** WARC (ISO 28500) container support: a `.warc.gz` is one gzip member per
-  * record; each record is `WARC/1.0\r\n` + headers + CRLF CRLF + block.
-  * Response records embed an HTTP response (status line + headers + body).
+/** WARC (ISO 28500) + legacy ARC container support: a `.warc.gz`/`.arc.gz`
+  * is one gzip member per record. WARC records are `WARC/1.0\r\n` + headers
+  * + CRLF CRLF + block; ARC v1/v2 records are a single space-separated
+  * header line (`url ip date mime length` / the 10-field v2 form) + LF +
+  * the raw HTTP response. [[parseRecord]] sniffs the member prefix and
+  * dispatches — pre-2010 crawls are ARC, and the reference reads both
+  * through pywb's ArchiveIterator (SURVEY §1.1).
   *
   * Mirrors the fields the reference extracts per record
   * (indexwarcsjob.py §mapper via pywb ArchiveIterator, recon ~L60–120;
@@ -98,7 +102,67 @@ object Warc {
     -1
   }
 
+  /** Parse the embedded HTTP response: (status, mime, payload). */
+  private def parseHttp(body: Array[Byte]): (Integer, String, Array[Byte]) = {
+    val httpEnd = crlfCrlf(body)
+    if (httpEnd < 0) return (null, null, body)
+    val httpHead = new String(body, 0, httpEnd, UTF_8).split("\r\n")
+    val statusLine = httpHead.headOption.getOrElse("")
+    val parts = statusLine.split(" ")
+    val status: Integer =
+      if (parts.length >= 2 && parts(1).nonEmpty && parts(1).forall(_.isDigit)) parts(1).toInt
+      else null
+    val mime = httpHead.drop(1).flatMap { line =>
+      val i = line.indexOf(':')
+      if (i > 0 && line.substring(0, i).equalsIgnoreCase("Content-Type"))
+        Some(line.substring(i + 1).trim)
+      else None
+    }.headOption.orNull
+    (status, mime, body.drop(httpEnd + 4))
+  }
+
+  private def isWarc(bytes: Array[Byte]): Boolean =
+    bytes.length >= 5 && bytes(0) == 'W' && bytes(1) == 'A' &&
+      bytes(2) == 'R' && bytes(3) == 'C' && bytes(4) == '/'
+
+  /** One decompressed member -> row; sniffs WARC vs legacy ARC. */
   private[graft] def parseRecord(
+      bytes: Array[Byte], offset: Long, length: Long, filename: String): Row =
+    if (isWarc(bytes)) parseWarcRecord(bytes, offset, length, filename)
+    else parseArcRecord(bytes, offset, length, filename)
+
+  /** ARC v1 (5-field) / v2 (10-field) URL-record:
+    * `url ip date mime length` / `url ip date mime result checksum
+    * location offset filename length`, LF, then the raw HTTP response
+    * (filedesc:// members carry the version block instead). */
+  private[graft] def parseArcRecord(
+      bytes: Array[Byte], offset: Long, length: Long, filename: String): Row = {
+    var nl = 0
+    while (nl < bytes.length && bytes(nl) != '\n') nl += 1
+    val header = new String(bytes, 0, nl, UTF_8).trim
+    val f = header.split(" ")
+    val url = if (f.nonEmpty && f(0).nonEmpty) f(0) else null
+    val ts = if (f.length >= 3) f(2).take(14) else null
+    val headerMime = if (f.length >= 4 && f(3) != "-") f(3) else null
+    val digest = if (f.length >= 10 && f(5) != "-") f(5) else null
+    val body = if (nl < bytes.length) bytes.drop(nl + 1) else Array.emptyByteArray
+    if (url != null && url.startsWith("filedesc://"))
+      // ARC file header record — the warcinfo analog
+      Row("arcinfo", url, ts, digest, null, headerMime, offset, length, filename, body)
+    else {
+      val (httpStatus, httpMime, payload) = parseHttp(body)
+      val status: Integer =
+        if (httpStatus != null) httpStatus
+        else if (f.length >= 10 && f(4).nonEmpty && f(4).forall(_.isDigit)) f(4).toInt
+        else null
+      // ARC has no revisit/request records: every URL record is a response
+      Row("response", url, ts, digest, status,
+        if (httpMime != null) httpMime else headerMime,
+        offset, length, filename, payload)
+    }
+  }
+
+  private[graft] def parseWarcRecord(
       bytes: Array[Byte], offset: Long, length: Long, filename: String): Row = {
     val headerEnd = crlfCrlf(bytes)
     val headerBlock =
@@ -116,27 +180,47 @@ object Warc {
     val body = if (headerEnd >= 0) bytes.drop(headerEnd + 4) else Array.emptyByteArray
     val isHttpResponse = recordType == "response" &&
       headers.getOrElse("content-type", "").startsWith("application/http")
-    var status: Integer = null
-    var mime: String = null
-    var payload = body
-    if (isHttpResponse) {
-      val httpEnd = crlfCrlf(body)
-      if (httpEnd >= 0) {
-        val httpHead = new String(body, 0, httpEnd, UTF_8).split("\r\n")
-        val statusLine = httpHead.headOption.getOrElse("")
-        val parts = statusLine.split(" ")
-        if (parts.length >= 2 && parts(1).forall(_.isDigit)) status = parts(1).toInt
-        mime = httpHead.drop(1).flatMap { line =>
-          val i = line.indexOf(':')
-          if (i > 0 && line.substring(0, i).equalsIgnoreCase("Content-Type"))
-            Some(line.substring(i + 1).trim)
-          else None
-        }.headOption.orNull
-        payload = body.drop(httpEnd + 4)
-      }
-    }
+    val (status, mime, payload) =
+      if (isHttpResponse) parseHttp(body) else (null: Integer, null: String, body)
     Row(recordType, url, ts, digest, status, mime, offset, length, filename, payload)
   }
+
+  final case class ArcFixtureRecord(
+      url: String,
+      ip: String,
+      ts14: String,
+      mime: String,
+      status: Int,
+      payload: Array[Byte])
+
+  /** Write records as a legacy `.arc.gz` (v1 5-field header lines, one gzip
+    * member per record, filedesc:// first) — fixture/golden generation. */
+  def writeArcFixture(path: String, records: Seq[ArcFixtureRecord]): Unit = {
+    val out = Files.newOutputStream(Paths.get(path))
+    try {
+      val name = path.substring(path.lastIndexOf('/') + 1)
+      val versionBlock = "1 0 graft-fixture\nURL IP-address Archive-date Content-type Archive-length\n"
+      val descBody = versionBlock.getBytes(UTF_8)
+      val desc = s"filedesc://$name 0.0.0.0 20150215010000 text/plain ${descBody.length}\n"
+      Gzip.writeMember(out, desc.getBytes(UTF_8) ++ descBody)
+      records.foreach { r =>
+        val http = s"HTTP/1.1 ${r.status} OK\r\nContent-Type: ${r.mime}\r\n" +
+          s"Content-Length: ${r.payload.length}\r\n\r\n"
+        val body = http.getBytes(UTF_8) ++ r.payload
+        val header = s"${r.url} ${r.ip} ${r.ts14} ${r.mime} ${body.length}\n"
+        Gzip.writeMember(out, header.getBytes(UTF_8) ++ body)
+      }
+    } finally out.close()
+  }
+
+  /** Deterministic 3-record ARC fixture (plus the filedesc header). */
+  def arcFixtureRecords: Seq[ArcFixtureRecord] = Seq(
+    ArcFixtureRecord("http://www.example.com/path?b=2&a=1", "93.184.216.34",
+      "20040215012345", "text/html", 200, "<html>arc-alpha</html>".getBytes(UTF_8)),
+    ArcFixtureRecord("http://example.com/other", "93.184.216.34",
+      "20040301120000", "text/plain", 404, "arc not here".getBytes(UTF_8)),
+    ArcFixtureRecord("http://sub.iana.org/x", "192.0.2.1",
+      "20040510235959", "text/html", 301, "<a>arc moved</a>".getBytes(UTF_8)))
 
   /** Distributed scan: one task per WARC file, iterating gzip members
     * inside the partition (SURVEY §2.1 `scan_warc`). */

@@ -125,7 +125,6 @@ object ZipNum {
   def readLines(
       spark: SparkSession, dir: String, prefix: Option[String] = None,
       ordered: Boolean = true): DataFrame = {
-    import spark.implicits._
     val idx = readIdx(spark, dir)
     val selected = prefix match {
       case None => idx
@@ -133,6 +132,16 @@ object ZipNum {
         val (lo, hi) = prefixBounds(p)
         selectBlocks(idx, lo, hi)
     }
+    readBlockLines(spark, dir, selected, prefix, ordered)
+  }
+
+  /** Read exactly the given idx blocks (the pagination path — pywb zipnum
+    * §pagination: a page is a run of idx blocks), filtering lines to
+    * `prefix` when given. */
+  def readBlockLines(
+      spark: SparkSession, dir: String, selected: Seq[IdxEntry],
+      prefix: Option[String], ordered: Boolean = true): DataFrame = {
+    import spark.implicits._
     // sort work by (file, offset) so a partition reads each shard file
     // with ONE open handle and forward-only seeks — at object-store scale
     // this turns per-block GETs into a few ranged sequential reads

@@ -3,7 +3,7 @@ package graft.queries
 import java.nio.file.{Files, Paths}
 
 import graft.{Cdx, QueryModule}
-import graft.formats.{Warc, ZipNum}
+import graft.formats.{CdxSink, Warc, ZipNum}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -17,6 +17,34 @@ import org.apache.spark.sql.functions._
 object Formats extends QueryModule {
 
   private def o(sql: String): String = Cdx.duckCte + sql
+
+  /** Classic CDX-11 line (` CDX N b a m s k r M S V g`, SURVEY §1.2 —
+    * the `write_cdx_index(..., cdxj=False)` dialect): 11 space-separated
+    * fields urlkey, ts, url, normalized mime, status, digest, redirect,
+    * robotflags, length, offset, filename; `-` for absent values. The
+    * offset (V) is the record's byte offset within its WARC, computed with
+    * a per-filename window — partitioned by the shard key, so no global
+    * WindowExec (same shape as win_running_offset).
+    */
+  private val cdx11Fields: Seq[String] = Seq(
+    "urlkey", "ts", "url",
+    "lower(trim(regexp_extract(mime, '^[^;]+', 0)))",
+    "CAST(status AS STRING)", "digest",
+    "coalesce(redirect, '-')", "coalesce(robotflags, '-')",
+    "CAST(length AS STRING)", "CAST(boffset AS STRING)", "filename")
+  private val cdx11LineSpark = cdx11Fields.mkString("concat_ws(' ', ", ", ", ")")
+  private val cdx11FieldsDuck: Seq[String] = Seq(
+    "urlkey", "ts", "url",
+    "lower(trim(regexp_extract(mime, '^[^;]+')))",
+    "status::VARCHAR", "digest",
+    "coalesce(redirect, '-')", "coalesce(robotflags, '-')",
+    "length::VARCHAR", "boffset::VARCHAR", "filename")
+  private val cdx11LineDuck = cdx11FieldsDuck.mkString("concat_ws(' ', ", ", ", ")")
+  /** per-WARC running byte offset, the V field's real semantics */
+  private val boffsetSpark =
+    "CAST(coalesce(sum(length) OVER (PARTITION BY filename ORDER BY ts, id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)"
+  private val boffsetDuck = boffsetSpark // identical ANSI window spelling
 
   /** CDX line = `urlkey SP ts SP {json}` (CDXJ dialect, SURVEY §1.2). */
   private val lineExprSpark =
@@ -123,7 +151,53 @@ object Formats extends QueryModule {
       Warc.scan(s, file)
         .select("record_type", "url", "ts", "digest", "status", "mime", "offset", "length")
         .orderBy("offset")
-    })
+    }),
+
+    // legacy ARC member scan through the same reader (pre-2010 crawls;
+    // pywb ArchiveIterator reads both) — oracle-exempt like scan_warc
+    "scan_arc" -> ((s, d) => {
+      val file = tmp(d, "fixture.arc.gz")
+      Warc.writeArcFixture(file, Warc.arcFixtureRecords)
+      Warc.scan(s, file)
+        .select("record_type", "url", "ts", "digest", "status", "mime", "offset", "length")
+        .orderBy("offset")
+    }),
+
+    // per-WARC `.cdx.gz` naming sink (indexwarcsjob.py §upload layout):
+    // one sorted gz per input WARC named `<warc>.cdx.gz` — the oracle
+    // checks BOTH the lines and the name contract (cdx_name column)
+    "sink_warc_cdx" -> ((s, d) => {
+      val dir = tmp(d, "warc_cdx")
+      CdxSink.writePerWarc(
+        Cdx.df(s, d).selectExpr("filename", s"$lineExprSpark AS line"), dir)
+      s.read.text(dir + "/*.cdx.gz")
+        .withColumn("cdx_name", regexp_extract(input_file_name(), "[^/]+$", 0))
+        .select(col("cdx_name"), col("value"))
+        .orderBy("value")
+    }),
+
+    // classic CDX-11 emit (the cdxj=False output dialect)
+    "cdx11_pack" -> ((s, d) =>
+      Cdx.df(s, d)
+        .selectExpr("*", s"$boffsetSpark AS boffset")
+        .selectExpr("id", s"$cdx11LineSpark AS line")
+        .orderBy("id")),
+
+    // CDX-11 parse: pack then split the 11 fields back out, '-' -> null,
+    // numerics retyped — the full round trip is what the oracle checks
+    "cdx11_parse" -> ((s, d) =>
+      Cdx.df(s, d)
+        .selectExpr("*", s"$boffsetSpark AS boffset")
+        .selectExpr("id", s"$cdx11LineSpark AS line")
+        .selectExpr("id", "split(line, ' ') AS f")
+        .selectExpr(
+          "id",
+          "f[0] AS urlkey", "f[1] AS ts", "f[2] AS url", "f[3] AS mime_n",
+          "CAST(f[4] AS INT) AS status", "f[5] AS digest",
+          "nullif(f[6], '-') AS redirect", "nullif(f[7], '-') AS robotflags",
+          "CAST(f[8] AS BIGINT) AS length", "CAST(f[9] AS BIGINT) AS boffset",
+          "f[10] AS filename")
+        .orderBy("id"))
   )
 
   /** json payload = everything after the first two space-separated fields */
@@ -142,6 +216,16 @@ object Formats extends QueryModule {
         "WHERE urlkey LIKE 'org,example,medium)%' ORDER BY urlkey, ts, json"),
     "zipnum_v2_pushdown" -> o(
       s"SELECT urlkey, ts, $jsonExprDuck FROM cdx " +
-        "WHERE urlkey LIKE 'org,example,medium)%' ORDER BY urlkey, ts, json")
+        "WHERE urlkey LIKE 'org,example,medium)%' ORDER BY urlkey, ts, json"),
+    "sink_warc_cdx" -> o(
+      "SELECT regexp_replace(regexp_extract(filename, '[^/]+$'), '\\.warc\\.gz$', '.cdx.gz') AS cdx_name, " +
+        s"$lineExprDuck AS value FROM cdx ORDER BY value"),
+    "cdx11_pack" -> o(
+      s"SELECT id, $cdx11LineDuck AS line FROM " +
+        s"(SELECT *, $boffsetDuck AS boffset FROM cdx) ORDER BY id"),
+    "cdx11_parse" -> o(
+      "SELECT id, urlkey, ts, url, lower(trim(regexp_extract(mime, '^[^;]+'))) AS mime_n, " +
+        "status, digest, redirect, robotflags, length, boffset, filename FROM " +
+        s"(SELECT *, $boffsetDuck AS boffset FROM cdx) ORDER BY id")
   )
 }

@@ -116,25 +116,30 @@ object Multimodal extends QueryModule {
     })
   )
 
+  /** the Spark stub counts payload BYTES (CAST(text AS BINARY) = UTF-8);
+    * length(text) counts characters and would silently diverge on any
+    * non-ASCII corpus — count octets on the DuckDB side too */
+  private val nBytes = "octet_length(encode(text))"
+
   override def oracleSql: Map[String, String] = Map(
     "mm_decode_meta" ->
-      ("SELECT doc_id, CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type, " +
-        "length(text) AS n_bytes, " +
-        "CAST(16 + length(text) % 640 AS INT) AS width, " +
-        "CAST(16 + (length(text) * 7) % 480 AS INT) AS height, " +
-        "CAST(CASE WHEN doc_id % 3 = 2 THEN 1 + length(text) % 24 ELSE 1 END AS INT) AS n_frames " +
+      (s"SELECT doc_id, CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type, " +
+        s"CAST($nBytes AS BIGINT) AS n_bytes, " +
+        s"CAST(16 + $nBytes % 640 AS INT) AS width, " +
+        s"CAST(16 + ($nBytes * 7) % 480 AS INT) AS height, " +
+        s"CAST(CASE WHEN doc_id % 3 = 2 THEN 1 + $nBytes % 24 ELSE 1 END AS INT) AS n_frames " +
         "FROM documents ORDER BY doc_id"),
     "mm_feature_extract" ->
-      ("SELECT doc_id, round(sqrt(list_sum(list_transform([1, 2, 3, 4, 5, 6, 7, 8], " +
-        "k -> ((length(text) * k % 97) / 97.0) * ((length(text) * k % 97) / 97.0)))), 6) AS norm, " +
-        "round((length(text) % 97) / 97.0, 6) AS f0 " +
+      (s"SELECT doc_id, round(sqrt(list_sum(list_transform([1, 2, 3, 4, 5, 6, 7, 8], " +
+        s"k -> (($nBytes * k % 97) / 97.0) * (($nBytes * k % 97) / 97.0)))), 6) AS norm, " +
+        s"round(($nBytes % 97) / 97.0, 6) AS f0 " +
         "FROM documents ORDER BY doc_id"),
     "mm_batch_infer" ->
-      ("SELECT doc_id, round((length(text) % 89) / 89.0, 6) AS score " +
+      (s"SELECT doc_id, round(($nBytes % 89) / 89.0, 6) AS score " +
         "FROM documents ORDER BY doc_id"),
     "mm_frame_sample" ->
       ("SELECT doc_id, CAST(frame_no AS INT) AS frame_no FROM (" +
-        "SELECT doc_id, unnest(generate_series(0, CAST(length(text) % 24 AS INT), 4)) AS frame_no " +
+        s"SELECT doc_id, unnest(generate_series(0, CAST($nBytes % 24 AS INT), 4)) AS frame_no " +
         "FROM documents WHERE doc_id % 3 = 2) ORDER BY doc_id, frame_no")
   )
 }

@@ -130,10 +130,13 @@ object StreamOps {
         new UserCountProcessor, TimeMode.None(), OutputMode.Update())
   }
 
-  /** outputMode for each op when run as a sink (update for stateful aggs) */
+  /** outputMode for each op when run as a sink: update for stateful aggs,
+    * append for session/dedup — complete mode would retain all aggregation
+    * state forever, defeating the watermark's state eviction; session
+    * windows emit on close under append, which is the bounded-state mode */
   val outputModes: Map[String, OutputMode] = Map(
     "tumbling" -> OutputMode.Update(),
-    "session" -> OutputMode.Complete(),
+    "session" -> OutputMode.Append(),
     "dedup" -> OutputMode.Append(),
     "late" -> OutputMode.Update())
 }

@@ -65,4 +65,19 @@ class CdxServerSpec extends SparkSpec {
     // a prefix below every key prunes to zero pages
     assert(server.numPages("aa,first)/", blocksPerPage = 1) == 0)
   }
+
+  test("page(n): pages are disjoint and union to the full prefix result") {
+    val pre = "com,example)/"
+    val bpp = 1
+    val n = server.numPages(pre, bpp).toInt
+    assert(n >= 2, s"fixture should span multiple 1-block pages, got $n")
+    val pages = (0 until n).map(i =>
+      server.page(pre, bpp, i).select("urlkey", "ts").as[(String, String)].collect().toSeq)
+    val all = pages.flatten
+    assert(all.size == all.distinct.size, "pages must be disjoint")
+    val full = server.prefix(pre).select("urlkey", "ts").as[(String, String)].collect().toSeq
+    assert(all.sorted == full.sorted, "union of pages == full prefix result")
+    // out-of-range page is empty, not an error
+    assert(server.page(pre, bpp, n).count() == 0)
+  }
 }

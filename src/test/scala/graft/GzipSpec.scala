@@ -52,9 +52,7 @@ class GzipSpec extends SparkSpec {
     assert(all == chunks.map(new String(_, "UTF-8")).mkString)
   }
 
-  test("members() parses gzip files written by standard tools (FNAME header)") {
-    // GZIPOutputStream writes a standard minimal header; also test a header
-    // with FNAME by hand-crafting flag bytes
+  test("members() parses gzip files written by standard tools (minimal header)") {
     val payload = "standard gzip member".getBytes("UTF-8")
     val std = new ByteArrayOutputStream()
     val gz = new java.util.zip.GZIPOutputStream(std)
@@ -62,5 +60,45 @@ class GzipSpec extends SparkSpec {
     val m = Gzip.members(new ByteArrayInputStream(std.toByteArray)).toList
     assert(m.map(_.bytes.toSeq) == List(payload.toSeq))
     assert(m.head.compressedLength == std.toByteArray.length)
+  }
+
+  test("FNAME/FEXTRA/FHCRC headers: payload and offset tiling stay exact") {
+    import java.util.zip.{CRC32, Deflater}
+    // hand-craft a member with all three optional header fields set — real
+    // crawl .warc.gz files commonly carry FNAME
+    def craft(payload: Array[Byte], name: String, extra: Array[Byte]): Array[Byte] = {
+      val b = new ByteArrayOutputStream()
+      b.write(0x1f); b.write(0x8b); b.write(8); b.write(2 | 4 | 8) // FHCRC|FEXTRA|FNAME
+      b.write(Array[Byte](0, 0, 0, 0)); b.write(0); b.write(3)     // MTIME, XFL, OS=unix
+      b.write(extra.length & 0xff); b.write((extra.length >> 8) & 0xff)
+      b.write(extra)
+      b.write(name.getBytes("ISO-8859-1")); b.write(0)
+      val hcrc = new CRC32(); hcrc.update(b.toByteArray)
+      b.write((hcrc.getValue & 0xff).toInt); b.write(((hcrc.getValue >> 8) & 0xff).toInt)
+      val d = new Deflater(Deflater.DEFAULT_COMPRESSION, true)
+      d.setInput(payload); d.finish()
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) { val n = d.deflate(buf); b.write(buf, 0, n) }
+      d.end()
+      val crc = new CRC32(); crc.update(payload)
+      def le32(v: Long): Unit = (0 to 3).foreach(i => b.write(((v >> (8 * i)) & 0xff).toInt))
+      le32(crc.getValue); le32(payload.length.toLong)
+      b.toByteArray
+    }
+    val p1 = "fname member payload".getBytes("UTF-8")
+    val p2 = "plain member".getBytes("UTF-8")
+    val m1 = craft(p1, "crawl-00001.warc.gz", Array[Byte](1, 2, 3, 4))
+    val out = new ByteArrayOutputStream()
+    out.write(m1)
+    Gzip.writeMember(out, p2)
+    val fileBytes = out.toByteArray
+    // the JDK validates the crafted FHCRC — proves the fixture is well-formed
+    val jdk = new GZIPInputStream(new ByteArrayInputStream(fileBytes))
+    assert(new String(jdk.readAllBytes(), "UTF-8") == "fname member payloadplain member")
+    val ms = Gzip.members(new ByteArrayInputStream(fileBytes)).toList
+    assert(ms.map(_.bytes.toSeq) == List(p1.toSeq, p2.toSeq))
+    assert(ms.head.offset == 0 && ms.head.compressedLength == m1.length)
+    assert(ms(1).offset == m1.length)
+    assert(ms(1).offset + ms(1).compressedLength == fileBytes.length)
   }
 }

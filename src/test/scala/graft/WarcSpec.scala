@@ -69,6 +69,40 @@ class WarcSpec extends SparkSpec {
     assert(new String(row.getAs[Array[Byte]]("payload"), "UTF-8") == "payload-bytes-ok")
   }
 
+  test("legacy ARC fixture parses through the same scan (golden fields)") {
+    val arcFile = "/tmp/graft_test/fixture.arc.gz"
+    Files.createDirectories(Paths.get(arcFile).getParent)
+    Warc.writeArcFixture(arcFile, Warc.arcFixtureRecords)
+    val rows = Warc.scan(spark, arcFile)
+      .select("record_type", "url", "ts", "status", "mime")
+      .orderBy("offset")
+      .collect().toSeq.map(_.toSeq)
+    val expected: Seq[Seq[Any]] = Seq(
+      Seq("arcinfo", "filedesc://fixture.arc.gz", "20150215010000", null, "text/plain"),
+      Seq("response", "http://www.example.com/path?b=2&a=1", "20040215012345", 200, "text/html"),
+      Seq("response", "http://example.com/other", "20040301120000", 404, "text/plain"),
+      Seq("response", "http://sub.iana.org/x", "20040510235959", 301, "text/html"))
+    rows.zip(expected).zipWithIndex.foreach { case ((got, want), i) =>
+      assert(got == want, s"arc record $i")
+    }
+    assert(rows.size == expected.size)
+  }
+
+  test("ARC offsets tile the file and HTTP payload survives") {
+    val arcFile = "/tmp/graft_test/fixture.arc.gz"
+    Files.createDirectories(Paths.get(arcFile).getParent)
+    Warc.writeArcFixture(arcFile, Warc.arcFixtureRecords)
+    val rows = Warc.scan(spark, arcFile)
+      .select("offset", "length", "payload").orderBy("offset").collect()
+    assert(rows.head.getLong(0) == 0)
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(b.getLong(0) == a.getLong(0) + a.getLong(1))
+      case _ =>
+    }
+    assert(rows.last.getLong(0) + rows.last.getLong(1) == Files.size(Paths.get(arcFile)))
+    assert(new String(rows(1).getAs[Array[Byte]]("payload"), "UTF-8") == "<html>arc-alpha</html>")
+  }
+
   test("digest carries through for revisit join (dedup-by-digest semantics)") {
     Files.createDirectories(Paths.get(file).getParent)
     Warc.writeFixture(file, Warc.fixtureRecords)
