@@ -23,10 +23,17 @@ object Dedup {
     * shingle(shingleSize words) → minhash signature (nHashes seeds) →
     * `bands` bands of nHashes/bands rows → docs sharing any (band, sig)
     * bucket become a candidate pair (a < b).
+    *
+    * `maxBucketSize` caps the per-bucket self-join: a degenerate corpus
+    * (thousands of byte-identical docs) collapses into one bucket whose
+    * pair count is quadratic; buckets past the cap are dropped, bounding
+    * any bucket's output at maxBucketSize². Identical-doc clusters are
+    * exact-dup territory (`dedup_exact`) — LSH only needs the near-dups.
     */
   def minhashCandidates(
       df: DataFrame, idCol: String, textCol: String,
-      nHashes: Int = 16, bands: Int = 4, shingleSize: Int = 3): DataFrame = {
+      nHashes: Int = 16, bands: Int = 4, shingleSize: Int = 3,
+      maxBucketSize: Int = 10000): DataFrame = {
     require(nHashes % bands == 0, "bands must divide nHashes")
     val rows = nHashes / bands
     val corpus = df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("w"))
@@ -45,8 +52,20 @@ object Dedup {
     val banded = sigs.select(
       col("doc_id"), posexplode(array(bandCols: _*)))
       .toDF("doc_id", "band", "sig")
-    val l = banded.select(col("band"), col("sig"), col("doc_id").as("a"))
-    val r = banded.select(col("band"), col("sig"), col("doc_id").as("b"))
+    bucketedPairs(banded, maxBucketSize)
+  }
+
+  /** shared tail: (band, sig, doc_id) buckets → bounded candidate pairs.
+    * The bucket-size count shuffles on the same (band, sig) key as the
+    * self-join, so the exchange is reused rather than repeated. */
+  private def bucketedPairs(banded: DataFrame, maxBucketSize: Int): DataFrame = {
+    val ok = banded.groupBy("band", "sig")
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") <= maxBucketSize)
+      .select("band", "sig")
+    val bounded = banded.join(ok, Seq("band", "sig"))
+    val l = bounded.select(col("band"), col("sig"), col("doc_id").as("a"))
+    val r = bounded.select(col("band"), col("sig"), col("doc_id").as("b"))
     l.join(r, Seq("band", "sig"))
       .filter(col("a") < col("b"))
       .select("a", "b").distinct()
@@ -69,17 +88,15 @@ object Dedup {
   }
 
   /** SimHash near-dup candidates: docs whose simhash agrees on one of
-    * `bands` 16-bit bands (same no-cross-join banding idea). */
-  def simhashCandidates(hashes: DataFrame, bands: Int = 4): DataFrame = {
+    * `bands` 16-bit bands (same no-cross-join banding idea, same
+    * degenerate-bucket cap as [[minhashCandidates]]). */
+  def simhashCandidates(
+      hashes: DataFrame, bands: Int = 4, maxBucketSize: Int = 10000): DataFrame = {
     val width = 64 / bands
     val bandCols = (0 until bands).map(b =>
       expr(s"(simhash >> ${b * width}) & ${(1L << width) - 1}"))
     val banded = hashes.select(col("doc_id"), posexplode(array(bandCols: _*)))
       .toDF("doc_id", "band", "sig")
-    val l = banded.select(col("band"), col("sig"), col("doc_id").as("a"))
-    val r = banded.select(col("band"), col("sig"), col("doc_id").as("b"))
-    l.join(r, Seq("band", "sig"))
-      .filter(col("a") < col("b"))
-      .select("a", "b").distinct()
+    bucketedPairs(banded, maxBucketSize)
   }
 }

@@ -58,6 +58,23 @@ class OperatorPropertiesSpec extends SparkSpec {
       s"recovered ${recovered.size}/${planted.size}")
   }
 
+  test("minhash degenerate-bucket cap bounds an all-identical corpus") {
+    import spark.implicits._
+    // 200 byte-identical docs -> every band collapses into one bucket;
+    // uncapped that is 200*199/2 = 19900 pairs from ONE bucket
+    val degenerate = (0L until 200L)
+      .map(i => (i, "the same exact document body repeated verbatim every time"))
+      .toDF("doc_id", "text")
+    val capped = graft.ops.Dedup.minhashCandidates(
+      degenerate, "doc_id", "text", maxBucketSize = 50)
+    assert(capped.count() == 0, "buckets past the cap must be dropped")
+    // the cap must NOT disturb normal-sized buckets: default cap on the
+    // planted-pair corpus recovers the same candidates as ever
+    val small = graft.ops.Dedup.minhashCandidates(
+      degenerate.limit(10), "doc_id", "text", maxBucketSize = 10000)
+    assert(small.count() == 45, "10 identical docs under the cap pair fully")
+  }
+
   test("split_points: boundaries are sorted and strictly inside the key range") {
     val rows = SparkEntry.queries("split_points")(spark, sfDir).collect()
     val bounds = rows.map(_.getString(0)).toSeq
