@@ -87,6 +87,44 @@ object Dedup {
       .select("doc_id", "simhash")
   }
 
+  /** Dedup cluster resolution: given candidate/verified duplicate pairs
+    * (a, b), label every vertex with its connected component's minimum id
+    * — the canonical representative a curation pipeline keeps.
+    *
+    * Pregel-style min-label propagation: each round, every vertex takes
+    * the min of its own label and its neighbors' labels; converges in
+    * O(component diameter) rounds. Each round is one equi-join + hash
+    * aggregation (both shuffle on the uniformly-distributed vertex id);
+    * the only driver-side value is the per-round convergence count, never
+    * data. `localCheckpoint` truncates the iterative lineage so plan size
+    * stays constant across rounds. At 100 TB with high-diameter graphs
+    * the large-star/small-star variant (log n rounds) drops in here; dup
+    * clusters are near-cliques, so diameter — and round count — stays
+    * tiny in practice.
+    */
+  def resolveClusters(
+      vertices: DataFrame, pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val sym = pairs.select(col("a"), col("b"))
+      .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
+    var labels = vertices.select(col("v"), col("v").as("rep")).localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nbrMin = sym.join(labels, sym("a") === labels("v"))
+        .groupBy(sym("b").as("nv")).agg(min("rep").as("nbr_rep"))
+      val updated = labels.join(nbrMin, labels("v") === nbrMin("nv"), "left")
+        .select(col("v"), least(col("rep"), coalesce(col("nbr_rep"), col("rep"))).as("rep"))
+        .localCheckpoint()
+      val changed = updated.alias("u")
+        .join(labels.alias("p"), col("u.v") === col("p.v"))
+        .filter(col("u.rep") =!= col("p.rep")).count()
+      labels = updated
+      converged = changed == 0
+      i += 1
+    }
+    labels
+  }
+
   /** SimHash near-dup candidates: docs whose simhash agrees on one of
     * `bands` 16-bit bands (same no-cross-join banding idea, same
     * degenerate-bucket cap as [[minhashCandidates]]). */

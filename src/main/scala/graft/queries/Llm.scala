@@ -162,6 +162,21 @@ object Llm extends QueryModule {
         .orderBy("lang")
     }),
 
+    // dedup cluster resolution: candidate pairs -> connected components ->
+    // every doc labeled with its canonical (min-id) representative. The
+    // edge set is a deterministic chain graph (doc_id -> doc_id+1 except
+    // every 5th) so DuckDB can oracle the fixpoint via a recursive CTE;
+    // production feeds minhash/simhash candidate pairs in instead.
+    "dedup_cluster_resolve" -> ((s, d) => {
+      val ids = Tables.t(s, d, "documents").select(col("doc_id"))
+      val edges = ids.filter(col("doc_id") % 5 =!= 4)
+        .select(col("doc_id").as("a"), (col("doc_id") + 1).as("b"))
+        .join(ids.select(col("doc_id").as("b")), Seq("b"), "left_semi")
+      graft.ops.Dedup.resolveClusters(ids.select(col("doc_id").as("v")), edges)
+        .select(col("v").as("doc_id"), col("rep").as("cluster_id"))
+        .orderBy("doc_id")
+    }),
+
     // brute-force cosine top-k against the vec_id=0 query vector
     "sim_cosine_topk" -> ((s, d) => {
       val e = Tables.t(s, d, "embeddings")
@@ -224,6 +239,17 @@ object Llm extends QueryModule {
         "dedup AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn FROM kept) WHERE rn = 1) " +
         "SELECT lang, count(*) AS n_docs, CAST(sum(CAST(ceil(length(text) / 4.0) AS BIGINT)) AS BIGINT) AS est_tokens, " +
         "round(avg(quality), 6) AS avg_quality FROM dedup GROUP BY lang ORDER BY lang"),
+    "dedup_cluster_resolve" ->
+      ("WITH RECURSIVE edges AS (" +
+        "SELECT d.doc_id AS a, d.doc_id + 1 AS b FROM documents d " +
+        "WHERE d.doc_id % 5 <> 4 AND EXISTS (SELECT 1 FROM documents x WHERE x.doc_id = d.doc_id + 1)), " +
+        "sym AS (SELECT a, b FROM edges UNION ALL SELECT b AS a, a AS b FROM edges), " +
+        "reach(v, r) AS (" +
+        "SELECT doc_id, doc_id FROM documents " +
+        "UNION " +
+        "SELECT s.b, reach.r FROM reach JOIN sym s ON s.a = reach.v) " +
+        "SELECT v AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id " +
+        "FROM reach GROUP BY v ORDER BY doc_id"),
     "sim_cosine_topk" ->
       ("SELECT vec_id, label, round(list_cosine_similarity(embedding::DOUBLE[], " +
         "(SELECT embedding FROM embeddings WHERE vec_id = 0)::DOUBLE[]), 6) AS cos " +

@@ -75,6 +75,22 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(small.count() == 45, "10 identical docs under the cap pair fully")
   }
 
+  test("resolveClusters labels every vertex with its component minimum") {
+    import spark.implicits._
+    val vertices = (1L to 12L).toDF("v")
+    // {1..5} path, {6,7,8} star on 6, {9} isolated, {10,11,12} triangle
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (6L, 7L), (6L, 8L),
+      (10L, 11L), (11L, 12L), (10L, 12L)).toDF("a", "b")
+    val labels = graft.ops.Dedup.resolveClusters(vertices, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 5L).forall(labels(_) == 1L), labels.toString)
+    assert(Seq(6L, 7L, 8L).forall(labels(_) == 6L))
+    assert(labels(9L) == 9L, "isolated vertex is its own representative")
+    assert(Seq(10L, 11L, 12L).forall(labels(_) == 10L))
+  }
+
   test("split_points: boundaries are sorted and strictly inside the key range") {
     val rows = SparkEntry.queries("split_points")(spark, sfDir).collect()
     val bounds = rows.map(_.getString(0)).toSeq
