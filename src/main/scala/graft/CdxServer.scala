@@ -85,6 +85,22 @@ final class CdxServer(spark: SparkSession, clusterDir: String) {
     math.ceil(nBlocks.toDouble / blocksPerPage).toLong
   }
 
+  /** pywb `filter=` param over any result: `field:regex` keeps matching
+    * rows, `!field:regex` drops them. Core columns (urlkey, ts) filter
+    * directly; every other CDX field is pulled from the CDXJ json payload
+    * — both forms are plain Column predicates, so Catalyst pushes them as
+    * far down as the plan allows. */
+  def withFilter(df: DataFrame, spec: String): DataFrame = {
+    val negate = spec.startsWith("!")
+    val body = if (negate) spec.substring(1) else spec
+    val Array(field, pattern) = body.split(":", 2)
+    val target =
+      if (df.columns.contains(field)) col(field)
+      else get_json_object(col("json"), s"$$.$field")
+    val matched = target.rlike(pattern)
+    df.filter(if (negate) !matched else matched)
+  }
+
   /** page `n` (0-based) of a prefix query: the n-th run of `blocksPerPage`
     * idx blocks, read and filtered to the prefix — completing the pywb
     * showNumPages/page contract. Pages are disjoint and their union is the

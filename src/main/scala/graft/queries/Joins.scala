@@ -122,6 +122,40 @@ object Joins extends QueryModule {
         .orderBy("id")
     }),
 
+    // bucketed co-located join: both sides persisted bucketBy(join key) +
+    // sortBy, so the join plans with NO exchange on either side — the
+    // pre-shuffled layout a 100 TB deployment keeps its fact tables in
+    // (one shuffle at write time amortized over every subsequent join).
+    // PlanSpec asserts the join subtree is exchange-free.
+    "join_bucketed_colocated" -> ((s, d) => {
+      val nBuckets = 8
+      // the in-memory catalog is per-session but the warehouse dir is not:
+      // drop any registered table AND its leftover physical location
+      val wh = new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir"))
+      val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+      Seq("graft_li_bucketed", "graft_ord_bucketed").foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        val loc = new org.apache.hadoop.fs.Path(wh, t)
+        if (fs.exists(loc)) fs.delete(loc, true)
+      }
+      val li = Tables.t(s, d, "lineitem").select("l_orderkey", "l_quantity")
+      val ord = Tables.t(s, d, "orders").select("o_orderkey", "o_orderpriority")
+      li.write.mode("overwrite")
+        .bucketBy(nBuckets, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable("graft_li_bucketed")
+      ord.write.mode("overwrite")
+        .bucketBy(nBuckets, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("graft_ord_bucketed")
+      // merge hint: at 100 TB neither side broadcasts; at test scale the
+      // hint keeps the plan in the sort-merge shape the bucketing serves
+      s.table("graft_li_bucketed")
+        .hint("merge")
+        .join(s.table("graft_ord_bucketed"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(round(sum("l_quantity"), 6).as("sum_qty"), count(lit(1)).as("n_lines"))
+        .orderBy("o_orderpriority")
+    }),
+
     // as-of/nearest: capture closest to a target instant per url-prefix
     // (cdx-server sort=closest consumer contract)
     "join_asof_closest" -> ((s, d) => {
@@ -155,6 +189,10 @@ object Joins extends QueryModule {
     "join_sortmerge_large" ->
       ("SELECT o_orderpriority, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue, " +
         "count(*) AS n_lines FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+    "join_bucketed_colocated" ->
+      ("SELECT o_orderpriority, round(sum(l_quantity), 6) AS sum_qty, count(*) AS n_lines " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
         "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
     "join_semi" ->
       ("SELECT o_orderkey, o_orderpriority FROM orders WHERE EXISTS " +

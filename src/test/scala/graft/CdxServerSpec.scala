@@ -66,6 +66,19 @@ class CdxServerSpec extends SparkSpec {
     assert(server.numPages("aa,first)/", blocksPerPage = 1) == 0)
   }
 
+  test("withFilter applies pywb field:regex / !field:regex semantics") {
+    val all = server.prefix("com,example)/")
+    val ok = server.withFilter(all, "status:200").select("urlkey").as[String].collect()
+    assert(ok.nonEmpty)
+    val not200 = server.withFilter(all, "!status:200").count()
+    assert(ok.length + not200 == all.count())
+    // json-payload field and core-column field both filter
+    val html = server.withFilter(all, "mime:text/html.*")
+    assert(html.count() >= 1)
+    val tsRange = server.withFilter(all, "ts:2015(02|03).*")
+    assert(tsRange.count() >= 1 && tsRange.count() < all.count())
+  }
+
   test("page(n): pages are disjoint and union to the full prefix result") {
     val pre = "com,example)/"
     val bpp = 1

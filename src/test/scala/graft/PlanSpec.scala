@@ -96,6 +96,23 @@ class PlanSpec extends SparkSpec {
       s"data-sized single-partition WindowExec found:\n$w"))
   }
 
+  test("join_bucketed_colocated: no exchange under the join (bucketed co-location)") {
+    val df = SparkEntry.queries("join_bucketed_colocated")(spark, sfDir)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    val plan = df.queryExecution.sparkPlan
+    val joins = plan.collect {
+      case j: SortMergeJoinExec => j: SparkPlan
+      case j: ShuffledHashJoinExec => j: SparkPlan
+    }
+    assert(joins.nonEmpty, s"expected a co-located join:\n$plan")
+    joins.foreach { j =>
+      val shuffles = j.collect { case e: ShuffleExchangeExec => e }
+      assert(shuffles.isEmpty, s"bucketed join must not shuffle its inputs:\n$j")
+    }
+  }
+
   test("split_points: 1-in-20 sample filter sits below every global window") {
     val df = SparkEntry.queries("split_points")(spark, sfDir)
     val wins = df.queryExecution.sparkPlan.collect {
