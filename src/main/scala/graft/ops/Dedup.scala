@@ -91,16 +91,17 @@ object Dedup {
     * (a, b), label every vertex with its connected component's minimum id
     * — the canonical representative a curation pipeline keeps.
     *
-    * Pregel-style min-label propagation: each round, every vertex takes
-    * the min of its own label and its neighbors' labels; converges in
-    * O(component diameter) rounds. Each round is one equi-join + hash
-    * aggregation (both shuffle on the uniformly-distributed vertex id);
-    * the only driver-side value is the per-round convergence count, never
-    * data. `localCheckpoint` truncates the iterative lineage so plan size
-    * stays constant across rounds. At 100 TB with high-diameter graphs
-    * the large-star/small-star variant (log n rounds) drops in here; dup
-    * clusters are near-cliques, so diameter — and round count — stays
-    * tiny in practice.
+    * Pregel-style min-label propagation with pointer jumping: each round,
+    * every vertex takes the min of its own label and its neighbors'
+    * labels, then short-circuits to its representative's representative
+    * (`rep <- rep[rep[v]]`, valid because labels only decrease so
+    * `rep[u] <= u` is invariant). Neighbor propagation alone converges in
+    * O(diameter) rounds; the jumping step doubles the label's reach each
+    * round, giving O(log diameter). Every round is two equi-joins + one
+    * hash aggregation, all shuffling on the uniformly-distributed vertex
+    * id; the only driver-side value is the per-round convergence count,
+    * never data. `localCheckpoint` truncates the iterative lineage so
+    * plan size stays constant across rounds.
     */
   def resolveClusters(
       vertices: DataFrame, pairs: DataFrame, maxIter: Int = 20): DataFrame = {
@@ -112,8 +113,13 @@ object Dedup {
     while (!converged && i < maxIter) {
       val nbrMin = sym.join(labels, sym("a") === labels("v"))
         .groupBy(sym("b").as("nv")).agg(min("rep").as("nbr_rep"))
-      val updated = labels.join(nbrMin, labels("v") === nbrMin("nv"), "left")
+      val propagated = labels.join(nbrMin, labels("v") === nbrMin("nv"), "left")
         .select(col("v"), least(col("rep"), coalesce(col("nbr_rep"), col("rep"))).as("rep"))
+      // pointer jumping: rep[v] <- rep[rep[v]]
+      val updated = propagated.alias("x")
+        .join(propagated.select(col("v").as("rv"), col("rep").as("rrep")).alias("y"),
+          col("x.rep") === col("y.rv"), "left")
+        .select(col("x.v").as("v"), coalesce(col("y.rrep"), col("x.rep")).as("rep"))
         .localCheckpoint()
       val changed = updated.alias("u")
         .join(labels.alias("p"), col("u.v") === col("p.v"))
