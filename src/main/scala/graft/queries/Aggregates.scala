@@ -84,6 +84,22 @@ object Aggregates extends QueryModule {
         .agg(concat_ws(",", sort_array(collect_list("capture"))).as("timeline"))
         .orderBy("prefix_key")),
 
+    // exact percentiles of response length per record type — the stats
+    // surface behind shard sizing (SURVEY §2.7 split_points notes both
+    // exact and approx quantile paths; approx_percentile is the
+    // sketch-based 100 TB variant, property-tested next to this)
+    "agg_percentiles" -> ((s, d) =>
+      Cdx.df(s, d)
+        .groupBy("record_type")
+        .agg(
+          expr("percentile(length, array(0.25, 0.5, 0.75))").as("p"),
+          round(expr("percentile(length, 0.9)"), 6).as("p90"))
+        .selectExpr(
+          "record_type",
+          "round(p[0], 6) AS p25", "round(p[1], 6) AS p50", "round(p[2], 6) AS p75",
+          "p90")
+        .orderBy("record_type")),
+
     // first/last capture per host (limit=1 / reverse cdx-server params)
     "agg_first_last" -> ((s, d) =>
       Cdx.df(s, d)
@@ -124,6 +140,13 @@ object Aggregates extends QueryModule {
     "agg_collect_sorted" -> o(
       "SELECT split_part(urlkey, '?', 1) AS prefix_key, string_agg(ts || ':' || id, ',' ORDER BY ts || ':' || id) AS timeline " +
         "FROM cdx GROUP BY split_part(urlkey, '?', 1) ORDER BY prefix_key"),
+    // DuckDB quantile_cont = Spark exact percentile (both linear-interp)
+    "agg_percentiles" -> o(
+      "SELECT record_type, round(quantile_cont(length, 0.25), 6) AS p25, " +
+        "round(quantile_cont(length, 0.5), 6) AS p50, " +
+        "round(quantile_cont(length, 0.75), 6) AS p75, " +
+        "round(quantile_cont(length, 0.9), 6) AS p90 " +
+        "FROM cdx GROUP BY record_type ORDER BY record_type"),
     "agg_first_last" -> o(
       "SELECT hostword, arg_min(url, ts || lpad(id::VARCHAR, 10, '0')) AS first_url, " +
         "arg_max(url, ts || lpad(id::VARCHAR, 10, '0')) AS last_url, " +
