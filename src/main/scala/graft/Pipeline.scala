@@ -48,4 +48,37 @@ object Pipeline {
       spark: SparkSession, warcGlob: String, outDir: String,
       shards: Int = 8, linesPerBlock: Int = 3000): Unit =
     ZipNum.write(cdxLines(spark, warcGlob), outDir, shards, linesPerBlock)
+
+  /** Continuous ingest (the reference's `--skip-existing` re-run loop as a
+    * stream): CDX line files arriving under `inDir` are parsed and
+    * appended to a parquet index table, exactly-once via the checkpoint
+    * (file-source offsets + sink commit log). `Trigger.AvailableNow`
+    * drains everything currently present and stops — the batch-job shape —
+    * while the same call with a processing-time trigger runs forever.
+    *
+    * Scale notes: the file source lists `inDir` incrementally (maxFiles
+    * per batch bounded by `maxFilesPerTrigger`); parsing is narrow
+    * (per-line split, no shuffle), so the stream's only state is the
+    * source's seen-files log — no watermark needed until an aggregation
+    * is composed downstream (see [[graft.streaming.StreamOps]]).
+    */
+  def streamingCdxIngest(
+      spark: SparkSession, inDir: String, outDir: String,
+      checkpointDir: String, maxFilesPerTrigger: Int = 1000)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    spark.readStream
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .text(inDir)
+      .selectExpr(
+        "element_at(split(value, ' ', 3), 1) AS urlkey",
+        "element_at(split(value, ' ', 3), 2) AS ts",
+        "element_at(split(value, ' ', 3), 3) AS json")
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
 }

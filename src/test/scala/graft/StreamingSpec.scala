@@ -12,6 +12,32 @@ import org.apache.spark.sql.streaming.OutputMode
   * custom stateful operator. Each test drives batches through a query and
   * reads the in-memory sink. */
 class StreamingSpec extends SparkSpec {
+
+  test("streamingCdxIngest appends arriving files exactly once") {
+    import java.nio.file.{Files, Paths}
+    val base = "/tmp/graft_test/stream_ingest"
+    val in = s"$base/in"; val out = s"$base/out"; val ck = s"$base/ck"
+    Seq(base, in).foreach(p => Files.createDirectories(Paths.get(p)))
+    // clean slate: checkpoint state must not leak across test runs
+    Seq(out, ck).foreach { p =>
+      val d = new scala.reflect.io.Directory(new java.io.File(p)); d.deleteRecursively()
+    }
+    def lines(n: Range): String =
+      n.map(i => f"org,example)/p$i%03d 201502150123$i%02d " + s"""{"url":"http://example.org/p$i"}""")
+        .mkString("", "\n", "\n")
+    Files.writeString(Paths.get(s"$in/batch1.cdx"), lines(0 to 9))
+    Pipeline.streamingCdxIngest(spark, in, out, ck).awaitTermination()
+    assert(spark.read.parquet(out).count() == 10)
+    // second arrival: only the NEW file's rows append (source offset log)
+    Files.writeString(Paths.get(s"$in/batch2.cdx"), lines(10 to 14))
+    Pipeline.streamingCdxIngest(spark, in, out, ck).awaitTermination()
+    val rows = spark.read.parquet(out)
+    assert(rows.count() == 15, "no reprocessing of batch1")
+    val parsed = rows.orderBy("urlkey").collect()
+    assert(parsed.head.getString(0) == "org,example)/p000")
+    assert(parsed.head.getString(1).startsWith("201502150123"))
+    assert(parsed.head.getString(2).startsWith("{\"url\""))
+  }
   import spark.implicits._
 
   private def ts(minute: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
