@@ -86,18 +86,25 @@ final class CdxServer(spark: SparkSession, clusterDir: String) {
   }
 
   /** pywb `filter=` param over any result: `field:regex` keeps matching
-    * rows, `!field:regex` drops them. Core columns (urlkey, ts) filter
-    * directly; every other CDX field is pulled from the CDXJ json payload
-    * — both forms are plain Column predicates, so Catalyst pushes them as
-    * far down as the plan allows. */
+    * rows, `!field:regex` drops them, and a colon-less spec matches the
+    * whole reconstructed CDX line (pywb's field-less form). Core columns
+    * (urlkey, ts) filter directly; every other CDX field is pulled from
+    * the CDXJ json payload. An absent field never matches — so under `!`
+    * rows lacking the field are KEPT, matching pywb — and both forms are
+    * plain Column predicates, so Catalyst pushes them down. */
   def withFilter(df: DataFrame, spec: String): DataFrame = {
     val negate = spec.startsWith("!")
     val body = if (negate) spec.substring(1) else spec
-    val Array(field, pattern) = body.split(":", 2)
-    val target =
-      if (df.columns.contains(field)) col(field)
-      else get_json_object(col("json"), s"$$.$field")
-    val matched = target.rlike(pattern)
+    val (target, pattern) = body.split(":", 2) match {
+      case Array(field, p) =>
+        val c =
+          if (df.columns.contains(field)) col(field)
+          else get_json_object(col("json"), s"$$.$field")
+        (c, p)
+      case _ => (concat_ws(" ", col("urlkey"), col("ts"), col("json")), body)
+    }
+    // null field -> no match (not null), so negation keeps the row
+    val matched = coalesce(target.rlike(pattern), lit(false))
     df.filter(if (negate) !matched else matched)
   }
 

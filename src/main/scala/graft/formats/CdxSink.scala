@@ -43,9 +43,14 @@ object CdxSink {
       .repartition(col("filename"))
       .sortWithinPartitions("filename", "line")
       .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
-        val pfs = new Path(dir).getFileSystem(sconf.value)
-        // no .crc sidecars — the written listing must be exactly the
-        // <warc>.cdx.gz names a pywb layout expects
+        // newInstance, NOT getFileSystem: the cached instance is shared
+        // JVM-wide, and setWriteChecksum(false) on it would silently
+        // disable .crc integrity files for every other writer in the
+        // executor. This private instance only affects this sink (which
+        // must emit exactly the <warc>.cdx.gz names a pywb layout expects,
+        // no sidecars) and is closed when the partition finishes.
+        val pfs = org.apache.hadoop.fs.FileSystem.newInstance(
+          new Path(dir).toUri, sconf.value)
         pfs.setWriteChecksum(false)
         // filenames are grouped by the sort; roll files on change
         var current: String = null
@@ -62,7 +67,10 @@ object CdxSink {
             out.write(row.getString(1).getBytes("UTF-8"))
             out.write('\n')
           }
-        } finally close()
+        } finally {
+          close()
+          try pfs.close() catch { case _: java.io.IOException => }
+        }
       }
   }
 }

@@ -143,10 +143,17 @@ object Warc {
     val f = header.split(" ")
     val url = if (f.nonEmpty && f(0).nonEmpty) f(0) else null
     val ts = if (f.length >= 3) f(2).take(14) else null
+    // a member that is neither WARC nor a well-formed ARC header line is
+    // junk — emit an 'unknown' record (dropped by the pipeline's
+    // response/revisit filter) instead of fabricating a response row
+    val looksArc = f.length >= 5 && url != null && url.contains("://") &&
+      ts != null && ts.length == 14 && ts.forall(_.isDigit)
+    if (!looksArc)
+      return Row("unknown", null, null, null, null, null, offset, length, filename, bytes)
     val headerMime = if (f.length >= 4 && f(3) != "-") f(3) else null
     val digest = if (f.length >= 10 && f(5) != "-") f(5) else null
     val body = if (nl < bytes.length) bytes.drop(nl + 1) else Array.emptyByteArray
-    if (url != null && url.startsWith("filedesc://"))
+    if (url.startsWith("filedesc://"))
       // ARC file header record — the warcinfo analog
       Row("arcinfo", url, ts, digest, null, headerMime, offset, length, filename, body)
     else {

@@ -128,6 +128,13 @@ object Dedup {
       converged = changed == 0
       i += 1
     }
+    // wrong-but-plausible labels are worse than failing: an unconverged
+    // exit would silently split one dedup cluster into several. With
+    // pointer jumping, maxIter rounds cover diameter ~2^maxIter, so this
+    // only fires on a genuinely pathological graph or a too-small maxIter.
+    if (!converged)
+      throw new IllegalStateException(
+        s"resolveClusters did not converge in $maxIter rounds; raise maxIter")
     labels
   }
 

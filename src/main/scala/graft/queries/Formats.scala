@@ -26,19 +26,25 @@ object Formats extends QueryModule {
     * a per-filename window — partitioned by the shard key, so no global
     * WindowExec (same shape as win_running_offset).
     */
+  // EVERY field coalesces to '-': concat_ws silently SKIPS null arguments
+  // (both engines), which would emit a misaligned <11-field line for any
+  // record with a null mime/status/digest — the placeholder keeps the
+  // field count fixed, which is the dialect's whole point
   private val cdx11Fields: Seq[String] = Seq(
-    "urlkey", "ts", "url",
-    "lower(trim(regexp_extract(mime, '^[^;]+', 0)))",
-    "CAST(status AS STRING)", "digest",
+    "coalesce(urlkey, '-')", "coalesce(ts, '-')", "coalesce(url, '-')",
+    "coalesce(lower(trim(regexp_extract(mime, '^[^;]+', 0))), '-')",
+    "coalesce(CAST(status AS STRING), '-')", "coalesce(digest, '-')",
     "coalesce(redirect, '-')", "coalesce(robotflags, '-')",
-    "CAST(length AS STRING)", "CAST(boffset AS STRING)", "filename")
+    "coalesce(CAST(length AS STRING), '-')", "coalesce(CAST(boffset AS STRING), '-')",
+    "coalesce(filename, '-')")
   private val cdx11LineSpark = cdx11Fields.mkString("concat_ws(' ', ", ", ", ")")
   private val cdx11FieldsDuck: Seq[String] = Seq(
-    "urlkey", "ts", "url",
-    "lower(trim(regexp_extract(mime, '^[^;]+')))",
-    "status::VARCHAR", "digest",
+    "coalesce(urlkey, '-')", "coalesce(ts, '-')", "coalesce(url, '-')",
+    "coalesce(lower(trim(regexp_extract(mime, '^[^;]+'))), '-')",
+    "coalesce(status::VARCHAR, '-')", "coalesce(digest, '-')",
     "coalesce(redirect, '-')", "coalesce(robotflags, '-')",
-    "length::VARCHAR", "boffset::VARCHAR", "filename")
+    "coalesce(length::VARCHAR, '-')", "coalesce(boffset::VARCHAR, '-')",
+    "coalesce(filename, '-')")
   private val cdx11LineDuck = cdx11FieldsDuck.mkString("concat_ws(' ', ", ", ", ")")
   /** per-WARC running byte offset, the V field's real semantics */
   private val boffsetSpark =
@@ -192,11 +198,13 @@ object Formats extends QueryModule {
         .selectExpr("id", "split(line, ' ') AS f")
         .selectExpr(
           "id",
-          "f[0] AS urlkey", "f[1] AS ts", "f[2] AS url", "f[3] AS mime_n",
-          "CAST(f[4] AS INT) AS status", "f[5] AS digest",
+          "nullif(f[0], '-') AS urlkey", "nullif(f[1], '-') AS ts",
+          "nullif(f[2], '-') AS url", "nullif(f[3], '-') AS mime_n",
+          "CAST(nullif(f[4], '-') AS INT) AS status", "nullif(f[5], '-') AS digest",
           "nullif(f[6], '-') AS redirect", "nullif(f[7], '-') AS robotflags",
-          "CAST(f[8] AS BIGINT) AS length", "CAST(f[9] AS BIGINT) AS boffset",
-          "f[10] AS filename")
+          "CAST(nullif(f[8], '-') AS BIGINT) AS length",
+          "CAST(nullif(f[9], '-') AS BIGINT) AS boffset",
+          "nullif(f[10], '-') AS filename")
         .orderBy("id"))
   )
 

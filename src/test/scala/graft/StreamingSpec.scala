@@ -17,11 +17,11 @@ class StreamingSpec extends SparkSpec {
     import java.nio.file.{Files, Paths}
     val base = "/tmp/graft_test/stream_ingest"
     val in = s"$base/in"; val out = s"$base/out"; val ck = s"$base/ck"
-    Seq(base, in).foreach(p => Files.createDirectories(Paths.get(p)))
-    // clean slate: checkpoint state must not leak across test runs
-    Seq(out, ck).foreach { p =>
-      val d = new scala.reflect.io.Directory(new java.io.File(p)); d.deleteRecursively()
-    }
+    // clean slate INCLUDING the input dir: a stale batch2.cdx from a prior
+    // suite run would be drained by the first AvailableNow pass (the
+    // checkpoint is fresh) and break the == 10 assertion
+    new scala.reflect.io.Directory(new java.io.File(base)).deleteRecursively()
+    Files.createDirectories(Paths.get(in))
     def lines(n: Range): String =
       n.map(i => f"org,example)/p$i%03d 201502150123$i%02d " + s"""{"url":"http://example.org/p$i"}""")
         .mkString("", "\n", "\n")
@@ -101,6 +101,29 @@ class StreamingSpec extends SparkSpec {
       val rows = spark.table("session_sink")
         .select("user_id", "n_events").as[(Long, Long)].collect().sorted.toSeq
       assert(rows == Seq((1L, 1L), (1L, 2L), (2L, 1L)))
+    } finally q.stop()
+  }
+
+  test("session windows in append mode emit only watermark-closed sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[E]
+    // the library's declared sink mode: bounded state, sessions emitted on
+    // close — not Complete, which would retain all aggregation state
+    val q = StreamOps.sessionCounts(toDf(input)).writeStream
+      .format("memory").queryName("session_append_sink")
+      .outputMode(StreamOps.outputModes("session")).start()
+    try {
+      input.addData((1L, ts(0), 1L, "a", 1.0), (2L, ts(20), 1L, "a", 1.0))
+      q.processAllAvailable()
+      // watermark (max ts − 1h) has not passed the session's end yet
+      assert(spark.table("session_append_sink").isEmpty,
+        "open sessions must not appear in append mode")
+      // an event far ahead advances the watermark past 10:50, closing it
+      input.addData((3L, tsAt(13, 0), 1L, "a", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("session_append_sink")
+        .select("user_id", "n_events").as[(Long, Long)].collect().toSeq
+      assert(rows == Seq((1L, 2L)), s"closed session emitted exactly once: $rows")
     } finally q.stop()
   }
 

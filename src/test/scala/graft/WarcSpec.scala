@@ -88,6 +88,24 @@ class WarcSpec extends SparkSpec {
     assert(rows.size == expected.size)
   }
 
+  test("junk members surface as 'unknown', never as fabricated responses") {
+    import graft.formats.Gzip
+    val junkFile = "/tmp/graft_test/junk.gz"
+    Files.createDirectories(Paths.get(junkFile).getParent)
+    val out = Files.newOutputStream(Paths.get(junkFile))
+    try {
+      // a non-archive member whose first line still splits into 3+ tokens
+      Gzip.writeMember(out, "hello world 20150215012345 x 42\n".getBytes("UTF-8"))
+      Gzip.writeMember(out, "random bytes, not a record".getBytes("UTF-8"))
+    } finally out.close()
+    val types = Warc.scan(spark, junkFile).select("record_type", "url")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(types.forall(_._1 == "unknown"), types.toString)
+    assert(types.forall(_._2 == null))
+    // the pipeline's response/revisit filter therefore drops them all
+    assert(Pipeline.cdxLines(spark, junkFile).count() == 0)
+  }
+
   test("ARC offsets tile the file and HTTP payload survives") {
     val arcFile = "/tmp/graft_test/fixture.arc.gz"
     Files.createDirectories(Paths.get(arcFile).getParent)
