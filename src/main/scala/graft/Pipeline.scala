@@ -49,6 +49,24 @@ object Pipeline {
       shards: Int = 8, linesPerBlock: Int = 3000): Unit =
     ZipNum.write(cdxLines(spark, warcGlob), outDir, shards, linesPerBlock)
 
+  /** The reference's mrjob `increment_counter` calls as Spark-native
+    * observed metrics (indexwarcsjob.py §mapper counters, recon ~L90–110):
+    * attach zero-cost named aggregates to the CDX derivation; after any
+    * action on the returned frame, `observation.get` yields the counters
+    * (records seen, lines kept, distinct WARCs) without a second pass.
+    */
+  def cdxLinesObserved(spark: SparkSession, warcGlob: String)
+      : (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation("cdx_ingest")
+    val observed = cdxLines(spark, warcGlob).observe(
+      obs,
+      count(lit(1)).as("n_lines"),
+      approx_count_distinct(
+        expr("element_at(split(line, ' ', 3), 1)")).as("approx_urlkeys"),
+      sum(length(col("line"))).as("total_line_bytes"))
+    (observed, obs)
+  }
+
   /** Continuous ingest (the reference's `--skip-existing` re-run loop as a
     * stream): CDX line files arriving under `inDir` are parsed and
     * appended to a parquet index table, exactly-once via the checkpoint

@@ -31,6 +31,20 @@ class PipelineSpec extends SparkSpec {
     assert(keys.contains("org,iana,sub)/x"))
   }
 
+  test("observed metrics report the mrjob-counter analogs in one pass") {
+    Files.createDirectories(Paths.get(warcFile).getParent)
+    Warc.writeFixture(warcFile, Warc.fixtureRecords)
+    val (df, obs) = Pipeline.cdxLinesObserved(spark, warcFile)
+    val n = df.count() // one action materializes data AND counters
+    val metrics = obs.get
+    assert(metrics("n_lines") == n)
+    assert(metrics("total_line_bytes").asInstanceOf[Long] > 0)
+    val exactKeys = df.selectExpr("element_at(split(line, ' ', 3), 1)")
+      .distinct().count()
+    val approx = metrics("approx_urlkeys").asInstanceOf[Long]
+    assert(math.abs(approx - exactKeys) <= math.max(1, exactKeys / 10))
+  }
+
   test("prefix lookup through cluster.idx answers the index's core query") {
     run()
     val hits = ZipNum.readLines(spark, outDir, prefix = Some("com,example)/path"))
