@@ -10,6 +10,10 @@ object Bench {
       // events.parquet carries nanos timestamps; set the legacy flag once,
       // up front, so no query mutates session conf mid-run
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // pin UTC like Verify/GraftSession — the CDX derivations assume it,
+      // so an unpinned TZ would bench a different row set than the one
+      // correctness-verified (build.sbt sets the -D too; belt-and-braces)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

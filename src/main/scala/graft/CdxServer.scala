@@ -21,6 +21,11 @@ import org.apache.spark.sql.functions._
   */
 final class CdxServer(spark: SparkSession, clusterDir: String) {
 
+  /** cluster.idx parsed once per server instance (clusterDir is fixed for
+    * the instance's lifetime) — a paginated client walking n pages would
+    * otherwise re-read the idx from storage n+1 times */
+  private lazy val idx: Seq[ZipNum.IdxEntry] = ZipNum.readIdx(spark, clusterDir)
+
   private def scan(prefixKey: Option[String]): DataFrame = {
     val df = spark.read.format("zipnum").load(clusterDir)
     prefixKey.map(p => df.filter(col("urlkey").startsWith(p))).getOrElse(df)
@@ -47,7 +52,9 @@ final class CdxServer(spark: SparkSession, clusterDir: String) {
   def captures(urlkey: String, from: String, to: String): DataFrame =
     exactUrl(urlkey).filter(col("ts") >= from && col("ts") <= to)
 
-  /** k captures nearest the target timestamp (sort=closest&limit=k) */
+  /** k captures nearest the target timestamp (sort=closest&limit=k);
+    * the distance is ordering-only — the result keeps the scan schema
+    * (pywb's closest response carries no distance field) */
   def closest(urlkey: String, target: String, k: Int): DataFrame =
     exactUrl(urlkey)
       .withColumn("dist", abs(
@@ -55,6 +62,7 @@ final class CdxServer(spark: SparkSession, clusterDir: String) {
           unix_timestamp(to_timestamp(lit(target), "yyyyMMddHHmmss"))))
       .orderBy(col("dist"), col("ts"))
       .limit(k)
+      .drop("dist")
 
   /** collapse=timestamp:N — first capture per ts-prefix granule per key */
   def collapse(surtPrefix: String, tsPrefixLen: Int): DataFrame = {
@@ -79,7 +87,6 @@ final class CdxServer(spark: SparkSession, clusterDir: String) {
   /** pagination contract: numPages for a prefix at `blocksPerPage`
     * (pywb showNumPages), computed from cluster.idx alone — no data I/O */
   def numPages(surtPrefix: String, blocksPerPage: Int): Long = {
-    val idx = ZipNum.readIdx(spark, clusterDir)
     val (lo, hi) = ZipNum.prefixBounds(surtPrefix)
     val nBlocks = ZipNum.selectBlocks(idx, lo, hi).size
     math.ceil(nBlocks.toDouble / blocksPerPage).toLong
@@ -103,8 +110,10 @@ final class CdxServer(spark: SparkSession, clusterDir: String) {
         (c, p)
       case _ => (concat_ws(" ", col("urlkey"), col("ts"), col("json")), body)
     }
-    // null field -> no match (not null), so negation keeps the row
-    val matched = coalesce(target.rlike(pattern), lit(false))
+    // pywb's filter= uses re.match — anchored at the START of the field
+    // (filter=status:00 matches nothing, not "200"); null field -> no
+    // match (not null), so negation keeps the row
+    val matched = coalesce(target.rlike("^(?:" + pattern + ")"), lit(false))
     df.filter(if (negate) !matched else matched)
   }
 
@@ -113,7 +122,6 @@ final class CdxServer(spark: SparkSession, clusterDir: String) {
     * showNumPages/page contract. Pages are disjoint and their union is the
     * full [[prefix]] result; only the selected blocks' bytes are read. */
   def page(surtPrefix: String, blocksPerPage: Int, n: Int): DataFrame = {
-    val idx = ZipNum.readIdx(spark, clusterDir)
     val (lo, hi) = ZipNum.prefixBounds(surtPrefix)
     val blocks = ZipNum.selectBlocks(idx, lo, hi)
       .slice(n * blocksPerPage, (n + 1) * blocksPerPage)

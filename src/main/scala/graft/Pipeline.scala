@@ -53,7 +53,9 @@ object Pipeline {
     * observed metrics (indexwarcsjob.py §mapper counters, recon ~L90–110):
     * attach zero-cost named aggregates to the CDX derivation; after any
     * action on the returned frame, `observation.get` yields the counters
-    * (records seen, lines kept, distinct WARCs) without a second pass.
+    * — `n_lines` (CDX lines kept), `approx_urlkeys` (HLL distinct key
+    * estimate), `total_line_bytes` (UTF-8 output bytes) — without a
+    * second pass over the data.
     */
   def cdxLinesObserved(spark: SparkSession, warcGlob: String)
       : (DataFrame, org.apache.spark.sql.Observation) = {
@@ -63,7 +65,8 @@ object Pipeline {
       count(lit(1)).as("n_lines"),
       approx_count_distinct(
         expr("element_at(split(line, ' ', 3), 1)")).as("approx_urlkeys"),
-      sum(length(col("line"))).as("total_line_bytes"))
+      // octet_length: bytes, not codepoints — non-ASCII URLs are common
+      sum(octet_length(col("line"))).as("total_line_bytes"))
     (observed, obs)
   }
 

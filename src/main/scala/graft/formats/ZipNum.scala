@@ -85,39 +85,66 @@ object ZipNum {
   }
 
   /** Parse cluster.idx (driver-side — it is the small binary-searchable
-    * secondary index by construction). */
-  def readIdx(spark: SparkSession, dir: String): Seq[IdxEntry] = {
+    * secondary index by construction). THE one idx parser: the V2 source
+    * delegates here too, so the line format has a single reader. */
+  def readIdx(spark: SparkSession, dir: String): Seq[IdxEntry] =
+    readIdx(dir, spark.sparkContext.hadoopConfiguration)
+
+  def readIdx(dir: String, conf: Configuration): Seq[IdxEntry] = {
     val path = new Path(dir, "cluster.idx")
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = path.getFileSystem(conf)
     val in = fs.open(path)
-    val content = try {
-      val out = new ByteArrayOutputStream()
-      val buf = new Array[Byte](65536)
-      var n = in.read(buf)
-      while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
-      new String(out.toByteArray, UTF_8)
-    } finally in.close()
+    val content = try new String(in.readAllBytes(), UTF_8) finally in.close()
     content.split("\n").filter(_.nonEmpty).toSeq.map { l =>
       val f = l.split("\t")
       IdxEntry(f(0), f(1), f(2).toLong, f(3).toLong, f(4).toLong)
     }
   }
 
+  /** Spark (and DuckDB) order strings by unsigned UTF-8 bytes; Java's
+    * String.compareTo orders by UTF-16 code units, which INVERTS the
+    * relative order of supplementary characters (U+10000+, surrogate
+    * pairs) versus [U+E000, U+FFFF]. The cluster is sorted by Spark, so
+    * every driver-side pruning comparison must use the byte order or a
+    * prefix/range query over such keys silently drops blocks. */
+  private[graft] def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes(UTF_8)
+    val y = b.getBytes(UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+
   /** THE block-pruning rule, shared by every reader (library, V2 source,
     * CdxServer pagination): keep block i when its key range
     * [firstKey_i, firstKey_i+1) can intersect [lo, hi) — conservatively
-    * keeping the straddling predecessor, like pywb's idx binary search. */
+    * keeping the straddling predecessor, like pywb's idx binary search.
+    * Comparisons are UTF-8 byte order (see [[utf8Compare]]). */
   def selectBlocks(
       idx: Seq[IdxEntry], lo: Option[String], hi: Option[String]): Seq[IdxEntry] =
     idx.zipAll(idx.drop(1).map(e => Some(e.firstKey)), null, None)
       .collect { case (e, nextKey) if e != null => (e, nextKey) }
       .filter { case (e, next) =>
-        hi.forall(h => e.firstKey < h) && lo.forall(l => next.forall(_ >= l))
+        hi.forall(h => utf8Compare(e.firstKey, h) < 0) &&
+          lo.forall(l => next.forall(nk => utf8Compare(nk, l) >= 0))
       }.map(_._1)
 
-  /** [lo, hi) bounds for a key prefix */
+  /** [lo, hi) bounds for a key prefix. The upper sentinel is U+10FFFF
+    * (max code point, 4-byte F4 8F BF BF): in UTF-8 byte order every
+    * continuation of `prefix` sorts below it — unlike the old U+FFFF
+    * sentinel (3-byte), which supplementary characters sort ABOVE.
+    * (Only a key containing U+10FFFF itself at the boundary could
+    * escape; U+10FFFF never appears in URLs/SURT keys.) */
+  /** U+10FFFF, built from the code point (no raw literal in source) */
+  private[graft] val MaxCodePoint: String = new String(Character.toChars(0x10FFFF))
+
   def prefixBounds(prefix: String): (Option[String], Option[String]) =
-    (Some(prefix), Some(prefix + "￿"))
+    (Some(prefix), Some(prefix + MaxCodePoint))
 
   /** Read lines back, pruning blocks through cluster.idx when a key prefix
     * is given. `ordered=false` skips the final global sort when the caller

@@ -143,6 +143,8 @@ object Dedup {
     * degenerate-bucket cap as [[minhashCandidates]]). */
   def simhashCandidates(
       hashes: DataFrame, bands: Int = 4, maxBucketSize: Int = 10000): DataFrame = {
+    require(64 % bands == 0,
+      s"bands must divide 64 (got $bands) — truncated widths would leave high bits unbanded")
     val width = 64 / bands
     val bandCols = (0 until bands).map(b =>
       expr(s"(simhash >> ${b * width}) & ${(1L << width) - 1}"))

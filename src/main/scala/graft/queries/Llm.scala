@@ -25,9 +25,9 @@ import org.apache.spark.sql.functions._
   */
 object Llm extends QueryModule {
 
-  /** tokens = nonempty lowercase runs of [a-z0-9]; same regex both engines */
-  private def tokens(c: Column): Column =
-    filter(split(lower(c), "[^a-z0-9]+"), t => t =!= "")
+  /** THE shared tokenizer (ops.Dedup.tokens) — one definition, so a
+    * tokenization tweak can't silently diverge from these oracles */
+  private def tokens(c: Column): Column = graft.ops.Dedup.tokens(c)
 
   private val tokensDuck =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"

@@ -54,9 +54,15 @@ final class WarcScan(pathGlob: String) extends Scan with Batch {
   override def planInputPartitions(): Array[InputPartition] = {
     val path = new Path(pathGlob)
     val fs = path.getFileSystem(sessionConf)
+    // a glob match may be a directory (load("/data/warcs") — the common
+    // idiom every builtin file source supports): expand one level to its
+    // files instead of silently planning zero partitions
     val statuses = Option(fs.globStatus(path))
       .map(_.toSeq).getOrElse(Seq.empty)
-      .filter(_.isFile)
+      .flatMap { s =>
+        if (s.isFile) Seq(s)
+        else fs.listStatus(s.getPath).toSeq.filter(_.isFile)
+      }
     statuses.map(s => WarcFilePartition(s.getPath.toString): InputPartition).toArray
   }
 

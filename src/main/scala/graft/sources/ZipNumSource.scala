@@ -54,14 +54,18 @@ object ZipNumSource {
   def rangeFromFilters(filters: Seq[Filter]): KeyRange = {
     var lo: Option[String] = None
     var hi: Option[String] = None
-    def tightenLo(v: String): Unit = if (lo.forall(_ < v)) lo = Some(v)
-    def tightenHi(v: String): Unit = if (hi.forall(_ > v)) hi = Some(v)
+    // tighten in UTF-8 byte order — the order the cluster is sorted in
+    def tightenLo(v: String): Unit =
+      if (lo.forall(ZipNum.utf8Compare(_, v) < 0)) lo = Some(v)
+    def tightenHi(v: String): Unit =
+      if (hi.forall(ZipNum.utf8Compare(_, v) > 0)) hi = Some(v)
+    val max = ZipNum.MaxCodePoint
     filters.foreach {
-      case EqualTo("urlkey", v: String) => tightenLo(v); tightenHi(v + "￿")
-      case StringStartsWith("urlkey", p) => tightenLo(p); tightenHi(p + "￿")
+      case EqualTo("urlkey", v: String) => tightenLo(v); tightenHi(v + max)
+      case StringStartsWith("urlkey", p) => tightenLo(p); tightenHi(p + max)
       case GreaterThanOrEqual("urlkey", v: String) => tightenLo(v)
       case GreaterThan("urlkey", v: String) => tightenLo(v)
-      case LessThanOrEqual("urlkey", v: String) => tightenHi(v + "￿")
+      case LessThanOrEqual("urlkey", v: String) => tightenHi(v + max)
       case LessThan("urlkey", v: String) => tightenHi(v)
       case _ =>
     }
@@ -135,18 +139,10 @@ final class ZipNumScan(dir: String, range: ZipNumSource.KeyRange) extends Scan w
 }
 
 object ZipNumScan {
-  /** driver-side idx read */
+  /** driver-side idx read — delegates to the single idx parser */
   def readIdxStatic(
-      dir: String, conf: Configuration = new Configuration()): Seq[ZipNum.IdxEntry] = {
-    val path = new Path(dir, "cluster.idx")
-    val fs = path.getFileSystem(conf)
-    val in = fs.open(path)
-    val content = try new String(in.readAllBytes(), "UTF-8") finally in.close()
-    content.split("\n").filter(_.nonEmpty).toSeq.map { l =>
-      val f = l.split("\t")
-      ZipNum.IdxEntry(f(0), f(1), f(2).toLong, f(3).toLong, f(4).toLong)
-    }
-  }
+      dir: String, conf: Configuration = new Configuration()): Seq[ZipNum.IdxEntry] =
+    ZipNum.readIdx(dir, conf)
 }
 
 final case class ZipNumBlockPartition(blocks: Array[(String, Long, Long, Long)])

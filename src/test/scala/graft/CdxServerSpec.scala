@@ -72,6 +72,8 @@ class CdxServerSpec extends SparkSpec {
     assert(ok.nonEmpty)
     val not200 = server.withFilter(all, "!status:200").count()
     assert(ok.length + not200 == all.count())
+    // anchored like pywb's re.match: "00" does NOT match inside "200"
+    assert(server.withFilter(all, "status:00").count() == 0)
     // json-payload field and core-column field both filter
     val html = server.withFilter(all, "mime:text/html.*")
     assert(html.count() >= 1)

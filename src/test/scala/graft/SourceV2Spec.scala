@@ -32,6 +32,16 @@ class SourceV2Spec extends SparkSpec {
     assert(v2.size == Warc.fixtureRecords.size)
   }
 
+  test("format(warc) loads a directory of WARCs, not just file globs") {
+    val dir = "/tmp/graft_test/v2_warcdir"
+    Files.createDirectories(Paths.get(dir))
+    Warc.writeFixture(s"$dir/a.warc.gz", Warc.fixtureRecords.take(3))
+    Warc.writeFixture(s"$dir/b.warc.gz", Warc.fixtureRecords.drop(3))
+    val n = spark.read.format("warc").load(dir).count()
+    assert(n == Warc.fixtureRecords.size,
+      s"directory load must expand to its files, got $n rows")
+  }
+
   test("format(zipnum) returns the full sorted cluster") {
     setup()
     val rows = spark.read.format("zipnum").load(zipDir)

@@ -9,6 +9,25 @@ import graft.formats.{Gzip, ZipNum}
   * increasing and length-tiling per shard; idx firstkeys are a
   * subsequence of the data; prefix reads equal a filtered full read. */
 class ZipNumSpec extends SparkSpec {
+
+  test("block pruning compares keys in UTF-8 byte order, not UTF-16") {
+    import graft.formats.ZipNum
+    import graft.formats.ZipNum.IdxEntry
+    // Java String order puts the surrogate-pair emoji BEFORE U+E000;
+    // UTF-8 byte order — the order Spark sorted the cluster in — puts it
+    // after. Pruning with String comparisons dropped the matching block.
+    val k1 = "com,a)\uE000x"       // U+E000, 3-byte EE 80 80
+    val k2 = "com,a)\uD83D\uDE00y" // U+1F600, 4-byte F0 9F 98 80
+    assert(k2 < k1, "precondition: UTF-16 order inverts these keys")
+    assert(ZipNum.utf8Compare(k1, k2) < 0, "byte order is the real sort order")
+    val idx = Seq(IdxEntry(k1, "s", 0, 10, 0), IdxEntry(k2, "s", 10, 10, 1))
+    val (lo, hi) = ZipNum.prefixBounds("com,a)\uE000")
+    assert(ZipNum.selectBlocks(idx, lo, hi).map(_.seq) == Seq(0L),
+      "the block physically holding the matching key must survive pruning")
+    // emoji prefix: block 1 plus the conservative straddling predecessor
+    val (lo2, hi2) = ZipNum.prefixBounds("com,a)\uD83D\uDE00")
+    assert(ZipNum.selectBlocks(idx, lo2, hi2).map(_.seq) == Seq(0L, 1L))
+  }
   import spark.implicits._
 
   private val dir = "/tmp/graft_test/zipnum"
