@@ -125,6 +125,24 @@ object Formats extends QueryModule {
         .orderBy("urlkey", "ts", "json")
     }),
 
+    // same cluster through the V2 WRITE path: df.write.format("zipnum") —
+    // RequiresDistributionAndOrdering makes CATALYST plan the range
+    // exchange + sort (no repartitionByRange in user code), the tasks
+    // stream gzip blocks, the driver commit assembles cluster.idx
+    "sink_zipnum_v2" -> ((s, d) => {
+      val dir = tmp(d, "zipnum_v2_write")
+      cdxLines(s, d)
+        .write.format("zipnum")
+        .option("shards", "8").option("linesPerBlock", "100")
+        .mode("overwrite").save(dir)
+      ZipNum.readLines(s, dir)
+        .selectExpr(
+          "element_at(split(line, ' ', 3), 1) AS urlkey",
+          "element_at(split(line, ' ', 3), 2) AS ts",
+          "element_at(split(line, ' ', 3), 3) AS json")
+        .orderBy("urlkey", "ts", "json")
+    }),
+
     // the index's reason to exist: prefix lookup touching only the blocks
     // cluster.idx selects (pywb zipnum §search, as batch pruning)
     "zipnum_prefix_lookup" -> ((s, d) => {
@@ -218,6 +236,8 @@ object Formats extends QueryModule {
     "scan_manifest" -> o("SELECT DISTINCT filename AS warc_path FROM cdx ORDER BY warc_path"),
     "sink_parquet" -> o("SELECT id, urlkey, ts, status, length FROM cdx ORDER BY id"),
     "sink_zipnum" -> o(
+      s"SELECT urlkey, ts, $jsonExprDuck FROM cdx ORDER BY urlkey, ts, json"),
+    "sink_zipnum_v2" -> o(
       s"SELECT urlkey, ts, $jsonExprDuck FROM cdx ORDER BY urlkey, ts, json"),
     "zipnum_prefix_lookup" -> o(
       s"SELECT urlkey, ts, $jsonExprDuck FROM cdx " +

@@ -27,10 +27,13 @@ import org.apache.spark.unsafe.types.UTF8String
 class ZipNumSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "zipnum"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = ZipNumSource.schema
+  // writes carry the incoming frame's schema (a 'line' column) rather
+  // than the read schema — accept it instead of failing validation
+  override def supportsExternalMetadata(): Boolean = true
   override def getTable(
       schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
-    new ZipNumTable(properties.getOrDefault("path", ""))
+    new ZipNumTable(properties.getOrDefault("path", ""), schema)
 }
 
 object ZipNumSource {
@@ -73,14 +76,29 @@ object ZipNumSource {
   }
 }
 
-final class ZipNumTable(path: String) extends Table with SupportsRead {
+final class ZipNumTable(path: String, providedSchema: StructType)
+  extends Table with SupportsRead
+  with org.apache.spark.sql.connector.catalog.SupportsWrite {
+
   override def name(): String = s"zipnum:$path"
-  override def schema(): StructType = ZipNumSource.schema
+  override def schema(): StructType =
+    if (providedSchema != null && providedSchema.nonEmpty) providedSchema
+    else ZipNumSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(
+      TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val p = Option(options.get("path")).filter(_.nonEmpty).getOrElse(path)
     new ZipNumScanBuilder(p)
+  }
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    val p = Option(info.options.get("path")).filter(_.nonEmpty).getOrElse(path)
+    val conf = new SerializableHadoopConf(
+      org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
+    new ZipNumWriteBuilder(p, info, conf)
   }
 }
 

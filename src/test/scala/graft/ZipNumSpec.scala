@@ -10,6 +10,39 @@ import graft.formats.{Gzip, ZipNum}
   * subsequence of the data; prefix reads equal a filtered full read. */
 class ZipNumSpec extends SparkSpec {
 
+  test("V2 write: Catalyst plans the exchange; cluster matches the library writer") {
+    import spark.implicits._
+    val dir = "/tmp/graft_test/zipnum_v2w"
+    // deliberately UNSORTED input — only RequiresDistributionAndOrdering's
+    // planner-inserted range exchange + sort can make the cluster valid
+    val lines = (0 until 500).map(i => f"key-${(i * 131) % 500}%05d 2015 x$i")
+    lines.toDF("line").repartition(7)
+      .write.format("zipnum")
+      .option("shards", "4").option("linesPerBlock", "50")
+      .mode("overwrite").save(dir)
+    val back = ZipNum.readLines(spark, dir).as[String].collect().toSeq
+    assert(back == lines.sorted, "cluster must come back globally sorted")
+    val idx = ZipNum.readIdx(spark, dir)
+    assert(idx.map(_.firstKey) == idx.map(_.firstKey).sorted, "idx firstkeys sorted")
+    assert(idx.map(_.shard).distinct.size <= 4)
+    // offsets tile each shard exactly
+    idx.groupBy(_.shard).foreach { case (shard, es) =>
+      val sorted = es.sortBy(_.offset)
+      assert(sorted.head.offset == 0)
+      sorted.sliding(2).foreach {
+        case Seq(a, b) => assert(b.offset == a.offset + a.length)
+        case _ =>
+      }
+      val fileLen = Files.size(Paths.get(s"$dir/$shard"))
+      assert(sorted.last.offset + sorted.last.length == fileLen)
+    }
+    // a second write without overwrite refuses (idx already present)
+    intercept[Exception] {
+      lines.toDF("line").write.format("zipnum")
+        .option("shards", "4").option("linesPerBlock", "50").save(dir)
+    }
+  }
+
   test("block pruning compares keys in UTF-8 byte order, not UTF-16") {
     import graft.formats.ZipNum
     import graft.formats.ZipNum.IdxEntry
