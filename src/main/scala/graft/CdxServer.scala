@@ -21,10 +21,20 @@ import org.apache.spark.sql.functions._
   */
 final class CdxServer(spark: SparkSession, clusterDir: String) {
 
-  /** cluster.idx parsed once per server instance (clusterDir is fixed for
-    * the instance's lifetime) — a paginated client walking n pages would
-    * otherwise re-read the idx from storage n+1 times */
-  private lazy val idx: Seq[ZipNum.IdxEntry] = ZipNum.readIdx(spark, clusterDir)
+  /** cluster.idx parsed once per server instance — a paginated client
+    * walking n pages would otherwise re-read the idx from storage n+1
+    * times. A CdxServer therefore serves ONE cluster version: if the
+    * cluster at clusterDir is rewritten in place, call [[refreshIdx]]
+    * (or build a new server) before further pagination — stale offsets
+    * would seek into the new files' bytes. */
+  @volatile private var idxCache: Seq[ZipNum.IdxEntry] = null
+  private def idx: Seq[ZipNum.IdxEntry] = {
+    if (idxCache == null) idxCache = ZipNum.readIdx(spark, clusterDir)
+    idxCache
+  }
+
+  /** drop the cached cluster.idx (after an in-place cluster rewrite) */
+  def refreshIdx(): Unit = idxCache = null
 
   private def scan(prefixKey: Option[String]): DataFrame = {
     val df = spark.read.format("zipnum").load(clusterDir)

@@ -74,8 +74,9 @@ object ZipNum {
         }
       }.collect()
 
-    // shards are range-ordered, so (shard, seq) order == global key order
-    val sortedIdx = idxEntries.sortBy(e => (e.shard, e.seq))
+    // shards are range-ordered by NUMERIC partition id — lexicographic
+    // name order diverges once names outgrow the %05d padding
+    val sortedIdx = idxEntries.sortBy(e => (shardOrdinal(e.shard), e.seq))
     val withGlobalSeq = sortedIdx.zipWithIndex.map { case (e, i) =>
       s"${e.firstKey}\t${e.shard}\t${e.offset}\t${e.length}\t$i"
     }
@@ -140,6 +141,10 @@ object ZipNum {
     * sentinel (3-byte), which supplementary characters sort ABOVE.
     * (Only a key containing U+10FFFF itself at the boundary could
     * escape; U+10FFFF never appears in URLs/SURT keys.) */
+  /** `cdx-00042.gz` -> 42 (numeric shard order, padding-width-proof) */
+  private[graft] def shardOrdinal(shard: String): Long =
+    shard.filter(_.isDigit).toLong
+
   /** U+10FFFF, built from the code point (no raw literal in source) */
   private[graft] val MaxCodePoint: String = new String(Character.toChars(0x10FFFF))
 

@@ -56,12 +56,18 @@ final class WarcScan(pathGlob: String) extends Scan with Batch {
     val fs = path.getFileSystem(sessionConf)
     // a glob match may be a directory (load("/data/warcs") — the common
     // idiom every builtin file source supports): expand one level to its
-    // files instead of silently planning zero partitions
+    // archive files. The expansion skips hidden/metadata names (_SUCCESS,
+    // .warc.open in-progress files) and non-.gz sidecars — one stray
+    // README would otherwise fail the whole scan on bad gzip magic.
+    // An EXPLICIT glob/file is taken verbatim (the user asked for it).
+    def isArchive(name: String): Boolean =
+      !name.startsWith("_") && !name.startsWith(".") && name.endsWith(".gz")
     val statuses = Option(fs.globStatus(path))
       .map(_.toSeq).getOrElse(Seq.empty)
       .flatMap { s =>
         if (s.isFile) Seq(s)
-        else fs.listStatus(s.getPath).toSeq.filter(_.isFile)
+        else fs.listStatus(s.getPath).toSeq
+          .filter(f => f.isFile && isArchive(f.getPath.getName))
       }
     statuses.map(s => WarcFilePartition(s.getPath.toString): InputPartition).toArray
   }

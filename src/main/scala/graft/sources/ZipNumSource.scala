@@ -32,8 +32,17 @@ class ZipNumSource extends TableProvider with DataSourceRegister {
   override def supportsExternalMetadata(): Boolean = true
   override def getTable(
       schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
+      properties: util.Map[String, String]): Table = {
+    // external metadata exists only for the write shape (a 'line' frame);
+    // a read-side user schema would be silently ignored by the scan
+    // (which always emits the fixed schema) — reject it instead
+    require(
+      schema == null || schema.isEmpty || schema == ZipNumSource.schema ||
+        schema.fieldNames.contains("line"),
+      "zipnum does not support user-specified read schemas; " +
+        s"columns are ${ZipNumSource.schema.fieldNames.mkString(", ")}")
     new ZipNumTable(properties.getOrDefault("path", ""), schema)
+  }
 }
 
 object ZipNumSource {

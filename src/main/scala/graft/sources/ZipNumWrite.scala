@@ -25,7 +25,7 @@ import org.apache.spark.sql.connector.write._
   * library writer). A failed job never publishes an idx, so readers
   * (which always start from cluster.idx) cannot observe partial output.
   */
-final case class ZipNumCommit(entries: Seq[ZipNum.IdxEntry]) extends WriterCommitMessage
+final case class ZipNumCommit(pid: Int, entries: Seq[ZipNum.IdxEntry]) extends WriterCommitMessage
 
 final class ZipNumWriteBuilder(
     dir: String, info: LogicalWriteInfo, sconf: SerializableHadoopConf)
@@ -38,6 +38,9 @@ final class ZipNumWriteBuilder(
     val lineIdx = info.schema().fieldNames.indexOf("line")
     require(lineIdx >= 0,
       s"zipnum write needs a 'line' STRING column; got [${info.schema().fieldNames.mkString(", ")}]")
+    require(info.schema()(lineIdx).dataType == org.apache.spark.sql.types.StringType,
+      s"'line' must be STRING, got ${info.schema()(lineIdx).dataType.simpleString} — " +
+        "failing here beats a per-task ClassCastException after the exchange has run")
     val shards = Option(info.options.get("shards")).map(_.toInt).getOrElse(8)
     val linesPerBlock = Option(info.options.get("linesPerBlock")).map(_.toInt).getOrElse(3000)
     require(shards > 0 && linesPerBlock > 0, "shards and linesPerBlock must be positive")
@@ -77,11 +80,14 @@ final class ZipNumBatchWrite(
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new ZipNumWriterFactory(dir, lineIdx, linesPerBlock, sconf)
 
-  /** driver-side: assemble cluster.idx from the per-shard entries; shard
-    * names are range-ordered, so (shard, seq) order == global key order */
+  /** driver-side: assemble cluster.idx from the per-shard entries,
+    * ordered by NUMERIC partition id (lexicographic shard-name order
+    * diverges from it once names outgrow the %05d padding), which the
+    * range exchange made equal to global key order */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val entries = messages.collect { case ZipNumCommit(es) => es }.flatten
-    val sorted = entries.sortBy(e => (e.shard, e.seq))
+    val sorted = messages.collect { case c: ZipNumCommit => c }
+      .sortBy(_.pid)
+      .flatMap(c => c.entries.sortBy(_.seq))
     val lines = sorted.zipWithIndex.map { case (e, i) =>
       s"${e.firstKey}\t${e.shard}\t${e.offset}\t${e.length}\t$i"
     }
@@ -98,28 +104,38 @@ final class ZipNumWriterFactory(
     dir: String, lineIdx: Int, linesPerBlock: Int, sconf: SerializableHadoopConf)
   extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new ZipNumDataWriter(dir, partitionId, lineIdx, linesPerBlock, sconf)
+    new ZipNumDataWriter(dir, partitionId, taskId, lineIdx, linesPerBlock, sconf)
 }
 
 /** One sorted shard per task: lines buffered into `linesPerBlock` groups,
   * each flushed as an independent gzip member with streaming offset
-  * accounting — memory is O(block), never O(partition). */
+  * accounting — memory is O(block), never O(partition).
+  *
+  * Attempt isolation: bytes stream into a temp file keyed by `taskId`
+  * and are renamed to the final shard name only in [[commit]] — a
+  * speculative or zombie attempt writing the final path directly would
+  * truncate/interleave the winner's bytes mid-stream. The rename is
+  * atomic per attempt, the content is deterministic (the partition is
+  * sorted), and Spark delivers exactly one attempt's commit message to
+  * BatchWrite.commit. */
 final class ZipNumDataWriter(
-    dir: String, pid: Int, lineIdx: Int, linesPerBlock: Int,
+    dir: String, pid: Int, taskId: Long, lineIdx: Int, linesPerBlock: Int,
     sconf: SerializableHadoopConf)
   extends DataWriter[InternalRow] {
 
   private val shardName = f"cdx-$pid%05d.gz"
+  private val tempName = f".cdx-$pid%05d.gz.attempt-$taskId"
   private var out: org.apache.hadoop.fs.FSDataOutputStream = null
   private val pending = new scala.collection.mutable.ArrayBuffer[String](linesPerBlock)
   private val entries = Vector.newBuilder[ZipNum.IdxEntry]
   private var offset = 0L
   private var blockSeq = 0L
 
+  private def fs = new Path(dir).getFileSystem(sconf.value)
+
   private def flushBlock(): Unit = if (pending.nonEmpty) {
     if (out == null) {
-      val p = new Path(dir, shardName)
-      out = p.getFileSystem(sconf.value).create(p, true)
+      out = fs.create(new Path(dir, tempName), true)
     }
     val payload = new ByteArrayOutputStream()
     pending.foreach { l => payload.write(l.getBytes("UTF-8")); payload.write('\n') }
@@ -138,10 +154,21 @@ final class ZipNumDataWriter(
 
   override def commit(): WriterCommitMessage = {
     flushBlock()
-    if (out != null) { out.close(); out = null }
-    ZipNumCommit(entries.result())
+    val wrote = out != null
+    if (wrote) { out.close(); out = null }
+    if (wrote) {
+      val from = new Path(dir, tempName)
+      val to = new Path(dir, shardName)
+      if (fs.exists(to)) fs.delete(to, false) // losing attempt's rename target
+      fs.rename(from, to)
+    }
+    ZipNumCommit(pid, entries.result())
   }
 
-  override def abort(): Unit = close()
+  override def abort(): Unit = {
+    close()
+    try fs.delete(new Path(dir, tempName), false)
+    catch { case _: java.io.IOException => }
+  }
   override def close(): Unit = if (out != null) { out.close(); out = null }
 }

@@ -36,11 +36,16 @@ class ZipNumSpec extends SparkSpec {
       val fileLen = Files.size(Paths.get(s"$dir/$shard"))
       assert(sorted.last.offset + sorted.last.length == fileLen)
     }
-    // a second write without overwrite refuses (idx already present)
-    intercept[Exception] {
+    // append onto an existing cluster refuses (the toBatch guard — the
+    // default ErrorIfExists mode is rejected earlier by Spark itself)
+    val e = intercept[Exception] {
       lines.toDF("line").write.format("zipnum")
-        .option("shards", "4").option("linesPerBlock", "50").save(dir)
+        .option("shards", "4").option("linesPerBlock", "50")
+        .mode("append").save(dir)
     }
+    val messages = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).toSeq
+    assert(messages.exists(_.contains("already exists")), messages.mkString(" | "))
   }
 
   test("block pruning compares keys in UTF-8 byte order, not UTF-16") {
