@@ -34,7 +34,13 @@ object Cdx {
         "WHEN o_orderstatus = 'O' THEN 301 ELSE 404 END AS status",
       "CASE o_orderkey % 4 WHEN 0 THEN 'Text/HTML; charset=UTF-8' WHEN 1 THEN 'application/JSON' " +
         "WHEN 2 THEN 'image/png' ELSE 'text/plain; charset=ISO-8859-1' END AS mime",
-      "CASE WHEN o_orderkey % 10 = 7 THEN 'revisit' WHEN o_orderkey % 10 = 3 THEN 'request' " +
+      // record_type modulus (7) is deliberately coprime to the digest-class
+      // modulus (1000, via path): rows sharing a digest span all id%7
+      // residues, so revisits DO find originals with an equal digest —
+      // id%10 here would make join_revisit_resolve empty by construction
+      // (two rows share (hostword, path) only when id₁ ≡ id₂ mod 1000,
+      // which with a mod-10 record_type forces the same record_type).
+      "CASE WHEN o_orderkey % 7 = 5 THEN 'revisit' WHEN o_orderkey % 7 = 3 THEN 'request' " +
         "ELSE 'response' END AS record_type",
       "CAST(floor(o_totalprice * 100) AS BIGINT) % 90000 + 100 AS length",
       "'crawl/seg-' || (o_orderkey % 8) || '/warc-' || (o_orderkey % 64) || '.warc.gz' AS filename",
@@ -72,7 +78,7 @@ object Cdx {
       |           WHEN o_orderstatus = 'O' THEN 301 ELSE 404 END AS status,
       |      CASE o_orderkey % 4 WHEN 0 THEN 'Text/HTML; charset=UTF-8' WHEN 1 THEN 'application/JSON'
       |           WHEN 2 THEN 'image/png' ELSE 'text/plain; charset=ISO-8859-1' END AS mime,
-      |      CASE WHEN o_orderkey % 10 = 7 THEN 'revisit' WHEN o_orderkey % 10 = 3 THEN 'request'
+      |      CASE WHEN o_orderkey % 7 = 5 THEN 'revisit' WHEN o_orderkey % 7 = 3 THEN 'request'
       |           ELSE 'response' END AS record_type,
       |      CAST(floor(o_totalprice * 100) AS BIGINT) % 90000 + 100 AS length,
       |      'crawl/seg-' || (o_orderkey % 8) || '/warc-' || (o_orderkey % 64) || '.warc.gz' AS filename,

@@ -31,9 +31,140 @@ object ZipNum {
 
   final case class IdxEntry(firstKey: String, shard: String, offset: Long, length: Long, seq: Long)
 
+  /** side-file name for one shard's idx lines (hidden: leading dot keeps
+    * readers — which glob nothing, they start from cluster.idx — and
+    * FileSystem listings from seeing half-written state) */
+  private[graft] def sideIdxName(pid: Int): String = f".idx-$pid%05d"
+
+  /** gzip-member compression threads per shard writer. Blocks are
+    * independent members, so deflating them concurrently while writing
+    * strictly in block order is free parallelism whenever the job runs
+    * fewer shard tasks than it has cores (the 8-shard local bench; a
+    * 300-shard production write saturates cores with tasks alone and a
+    * pool of 1 would do — the in-flight window keeps memory O(threads ×
+    * block) either way, never O(partition)). */
+  private[graft] val DefaultCompressThreads = 4
+
+  /** Streams `linesPerBlock`-line gzip members to a shard file while
+    * appending one `firstKey\tshard\toffset\tlength` line per block to a
+    * side idx stream. THE shard-writing kernel — the library writer
+    * ([[write]]) and the V2 task writer ([[graft.sources.ZipNumDataWriter]])
+    * both drive it, so block framing, idx accounting, and the compression
+    * pipeline have a single implementation.
+    *
+    * Global `seq` is NOT assigned here: tasks know only their own blocks.
+    * The committer concatenates side files in numeric shard order and
+    * numbers lines as it streams ([[assembleIdx]]) — the driver holds
+    * O(shards) names, never the entries (at 100 TB / 3000-line blocks the
+    * entries are tens of millions of lines; the old collect()-them-all
+    * assembly was the write path's only scale cliff).
+    */
+  private[graft] final class BlockStreamWriter(
+      openOut: () => java.io.OutputStream,
+      openIdx: () => java.io.OutputStream,
+      shardName: String, linesPerBlock: Int,
+      threads: Int = DefaultCompressThreads) {
+    require(linesPerBlock > 0 && threads > 0)
+
+    private var out: java.io.OutputStream = _
+    private var idxOut: java.io.OutputStream = _
+    private val pending = new scala.collection.mutable.ArrayBuffer[String](linesPerBlock)
+    private var offset = 0L
+    private var blocks = 0L
+    private var pool: java.util.concurrent.ExecutorService = _
+    // (compressed-member future, firstKey) in block order; size ≤ 2×threads
+    private val inFlight =
+      new java.util.ArrayDeque[(java.util.concurrent.Future[Array[Byte]], String)]()
+
+    /** blocks written so far (all flushed once [[finish]] returns) */
+    def blockCount: Long = blocks
+
+    def add(line: String): Unit = {
+      pending += line
+      if (pending.size >= linesPerBlock) submitBlock()
+    }
+
+    private def submitBlock(): Unit = if (pending.nonEmpty) {
+      val payload = new ByteArrayOutputStream()
+      pending.foreach { l => payload.write(l.getBytes(UTF_8)); payload.write('\n') }
+      val bytes = payload.toByteArray
+      val firstKey = pending.head.split(" ", 3).take(2).mkString(" ")
+      pending.clear()
+      if (pool == null && threads > 1)
+        pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+      val fut =
+        if (pool == null) java.util.concurrent.CompletableFuture
+          .completedFuture(Gzip.compressMember(bytes))
+        else pool.submit(() => Gzip.compressMember(bytes))
+      inFlight.add((fut, firstKey))
+      // bounded pipeline: drain the oldest once the window is full
+      if (inFlight.size >= threads * 2) drainOne()
+    }
+
+    private def drainOne(): Unit = {
+      val (fut, firstKey) = inFlight.poll()
+      val member = fut.get()
+      if (out == null) { out = openOut(); idxOut = openIdx() }
+      out.write(member)
+      idxOut.write(s"$firstKey\t$shardName\t$offset\t${member.length}\n".getBytes(UTF_8))
+      offset += member.length
+      blocks += 1
+    }
+
+    /** flush the tail block and drain the pipeline; safe to call once */
+    def finish(): Unit = {
+      submitBlock()
+      while (!inFlight.isEmpty) drainOne()
+      if (pool != null) { pool.shutdown(); pool = null }
+      if (out != null) { out.close(); out = null }
+      if (idxOut != null) { idxOut.close(); idxOut = null }
+    }
+
+    /** abandon without publishing (error path) */
+    def abort(): Unit = {
+      inFlight.forEach(_._1.cancel(true))
+      inFlight.clear()
+      if (pool != null) { pool.shutdownNow(); pool = null }
+      if (out != null) { try out.close() catch { case _: java.io.IOException => }; out = null }
+      if (idxOut != null) { try idxOut.close() catch { case _: java.io.IOException => }; idxOut = null }
+    }
+  }
+
+  /** Driver-side cluster.idx assembly from per-shard side files: stream
+    * each side file in NUMERIC pid order (lexicographic name order
+    * diverges once names outgrow the %05d padding), append the global
+    * seq as lines pass through, delete the side file. O(1) memory per
+    * line, O(shards) driver state. */
+  private[graft] def assembleIdx(
+      fs: FileSystem, dirPath: Path, pids: Seq[Int]): Unit = {
+    val idxOut = new java.io.BufferedOutputStream(
+      fs.create(new Path(dirPath, "cluster.idx"), true))
+    var seq = 0L
+    try {
+      pids.sorted.foreach { pid =>
+        val side = new Path(dirPath, sideIdxName(pid))
+        if (fs.exists(side)) {
+          val reader = new java.io.BufferedReader(
+            new java.io.InputStreamReader(fs.open(side), UTF_8))
+          try {
+            var line = reader.readLine()
+            while (line != null) {
+              idxOut.write(s"$line\t$seq\n".getBytes(UTF_8))
+              seq += 1
+              line = reader.readLine()
+            }
+          } finally reader.close()
+          fs.delete(side, false)
+        }
+      }
+    } finally idxOut.close()
+  }
+
   /** Write `df` (must have a `line` STRING column whose prefix is the sort
     * key) as a ZipNum cluster under `dir`. */
-  def write(df: DataFrame, dir: String, shards: Int, linesPerBlock: Int): Unit = {
+  def write(
+      df: DataFrame, dir: String, shards: Int, linesPerBlock: Int,
+      compressThreads: Int = DefaultCompressThreads): Unit = {
     require(df.columns.contains("line"),
       s"ZipNum.write needs a 'line' STRING column; got [${df.columns.mkString(", ")}]")
     require(shards > 0 && linesPerBlock > 0, "shards and linesPerBlock must be positive")
@@ -47,42 +178,27 @@ object ZipNum {
       .repartitionByRange(shards, col("line"))
       .sortWithinPartitions("line")
 
-    // per-partition shard write; idx entries (1 per block) come back small
+    // per-partition shard write; each task leaves a side idx file and
+    // reports only its pid — entries never ride through the driver
     val sconf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
-    val idxEntries: Array[IdxEntry] = sorted.rdd
+    val writtenPids: Array[Int] = sorted.rdd
       .mapPartitionsWithIndex { (pid, it) =>
         if (!it.hasNext) Iterator.empty
         else {
-          val shardName = f"cdx-$pid%05d.gz"
-          val shardPath = new Path(dir, shardName)
-          val out = shardPath.getFileSystem(sconf.value).create(shardPath, true)
-          val entries = Vector.newBuilder[IdxEntry]
-          var offset = 0L
-          var blockSeq = 0L
+          val taskFs = new Path(dir).getFileSystem(sconf.value)
+          val w = new BlockStreamWriter(
+            () => taskFs.create(new Path(dir, f"cdx-$pid%05d.gz"), true),
+            () => taskFs.create(new Path(dir, sideIdxName(pid)), true),
+            f"cdx-$pid%05d.gz", linesPerBlock, compressThreads)
           try {
-            it.map(_.getString(0)).grouped(linesPerBlock).foreach { blockLines =>
-              val payload = new ByteArrayOutputStream()
-              blockLines.foreach { l => payload.write(l.getBytes(UTF_8)); payload.write('\n') }
-              val compLen = Gzip.writeMember(out, payload.toByteArray)
-              val firstKey = blockLines.head.split(" ", 3).take(2).mkString(" ")
-              entries += IdxEntry(firstKey, shardName, offset, compLen, blockSeq)
-              offset += compLen
-              blockSeq += 1
-            }
-          } finally out.close()
-          entries.result().iterator
+            it.foreach(r => w.add(r.getString(0)))
+            w.finish()
+          } catch { case e: Throwable => w.abort(); throw e }
+          Iterator.single(pid)
         }
       }.collect()
 
-    // shards are range-ordered by NUMERIC partition id — lexicographic
-    // name order diverges once names outgrow the %05d padding
-    val sortedIdx = idxEntries.sortBy(e => (shardOrdinal(e.shard), e.seq))
-    val withGlobalSeq = sortedIdx.zipWithIndex.map { case (e, i) =>
-      s"${e.firstKey}\t${e.shard}\t${e.offset}\t${e.length}\t$i"
-    }
-    val idxOut = fs.create(new Path(dirPath, "cluster.idx"), true)
-    try idxOut.write((withGlobalSeq.mkString("\n") + "\n").getBytes(UTF_8))
-    finally idxOut.close()
+    assembleIdx(fs, dirPath, writtenPids.toSeq)
   }
 
   /** Parse cluster.idx (driver-side — it is the small binary-searchable

@@ -24,10 +24,16 @@ object Joins extends QueryModule {
   override def queries: Map[String, QFn] = Map(
     // --skip-existing: WARCs in the manifest whose output doesn't already
     // exist (indexwarcsjob.py §skip-existing option, recon ~L40–60).
+    // Done-set = "segments 0–5 were indexed by a prior run". filename
+    // embeds seg = id % 8 and warc = id % 64, and id % 64 determines
+    // id % 8, so exactly the 16 warc-k files with k % 8 ∈ {6,7} survive
+    // the anti join at ANY scale factor — an id-divisibility done-set
+    // (the old id % 3) covers every filename class and made this join
+    // provably empty.
     "join_skip_existing" -> ((s, d) => {
       val c = Cdx.df(s, d)
       val manifest = c.select("filename").distinct()
-      val done = c.filter(col("id") % 3 === 0).select("filename").distinct()
+      val done = c.filter(col("id") % 8 < 6).select("filename").distinct()
       manifest.join(done, Seq("filename"), "left_anti").orderBy("filename")
     }),
 
@@ -175,7 +181,7 @@ object Joins extends QueryModule {
   override def oracleSql: Map[String, String] = Map(
     "join_skip_existing" -> o(
       "SELECT DISTINCT filename FROM cdx m WHERE NOT EXISTS " +
-        "(SELECT 1 FROM cdx f WHERE f.id % 3 = 0 AND f.filename = m.filename) ORDER BY filename"),
+        "(SELECT 1 FROM cdx f WHERE f.id % 8 < 6 AND f.filename = m.filename) ORDER BY filename"),
     "join_revisit_resolve" -> o(
       "SELECT r.id AS revisit_id, o.id AS orig_id, r.urlkey AS revisit_key, o.url AS orig_url " +
         "FROM cdx r JOIN cdx o ON r.digest = o.digest " +

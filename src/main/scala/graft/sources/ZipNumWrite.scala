@@ -1,8 +1,6 @@
 package graft.sources
 
-import java.io.ByteArrayOutputStream
-
-import graft.formats.{Gzip, SerializableHadoopConf, ZipNum}
+import graft.formats.{SerializableHadoopConf, ZipNum}
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
@@ -19,13 +17,17 @@ import org.apache.spark.sql.connector.write._
   * ordered distribution on `line` with `shards` partitions — so CATALYST
   * plans the range exchange + per-partition sort; the writer never
   * repartitions by hand. Each task streams its sorted partition into one
-  * `cdx-NNNNN.gz` of gzip-member blocks and returns its idx entries as
-  * the commit message; the driver-side commit assembles `cluster.idx`
-  * (entries only — ~1/linesPerBlock of the data, same contract as the
-  * library writer). A failed job never publishes an idx, so readers
-  * (which always start from cluster.idx) cannot observe partial output.
+  * `cdx-NNNNN.gz` of gzip-member blocks plus a per-shard `.idx-NNNNN`
+  * side file; the commit message carries ONLY the pid — the driver-side
+  * commit streams the side files together into `cluster.idx` in shard
+  * order (O(shards) driver state; the entries themselves — tens of
+  * millions of lines at 100 TB — never ride through the driver, matching
+  * the reference, whose reducer emits idx lines as job output:
+  * zipnumclusterjob.py §reducer, recon ~L90–170). A failed job never
+  * publishes an idx, so readers (which always start from cluster.idx)
+  * cannot observe partial output.
   */
-final case class ZipNumCommit(pid: Int, entries: Seq[ZipNum.IdxEntry]) extends WriterCommitMessage
+final case class ZipNumCommit(pid: Int, blocks: Long) extends WriterCommitMessage
 
 final class ZipNumWriteBuilder(
     dir: String, info: LogicalWriteInfo, sconf: SerializableHadoopConf)
@@ -80,21 +82,14 @@ final class ZipNumBatchWrite(
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new ZipNumWriterFactory(dir, lineIdx, linesPerBlock, sconf)
 
-  /** driver-side: assemble cluster.idx from the per-shard entries,
-    * ordered by NUMERIC partition id (lexicographic shard-name order
-    * diverges from it once names outgrow the %05d padding), which the
-    * range exchange made equal to global key order */
+  /** driver-side: stream the committed tasks' side idx files into
+    * cluster.idx in NUMERIC pid order (which the range exchange made
+    * equal to global key order) — O(shards) driver state, never the
+    * entries themselves */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val sorted = messages.collect { case c: ZipNumCommit => c }
-      .sortBy(_.pid)
-      .flatMap(c => c.entries.sortBy(_.seq))
-    val lines = sorted.zipWithIndex.map { case (e, i) =>
-      s"${e.firstKey}\t${e.shard}\t${e.offset}\t${e.length}\t$i"
-    }
-    val idxPath = new Path(dir, "cluster.idx")
-    val out = idxPath.getFileSystem(sconf.value).create(idxPath, true)
-    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
-    finally out.close()
+    val pids = messages.collect { case c: ZipNumCommit if c.blocks > 0 => c.pid }
+    val dirPath = new Path(dir)
+    ZipNum.assembleIdx(dirPath.getFileSystem(sconf.value), dirPath, pids.toSeq)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
@@ -107,68 +102,62 @@ final class ZipNumWriterFactory(
     new ZipNumDataWriter(dir, partitionId, taskId, lineIdx, linesPerBlock, sconf)
 }
 
-/** One sorted shard per task: lines buffered into `linesPerBlock` groups,
-  * each flushed as an independent gzip member with streaming offset
-  * accounting — memory is O(block), never O(partition).
+/** One sorted shard per task, driven through the shared
+  * [[graft.formats.ZipNum.BlockStreamWriter]] kernel: lines buffered into
+  * `linesPerBlock` groups, each flushed as an independent gzip member
+  * (compressed on a small task-local pool, written in block order) with
+  * streaming offset accounting — memory is O(threads × block), never
+  * O(partition). Idx lines stream to a per-shard side file; only the pid
+  * rides in the commit message.
   *
-  * Attempt isolation: bytes stream into a temp file keyed by `taskId`
-  * and are renamed to the final shard name only in [[commit]] — a
-  * speculative or zombie attempt writing the final path directly would
-  * truncate/interleave the winner's bytes mid-stream. The rename is
-  * atomic per attempt, the content is deterministic (the partition is
-  * sorted), and Spark delivers exactly one attempt's commit message to
-  * BatchWrite.commit. */
+  * Attempt isolation: both the shard bytes and the idx lines stream into
+  * temp files keyed by `taskId` and are renamed to their final names only
+  * in [[commit]] — a speculative or zombie attempt writing the final path
+  * directly would truncate/interleave the winner's bytes mid-stream. The
+  * renames are atomic per attempt, the content is deterministic (the
+  * partition is sorted), and Spark delivers exactly one attempt's commit
+  * message to BatchWrite.commit. */
 final class ZipNumDataWriter(
     dir: String, pid: Int, taskId: Long, lineIdx: Int, linesPerBlock: Int,
     sconf: SerializableHadoopConf)
   extends DataWriter[InternalRow] {
 
   private val shardName = f"cdx-$pid%05d.gz"
-  private val tempName = f".cdx-$pid%05d.gz.attempt-$taskId"
-  private var out: org.apache.hadoop.fs.FSDataOutputStream = null
-  private val pending = new scala.collection.mutable.ArrayBuffer[String](linesPerBlock)
-  private val entries = Vector.newBuilder[ZipNum.IdxEntry]
-  private var offset = 0L
-  private var blockSeq = 0L
+  private val tempShard = f".cdx-$pid%05d.gz.attempt-$taskId"
+  private val tempIdx = ZipNum.sideIdxName(pid) + s".attempt-$taskId"
 
   private def fs = new Path(dir).getFileSystem(sconf.value)
 
-  private def flushBlock(): Unit = if (pending.nonEmpty) {
-    if (out == null) {
-      out = fs.create(new Path(dir, tempName), true)
-    }
-    val payload = new ByteArrayOutputStream()
-    pending.foreach { l => payload.write(l.getBytes("UTF-8")); payload.write('\n') }
-    val compLen = Gzip.writeMember(out, payload.toByteArray)
-    val firstKey = pending.head.split(" ", 3).take(2).mkString(" ")
-    entries += ZipNum.IdxEntry(firstKey, shardName, offset, compLen, blockSeq)
-    offset += compLen
-    blockSeq += 1
-    pending.clear()
-  }
+  private val w = new ZipNum.BlockStreamWriter(
+    () => fs.create(new Path(dir, tempShard), true),
+    () => fs.create(new Path(dir, tempIdx), true),
+    shardName, linesPerBlock)
 
-  override def write(row: InternalRow): Unit = {
-    pending += row.getUTF8String(lineIdx).toString
-    if (pending.size >= linesPerBlock) flushBlock()
+  override def write(row: InternalRow): Unit =
+    w.add(row.getUTF8String(lineIdx).toString)
+
+  private def publish(temp: String, fin: String): Unit = {
+    val from = new Path(dir, temp)
+    val to = new Path(dir, fin)
+    if (fs.exists(to)) fs.delete(to, false) // losing attempt's rename target
+    fs.rename(from, to)
   }
 
   override def commit(): WriterCommitMessage = {
-    flushBlock()
-    val wrote = out != null
-    if (wrote) { out.close(); out = null }
-    if (wrote) {
-      val from = new Path(dir, tempName)
-      val to = new Path(dir, shardName)
-      if (fs.exists(to)) fs.delete(to, false) // losing attempt's rename target
-      fs.rename(from, to)
+    w.finish()
+    if (w.blockCount > 0) {
+      publish(tempShard, shardName)
+      publish(tempIdx, ZipNum.sideIdxName(pid))
     }
-    ZipNumCommit(pid, entries.result())
+    ZipNumCommit(pid, w.blockCount)
   }
 
   override def abort(): Unit = {
     close()
-    try fs.delete(new Path(dir, tempName), false)
-    catch { case _: java.io.IOException => }
+    try {
+      fs.delete(new Path(dir, tempShard), false)
+      fs.delete(new Path(dir, tempIdx), false)
+    } catch { case _: java.io.IOException => }
   }
-  override def close(): Unit = if (out != null) { out.close(); out = null }
+  override def close(): Unit = w.abort()
 }
