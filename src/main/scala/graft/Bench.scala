@@ -18,8 +18,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warm-up: JIT + codegen + shuffle/window machinery + parquet
-    // footer caches (one representative query per physical-plan family)
-    Seq("scan_parquet", "agg_count_by_key", "win_rank_captures", "join_broadcast_dim")
+    // footer caches (one representative query per physical-plan family).
+    // The two writers are in the family because a cold tmp FS otherwise
+    // lands entirely on whichever sink query runs first (r2 showed 5-7×
+    // inflation on the sink lines from exactly this).
+    Seq("scan_parquet", "agg_count_by_key", "win_rank_captures", "join_broadcast_dim",
+      "sink_text_gz", "sink_zipnum")
       .foreach { q =>
         try SparkEntry.queries.get(q).foreach(_(spark, sfDir).count())
         catch { case _: Throwable => }

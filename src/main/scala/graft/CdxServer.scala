@@ -17,6 +17,7 @@ import org.apache.spark.sql.functions._
   *   sort=closest&closest=ts    -> closest
   *   collapse=timestamp:N       -> collapse
   *   filter=status:200 etc.     -> withFilter (plain Column predicates)
+  *   fl=urlkey,timestamp        -> withFields (output projection)
   *   limit=N / sort=reverse     -> limit / latest
   */
 final class CdxServer(spark: SparkSession, clusterDir: String) {
@@ -125,6 +126,24 @@ final class CdxServer(spark: SparkSession, clusterDir: String) {
     // match (not null), so negation keeps the row
     val matched = coalesce(target.rlike("^(?:" + pattern + ")"), lit(false))
     df.filter(if (negate) !matched else matched)
+  }
+
+  /** pywb `fl=` (field-list) param: project the response to a
+    * comma-separated list of CDX field names, in the requested order.
+    * `urlkey`/`ts` (pywb spells the latter `timestamp`) come straight off
+    * the scan columns; every other field is pulled from the CDXJ json
+    * payload and is null when absent (pywb renders `-`). Asking for only
+    * scan columns composes with the source's column pruning — an
+    * `fl=urlkey` query never parses ts/json at all. */
+  def withFields(df: DataFrame, fl: String): DataFrame = {
+    val fields = fl.split(",").map(_.trim).filter(_.nonEmpty)
+    require(fields.nonEmpty, s"fl= needs at least one field name, got '$fl'")
+    val projected = fields.map { f =>
+      val source = if (f == "timestamp") "ts" else f
+      if (df.columns.contains(source)) col(source).as(f)
+      else get_json_object(col("json"), s"$$.$f").as(f)
+    }
+    df.select(projected.toIndexedSeq: _*)
   }
 
   /** page `n` (0-based) of a prefix query: the n-th run of `blocksPerPage`

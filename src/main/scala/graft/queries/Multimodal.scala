@@ -8,10 +8,11 @@ import org.apache.spark.sql.functions._
   * payloads are opaque BINARY columns with typed metadata; decode /
   * feature-extract / frame-sample run as partition-level batch functions
   * over typed Datasets — the Spark-side plumbing (schema, encoders,
-  * partition batching, function signature) is real; only the codec call
-  * itself is STUBBED (no image/audio libs in this container) with a
-  * deterministic fake keyed on payload size, so every op stays
-  * DuckDB-oracle-able.
+  * partition batching, function signature) is real. Image decode is ALSO
+  * real — payloads carry a genuine PNG signature+IHDR and [[pngDims]]
+  * parses width/height from the bytes (pure JVM, no codec lib); only the
+  * audio/video codec call is STUBBED with a deterministic fake keyed on
+  * payload size, so every op stays DuckDB-oracle-able.
   *
   * Scale notes: all three ops are narrow (mapPartitions, no shuffle);
   * real decoders amortize model/codec init per partition exactly where
@@ -27,8 +28,42 @@ object Multimodal extends QueryModule {
   final case class MediaFeature(doc_id: Long, norm: Double, f0: Double)
   final case class FrameSample(doc_id: Long, frame_no: Int)
 
+  /** a real PNG file prefix — 8-byte signature + IHDR chunk (33 bytes
+    * total, CRC32 included) carrying the given dimensions; any
+    * standards-compliant PNG reader parses it */
+  private[graft] def pngHeader(width: Int, height: Int): Array[Byte] = {
+    val typeAndData = java.nio.ByteBuffer.allocate(17)
+      .put("IHDR".getBytes("US-ASCII"))
+      .putInt(width).putInt(height)
+      .put(8.toByte)  // bit depth
+      .put(6.toByte)  // color type RGBA
+      .put(0.toByte).put(0.toByte).put(0.toByte) // compression/filter/interlace
+      .array()
+    val crc = new java.util.zip.CRC32()
+    crc.update(typeAndData)
+    java.nio.ByteBuffer.allocate(33)
+      .put(Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte,
+        0x0d.toByte, 0x0a.toByte, 0x1a.toByte, 0x0a.toByte))
+      .putInt(13) // IHDR data length
+      .put(typeAndData)
+      .putInt(crc.getValue.toInt)
+      .array()
+  }
+
+  /** IHDR width/height parsed from real PNG bytes (big-endian ints at
+    * offsets 16/20, per the PNG spec); None when the signature is absent */
+  private[graft] def pngDims(payload: Array[Byte]): Option[(Int, Int)] =
+    if (payload.length >= 24 &&
+        (payload(0) & 0xff) == 0x89 && payload(1) == 'P' &&
+        payload(2) == 'N' && payload(3) == 'G') {
+      val bb = java.nio.ByteBuffer.wrap(payload, 16, 8)
+      Some((bb.getInt, bb.getInt))
+    } else None
+
   /** media table = documents with the text bytes standing in for an
-    * encoded payload; media_type assigned deterministically */
+    * encoded payload; media_type assigned deterministically. Image rows
+    * carry a REAL PNG header (dimensions derived from doc_id) in front of
+    * the text bytes, so the decode path below parses actual bytes. */
   private def media(s: SparkSession, d: String): Dataset[MediaRow] = {
     import s.implicits._
     Tables.t(s, d, "documents")
@@ -37,18 +72,27 @@ object Multimodal extends QueryModule {
         "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type",
         "CAST(text AS BINARY) AS payload")
       .as[MediaRow]
+      .map { r =>
+        if (r.media_type == "image")
+          r.copy(payload = pngHeader(
+            (16 + r.doc_id % 640).toInt, (16 + r.doc_id * 7 % 480).toInt) ++ r.payload)
+        else r
+      }
   }
 
-  /** STUB decode: a real implementation hands `payload` to a codec; the
-    * fake derives metadata from the byte length so the oracle can verify
-    * the distributed plumbing end-to-end. */
-  private def decodeStub(r: MediaRow): MediaMeta = {
+  /** decode: images go through the REAL byte parser ([[pngDims]]); audio/
+    * video metadata is still the deterministic length-keyed STUB (no codec
+    * libs in this container) — a production build swaps only this branch. */
+  private def decode(r: MediaRow): MediaMeta = {
     val n = r.payload.length.toLong
-    MediaMeta(
-      r.doc_id, r.media_type, n,
-      width = (16 + n % 640).toInt,
-      height = (16 + (n * 7) % 480).toInt,
-      n_frames = if (r.media_type == "video") (1 + n % 24).toInt else 1)
+    pngDims(r.payload) match {
+      case Some((w, h)) => MediaMeta(r.doc_id, r.media_type, n, w, h, n_frames = 1)
+      case None => MediaMeta(
+        r.doc_id, r.media_type, n,
+        width = (16 + n % 640).toInt,
+        height = (16 + (n * 7) % 480).toInt,
+        n_frames = if (r.media_type == "video") (1 + n % 24).toInt else 1)
+    }
   }
 
   override def queries: Map[String, QFn] = Map(
@@ -56,7 +100,7 @@ object Multimodal extends QueryModule {
     "mm_decode_meta" -> ((s, d) => {
       import s.implicits._
       media(s, d)
-        .mapPartitions(it => it.map(decodeStub)) // codec init would sit here
+        .mapPartitions(it => it.map(decode)) // codec init would sit here
         .toDF()
         .orderBy("doc_id")
     }),
@@ -108,7 +152,7 @@ object Multimodal extends QueryModule {
       media(s, d)
         .filter(_.media_type == "video")
         .flatMap { r =>
-          val frames = decodeStub(r).n_frames
+          val frames = decode(r).n_frames
           (0 until frames by 4).map(f => FrameSample(r.doc_id, f))
         }
         .toDF()
@@ -118,15 +162,20 @@ object Multimodal extends QueryModule {
 
   /** the Spark stub counts payload BYTES (CAST(text AS BINARY) = UTF-8);
     * length(text) counts characters and would silently diverge on any
-    * non-ASCII corpus — count octets on the DuckDB side too */
-  private val nBytes = "octet_length(encode(text))"
+    * non-ASCII corpus — count octets on the DuckDB side too. Image rows
+    * carry the 33-byte PNG header in front of the text bytes. */
+  private val nBytes =
+    "(octet_length(encode(text)) + CASE WHEN doc_id % 3 = 0 THEN 33 ELSE 0 END)"
 
   override def oracleSql: Map[String, String] = Map(
+    // image dims mirror what media() wrote INTO the PNG header (keyed on
+    // doc_id) — the Spark side re-reads them from the bytes, so a parser
+    // bug shows as a hash mismatch here
     "mm_decode_meta" ->
       (s"SELECT doc_id, CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type, " +
         s"CAST($nBytes AS BIGINT) AS n_bytes, " +
-        s"CAST(16 + $nBytes % 640 AS INT) AS width, " +
-        s"CAST(16 + ($nBytes * 7) % 480 AS INT) AS height, " +
+        s"CAST(CASE WHEN doc_id % 3 = 0 THEN 16 + doc_id % 640 ELSE 16 + $nBytes % 640 END AS INT) AS width, " +
+        s"CAST(CASE WHEN doc_id % 3 = 0 THEN 16 + doc_id * 7 % 480 ELSE 16 + ($nBytes * 7) % 480 END AS INT) AS height, " +
         s"CAST(CASE WHEN doc_id % 3 = 2 THEN 1 + $nBytes % 24 ELSE 1 END AS INT) AS n_frames " +
         "FROM documents ORDER BY doc_id"),
     "mm_feature_extract" ->

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{Cdx, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** SURVEY.md §2.1 parquet scan + §2.7 sorts / limits / top-k / set ops /
@@ -86,23 +87,14 @@ object Relational extends QueryModule {
       Cdx.df(s, d).sample(withReplacement = false, 0.1, 42).select("id").orderBy("id")),
 
     // N−1 sorted split points (samplecdxjob.py §mapper+§reducer, recon
-    // ~L20–70): SAMPLE FIRST (deterministic 1-in-20, id % 20 = 0, so DuckDB
-    // can oracle it — the reference's Bernoulli mapper emit), THEN pick
+    // ~L20–70): SAMPLE FIRST (deterministic 1-in-sampleMod, so DuckDB can
+    // oracle it — the reference's Bernoulli mapper emit), THEN pick
     // every-k-th sampled row as a boundary. The single-partition WindowExec
     // only ever sees the sample — sample-sized in code, not by assumption —
     // exactly the reference's "only the sample reaches the single reducer".
     // The production path doesn't use this at all (repartitionByRange
     // reservoir-samples internally, SURVEY §2.7).
-    "split_points" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.orderBy("urlkey", "ts", "id")
-      Cdx.df(s, d)
-        .filter(col("id") % 20 === 0) // sample BEFORE the global window
-        .select(col("urlkey"), row_number().over(w).as("rn"), count(lit(1)).over().as("cnt"))
-        .filter(col("rn") % ceil(col("cnt") / 8).cast("bigint") === 0 && col("rn") < col("cnt"))
-        .select(col("urlkey").as("boundary"), col("rn"))
-        .orderBy("rn")
-    }),
+    "split_points" -> ((s, d) => splitPoints(s, d)),
 
     // Range partitioning visibility: per-partition key stats. Oracle-exempt
     // (partition ids are engine-specific); ScalaTest asserts monotonicity.
@@ -114,6 +106,27 @@ object Relational extends QueryModule {
         .agg(min("urlkey").as("min_key"), max("urlkey").as("max_key"), count(lit(1)).as("cnt"))
         .orderBy("pid"))
   )
+
+  /** scale knob for [[splitPoints]]: 1-in-SplitSampleMod rows reach the
+    * single global window. 500 keeps the sample nonempty at sf0.001 (ids
+    * are contiguous, so ~3 rows) while staying 25× sparser than round 1's
+    * 1-in-20; a production caller sizes sampleMod so rows/sampleMod ≈
+    * splits × O(100) — the sample flowing through the one-partition
+    * window is the ONLY non-scalable term, and the caller controls it. */
+  val SplitSampleMod = 500
+
+  def splitPoints(
+      s: SparkSession, d: String,
+      sampleMod: Int = SplitSampleMod, splits: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy("urlkey", "ts", "id")
+    Cdx.df(s, d)
+      .filter(col("id") % sampleMod === 0) // sample BEFORE the global window
+      .select(col("urlkey"), row_number().over(w).as("rn"), count(lit(1)).over().as("cnt"))
+      .filter(col("rn") % ceil(col("cnt") / splits).cast("bigint") === 0 && col("rn") < col("cnt"))
+      .select(col("urlkey").as("boundary"), col("rn"))
+      .orderBy("rn")
+  }
 
   override def oracleSql: Map[String, String] = Map(
     "scan_parquet" ->
@@ -139,7 +152,7 @@ object Relational extends QueryModule {
     "split_points" -> o(
       "SELECT urlkey AS boundary, rn FROM " +
         "(SELECT urlkey, row_number() OVER (ORDER BY urlkey, ts, id) AS rn, count(*) OVER () AS cnt " +
-        "FROM cdx WHERE id % 20 = 0) " +
+        "FROM cdx WHERE id % 500 = 0) " +
         "WHERE rn % CAST(ceil(cnt / 8.0) AS BIGINT) = 0 AND rn < cnt ORDER BY rn")
   )
 }

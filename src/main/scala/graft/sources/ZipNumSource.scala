@@ -112,9 +112,11 @@ final class ZipNumTable(path: String, providedSchema: StructType)
 }
 
 final class ZipNumScanBuilder(dir: String)
-  extends ScanBuilder with SupportsPushDownFilters {
+  extends ScanBuilder with SupportsPushDownFilters
+  with SupportsPushDownRequiredColumns {
 
   private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = ZipNumSource.schema
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter {
@@ -131,13 +133,28 @@ final class ZipNumScanBuilder(dir: String)
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new ZipNumScan(dir, ZipNumSource.rangeFromFilters(pushed))
+  /** column pruning: Catalyst hands us the columns the query actually
+    * touches; the reader then skips splitting/materializing ts+json for
+    * index-only shapes (`select("urlkey")` — the common cdx-server
+    * projection). I/O is unchanged (lines are row-major), the win is
+    * parse + row-width. */
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // keep canonical field order: readSchema must agree with what the
+    // reader emits positionally, independent of projection order
+    required = StructType(
+      ZipNumSource.schema.filter(f => requiredSchema.fieldNames.contains(f.name)))
+
+  override def build(): Scan =
+    new ZipNumScan(dir, ZipNumSource.rangeFromFilters(pushed), required)
 }
 
-final class ZipNumScan(dir: String, range: ZipNumSource.KeyRange) extends Scan with Batch {
-  override def readSchema(): StructType = ZipNumSource.schema
+final class ZipNumScan(
+    dir: String, range: ZipNumSource.KeyRange, required: StructType)
+  extends Scan with Batch {
+  override def readSchema(): StructType = required
   override def description(): String =
-    s"ZipNumScan[$dir, lo=${range.lo.getOrElse("-inf")}, hi=${range.hi.getOrElse("+inf")}]"
+    s"ZipNumScan[$dir, lo=${range.lo.getOrElse("-inf")}, hi=${range.hi.getOrElse("+inf")}, " +
+      s"cols=${required.fieldNames.mkString(",")}]"
   override def toBatch: Batch = this
 
   private def sessionConf: Configuration =
@@ -159,9 +176,10 @@ final class ZipNumScan(dir: String, range: ZipNumSource.KeyRange) extends Scan w
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val sconf = new SerializableHadoopConf(sessionConf)
+    val fields = required.fieldNames
     (partition: InputPartition) =>
       new ZipNumPartitionReader(
-        partition.asInstanceOf[ZipNumBlockPartition].blocks, sconf)
+        partition.asInstanceOf[ZipNumBlockPartition].blocks, fields, sconf)
   }
 }
 
@@ -176,8 +194,13 @@ final case class ZipNumBlockPartition(blocks: Array[(String, Long, Long, Long)])
   extends InputPartition
 
 final class ZipNumPartitionReader(
-    blocks: Array[(String, Long, Long, Long)], sconf: SerializableHadoopConf)
+    blocks: Array[(String, Long, Long, Long)], fields: Array[String],
+    sconf: SerializableHadoopConf)
   extends PartitionReader[InternalRow] {
+
+  // parse only what the projection needs: ts/json force the 3-way split;
+  // a urlkey-only (or blockseq-only) scan takes the indexOf fast path
+  private val needSplit = fields.contains("ts") || fields.contains("json")
 
   private def conf = sconf.value
   private var blockIdx = 0
@@ -208,12 +231,21 @@ final class ZipNumPartitionReader(
   override def next(): Boolean = {
     while (!lines.hasNext) if (!loadNextBlock()) return false
     val (line, seq) = lines.next()
-    val parts = line.split(" ", 3)
-    row = new GenericInternalRow(Array[Any](
-      UTF8String.fromString(parts(0)),
-      if (parts.length > 1) UTF8String.fromString(parts(1)) else null,
-      if (parts.length > 2) UTF8String.fromString(parts(2)) else null,
-      seq))
+    val parts = if (needSplit) line.split(" ", 3) else null
+    val values: Array[Any] = fields.map {
+      case "urlkey" =>
+        if (needSplit) UTF8String.fromString(parts(0))
+        else {
+          val sp = line.indexOf(' ')
+          UTF8String.fromString(if (sp < 0) line else line.substring(0, sp))
+        }
+      case "ts" =>
+        if (parts.length > 1) UTF8String.fromString(parts(1)) else null
+      case "json" =>
+        if (parts.length > 2) UTF8String.fromString(parts(2)) else null
+      case "blockseq" => seq
+    }
+    row = new GenericInternalRow(values)
     true
   }
 

@@ -81,6 +81,32 @@ class CdxServerSpec extends SparkSpec {
     assert(tsRange.count() >= 1 && tsRange.count() < all.count())
   }
 
+  test("withFields projects pywb fl= names, pulling non-core fields from json") {
+    val all = server.prefix("com,example)/")
+    // pywb spells ts 'timestamp'; mime lives in the CDXJ json payload
+    val projected = server.withFields(all, "urlkey, timestamp, mime")
+    assert(projected.columns.toSeq == Seq("urlkey", "timestamp", "mime"))
+    val rows = projected.as[(String, String, String)].collect()
+    assert(rows.nonEmpty && rows.forall { case (k, ts, mime) =>
+      k.startsWith("com,example)/") && ts.matches("\\d{14}") && mime != null
+    })
+    // a field absent from the json is null (pywb renders '-'), not an error
+    val absent = server.withFields(all, "urlkey,nosuchfield")
+    assert(absent.select("nosuchfield").as[String].collect().forall(_ == null))
+    // scan-columns-only projection composes with V2 column pruning:
+    // ts/json never reach the read schema
+    val pruned = server.withFields(spark.read.format("zipnum").load(dir), "urlkey")
+    pruned.collect()
+    val scans = pruned.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.nonEmpty)
+    scans.foreach { b =>
+      val cols = b.scan.readSchema().fieldNames.toSeq
+      assert(cols == Seq("urlkey"), s"expected pruned read schema, got $cols")
+    }
+  }
+
   test("page(n): pages are disjoint and union to the full prefix result") {
     val pre = "com,example)/"
     val bpp = 1

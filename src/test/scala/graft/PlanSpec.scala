@@ -113,7 +113,7 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("split_points: 1-in-20 sample filter sits below every global window") {
+  test("split_points: 1-in-SplitSampleMod sample filter sits below every global window") {
     val df = SparkEntry.queries("split_points")(spark, sfDir)
     val wins = df.queryExecution.sparkPlan.collect {
       case w: org.apache.spark.sql.execution.window.WindowExec => w
@@ -122,7 +122,7 @@ class PlanSpec extends SparkSpec {
     wins.foreach { w =>
       val sampled = w.child.collectFirst {
         case f: org.apache.spark.sql.execution.FilterExec
-          if f.condition.toString.contains("% 20") => f
+          if f.condition.toString.contains(s"% ${graft.queries.Relational.SplitSampleMod}") => f
       }
       assert(sampled.nonEmpty, s"sample filter must precede the window:\n$w")
     }

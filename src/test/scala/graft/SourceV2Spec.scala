@@ -81,9 +81,10 @@ class SourceV2Spec extends SparkSpec {
     setup()
     val idx = graft.sources.ZipNumScan.readIdxStatic(zipDir)
     val all = new graft.sources.ZipNumScan(zipDir,
-      ZipNumSource.KeyRange(None, None)).planInputPartitions()
+      ZipNumSource.KeyRange(None, None), ZipNumSource.schema).planInputPartitions()
     val pruned = new graft.sources.ZipNumScan(zipDir,
-      ZipNumSource.rangeFromFilters(Seq(StringStartsWith("urlkey", "org,iana")))).planInputPartitions()
+      ZipNumSource.rangeFromFilters(Seq(StringStartsWith("urlkey", "org,iana"))),
+      ZipNumSource.schema).planInputPartitions()
     val allBlocks = all.map(_.asInstanceOf[graft.sources.ZipNumBlockPartition].blocks.length).sum
     val prunedBlocks = pruned.map(_.asInstanceOf[graft.sources.ZipNumBlockPartition].blocks.length).sum
     assert(allBlocks == idx.size)
