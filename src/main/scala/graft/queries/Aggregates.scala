@@ -44,6 +44,24 @@ object Aggregates extends QueryModule {
         .agg(approx_count_distinct("urlkey").as("approx_urlkeys"))
         .orderBy("hostword")),
 
+    // Mergeable distinct sketches — the cross-job form of
+    // agg_approx_distinct. Each segment builds its own DataSketches HLL
+    // (map-side; only sketch BYTES cross the wire), a final union merges
+    // them into the global estimate. This is what a 1000-executor /
+    // multi-day pipeline persists and re-merges: approx_count_distinct
+    // answers once, stored sketches compose forever. Oracle-exempt
+    // (sketch internals are engine-specific); the property spec bounds
+    // relative error vs the exact count and pins union-order invariance.
+    "agg_hll_merge" -> ((s, d) => {
+      val perSegment = Cdx.df(s, d)
+        .withColumn("seg", col("id") % 8)
+        .groupBy("seg")
+        .agg(hll_sketch_agg(col("urlkey"), lit(12)).as("sketch"))
+      perSegment
+        .agg(hll_sketch_estimate(hll_union_agg(col("sketch"), lit(false)))
+          .as("est_distinct_urlkeys"))
+    }),
+
     "agg_rollup" -> ((s, d) =>
       Cdx.df(s, d).rollup("hostword", "status")
         .agg(grouping_id().cast("int").as("gid"), count(lit(1)).as("cnt"))

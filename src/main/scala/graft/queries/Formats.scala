@@ -156,6 +156,18 @@ object Formats extends QueryModule {
         .orderBy("urlkey", "ts", "json")
     }),
 
+    // pywb fl= through the gate: CdxServer field-list projection over a
+    // cluster — urlkey/timestamp ride the scan columns, mime is pulled
+    // from the CDXJ json; a scan-columns-only fl= additionally prunes
+    // ts/json out of the read schema entirely (CdxServerSpec pins that)
+    "cdx_fl_projection" -> ((s, d) => {
+      val dir = tmp(d, "zipnum_fl")
+      ZipNum.write(cdxLines(s, d), dir, shards = 8, linesPerBlock = 100)
+      val server = new graft.CdxServer(s, dir)
+      server.withFields(server.prefix("org,example,medium)"), "urlkey,timestamp,mime")
+        .orderBy("urlkey", "timestamp", "mime")
+    }),
+
     // same lookup through the V2 source: Catalyst pushes the startsWith
     // filter into the scan, which prunes blocks via cluster.idx
     "zipnum_v2_pushdown" -> ((s, d) => {
@@ -245,6 +257,11 @@ object Formats extends QueryModule {
     "zipnum_v2_pushdown" -> o(
       s"SELECT urlkey, ts, $jsonExprDuck FROM cdx " +
         "WHERE urlkey LIKE 'org,example,medium)%' ORDER BY urlkey, ts, json"),
+    // every sort column is projected, so duplicate rows are literal
+    // duplicates and positional compare is order-stable
+    "cdx_fl_projection" -> o(
+      "SELECT urlkey, ts AS timestamp, mime FROM cdx " +
+        "WHERE urlkey LIKE 'org,example,medium)%' ORDER BY urlkey, timestamp, mime"),
     "sink_warc_cdx" -> o(
       "SELECT regexp_replace(regexp_extract(filename, '[^/]+$'), '\\.warc\\.gz$', '.cdx.gz') AS cdx_name, " +
         s"$lineExprDuck AS value FROM cdx ORDER BY value"),

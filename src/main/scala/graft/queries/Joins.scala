@@ -74,6 +74,31 @@ object Joins extends QueryModule {
         .orderBy("o_orderpriority")
     }),
 
+    // Salted skew join — the 100 TB hot-key recipe. hostword has 5
+    // distinct values (every capture lands on one of 5 join keys), the
+    // worst case for a shuffled join: 5 reducers own all the data. The
+    // fix: left rows spread across 16 salt buckets (salt = id % 16 keeps
+    // it DuckDB-derivable), the dim side replicated ×16 via explode, join
+    // on (key, salt) → 80 evenly-loaded partitions instead of 5 hot ones.
+    // The merge hint forces the shuffle path (broadcast would dodge the
+    // skew this query exists to demonstrate — a real dim at this fan-in
+    // is too big to broadcast). The oracle is the UNSALTED join: salting
+    // must be invisible in the result, only in the shuffle layout.
+    "join_skew_salted" -> ((s, d) => {
+      val c = Cdx.df(s, d)
+      val saltN = 16
+      val dim = c.groupBy("hostword")
+        .agg(count(lit(1)).as("host_captures"), max("length").as("host_max_len"))
+      val saltedDim = dim.withColumn(
+        "salt", explode(sequence(lit(0L), lit((saltN - 1).toLong))))
+      val saltedLeft = c.withColumn("salt", col("id") % saltN)
+      saltedLeft.hint("merge")
+        .join(saltedDim, Seq("hostword", "salt"))
+        .groupBy("hostword", "host_captures", "host_max_len")
+        .agg(count(lit(1)).as("joined_rows"), sum("length").as("sum_len"))
+        .orderBy("hostword")
+    }),
+
     // EXISTS-style semi join: orders having a high-quantity line
     "join_semi" -> ((s, d) => {
       val li = Tables.t(s, d, "lineitem").filter(col("l_quantity") > 45)
@@ -182,6 +207,14 @@ object Joins extends QueryModule {
     "join_skip_existing" -> o(
       "SELECT DISTINCT filename FROM cdx m WHERE NOT EXISTS " +
         "(SELECT 1 FROM cdx f WHERE f.id % 8 < 6 AND f.filename = m.filename) ORDER BY filename"),
+    // the oracle is the plain unsalted join: salting must not change the
+    // result, only the shuffle layout (sum casts: DuckDB sum -> HUGEINT)
+    "join_skew_salted" -> o(
+      "SELECT c.hostword, d.host_captures, d.host_max_len, " +
+        "count(*) AS joined_rows, CAST(sum(c.length) AS BIGINT) AS sum_len " +
+        "FROM cdx c JOIN (SELECT hostword, count(*) AS host_captures, max(length) AS host_max_len " +
+        "FROM cdx GROUP BY hostword) d USING (hostword) " +
+        "GROUP BY c.hostword, d.host_captures, d.host_max_len ORDER BY c.hostword"),
     "join_revisit_resolve" -> o(
       "SELECT r.id AS revisit_id, o.id AS orig_id, r.urlkey AS revisit_key, o.url AS orig_url " +
         "FROM cdx r JOIN cdx o ON r.digest = o.digest " +

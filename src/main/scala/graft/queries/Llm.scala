@@ -144,6 +144,28 @@ object Llm extends QueryModule {
           graft.ops.Text.fingerprint(col("text")).as("fingerprint"))
         .orderBy("doc_id")),
 
+    // PII scrubbing — the redaction pass every training-data pipeline runs
+    // before tokenization. The corpus text carries no PII, so each doc is
+    // first augmented with a deterministic synthetic email + IPv4 (the
+    // oracle builds the identical string), then both patterns are redacted
+    // and counted. Pure codegen'd regexp expressions — no UDF, narrow, so
+    // the pass is a free rider on whatever scan feeds it at 100 TB.
+    "text_pii_scrub" -> ((s, d) => {
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val ipRe = "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b"
+      Tables.t(s, d, "documents")
+        .withColumn("aug", concat(
+          col("text"), lit(" contact user"), col("doc_id"),
+          lit("@crawl.example.com from 10."), col("doc_id") % 256, lit(".0.1")))
+        .select(
+          col("doc_id"),
+          regexp_count(col("aug"), lit(emailRe)).cast("bigint").as("n_emails"),
+          regexp_count(col("aug"), lit(ipRe)).cast("bigint").as("n_ips"),
+          regexp_replace(
+            regexp_replace(col("aug"), emailRe, "<EMAIL>"), ipRe, "<IP>").as("scrubbed"))
+        .orderBy("doc_id")
+    }),
+
     // the composed training-data flow: quality-filter -> exact-dedup ->
     // per-language corpus stats (what a 100 TB curation job aggregates)
     "pipeline_training_corpus" -> ((s, d) => {
@@ -232,6 +254,16 @@ object Llm extends QueryModule {
     "doc_fingerprint" ->
       ("SELECT doc_id, substr(sha256(regexp_replace(lower(text), '\\s+', ' ', 'g')), 1, 16) AS fingerprint " +
         "FROM documents ORDER BY doc_id"),
+    // same augmented string, same two REs (RE2 and java.util.regex agree
+    // on this character-class subset); 'g' flag = Spark's replace-all
+    "text_pii_scrub" ->
+      ("SELECT doc_id, " +
+        "CAST(len(regexp_extract_all(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails, " +
+        "CAST(len(regexp_extract_all(aug, '\\b\\d{1,3}(\\.\\d{1,3}){3}\\b')) AS BIGINT) AS n_ips, " +
+        "regexp_replace(regexp_replace(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), " +
+        "'\\b\\d{1,3}(\\.\\d{1,3}){3}\\b', '<IP>', 'g') AS scrubbed " +
+        "FROM (SELECT doc_id, text || ' contact user' || doc_id || '@crawl.example.com from 10.' || (doc_id % 256) || '.0.1' AS aug " +
+        "FROM documents) ORDER BY doc_id"),
     "pipeline_training_corpus" ->
       (s"WITH src AS (SELECT * FROM $docsWithDupsDuck), " +
         s"scored AS (SELECT *, round(least(length(text) / 500.0, 1.0) * 0.5 + ($stopRatioDuck) * 0.5, 6) AS quality FROM src), " +

@@ -21,6 +21,21 @@ class OperatorPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("agg_hll_merge: merged estimate within 5% of exact, segmentation-invariant") {
+    val est = SparkEntry.queries("agg_hll_merge")(spark, sfDir)
+      .collect().head.getLong(0).toDouble
+    val exact = Cdx.df(spark, sfDir).select("urlkey").distinct().count().toDouble
+    assert(math.abs(est - exact) / exact < 0.05, s"merged $est vs exact $exact")
+    // the union lattice: a DIFFERENT segmentation (or none) must converge
+    // on the same estimate — that invariance is why sketches are the
+    // cross-job/cross-day answer while approx_count_distinct is one-shot
+    val single = Cdx.df(spark, sfDir)
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("urlkey"), lit(12))))
+      .collect().head.getLong(0).toDouble
+    assert(math.abs(est - single) / exact < 0.02,
+      s"8-segment merge $est vs unsegmented $single should agree closely")
+  }
+
   test("repartition_range: partition key ranges are disjoint and ordered") {
     val rows = SparkEntry.queries("repartition_range")(spark, sfDir)
       .collect() // pid, min_key, max_key, cnt — ordered by pid

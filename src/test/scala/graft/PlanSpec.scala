@@ -113,6 +113,23 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("join_skew_salted: shuffled join on the salted key, never broadcast") {
+    val df = SparkEntry.queries("join_skew_salted")(spark, sfDir)
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+    val plan = df.queryExecution.sparkPlan
+    // broadcast would sidestep the hot-key shuffle this query exists to
+    // demonstrate; the salt must be in the join keys
+    assert(plan.collect { case j: BroadcastHashJoinExec => j }.isEmpty,
+      s"salted join must take the shuffle path:\n$plan")
+    val shuffled = plan.collect {
+      case j: SortMergeJoinExec => j.leftKeys
+      case j: ShuffledHashJoinExec => j.leftKeys
+    }
+    assert(shuffled.nonEmpty, s"expected a shuffled join:\n$plan")
+    assert(shuffled.head.exists(_.toString.toLowerCase.contains("salt")),
+      s"join keys must include the salt, got ${shuffled.head}")
+  }
+
   test("split_points: 1-in-SplitSampleMod sample filter sits below every global window") {
     val df = SparkEntry.queries("split_points")(spark, sfDir)
     val wins = df.queryExecution.sparkPlan.collect {
