@@ -22,20 +22,18 @@ import org.apache.spark.sql.functions._
   */
 final class CdxServer(spark: SparkSession, clusterDir: String) {
 
-  /** cluster.idx parsed once per server instance — a paginated client
-    * walking n pages would otherwise re-read the idx from storage n+1
-    * times. A CdxServer therefore serves ONE cluster version: if the
-    * cluster at clusterDir is rewritten in place, call [[refreshIdx]]
-    * (or build a new server) before further pagination — stale offsets
-    * would seek into the new files' bytes. */
-  @volatile private var idxCache: Seq[ZipNum.IdxEntry] = null
-  private def idx: Seq[ZipNum.IdxEntry] = {
-    if (idxCache == null) idxCache = ZipNum.readIdx(spark, clusterDir)
-    idxCache
+  /** idx entries for a prefix, via [[ZipNum.scanIdxRange]]'s seek-based
+    * binary search — O(result) driver memory and I/O per query, never the
+    * whole idx (tens of millions of lines at 100 TB; a lookup needs a
+    * handful). Each query re-reads its idx range, so the server is
+    * stateless and always serves the current cluster version; as with
+    * pywb, paginating ACROSS an in-place cluster rewrite is undefined
+    * (offsets move under the client) — rewrite to a new dir instead. */
+  private def idxFor(surtPrefix: String): Seq[ZipNum.IdxEntry] = {
+    val (lo, hi) = ZipNum.prefixBounds(surtPrefix)
+    ZipNum.scanIdxRange(
+      clusterDir, spark.sparkContext.hadoopConfiguration, lo, hi)
   }
-
-  /** drop the cached cluster.idx (after an in-place cluster rewrite) */
-  def refreshIdx(): Unit = idxCache = null
 
   private def scan(prefixKey: Option[String]): DataFrame = {
     val df = spark.read.format("zipnum").load(clusterDir)
@@ -98,8 +96,7 @@ final class CdxServer(spark: SparkSession, clusterDir: String) {
   /** pagination contract: numPages for a prefix at `blocksPerPage`
     * (pywb showNumPages), computed from cluster.idx alone — no data I/O */
   def numPages(surtPrefix: String, blocksPerPage: Int): Long = {
-    val (lo, hi) = ZipNum.prefixBounds(surtPrefix)
-    val nBlocks = ZipNum.selectBlocks(idx, lo, hi).size
+    val nBlocks = idxFor(surtPrefix).size
     math.ceil(nBlocks.toDouble / blocksPerPage).toLong
   }
 
@@ -151,8 +148,7 @@ final class CdxServer(spark: SparkSession, clusterDir: String) {
     * showNumPages/page contract. Pages are disjoint and their union is the
     * full [[prefix]] result; only the selected blocks' bytes are read. */
   def page(surtPrefix: String, blocksPerPage: Int, n: Int): DataFrame = {
-    val (lo, hi) = ZipNum.prefixBounds(surtPrefix)
-    val blocks = ZipNum.selectBlocks(idx, lo, hi)
+    val blocks = idxFor(surtPrefix)
       .slice(n * blocksPerPage, (n + 1) * blocksPerPage)
     ZipNum.readBlockLines(spark, clusterDir, blocks, Some(surtPrefix))
       .selectExpr(

@@ -218,6 +218,120 @@ object ZipNum {
     }
   }
 
+  /** Bounded-range idx read WITHOUT loading the file: seek-based binary
+    * search for the first entry with firstKey >= lo (UTF-8 byte order),
+    * step back one line (the straddling predecessor [[selectBlocks]]
+    * keeps), then stream entries forward until firstKey >= hi. Driver
+    * memory and I/O are O(result + log(file) seeks), not O(idx) — at
+    * 100 TB cluster.idx is tens of millions of lines (~GBs), and a
+    * cdx-server-shaped query needs a handful of them. pywb's idx binary
+    * search, re-expressed over Hadoop seekable streams. Returns exactly
+    * `selectBlocks(readIdx(dir), lo, hi)` (property-tested equal).
+    */
+  def scanIdxRange(
+      dir: String, conf: Configuration,
+      lo: Option[String], hi: Option[String]): Seq[IdxEntry] = {
+    val path = new Path(dir, "cluster.idx")
+    val fs = path.getFileSystem(conf)
+    val len = fs.getFileStatus(path).getLen
+    if (len == 0) return Nil
+    val in = fs.open(path)
+    try {
+      // read one line starting at `off` (must be a line start); returns
+      // (line, nextLineStart) or null at EOF
+      def lineAt(off: Long): (String, Long) = {
+        if (off >= len) return null
+        in.seek(off)
+        val sb = new java.lang.StringBuilder(160)
+        val buf = new Array[Byte](256)
+        var pos = off
+        var done = false
+        while (!done) {
+          val n = in.read(buf)
+          if (n < 0) done = true
+          else {
+            var i = 0
+            while (i < n && !done) {
+              if (buf(i) == '\n') done = true else i += 1
+            }
+            sb.append(new String(buf, 0, i, UTF_8))
+            pos += i + (if (done) 1 else 0)
+          }
+        }
+        (sb.toString, pos)
+      }
+      def keyOf(line: String): String = line.substring(0, line.indexOf('\t'))
+      // first line start strictly after `off`
+      def nextLineStart(off: Long): Long = {
+        if (off >= len) return len
+        in.seek(off)
+        val buf = new Array[Byte](4096)
+        var pos = off
+        while (true) {
+          val n = in.read(buf)
+          if (n < 0) return len
+          var i = 0
+          while (i < n) {
+            if (buf(i) == '\n') return pos + i + 1
+            i += 1
+          }
+          pos += n
+        }
+        len // unreachable
+      }
+
+      // offset of the first LINE START whose key >= lo (len when none),
+      // plus the line start immediately before it (the straddle candidate)
+      var start = 0L
+      var prevStart = -1L
+      lo.foreach { target =>
+        // bisect byte offsets down to a small window, then scan linearly.
+        // invariant: the answer line starts at or after `a`-as-a-line-
+        // start; every line starting at/after `b` has key >= target OR
+        // b == len
+        var a = 0L
+        var b = len
+        while (b - a > 8192) {
+          val mid = a + (b - a) / 2
+          val ls = nextLineStart(mid)
+          if (ls >= b) b = mid
+          else {
+            val (line, _) = lineAt(ls)
+            if (utf8Compare(keyOf(line), target) < 0) a = ls else b = ls
+          }
+        }
+        // linear: `a` is 0 or a line start with key < target
+        var off = a
+        var found = false
+        while (!found && off < len) {
+          val cur = lineAt(off)
+          if (cur == null) { found = true; start = len }
+          else if (utf8Compare(keyOf(cur._1), target) >= 0) { found = true; start = off }
+          else { prevStart = off; off = cur._2 }
+        }
+        if (!found) start = len
+      }
+      val from = if (prevStart >= 0) prevStart else start
+      if (from >= len) return Nil
+
+      // stream entries from `from` until firstKey >= hi
+      val out = Vector.newBuilder[IdxEntry]
+      val reader = new java.io.BufferedReader(
+        new java.io.InputStreamReader({ in.seek(from); in }, UTF_8))
+      var line = reader.readLine()
+      var stop = false
+      while (line != null && !stop) {
+        if (line.nonEmpty) {
+          val f = line.split("\t")
+          if (hi.exists(h => utf8Compare(f(0), h) >= 0)) stop = true
+          else out += IdxEntry(f(0), f(1), f(2).toLong, f(3).toLong, f(4).toLong)
+        }
+        if (!stop) line = reader.readLine()
+      }
+      out.result()
+    } finally in.close()
+  }
+
   /** Spark (and DuckDB) order strings by unsigned UTF-8 bytes; Java's
     * String.compareTo orders by UTF-16 code units, which INVERTS the
     * relative order of supplementary characters (U+10000+, surrogate
@@ -273,12 +387,12 @@ object ZipNum {
   def readLines(
       spark: SparkSession, dir: String, prefix: Option[String] = None,
       ordered: Boolean = true): DataFrame = {
-    val idx = readIdx(spark, dir)
     val selected = prefix match {
-      case None => idx
+      case None => readIdx(spark, dir)
       case Some(p) =>
+        // bounded lookup: binary-search the idx file, never load it
         val (lo, hi) = prefixBounds(p)
-        selectBlocks(idx, lo, hi)
+        scanIdxRange(dir, spark.sparkContext.hadoopConfiguration, lo, hi)
     }
     readBlockLines(spark, dir, selected, prefix, ordered)
   }

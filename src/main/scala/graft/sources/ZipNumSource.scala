@@ -162,12 +162,18 @@ final class ZipNumScan(
       .map(_.sparkContext.hadoopConfiguration)
       .getOrElse(new Configuration())
 
-  /** idx entries surviving block pruning (shared ZipNum.selectBlocks
-    * rule), grouped ≤64 contiguous blocks per partition so a huge cluster
-    * doesn't explode the task count */
+  /** idx entries surviving block pruning, grouped ≤64 contiguous blocks
+    * per partition so a huge cluster doesn't explode the task count.
+    * Bounded ranges go through [[ZipNum.scanIdxRange]]'s seek-based
+    * binary search — planning a pushed-down lookup reads O(result) idx
+    * bytes, not the whole file (GBs at 100 TB); an unbounded scan needs
+    * every entry anyway and takes the plain parse. Both paths implement
+    * the same pruning rule (property-tested equal). */
   override def planInputPartitions(): Array[InputPartition] = {
-    val idx = ZipNumScan.readIdxStatic(dir, sessionConf)
-    val selected = ZipNum.selectBlocks(idx, range.lo, range.hi)
+    val selected =
+      if (range.lo.isEmpty && range.hi.isEmpty)
+        ZipNumScan.readIdxStatic(dir, sessionConf)
+      else ZipNum.scanIdxRange(dir, sessionConf, range.lo, range.hi)
     selected.grouped(64).map { group =>
       ZipNumBlockPartition(
         group.map(e => (dir + "/" + e.shard, e.offset, e.length, e.seq)).toArray): InputPartition

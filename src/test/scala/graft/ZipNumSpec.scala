@@ -118,6 +118,29 @@ class ZipNumSpec extends SparkSpec {
     idx.foreach(e => assert(keys.contains(e.firstKey)))
   }
 
+  test("scanIdxRange == selectBlocks(readIdx) for every bound shape") {
+    import spark.implicits._
+    val dir = "/tmp/graft_test/zipnum_idxscan"
+    // keys engineered so bounds land before, on, between, and after
+    // entry firstkeys; small blocks -> many idx lines
+    val lines = (0 until 900).map(i => f"k${(i * 389) % 900}%04d 2015 payload$i")
+    ZipNum.write(lines.toDF("line"), dir, shards = 5, linesPerBlock = 7)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val full = ZipNum.readIdx(spark, dir)
+    assert(full.size > 100, s"want a dense idx, got ${full.size}")
+    val keys = full.map(_.firstKey)
+    val probes: Seq[Option[String]] =
+      Seq(None, Some(""), Some("a"), Some("zzzz"), // below-all / above-all
+        Some(keys(keys.size / 3)), // exact firstkey hit
+        Some(keys(keys.size / 2) + "0"), // between firstkeys
+        Some("k0500"), Some("k0500 2015"), Some("k089")) // prefix shapes
+    for (lo <- probes; hi <- probes) {
+      val expect = ZipNum.selectBlocks(full, lo, hi)
+      val got = ZipNum.scanIdxRange(dir, conf, lo, hi)
+      assert(got == expect, s"lo=$lo hi=$hi: got ${got.size}, want ${expect.size}")
+    }
+  }
+
   test("full read returns sorted input; prefix read == filtered full read") {
     written
     val full = ZipNum.readLines(spark, dir).as[String].collect().toSeq
