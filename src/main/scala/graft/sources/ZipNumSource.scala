@@ -113,10 +113,21 @@ final class ZipNumTable(path: String, providedSchema: StructType)
 
 final class ZipNumScanBuilder(dir: String)
   extends ScanBuilder with SupportsPushDownFilters
-  with SupportsPushDownRequiredColumns {
+  with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = ZipNumSource.schema
+  private var limit: Option[Int] = None
+
+  /** partial limit pushdown: every idx block holds >= 1 line, so reading
+    * `limit` blocks always yields >= `limit` rows — a `limit 10` over a
+    * million-block cluster plans 10 blocks, not the pruned range. Returns
+    * false (limit NOT fully consumed): Spark keeps its own Limit above,
+    * which re-cuts to exactly n rows. */
+  override def pushLimit(n: Int): Boolean = {
+    limit = Some(n)
+    false
+  }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter {
@@ -145,16 +156,18 @@ final class ZipNumScanBuilder(dir: String)
       ZipNumSource.schema.filter(f => requiredSchema.fieldNames.contains(f.name)))
 
   override def build(): Scan =
-    new ZipNumScan(dir, ZipNumSource.rangeFromFilters(pushed), required)
+    new ZipNumScan(dir, ZipNumSource.rangeFromFilters(pushed), required, limit)
 }
 
 final class ZipNumScan(
-    dir: String, range: ZipNumSource.KeyRange, required: StructType)
-  extends Scan with Batch {
+    dir: String, range: ZipNumSource.KeyRange, required: StructType,
+    limit: Option[Int] = None)
+  extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def description(): String =
     s"ZipNumScan[$dir, lo=${range.lo.getOrElse("-inf")}, hi=${range.hi.getOrElse("+inf")}, " +
-      s"cols=${required.fieldNames.mkString(",")}]"
+      s"cols=${required.fieldNames.mkString(",")}" +
+      limit.map(n => s", limit=$n").getOrElse("") + "]"
   override def toBatch: Batch = this
 
   private def sessionConf: Configuration =
@@ -162,23 +175,41 @@ final class ZipNumScan(
       .map(_.sparkContext.hadoopConfiguration)
       .getOrElse(new Configuration())
 
-  /** idx entries surviving block pruning, grouped ≤64 contiguous blocks
-    * per partition so a huge cluster doesn't explode the task count.
+  /** idx entries surviving block pruning (and the pushed limit cap).
     * Bounded ranges go through [[ZipNum.scanIdxRange]]'s seek-based
     * binary search — planning a pushed-down lookup reads O(result) idx
     * bytes, not the whole file (GBs at 100 TB); an unbounded scan needs
     * every entry anyway and takes the plain parse. Both paths implement
     * the same pruning rule (property-tested equal). */
-  override def planInputPartitions(): Array[InputPartition] = {
+  private lazy val selectedBlocks: Seq[ZipNum.IdxEntry] = {
     val selected =
       if (range.lo.isEmpty && range.hi.isEmpty)
         ZipNumScan.readIdxStatic(dir, sessionConf)
       else ZipNum.scanIdxRange(dir, sessionConf, range.lo, range.hi)
-    selected.grouped(64).map { group =>
+    limit.map(selected.take).getOrElse(selected)
+  }
+
+  /** exact compressed size from the idx lengths, scaled by a nominal 4×
+    * gzip text ratio — enough signal for Catalyst to broadcast a small
+    * pruned lookup joined against a big table. Row count stays empty
+    * (the idx doesn't record per-block line counts). */
+  override def estimateStatistics(): Statistics = {
+    val bytes = selectedBlocks.map(_.length).sum * 4
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+    }
+  }
+
+  /** grouped ≤64 contiguous blocks per partition so a huge cluster
+    * doesn't explode the task count */
+  override def planInputPartitions(): Array[InputPartition] =
+    selectedBlocks.grouped(64).map { group =>
       ZipNumBlockPartition(
         group.map(e => (dir + "/" + e.shard, e.offset, e.length, e.seq)).toArray): InputPartition
     }.toArray
-  }
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val sconf = new SerializableHadoopConf(sessionConf)

@@ -77,6 +77,32 @@ class SourceV2Spec extends SparkSpec {
     assert(range.intersectBlock("com,b)/x 2015", Some("com,b)/z 2015")) === true)
   }
 
+  test("limit pushdown caps planned blocks; stats shrink with pruning") {
+    setup()
+    val idx = graft.sources.ZipNumScan.readIdxStatic(zipDir)
+    assert(idx.size > 1)
+    // limit=1 plans exactly 1 block (each block holds >= 1 line)
+    def blocksOf(scan: graft.sources.ZipNumScan): Int =
+      scan.planInputPartitions()
+        .map(_.asInstanceOf[graft.sources.ZipNumBlockPartition].blocks.length).sum
+    val limited = new graft.sources.ZipNumScan(
+      zipDir, ZipNumSource.KeyRange(None, None), ZipNumSource.schema, Some(1))
+    assert(blocksOf(limited) == 1)
+    // Spark still applies its own Limit: end-to-end row count is exact
+    assert(spark.read.format("zipnum").load(zipDir).limit(1).count() == 1)
+    // reported sizeInBytes shrinks when pruning shrinks the block set
+    def sizeOf(scan: graft.sources.ZipNumScan): Long =
+      scan.estimateStatistics().sizeInBytes().getAsLong
+    val full = new graft.sources.ZipNumScan(
+      zipDir, ZipNumSource.KeyRange(None, None), ZipNumSource.schema)
+    val pruned = new graft.sources.ZipNumScan(
+      zipDir,
+      ZipNumSource.rangeFromFilters(Seq(StringStartsWith("urlkey", "org,iana"))),
+      ZipNumSource.schema)
+    assert(sizeOf(full) == idx.map(_.length).sum * 4)
+    assert(sizeOf(pruned) < sizeOf(full) && sizeOf(pruned) > 0)
+  }
+
   test("zipnum pushdown plans fewer partitions than a full scan") {
     setup()
     val idx = graft.sources.ZipNumScan.readIdxStatic(zipDir)

@@ -141,6 +141,23 @@ class ZipNumSpec extends SparkSpec {
     }
   }
 
+  test("no idx side files or attempt temps survive a write (library or V2)") {
+    import spark.implicits._
+    val d1 = "/tmp/graft_test/zipnum_clean1"
+    val d2 = "/tmp/graft_test/zipnum_clean2"
+    val lines = (0 until 100).map(i => f"k$i%03d 2015 x$i")
+    ZipNum.write(lines.toDF("line"), d1, shards = 3, linesPerBlock = 10)
+    lines.toDF("line").write.format("zipnum")
+      .option("shards", "3").option("linesPerBlock", "10")
+      .mode("overwrite").save(d2)
+    for (d <- Seq(d1, d2)) {
+      val names = new java.io.File(d).list().toSeq
+      assert(names.contains("cluster.idx"), s"$d: $names")
+      assert(!names.exists(n => n.startsWith(".idx-") || n.contains(".attempt-")),
+        s"uncommitted side/temp files left in $d: $names")
+    }
+  }
+
   test("full read returns sorted input; prefix read == filtered full read") {
     written
     val full = ZipNum.readLines(spark, dir).as[String].collect().toSeq
