@@ -201,6 +201,22 @@ object ZipNum {
     assembleIdx(fs, dirPath, writtenPids.toSeq)
   }
 
+  /** Merge clusters into one (the reference's operational loop: last
+    * month's index + this month's captures → next index;
+    * zipnumclusterjob.py is re-run over unioned inputs the same way,
+    * recon ~L20–40). Inputs are read WITHOUT their per-cluster order
+    * (`ordered=false` — no wasted sort), unioned, and rewritten through
+    * [[write]], whose single range exchange re-establishes the total
+    * order; Catalyst sees one plan, so there is exactly one shuffle for
+    * any number of input clusters. */
+  def merge(
+      spark: SparkSession, dirs: Seq[String], outDir: String,
+      shards: Int, linesPerBlock: Int): Unit = {
+    require(dirs.nonEmpty, "merge needs at least one input cluster")
+    val all = dirs.map(readLines(spark, _, ordered = false)).reduce(_.union(_))
+    write(all.toDF("line"), outDir, shards, linesPerBlock)
+  }
+
   /** Parse cluster.idx (driver-side — it is the small binary-searchable
     * secondary index by construction). THE one idx parser: the V2 source
     * delegates here too, so the line format has a single reader. */
@@ -242,7 +258,10 @@ object ZipNum {
       def lineAt(off: Long): (String, Long) = {
         if (off >= len) return null
         in.seek(off)
-        val sb = new java.lang.StringBuilder(160)
+        // accumulate BYTES and decode once — per-chunk decoding would
+        // corrupt a multibyte UTF-8 char straddling a chunk boundary
+        // (long urlkeys overrun any fixed chunk size)
+        val bytes = new ByteArrayOutputStream(256)
         val buf = new Array[Byte](256)
         var pos = off
         var done = false
@@ -254,13 +273,16 @@ object ZipNum {
             while (i < n && !done) {
               if (buf(i) == '\n') done = true else i += 1
             }
-            sb.append(new String(buf, 0, i, UTF_8))
+            bytes.write(buf, 0, i)
             pos += i + (if (done) 1 else 0)
           }
         }
-        (sb.toString, pos)
+        (new String(bytes.toByteArray, UTF_8), pos)
       }
-      def keyOf(line: String): String = line.substring(0, line.indexOf('\t'))
+      def keyOf(line: String): String = {
+        val t = line.indexOf('\t')
+        if (t < 0) line else line.substring(0, t)
+      }
       // first line start strictly after `off`
       def nextLineStart(off: Long): Long = {
         if (off >= len) return len

@@ -156,6 +156,22 @@ object Formats extends QueryModule {
         .orderBy("urlkey", "ts", "json")
     }),
 
+    // incremental index maintenance: two partial clusters (an arbitrary
+    // deterministic split of the captures) merged into one — the monthly
+    // crawl loop. The oracle checks the merged cluster equals the index
+    // built from ALL captures at once: merge must be lossless and
+    // order-restoring regardless of how history was partitioned.
+    "zipnum_merge_incremental" -> ((s, d) => {
+      val dirA = tmp(d, "zipnum_merge_a")
+      val dirB = tmp(d, "zipnum_merge_b")
+      val out = tmp(d, "zipnum_merged")
+      val lines = cdxLines(s, d)
+      ZipNum.write(lines.filter(length(col("line")) % 2 === 0), dirA, 4, 100)
+      ZipNum.write(lines.filter(length(col("line")) % 2 === 1), dirB, 4, 100)
+      ZipNum.merge(s, Seq(dirA, dirB), out, shards = 8, linesPerBlock = 100)
+      ZipNum.readLines(s, out) // cluster order == sorted line order
+    }),
+
     // pywb fl= through the gate: CdxServer field-list projection over a
     // cluster — urlkey/timestamp ride the scan columns, mime is pulled
     // from the CDXJ json; a scan-columns-only fl= additionally prunes
@@ -257,6 +273,9 @@ object Formats extends QueryModule {
     "zipnum_v2_pushdown" -> o(
       s"SELECT urlkey, ts, $jsonExprDuck FROM cdx " +
         "WHERE urlkey LIKE 'org,example,medium)%' ORDER BY urlkey, ts, json"),
+    // merged cluster == index built from all captures at once
+    "zipnum_merge_incremental" -> o(
+      s"SELECT $lineExprDuck AS line FROM cdx ORDER BY line"),
     // every sort column is projected, so duplicate rows are literal
     // duplicates and positional compare is order-stable
     "cdx_fl_projection" -> o(

@@ -141,6 +141,27 @@ class ZipNumSpec extends SparkSpec {
     }
   }
 
+  test("scanIdxRange survives idx lines longer than its read chunk (multibyte keys)") {
+    import spark.implicits._
+    val dir = "/tmp/graft_test/zipnum_longkeys"
+    // keys ~320 chars with an astral char planted EVERY position in the
+    // tail, so some 4-byte UTF-8 sequence straddles any fixed chunk
+    // boundary a byte-chunked line reader could pick
+    val astral = new String(Character.toChars(0x1F600))
+    val lines = (0 until 120).map { i =>
+      val pad = ("p" + astral).*(60) // ~300 bytes of alternating multibyte
+      f"key$i%03d/$pad 2015 x$i"
+    }
+    ZipNum.write(lines.toDF("line"), dir, shards = 2, linesPerBlock = 3)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val full = ZipNum.readIdx(spark, dir)
+    for (probe <- Seq(Some("key040"), Some("key0"), Some("key119"), None)) {
+      val hi = probe.map(_ + ZipNum.MaxCodePoint)
+      assert(ZipNum.scanIdxRange(dir, conf, probe, hi)
+        == ZipNum.selectBlocks(full, probe, hi), s"probe=$probe")
+    }
+  }
+
   test("no idx side files or attempt temps survive a write (library or V2)") {
     import spark.implicits._
     val d1 = "/tmp/graft_test/zipnum_clean1"
