@@ -8,7 +8,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{SortDirection, Transform, SortOrder => connectorSortOrder}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, StringStartsWith}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
@@ -113,11 +113,13 @@ final class ZipNumTable(path: String, providedSchema: StructType)
 
 final class ZipNumScanBuilder(dir: String)
   extends ScanBuilder with SupportsPushDownFilters
-  with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
+  with SupportsPushDownRequiredColumns with SupportsPushDownLimit
+  with SupportsPushDownTopN {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = ZipNumSource.schema
   private var limit: Option[Int] = None
+  private var topDesc: Boolean = false
 
   /** partial limit pushdown: every idx block holds >= 1 line, so reading
     * `limit` blocks always yields >= `limit` rows — a `limit 10` over a
@@ -128,6 +130,30 @@ final class ZipNumScanBuilder(dir: String)
     limit = Some(n)
     false
   }
+
+  /** ORDER BY urlkey [DESC] LIMIT n: the cluster IS urlkey-ordered, so
+    * the top-n multiset lives in the first (asc) or last (desc) n
+    * surviving blocks — line order refines urlkey order, so the first n
+    * lines carry the n smallest urlkeys. Partially pushed: partitions
+    * aren't globally ordered at the row level, Spark's own
+    * TakeOrderedAndProject does the final sort+cut over n blocks of
+    * candidates instead of the whole cluster. */
+  override def pushTopN(orders: Array[connectorSortOrder], n: Int): Boolean =
+    orders match {
+      case Array(o) => o.expression match {
+        case ref: org.apache.spark.sql.connector.expressions.NamedReference
+            if ref.fieldNames.toSeq == Seq("urlkey") =>
+          // no null urlkeys in a cluster (the key is the line prefix), so
+          // either null ordering is equivalent
+          limit = Some(n)
+          topDesc = o.direction == SortDirection.DESCENDING
+          true
+        case _ => false
+      }
+      case _ => false
+    }
+
+  override def isPartiallyPushed(): Boolean = true
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter {
@@ -156,13 +182,32 @@ final class ZipNumScanBuilder(dir: String)
       ZipNumSource.schema.filter(f => requiredSchema.fieldNames.contains(f.name)))
 
   override def build(): Scan =
-    new ZipNumScan(dir, ZipNumSource.rangeFromFilters(pushed), required, limit)
+    new ZipNumScan(dir, ZipNumSource.rangeFromFilters(pushed), required, limit, topDesc)
 }
 
 final class ZipNumScan(
     dir: String, range: ZipNumSource.KeyRange, required: StructType,
-    limit: Option[Int] = None)
-  extends Scan with Batch with SupportsReportStatistics {
+    limit: Option[Int] = None, limitFromEnd: Boolean = false)
+  extends Scan with Batch with SupportsReportStatistics
+  with SupportsRuntimeFiltering {
+
+  /** DPP-style runtime pruning: when this scan sits under a join on
+    * urlkey, Spark hands over the build side's key set after it
+    * materializes, and only blocks whose range can hold one of those
+    * keys are read — the V2 analog of dynamic partition pruning, riding
+    * the same per-key idx binary search as everything else. Purely an
+    * I/O reduction: unmatched filters just skip the extra pruning, and
+    * Spark re-applies the join on whatever rows come back. */
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("urlkey"))
+
+  @volatile private var runtimeKeys: Option[Array[String]] = None
+
+  override def filter(filters: Array[Filter]): Unit = filters.foreach {
+    case org.apache.spark.sql.sources.In("urlkey", vs) =>
+      runtimeKeys = Some(vs.collect { case s: String => s })
+    case _ => // unmatched shapes: keep every block (pruning is optional)
+  }
   override def readSchema(): StructType = required
   override def description(): String =
     s"ZipNumScan[$dir, lo=${range.lo.getOrElse("-inf")}, hi=${range.hi.getOrElse("+inf")}, " +
@@ -181,12 +226,31 @@ final class ZipNumScan(
     * bytes, not the whole file (GBs at 100 TB); an unbounded scan needs
     * every entry anyway and takes the plain parse. Both paths implement
     * the same pruning rule (property-tested equal). */
-  private lazy val selectedBlocks: Seq[ZipNum.IdxEntry] = {
+  private lazy val staticBlocks: Seq[ZipNum.IdxEntry] = {
     val selected =
       if (range.lo.isEmpty && range.hi.isEmpty)
         ZipNumScan.readIdxStatic(dir, sessionConf)
       else ZipNum.scanIdxRange(dir, sessionConf, range.lo, range.hi)
-    limit.map(selected.take).getOrElse(selected)
+    limit match {
+      case Some(n) if limitFromEnd => selected.takeRight(n)
+      case Some(n) => selected.take(n)
+      case None => selected
+    }
+  }
+
+  /** static selection ∩ runtime-key blocks. Each runtime key costs
+    * O(log idx) seeks; past [[ZipNumScan.MaxRuntimeKeys]] the per-key
+    * lookups would cost more than they save, so pruning degrades to the
+    * static selection (always correct — runtime filtering only ever
+    * removes provably-unmatchable I/O). */
+  private def selectedBlocks: Seq[ZipNum.IdxEntry] = runtimeKeys match {
+    case Some(keys) if keys.length <= ZipNumScan.MaxRuntimeKeys =>
+      val conf = sessionConf
+      val wanted = keys.iterator.flatMap { k =>
+        ZipNum.scanIdxRange(dir, conf, Some(k), Some(k + ZipNum.MaxCodePoint))
+      }.map(_.seq).toSet
+      staticBlocks.filter(e => wanted.contains(e.seq))
+    case _ => staticBlocks
   }
 
   /** exact compressed size from the idx lengths, scaled by a nominal 4×
@@ -221,6 +285,9 @@ final class ZipNumScan(
 }
 
 object ZipNumScan {
+  /** runtime-filter key budget: each key costs O(log idx) driver seeks */
+  val MaxRuntimeKeys = 1024
+
   /** driver-side idx read — delegates to the single idx parser */
   def readIdxStatic(
       dir: String, conf: Configuration = new Configuration()): Seq[ZipNum.IdxEntry] =

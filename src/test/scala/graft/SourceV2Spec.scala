@@ -103,6 +103,67 @@ class SourceV2Spec extends SparkSpec {
     assert(sizeOf(pruned) < sizeOf(full) && sizeOf(pruned) > 0)
   }
 
+  test("runtime filtering prunes to the join keys' blocks; results unchanged") {
+    setup()
+    val full = new graft.sources.ZipNumScan(
+      zipDir, ZipNumSource.KeyRange(None, None), ZipNumSource.schema)
+    def blocksOf(s: graft.sources.ZipNumScan): Int =
+      s.planInputPartitions()
+        .map(_.asInstanceOf[graft.sources.ZipNumBlockPartition].blocks.length).sum
+    val allBlocks = blocksOf(full)
+    assert(allBlocks > 1)
+    // a known key prunes; the scan still returns its rows
+    val key = spark.read.format("zipnum").load(zipDir)
+      .select("urlkey").orderBy("urlkey").as[String].first()
+    val filtered = new graft.sources.ZipNumScan(
+      zipDir, ZipNumSource.KeyRange(None, None), ZipNumSource.schema)
+    filtered.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("urlkey", Array(key))))
+    assert(blocksOf(filtered) < allBlocks && blocksOf(filtered) > 0,
+      s"runtime-pruned ${blocksOf(filtered)} of $allBlocks")
+    // a below-all key prunes to zero blocks; an above-all key keeps only
+    // the conservative straddling final block (its upper key is unknown
+    // from the idx — same rule as every other pruning path)
+    val below = new graft.sources.ZipNumScan(
+      zipDir, ZipNumSource.KeyRange(None, None), ZipNumSource.schema)
+    below.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("urlkey", Array("aa,absent)/x"))))
+    assert(blocksOf(below) == 0)
+    val above = new graft.sources.ZipNumScan(
+      zipDir, ZipNumSource.KeyRange(None, None), ZipNumSource.schema)
+    above.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("urlkey", Array("zz,absent)/x"))))
+    assert(blocksOf(above) <= 1)
+    // end-to-end: broadcast join on urlkey returns the right rows with
+    // runtime filtering available (whether or not the planner fires it)
+    val dim = Seq(key).toDF("urlkey")
+    val joined = spark.read.format("zipnum").load(zipDir)
+      .join(broadcast(dim), "urlkey")
+    assert(joined.count() >= 1)
+    assert(joined.select("urlkey").distinct().as[String].collect().toSeq == Seq(key))
+  }
+
+  test("top-n pushdown: ORDER BY urlkey LIMIT n reads n blocks from the right end") {
+    setup()
+    val df = spark.read.format("zipnum").load(zipDir)
+    val total = df.count()
+    val ascAll = df.orderBy("urlkey").select("urlkey").as[String].collect()
+    // asc: first blocks; desc: last blocks — both must match a full sort
+    val asc = df.orderBy("urlkey").limit(2).select("urlkey").as[String].collect()
+    assert(asc.toSeq == ascAll.take(2).toSeq)
+    val desc = df.orderBy(col("urlkey").desc).limit(2).select("urlkey").as[String].collect()
+    assert(desc.toSeq == ascAll.reverse.take(2).toSeq)
+    assert(total > 2)
+    // the scan itself: desc cap takes the LAST blocks
+    val idx = graft.sources.ZipNumScan.readIdxStatic(zipDir)
+    val descScan = new graft.sources.ZipNumScan(
+      zipDir, ZipNumSource.KeyRange(None, None), ZipNumSource.schema,
+      Some(1), limitFromEnd = true)
+    val planned = descScan.planInputPartitions()
+      .flatMap(_.asInstanceOf[graft.sources.ZipNumBlockPartition].blocks)
+    assert(planned.map(_._4).toSeq == Seq(idx.last.seq), "desc limit must keep the tail block")
+  }
+
   test("zipnum pushdown plans fewer partitions than a full scan") {
     setup()
     val idx = graft.sources.ZipNumScan.readIdxStatic(zipDir)
