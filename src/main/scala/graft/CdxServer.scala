@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
   *
   * Parameter mapping (pywb cdx-server → method):
   *   url=...&matchType=exact    -> exactUrl
-  *   matchType=prefix|domain    -> prefix / domain
+  *   matchType=prefix|host|domain -> prefix / host / domain
   *   from=...&to=...            -> captures(from, to)
   *   sort=closest&closest=ts    -> closest
   *   collapse=timestamp:N       -> collapse
@@ -47,6 +47,12 @@ final class CdxServer(spark: SparkSession, clusterDir: String) {
   /** every capture under a SURT path prefix */
   def prefix(surtPrefix: String): DataFrame =
     scan(Some(surtPrefix)).orderBy("urlkey", "ts")
+
+  /** host-only query (pywb matchType=host): every capture of exactly
+    * this host — keys under `com,example)` but NOT subdomains
+    * (`com,example,sub)...`), the level between exact and [[domain]] */
+  def host(reversedHost: String): DataFrame =
+    scan(Some(reversedHost + ")")).orderBy("urlkey", "ts")
 
   /** whole-domain query: all captures under `com,example)` including
     * subdomains (`com,example,sub)...`), i.e. keys starting with the

@@ -84,6 +84,28 @@ object Windows extends QueryModule {
         .filter(col("rn") === 1)
         .select("prefix_key", "ts", "id")
         .orderBy("prefix_key", "ts", "id")
+    }),
+
+    // pywb collapse=digest: drop a capture when the payload digest equals
+    // the PREVIOUS capture's for the same page — "page didn't change
+    // since last crawl", the highest-leverage dedup a replay index does.
+    // Run-length semantics (A,B,A keeps 3), not first-per-granule like
+    // win_collapse. The fixture's stored digest is constant per page, so
+    // the content digest here models a page that changes yearly — the
+    // lag/IS-DISTINCT-FROM machinery is what's under test, and at every
+    // sf the fixture yields both kept and dropped adjacents (10 dropped
+    // at sf0.001, 2752 at sf0.01). First capture always kept (lag null).
+    "win_collapse_digest" -> ((s, d) => {
+      val w = Window
+        .partitionBy(col("hostword"), col("path"))
+        .orderBy(col("ts"), col("id"))
+      Cdx.df(s, d)
+        .withColumn("content_digest",
+          sha2(concat(col("hostword"), col("path"), substring(col("ts"), 1, 4)), 256))
+        .withColumn("prev_digest", lag(col("content_digest"), 1).over(w))
+        .filter(!(col("content_digest") <=> col("prev_digest")))
+        .select("urlkey", "ts", "id", "content_digest")
+        .orderBy("urlkey", "ts", "id")
     })
   )
 
@@ -113,6 +135,12 @@ object Windows extends QueryModule {
       "SELECT prefix_key, ts, id FROM " +
         "(SELECT split_part(urlkey, '?', 1) AS prefix_key, ts, id, " +
         "row_number() OVER (PARTITION BY split_part(urlkey, '?', 1), substr(ts, 1, 6) ORDER BY ts, id) AS rn FROM cdx) " +
-        "WHERE rn = 1 ORDER BY prefix_key, ts, id")
+        "WHERE rn = 1 ORDER BY prefix_key, ts, id"),
+    // IS DISTINCT FROM = Spark's !(a <=> b); first row kept (lag null)
+    "win_collapse_digest" -> o(
+      "SELECT urlkey, ts, id, content_digest FROM " +
+        "(SELECT urlkey, ts, id, sha256(hostword || path || substr(ts, 1, 4)) AS content_digest, " +
+        "lag(sha256(hostword || path || substr(ts, 1, 4))) OVER (PARTITION BY hostword, path ORDER BY ts, id) AS prev_digest FROM cdx) " +
+        "WHERE content_digest IS DISTINCT FROM prev_digest ORDER BY urlkey, ts, id")
   )
 }

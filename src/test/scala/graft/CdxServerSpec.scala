@@ -3,6 +3,7 @@ package graft
 import java.nio.file.{Files, Paths}
 
 import graft.formats.Warc
+import org.apache.spark.sql.functions.col
 
 /** pywb cdx-server semantics over a ZipNum cluster built by the pipeline
   * (SURVEY §2.9): exact/prefix/domain lookup, time range, closest,
@@ -25,12 +26,19 @@ class CdxServerSpec extends SparkSpec {
     assert(rows == Seq("20150215012345", "20150402083000"))
   }
 
-  test("prefix and domain queries") {
+  test("prefix, host, and domain queries") {
     val p = server.prefix("com,example)/").select("urlkey").as[String].collect()
     assert(p.nonEmpty && p.forall(_.startsWith("com,example)/")))
     // domain query picks up the bare host AND subdomain captures
     val d = server.domain("org,iana").select("urlkey").as[String].collect()
     assert(d.toSeq == Seq("org,iana,sub)/x"))
+    // host query excludes subdomains (matchType=host vs domain)
+    assert(server.host("org,iana").count() == 0)
+    val h = server.host("com,example").select("urlkey").as[String].collect()
+    assert(h.nonEmpty && h.forall(_.startsWith("com,example)")))
+    assert(h.toSet == server.domain("com,example")
+      .filter(!col("urlkey").startsWith("com,example,"))
+      .select("urlkey").as[String].collect().toSet)
   }
 
   test("time-range and closest") {
