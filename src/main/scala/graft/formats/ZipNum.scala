@@ -143,25 +143,35 @@ object ZipNum {
     try {
       pids.sorted.foreach { pid =>
         val side = new Path(dirPath, sideIdxName(pid))
-        if (fs.exists(side)) {
-          val reader = new java.io.BufferedReader(
-            new java.io.InputStreamReader(fs.open(side), UTF_8))
-          try {
-            var line = reader.readLine()
-            while (line != null) {
-              idxOut.write(s"$line\t$seq\n".getBytes(UTF_8))
-              seq += 1
-              line = reader.readLine()
-            }
-          } finally reader.close()
-          fs.delete(side, false)
-        }
+        // every pid passed here wrote >=1 block, so its side file MUST
+        // exist — skipping silently would publish an idx missing a whole
+        // shard's entries (blocks unreachable, no error at read time)
+        require(fs.exists(side),
+          s"idx side file missing for shard $pid at $side — refusing to publish a partial cluster.idx")
+        val reader = new java.io.BufferedReader(
+          new java.io.InputStreamReader(fs.open(side), UTF_8))
+        try {
+          var line = reader.readLine()
+          while (line != null) {
+            idxOut.write(s"$line\t$seq\n".getBytes(UTF_8))
+            seq += 1
+            line = reader.readLine()
+          }
+        } finally reader.close()
+        fs.delete(side, false)
       }
     } finally idxOut.close()
   }
 
   /** Write `df` (must have a `line` STRING column whose prefix is the sort
-    * key) as a ZipNum cluster under `dir`. */
+    * key) as a ZipNum cluster under `dir`.
+    *
+    * Task retries overwrite whole files here (`create(overwrite=true)` on
+    * the final names) — safe because content is deterministic and the
+    * idx is only assembled after the job succeeds, but a ZOMBIE attempt
+    * racing the winner could interleave bytes. The V2 write path
+    * (`df.write.format("zipnum")`) is the hardened form: attempt-keyed
+    * temps + rename-on-commit. Prefer it on real clusters. */
   def write(
       df: DataFrame, dir: String, shards: Int, linesPerBlock: Int,
       compressThreads: Int = DefaultCompressThreads): Unit = {

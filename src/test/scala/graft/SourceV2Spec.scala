@@ -164,6 +164,28 @@ class SourceV2Spec extends SparkSpec {
     assert(planned.map(_._4).toSeq == Seq(idx.last.seq), "desc limit must keep the tail block")
   }
 
+  test("scan reports blocksRead/compressedBytesRead task metrics") {
+    setup()
+    val scan = new graft.sources.ZipNumScan(
+      zipDir, ZipNumSource.KeyRange(None, None), ZipNumSource.schema)
+    assert(scan.supportedCustomMetrics().map(_.name()).toSeq
+      == Seq("blocksRead", "compressedBytesRead"))
+    val idx = graft.sources.ZipNumScan.readIdxStatic(zipDir)
+    val parts = scan.planInputPartitions()
+    val factory = scan.createReaderFactory()
+    var blocks = 0L
+    var bytes = 0L
+    parts.foreach { p =>
+      val r = factory.createReader(p)
+      while (r.next()) r.get()
+      val m = r.currentMetricsValues().map(t => t.name() -> t.value()).toMap
+      blocks += m("blocksRead"); bytes += m("compressedBytesRead")
+      r.close()
+    }
+    assert(blocks == idx.size, s"read $blocks of ${idx.size} blocks")
+    assert(bytes == idx.map(_.length).sum)
+  }
+
   test("zipnum pushdown plans fewer partitions than a full scan") {
     setup()
     val idx = graft.sources.ZipNumScan.readIdxStatic(zipDir)
