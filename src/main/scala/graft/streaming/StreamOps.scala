@@ -45,6 +45,32 @@ object StreamOps {
       .agg(count(lit(1)).as("n_events"))
       .select(col("session_window.start").as("sstart"), col("user_id"), col("n_events"))
 
+  /** Stream-stream interval join — the continuous form of
+    * join_revisit_resolve: a stream of revisit records joined to the
+    * stream of original captures with the same digest, where the
+    * original must precede the revisit by at most `horizon`. BOTH sides
+    * are watermarked and the join condition time-bounds both event
+    * times, so Spark can evict originals older than the horizon and
+    * revisits older than the watermark — state is O(horizon of data),
+    * never unbounded (the non-negotiable property of a stream-stream
+    * join at crawl scale). */
+  def revisitResolveStream(
+      revisits: DataFrame, originals: DataFrame,
+      horizon: String = "1 hour"): DataFrame = {
+    val r = revisits
+      .withWatermark("ts", "1 hour")
+      .select(col("event_id").as("revisit_id"), col("ts").as("revisit_ts"),
+        col("value").as("digest_r"))
+    val o = originals
+      .withWatermark("ts", "1 hour")
+      .select(col("event_id").as("orig_id"), col("ts").as("orig_ts"),
+        col("value").as("digest_o"))
+    r.join(o,
+      col("digest_r") === col("digest_o") &&
+        col("orig_ts") <= col("revisit_ts") &&
+        col("orig_ts") >= col("revisit_ts") - expr(s"INTERVAL $horizon"))
+  }
+
   /** exactly-once style dedup on event_id within the watermark horizon —
     * the streaming form of `stream_dedup`; late duplicates beyond 1h of
     * event time are dropped by the same watermark that bounds the state */

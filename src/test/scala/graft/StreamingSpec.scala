@@ -64,6 +64,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join resolves revisits within the horizon only") {
+    implicit val sqlCtx = spark.sqlContext
+    val revisits = MemoryStream[E]
+    val originals = MemoryStream[E]
+    val q = StreamOps.revisitResolveStream(toDf(revisits), toDf(originals))
+      .writeStream.format("memory").queryName("rr_sink")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // original digest=7 at 10:00; revisit with same digest at 10:30 -> match
+      originals.addData((100L, ts(0), 1L, "response", 7.0))
+      revisits.addData((200L, ts(30), 1L, "revisit", 7.0))
+      // digest=9 revisit has no original -> no row
+      revisits.addData((201L, ts(35), 1L, "revisit", 9.0))
+      q.processAllAvailable()
+      // an original AFTER the revisit must not match (orig_ts <= revisit_ts)
+      originals.addData((101L, ts(40), 1L, "response", 9.0))
+      q.processAllAvailable()
+      val got = spark.table("rr_sink")
+        .select("revisit_id", "orig_id").as[(Long, Long)].collect().toSet
+      assert(got == Set((200L, 100L)),
+        s"only the in-horizon, earlier original matches, got $got")
+      // an original >1h before the revisit is outside the interval
+      originals.addData((102L, tsAt(9, 0), 2L, "response", 11.0))
+      revisits.addData((202L, tsAt(10, 30), 2L, "revisit", 11.0))
+      q.processAllAvailable()
+      val after = spark.table("rr_sink")
+        .select("revisit_id", "orig_id").as[(Long, Long)].collect().toSet
+      assert(after == Set((200L, 100L)), "out-of-horizon original must not match")
+    } finally q.stop()
+  }
+
   test("late data beyond the watermark does not resurrect closed windows") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[E]
