@@ -162,6 +162,28 @@ class ZipNumSpec extends SparkSpec {
     }
   }
 
+  test("idx without a trailing newline parses identically in both paths") {
+    import spark.implicits._
+    val dir = "/tmp/graft_test/zipnum_notrail"
+    val lines = (0 until 60).map(i => f"k$i%03d 2015 x$i")
+    ZipNum.write(lines.toDF("line"), dir, shards = 2, linesPerBlock = 5)
+    // strip the trailing newline, as a foreign writer might
+    val p = Paths.get(s"$dir/cluster.idx")
+    val bytes = Files.readAllBytes(p)
+    assert(bytes.last == '\n')
+    Files.write(p, bytes.dropRight(1))
+    // drop the local-FS checksum sidecar invalidated by the NIO rewrite
+    Files.deleteIfExists(Paths.get(s"$dir/.cluster.idx.crc"))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val full = ZipNum.readIdx(spark, dir)
+    assert(full.size == lines.size / 5)
+    for (lo <- Seq(None, Some("k045"), Some("k058"))) {
+      val hi = lo.map(_ + ZipNum.MaxCodePoint)
+      assert(ZipNum.scanIdxRange(dir, conf, lo, hi)
+        == ZipNum.selectBlocks(full, lo, hi), s"lo=$lo")
+    }
+  }
+
   test("no idx side files or attempt temps survive a write (library or V2)") {
     import spark.implicits._
     val d1 = "/tmp/graft_test/zipnum_clean1"
