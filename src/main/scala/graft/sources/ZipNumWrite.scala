@@ -69,7 +69,9 @@ final class ZipNumWrite(
     val fs = p.getFileSystem(sconf.value)
     if (doTruncate && fs.exists(p)) fs.delete(p, true)
     require(!fs.exists(new Path(p, "cluster.idx")),
-      s"zipnum cluster already exists at $dir — use mode(\"overwrite\")")
+      s"zipnum cluster already exists at $dir — appending would break the " +
+        "global sort order; use mode(\"overwrite\") to replace it, or " +
+        "ZipNum.merge(spark, Seq(old, new), out, ...) to combine clusters")
     fs.mkdirs(p)
     new ZipNumBatchWrite(dir, lineIdx, linesPerBlock, sconf)
   }

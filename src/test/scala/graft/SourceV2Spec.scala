@@ -164,6 +164,24 @@ class SourceV2Spec extends SparkSpec {
     assert(planned.map(_._4).toSeq == Seq(idx.last.seq), "desc limit must keep the tail block")
   }
 
+  test("SQL DDL surface: CREATE TABLE ... USING zipnum, pushdown included") {
+    setup()
+    spark.sql("DROP TABLE IF EXISTS cdx_idx")
+    spark.sql(s"CREATE TABLE cdx_idx USING zipnum OPTIONS (path '$zipDir')")
+    try {
+      val total = spark.sql("SELECT count(*) FROM cdx_idx").head().getLong(0)
+      assert(total == spark.read.format("zipnum").load(zipDir).count())
+      // predicate + projection through pure SQL, riding the same pruning
+      val rows = spark.sql(
+        "SELECT urlkey, ts FROM cdx_idx WHERE urlkey LIKE 'com,example)/path%' ORDER BY ts")
+        .as[(String, String)].collect()
+      assert(rows.nonEmpty && rows.forall(_._1.startsWith("com,example)/path")))
+      val plan = spark.sql(
+        "SELECT urlkey FROM cdx_idx WHERE urlkey >= 'org'").queryExecution.executedPlan.toString
+      assert(plan.contains("ZipNumScan"), s"expected the V2 scan in:\n$plan")
+    } finally spark.sql("DROP TABLE IF EXISTS cdx_idx")
+  }
+
   test("scan reports blocksRead/compressedBytesRead task metrics") {
     setup()
     val scan = new graft.sources.ZipNumScan(
