@@ -149,6 +149,34 @@ final class CdxServer(spark: SparkSession, clusterDir: String) {
     df.select(projected.toIndexedSeq: _*)
   }
 
+  /** pywb `resolveRevisits=true`: attach the ORIGINAL capture's payload
+    * location to each revisit row (a revisit record has no body; replay
+    * needs the bytes of the capture it duplicates). A revisit — marked
+    * `mime == "warc/revisit"`, the pywb convention the pipeline writes —
+    * resolves to the LATEST capture with the same digest at or before its
+    * own timestamp; unresolved revisits keep null originals (pywb `-`).
+    * The window partitions by the revisit's identity, so state is
+    * per-digest-group — skew-free (digests are content hashes). */
+  def resolveRevisits(df: DataFrame): DataFrame = {
+    val d = df
+      .withColumn("digest", get_json_object(col("json"), "$.digest"))
+      .withColumn("mime", get_json_object(col("json"), "$.mime"))
+    val revisits = d.filter(col("mime") === "warc/revisit")
+      .select("urlkey", "ts", "json", "digest")
+    val originals = d.filter(col("mime") =!= "warc/revisit" && col("digest") =!= "-")
+      .select(col("digest").as("digest_o"), col("ts").as("orig_ts"),
+        get_json_object(col("json"), "$.filename").as("orig_filename"),
+        get_json_object(col("json"), "$.offset").as("orig_offset"),
+        get_json_object(col("json"), "$.length").as("orig_length"))
+    val w = Window.partitionBy("urlkey", "ts", "json").orderBy(col("orig_ts").desc)
+    revisits
+      .join(originals,
+        col("digest") === col("digest_o") && col("orig_ts") <= col("ts"), "left")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn", "digest_o")
+  }
+
   /** page `n` (0-based) of a prefix query: the n-th run of `blocksPerPage`
     * idx blocks, read and filtered to the prefix — completing the pywb
     * showNumPages/page contract. Pages are disjoint and their union is the

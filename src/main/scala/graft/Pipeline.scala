@@ -33,7 +33,9 @@ object Pipeline {
         "surt_key_native(url) AS urlkey",
         "ts",
         "to_json(named_struct(" +
-          "'url', url, 'mime', coalesce(mime, '-'), " +
+          // pywb convention: a revisit row's mime IS the marker
+          "'url', url, 'mime', CASE WHEN record_type = 'revisit' " +
+          "THEN 'warc/revisit' ELSE coalesce(mime, '-') END, " +
           "'status', coalesce(CAST(status AS STRING), '-'), " +
           "'digest', coalesce(digest, '-'), " +
           "'length', CAST(length AS STRING), " +

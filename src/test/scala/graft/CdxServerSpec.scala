@@ -115,6 +115,22 @@ class CdxServerSpec extends SparkSpec {
     }
   }
 
+  test("resolveRevisits attaches the original capture's payload location") {
+    val resolved = server.resolveRevisits(server.prefix("com,example)/"))
+    // fixture: the 2015-04-02 revisit of /path duplicates the 2015-02-15
+    // response (same digest) — it must resolve to THAT capture's location
+    val rows = resolved
+      .select("urlkey", "ts", "orig_ts", "orig_filename", "orig_offset")
+      .collect()
+    assert(rows.length == 1, s"exactly one revisit in the fixture, got ${rows.length}")
+    val r = rows.head
+    assert(r.getString(0) == "com,example)/path?a=1&b=2")
+    assert(r.getString(1) == "20150402083000")
+    assert(r.getString(2) == "20150215012345", "resolves to the earlier original")
+    assert(r.getString(3) != null && r.getString(3).endsWith(".warc.gz"))
+    assert(r.getString(4).toLong >= 0)
+  }
+
   test("page(n): pages are disjoint and union to the full prefix result") {
     val pre = "com,example)/"
     val bpp = 1
