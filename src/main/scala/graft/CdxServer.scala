@@ -90,6 +90,19 @@ final class CdxServer(spark: SparkSession, clusterDir: String) {
       .drop("rn")
   }
 
+  /** collapse=digest — drop a capture when its payload digest equals the
+    * PREVIOUS capture's for the same urlkey ("page didn't change since
+    * last crawl"); run-length semantics, first capture always kept.
+    * Complements [[collapse]] (first-per-timestamp-granule). */
+  def collapseDigest(surtPrefix: String): DataFrame = {
+    val w = Window.partitionBy("urlkey").orderBy("ts")
+    prefix(surtPrefix)
+      .withColumn("digest", get_json_object(col("json"), "$.digest"))
+      .withColumn("prev_digest", lag(col("digest"), 1).over(w))
+      .filter(!(col("digest") <=> col("prev_digest")))
+      .drop("prev_digest", "digest")
+  }
+
   /** latest capture per urlkey under a prefix (sort=reverse&limit=1) */
   def latest(surtPrefix: String): DataFrame = {
     val w = Window.partitionBy("urlkey").orderBy(col("ts").desc)

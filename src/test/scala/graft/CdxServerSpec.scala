@@ -57,6 +57,20 @@ class CdxServerSpec extends SparkSpec {
     assert(months.distinct.size == months.size)
   }
 
+  test("collapseDigest drops only unchanged-payload successors") {
+    // fixture digests: /other 404 and 200 share digest beta (unchanged
+    // payload) -> the June capture collapses; /path response+revisit share
+    // alpha -> the revisit collapses; first captures all survive
+    val kept = server.collapseDigest("com,example)/")
+      .select("urlkey", "ts").as[(String, String)].collect().toSet
+    assert(kept.contains(("com,example)/other", "20150301120000")))
+    assert(!kept.contains(("com,example)/other", "20150601000000")),
+      "same-digest successor must collapse")
+    assert(kept.contains(("com,example)/path?a=1&b=2", "20150215012345")))
+    assert(!kept.contains(("com,example)/path?a=1&b=2", "20150402083000")),
+      "revisit duplicates the original's digest and must collapse")
+  }
+
   test("latest returns one newest capture per url") {
     val rows = server.latest("com,example)/")
       .select("urlkey", "ts").as[(String, String)].collect().toMap
