@@ -144,6 +144,26 @@ object Llm extends QueryModule {
           graft.ops.Text.fingerprint(col("text")).as("fingerprint"))
         .orderBy("doc_id")),
 
+    // Corpus TF-IDF — the document-term weighting behind quality scoring
+    // and feature extraction. Three aggregations, all partial+final
+    // (term counts combine map-side); the corpus size joins in as a
+    // broadcast single row, so the plan is two hash aggs + one equi join
+    // — no collect, no global window — and scales linearly in tokens.
+    "text_tfidf" -> ((s, d) => {
+      val docs = Tables.t(s, d, "documents")
+      val terms = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val docFreq = terms.distinct().groupBy("term").agg(count(lit(1)).as("df"))
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      tf.join(docFreq, "term")
+        .crossJoin(broadcast(nDocs))
+        .withColumn("tfidf",
+          round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+        .select("doc_id", "term", "tf", "df", "tfidf")
+        .orderBy(col("tfidf").desc, col("doc_id"), col("term"))
+        .limit(200)
+    }),
+
     // PII scrubbing — the redaction pass every training-data pipeline runs
     // before tokenization. The corpus text carries no PII, so each doc is
     // first augmented with a deterministic synthetic email + IPv4 (the
@@ -254,6 +274,16 @@ object Llm extends QueryModule {
     "doc_fingerprint" ->
       ("SELECT doc_id, substr(sha256(regexp_replace(lower(text), '\\s+', ' ', 'g')), 1, 16) AS fingerprint " +
         "FROM documents ORDER BY doc_id"),
+    // same tokenizer as text_tokenize; ln() == Spark log(); ::DOUBLE
+    // guards DuckDB integer division
+    "text_tfidf" ->
+      (s"WITH terms AS (SELECT doc_id, unnest($tokensDuck) AS term FROM documents), " +
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term), " +
+        "df AS (SELECT term, count(DISTINCT doc_id) AS df FROM terms GROUP BY term), " +
+        "n AS (SELECT count(*) AS n_docs FROM documents) " +
+        "SELECT doc_id, term, tf, df, round(tf * ln(n_docs::DOUBLE / df), 6) AS tfidf " +
+        "FROM tf JOIN df USING (term), n " +
+        "ORDER BY tfidf DESC, doc_id, term LIMIT 200"),
     // same augmented string, same two REs (RE2 and java.util.regex agree
     // on this character-class subset); 'g' flag = Spark's replace-all
     "text_pii_scrub" ->
