@@ -162,6 +162,32 @@ class ZipNumSpec extends SparkSpec {
     }
   }
 
+  test("scanIdxRange at scale: 100k-entry idx, point lookups stay O(result)") {
+    val dir = "/tmp/graft_test/zipnum_bigidx"
+    Files.createDirectories(Paths.get(dir))
+    val n = 100000
+    val sb = new java.lang.StringBuilder(n * 40)
+    (0 until n).foreach { i =>
+      sb.append(f"k$i%07d 2015\tcdx-00000.gz\t${i * 1000L}%d\t1000\t$i%d\n")
+    }
+    Files.writeString(Paths.get(s"$dir/cluster.idx"), sb.toString)
+    Files.deleteIfExists(Paths.get(s"$dir/.cluster.idx.crc"))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val full = ZipNum.readIdx(spark, dir)
+    assert(full.size == n)
+    // probes at the ends, middle, and out of range agree with the
+    // in-memory rule on a file two orders bigger than the bisect window
+    for (probe <- Seq("k0000000", "k0049999", "k0050000", "k0099999", "a", "z")) {
+      val (lo, hi) = ZipNum.prefixBounds(probe)
+      assert(ZipNum.scanIdxRange(dir, conf, lo, hi)
+        == ZipNum.selectBlocks(full, lo, hi), s"probe=$probe")
+    }
+    // a point lookup materializes a couple of entries, not the idx
+    val one = ZipNum.scanIdxRange(
+      dir, conf, Some("k0050000"), Some("k0050000" + ZipNum.MaxCodePoint))
+    assert(one.size <= 2 && one.exists(_.firstKey.startsWith("k0050000")))
+  }
+
   test("idx without a trailing newline parses identically in both paths") {
     import spark.implicits._
     val dir = "/tmp/graft_test/zipnum_notrail"
