@@ -2,6 +2,7 @@ package graft
 
 import graft.formats.{Warc, ZipNum}
 import graft.functions.GraftFunctions
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -103,5 +104,43 @@ object Pipeline {
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
+  }
+
+  /** Continuous ZipNum indexing: each micro-batch of arriving CDX lines
+    * becomes its own (small, sorted) cluster under `outBase/batch-N`;
+    * [[graft.formats.ZipNum.merge]] periodically compacts them into the
+    * serving cluster — the streaming form of the reference's re-run-with-
+    * --skip-existing loop, with the source's offset log as the skip set.
+    * A cluster itself can't be appended to (total order), so batch-then-
+    * merge IS the incremental contract; exactly-once comes from
+    * foreachBatch's batchId-keyed output dirs (a replayed batch
+    * overwrites its own dir, never a neighbor's). */
+  def streamingZipNumBatches(
+      spark: SparkSession, inDir: String, outBase: String,
+      checkpointDir: String, shards: Int = 4, linesPerBlock: Int = 3000)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    spark.readStream
+      .text(inDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          ZipNum.write(
+            batch.toDF("line"), f"$outBase/batch-$batchId%05d", shards, linesPerBlock)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
+
+  /** compact every `batch-*` cluster under `outBase` into `servingDir` */
+  def compactBatches(
+      spark: SparkSession, outBase: String, servingDir: String,
+      shards: Int = 8, linesPerBlock: Int = 3000): Unit = {
+    val fs = new Path(outBase).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val batchDirs = fs.listStatus(new Path(outBase))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch-"))
+      .map(_.getPath.toString).sorted.toSeq
+    require(batchDirs.nonEmpty, s"no batch-* clusters under $outBase")
+    ZipNum.merge(spark, batchDirs, servingDir, shards, linesPerBlock)
   }
 }

@@ -38,6 +38,35 @@ class StreamingSpec extends SparkSpec {
     assert(parsed.head.getString(1).startsWith("201502150123"))
     assert(parsed.head.getString(2).startsWith("{\"url\""))
   }
+  test("streamingZipNumBatches + compactBatches = continuous index maintenance") {
+    import java.nio.file.{Files, Paths}
+    import graft.formats.ZipNum
+    import spark.implicits._
+    val base = "/tmp/graft_test/stream_zipnum"
+    val in = s"$base/in"; val out = s"$base/out"; val ck = s"$base/ck"
+    val serving = s"$base/serving"
+    new scala.reflect.io.Directory(new java.io.File(base)).deleteRecursively()
+    Files.createDirectories(Paths.get(in))
+    def lines(n: Range): Seq[String] =
+      n.map(i => f"org,example)/p${(i * 37) % 100}%03d-$i 2015021501$i%04d rec")
+    // wave 1 -> its own sorted mini-cluster
+    Files.writeString(Paths.get(s"$in/w1.cdx"), lines(0 until 40).mkString("", "\n", "\n"))
+    Pipeline.streamingZipNumBatches(spark, in, out, ck, shards = 2, linesPerBlock = 5)
+      .awaitTermination()
+    // wave 2 -> a second cluster; the offset log skips wave 1
+    Files.writeString(Paths.get(s"$in/w2.cdx"), lines(40 until 70).mkString("", "\n", "\n"))
+    Pipeline.streamingZipNumBatches(spark, in, out, ck, shards = 2, linesPerBlock = 5)
+      .awaitTermination()
+    val batchDirs = new java.io.File(out).list().filter(_.startsWith("batch-")).sorted
+    assert(batchDirs.length == 2, s"one cluster per non-empty batch, got ${batchDirs.toSeq}")
+    // compaction: one serving cluster == the index of all lines at once
+    Pipeline.compactBatches(spark, out, serving, shards = 2, linesPerBlock = 5)
+    val got = ZipNum.readLines(spark, serving).as[String].collect().toSeq
+    assert(got == lines(0 until 70).sorted, "serving cluster = all waves, total order")
+    // and it serves lookups through the standard surface
+    assert(new CdxServer(spark, serving).numPages("org,example)/", 1) > 0)
+  }
+
   import spark.implicits._
 
   private def ts(minute: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
