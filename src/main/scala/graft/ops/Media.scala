@@ -1,0 +1,150 @@
+package graft.ops
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+/** Real media codec round trips over public formats, pure JVM — no native
+  * codec libraries. These back the `mm_image_stats` / `mm_audio_meta` /
+  * `mm_video_frames` queries (queries/Multimodal.scala): the payload BINARY
+  * column holds genuine PNG / RIFF-WAVE / GIF89a bytes produced by the
+  * JDK's own encoders, and the decode side goes back through the JDK's
+  * readers (`javax.imageio`, `javax.sound.sampled`) before any Spark
+  * aggregation sees a number. Contrast with the deterministic length-keyed
+  * stub kept for a/v metadata in `mm_decode_meta` — here the decoded stats
+  * are only reachable by actually parsing the bytes.
+  *
+  * Everything is deterministic (solid-color frames, square-wave PCM) so
+  * the decoded statistics are closed-form functions of the generator
+  * parameters and stay DuckDB-oracle-able.
+  *
+  * Scale: encode/decode are per-row, shuffle-free, and run inside
+  * `mapPartitions` so per-partition codec initialization (here: ImageIO
+  * reader/writer instances) amortizes exactly where a production
+  * extractor's model/codec handle would.
+  */
+object Media {
+
+  javax.imageio.ImageIO.setUseCache(false) // no disk-backed stream cache in executors
+
+  // ---------------------------------------------------------------- image
+
+  final case class ImageStats(width: Int, height: Int, meanR: Int, meanG: Int, meanB: Int)
+
+  /** a complete, valid PNG: w×h solid color, encoded by the JDK PNG writer */
+  def solidPng(w: Int, h: Int, r: Int, g: Int, b: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (r << 16) | (g << 8) | b
+    var y = 0
+    while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+    val out = new ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** decode PNG bytes with ImageIO and aggregate true per-pixel channel
+    * means (exact integers for solid-color fixtures) */
+  def decodeImageStats(bytes: Array[Byte]): ImageStats = {
+    val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
+    require(img != null, "payload is not a decodable image")
+    val (w, h) = (img.getWidth, img.getHeight)
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = img.getRGB(x, y)
+        sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h
+    ImageStats(w, h, (sr / n).toInt, (sg / n).toInt, (sb / n).toInt)
+  }
+
+  // ---------------------------------------------------------------- audio
+
+  final case class AudioStats(
+      sampleRate: Int, channels: Int, nSamples: Long, meanAmp: Double, rms: Double)
+
+  /** a complete RIFF/WAVE file: 16-bit signed LE mono PCM square wave
+    * (+amp, −amp alternating), encoded by the JDK WAVE writer */
+  def squareWav(sampleRate: Int, amp: Int, nSamples: Int): Array[Byte] = {
+    require(amp <= Short.MaxValue && nSamples % 2 == 0, "even sample count, 16-bit range")
+    val pcm = new Array[Byte](nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      val s = if (i % 2 == 0) amp else -amp
+      pcm(i * 2) = (s & 0xff).toByte
+      pcm(i * 2 + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+    val out = new ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** decode WAV bytes with javax.sound.sampled: header → format fields,
+    * PCM frames → mean amplitude and RMS (exact for the square wave) */
+  def decodeWav(bytes: Array[Byte]): AudioStats = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new ByteArrayInputStream(bytes))
+    val fmt = ais.getFormat
+    require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian, "16-bit LE PCM expected")
+    val n = ais.getFrameLength
+    val pcm = ais.readAllBytes()
+    var (sum, sumSq) = (0.0, 0.0)
+    var i = 0
+    while (i < pcm.length - 1) {
+      val s = ((pcm(i) & 0xff) | (pcm(i + 1) << 8)).toShort.toDouble
+      sum += s; sumSq += s * s
+      i += 2
+    }
+    AudioStats(fmt.getSampleRate.toInt, fmt.getChannels, n,
+      meanAmp = sum / n, rms = math.sqrt(sumSq / n))
+  }
+
+  // ------------------------------------------------------- video (GIF89a)
+
+  /** a multi-frame animated GIF: nFrames solid-color w×h frames written
+    * through the JDK GIF sequence writer — the poor man's video container,
+    * but a real one (frame boundaries live in the byte stream, not in a
+    * side channel) */
+  def animatedGif(w: Int, h: Int, nFrames: Int): Array[Byte] = {
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val out = new ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    var f = 0
+    while (f < nFrames) {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val gray = (f * 51) % 256 // web-safe grays survive GIF palette quantization
+      val rgb = (gray << 16) | (gray << 8) | gray
+      var y = 0
+      while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      f += 1
+    }
+    writer.endWriteSequence()
+    ios.close(); writer.dispose()
+    out.toByteArray
+  }
+
+  /** real frame inventory: the GIF reader walks the byte stream counting
+    * image descriptors; also decodes one sampled frame to prove the pixel
+    * path works (returns its width) */
+  def gifFrames(bytes: Array[Byte]): (Int, Int) = {
+    val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new ByteArrayInputStream(bytes))
+    reader.setInput(iis)
+    val n = reader.getNumImages(true)
+    val firstW = reader.read(0).getWidth
+    reader.dispose(); iis.close()
+    (n, firstW)
+  }
+}

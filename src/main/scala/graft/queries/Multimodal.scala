@@ -8,11 +8,15 @@ import org.apache.spark.sql.functions._
   * payloads are opaque BINARY columns with typed metadata; decode /
   * feature-extract / frame-sample run as partition-level batch functions
   * over typed Datasets — the Spark-side plumbing (schema, encoders,
-  * partition batching, function signature) is real. Image decode is ALSO
-  * real — payloads carry a genuine PNG signature+IHDR and [[pngDims]]
-  * parses width/height from the bytes (pure JVM, no codec lib); only the
-  * audio/video codec call is STUBBED with a deterministic fake keyed on
-  * payload size, so every op stays DuckDB-oracle-able.
+  * partition batching, function signature) is real. Decode is ALSO real:
+  * `mm_decode_meta` parses a genuine PNG signature+IHDR via [[pngDims]],
+  * and the `mm_image_stats` / `mm_audio_meta` / `mm_video_frames` queries
+  * run complete JDK codec round trips (PNG pixels via ImageIO, RIFF/WAVE
+  * PCM via javax.sound, animated-GIF frames via the GIF reader — see
+  * [[graft.ops.Media]]). The only remaining stubs are the *model call* in
+  * `mm_batch_infer` (no inference runtime in this container) and the
+  * length-keyed a/v metadata fallback inside [[decode]]; every op stays
+  * DuckDB-oracle-able because the fixtures are closed-form in doc_id.
   *
   * Scale notes: all three ops are narrow (mapPartitions, no shuffle);
   * real decoders amortize model/codec init per partition exactly where
@@ -157,6 +161,71 @@ object Multimodal extends QueryModule {
         }
         .toDF()
         .orderBy("doc_id", "frame_no")
+    }),
+
+    // REAL image decode: payload is a complete JDK-encoded PNG (solid
+    // color keyed on doc_id); stats come back out through ImageIO pixel
+    // reads — dimensions AND channel means are only reachable by decoding
+    // the actual bytes
+    "mm_image_stats" -> ((s, d) => {
+      import s.implicits._
+      Tables.t(s, d, "documents")
+        .filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions { it => // ImageIO reader/writer init amortizes here
+          it.map { id =>
+            val bytes = graft.ops.Media.solidPng(
+              (8 + id % 24).toInt, (8 + id * 3 % 24).toInt,
+              (id % 256).toInt, (id * 7 % 256).toInt, (id * 13 % 256).toInt)
+            val st = graft.ops.Media.decodeImageStats(bytes)
+            (id, st.width, st.height, st.meanR, st.meanG, st.meanB)
+          }
+        }
+        .toDF("doc_id", "width", "height", "mean_r", "mean_g", "mean_b")
+        .orderBy("doc_id")
+    }),
+
+    // REAL audio decode: payload is a complete RIFF/WAVE file (16-bit PCM
+    // square wave); javax.sound.sampled parses the header and the PCM
+    // frames — sample rate, frame count, and RMS all come from the bytes
+    "mm_audio_meta" -> ((s, d) => {
+      import s.implicits._
+      Tables.t(s, d, "documents")
+        .filter(col("doc_id") % 3 === 1)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val amp = (1 + id % 100).toInt * 300 // ≤ 30000, inside int16
+            val bytes = graft.ops.Media.squareWav(
+              sampleRate = 8000, amp = amp, nSamples = 64 + (id % 50).toInt * 16)
+            val st = graft.ops.Media.decodeWav(bytes)
+            (id, st.sampleRate, st.channels, st.nSamples, st.meanAmp, st.rms)
+          }
+        }
+        .toDF("doc_id", "sample_rate", "channels", "n_samples", "mean_amp_raw", "rms_raw")
+        .select(col("doc_id"), col("sample_rate"), col("channels"), col("n_samples"),
+          round(col("mean_amp_raw"), 6).as("mean_amp"), round(col("rms_raw"), 6).as("rms"))
+        .orderBy("doc_id")
+    }),
+
+    // REAL multi-frame decode: payload is an animated GIF written by the
+    // JDK sequence writer; the frame count is recovered by the GIF reader
+    // walking image descriptors in the byte stream (not from a side
+    // channel), then every 4th frame is sampled and frame 0 pixel-decoded
+    "mm_video_frames" -> ((s, d) => {
+      import s.implicits._
+      Tables.t(s, d, "documents")
+        .filter(col("doc_id") % 3 === 2)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.flatMap { id =>
+            val bytes = graft.ops.Media.animatedGif(4, 4, (1 + id % 24).toInt)
+            val (nFrames, frameW) = graft.ops.Media.gifFrames(bytes)
+            (0 until nFrames by 4).map(f => (id, nFrames, f, frameW))
+          }
+        }
+        .toDF("doc_id", "n_frames", "frame_no", "frame_w")
+        .orderBy("doc_id", "frame_no")
     })
   )
 
@@ -189,6 +258,28 @@ object Multimodal extends QueryModule {
     "mm_frame_sample" ->
       ("SELECT doc_id, CAST(frame_no AS INT) AS frame_no FROM (" +
         s"SELECT doc_id, unnest(generate_series(0, CAST($nBytes % 24 AS INT), 4)) AS frame_no " +
+        "FROM documents WHERE doc_id % 3 = 2) ORDER BY doc_id, frame_no"),
+    // the three real-codec queries: decoded stats are closed-form in
+    // doc_id because the fixtures are solid-color / square-wave — any
+    // encoder/decoder disagreement (palette shift, header misparse,
+    // sample misalignment) shows up as a hash mismatch
+    "mm_image_stats" ->
+      ("SELECT doc_id, CAST(8 + doc_id % 24 AS INT) AS width, " +
+        "CAST(8 + doc_id * 3 % 24 AS INT) AS height, " +
+        "CAST(doc_id % 256 AS INT) AS mean_r, " +
+        "CAST(doc_id * 7 % 256 AS INT) AS mean_g, " +
+        "CAST(doc_id * 13 % 256 AS INT) AS mean_b " +
+        "FROM documents WHERE doc_id % 3 = 0 ORDER BY doc_id"),
+    "mm_audio_meta" ->
+      ("SELECT doc_id, CAST(8000 AS INT) AS sample_rate, CAST(1 AS INT) AS channels, " +
+        "CAST(64 + (doc_id % 50) * 16 AS BIGINT) AS n_samples, " +
+        "round(0.0, 6) AS mean_amp, " +
+        "round(CAST((1 + doc_id % 100) * 300 AS DOUBLE), 6) AS rms " +
+        "FROM documents WHERE doc_id % 3 = 1 ORDER BY doc_id"),
+    "mm_video_frames" ->
+      ("SELECT doc_id, CAST(1 + doc_id % 24 AS INT) AS n_frames, " +
+        "CAST(frame_no AS INT) AS frame_no, CAST(4 AS INT) AS frame_w FROM (" +
+        "SELECT doc_id, unnest(generate_series(0, CAST(doc_id % 24 AS INT), 4)) AS frame_no " +
         "FROM documents WHERE doc_id % 3 = 2) ORDER BY doc_id, frame_no")
   )
 }

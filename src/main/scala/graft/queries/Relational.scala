@@ -96,6 +96,30 @@ object Relational extends QueryModule {
     // reservoir-samples internally, SURVEY §2.7).
     "split_points" -> ((s, d) => splitPoints(s, d)),
 
+    // mrjob-counter parity (SURVEY §4 observability row): pipeline metrics
+    // via the Observation API — accumulator-backed, harvested from the
+    // SAME single pass that writes the output (noop sink stands in for the
+    // real one), never a second scan. At 100 TB this is the difference
+    // between free counters and doubling the job.
+    "obs_pipeline_counters" -> ((s, d) => {
+      val obs = org.apache.spark.sql.Observation()
+      Cdx.df(s, d)
+        .observe(obs,
+          count(lit(1)).as("n_rows"),
+          count(when(col("status") >= 400, 1)).as("n_err"),
+          count(col("redirect")).as("n_redirects"),
+          sum("length").as("total_bytes"),
+          min("ts").as("min_ts"),
+          max("ts").as("max_ts"))
+        .write.format("noop").mode("overwrite").save()
+      val m = obs.get
+      import s.implicits._
+      Seq((m("n_rows").asInstanceOf[Long], m("n_err").asInstanceOf[Long],
+        m("n_redirects").asInstanceOf[Long], m("total_bytes").asInstanceOf[Long],
+        m("min_ts").asInstanceOf[String], m("max_ts").asInstanceOf[String]))
+        .toDF("n_rows", "n_err", "n_redirects", "total_bytes", "min_ts", "max_ts")
+    }),
+
     // Range partitioning visibility: per-partition key stats. Oracle-exempt
     // (partition ids are engine-specific); ScalaTest asserts monotonicity.
     "repartition_range" -> ((s, d) =>
@@ -148,6 +172,10 @@ object Relational extends QueryModule {
       "SELECT urlkey FROM cdx WHERE id % 2 = 1 EXCEPT SELECT urlkey FROM cdx WHERE id % 2 = 0 ORDER BY urlkey"),
     "intersect_stable" -> o(
       "SELECT hostword FROM cdx WHERE id % 2 = 1 INTERSECT SELECT hostword FROM cdx WHERE id % 2 = 0 ORDER BY hostword"),
+    "obs_pipeline_counters" -> o(
+      "SELECT count(*) AS n_rows, count(CASE WHEN status >= 400 THEN 1 END) AS n_err, " +
+        "count(redirect) AS n_redirects, CAST(sum(length) AS BIGINT) AS total_bytes, " +
+        "min(ts) AS min_ts, max(ts) AS max_ts FROM cdx"),
     // subquery, not a second WITH — the cdx CTE prefix already opens one
     "split_points" -> o(
       "SELECT urlkey AS boundary, rn FROM " +

@@ -98,6 +98,40 @@ object Similarity extends QueryModule {
         .limit(10)
     }),
 
+    // Product-quantization ANN (the classic 100-TB-scale path: vectors
+    // compress to m small codes, the scan touches codes only). m=4
+    // subspaces × 16 dims; codebook per subspace = subvectors of the first
+    // 16 embeddings (deterministic stand-in for k-means, same convention
+    // as sim_ann_ivf). Encode = argmin centroid per (vector, subspace) —
+    // a 64× storage reduction (256 B float vector → 4 byte codes).
+    // Query = ADC: the 4×16 query→centroid distance table is broadcast and
+    // the approximate distance is a sum of table lookups per code — no
+    // full-vector math on the scan side. Fully relational and
+    // DuckDB-oracled (everything is deterministic).
+    "sim_ann_pq" -> ((s, d) => {
+      val sub = emb(s, d)
+        .select(col("vec_id"), explode(sequence(lit(0), lit(3))).as("j"), col("ed"))
+        .withColumn("sub", expr("slice(ed, j * 16 + 1, 16)"))
+        .select("vec_id", "j", "sub")
+      val cent = sub.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("j").as("cj"), col("sub").as("csub"))
+      val dist = sub.join(broadcast(cent), col("j") === col("cj"))
+        .withColumn("dist", expr(
+          "sqrt(aggregate(zip_with(sub, csub, (x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v))"))
+        .select("vec_id", "j", "cid", "dist")
+      val wmin = Window.partitionBy("vec_id", "j").orderBy(col("dist").asc, col("cid").asc)
+      val codes = dist
+        .withColumn("rn", row_number().over(wmin)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("j"), col("cid").as("code"))
+      val dtab = dist.filter(col("vec_id") === 0) // query = vec 0's distance table
+        .select(col("j").as("dj"), col("cid").as("dcid"), col("dist").as("qdist"))
+      codes.join(broadcast(dtab), col("j") === col("dj") && col("code") === col("dcid"))
+        .groupBy("vec_id").agg(sum("qdist").as("adist"))
+        .select(col("vec_id"), round(col("adist"), 6).as("approx_dist"))
+        .orderBy("approx_dist", "vec_id")
+        .limit(10)
+    }),
+
     // IVF-style ANN: coarse quantizer = 16 fixed centroid vectors (the
     // first 16 embeddings — a deterministic stand-in for k-means); assign
     // every vector to its nearest centroid, probe only the query's cell.
@@ -152,6 +186,18 @@ object Similarity extends QueryModule {
         "(SELECT embedding FROM embeddings WHERE vec_id = 0)::DOUBLE[]), 6) AS cos " +
         "FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id JOIN qcell q ON a.cid = q.cid " +
         "ORDER BY cos DESC, e.vec_id LIMIT 10"),
+    "sim_ann_pq" ->
+      ("WITH sub AS (SELECT vec_id, j, list_slice(embedding, j*16+1, j*16+16)::DOUBLE[] AS sub " +
+        "FROM embeddings, (SELECT unnest(generate_series(0, 3)) AS j)), " +
+        "cent AS (SELECT vec_id AS cid, j AS cj, sub AS csub FROM sub WHERE vec_id < 16), " +
+        "dist AS (SELECT s.vec_id, s.j, c.cid, list_distance(s.sub, c.csub) AS dist " +
+        "FROM sub s JOIN cent c ON s.j = c.cj), " +
+        "codes AS (SELECT vec_id, j, cid AS code FROM (SELECT vec_id, j, cid, " +
+        "row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, cid) AS rn FROM dist) WHERE rn = 1), " +
+        "dtab AS (SELECT j AS dj, cid AS dcid, dist AS qdist FROM dist WHERE vec_id = 0) " +
+        "SELECT vec_id, round(sum(qdist), 6) AS approx_dist " +
+        "FROM codes JOIN dtab ON codes.j = dtab.dj AND codes.code = dtab.dcid " +
+        "GROUP BY vec_id ORDER BY approx_dist, vec_id LIMIT 10"),
     "dedup_embedding_cos" ->
       ("SELECT a.vec_id - 1 AS vec_id, " +
         "round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos, " +

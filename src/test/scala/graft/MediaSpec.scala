@@ -1,0 +1,49 @@
+package graft
+
+import graft.ops.Media
+
+/** Real-codec round trips behind mm_image_stats / mm_audio_meta /
+  * mm_video_frames: the JDK encoder writes genuine container bytes and the
+  * JDK decoder must recover exactly the planted parameters. These pin the
+  * closed-form contracts the DuckDB oracles assume. */
+class MediaSpec extends org.scalatest.funsuite.AnyFunSuite {
+
+  test("PNG round trip: dimensions and exact channel means survive encode/decode") {
+    for ((w, h, r, g, b) <- Seq((8, 8, 0, 0, 0), (31, 9, 255, 128, 1), (24, 16, 17, 119, 221))) {
+      val st = Media.decodeImageStats(Media.solidPng(w, h, r, g, b))
+      assert(st == Media.ImageStats(w, h, r, g, b))
+    }
+  }
+
+  test("PNG bytes start with the real signature (it is a file, not a fake)") {
+    val bytes = Media.solidPng(8, 8, 1, 2, 3)
+    assert((bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G')
+  }
+
+  test("WAV round trip: header fields, frame count, mean 0, RMS == amplitude") {
+    for ((amp, n) <- Seq((300, 64), (30000, 848), (1, 2))) {
+      val st = Media.decodeWav(Media.squareWav(8000, amp, n))
+      assert(st.sampleRate == 8000 && st.channels == 1 && st.nSamples == n)
+      assert(st.meanAmp == 0.0, "square wave over an even count sums to zero")
+      assert(st.rms == amp.toDouble, "RMS of ±amp is exactly amp")
+    }
+  }
+
+  test("WAV bytes carry a real RIFF/WAVE header") {
+    val bytes = Media.squareWav(8000, 100, 4)
+    assert(new String(bytes, 0, 4, "US-ASCII") == "RIFF")
+    assert(new String(bytes, 8, 4, "US-ASCII") == "WAVE")
+  }
+
+  test("GIF round trip: the reader recovers the exact frame count from the stream") {
+    for (n <- Seq(1, 5, 24)) {
+      val (frames, w) = Media.gifFrames(Media.animatedGif(4, 4, n))
+      assert(frames == n && w == 4)
+    }
+  }
+
+  test("GIF bytes carry the GIF89a/87a magic") {
+    val bytes = Media.animatedGif(4, 4, 2)
+    assert(new String(bytes, 0, 3, "US-ASCII") == "GIF")
+  }
+}

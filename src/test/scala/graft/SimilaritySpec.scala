@@ -80,4 +80,17 @@ class SimilaritySpec extends SparkSpec {
     val rows = SparkEntry.queries("emb_normalize")(spark, sfDir).collect()
     rows.foreach(r => assert(math.abs(r.getAs[Double]("unit_norm") - 1.0) <= 1e-6))
   }
+
+  test("sim_ann_pq: the query vector self-hits at approx distance 0 and ranks first") {
+    // vec 0 is in the codebook, so each of its subvectors quantizes to
+    // itself (distance 0) and the ADC sum is exactly 0 — any header
+    // misalignment, slicing bug, or code/dtab join mismatch breaks this
+    val rows = SparkEntry.queries("sim_ann_pq")(spark, sfDir).collect()
+    assert(rows.length == 10)
+    assert(rows.head.getAs[Long]("vec_id") == 0L)
+    assert(rows.head.getAs[Double]("approx_dist") == 0.0)
+    // approx distances come out sorted ascending
+    val dists = rows.map(_.getAs[Double]("approx_dist")).toSeq
+    assert(dists == dists.sorted)
+  }
 }
