@@ -31,6 +31,11 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.files.maxPartitionBytes", "256m")
       .config("spark.sql.parquet.aggregatePushdown", "true")
+      // selective dim filters propagate to fact-side scans as injected
+      // bloom filters BEFORE the shuffle (InjectRuntimeFilter) — at 100 TB
+      // this is the difference between shuffling the filtered fact side
+      // and shuffling all of it (PlanSpec pins the injection)
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
 
   /** local development variant (n threads, quiet UI) */

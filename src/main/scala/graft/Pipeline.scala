@@ -46,6 +46,22 @@ object Pipeline {
       .selectExpr("concat(urlkey, ' ', ts, ' ', json) AS line")
   }
 
+  /** WARC glob -> deduplicated training-corpus frame: HTML text
+    * extraction (ops/Html), quality + fingerprint columns (ops/Text),
+    * then exact dedup by content hash keeping the EARLIEST capture — the
+    * corpus-side mirror of revisit resolution (same digest⇒same content
+    * idea the WARC format encodes). All narrow ops plus one hash
+    * aggregation; at 100 TB the dedup groupBy is the only exchange. */
+  def warcToCorpus(spark: SparkSession, warcGlob: String, minTokens: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = graft.ops.Html.extract(Warc.scan(spark, warcGlob))
+      .filter(col("n_tokens") >= minTokens)
+      .withColumn("quality", graft.ops.Text.qualityScore(col("text")))
+      .withColumn("fingerprint", graft.ops.Text.fingerprint(col("text")))
+    val w = Window.partitionBy(sha2(col("text"), 256)).orderBy(col("ts"), col("url"))
+    docs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+  }
+
   /** full pipeline: WARC glob -> ZipNum cluster under `outDir`. */
   def warcToZipNum(
       spark: SparkSession, warcGlob: String, outDir: String,

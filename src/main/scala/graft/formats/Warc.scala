@@ -276,4 +276,37 @@ object Warc {
       FixtureRecord("response", "http://example.com/other", "2015-06-01T00:00:00Z",
         b32("beta"), 200, "text/plain", "now here".getBytes(UTF_8)))
   }
+
+  /** HTML-bearing fixture for the payload→corpus extraction path
+    * (ops/Html.scala): deterministic pages covering script/style/comment
+    * stripping, entity decoding, UTF-8 AND ISO-8859-1 charsets (the é in
+    * page two is the single byte 0xE9 — a UTF-8 misdecode corrupts it),
+    * a titleless page, and rows the response/200/html filter must drop. */
+  def htmlFixtureRecords: Seq[FixtureRecord] = {
+    def b32(seed: String): String =
+      seed.flatMap(c => Integer.toString((c.toInt % 32), 32)).toUpperCase.padTo(32, '2').take(32)
+    val utf8Page =
+      ("<html><head><title> Alpha &amp; Beta </title>" +
+        "<style>body { color: red }</style></head>" +
+        "<body><!-- hidden comment --><h1>Café menu</h1>" +
+        "<script type=\"text/javascript\">var x = '<p>not text</p>';</script>" +
+        "<p>Tea &lt;hot&gt;&nbsp;&amp; biscuits&#39; price</p></body></html>").getBytes(UTF_8)
+    val latinPage =
+      // é as 0xE9: valid ISO-8859-1, malformed as UTF-8
+      ("<html><title>Latin</title><body>r" + "é" + "sum" + "é" + "</body></html>")
+        .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    Seq(
+      FixtureRecord("warcinfo", null, "2016-01-01T00:00:00Z", b32("info"), 0, null,
+        "software: graft-html-fixture".getBytes(UTF_8)),
+      FixtureRecord("response", "http://www.example.com/menu", "2016-01-02T10:00:00Z",
+        b32("menu"), 200, "text/html; charset=UTF-8", utf8Page),
+      FixtureRecord("response", "http://www.example.com/latin", "2016-01-03T11:30:00Z",
+        b32("latin"), 200, "text/html; charset=ISO-8859-1", latinPage),
+      FixtureRecord("response", "http://www.example.com/bare", "2016-01-04T12:00:00Z",
+        b32("bare"), 200, "text/html", "<div>no title here</div>".getBytes(UTF_8)),
+      FixtureRecord("response", "http://www.example.com/gone", "2016-01-05T13:00:00Z",
+        b32("gone"), 404, "text/html", "<html>not found</html>".getBytes(UTF_8)),
+      FixtureRecord("response", "http://www.example.com/raw", "2016-01-06T14:00:00Z",
+        b32("raw"), 200, "text/plain", "plain payload".getBytes(UTF_8)))
+  }
 }

@@ -209,6 +209,18 @@ object Formats extends QueryModule {
         .orderBy("offset")
     }),
 
+    // payload → corpus bridge: HTML text extraction over the WARC scan
+    // (script/style/comment strip, entity decode, per-row charset) — the
+    // step between the reference's index pipeline and the §2.10 curation
+    // ops. Oracle-exempt (binary fixture input; exact extracted text is
+    // golden-pinned in HtmlSpec); driver records rows>0.
+    "warc_text_extract" -> ((s, d) => {
+      val file = tmp(d, "fixture_html.warc.gz")
+      Warc.writeFixture(file, Warc.htmlFixtureRecords)
+      graft.ops.Html.extract(Warc.scan(s, file))
+        .orderBy("url", "ts")
+    }),
+
     // legacy ARC member scan through the same reader (pre-2010 crawls;
     // pywb ArchiveIterator reads both) — oracle-exempt like scan_warc
     "scan_arc" -> ((s, d) => {

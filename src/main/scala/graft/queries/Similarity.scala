@@ -103,34 +103,14 @@ object Similarity extends QueryModule {
     // subspaces × 16 dims; codebook per subspace = subvectors of the first
     // 16 embeddings (deterministic stand-in for k-means, same convention
     // as sim_ann_ivf). Encode = argmin centroid per (vector, subspace) —
-    // a 64× storage reduction (256 B float vector → 4 byte codes).
+    // a 64× storage reduction (256 B float vector → 4 one-byte codes).
     // Query = ADC: the 4×16 query→centroid distance table is broadcast and
     // the approximate distance is a sum of table lookups per code — no
     // full-vector math on the scan side. Fully relational and
-    // DuckDB-oracled (everything is deterministic).
-    "sim_ann_pq" -> ((s, d) => {
-      val sub = emb(s, d)
-        .select(col("vec_id"), explode(sequence(lit(0), lit(3))).as("j"), col("ed"))
-        .withColumn("sub", expr("slice(ed, j * 16 + 1, 16)"))
-        .select("vec_id", "j", "sub")
-      val cent = sub.filter(col("vec_id") < 16)
-        .select(col("vec_id").as("cid"), col("j").as("cj"), col("sub").as("csub"))
-      val dist = sub.join(broadcast(cent), col("j") === col("cj"))
-        .withColumn("dist", expr(
-          "sqrt(aggregate(zip_with(sub, csub, (x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v))"))
-        .select("vec_id", "j", "cid", "dist")
-      val wmin = Window.partitionBy("vec_id", "j").orderBy(col("dist").asc, col("cid").asc)
-      val codes = dist
-        .withColumn("rn", row_number().over(wmin)).filter(col("rn") === 1)
-        .select(col("vec_id"), col("j"), col("cid").as("code"))
-      val dtab = dist.filter(col("vec_id") === 0) // query = vec 0's distance table
-        .select(col("j").as("dj"), col("cid").as("dcid"), col("dist").as("qdist"))
-      codes.join(broadcast(dtab), col("j") === col("dj") && col("code") === col("dcid"))
-        .groupBy("vec_id").agg(sum("qdist").as("adist"))
-        .select(col("vec_id"), round(col("adist"), 6).as("approx_dist"))
-        .orderBy("approx_dist", "vec_id")
-        .limit(10)
-    }),
+    // DuckDB-oracled (everything is deterministic). Shared kernel in
+    // [[pqTopK]]; SimilaritySpec plants near-duplicates to pin recall.
+    "sim_ann_pq" -> ((s, d) =>
+      pqTopK(emb(s, d).select(col("vec_id"), col("ed")), queryId = 0L)),
 
     // IVF-style ANN: coarse quantizer = 16 fixed centroid vectors (the
     // first 16 embeddings — a deterministic stand-in for k-means); assign
@@ -161,6 +141,39 @@ object Similarity extends QueryModule {
         .limit(10)
     })
   )
+
+  /** PQ encode + ADC top-k over `(vec_id, ed: array<double>)`. Codebook
+    * per subspace = subvectors of the first `nCent` vectors by id (a
+    * deterministic stand-in for k-means — swap in trained centroids by
+    * prepending them with reserved ids). At scale the `codes` relation is
+    * what you materialize as the index table: m bytes per vector instead
+    * of the raw array; the centroid join and the query's ADC distance
+    * table both broadcast (tiny), so the scan side never shuffles. */
+  def pqTopK(
+      e: DataFrame, queryId: Long,
+      m: Int = 4, subDim: Int = 16, nCent: Int = 16, k: Int = 10): DataFrame = {
+    val sub = e
+      .select(col("vec_id"), explode(sequence(lit(0), lit(m - 1))).as("j"), col("ed"))
+      .withColumn("sub", expr(s"slice(ed, j * $subDim + 1, $subDim)"))
+      .select("vec_id", "j", "sub")
+    val cent = sub.filter(col("vec_id") < nCent)
+      .select(col("vec_id").as("cid"), col("j").as("cj"), col("sub").as("csub"))
+    val dist = sub.join(broadcast(cent), col("j") === col("cj"))
+      .withColumn("dist", expr(
+        "sqrt(aggregate(zip_with(sub, csub, (x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v))"))
+      .select("vec_id", "j", "cid", "dist")
+    val wmin = Window.partitionBy("vec_id", "j").orderBy(col("dist").asc, col("cid").asc)
+    val codes = dist
+      .withColumn("rn", row_number().over(wmin)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("j"), col("cid").as("code"))
+    val dtab = dist.filter(col("vec_id") === queryId) // the query's distance table
+      .select(col("j").as("dj"), col("cid").as("dcid"), col("dist").as("qdist"))
+    codes.join(broadcast(dtab), col("j") === col("dj") && col("code") === col("dcid"))
+      .groupBy("vec_id").agg(sum("qdist").as("adist"))
+      .select(col("vec_id"), round(col("adist"), 6).as("approx_dist"))
+      .orderBy("approx_dist", "vec_id")
+      .limit(k)
+  }
 
   /** deterministic pseudo-random hyperplanes (seeded; same across runs) */
   def hyperplanes(nPlanes: Int, dim: Int): Seq[Seq[Double]] = {

@@ -130,6 +130,48 @@ class PlanSpec extends SparkSpec {
       s"join keys must include the salt, got ${shuffled.head}")
   }
 
+  test("sim_ann_pq: codebook and ADC table broadcast; encode windows stay partitioned") {
+    val df = SparkEntry.queries("sim_ann_pq")(spark, sfDir)
+    val p = df.queryExecution.sparkPlan
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    // both the centroid join (encode) and the distance-table join (ADC
+    // lookup) must broadcast their tiny side — a shuffle there would be
+    // the 100 TB bottleneck
+    assert(p.collect { case j: BroadcastHashJoinExec => j }.size >= 2,
+      s"expected broadcast joins for codebook and ADC table:\n$p")
+    val wins = p.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    wins.foreach(w => assert(w.partitionSpec.nonEmpty,
+      s"argmin window must partition by (vec, subspace):\n$w"))
+  }
+
+  test("runtime bloom filter prunes the fact side of a selective shuffle join") {
+    // the 100 TB shape: a selective dim filter should cut fact-side shuffle
+    // input BEFORE the exchange via an injected bloom filter (Catalyst's
+    // InjectRuntimeFilter). Thresholds are production-sized, so shrink them
+    // to test scale; GraftSession keeps the feature on for deployments.
+    import org.apache.spark.sql.functions.col
+    val c = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> c.getOption(k))
+    try {
+      c.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      c.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      c.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the shuffle-join shape
+      val fact = Tables.t(spark, sfDir, "lineitem").select("l_orderkey", "l_quantity")
+      val dim = Tables.t(spark, sfDir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey")
+      val joined = fact.join(dim, fact("l_orderkey") === dim("o_orderkey"))
+      val opt = joined.queryExecution.optimizedPlan.toString
+      assert(opt.contains("might_contain") && opt.contains("bloom_filter_agg"),
+        s"expected an injected runtime bloom filter:\n$opt")
+      // and the filtered join still returns the right rows
+      assert(joined.count() ==
+        fact.join(dim.hint("broadcast"), fact("l_orderkey") === dim("o_orderkey")).count())
+    } finally saved.foreach { case (k, v) => v.fold(c.unset(k))(c.set(k, _)) }
+  }
+
   test("split_points: 1-in-SplitSampleMod sample filter sits below every global window") {
     val df = SparkEntry.queries("split_points")(spark, sfDir)
     val wins = df.queryExecution.sparkPlan.collect {

@@ -93,4 +93,32 @@ class SimilaritySpec extends SparkSpec {
     val dists = rows.map(_.getAs[Double]("approx_dist")).toSeq
     assert(dists == dists.sorted)
   }
+
+  test("sim_ann_pq: planted near-duplicates of the query dominate the PQ top-k") {
+    // The driver embeddings are unstructured random vectors, where 64-dim
+    // pairwise distances concentrate — recall@10 vs exact L2 is ≈ chance
+    // for ANY quantizer there (measured 2-3/10), so that is not a useful
+    // property. What PQ MUST do is keep genuinely-near vectors: plant 5
+    // tiny perturbations of vec 0; they quantize to vec 0's codes, get
+    // ADC distance ≈ 0, and have to occupy the top of the result.
+    import spark.implicits._
+    val base = Tables.t(spark, sfDir, "embeddings")
+      .withColumn("ed", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .select(col("vec_id"), col("ed"))
+    val planted = base.filter(col("vec_id") === 0)
+      .crossJoin(Seq(1, 2, 3, 4, 5).toDF("i"))
+      .select((col("i") + 900000L).as("vec_id"),
+        expr("transform(ed, x -> x + i * 0.0001D)").as("ed"))
+    val top = graft.queries.Similarity
+      .pqTopK(base.unionByName(planted), queryId = 0L)
+      .collect()
+    val ids = top.map(_.getAs[Long]("vec_id")).toSet
+    val expected = Set(0L, 900001L, 900002L, 900003L, 900004L, 900005L)
+    assert(expected.subsetOf(ids),
+      s"planted near-dups missing from PQ top-10: ${expected.diff(ids)} in $ids")
+    // and they sit at the head: the 6 smallest approx distances
+    val head = top.sortBy(_.getAs[Double]("approx_dist")).take(6)
+      .map(_.getAs[Long]("vec_id")).toSet
+    assert(head == expected, s"near-dups must rank first, got $head")
+  }
 }
