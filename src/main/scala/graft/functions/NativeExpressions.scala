@@ -5,7 +5,8 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{BinaryType, DataType, StringType}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions (SURVEY §4 custom work, items 1–2):
@@ -55,6 +56,25 @@ case class Base32Expr(child: Expression)
     copy(child = newChild)
 }
 
+/** array<string> tokens -> 64-bit SimHash sketch ([[SimHashAlg]] kernel;
+  * agrees bit-for-bit with the composed `Dedup.simhash64` aggregation). */
+case class SimHash64Expr(child: Expression)
+  extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any =
+    SimHashAlg.simhash64(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHashAlg.simhash64($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64Expr =
+    copy(child = newChild)
+}
+
 /** Registration — either per-session ([[GraftFunctions.register]]) or at
   * session build time via
   * `.withExtensions(new GraftExtensions)` / the
@@ -62,7 +82,8 @@ case class Base32Expr(child: Expression)
 object GraftFunctions {
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "surt_key_native" -> ((exprs: Seq[Expression]) => SurtKeyExpr(exprs.head)),
-    "base32" -> ((exprs: Seq[Expression]) => Base32Expr(exprs.head)))
+    "base32" -> ((exprs: Seq[Expression]) => Base32Expr(exprs.head)),
+    "simhash64" -> ((exprs: Seq[Expression]) => SimHash64Expr(exprs.head)))
 
   def register(spark: SparkSession): Unit = all.foreach { case (name, builder) =>
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "built-in")

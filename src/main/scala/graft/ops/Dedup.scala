@@ -71,8 +71,23 @@ object Dedup {
       .select("a", "b").distinct()
   }
 
+  /** 64-bit SimHash per document via the codegen kernel
+    * ([[graft.functions.SimHash64Expr]]): one narrow per-row pass, no
+    * explode and no shuffle — the scale path. Output: (doc_id, simhash),
+    * token-less docs dropped to match [[simhash64]]'s explode semantics
+    * (SimilaritySpec pins the two paths equal on the whole corpus). */
+  def simhash64Native(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("w"))
+      .filter(size(col("w")) > 0)
+      .selectExpr("doc_id", "simhash64(w) AS simhash")
+  }
+
   /** 64-bit SimHash per document over `df(idCol, textCol)`: for each bit,
-    * sign of Σ(±1) over token hashes. Output: (doc_id, simhash). */
+    * sign of Σ(±1) over token hashes. Output: (doc_id, simhash).
+    * Composed-builtin reference form (explode → 64 signed bit-sums → pack);
+    * [[simhash64Native]] computes the same sketch in one codegen pass and
+    * is what the queries/pipelines use. */
   def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val exploded = df.select(col(idCol).as("doc_id"),
       explode(tokens(col(textCol))).as("tok"))

@@ -59,9 +59,10 @@ object Similarity extends QueryModule {
 
     // 64-bit SimHash over token hashes (oracle-exempt: xxhash64 is
     // engine-specific; SimilaritySpec asserts near-dups land close in
-    // Hamming distance, far pairs far)
+    // Hamming distance, far pairs far, and that this codegen-kernel path
+    // equals the composed explode+agg reference bit-for-bit)
     "dedup_simhash" -> ((s, d) =>
-      graft.ops.Dedup.simhash64(Tables.t(s, d, "documents"), "doc_id", "text")
+      graft.ops.Dedup.simhash64Native(Tables.t(s, d, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
 
     // banded SimHash candidate pairs over a corpus with planted near-dups
@@ -73,7 +74,7 @@ object Similarity extends QueryModule {
         .withColumn("text", expr("substring(text, instr(text, ' ') + 1)"))
       val corpus = Tables.t(s, d, "documents").unionByName(nearDup)
       graft.ops.Dedup.simhashCandidates(
-          graft.ops.Dedup.simhash64(corpus, "doc_id", "text"), bands = 4)
+          graft.ops.Dedup.simhash64Native(corpus, "doc_id", "text"), bands = 4)
         .orderBy("a", "b")
     }),
 

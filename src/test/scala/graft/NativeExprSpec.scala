@@ -52,6 +52,49 @@ class NativeExprSpec extends SparkSpec {
     assert(rows.toSeq == Seq(Some("b,a)/x"), None, None, Some("org,example,up)/q?y=2&z=1")))
   }
 
+  test("simhash64 kernel == composed explode+agg on the documents corpus") {
+    val docs = Tables.t(spark, sfDir, "documents")
+    val native = ops.Dedup.simhash64Native(docs, "doc_id", "text")
+    val composed = ops.Dedup.simhash64(docs, "doc_id", "text")
+    val diff = native.as("n")
+      .join(composed.as("c"), col("n.doc_id") === col("c.doc_id"), "full")
+      .filter(not(col("n.simhash") <=> col("c.simhash")))
+      .collect()
+    assert(diff.isEmpty, diff.take(5).mkString("\n"))
+  }
+
+  test("simhash64 golden semantics: single token == its xxhash64; ties pack 0") {
+    GraftFunctions.register(spark)
+    // one token: every bit count is ±1, so the sketch IS the token's hash
+    val one = Seq("hello").toDF("t")
+      .selectExpr("simhash64(array(t)) AS s", "xxhash64(t) AS h")
+      .head()
+    assert(one.getLong(0) == one.getLong(1))
+    // empty array: all 64 counts tie at 0 -> packs 0L; null array -> null
+    val edge = Seq(
+      ("emptyarr", Some(Array.empty[String])),
+      ("nullarr", None)).toDF("k", "w")
+      .selectExpr("k", "simhash64(w) AS s")
+      .collect().map(r => r.getString(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(edge("emptyarr").contains(0L))
+    assert(edge("nullarr").isEmpty)
+    // multibyte tokens hash their UTF-8 bytes: the kernel over an explicit
+    // array (tokenizer-free) must equal the explode+agg form over it
+    val arrDf = Seq(Array("héllo", "wörld", "héllo")).toDF("w")
+    val kernel = arrDf.selectExpr("simhash64(w) AS s").head().getLong(0)
+    val viaAgg = arrDf.select(explode(col("w")).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+      .agg((0 until 64)
+        .map(b => sum(when(expr(s"(h >> $b) & 1") === 1, 1).otherwise(-1)).as(s"s$b")).head,
+        (1 until 64)
+          .map(b => sum(when(expr(s"(h >> $b) & 1") === 1, 1).otherwise(-1)).as(s"s$b")): _*)
+      .selectExpr((0 until 64)
+        .map(b => s"IF(s$b > 0, shiftleft(CAST(1 AS BIGINT), $b), CAST(0 AS BIGINT))")
+        .mkString(" + ") + " AS s")
+      .head().getLong(0)
+    assert(kernel == viaAgg)
+  }
+
   test("base32 golden vectors (independent BigInteger encoder)") {
     // independent re-implementation for cross-checking
     def b32ref(bytes: Array[Byte]): String = {
