@@ -219,6 +219,51 @@ object Llm extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // Corpus-relative quality filtering: keep docs at or above their
+    // language's p25 quality. The 100 TB shape matters more than the
+    // score: the per-language thresholds are ONE tiny aggregation
+    // (n_langs rows) broadcast back onto the corpus, so the filter stays
+    // map-side — never a corpus-wide window/sort to rank every doc.
+    // Threshold rounded to the score's own 6-decimal grain so the >=
+    // comparison is stable across engines.
+    "filter_quality_quantile" -> ((s, d) => {
+      val scored = Tables.t(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          graft.ops.Text.qualityScore(col("text")).as("quality"))
+      val thr = scored.groupBy("lang")
+        .agg(round(expr("percentile(quality, 0.25)"), 6).as("q25"))
+      scored.join(broadcast(thr), "lang")
+        .filter(col("quality") >= col("q25"))
+        .select("doc_id", "lang", "quality", "q25")
+        .orderBy("doc_id")
+    }),
+
+    // The full near-dup curation decision: candidate pairs -> connected
+    // components -> keep the HIGHEST-QUALITY doc per cluster (not the
+    // min-id — dedup_cluster_resolve's representative is canonical, the
+    // kept doc should be the best one). Same deterministic chain-edge
+    // graph as dedup_cluster_resolve so DuckDB can oracle the fixpoint;
+    // the keep choice is one row_number over (cluster, quality desc).
+    "dedup_keep_best" -> ((s, d) => {
+      val docs = Tables.t(s, d, "documents")
+      val ids = docs.select(col("doc_id"))
+      val edges = ids.filter(col("doc_id") % 5 =!= 4)
+        .select(col("doc_id").as("a"), (col("doc_id") + 1).as("b"))
+        .join(ids.select(col("doc_id").as("b")), Seq("b"), "left_semi")
+      val clusters = graft.ops.Dedup
+        .resolveClusters(ids.select(col("doc_id").as("v")), edges)
+        .select(col("v").as("doc_id"), col("rep").as("cluster_id"))
+      val w = Window.partitionBy("cluster_id")
+        .orderBy(col("quality").desc, col("doc_id"))
+      docs.select(col("doc_id"),
+          graft.ops.Text.qualityScore(col("text")).as("quality"))
+        .join(clusters, "doc_id")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("cluster_id"), col("doc_id").as("kept_doc"), col("quality"))
+        .orderBy("cluster_id")
+    }),
+
     // brute-force cosine top-k against the vec_id=0 query vector
     "sim_cosine_topk" -> ((s, d) => {
       val e = Tables.t(s, d, "embeddings")
@@ -315,6 +360,28 @@ object Llm extends QueryModule {
     "sim_cosine_topk" ->
       ("SELECT vec_id, label, round(list_cosine_similarity(embedding::DOUBLE[], " +
         "(SELECT embedding FROM embeddings WHERE vec_id = 0)::DOUBLE[]), 6) AS cos " +
-        "FROM embeddings ORDER BY cos DESC, vec_id LIMIT 20")
+        "FROM embeddings ORDER BY cos DESC, vec_id LIMIT 20"),
+    // Spark percentile() and DuckDB quantile_cont both linear-interpolate
+    // (agg_percentiles precedent); both sides compare at 6 decimals
+    "filter_quality_quantile" ->
+      (s"WITH scored AS (SELECT doc_id, lang, round(least(length(text) / 500.0, 1.0) * 0.5 + ($stopRatioDuck) * 0.5, 6) AS quality FROM documents), " +
+        "thr AS (SELECT lang, round(quantile_cont(quality, 0.25), 6) AS q25 FROM scored GROUP BY lang) " +
+        "SELECT doc_id, lang, quality, q25 FROM scored JOIN thr USING (lang) " +
+        "WHERE quality >= q25 ORDER BY doc_id"),
+    "dedup_keep_best" ->
+      (s"WITH RECURSIVE edges AS (" +
+        "SELECT d.doc_id AS a, d.doc_id + 1 AS b FROM documents d " +
+        "WHERE d.doc_id % 5 <> 4 AND EXISTS (SELECT 1 FROM documents x WHERE x.doc_id = d.doc_id + 1)), " +
+        "sym AS (SELECT a, b FROM edges UNION ALL SELECT b AS a, a AS b FROM edges), " +
+        "reach(v, r) AS (" +
+        "SELECT doc_id, doc_id FROM documents " +
+        "UNION " +
+        "SELECT s.b, reach.r FROM reach JOIN sym s ON s.a = reach.v), " +
+        "clusters AS (SELECT v AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id FROM reach GROUP BY v), " +
+        s"scored AS (SELECT doc_id, round(least(length(text) / 500.0, 1.0) * 0.5 + ($stopRatioDuck) * 0.5, 6) AS quality FROM documents) " +
+        "SELECT cluster_id, doc_id AS kept_doc, quality FROM (" +
+        "SELECT c.cluster_id, s.doc_id, s.quality, " +
+        "row_number() OVER (PARTITION BY c.cluster_id ORDER BY s.quality DESC, s.doc_id) AS rn " +
+        "FROM clusters c JOIN scored s USING (doc_id)) WHERE rn = 1 ORDER BY cluster_id")
   )
 }

@@ -117,31 +117,43 @@ object Similarity extends QueryModule {
     // first 16 embeddings — a deterministic stand-in for k-means); assign
     // every vector to its nearest centroid, probe only the query's cell.
     // Fully SQL-expressible, so unlike the LSH variant it IS oracle-checked.
-    "sim_ann_ivf" -> ((s, d) => {
-      val e = emb(s, d).select(col("vec_id"), col("ed"))
-      val cents = e.filter(col("vec_id") < 16)
-        .select(col("vec_id").as("cid"), col("ed").as("cd"))
-      val sims = e.crossJoin(broadcast(cents))
-        .withColumn("sim", expr(
-          s"${dotD("ed", "cd")} / (${normD("ed")} * ${normD("cd")})"))
-      val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cid"))
-      val assign = sims
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("cid"))
-      val qcell = assign.filter(col("vec_id") === 0)
-        .select(col("cid").as("qcid"))
-      val q = e.filter(col("vec_id") === 0).select(col("ed").as("qd"))
-      e.join(assign, "vec_id")
-        .join(broadcast(qcell), col("cid") === col("qcid"))
-        .crossJoin(broadcast(q))
-        .withColumn("cos", expr(
-          s"${dotD("ed", "qd")} / (${normD("ed")} * ${normD("qd")})"))
-        .select(col("vec_id"), round(col("cos"), 6).as("cos"))
-        .orderBy(col("cos").desc, col("vec_id"))
-        .limit(10)
-    })
+    "sim_ann_ivf" -> ((s, d) => ivfTopK(emb(s, d), nProbe = 1)),
+
+    // Same index, nProbe=2: THE recall/latency knob of IVF at scale — the
+    // scan touches nProbe/nCells of the corpus, and raising nProbe
+    // recovers neighbors whose cell boundary the query sits on. The probe
+    // list is still a broadcast (nProbe rows), so the plan shape is
+    // unchanged: no shuffle added, just a bigger pruned-in candidate set.
+    "sim_ann_ivf_multiprobe" -> ((s, d) => ivfTopK(emb(s, d), nProbe = 2))
   )
+
+  /** IVF assign + probe-`nProbe`-cells cosine top-k over embeddings. */
+  private def ivfTopK(embedded: DataFrame, nProbe: Int, k: Int = 10): DataFrame = {
+    val e = embedded.select(col("vec_id"), col("ed"))
+    val cents = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("ed").as("cd"))
+    val sims = e.crossJoin(broadcast(cents))
+      .withColumn("sim", expr(
+        s"${dotD("ed", "cd")} / (${normD("ed")} * ${normD("cd")})"))
+    val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cid"))
+    val assign = sims
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid"))
+    val qcells = sims.filter(col("vec_id") === 0)
+      .orderBy(col("sim").desc, col("cid"))
+      .limit(nProbe)
+      .select(col("cid").as("qcid"))
+    val q = e.filter(col("vec_id") === 0).select(col("ed").as("qd"))
+    e.join(assign, "vec_id")
+      .join(broadcast(qcells), col("cid") === col("qcid"))
+      .crossJoin(broadcast(q))
+      .withColumn("cos", expr(
+        s"${dotD("ed", "qd")} / (${normD("ed")} * ${normD("qd")})"))
+      .select(col("vec_id"), round(col("cos"), 6).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+  }
 
   /** PQ encode + ADC top-k over `(vec_id, ed: array<double>)`. Codebook
     * per subspace = subvectors of the first `nCent` vectors by id (a
@@ -189,6 +201,17 @@ object Similarity extends QueryModule {
         "FROM (SELECT vec_id, embedding, " +
         "sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm FROM embeddings) " +
         "ORDER BY vec_id"),
+    "sim_ann_ivf_multiprobe" ->
+      ("WITH cents AS (SELECT vec_id AS cid, embedding AS cd FROM embeddings WHERE vec_id < 16), " +
+        "sims AS (SELECT e.vec_id, c.cid, " +
+        "list_cosine_similarity(e.embedding::DOUBLE[], c.cd::DOUBLE[]) AS sim FROM embeddings e, cents c), " +
+        "assign AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, " +
+        "row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn FROM sims) WHERE rn = 1), " +
+        "qcells AS (SELECT cid FROM sims WHERE vec_id = 0 ORDER BY sim DESC, cid LIMIT 2) " +
+        "SELECT e.vec_id, round(list_cosine_similarity(e.embedding::DOUBLE[], " +
+        "(SELECT embedding FROM embeddings WHERE vec_id = 0)::DOUBLE[]), 6) AS cos " +
+        "FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id JOIN qcells q ON a.cid = q.cid " +
+        "ORDER BY cos DESC, e.vec_id LIMIT 10"),
     "sim_ann_ivf" ->
       ("WITH cents AS (SELECT vec_id AS cid, embedding AS cd FROM embeddings WHERE vec_id < 16), " +
         "sims AS (SELECT e.vec_id, c.cid, " +

@@ -112,4 +112,39 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(bounds == bounds.sorted)
     assert(bounds.size <= 7) // 8 shards -> at most N-1 boundaries
   }
+
+  test("filter_quality_quantile keeps ~75% per language, never everything") {
+    val docs = Tables.t(spark, sfDir, "documents")
+    val perLangTotal = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = SparkEntry.queries("filter_quality_quantile")(spark, sfDir)
+      .groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept.keySet == perLangTotal.keySet)
+    perLangTotal.foreach { case (lang, n) =>
+      val frac = kept(lang).toDouble / n
+      // p25 threshold keeps >= 75% (ties at the threshold can keep more);
+      // a degenerate all-kept result would mean the threshold is vacuous
+      assert(frac >= 0.70 && frac <= 0.95, s"$lang kept $frac of $n")
+    }
+  }
+
+  test("dedup_keep_best keeps exactly the max-quality doc of every cluster") {
+    // the query's chain graph (edges i->i+1 except i%5==4) has closed-form
+    // components {5k..5k+4}, so the expected keeper set is computable
+    // WITHOUT connected components: argmax quality per 5-block
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id").orderBy(col("quality").desc, col("doc_id"))
+    val expected = Tables.t(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        (col("doc_id") - col("doc_id") % 5).as("cluster_id"),
+        graft.ops.Text.qualityScore(col("text")).as("quality"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("doc_id").as("kept_doc"), col("quality"))
+    val kept = SparkEntry.queries("dedup_keep_best")(spark, sfDir)
+    assert(kept.exceptAll(expected).isEmpty && expected.exceptAll(kept).isEmpty,
+      "keeper set must equal the closed-form argmax per 5-block")
+    assert(kept.count() > 0)
+  }
 }

@@ -76,6 +76,21 @@ class SimilaritySpec extends SparkSpec {
       s"recovered ${recovered.size}/${planted.size}")
   }
 
+  test("sim_ann_ivf_multiprobe: probing 2 cells never hurts, query self-hits") {
+    val single = SparkEntry.queries("sim_ann_ivf")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val multi = SparkEntry.queries("sim_ann_ivf_multiprobe")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(multi.contains(0L), "query vector must self-hit")
+    // the 2-cell candidate set is a superset: its worst top-k cosine can
+    // only be >= the single-probe worst
+    assert(multi.values.min >= single.values.min - 1e-9)
+    // scores for vectors returned by both probes agree exactly
+    (single.keySet intersect multi.keySet).foreach { v =>
+      assert(math.abs(single(v) - multi(v)) < 1e-9)
+    }
+  }
+
   test("emb_normalize: unit vectors have norm 1") {
     val rows = SparkEntry.queries("emb_normalize")(spark, sfDir).collect()
     rows.foreach(r => assert(math.abs(r.getAs[Double]("unit_norm") - 1.0) <= 1e-6))
