@@ -1,0 +1,46 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+
+/** Pure-JVM MinHash-signature kernel backing [[MinHashSigExpr]].
+  *
+  * Bit-parity contract with the composed form in `graft.ops.Dedup`
+  * (`min(xxhash64(shingle, lit(i)))` per seed column): Spark's
+  * `xxhash64(s, i)` folds left from seed 42 — first the string's UTF-8
+  * bytes, then the int literal — so seed i's per-shingle hash is
+  * `hashInt(i, hashUnsafeBytes(s, 42))`. The kernel hashes each shingle's
+  * bytes ONCE and derives all n seeds from that single 64-bit state,
+  * where the composed aggregation re-hashes the full string per seed
+  * column — n× less string hashing on top of needing no explode/shuffle.
+  * NativeExprSpec pins kernel == composed on the documents corpus.
+  */
+object MinHashAlg {
+
+  /** array<string> shingles -> length-n minhash signature (array<long>).
+    * Null for an empty/all-null array (min over nothing is undefined —
+    * callers filter token-poor docs out first, matching the composed
+    * form's explode semantics). Null elements are skipped. */
+  def signature(shingles: ArrayData, n: Int): ArrayData = {
+    val m = shingles.numElements()
+    val sig = new Array[Long](n)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    var seen = false
+    var i = 0
+    while (i < m) {
+      if (!shingles.isNullAt(i)) {
+        seen = true
+        val s = shingles.getUTF8String(i)
+        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        var k = 0
+        while (k < n) {
+          val hk = XXH64.hashInt(k, h)
+          if (hk < sig(k)) sig(k) = hk
+          k += 1
+        }
+      }
+      i += 1
+    }
+    if (!seen) null else new GenericArrayData(sig)
+  }
+}

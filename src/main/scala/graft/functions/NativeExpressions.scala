@@ -3,10 +3,10 @@ package graft.functions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions (SURVEY §4 custom work, items 1–2):
@@ -75,6 +75,32 @@ case class SimHash64Expr(child: Expression)
     copy(child = newChild)
 }
 
+/** (array<string> shingles, n) -> length-n minhash signature
+  * ([[MinHashAlg]] kernel; bit-parity with the composed
+  * min-per-seed-column aggregation in `graft.ops.Dedup`). */
+case class MinHashSigExpr(left: Expression, right: Expression)
+  extends BinaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType), IntegerType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "minhash_sig"
+
+  override def nullSafeEval(shingles: Any, n: Any): Any =
+    MinHashAlg.signature(shingles.asInstanceOf[ArrayData], n.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (arr, n) =>
+      s"""
+         |${ev.value} = graft.functions.MinHashAlg.signature($arr, $n);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): MinHashSigExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Registration — either per-session ([[GraftFunctions.register]]) or at
   * session build time via
   * `.withExtensions(new GraftExtensions)` / the
@@ -83,7 +109,8 @@ object GraftFunctions {
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "surt_key_native" -> ((exprs: Seq[Expression]) => SurtKeyExpr(exprs.head)),
     "base32" -> ((exprs: Seq[Expression]) => Base32Expr(exprs.head)),
-    "simhash64" -> ((exprs: Seq[Expression]) => SimHash64Expr(exprs.head)))
+    "simhash64" -> ((exprs: Seq[Expression]) => SimHash64Expr(exprs.head)),
+    "minhash_sig" -> ((exprs: Seq[Expression]) => MinHashSigExpr(exprs(0), exprs(1))))
 
   def register(spark: SparkSession): Unit = all.foreach { case (name, builder) =>
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "built-in")

@@ -18,11 +18,24 @@ object Dedup {
   def tokens(c: Column): Column =
     filter(split(lower(c), "[^a-z0-9]+"), t => t =!= "")
 
+  /** per-row word-shingle array over a token-array column `w` */
+  private def shingleExpr(shingleSize: Int): String =
+    s"transform(sequence(1, size(w) - ${shingleSize - 1}), " +
+      s"i -> concat_ws(' ', ${(0 until shingleSize).map(k => s"w[i-1+$k]").mkString(", ")}))"
+
   /** MinHash-LSH candidate pairs over `df(idCol, textCol)`.
     *
     * shingle(shingleSize words) → minhash signature (nHashes seeds) →
     * `bands` bands of nHashes/bands rows → docs sharing any (band, sig)
     * bucket become a candidate pair (a < b).
+    *
+    * Signatures come from the codegen kernel
+    * ([[graft.functions.MinHashSigExpr]]): shingling and min-hashing are
+    * per-document math, so they run as ONE narrow pass — no shingle
+    * explode (|tokens| rows through a shuffle) and no nHashes-buffer
+    * aggregation. The only shuffles left are the banded candidate join's.
+    * [[minhashSignaturesComposed]] keeps the explode+agg reference form;
+    * NativeExprSpec pins the two bit-equal on the documents corpus.
     *
     * `maxBucketSize` caps the per-bucket self-join: a degenerate corpus
     * (thousands of byte-identical docs) collapses into one bucket whose
@@ -36,23 +49,35 @@ object Dedup {
       maxBucketSize: Int = 10000): DataFrame = {
     require(nHashes % bands == 0, "bands must divide nHashes")
     val rows = nHashes / bands
-    val corpus = df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("w"))
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val sigs = df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("w"))
       .filter(size(col("w")) >= shingleSize)
-    val shingled = corpus.select(
-      col("doc_id"),
-      explode(expr(
-        s"transform(sequence(1, size(w) - ${shingleSize - 1}), " +
-          s"i -> concat_ws(' ', ${(0 until shingleSize).map(k => s"w[i-1+$k]").mkString(", ")}))"))
-        .as("shingle"))
-    val sigCols = (0 until nHashes).map(i =>
-      min(xxhash64(col("shingle"), lit(i))).as(s"m$i"))
-    val sigs = shingled.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+      .selectExpr("doc_id", s"minhash_sig(${shingleExpr(shingleSize)}, $nHashes) AS sig")
+    // band key = Murmur3 over the band's signature rows — hash() on the
+    // array elements equals hash() on the composed form's long columns
     val bandCols = (0 until bands).map(b =>
-      hash((0 until rows).map(r => col(s"m${b * rows + r}")): _*))
+      hash((0 until rows).map(r => element_at(col("sig"), b * rows + r + 1)): _*))
     val banded = sigs.select(
       col("doc_id"), posexplode(array(bandCols: _*)))
       .toDF("doc_id", "band", "sig")
     bucketedPairs(banded, maxBucketSize)
+  }
+
+  /** Composed-builtin reference form of the minhash signature (shingle
+    * explode → min(xxhash64(shingle, seed)) per seed → pack as array) —
+    * what [[minhashCandidates]]'s kernel must agree with bit-for-bit. */
+  def minhashSignaturesComposed(
+      df: DataFrame, idCol: String, textCol: String,
+      nHashes: Int = 16, shingleSize: Int = 3): DataFrame = {
+    val corpus = df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("w"))
+      .filter(size(col("w")) >= shingleSize)
+    val shingled = corpus.select(
+      col("doc_id"),
+      explode(expr(shingleExpr(shingleSize))).as("shingle"))
+    val sigCols = (0 until nHashes).map(i =>
+      min(xxhash64(col("shingle"), lit(i))).as(s"m$i"))
+    shingled.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+      .select(col("doc_id"), array((0 until nHashes).map(i => col(s"m$i")): _*).as("sig"))
   }
 
   /** shared tail: (band, sig, doc_id) buckets → bounded candidate pairs.

@@ -95,6 +95,46 @@ class NativeExprSpec extends SparkSpec {
     assert(kernel == viaAgg)
   }
 
+  test("minhash_sig kernel == composed explode+min-agg on the documents corpus") {
+    GraftFunctions.register(spark)
+    val docs = Tables.t(spark, sfDir, "documents")
+    val native = docs
+      .select(col("doc_id"), ops.Dedup.tokens(col("text")).as("w"))
+      .filter(size(col("w")) >= 3)
+      .selectExpr("doc_id",
+        "minhash_sig(transform(sequence(1, size(w) - 2), " +
+          "i -> concat_ws(' ', w[i-1], w[i], w[i+1])), 16) AS sig")
+    val composed = ops.Dedup.minhashSignaturesComposed(docs, "doc_id", "text")
+    val diff = native.as("n")
+      .join(composed.as("c"), col("n.doc_id") === col("c.doc_id"), "full")
+      .filter(not(col("n.sig") <=> col("c.sig")))
+      .collect()
+    assert(diff.isEmpty, diff.take(3).mkString("\n"))
+  }
+
+  test("minhash_sig golden semantics: seed chain, empty -> null, monotone under union") {
+    GraftFunctions.register(spark)
+    // single shingle: sig[k] == xxhash64(s, k) exactly (min over one value)
+    val row = Seq("alpha beta gamma").toDF("s")
+      .selectExpr("minhash_sig(array(s), 4) AS sig",
+        "array(xxhash64(s, 0), xxhash64(s, 1), xxhash64(s, 2), xxhash64(s, 3)) AS expect")
+      .head()
+    assert(row.getSeq[Long](0) == row.getSeq[Long](1))
+    // empty and null arrays -> null signature
+    val nulls = Seq((Some(Array.empty[String]), 1), (None, 2)).toDF("w", "k")
+      .selectExpr("minhash_sig(w, 4) AS sig").collect()
+    assert(nulls.forall(_.isNullAt(0)))
+    // signature of A ∪ B is the element-wise min of the signatures — the
+    // mergeability MinHash's unionability rests on
+    val m = Seq(
+      ("a", Array("x y z", "p q r")),
+      ("b", Array("p q r", "j k l")),
+      ("ab", Array("x y z", "p q r", "j k l"))).toDF("k", "w")
+      .selectExpr("k", "minhash_sig(w, 8) AS sig")
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(m("ab") == m("a").zip(m("b")).map { case (x, y) => math.min(x, y) })
+  }
+
   test("base32 golden vectors (independent BigInteger encoder)") {
     // independent re-implementation for cross-checking
     def b32ref(bytes: Array[Byte]): String = {
