@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, ImplicitCastInputTypes, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, IntegerType, LongType, StringType}
@@ -101,6 +101,60 @@ case class MinHashSigExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Fused tokenize+sketch: text -> SimHash, null when token-less. The
+  * array-taking [[SimHash64Expr]] serves custom tokenizers; this form
+  * keeps the default-tokenizer path free of CodegenFallback lambdas. */
+case class SimHashTextExpr(child: Expression)
+  extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "simhash64_text"
+
+  override def nullSafeEval(input: Any): Any =
+    SimHashAlg.simhash64Text(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, { c =>
+      val boxed = ctx.freshName("boxed")
+      s"""
+         |java.lang.Long $boxed = graft.functions.SimHashAlg.simhash64Text($c);
+         |${ev.isNull} = $boxed == null;
+         |${ev.value} = ${ev.isNull} ? 0L : $boxed.longValue();
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashTextExpr =
+    copy(child = newChild)
+}
+
+/** Fused tokenize+shingle+sketch: (text, n, shingleSize) -> minhash
+  * signature, null when the text has < shingleSize tokens. */
+case class MinHashTextExpr(first: Expression, second: Expression, third: Expression)
+  extends TernaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType, IntegerType, IntegerType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "minhash_sig_text"
+
+  override def nullSafeEval(text: Any, n: Any, shingleSize: Any): Any =
+    MinHashAlg.signatureText(
+      text.asInstanceOf[UTF8String], n.asInstanceOf[Int], shingleSize.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, n, k) =>
+      s"""
+         |${ev.value} = graft.functions.MinHashAlg.signatureText($t, $n, $k);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin)
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): MinHashTextExpr =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
 /** Registration — either per-session ([[GraftFunctions.register]]) or at
   * session build time via
   * `.withExtensions(new GraftExtensions)` / the
@@ -110,7 +164,9 @@ object GraftFunctions {
     "surt_key_native" -> ((exprs: Seq[Expression]) => SurtKeyExpr(exprs.head)),
     "base32" -> ((exprs: Seq[Expression]) => Base32Expr(exprs.head)),
     "simhash64" -> ((exprs: Seq[Expression]) => SimHash64Expr(exprs.head)),
-    "minhash_sig" -> ((exprs: Seq[Expression]) => MinHashSigExpr(exprs(0), exprs(1))))
+    "minhash_sig" -> ((exprs: Seq[Expression]) => MinHashSigExpr(exprs(0), exprs(1))),
+    "simhash64_text" -> ((exprs: Seq[Expression]) => SimHashTextExpr(exprs.head)),
+    "minhash_sig_text" -> ((exprs: Seq[Expression]) => MinHashTextExpr(exprs(0), exprs(1), exprs(2))))
 
   def register(spark: SparkSession): Unit = all.foreach { case (name, builder) =>
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "built-in")

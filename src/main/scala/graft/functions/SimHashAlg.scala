@@ -2,6 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.XXH64
 import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.unsafe.Platform
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Pure-JVM SimHash kernel backing [[SimHash64Expr]] (static entry point so
   * generated code can call it directly, like [[SurtAlg]]).
@@ -47,5 +49,36 @@ object SimHashAlg {
       b += 1
     }
     out
+  }
+
+  /** Fused tokenize+sketch: raw text -> SimHash, or null when the text
+    * has no tokens (the row the explode semantics would drop). Unlike
+    * [[simhash64]] over a pre-built array, nothing here touches a
+    * higher-order function, so the whole sketch projection stays inside
+    * whole-stage codegen — at 100 TB the interpreted-lambda tokenizer is
+    * the sketch's real cost, not the hashing. */
+  def simhash64Text(text: UTF8String): java.lang.Long = {
+    val (bytes, runs, nTok) = TokenAlg.lowerAndRuns(text)
+    if (nTok == 0) return null
+    val counts = new Array[Int](64)
+    var t = 0
+    while (t < nTok) {
+      val start = runs(2 * t)
+      val h = XXH64.hashUnsafeBytes(
+        bytes, Platform.BYTE_ARRAY_OFFSET + start, runs(2 * t + 1) - start, 42L)
+      var b = 0
+      while (b < 64) {
+        counts(b) += ((((h >>> b) & 1L) << 1) - 1L).toInt
+        b += 1
+      }
+      t += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) out |= 1L << b
+      b += 1
+    }
+    java.lang.Long.valueOf(out)
   }
 }

@@ -29,13 +29,14 @@ object Dedup {
     * `bands` bands of nHashes/bands rows → docs sharing any (band, sig)
     * bucket become a candidate pair (a < b).
     *
-    * Signatures come from the codegen kernel
-    * ([[graft.functions.MinHashSigExpr]]): shingling and min-hashing are
-    * per-document math, so they run as ONE narrow pass — no shingle
-    * explode (|tokens| rows through a shuffle) and no nHashes-buffer
-    * aggregation. The only shuffles left are the banded candidate join's.
-    * [[minhashSignaturesComposed]] keeps the explode+agg reference form;
-    * NativeExprSpec pins the two bit-equal on the documents corpus.
+    * Signatures come from the FUSED tokenize+shingle+sketch kernel
+    * ([[graft.functions.MinHashTextExpr]]): per-document math runs as ONE
+    * codegen'd narrow pass — no shingle explode (|tokens| rows through a
+    * shuffle), no nHashes-buffer aggregation, and no CodegenFallback
+    * lambda tokenizer. The only shuffles left are the banded candidate
+    * join's. [[minhashSignaturesComposed]] keeps the explode+agg
+    * reference form; NativeExprSpec pins the paths bit-equal on the
+    * documents corpus.
     *
     * `maxBucketSize` caps the per-bucket self-join: a degenerate corpus
     * (thousands of byte-identical docs) collapses into one bucket whose
@@ -50,9 +51,10 @@ object Dedup {
     require(nHashes % bands == 0, "bands must divide nHashes")
     val rows = nHashes / bands
     graft.functions.GraftFunctions.register(df.sparkSession)
-    val sigs = df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("w"))
-      .filter(size(col("w")) >= shingleSize)
-      .selectExpr("doc_id", s"minhash_sig(${shingleExpr(shingleSize)}, $nHashes) AS sig")
+    val sigs = df
+      .selectExpr(s"$idCol AS doc_id",
+        s"minhash_sig_text($textCol, $nHashes, $shingleSize) AS sig")
+      .filter(col("sig").isNotNull)
     // band key = Murmur3 over the band's signature rows — hash() on the
     // array elements equals hash() on the composed form's long columns
     val bandCols = (0 until bands).map(b =>
@@ -96,16 +98,18 @@ object Dedup {
       .select("a", "b").distinct()
   }
 
-  /** 64-bit SimHash per document via the codegen kernel
-    * ([[graft.functions.SimHash64Expr]]): one narrow per-row pass, no
-    * explode and no shuffle — the scale path. Output: (doc_id, simhash),
-    * token-less docs dropped to match [[simhash64]]'s explode semantics
-    * (SimilaritySpec pins the two paths equal on the whole corpus). */
+  /** 64-bit SimHash per document via the FUSED tokenize+sketch kernel
+    * ([[graft.functions.SimHashTextExpr]]): one narrow per-row pass, no
+    * explode and no shuffle, and — because the relational tokenizer's
+    * higher-order `filter` is CodegenFallback — no interpreted lambdas
+    * either: the whole sketch projection codegens (PlanSpec pins it).
+    * Token-less docs return null and are filtered, matching
+    * [[simhash64]]'s explode semantics (NativeExprSpec pins the paths
+    * equal on the whole corpus). */
   def simhash64Native(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
-    df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("w"))
-      .filter(size(col("w")) > 0)
-      .selectExpr("doc_id", "simhash64(w) AS simhash")
+    df.selectExpr(s"$idCol AS doc_id", s"simhash64_text($textCol) AS simhash")
+      .filter(col("simhash").isNotNull)
   }
 
   /** 64-bit SimHash per document over `df(idCol, textCol)`: for each bit,
@@ -153,19 +157,25 @@ object Dedup {
     while (!converged && i < maxIter) {
       val nbrMin = sym.join(labels, sym("a") === labels("v"))
         .groupBy(sym("b").as("nv")).agg(min("rep").as("nbr_rep"))
+      // carry the round-start label as `prev` so the convergence count can
+      // ride the checkpoint's own job via observe() — no second join, no
+      // extra action per round
       val propagated = labels.join(nbrMin, labels("v") === nbrMin("nv"), "left")
-        .select(col("v"), least(col("rep"), coalesce(col("nbr_rep"), col("rep"))).as("rep"))
+        .select(col("v"), col("rep").as("prev"),
+          least(col("rep"), coalesce(col("nbr_rep"), col("rep"))).as("rep"))
       // pointer jumping: rep[v] <- rep[rep[v]]
+      val obs = org.apache.spark.sql.Observation()
       val updated = propagated.alias("x")
         .join(propagated.select(col("v").as("rv"), col("rep").as("rrep")).alias("y"),
           col("x.rep") === col("y.rv"), "left")
-        .select(col("x.v").as("v"), coalesce(col("y.rrep"), col("x.rep")).as("rep"))
-        .localCheckpoint()
-      val changed = updated.alias("u")
-        .join(labels.alias("p"), col("u.v") === col("p.v"))
-        .filter(col("u.rep") =!= col("p.rep")).count()
+        .select(col("x.v").as("v"),
+          coalesce(col("y.rrep"), col("x.rep")).as("rep"),
+          col("x.prev").as("prev"))
+        .observe(obs, count(when(col("rep") =!= col("prev"), 1)).as("changed"))
+        .select("v", "rep")
+        .localCheckpoint() // materializes -> the observation is harvested
       labels = updated
-      converged = changed == 0
+      converged = obs.get("changed").asInstanceOf[Long] == 0
       i += 1
     }
     // wrong-but-plausible labels are worse than failing: an unconverged

@@ -135,6 +135,44 @@ class NativeExprSpec extends SparkSpec {
     assert(m("ab") == m("a").zip(m("b")).map { case (x, y) => math.min(x, y) })
   }
 
+  test("fused kernels match the relational tokenizer on unicode edge cases") {
+    GraftFunctions.register(spark)
+    // U+212A KELVIN SIGN lowercases to ASCII k; İ expands; emoji and
+    // multibyte runs are separators; ASCII digits survive
+    val texts = Seq(
+      "Hello, World! 123",
+      "Kelvin scale 42",             // K + elvin -> 'kelvin'
+      "İstanbul ve İzmir",                 // dotted capital I
+      "emoji😀split2tokens",
+      "ångström σίσυφος straße",
+      "a b c d e f",                       // many 1-char tokens
+      "   ",                               // no tokens at all
+      "ONE-token")
+      .toDF("text").withColumn("doc_id", monotonically_increasing_id())
+    // simhash: fused text kernel == array kernel over the relational tokens
+    val sim = texts.selectExpr("doc_id",
+        "simhash64_text(text) AS fused",
+        "simhash64(filter(split(lower(text), '[^a-z0-9]+'), t -> t != '')) AS viaArray",
+        "size(filter(split(lower(text), '[^a-z0-9]+'), t -> t != '')) AS ntok")
+      .collect()
+    sim.foreach { r =>
+      if (r.getInt(3) == 0) assert(r.isNullAt(1), s"token-less text must fuse to null: $r")
+      else assert(r.getLong(1) == r.getLong(2), s"fused != array kernel: $r")
+    }
+    // minhash: fused == array kernel over relational 2-gram shingles
+    val mh = texts.selectExpr("doc_id",
+        "minhash_sig_text(text, 8, 2) AS fused",
+        "filter(split(lower(text), '[^a-z0-9]+'), t -> t != '') AS w")
+      .selectExpr("doc_id", "fused",
+        "CASE WHEN size(w) >= 2 THEN minhash_sig(transform(sequence(1, size(w) - 1), " +
+          "i -> concat_ws(' ', w[i-1], w[i])), 8) END AS viaArray")
+      .collect()
+    mh.foreach { r =>
+      if (r.isNullAt(2)) assert(r.isNullAt(1), s"short text must fuse to null: $r")
+      else assert(r.getSeq[Long](1) == r.getSeq[Long](2), s"fused != array kernel: $r")
+    }
+  }
+
   test("base32 golden vectors (independent BigInteger encoder)") {
     // independent re-implementation for cross-checking
     def b32ref(bytes: Array[Byte]): String = {

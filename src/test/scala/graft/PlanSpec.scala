@@ -76,6 +76,36 @@ class PlanSpec extends SparkSpec {
       s"native expression must sit inside a codegen'd (starred) operator:\n$p")
   }
 
+  test("sketch kernels: signature computation adds no Generate/aggregate stage") {
+    // simhash64/minhash_sig are per-row — the plan up to the sketch must
+    // hold no explode (Generate) of tokens/shingles and no HashAggregate;
+    // for simhash the whole sketch query is aggregation-free
+    val sim = SparkEntry.queries("dedup_simhash")(spark, sfDir)
+    val simPlan = sim.queryExecution.sparkPlan
+    assert(simPlan.collect {
+      case g: org.apache.spark.sql.execution.GenerateExec => g }.isEmpty,
+      "simhash sketch must not explode tokens")
+    assert(simPlan.collect {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+      case o: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => o
+      case s: org.apache.spark.sql.execution.aggregate.SortAggregateExec => s }.isEmpty,
+      "simhash sketch must not aggregate")
+    sim.collect()
+    val p = sim.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+    assert(p.linesIterator.exists(l => l.contains("simhash64") && l.contains("*(")),
+      s"simhash64 must sit inside a codegen'd operator:\n$p")
+    // minhash still explodes the BAND array (4 rows/doc, by design) but
+    // must not explode shingles: every Generate's output is band-shaped
+    val mh = SparkEntry.queries("dedup_fuzzy_minhash")(spark, sfDir)
+    val gens = mh.queryExecution.sparkPlan.collect {
+      case g: org.apache.spark.sql.execution.GenerateExec => g }
+    assert(gens.nonEmpty, "banding posexplode expected")
+    gens.foreach(g => assert(
+      g.output.map(_.name).exists(n => n == "band" || n == "pos"),
+      s"unexpected non-band Generate (shingle explode?):\n$g"))
+  }
+
   test("join_semi: planned as a semi join, not inner+distinct") {
     val p = plan("join_semi")
     assert(p.contains("LeftSemi"), p.linesIterator.take(25).mkString("\n"))
