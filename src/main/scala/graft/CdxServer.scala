@@ -119,6 +119,26 @@ final class CdxServer(spark: SparkSession, clusterDir: String) {
     math.ceil(nBlocks.toDouble / blocksPerPage).toLong
   }
 
+  /** pywb resumeKey pagination: the next `n` captures strictly after the
+    * (urlkey, ts) cursor in index order. The cursor beats offset paging
+    * at scale — page k costs the same as page 1 because the predicate is
+    * shaped as `urlkey >= cursor AND (...)`: the first conjunct is a
+    * pushable bound that prunes cluster.idx blocks below the cursor,
+    * where an OFFSET would decompress and discard k·n rows every call.
+    * Resume with the last row's (urlkey, ts); fewer than n rows back
+    * means the listing is done. Like pywb's resumeKey, a page boundary
+    * inside a run of identical (urlkey, ts) rows skips the duplicates —
+    * the json tie-break below makes each page itself deterministic
+    * (cluster line order), the cursor is (urlkey, ts) by contract. */
+  def pageByKey(
+      surtPrefix: String, afterUrlkey: String, afterTs: String, n: Int): DataFrame =
+    scan(Some(surtPrefix))
+      .filter(col("urlkey") >= afterUrlkey &&
+        (col("urlkey") > afterUrlkey || col("ts") > afterTs))
+      .select("urlkey", "ts", "json") // the pywb response fields
+      .orderBy("urlkey", "ts", "json")
+      .limit(n)
+
   /** pywb `filter=` param over any result: `field:regex` keeps matching
     * rows, `!field:regex` drops them, and a colon-less spec matches the
     * whole reconstructed CDX line (pywb's field-less form). Core columns

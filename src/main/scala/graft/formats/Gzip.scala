@@ -15,8 +15,21 @@ import java.util.zip.{CRC32, Deflater, Inflater}
   */
 object Gzip {
 
+  /** Item of the compressed stream: a decoded member, or (permissive mode
+    * only) a span of bytes that could not be decoded. */
+  sealed trait Entry {
+    def offset: Long
+    def compressedLength: Long
+  }
+
   /** One decompressed member plus its position in the compressed stream. */
   final case class Member(offset: Long, compressedLength: Long, bytes: Array[Byte])
+    extends Entry
+
+  /** Bytes between a failed decode and the next plausible member header
+    * (or EOF). Only emitted by [[entries]] in permissive mode. */
+  final case class CorruptSpan(offset: Long, compressedLength: Long, reason: String)
+    extends Entry
 
   private val FHCRC = 2
   private val FEXTRA = 4
@@ -29,6 +42,10 @@ object Gzip {
     private var carry: Array[Byte] = Array.emptyByteArray
     private var carryPos = 0
 
+    /** absolute position of the next byte to be served (pushed-back bytes
+      * rewind it) — the resync path derives span offsets from this */
+    var consumed: Long = 0L
+
     def pushBack(buf: Array[Byte], from: Int, len: Int): Unit = {
       val remaining = carry.length - carryPos
       val merged = new Array[Byte](len + remaining)
@@ -36,17 +53,20 @@ object Gzip {
       if (remaining > 0) System.arraycopy(carry, carryPos, merged, len, remaining)
       carry = merged
       carryPos = 0
+      consumed -= len
     }
 
     /** read up to len bytes; -1 at EOF */
     def read(buf: Array[Byte], off: Int, len: Int): Int = {
       val remaining = carry.length - carryPos
-      if (remaining > 0) {
-        val n = math.min(remaining, len)
-        System.arraycopy(carry, carryPos, buf, off, n)
-        carryPos += n
-        n
+      val n = if (remaining > 0) {
+        val k = math.min(remaining, len)
+        System.arraycopy(carry, carryPos, buf, off, k)
+        carryPos += k
+        k
       } else in.read(buf, off, len)
+      if (n > 0) consumed += n
+      n
     }
 
     def readByte(): Int = {
@@ -66,20 +86,36 @@ object Gzip {
     }
   }
 
-  /** Iterate the gzip members of `in` (a full `.gz` stream). */
-  def members(in: InputStream): Iterator[Member] = new Iterator[Member] {
+  /** Iterate the gzip members of `in` (a full `.gz` stream). Strict: any
+    * undecodable byte throws — right for ZipNum clusters, whose idx
+    * promises exact member tiling. Crawl inputs want [[entries]]. */
+  def members(in: InputStream): Iterator[Member] =
+    entries(in, permissive = false).collect { case m: Member => m }
+
+  /** Iterate members; in permissive mode undecodable bytes become
+    * [[CorruptSpan]]s instead of exceptions — the reader scans forward
+    * for the next plausible member header (`1f 8b 08` with the FLG
+    * reserved bits clear, the warcio/crawl-tooling resync heuristic) and
+    * resumes there. A false-positive resync inside deflate data just
+    * fails again and extends into another span, so the scan always makes
+    * progress. At 100 TB some corrupt members are a certainty; one bad
+    * byte must cost one record, not a 1000-executor job. */
+  def entries(in: InputStream, permissive: Boolean): Iterator[Entry] = new Iterator[Entry] {
     private val cs = new CarryStream(in)
     private var offset = 0L
-    private var nextMember: Member = _
+    private var nextEntry: Entry = _
     private var done = false
 
-    private def advance(): Unit = {
-      if (done || nextMember != null) return
+    private def decodeOne(): Unit = {
       val first = cs.readByte()
       if (first < 0) { done = true; return }
       val magic2 = cs.readByte()
-      if (first != 0x1f || magic2 != 0x8b)
+      if (first != 0x1f || magic2 != 0x8b) {
+        // magic2 may itself open a real member (1 garbage byte before a
+        // good header) — hand it back so the resync scan can see it
+        if (magic2 >= 0) cs.pushBack(Array(magic2.toByte), 0, 1)
         throw new IllegalStateException(f"bad gzip magic at offset $offset: $first%02x")
+      }
       val fixed = new Array[Byte](8) // CM, FLG, MTIME(4), XFL, OS
       if (!cs.readFully(fixed)) throw new EOFException("truncated gzip header")
       val flags = fixed(1) & 0xff
@@ -106,38 +142,94 @@ object Gzip {
       // inflate the deflate body, tracking compressed bytes consumed
       val inflater = new Inflater(true)
       val out = new ByteArrayOutputStream()
+      val crc = new CRC32()
       val inBuf = new Array[Byte](8192)
       val outBuf = new Array[Byte](8192)
       var fedTotal = 0L
       var lastN = 0
-      while (!inflater.finished()) {
-        if (inflater.needsInput()) {
-          val n = cs.read(inBuf, 0, inBuf.length)
-          if (n < 0) throw new EOFException("truncated deflate body")
-          inflater.setInput(inBuf, 0, n)
-          fedTotal += n
-          lastN = n
+      try {
+        while (!inflater.finished()) {
+          if (inflater.needsInput()) {
+            val n = cs.read(inBuf, 0, inBuf.length)
+            if (n < 0) throw new EOFException("truncated deflate body")
+            inflater.setInput(inBuf, 0, n)
+            fedTotal += n
+            lastN = n
+          }
+          val n = inflater.inflate(outBuf)
+          if (n > 0) { out.write(outBuf, 0, n); crc.update(outBuf, 0, n) }
         }
-        val n = inflater.inflate(outBuf)
-        if (n > 0) out.write(outBuf, 0, n)
-      }
-      // leftover bytes sit at the tail of the last fed chunk; they are the
-      // trailer plus (possibly) the start of the next member
-      val leftover = inflater.getRemaining
-      inflater.end()
-      val deflateLen = fedTotal - leftover
-      if (leftover > 0) cs.pushBack(inBuf, lastN - leftover, leftover)
-      if (!cs.readFully(new Array[Byte](8))) throw new EOFException("truncated gzip trailer")
-      val compLen = headerLen + deflateLen + 8
-      nextMember = Member(offset, compLen, out.toByteArray)
-      offset += compLen
+        // leftover bytes sit at the tail of the last fed chunk; they are
+        // the trailer plus (possibly) the start of the next member
+        val leftover = inflater.getRemaining
+        val deflateLen = fedTotal - leftover
+        if (leftover > 0) cs.pushBack(inBuf, lastN - leftover, leftover)
+        val trailer = new Array[Byte](8)
+        if (!cs.readFully(trailer)) throw new EOFException("truncated gzip trailer")
+        // verify CRC32 + ISIZE like GZIPInputStream: structurally-valid
+        // deflate over flipped bits can still "succeed" with wrong bytes,
+        // and silently indexing garbage is worse than skipping the member
+        def le32(b: Array[Byte], at: Int): Long =
+          (b(at) & 0xffL) | ((b(at + 1) & 0xffL) << 8) |
+            ((b(at + 2) & 0xffL) << 16) | ((b(at + 3) & 0xffL) << 24)
+        if (le32(trailer, 0) != crc.getValue || le32(trailer, 4) != (out.size & 0xffffffffL))
+          throw new IllegalStateException(
+            s"gzip CRC/ISIZE mismatch for member at offset $offset")
+        val compLen = headerLen + deflateLen + 8
+        nextEntry = Member(offset, compLen, out.toByteArray)
+        offset += compLen
+      } catch {
+        case e: java.util.zip.DataFormatException =>
+          // rescue the unconsumed tail for the resync scan before rethrow
+          val leftover = inflater.getRemaining
+          if (leftover > 0) cs.pushBack(inBuf, lastN - leftover, leftover)
+          throw new IllegalStateException(s"corrupt deflate body: ${e.getMessage}", e)
+      } finally inflater.end()
     }
 
-    override def hasNext: Boolean = { advance(); nextMember != null }
-    override def next(): Member = {
+    /** scan forward for `1f 8b 08` + sane FLG; position the stream on the
+      * magic and return true, or false at EOF */
+    private def resync(): Boolean = {
+      val win = new Array[Int](4)
+      var filled = 0
+      while (true) {
+        while (filled < 4) {
+          val b = cs.readByte()
+          if (b < 0) return false
+          win(filled) = b
+          filled += 1
+        }
+        if (win(0) == 0x1f && win(1) == 0x8b && win(2) == 0x08 && (win(3) & 0xe0) == 0) {
+          cs.pushBack(win.map(_.toByte), 0, 4)
+          return true
+        }
+        win(0) = win(1); win(1) = win(2); win(2) = win(3)
+        filled = 3
+      }
+      false
+    }
+
+    private def advance(): Unit = {
+      if (done || nextEntry != null) return
+      try decodeOne()
+      catch {
+        case e @ (_: IllegalStateException | _: EOFException) if permissive =>
+          val spanStart = offset
+          val found = resync()
+          val spanEnd = cs.consumed
+          offset = spanEnd
+          if (!found) done = true
+          // a zero-length span can't happen: the failed decode consumed at
+          // least the bytes that made it fail
+          nextEntry = CorruptSpan(spanStart, spanEnd - spanStart, e.getMessage)
+      }
+    }
+
+    override def hasNext: Boolean = { advance(); nextEntry != null }
+    override def next(): Entry = {
       advance()
-      if (nextMember == null) throw new NoSuchElementException
-      val m = nextMember; nextMember = null; m
+      if (nextEntry == null) throw new NoSuchElementException
+      val m = nextEntry; nextEntry = null; m
     }
   }
 

@@ -230,8 +230,12 @@ object Warc {
       "20040510235959", "text/html", 301, "<a>arc moved</a>".getBytes(UTF_8)))
 
   /** Distributed scan: one task per WARC file, iterating gzip members
-    * inside the partition (SURVEY §2.1 `scan_warc`). */
-  def scan(spark: SparkSession, pathGlob: String): DataFrame = {
+    * inside the partition (SURVEY §2.1 `scan_warc`). Permissive by
+    * default: crawl archives at 100 TB always carry some damaged members,
+    * and one bad byte must cost one `record_type='corrupt'` row (offset +
+    * skipped length preserved for auditing), never the job — pipelines
+    * filter on record_type anyway. Pass permissive=false to fail fast. */
+  def scan(spark: SparkSession, pathGlob: String, permissive: Boolean = true): DataFrame = {
     val rows = spark.sparkContext.binaryFiles(pathGlob).flatMap {
       case (file, pds) =>
         val in = pds.open()
@@ -239,8 +243,13 @@ object Warc {
         Option(org.apache.spark.TaskContext.get())
           .foreach(_.addTaskCompletionListener[Unit](_ => try in.close() catch { case _: Throwable => }))
         val shortName = file.substring(file.lastIndexOf('/') + 1)
-        val it = Gzip.members(in).map(m =>
-          parseRecord(m.bytes, m.offset, m.compressedLength, shortName))
+        val it = Gzip.entries(in, permissive).map {
+          case m: Gzip.Member =>
+            parseRecord(m.bytes, m.offset, m.compressedLength, shortName)
+          case s: Gzip.CorruptSpan =>
+            Row("corrupt", null, null, null, null, null,
+              s.offset, s.compressedLength, shortName, null)
+        }
         new Iterator[Row] {
           override def hasNext: Boolean = {
             val h = it.hasNext

@@ -188,6 +188,16 @@ object Formats extends QueryModule {
         .orderBy("urlkey", "timestamp", "mime")
     }),
 
+    // pywb resumeKey pagination through the gate: a cursor page after a
+    // mid-prefix (urlkey, ts) — the pushable urlkey>=cursor bound prunes
+    // idx blocks below the cursor, so page k costs page-1 I/O at any k
+    "cdx_page_by_key" -> ((s, d) => {
+      val dir = tmp(d, "zipnum_page")
+      ZipNum.write(cdxLines(s, d), dir, shards = 8, linesPerBlock = 100)
+      new graft.CdxServer(s, dir)
+        .pageByKey("org,example,medium)", "org,example,medium)/order/3", "", 400)
+    }),
+
     // same lookup through the V2 source: Catalyst pushes the startsWith
     // filter into the scan, which prunes blocks via cluster.idx
     "zipnum_v2_pushdown" -> ((s, d) => {
@@ -297,6 +307,13 @@ object Formats extends QueryModule {
     "cdx_fl_projection" -> o(
       "SELECT urlkey, ts AS timestamp, mime FROM cdx " +
         "WHERE urlkey LIKE 'org,example,medium)%' ORDER BY urlkey, timestamp, mime"),
+    // cursor strictly after (urlkey='.../order/3', ts='') in line order
+    "cdx_page_by_key" -> o(
+      s"SELECT urlkey, ts, json FROM (SELECT urlkey, ts, $jsonExprDuck FROM cdx " +
+        "WHERE urlkey LIKE 'org,example,medium)%') " +
+        "WHERE urlkey >= 'org,example,medium)/order/3' " +
+        "AND (urlkey > 'org,example,medium)/order/3' OR ts > '') " +
+        "ORDER BY urlkey, ts, json LIMIT 400"),
     "sink_warc_cdx" -> o(
       "SELECT regexp_replace(regexp_extract(filename, '[^/]+$'), '\\.warc\\.gz$', '.cdx.gz') AS cdx_name, " +
         s"$lineExprDuck AS value FROM cdx ORDER BY value"),

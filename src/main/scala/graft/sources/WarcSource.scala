@@ -86,17 +86,26 @@ final class WarcPartitionReader(file: String, sconf: SerializableHadoopConf)
   private val path = new Path(file)
   private val in = path.getFileSystem(sconf.value).open(path)
   private val shortName = file.substring(file.lastIndexOf('/') + 1)
-  private val members = Gzip.members(in)
+  // permissive like Warc.scan: damaged members surface as
+  // record_type='corrupt' rows, not task failures
+  private val entries = Gzip.entries(in, permissive = true)
   private var row: InternalRow = _
 
   override def next(): Boolean = {
-    if (!members.hasNext) return false
-    val m = members.next()
-    val r = Warc.parseRow(m.bytes, m.offset, m.compressedLength, shortName)
-    row = new GenericInternalRow(Array[Any](
-      utf8(r._1), utf8(r._2), utf8(r._3), utf8(r._4),
-      r._5, utf8(r._6), m.offset, m.compressedLength,
-      UTF8String.fromString(shortName), r._7))
+    if (!entries.hasNext) return false
+    entries.next() match {
+      case m: Gzip.Member =>
+        val r = Warc.parseRow(m.bytes, m.offset, m.compressedLength, shortName)
+        row = new GenericInternalRow(Array[Any](
+          utf8(r._1), utf8(r._2), utf8(r._3), utf8(r._4),
+          r._5, utf8(r._6), m.offset, m.compressedLength,
+          UTF8String.fromString(shortName), r._7))
+      case s: Gzip.CorruptSpan =>
+        row = new GenericInternalRow(Array[Any](
+          utf8("corrupt"), null, null, null,
+          null, null, s.offset, s.compressedLength,
+          UTF8String.fromString(shortName), null))
+    }
     true
   }
 

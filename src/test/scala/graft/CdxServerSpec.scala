@@ -159,4 +159,31 @@ class CdxServerSpec extends SparkSpec {
     // out-of-range page is empty, not an error
     assert(server.page(pre, bpp, n).count() == 0)
   }
+
+  test("pageByKey: cursor walk reproduces the prefix listing exactly") {
+    val pre = "com,example)/"
+    val full = server.prefix(pre).select("urlkey", "ts").as[(String, String)].collect().toSeq
+    assert(full.size >= 3, s"fixture too small: $full")
+    // walk with page size 2 from the zero cursor
+    var cursor = ("", "")
+    var walked = Seq.empty[(String, String)]
+    var pages = 0
+    var doneFlag = false
+    while (!doneFlag) {
+      val page = server.pageByKey(pre, cursor._1, cursor._2, 2)
+        .select("urlkey", "ts").as[(String, String)].collect().toSeq
+      walked ++= page
+      pages += 1
+      if (page.size < 2) doneFlag = true else cursor = page.last
+      assert(pages < 100, "cursor walk must terminate")
+    }
+    assert(walked == full, "stitched cursor pages == full listing, in order")
+    // resuming from the last row yields nothing
+    assert(server.pageByKey(pre, full.last._1, full.last._2, 2).count() == 0)
+    // mid-key cursor: captures of the same urlkey after ts come back
+    val (k0, t0) = full.head
+    val after = server.pageByKey(pre, k0, t0, 10)
+      .select("urlkey", "ts").as[(String, String)].collect().toSeq
+    assert(after == full.tail.take(10))
+  }
 }

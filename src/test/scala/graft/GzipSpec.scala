@@ -101,4 +101,96 @@ class GzipSpec extends SparkSpec {
     assert(ms(1).offset == m1.length)
     assert(ms(1).offset + ms(1).compressedLength == fileBytes.length)
   }
+
+  test("permissive entries: garbage between members becomes a CorruptSpan, tiling exact") {
+    val pa = "member A".getBytes("UTF-8")
+    val pb = "member B".getBytes("UTF-8")
+    for (garbage <- Seq(
+        Array[Byte](0x55),                  // 1 byte, then a real header
+        "not gzip at all".getBytes("UTF-8") // no fake magic inside
+      )) {
+      val out = new ByteArrayOutputStream()
+      val lenA = Gzip.writeMember(out, pa)
+      out.write(garbage)
+      Gzip.writeMember(out, pb)
+      val fileBytes = out.toByteArray
+      // strict reader refuses
+      intercept[Exception](Gzip.members(new ByteArrayInputStream(fileBytes)).toList)
+      // permissive reader recovers B and accounts every byte exactly once
+      val es = Gzip.entries(new ByteArrayInputStream(fileBytes), permissive = true).toList
+      val members = es.collect { case m: Gzip.Member => m }
+      assert(members.map(_.bytes.toSeq) == List(pa.toSeq, pb.toSeq),
+        s"garbage=${garbage.toSeq}: $es")
+      val spans = es.collect { case s: Gzip.CorruptSpan => s }
+      assert(spans.map(_.compressedLength).sum == garbage.length)
+      assert(spans.head.offset == lenA)
+      es.sliding(2).foreach {
+        case List(a, b) => assert(b.offset == a.offset + a.compressedLength)
+        case _ =>
+      }
+      assert(es.last.offset + es.last.compressedLength == fileBytes.length)
+    }
+    // a FAKE magic in the garbage starts a doomed parse that consumes the
+    // real next header before failing — that member is unrecoverable (the
+    // warcio resync heuristic shares this limit). The contract that DOES
+    // hold: earlier members survive, tiling stays exact, no exception.
+    val fake = Array[Byte](0x1f, 0x8b.toByte, 0x08, 0x00, 9, 9)
+    val out = new ByteArrayOutputStream()
+    Gzip.writeMember(out, pa)
+    out.write(fake)
+    Gzip.writeMember(out, pb)
+    val bytes = out.toByteArray
+    val es = Gzip.entries(new ByteArrayInputStream(bytes), permissive = true).toList
+    assert(es.collect { case m: Gzip.Member => m.bytes.toSeq }.head == pa.toSeq)
+    assert(es.last.offset + es.last.compressedLength == bytes.length)
+  }
+
+  test("permissive entries: corrupt deflate body and truncated tail resync/terminate") {
+    val pa = "good head member".getBytes("UTF-8")
+    val pb = new Array[Byte](4000) // incompressible: corruption hits deflate data
+    new Random(7).nextBytes(pb)
+    val pc = "good tail member".getBytes("UTF-8")
+    val out = new ByteArrayOutputStream()
+    Gzip.writeMember(out, pa)
+    val bStart = out.size()
+    val bLen = Gzip.writeMember(out, pb)
+    assert(bLen > 1000, "fixture must be incompressible")
+    Gzip.writeMember(out, pc)
+    val bytes = out.toByteArray
+    // flip bytes in the middle of B's deflate data
+    for (i <- 0 until 8) bytes(bStart + 500 + i) = (bytes(bStart + 500 + i) ^ 0x5a).toByte
+    val es = Gzip.entries(new ByteArrayInputStream(bytes), permissive = true).toList
+    val recovered = es.collect { case m: Gzip.Member => new String(m.bytes, "UTF-8") }
+    assert(recovered.head == "good head member")
+    assert(recovered.last == "good tail member", s"entries: $es")
+    assert(es.collect { case s: Gzip.CorruptSpan => s }.nonEmpty)
+    assert(es.last.offset + es.last.compressedLength == bytes.length)
+    // truncated file (cut inside the last member): everything before still
+    // comes back, the tail is a span, and the iterator terminates
+    val cut = java.util.Arrays.copyOf(bytes, bytes.length - 10)
+    val es2 = Gzip.entries(new ByteArrayInputStream(cut), permissive = true).toList
+    assert(es2.collect { case m: Gzip.Member =>
+      new String(m.bytes, "UTF-8") }.head == "good head member")
+    assert(es2.last.offset + es2.last.compressedLength == cut.length)
+    // strict mode still throws on the same input
+    intercept[Exception](Gzip.members(new ByteArrayInputStream(cut)).toList)
+  }
+
+  test("CRC mismatch: structurally-valid garbage is rejected, span covers exactly one member") {
+    val pa = "crc guarded".getBytes("UTF-8")
+    val pb = "next member fine".getBytes("UTF-8")
+    val out = new ByteArrayOutputStream()
+    val lenA = Gzip.writeMember(out, pa)
+    Gzip.writeMember(out, pb)
+    val bytes = out.toByteArray
+    bytes(lenA.toInt - 8) = (bytes(lenA.toInt - 8) ^ 0xff).toByte // A's stored CRC
+    intercept[IllegalStateException](Gzip.members(new ByteArrayInputStream(bytes)).toList)
+    val es = Gzip.entries(new ByteArrayInputStream(bytes), permissive = true).toList
+    // the failed decode consumed member A exactly, so the resync lands on
+    // B's header with no scanning: one span of precisely A's length
+    assert(es.collect { case s: Gzip.CorruptSpan => (s.offset, s.compressedLength) }
+      == List((0L, lenA)))
+    assert(es.collect { case m: Gzip.Member => new String(m.bytes, "UTF-8") }
+      == List("next member fine"))
+  }
 }

@@ -106,6 +106,43 @@ class WarcSpec extends SparkSpec {
     assert(Pipeline.cdxLines(spark, junkFile).count() == 0)
   }
 
+  test("damaged archive: corrupt bytes cost one 'corrupt' row, not the scan") {
+    import graft.formats.Gzip
+    import org.apache.spark.sql.functions.col
+    val dmgFile = "/tmp/graft_test/damaged.warc.gz"
+    Files.createDirectories(Paths.get(dmgFile).getParent)
+    Warc.writeFixture(file, Warc.fixtureRecords) // clean-count reference
+    // fixture bytes with garbage spliced between two member boundaries
+    Warc.writeFixture(dmgFile, Warc.fixtureRecords)
+    val clean = Files.readAllBytes(Paths.get(dmgFile))
+    val firstLen = Gzip.members(new java.io.ByteArrayInputStream(clean)).next()
+      .compressedLength.toInt
+    val garbage = "BITROT***".getBytes("UTF-8")
+    val damaged = new java.io.ByteArrayOutputStream()
+    damaged.write(clean, 0, firstLen)
+    damaged.write(garbage)
+    damaged.write(clean, firstLen, clean.length - firstLen)
+    Files.write(Paths.get(dmgFile), damaged.toByteArray)
+    // library scan and the V2 source agree: every real record survives,
+    // the garbage is one auditable row
+    for (df <- Seq(
+        Warc.scan(spark, dmgFile),
+        spark.read.format("warc").load(dmgFile))) {
+      val byType = df.groupBy("record_type").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(byType("corrupt") == 1, byType.toString)
+      val cleanCounts = Warc.scan(spark, file).groupBy("record_type").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(byType.filterNot(_._1 == "corrupt") == cleanCounts)
+      val c = df.filter(col("record_type") === "corrupt")
+        .select("offset", "length").head()
+      assert(c.getLong(0) == firstLen && c.getLong(1) == garbage.length)
+    }
+    // strict mode still refuses the damaged file
+    intercept[org.apache.spark.SparkException](
+      Warc.scan(spark, dmgFile, permissive = false).count())
+  }
+
   test("ARC offsets tile the file and HTTP payload survives") {
     val arcFile = "/tmp/graft_test/fixture.arc.gz"
     Files.createDirectories(Paths.get(arcFile).getParent)
