@@ -62,6 +62,48 @@ object Pipeline {
     docs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
   }
 
+  /** The composed near-dup curation flow over a `(doc_id, lang, text)`
+    * corpus — the decision pipeline a training-data job runs after
+    * [[warcToCorpus]]'s exact dedup:
+    *
+    *   quality-quantile gate (per-lang p25, broadcast threshold)
+    *   → minhash-LSH candidate pairs (fused codegen signatures)
+    *   → connected components (pointer-jumping min-label)
+    *   → keep the highest-quality doc per cluster (singletons kept).
+    *
+    * Shuffle inventory at 100 TB: one tiny per-lang aggregation
+    * (broadcast back), the banded LSH equi-join, the O(log diameter)
+    * component rounds, and one final window by cluster — no corpus-wide
+    * sort, no cross join, no driver-side data. Returns the kept docs
+    * with (cluster_id, cluster_size, quality). */
+  def curateCorpus(
+      docs: DataFrame,
+      qualityQuantile: Double = 0.25,
+      nHashes: Int = 16, bands: Int = 4, shingleSize: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = docs.select(col("doc_id"), col("lang"), col("text"))
+      .withColumn("quality", graft.ops.Text.qualityScore(col("text")))
+    val thr = scored.groupBy("lang")
+      .agg(round(expr(s"percentile(quality, $qualityQuantile)"), 6).as("qthr"))
+    // materialized: feeds the LSH join, the component vertices, AND the
+    // final keeper join — three consumers of one scan+gate
+    val gated = scored.join(broadcast(thr), "lang")
+      .filter(col("quality") >= col("qthr"))
+      .localCheckpoint()
+    val pairs = graft.ops.Dedup.minhashCandidates(
+      gated, "doc_id", "text", nHashes, bands, shingleSize)
+    val clusters = graft.ops.Dedup
+      .resolveClusters(gated.select(col("doc_id").as("v")), pairs)
+      .select(col("v").as("doc_id"), col("rep").as("cluster_id"))
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("quality").desc, col("doc_id"))
+    gated.join(clusters, "doc_id")
+      .withColumn("cluster_size", count(lit(1)).over(Window.partitionBy("cluster_id")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("doc_id", "lang", "quality", "cluster_id", "cluster_size")
+  }
+
   /** full pipeline: WARC glob -> ZipNum cluster under `outDir`. */
   def warcToZipNum(
       spark: SparkSession, warcGlob: String, outDir: String,

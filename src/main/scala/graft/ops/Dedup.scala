@@ -149,8 +149,13 @@ object Dedup {
     */
   def resolveClusters(
       vertices: DataFrame, pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // materialize the edge set once: `sym` is joined EVERY round, and the
+    // upstream pair derivation may itself be an expensive plan (the LSH
+    // banded join in curateCorpus) — without this the whole candidate
+    // pipeline re-executes per round
     val sym = pairs.select(col("a"), col("b"))
       .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint()
     var labels = vertices.select(col("v"), col("v").as("rep")).localCheckpoint()
     var converged = false
     var i = 0

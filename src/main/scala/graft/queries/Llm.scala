@@ -264,6 +264,19 @@ object Llm extends QueryModule {
         .orderBy("cluster_id")
     }),
 
+    // The composed near-dup curation flow (Pipeline.curateCorpus):
+    // quality gate -> minhash LSH -> connected components -> keep best.
+    // Oracle-exempt (xxhash64 signatures are engine-specific);
+    // PipelineSpec pins planted-pair collapse + keeper invariants.
+    "pipeline_near_dedup" -> ((s, d) => {
+      val nearDup = Tables.t(s, d, "documents")
+        .filter(col("doc_id") % 7 === 0)
+        .withColumn("doc_id", col("doc_id") + 400000L)
+        .withColumn("text", expr("substring(text, instr(text, ' ') + 1)"))
+      val corpus = Tables.t(s, d, "documents").unionByName(nearDup)
+      graft.Pipeline.curateCorpus(corpus).orderBy("cluster_id")
+    }),
+
     // brute-force cosine top-k against the vec_id=0 query vector
     "sim_cosine_topk" -> ((s, d) => {
       val e = Tables.t(s, d, "embeddings")

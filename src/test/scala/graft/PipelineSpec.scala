@@ -66,4 +66,32 @@ class PipelineSpec extends SparkSpec {
     assert(json.contains("\"offset\""))
     assert(json.contains("\"filename\":\"pipeline.warc.gz\""))
   }
+
+  test("curateCorpus: planted near-dups collapse to one keeper, singletons survive") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.t(spark, sfDir, "documents")
+    val plants = docs.filter(col("doc_id") % 7 === 0)
+      .withColumn("doc_id", col("doc_id") + 400000L)
+      .withColumn("text", expr("substring(text, instr(text, ' ') + 1)"))
+    val corpus = docs.unionByName(plants)
+    val kept = Pipeline.curateCorpus(corpus).cache()
+    val keptIds = kept.select("doc_id").as[Long].collect().toSet
+    // one keeper per cluster, and the quality gate dropped some docs but
+    // nowhere near all of them
+    assert(kept.count() == kept.select("cluster_id").distinct().count())
+    assert(kept.count() > corpus.count() / 2)
+    assert(kept.count() < corpus.count())
+    // near-dup collapse: of the planted (orig, copy) pairs where BOTH
+    // passed the quality gate, at most a small LSH-miss fraction survive
+    // as two separate keepers
+    val plantIds = plants.select("doc_id").as[Long].collect().toSeq
+    val bothKept = plantIds.count(p => keptIds.contains(p) && keptIds.contains(p - 400000L))
+    assert(plantIds.nonEmpty)
+    assert(bothKept <= math.max(1, plantIds.size / 5),
+      s"$bothKept of ${plantIds.size} planted pairs escaped collapse")
+    // clusters of size >= 2 exist (the collapses), and every keeper's
+    // cluster_size is consistent with one-keeper-per-cluster
+    assert(kept.filter(col("cluster_size") >= 2).count() > 0)
+    kept.unpersist()
+  }
 }
