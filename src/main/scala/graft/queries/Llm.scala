@@ -44,6 +44,17 @@ object Llm extends QueryModule {
         .withColumn("doc_id", col("doc_id") + 100000L))
   }
 
+  /** word 3-gram array over a token-array column `w`; empty for short
+    * docs (sequence(1,0) would run DESCENDING — hence the guard) */
+  private val shingle3 =
+    "IF(size(w) >= 3, transform(sequence(1, size(w) - 2), " +
+      "i -> concat_ws(' ', w[i-1], w[i], w[i+1])), array())"
+
+  /** DuckDB mirror of [[shingle3]] via indexed list_transform lambdas */
+  private val shingle3Duck =
+    "CASE WHEN len(t) >= 3 THEN list_transform(t[1:len(t)-2], " +
+      "(x, i) -> x || ' ' || t[i+1] || ' ' || t[i+2]) ELSE [] END"
+
   private val docsWithDupsDuck =
     "(SELECT * FROM documents UNION ALL " +
       "SELECT doc_id + 100000, text, lang, source, n_chars FROM documents WHERE doc_id % 5 = 0)"
@@ -264,6 +275,59 @@ object Llm extends QueryModule {
         .orderBy("cluster_id")
     }),
 
+    // Test-set decontamination — flag corpus docs sharing any word
+    // 3-gram with a benchmark set (the overlap check every training run
+    // does before its evals mean anything). The benchmark's shingle set
+    // is tiny → broadcast left-semi join; the corpus side is one narrow
+    // explode feeding it, so nothing shuffles on corpus size. Benchmark
+    // stand-in = every 97th doc (deterministic, so DuckDB oracles it).
+    "text_decontaminate" -> ((s, d) => {
+      val docs = Tables.t(s, d, "documents")
+      // sequence(1, 0) would run DESCENDING, so guard short docs explicitly
+      val withSh = docs
+        .select(col("doc_id"), tokens(col("text")).as("w"))
+        .selectExpr("doc_id", s"$shingle3 AS sh")
+      val bench = withSh.filter(col("doc_id") % 97 === 0)
+        .select(explode(col("sh")).as("shingle")).distinct()
+      val flagged = withSh.select(col("doc_id"), explode(col("sh")).as("shingle"))
+        .join(broadcast(bench), Seq("shingle"), "left_semi")
+        .select("doc_id").distinct()
+        .withColumn("hit", lit(true))
+      docs.join(flagged, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("hit"), lit(false)).as("contaminated"))
+        .orderBy("doc_id")
+    }),
+
+    // Repetition scoring (the Gopher-style "repeated n-gram fraction"
+    // quality signal): 1 - distinct/total over word 3-grams, per doc.
+    // Pure per-row expressions — a free rider on any scan.
+    "text_repetition" -> ((s, d) =>
+      Tables.t(s, d, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("w"))
+        .selectExpr("doc_id", s"$shingle3 AS sh")
+        .select(col("doc_id"),
+          when(size(col("sh")) === 0, 0.0).otherwise(
+            round(lit(1.0) - size(array_distinct(col("sh"))).cast("double") /
+              size(col("sh")), 6)).as("rep_ratio"))
+        .orderBy("doc_id")),
+
+    // Data-mixing weights: per (lang, source) doc counts -> the sampling
+    // weight that flattens the mix to uniform across groups. Two tiny
+    // aggregations broadcast back — the mixing table a 100 TB sampler
+    // joins against is KBs regardless of corpus size.
+    "corpus_mix_weights" -> ((s, d) => {
+      val docs = Tables.t(s, d, "documents")
+      val counts = docs.groupBy("lang", "source").agg(count(lit(1)).as("n_docs"))
+      val total = docs.agg(count(lit(1)).as("total"))
+      val groups = counts.agg(count(lit(1)).as("n_groups"))
+      counts.crossJoin(broadcast(total)).crossJoin(broadcast(groups))
+        .select(col("lang"), col("source"), col("n_docs"),
+          round(col("n_docs").cast("double") / col("total"), 6).as("frac"),
+          round(col("total").cast("double") / (col("n_groups") * col("n_docs")), 6)
+            .as("weight"))
+        .orderBy("lang", "source")
+    }),
+
     // The composed near-dup curation flow (Pipeline.curateCorpus):
     // quality gate -> minhash LSH -> connected components -> keep best.
     // Oracle-exempt (xxhash64 signatures are engine-specific);
@@ -381,6 +445,26 @@ object Llm extends QueryModule {
         "thr AS (SELECT lang, round(quantile_cont(quality, 0.25), 6) AS q25 FROM scored GROUP BY lang) " +
         "SELECT doc_id, lang, quality, q25 FROM scored JOIN thr USING (lang) " +
         "WHERE quality >= q25 ORDER BY doc_id"),
+    "text_decontaminate" ->
+      (s"WITH toks AS (SELECT doc_id, $tokensDuck AS t FROM documents), " +
+        s"sh AS (SELECT doc_id, unnest($shingle3Duck) AS shingle FROM toks), " +
+        "bsh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0), " +
+        "flagged AS (SELECT DISTINCT sh.doc_id FROM sh JOIN bsh USING (shingle)) " +
+        "SELECT d.doc_id, f.doc_id IS NOT NULL AS contaminated " +
+        "FROM documents d LEFT JOIN flagged f ON d.doc_id = f.doc_id ORDER BY d.doc_id"),
+    "text_repetition" ->
+      (s"WITH toks AS (SELECT doc_id, $tokensDuck AS t FROM documents), " +
+        s"sh AS (SELECT doc_id, $shingle3Duck AS s FROM toks) " +
+        "SELECT doc_id, CASE WHEN len(s) = 0 THEN 0.0 " +
+        "ELSE round(1 - len(list_distinct(s))::DOUBLE / len(s), 6) END AS rep_ratio " +
+        "FROM sh ORDER BY doc_id"),
+    "corpus_mix_weights" ->
+      ("WITH counts AS (SELECT lang, source, count(*) AS n_docs FROM documents GROUP BY lang, source), " +
+        "t AS (SELECT count(*) AS total FROM documents), " +
+        "g AS (SELECT count(*) AS n_groups FROM counts) " +
+        "SELECT lang, source, n_docs, round(n_docs::DOUBLE / total, 6) AS frac, " +
+        "round(total::DOUBLE / (n_groups * n_docs), 6) AS weight " +
+        "FROM counts, t, g ORDER BY lang, source"),
     "dedup_keep_best" ->
       (s"WITH RECURSIVE edges AS (" +
         "SELECT d.doc_id AS a, d.doc_id + 1 AS b FROM documents d " +
