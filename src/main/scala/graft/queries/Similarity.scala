@@ -113,6 +113,24 @@ object Similarity extends QueryModule {
     "sim_ann_pq" -> ((s, d) =>
       pqTopK(emb(s, d).select(col("vec_id"), col("ed")), queryId = 0L)),
 
+    // Two-stage ANN (the production shape): PQ/ADC narrows to 50
+    // candidates from codes alone, then ONLY those 50 touch their full
+    // vectors for an exact cosine re-rank. At 100 TB the exact pass costs
+    // candidates × dim regardless of corpus size — the re-rank join is a
+    // broadcast of 50 ids into the embedding scan.
+    "sim_ann_pq_rerank" -> ((s, d) => {
+      val e = emb(s, d).select(col("vec_id"), col("ed"))
+      val cand = pqTopK(e, queryId = 0L, k = 50).select("vec_id")
+      val q = e.filter(col("vec_id") === 0).select(col("ed").as("qd"))
+      e.join(broadcast(cand), "vec_id")
+        .crossJoin(broadcast(q))
+        .withColumn("cos", expr(
+          s"${dotD("ed", "qd")} / (${normD("ed")} * ${normD("qd")})"))
+        .select(col("vec_id"), round(col("cos"), 6).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(10)
+    }),
+
     // IVF-style ANN: coarse quantizer = 16 fixed centroid vectors (the
     // first 16 embeddings — a deterministic stand-in for k-means); assign
     // every vector to its nearest centroid, probe only the query's cell.
@@ -222,6 +240,22 @@ object Similarity extends QueryModule {
         "SELECT e.vec_id, round(list_cosine_similarity(e.embedding::DOUBLE[], " +
         "(SELECT embedding FROM embeddings WHERE vec_id = 0)::DOUBLE[]), 6) AS cos " +
         "FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id JOIN qcell q ON a.cid = q.cid " +
+        "ORDER BY cos DESC, e.vec_id LIMIT 10"),
+    "sim_ann_pq_rerank" ->
+      ("WITH sub AS (SELECT vec_id, j, list_slice(embedding, j*16+1, j*16+16)::DOUBLE[] AS sub " +
+        "FROM embeddings, (SELECT unnest(generate_series(0, 3)) AS j)), " +
+        "cent AS (SELECT vec_id AS cid, j AS cj, sub AS csub FROM sub WHERE vec_id < 16), " +
+        "dist AS (SELECT s.vec_id, s.j, c.cid, list_distance(s.sub, c.csub) AS dist " +
+        "FROM sub s JOIN cent c ON s.j = c.cj), " +
+        "codes AS (SELECT vec_id, j, cid AS code FROM (SELECT vec_id, j, cid, " +
+        "row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, cid) AS rn FROM dist) WHERE rn = 1), " +
+        "dtab AS (SELECT j AS dj, cid AS dcid, dist AS qdist FROM dist WHERE vec_id = 0), " +
+        "cand AS (SELECT vec_id FROM (SELECT vec_id, sum(qdist) AS adist " +
+        "FROM codes JOIN dtab ON codes.j = dtab.dj AND codes.code = dtab.dcid " +
+        "GROUP BY vec_id ORDER BY adist, vec_id LIMIT 50)) " +
+        "SELECT e.vec_id, round(list_cosine_similarity(e.embedding::DOUBLE[], " +
+        "(SELECT embedding FROM embeddings WHERE vec_id = 0)::DOUBLE[]), 6) AS cos " +
+        "FROM embeddings e JOIN cand USING (vec_id) " +
         "ORDER BY cos DESC, e.vec_id LIMIT 10"),
     "sim_ann_pq" ->
       ("WITH sub AS (SELECT vec_id, j, list_slice(embedding, j*16+1, j*16+16)::DOUBLE[] AS sub " +

@@ -91,6 +91,20 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("sim_ann_pq_rerank: exact re-rank self-hits at cos 1 and orders descending") {
+    val rows = SparkEntry.queries("sim_ann_pq_rerank")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    assert(rows.head._1 == 0L && math.abs(rows.head._2 - 1.0) < 1e-6,
+      s"query vector must re-rank first at cosine 1: ${rows.head}")
+    assert(rows.map(_._2).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+    // exact scores agree with the brute-force query on shared vec_ids
+    val brute = SparkEntry.queries("sim_cosine_topk")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    rows.filter(r => brute.contains(r._1)).foreach { case (v, c) =>
+      assert(math.abs(brute(v) - c) < 1e-9, s"vec $v: rerank $c vs brute ${brute(v)}")
+    }
+  }
+
   test("emb_normalize: unit vectors have norm 1") {
     val rows = SparkEntry.queries("emb_normalize")(spark, sfDir).collect()
     rows.foreach(r => assert(math.abs(r.getAs[Double]("unit_norm") - 1.0) <= 1e-6))
