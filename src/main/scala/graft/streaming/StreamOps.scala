@@ -79,6 +79,18 @@ object StreamOps {
       .withWatermark("ts", "1 hour")
       .dropDuplicates("event_id")
 
+  /** Like [[dedup]] but with BOUNDED state: dropDuplicatesWithinWatermark
+    * evicts a key's dedup state once the watermark passes its event time,
+    * so state size tracks the watermark window, not the full key
+    * cardinality. The trade: a duplicate arriving after eviction is kept
+    * — the right contract for at-least-once sources whose duplicates
+    * cluster near the original (crawl fetch retries), and the ONLY viable
+    * one at 100 TB/day where plain dropDuplicates state grows forever. */
+  def dedupWithinWatermark(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** `stream_late_policy`: records older than the watermark are dropped
     * from aggregations — demonstrated by aggregating AFTER the watermark;
     * the spec drives late rows through MemoryStream and asserts they do

@@ -218,4 +218,36 @@ class SourceV2Spec extends SparkSpec {
     assert(prunedBlocks < allBlocks && prunedBlocks > 0,
       s"pruned $prunedBlocks of $allBlocks")
   }
+
+  test("pageByKey's cursor bound prunes blocks below the cursor") {
+    // dense cluster: 40 keys x 2-line blocks -> 20 blocks, so a cursor in
+    // the back half demonstrably drops whole blocks from the plan
+    val dir = "/tmp/graft_test/v2_zipnum_cursor"
+    val lines = (0 until 40).map(i =>
+      f"com,page)/p$i%03d 2015021500${i % 10} " + s"""{"status":"200"}""")
+    ZipNum.write(lines.toDF("line"), dir, shards = 2, linesPerBlock = 2)
+    val server = new CdxServer(spark, dir)
+    val full = server.prefix("com,").select("urlkey", "ts")
+      .as[(String, String)].collect().toSeq
+    assert(full.size == 40)
+    val (k, t) = full(29) // cursor at row 30 of 40
+    val page = server.pageByKey("com,", k, t, 20)
+    // result = exactly the rows after the cursor
+    assert(page.select("urlkey", "ts").as[(String, String)].collect().toSeq
+      == full.filter(r => r._1 > k || (r._1 == k && r._2 > t)))
+    // plan level: the >= cursor bound reached the scan as a KeyRange that
+    // drops blocks entirely below the cursor
+    val range = ZipNumSource.rangeFromFilters(Seq(
+      StringStartsWith("urlkey", "com,"), GreaterThanOrEqual("urlkey", k)))
+    val allBlocks = new graft.sources.ZipNumScan(dir,
+      ZipNumSource.KeyRange(None, None), ZipNumSource.schema)
+      .planInputPartitions()
+      .map(_.asInstanceOf[graft.sources.ZipNumBlockPartition].blocks.length).sum
+    val cursorBlocks = new graft.sources.ZipNumScan(dir, range, ZipNumSource.schema)
+      .planInputPartitions()
+      .map(_.asInstanceOf[graft.sources.ZipNumBlockPartition].blocks.length).sum
+    assert(allBlocks == 20)
+    assert(cursorBlocks < allBlocks / 2 + 2 && cursorBlocks > 0,
+      s"cursor kept $cursorBlocks of $allBlocks blocks")
+  }
 }

@@ -93,6 +93,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupWithinWatermark: dups near the original drop, state is bounded") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[E]
+    val q = StreamOps.dedupWithinWatermark(toDf(input)).writeStream
+      .format("memory").queryName("dedup_wm_sink").outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((1L, ts(0), 1L, "a", 1.0), (2L, ts(1), 1L, "b", 1.0))
+      q.processAllAvailable()
+      // duplicate of 1 arrives within the 1h watermark -> dropped
+      input.addData((1L, ts(5), 1L, "a", 1.0), (3L, ts(6), 2L, "c", 1.0))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_wm_sink").select("event_id").as[Long].collect().sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L))
+      // advance the watermark far past event 1's time, then replay it:
+      // its dedup state was evicted, so the late duplicate is KEPT — the
+      // documented bounded-state trade
+      input.addData((4L, tsAt(14, 0), 3L, "d", 1.0))
+      q.processAllAvailable()
+      input.addData((1L, tsAt(13, 30), 1L, "a", 1.0))
+      q.processAllAvailable()
+      val replayed = spark.table("dedup_wm_sink").select("event_id").as[Long].collect()
+      assert(replayed.count(_ == 1L) == 2,
+        s"evicted key must be re-admitted after the watermark passes: ${replayed.toSeq.sorted}")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join resolves revisits within the horizon only") {
     implicit val sqlCtx = spark.sqlContext
     val revisits = MemoryStream[E]
