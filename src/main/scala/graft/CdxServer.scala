@@ -125,19 +125,28 @@ final class CdxServer(spark: SparkSession, clusterDir: String) {
     * shaped as `urlkey >= cursor AND (...)`: the first conjunct is a
     * pushable bound that prunes cluster.idx blocks below the cursor,
     * where an OFFSET would decompress and discard k·n rows every call.
-    * Resume with the last row's (urlkey, ts); fewer than n rows back
-    * means the listing is done. Like pywb's resumeKey, a page boundary
-    * inside a run of identical (urlkey, ts) rows skips the duplicates —
-    * the json tie-break below makes each page itself deterministic
-    * (cluster line order), the cursor is (urlkey, ts) by contract. */
+    * Resume with the last row's (urlkey, ts, json); fewer than n rows
+    * back means the listing is done. Passing the full 3-field cursor
+    * makes the walk LOSSLESS — real CDX data has multiple captures of a
+    * URL within one 14-digit second, and a page boundary inside such a
+    * run would otherwise skip the rest of it (pywb's two-field resumeKey
+    * shares that loss; the json tie-break is already in the sort order,
+    * so carrying it costs nothing). The (urlkey, ts)-only form keeps the
+    * strictly-after-(urlkey, ts) semantics. */
   def pageByKey(
-      surtPrefix: String, afterUrlkey: String, afterTs: String, n: Int): DataFrame =
+      surtPrefix: String, afterUrlkey: String, afterTs: String, n: Int,
+      afterJson: String = null): DataFrame = {
+    // within the cursor's urlkey: strictly-after on (ts[, json])
+    val afterKey =
+      if (afterJson == null) col("ts") > afterTs
+      else col("ts") > afterTs || (col("ts") === afterTs && col("json") > afterJson)
     scan(Some(surtPrefix))
-      .filter(col("urlkey") >= afterUrlkey &&
-        (col("urlkey") > afterUrlkey || col("ts") > afterTs))
+      .filter(col("urlkey") >= afterUrlkey && // pushable bound: idx pruning
+        (col("urlkey") > afterUrlkey || (col("urlkey") === afterUrlkey && afterKey)))
       .select("urlkey", "ts", "json") // the pywb response fields
       .orderBy("urlkey", "ts", "json")
       .limit(n)
+  }
 
   /** pywb `filter=` param over any result: `field:regex` keeps matching
     * rows, `!field:regex` drops them, and a colon-less spec matches the

@@ -83,8 +83,14 @@ object Pipeline {
     import org.apache.spark.sql.expressions.Window
     val scored = docs.select(col("doc_id"), col("lang"), col("text"))
       .withColumn("quality", graft.ops.Text.qualityScore(col("text")))
+    // approx_percentile, NOT exact percentile: the exact form buffers
+    // every quality value per language group — unbounded agg state when
+    // one 'en' group spans most of a 100 TB corpus. The sketch holds
+    // bounded state at the accuracy a quality gate needs. (The oracled
+    // filter_quality_quantile query keeps the exact form — it must match
+    // DuckDB bit-for-bit; this production flow must not OOM.)
     val thr = scored.groupBy("lang")
-      .agg(round(expr(s"percentile(quality, $qualityQuantile)"), 6).as("qthr"))
+      .agg(round(expr(s"approx_percentile(quality, $qualityQuantile, 10000)"), 6).as("qthr"))
     // materialized: feeds the LSH join, the component vertices, AND the
     // final keeper join — three consumers of one scan+gate
     val gated = scored.join(broadcast(thr), "lang")

@@ -52,8 +52,8 @@ object Dedup {
     val rows = nHashes / bands
     graft.functions.GraftFunctions.register(df.sparkSession)
     val sigs = df
-      .selectExpr(s"$idCol AS doc_id",
-        s"minhash_sig_text($textCol, $nHashes, $shingleSize) AS sig")
+      .selectExpr(s"`$idCol` AS doc_id",
+        s"minhash_sig_text(`$textCol`, $nHashes, $shingleSize) AS sig")
       .filter(col("sig").isNotNull)
     // band key = Murmur3 over the band's signature rows — hash() on the
     // array elements equals hash() on the composed form's long columns
@@ -108,7 +108,7 @@ object Dedup {
     * equal on the whole corpus). */
   def simhash64Native(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
-    df.selectExpr(s"$idCol AS doc_id", s"simhash64_text($textCol) AS simhash")
+    df.selectExpr(s"`$idCol` AS doc_id", s"simhash64_text(`$textCol`) AS simhash")
       .filter(col("simhash").isNotNull)
   }
 

@@ -250,9 +250,12 @@ object Similarity extends QueryModule {
         "codes AS (SELECT vec_id, j, cid AS code FROM (SELECT vec_id, j, cid, " +
         "row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, cid) AS rn FROM dist) WHERE rn = 1), " +
         "dtab AS (SELECT j AS dj, cid AS dcid, dist AS qdist FROM dist WHERE vec_id = 0), " +
+        // rank-50 cut must compare the SAME value Spark ranks on — pqTopK
+        // orders by the ROUNDED distance, so a near-tie at the boundary
+        // would otherwise pick different candidates per engine
         "cand AS (SELECT vec_id FROM (SELECT vec_id, sum(qdist) AS adist " +
         "FROM codes JOIN dtab ON codes.j = dtab.dj AND codes.code = dtab.dcid " +
-        "GROUP BY vec_id ORDER BY adist, vec_id LIMIT 50)) " +
+        "GROUP BY vec_id ORDER BY round(adist, 6), vec_id LIMIT 50)) " +
         "SELECT e.vec_id, round(list_cosine_similarity(e.embedding::DOUBLE[], " +
         "(SELECT embedding FROM embeddings WHERE vec_id = 0)::DOUBLE[]), 6) AS cos " +
         "FROM embeddings e JOIN cand USING (vec_id) " +

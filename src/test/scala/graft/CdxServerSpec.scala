@@ -186,4 +186,41 @@ class CdxServerSpec extends SparkSpec {
       .select("urlkey", "ts").as[(String, String)].collect().toSeq
     assert(after == full.tail.take(10))
   }
+
+  test("pageByKey 3-field cursor is lossless across duplicate (urlkey, ts) runs") {
+    import graft.formats.ZipNum
+    // real CDX data: several captures of one URL inside the same second,
+    // distinguishable only by payload — a page boundary lands mid-run
+    val dir = "/tmp/graft_test/server_zipnum_dups"
+    val lines = Seq(
+      """com,dup)/a 20150101000000 {"digest":"d1"}""",
+      """com,dup)/a 20150101000000 {"digest":"d2"}""",
+      """com,dup)/a 20150101000000 {"digest":"d3"}""",
+      """com,dup)/b 20150101000000 {"digest":"d4"}""").toDF("line")
+    ZipNum.write(lines, dir, shards = 1, linesPerBlock = 2)
+    val server = new CdxServer(spark, dir)
+    val full = server.prefix("com,dup)").select("urlkey", "ts", "json")
+      .as[(String, String, String)].collect().toSeq
+    assert(full.size == 4)
+    // page size 1 with the full cursor: every row returns exactly once
+    var cursor = ("", "", "")
+    var walked = Seq.empty[(String, String, String)]
+    var guard = 0
+    var doneFlag = false
+    while (!doneFlag) {
+      val page = server.pageByKey("com,dup)", cursor._1, cursor._2, 1, cursor._3)
+        .as[(String, String, String)].collect().toSeq
+      if (page.isEmpty) doneFlag = true
+      else { walked ++= page; cursor = page.last }
+      guard += 1; assert(guard < 20)
+    }
+    assert(walked == full, "3-field cursor walk must be lossless")
+    // the 2-field cursor skips the rest of the duplicate run (the
+    // documented pywb-parity behavior)
+    val twoField = server.pageByKey("com,dup)", full.head._1, full.head._2, 10)
+      .as[(String, String, String)].collect().toSeq
+    assert(twoField == full.filter(r =>
+      r._1 > full.head._1 || (r._1 == full.head._1 && r._2 > full.head._2)))
+    assert(twoField.size == 1, "only /b survives a 2-field cursor at d1")
+  }
 }
