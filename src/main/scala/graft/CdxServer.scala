@@ -210,7 +210,11 @@ final class CdxServer(spark: SparkSession, clusterDir: String) {
         get_json_object(col("json"), "$.filename").as("orig_filename"),
         get_json_object(col("json"), "$.offset").as("orig_offset"),
         get_json_object(col("json"), "$.length").as("orig_length"))
-    val w = Window.partitionBy("urlkey", "ts", "json").orderBy(col("orig_ts").desc)
+    // tie-break beyond orig_ts: two originals can share a digest AND a
+    // 14-digit second (dual crawlers, merged clusters) — without the
+    // (filename, offset) order the attached location flips between runs
+    val w = Window.partitionBy("urlkey", "ts", "json")
+      .orderBy(col("orig_ts").desc, col("orig_filename"), col("orig_offset"))
     revisits
       .join(originals,
         col("digest") === col("digest_o") && col("orig_ts") <= col("ts"), "left")

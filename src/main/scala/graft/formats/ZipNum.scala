@@ -133,21 +133,36 @@ object ZipNum {
   /** Driver-side cluster.idx assembly from per-shard side files: stream
     * each side file in NUMERIC pid order (lexicographic name order
     * diverges once names outgrow the %05d padding), append the global
-    * seq as lines pass through, delete the side file. O(1) memory per
-    * line, O(shards) driver state. */
+    * seq as lines pass through. O(1) memory per line, O(shards) driver
+    * state.
+    *
+    * Publish is ATOMIC: validate every side file first, stream into a
+    * temp name, rename over cluster.idx, and only then delete the side
+    * files. The old create(overwrite=true)-then-stream form truncated the
+    * SERVING index up front, so a mid-assembly failure (missing side
+    * file, FS error) left a valid-looking idx holding a prefix of the
+    * shards — readers would silently serve an index with whole shards
+    * unreachable, and the already-deleted side files made a retry
+    * impossible. */
   private[graft] def assembleIdx(
       fs: FileSystem, dirPath: Path, pids: Seq[Int]): Unit = {
-    val idxOut = new java.io.BufferedOutputStream(
-      fs.create(new Path(dirPath, "cluster.idx"), true))
+    val ordered = pids.sorted
+    // every pid passed here wrote >=1 block, so its side file MUST exist —
+    // skipping silently would publish an idx missing a whole shard's
+    // entries (blocks unreachable, no error at read time). Check ALL
+    // before touching the serving path.
+    val sides = ordered.map { pid =>
+      val side = new Path(dirPath, sideIdxName(pid))
+      require(fs.exists(side),
+        s"idx side file missing for shard $pid at $side — refusing to publish a partial cluster.idx")
+      side
+    }
+    val tmp = new Path(dirPath, s".cluster.idx.assembling")
+    val idxOut = new java.io.BufferedOutputStream(fs.create(tmp, true))
     var seq = 0L
+    var ok = false
     try {
-      pids.sorted.foreach { pid =>
-        val side = new Path(dirPath, sideIdxName(pid))
-        // every pid passed here wrote >=1 block, so its side file MUST
-        // exist — skipping silently would publish an idx missing a whole
-        // shard's entries (blocks unreachable, no error at read time)
-        require(fs.exists(side),
-          s"idx side file missing for shard $pid at $side — refusing to publish a partial cluster.idx")
+      sides.foreach { side =>
         val reader = new java.io.BufferedReader(
           new java.io.InputStreamReader(fs.open(side), UTF_8))
         try {
@@ -158,9 +173,16 @@ object ZipNum {
             line = reader.readLine()
           }
         } finally reader.close()
-        fs.delete(side, false)
       }
-    } finally idxOut.close()
+      ok = true
+    } finally {
+      idxOut.close()
+      if (!ok) fs.delete(tmp, false) // never leave a half-written temp
+    }
+    val finalIdx = new Path(dirPath, "cluster.idx")
+    fs.delete(finalIdx, false) // rename won't overwrite on RawLocalFileSystem
+    require(fs.rename(tmp, finalIdx), s"rename $tmp -> $finalIdx failed")
+    sides.foreach(fs.delete(_, false)) // only after the publish succeeded
   }
 
   /** Write `df` (must have a `line` STRING column whose prefix is the sort

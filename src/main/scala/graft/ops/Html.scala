@@ -67,7 +67,9 @@ object Html {
     val html = decodePayload(col("payload"), cs)
     warc
       .filter(col("record_type") === "response" &&
-        col("status") === 200 && col("mime").contains("html"))
+        // lower(): Content-Type arrives as 'Text/HTML; ...' in real crawls
+        // (charsetOf is already (?i) for the same reason)
+        col("status") === 200 && lower(col("mime")).contains("html"))
       .select(
         col("url"), col("ts"), cs.as("charset"),
         title(html).as("title"), text(html).as("text"))

@@ -242,15 +242,30 @@ final class ZipNumScan(
     * O(log idx) seeks; past [[ZipNumScan.MaxRuntimeKeys]] the per-key
     * lookups would cost more than they save, so pruning degrades to the
     * static selection (always correct — runtime filtering only ever
-    * removes provably-unmatchable I/O). */
-  private def selectedBlocks: Seq[ZipNum.IdxEntry] = runtimeKeys match {
-    case Some(keys) if keys.length <= ZipNumScan.MaxRuntimeKeys =>
-      val conf = sessionConf
-      val wanted = keys.iterator.flatMap { k =>
-        ZipNum.scanIdxRange(dir, conf, Some(k), Some(k + ZipNum.MaxCodePoint))
-      }.map(_.seq).toSet
-      staticBlocks.filter(e => wanted.contains(e.seq))
-    case _ => staticBlocks
+    * removes provably-unmatchable I/O).
+    *
+    * Memoized per runtime-filter state (a lazy val would freeze the
+    * PRE-filter selection — `runtimeKeys` arrives later through the
+    * filter() callback): Catalyst may call estimateStatistics and
+    * planInputPartitions several times each, and recomputing meant up to
+    * MaxRuntimeKeys binary searches re-opening cluster.idx per call —
+    * thousands of redundant driver round trips on remote storage. */
+  @volatile private var selectedCache: (Option[Array[String]], Seq[ZipNum.IdxEntry]) = _
+  private def selectedBlocks: Seq[ZipNum.IdxEntry] = {
+    val keys = runtimeKeys
+    val cached = selectedCache
+    if (cached != null && (cached._1 eq keys)) return cached._2
+    val computed = keys match {
+      case Some(ks) if ks.length <= ZipNumScan.MaxRuntimeKeys =>
+        val conf = sessionConf
+        val wanted = ks.iterator.flatMap { k =>
+          ZipNum.scanIdxRange(dir, conf, Some(k), Some(k + ZipNum.MaxCodePoint))
+        }.map(_.seq).toSet
+        staticBlocks.filter(e => wanted.contains(e.seq))
+      case _ => staticBlocks
+    }
+    selectedCache = (keys, computed)
+    computed
   }
 
   /** exact compressed size from the idx lengths, scaled by a nominal 4×
@@ -361,22 +376,32 @@ final class ZipNumPartitionReader(
     true
   }
 
+  // per-field extractors resolved ONCE at reader construction — next()
+  // runs per line of the scan, so the hot loop must not re-dispatch on
+  // column-name strings (parts == null exactly when needSplit is false)
+  private val extractors: Array[(String, Array[String], Long) => Any] = fields.map {
+    case "urlkey" => (line: String, parts: Array[String], _: Long) =>
+      if (parts != null) UTF8String.fromString(parts(0))
+      else {
+        val sp = line.indexOf(' ')
+        UTF8String.fromString(if (sp < 0) line else line.substring(0, sp))
+      }
+    case "ts" => (_: String, parts: Array[String], _: Long) =>
+      if (parts.length > 1) UTF8String.fromString(parts(1)) else null
+    case "json" => (_: String, parts: Array[String], _: Long) =>
+      if (parts.length > 2) UTF8String.fromString(parts(2)) else null
+    case "blockseq" => (_: String, _: Array[String], seq: Long) => seq
+  }
+
   override def next(): Boolean = {
     while (!lines.hasNext) if (!loadNextBlock()) return false
     val (line, seq) = lines.next()
     val parts = if (needSplit) line.split(" ", 3) else null
-    val values: Array[Any] = fields.map {
-      case "urlkey" =>
-        if (needSplit) UTF8String.fromString(parts(0))
-        else {
-          val sp = line.indexOf(' ')
-          UTF8String.fromString(if (sp < 0) line else line.substring(0, sp))
-        }
-      case "ts" =>
-        if (parts.length > 1) UTF8String.fromString(parts(1)) else null
-      case "json" =>
-        if (parts.length > 2) UTF8String.fromString(parts(2)) else null
-      case "blockseq" => seq
+    val values = new Array[Any](extractors.length)
+    var i = 0
+    while (i < extractors.length) {
+      values(i) = extractors(i)(line, parts, seq)
+      i += 1
     }
     row = new GenericInternalRow(values)
     true

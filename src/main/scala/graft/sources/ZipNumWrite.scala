@@ -45,14 +45,19 @@ final class ZipNumWriteBuilder(
         "failing here beats a per-task ClassCastException after the exchange has run")
     val shards = Option(info.options.get("shards")).map(_.toInt).getOrElse(8)
     val linesPerBlock = Option(info.options.get("linesPerBlock")).map(_.toInt).getOrElse(3000)
-    require(shards > 0 && linesPerBlock > 0, "shards and linesPerBlock must be positive")
-    new ZipNumWrite(dir, lineIdx, shards, linesPerBlock, doTruncate, sconf)
+    // a saturated 300-shard production write wants 1 (tasks alone fill the
+    // cores); the default suits benches where shards < cores
+    val compressThreads = Option(info.options.get("compressThreads")).map(_.toInt)
+      .getOrElse(graft.formats.ZipNum.DefaultCompressThreads)
+    require(shards > 0 && linesPerBlock > 0 && compressThreads > 0,
+      "shards, linesPerBlock, and compressThreads must be positive")
+    new ZipNumWrite(dir, lineIdx, shards, linesPerBlock, compressThreads, doTruncate, sconf)
   }
 }
 
 final class ZipNumWrite(
     dir: String, lineIdx: Int, shards: Int, linesPerBlock: Int,
-    doTruncate: Boolean, sconf: SerializableHadoopConf)
+    compressThreads: Int, doTruncate: Boolean, sconf: SerializableHadoopConf)
   extends Write with RequiresDistributionAndOrdering {
 
   private def sortOrders: Array[SortOrder] =
@@ -73,16 +78,17 @@ final class ZipNumWrite(
         "global sort order; use mode(\"overwrite\") to replace it, or " +
         "ZipNum.merge(spark, Seq(old, new), out, ...) to combine clusters")
     fs.mkdirs(p)
-    new ZipNumBatchWrite(dir, lineIdx, linesPerBlock, sconf)
+    new ZipNumBatchWrite(dir, lineIdx, linesPerBlock, compressThreads, sconf)
   }
 }
 
 final class ZipNumBatchWrite(
-    dir: String, lineIdx: Int, linesPerBlock: Int, sconf: SerializableHadoopConf)
+    dir: String, lineIdx: Int, linesPerBlock: Int, compressThreads: Int,
+    sconf: SerializableHadoopConf)
   extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new ZipNumWriterFactory(dir, lineIdx, linesPerBlock, sconf)
+    new ZipNumWriterFactory(dir, lineIdx, linesPerBlock, compressThreads, sconf)
 
   /** driver-side: stream the committed tasks' side idx files into
     * cluster.idx in NUMERIC pid order (which the range exchange made
@@ -98,10 +104,11 @@ final class ZipNumBatchWrite(
 }
 
 final class ZipNumWriterFactory(
-    dir: String, lineIdx: Int, linesPerBlock: Int, sconf: SerializableHadoopConf)
+    dir: String, lineIdx: Int, linesPerBlock: Int, compressThreads: Int,
+    sconf: SerializableHadoopConf)
   extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new ZipNumDataWriter(dir, partitionId, taskId, lineIdx, linesPerBlock, sconf)
+    new ZipNumDataWriter(dir, partitionId, taskId, lineIdx, linesPerBlock, compressThreads, sconf)
 }
 
 /** One sorted shard per task, driven through the shared
@@ -121,7 +128,7 @@ final class ZipNumWriterFactory(
   * message to BatchWrite.commit. */
 final class ZipNumDataWriter(
     dir: String, pid: Int, taskId: Long, lineIdx: Int, linesPerBlock: Int,
-    sconf: SerializableHadoopConf)
+    compressThreads: Int, sconf: SerializableHadoopConf)
   extends DataWriter[InternalRow] {
 
   private val shardName = f"cdx-$pid%05d.gz"
@@ -133,7 +140,7 @@ final class ZipNumDataWriter(
   private val w = new ZipNum.BlockStreamWriter(
     () => fs.create(new Path(dir, tempShard), true),
     () => fs.create(new Path(dir, tempIdx), true),
-    shardName, linesPerBlock)
+    shardName, linesPerBlock, compressThreads)
 
   override def write(row: InternalRow): Unit =
     w.add(row.getUTF8String(lineIdx).toString)

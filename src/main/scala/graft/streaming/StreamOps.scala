@@ -57,12 +57,15 @@ object StreamOps {
   def revisitResolveStream(
       revisits: DataFrame, originals: DataFrame,
       horizon: String = "1 hour"): DataFrame = {
+    // the watermark delay must track the join horizon: a hardcoded 1h
+    // with horizon="24 hours" would silently drop any revisit arriving
+    // over 1h late even though the bound promises day-old originals
     val r = revisits
-      .withWatermark("ts", "1 hour")
+      .withWatermark("ts", horizon)
       .select(col("event_id").as("revisit_id"), col("ts").as("revisit_ts"),
         col("value").as("digest_r"))
     val o = originals
-      .withWatermark("ts", "1 hour")
+      .withWatermark("ts", horizon)
       .select(col("event_id").as("orig_id"), col("ts").as("orig_ts"),
         col("value").as("digest_o"))
     r.join(o,

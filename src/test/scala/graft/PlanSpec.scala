@@ -111,6 +111,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftSemi"), p.linesIterator.take(25).mkString("\n"))
   }
 
+  test("text_decontaminate: benchmark shingles broadcast into a semi join") {
+    // the corpus side must NOT shuffle — the whole point at 100 TB
+    val p = plan("text_decontaminate")
+    assert(p.contains("LeftSemi"), p.linesIterator.take(30).mkString("\n"))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoop"),
+      p.linesIterator.take(30).mkString("\n"))
+  }
+
   test("join_range_block: idx side broadcasts (nested loop over the tiny index)") {
     val p = plan("join_range_block")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)

@@ -227,6 +227,31 @@ class ZipNumSpec extends SparkSpec {
     }
   }
 
+  test("assembleIdx is atomic: a failed assembly never touches the serving idx") {
+    import spark.implicits._
+    val d = "/tmp/graft_test/zipnum_atomic"
+    val lines = (0 until 60).map(i => f"k$i%03d 2015 x$i")
+    ZipNum.write(lines.toDF("line"), d, shards = 2, linesPerBlock = 10)
+    val idxFile = new java.io.File(d, "cluster.idx")
+    val goodIdx = java.nio.file.Files.readAllBytes(idxFile.toPath)
+    // fabricate one side file, then ask for an assembly that also needs a
+    // MISSING one: must throw and leave the good idx byte-identical
+    val fs = new org.apache.hadoop.fs.Path(d)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(d, ZipNum.sideIdxName(0)),
+      "k000 2015\tcdx-00000.gz\t0\t10\n".getBytes("UTF-8"))
+    intercept[IllegalArgumentException](
+      ZipNum.assembleIdx(fs, new org.apache.hadoop.fs.Path(d), Seq(0, 1)))
+    assert(java.nio.file.Files.readAllBytes(idxFile.toPath).sameElements(goodIdx),
+      "failed assembly must not modify the serving cluster.idx")
+    // the present side file survives for a retry; no temp remains
+    val names = new java.io.File(d).list().toSeq
+    assert(names.contains(ZipNum.sideIdxName(0)), names.toString)
+    assert(!names.exists(_.contains(".assembling")), names.toString)
+    fs.delete(new org.apache.hadoop.fs.Path(d, ZipNum.sideIdxName(0)), false)
+  }
+
   test("full read returns sorted input; prefix read == filtered full read") {
     written
     val full = ZipNum.readLines(spark, dir).as[String].collect().toSeq
