@@ -62,6 +62,21 @@ object Pipeline {
     docs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
   }
 
+  /** WET (extracted-text conversion records) -> documents-shaped corpus:
+    * the Common Crawl companion format skips HTML extraction entirely —
+    * `record_type == 'conversion'` payloads ARE the text (UTF-8 by the
+    * WET convention, so a binary->string cast decodes them in codegen).
+    * Same output shape as [[warcToCorpus]] minus title/charset, so the
+    * curation ops downstream compose identically. All narrow. */
+  def wetToCorpus(spark: SparkSession, wetGlob: String, minTokens: Int = 2): DataFrame =
+    Warc.scan(spark, wetGlob)
+      .filter(col("record_type") === "conversion")
+      .select(col("url"), col("ts"), col("payload").cast("string").as("text"))
+      .withColumn("n_tokens", graft.ops.Text.wordCount(col("text")))
+      .filter(col("n_tokens") >= minTokens)
+      .withColumn("quality", graft.ops.Text.qualityScore(col("text")))
+      .withColumn("fingerprint", graft.ops.Text.fingerprint(col("text")))
+
   /** The composed near-dup curation flow over a `(doc_id, lang, text)`
     * corpus — the decision pipeline a training-data job runs after
     * [[warcToCorpus]]'s exact dedup:

@@ -65,7 +65,9 @@ object Warc {
         head.getBytes(UTF_8) ++ r.payload
       } else r.payload
     val contentType =
-      if (isResponse) "application/http; msgtype=response" else "application/octet-stream"
+      if (isResponse) "application/http; msgtype=response"
+      else if (r.recordType == "conversion") "text/plain" // WET convention
+      else "application/octet-stream"
     val headerLines = Seq("WARC/1.0", s"WARC-Type: ${r.recordType}") ++
       Option(r.url).map(u => s"WARC-Target-URI: $u") ++
       Seq(
@@ -261,6 +263,24 @@ object Warc {
     }
     spark.createDataFrame(rows, schema)
   }
+
+  /** Deterministic WET-style fixture: `conversion` records carrying the
+    * pre-extracted plain text of each page (the Common Crawl *.warc.wet.gz
+    * convention — same WARC container, text/plain payloads) plus the
+    * leading warcinfo. Used by scan_wet and Pipeline.wetToCorpus specs. */
+  def wetFixtureRecords: Seq[FixtureRecord] = Seq(
+    FixtureRecord("warcinfo", null, "2015-02-15T01:00:00Z",
+      "WET2222222222222222222222222222".take(32), 0, null,
+      "software: graft-wet-fixture".getBytes(UTF_8)),
+    FixtureRecord("conversion", "http://www.example.com/path?b=2&a=1",
+      "2015-02-15T01:23:45Z", "WETA222222222222222222222222222A", 0, null,
+      "alpha page extracted text body".getBytes(UTF_8)),
+    FixtureRecord("conversion", "http://example.com/other",
+      "2015-03-01T12:00:00Z", "WETB222222222222222222222222222B", 0, null,
+      "beta not here text".getBytes(UTF_8)),
+    FixtureRecord("conversion", "http://sub.iana.org/x",
+      "2015-05-10T23:59:59Z", "WETC222222222222222222222222222C", 0, null,
+      "gamma möved päge text".getBytes(UTF_8))) // UTF-8 survives the cast
 
   /** Deterministic 8-record fixture over 3 URLs — used by the scan_warc
     * demo query and the golden spec. */

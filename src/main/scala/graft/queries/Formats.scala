@@ -209,6 +209,14 @@ object Formats extends QueryModule {
         .orderBy("urlkey", "ts", "json")
     }),
 
+    // WET extracted-text scan -> corpus (oracle-exempt: binary fixture
+    // input; the exact-text golden lives in WarcSpec); driver rows>0
+    "scan_wet" -> ((s, d) => {
+      val file = tmp(d, "fixture.warc.wet.gz")
+      Warc.writeFixture(file, Warc.wetFixtureRecords)
+      graft.Pipeline.wetToCorpus(s, file).orderBy("url")
+    }),
+
     // WARC member scan — oracle-exempt (binary fixture input; golden
     // CDX-level assertions live in WarcSpec); driver records rows>0
     "scan_warc" -> ((s, d) => {

@@ -106,6 +106,24 @@ class WarcSpec extends SparkSpec {
     assert(Pipeline.cdxLines(spark, junkFile).count() == 0)
   }
 
+  test("WET conversion records extract to the exact text corpus (golden)") {
+    import org.apache.spark.sql.functions.col
+    val wetFile = "/tmp/graft_test/fixture.warc.wet.gz"
+    Files.createDirectories(Paths.get(wetFile).getParent)
+    Warc.writeFixture(wetFile, Warc.wetFixtureRecords)
+    val docs = Pipeline.wetToCorpus(spark, wetFile)
+      .orderBy("url")
+      .select("url", "text", "n_tokens")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+    assert(docs.toSeq == Seq(
+      ("http://example.com/other", "beta not here text", 4),
+      ("http://sub.iana.org/x", "gamma möved päge text", 6), // ö/ä split tokens
+      ("http://www.example.com/path?b=2&a=1", "alpha page extracted text body", 5)))
+    // the warcinfo record never reaches the corpus
+    assert(Warc.scan(spark, wetFile)
+      .filter(col("record_type") === "warcinfo").count() == 1)
+  }
+
   test("damaged archive: corrupt bytes cost one 'corrupt' row, not the scan") {
     import graft.formats.Gzip
     import org.apache.spark.sql.functions.col
