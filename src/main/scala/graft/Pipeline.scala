@@ -77,6 +77,34 @@ object Pipeline {
       .withColumn("quality", graft.ops.Text.qualityScore(col("text")))
       .withColumn("fingerprint", graft.ops.Text.fingerprint(col("text")))
 
+  /** WAT (response-metadata JSON records) -> per-capture link edges: the
+    * Common Crawl *.warc.wat.gz envelope parsed with get_json_object /
+    * from_json — pure codegen JSON path extraction, one explode for the
+    * link fan-out. The (src, dst) edge list this emits is what web-graph
+    * jobs (PageRank, host-level link analysis) consume at scale. */
+  def watLinks(spark: SparkSession, watGlob: String): DataFrame = {
+    val env = get_json_object(col("payload").cast("string"), _: String)
+    Warc.scan(spark, watGlob)
+      .filter(col("record_type") === "metadata")
+      .select(
+        env("$.Envelope['WARC-Header-Metadata']['WARC-Target-URI']").as("src"),
+        col("ts"),
+        env("$.Envelope['Payload-Metadata']['HTTP-Response-Metadata']" +
+          "['HTML-Metadata'].Head.Title").as("title"),
+        from_json(
+          env("$.Envelope['Payload-Metadata']['HTTP-Response-Metadata']" +
+            "['HTML-Metadata'].Links"),
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("path",
+                org.apache.spark.sql.types.StringType),
+              org.apache.spark.sql.types.StructField("url",
+                org.apache.spark.sql.types.StringType))))).as("links"))
+      .select(col("src"), col("ts"), col("title"),
+        explode(col("links")).as("link"))
+      .select(col("src"), col("ts"), col("title"), col("link.url").as("dst"))
+  }
+
   /** The composed near-dup curation flow over a `(doc_id, lang, text)`
     * corpus — the decision pipeline a training-data job runs after
     * [[warcToCorpus]]'s exact dedup:

@@ -282,6 +282,31 @@ object Warc {
       "2015-05-10T23:59:59Z", "WETC222222222222222222222222222C", 0, null,
       "gamma möved päge text".getBytes(UTF_8))) // UTF-8 survives the cast
 
+  /** Deterministic WAT-style fixture: `metadata` records carrying the
+    * Common Crawl JSON envelope (per-capture response metadata: title +
+    * outgoing links) — the *.warc.wat.gz convention. */
+  def watFixtureRecords: Seq[FixtureRecord] = {
+    def envelope(uri: String, date: String, title: String, links: Seq[String]): String = {
+      val linksJson = links.map(l => s"""{"path":"A@/href","url":"$l"}""").mkString("[", ",", "]")
+      s"""{"Envelope":{"WARC-Header-Metadata":{"WARC-Target-URI":"$uri","WARC-Date":"$date"},""" +
+        s""""Payload-Metadata":{"HTTP-Response-Metadata":{"HTML-Metadata":""" +
+        s"""{"Head":{"Title":"$title"},"Links":$linksJson}}}}}"""
+    }
+    Seq(
+      FixtureRecord("warcinfo", null, "2015-02-15T01:00:00Z",
+        "WAT2222222222222222222222222222".take(32), 0, null,
+        "software: graft-wat-fixture".getBytes(UTF_8)),
+      FixtureRecord("metadata", "http://www.example.com/path?b=2&a=1",
+        "2015-02-15T01:23:45Z", "WATA222222222222222222222222222A", 0, null,
+        envelope("http://www.example.com/path?b=2&a=1", "2015-02-15T01:23:45Z",
+          "Alpha Page", Seq("http://example.com/other", "http://sub.iana.org/x"))
+          .getBytes(UTF_8)),
+      FixtureRecord("metadata", "http://example.com/other",
+        "2015-03-01T12:00:00Z", "WATB222222222222222222222222222B", 0, null,
+        envelope("http://example.com/other", "2015-03-01T12:00:00Z",
+          "Beta", Seq("http://www.example.com/path?b=2&a=1")).getBytes(UTF_8)))
+  }
+
   /** Deterministic 8-record fixture over 3 URLs — used by the scan_warc
     * demo query and the golden spec. */
   def fixtureRecords: Seq[FixtureRecord] = {

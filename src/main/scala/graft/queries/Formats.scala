@@ -217,6 +217,14 @@ object Formats extends QueryModule {
       graft.Pipeline.wetToCorpus(s, file).orderBy("url")
     }),
 
+    // WAT metadata scan -> link edges (oracle-exempt: binary fixture
+    // input; exact-edge golden in WarcSpec); driver records rows>0
+    "scan_wat" -> ((s, d) => {
+      val file = tmp(d, "fixture.warc.wat.gz")
+      Warc.writeFixture(file, Warc.watFixtureRecords)
+      graft.Pipeline.watLinks(s, file).orderBy("src", "dst")
+    }),
+
     // WARC member scan — oracle-exempt (binary fixture input; golden
     // CDX-level assertions live in WarcSpec); driver records rows>0
     "scan_warc" -> ((s, d) => {

@@ -124,6 +124,19 @@ class WarcSpec extends SparkSpec {
       .filter(col("record_type") === "warcinfo").count() == 1)
   }
 
+  test("WAT metadata records parse to the exact link edges (golden)") {
+    val watFile = "/tmp/graft_test/fixture.warc.wat.gz"
+    Files.createDirectories(Paths.get(watFile).getParent)
+    Warc.writeFixture(watFile, Warc.watFixtureRecords)
+    val edges = Pipeline.watLinks(spark, watFile)
+      .orderBy("src", "dst")
+      .collect().map(r => (r.getString(0), r.getString(2), r.getString(3)))
+    assert(edges.toSeq == Seq(
+      ("http://example.com/other", "Beta", "http://www.example.com/path?b=2&a=1"),
+      ("http://www.example.com/path?b=2&a=1", "Alpha Page", "http://example.com/other"),
+      ("http://www.example.com/path?b=2&a=1", "Alpha Page", "http://sub.iana.org/x")))
+  }
+
   test("damaged archive: corrupt bytes cost one 'corrupt' row, not the scan") {
     import graft.formats.Gzip
     import org.apache.spark.sql.functions.col
