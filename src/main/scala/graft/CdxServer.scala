@@ -127,19 +127,27 @@ final class CdxServer(spark: SparkSession, clusterDir: String) {
     * where an OFFSET would decompress and discard k·n rows every call.
     * Resume with the last row's (urlkey, ts, json); fewer than n rows
     * back means the listing is done. Passing the full 3-field cursor
-    * makes the walk LOSSLESS — real CDX data has multiple captures of a
-    * URL within one 14-digit second, and a page boundary inside such a
-    * run would otherwise skip the rest of it (pywb's two-field resumeKey
-    * shares that loss; the json tie-break is already in the sort order,
-    * so carrying it costs nothing). The (urlkey, ts)-only form keeps the
-    * strictly-after-(urlkey, ts) semantics. */
+    * (`afterJson = Some(lastRow.json)`) makes the walk LOSSLESS — real
+    * CDX data has multiple captures of a URL within one 14-digit second,
+    * and a page boundary inside such a run would otherwise skip the rest
+    * of it (pywb's two-field resumeKey shares that loss; the json
+    * tie-break is already in the sort order, so carrying it costs
+    * nothing). `None` keeps the strictly-after-(urlkey, ts) semantics.
+    * An Option, not a nullable String: a 2-field CDX line scans with
+    * json = NULL, and conflating that legitimate cursor value with the
+    * no-cursor sentinel would silently degrade the walk to lossy
+    * 2-field semantics mid-listing. Data-side nulls compare as "". */
   def pageByKey(
       surtPrefix: String, afterUrlkey: String, afterTs: String, n: Int,
-      afterJson: String = null): DataFrame = {
+      afterJson: Option[String] = None): DataFrame = {
     // within the cursor's urlkey: strictly-after on (ts[, json])
-    val afterKey =
-      if (afterJson == null) col("ts") > afterTs
-      else col("ts") > afterTs || (col("ts") === afterTs && col("json") > afterJson)
+    val afterKey = afterJson match {
+      case None => col("ts") > afterTs
+      case Some(j) =>
+        col("ts") > afterTs ||
+          (col("ts") === afterTs &&
+            coalesce(col("json"), lit("")) > lit(if (j == null) "" else j))
+    }
     scan(Some(surtPrefix))
       .filter(col("urlkey") >= afterUrlkey && // pushable bound: idx pruning
         (col("urlkey") > afterUrlkey || (col("urlkey") === afterUrlkey && afterKey)))

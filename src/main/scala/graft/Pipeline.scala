@@ -66,42 +66,56 @@ object Pipeline {
     * the Common Crawl companion format skips HTML extraction entirely —
     * `record_type == 'conversion'` payloads ARE the text (UTF-8 by the
     * WET convention, so a binary->string cast decodes them in codegen).
-    * Same output shape as [[warcToCorpus]] minus title/charset, so the
-    * curation ops downstream compose identically. All narrow. */
-  def wetToCorpus(spark: SparkSession, wetGlob: String, minTokens: Int = 2): DataFrame =
-    Warc.scan(spark, wetGlob)
+    * Same output shape as [[warcToCorpus]] minus title/charset, and like
+    * it ends with exact dedup keeping the earliest capture per content
+    * hash — a drop-in swap must not silently feed duplicates downstream.
+    *
+    * The emptiness gate is CHARACTER-based: real WET is full of CJK/
+    * Cyrillic/Arabic text that the ASCII `[a-z0-9]` tokenizer counts as
+    * zero tokens, so a token-count gate would silently drop whole
+    * languages. `n_tokens` stays as a column (the Latin-centric quality
+    * heuristics downstream use it knowingly) but never gates inclusion. */
+  def wetToCorpus(spark: SparkSession, wetGlob: String, minChars: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Warc.scan(spark, wetGlob)
       .filter(col("record_type") === "conversion")
       .select(col("url"), col("ts"), col("payload").cast("string").as("text"))
+      .filter(length(trim(col("text"))) >= minChars)
       .withColumn("n_tokens", graft.ops.Text.wordCount(col("text")))
-      .filter(col("n_tokens") >= minTokens)
       .withColumn("quality", graft.ops.Text.qualityScore(col("text")))
       .withColumn("fingerprint", graft.ops.Text.fingerprint(col("text")))
+    val w = Window.partitionBy(sha2(col("text"), 256)).orderBy(col("ts"), col("url"))
+    docs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+  }
 
   /** WAT (response-metadata JSON records) -> per-capture link edges: the
-    * Common Crawl *.warc.wat.gz envelope parsed with get_json_object /
-    * from_json — pure codegen JSON path extraction, one explode for the
-    * link fan-out. The (src, dst) edge list this emits is what web-graph
-    * jobs (PageRank, host-level link analysis) consume at scale. */
+    * Common Crawl *.warc.wat.gz envelope parsed ONCE with from_json over
+    * a nested schema (a per-path get_json_object would re-run a full
+    * Jackson parse of the multi-KB payload per extracted field — 4× the
+    * CPU on a path meant for 100 TB web-graph extraction), then one
+    * explode for the link fan-out. `src` reuses the WARC-Target-URI the
+    * scan already parsed from the record header (col("url")). The
+    * (src, dst) edge list is what web-graph jobs (PageRank, host-level
+    * link analysis) consume at scale. */
   def watLinks(spark: SparkSession, watGlob: String): DataFrame = {
-    val env = get_json_object(col("payload").cast("string"), _: String)
+    import org.apache.spark.sql.types._
+    val linkType = ArrayType(StructType(Seq(
+      StructField("path", StringType), StructField("url", StringType))))
+    val htmlMeta = StructType(Seq(
+      StructField("Head", StructType(Seq(StructField("Title", StringType)))),
+      StructField("Links", linkType)))
+    val envSchema = StructType(Seq(StructField("Envelope", StructType(Seq(
+      StructField("Payload-Metadata", StructType(Seq(
+        StructField("HTTP-Response-Metadata", StructType(Seq(
+          StructField("HTML-Metadata", htmlMeta))))))))))))
+    val html = col("env.Envelope.`Payload-Metadata`.`HTTP-Response-Metadata`.`HTML-Metadata`")
     Warc.scan(spark, watGlob)
       .filter(col("record_type") === "metadata")
-      .select(
-        env("$.Envelope['WARC-Header-Metadata']['WARC-Target-URI']").as("src"),
-        col("ts"),
-        env("$.Envelope['Payload-Metadata']['HTTP-Response-Metadata']" +
-          "['HTML-Metadata'].Head.Title").as("title"),
-        from_json(
-          env("$.Envelope['Payload-Metadata']['HTTP-Response-Metadata']" +
-            "['HTML-Metadata'].Links"),
-          org.apache.spark.sql.types.ArrayType(
-            org.apache.spark.sql.types.StructType(Seq(
-              org.apache.spark.sql.types.StructField("path",
-                org.apache.spark.sql.types.StringType),
-              org.apache.spark.sql.types.StructField("url",
-                org.apache.spark.sql.types.StringType))))).as("links"))
-      .select(col("src"), col("ts"), col("title"),
-        explode(col("links")).as("link"))
+      .select(col("url").as("src"), col("ts"),
+        from_json(col("payload").cast("string"), envSchema).as("env"))
+      .select(col("src"), col("ts"),
+        html.getField("Head").getField("Title").as("title"),
+        explode(html.getField("Links")).as("link"))
       .select(col("src"), col("ts"), col("title"), col("link.url").as("dst"))
   }
 
@@ -122,18 +136,23 @@ object Pipeline {
   def curateCorpus(
       docs: DataFrame,
       qualityQuantile: Double = 0.25,
-      nHashes: Int = 16, bands: Int = 4, shingleSize: Int = 3): DataFrame = {
+      nHashes: Int = 16, bands: Int = 4, shingleSize: Int = 3,
+      exactThreshold: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val scored = docs.select(col("doc_id"), col("lang"), col("text"))
       .withColumn("quality", graft.ops.Text.qualityScore(col("text")))
-    // approx_percentile, NOT exact percentile: the exact form buffers
-    // every quality value per language group — unbounded agg state when
-    // one 'en' group spans most of a 100 TB corpus. The sketch holds
-    // bounded state at the accuracy a quality gate needs. (The oracled
-    // filter_quality_quantile query keeps the exact form — it must match
-    // DuckDB bit-for-bit; this production flow must not OOM.)
-    val thr = scored.groupBy("lang")
-      .agg(round(expr(s"approx_percentile(quality, $qualityQuantile, 10000)"), 6).as("qthr"))
+    // Default approx_percentile, NOT exact percentile: the exact form
+    // buffers every quality value per language group — unbounded agg
+    // state when one 'en' group spans most of a 100 TB corpus. The trade:
+    // QuantileSummaries merge order varies with task scheduling, so the
+    // threshold (and docs sitting exactly on it) can flip between runs.
+    // exactThreshold=true buys run-to-run determinism at the memory cost
+    // — right for tests/small corpora (pipeline_near_dedup uses it so the
+    // driver's row check is stable), wrong as the 100 TB default.
+    val thrAgg =
+      if (exactThreshold) expr(s"percentile(quality, $qualityQuantile)")
+      else expr(s"approx_percentile(quality, $qualityQuantile, 10000)")
+    val thr = scored.groupBy("lang").agg(round(thrAgg, 6).as("qthr"))
     // materialized: feeds the LSH join, the component vertices, AND the
     // final keeper join — three consumers of one scan+gate
     val gated = scored.join(broadcast(thr), "lang")

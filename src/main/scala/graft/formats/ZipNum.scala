@@ -179,9 +179,23 @@ object ZipNum {
       idxOut.close()
       if (!ok) fs.delete(tmp, false) // never leave a half-written temp
     }
+    // swap via backup, not delete: rename won't overwrite, but a plain
+    // delete-then-rename leaves NO index if the rename fails or the
+    // process dies in between. With the backup the old index either
+    // still serves (restored on rename failure) or survives at .previous
+    // for manual recovery after a crash in the window.
     val finalIdx = new Path(dirPath, "cluster.idx")
-    fs.delete(finalIdx, false) // rename won't overwrite on RawLocalFileSystem
-    require(fs.rename(tmp, finalIdx), s"rename $tmp -> $finalIdx failed")
+    val backup = new Path(dirPath, ".cluster.idx.previous")
+    fs.delete(backup, false)
+    val hadPrevious = fs.exists(finalIdx)
+    if (hadPrevious) require(fs.rename(finalIdx, backup),
+      s"could not move the previous $finalIdx aside")
+    if (!fs.rename(tmp, finalIdx)) {
+      if (hadPrevious) fs.rename(backup, finalIdx) // restore the old index
+      fs.delete(tmp, false)
+      throw new IllegalStateException(s"rename $tmp -> $finalIdx failed")
+    }
+    if (hadPrevious) fs.delete(backup, false)
     sides.foreach(fs.delete(_, false)) // only after the publish succeeded
   }
 

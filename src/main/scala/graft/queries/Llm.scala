@@ -338,7 +338,7 @@ object Llm extends QueryModule {
         .withColumn("doc_id", col("doc_id") + 400000L)
         .withColumn("text", expr("substring(text, instr(text, ' ') + 1)"))
       val corpus = Tables.t(s, d, "documents").unionByName(nearDup)
-      graft.Pipeline.curateCorpus(corpus).orderBy("cluster_id")
+      graft.Pipeline.curateCorpus(corpus, exactThreshold = true).orderBy("cluster_id")
     }),
 
     // brute-force cosine top-k against the vec_id=0 query vector

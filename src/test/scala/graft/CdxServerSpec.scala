@@ -208,7 +208,7 @@ class CdxServerSpec extends SparkSpec {
     var guard = 0
     var doneFlag = false
     while (!doneFlag) {
-      val page = server.pageByKey("com,dup)", cursor._1, cursor._2, 1, cursor._3)
+      val page = server.pageByKey("com,dup)", cursor._1, cursor._2, 1, Some(cursor._3))
         .as[(String, String, String)].collect().toSeq
       if (page.isEmpty) doneFlag = true
       else { walked ++= page; cursor = page.last }

@@ -74,7 +74,7 @@ class PipelineSpec extends SparkSpec {
       .withColumn("doc_id", col("doc_id") + 400000L)
       .withColumn("text", expr("substring(text, instr(text, ' ') + 1)"))
     val corpus = docs.unionByName(plants)
-    val kept = Pipeline.curateCorpus(corpus).cache()
+    val kept = Pipeline.curateCorpus(corpus, exactThreshold = true).cache()
     val keptIds = kept.select("doc_id").as[Long].collect().toSet
     // one keeper per cluster, and the quality gate dropped some docs but
     // nowhere near all of them
