@@ -109,14 +109,28 @@ object Pipeline {
         StructField("HTTP-Response-Metadata", StructType(Seq(
           StructField("HTML-Metadata", htmlMeta))))))))))))
     val html = col("env.Envelope.`Payload-Metadata`.`HTTP-Response-Metadata`.`HTML-Metadata`")
+    // ONE materialized parse. Two optimizer behaviors would silently
+    // re-run the full multi-KB parse per record and have to be designed
+    // around (WarcSpec pins JsonToStructs == 1 in the optimized plan):
+    //  - CollapseProject inlines the from_json per consumer when parse
+    //    and extraction share a projection — so extract title ABOVE the
+    //    Generate, which keeps `env` a materialized column (its output
+    //    feeds both the generator and the post-explode projection);
+    //  - InferFiltersFromGenerate synthesizes size(links)>0 / isnotnull
+    //    predicates from a plain explode and pushes them below the
+    //    projection, inlining TWO more parses into the Filter — so
+    //    explode_outer (nothing to infer) + a cheap post-hoc null filter
+    //    on the generated column restores the same row semantics.
     Warc.scan(spark, watGlob)
       .filter(col("record_type") === "metadata")
       .select(col("url").as("src"), col("ts"),
         from_json(col("payload").cast("string"), envSchema).as("env"))
+      .select(col("src"), col("ts"), col("env"),
+        explode_outer(html.getField("Links")).as("link"))
       .select(col("src"), col("ts"),
         html.getField("Head").getField("Title").as("title"),
-        explode(html.getField("Links")).as("link"))
-      .select(col("src"), col("ts"), col("title"), col("link.url").as("dst"))
+        col("link.url").as("dst"))
+      .filter(col("dst").isNotNull)
   }
 
   /** The composed near-dup curation flow over a `(doc_id, lang, text)`

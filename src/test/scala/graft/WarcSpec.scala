@@ -137,6 +137,25 @@ class WarcSpec extends SparkSpec {
       ("http://www.example.com/path?b=2&a=1", "Alpha Page", "http://sub.iana.org/x")))
   }
 
+  test("watLinks envelope parses are schema-pruned, never per-path rescans") {
+    val watFile = "/tmp/graft_test/fixture.warc.wat.gz"
+    Files.createDirectories(Paths.get(watFile).getParent)
+    Warc.writeFixture(watFile, Warc.watFixtureRecords)
+    val df = Pipeline.watLinks(spark, watFile)
+    // exactly ONE JsonToStructs survives optimization (the naive
+    // all-in-one-select form let CollapseProject duplicate the full
+    // multi-KB parse per consumer — 3x per record), and no per-path
+    // get_json_object (a full rescan per extracted field) appears
+    val parses = df.queryExecution.optimizedPlan.collect { case n =>
+      n.expressions.flatMap(_.collect {
+        case _: org.apache.spark.sql.catalyst.expressions.JsonToStructs => "from_json"
+        case _: org.apache.spark.sql.catalyst.expressions.GetJsonObject => "get_json_object"
+      })
+    }.flatten
+    assert(!parses.contains("get_json_object"), parses.toString)
+    assert(parses.count(_ == "from_json") == 1, parses.toString)
+  }
+
   test("damaged archive: corrupt bytes cost one 'corrupt' row, not the scan") {
     import graft.formats.Gzip
     import org.apache.spark.sql.functions.col
