@@ -21,9 +21,15 @@ object Bench {
     // footer caches (one representative query per physical-plan family).
     // The two writers are in the family because a cold tmp FS otherwise
     // lands entirely on whichever sink query runs first (r2 showed 5-7×
-    // inflation on the sink lines from exactly this).
+    // inflation on the sink lines from exactly this). The round-3 verdict
+    // pinned the six contention-sensitive outliers into the family too:
+    // zipnum_v2_pushdown is the ONLY query exercising the V2 read path
+    // (nothing else warms ZipNumScan), and the ANN/skew lines are the
+    // CPU-heaviest per-row kernels.
     Seq("scan_parquet", "agg_count_by_key", "win_rank_captures", "join_broadcast_dim",
-      "sink_text_gz", "sink_zipnum")
+      "sink_text_gz", "sink_zipnum",
+      "zipnum_v2_pushdown", "sim_ann_pq", "sim_ann_pq_rerank", "join_skip_existing",
+      "sim_ann_lsh", "join_skew_salted")
       .foreach { q =>
         try SparkEntry.queries.get(q).foreach(_(spark, sfDir).count())
         catch { case _: Throwable => }
@@ -31,21 +37,53 @@ object Bench {
     // deterministic execution order so per-query numbers are comparable
     // across rounds (Map iteration order is arbitrary)
     val failed = scala.collection.mutable.ListBuffer[String]()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        recordFailure: Boolean): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() }
       catch { case e: Throwable =>
-        failed += name
+        if (recordFailure) failed += name
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
     }
+    val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> timeOne(name, fn, recordFailure = true)
+    }
+    // BASELINE.md protocol (round-3 verdict item 7): a line >3× its
+    // like-for-like idle reference (bench_local32.json, committed in-repo)
+    // is presumed transient host contention — rerun it once and keep the
+    // minimum, so one load spike can't masquerade as a 12× regression. A
+    // real regression stays slow on the rerun and is still reported.
+    val refs: Map[String, Double] = try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("bench_local32.json")), "UTF-8")
+      "\"([a-z0-9_]+)\":([0-9][0-9.eE+-]*)".r.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toDouble)
+        .filter { case (k, _) => k != "value" }.toMap
+    } catch { case _: Throwable => Map.empty }
+    val reran = scala.collection.mutable.ListBuffer[String]()
+    val results = firstPass.map { case (name, t) =>
+      val suspicious = refs.get(name).exists(r => t > math.max(3 * r, 1.0)) &&
+        !failed.contains(name)
+      if (!suspicious) name -> t
+      else {
+        reran += name
+        name -> math.min(t, timeOne(name, SparkEntry.queries(name), recordFailure = false))
+      }
+    }
+    val ratios = results.flatMap { case (k, v) =>
+      refs.get(k).filter(_ > 0).map(v / _) }.sorted
+    val ratioStats =
+      if (ratios.isEmpty) ""
+      else s""","ratio_median":${ratios(ratios.size / 2)},"ratio_max":${ratios.last}"""
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val reranJson = reran.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"reran":$reranJson$ratioStats,"sf":"$sfDir"}"""
     println(json)
     // stdout is interleaved with sbt logging (driver round 1 recorded
     // parsed:null) — also write the row to a file so parsing is lossless

@@ -3,10 +3,11 @@ package graft.functions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, ImplicitCastInputTypes, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, IntegerType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions (SURVEY §4 custom work, items 1–2):
@@ -86,6 +87,21 @@ case class MinHashSigExpr(left: Expression, right: Expression)
   override def nullable: Boolean = true
   override def prettyName: String = "minhash_sig"
 
+  /** misuse (non-literal / non-positive n) fails at ANALYSIS, not as a
+    * NegativeArraySizeException inside an executor task (round-3 advice) */
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val base = super.checkInputDataTypes()
+    if (base.isFailure) base
+    else if (!right.foldable)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName: n must be a literal")
+    else right.eval() match {
+      case null => TypeCheckResult.TypeCheckSuccess // null n -> null row, fine
+      case n: Int if n <= 0 =>
+        TypeCheckResult.TypeCheckFailure(s"$prettyName: n must be positive, got $n")
+      case _ => TypeCheckResult.TypeCheckSuccess
+    }
+  }
+
   override def nullSafeEval(shingles: Any, n: Any): Any =
     MinHashAlg.signature(shingles.asInstanceOf[ArrayData], n.asInstanceOf[Int])
 
@@ -139,6 +155,23 @@ case class MinHashTextExpr(first: Expression, second: Expression, third: Express
   override def nullable: Boolean = true
   override def prettyName: String = "minhash_sig_text"
 
+  /** same analysis-time guard as [[MinHashSigExpr]] for n and shingleSize */
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val base = super.checkInputDataTypes()
+    if (base.isFailure) return base
+    Seq(("n", second), ("shingleSize", third)).foldLeft(
+      TypeCheckResult.TypeCheckSuccess: TypeCheckResult) { case (acc, (name, e)) =>
+      if (acc.isFailure) acc
+      else if (!e.foldable)
+        TypeCheckResult.TypeCheckFailure(s"$prettyName: $name must be a literal")
+      else e.eval() match {
+        case v: Int if v <= 0 =>
+          TypeCheckResult.TypeCheckFailure(s"$prettyName: $name must be positive, got $v")
+        case _ => TypeCheckResult.TypeCheckSuccess
+      }
+    }
+  }
+
   override def nullSafeEval(text: Any, n: Any, shingleSize: Any): Any =
     MinHashAlg.signatureText(
       text.asInstanceOf[UTF8String], n.asInstanceOf[Int], shingleSize.asInstanceOf[Int])
@@ -155,6 +188,110 @@ case class MinHashTextExpr(first: Expression, second: Expression, third: Express
     copy(first = newFirst, second = newSecond, third = newThird)
 }
 
+/** (array<double>, array<double>) -> cosine similarity. Replaces the
+  * CodegenFallback `aggregate(zip_with(...))` lambda stack on every
+  * embedding hot path (round-3 sim_ann_* finding); value-parity with the
+  * composed form is pinned in NativeExprSpec. */
+case class CosineSimExpr(left: Expression, right: Expression)
+  extends BinaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecAlg.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecAlg.cosine($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** (array<double>, array<double>) -> Euclidean distance */
+case class L2DistExpr(left: Expression, right: Expression)
+  extends BinaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "l2_dist"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecAlg.l2Dist(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecAlg.l2Dist($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): L2DistExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** (array<double> vector, array<array<double>> flat codebook, subDim) ->
+  * array<int> PQ codes (argmin centroid per subspace; subDim == dim gives
+  * plain nearest-centroid assignment). The codebook rides in as a literal
+  * — centroids are driver-side model artifacts, broadcast with the plan —
+  * so encoding is ONE narrow codegen pass: no explode, no centroid join,
+  * no argmin window (the round-3 pqTopK shape this replaces). */
+case class PqEncodeExpr(first: Expression, second: Expression, third: Expression)
+  extends TernaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(DoubleType), ArrayType(ArrayType(DoubleType)), IntegerType)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "pq_encode"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val base = super.checkInputDataTypes()
+    if (base.isFailure) base
+    else if (!third.foldable)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName: subDim must be a literal")
+    else third.eval() match {
+      case v: Int if v <= 0 =>
+        TypeCheckResult.TypeCheckFailure(s"$prettyName: subDim must be positive, got $v")
+      case _ => TypeCheckResult.TypeCheckSuccess
+    }
+  }
+
+  override def nullSafeEval(ed: Any, book: Any, subDim: Any): Any =
+    VecAlg.pqEncode(
+      ed.asInstanceOf[ArrayData], book.asInstanceOf[ArrayData], subDim.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (ed, book, sd) =>
+      s"""
+         |${ev.value} = graft.functions.VecAlg.pqEncode($ed, $book, $sd);
+       """.stripMargin)
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): PqEncodeExpr =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+/** (array<double> vector, array<array<double>> hyperplanes) -> int
+  * sign-bit bucket; value-parity with the composed transform/aggregate
+  * form (NativeExprSpec + SimilaritySpec pin it). */
+case class LshBucketExpr(left: Expression, right: Expression)
+  extends BinaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(DoubleType), ArrayType(ArrayType(DoubleType)))
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "lsh_bucket"
+
+  override def nullSafeEval(ed: Any, planes: Any): Any =
+    VecAlg.lshBucket(ed.asInstanceOf[ArrayData], planes.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (ed, planes) => s"graft.functions.VecAlg.lshBucket($ed, $planes)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LshBucketExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Registration — either per-session ([[GraftFunctions.register]]) or at
   * session build time via
   * `.withExtensions(new GraftExtensions)` / the
@@ -166,7 +303,11 @@ object GraftFunctions {
     "simhash64" -> ((exprs: Seq[Expression]) => SimHash64Expr(exprs.head)),
     "minhash_sig" -> ((exprs: Seq[Expression]) => MinHashSigExpr(exprs(0), exprs(1))),
     "simhash64_text" -> ((exprs: Seq[Expression]) => SimHashTextExpr(exprs.head)),
-    "minhash_sig_text" -> ((exprs: Seq[Expression]) => MinHashTextExpr(exprs(0), exprs(1), exprs(2))))
+    "minhash_sig_text" -> ((exprs: Seq[Expression]) => MinHashTextExpr(exprs(0), exprs(1), exprs(2))),
+    "cosine_sim" -> ((exprs: Seq[Expression]) => CosineSimExpr(exprs(0), exprs(1))),
+    "l2_dist" -> ((exprs: Seq[Expression]) => L2DistExpr(exprs(0), exprs(1))),
+    "pq_encode" -> ((exprs: Seq[Expression]) => PqEncodeExpr(exprs(0), exprs(1), exprs(2))),
+    "lsh_bucket" -> ((exprs: Seq[Expression]) => LshBucketExpr(exprs(0), exprs(1))))
 
   def register(spark: SparkSession): Unit = all.foreach { case (name, builder) =>
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "built-in")

@@ -1,0 +1,117 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+
+/** Dense-vector kernels backing the native embedding expressions
+  * (cosine_sim / l2_dist / pq_encode / lsh_bucket). Static methods so
+  * whole-stage codegen can call them directly, mirroring [[SurtAlg]] /
+  * [[SimHashAlg]].
+  *
+  * Bit-parity contract: every kernel accumulates IN ARRAY ORDER with plain
+  * double adds, exactly like the composed higher-order-function forms they
+  * replace (`aggregate(zip_with(a, b, (x,y) -> x*y), 0D, (acc,v) -> acc+v)`
+  * etc.) — the HOF lambdas are CodegenFallback (interpreted per row, the
+  * round-3 sim_ann_pq hot-loop finding), but their VALUES are the oracle
+  * contract, so the kernels must reproduce them bit-for-bit
+  * (NativeExprSpec pins parity on the embeddings corpus).
+  */
+object VecAlg {
+
+  /** Σ aᵢ·bᵢ in array order */
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
+    s
+  }
+
+  /** √(Σ aᵢ²) in array order */
+  def norm(a: ArrayData): Double = {
+    val n = a.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) { val x = a.getDouble(i); s += x * x; i += 1 }
+    math.sqrt(s)
+  }
+
+  /** dot/(‖a‖·‖b‖), each factor computed exactly like the composed form
+    * (dot / (sqrt(Σa²) * sqrt(Σb²)) — NOT sqrt of the product) */
+  def cosine(a: ArrayData, b: ArrayData): Double = dot(a, b) / (norm(a) * norm(b))
+
+  /** √(Σ (aᵢ−bᵢ)²) in array order */
+  def l2Dist(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { val d = a.getDouble(i) - b.getDouble(i); s += d * d; i += 1 }
+    math.sqrt(s)
+  }
+
+  /** driver-side twin of [[l2Dist]] (ADC tables, k-means shifts) — same
+    * accumulation order so driver-computed distances equal kernel ones */
+  def l2DistArr(a: Array[Double], b: Array[Double]): Double = {
+    val n = math.min(a.length, b.length)
+    var s = 0.0
+    var i = 0
+    while (i < n) { val d = a(i) - b(i); s += d * d; i += 1 }
+    math.sqrt(s)
+  }
+
+  /** PQ / nearest-centroid encode: split `ed` (length m·subDim) into m
+    * subvectors; for each subspace j pick argmin_c l2Dist(sub_j, book[j·nCent+c])
+    * over the flat codebook (nCent = book.length / m), ties to the LOWEST c
+    * (strict `<` while scanning c ascending — the relational form's
+    * `row_number() ORDER BY dist, cid` tie-break). subDim == dim gives
+    * m = 1: plain nearest-centroid assignment (IVF cells, k-means). */
+  def pqEncode(ed: ArrayData, book: ArrayData, subDim: Int): ArrayData = {
+    val dim = ed.numElements()
+    if (subDim <= 0 || dim % subDim != 0) {
+      throw new IllegalArgumentException(
+        s"pq_encode: subDim $subDim must divide the vector length $dim")
+    }
+    val m = dim / subDim
+    if (book.numElements() == 0 || book.numElements() % m != 0) {
+      throw new IllegalArgumentException(
+        s"pq_encode: codebook length ${book.numElements()} must be a positive multiple of m=$m")
+    }
+    val nCent = book.numElements() / m
+    val codes = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      var best = 0
+      var bestD = Double.PositiveInfinity
+      var c = 0
+      while (c < nCent) {
+        val cent = book.getArray(j * nCent + c)
+        var s = 0.0
+        var i = 0
+        while (i < subDim) {
+          val d = ed.getDouble(j * subDim + i) - cent.getDouble(i)
+          s += d * d
+          i += 1
+        }
+        val dist = math.sqrt(s)
+        if (dist < bestD) { bestD = dist; best = c }
+        c += 1
+      }
+      codes(j) = best
+      j += 1
+    }
+    new GenericArrayData(codes)
+  }
+
+  /** hyperplane-sign bucket: bit i set iff dot(ed, planes[i]) > 0 — the
+    * value-parity twin of the composed
+    * `aggregate(transform(planes, (p,i) -> IF(dot > 0, shiftleft(1,i), 0)), 0, +)` */
+  def lshBucket(ed: ArrayData, planes: ArrayData): Int = {
+    val n = planes.numElements()
+    var bucket = 0
+    var i = 0
+    while (i < n) {
+      if (dot(ed, planes.getArray(i)) > 0) bucket |= (1 << i)
+      i += 1
+    }
+    bucket
+  }
+}

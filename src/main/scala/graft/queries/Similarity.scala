@@ -1,13 +1,14 @@
 package graft.queries
 
 import graft.{QueryModule, Tables}
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import graft.functions.{GraftFunctions, VecAlg}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** SURVEY §2.10 similarity / fuzzy-dedup extensions beyond the Llm module:
   * embedding normalization, embedding-cosine near-dup, SimHash content
-  * fingerprints, and LSH-bucketed approximate nearest neighbors.
+  * fingerprints, and LSH / IVF / PQ approximate nearest neighbors.
   *
   * Scale notes (100 TB):
   *  - `sim_ann_lsh` prunes the candidate set to one hyperplane-sign bucket
@@ -16,8 +17,15 @@ import org.apache.spark.sql.functions._
   *  - `dedup_simhash` reduces each doc to 64 bits; near-dup candidates at
   *    scale pair up via band equi-joins on simhash prefixes, never a cross
   *    join (same banding idea as minhash-LSH).
-  *  - All per-row math is codegen'd higher-order functions over the
-  *    embedding arrays; no UDFs in the hot path.
+  *  - PQ/IVF codebooks and ADC tables are DRIVER-SIDE MODEL ARTIFACTS
+  *    (k×dim doubles) that ride into plans as literals — broadcast with
+  *    the plan, so encode/assign/score are single narrow codegen passes
+  *    over the scan. No explode, no centroid join, no argmin window
+  *    (round-3 pqTopK recomputed an interpreted dist subtree twice; the
+  *    fused [[graft.functions.PqEncodeExpr]] kernel replaces all of it).
+  *  - All per-row vector math runs through the native codegen kernels
+  *    ([[VecAlg]]); the composed higher-order-function forms they
+  *    value-match are pinned in NativeExprSpec/SimilaritySpec.
   */
 object Similarity extends QueryModule {
 
@@ -26,10 +34,11 @@ object Similarity extends QueryModule {
   private def normD(a: String): String =
     s"sqrt(aggregate($a, 0D, (acc, v) -> acc + v * v))"
 
-  /** embeddings with a double-cast copy of the vector */
+  /** embeddings with a double-cast copy of the vector (Cast on arrays is
+    * codegen'd, unlike a transform(...) lambda) */
   private def emb(s: SparkSession, d: String): DataFrame =
     Tables.t(s, d, "embeddings")
-      .withColumn("ed", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("ed", col("embedding").cast("array<double>"))
 
   override def queries: Map[String, QFn] = Map(
     // L2 normalization (unit vectors) — first element + norm checked
@@ -46,12 +55,12 @@ object Similarity extends QueryModule {
 
     // embedding-cosine near-dup over consecutive vec_id pairs
     "dedup_embedding_cos" -> ((s, d) => {
+      GraftFunctions.register(s)
       val e = emb(s, d).select(col("vec_id"), col("ed"))
       val a = e.select(col("vec_id"), col("ed").as("ea"))
       val b = e.select((col("vec_id") - 1).as("vec_id"), col("ed").as("eb"))
       a.join(b, "vec_id")
-        .withColumn("cos", expr(
-          s"${dotD("ea", "eb")} / (${normD("ea")} * ${normD("eb")})"))
+        .withColumn("cos", call_udf("cosine_sim", col("ea"), col("eb")))
         .select(col("vec_id"), round(col("cos"), 6).as("cos"),
           (col("cos") > 0.95).as("near_dup"))
         .orderBy("vec_id")
@@ -64,6 +73,26 @@ object Similarity extends QueryModule {
     "dedup_simhash" -> ((s, d) =>
       graft.ops.Dedup.simhash64Native(Tables.t(s, d, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
+
+    // the fused tokenize+sketch kernel as its own driver row (SURVEY §2.11
+    // contract key; oracle-exempt — xxhash64 inside is engine-specific,
+    // golden/parity pins live in NativeExprSpec). hex() so the sketch is
+    // eyeballable in the dump.
+    "simhash64_text" -> ((s, d) => {
+      GraftFunctions.register(s)
+      Tables.t(s, d, "documents")
+        .selectExpr("doc_id", "hex(simhash64_text(text)) AS simhash_hex")
+        .orderBy("doc_id")
+    }),
+
+    // the fused tokenize+shingle+minhash kernel as its own driver row
+    // (SURVEY §2.11 contract key; oracle-exempt, parity in NativeExprSpec)
+    "minhash_sig_text" -> ((s, d) => {
+      GraftFunctions.register(s)
+      Tables.t(s, d, "documents")
+        .selectExpr("doc_id", "minhash_sig_text(text, 16, 3) AS sig")
+        .orderBy("doc_id")
+    }),
 
     // banded SimHash candidate pairs over a corpus with planted near-dups
     // (oracle-exempt; SimilaritySpec asserts the planted pairs appear)
@@ -78,22 +107,18 @@ object Similarity extends QueryModule {
         .orderBy("a", "b")
     }),
 
-    // ANN: 8 hyperplane sign bits -> bucket; score only the query's bucket
+    // ANN: 8 hyperplane sign bits -> bucket; score only the query's bucket.
+    // Bucketing and scoring are native codegen kernels; the planes are a
+    // literal (driver-side model artifact, like the PQ codebook).
     "sim_ann_lsh" -> ((s, d) => {
-      val planes = hyperplanes(8, 64)
-      val planesCol = typedLit(planes)
+      GraftFunctions.register(s)
+      val planesCol = typedLit(hyperplanes(8, 64))
       val e = emb(s, d)
-        .withColumn("planes", planesCol)
-        .withColumn("bucket", expr(
-          "aggregate(transform(planes, (p, i) -> " +
-            "IF(aggregate(zip_with(ed, p, (x, y) -> x * y), 0D, (acc, v) -> acc + v) > 0, " +
-            "shiftleft(1, i), 0)), 0, (acc, v) -> acc + v)"))
-        .drop("planes")
+        .withColumn("bucket", call_udf("lsh_bucket", col("ed"), planesCol))
       val q = e.filter(col("vec_id") === 0)
         .select(col("ed").as("qd"), col("bucket").as("qbucket"))
       e.join(broadcast(q), col("bucket") === col("qbucket"))
-        .withColumn("cos", expr(
-          s"${dotD("ed", "qd")} / (${normD("ed")} * ${normD("qd")})"))
+        .withColumn("cos", call_udf("cosine_sim", col("ed"), col("qd")))
         .select(col("vec_id"), col("bucket"), round(col("cos"), 6).as("cos"))
         .orderBy(col("cos").desc, col("vec_id"))
         .limit(10)
@@ -103,13 +128,14 @@ object Similarity extends QueryModule {
     // compress to m small codes, the scan touches codes only). m=4
     // subspaces × 16 dims; codebook per subspace = subvectors of the first
     // 16 embeddings (deterministic stand-in for k-means, same convention
-    // as sim_ann_ivf). Encode = argmin centroid per (vector, subspace) —
-    // a 64× storage reduction (256 B float vector → 4 one-byte codes).
-    // Query = ADC: the 4×16 query→centroid distance table is broadcast and
-    // the approximate distance is a sum of table lookups per code — no
-    // full-vector math on the scan side. Fully relational and
-    // DuckDB-oracled (everything is deterministic). Shared kernel in
-    // [[pqTopK]]; SimilaritySpec plants near-duplicates to pin recall.
+    // as sim_ann_ivf). Encode = one narrow `pq_encode` pass — a 64×
+    // storage reduction (256 B float vector → 4 one-byte codes). Query =
+    // ADC: the 4×16 query→centroid distance table is computed driver-side
+    // and rides the plan as a literal; the approximate distance is a sum
+    // of table lookups per code — no full-vector math on the scan side.
+    // Fully relational and DuckDB-oracled (everything is deterministic).
+    // Shared kernel in [[pqTopK]]; SimilaritySpec plants near-duplicates
+    // to pin recall.
     "sim_ann_pq" -> ((s, d) =>
       pqTopK(emb(s, d).select(col("vec_id"), col("ed")), queryId = 0L)),
 
@@ -119,13 +145,13 @@ object Similarity extends QueryModule {
     // candidates × dim regardless of corpus size — the re-rank join is a
     // broadcast of 50 ids into the embedding scan.
     "sim_ann_pq_rerank" -> ((s, d) => {
+      GraftFunctions.register(s)
       val e = emb(s, d).select(col("vec_id"), col("ed"))
       val cand = pqTopK(e, queryId = 0L, k = 50).select("vec_id")
       val q = e.filter(col("vec_id") === 0).select(col("ed").as("qd"))
       e.join(broadcast(cand), "vec_id")
         .crossJoin(broadcast(q))
-        .withColumn("cos", expr(
-          s"${dotD("ed", "qd")} / (${normD("ed")} * ${normD("qd")})"))
+        .withColumn("cos", call_udf("cosine_sim", col("ed"), col("qd")))
         .select(col("vec_id"), round(col("cos"), 6).as("cos"))
         .orderBy(col("cos").desc, col("vec_id"))
         .limit(10)
@@ -142,17 +168,37 @@ object Similarity extends QueryModule {
     // recovers neighbors whose cell boundary the query sits on. The probe
     // list is still a broadcast (nProbe rows), so the plan shape is
     // unchanged: no shuffle added, just a bigger pruned-in candidate set.
-    "sim_ann_ivf_multiprobe" -> ((s, d) => ivfTopK(emb(s, d), nProbe = 2))
+    "sim_ann_ivf_multiprobe" -> ((s, d) => ivfTopK(emb(s, d), nProbe = 2)),
+
+    // IVF with a TRAINED coarse quantizer: seeded Lloyd's k-means over the
+    // corpus (ops/KMeans — assignment is the same narrow pq_encode pass,
+    // means are one k×dim aggregation per round), then assign + probe the
+    // query's 2 nearest cells by L2 and cosine-score only those members.
+    // Oracle-exempt by design: the trained centroids depend on distributed
+    // float summation order, so a DuckDB re-derivation can't be expected
+    // to hash-match; SimilaritySpec pins planted-neighbor recall and
+    // self-hit instead (the reserved-vector variants above stay as the
+    // deterministic-oracle path).
+    "sim_ann_ivf_trained" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val e = emb(s, d).select(col("vec_id"), col("ed"))
+      val cents = graft.ops.KMeans.train(
+        e, "ed", graft.ops.KMeans.seedById(e, "vec_id", "ed", k = 16), maxIters = 4)
+      ivfTrainedTopK(e, cents, queryId = 0L, nProbe = 2)
+    })
   )
 
-  /** IVF assign + probe-`nProbe`-cells cosine top-k over embeddings. */
+  /** IVF assign + probe-`nProbe`-cells cosine top-k over embeddings
+    * (reserved-vector codebook — the deterministic, DuckDB-oracled path;
+    * the relational argmin shape is kept ON PURPOSE so the oracle can
+    * mirror it, with the per-pair math in native kernels). */
   private def ivfTopK(embedded: DataFrame, nProbe: Int, k: Int = 10): DataFrame = {
+    GraftFunctions.register(embedded.sparkSession)
     val e = embedded.select(col("vec_id"), col("ed"))
     val cents = e.filter(col("vec_id") < 16)
       .select(col("vec_id").as("cid"), col("ed").as("cd"))
     val sims = e.crossJoin(broadcast(cents))
-      .withColumn("sim", expr(
-        s"${dotD("ed", "cd")} / (${normD("ed")} * ${normD("cd")})"))
+      .withColumn("sim", call_udf("cosine_sim", col("ed"), col("cd")))
     val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cid"))
     val assign = sims
       .withColumn("rn", row_number().over(w))
@@ -166,44 +212,94 @@ object Similarity extends QueryModule {
     e.join(assign, "vec_id")
       .join(broadcast(qcells), col("cid") === col("qcid"))
       .crossJoin(broadcast(q))
-      .withColumn("cos", expr(
-        s"${dotD("ed", "qd")} / (${normD("ed")} * ${normD("qd")})"))
+      .withColumn("cos", call_udf("cosine_sim", col("ed"), col("qd")))
       .select(col("vec_id"), round(col("cos"), 6).as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(k)
   }
 
-  /** PQ encode + ADC top-k over `(vec_id, ed: array<double>)`. Codebook
-    * per subspace = subvectors of the first `nCent` vectors by id (a
-    * deterministic stand-in for k-means — swap in trained centroids by
-    * prepending them with reserved ids). At scale the `codes` relation is
-    * what you materialize as the index table: m bytes per vector instead
-    * of the raw array; the centroid join and the query's ADC distance
-    * table both broadcast (tiny), so the scan side never shuffles. */
+  /** IVF probe over a trained codebook: assignment is ONE narrow
+    * `pq_encode(ed, book, dim)` pass (no centroid join, no window); the
+    * query's probe cells are picked driver-side from the k×dim codebook.
+    * At 100 TB the assignment is what you materialize as a partition
+    * column of the index table; the probe filter then prunes partitions. */
+  def ivfTrainedTopK(
+      e: DataFrame, cents: Array[Array[Double]], queryId: Long,
+      nProbe: Int, k: Int = 10): DataFrame = {
+    GraftFunctions.register(e.sparkSession)
+    val dim = cents(0).length
+    val bookLit = typedLit(cents.map(_.toSeq).toSeq)
+    val q = e.filter(col("vec_id") === queryId).select("ed").head().getSeq[Double](0).toArray
+    val probes = cents.zipWithIndex
+      .map { case (c, i) => (VecAlg.l2DistArr(q, c), i) }
+      .sortBy(identity).take(nProbe).map(_._2)
+    val qd = e.filter(col("vec_id") === queryId).select(col("ed").as("qd"))
+    e.withColumn("cid", element_at(call_udf("pq_encode", col("ed"), bookLit, lit(dim)), 1))
+      .filter(col("cid").isin(probes.map(Int.box).toSeq: _*))
+      .crossJoin(broadcast(qd))
+      .withColumn("cos", call_udf("cosine_sim", col("ed"), col("qd")))
+      .select(col("vec_id"), col("cid"), round(col("cos"), 6).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** PQ encode + ADC top-k over `(vec_id, ed: array<double>)`.
+    *
+    * Codebook per subspace = subvectors of the first `nCent` vectors by id
+    * (deterministic stand-in for k-means; pass `codebook` to use trained
+    * centroids — [[graft.ops.KMeans]]). The codebook and the query's ADC
+    * distance table are collected ONCE on the driver (m·nCent·subDim
+    * doubles — model-artifact scale) and ride the plan as literals, so the
+    * whole query is: scan → `pq_encode` projection → m ADC lookups →
+    * TakeOrderedAndProject. At scale the `codes` relation is what you
+    * materialize as the index table: m bytes per vector instead of the
+    * raw array; nothing on the scan side shuffles or joins.
+    *
+    * Round-3 shape (explode subspaces → broadcast-join centroids →
+    * interpreted HOF distance → argmin window, with the dist subtree
+    * consumed twice) is gone: the driver bench showed it 8–9× inflated
+    * under CPU contention precisely because the hot loop was interpreted.
+    */
   def pqTopK(
       e: DataFrame, queryId: Long,
-      m: Int = 4, subDim: Int = 16, nCent: Int = 16, k: Int = 10): DataFrame = {
-    val sub = e
-      .select(col("vec_id"), explode(sequence(lit(0), lit(m - 1))).as("j"), col("ed"))
-      .withColumn("sub", expr(s"slice(ed, j * $subDim + 1, $subDim)"))
-      .select("vec_id", "j", "sub")
-    val cent = sub.filter(col("vec_id") < nCent)
-      .select(col("vec_id").as("cid"), col("j").as("cj"), col("sub").as("csub"))
-    val dist = sub.join(broadcast(cent), col("j") === col("cj"))
-      .withColumn("dist", expr(
-        "sqrt(aggregate(zip_with(sub, csub, (x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v))"))
-      .select("vec_id", "j", "cid", "dist")
-    val wmin = Window.partitionBy("vec_id", "j").orderBy(col("dist").asc, col("cid").asc)
-    val codes = dist
-      .withColumn("rn", row_number().over(wmin)).filter(col("rn") === 1)
-      .select(col("vec_id"), col("j"), col("cid").as("code"))
-    val dtab = dist.filter(col("vec_id") === queryId) // the query's distance table
-      .select(col("j").as("dj"), col("cid").as("dcid"), col("dist").as("qdist"))
-    codes.join(broadcast(dtab), col("j") === col("dj") && col("code") === col("dcid"))
-      .groupBy("vec_id").agg(sum("qdist").as("adist"))
-      .select(col("vec_id"), round(col("adist"), 6).as("approx_dist"))
+      m: Int = 4, subDim: Int = 16, nCent: Int = 16, k: Int = 10,
+      codebook: Option[Array[Array[Double]]] = None): DataFrame = {
+    GraftFunctions.register(e.sparkSession)
+    val book = codebook.getOrElse(reservedCodebook(e, m, subDim, nCent))
+    require(book.length == m * nCent, s"codebook must hold m*nCent=${m * nCent} subvectors")
+    val q = e.filter(col("vec_id") === queryId).select("ed").head().getSeq[Double](0).toArray
+    // ADC table: dtab(j)(c) = l2(q's subvector j, centroid c of subspace j),
+    // computed with the same accumulation order as the pq_encode kernel
+    val dtab = Array.tabulate(m) { j =>
+      val qSub = java.util.Arrays.copyOfRange(q, j * subDim, (j + 1) * subDim)
+      Array.tabulate(nCent)(c => VecAlg.l2DistArr(qSub, book(j * nCent + c)))
+    }
+    val bookLit = typedLit(book.map(_.toSeq).toSeq)
+    val codes = e.select(col("vec_id"),
+      call_udf("pq_encode", col("ed"), bookLit, lit(subDim)).as("codes"))
+    val adist = (0 until m)
+      .map(j => element_at(typedLit(dtab(j).toSeq), element_at(col("codes"), j + 1) + 1))
+      .reduce(_ + _)
+    codes.select(col("vec_id"), round(adist, 6).as("approx_dist"))
       .orderBy("approx_dist", "vec_id")
       .limit(k)
+  }
+
+  /** reserved-vector codebook: subvector j of vector `cid` (< nCent) at
+    * flat index j*nCent + cid — tiny driver collect (nCent rows), the same
+    * convention the DuckDB oracle re-derives relationally */
+  private def reservedCodebook(
+      e: DataFrame, m: Int, subDim: Int, nCent: Int): Array[Array[Double]] = {
+    val rows = e.filter(col("vec_id") < nCent)
+      .select(col("vec_id"), col("ed")).orderBy("vec_id").collect()
+    require(rows.length == nCent, s"expected $nCent codebook vectors, got ${rows.length}")
+    val book = new Array[Array[Double]](m * nCent)
+    rows.zipWithIndex.foreach { case (r, cid) =>
+      val v = r.getSeq[Double](1).toArray
+      (0 until m).foreach(j =>
+        book(j * nCent + cid) = java.util.Arrays.copyOfRange(v, j * subDim, (j + 1) * subDim))
+    }
+    book
   }
 
   /** deterministic pseudo-random hyperplanes (seeded; same across runs) */

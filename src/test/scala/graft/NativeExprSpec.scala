@@ -173,6 +173,63 @@ class NativeExprSpec extends SparkSpec {
     }
   }
 
+  test("vector kernels == composed HOF forms on the embeddings corpus (bit parity)") {
+    GraftFunctions.register(spark)
+    // consecutive-pair cosine + l2 through BOTH paths; <=> catches any
+    // accumulation-order or formula drift (the oracle contract is the
+    // HOF values, so parity must be exact, not approximate)
+    val e = Tables.t(spark, sfDir, "embeddings")
+      .withColumn("ed", col("embedding").cast("array<double>"))
+      .select(col("vec_id"), col("ed"))
+    val a = e.select(col("vec_id"), col("ed").as("ea"))
+    val b = e.select((col("vec_id") - 1).as("vec_id"), col("ed").as("eb"))
+    val pairs = a.join(b, "vec_id")
+    val dot = "aggregate(zip_with(ea, eb, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+    def nrm(c: String) = s"sqrt(aggregate($c, 0D, (acc, v) -> acc + v * v))"
+    val diff = pairs
+      .withColumn("cos_hof", expr(s"$dot / (${nrm("ea")} * ${nrm("eb")})"))
+      .withColumn("cos_native", call_udf("cosine_sim", col("ea"), col("eb")))
+      .withColumn("l2_hof", expr(
+        "sqrt(aggregate(zip_with(ea, eb, (x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v))"))
+      .withColumn("l2_native", call_udf("l2_dist", col("ea"), col("eb")))
+      .filter(not(col("cos_hof") <=> col("cos_native")) ||
+        not(col("l2_hof") <=> col("l2_native")))
+      .collect()
+    assert(diff.isEmpty, diff.take(3).mkString("\n"))
+  }
+
+  test("pq_encode == relational explode+join+argmin-window codes") {
+    GraftFunctions.register(spark)
+    val e = Tables.t(spark, sfDir, "embeddings")
+      .withColumn("ed", col("embedding").cast("array<double>"))
+      .select(col("vec_id"), col("ed"))
+    // relational reference: the round-3 pqTopK encode shape
+    val sub = e
+      .select(col("vec_id"), explode(expr("sequence(0, 3)")).as("j"), col("ed"))
+      .withColumn("sub", expr("slice(ed, j * 16 + 1, 16)"))
+      .select("vec_id", "j", "sub")
+    val cent = sub.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("j").as("cj"), col("sub").as("csub"))
+    val dist = sub.join(broadcast(cent), col("j") === col("cj"))
+      .withColumn("dist", expr(
+        "sqrt(aggregate(zip_with(sub, csub, (x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v))"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id", "j").orderBy(col("dist").asc, col("cid").asc)
+    val relational = dist.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .groupBy("vec_id").agg(sort_array(collect_list(struct(col("j"), col("cid")))).as("jc"))
+      .selectExpr("vec_id", "transform(jc, x -> CAST(x.cid AS INT)) AS codes")
+    // kernel path with the SAME reserved-vector codebook
+    val bookRows = e.filter(col("vec_id") < 16).orderBy("vec_id").collect()
+    val book = (0 until 4).flatMap { j =>
+      bookRows.map(_.getSeq[Double](1).toArray.slice(j * 16, (j + 1) * 16).toSeq)
+    }
+    val native = e.select(col("vec_id"),
+      call_udf("pq_encode", col("ed"), typedLit(book), lit(16)).as("codes"))
+    val mism = native.as("n").join(relational.as("r"), Seq("vec_id"))
+      .filter(not(col("n.codes") <=> col("r.codes"))).collect()
+    assert(mism.isEmpty, mism.take(3).mkString("\n"))
+  }
+
   test("base32 golden vectors (independent BigInteger encoder)") {
     // independent re-implementation for cross-checking
     def b32ref(bytes: Array[Byte]): String = {

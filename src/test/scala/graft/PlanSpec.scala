@@ -168,18 +168,26 @@ class PlanSpec extends SparkSpec {
       s"join keys must include the salt, got ${shuffled.head}")
   }
 
-  test("sim_ann_pq: codebook and ADC table broadcast; encode windows stay partitioned") {
+  test("sim_ann_pq: encode is one narrow codegen pass — no join, window, or explode") {
+    // codebook + ADC table are plan literals (driver-side model artifacts);
+    // encoding must compile to scan → project(pq_encode) → top-k, with no
+    // centroid join, no argmin window, and no subspace explode — the
+    // round-3 relational shape recomputed an interpreted dist subtree
+    // twice and inflated 8-9× under CPU contention
     val df = SparkEntry.queries("sim_ann_pq")(spark, sfDir)
     val p = df.queryExecution.sparkPlan
-    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
-    // both the centroid join (encode) and the distance-table join (ADC
-    // lookup) must broadcast their tiny side — a shuffle there would be
-    // the 100 TB bottleneck
-    assert(p.collect { case j: BroadcastHashJoinExec => j }.size >= 2,
-      s"expected broadcast joins for codebook and ADC table:\n$p")
-    val wins = p.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
-    wins.foreach(w => assert(w.partitionSpec.nonEmpty,
-      s"argmin window must partition by (vec, subspace):\n$w"))
+    assert(p.collect { case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j }.isEmpty,
+      s"PQ encode must not join:\n$p")
+    assert(p.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }.isEmpty,
+      s"PQ encode must not window:\n$p")
+    assert(p.collect { case g: org.apache.spark.sql.execution.GenerateExec => g }.isEmpty,
+      s"PQ encode must not explode:\n$p")
+    assert(p.toString.contains("TakeOrderedAndProject"),
+      s"top-k must compile to TakeOrderedAndProject:\n$p")
+    df.collect() // finalize the AQE plan
+    val simple = df.queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(simple.linesIterator.exists(l => l.contains("pq_encode") && l.contains("*(")),
+      s"pq_encode must sit inside a codegen'd operator:\n$simple")
   }
 
   test("runtime bloom filter prunes the fact side of a selective shuffle join") {

@@ -48,8 +48,10 @@ class SimilaritySpec extends SparkSpec {
     assert(buckets.length == 1, "all candidates must come from the query's bucket")
   }
 
-  test("sim_ann_lsh: bucketing partitions the corpus (multiple non-trivial buckets)") {
-    // recompute buckets for the full corpus through the same expression
+  test("sim_ann_lsh: bucketing partitions the corpus; native bucket == composed HOF") {
+    // recompute buckets through the composed higher-order-function form —
+    // the value contract the native lsh_bucket kernel must reproduce
+    graft.functions.GraftFunctions.register(spark)
     val planes = graft.queries.Similarity.hyperplanes(8, 64)
     val e = Tables.t(spark, sfDir, "embeddings")
       .withColumn("ed", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
@@ -58,10 +60,40 @@ class SimilaritySpec extends SparkSpec {
         "aggregate(transform(planes, (p, i) -> " +
           "IF(aggregate(zip_with(ed, p, (x, y) -> x * y), 0D, (acc, v) -> acc + v) > 0, " +
           "shiftleft(1, i), 0)), 0, (acc, v) -> acc + v)"))
+      .withColumn("native_bucket", call_udf("lsh_bucket", col("ed"), typedLit(planes)))
+    val mismatch = e.filter(not(col("bucket") <=> col("native_bucket"))).count()
+    assert(mismatch == 0, s"$mismatch vectors bucket differently native vs composed")
     val counts = e.groupBy("bucket").count().collect()
     assert(counts.length > 16, s"expected a spread over buckets, got ${counts.length}")
     val total = counts.map(_.getLong(1)).sum
     assert(total == e.count())
+  }
+
+  test("sim_ann_ivf_trained: self-hit and planted near-duplicates survive the trained probe") {
+    // plant 5 tiny perturbations of the query vector: k-means assigns them
+    // to the query's cell (the perturbation is far below any cell margin),
+    // so a correct train→assign→probe pipeline MUST return them on top
+    graft.functions.GraftFunctions.register(spark)
+    val base = Tables.t(spark, sfDir, "embeddings")
+      .withColumn("ed", col("embedding").cast("array<double>"))
+      .select(col("vec_id"), col("ed"))
+    val planted = base.filter(col("vec_id") === 0)
+      .crossJoin(Seq(1, 2, 3, 4, 5).toDF("i"))
+      .select((col("i") + 900000L).as("vec_id"),
+        expr("transform(ed, x -> x + i * 0.0001D)").as("ed"))
+    val corpus = base.unionByName(planted)
+    val cents = graft.ops.KMeans.train(
+      corpus, "ed", graft.ops.KMeans.seedById(corpus, "vec_id", "ed", 16), maxIters = 3)
+    assert(cents.length == 16 && cents.forall(_.length == 64))
+    val top = graft.queries.Similarity
+      .ivfTrainedTopK(corpus, cents, queryId = 0L, nProbe = 2)
+      .collect()
+    val ids = top.map(_.getAs[Long]("vec_id")).toSet
+    val expected = Set(0L, 900001L, 900002L, 900003L, 900004L, 900005L)
+    assert(expected.subsetOf(ids),
+      s"planted near-dups missing from trained-IVF top-k: ${expected.diff(ids)} in $ids")
+    val self = top.find(_.getAs[Long]("vec_id") == 0L).get
+    assert(math.abs(self.getAs[Double]("cos") - 1.0) < 1e-6, "query must self-hit at cos 1")
   }
 
   test("dedup_simhash_pairs recovers most planted near-dups via banding") {
