@@ -136,7 +136,11 @@ final class CdxServer(spark: SparkSession, clusterDir: String) {
     * An Option, not a nullable String: a 2-field CDX line scans with
     * json = NULL, and conflating that legitimate cursor value with the
     * no-cursor sentinel would silently degrade the walk to lossy
-    * 2-field semantics mid-listing. Data-side nulls compare as "". */
+    * 2-field semantics mid-listing. The json comparison is NULL-aware in
+    * exactly the sort's order (ascending NULLS FIRST): after a NULL-json
+    * cursor comes every non-null json — the old `coalesce(json, '')`
+    * encoding collapsed NULL and '' into one value the sort keeps
+    * distinct, so a page boundary between them skipped the '' row. */
   def pageByKey(
       surtPrefix: String, afterUrlkey: String, afterTs: String, n: Int,
       afterJson: Option[String] = None): DataFrame = {
@@ -144,9 +148,8 @@ final class CdxServer(spark: SparkSession, clusterDir: String) {
     val afterKey = afterJson match {
       case None => col("ts") > afterTs
       case Some(j) =>
-        col("ts") > afterTs ||
-          (col("ts") === afterTs &&
-            coalesce(col("json"), lit("")) > lit(if (j == null) "" else j))
+        val jsonAfter = if (j == null) col("json").isNotNull else col("json") > lit(j)
+        col("ts") > afterTs || (col("ts") === afterTs && jsonAfter)
     }
     scan(Some(surtPrefix))
       .filter(col("urlkey") >= afterUrlkey && // pushable bound: idx pruning

@@ -36,6 +36,16 @@ object Gzip {
   private val FNAME = 8
   private val FCOMMENT = 16
 
+  /** Replay window for failed permissive parses: a decode attempt whose
+    * net consumption fits this many bytes can be pushed back wholesale so
+    * the resync scan restarts at attempt-start+1 — a FAKE magic in garbage
+    * would otherwise start a doomed parse whose inflate consumes past a
+    * real member header, silently losing that member (round-3 advice).
+    * Attempts that outgrow the window (a multi-MB corrupt record) fall
+    * back to resuming at the failure point, bounding memory at one window
+    * per open reader. */
+  private[graft] val MaxReplayBytes: Int = 1 << 20
+
   /** InputStream wrapper with a carry buffer for bytes the inflater
     * over-read past a member's end (they belong to the next member). */
   private final class CarryStream(in: InputStream) {
@@ -45,6 +55,26 @@ object Gzip {
     /** absolute position of the next byte to be served (pushed-back bytes
       * rewind it) — the resync path derives span offsets from this */
     var consumed: Long = 0L
+
+    // replay recording: every byte served while recording lands at its net
+    // stream position (recStart-relative), so pushBack+re-read just
+    // overwrites the same cells with identical bytes
+    private var recArr: Array[Byte] = null
+    private var recStart = 0L
+    private var recOverflow = false
+
+    def startRecording(): Unit = { recArr = new Array[Byte](4096); recStart = consumed; recOverflow = false }
+    def stopRecording(): Unit = recArr = null
+
+    /** Rewind a failed attempt to its start+1 byte: push every recorded
+      * byte after the first back onto the carry. False when the attempt
+      * outgrew [[MaxReplayBytes]] (stream stays at the failure point). */
+    def rewindPastRecordStart(): Boolean = {
+      if (recArr == null || recOverflow) return false
+      val netLen = (consumed - recStart).toInt
+      if (netLen > 1) pushBack(recArr, 1, netLen - 1)
+      true
+    }
 
     def pushBack(buf: Array[Byte], from: Int, len: Int): Unit = {
       val remaining = carry.length - carryPos
@@ -65,7 +95,21 @@ object Gzip {
         carryPos += k
         k
       } else in.read(buf, off, len)
-      if (n > 0) consumed += n
+      if (n > 0) {
+        if (recArr != null && !recOverflow) {
+          val pos = consumed - recStart // net position before this read
+          if (pos + n > MaxReplayBytes) recOverflow = true
+          else {
+            if (pos + n > recArr.length) {
+              var cap = recArr.length
+              while (cap < pos + n) cap = math.min(cap * 2, MaxReplayBytes)
+              recArr = java.util.Arrays.copyOf(recArr, cap)
+            }
+            System.arraycopy(buf, off, recArr, pos.toInt, n)
+          }
+        }
+        consumed += n
+      }
       n
     }
 
@@ -211,17 +255,27 @@ object Gzip {
 
     private def advance(): Unit = {
       if (done || nextEntry != null) return
-      try decodeOne()
+      if (permissive) cs.startRecording()
+      try { decodeOne(); cs.stopRecording() }
       catch {
         case e @ (_: IllegalStateException | _: EOFException) if permissive =>
           val spanStart = offset
+          // rescan from spanStart+1, not the failure point: a fake magic's
+          // doomed parse may have consumed a REAL member header, which the
+          // rewound scan can still find (resync only pattern-matches, so a
+          // rediscovered fake just fails again one byte further along —
+          // strictly increasing attempt starts guarantee progress)
+          val rewound = cs.rewindPastRecordStart()
+          cs.stopRecording()
           val found = resync()
           val spanEnd = cs.consumed
           offset = spanEnd
           if (!found) done = true
           // a zero-length span can't happen: the failed decode consumed at
-          // least the bytes that made it fail
-          nextEntry = CorruptSpan(spanStart, spanEnd - spanStart, e.getMessage)
+          // least the byte that made it fail, and the rewind keeps one
+          nextEntry = CorruptSpan(spanStart, spanEnd - spanStart,
+            if (rewound) e.getMessage
+            else e.getMessage + " (attempt exceeded the replay window; resumed at failure point)")
       }
     }
 

@@ -183,7 +183,15 @@ object ZipNum {
     // delete-then-rename leaves NO index if the rename fails or the
     // process dies in between. With the backup the old index either
     // still serves (restored on rename failure) or survives at .previous
-    // for manual recovery after a crash in the window.
+    // for manual recovery after a crash in the window. KNOWN RESIDUAL
+    // WINDOW: a crash between the two renames leaves only
+    // .cluster.idx.previous (no serving index until it is restored by
+    // hand). Hadoop's public FileSystem API has no portable atomic
+    // overwrite-rename (FileContext.rename(OVERWRITE) exists but not all
+    // FileSystems honor it atomically; S3A "rename" is a copy either
+    // way), so the backup scheme is the deliberate portable fallback —
+    // on a POSIX or HDFS deployment, a custom committer can swap this
+    // for the native atomic replace.
     val finalIdx = new Path(dirPath, "cluster.idx")
     val backup = new Path(dirPath, ".cluster.idx.previous")
     fs.delete(backup, false)

@@ -9,14 +9,18 @@ import org.apache.spark.sql.functions._
   * feature-extract / frame-sample run as partition-level batch functions
   * over typed Datasets — the Spark-side plumbing (schema, encoders,
   * partition batching, function signature) is real. Decode is ALSO real:
-  * `mm_decode_meta` parses a genuine PNG signature+IHDR via [[pngDims]],
-  * and the `mm_image_stats` / `mm_audio_meta` / `mm_video_frames` queries
-  * run complete JDK codec round trips (PNG pixels via ImageIO, RIFF/WAVE
-  * PCM via javax.sound, animated-GIF frames via the GIF reader — see
-  * [[graft.ops.Media]]). The only remaining stubs are the *model call* in
-  * `mm_batch_infer` (no inference runtime in this container) and the
-  * length-keyed a/v metadata fallback inside [[decode]]; every op stays
-  * DuckDB-oracle-able because the fixtures are closed-form in doc_id.
+  * image rows carry a genuine PNG signature+IHDR ([[pngDims]] parses it
+  * back), audio rows carry complete RIFF/WAVE files that [[decode]] routes
+  * through the JDK PCM reader ([[graft.ops.Media.decodeWav]]), and the
+  * `mm_image_stats` / `mm_audio_meta` / `mm_video_frames` queries run full
+  * JDK codec round trips (PNG pixels via ImageIO, animated-GIF frames via
+  * the GIF reader). `mm_batch_infer` scores with a real broadcast-weights
+  * linear model, one matvec call per batch. Video payloads stay opaque
+  * (length-keyed deterministic metadata — the undecodable-payload default
+  * every real pipeline needs), and `mm_feature_extract`'s features are
+  * deterministic length-keyed stand-ins for an encoder over decoded
+  * frames; everything stays DuckDB-oracle-able because the fixtures are
+  * closed-form in doc_id.
   *
   * Scale notes: all three ops are narrow (mapPartitions, no shuffle);
   * real decoders amortize model/codec init per partition exactly where
@@ -28,7 +32,7 @@ object Multimodal extends QueryModule {
   final case class MediaRow(doc_id: Long, media_type: String, payload: Array[Byte])
   final case class MediaMeta(
       doc_id: Long, media_type: String, n_bytes: Long,
-      width: Int, height: Int, n_frames: Int)
+      width: Int, height: Int, n_frames: Int, sample_rate: Int)
   final case class MediaFeature(doc_id: Long, norm: Double, f0: Double)
   final case class FrameSample(doc_id: Long, frame_no: Int)
 
@@ -64,10 +68,12 @@ object Multimodal extends QueryModule {
       Some((bb.getInt, bb.getInt))
     } else None
 
-  /** media table = documents with the text bytes standing in for an
-    * encoded payload; media_type assigned deterministically. Image rows
-    * carry a REAL PNG header (dimensions derived from doc_id) in front of
-    * the text bytes, so the decode path below parses actual bytes. */
+  /** media table = documents carrying deterministically-typed payloads:
+    * image rows get a REAL PNG header (dimensions derived from doc_id) in
+    * front of the text bytes; audio rows get a COMPLETE RIFF/WAVE file
+    * (square-wave PCM, parameters keyed on doc_id) written by the JDK
+    * WAVE encoder; video rows keep the raw text bytes as an opaque
+    * container stand-in (exercising the undecodable-payload default). */
   private def media(s: SparkSession, d: String): Dataset[MediaRow] = {
     import s.implicits._
     Tables.t(s, d, "documents")
@@ -77,27 +83,69 @@ object Multimodal extends QueryModule {
         "CAST(text AS BINARY) AS payload")
       .as[MediaRow]
       .map { r =>
-        if (r.media_type == "image")
-          r.copy(payload = pngHeader(
+        r.media_type match {
+          case "image" => r.copy(payload = pngHeader(
             (16 + r.doc_id % 640).toInt, (16 + r.doc_id * 7 % 480).toInt) ++ r.payload)
-        else r
+          case "audio" => r.copy(payload = graft.ops.Media.squareWav(
+            sampleRate = 8000,
+            amp = (1 + r.doc_id % 100).toInt * 300,
+            nSamples = (64 + (r.doc_id % 50) * 16).toInt))
+          case _ => r
+        }
       }
   }
 
-  /** decode: images go through the REAL byte parser ([[pngDims]]); audio/
-    * video metadata is still the deterministic length-keyed STUB (no codec
-    * libs in this container) — a production build swaps only this branch. */
-  private def decode(r: MediaRow): MediaMeta = {
+  /** `RIFF....WAVE` container signature */
+  private[graft] def isRiffWave(payload: Array[Byte]): Boolean =
+    payload.length >= 12 &&
+      payload(0) == 'R' && payload(1) == 'I' && payload(2) == 'F' && payload(3) == 'F' &&
+      payload(8) == 'W' && payload(9) == 'A' && payload(10) == 'V' && payload(11) == 'E'
+
+  /** decode: REAL byte parsers per container — PNG via [[pngDims]],
+    * RIFF/WAVE via the JDK PCM reader ([[graft.ops.Media.decodeWav]]:
+    * sample rate + audio frame count come from the parsed header, frames
+    * land in n_frames). Payloads matching no known container take the
+    * deterministic length-keyed metadata defaults — the policy for
+    * undecodable payloads, not a stand-in for a missing parser. */
+  private[graft] def decode(r: MediaRow): MediaMeta = {
     val n = r.payload.length.toLong
     pngDims(r.payload) match {
-      case Some((w, h)) => MediaMeta(r.doc_id, r.media_type, n, w, h, n_frames = 1)
+      case Some((w, h)) =>
+        MediaMeta(r.doc_id, r.media_type, n, w, h, n_frames = 1, sample_rate = 0)
+      case None if isRiffWave(r.payload) =>
+        val st = graft.ops.Media.decodeWav(r.payload)
+        MediaMeta(r.doc_id, r.media_type, n, width = 0, height = 0,
+          n_frames = st.nSamples.toInt, sample_rate = st.sampleRate)
       case None => MediaMeta(
         r.doc_id, r.media_type, n,
         width = (16 + n % 640).toInt,
         height = (16 + (n * 7) % 480).toInt,
-        n_frames = if (r.media_type == "video") (1 + n % 24).toInt else 1)
+        n_frames = if (r.media_type == "video") (1 + n % 24).toInt else 1,
+        sample_rate = 0)
     }
   }
+
+  /** the "model": fixed weights + bias, broadcast once per query and
+    * applied as ONE dense matvec per batch (the call shape a GPU-backed
+    * scorer needs). Deterministic so the DuckDB oracle re-derives scores
+    * in closed form. */
+  private[graft] val ModelWeights: Array[Double] = Array.tabulate(8)(k => (k + 1) / 10.0)
+  private[graft] val ModelBias: Double = 0.5
+
+  /** one model call for a whole batch: batch × 8 features -> batch scores */
+  private[graft] def scoreBatch(feats: Array[Array[Double]], w: Array[Double], b: Double): Array[Double] =
+    feats.map { f =>
+      var s = 0.0
+      var k = 0
+      while (k < w.length) { s += f(k) * w(k); k += 1 }
+      s + b
+    }
+
+  /** the 8 deterministic length-keyed features shared by
+    * mm_feature_extract and mm_batch_infer (stand-in for an encoder over
+    * decoded frames — the one remaining fixture simplification here) */
+  private def features(payloadBytes: Long): Array[Double] =
+    Array.tabulate(8)(k => ((payloadBytes * (k + 1)) % 97).toDouble / 97.0)
 
   override def queries: Map[String, QFn] = Map(
     // decode → typed metadata, batched per partition
@@ -109,16 +157,15 @@ object Multimodal extends QueryModule {
         .orderBy("doc_id")
     }),
 
-    // feature extraction: fixed-width vector per payload + L2 norm.
-    // STUB features are (n*(k+1) % 97)/97; a real extractor would run an
-    // encoder over the decoded frames.
+    // feature extraction: fixed-width vector per payload + L2 norm
+    // (features are the deterministic length-keyed stand-in — see
+    // [[features]]; the batching/encoding plumbing is the real shape)
     "mm_feature_extract" -> ((s, d) => {
       import s.implicits._
       media(s, d)
         .mapPartitions { it =>
           it.map { r =>
-            val n = r.payload.length.toLong
-            val feats = Array.tabulate(8)(k => ((n * (k + 1)) % 97).toDouble / 97.0)
+            val feats = features(r.payload.length.toLong)
             val norm = math.sqrt(feats.map(x => x * x).sum)
             MediaFeature(r.doc_id, norm, feats(0))
           }
@@ -128,20 +175,22 @@ object Multimodal extends QueryModule {
         .orderBy("doc_id")
     }),
 
-    // batched "inference": partition iterator chunked into fixed batches,
-    // the shape a GPU-backed encoder needs (amortized model call per
-    // batch). Scores are the per-row deterministic stub so the oracle can
-    // check the chunked path returns exactly the per-row answers.
+    // batched inference with a REAL (deterministic) model: the weights
+    // broadcast to executors once, the partition iterator chunks into
+    // fixed batches, and each batch takes ONE matvec model call
+    // ([[scoreBatch]]) — swap the linear scorer for an ONNX/TF session
+    // and nothing else changes. Oracle re-derives the linear scores in
+    // closed form.
     "mm_batch_infer" -> ((s, d) => {
       import s.implicits._
+      val model = s.sparkContext.broadcast((ModelWeights, ModelBias))
       media(s, d)
         .mapPartitions { it =>
+          val (w, b) = model.value // one deserialization per partition
           it.grouped(32).flatMap { batch =>
-            // a real impl would run ONE model call on the whole batch here
-            batch.map { r =>
-              val n = r.payload.length.toLong
-              (r.doc_id, (n % 89).toDouble / 89.0)
-            }
+            val feats = batch.map(r => features(r.payload.length.toLong)).toArray
+            val scores = scoreBatch(feats, w, b) // ONE model call per batch
+            batch.zip(scores).map { case (r, sc) => (r.doc_id, sc) }
           }
         }
         .toDF("doc_id", "score_raw")
@@ -229,31 +278,40 @@ object Multimodal extends QueryModule {
     })
   )
 
-  /** the Spark stub counts payload BYTES (CAST(text AS BINARY) = UTF-8);
-    * length(text) counts characters and would silently diverge on any
-    * non-ASCII corpus — count octets on the DuckDB side too. Image rows
-    * carry the 33-byte PNG header in front of the text bytes. */
+  /** per-type payload size: image = UTF-8 text bytes + the 33-byte PNG
+    * header media() prepends; audio = a canonical 44-byte WAVE header +
+    * 16-bit mono PCM (2 bytes × the doc_id-keyed sample count — MediaSpec
+    * pins the JDK writer to exactly this layout); video = the raw text
+    * bytes (octet_length, NOT length(text): character counting would
+    * silently diverge on any non-ASCII corpus). */
   private val nBytes =
-    "(octet_length(encode(text)) + CASE WHEN doc_id % 3 = 0 THEN 33 ELSE 0 END)"
+    "(CASE doc_id % 3 WHEN 0 THEN octet_length(encode(text)) + 33 " +
+      "WHEN 1 THEN 44 + (64 + (doc_id % 50) * 16) * 2 " +
+      "ELSE octet_length(encode(text)) END)"
 
   override def oracleSql: Map[String, String] = Map(
-    // image dims mirror what media() wrote INTO the PNG header (keyed on
+    // image dims mirror what media() wrote INTO the PNG header and audio
+    // rate/frames mirror what it encoded INTO the WAVE file (all keyed on
     // doc_id) — the Spark side re-reads them from the bytes, so a parser
-    // bug shows as a hash mismatch here
+    // bug on either container shows as a hash mismatch here
     "mm_decode_meta" ->
       (s"SELECT doc_id, CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type, " +
         s"CAST($nBytes AS BIGINT) AS n_bytes, " +
-        s"CAST(CASE WHEN doc_id % 3 = 0 THEN 16 + doc_id % 640 ELSE 16 + $nBytes % 640 END AS INT) AS width, " +
-        s"CAST(CASE WHEN doc_id % 3 = 0 THEN 16 + doc_id * 7 % 480 ELSE 16 + ($nBytes * 7) % 480 END AS INT) AS height, " +
-        s"CAST(CASE WHEN doc_id % 3 = 2 THEN 1 + $nBytes % 24 ELSE 1 END AS INT) AS n_frames " +
+        s"CAST(CASE doc_id % 3 WHEN 0 THEN 16 + doc_id % 640 WHEN 1 THEN 0 ELSE 16 + $nBytes % 640 END AS INT) AS width, " +
+        s"CAST(CASE doc_id % 3 WHEN 0 THEN 16 + doc_id * 7 % 480 WHEN 1 THEN 0 ELSE 16 + ($nBytes * 7) % 480 END AS INT) AS height, " +
+        s"CAST(CASE doc_id % 3 WHEN 1 THEN 64 + (doc_id % 50) * 16 WHEN 2 THEN 1 + $nBytes % 24 ELSE 1 END AS INT) AS n_frames, " +
+        "CAST(CASE doc_id % 3 WHEN 1 THEN 8000 ELSE 0 END AS INT) AS sample_rate " +
         "FROM documents ORDER BY doc_id"),
     "mm_feature_extract" ->
       (s"SELECT doc_id, round(sqrt(list_sum(list_transform([1, 2, 3, 4, 5, 6, 7, 8], " +
         s"k -> (($nBytes * k % 97) / 97.0) * (($nBytes * k % 97) / 97.0)))), 6) AS norm, " +
         s"round(($nBytes % 97) / 97.0, 6) AS f0 " +
         "FROM documents ORDER BY doc_id"),
+    // the broadcast linear model in closed form: Σ f_k · w_k + bias with
+    // f_k = (n·k % 97)/97 and w_k = k/10 (k = 1..8), bias 0.5
     "mm_batch_infer" ->
-      (s"SELECT doc_id, round(($nBytes % 89) / 89.0, 6) AS score " +
+      (s"SELECT doc_id, round(list_sum(list_transform([1, 2, 3, 4, 5, 6, 7, 8], " +
+        s"k -> (($nBytes * k % 97) / 97.0) * (k / 10.0))) + 0.5, 6) AS score " +
         "FROM documents ORDER BY doc_id"),
     "mm_frame_sample" ->
       ("SELECT doc_id, CAST(frame_no AS INT) AS frame_no FROM (" +

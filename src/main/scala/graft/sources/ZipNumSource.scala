@@ -99,7 +99,14 @@ final class ZipNumTable(path: String, providedSchema: StructType)
       TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val p = Option(options.get("path")).filter(_.nonEmpty).getOrElse(path)
-    new ZipNumScanBuilder(p)
+    // capture the session's Hadoop conf HERE (analysis time, session
+    // thread) and thread it through the scan: estimateStatistics /
+    // planInputPartitions may run on AQE threads where getActiveSession
+    // is empty, and a bare `new Configuration()` fallback would silently
+    // drop custom FS settings (round-3 advice)
+    val conf = new SerializableHadoopConf(
+      org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
+    new ZipNumScanBuilder(p, conf)
   }
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
@@ -111,7 +118,7 @@ final class ZipNumTable(path: String, providedSchema: StructType)
   }
 }
 
-final class ZipNumScanBuilder(dir: String)
+final class ZipNumScanBuilder(dir: String, conf: SerializableHadoopConf)
   extends ScanBuilder with SupportsPushDownFilters
   with SupportsPushDownRequiredColumns with SupportsPushDownLimit
   with SupportsPushDownTopN {
@@ -182,12 +189,19 @@ final class ZipNumScanBuilder(dir: String)
       ZipNumSource.schema.filter(f => requiredSchema.fieldNames.contains(f.name)))
 
   override def build(): Scan =
-    new ZipNumScan(dir, ZipNumSource.rangeFromFilters(pushed), required, limit, topDesc)
+    new ZipNumScan(
+      dir, ZipNumSource.rangeFromFilters(pushed.toIndexedSeq), required, limit, topDesc, conf)
 }
 
 final class ZipNumScan(
     dir: String, range: ZipNumSource.KeyRange, required: StructType,
-    limit: Option[Int] = None, limitFromEnd: Boolean = false)
+    limit: Option[Int] = None, limitFromEnd: Boolean = false,
+    // captured at CONSTRUCTION on the caller thread (the default covers
+    // direct/test construction; the V2 path always passes the conf the
+    // builder captured at analysis time)
+    conf: SerializableHadoopConf = new SerializableHadoopConf(
+      org.apache.spark.sql.SparkSession.getActiveSession
+        .map(_.sparkContext.hadoopConfiguration).getOrElse(new Configuration())))
   extends Scan with Batch with SupportsReportStatistics
   with SupportsRuntimeFiltering {
 
@@ -215,10 +229,12 @@ final class ZipNumScan(
       limit.map(n => s", limit=$n").getOrElse("") + "]"
   override def toBatch: Batch = this
 
-  private def sessionConf: Configuration =
-    org.apache.spark.sql.SparkSession.getActiveSession
-      .map(_.sparkContext.hadoopConfiguration)
-      .getOrElse(new Configuration())
+  /** the session Hadoop conf captured at newScanBuilder time — NOT
+    * re-resolved from getActiveSession, which is a thread-local that AQE
+    * planning threads may not carry (SourceV2Spec pins a custom key
+    * surviving to here) */
+  private def sessionConf: Configuration = conf.value
+  private[graft] def hadoopConf: Configuration = conf.value
 
   /** idx entries surviving block pruning (and the pushed limit cap).
     * Bounded ranges go through [[ZipNum.scanIdxRange]]'s seek-based
@@ -294,7 +310,7 @@ final class ZipNumScan(
     }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory = {
-    val sconf = new SerializableHadoopConf(sessionConf)
+    val sconf = conf
     val fields = required.fieldNames
     (partition: InputPartition) =>
       new ZipNumPartitionReader(

@@ -223,4 +223,41 @@ class CdxServerSpec extends SparkSpec {
       r._1 > full.head._1 || (r._1 == full.head._1 && r._2 > full.head._2)))
     assert(twoField.size == 1, "only /b survives a 2-field cursor at d1")
   }
+
+  test("pageByKey cursor distinguishes NULL json from empty json (sort-consistent)") {
+    import graft.formats.ZipNum
+    // a (urlkey, ts) run holding BOTH a 2-field line (json scans as NULL)
+    // and a 3-field line with an empty json: the sort keeps them distinct
+    // (NULLS FIRST), so the cursor comparison must too — the old
+    // coalesce-to-'' encoding skipped the empty-string row when a page
+    // boundary fell right after the NULL row (round-3 advice)
+    val dir = "/tmp/graft_test/server_zipnum_nulljson"
+    val lines = Seq(
+      "com,nulljson)/a 20150101000000",                     // json NULL
+      "com,nulljson)/a 20150101000000 ",                    // json ""
+      """com,nulljson)/a 20150101000000 {"digest":"d1"}""") // json non-empty
+      .toDF("line")
+    ZipNum.write(lines, dir, shards = 1, linesPerBlock = 1)
+    val server = new CdxServer(spark, dir)
+    val full = server.prefix("com,nulljson)").select("urlkey", "ts", "json")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+    assert(full.map(_._3) == Seq(null, "", """{"digest":"d1"}"""),
+      s"fixture must produce the NULL/''/json run in sort order: $full")
+    // page size 1 from the very start: every row returns exactly once
+    var walked = Seq.empty[(String, String, String)]
+    var cursor: Option[(String, String, String)] = None
+    var guard = 0
+    var doneFlag = false
+    while (!doneFlag) {
+      val page = (cursor match {
+        case None => server.pageByKey("com,nulljson)", "", "", 1, Some(""))
+        case Some(c) => server.pageByKey("com,nulljson)", c._1, c._2, 1, Some(c._3))
+      }).collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+      if (page.isEmpty) doneFlag = true
+      else { walked ++= page; cursor = Some(page.last) }
+      guard += 1; assert(guard < 10)
+    }
+    assert(walked == full,
+      s"NULL-json and empty-json rows must both survive page boundaries: $walked vs $full")
+  }
 }

@@ -131,9 +131,9 @@ class GzipSpec extends SparkSpec {
       assert(es.last.offset + es.last.compressedLength == fileBytes.length)
     }
     // a FAKE magic in the garbage starts a doomed parse that consumes the
-    // real next header before failing — that member is unrecoverable (the
-    // warcio resync heuristic shares this limit). The contract that DOES
-    // hold: earlier members survive, tiling stays exact, no exception.
+    // real next header before failing — the bounded-replay rewind rescans
+    // from the fake's second byte, so the swallowed member IS recovered
+    // (the plain warcio resync heuristic loses it; round-3 advice)
     val fake = Array[Byte](0x1f, 0x8b.toByte, 0x08, 0x00, 9, 9)
     val out = new ByteArrayOutputStream()
     Gzip.writeMember(out, pa)
@@ -141,7 +141,13 @@ class GzipSpec extends SparkSpec {
     Gzip.writeMember(out, pb)
     val bytes = out.toByteArray
     val es = Gzip.entries(new ByteArrayInputStream(bytes), permissive = true).toList
-    assert(es.collect { case m: Gzip.Member => m.bytes.toSeq }.head == pa.toSeq)
+    assert(es.collect { case m: Gzip.Member => m.bytes.toSeq } == List(pa.toSeq, pb.toSeq),
+      s"the member behind a fake magic must be recovered: $es")
+    assert(es.collect { case s: Gzip.CorruptSpan => s.compressedLength }.sum == fake.length)
+    es.sliding(2).foreach {
+      case List(a, b) => assert(b.offset == a.offset + a.compressedLength)
+      case _ =>
+    }
     assert(es.last.offset + es.last.compressedLength == bytes.length)
   }
 

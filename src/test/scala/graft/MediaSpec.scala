@@ -35,6 +35,30 @@ class MediaSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(new String(bytes, 8, 4, "US-ASCII") == "WAVE")
   }
 
+  test("WAV layout is the canonical 44-byte header + PCM (the oracle's closed form)") {
+    // the mm_* DuckDB oracles assume n_bytes = 44 + 2·nSamples for audio
+    // payloads — if the JDK writer ever emits extra chunks this fails
+    // BEFORE the oracle gate does
+    for (n <- Seq(2, 64, 848)) {
+      assert(Media.squareWav(8000, 300, n).length == 44 + 2 * n, s"nSamples=$n")
+    }
+  }
+
+  test("Multimodal.decode routes RIFF/WAVE payloads through the real PCM parser") {
+    val n = 128
+    val row = queries.Multimodal.MediaRow(7L, "audio", Media.squareWav(8000, 900, n))
+    val meta = queries.Multimodal.decode(row)
+    assert(meta.sample_rate == 8000, "sample rate must come from the parsed header")
+    assert(meta.n_frames == n, "audio frame count must come from the parsed PCM length")
+    assert(meta.n_bytes == 44 + 2 * n)
+    // duration is derivable from the parsed fields: frames / rate
+    assert(math.abs(meta.n_frames.toDouble / meta.sample_rate - n / 8000.0) < 1e-12)
+    // and a payload matching no container keeps the deterministic defaults
+    val opaque = queries.Multimodal.decode(
+      queries.Multimodal.MediaRow(8L, "video", "just some text".getBytes("UTF-8")))
+    assert(opaque.sample_rate == 0 && opaque.width == (16 + 14 % 640))
+  }
+
   test("GIF round trip: the reader recovers the exact frame count from the stream") {
     for (n <- Seq(1, 5, 24)) {
       val (frames, w) = Media.gifFrames(Media.animatedGif(4, 4, n))

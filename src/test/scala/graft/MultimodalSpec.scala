@@ -16,7 +16,7 @@ class MultimodalSpec extends org.scalatest.funsuite.AnyFunSuite {
     }
   }
 
-  test("non-PNG payloads return None (fall through to the stub)") {
+  test("non-PNG payloads return None (fall through to the next container parser)") {
     assert(Multimodal.pngDims("just text".getBytes("UTF-8")).isEmpty)
     assert(Multimodal.pngDims(Array[Byte](0x1f, 0x8b.toByte)).isEmpty) // gzip magic
     assert(Multimodal.pngDims(Array.emptyByteArray).isEmpty)

@@ -42,6 +42,23 @@ class SourceV2Spec extends SparkSpec {
       s"directory load must expand to its files, got $n rows")
   }
 
+  test("custom Hadoop conf survives from the session into the planned scan") {
+    // the scan must carry the conf captured at newScanBuilder time, not
+    // re-resolve getActiveSession (a thread-local AQE planning threads may
+    // not carry, whose old fallback silently dropped custom FS settings)
+    setup()
+    val key = "graft.test.conf.key"
+    spark.sparkContext.hadoopConfiguration.set(key, "survives")
+    try {
+      val table = new graft.sources.ZipNumTable(zipDir, null)
+      val scan = table
+        .newScanBuilder(new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+          java.util.Collections.emptyMap()))
+        .build().asInstanceOf[graft.sources.ZipNumScan]
+      assert(scan.hadoopConf.get(key) == "survives")
+    } finally spark.sparkContext.hadoopConfiguration.unset(key)
+  }
+
   test("format(zipnum) returns the full sorted cluster") {
     setup()
     val rows = spark.read.format("zipnum").load(zipDir)
