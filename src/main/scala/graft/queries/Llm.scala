@@ -341,21 +341,21 @@ object Llm extends QueryModule {
       graft.Pipeline.curateCorpus(corpus, exactThreshold = true).orderBy("cluster_id")
     }),
 
-    // brute-force cosine top-k against the vec_id=0 query vector
+    // brute-force cosine top-k against the vec_id=0 query vector — the
+    // exact baseline the ANN variants are measured against; per-row math
+    // is the native codegen cosine kernel (value-parity with the composed
+    // HOF form pinned in NativeExprSpec), and the top-k compiles to
+    // TakeOrderedAndProject (map-side heaps, no global sort)
     "sim_cosine_topk" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
       val e = Tables.t(s, d, "embeddings")
       val q = e.filter(col("vec_id") === 0)
-        .select(col("embedding").as("q_embedding"))
-      val withCos = e.crossJoin(broadcast(q))
-        .withColumn("ed", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
-        .withColumn("qd", expr("transform(q_embedding, x -> CAST(x AS DOUBLE))"))
-        .withColumn("dot", expr(
-          "aggregate(zip_with(ed, qd, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"))
-        .withColumn("na", expr("sqrt(aggregate(ed, 0D, (acc, v) -> acc + v * v))"))
-        .withColumn("nb", expr("sqrt(aggregate(qd, 0D, (acc, v) -> acc + v * v))"))
+        .select(col("embedding").cast("array<double>").as("qd"))
+      e.crossJoin(broadcast(q))
+        .withColumn("ed", col("embedding").cast("array<double>"))
         .select(col("vec_id"), col("label"),
-          round(col("dot") / (col("na") * col("nb")), 6).as("cos"))
-      withCos.orderBy(col("cos").desc, col("vec_id")).limit(20)
+          round(call_udf("cosine_sim", col("ed"), col("qd")), 6).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id")).limit(20)
     })
   )
 

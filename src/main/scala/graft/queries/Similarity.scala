@@ -185,8 +185,36 @@ object Similarity extends QueryModule {
       val cents = graft.ops.KMeans.train(
         e, "ed", graft.ops.KMeans.seedById(e, "vec_id", "ed", k = 16), maxIters = 4)
       ivfTrainedTopK(e, cents, queryId = 0L, nProbe = 2)
+    }),
+
+    // PQ with TRAINED per-subspace codebooks: m independent seeded
+    // k-means runs over the corpus's subvector slices (each a narrow
+    // slice projection + the same KMeans DataFrame loop), then the
+    // identical encode/ADC query as sim_ann_pq. Oracle-exempt for the
+    // same float-summation-order reason as sim_ann_ivf_trained;
+    // SimilaritySpec pins planted-neighbor recall. Real recall on real
+    // embeddings comes from exactly this path — the reserved-vector
+    // variant stays as the deterministic-oracle twin.
+    "sim_ann_pq_trained" -> ((s, d) => {
+      val e = emb(s, d).select(col("vec_id"), col("ed"))
+      pqTopK(e, queryId = 0L, codebook = Some(trainPqCodebook(e)))
     })
   )
+
+  /** per-subspace trained codebook in [[pqTopK]]'s flat layout
+    * (j·nCent + c): m independent k-means runs, each seeded with the
+    * reserved subvectors so training is deterministic given the corpus */
+  def trainPqCodebook(
+      e: DataFrame, m: Int = 4, subDim: Int = 16, nCent: Int = 16,
+      maxIters: Int = 3): Array[Array[Double]] = {
+    GraftFunctions.register(e.sparkSession)
+    val seeds = reservedCodebook(e, m, subDim, nCent)
+    Array.tabulate(m) { j =>
+      val sub = e.selectExpr(s"slice(ed, ${j * subDim + 1}, $subDim) AS sub")
+      graft.ops.KMeans.train(
+        sub, "sub", seeds.slice(j * nCent, (j + 1) * nCent), maxIters = maxIters)
+    }.flatten
+  }
 
   /** IVF assign + probe-`nProbe`-cells cosine top-k over embeddings
     * (reserved-vector codebook — the deterministic, DuckDB-oracled path;

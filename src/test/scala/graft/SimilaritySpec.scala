@@ -137,6 +137,31 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("sim_ann_pq_trained: planted near-duplicates survive the trained quantizer") {
+    // same planted-recall property as the reserved-codebook PQ test: tiny
+    // perturbations of the query must encode to the query's codes under
+    // the TRAINED per-subspace codebooks and land at the head of the
+    // result (ties in approx_dist broken by vec_id)
+    graft.functions.GraftFunctions.register(spark)
+    val base = Tables.t(spark, sfDir, "embeddings")
+      .withColumn("ed", col("embedding").cast("array<double>"))
+      .select(col("vec_id"), col("ed"))
+    val planted = base.filter(col("vec_id") === 0)
+      .crossJoin(Seq(1, 2, 3, 4, 5).toDF("i"))
+      .select((col("i") + 900000L).as("vec_id"),
+        expr("transform(ed, x -> x + i * 0.0001D)").as("ed"))
+    val corpus = base.unionByName(planted)
+    val book = graft.queries.Similarity.trainPqCodebook(corpus)
+    assert(book.length == 64 && book.forall(_.length == 16))
+    val top = graft.queries.Similarity
+      .pqTopK(corpus, queryId = 0L, codebook = Some(book))
+      .collect()
+    val ids = top.map(_.getAs[Long]("vec_id")).toSet
+    val expected = Set(0L, 900001L, 900002L, 900003L, 900004L, 900005L)
+    assert(expected.subsetOf(ids),
+      s"planted near-dups missing from trained-PQ top-10: ${expected.diff(ids)} in $ids")
+  }
+
   test("emb_normalize: unit vectors have norm 1") {
     val rows = SparkEntry.queries("emb_normalize")(spark, sfDir).collect()
     rows.foreach(r => assert(math.abs(r.getAs[Double]("unit_norm") - 1.0) <= 1e-6))
