@@ -38,14 +38,16 @@ object Bench {
     // across rounds (Map iteration order is arbitrary)
     val failed = scala.collection.mutable.ListBuffer[String]()
     def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
-        recordFailure: Boolean): Double = {
+        recordFailure: Boolean): (Double, Boolean) = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() }
-      catch { case e: Throwable =>
-        if (recordFailure) failed += name
-        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-      }
-      (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          if (recordFailure) failed += name
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          false
+        }
+      ((System.nanoTime() - t0) / 1e9, ok)
     }
     val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> timeOne(name, fn, recordFailure = true)
@@ -63,20 +65,28 @@ object Bench {
         .filter { case (k, _) => k != "value" }.toMap
     } catch { case _: Throwable => Map.empty }
     val reran = scala.collection.mutable.ListBuffer[String]()
-    val results = firstPass.map { case (name, t) =>
-      val suspicious = refs.get(name).exists(r => t > math.max(3 * r, 1.0)) &&
-        !failed.contains(name)
+    val results = firstPass.map { case (name, (t, ok)) =>
+      val suspicious = ok && refs.get(name).exists(r => t > math.max(3 * r, 1.0))
       if (!suspicious) name -> t
       else {
         reran += name
-        name -> math.min(t, timeOne(name, SparkEntry.queries(name), recordFailure = false))
+        // a FAILED rerun must not donate its fast wall time (and the
+        // first pass already proved the query green) — keep t unless the
+        // rerun actually completed
+        val (t2, ok2) = timeOne(name, SparkEntry.queries(name), recordFailure = false)
+        name -> (if (ok2) math.min(t, t2) else t)
       }
     }
     val ratios = results.flatMap { case (k, v) =>
       refs.get(k).filter(_ > 0).map(v / _) }.sorted
     val ratioStats =
       if (ratios.isEmpty) ""
-      else s""","ratio_median":${ratios(ratios.size / 2)},"ratio_max":${ratios.last}"""
+      else {
+        val n = ratios.size
+        val median =
+          if (n % 2 == 1) ratios(n / 2) else (ratios(n / 2 - 1) + ratios(n / 2)) / 2
+        s""","ratio_median":$median,"ratio_max":${ratios.last}"""
+      }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

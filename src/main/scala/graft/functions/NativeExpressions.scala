@@ -197,13 +197,21 @@ case class CosineSimExpr(left: Expression, right: Expression)
 
   override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType), ArrayType(DoubleType))
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true // null on length mismatch (HOF parity)
   override def prettyName: String = "cosine_sim"
 
   override def nullSafeEval(a: Any, b: Any): Any =
     VecAlg.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecAlg.cosine($a, $b)")
+    nullSafeCodeGen(ctx, ev, { (a, b) =>
+      val boxed = ctx.freshName("boxed")
+      s"""
+         |java.lang.Double $boxed = graft.functions.VecAlg.cosine($a, $b);
+         |${ev.isNull} = $boxed == null;
+         |${ev.value} = ${ev.isNull} ? 0.0 : $boxed.doubleValue();
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CosineSimExpr =
@@ -216,13 +224,21 @@ case class L2DistExpr(left: Expression, right: Expression)
 
   override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType), ArrayType(DoubleType))
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true // null on length mismatch (HOF parity)
   override def prettyName: String = "l2_dist"
 
   override def nullSafeEval(a: Any, b: Any): Any =
     VecAlg.l2Dist(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecAlg.l2Dist($a, $b)")
+    nullSafeCodeGen(ctx, ev, { (a, b) =>
+      val boxed = ctx.freshName("boxed")
+      s"""
+         |java.lang.Double $boxed = graft.functions.VecAlg.l2Dist($a, $b);
+         |${ev.isNull} = $boxed == null;
+         |${ev.value} = ${ev.isNull} ? 0.0 : $boxed.doubleValue();
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): L2DistExpr =
@@ -241,6 +257,7 @@ case class PqEncodeExpr(first: Expression, second: Expression, third: Expression
   override def inputTypes: Seq[DataType] =
     Seq(ArrayType(DoubleType), ArrayType(ArrayType(DoubleType)), IntegerType)
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true // null for rows that don't tile the codebook
   override def prettyName: String = "pq_encode"
 
   override def checkInputDataTypes(): TypeCheckResult = {
@@ -263,6 +280,7 @@ case class PqEncodeExpr(first: Expression, second: Expression, third: Expression
     nullSafeCodeGen(ctx, ev, (ed, book, sd) =>
       s"""
          |${ev.value} = graft.functions.VecAlg.pqEncode($ed, $book, $sd);
+         |${ev.isNull} = ${ev.value} == null;
        """.stripMargin)
 
   override protected def withNewChildrenInternal(

@@ -17,9 +17,10 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
   */
 object VecAlg {
 
-  /** Σ aᵢ·bᵢ in array order */
-  def dot(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+  /** Σ aᵢ·bᵢ in array order — caller must have checked equal lengths
+    * (the pairwise entry points below return null on mismatch) */
+  private def dotEq(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
     var s = 0.0
     var i = 0
     while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
@@ -36,16 +37,24 @@ object VecAlg {
   }
 
   /** dot/(‖a‖·‖b‖), each factor computed exactly like the composed form
-    * (dot / (sqrt(Σa²) * sqrt(Σb²)) — NOT sqrt of the product) */
-  def cosine(a: ArrayData, b: ArrayData): Double = dot(a, b) / (norm(a) * norm(b))
+    * (dot / (sqrt(Σa²) * sqrt(Σb²)) — NOT sqrt of the product). NULL on
+    * length mismatch: zip_with pads the shorter side with nulls, so the
+    * HOF forms return NULL for a truncated/corrupt vector — silently
+    * scoring the common prefix would hide exactly the malformed rows the
+    * parity contract is supposed to surface. */
+  def cosine(a: ArrayData, b: ArrayData): java.lang.Double =
+    if (a.numElements() != b.numElements()) null
+    else java.lang.Double.valueOf(dotEq(a, b) / (norm(a) * norm(b)))
 
-  /** √(Σ (aᵢ−bᵢ)²) in array order */
-  def l2Dist(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+  /** √(Σ (aᵢ−bᵢ)²) in array order; NULL on length mismatch (see
+    * [[cosine]]) */
+  def l2Dist(a: ArrayData, b: ArrayData): java.lang.Double = {
+    if (a.numElements() != b.numElements()) return null
+    val n = a.numElements()
     var s = 0.0
     var i = 0
     while (i < n) { val d = a.getDouble(i) - b.getDouble(i); s += d * d; i += 1 }
-    math.sqrt(s)
+    java.lang.Double.valueOf(math.sqrt(s))
   }
 
   /** driver-side twin of [[l2Dist]] (ADC tables, k-means shifts) — same
@@ -65,16 +74,15 @@ object VecAlg {
     * `row_number() ORDER BY dist, cid` tie-break). subDim == dim gives
     * m = 1: plain nearest-centroid assignment (IVF cells, k-means). */
   def pqEncode(ed: ArrayData, book: ArrayData, subDim: Int): ArrayData = {
+    // a malformed ROW (truncated vector, or one that doesn't tile against
+    // this codebook) yields a NULL code array — row-level damage must not
+    // kill the task, and must not quietly quantize a prefix either; a
+    // non-positive subDim is a plan error and fails analysis upstream
+    // (PqEncodeExpr.checkInputDataTypes)
     val dim = ed.numElements()
-    if (subDim <= 0 || dim % subDim != 0) {
-      throw new IllegalArgumentException(
-        s"pq_encode: subDim $subDim must divide the vector length $dim")
-    }
+    if (subDim <= 0 || dim == 0 || dim % subDim != 0) return null
     val m = dim / subDim
-    if (book.numElements() == 0 || book.numElements() % m != 0) {
-      throw new IllegalArgumentException(
-        s"pq_encode: codebook length ${book.numElements()} must be a positive multiple of m=$m")
-    }
+    if (book.numElements() == 0 || book.numElements() % m != 0) return null
     val nCent = book.numElements() / m
     val codes = new Array[Int](m)
     var j = 0
@@ -84,6 +92,7 @@ object VecAlg {
       var c = 0
       while (c < nCent) {
         val cent = book.getArray(j * nCent + c)
+        if (cent.numElements() != subDim) return null // corrupt codebook entry
         var s = 0.0
         var i = 0
         while (i < subDim) {
@@ -103,13 +112,16 @@ object VecAlg {
 
   /** hyperplane-sign bucket: bit i set iff dot(ed, planes[i]) > 0 — the
     * value-parity twin of the composed
-    * `aggregate(transform(planes, (p,i) -> IF(dot > 0, shiftleft(1,i), 0)), 0, +)` */
+    * `aggregate(transform(planes, (p,i) -> IF(dot > 0, shiftleft(1,i), 0)), 0, +)`.
+    * A length-mismatched vector leaves every bit unset, matching the HOF
+    * form (NULL dot → the IF's else branch → 0). */
   def lshBucket(ed: ArrayData, planes: ArrayData): Int = {
     val n = planes.numElements()
     var bucket = 0
     var i = 0
     while (i < n) {
-      if (dot(ed, planes.getArray(i)) > 0) bucket |= (1 << i)
+      val p = planes.getArray(i)
+      if (ed.numElements() == p.numElements() && dotEq(ed, p) > 0) bucket |= (1 << i)
       i += 1
     }
     bucket

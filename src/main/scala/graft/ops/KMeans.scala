@@ -61,6 +61,7 @@ object KMeans {
         .select(
           element_at(call_udf("pq_encode", col("v"), bookLit, lit(dim)), 1).as("cid"),
           posexplode(col("v")))
+        .filter(col("cid").isNotNull) // rows not matching the centroid dim
         .groupBy("cid", "pos").agg(avg("col").as("m"))
         .collect()
       val next = Array.tabulate(k)(c => cents(c).clone())

@@ -109,19 +109,25 @@ object Multimodal extends QueryModule {
     * undecodable payloads, not a stand-in for a missing parser. */
   private[graft] def decode(r: MediaRow): MediaMeta = {
     val n = r.payload.length.toLong
+    def defaults = MediaMeta(
+      r.doc_id, r.media_type, n,
+      width = (16 + n % 640).toInt,
+      height = (16 + (n * 7) % 480).toInt,
+      n_frames = if (r.media_type == "video") (1 + n % 24).toInt else 1,
+      sample_rate = 0)
     pngDims(r.payload) match {
       case Some((w, h)) =>
         MediaMeta(r.doc_id, r.media_type, n, w, h, n_frames = 1, sample_rate = 0)
       case None if isRiffWave(r.payload) =>
-        val st = graft.ops.Media.decodeWav(r.payload)
-        MediaMeta(r.doc_id, r.media_type, n, width = 0, height = 0,
-          n_frames = st.nSamples.toInt, sample_rate = st.sampleRate)
-      case None => MediaMeta(
-        r.doc_id, r.media_type, n,
-        width = (16 + n % 640).toInt,
-        height = (16 + (n * 7) % 480).toInt,
-        n_frames = if (r.media_type == "video") (1 + n % 24).toInt else 1,
-        sample_rate = 0)
+        // magic bytes promise a container, not a parseable one: a
+        // truncated/esoteric WAV must fall to the defaults, not fail the
+        // task (12 matching bytes can also occur in arbitrary payloads)
+        try {
+          val st = graft.ops.Media.decodeWav(r.payload)
+          MediaMeta(r.doc_id, r.media_type, n, width = 0, height = 0,
+            n_frames = st.nSamples.toInt, sample_rate = st.sampleRate)
+        } catch { case _: Exception => defaults }
+      case None => defaults
     }
   }
 

@@ -29,8 +29,6 @@ import org.apache.spark.sql.functions._
   */
 object Similarity extends QueryModule {
 
-  private def dotD(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
   private def normD(a: String): String =
     s"sqrt(aggregate($a, 0D, (acc, v) -> acc + v * v))"
 
@@ -261,11 +259,12 @@ object Similarity extends QueryModule {
     val probes = cents.zipWithIndex
       .map { case (c, i) => (VecAlg.l2DistArr(q, c), i) }
       .sortBy(identity).take(nProbe).map(_._2)
-    val qd = e.filter(col("vec_id") === queryId).select(col("ed").as("qd"))
+    // the query vector was just collected — ship it as a literal like the
+    // codebook instead of a second scan + broadcast-join subquery
+    val qd = typedLit(q.toSeq)
     e.withColumn("cid", element_at(call_udf("pq_encode", col("ed"), bookLit, lit(dim)), 1))
-      .filter(col("cid").isin(probes.map(Int.box).toSeq: _*))
-      .crossJoin(broadcast(qd))
-      .withColumn("cos", call_udf("cosine_sim", col("ed"), col("qd")))
+      .filter(col("cid").isNotNull && col("cid").isin(probes.map(Int.box).toSeq: _*))
+      .withColumn("cos", call_udf("cosine_sim", col("ed"), qd))
       .select(col("vec_id"), col("cid"), round(col("cos"), 6).as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(k)
@@ -303,8 +302,11 @@ object Similarity extends QueryModule {
       Array.tabulate(nCent)(c => VecAlg.l2DistArr(qSub, book(j * nCent + c)))
     }
     val bookLit = typedLit(book.map(_.toSeq).toSeq)
+    // rows that don't tile the codebook encode to NULL — drop them (an
+    // ascending orderBy would otherwise surface them FIRST)
     val codes = e.select(col("vec_id"),
       call_udf("pq_encode", col("ed"), bookLit, lit(subDim)).as("codes"))
+      .filter(col("codes").isNotNull)
     val adist = (0 until m)
       .map(j => element_at(typedLit(dtab(j).toSeq), element_at(col("codes"), j + 1) + 1))
       .reduce(_ + _)

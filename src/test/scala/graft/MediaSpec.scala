@@ -57,6 +57,16 @@ class MediaSpec extends org.scalatest.funsuite.AnyFunSuite {
     val opaque = queries.Multimodal.decode(
       queries.Multimodal.MediaRow(8L, "video", "just some text".getBytes("UTF-8")))
     assert(opaque.sample_rate == 0 && opaque.width == (16 + 14 % 640))
+    // RIFF/WAVE magic over a truncated/garbage body must fall back to the
+    // defaults, not fail the task (magic bytes promise a container, not a
+    // parseable one)
+    val fakeWav = "RIFF0000WAVEgarbage".getBytes("US-ASCII")
+    val broken = queries.Multimodal.decode(
+      queries.Multimodal.MediaRow(9L, "audio", fakeWav))
+    assert(broken.sample_rate == 0 && broken.n_bytes == fakeWav.length)
+    val truncated = queries.Multimodal.decode(
+      queries.Multimodal.MediaRow(10L, "audio", Media.squareWav(8000, 300, 64).take(30)))
+    assert(truncated.sample_rate == 0, "truncated WAV must take the defaults")
   }
 
   test("GIF round trip: the reader recovers the exact frame count from the stream") {

@@ -198,6 +198,36 @@ class NativeExprSpec extends SparkSpec {
     assert(diff.isEmpty, diff.take(3).mkString("\n"))
   }
 
+  test("vector kernels on length-mismatched vectors: NULL/zero like the HOF forms") {
+    GraftFunctions.register(spark)
+    // zip_with pads the shorter side with nulls -> HOF cosine/l2 are NULL
+    // for a truncated vector; the kernels must agree, never score a prefix
+    val rows = Seq(
+      (Array(1.0, 2.0, 3.0), Array(1.0, 2.0)),      // mismatched
+      (Array(1.0, 2.0), Array(3.0, 4.0)))           // matched control
+      .toDF("a", "b")
+      .selectExpr(
+        "cosine_sim(a, b) AS cosk", "l2_dist(a, b) AS l2k",
+        "aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (acc, v) -> acc + v) / " +
+          "(sqrt(aggregate(a, 0D, (acc, v) -> acc + v * v)) * " +
+          "sqrt(aggregate(b, 0D, (acc, v) -> acc + v * v))) AS cosh",
+        "sqrt(aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v)) AS l2h")
+      .collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(2) && r.isNullAt(1) == r.isNullAt(3), r.toString)
+      if (!r.isNullAt(0)) assert(r.getDouble(0) == r.getDouble(2) && r.getDouble(1) == r.getDouble(3))
+    }
+    // pq_encode: a row that doesn't tile the codebook -> NULL codes
+    val enc = Seq(Array(1.0, 2.0, 3.0)).toDF("v") // length 3, subDim 2
+      .selectExpr("pq_encode(v, array(array(0D, 0D), array(9D, 9D)), 2) AS codes")
+      .head()
+    assert(enc.isNullAt(0), "non-tiling vector must encode to NULL")
+    // lsh_bucket: mismatched vector leaves every bit unset (HOF IF-else 0)
+    val b = Seq(Array(1.0, 1.0, 1.0)).toDF("v")
+      .selectExpr("lsh_bucket(v, array(array(1D, 1D))) AS bucket").head()
+    assert(b.getInt(0) == 0)
+  }
+
   test("pq_encode == relational explode+join+argmin-window codes") {
     GraftFunctions.register(spark)
     val e = Tables.t(spark, sfDir, "embeddings")
