@@ -4,11 +4,26 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, ImplicitCastInputTypes, TernaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, ImplicitCastInputTypes, QuaternaryExpression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
+
+/** shared codegen template for kernels that return a BOXED value (null =
+  * SQL NULL): call into a fresh local, derive isNull, unbox with a
+  * neutral default — one definition instead of a copy per expression */
+private[functions] object NullableKernelGen {
+  def gen(ctx: CodegenContext, ev: ExprCode,
+      boxType: String, unbox: String, neutral: String, call: String): String = {
+    val boxed = ctx.freshName("boxed")
+    s"""
+       |$boxType $boxed = $call;
+       |${ev.isNull} = $boxed == null;
+       |${ev.value} = ${ev.isNull} ? $neutral : $boxed.$unbox();
+     """.stripMargin
+  }
+}
 
 /** Native Catalyst expressions (SURVEY §4 custom work, items 1–2):
   * codegen'd SURT canonicalization and RFC 4648 base32 — both participate
@@ -132,14 +147,9 @@ case class SimHashTextExpr(child: Expression)
     SimHashAlg.simhash64Text(input.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, { c =>
-      val boxed = ctx.freshName("boxed")
-      s"""
-         |java.lang.Long $boxed = graft.functions.SimHashAlg.simhash64Text($c);
-         |${ev.isNull} = $boxed == null;
-         |${ev.value} = ${ev.isNull} ? 0L : $boxed.longValue();
-       """.stripMargin
-    })
+    nullSafeCodeGen(ctx, ev, c => NullableKernelGen.gen(ctx, ev,
+      "java.lang.Long", "longValue", "0L",
+      s"graft.functions.SimHashAlg.simhash64Text($c)"))
 
   override protected def withNewChildInternal(newChild: Expression): SimHashTextExpr =
     copy(child = newChild)
@@ -204,14 +214,9 @@ case class CosineSimExpr(left: Expression, right: Expression)
     VecAlg.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, { (a, b) =>
-      val boxed = ctx.freshName("boxed")
-      s"""
-         |java.lang.Double $boxed = graft.functions.VecAlg.cosine($a, $b);
-         |${ev.isNull} = $boxed == null;
-         |${ev.value} = ${ev.isNull} ? 0.0 : $boxed.doubleValue();
-       """.stripMargin
-    })
+    nullSafeCodeGen(ctx, ev, (a, b) => NullableKernelGen.gen(ctx, ev,
+      "java.lang.Double", "doubleValue", "0.0",
+      s"graft.functions.VecAlg.cosine($a, $b)"))
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CosineSimExpr =
@@ -231,61 +236,92 @@ case class L2DistExpr(left: Expression, right: Expression)
     VecAlg.l2Dist(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, { (a, b) =>
-      val boxed = ctx.freshName("boxed")
-      s"""
-         |java.lang.Double $boxed = graft.functions.VecAlg.l2Dist($a, $b);
-         |${ev.isNull} = $boxed == null;
-         |${ev.value} = ${ev.isNull} ? 0.0 : $boxed.doubleValue();
-       """.stripMargin
-    })
+    nullSafeCodeGen(ctx, ev, (a, b) => NullableKernelGen.gen(ctx, ev,
+      "java.lang.Double", "doubleValue", "0.0",
+      s"graft.functions.VecAlg.l2Dist($a, $b)"))
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): L2DistExpr =
     copy(left = newLeft, right = newRight)
 }
 
-/** (array<double> vector, array<array<double>> flat codebook, subDim) ->
-  * array<int> PQ codes (argmin centroid per subspace; subDim == dim gives
-  * plain nearest-centroid assignment). The codebook rides in as a literal
-  * — centroids are driver-side model artifacts, broadcast with the plan —
-  * so encoding is ONE narrow codegen pass: no explode, no centroid join,
-  * no argmin window (the round-3 pqTopK shape this replaces). */
-case class PqEncodeExpr(first: Expression, second: Expression, third: Expression)
-  extends TernaryExpression with ImplicitCastInputTypes {
+/** (array<double> vector, array<array<double>> flat codebook, subDim,
+  * nCent) -> array<int> PQ codes (argmin centroid per subspace; subDim ==
+  * dim gives plain nearest-centroid assignment). The codebook rides in as
+  * a literal — centroids are driver-side model artifacts, broadcast with
+  * the plan — so encoding is ONE narrow codegen pass: no explode, no
+  * centroid join, no argmin window (the round-3 pqTopK shape this
+  * replaces). nCent makes the codebook's shape authoritative
+  * ([[VecAlg.pqEncode]]); a FOLDABLE codebook (every call site) is
+  * shape-validated here at analysis time, so a corrupt model artifact
+  * fails the plan loudly instead of NULLing every row, and runtime NULLs
+  * are strictly per-row damage. */
+case class PqEncodeExpr(
+    first: Expression, second: Expression, third: Expression, fourth: Expression)
+  extends QuaternaryExpression with ImplicitCastInputTypes {
 
   override def inputTypes: Seq[DataType] =
-    Seq(ArrayType(DoubleType), ArrayType(ArrayType(DoubleType)), IntegerType)
+    Seq(ArrayType(DoubleType), ArrayType(ArrayType(DoubleType)), IntegerType, IntegerType)
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullable: Boolean = true // null for rows that don't tile the codebook
   override def prettyName: String = "pq_encode"
 
   override def checkInputDataTypes(): TypeCheckResult = {
     val base = super.checkInputDataTypes()
-    if (base.isFailure) base
-    else if (!third.foldable)
-      TypeCheckResult.TypeCheckFailure(s"$prettyName: subDim must be a literal")
-    else third.eval() match {
-      case v: Int if v <= 0 =>
-        TypeCheckResult.TypeCheckFailure(s"$prettyName: subDim must be positive, got $v")
+    if (base.isFailure) return base
+    def positiveLit(name: String, e: Expression): Either[TypeCheckResult, Int] =
+      if (!e.foldable)
+        Left(TypeCheckResult.TypeCheckFailure(s"$prettyName: $name must be a literal"))
+      else e.eval() match {
+        case v: Int if v > 0 => Right(v)
+        case v => Left(TypeCheckResult.TypeCheckFailure(
+          s"$prettyName: $name must be a positive literal, got $v"))
+      }
+    (positiveLit("subDim", third), positiveLit("nCent", fourth)) match {
+      case (Left(f), _) => f
+      case (_, Left(f)) => f
+      case (Right(subDim), Right(nCent)) if second.foldable =>
+        second.eval() match {
+          case null => TypeCheckResult.TypeCheckSuccess // null book -> null rows
+          case b: ArrayData =>
+            val n = b.numElements()
+            if (n == 0 || n % nCent != 0)
+              TypeCheckResult.TypeCheckFailure(
+                s"$prettyName: codebook holds $n subvectors, not a positive multiple of nCent=$nCent")
+            else {
+              var i = 0
+              while (i < n) {
+                val cent = b.getArray(i)
+                if (cent == null || cent.numElements() != subDim)
+                  return TypeCheckResult.TypeCheckFailure(
+                    s"$prettyName: codebook entry $i is ${if (cent == null) "null"
+                    else s"length ${cent.numElements()}"}, expected subDim=$subDim")
+                i += 1
+              }
+              TypeCheckResult.TypeCheckSuccess
+            }
+          case _ => TypeCheckResult.TypeCheckSuccess
+        }
       case _ => TypeCheckResult.TypeCheckSuccess
     }
   }
 
-  override def nullSafeEval(ed: Any, book: Any, subDim: Any): Any =
+  override def nullSafeEval(ed: Any, book: Any, subDim: Any, nCent: Any): Any =
     VecAlg.pqEncode(
-      ed.asInstanceOf[ArrayData], book.asInstanceOf[ArrayData], subDim.asInstanceOf[Int])
+      ed.asInstanceOf[ArrayData], book.asInstanceOf[ArrayData],
+      subDim.asInstanceOf[Int], nCent.asInstanceOf[Int])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (ed, book, sd) =>
+    nullSafeCodeGen(ctx, ev, (ed, book, sd, nc) =>
       s"""
-         |${ev.value} = graft.functions.VecAlg.pqEncode($ed, $book, $sd);
+         |${ev.value} = graft.functions.VecAlg.pqEncode($ed, $book, $sd, $nc);
          |${ev.isNull} = ${ev.value} == null;
        """.stripMargin)
 
   override protected def withNewChildrenInternal(
-      newFirst: Expression, newSecond: Expression, newThird: Expression): PqEncodeExpr =
-    copy(first = newFirst, second = newSecond, third = newThird)
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression, newFourth: Expression): PqEncodeExpr =
+    copy(first = newFirst, second = newSecond, third = newThird, fourth = newFourth)
 }
 
 /** (array<double> vector, array<array<double>> hyperplanes) -> int
@@ -324,7 +360,7 @@ object GraftFunctions {
     "minhash_sig_text" -> ((exprs: Seq[Expression]) => MinHashTextExpr(exprs(0), exprs(1), exprs(2))),
     "cosine_sim" -> ((exprs: Seq[Expression]) => CosineSimExpr(exprs(0), exprs(1))),
     "l2_dist" -> ((exprs: Seq[Expression]) => L2DistExpr(exprs(0), exprs(1))),
-    "pq_encode" -> ((exprs: Seq[Expression]) => PqEncodeExpr(exprs(0), exprs(1), exprs(2))),
+    "pq_encode" -> ((exprs: Seq[Expression]) => PqEncodeExpr(exprs(0), exprs(1), exprs(2), exprs(3))),
     "lsh_bucket" -> ((exprs: Seq[Expression]) => LshBucketExpr(exprs(0), exprs(1))))
 
   def register(spark: SparkSession): Unit = all.foreach { case (name, builder) =>

@@ -36,20 +36,29 @@ object VecAlg {
     math.sqrt(s)
   }
 
+  /** any NULL slot (corrupt row) — the HOF forms propagate it to NULL */
+  private def hasNullSlot(a: ArrayData): Boolean = {
+    val n = a.numElements()
+    var i = 0
+    while (i < n) { if (a.isNullAt(i)) return true; i += 1 }
+    false
+  }
+
   /** dot/(‖a‖·‖b‖), each factor computed exactly like the composed form
     * (dot / (sqrt(Σa²) * sqrt(Σb²)) — NOT sqrt of the product). NULL on
-    * length mismatch: zip_with pads the shorter side with nulls, so the
-    * HOF forms return NULL for a truncated/corrupt vector — silently
-    * scoring the common prefix would hide exactly the malformed rows the
+    * length mismatch OR a null element: zip_with pads the shorter side
+    * with nulls and null slots null the product, so the HOF forms return
+    * NULL for a truncated/corrupt vector — silently scoring a prefix (or
+    * a null-as-zero slot) would hide exactly the malformed rows the
     * parity contract is supposed to surface. */
   def cosine(a: ArrayData, b: ArrayData): java.lang.Double =
-    if (a.numElements() != b.numElements()) null
+    if (a.numElements() != b.numElements() || hasNullSlot(a) || hasNullSlot(b)) null
     else java.lang.Double.valueOf(dotEq(a, b) / (norm(a) * norm(b)))
 
-  /** √(Σ (aᵢ−bᵢ)²) in array order; NULL on length mismatch (see
-    * [[cosine]]) */
+  /** √(Σ (aᵢ−bᵢ)²) in array order; NULL on length mismatch or null
+    * elements (see [[cosine]]) */
   def l2Dist(a: ArrayData, b: ArrayData): java.lang.Double = {
-    if (a.numElements() != b.numElements()) return null
+    if (a.numElements() != b.numElements() || hasNullSlot(a) || hasNullSlot(b)) return null
     val n = a.numElements()
     var s = 0.0
     var i = 0
@@ -69,21 +78,24 @@ object VecAlg {
 
   /** PQ / nearest-centroid encode: split `ed` (length m·subDim) into m
     * subvectors; for each subspace j pick argmin_c l2Dist(sub_j, book[j·nCent+c])
-    * over the flat codebook (nCent = book.length / m), ties to the LOWEST c
-    * (strict `<` while scanning c ascending — the relational form's
-    * `row_number() ORDER BY dist, cid` tie-break). subDim == dim gives
-    * m = 1: plain nearest-centroid assignment (IVF cells, k-means). */
-  def pqEncode(ed: ArrayData, book: ArrayData, subDim: Int): ArrayData = {
-    // a malformed ROW (truncated vector, or one that doesn't tile against
-    // this codebook) yields a NULL code array — row-level damage must not
-    // kill the task, and must not quietly quantize a prefix either; a
-    // non-positive subDim is a plan error and fails analysis upstream
-    // (PqEncodeExpr.checkInputDataTypes)
+    * over the flat codebook, ties to the LOWEST c (strict `<` while
+    * scanning c ascending — the relational form's `row_number() ORDER BY
+    * dist, cid` tie-break). subDim == dim gives m = 1: plain
+    * nearest-centroid assignment (IVF cells, k-means).
+    *
+    * `nCent` makes the codebook's shape AUTHORITATIVE (m = book.length /
+    * nCent): deriving m from the row's own length let a corrupt vector of
+    * a wrong exact multiple (2·dim) reinterpret the codebook as twice the
+    * subspaces and quantize garbage. A malformed ROW (wrong length, null
+    * slots) yields a NULL code array — row damage must neither kill the
+    * task nor quietly quantize a prefix. Plan-level misuse (bad subDim /
+    * nCent / a foldable codebook whose shape doesn't match) fails at
+    * ANALYSIS in PqEncodeExpr.checkInputDataTypes. */
+  def pqEncode(ed: ArrayData, book: ArrayData, subDim: Int, nCent: Int): ArrayData = {
+    if (subDim <= 0 || nCent <= 0 || book.numElements() % nCent != 0) return null
+    val m = book.numElements() / nCent
     val dim = ed.numElements()
-    if (subDim <= 0 || dim == 0 || dim % subDim != 0) return null
-    val m = dim / subDim
-    if (book.numElements() == 0 || book.numElements() % m != 0) return null
-    val nCent = book.numElements() / m
+    if (m == 0 || dim != m * subDim || hasNullSlot(ed)) return null
     val codes = new Array[Int](m)
     var j = 0
     while (j < m) {
@@ -113,9 +125,11 @@ object VecAlg {
   /** hyperplane-sign bucket: bit i set iff dot(ed, planes[i]) > 0 — the
     * value-parity twin of the composed
     * `aggregate(transform(planes, (p,i) -> IF(dot > 0, shiftleft(1,i), 0)), 0, +)`.
-    * A length-mismatched vector leaves every bit unset, matching the HOF
-    * form (NULL dot → the IF's else branch → 0). */
+    * A length-mismatched vector — or one with null slots — leaves every
+    * bit unset, matching the HOF form (NULL dot → the IF's else branch
+    * → 0). */
   def lshBucket(ed: ArrayData, planes: ArrayData): Int = {
+    if (hasNullSlot(ed)) return 0
     val n = planes.numElements()
     var bucket = 0
     var i = 0

@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   * Shape per iteration (the 100 TB contract):
   *  - assignment is ONE narrow whole-stage-codegen pass: the current
   *    centroids ride into the plan as a literal (k×dim doubles — a model
-  *    artifact, broadcast like any literal) and `pq_encode(v, book, dim)`
+  *    artifact, broadcast like any literal) and `pq_encode(v, book, dim, k)`
   *    computes the L2 argmin per row — no centroid join, no argmin window;
   *  - the mean update is posexplode → two-level hash aggregation keyed on
   *    (cell, dim position): k×dim running sums, partial map-side — the only
@@ -59,7 +59,7 @@ object KMeans {
       val bookLit = typedLit(cents.map(_.toSeq).toSeq)
       val means = sample
         .select(
-          element_at(call_udf("pq_encode", col("v"), bookLit, lit(dim)), 1).as("cid"),
+          element_at(call_udf("pq_encode", col("v"), bookLit, lit(dim), lit(k)), 1).as("cid"),
           posexplode(col("v")))
         .filter(col("cid").isNotNull) // rows not matching the centroid dim
         .groupBy("cid", "pos").agg(avg("col").as("m"))

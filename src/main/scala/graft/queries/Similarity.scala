@@ -245,7 +245,7 @@ object Similarity extends QueryModule {
   }
 
   /** IVF probe over a trained codebook: assignment is ONE narrow
-    * `pq_encode(ed, book, dim)` pass (no centroid join, no window); the
+    * `pq_encode(ed, book, dim, k)` pass (no centroid join, no window); the
     * query's probe cells are picked driver-side from the k×dim codebook.
     * At 100 TB the assignment is what you materialize as a partition
     * column of the index table; the probe filter then prunes partitions. */
@@ -262,8 +262,11 @@ object Similarity extends QueryModule {
     // the query vector was just collected — ship it as a literal like the
     // codebook instead of a second scan + broadcast-join subquery
     val qd = typedLit(q.toSeq)
-    e.withColumn("cid", element_at(call_udf("pq_encode", col("ed"), bookLit, lit(dim)), 1))
-      .filter(col("cid").isNotNull && col("cid").isin(probes.map(Int.box).toSeq: _*))
+    // rows with NULL cid (malformed vectors) drop here too: NULL isin
+    // evaluates to NULL and Filter discards it
+    e.withColumn("cid",
+        element_at(call_udf("pq_encode", col("ed"), bookLit, lit(dim), lit(cents.length)), 1))
+      .filter(col("cid").isin(probes.map(Int.box).toSeq: _*))
       .withColumn("cos", call_udf("cosine_sim", col("ed"), qd))
       .select(col("vec_id"), col("cid"), round(col("cos"), 6).as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
@@ -305,7 +308,7 @@ object Similarity extends QueryModule {
     // rows that don't tile the codebook encode to NULL — drop them (an
     // ascending orderBy would otherwise surface them FIRST)
     val codes = e.select(col("vec_id"),
-      call_udf("pq_encode", col("ed"), bookLit, lit(subDim)).as("codes"))
+      call_udf("pq_encode", col("ed"), bookLit, lit(subDim), lit(nCent)).as("codes"))
       .filter(col("codes").isNotNull)
     val adist = (0 until m)
       .map(j => element_at(typedLit(dtab(j).toSeq), element_at(col("codes"), j + 1) + 1))

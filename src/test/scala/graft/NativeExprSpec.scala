@@ -218,10 +218,35 @@ class NativeExprSpec extends SparkSpec {
       if (!r.isNullAt(0)) assert(r.getDouble(0) == r.getDouble(2) && r.getDouble(1) == r.getDouble(3))
     }
     // pq_encode: a row that doesn't tile the codebook -> NULL codes
-    val enc = Seq(Array(1.0, 2.0, 3.0)).toDF("v") // length 3, subDim 2
-      .selectExpr("pq_encode(v, array(array(0D, 0D), array(9D, 9D)), 2) AS codes")
+    // (book = 2 centroids of 1 subspace, so valid rows have length 2)
+    val enc = Seq(Array(1.0, 2.0, 3.0)).toDF("v") // length 3 != m*subDim = 2
+      .selectExpr("pq_encode(v, array(array(0D, 0D), array(9D, 9D)), 2, 2) AS codes")
       .head()
     assert(enc.isNullAt(0), "non-tiling vector must encode to NULL")
+    // a WRONG EXACT MULTIPLE (2x the true dim) must NOT reinterpret the
+    // codebook as more subspaces — nCent keeps the shape authoritative
+    val dbl = Seq(Array(1.0, 2.0, 3.0, 4.0)).toDF("v") // 2x the m*subDim = 2
+      .selectExpr("pq_encode(v, array(array(0D, 0D), array(9D, 9D)), 2, 2) AS codes")
+      .head()
+    assert(dbl.isNullAt(0), "double-length vector must encode to NULL, not re-tile")
+    // a null SLOT is row damage too
+    val ns = Seq(1).toDF("k")
+      .selectExpr("pq_encode(array(1D, CAST(NULL AS DOUBLE)), array(array(0D, 0D)), 2, 1) AS codes")
+      .head()
+    assert(ns.isNullAt(0), "null slot must encode to NULL")
+    // a corrupt FOLDABLE codebook (mixed centroid lengths) is a plan
+    // error: fails analysis, not a silent all-NULL column
+    val bad = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(Array(1.0, 2.0)).toDF("v")
+        .selectExpr("pq_encode(v, array(array(0D, 0D), array(9D)), 2, 2) AS codes")
+        .head()
+    }
+    assert(bad.getMessage.contains("codebook"), bad.getMessage)
+    // null-slot cosine parity: kernel NULL == HOF NULL
+    val nc = Seq(1).toDF("k")
+      .selectExpr("cosine_sim(array(1D, CAST(NULL AS DOUBLE)), array(1D, 1D)) AS c")
+      .head()
+    assert(nc.isNullAt(0), "a null element must propagate to NULL like zip_with")
     // lsh_bucket: mismatched vector leaves every bit unset (HOF IF-else 0)
     val b = Seq(Array(1.0, 1.0, 1.0)).toDF("v")
       .selectExpr("lsh_bucket(v, array(array(1D, 1D))) AS bucket").head()
@@ -254,7 +279,7 @@ class NativeExprSpec extends SparkSpec {
       bookRows.map(_.getSeq[Double](1).toArray.slice(j * 16, (j + 1) * 16).toSeq)
     }
     val native = e.select(col("vec_id"),
-      call_udf("pq_encode", col("ed"), typedLit(book), lit(16)).as("codes"))
+      call_udf("pq_encode", col("ed"), typedLit(book), lit(16), lit(16)).as("codes"))
     val mism = native.as("n").join(relational.as("r"), Seq("vec_id"))
       .filter(not(col("n.codes") <=> col("r.codes"))).collect()
     assert(mism.isEmpty, mism.take(3).mkString("\n"))
