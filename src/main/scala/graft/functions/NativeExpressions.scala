@@ -324,6 +324,32 @@ case class PqEncodeExpr(
     copy(first = newFirst, second = newSecond, third = newThird, fourth = newFourth)
 }
 
+/** (array<double>, array<double>) -> elementwise difference (residual
+  * vectors for IVF-PQ); NULL on length mismatch / null slots like the
+  * other vector kernels */
+case class VecSubExpr(left: Expression, right: Expression)
+  extends BinaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "vec_sub"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecAlg.sub(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""
+         |${ev.value} = graft.functions.VecAlg.sub($a, $b);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecSubExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 /** (array<double> vector, array<array<double>> hyperplanes) -> int
   * sign-bit bucket; value-parity with the composed transform/aggregate
   * form (NativeExprSpec + SimilaritySpec pin it). */
@@ -361,7 +387,8 @@ object GraftFunctions {
     "cosine_sim" -> ((exprs: Seq[Expression]) => CosineSimExpr(exprs(0), exprs(1))),
     "l2_dist" -> ((exprs: Seq[Expression]) => L2DistExpr(exprs(0), exprs(1))),
     "pq_encode" -> ((exprs: Seq[Expression]) => PqEncodeExpr(exprs(0), exprs(1), exprs(2), exprs(3))),
-    "lsh_bucket" -> ((exprs: Seq[Expression]) => LshBucketExpr(exprs(0), exprs(1))))
+    "lsh_bucket" -> ((exprs: Seq[Expression]) => LshBucketExpr(exprs(0), exprs(1))),
+    "vec_sub" -> ((exprs: Seq[Expression]) => VecSubExpr(exprs(0), exprs(1))))
 
   def register(spark: SparkSession): Unit = all.foreach { case (name, builder) =>
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "built-in")

@@ -122,6 +122,17 @@ object VecAlg {
     new GenericArrayData(codes)
   }
 
+  /** elementwise a − b (residual vectors for IVF-PQ); NULL on length
+    * mismatch or null slots, like [[cosine]] (zip_with parity) */
+  def sub(a: ArrayData, b: ArrayData): ArrayData = {
+    if (a.numElements() != b.numElements() || hasNullSlot(a) || hasNullSlot(b)) return null
+    val n = a.numElements()
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) { out(i) = a.getDouble(i) - b.getDouble(i); i += 1 }
+    new GenericArrayData(out)
+  }
+
   /** hyperplane-sign bucket: bit i set iff dot(ed, planes[i]) > 0 — the
     * value-parity twin of the composed
     * `aggregate(transform(planes, (p,i) -> IF(dot > 0, shiftleft(1,i), 0)), 0, +)`.

@@ -196,8 +196,82 @@ object Similarity extends QueryModule {
     "sim_ann_pq_trained" -> ((s, d) => {
       val e = emb(s, d).select(col("vec_id"), col("ed"))
       pqTopK(e, queryId = 0L, codebook = Some(trainPqCodebook(e)))
+    }),
+
+    // IVF-PQ, the composed production index (the classic large-scale ANN
+    // shape): a trained coarse quantizer partitions the corpus into
+    // cells, each vector stores only its cell id + PQ codes of its
+    // RESIDUAL (vector − cell centroid — residuals concentrate near 0,
+    // so the same code budget quantizes them much tighter than raw
+    // vectors), and a query probes its nProbe nearest cells with a
+    // PER-CELL ADC table built from the query's residual against that
+    // cell. Storage per vector: 1 cell id + m bytes. Everything the scan
+    // touches is narrow: assignment, residual (native vec_sub), and
+    // encode are one codegen pass; the per-cell ADC tables are driver
+    // literals behind a CASE on the cell id. Oracle-exempt (trained
+    // centroids; same float-order reason as the other trained variants);
+    // SimilaritySpec pins planted-neighbor recall + self-hit.
+    "sim_ann_ivfpq" -> ((s, d) => {
+      val e = emb(s, d).select(col("vec_id"), col("ed"))
+      ivfpqTopK(e, queryId = 0L, nProbe = 2)
     })
   )
+
+  /** IVF-PQ probe: train a coarse quantizer, assign + residual-encode the
+    * corpus in one narrow pass, probe the query's `nProbe` nearest cells
+    * with per-cell ADC tables. At 100 TB the (vec_id, cid, codes)
+    * relation is the materialized index table (cid as a partition
+    * column); this query rebuilds it per run only because driver queries
+    * are self-contained. */
+  def ivfpqTopK(
+      e: DataFrame, queryId: Long, nProbe: Int,
+      nCells: Int = 16, m: Int = 4, subDim: Int = 16, nCent: Int = 16,
+      k: Int = 10): DataFrame = {
+    GraftFunctions.register(e.sparkSession)
+    val dim = m * subDim
+    val coarse = graft.ops.KMeans.train(
+      e, "ed", graft.ops.KMeans.seedById(e, "vec_id", "ed", nCells), maxIters = 3)
+    val coarseLit = typedLit(coarse.map(_.toSeq).toSeq)
+    // assignment + residual: one codegen pass (argmin kernel + vec_sub
+    // against the assigned centroid pulled from the literal codebook)
+    val assigned = e
+      .withColumn("cid",
+        element_at(call_udf("pq_encode", col("ed"), coarseLit, lit(dim), lit(nCells)), 1))
+      .filter(col("cid").isNotNull)
+      .withColumn("res",
+        call_udf("vec_sub", col("ed"), element_at(coarseLit, col("cid") + 1)))
+    // residual PQ codebooks (per-subspace k-means over the residuals)
+    val book = trainPqCodebook(
+      assigned.select(col("vec_id"), col("res").as("ed")), m, subDim, nCent)
+    val bookLit = typedLit(book.map(_.toSeq).toSeq)
+    val codes = assigned.select(col("vec_id"), col("cid"),
+        call_udf("pq_encode", col("res"), bookLit, lit(subDim), lit(nCent)).as("codes"))
+      .filter(col("codes").isNotNull)
+    // query side (driver): nProbe nearest cells by L2, one ADC table per
+    // probed cell from the query's residual against THAT cell
+    val q = e.filter(col("vec_id") === queryId).select("ed").head().getSeq[Double](0).toArray
+    val probes = coarse.zipWithIndex
+      .map { case (c, i) => (VecAlg.l2DistArr(q, c), i) }
+      .sortBy(identity).take(nProbe).map(_._2)
+    def dtabFor(cid: Int): Array[Array[Double]] = {
+      val res = Array.tabulate(dim)(i => q(i) - coarse(cid)(i))
+      Array.tabulate(m) { j =>
+        val sub = java.util.Arrays.copyOfRange(res, j * subDim, (j + 1) * subDim)
+        Array.tabulate(nCent)(c => VecAlg.l2DistArr(sub, book(j * nCent + c)))
+      }
+    }
+    def adistWith(dtab: Array[Array[Double]]) = (0 until m)
+      .map(j => element_at(typedLit(dtab(j).toSeq), element_at(col("codes"), j + 1) + 1))
+      .reduce(_ + _)
+    val adist = probes.tail.foldLeft(
+      when(col("cid") === probes.head, adistWith(dtabFor(probes.head)))) {
+      (acc, cid) => acc.when(col("cid") === cid, adistWith(dtabFor(cid)))
+    }
+    codes.filter(col("cid").isin(probes.map(Int.box).toSeq: _*))
+      .select(col("vec_id"), col("cid"), round(adist, 6).as("approx_dist"))
+      .orderBy("approx_dist", "vec_id")
+      .limit(k)
+  }
 
   /** per-subspace trained codebook in [[pqTopK]]'s flat layout
     * (j·nCent + c): m independent k-means runs, each seeded with the

@@ -247,6 +247,14 @@ class NativeExprSpec extends SparkSpec {
       .selectExpr("cosine_sim(array(1D, CAST(NULL AS DOUBLE)), array(1D, 1D)) AS c")
       .head()
     assert(nc.isNullAt(0), "a null element must propagate to NULL like zip_with")
+    // vec_sub == zip_with difference; NULL on mismatch
+    val vs = Seq((Array(3.0, 5.0), Array(1.0, 2.0))).toDF("a", "b")
+      .selectExpr("vec_sub(a, b) AS k", "zip_with(a, b, (x, y) -> x - y) AS h")
+      .head()
+    assert(vs.getSeq[Double](0) == vs.getSeq[Double](1))
+    val vm = Seq((Array(3.0, 5.0), Array(1.0))).toDF("a", "b")
+      .selectExpr("vec_sub(a, b) AS k").head()
+    assert(vm.isNullAt(0), "mismatched vec_sub must be NULL")
     // lsh_bucket: mismatched vector leaves every bit unset (HOF IF-else 0)
     val b = Seq(Array(1.0, 1.0, 1.0)).toDF("v")
       .selectExpr("lsh_bucket(v, array(array(1D, 1D))) AS bucket").head()

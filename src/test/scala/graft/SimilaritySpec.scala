@@ -137,6 +137,33 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("sim_ann_ivfpq: planted near-duplicates survive the composed residual index") {
+    // the full production shape: coarse cells + residual PQ codes. Tiny
+    // perturbations of the query assign to its cell, their residuals
+    // quantize to (nearly) its codes, and the per-cell ADC ranking must
+    // surface them at the head.
+    graft.functions.GraftFunctions.register(spark)
+    val base = Tables.t(spark, sfDir, "embeddings")
+      .withColumn("ed", col("embedding").cast("array<double>"))
+      .select(col("vec_id"), col("ed"))
+    val planted = base.filter(col("vec_id") === 0)
+      .crossJoin(Seq(1, 2, 3, 4, 5).toDF("i"))
+      .select((col("i") + 900000L).as("vec_id"),
+        expr("transform(ed, x -> x + i * 0.0001D)").as("ed"))
+    val corpus = base.unionByName(planted)
+    val top = graft.queries.Similarity
+      .ivfpqTopK(corpus, queryId = 0L, nProbe = 2)
+      .collect()
+    val ids = top.map(_.getAs[Long]("vec_id")).toSet
+    val expected = Set(0L, 900001L, 900002L, 900003L, 900004L, 900005L)
+    assert(expected.subsetOf(ids),
+      s"planted near-dups missing from IVF-PQ top-10: ${expected.diff(ids)} in $ids")
+    // the query and its near-dups must share a cell (the probe found them)
+    val cells = top.filter(r => expected.contains(r.getAs[Long]("vec_id")))
+      .map(_.getAs[Int]("cid")).toSet
+    assert(cells.size == 1, s"query and planted near-dups must share a cell: $cells")
+  }
+
   test("sim_ann_pq_trained: planted near-duplicates survive the trained quantizer") {
     // same planted-recall property as the reserved-codebook PQ test: tiny
     // perturbations of the query must encode to the query's codes under
