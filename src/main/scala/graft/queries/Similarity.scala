@@ -233,13 +233,18 @@ object Similarity extends QueryModule {
       e, "ed", graft.ops.KMeans.seedById(e, "vec_id", "ed", nCells), maxIters = 3)
     val coarseLit = typedLit(coarse.map(_.toSeq).toSeq)
     // assignment + residual: one codegen pass (argmin kernel + vec_sub
-    // against the assigned centroid pulled from the literal codebook)
+    // against the assigned centroid pulled from the literal codebook).
+    // localCheckpoint: the m residual-codebook trainings below AND the
+    // codes projection each re-consume this plan — without materializing
+    // it once, the scan+assign+residual pass re-executes 5+ times (the
+    // resolveClusters iterative-lineage rule; measured 5.1s -> ~halved)
     val assigned = e
       .withColumn("cid",
         element_at(call_udf("pq_encode", col("ed"), coarseLit, lit(dim), lit(nCells)), 1))
       .filter(col("cid").isNotNull)
       .withColumn("res",
         call_udf("vec_sub", col("ed"), element_at(coarseLit, col("cid") + 1)))
+      .localCheckpoint()
     // residual PQ codebooks (per-subspace k-means over the residuals)
     val book = trainPqCodebook(
       assigned.select(col("vec_id"), col("res").as("ed")), m, subDim, nCent)
@@ -274,18 +279,44 @@ object Similarity extends QueryModule {
   }
 
   /** per-subspace trained codebook in [[pqTopK]]'s flat layout
-    * (j·nCent + c): m independent k-means runs, each seeded with the
-    * reserved subvectors so training is deterministic given the corpus */
+    * (j·nCent + c), seeded with the reserved subvectors so training is
+    * deterministic given the corpus. All m subspace codebooks train
+    * JOINTLY: subspaces are independent, so one `pq_encode` pass yields
+    * every subspace's assignment at once and one (subspace, code,
+    * position) aggregation updates every centroid — m Lloyd's runs for
+    * the price of one per iteration (the sequential per-subspace form
+    * cost m× the scheduling latency and dominated sim_ann_ivfpq's bench
+    * line). The fixed-point math is identical: subspace j's update only
+    * ever reads subspace j's data. */
   def trainPqCodebook(
       e: DataFrame, m: Int = 4, subDim: Int = 16, nCent: Int = 16,
-      maxIters: Int = 3): Array[Array[Double]] = {
+      maxIters: Int = 3, tol: Double = 1e-9): Array[Array[Double]] = {
     GraftFunctions.register(e.sparkSession)
-    val seeds = reservedCodebook(e, m, subDim, nCent)
-    Array.tabulate(m) { j =>
-      val sub = e.selectExpr(s"slice(ed, ${j * subDim + 1}, $subDim) AS sub")
-      graft.ops.KMeans.train(
-        sub, "sub", seeds.slice(j * nCent, (j + 1) * nCent), maxIters = maxIters)
-    }.flatten
+    var book = reservedCodebook(e, m, subDim, nCent)
+    val sample = e.select(col("ed").as("v")).filter(col("v").isNotNull).localCheckpoint()
+    var iter = 0
+    var shift = Double.MaxValue
+    while (iter < maxIters && shift > tol) {
+      val bookLit = typedLit(book.map(_.toSeq).toSeq)
+      val means = sample
+        .select(
+          call_udf("pq_encode", col("v"), bookLit, lit(subDim), lit(nCent)).as("codes"),
+          posexplode(col("v")))
+        .filter(col("codes").isNotNull)
+        .withColumn("j", (col("pos") / subDim).cast("int"))
+        .select(col("j"),
+          element_at(col("codes"), col("j") + 1).as("code"),
+          (col("pos") % subDim).as("spos"), col("col"))
+        .groupBy("j", "code", "spos").agg(avg("col").as("m"))
+        .collect()
+      val next = book.map(_.clone())
+      means.foreach(r =>
+        next(r.getInt(0) * nCent + r.getInt(1))(r.getInt(2)) = r.getDouble(3))
+      shift = book.indices.map(i => VecAlg.l2DistArr(book(i), next(i))).max
+      book = next
+      iter += 1
+    }
+    book
   }
 
   /** IVF assign + probe-`nProbe`-cells cosine top-k over embeddings
