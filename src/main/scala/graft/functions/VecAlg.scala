@@ -123,7 +123,10 @@ object VecAlg {
   }
 
   /** elementwise a − b (residual vectors for IVF-PQ); NULL on length
-    * mismatch or null slots, like [[cosine]] (zip_with parity) */
+    * mismatch or null slots. NOTE: this follows the KERNEL family's
+    * whole-value-NULL convention (like [[cosine]]) by design — zip_with
+    * itself would return a padded array / an array holding null elements,
+    * which every downstream kernel would then reject anyway. */
   def sub(a: ArrayData, b: ArrayData): ArrayData = {
     if (a.numElements() != b.numElements() || hasNullSlot(a) || hasNullSlot(b)) return null
     val n = a.numElements()

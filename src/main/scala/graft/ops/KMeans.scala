@@ -10,67 +10,99 @@ import org.apache.spark.sql.functions._
   *
   * Shape per iteration (the 100 TB contract):
   *  - assignment is ONE narrow whole-stage-codegen pass: the current
-  *    centroids ride into the plan as a literal (k×dim doubles — a model
-  *    artifact, broadcast like any literal) and `pq_encode(v, book, dim, k)`
-  *    computes the L2 argmin per row — no centroid join, no argmin window;
+  *    centroids ride into the plan as a literal (a model artifact,
+  *    broadcast like any literal) and `pq_encode(v, book, subDim, nCent)`
+  *    computes the L2 argmin per subspace per row — no centroid join, no
+  *    argmin window;
   *  - the mean update is posexplode → two-level hash aggregation keyed on
-  *    (cell, dim position): k×dim running sums, partial map-side — the only
-  *    shuffle, k×dim×partitions rows max;
-  *  - the driver holds k×dim doubles per round (the new centroids), never
-  *    data rows. Input is `localCheckpoint`ed ONCE so each round re-reads a
-  *    materialized sample instead of re-running the upstream plan (the
-  *    resolveClusters iterative-lineage rule, ops/Dedup.scala).
+  *    (subspace, code, position): m×nCent×subDim running sums, partial
+  *    map-side — the only shuffle;
+  *  - the driver holds the codebook doubles per round, never data rows.
+  *    Input is `localCheckpoint`ed ONCE (skippable when the caller already
+  *    materialized it) so each round re-reads a materialized sample
+  *    instead of re-running the upstream plan (the resolveClusters
+  *    iterative-lineage rule, ops/Dedup.scala).
   *
-  * Convergence is decided driver-side from the collected centroids (max
-  * L2 shift <= tol), so no extra action per round. Empty cells keep their
-  * previous centroid. Deterministic given a fixed `init` up to float
-  * summation order in the distributed means (ties in argmin break to the
-  * lowest cell id; see [[graft.functions.VecAlg.pqEncode]]).
+  * [[trainSubspaces]] is THE Lloyd's skeleton: subspaces are independent
+  * (subspace j's update only ever reads subspace j's data), so training
+  * all m codebooks jointly costs one pass per iteration instead of m —
+  * plain k-means ([[train]]) is exactly the m = 1 case. Convergence is
+  * decided driver-side from the collected codebook (max L2 shift <= tol),
+  * so no extra action per round. Empty cells keep their previous
+  * centroid. Deterministic given a fixed `init` up to float summation
+  * order in the distributed means (ties in argmin break to the lowest
+  * cell id; see [[graft.functions.VecAlg.pqEncode]]).
   */
 object KMeans {
 
-  /** first-k-by-id deterministic seeding (the same convention as the
-    * reserved-vector codebooks; swap for k-means++ on real corpora) */
-  def seedById(e: DataFrame, idCol: String, vecCol: String, k: Int): Array[Array[Double]] = {
-    val rows = e.orderBy(col(idCol)).limit(k).select(vecCol).collect()
-    require(rows.length == k, s"need $k seed vectors, corpus has ${rows.length}")
+  /** deterministic seeding: the first k VALID vectors (length == dim) in
+    * id order — a damaged row among the first k must degrade to the next
+    * valid one, not fail the training (the same row-damage policy as the
+    * kernels; the reserved-vector ORACLE codebooks stay strict by-id) */
+  def seedById(
+      e: DataFrame, idCol: String, vecCol: String, k: Int, dim: Int): Array[Array[Double]] = {
+    val rows = e.filter(size(col(vecCol)) === dim)
+      .orderBy(col(idCol)).limit(k).select(vecCol).collect()
+    require(rows.length == k, s"need $k valid seed vectors, corpus has ${rows.length}")
     rows.map(_.getSeq[Double](0).toArray)
   }
 
   /** Train centroids from `init` over `e(vecCol: array<double>)`; returns
-    * the k×dim codebook. `sampleFraction` < 1 trains on a seeded sample —
-    * at 100 TB the quantizer never needs the full corpus. */
+    * the k×dim codebook (the m = 1 subspace case). `sampleFraction` < 1
+    * trains on a seeded sample — at 100 TB the quantizer never needs the
+    * full corpus. */
   def train(
       e: DataFrame, vecCol: String, init: Array[Array[Double]],
       maxIters: Int = 10, tol: Double = 1e-9,
       sampleFraction: Double = 1.0, seed: Long = 20260813L): Array[Array[Double]] = {
-    require(init.nonEmpty && maxIters > 0)
+    require(init.nonEmpty)
+    trainSubspaces(e, vecCol, init, subDim = init(0).length, nCent = init.length,
+      maxIters = maxIters, tol = tol, sampleFraction = sampleFraction, seed = seed)
+  }
+
+  /** Joint per-subspace Lloyd's over a FLAT codebook (`initBook` holds
+    * m·nCent subvectors at index j·nCent + c, m = initBook.length /
+    * nCent): one `pq_encode` pass assigns every subspace at once, one
+    * (subspace, code, position) aggregation updates every centroid.
+    * `checkpointInput = false` skips the materialization when the caller
+    * already localCheckpointed `e` (avoids storing the relation twice). */
+  def trainSubspaces(
+      e: DataFrame, vecCol: String, initBook: Array[Array[Double]],
+      subDim: Int, nCent: Int,
+      maxIters: Int = 10, tol: Double = 1e-9,
+      sampleFraction: Double = 1.0, seed: Long = 20260813L,
+      checkpointInput: Boolean = true): Array[Array[Double]] = {
+    require(initBook.nonEmpty && initBook.length % nCent == 0 && maxIters > 0)
     graft.functions.GraftFunctions.register(e.sparkSession)
     val base = e.select(col(vecCol).as("v")).filter(col("v").isNotNull)
-    val sample =
-      (if (sampleFraction < 1.0) base.sample(withReplacement = false, sampleFraction, seed)
-       else base).localCheckpoint()
-    val k = init.length
-    val dim = init(0).length
-    var cents = init
+    val sampled =
+      if (sampleFraction < 1.0) base.sample(withReplacement = false, sampleFraction, seed)
+      else base
+    val sample = if (checkpointInput) sampled.localCheckpoint() else sampled
+    var book = initBook
     var iter = 0
     var shift = Double.MaxValue
     while (iter < maxIters && shift > tol) {
-      val bookLit = typedLit(cents.map(_.toSeq).toSeq)
+      val bookLit = typedLit(book.map(_.toSeq).toSeq)
       val means = sample
         .select(
-          element_at(call_udf("pq_encode", col("v"), bookLit, lit(dim), lit(k)), 1).as("cid"),
+          call_udf("pq_encode", col("v"), bookLit, lit(subDim), lit(nCent)).as("codes"),
           posexplode(col("v")))
-        .filter(col("cid").isNotNull) // rows not matching the centroid dim
-        .groupBy("cid", "pos").agg(avg("col").as("m"))
+        .filter(col("codes").isNotNull) // rows not tiling the codebook
+        .withColumn("j", (col("pos") / subDim).cast("int"))
+        .select(col("j"),
+          element_at(col("codes"), col("j") + 1).as("code"),
+          (col("pos") % subDim).as("spos"), col("col"))
+        .groupBy("j", "code", "spos").agg(avg("col").as("m"))
         .collect()
-      val next = Array.tabulate(k)(c => cents(c).clone())
-      means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
-      shift = cents.indices.map(c =>
-        graft.functions.VecAlg.l2DistArr(cents(c), next(c))).max
-      cents = next
+      val next = book.map(_.clone())
+      means.foreach(r =>
+        next(r.getInt(0) * nCent + r.getInt(1))(r.getInt(2)) = r.getDouble(3))
+      shift = book.indices.map(i =>
+        graft.functions.VecAlg.l2DistArr(book(i), next(i))).max
+      book = next
       iter += 1
     }
-    cents
+    book
   }
 }

@@ -181,7 +181,7 @@ object Similarity extends QueryModule {
       GraftFunctions.register(s)
       val e = emb(s, d).select(col("vec_id"), col("ed"))
       val cents = graft.ops.KMeans.train(
-        e, "ed", graft.ops.KMeans.seedById(e, "vec_id", "ed", k = 16), maxIters = 4)
+        e, "ed", graft.ops.KMeans.seedById(e, "vec_id", "ed", k = 16, dim = 64), maxIters = 4)
       ivfTrainedTopK(e, cents, queryId = 0L, nProbe = 2)
     }),
 
@@ -230,14 +230,15 @@ object Similarity extends QueryModule {
     GraftFunctions.register(e.sparkSession)
     val dim = m * subDim
     val coarse = graft.ops.KMeans.train(
-      e, "ed", graft.ops.KMeans.seedById(e, "vec_id", "ed", nCells), maxIters = 3)
+      e, "ed", graft.ops.KMeans.seedById(e, "vec_id", "ed", nCells, dim), maxIters = 3)
     val coarseLit = typedLit(coarse.map(_.toSeq).toSeq)
-    // assignment + residual: one codegen pass (argmin kernel + vec_sub
-    // against the assigned centroid pulled from the literal codebook).
-    // localCheckpoint: the m residual-codebook trainings below AND the
-    // codes projection each re-consume this plan — without materializing
-    // it once, the scan+assign+residual pass re-executes 5+ times (the
-    // resolveClusters iterative-lineage rule; measured 5.1s -> ~halved)
+    // assignment + residual run as one codegen pass (argmin kernel +
+    // vec_sub against the assigned centroid pulled from the literal
+    // codebook), then localCheckpoint: the joint residual-codebook
+    // training, the codes projection, AND the query-vector fetch below
+    // all re-consume this relation — without materializing it once the
+    // scan+assign+residual pass re-executes per consumer (the
+    // resolveClusters iterative-lineage rule)
     val assigned = e
       .withColumn("cid",
         element_at(call_udf("pq_encode", col("ed"), coarseLit, lit(dim), lit(nCells)), 1))
@@ -245,16 +246,22 @@ object Similarity extends QueryModule {
       .withColumn("res",
         call_udf("vec_sub", col("ed"), element_at(coarseLit, col("cid") + 1)))
       .localCheckpoint()
-    // residual PQ codebooks (per-subspace k-means over the residuals)
+    // ONE joint residual-codebook training over the checkpointed residuals
     val book = trainPqCodebook(
-      assigned.select(col("vec_id"), col("res").as("ed")), m, subDim, nCent)
+      assigned.select(col("vec_id"), col("res").as("ed")), m, subDim, nCent,
+      inputCheckpointed = true)
     val bookLit = typedLit(book.map(_.toSeq).toSeq)
+    // the codes projection reads the checkpoint (it cannot fuse with the
+    // assignment pass — the codebook training in between consumes the
+    // residuals first)
     val codes = assigned.select(col("vec_id"), col("cid"),
         call_udf("pq_encode", col("res"), bookLit, lit(subDim), lit(nCent)).as("codes"))
       .filter(col("codes").isNotNull)
     // query side (driver): nProbe nearest cells by L2, one ADC table per
-    // probed cell from the query's residual against THAT cell
-    val q = e.filter(col("vec_id") === queryId).select("ed").head().getSeq[Double](0).toArray
+    // probed cell from the query's residual against THAT cell; the vector
+    // comes off the checkpoint, not a re-execution of the input plan
+    val q = assigned.filter(col("vec_id") === queryId)
+      .select("ed").head().getSeq[Double](0).toArray
     val probes = coarse.zipWithIndex
       .map { case (c, i) => (VecAlg.l2DistArr(q, c), i) }
       .sortBy(identity).take(nProbe).map(_._2)
@@ -279,44 +286,34 @@ object Similarity extends QueryModule {
   }
 
   /** per-subspace trained codebook in [[pqTopK]]'s flat layout
-    * (j·nCent + c), seeded with the reserved subvectors so training is
-    * deterministic given the corpus. All m subspace codebooks train
-    * JOINTLY: subspaces are independent, so one `pq_encode` pass yields
-    * every subspace's assignment at once and one (subspace, code,
-    * position) aggregation updates every centroid — m Lloyd's runs for
-    * the price of one per iteration (the sequential per-subspace form
-    * cost m× the scheduling latency and dominated sim_ann_ivfpq's bench
-    * line). The fixed-point math is identical: subspace j's update only
-    * ever reads subspace j's data. */
+    * (j·nCent + c): all m codebooks train JOINTLY through the one Lloyd's
+    * skeleton ([[graft.ops.KMeans.trainSubspaces]] — one pass per
+    * iteration instead of m; the sequential per-subspace form cost m×
+    * the scheduling latency and dominated the ivfpq bench line). Seeds
+    * come from the first nCent VALID vectors in id order, so a damaged
+    * row among the first nCent degrades to the next valid one instead of
+    * failing the training (the reserved-vector ORACLE codebooks stay
+    * strict by-id on purpose). `inputCheckpointed = true` skips the
+    * skeleton's own materialization when the caller already
+    * localCheckpointed `e`. */
   def trainPqCodebook(
       e: DataFrame, m: Int = 4, subDim: Int = 16, nCent: Int = 16,
-      maxIters: Int = 3, tol: Double = 1e-9): Array[Array[Double]] = {
+      maxIters: Int = 3, inputCheckpointed: Boolean = false): Array[Array[Double]] = {
     GraftFunctions.register(e.sparkSession)
-    var book = reservedCodebook(e, m, subDim, nCent)
-    val sample = e.select(col("ed").as("v")).filter(col("v").isNotNull).localCheckpoint()
-    var iter = 0
-    var shift = Double.MaxValue
-    while (iter < maxIters && shift > tol) {
-      val bookLit = typedLit(book.map(_.toSeq).toSeq)
-      val means = sample
-        .select(
-          call_udf("pq_encode", col("v"), bookLit, lit(subDim), lit(nCent)).as("codes"),
-          posexplode(col("v")))
-        .filter(col("codes").isNotNull)
-        .withColumn("j", (col("pos") / subDim).cast("int"))
-        .select(col("j"),
-          element_at(col("codes"), col("j") + 1).as("code"),
-          (col("pos") % subDim).as("spos"), col("col"))
-        .groupBy("j", "code", "spos").agg(avg("col").as("m"))
-        .collect()
-      val next = book.map(_.clone())
-      means.foreach(r =>
-        next(r.getInt(0) * nCent + r.getInt(1))(r.getInt(2)) = r.getDouble(3))
-      shift = book.indices.map(i => VecAlg.l2DistArr(book(i), next(i))).max
-      book = next
-      iter += 1
+    val dim = m * subDim
+    val seedRows = e.filter(size(col("ed")) === dim)
+      .orderBy("vec_id").limit(nCent).select("ed").collect()
+    require(seedRows.length == nCent,
+      s"need $nCent valid seed vectors, corpus has ${seedRows.length}")
+    val seeds = new Array[Array[Double]](m * nCent)
+    seedRows.zipWithIndex.foreach { case (r, cid) =>
+      val v = r.getSeq[Double](0).toArray
+      (0 until m).foreach(j =>
+        seeds(j * nCent + cid) = java.util.Arrays.copyOfRange(v, j * subDim, (j + 1) * subDim))
     }
-    book
+    graft.ops.KMeans.trainSubspaces(
+      e, "ed", seeds, subDim, nCent, maxIters = maxIters,
+      checkpointInput = !inputCheckpointed)
   }
 
   /** IVF assign + probe-`nProbe`-cells cosine top-k over embeddings

@@ -255,6 +255,9 @@ class NativeExprSpec extends SparkSpec {
     val vm = Seq((Array(3.0, 5.0), Array(1.0))).toDF("a", "b")
       .selectExpr("vec_sub(a, b) AS k").head()
     assert(vm.isNullAt(0), "mismatched vec_sub must be NULL")
+    val vn = Seq(1).toDF("k")
+      .selectExpr("vec_sub(array(1D, CAST(NULL AS DOUBLE)), array(1D, 1D)) AS s").head()
+    assert(vn.isNullAt(0), "a null slot must NULL the whole vec_sub result")
     // lsh_bucket: mismatched vector leaves every bit unset (HOF IF-else 0)
     val b = Seq(Array(1.0, 1.0, 1.0)).toDF("v")
       .selectExpr("lsh_bucket(v, array(array(1D, 1D))) AS bucket").head()

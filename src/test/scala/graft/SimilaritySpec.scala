@@ -83,7 +83,7 @@ class SimilaritySpec extends SparkSpec {
         expr("transform(ed, x -> x + i * 0.0001D)").as("ed"))
     val corpus = base.unionByName(planted)
     val cents = graft.ops.KMeans.train(
-      corpus, "ed", graft.ops.KMeans.seedById(corpus, "vec_id", "ed", 16), maxIters = 3)
+      corpus, "ed", graft.ops.KMeans.seedById(corpus, "vec_id", "ed", 16, 64), maxIters = 3)
     assert(cents.length == 16 && cents.forall(_.length == 64))
     val top = graft.queries.Similarity
       .ivfTrainedTopK(corpus, cents, queryId = 0L, nProbe = 2)
