@@ -147,4 +147,45 @@ class OperatorPropertiesSpec extends SparkSpec {
       "keeper set must equal the closed-form argmax per 5-block")
     assert(kept.count() > 0)
   }
+
+  test("KMeans recovers planted blob centers; joint subspaces train independently") {
+    import spark.implicits._
+    // two well-separated 1-D blobs per subspace, with INDEPENDENT blob
+    // membership patterns across the two subspaces (i%2 vs (i/2)%2) — a
+    // correct joint trainer must recover each subspace's exact blob
+    // means, proving one pq_encode pass doesn't couple subspaces
+    val n = 100
+    def jit(i: Int) = (i % 10) / 100.0 // 0.00..0.09, far below the 10.0 gap
+    val pts = Seq.tabulate(n) { i =>
+      val a = (i % 2) * 10.0 + jit(i)       // subspace-0 blob by i%2
+      val b = ((i / 2) % 2) * 10.0 + jit(i) // subspace-1 blob by (i/2)%2
+      (i.toLong, Array(a, a, b, b))
+    }
+    val df = pts.toDF("vec_id", "ed")
+    def mean(sel: Int => Boolean, v: Int => Double): Double = {
+      val xs = (0 until n).filter(sel).map(v); xs.sum / xs.size
+    }
+    // seeds = first valid vector of each blob per subspace (ids 0 and 1
+    // for subspace 0; the flat book layout is j*nCent + c)
+    val seeds = Array(
+      Array(pts(0)._2(0), pts(0)._2(1)), Array(pts(1)._2(0), pts(1)._2(1)),
+      Array(pts(0)._2(2), pts(0)._2(3)), Array(pts(2)._2(2), pts(2)._2(3)))
+    val book = graft.ops.KMeans.trainSubspaces(
+      df, "ed", seeds, subDim = 2, nCent = 2, maxIters = 10)
+    val expA0 = mean(i => i % 2 == 0, i => (i % 2) * 10.0 + jit(i))
+    val expA1 = mean(i => i % 2 == 1, i => (i % 2) * 10.0 + jit(i))
+    val expB0 = mean(i => (i / 2) % 2 == 0, i => ((i / 2) % 2) * 10.0 + jit(i))
+    val expB1 = mean(i => (i / 2) % 2 == 1, i => ((i / 2) % 2) * 10.0 + jit(i))
+    assert(math.abs(book(0)(0) - expA0) < 1e-9 && math.abs(book(0)(1) - expA0) < 1e-9)
+    assert(math.abs(book(1)(0) - expA1) < 1e-9 && math.abs(book(1)(1) - expA1) < 1e-9)
+    assert(math.abs(book(2)(0) - expB0) < 1e-9 && math.abs(book(2)(1) - expB0) < 1e-9)
+    assert(math.abs(book(3)(0) - expB1) < 1e-9 && math.abs(book(3)(1) - expB1) < 1e-9)
+    // the m=1 wrapper (plain k-means) recovers the same subspace-0 means
+    val cents = graft.ops.KMeans.train(
+      df.selectExpr("vec_id", "slice(ed, 1, 2) AS ed"), "ed",
+      graft.ops.KMeans.seedById(
+        df.selectExpr("vec_id", "slice(ed, 1, 2) AS ed"), "vec_id", "ed", 2, 2),
+      maxIters = 10)
+    assert(math.abs(cents(0)(0) - expA0) < 1e-9 && math.abs(cents(1)(0) - expA1) < 1e-9)
+  }
 }
