@@ -67,9 +67,14 @@ object VecAlg {
   }
 
   /** driver-side twin of [[l2Dist]] (ADC tables, k-means shifts) — same
-    * accumulation order so driver-computed distances equal kernel ones */
+    * accumulation order so driver-computed distances equal kernel ones.
+    * All intended callers pass same-dimension arrays, so a mismatch is a
+    * driver-side shape BUG (e.g. a mis-shaped codebook handed to an ADC
+    * table builder) — fail loudly rather than score a plausible prefix. */
   def l2DistArr(a: Array[Double], b: Array[Double]): Double = {
-    val n = math.min(a.length, b.length)
+    require(a.length == b.length,
+      s"l2DistArr dimension mismatch: ${a.length} vs ${b.length}")
+    val n = a.length
     var s = 0.0
     var i = 0
     while (i < n) { val d = a(i) - b(i); s += d * d; i += 1 }
@@ -103,8 +108,12 @@ object VecAlg {
       var bestD = Double.PositiveInfinity
       var c = 0
       while (c < nCent) {
+        // a NULL codebook entry is row-level corruption when the codebook
+        // is a non-foldable column (analysis-time validation only covers
+        // foldable books) — NULL the code array, never NPE the task
+        if (book.isNullAt(j * nCent + c)) return null
         val cent = book.getArray(j * nCent + c)
-        if (cent.numElements() != subDim) return null // corrupt codebook entry
+        if (cent == null || cent.numElements() != subDim) return null // corrupt codebook entry
         var s = 0.0
         var i = 0
         while (i < subDim) {
@@ -141,15 +150,22 @@ object VecAlg {
     * `aggregate(transform(planes, (p,i) -> IF(dot > 0, shiftleft(1,i), 0)), 0, +)`.
     * A length-mismatched vector — or one with null slots — leaves every
     * bit unset, matching the HOF form (NULL dot → the IF's else branch
-    * → 0). */
+    * → 0). A NULL plane slot, or a plane containing a null element,
+    * likewise leaves THAT bit unset (its dot is NULL in the composed
+    * form) rather than NPEing the task. */
   def lshBucket(ed: ArrayData, planes: ArrayData): Int = {
     if (hasNullSlot(ed)) return 0
     val n = planes.numElements()
     var bucket = 0
     var i = 0
     while (i < n) {
-      val p = planes.getArray(i)
-      if (ed.numElements() == p.numElements() && dotEq(ed, p) > 0) bucket |= (1 << i)
+      if (!planes.isNullAt(i)) {
+        val p = planes.getArray(i)
+        if (p != null && !hasNullSlot(p) &&
+            ed.numElements() == p.numElements() && dotEq(ed, p) > 0) {
+          bucket |= (1 << i)
+        }
+      }
       i += 1
     }
     bucket

@@ -35,13 +35,16 @@ import org.apache.spark.sql.functions._
   */
 object KMeans {
 
-  /** deterministic seeding: the first k VALID vectors (length == dim) in
-    * id order — a damaged row among the first k must degrade to the next
-    * valid one, not fail the training (the same row-damage policy as the
-    * kernels; the reserved-vector ORACLE codebooks stay strict by-id) */
+  /** deterministic seeding: the first k VALID vectors (length == dim AND
+    * no null slot — a correct-length vector with a NULL element would NPE
+    * the `getSeq[Double]` unboxing) in id order — a damaged row among the
+    * first k must degrade to the next valid one, not fail the training
+    * (the same row-damage policy as the kernels; the reserved-vector
+    * ORACLE codebooks stay strict by-id) */
   def seedById(
       e: DataFrame, idCol: String, vecCol: String, k: Int, dim: Int): Array[Array[Double]] = {
     val rows = e.filter(size(col(vecCol)) === dim)
+      .filter(expr(s"!exists($vecCol, x -> x IS NULL)"))
       .orderBy(col(idCol)).limit(k).select(vecCol).collect()
     require(rows.length == k, s"need $k valid seed vectors, corpus has ${rows.length}")
     rows.map(_.getSeq[Double](0).toArray)

@@ -84,11 +84,15 @@ object Similarity extends QueryModule {
     }),
 
     // the fused tokenize+shingle+minhash kernel as its own driver row
-    // (SURVEY §2.11 contract key; oracle-exempt, parity in NativeExprSpec)
+    // (SURVEY §2.11 contract key; oracle-exempt, parity in NativeExprSpec).
+    // The raw array<bigint> signature is rendered as a comma-joined hex
+    // string (mirroring simhash64_text's hex()) so the driver's dump
+    // pipeline can sort/hash the column — pandas can't factorize ndarrays.
     "minhash_sig_text" -> ((s, d) => {
       GraftFunctions.register(s)
       Tables.t(s, d, "documents")
-        .selectExpr("doc_id", "minhash_sig_text(text, 16, 3) AS sig")
+        .selectExpr("doc_id",
+          "concat_ws(',', transform(minhash_sig_text(text, 16, 3), x -> hex(x))) AS sig_hex")
         .orderBy("doc_id")
     }),
 
@@ -290,11 +294,12 @@ object Similarity extends QueryModule {
     * skeleton ([[graft.ops.KMeans.trainSubspaces]] — one pass per
     * iteration instead of m; the sequential per-subspace form cost m×
     * the scheduling latency and dominated the ivfpq bench line). Seeds
-    * come from the first nCent VALID vectors in id order, so a damaged
-    * row among the first nCent degrades to the next valid one instead of
-    * failing the training (the reserved-vector ORACLE codebooks stay
-    * strict by-id on purpose). `inputCheckpointed = true` skips the
-    * skeleton's own materialization when the caller already
+    * come from the first nCent VALID vectors (length == dim AND no null
+    * slot) in id order, so a damaged row among the first nCent degrades
+    * to the next valid one instead of failing the training — the same
+    * policy as [[graft.ops.KMeans.seedById]] (the reserved-vector ORACLE
+    * codebooks stay strict by-id on purpose). `inputCheckpointed = true`
+    * skips the skeleton's own materialization when the caller already
     * localCheckpointed `e`. */
   def trainPqCodebook(
       e: DataFrame, m: Int = 4, subDim: Int = 16, nCent: Int = 16,
@@ -302,6 +307,7 @@ object Similarity extends QueryModule {
     GraftFunctions.register(e.sparkSession)
     val dim = m * subDim
     val seedRows = e.filter(size(col("ed")) === dim)
+      .filter(expr("!exists(ed, x -> x IS NULL)"))
       .orderBy("vec_id").limit(nCent).select("ed").collect()
     require(seedRows.length == nCent,
       s"need $nCent valid seed vectors, corpus has ${seedRows.length}")

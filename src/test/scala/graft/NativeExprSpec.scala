@@ -321,4 +321,32 @@ class NativeExprSpec extends SparkSpec {
       java.security.MessageDigest.getInstance("SHA-1").digest("abc".getBytes("UTF-8"))))
     assert(digest.length == 32) // 160 bits -> exactly 32 base32 chars
   }
+  test("kernel guards on corrupt model artifacts: NULL/skip, never NPE") {
+    GraftFunctions.register(spark)
+    // a NON-FOLDABLE codebook column holding a NULL subvector: analysis-time
+    // validation only covers foldable books, so the kernel itself must NULL
+    // the row's codes instead of NPEing the executor task
+    val nb = Seq((Array(1.0, 2.0), Array(Array(0.0, 0.0), null)))
+      .toDF("v", "book")
+      .selectExpr("pq_encode(v, book, 2, 2) AS codes")
+      .head()
+    assert(nb.isNullAt(0), "null codebook entry must NULL the codes, not NPE")
+    // lsh_bucket: a NULL plane slot leaves THAT bit unset (its dot is NULL
+    // in the composed IF form -> else branch -> 0); valid planes still set theirs
+    val np = Seq(Array(1.0, 1.0)).toDF("v")
+      .selectExpr("lsh_bucket(v, array(array(1D, 1D), CAST(NULL AS ARRAY<DOUBLE>))) AS bucket")
+      .head()
+    assert(np.getInt(0) == 1, s"valid plane sets bit 0, null plane skipped: got ${np.getInt(0)}")
+    // a plane containing a null ELEMENT is likewise skipped, later planes unaffected
+    val ne = Seq(Array(1.0, 1.0)).toDF("v")
+      .selectExpr("lsh_bucket(v, array(array(1D, CAST(NULL AS DOUBLE)), array(1D, 1D))) AS bucket")
+      .head()
+    assert(ne.getInt(0) == 2, s"null-element plane skipped, valid plane sets bit 1: got ${ne.getInt(0)}")
+    // the driver twin l2DistArr treats a dimension mismatch as a SHAPE BUG
+    // (mis-built ADC table / codebook) -> fail loudly, never score a prefix
+    intercept[IllegalArgumentException] {
+      graft.functions.VecAlg.l2DistArr(Array(1.0, 2.0), Array(1.0))
+    }
+  }
+
 }

@@ -188,4 +188,38 @@ class OperatorPropertiesSpec extends SparkSpec {
       maxIters = 10)
     assert(math.abs(cents(0)(0) - expA0) < 1e-9 && math.abs(cents(1)(0) - expA1) < 1e-9)
   }
+  test("seedById skips damaged rows; sampled training still recovers the blobs") {
+    import spark.implicits._
+    // two well-separated 1-D blobs (gap 10.0, jitter <= 0.09) over 200 pts
+    val n = 200
+    def jit(i: Int) = (i % 10) / 100.0
+    val pts = Seq.tabulate(n) { i =>
+      val v = (i % 2) * 10.0 + jit(i)
+      (i.toLong, Array(v, v))
+    }
+    // row 0 carries a NULL SLOT: correct length, so a size()-only filter
+    // would pass it into the getSeq[Double] unboxing NPE — seedById must
+    // degrade to the next valid rows (ids 1 and 2)
+    val dmg = pts.toDF("vec_id", "ed").withColumn("ed",
+      when(col("vec_id") === 0, expr("array(1D, CAST(NULL AS DOUBLE))"))
+        .otherwise(col("ed")))
+    val seeds = graft.ops.KMeans.seedById(dmg, "vec_id", "ed", k = 2, dim = 2)
+    assert(seeds(0).sameElements(pts(1)._2) && seeds(1).sameElements(pts(2)._2),
+      s"seeds must come from the first UNDAMAGED rows: ${seeds.map(_.toSeq).toSeq}")
+    // sampleFraction < 1 trains the quantizer on a seeded sample — the
+    // 100 TB contract ("the quantizer never needs the full corpus"): each
+    // trained centroid must still land inside its blob's value range
+    // (deterministic by seed; each blob contributes ~20 of the 40 samples)
+    val cents = graft.ops.KMeans.train(
+      dmg, "ed", seeds, maxIters = 10, sampleFraction = 0.2)
+    val c = cents.map(_(0)).sorted
+    assert(c(0) >= 0.0 && c(0) <= 0.09 && c(1) >= 10.0 && c(1) <= 10.09,
+      s"sample-trained centroids must sit inside their blobs: ${c.toSeq}")
+    // and the sampled run must agree with the full run to within the
+    // jitter radius (the blobs are what the quantizer learns, not noise)
+    val full = graft.ops.KMeans.train(dmg, "ed", seeds, maxIters = 10)
+    val f = full.map(_(0)).sorted
+    assert(math.abs(c(0) - f(0)) < 0.09 && math.abs(c(1) - f(1)) < 0.09)
+  }
+
 }

@@ -189,6 +189,39 @@ class SimilaritySpec extends SparkSpec {
       s"planted near-dups missing from trained-PQ top-10: ${expected.diff(ids)} in $ids")
   }
 
+  test("trainPqCodebook degrades past a damaged row among the first nCent seeds") {
+    // one null-slot vector INSIDE the seed window (vec_id 3 < nCent = 16):
+    // seeding must skip it for the next valid row — not NPE the collect,
+    // not fail the require — and the trained index must still recover the
+    // planted near-duplicates (the damaged row itself encodes to NULL
+    // codes and drops out of the candidate set)
+    graft.functions.GraftFunctions.register(spark)
+    val base = Tables.t(spark, sfDir, "embeddings")
+      .withColumn("ed", col("embedding").cast("array<double>"))
+      .select(col("vec_id"), col("ed"))
+    val planted = base.filter(col("vec_id") === 0)
+      .crossJoin(Seq(1, 2, 3).toDF("i"))
+      .select((col("i") + 910000L).as("vec_id"),
+        expr("transform(ed, x -> x + i * 0.0001D)").as("ed"))
+    val damaged = base.unionByName(planted)
+      .withColumn("ed",
+        when(col("vec_id") === 3,
+          expr("transform(ed, (x, i) -> IF(i = 7, CAST(NULL AS DOUBLE), x))"))
+          .otherwise(col("ed")))
+    val book = graft.queries.Similarity.trainPqCodebook(damaged)
+    assert(book.length == 64 && book.forall(_.length == 16))
+    // the skipped seed means centroid c of subspace j seeds from the
+    // (nCent+1)-th valid row at position nCent-1 — just assert recall holds
+    val top = graft.queries.Similarity
+      .pqTopK(damaged, queryId = 0L, codebook = Some(book))
+      .collect()
+    val ids = top.map(_.getAs[Long]("vec_id")).toSet
+    val expected = Set(0L, 910001L, 910002L, 910003L)
+    assert(expected.subsetOf(ids),
+      s"planted near-dups missing after damaged-seed degradation: ${expected.diff(ids)} in $ids")
+    assert(!ids.contains(3L), "the damaged row must drop out, not quantize garbage")
+  }
+
   test("emb_normalize: unit vectors have norm 1") {
     val rows = SparkEntry.queries("emb_normalize")(spark, sfDir).collect()
     rows.foreach(r => assert(math.abs(r.getAs[Double]("unit_norm") - 1.0) <= 1e-6))
