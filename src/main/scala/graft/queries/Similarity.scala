@@ -218,31 +218,59 @@ object Similarity extends QueryModule {
     "sim_ann_ivfpq" -> ((s, d) => {
       val e = emb(s, d).select(col("vec_id"), col("ed"))
       ivfpqTopK(e, queryId = 0L, nProbe = 2)
+    }),
+
+    // IVF-PQ through the MATERIALIZED index: write (vec_id, cid, codes)
+    // as a cid-partitioned parquet table, then answer the query from the
+    // stored table — the probe's cid filter partition-prunes the read to
+    // nProbe of nCells directories (the write-once/probe-many serving
+    // shape; SimilaritySpec pins stored == in-memory top-k and the pruned
+    // partition count). Oracle-exempt like the other trained variants.
+    "sim_ann_ivfpq_index" -> ((s, d) => {
+      val e = emb(s, d).select(col("vec_id"), col("ed"))
+      ivfpqIndexTopK(e, queryId = 0L, nProbe = 2, dir = tmp(d, "ivfpq_index"))
     })
   )
 
-  /** IVF-PQ probe: train a coarse quantizer, assign + residual-encode the
-    * corpus in one narrow pass, probe the query's `nProbe` nearest cells
-    * with per-cell ADC tables. At 100 TB the (vec_id, cid, codes)
-    * relation is the materialized index table (cid as a partition
-    * column); this query rebuilds it per run only because driver queries
-    * are self-contained. */
-  def ivfpqTopK(
-      e: DataFrame, queryId: Long, nProbe: Int,
-      nCells: Int = 16, m: Int = 4, subDim: Int = 16, nCent: Int = 16,
-      k: Int = 10): DataFrame = {
+  /** per-sf scratch dir for stored-index round trips (same convention as
+    * the Formats sinks) */
+  private def tmp(d: String, name: String): String = {
+    val sf = java.nio.file.Paths.get(d).getFileName.toString
+    val p = s"/tmp/graft_fmt/$sf/$name"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(p).getParent)
+    p
+  }
+
+  /** A fitted IVF-PQ model: trained coarse centroids, trained residual
+    * codebook (flat j·nCent + c layout), and the checkpointed
+    * (vec_id, ed, cid, res) assignment relation the fit ran over. The
+    * driver-side arrays are model artifacts (nCells×dim + m·nCent×subDim
+    * doubles) — they ride into probe plans as literals. */
+  final case class IvfPqModel(
+      coarse: Array[Array[Double]], book: Array[Array[Double]],
+      m: Int, subDim: Int, nCent: Int, assigned: DataFrame) {
+    def dim: Int = m * subDim
+    /** a vector off the checkpointed assignment (never re-executes the
+      * upstream plan) */
+    def vectorOf(vecId: Long): Array[Double] =
+      assigned.filter(col("vec_id") === vecId).select("ed").head().getSeq[Double](0).toArray
+  }
+
+  /** Train the IVF-PQ model: coarse quantizer (seeded Lloyd's), then one
+    * narrow codegen pass assigning every vector + computing its residual
+    * (native vec_sub against the literal centroid), localCheckpointed
+    * ONCE — the joint residual-codebook training, the codes projection,
+    * and any query-vector fetch all re-consume that relation; without
+    * materializing it the scan+assign+residual pass re-executes per
+    * consumer (the resolveClusters iterative-lineage rule). */
+  def ivfpqFit(
+      e: DataFrame, nCells: Int = 16, m: Int = 4, subDim: Int = 16,
+      nCent: Int = 16): IvfPqModel = {
     GraftFunctions.register(e.sparkSession)
     val dim = m * subDim
     val coarse = graft.ops.KMeans.train(
       e, "ed", graft.ops.KMeans.seedById(e, "vec_id", "ed", nCells, dim), maxIters = 3)
     val coarseLit = typedLit(coarse.map(_.toSeq).toSeq)
-    // assignment + residual run as one codegen pass (argmin kernel +
-    // vec_sub against the assigned centroid pulled from the literal
-    // codebook), then localCheckpoint: the joint residual-codebook
-    // training, the codes projection, AND the query-vector fetch below
-    // all re-consume this relation — without materializing it once the
-    // scan+assign+residual pass re-executes per consumer (the
-    // resolveClusters iterative-lineage rule)
     val assigned = e
       .withColumn("cid",
         element_at(call_udf("pq_encode", col("ed"), coarseLit, lit(dim), lit(nCells)), 1))
@@ -254,26 +282,38 @@ object Similarity extends QueryModule {
     val book = trainPqCodebook(
       assigned.select(col("vec_id"), col("res").as("ed")), m, subDim, nCent,
       inputCheckpointed = true)
-    val bookLit = typedLit(book.map(_.toSeq).toSeq)
-    // the codes projection reads the checkpoint (it cannot fuse with the
-    // assignment pass — the codebook training in between consumes the
-    // residuals first)
-    val codes = assigned.select(col("vec_id"), col("cid"),
-        call_udf("pq_encode", col("res"), bookLit, lit(subDim), lit(nCent)).as("codes"))
+    IvfPqModel(coarse, book, m, subDim, nCent, assigned)
+  }
+
+  /** The at-rest index relation: (vec_id, cid, codes) — 1 cell id + m
+    * small codes per vector. Reads the fit's checkpoint (it cannot fuse
+    * with the assignment pass — the codebook training in between consumes
+    * the residuals first). */
+  def ivfpqCodes(model: IvfPqModel): DataFrame = {
+    val bookLit = typedLit(model.book.map(_.toSeq).toSeq)
+    model.assigned.select(col("vec_id"), col("cid"),
+        call_udf("pq_encode", col("res"), bookLit, lit(model.subDim), lit(model.nCent)).as("codes"))
       .filter(col("codes").isNotNull)
-    // query side (driver): nProbe nearest cells by L2, one ADC table per
-    // probed cell from the query's residual against THAT cell; the vector
-    // comes off the checkpoint, not a re-execution of the input plan
-    val q = assigned.filter(col("vec_id") === queryId)
-      .select("ed").head().getSeq[Double](0).toArray
-    val probes = coarse.zipWithIndex
+  }
+
+  /** ADC probe over an index relation (in-memory or read back from a
+    * stored table): nProbe nearest cells by L2 from the query vector, one
+    * driver-built ADC table per probed cell (the query's residual against
+    * THAT cell's codebook), distances as m literal lookups behind a CASE
+    * on the cell id. The `cid` filter is what partition-prunes a stored
+    * cid-partitioned table down to nProbe directories. */
+  def ivfpqProbe(
+      codes: DataFrame, model: IvfPqModel, q: Array[Double],
+      nProbe: Int, k: Int = 10): DataFrame = {
+    val (m, subDim, nCent, dim) = (model.m, model.subDim, model.nCent, model.dim)
+    val probes = model.coarse.zipWithIndex
       .map { case (c, i) => (VecAlg.l2DistArr(q, c), i) }
       .sortBy(identity).take(nProbe).map(_._2)
     def dtabFor(cid: Int): Array[Array[Double]] = {
-      val res = Array.tabulate(dim)(i => q(i) - coarse(cid)(i))
+      val res = Array.tabulate(dim)(i => q(i) - model.coarse(cid)(i))
       Array.tabulate(m) { j =>
         val sub = java.util.Arrays.copyOfRange(res, j * subDim, (j + 1) * subDim)
-        Array.tabulate(nCent)(c => VecAlg.l2DistArr(sub, book(j * nCent + c)))
+        Array.tabulate(nCent)(c => VecAlg.l2DistArr(sub, model.book(j * nCent + c)))
       }
     }
     def adistWith(dtab: Array[Array[Double]]) = (0 until m)
@@ -284,9 +324,43 @@ object Similarity extends QueryModule {
       (acc, cid) => acc.when(col("cid") === cid, adistWith(dtabFor(cid)))
     }
     codes.filter(col("cid").isin(probes.map(Int.box).toSeq: _*))
-      .select(col("vec_id"), col("cid"), round(adist, 6).as("approx_dist"))
+      .select(col("vec_id"), col("cid").cast("int").as("cid"),
+        round(adist, 6).as("approx_dist"))
       .orderBy("approx_dist", "vec_id")
       .limit(k)
+  }
+
+  /** IVF-PQ probe, self-contained: fit + encode + probe in one query
+    * (the index relation stays in memory). The write-once/probe-many
+    * round trip lives in [[ivfpqIndexTopK]]. */
+  def ivfpqTopK(
+      e: DataFrame, queryId: Long, nProbe: Int,
+      nCells: Int = 16, m: Int = 4, subDim: Int = 16, nCent: Int = 16,
+      k: Int = 10): DataFrame = {
+    val model = ivfpqFit(e, nCells, m, subDim, nCent)
+    ivfpqProbe(ivfpqCodes(model), model, model.vectorOf(queryId), nProbe, k)
+  }
+
+  /** The MATERIALIZED index round trip (the actual 100 TB serving shape):
+    * write the (vec_id, cid, codes) relation as a parquet table
+    * PARTITIONED BY cid — at rest each vector costs 1 cell id + m small
+    * codes — then answer the query from the stored table. The probe's
+    * `cid IN (probes)` filter becomes a PARTITION filter on the read, so
+    * a query touches nProbe of nCells directories and never scans the
+    * rest; the write cost amortizes over every subsequent query
+    * (precedent: join_bucketed_colocated's bucketed-fact-table shape).
+    * SimilaritySpec pins both halves: stored-probe top-k == in-memory
+    * top-k under the SAME model, and partitionCount <= nProbe on the
+    * stored scan. */
+  def ivfpqIndexTopK(
+      e: DataFrame, queryId: Long, nProbe: Int, dir: String,
+      nCells: Int = 16, m: Int = 4, subDim: Int = 16, nCent: Int = 16,
+      k: Int = 10): DataFrame = {
+    val model = ivfpqFit(e, nCells, m, subDim, nCent)
+    ivfpqCodes(model)
+      .write.mode("overwrite").partitionBy("cid").parquet(dir)
+    val stored = e.sparkSession.read.parquet(dir)
+    ivfpqProbe(stored, model, model.vectorOf(queryId), nProbe, k)
   }
 
   /** per-subspace trained codebook in [[pqTopK]]'s flat layout

@@ -189,6 +189,49 @@ class SimilaritySpec extends SparkSpec {
       s"planted near-dups missing from trained-PQ top-10: ${expected.diff(ids)} in $ids")
   }
 
+  test("sim_ann_ivfpq_index: stored probe == in-memory probe, scan prunes to nProbe partitions") {
+    // ONE fitted model feeds both paths, so the comparison is exact: the
+    // ADC values per (cid, codes) row are identical floats and the
+    // ordering is identical — the stored round trip must change NOTHING
+    // but where the codes are read from
+    graft.functions.GraftFunctions.register(spark)
+    val e = Tables.t(spark, sfDir, "embeddings")
+      .withColumn("ed", col("embedding").cast("array<double>"))
+      .select(col("vec_id"), col("ed"))
+    val model = graft.queries.Similarity.ivfpqFit(e)
+    val q = model.vectorOf(0L)
+    val nProbe = 2
+    val inMem = graft.queries.Similarity
+      .ivfpqProbe(graft.queries.Similarity.ivfpqCodes(model), model, q, nProbe)
+      .collect().toSeq
+    val dir = "/tmp/graft_test/ivfpq_index_spec"
+    graft.queries.Similarity.ivfpqCodes(model)
+      .write.mode("overwrite").partitionBy("cid").parquet(dir)
+    val storedDf = graft.queries.Similarity
+      .ivfpqProbe(spark.read.parquet(dir), model, q, nProbe)
+    val stored = storedDf.collect().toSeq
+    assert(stored == inMem,
+      s"stored-index probe must equal the in-memory probe\nstored: $stored\nmem:    $inMem")
+    // the cid IN (...) filter must reach the file index as a PARTITION
+    // filter: the scan lists <= nProbe of the nCells cid= directories
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case f: FileSourceScanExec => Seq(f)
+    }.flatten
+    val scan = scans(storedDf.queryExecution.executedPlan)
+      .filter(_.partitionFilters.nonEmpty)
+    assert(scan.nonEmpty, "expected a partition-filtered parquet scan of the stored index")
+    val nParts = scan.head.selectedPartitions.partitionCount
+    assert(nParts <= nProbe,
+      s"stored-index scan must prune to <= $nProbe cid partitions, listed $nParts")
+    // and the driver key itself round-trips green
+    val driverTop = SparkEntry.queries("sim_ann_ivfpq_index")(spark, sfDir).collect()
+    assert(driverTop.length == 10 && driverTop.head.getAs[Long]("vec_id") == 0L,
+      s"driver key must self-hit first: ${driverTop.take(3).mkString(",")}")
+  }
+
   test("trainPqCodebook degrades past a damaged row among the first nCent seeds") {
     // one null-slot vector INSIDE the seed window (vec_id 3 < nCent = 16):
     // seeding must skip it for the next valid row — not NPE the collect,
