@@ -271,6 +271,138 @@ object ZipNum {
     write(all.toDF("line"), outDir, shards, linesPerBlock)
   }
 
+  /** Exchange-free merge of ALREADY-SORTED clusters — LSM-style
+    * compaction. [[merge]] re-range-exchanges the full union per
+    * generation: correct, and the right tool when inputs are unsorted,
+    * but at 100 TB an incremental index merge that reshuffles 100% of
+    * the data to fold in 1% new captures pays the whole cluster's
+    * shuffle every month. This form never shuffles:
+    *
+    *  - the driver picks output shard boundaries from the INPUT idx
+    *    entries (equal-block splits over the union of firstKeys —
+    *    blocks hold ~linesPerBlock lines each, so this balances lines
+    *    the way the RangePartitioner's reservoir sample would, without
+    *    touching data; O(blocks) driver work, the same scale the
+    *    serving path already reads);
+    *  - one task per output shard streams ONLY the input blocks
+    *    overlapping its range (idx-pruned via [[selectBlocks]], the
+    *    same pruning the serving path uses), k-way-merges the
+    *    per-input sorted line streams, and feeds the shard writer.
+    *
+    * Data moves exactly once: input block bytes → task → output shard.
+    * Boundary blocks straddle ranges, so lines are re-filtered by FULL
+    * line against the bounds — every line lands in exactly one shard
+    * because the bounds partition the line space under the same UTF-8
+    * order the writer sorts by. ZipNumSpec pins byte-equality of the
+    * read-back against [[merge]]'s output on the same inputs. */
+  def mergeSorted(
+      spark: SparkSession, dirs: Seq[String], outDir: String,
+      shards: Int, linesPerBlock: Int,
+      compressThreads: Int = DefaultCompressThreads): Unit = {
+    require(dirs.nonEmpty, "mergeSorted needs at least one input cluster")
+    require(shards > 0 && linesPerBlock > 0, "shards and linesPerBlock must be positive")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val outPath = new Path(outDir)
+    val fs = outPath.getFileSystem(conf)
+    if (fs.exists(outPath)) fs.delete(outPath, true)
+    fs.mkdirs(outPath)
+    val idxs: Seq[(String, Seq[IdxEntry])] = dirs.map(d => d -> readIdx(d, conf))
+    val allKeys = idxs.flatMap(_._2.map(_.firstKey)).sorted(utf8Ordering)
+    if (allKeys.isEmpty) { assembleIdx(fs, outPath, Seq.empty); return }
+    val bounds = (1 until shards)
+      .map(i => allKeys((i.toLong * allKeys.size / shards).toInt))
+      .distinct
+    // shard pid covers [ranges(pid)._1, ranges(pid)._2); ends open
+    val ranges = (None +: bounds.map(Option(_))).zip(bounds.map(Option(_)) :+ None)
+    // work item per shard: its bounds + each input's overlapping blocks
+    // (idx entries ride the closure — O(blocks) total across all tasks,
+    // what the driver already held)
+    val work = ranges.zipWithIndex.map { case ((lo, hi), pid) =>
+      (pid, lo, hi, idxs.map { case (d, idx) => (d, selectBlocks(idx, lo, hi)) })
+    }
+    val sconf = new SerializableHadoopConf(conf)
+    val writtenPids = spark.sparkContext
+      .parallelize(work, work.size)
+      .map { case (pid, lo, hi, inputs) =>
+        val taskConf = sconf.value
+        def inRange(line: String): Boolean =
+          lo.forall(l => utf8Compare(line, l) >= 0) &&
+            hi.forall(h => utf8Compare(line, h) < 0)
+        // one sorted, range-filtered line stream per input cluster
+        val streams = inputs.map { case (d, entries) =>
+          blockLineIterator(d, entries, taskConf).filter(inRange).buffered
+        }.filter(_.hasNext)
+        if (streams.isEmpty) -1
+        else {
+          val taskFs = new Path(outDir).getFileSystem(taskConf)
+          val w = new BlockStreamWriter(
+            () => taskFs.create(new Path(outDir, f"cdx-$pid%05d.gz"), true),
+            () => taskFs.create(new Path(outDir, sideIdxName(pid)), true),
+            f"cdx-$pid%05d.gz", linesPerBlock, compressThreads)
+          try {
+            // k-way merge: smallest head first; ties by input order (ties
+            // are identical key prefixes — any stable choice is correct,
+            // fixed order keeps reruns byte-identical)
+            val live = scala.collection.mutable.ArrayBuffer.from(streams)
+            while (live.nonEmpty) {
+              var best = 0
+              var i = 1
+              while (i < live.size) {
+                if (utf8Compare(live(i).head, live(best).head) < 0) best = i
+                i += 1
+              }
+              w.add(live(best).next())
+              if (!live(best).hasNext) live.remove(best)
+            }
+            w.finish()
+          } catch { case e: Throwable => w.abort(); throw e }
+          pid
+        }
+      }.collect().filter(_ >= 0)
+    assembleIdx(fs, outPath, writtenPids.toSeq)
+  }
+
+  /** Sorted line stream over the given idx blocks of one cluster (task
+    * side; entries must be in idx order). Forward-only: one open handle
+    * per shard file, sequential seeks — the mergeSorted read kernel. */
+  private def blockLineIterator(
+      dir: String, entries: Seq[IdxEntry],
+      conf: Configuration): Iterator[String] = {
+    var in: org.apache.hadoop.fs.FSDataInputStream = null
+    var openShard: String = null
+    val it = entries.iterator
+    // close on abnormal task exit too (same hygiene as readBlockLines)
+    Option(org.apache.spark.TaskContext.get())
+      .foreach(_.addTaskCompletionListener[Unit](_ =>
+        try { if (in != null) in.close() } catch { case _: Throwable => }))
+    new Iterator[String] {
+      private var current: Iterator[String] = Iterator.empty
+      override def hasNext: Boolean = {
+        while (!current.hasNext && it.hasNext) {
+          val e = it.next()
+          if (e.shard != openShard) {
+            if (in != null) in.close()
+            val p = new Path(dir, e.shard)
+            in = p.getFileSystem(conf).open(p)
+            openShard = e.shard
+          }
+          val buf = new Array[Byte](e.length.toInt)
+          in.seek(e.offset); in.readFully(buf)
+          val member = Gzip.members(new java.io.ByteArrayInputStream(buf)).next()
+          current = new String(member.bytes, UTF_8).split("\n").iterator.filter(_.nonEmpty)
+        }
+        val has = current.hasNext
+        if (!has && in != null) { in.close(); in = null }
+        has
+      }
+      override def next(): String = current.next()
+    }
+  }
+
+  /** UTF-8 byte order as a string Ordering (the writer's sort order) */
+  private[graft] val utf8Ordering: Ordering[String] =
+    (a: String, b: String) => utf8Compare(a, b)
+
   /** Parse cluster.idx (driver-side — it is the small binary-searchable
     * secondary index by construction). THE one idx parser: the V2 source
     * delegates here too, so the line format has a single reader. */

@@ -38,10 +38,20 @@ object Aggregates extends QueryModule {
         .orderBy("hostword")),
 
     // HLL cardinality — oracle-exempt (sketch is engine-specific); the
-    // ScalaTest spec asserts relative error vs exact.
+    // ScalaTest spec asserts relative error vs exact, and the driver row
+    // is SELF-CHECKING: it carries the exact count and the relative error
+    // alongside the estimate, so the dump shows the bound directly. (The
+    // exact column is the verification harness, not the production shape —
+    // at 100 TB you run the approx column alone; that plan is what the
+    // ScalaTest spec pins.)
     "agg_approx_distinct" -> ((s, d) =>
       Cdx.df(s, d).groupBy("hostword")
-        .agg(approx_count_distinct("urlkey").as("approx_urlkeys"))
+        .agg(
+          approx_count_distinct("urlkey").as("approx_urlkeys"),
+          countDistinct("urlkey").as("exact_urlkeys"))
+        .withColumn("rel_err",
+          round(abs(col("approx_urlkeys") - col("exact_urlkeys")) /
+            col("exact_urlkeys"), 6))
         .orderBy("hostword")),
 
     // Mergeable distinct sketches — the cross-job form of
@@ -51,15 +61,24 @@ object Aggregates extends QueryModule {
     // multi-day pipeline persists and re-merges: approx_count_distinct
     // answers once, stored sketches compose forever. Oracle-exempt
     // (sketch internals are engine-specific); the property spec bounds
-    // relative error vs the exact count and pins union-order invariance.
+    // relative error vs the exact count and pins union-order invariance,
+    // and the driver row is SELF-CHECKING: the exact count and relative
+    // error ride next to the merged estimate (exact is the harness
+    // column; production runs the sketch side alone).
     "agg_hll_merge" -> ((s, d) => {
-      val perSegment = Cdx.df(s, d)
+      val cdx = Cdx.df(s, d)
+      val perSegment = cdx
         .withColumn("seg", col("id") % 8)
         .groupBy("seg")
         .agg(hll_sketch_agg(col("urlkey"), lit(12)).as("sketch"))
-      perSegment
+      val est = perSegment
         .agg(hll_sketch_estimate(hll_union_agg(col("sketch"), lit(false)))
           .as("est_distinct_urlkeys"))
+      val exact = cdx.agg(countDistinct("urlkey").as("exact_distinct_urlkeys"))
+      est.crossJoin(broadcast(exact))
+        .withColumn("rel_err",
+          round(abs(col("est_distinct_urlkeys") - col("exact_distinct_urlkeys")) /
+            col("exact_distinct_urlkeys"), 6))
     }),
 
     "agg_rollup" -> ((s, d) =>

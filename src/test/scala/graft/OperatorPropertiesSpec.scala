@@ -9,8 +9,8 @@ import org.apache.spark.sql.functions._
 class OperatorPropertiesSpec extends SparkSpec {
 
   test("agg_approx_distinct: relative error < 10% vs exact") {
-    val approx = SparkEntry.queries("agg_approx_distinct")(spark, sfDir)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = SparkEntry.queries("agg_approx_distinct")(spark, sfDir).collect()
+    val approx = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
     val exact = Cdx.df(spark, sfDir).groupBy("hostword")
       .agg(countDistinct("urlkey").as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -19,13 +19,24 @@ class OperatorPropertiesSpec extends SparkSpec {
       val a = approx(k).toDouble
       assert(math.abs(a - n) / n < 0.10, s"$k: approx $a vs exact $n")
     }
+    // the SELF-CHECK columns the driver row carries must agree with the
+    // independently computed truth and stay inside the bound
+    rows.foreach { r =>
+      assert(r.getAs[Long]("exact_urlkeys") == exact(r.getString(0)),
+        s"exact column must be the true distinct count: $r")
+      assert(r.getAs[Double]("rel_err") < 0.10, s"emitted rel_err out of bound: $r")
+    }
   }
 
   test("agg_hll_merge: merged estimate within 5% of exact, segmentation-invariant") {
-    val est = SparkEntry.queries("agg_hll_merge")(spark, sfDir)
-      .collect().head.getLong(0).toDouble
+    val row = SparkEntry.queries("agg_hll_merge")(spark, sfDir).collect().head
+    val est = row.getLong(0).toDouble
     val exact = Cdx.df(spark, sfDir).select("urlkey").distinct().count().toDouble
     assert(math.abs(est - exact) / exact < 0.05, s"merged $est vs exact $exact")
+    // the self-check columns in the driver row agree with the truth
+    assert(row.getAs[Long]("exact_distinct_urlkeys").toDouble == exact,
+      s"exact column must be the true distinct count: $row")
+    assert(row.getAs[Double]("rel_err") < 0.05, s"emitted rel_err out of bound: $row")
     // the union lattice: a DIFFERENT segmentation (or none) must converge
     // on the same estimate — that invariance is why sketches are the
     // cross-job/cross-day answer while approx_count_distinct is one-shot

@@ -97,6 +97,43 @@ class ZipNumSpec extends SparkSpec {
     assert(all == inputLines.sorted)
   }
 
+  test("mergeSorted == merge: exchange-free compaction is lossless and ordered") {
+    // two disjoint sorted generations (odd/even split), merged both ways:
+    // the shuffle-free k-way merge must read back EXACTLY what the
+    // re-range-exchange merge produces — same lines, same global order —
+    // and its output must satisfy the same idx invariants
+    val (a, b) = inputLines.partition(_.hashCode % 2 == 0)
+    val dirA = "/tmp/graft_test/zipnum_msrt_a"
+    val dirB = "/tmp/graft_test/zipnum_msrt_b"
+    val viaShuffle = "/tmp/graft_test/zipnum_msrt_shuffle"
+    val viaMerge = "/tmp/graft_test/zipnum_msrt_kway"
+    ZipNum.write(a.toDF("line"), dirA, shards = 3, linesPerBlock = 37)
+    ZipNum.write(b.toDF("line"), dirB, shards = 4, linesPerBlock = 41)
+    ZipNum.merge(spark, Seq(dirA, dirB), viaShuffle, shards = 5, linesPerBlock = 29)
+    ZipNum.mergeSorted(spark, Seq(dirA, dirB), viaMerge, shards = 5, linesPerBlock = 29)
+    val expect = ZipNum.readLines(spark, viaShuffle).as[String].collect().toSeq
+    val got = ZipNum.readLines(spark, viaMerge).as[String].collect().toSeq
+    assert(got == expect, s"k-way merge diverged: ${got.size} vs ${expect.size} lines")
+    // idx invariants hold on the merged output: seq dense, keys sorted,
+    // offsets tile each shard
+    val idx = ZipNum.readIdx(spark, viaMerge)
+    assert(idx.map(_.seq) == idx.indices.map(_.toLong))
+    assert(idx.map(_.firstKey) == idx.map(_.firstKey).sorted)
+    idx.groupBy(_.shard).foreach { case (sh, entries) =>
+      val sorted = entries.sortBy(_.offset)
+      assert(sorted.head.offset == 0)
+      sorted.sliding(2).foreach {
+        case Seq(x, y) => assert(y.offset == x.offset + x.length)
+        case _ =>
+      }
+    }
+    // a single-input "merge" is a pure re-shard of a sorted cluster
+    val reshard = "/tmp/graft_test/zipnum_msrt_reshard"
+    ZipNum.mergeSorted(spark, Seq(dirA), reshard, shards = 2, linesPerBlock = 100)
+    val re = ZipNum.readLines(spark, reshard).as[String].collect().toSeq
+    assert(re == a.sorted(ZipNum.utf8Ordering), "re-shard must preserve content and order")
+  }
+
   test("idx: offsets tile each shard; blocks <= linesPerBlock; firstkeys sorted") {
     written
     val idx = ZipNum.readIdx(spark, dir)
