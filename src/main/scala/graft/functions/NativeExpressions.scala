@@ -324,6 +324,78 @@ case class PqEncodeExpr(
     copy(first = newFirst, second = newSecond, third = newThird, fourth = newFourth)
 }
 
+/** (array<double> query residual, array<int> codes, array<array<double>>
+  * flat codebook, nCent) -> double ADC distance
+  * ([[VecAlg.pqAdc]]): Σ per-subspace l2 between the residual's slice and
+  * the centroid each code names. The BATCHED IVF-PQ probe's scoring
+  * kernel — the single-query path precomputes a literal ADC table on the
+  * driver (m lookups/row); a query BATCH would pay that driver loop per
+  * query, so this kernel computes the same sum on the executors from
+  * (residual, codes) directly. Same accumulation order as the table path
+  * (SimilaritySpec pins batch == single bit-for-bit). A foldable codebook
+  * is shape-validated at analysis time like [[PqEncodeExpr]]; runtime
+  * NULLs are strictly per-row damage. */
+case class PqAdcExpr(
+    first: Expression, second: Expression, third: Expression, fourth: Expression)
+  extends QuaternaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(DoubleType), ArrayType(IntegerType),
+      ArrayType(ArrayType(DoubleType)), IntegerType)
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true // null on row-level damage
+  override def prettyName: String = "pq_adc"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val base = super.checkInputDataTypes()
+    if (base.isFailure) return base
+    if (!fourth.foldable)
+      return TypeCheckResult.TypeCheckFailure(s"$prettyName: nCent must be a literal")
+    val nCent = fourth.eval() match {
+      case v: Int if v > 0 => v
+      case v => return TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: nCent must be a positive literal, got $v")
+    }
+    if (!third.foldable) return TypeCheckResult.TypeCheckSuccess
+    third.eval() match {
+      case null => TypeCheckResult.TypeCheckSuccess // null book -> null rows
+      case b: ArrayData =>
+        val n = b.numElements()
+        if (n == 0 || n % nCent != 0)
+          return TypeCheckResult.TypeCheckFailure(
+            s"$prettyName: codebook holds $n subvectors, not a positive multiple of nCent=$nCent")
+        val subDim =
+          if (b.isNullAt(0)) -1 else b.getArray(0).numElements()
+        var i = 0
+        while (i < n) {
+          val cent = if (b.isNullAt(i)) null else b.getArray(i)
+          if (cent == null || cent.numElements() != subDim)
+            return TypeCheckResult.TypeCheckFailure(
+              s"$prettyName: codebook entry $i is ${if (cent == null) "null"
+              else s"length ${cent.numElements()}"}, expected uniform subDim=$subDim")
+          i += 1
+        }
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckSuccess
+    }
+  }
+
+  override def nullSafeEval(res: Any, codes: Any, book: Any, nCent: Any): Any =
+    VecAlg.pqAdc(
+      res.asInstanceOf[ArrayData], codes.asInstanceOf[ArrayData],
+      book.asInstanceOf[ArrayData], nCent.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (res, codes, book, nc) => NullableKernelGen.gen(ctx, ev,
+      "java.lang.Double", "doubleValue", "0.0",
+      s"graft.functions.VecAlg.pqAdc($res, $codes, $book, $nc)"))
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression, newFourth: Expression): PqAdcExpr =
+    copy(first = newFirst, second = newSecond, third = newThird, fourth = newFourth)
+}
+
 /** (array<double>, array<double>) -> elementwise difference (residual
   * vectors for IVF-PQ); NULL on length mismatch / null slots like the
   * other vector kernels */
@@ -387,6 +459,7 @@ object GraftFunctions {
     "cosine_sim" -> ((exprs: Seq[Expression]) => CosineSimExpr(exprs(0), exprs(1))),
     "l2_dist" -> ((exprs: Seq[Expression]) => L2DistExpr(exprs(0), exprs(1))),
     "pq_encode" -> ((exprs: Seq[Expression]) => PqEncodeExpr(exprs(0), exprs(1), exprs(2), exprs(3))),
+    "pq_adc" -> ((exprs: Seq[Expression]) => PqAdcExpr(exprs(0), exprs(1), exprs(2), exprs(3))),
     "lsh_bucket" -> ((exprs: Seq[Expression]) => LshBucketExpr(exprs(0), exprs(1))),
     "vec_sub" -> ((exprs: Seq[Expression]) => VecSubExpr(exprs(0), exprs(1))))
 

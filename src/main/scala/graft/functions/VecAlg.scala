@@ -145,6 +145,53 @@ object VecAlg {
     new GenericArrayData(out)
   }
 
+  /** Asymmetric-distance (ADC) score: Σⱼ l2(res subvector j,
+    * book[j·nCent + codes[j]]) — the kernel twin of the per-query
+    * literal-ADC-table path ([[graft.queries.Similarity]] `ivfpqProbe`:
+    * dtab entries are [[l2DistArr]] per subspace, summed left-to-right),
+    * accumulated in the same order so batch-probe distances equal the
+    * driver-table ones bit-for-bit. The BATCH form exists because the
+    * table path does O(nQ·nProbe·m·nCent·subDim) work on the DRIVER —
+    * fine for one query, a serial bottleneck for a query batch; this
+    * kernel moves the arithmetic to the executors where it distributes.
+    *
+    * `nCent` makes the codebook's COUNT authoritative (m = book.length /
+    * nCent, same convention as [[pqEncode]]); subDim comes from the
+    * residual itself (res.length / m), so a null book entry only damages
+    * rows whose codes actually REFERENCE it.
+    * NULL on any row-level damage: code count ≠ m, out-of-range code,
+    * residual length not a multiple of m, null slots, or a corrupt
+    * referenced codebook entry (analysis-time validation in PqAdcExpr
+    * only covers foldable books).
+    */
+  def pqAdc(res: ArrayData, codes: ArrayData, book: ArrayData, nCent: Int): java.lang.Double = {
+    if (nCent <= 0 || book.numElements() == 0 || book.numElements() % nCent != 0) return null
+    val m = book.numElements() / nCent
+    if (codes.numElements() != m || hasNullSlot(codes) || hasNullSlot(res)) return null
+    if (res.numElements() % m != 0) return null
+    val subDim = res.numElements() / m
+    var total = 0.0
+    var j = 0
+    while (j < m) {
+      val c = codes.getInt(j)
+      if (c < 0 || c >= nCent) return null
+      val idx = j * nCent + c
+      if (book.isNullAt(idx)) return null
+      val cent = book.getArray(idx)
+      if (cent == null || cent.numElements() != subDim) return null
+      var s = 0.0
+      var i = 0
+      while (i < subDim) {
+        val d = res.getDouble(j * subDim + i) - cent.getDouble(i)
+        s += d * d
+        i += 1
+      }
+      total += math.sqrt(s)
+      j += 1
+    }
+    java.lang.Double.valueOf(total)
+  }
+
   /** hyperplane-sign bucket: bit i set iff dot(ed, planes[i]) > 0 — the
     * value-parity twin of the composed
     * `aggregate(transform(planes, (p,i) -> IF(dot > 0, shiftleft(1,i), 0)), 0, +)`.

@@ -47,7 +47,20 @@ object Dedup {
   def minhashCandidates(
       df: DataFrame, idCol: String, textCol: String,
       nHashes: Int = 16, bands: Int = 4, shingleSize: Int = 3,
-      maxBucketSize: Int = 10000): DataFrame = {
+      maxBucketSize: Int = 10000): DataFrame =
+    bucketedPairs(
+      bandedMinhash(df, idCol, textCol, nHashes, bands, shingleSize),
+      maxBucketSize)
+
+  /** The banded signature relation (doc_id, band, sig) both the in-memory
+    * candidate self-join and the STORED signature index share: fused
+    * minhash kernel → `bands` Murmur3 band keys per doc (hash() on the
+    * array elements equals hash() on the composed form's long columns).
+    * One narrow codegen pass + a `bands`-way posexplode — the text never
+    * travels past this projection. */
+  def bandedMinhash(
+      df: DataFrame, idCol: String, textCol: String,
+      nHashes: Int = 16, bands: Int = 4, shingleSize: Int = 3): DataFrame = {
     require(nHashes % bands == 0, "bands must divide nHashes")
     val rows = nHashes / bands
     graft.functions.GraftFunctions.register(df.sparkSession)
@@ -55,14 +68,67 @@ object Dedup {
       .selectExpr(s"`$idCol` AS doc_id",
         s"minhash_sig_text(`$textCol`, $nHashes, $shingleSize) AS sig")
       .filter(col("sig").isNotNull)
-    // band key = Murmur3 over the band's signature rows — hash() on the
-    // array elements equals hash() on the composed form's long columns
     val bandCols = (0 until bands).map(b =>
       hash((0 until rows).map(r => element_at(col("sig"), b * rows + r + 1)): _*))
-    val banded = sigs.select(
+    sigs.select(
       col("doc_id"), posexplode(array(bandCols: _*)))
       .toDF("doc_id", "band", "sig")
-    bucketedPairs(banded, maxBucketSize)
+  }
+
+  /** Persist a corpus's banded minhash signatures as the STORED dedup
+    * index: the write-once side of incremental near-dedup. The table is
+    * bucketed (+ sorted) on the (band, sig) join key, so every subsequent
+    * [[incrementalCandidates]] probe joins WITHOUT re-shuffling or even
+    * re-reading corpus text — the index holds `bands` longs per document
+    * and nothing else. Degenerate buckets (> maxBucketSize docs sharing a
+    * band key — byte-identical boilerplate, exact-dup territory) are
+    * dropped at BUILD time, bounding every future probe's join fan-out;
+    * the cap is a build-time property, so a bucket that only crosses the
+    * cap across several incremental batches is re-capped when the index
+    * is next rebuilt/compacted. */
+  def writeMinhashIndex(
+      df: DataFrame, idCol: String, textCol: String, table: String,
+      nBuckets: Int = 8, nHashes: Int = 16, bands: Int = 4,
+      shingleSize: Int = 3, maxBucketSize: Int = 10000): Unit = {
+    val banded = bandedMinhash(df, idCol, textCol, nHashes, bands, shingleSize)
+    val ok = banded.groupBy("band", "sig")
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") <= maxBucketSize)
+      .select("band", "sig")
+    banded.join(ok, Seq("band", "sig"))
+      .write.mode("overwrite")
+      .bucketBy(nBuckets, "band", "sig").sortBy("band", "sig")
+      .saveAsTable(table)
+  }
+
+  /** Incremental near-dedup: candidate pairs between a NEW batch and the
+    * stored corpus index — the daily-ingest shape (dedup today's crawl
+    * against everything already kept) without recomputing a single
+    * corpus signature. The new batch runs the same banded-signature pass
+    * and equi-joins the index on (band, sig); the index side is bucketed
+    * on exactly that key, so the ONLY exchange in the join is the (small)
+    * new batch shuffling to the bucket layout — at 100 TB the corpus side
+    * is terabytes of signatures that never move (PlanSpec pins the
+    * index-side scan exchange-free). Output: distinct (corpus doc `a`,
+    * new doc `b`) pairs. New-batch-internal duplicates are
+    * [[minhashCandidates]] over the batch alone; appending the batch's
+    * banded rows to the index afterwards is an INSERT INTO the same
+    * bucketed table. */
+  def incrementalCandidates(
+      spark: org.apache.spark.sql.SparkSession, table: String,
+      newDocs: DataFrame, idCol: String, textCol: String,
+      nHashes: Int = 16, bands: Int = 4, shingleSize: Int = 3): DataFrame = {
+    val newBanded =
+      bandedMinhash(newDocs, idCol, textCol, nHashes, bands, shingleSize)
+        .select(col("band"), col("sig"), col("doc_id").as("b"))
+    // merge hint: the bucketed layout serves a sort-merge join; at test
+    // scale AQE would otherwise broadcast the batch side and skip the
+    // layout entirely (fine at 100 TB too — bucketing still saves the
+    // sort — but the pinned plan is the one the layout exists for)
+    spark.table(table).hint("merge")
+      .select(col("band"), col("sig"), col("doc_id").as("a"))
+      .join(newBanded, Seq("band", "sig"))
+      .select("a", "b").distinct()
   }
 
   /** Composed-builtin reference form of the minhash signature (shingle

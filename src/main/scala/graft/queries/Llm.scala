@@ -103,6 +103,32 @@ object Llm extends QueryModule {
         .orderBy("a", "b")
     }),
 
+    // INCREMENTAL near-dedup: the corpus's banded signatures persist as a
+    // (band, sig)-bucketed index table, then a NEW batch (every 7th doc,
+    // first token dropped — dedup_fuzzy_minhash's planted-near-dup
+    // fixture) is deduped against the STORE: the probe join re-reads only
+    // bands-longs-per-doc signatures, never corpus text, and the index
+    // side joins without an exchange (daily-ingest shape; PlanSpec pins
+    // the plan, LlmSpec pins probe pairs == the full-batch path's
+    // cross pairs). Oracle-exempt (xxhash64, like dedup_fuzzy_minhash).
+    "dedup_incremental_minhash" -> ((s, d) => {
+      val docs = Tables.t(s, d, "documents")
+      // same catalog/warehouse hygiene as join_bucketed_colocated
+      val wh = new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir"))
+      val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+      s.sql("DROP TABLE IF EXISTS graft_minhash_index")
+      val loc = new org.apache.hadoop.fs.Path(wh, "graft_minhash_index")
+      if (fs.exists(loc)) fs.delete(loc, true)
+      graft.ops.Dedup.writeMinhashIndex(
+        docs, "doc_id", "text", "graft_minhash_index")
+      val newBatch = docs.filter(col("doc_id") % 7 === 0)
+        .withColumn("doc_id", col("doc_id") + 200000L)
+        .withColumn("text", expr("substring(text, instr(text, ' ') + 1)"))
+      graft.ops.Dedup.incrementalCandidates(
+          s, "graft_minhash_index", newBatch, "doc_id", "text")
+        .orderBy("a", "b")
+    }),
+
     // word counts over the corpus (top 100 by frequency)
     "text_tokenize" -> ((s, d) =>
       Tables.t(s, d, "documents")

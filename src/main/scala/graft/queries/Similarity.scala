@@ -229,6 +229,22 @@ object Similarity extends QueryModule {
     "sim_ann_ivfpq_index" -> ((s, d) => {
       val e = emb(s, d).select(col("vec_id"), col("ed"))
       ivfpqIndexTopK(e, queryId = 0L, nProbe = 2, dir = tmp(d, "ivfpq_index"))
+    }),
+
+    // BATCHED IVF-PQ: three query vectors through ONE probe plan — the
+    // shape a retrieval/dedup pipeline actually runs (nobody serves 100 TB
+    // one driver-planned query at a time). Cell ranking, residuals, and
+    // ADC scoring all distribute via the native kernels (pq_adc replaces
+    // the per-query driver-built literal table); top-k is a per-qid
+    // window. Oracle-exempt like the other trained variants;
+    // SimilaritySpec pins each query's batch rows == its single-probe rows
+    // bit-for-bit.
+    "sim_ann_ivfpq_batch" -> ((s, d) => {
+      val e = emb(s, d).select(col("vec_id"), col("ed"))
+      val model = ivfpqFit(e)
+      val queries = model.assigned.filter(col("vec_id").isin(0L, 7L, 23L))
+        .select(col("vec_id").as("qid"), col("ed").as("qed"))
+      ivfpqBatchProbe(ivfpqCodes(model), model, queries, nProbe = 2)
     })
   )
 
@@ -328,6 +344,49 @@ object Similarity extends QueryModule {
         round(adist, 6).as("approx_dist"))
       .orderBy("approx_dist", "vec_id")
       .limit(k)
+  }
+
+  /** BATCHED IVF-PQ probe: a whole relation of query vectors answered in
+    * ONE plan. [[ivfpqProbe]] serves a single query with a driver-built
+    * literal ADC table (m lookups per candidate) — the right shape for
+    * point lookups, but a query BATCH through it pays an
+    * O(nQ·nProbe·m·nCent·subDim) driver loop plus one plan per query.
+    * Here everything distributes: cell ranking is a posexplode of the
+    * (broadcast-literal) centroids per query + a per-qid window (nQ×nCells
+    * rows — never the corpus), residuals come from the native `vec_sub`
+    * kernel, and scoring is the `pq_adc` codegen kernel computing the
+    * same per-subspace l2 sum the ADC table holds, in the same
+    * accumulation order (SimilaritySpec pins batch == single per query,
+    * bit-for-bit). The probe relation joins the codes by BROADCAST on
+    * cid, so the big side never shuffles — and against a stored
+    * cid-partitioned index table ([[ivfpqIndexTopK]]'s layout) that same
+    * equi-join is what dynamic partition pruning keys on, so a batch
+    * touching p distinct cells reads p of nCells directories. Top-k per
+    * query is one partitioned window over candidates already pruned to
+    * nProbe cells each. */
+  def ivfpqBatchProbe(
+      codes: DataFrame, model: IvfPqModel, queries: DataFrame,
+      nProbe: Int, k: Int = 10): DataFrame = {
+    GraftFunctions.register(codes.sparkSession)
+    val cellsLit = typedLit(model.coarse.map(_.toSeq).toSeq)
+    val bookLit = typedLit(model.book.map(_.toSeq).toSeq)
+    val qcells = queries.select(col("qid"), col("qed"),
+        posexplode(cellsLit).as(Seq("cid", "cd")))
+      .withColumn("cdist", call_udf("l2_dist", col("qed"), col("cd")))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cdist"), col("cid"))))
+      .filter(col("crn") <= nProbe)
+      .select(col("qid"), col("cid"),
+        call_udf("vec_sub", col("qed"), col("cd")).as("qres"))
+    codes.join(broadcast(qcells), "cid")
+      .withColumn("approx_dist", round(
+        call_udf("pq_adc", col("qres"), col("codes"), bookLit, lit(model.nCent)), 6))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("approx_dist"), col("vec_id"))))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("vec_id"), col("cid").cast("int").as("cid"),
+        col("approx_dist"))
+      .orderBy("qid", "approx_dist", "vec_id")
   }
 
   /** IVF-PQ probe, self-contained: fit + encode + probe in one query

@@ -349,4 +349,58 @@ class NativeExprSpec extends SparkSpec {
     }
   }
 
+  test("pq_adc == the driver-built ADC table path; row damage NULLs, never NPEs") {
+    GraftFunctions.register(spark)
+    // book: m=2 subspaces × nCent=2 centroids of subDim=2, flat j·nCent+c
+    val book = Array(
+      Array(0.0, 0.0), Array(1.0, 1.0), // subspace 0
+      Array(2.0, 2.0), Array(3.0, 3.0)) // subspace 1
+    val res = Array(0.5, 0.5, 2.5, 2.5)
+    val codes = Array(1, 0)
+    // driver reference: the exact table arithmetic ivfpqProbe runs —
+    // per-subspace l2DistArr, summed left-to-right
+    val expected =
+      graft.functions.VecAlg.l2DistArr(Array(0.5, 0.5), book(1)) +
+        graft.functions.VecAlg.l2DistArr(Array(2.5, 2.5), book(2))
+    val bookLit = org.apache.spark.sql.functions.typedLit(book.map(_.toSeq).toSeq)
+    val got = Seq((res, codes)).toDF("res", "codes")
+      .select(org.apache.spark.sql.functions.call_udf("pq_adc",
+        col("res"), col("codes"), bookLit, org.apache.spark.sql.functions.lit(2)).as("d"))
+      .head()
+    assert(!got.isNullAt(0) && got.getDouble(0) == expected,
+      s"pq_adc must equal the ADC-table sum bit-for-bit: got $got, want $expected")
+    // row damage -> NULL: wrong code count, out-of-range code, wrong
+    // residual length, and (non-foldable book) a null codebook entry
+    val damaged = Seq(
+      (res, Array(1)), // m mismatch
+      (res, Array(1, 5)), // code out of range
+      (Array(0.5, 0.5), codes) // residual length != m·subDim
+    ).toDF("res", "codes")
+      .select(org.apache.spark.sql.functions.call_udf("pq_adc",
+        col("res"), col("codes"), bookLit, org.apache.spark.sql.functions.lit(2)).as("d"))
+      .collect()
+    assert(damaged.forall(_.isNullAt(0)), s"damaged rows must NULL: ${damaged.mkString(",")}")
+    // codes (1, 0) reference flat entries 1 and 2 — nulls at 0 and 3 are
+    // unreferenced (and entry 0 being null also proves subDim derives
+    // from the residual, not the first book entry)
+    val nullEntry = Seq((res, codes, Array(null, Array(1.0, 1.0), Array(2.0, 2.0), null)))
+      .toDF("res", "codes", "book")
+      .selectExpr("pq_adc(res, codes, book, 2) AS d")
+      .head()
+    assert(!nullEntry.isNullAt(0),
+      "an unreferenced null entry in a non-foldable book must not poison valid rows")
+    val nullHit = Seq((res, Array(0, 0), Array(Array(0.0, 0.0), null, null, Array(3.0, 3.0))))
+      .toDF("res", "codes", "book")
+      .selectExpr("pq_adc(res, codes, book, 2) AS d")
+      .head()
+    assert(nullHit.isNullAt(0), "a REFERENCED null codebook entry must NULL the row, not NPE")
+    // analysis-time: a foldable book with a wrong shape fails the PLAN
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq((res, codes)).toDF("res", "codes")
+        .selectExpr("pq_adc(res, codes, array(array(1D, 2D), array(3D)), 2)")
+        .head()
+    }
+    assert(e.getMessage.contains("pq_adc"), s"unexpected analysis error: ${e.getMessage}")
+  }
+
 }

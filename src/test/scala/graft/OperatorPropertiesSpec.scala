@@ -84,6 +84,37 @@ class OperatorPropertiesSpec extends SparkSpec {
       s"recovered ${recovered.size}/${planted.size}")
   }
 
+  test("dedup_incremental_minhash: stored-index probe == full-batch cross pairs, index side exchange-free") {
+    // the incremental probe must find EXACTLY the corpus×new-batch pairs
+    // the full-batch self-join would (the stored index changes where
+    // signatures come from, never which candidates emerge)
+    val inc = SparkEntry.queries("dedup_incremental_minhash")(spark, sfDir)
+    val incPairs = inc.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val docs = Tables.t(spark, sfDir, "documents")
+    val newBatch = docs.filter(col("doc_id") % 7 === 0)
+      .withColumn("doc_id", col("doc_id") + 200000L)
+      .withColumn("text", expr("substring(text, instr(text, ' ') + 1)"))
+    val cross = graft.ops.Dedup
+      .minhashCandidates(docs.unionByName(newBatch), "doc_id", "text")
+      .filter(col("a") < 200000L && col("b") >= 200000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(incPairs == cross,
+      s"incremental-vs-full divergence: only-inc=${incPairs.diff(cross).take(5)} " +
+        s"only-full=${cross.diff(incPairs).take(5)}")
+    assert(incPairs.nonEmpty, "planted near-dups must produce cross pairs")
+    // the layout's point: the (band, sig)-bucketed index side of the probe
+    // join must plan WITHOUT a shuffle — only the new batch moves
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val plan = inc.queryExecution.sparkPlan
+    val smj = plan.collect { case j: SortMergeJoinExec => j }
+    assert(smj.nonEmpty, s"expected the probe to sort-merge join the index:\n$plan")
+    val exchangeFreeSides = smj.map(j =>
+      Seq(j.left, j.right).count(_.collect { case e: ShuffleExchangeExec => e }.isEmpty))
+    assert(exchangeFreeSides.exists(_ >= 1),
+      s"the bucketed index side must not re-shuffle:\n${smj.head}")
+  }
+
   test("minhash degenerate-bucket cap bounds an all-identical corpus") {
     import spark.implicits._
     // 200 byte-identical docs -> every band collapses into one bucket;

@@ -232,6 +232,50 @@ class SimilaritySpec extends SparkSpec {
       s"driver key must self-hit first: ${driverTop.take(3).mkString(",")}")
   }
 
+  test("sim_ann_ivfpq_batch equals the single-probe path bit-for-bit per query") {
+    // ONE fitted model feeds both paths. The single probe scores through a
+    // driver-built literal ADC table (m lookups per row); the batch probe
+    // scores through the pq_adc kernel from (residual, codes) directly —
+    // same per-subspace l2 sums in the same accumulation order, so the
+    // distances must be IDENTICAL doubles, not merely close.
+    graft.functions.GraftFunctions.register(spark)
+    val e = Tables.t(spark, sfDir, "embeddings")
+      .withColumn("ed", col("embedding").cast("array<double>"))
+      .select(col("vec_id"), col("ed"))
+    val model = graft.queries.Similarity.ivfpqFit(e)
+    val codes = graft.queries.Similarity.ivfpqCodes(model)
+    val qids = Seq(0L, 7L, 23L)
+    val nProbe = 2
+    val queries = model.assigned.filter(col("vec_id").isin(qids.map(Long.box): _*))
+      .select(col("vec_id").as("qid"), col("ed").as("qed"))
+    val batch = graft.queries.Similarity
+      .ivfpqBatchProbe(codes, model, queries, nProbe)
+      .collect()
+      .groupBy(_.getAs[Long]("qid"))
+    assert(batch.keySet == qids.toSet, s"batch must answer every query, got ${batch.keySet}")
+    qids.foreach { qid =>
+      val single = graft.queries.Similarity
+        .ivfpqProbe(codes, model, model.vectorOf(qid), nProbe)
+        .collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("cid"), r.getAs[Double]("approx_dist")))
+        .toSeq
+      val got = batch(qid)
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("cid"), r.getAs[Double]("approx_dist")))
+        .toSeq
+      assert(got == single,
+        s"qid=$qid batch/single divergence\nbatch:  $got\nsingle: $single")
+    }
+    // every query must self-hit first; its ADC distance is the
+    // quantization error (residual vs its own codes), not 0 — the
+    // bit-for-bit batch==single pin above is the exactness check
+    qids.foreach { qid =>
+      val first = batch(qid).head
+      assert(first.getAs[Long]("vec_id") == qid,
+        s"qid=$qid must self-hit first, got $first")
+      assert(first.getAs[Double]("approx_dist") >= 0.0, s"ADC distances are non-negative: $first")
+    }
+  }
+
   test("trainPqCodebook degrades past a damaged row among the first nCent seeds") {
     // one null-slot vector INSIDE the seed window (vec_id 3 < nCent = 16):
     // seeding must skip it for the next valid row — not NPE the collect,
