@@ -131,6 +131,24 @@ object Dedup {
       .select("a", "b").distinct()
   }
 
+  /** Fold an accepted batch into the stored index: its banded rows
+    * INSERT INTO the same bucketed table (Spark routes the append through
+    * the table's bucket spec, so the layout — and every future probe's
+    * exchange-free join — survives any number of appends). Run AFTER
+    * [[incrementalCandidates]] has decided which batch docs to keep and
+    * the caller filtered `newDocs` down to the keepers. The build-time
+    * degenerate-bucket cap is deliberately NOT re-applied per append
+    * (a cap decision needs the bucket's total count, which an append
+    * doesn't see); periodic [[writeMinhashIndex]] rebuilds re-cap. */
+  def appendToMinhashIndex(
+      newDocs: DataFrame, idCol: String, textCol: String, table: String,
+      nHashes: Int = 16, bands: Int = 4, shingleSize: Int = 3): Unit =
+    bandedMinhash(newDocs, idCol, textCol, nHashes, bands, shingleSize)
+      // insertInto binds by POSITION; the stored layout is (band, sig,
+      // doc_id) — the build join puts its keys first
+      .select("band", "sig", "doc_id")
+      .write.mode("append").insertInto(table)
+
   /** Composed-builtin reference form of the minhash signature (shingle
     * explode → min(xxhash64(shingle, seed)) per seed → pack as array) —
     * what [[minhashCandidates]]'s kernel must agree with bit-for-bit. */

@@ -115,6 +115,46 @@ class OperatorPropertiesSpec extends SparkSpec {
       s"the bucketed index side must not re-shuffle:\n${smj.head}")
   }
 
+  test("appendToMinhashIndex folds a batch in; later probes see it, layout survives") {
+    // day-2 of the ingest loop: after batch1 is accepted, its banded rows
+    // INSERT INTO the bucketed index; a batch2 probe must then find pairs
+    // against BOTH the original corpus and batch1 — and still join the
+    // index side exchange-free (the append must not break the bucket spec)
+    val docs = Tables.t(spark, sfDir, "documents")
+    val wh = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
+    val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    spark.sql("DROP TABLE IF EXISTS graft_minhash_append_test")
+    val loc = new org.apache.hadoop.fs.Path(wh, "graft_minhash_append_test")
+    if (fs.exists(loc)) fs.delete(loc, true)
+    graft.ops.Dedup.writeMinhashIndex(docs, "doc_id", "text", "graft_minhash_append_test")
+    // batch1: near-dups of every 7th doc; batch2: near-dups of every 14th
+    // doc, so each batch2 doc has a planted neighbor in the corpus AND in
+    // batch1 (the 14th-doc subset of batch1's 7th-doc shifts)
+    def shifted(mod: Int, offset: Long) = docs.filter(col("doc_id") % mod === 0)
+      .withColumn("doc_id", col("doc_id") + offset)
+      .withColumn("text", expr("substring(text, instr(text, ' ') + 1)"))
+    graft.ops.Dedup.appendToMinhashIndex(
+      shifted(7, 200000L), "doc_id", "text", "graft_minhash_append_test")
+    val probe2 = graft.ops.Dedup.incrementalCandidates(
+      spark, "graft_minhash_append_test", shifted(14, 400000L), "doc_id", "text")
+    val pairs = probe2.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val vsCorpus = pairs.filter(_._1 < 200000L)
+    val vsBatch1 = pairs.filter(p => p._1 >= 200000L && p._1 < 400000L)
+    assert(vsCorpus.nonEmpty, "batch2 must pair against the original corpus")
+    assert(vsBatch1.nonEmpty, "batch2 must pair against the APPENDED batch1 rows")
+    // the appended rows landed with the right column binding: every batch1
+    // id in a pair is a shifted 7th-doc id (a positional insertInto slip
+    // would scramble doc_id into the band/sig columns instead)
+    assert(vsBatch1.forall { case (a, _) => (a - 200000L) % 7 == 0 },
+      s"appended ids malformed: ${vsBatch1.take(5)}")
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val smj = probe2.queryExecution.sparkPlan.collect { case j: SortMergeJoinExec => j }
+    assert(smj.nonEmpty && smj.exists(j =>
+      Seq(j.left, j.right).exists(_.collect { case e: ShuffleExchangeExec => e }.isEmpty)),
+      s"post-append probe lost the exchange-free index side:\n${probe2.queryExecution.sparkPlan}")
+  }
+
   test("minhash degenerate-bucket cap bounds an all-identical corpus") {
     import spark.implicits._
     // 200 byte-identical docs -> every band collapses into one bucket;
