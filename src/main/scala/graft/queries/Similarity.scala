@@ -245,6 +245,19 @@ object Similarity extends QueryModule {
       val queries = model.assigned.filter(col("vec_id").isin(0L, 7L, 23L))
         .select(col("vec_id").as("qid"), col("ed").as("qed"))
       ivfpqBatchProbe(ivfpqCodes(model), model, queries, nProbe = 2)
+    }),
+
+    // THE serving shape, fully composed: a query batch answered from the
+    // STORED cid-partitioned index — the broadcast probe join on cid is
+    // what dynamic partition pruning keys on, so the scan lists only the
+    // cells the batch actually probes (SimilaritySpec pins the DPP filter
+    // and the pruned partition count; rows == the in-memory batch under
+    // one model). Oracle-exempt like the other trained variants.
+    "sim_ann_ivfpq_serve" -> ((s, d) => {
+      val e = emb(s, d).select(col("vec_id"), col("ed"))
+      ivfpqIndexBatchTopK(
+        e, queryIds = Seq(0L, 7L, 23L), nProbe = 2,
+        dir = tmp(d, "ivfpq_serve"))
     })
   )
 
@@ -351,33 +364,48 @@ object Similarity extends QueryModule {
     * literal ADC table (m lookups per candidate) — the right shape for
     * point lookups, but a query BATCH through it pays an
     * O(nQ·nProbe·m·nCent·subDim) driver loop plus one plan per query.
-    * Here everything distributes: cell ranking is a posexplode of the
-    * (broadcast-literal) centroids per query + a per-qid window (nQ×nCells
-    * rows — never the corpus), residuals come from the native `vec_sub`
+    * Here everything distributes: cell ranking is a PER-ROW expression
+    * (nCells literal-centroid distances → array_sort of (cdist, cid)
+    * structs → slice nProbe → explode; no shuffle, no window — the
+    * corpus is never touched), residuals come from the native `vec_sub`
     * kernel, and scoring is the `pq_adc` codegen kernel computing the
     * same per-subspace l2 sum the ADC table holds, in the same
     * accumulation order (SimilaritySpec pins batch == single per query,
     * bit-for-bit). The probe relation joins the codes by BROADCAST on
     * cid, so the big side never shuffles — and against a stored
-    * cid-partitioned index table ([[ivfpqIndexTopK]]'s layout) that same
+    * cid-partitioned index table ([[ivfpqIndexBatchTopK]]) that same
     * equi-join is what dynamic partition pruning keys on, so a batch
-    * touching p distinct cells reads p of nCells directories. Top-k per
-    * query is one partitioned window over candidates already pruned to
-    * nProbe cells each. */
+    * touching p distinct cells reads p of nCells directories
+    * (SimilaritySpec pins the pruned count; keeping the build side
+    * shuffle-free is what lets AQE reuse the join broadcast as the DPP
+    * filter). Top-k per query is one partitioned window over candidates
+    * already pruned to nProbe cells each. */
   def ivfpqBatchProbe(
       codes: DataFrame, model: IvfPqModel, queries: DataFrame,
       nProbe: Int, k: Int = 10): DataFrame = {
     GraftFunctions.register(codes.sparkSession)
     val cellsLit = typedLit(model.coarse.map(_.toSeq).toSeq)
     val bookLit = typedLit(model.book.map(_.toSeq).toSeq)
-    val qcells = queries.select(col("qid"), col("qed"),
-        posexplode(cellsLit).as(Seq("cid", "cd")))
-      .withColumn("cdist", call_udf("l2_dist", col("qed"), col("cd")))
-      .withColumn("crn", row_number().over(
-        Window.partitionBy("qid").orderBy(col("cdist"), col("cid"))))
-      .filter(col("crn") <= nProbe)
-      .select(col("qid"), col("cid"),
-        call_udf("vec_sub", col("qed"), col("cd")).as("qres"))
+    // top-nProbe cells per query is a PER-ROW expression, not a window:
+    // nCells distances into an array of (cdist, cid) structs, array_sort
+    // (lexicographic — same (cdist, cid) tie-break as the single-probe
+    // driver ranking), slice nProbe, explode. Zero shuffle — and the
+    // broadcast build side stays shuffle-free, which is what lets AQE
+    // re-use this exact broadcast as the stored table's dynamic
+    // partition-pruning filter (a window here put a shuffle stage in the
+    // build side and the runtime reuse match failed, silently degrading
+    // the serve path to a full-index scan).
+    val qcells = queries
+      .withColumn("cells", cellsLit)
+      .select(col("qid"), col("qed"), posexplode(expr(
+        s"""slice(array_sort(zip_with(
+           |  transform(cells, cd -> l2_dist(qed, cd)),
+           |  sequence(0, ${model.coarse.length - 1}),
+           |  (d, i) -> struct(d AS cdist, i AS cid))), 1, $nProbe)""".stripMargin))
+        .as(Seq("pos", "probe")))
+      .select(col("qid"), col("probe.cid").as("cid"),
+        call_udf("vec_sub", col("qed"),
+          element_at(cellsLit, col("probe.cid") + 1)).as("qres"))
     codes.join(broadcast(qcells), "cid")
       .withColumn("approx_dist", round(
         call_udf("pq_adc", col("qres"), col("codes"), bookLit, lit(model.nCent)), 6))
@@ -420,6 +448,32 @@ object Similarity extends QueryModule {
       .write.mode("overwrite").partitionBy("cid").parquet(dir)
     val stored = e.sparkSession.read.parquet(dir)
     ivfpqProbe(stored, model, model.vectorOf(queryId), nProbe, k)
+  }
+
+  /** The full serving round trip: fit, write the (vec_id, cid, codes)
+    * relation PARTITIONED BY cid, then answer a query BATCH from the
+    * stored table through [[ivfpqBatchProbe]]. The probe side broadcasts
+    * (nQ·nProbe rows), and the equi-join on `cid` — the partition
+    * column — is exactly what DYNAMIC partition pruning keys on: Spark
+    * reuses the broadcast to build a cid filter for the scan, so a batch
+    * probing p distinct cells lists p of nCells directories, without the
+    * driver ever collecting the probe list (the single-query path's
+    * static `cid IN (...)` needs the cells known at plan time; a batch's
+    * cells live in the data). At 100 TB this is the index's whole point:
+    * query cost scales with nProbe/nCells of the corpus, write cost
+    * amortizes over every batch. */
+  def ivfpqIndexBatchTopK(
+      e: DataFrame, queryIds: Seq[Long], nProbe: Int, dir: String,
+      nCells: Int = 16, m: Int = 4, subDim: Int = 16, nCent: Int = 16,
+      k: Int = 10): DataFrame = {
+    val model = ivfpqFit(e, nCells, m, subDim, nCent)
+    ivfpqCodes(model)
+      .write.mode("overwrite").partitionBy("cid").parquet(dir)
+    val stored = e.sparkSession.read.parquet(dir)
+    val queries = model.assigned
+      .filter(col("vec_id").isin(queryIds.map(Long.box): _*))
+      .select(col("vec_id").as("qid"), col("ed").as("qed"))
+    ivfpqBatchProbe(stored, model, queries, nProbe, k)
   }
 
   /** per-subspace trained codebook in [[pqTopK]]'s flat layout

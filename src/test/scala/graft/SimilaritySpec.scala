@@ -276,6 +276,68 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("sim_ann_ivfpq_serve: stored batch == in-memory batch; DPP prunes the scan") {
+    // the composed serving shape: a query batch against the STORED
+    // cid-partitioned index. Under one model the stored probe must be
+    // byte-identical to the in-memory batch — and the scan must read only
+    // the probed cells, pruned DYNAMICALLY (the batch's cells live in the
+    // data; no driver-side IN list exists at plan time)
+    graft.functions.GraftFunctions.register(spark)
+    val e = Tables.t(spark, sfDir, "embeddings")
+      .withColumn("ed", col("embedding").cast("array<double>"))
+      .select(col("vec_id"), col("ed"))
+    val model = graft.queries.Similarity.ivfpqFit(e)
+    val qids = Seq(0L, 7L, 23L)
+    val nProbe = 2
+    val queries = model.assigned.filter(col("vec_id").isin(qids.map(Long.box): _*))
+      .select(col("vec_id").as("qid"), col("ed").as("qed"))
+    val inMem = graft.queries.Similarity
+      .ivfpqBatchProbe(graft.queries.Similarity.ivfpqCodes(model), model, queries, nProbe)
+      .collect().toSeq
+    val dir = "/tmp/graft_test/ivfpq_serve_spec"
+    graft.queries.Similarity.ivfpqCodes(model)
+      .write.mode("overwrite").partitionBy("cid").parquet(dir)
+    val storedDf = graft.queries.Similarity
+      .ivfpqBatchProbe(spark.read.parquet(dir), model, queries, nProbe)
+    val stored = storedDf.collect().toSeq
+    assert(stored == inMem,
+      s"stored-batch probe must equal the in-memory batch\nstored: $stored\nmem:    $inMem")
+    // the exact cells the batch probes: per query, the nProbe nearest
+    // centroids (same (cdist, cid) tie-break as the probe expression) —
+    // NOT the cells surviving to the top-k results, which can be fewer
+    val probedCells = qids.flatMap { qid =>
+      val q = model.vectorOf(qid)
+      model.coarse.zipWithIndex
+        .map { case (c, i) => (graft.functions.VecAlg.l2DistArr(q, c), i) }
+        .sortBy(identity).take(nProbe).map(_._2)
+    }.distinct.size
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    // query stages are LEAF nodes — collect must descend into their plans
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+    }.flatten
+    val scan = scans(storedDf.queryExecution.executedPlan)
+      .filter(_.partitionFilters.nonEmpty)
+    assert(scan.nonEmpty,
+      s"expected a dynamically partition-filtered scan of the stored index:\n" +
+        storedDf.queryExecution.executedPlan)
+    assert(scan.head.partitionFilters.exists(
+        _.find(_.isInstanceOf[org.apache.spark.sql.catalyst.expressions.DynamicPruningExpression]).isDefined),
+      s"the cid filter must be DYNAMIC (no static IN list exists for a batch): ${scan.head.partitionFilters}")
+    // the scan's own metric counts the partitions actually read after
+    // dynamic pruning (selectedPartitions only reflects static filters)
+    val nParts = scan.head.metrics("numPartitions").value
+    assert(nParts == probedCells && nParts <= qids.size * nProbe,
+      s"DPP must prune the scan to the $probedCells probed cells, read $nParts")
+    // and the driver key round-trips green
+    val driverTop = SparkEntry.queries("sim_ann_ivfpq_serve")(spark, sfDir).collect()
+    assert(driverTop.length == qids.size * 10,
+      s"driver key must return 10 rows per query, got ${driverTop.length}")
+  }
+
   test("trainPqCodebook degrades past a damaged row among the first nCent seeds") {
     // one null-slot vector INSIDE the seed window (vec_id 3 < nCent = 16):
     // seeding must skip it for the next valid row — not NPE the collect,
