@@ -258,6 +258,22 @@ object Similarity extends QueryModule {
       ivfpqIndexBatchTopK(
         e, queryIds = Seq(0L, 7L, 23L), nProbe = 2,
         dir = tmp(d, "ivfpq_serve"))
+    }),
+
+    // Day-2 APPEND into the stored index with the model FROZEN: the new
+    // batch (planted near-dup twins of every 17th vector, fresh ids)
+    // encodes against the EXISTING centroids + codebook — one narrow
+    // codegen pass — and parquet-appends into the cid= layout: no refit,
+    // no rewrite of stored files (the IVF-PQ twin of
+    // dedup_incremental_minhash's INSERT INTO). The probe then reads
+    // old + new through the same pruned scan, and query 0's planted twin
+    // surfaces in the top-k. Oracle-exempt like the other trained
+    // variants; SimilaritySpec pins append == full frozen-model
+    // re-encode bit-for-bit, the planted-neighbor hit, and the
+    // undisturbed cid= partition layout.
+    "sim_ann_ivfpq_append" -> ((s, d) => {
+      val e = emb(s, d).select(col("vec_id"), col("ed"))
+      ivfpqAppendTopK(e, queryId = 0L, nProbe = 2, dir = tmp(d, "ivfpq_append"))
     })
   )
 
@@ -324,6 +340,78 @@ object Similarity extends QueryModule {
         call_udf("pq_encode", col("res"), bookLit, lit(model.subDim), lit(model.nCent)).as("codes"))
       .filter(col("codes").isNotNull)
   }
+
+  /** Encode ANY (vec_id, ed) relation under a FROZEN model — nearest
+    * EXISTING coarse cell (no retraining), residual via the native
+    * `vec_sub` kernel, PQ codes against the frozen residual codebook.
+    * The same single narrow codegen pass as the fit's assignment, but
+    * over vectors the model never saw: this is how day-2 data enters an
+    * existing index. A damaged row (wrong length / null slot) makes
+    * `pq_encode` return NULL and is filtered out, never fatal — an
+    * append job must not die on one bad vector. Agrees bit-for-bit with
+    * [[ivfpqCodes]] on the fit's own corpus (same kernels, same
+    * accumulation order; pinned in SimilaritySpec). */
+  def ivfpqEncode(model: IvfPqModel, vecs: DataFrame): DataFrame = {
+    GraftFunctions.register(vecs.sparkSession)
+    val coarseLit = typedLit(model.coarse.map(_.toSeq).toSeq)
+    val bookLit = typedLit(model.book.map(_.toSeq).toSeq)
+    vecs
+      .withColumn("cid", element_at(
+        call_udf("pq_encode", col("ed"), coarseLit, lit(model.dim),
+          lit(model.coarse.length)), 1))
+      .filter(col("cid").isNotNull)
+      .withColumn("res",
+        call_udf("vec_sub", col("ed"), element_at(coarseLit, col("cid") + 1)))
+      .select(col("vec_id"), col("cid"),
+        call_udf("pq_encode", col("res"), bookLit, lit(model.subDim),
+          lit(model.nCent)).as("codes"))
+      .filter(col("codes").isNotNull)
+  }
+
+  /** Fold a day-2 vector batch into a STORED cid-partitioned index with
+    * the model FROZEN: [[ivfpqEncode]] + parquet append. The new files
+    * land INSIDE the existing cid= directories, so the partition layout —
+    * and every probe's pruning — survives any number of appends, and no
+    * already-stored file is rewritten. The IVF-PQ twin of
+    * [[graft.ops.Dedup.appendToMinhashIndex]]: at 100 TB folding in a
+    * day's crawl costs encode(batch) + append, not refit + rewrite of the
+    * whole corpus. Centroid drift from accumulated appends is the
+    * documented trade — periodic [[ivfpqFit]] rebuilds re-center, exactly
+    * like the minhash index's periodic re-cap rebuild. */
+  def ivfpqAppendToIndex(model: IvfPqModel, newVecs: DataFrame, dir: String): Unit =
+    ivfpqEncode(model, newVecs)
+      .write.mode("append").partitionBy("cid").parquet(dir)
+
+  /** The append round trip behind the `sim_ann_ivfpq_append` driver key:
+    * build + store the index from the base corpus, fold in a day-2 batch
+    * (near-duplicate perturbations of every 17th base vector under fresh
+    * ids — the planted twins) with the model frozen, then answer the
+    * query from the stored table. Query 0's planted twin (vec_id
+    * [[AppendIdOffset]]) must surface in the top-k: proof the appended
+    * rows are probed through the same pruned path as the originals. */
+  def ivfpqAppendTopK(
+      e: DataFrame, queryId: Long, nProbe: Int, dir: String,
+      nCells: Int = 16, m: Int = 4, subDim: Int = 16, nCent: Int = 16,
+      k: Int = 10): DataFrame = {
+    val model = ivfpqFit(e, nCells, m, subDim, nCent)
+    ivfpqCodes(model).write.mode("overwrite").partitionBy("cid").parquet(dir)
+    ivfpqAppendToIndex(model, appendBatch(e), dir)
+    ivfpqProbe(e.sparkSession.read.parquet(dir), model,
+      model.vectorOf(queryId), nProbe, k)
+  }
+
+  /** fresh-id offset for the planted day-2 batch (outside every sf's
+    * vec_id range) */
+  val AppendIdOffset = 700000L
+
+  /** the deterministic day-2 batch: every 17th base vector, nudged by
+    * +0.001 per dimension (a near-duplicate — its twin stays its nearest
+    * neighbor), under fresh ids. Tiny relation; the HOF lambda is fine
+    * off the hot path. */
+  def appendBatch(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") % 17 === 0)
+      .select((col("vec_id") + AppendIdOffset).as("vec_id"),
+        expr("transform(ed, x -> x + 0.001D)").as("ed"))
 
   /** ADC probe over an index relation (in-memory or read back from a
     * stored table): nProbe nearest cells by L2 from the query vector, one

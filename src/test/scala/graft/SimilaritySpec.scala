@@ -416,4 +416,63 @@ class SimilaritySpec extends SparkSpec {
       .map(_.getAs[Long]("vec_id")).toSet
     assert(head == expected, s"near-dups must rank first, got $head")
   }
+
+  test("sim_ann_ivfpq_append: frozen-model append == full re-encode; day-2 twin recovered") {
+    // the index lifecycle's last leg: day-2 vectors fold into the STORED
+    // index with the model frozen — no refit, no rewrite — and probes see
+    // old + new through the same pruned path
+    graft.functions.GraftFunctions.register(spark)
+    val S = graft.queries.Similarity
+    val e = Tables.t(spark, sfDir, "embeddings")
+      .withColumn("ed", col("embedding").cast("array<double>"))
+      .select(col("vec_id"), col("ed"))
+    val model = S.ivfpqFit(e)
+    val dir = "/tmp/graft_test/ivfpq_append_spec"
+    S.ivfpqCodes(model).write.mode("overwrite").partitionBy("cid").parquet(dir)
+    val baseFiles = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("cid=")).flatMap(_.listFiles()).map(_.getPath).toSet
+    val batch2 = S.appendBatch(e)
+    S.ivfpqAppendToIndex(model, batch2, dir)
+    val stored = spark.read.parquet(dir)
+    // 1. the append added exactly the encodable batch, rewrote nothing
+    assert(stored.count() == S.ivfpqCodes(model).count() + batch2.count(),
+      "append must add exactly the batch's rows")
+    val afterDirs = new java.io.File(dir).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(afterDirs.forall(_.startsWith("cid=")),
+      s"appended files must land inside cid= partition dirs: ${afterDirs.mkString(",")}")
+    assert(baseFiles.forall(p => new java.io.File(p).exists()),
+      "append must not rewrite or drop any stored base file")
+    // 2. frozen-model determinism: the stored table == one re-encode of
+    //    base ∪ batch under the same model, bit-for-bit (ivfpqEncode and
+    //    ivfpqCodes share kernels and accumulation order)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("vec_id"), r.getAs[Number]("cid").intValue(),
+        r.getAs[Seq[Int]]("codes").toList)
+    val storedSet = stored.collect().map(key).toSet
+    val reencoded = S.ivfpqEncode(model, e.unionByName(batch2)).collect().map(key).toSet
+    assert(storedSet == reencoded,
+      s"stored index must equal a full frozen-model re-encode " +
+        s"(missing: ${(reencoded -- storedSet).take(3)}, extra: ${(storedSet -- reencoded).take(3)})")
+    // 3. query 0's planted day-2 twin surfaces in the stored probe's top-k
+    val top = S.ivfpqProbe(stored, model, model.vectorOf(0L), nProbe = 2).collect()
+    val ids = top.map(_.getAs[Long]("vec_id")).toSet
+    assert(ids.contains(0L) && ids.contains(S.AppendIdOffset),
+      s"top-k must hold the query and its appended twin ${S.AppendIdOffset}: $ids")
+    // 4. the probe still partition-prunes the grown index
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case f: FileSourceScanExec => Seq(f)
+    }.flatten
+    val probeDf = S.ivfpqProbe(stored, model, model.vectorOf(0L), nProbe = 2)
+    probeDf.collect()
+    val scan = scans(probeDf.queryExecution.executedPlan).filter(_.partitionFilters.nonEmpty)
+    assert(scan.nonEmpty && scan.head.selectedPartitions.partitionCount <= 2,
+      "probe over the appended index must still prune to <= nProbe partitions")
+    // and the driver key round-trips green with the twin in its rows
+    val driverTop = SparkEntry.queries("sim_ann_ivfpq_append")(spark, sfDir).collect()
+    assert(driverTop.map(_.getAs[Long]("vec_id")).contains(S.AppendIdOffset),
+      s"driver key must surface the appended twin: ${driverTop.mkString(",")}")
+  }
 }
