@@ -272,6 +272,61 @@ object Pipeline {
       .start()
   }
 
+  /** One micro-batch of the streaming near-dedup ingest — public so a
+    * crash replay is testable as a plain function call. Two dedup stages:
+    * (1) batch-internal near-dups via the in-memory LSH self-join (the
+    * larger doc_id of each candidate pair drops); (2) survivors against
+    * the STORED minhash index via the exchange-free bucketed probe
+    * ([[graft.ops.Dedup.incrementalCandidates]] — the corpus side never
+    * moves). Keepers land in a batchId-keyed corpus dir (overwrite, so a
+    * replayed batch rewrites its own dir — exactly-once for the corpus,
+    * same contract as [[streamingZipNumBatches]]) and their banded rows
+    * INSERT INTO the index. Index self-hits (a == b: a doc already folded
+    * in by this very batch's first, crashed attempt) are ignored, so a
+    * replay converges to the SAME keeper set instead of dropping every
+    * keeper as a duplicate of itself; the re-appended banded rows are
+    * harmless duplicates (candidate pairs are distinct()ed) that the
+    * periodic index rebuild compacts away. */
+  def dedupIngestBatch(
+      batch: DataFrame, table: String, corpusBase: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    // consumed by two dedup passes + the anti-join; foreachBatch hands us
+    // a one-shot relation, so pin it
+    val b = batch.localCheckpoint()
+    val innerDrop = graft.ops.Dedup.minhashCandidates(b, "doc_id", "text")
+      .select(col("b").as("doc_id"))
+    val indexDrop = graft.ops.Dedup
+      .incrementalCandidates(spark, table, b, "doc_id", "text")
+      .filter(col("a") =!= col("b"))
+      .select(col("b").as("doc_id"))
+    // the drop list is at most batch-sized — broadcast it into the anti-join
+    val keep = b.join(
+        broadcast(innerDrop.unionByName(indexDrop).distinct()),
+        Seq("doc_id"), "left_anti")
+      .localCheckpoint() // write + index append both consume it
+    keep.write.mode("overwrite").parquet(f"$corpusBase/batch-$batchId%05d")
+    graft.ops.Dedup.appendToMinhashIndex(keep, "doc_id", "text", table)
+  }
+
+  /** Streaming near-dedup ingest: every arriving batch of (doc_id, text)
+    * documents dedups against the stored minhash index AND folds its
+    * survivors back in, so batch N+1 deduplicates against everything
+    * batch N kept — including within-stream duplicates a static index
+    * never sees. The streaming form of the daily-ingest loop: the
+    * source's offset log is the skip set, [[dedupIngestBatch]] the
+    * per-batch transactional unit. At 100 TB the index side of every
+    * probe stays exchange-free (bucketed on the band key) and the only
+    * shuffle is the arriving batch's. */
+  def streamingDedupIngest(
+      docs: DataFrame, table: String, corpusBase: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) dedupIngestBatch(batch, table, corpusBase, batchId)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
   /** compact every `batch-*` cluster under `outBase` into `servingDir` */
   def compactBatches(
       spark: SparkSession, outBase: String, servingDir: String,

@@ -280,4 +280,61 @@ class StreamingSpec extends SparkSpec {
       assert(latest == Map(10L -> 3L, 20L -> 1L))
     } finally q.stop()
   }
+
+  test("streamingDedupIngest: batches dedup against the growing index; replay is idempotent") {
+    // the daily-ingest loop as a STREAM: each batch dedups against the
+    // stored minhash index, survivors fold back in, so batch N+1 sees
+    // batch N's keepers — and a crashed batch's replay converges instead
+    // of dropping its own keepers as duplicates of themselves
+    val base = "/tmp/graft_test/stream_dedup_ingest"
+    new scala.reflect.io.Directory(new java.io.File(base)).deleteRecursively()
+    val corpus = s"$base/corpus"; val ck = s"$base/ck"
+    val table = "graft_stream_dedup_index"
+    val wh = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
+    val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new org.apache.hadoop.fs.Path(wh, table)
+    if (fs.exists(loc)) fs.delete(loc, true)
+
+    def words(seed: String) = (1 to 30).map(i => s"$seed$i").mkString(" ")
+    def dropFirst(s: String) = s.split(" ").drop(1).mkString(" ")
+    graft.ops.Dedup.writeMinhashIndex(
+      Seq((1L, words("alpha")), (2L, words("beta"))).toDF("doc_id", "text"),
+      "doc_id", "text", table)
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val q = Pipeline.streamingDedupIngest(
+      input.toDF().toDF("doc_id", "text"), table, corpus, ck)
+    try {
+      // batch 0: 10 is fresh; 11 near-duplicates base doc 1
+      input.addData((10L, words("gamma")), (11L, dropFirst(words("alpha"))))
+      q.processAllAvailable()
+      val kept0 = spark.read.parquet(s"$corpus/batch-00000")
+        .select("doc_id").as[Long].collect().toSet
+      assert(kept0 == Set(10L), s"batch 0 must keep only the fresh doc: $kept0")
+      // batch 1: 12 near-duplicates batch 0's KEEPER (cross-batch, only
+      // visible because the keeper was folded into the index); 13 fresh;
+      // 14/15 near-duplicate EACH OTHER in-batch (smaller id wins)
+      input.addData(
+        (12L, dropFirst(words("gamma"))), (13L, words("delta")),
+        (14L, words("epsilon")), (15L, dropFirst(words("epsilon"))))
+      q.processAllAvailable()
+      val kept1 = spark.read.parquet(s"$corpus/batch-00001")
+        .select("doc_id").as[Long].collect().toSet
+      assert(kept1 == Set(13L, 14L),
+        s"batch 1 must drop cross-batch and in-batch near-dups: $kept1")
+      // crash replay: re-running batch 1 as the plain per-batch call must
+      // rewrite batch-00001 with the SAME keepers (index self-hits are
+      // ignored; the corpus dir is batchId-keyed overwrite)
+      Pipeline.dedupIngestBatch(
+        Seq((12L, dropFirst(words("gamma"))), (13L, words("delta")),
+          (14L, words("epsilon")), (15L, dropFirst(words("epsilon"))))
+          .toDF("doc_id", "text"),
+        table, corpus, 1L)
+      val replayed = spark.read.parquet(s"$corpus/batch-00001")
+        .select("doc_id").as[Long].collect().toSet
+      assert(replayed == kept1, s"replay must be idempotent: $replayed vs $kept1")
+    } finally q.stop()
+  }
 }
