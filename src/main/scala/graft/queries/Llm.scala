@@ -354,6 +354,23 @@ object Llm extends QueryModule {
         .orderBy("lang", "source")
     }),
 
+    // Token-budget corpus fill: keep each language's highest-quality
+    // docs until a 5k-token budget is spent — the mixing primitive
+    // ("N tokens per language"). Implemented scale-safe
+    // (ops/Corpus.budgetFill: per-quality-LEVEL aggregation + a window
+    // over levels, never one document window per language) but
+    // hash-equal to the naive per-language window the oracle runs.
+    "corpus_budget_fill" -> ((s, d) => {
+      val docs = Tables.t(s, d, "documents").select(
+        col("doc_id"), col("lang"),
+        graft.ops.Text.qualityScore(col("text")).as("quality"),
+        graft.ops.Text.wordCount(col("text")).cast("long").as("ws_tokens"))
+      graft.ops.Corpus
+        .budgetFill(docs, "lang", "quality", "ws_tokens", "doc_id", budget = 5000L)
+        .select("lang", "doc_id", "quality", "ws_tokens", "cum_tokens")
+        .orderBy("lang", "doc_id")
+    }),
+
     // The composed near-dup curation flow (Pipeline.curateCorpus):
     // quality gate -> minhash LSH -> connected components -> keep best.
     // Oracle-exempt (xxhash64 signatures are engine-specific);
@@ -484,6 +501,16 @@ object Llm extends QueryModule {
         "SELECT doc_id, CASE WHEN len(s) = 0 THEN 0.0 " +
         "ELSE round(1 - len(list_distinct(s))::DOUBLE / len(s), 6) END AS rep_ratio " +
         "FROM sh ORDER BY doc_id"),
+    // the NAIVE budget-fill form — one window per language; the Spark
+    // side must hash-match it through the level-aggregated plan
+    "corpus_budget_fill" ->
+      (s"SELECT lang, doc_id, quality, ws_tokens, cum_tokens FROM (" +
+        "SELECT lang, doc_id, quality, ws_tokens, " +
+        "CAST(sum(ws_tokens) OVER (PARTITION BY lang ORDER BY quality DESC, doc_id) AS BIGINT) AS cum_tokens " +
+        "FROM (SELECT doc_id, lang, " +
+        s"round(least(length(text) / 500.0, 1.0) * 0.5 + ($stopRatioDuck) * 0.5, 6) AS quality, " +
+        s"len($tokensDuck) AS ws_tokens FROM documents)) " +
+        "WHERE cum_tokens <= 5000 ORDER BY lang, doc_id"),
     "corpus_mix_weights" ->
       ("WITH counts AS (SELECT lang, source, count(*) AS n_docs FROM documents GROUP BY lang, source), " +
         "t AS (SELECT count(*) AS total FROM documents), " +

@@ -304,4 +304,39 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(math.abs(c(0) - f(0)) < 0.09 && math.abs(c(1) - f(1)) < 0.09)
   }
 
+  test("corpus_budget_fill: level-aggregated fill == naive window on every boundary shape") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // handcrafted corpus hitting each edge the level plan must preserve:
+    // lang a exhausts its budget EXACTLY (40+60), then a zero-token doc
+    // opens the next level at cum_before == budget (the level filter must
+    // be <=, not <) while its tokened level-mate overflows; lang b's
+    // budget dies mid-level among quality TIES (doc_id breaks the tie);
+    // lang c never exhausts
+    val docs = Seq(
+      ("a", 1L, 0.9, 40L), ("a", 2L, 0.7, 60L),
+      ("a", 3L, 0.5, 0L), ("a", 4L, 0.5, 25L), ("a", 5L, 0.3, 5L),
+      ("b", 8L, 0.8, 10L),
+      ("b", 9L, 0.5, 50L), ("b", 10L, 0.5, 40L), ("b", 11L, 0.5, 30L),
+      ("c", 12L, 0.2, 10L)
+    ).toDF("lang", "doc_id", "quality", "ws_tokens")
+    val budget = 100L
+    val got = graft.ops.Corpus
+      .budgetFill(docs, "lang", "quality", "ws_tokens", "doc_id", budget)
+      .select("lang", "doc_id", "cum_tokens")
+      .as[(String, Long, Long)].collect().toSet
+    val naive = docs
+      .withColumn("cum_tokens", sum("ws_tokens").over(
+        Window.partitionBy("lang").orderBy(col("quality").desc, col("doc_id"))))
+      .filter(col("cum_tokens") <= budget)
+      .select("lang", "doc_id", "cum_tokens")
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == naive,
+      s"level plan must equal the naive window\ngot:   $got\nnaive: $naive")
+    assert(got.map(_._2) == Set(1L, 2L, 3L, 8L, 9L, 10L, 12L),
+      s"expected keepers {1,2,3,8,9,10,12}: $got")
+    // the zero-token doc at cum == budget must be IN (naive keeps it)
+    assert(got.contains(("a", 3L, 100L)), "zero-token doc on the exact boundary must survive")
+  }
+
 }
