@@ -274,6 +274,30 @@ object Similarity extends QueryModule {
     "sim_ann_ivfpq_append" -> ((s, d) => {
       val e = emb(s, d).select(col("vec_id"), col("ed"))
       ivfpqAppendTopK(e, queryId = 0L, nProbe = 2, dir = tmp(d, "ivfpq_append"))
+    }),
+
+    // COLD serve: day 1 stores the index AND its model (centroids +
+    // codebook, a few KB, parquet beside the codes); day N loads the
+    // model and probes the stored cid-partitioned table. NOTHING in the
+    // serve path trains or scans the corpus — the query vector is a
+    // single-row lookup, the probe reads nProbe of nCells partitions.
+    // This is the missing leg the other index keys imply but don't run:
+    // their probes hold the model in the fitting process's memory.
+    // Oracle-exempt like the other trained variants; SimilaritySpec pins
+    // cold == warm bit-for-bit (doubles round-trip parquet exactly).
+    "sim_ann_ivfpq_cold" -> ((s, d) => {
+      val e = emb(s, d).select(col("vec_id"), col("ed"))
+      val dir = tmp(d, "ivfpq_cold")
+      // day-1 build (not the serve path): fit, store codes + model
+      val model = ivfpqFit(e)
+      ivfpqCodes(model)
+        .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/index")
+      ivfpqWriteModel(model, s"$dir/model")
+      // day-N serve: load model, fetch the query vector, probe the codes
+      val served = ivfpqLoadModel(s, s"$dir/model")
+      val q = e.filter(col("vec_id") === 0L)
+        .select("ed").head().getSeq[Double](0).toArray
+      ivfpqProbe(s.read.parquet(s"$dir/index"), served, q, nProbe = 2)
     })
   )
 
@@ -297,8 +321,49 @@ object Similarity extends QueryModule {
     def dim: Int = m * subDim
     /** a vector off the checkpointed assignment (never re-executes the
       * upstream plan) */
-    def vectorOf(vecId: Long): Array[Double] =
+    def vectorOf(vecId: Long): Array[Double] = {
+      require(assigned != null,
+        "vectorOf needs the fit's assignment relation; a model loaded " +
+          "via ivfpqLoadModel serves probes only — fetch query vectors " +
+          "from your own source")
       assigned.filter(col("vec_id") === vecId).select("ed").head().getSeq[Double](0).toArray
+    }
+  }
+
+  /** Persist the fitted model BESIDE its stored index: a tiny parquet
+    * relation of (kind, idx, vec) rows — "coarse" centroids, "book"
+    * entries, and one "shape" row carrying (m, subDim, nCent). The model
+    * is nCells×dim + m·nCent×subDim doubles (a few KB) — the index's
+    * companion artifact, not data — and persisting it is what makes the
+    * serve path COLD: a fresh process loads the model + probes the
+    * stored codes without ever scanning, let alone re-training on, the
+    * corpus. Doubles round-trip parquet bit-exactly, so a cold probe
+    * equals the warm one (SimilaritySpec pins it). */
+  def ivfpqWriteModel(model: IvfPqModel, dir: String): Unit = {
+    val s = model.assigned.sparkSession
+    import s.implicits._
+    val rows =
+      model.coarse.zipWithIndex.toSeq.map { case (v, i) => ("coarse", i, v.toSeq) } ++
+        model.book.zipWithIndex.toSeq.map { case (v, i) => ("book", i, v.toSeq) } :+
+        (("shape", 0,
+          Seq(model.m.toDouble, model.subDim.toDouble, model.nCent.toDouble)))
+    rows.toDF("kind", "idx", "vec").coalesce(1)
+      .write.mode("overwrite").parquet(dir)
+  }
+
+  /** Load a serving model written by [[ivfpqWriteModel]]. The returned
+    * model has NO assignment relation (`assigned = null`) — it encodes,
+    * probes, and appends, but [[IvfPqModel.vectorOf]] and
+    * [[ivfpqCodes]] (fit-side operations) refuse it. */
+  def ivfpqLoadModel(spark: SparkSession, dir: String): IvfPqModel = {
+    val rows = spark.read.parquet(dir).collect() // bounded: a model artifact
+    def part(kind: String): Array[Array[Double]] = rows
+      .filter(_.getString(0) == kind).sortBy(_.getInt(1))
+      .map(_.getSeq[Double](2).toArray)
+    val shape = part("shape").head
+    require(shape.length == 3, s"malformed model shape row in $dir")
+    IvfPqModel(part("coarse"), part("book"),
+      shape(0).toInt, shape(1).toInt, shape(2).toInt, assigned = null)
   }
 
   /** Train the IVF-PQ model: coarse quantizer (seeded Lloyd's), then one
@@ -335,6 +400,9 @@ object Similarity extends QueryModule {
     * with the assignment pass — the codebook training in between consumes
     * the residuals first). */
   def ivfpqCodes(model: IvfPqModel): DataFrame = {
+    require(model.assigned != null,
+      "ivfpqCodes reads the fit's assignment; for vectors a loaded " +
+        "serving model never saw, use ivfpqEncode")
     val bookLit = typedLit(model.book.map(_.toSeq).toSeq)
     model.assigned.select(col("vec_id"), col("cid"),
         call_udf("pq_encode", col("res"), bookLit, lit(model.subDim), lit(model.nCent)).as("codes"))

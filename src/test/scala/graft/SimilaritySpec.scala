@@ -475,4 +475,45 @@ class SimilaritySpec extends SparkSpec {
     assert(driverTop.map(_.getAs[Long]("vec_id")).contains(S.AppendIdOffset),
       s"driver key must surface the appended twin: ${driverTop.mkString(",")}")
   }
+
+  test("sim_ann_ivfpq_cold: a loaded model probes the stored index identically to the fit") {
+    // model persistence closes the serving lifecycle: after day 1 nothing
+    // needs the fitting process — the model parquet IS the model
+    graft.functions.GraftFunctions.register(spark)
+    val S = graft.queries.Similarity
+    val e = Tables.t(spark, sfDir, "embeddings")
+      .withColumn("ed", col("embedding").cast("array<double>"))
+      .select(col("vec_id"), col("ed"))
+    val model = S.ivfpqFit(e)
+    val dir = "/tmp/graft_test/ivfpq_cold_spec"
+    S.ivfpqCodes(model).write.mode("overwrite").partitionBy("cid").parquet(s"$dir/index")
+    S.ivfpqWriteModel(model, s"$dir/model")
+    val served = S.ivfpqLoadModel(spark, s"$dir/model")
+    // the artifact round-trips bit-exactly (doubles through parquet)
+    assert(served.m == model.m && served.subDim == model.subDim
+      && served.nCent == model.nCent)
+    assert(served.coarse.length == model.coarse.length
+      && served.coarse.zip(model.coarse).forall { case (a, b) => a.sameElements(b) },
+      "coarse centroids must round-trip bit-exactly")
+    assert(served.book.zip(model.book).forall { case (a, b) => a.sameElements(b) },
+      "codebook must round-trip bit-exactly")
+    // cold probe == warm probe on the same stored codes
+    val q = model.vectorOf(0L)
+    val stored = spark.read.parquet(s"$dir/index")
+    val warm = S.ivfpqProbe(stored, model, q, nProbe = 2).collect().toSeq
+    val cold = S.ivfpqProbe(stored, served, q, nProbe = 2).collect().toSeq
+    assert(cold == warm, s"cold probe must equal warm\ncold: $cold\nwarm: $warm")
+    // fit-side operations refuse the serving model with a clear message
+    intercept[IllegalArgumentException](served.vectorOf(0L))
+    intercept[IllegalArgumentException](S.ivfpqCodes(served))
+    // but ENCODE works — a cold process can fold day-2 data in too
+    val batch = S.appendBatch(e)
+    val viaServed = S.ivfpqEncode(served, batch).collect().toSet
+    val viaFit = S.ivfpqEncode(model, batch).collect().toSet
+    assert(viaServed == viaFit, "frozen-model encode must agree cold vs warm")
+    // and the driver key self-hits
+    val top = SparkEntry.queries("sim_ann_ivfpq_cold")(spark, sfDir).collect()
+    assert(top.nonEmpty && top.head.getAs[Long]("vec_id") == 0L,
+      s"cold-serve driver key must self-hit first: ${top.take(3).mkString(",")}")
+  }
 }
