@@ -40,6 +40,52 @@ object Media {
     out.toByteArray
   }
 
+  /** a complete, valid PNG whose pixels form a deterministic gradient:
+    * pixel (x, y) = ((x·7+1) % 256, (y·11+2) % 256, ((x+y)·13+3) % 256).
+    * Unlike [[solidPng]], every pixel differs — so a resize that samples
+    * the wrong source pixel produces the wrong answer, which is the whole
+    * point of the fixture. PNG is lossless RGB: the decode returns these
+    * exact values. */
+  def gradientPng(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y,
+          (((x * 7 + 1) % 256) << 16) | (((y * 11 + 2) % 256) << 8) | ((x + y) * 13 + 3) % 256)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** nearest-neighbor resize to a fixed (outW × outH) thumbnail — the
+    * decode→downsample step every image-feature pipeline runs before
+    * featurization. Source pixel for output (x, y) is
+    * (⌊x·srcW/outW⌋, ⌊y·srcH/outH⌋) — for x < outW the index stays
+    * < srcW, no clamping needed. Returns the packed RGB grid row-major;
+    * callers aggregate or flatten it into a feature vector. */
+  def resizeNearest(bytes: Array[Byte], outW: Int, outH: Int): Array[Int] = {
+    val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
+    require(img != null, "payload is not a decodable image")
+    val (sw, sh) = (img.getWidth, img.getHeight)
+    val out = new Array[Int](outW * outH)
+    var y = 0
+    while (y < outH) {
+      var x = 0
+      while (x < outW) {
+        out(y * outW + x) = img.getRGB(x * sw / outW, y * sh / outH) & 0xffffff
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
   /** decode PNG bytes with ImageIO and aggregate true per-pixel channel
     * means (exact integers for solid-color fixtures) */
   def decodeImageStats(bytes: Array[Byte]): ImageStats = {

@@ -263,6 +263,42 @@ object Multimodal extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // REAL decode + nearest-neighbor RESIZE: payload is a gradient PNG
+    // (every pixel distinct), decoded by ImageIO and downsampled to a
+    // 4×4 thumbnail — the decode→resize step every image-feature
+    // pipeline runs before featurization. The gradient makes the
+    // ORACLE exact: each thumbnail pixel's source index is integer
+    // arithmetic on (doc_id-keyed) dims, so DuckDB recomputes the
+    // expected means AND the (3,3) corner pixel in closed form; a
+    // resize that samples even one wrong source pixel hash-mismatches.
+    "mm_resize" -> ((s, d) => {
+      import s.implicits._
+      Tables.t(s, d, "documents")
+        .filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val sw = (8 + id % 24).toInt
+            val sh = (8 + id * 3 % 24).toInt
+            val px = graft.ops.Media.resizeNearest(
+              graft.ops.Media.gradientPng(sw, sh), 4, 4)
+            def ch(shift: Int) = px.map(p => (p >> shift) & 0xff)
+            val p33 = px(15)
+            (id, sw, sh,
+              ch(16).sum / 16.0, ch(8).sum / 16.0, ch(0).sum / 16.0,
+              (p33 >> 16) & 0xff, (p33 >> 8) & 0xff, p33 & 0xff)
+          }
+        }
+        .toDF("doc_id", "src_w", "src_h",
+          "mean_r_raw", "mean_g_raw", "mean_b_raw", "r33", "g33", "b33")
+        .select(col("doc_id"), col("src_w"), col("src_h"),
+          round(col("mean_r_raw"), 6).as("mean_r"),
+          round(col("mean_g_raw"), 6).as("mean_g"),
+          round(col("mean_b_raw"), 6).as("mean_b"),
+          col("r33"), col("g33"), col("b33"))
+        .orderBy("doc_id")
+    }),
+
     // REAL multi-frame decode: payload is an animated GIF written by the
     // JDK sequence writer; the frame count is recovered by the GIF reader
     // walking image descriptors in the byte stream (not from a side
@@ -334,6 +370,25 @@ object Multimodal extends QueryModule {
         "CAST(doc_id * 7 % 256 AS INT) AS mean_g, " +
         "CAST(doc_id * 13 % 256 AS INT) AS mean_b " +
         "FROM documents WHERE doc_id % 3 = 0 ORDER BY doc_id"),
+    // the NN resize in closed form: thumbnail pixel (x,y) samples source
+    // (x·sw//4, y·sh//4) of the gradient ((sx·7+1)%256, (sy·11+2)%256,
+    // ((sx+sy)·13+3)%256) — means over the 16 sampled pixels plus the
+    // (3,3) corner, all integer arithmetic on doc_id-keyed dims
+    "mm_resize" ->
+      ("WITH ids AS (SELECT doc_id, 8 + doc_id % 24 AS sw, 8 + doc_id * 3 % 24 AS sh " +
+        "FROM documents WHERE doc_id % 3 = 0), " +
+        "px AS (SELECT doc_id, (x * sw) // 4 AS sx, (y * sh) // 4 AS sy " +
+        "FROM ids, generate_series(0, 3) gx(x), generate_series(0, 3) gy(y)), " +
+        "m AS (SELECT doc_id, round(sum((sx * 7 + 1) % 256) / 16.0, 6) AS mean_r, " +
+        "round(sum((sy * 11 + 2) % 256) / 16.0, 6) AS mean_g, " +
+        "round(sum(((sx + sy) * 13 + 3) % 256) / 16.0, 6) AS mean_b " +
+        "FROM px GROUP BY doc_id) " +
+        "SELECT i.doc_id, CAST(i.sw AS INT) AS src_w, CAST(i.sh AS INT) AS src_h, " +
+        "m.mean_r, m.mean_g, m.mean_b, " +
+        "CAST(((3 * i.sw) // 4 * 7 + 1) % 256 AS INT) AS r33, " +
+        "CAST(((3 * i.sh) // 4 * 11 + 2) % 256 AS INT) AS g33, " +
+        "CAST((((3 * i.sw) // 4 + (3 * i.sh) // 4) * 13 + 3) % 256 AS INT) AS b33 " +
+        "FROM ids i JOIN m USING (doc_id) ORDER BY doc_id"),
     "mm_audio_meta" ->
       ("SELECT doc_id, CAST(8000 AS INT) AS sample_rate, CAST(1 AS INT) AS channels, " +
         "CAST(64 + (doc_id % 50) * 16 AS BIGINT) AS n_samples, " +

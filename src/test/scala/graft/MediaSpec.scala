@@ -80,4 +80,25 @@ class MediaSpec extends org.scalatest.funsuite.AnyFunSuite {
     val bytes = Media.animatedGif(4, 4, 2)
     assert(new String(bytes, 0, 3, "US-ASCII") == "GIF")
   }
+
+  test("gradient PNG round-trips losslessly; NN resize picks exactly the floor-mapped pixels") {
+    def expected(x: Int, y: Int): Int =
+      (((x * 7 + 1) % 256) << 16) | (((y * 11 + 2) % 256) << 8) | ((x + y) * 13 + 3) % 256
+    // lossless round trip: full-size "resize" is the identity grid
+    val full = Media.resizeNearest(Media.gradientPng(5, 3), 5, 3)
+    for (y <- 0 until 3; x <- 0 until 5)
+      assert(full(y * 5 + x) == expected(x, y), s"pixel ($x,$y) corrupted by encode/decode")
+    // 8×12 → 4×4: out (x,y) must sample source (x·8/4, y·12/4) = (2x, 3y)
+    val px = Media.resizeNearest(Media.gradientPng(8, 12), 4, 4)
+    for (y <- 0 until 4; x <- 0 until 4)
+      assert(px(y * 4 + x) == expected(2 * x, 3 * y),
+        s"out ($x,$y) must be source (${2 * x},${3 * y})")
+    // non-divisible dims exercise the floor: 9×10 → 4×4 samples
+    // x·9/4 = 0,2,4,6 and y·10/4 = 0,2,5,7
+    val odd = Media.resizeNearest(Media.gradientPng(9, 10), 4, 4)
+    val sxs = Seq(0, 2, 4, 6); val sys = Seq(0, 2, 5, 7)
+    for (y <- 0 until 4; x <- 0 until 4)
+      assert(odd(y * 4 + x) == expected(sxs(x), sys(y)),
+        s"out ($x,$y) must be source (${sxs(x)},${sys(y)})")
+  }
 }
