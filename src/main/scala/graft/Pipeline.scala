@@ -286,7 +286,25 @@ object Pipeline {
     * replay converges to the SAME keeper set instead of dropping every
     * keeper as a duplicate of itself; the re-appended banded rows are
     * harmless duplicates (candidate pairs are distinct()ed) that the
-    * periodic index rebuild compacts away. */
+    * periodic index rebuild compacts away.
+    *
+    * Contract: doc_ids must be GLOBALLY unique across the stream, not
+    * just within a batch — the self-hit filter above cannot tell "my own
+    * crashed first attempt" from "a distinct stored document that happens
+    * to reuse my id", so an id collision silently skips dedup against
+    * that stored doc. (The offset-log/replay reasoning already assumes
+    * this; it is the caller's id-minting obligation.)
+    *
+    * Degenerate-bucket asymmetry: the in-batch pass caps buckets at
+    * [[graft.ops.Dedup.minhashCandidates]]'s maxBucketSize, while the
+    * index probe is uncapped (an append-side cap would need the bucket's
+    * total count, which a probe doesn't aggregate — see
+    * [[graft.ops.Dedup.appendToMinhashIndex]]). Consequence on replay: in
+    * a >maxBucketSize bucket, a first attempt that crashed AFTER indexing
+    * its keepers can drop, via the uncapped index probe, batch docs the
+    * in-batch cap had let through. Keeper sets then differ only inside
+    * buckets the build-time cap already declares degenerate-by-policy;
+    * the periodic rebuild re-caps them. */
   def dedupIngestBatch(
       batch: DataFrame, table: String, corpusBase: String, batchId: Long): Unit = {
     val spark = batch.sparkSession

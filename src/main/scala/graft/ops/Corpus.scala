@@ -13,6 +13,16 @@ object Corpus {
     * documents until the group's token budget is spent — the core
     * corpus-mixing primitive ("N billion tokens per language/source").
     *
+    * Precondition: `tokensCol` values must be >= 0 (token counts are).
+    * The level-pruning step below drops a whole quality level once the
+    * PRECEDING levels' token sum exceeds the budget; with a negative
+    * token value the naive running sum could dip back under budget and
+    * admit later documents this pruned form never sees, breaking the
+    * hash-equality to the naive window. All in-repo producers
+    * ([[graft.ops.Text.wordCount]] / [[graft.ops.Text.bpeEstimate]])
+    * satisfy this; an
+    * external caller feeding signed "token deltas" does not.
+    *
     * Semantics are EXACTLY the naive form — one window per group ordered
     * by (quality DESC, id), keep rows whose running token sum stays
     * within budget — which is also the DuckDB oracle. But the naive

@@ -338,9 +338,14 @@ object Similarity extends QueryModule {
     * serve path COLD: a fresh process loads the model + probes the
     * stored codes without ever scanning, let alone re-training on, the
     * corpus. Doubles round-trip parquet bit-exactly, so a cold probe
-    * equals the warm one (SimilaritySpec pins it). */
+    * equals the warm one (SimilaritySpec pins it). Works for BOTH fit
+    * models and serving models loaded via [[ivfpqLoadModel]] (assigned =
+    * null — model copy/migration): the rows written are centroids +
+    * codebook + shape only, none of which need the assignment relation. */
   def ivfpqWriteModel(model: IvfPqModel, dir: String): Unit = {
-    val s = model.assigned.sparkSession
+    val s =
+      if (model.assigned != null) model.assigned.sparkSession
+      else SparkSession.active
     import s.implicits._
     val rows =
       model.coarse.zipWithIndex.toSeq.map { case (v, i) => ("coarse", i, v.toSeq) } ++
