@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-run output goes through sbt's logger by default, which prefixes
+// every line with "[info] " — that prefix is why the driver's bench-line
+// parse recorded parsed:null in r4–r6 (the JSON line was inside the stdout
+// tail but not parseable as a bare line). StdoutOutput pipes the child's
+// stdout through raw.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -116,11 +116,21 @@ object Bench {
     // bench_out.json). Print a compact line that fits the tail window —
     // totals + the slowest 25 queries, 3-decimal seconds — and keep the
     // lossless full map in bench_out.json.
-    def r3(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: a comma-decimal default locale (de_DE etc.) would turn
+    // f"%.3f" into "1,234" and silently re-break the JSON line.
+    def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val top = results.sortBy(-_._2).take(25)
       .map { case (k, v) => s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+    // Cap the name lists so a pathological run (many failures/reruns) can't
+    // push the compact line past the driver's 2000-char stdout tail; the
+    // lossless lists stay in bench_out.json.
+    def capped(xs: Seq[String], n: Int): String = {
+      val shown = xs.take(n).map("\"" + _ + "\"")
+      val extra = if (xs.size > n) Seq(s""""+${xs.size - n} more"""") else Nil
+      (shown ++ extra).mkString("[", ",", "]")
+    }
     val compact =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":$top,"queries_note":"slowest 25 of ${results.size}; full map in bench_out.json","failed":$failedJson,"reran":$reranJson$ratioStats,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":$top,"queries_note":"slowest 25 of ${results.size}; full map in bench_out.json","failed":${capped(failed.toSeq, 8)},"reran":${capped(reran.toSeq, 8)}$ratioStats,"sf":"$sfDir"}"""
     println(compact)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")

@@ -22,10 +22,23 @@ object Tables {
     spark.read.parquet(s"$dir/$name.parquet")
   }
 
-  /** `events` with `ts` normalized from long-nanos to TIMESTAMP (µs). */
-  def events(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "events").withColumn(
-      "ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+  /** `events` with `ts` normalized to TIMESTAMP (µs) regardless of how the
+    * driver generated it. Two generations of testdata exist: INT64(nanos)
+    * (decoded as long under `nanosAsLong`, normalized here) and plain
+    * TIMESTAMP(µs) (passed through). Branching on the decoded type keeps
+    * every downstream window/watermark query working against either —
+    * round 6's bench failed all five §2.8 queries because this assumed the
+    * nanos encoding unconditionally.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val df = t(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn(
+          "ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+      case _ => df
+    }
+  }
 }
 
 /** A query module contributes operator implementations (SURVEY.md §2 keys)
