@@ -66,4 +66,100 @@ object Corpus {
       .filter(col("cum_tokens") <= budget)
       .drop("cum_before")
   }
+
+  /** Sequence packing: assign every document to a fixed-token-budget
+    * training sequence in global `idCol` order — the step that turns a
+    * curated corpus into the ~context-length chunks a trainer consumes.
+    * `seq_id = floor(tokens_before_me / seqBudget)`, where
+    * `tokens_before_me` is the GLOBAL prefix sum of `tokensCol` over
+    * ascending id. Output adds (`cum_before`, `seq_id`) to the input.
+    *
+    * The naive form is one un-partitioned window — a single-partition
+    * scale-killer (every row through one task). This is hash-equal but
+    * two-phase, the distributed-prefix-sum shape:
+    *
+    *   1. bucket docs by the monotone key bucketizer `id DIV bucketWidth`
+    *      and aggregate one token total per bucket (map-side partial
+    *      combine; shuffle volume = #buckets);
+    *   2. prefix-sum the bucket totals on the driver — O(#buckets), a
+    *      bounded model artifact like the k-means centroids, NOT data
+    *      (caller sizes bucketWidth so keyspace/bucketWidth stays ~1e5–1e6
+    *      at any corpus size) — and broadcast-join the offsets back;
+    *   3. one window PER BUCKET (≤ bucketWidth rows each) adds the
+    *      within-bucket running sum to the bucket's global offset.
+    *
+    * Requires nonnegative ids (`DIV` truncates toward zero, which would
+    * misorder negative buckets) and ids unique in the input. For a
+    * non-integer or badly skewed key domain, substitute step 1's
+    * bucketizer with range-partition bounds from `approx_percentile` —
+    * monotonicity of bucket id in key order is the only property used.
+    */
+  def packSequences(
+      docs: DataFrame, idCol: String, tokensCol: String,
+      seqBudget: Long, bucketWidth: Long = 1L << 20): DataFrame = {
+    require(seqBudget > 0 && bucketWidth > 0, "budgets must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val b = docs.withColumn(
+      "gp_bucket", expr(s"CAST($idCol AS BIGINT) DIV $bucketWidth"))
+    val totals = b.groupBy("gp_bucket")
+      .agg(sum(col(tokensCol)).cast("long").as("btot"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    // prefix: bucket k's offset = sum of totals of buckets < k
+    var acc = 0L
+    val offRows = totals.map { case (bk, t) => val o = (bk, acc); acc += t; o }
+    val offDf = broadcast(offRows.toSeq.toDF("gp_bucket", "gp_offset"))
+    val w = Window.partitionBy("gp_bucket").orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    b.join(offDf, "gp_bucket")
+      .withColumn("cum_before",
+        col("gp_offset") + coalesce(sum(col(tokensCol)).over(w), lit(0L)))
+      .withColumn("seq_id", expr(s"cum_before DIV $seqBudget"))
+      .drop("gp_bucket", "gp_offset")
+  }
+
+  /** Chunk-level exact dedup ("paragraph dedup" for a corpus without
+    * paragraph marks): split each document's whitespace token stream into
+    * consecutive `chunkTokens`-token chunks, keep each distinct chunk only
+    * at its FIRST occurrence in (id, chunk-index) order, and reassemble
+    * the surviving text per document. This is the scalable approximation
+    * of exact-substring dedup: boilerplate repeated across documents
+    * (headers, license blocks, mirrored passages) is removed once-seen,
+    * at chunk granularity, in two shuffles — never an all-pairs compare.
+    *
+    * Output: (id, text_dedup, n_chunks, n_kept); documents whose every
+    * chunk duplicates earlier content drop out entirely (n_kept would
+    * be 0 — exactly the full-document-duplicate case).
+    *
+    * Scale: chunking is a per-row expression; first-occurrence is one
+    * window partitioned by chunk CONTENT (uniformly hashed, skew-free
+    * unless one chunk dominates the corpus — the degenerate-bucket cap in
+    * the minhash path applies if so); reassembly groups by id. Chunk
+    * values ride the shuffle; at 100 TB swap the partition key to
+    * xxhash64(chunk) + an equality tie-check to shrink shuffle keys.
+    */
+  def dedupChunks(
+      docs: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int): DataFrame = {
+    require(chunkTokens > 0, "chunkTokens must be positive")
+    val chunks = docs
+      .withColumn("gp_toks", split(col(textCol), " "))
+      .select(col(idCol), posexplode(expr(
+        s"transform(sequence(0, (size(gp_toks) - 1) DIV $chunkTokens), " +
+          s"i -> array_join(slice(gp_toks, i * $chunkTokens + 1, $chunkTokens), ' '))"))
+        .as(Seq("cidx", "chunk")))
+    val wFirst = Window.partitionBy("chunk").orderBy(idCol, "cidx")
+    val kept = chunks
+      .withColumn("gp_rn", row_number().over(wFirst))
+      .filter(col("gp_rn") === 1)
+      .drop("gp_rn")
+    val perDoc = chunks.groupBy(idCol).agg(count(lit(1)).as("n_chunks"))
+    kept.groupBy(idCol)
+      .agg(
+        array_join(expr("transform(array_sort(collect_list(struct(cidx, chunk))), x -> x.chunk)"), " ")
+          .as("text_dedup"),
+        count(lit(1)).as("n_kept"))
+      .join(perDoc, idCol)
+      .select(col(idCol), col("text_dedup"), col("n_chunks"), col("n_kept"))
+  }
 }

@@ -384,6 +384,32 @@ object Llm extends QueryModule {
       graft.Pipeline.curateCorpus(corpus, exactThreshold = true).orderBy("cluster_id")
     }),
 
+    // global sequence packing: every doc assigned to a fixed-token-budget
+    // training sequence in doc_id order. The oracle is the naive global
+    // window; the Spark side must hash-match it through the two-phase
+    // distributed prefix sum (per-bucket totals -> driver prefix of
+    // O(#buckets) offsets -> broadcast join -> per-bucket windows), so no
+    // single-partition WindowExec appears in the plan at any scale.
+    // bucketWidth=64 exercises multi-bucket stitching even at sf0.001.
+    "pipeline_pack_sequences" -> ((s, d) => {
+      val t = Tables.t(s, d, "documents")
+        .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tok"))
+      graft.ops.Corpus.packSequences(t, "doc_id", "n_tok",
+          seqBudget = 512, bucketWidth = 64)
+        .select("doc_id", "n_tok", "cum_before", "seq_id")
+        .orderBy("doc_id")
+    }),
+
+    // chunk-level exact dedup with reassembly: 20-token chunks, each
+    // distinct chunk survives only at its first (doc_id, cidx) occurrence,
+    // then documents are rebuilt from their surviving chunks. Run against
+    // docsWithDups so full-document duplicates (every chunk already seen)
+    // vanish and the partial-overlap rows keep their novel tail.
+    "dedup_chunk_exact" -> ((s, d) =>
+      graft.ops.Corpus.dedupChunks(docsWithDups(s, d), "doc_id", "text",
+          chunkTokens = 20)
+        .orderBy("doc_id")),
+
     // brute-force cosine top-k against the vec_id=0 query vector — the
     // exact baseline the ANN variants are measured against; per-row math
     // is the native codegen cosine kernel (value-parity with the composed
@@ -412,6 +438,25 @@ object Llm extends QueryModule {
       s"greatest(len($tokensDuck), 1)"
 
   override def oracleSql: Map[String, String] = Map(
+    // the NAIVE global-window form; the Spark side hash-matches it via the
+    // two-phase distributed prefix sum (no single-partition window)
+    "pipeline_pack_sequences" ->
+      (s"SELECT doc_id, n_tok, cum_before, cum_before // 512 AS seq_id FROM (" +
+        "SELECT doc_id, n_tok, CAST(coalesce(sum(n_tok) OVER (ORDER BY doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before " +
+        s"FROM (SELECT doc_id, len($tokensDuck) AS n_tok FROM documents)) ORDER BY doc_id"),
+    "dedup_chunk_exact" ->
+      (s"WITH src AS (SELECT * FROM $docsWithDupsDuck), " +
+        "toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM src), " +
+        "chunks AS (SELECT doc_id, ci AS cidx, " +
+        "array_to_string(list_slice(t, ci * 20 + 1, ci * 20 + 20), ' ') AS chunk " +
+        "FROM toks, unnest(generate_series(0, (len(t) - 1) // 20)) AS u(ci)), " +
+        "kept AS (SELECT doc_id, cidx, chunk FROM (SELECT doc_id, cidx, chunk, " +
+        "row_number() OVER (PARTITION BY chunk ORDER BY doc_id, cidx) AS rn FROM chunks) WHERE rn = 1), " +
+        "tot AS (SELECT doc_id, count(*) AS n_chunks FROM chunks GROUP BY doc_id) " +
+        "SELECT k.doc_id, string_agg(k.chunk, ' ' ORDER BY k.cidx) AS text_dedup, " +
+        "any_value(t.n_chunks) AS n_chunks, count(*) AS n_kept " +
+        "FROM kept k JOIN tot t USING (doc_id) GROUP BY k.doc_id ORDER BY doc_id"),
     "dedup_exact" ->
       (s"SELECT min(doc_id) AS doc_id, sha256(text) AS content_hash FROM $docsWithDupsDuck " +
         "GROUP BY sha256(text) ORDER BY doc_id"),

@@ -339,4 +339,56 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(got.contains(("a", 3L, 100L)), "zero-token doc on the exact boundary must survive")
   }
 
+  test("pipeline_pack_sequences: two-phase prefix sum == naive global window, bucket-width invariant") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // irregular token counts incl. zero; ids deliberately sparse so bucket
+    // boundaries (width 4: ids 0-3 | 4-7 | ...) fall mid-sequence and the
+    // driver-side offset stitching is what's under test
+    val docs = Seq(
+      (0L, 7L), (1L, 0L), (3L, 12L), (4L, 5L), (6L, 9L),
+      (9L, 30L), (10L, 1L), (15L, 4L), (16L, 11L), (31L, 2L))
+      .toDF("doc_id", "n_tok")
+    val naive = docs
+      .withColumn("cum_before", coalesce(sum("n_tok").over(
+        Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("seq_id", expr("cum_before DIV 16"))
+      .select("doc_id", "n_tok", "cum_before", "seq_id")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    for (width <- Seq(1L, 4L, 7L, 1024L)) {
+      val got = graft.ops.Corpus
+        .packSequences(docs, "doc_id", "n_tok", seqBudget = 16, bucketWidth = width)
+        .select("doc_id", "n_tok", "cum_before", "seq_id")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(got == naive, s"width=$width must equal the naive global window\n$got\n$naive")
+    }
+    // budget boundary: a doc whose cum_before lands exactly on a multiple
+    // of the budget opens the next sequence (floor semantics)
+    assert(naive.exists { case (_, _, cb, sid) => cb % 16 == 0 && cb > 0 && sid == cb / 16 })
+  }
+
+  test("dedup_chunk_exact: first occurrence wins, full dups vanish, reassembly ordered") {
+    import spark.implicits._
+    val k = 3 // chunk size in tokens
+    // doc 1: two full chunks + a 1-token tail. doc 2: exact full duplicate
+    // of doc 1 (must vanish). doc 3: first chunk duplicates doc 1's first
+    // chunk, then novel text (keeps only the novel chunks). doc 4: shares
+    // doc 1's SECOND chunk as its first — chunk identity is content, not
+    // position, so it must still be dropped.
+    val docs = Seq(
+      (1L, "a b c d e f g"),
+      (2L, "a b c d e f g"),
+      (3L, "a b c x y z w"),
+      (4L, "d e f q r s"))
+      .toDF("doc_id", "text")
+    val got = graft.ops.Corpus.dedupChunks(docs, "doc_id", "text", chunkTokens = k)
+      .select("doc_id", "text_dedup", "n_chunks", "n_kept")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == Seq(1L, 3L, 4L), s"doc 2 must vanish: ${got.toSeq}")
+    val byId = got.map(r => r._1 -> r).toMap
+    assert(byId(1L) == ((1L, "a b c d e f g", 3L, 3L)), s"${byId(1L)}")
+    assert(byId(3L) == ((3L, "x y z w", 3L, 2L)), s"first chunk deduped: ${byId(3L)}")
+    assert(byId(4L) == ((4L, "q r s", 2L, 1L)), s"positional shift must not defeat dedup: ${byId(4L)}")
+  }
+
 }

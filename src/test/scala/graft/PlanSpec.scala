@@ -218,6 +218,34 @@ class PlanSpec extends SparkSpec {
     } finally saved.foreach { case (k, v) => v.fold(c.unset(k))(c.set(k, _)) }
   }
 
+  test("pipeline_pack_sequences: global prefix sum runs bucket-partitioned, offsets broadcast") {
+    val df = SparkEntry.queries("pipeline_pack_sequences")(spark, sfDir)
+    val plan = df.queryExecution.sparkPlan
+    // the whole point of the two-phase form: the per-doc running sum must
+    // NOT be an unpartitioned (single-task) window over the corpus
+    val wins = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(wins.nonEmpty, "expected the per-bucket running-sum window")
+    wins.foreach(w => assert(w.partitionSpec.nonEmpty,
+      s"data-sized single-partition WindowExec found:\n$w"))
+    // the driver-prefixed bucket offsets join back as a broadcast, never a
+    // shuffle of the corpus side
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("BroadcastHashJoin"), p.linesIterator.take(30).mkString("\n"))
+    assert(!p.contains("SortMergeJoin"), "offset join must broadcast")
+  }
+
+  test("dedup_chunk_exact: first-occurrence window partitions by chunk content") {
+    val df = SparkEntry.queries("dedup_chunk_exact")(spark, sfDir)
+    val wins = df.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(wins.nonEmpty, "expected the first-occurrence window")
+    wins.foreach(w => assert(w.partitionSpec.nonEmpty,
+      s"chunk dedup must shard by content, got single-partition window:\n$w"))
+  }
+
   test("split_points: 1-in-SplitSampleMod sample filter sits below every global window") {
     val df = SparkEntry.queries("split_points")(spark, sfDir)
     val wins = df.queryExecution.sparkPlan.collect {
