@@ -107,8 +107,21 @@ def main():
             for c, st, detail in bad:
                 print(f"{st} {name}.{c}: {detail}")
             n_fail += 1
-    print(f"\n{n_ok} ok / {n_fail} fail / {len(oracle)} total")
-    sys.exit(1 if n_fail else 0)
+    # per-query run status (Verify writes it since round 7): a query that
+    # THREW during the dump has no output dir, so the oracle loop above
+    # never sees it — without this check a thrown query silently shrinks
+    # the denominator (round 6 lost all five window queries that way)
+    n_run_err = 0
+    try:
+        status = json.load(open(f"{out}/_run_status.json"))
+        for name, st in sorted(status.items()):
+            if "err" in st:
+                print(f"FAIL {name}: query threw during dump: {st['err']}")
+                n_run_err += 1
+    except FileNotFoundError:
+        print("WARN: no _run_status.json (old Verify build?) — thrown queries invisible")
+    print(f"\n{n_ok} ok / {n_fail} fail / {len(oracle)} total; {n_run_err} dump errors")
+    sys.exit(1 if (n_fail or n_run_err) else 0)
 
 
 if __name__ == "__main__":
