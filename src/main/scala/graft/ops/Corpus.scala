@@ -118,6 +118,30 @@ object Corpus {
       .drop("gp_bucket", "gp_offset")
   }
 
+  /** Splitting sequence packing: like [[packSequences]], but documents
+    * SPAN sequence boundaries instead of being assigned whole — the exact
+    * contract of a trainer that concatenates the token stream and cuts
+    * every `seqBudget` tokens. One output row per (document, sequence)
+    * overlap, with the doc-relative token sub-range [tok_start, tok_end)
+    * that lands in that sequence; interior sequences are always exactly
+    * full. Zero-token documents occupy no tokens and emit no row.
+    *
+    * Scale: the explode factor per row is n_tok/seqBudget + 1 — bounded
+    * by the document/context-length ratio, not the corpus — on top of
+    * [[packSequences]]'s two-phase prefix sum (still no global window).
+    */
+  def packSplit(
+      docs: DataFrame, idCol: String, tokensCol: String,
+      seqBudget: Long, bucketWidth: Long = 1L << 20): DataFrame =
+    packSequences(docs, idCol, tokensCol, seqBudget, bucketWidth)
+      .filter(col(tokensCol) > 0)
+      .withColumn("seq_id", explode(expr(
+        s"sequence(cum_before DIV $seqBudget, (cum_before + $tokensCol - 1) DIV $seqBudget)")))
+      .withColumn("tok_start",
+        greatest(lit(0L), expr(s"seq_id * $seqBudget - cum_before")))
+      .withColumn("tok_end",
+        least(col(tokensCol), expr(s"(seq_id + 1) * $seqBudget - cum_before")))
+
   /** Chunk-level exact dedup ("paragraph dedup" for a corpus without
     * paragraph marks): split each document's whitespace token stream into
     * consecutive `chunkTokens`-token chunks, keep each distinct chunk only

@@ -400,6 +400,18 @@ object Llm extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // splitting variant: documents SPAN sequence boundaries (the trainer's
+    // concatenate-and-cut contract) — one row per (doc, seq) overlap with
+    // the doc-relative token sub-range; interior sequences exactly full
+    "pipeline_pack_split" -> ((s, d) => {
+      val t = Tables.t(s, d, "documents")
+        .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tok"))
+      graft.ops.Corpus.packSplit(t, "doc_id", "n_tok",
+          seqBudget = 512, bucketWidth = 64)
+        .select("doc_id", "seq_id", "tok_start", "tok_end")
+        .orderBy("doc_id", "seq_id")
+    }),
+
     // chunk-level exact dedup with reassembly: 20-token chunks, each
     // distinct chunk survives only at its first (doc_id, cidx) occurrence,
     // then documents are rebuilt from their surviving chunks. Run against
@@ -445,6 +457,14 @@ object Llm extends QueryModule {
         "SELECT doc_id, n_tok, CAST(coalesce(sum(n_tok) OVER (ORDER BY doc_id " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before " +
         s"FROM (SELECT doc_id, len($tokensDuck) AS n_tok FROM documents)) ORDER BY doc_id"),
+    "pipeline_pack_split" ->
+      (s"SELECT doc_id, s AS seq_id, CAST(greatest(0, s * 512 - cum_before) AS BIGINT) AS tok_start, " +
+        "CAST(least(n_tok, (s + 1) * 512 - cum_before) AS BIGINT) AS tok_end FROM (" +
+        "SELECT doc_id, n_tok, CAST(coalesce(sum(n_tok) OVER (ORDER BY doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before " +
+        s"FROM (SELECT doc_id, len($tokensDuck) AS n_tok FROM documents)), " +
+        "unnest(generate_series(cum_before // 512, (cum_before + n_tok - 1) // 512)) AS u(s) " +
+        "WHERE n_tok > 0 ORDER BY doc_id, seq_id"),
     "dedup_chunk_exact" ->
       (s"WITH src AS (SELECT * FROM $docsWithDupsDuck), " +
         "toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM src), " +

@@ -367,6 +367,46 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(naive.exists { case (_, _, cb, sid) => cb % 16 == 0 && cb > 0 && sid == cb / 16 })
   }
 
+  test("pipeline_pack_split: ranges tile each doc, interior sequences exactly full") {
+    import spark.implicits._
+    val budget = 16L
+    // token counts straddling every boundary shape: multi-sequence doc
+    // (30 > budget), exact-budget doc, zero-token doc (must emit no row),
+    // 1-token docs around a boundary
+    val docs = Seq(
+      (0L, 7L), (1L, 30L), (2L, 16L), (3L, 0L), (4L, 1L), (5L, 12L), (6L, 9L))
+      .toDF("doc_id", "n_tok")
+    val rows = graft.ops.Corpus
+      .packSplit(docs, "doc_id", "n_tok", seqBudget = budget, bucketWidth = 2)
+      .select("doc_id", "seq_id", "tok_start", "tok_end")
+      .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    val nTok = Map(0L -> 7L, 1L -> 30L, 2L -> 16L, 3L -> 0L, 4L -> 1L, 5L -> 12L, 6L -> 9L)
+    // zero-token doc emits nothing
+    assert(!rows.exists(_._1 == 3L))
+    // per doc: sub-ranges are contiguous from 0 to n_tok in seq order
+    rows.groupBy(_._1).foreach { case (id, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.head._3 == 0L, s"doc $id must start at 0")
+      assert(sorted.last._4 == nTok(id), s"doc $id must end at n_tok")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._4 == b._3, s"doc $id ranges must be contiguous: $a -> $b")
+          assert(a._2 + 1 == b._2, s"doc $id must span consecutive sequences")
+        case _ =>
+      }
+    }
+    // per sequence except the last: contributions sum exactly to budget
+    val bySeq = rows.groupBy(_._2)
+    val lastSeq = bySeq.keys.max
+    bySeq.foreach { case (s, rs) =>
+      val total = rs.map(r => r._4 - r._3).sum
+      if (s != lastSeq) assert(total == budget, s"seq $s holds $total of $budget")
+      else assert(total <= budget)
+    }
+    // total tokens conserved
+    assert(rows.map(r => r._4 - r._3).sum == nTok.values.sum)
+  }
+
   test("dedup_chunk_exact: first occurrence wins, full dups vanish, reassembly ordered") {
     import spark.implicits._
     val k = 3 // chunk size in tokens
