@@ -101,10 +101,26 @@ object Corpus {
     val spark = docs.sparkSession
     import spark.implicits._
     val b = docs.withColumn(
-      "gp_bucket", expr(s"CAST($idCol AS BIGINT) DIV $bucketWidth"))
+      "gp_bucket", expr(s"CAST(`$idCol` AS BIGINT) DIV $bucketWidth"))
+    // the driver artifact must stay bounded: a SPARSE id domain (e.g.
+    // snowflake ids) with a small bucketWidth degenerates to ~one bucket
+    // per row, which would turn this collect into a data-sized driver
+    // transfer. The limit(cap+1) bounds the TRANSFER itself (the agg still
+    // runs distributed, but at most cap+1 rows ever reach the driver), so
+    // the overrun fails loudly here instead of as a driver OOM — the
+    // caller widens bucketWidth (or pre-densifies ids via row_number).
+    val bucketCap = 4 << 20
     val totals = b.groupBy("gp_bucket")
       .agg(sum(col(tokensCol)).cast("long").as("btot"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      .limit(bucketCap + 1)
+      .collect()
+      // an all-null bucket sums to null; the naive window's sum() skips
+      // nulls, so null contributes 0 here for hash-parity with the oracle
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1)))
+      .sortBy(_._1)
+    require(totals.length <= bucketCap,
+      s"packSequences: more than $bucketCap buckets; " +
+        s"raise bucketWidth (=$bucketWidth) so keyspace/bucketWidth stays ~1e5-1e6")
     // prefix: bucket k's offset = sum of totals of buckets < k
     var acc = 0L
     val offRows = totals.map { case (bk, t) => val o = (bk, acc); acc += t; o }
@@ -116,6 +132,33 @@ object Corpus {
         col("gp_offset") + coalesce(sum(col(tokensCol)).over(w), lit(0L)))
       .withColumn("seq_id", expr(s"cum_before DIV $seqBudget"))
       .drop("gp_bucket", "gp_offset")
+  }
+
+  /** [[packSequences]] with `bucketWidth` derived from the corpus itself:
+    * width = max(minWidth, ceil(keyspan / targetBuckets)) where keyspan is
+    * max(id)+1, so the driver-side offset array stays ≤ ~targetBuckets
+    * entries at ANY corpus size AND any id sparsity, without the caller
+    * having to know the key domain. Costs one max() agg job (a narrow
+    * scan) before the packing plan runs. */
+  def packSequencesAuto(
+      docs: DataFrame, idCol: String, tokensCol: String, seqBudget: Long,
+      targetBuckets: Long = 1L << 16, minWidth: Long = 64L): DataFrame =
+    packSequences(docs, idCol, tokensCol, seqBudget,
+      autoBucketWidth(docs, idCol, targetBuckets, minWidth))
+
+  /** Self-sizing bucket width for the pack operators (see
+    * [[packSequencesAuto]]): ceil(keyspan / targetBuckets), floored at
+    * minWidth. Results are bucket-width-invariant (property-pinned), so
+    * this only controls the driver-artifact size, never the output. */
+  def autoBucketWidth(
+      docs: DataFrame, idCol: String,
+      targetBuckets: Long = 1L << 16, minWidth: Long = 64L): Long = {
+    val maxId = docs.agg(max(col(idCol).cast("long"))).collect()(0) match {
+      case r if r.isNullAt(0) => 0L // empty corpus: any width works
+      case r => r.getLong(0)
+    }
+    val tb = math.max(1L, targetBuckets)
+    math.max(minWidth, (maxId + tb) / tb) // ceil((maxId+1)/tb)
   }
 
   /** Splitting sequence packing: like [[packSequences]], but documents
@@ -136,7 +179,7 @@ object Corpus {
     packSequences(docs, idCol, tokensCol, seqBudget, bucketWidth)
       .filter(col(tokensCol) > 0)
       .withColumn("seq_id", explode(expr(
-        s"sequence(cum_before DIV $seqBudget, (cum_before + $tokensCol - 1) DIV $seqBudget)")))
+        s"sequence(cum_before DIV $seqBudget, (cum_before + `$tokensCol` - 1) DIV $seqBudget)")))
       .withColumn("tok_start",
         greatest(lit(0L), expr(s"seq_id * $seqBudget - cum_before")))
       .withColumn("tok_end",
@@ -156,19 +199,27 @@ object Corpus {
     * be 0 — exactly the full-document-duplicate case).
     *
     * Scale: chunking is a per-row expression; first-occurrence is one
-    * window partitioned by chunk CONTENT (uniformly hashed, skew-free
-    * unless one chunk dominates the corpus — the degenerate-bucket cap in
-    * the minhash path applies if so); reassembly groups by id. Chunk
-    * values ride the shuffle; at 100 TB swap the partition key to
+    * window partitioned by chunk CONTENT (uniformly hashed). A chunk
+    * repeated across the whole corpus is NOT a skew hazard: Spark's
+    * rank-limit pushdown plans the rn=1 filter as WindowGroupLimit with a
+    * Partial stage, so each map task forwards at most ONE row per chunk
+    * into the shuffle (pinned in PlanSpec via the partitioned window; the
+    * Partial/Final pair is visible in PLANS.md). Reassembly groups by id.
+    * Chunk values ride the shuffle; at 100 TB swap the partition key to
     * xxhash64(chunk) + an equality tie-check to shrink shuffle keys.
     */
   def dedupChunks(
       docs: DataFrame, idCol: String, textCol: String,
       chunkTokens: Int): DataFrame = {
     require(chunkTokens > 0, "chunkTokens must be positive")
+    // n_chunks is derivable BEFORE exploding — carrying it on every chunk
+    // row costs one long per row and saves a second full tokenize+explode
+    // pass (+ its shuffle) that a separate per-doc count would need
     val chunks = docs
       .withColumn("gp_toks", split(col(textCol), " "))
-      .select(col(idCol), posexplode(expr(
+      .withColumn("n_chunks",
+        expr(s"CAST((size(gp_toks) - 1) DIV $chunkTokens + 1 AS BIGINT)"))
+      .select(col(idCol), col("n_chunks"), posexplode(expr(
         s"transform(sequence(0, (size(gp_toks) - 1) DIV $chunkTokens), " +
           s"i -> array_join(slice(gp_toks, i * $chunkTokens + 1, $chunkTokens), ' '))"))
         .as(Seq("cidx", "chunk")))
@@ -177,13 +228,12 @@ object Corpus {
       .withColumn("gp_rn", row_number().over(wFirst))
       .filter(col("gp_rn") === 1)
       .drop("gp_rn")
-    val perDoc = chunks.groupBy(idCol).agg(count(lit(1)).as("n_chunks"))
     kept.groupBy(idCol)
       .agg(
         array_join(expr("transform(array_sort(collect_list(struct(cidx, chunk))), x -> x.chunk)"), " ")
           .as("text_dedup"),
+        first("n_chunks").as("n_chunks"),
         count(lit(1)).as("n_kept"))
-      .join(perDoc, idCol)
       .select(col(idCol), col("text_dedup"), col("n_chunks"), col("n_kept"))
   }
 }

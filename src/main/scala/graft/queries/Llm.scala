@@ -390,12 +390,15 @@ object Llm extends QueryModule {
     // distributed prefix sum (per-bucket totals -> driver prefix of
     // O(#buckets) offsets -> broadcast join -> per-bucket windows), so no
     // single-partition WindowExec appears in the plan at any scale.
-    // bucketWidth=64 exercises multi-bucket stitching even at sf0.001.
+    // Width is SELF-SIZING (ceil(keyspan/2^16), floored at 64): at the
+    // testdata's 500 docs that floor gives 64 — multi-bucket stitching is
+    // exercised even at sf0.001 — while a 1e9-doc corpus gets ~2^16
+    // buckets instead of tripping the driver-artifact cap. Results are
+    // width-invariant (property-pinned), so the knob never changes output.
     "pipeline_pack_sequences" -> ((s, d) => {
       val t = Tables.t(s, d, "documents")
         .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tok"))
-      graft.ops.Corpus.packSequences(t, "doc_id", "n_tok",
-          seqBudget = 512, bucketWidth = 64)
+      graft.ops.Corpus.packSequencesAuto(t, "doc_id", "n_tok", seqBudget = 512)
         .select("doc_id", "n_tok", "cum_before", "seq_id")
         .orderBy("doc_id")
     }),
@@ -406,8 +409,8 @@ object Llm extends QueryModule {
     "pipeline_pack_split" -> ((s, d) => {
       val t = Tables.t(s, d, "documents")
         .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tok"))
-      graft.ops.Corpus.packSplit(t, "doc_id", "n_tok",
-          seqBudget = 512, bucketWidth = 64)
+      graft.ops.Corpus.packSplit(t, "doc_id", "n_tok", seqBudget = 512,
+          bucketWidth = graft.ops.Corpus.autoBucketWidth(t, "doc_id"))
         .select("doc_id", "seq_id", "tok_start", "tok_end")
         .orderBy("doc_id", "seq_id")
     }),

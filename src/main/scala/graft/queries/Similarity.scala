@@ -345,10 +345,12 @@ object Similarity extends QueryModule {
   def ivfpqWriteModel(model: IvfPqModel, dir: String): Unit = {
     val s =
       if (model.assigned != null) model.assigned.sparkSession
-      else SparkSession.getActiveSession.getOrElse(throw new IllegalStateException(
-        "ivfpqWriteModel: model has no assignment relation (loaded via " +
-          "ivfpqLoadModel) and no SparkSession is active on this thread — " +
-          "create/activate the session that should own the write first"))
+      else SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+        .getOrElse(throw new IllegalStateException(
+          "ivfpqWriteModel: model has no assignment relation (loaded via " +
+            "ivfpqLoadModel) and no SparkSession is active on this thread or " +
+            "registered as default — create/activate the session that should " +
+            "own the write first"))
     import s.implicits._
     val rows =
       model.coarse.zipWithIndex.toSeq.map { case (v, i) => ("coarse", i, v.toSeq) } ++
