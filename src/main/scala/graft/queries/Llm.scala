@@ -403,6 +403,27 @@ object Llm extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // unigram-LM quality score (the CCNet-style LM filter shape): train
+    // token counts over the corpus, take the top-V vocab (V=16 so the OOV
+    // smoothing path is exercised even on the small-vocab fixture), score
+    // each doc by mean log p(token) under add-one smoothing. Two passes by
+    // nature (train, then score); the model rides as a BROADCAST (V rows),
+    // the total-count scalar as a broadcast single-row relation — scoring
+    // is map-side, the only data shuffle is the per-doc mean.
+    "text_lm_score" -> ((s, d) => {
+      val docs = Tables.t(s, d, "documents")
+      val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      val counts = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+      val vocab = counts.orderBy(col("c").desc, col("tok")).limit(16)
+      val tot = counts.agg(sum("c").as("n"))
+      toks.join(broadcast(vocab), Seq("tok"), "left")
+        .crossJoin(broadcast(tot))
+        .withColumn("lp",
+          log((coalesce(col("c"), lit(0L)) + 1).cast("double") / (col("n") + 17)))
+        .groupBy("doc_id").agg(round(avg("lp"), 6).as("lm_score"))
+        .orderBy("doc_id")
+    }),
+
     // splitting variant: documents SPAN sequence boundaries (the trainer's
     // concatenate-and-cut contract) — one row per (doc, seq) overlap with
     // the doc-relative token sub-range; interior sequences exactly full
@@ -460,6 +481,13 @@ object Llm extends QueryModule {
         "SELECT doc_id, n_tok, CAST(coalesce(sum(n_tok) OVER (ORDER BY doc_id " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before " +
         s"FROM (SELECT doc_id, len($tokensDuck) AS n_tok FROM documents)) ORDER BY doc_id"),
+    "text_lm_score" ->
+      (s"WITH toks AS (SELECT doc_id, unnest($tokensDuck) AS tok FROM documents), " +
+        "counts AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok), " +
+        "vocab AS (SELECT tok, c FROM counts ORDER BY c DESC, tok LIMIT 16), " +
+        "tot AS (SELECT sum(c) AS n FROM counts) " +
+        "SELECT doc_id, round(avg(ln((coalesce(v.c, 0) + 1)::DOUBLE / (n + 17))), 6) AS lm_score " +
+        "FROM toks t LEFT JOIN vocab v USING (tok), tot GROUP BY doc_id ORDER BY doc_id"),
     "pipeline_pack_split" ->
       (s"SELECT doc_id, s AS seq_id, CAST(greatest(0, s * 512 - cum_before) AS BIGINT) AS tok_start, " +
         "CAST(least(n_tok, (s + 1) * 512 - cum_before) AS BIGINT) AS tok_end FROM (" +
