@@ -403,6 +403,25 @@ object Llm extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // stratified systematic sampling: downsample every language to the
+    // smallest language's share via a deterministic id-modulus test —
+    // corpus_mix_weights' downsampling twin (that op UPweights, this one
+    // drops rows). Scale shape: two bounded aggs broadcast back, then a
+    // pure map-side filter — ZERO data-sized shuffle; the keep decision is
+    // floor-based integer math so both engines agree exactly. Systematic
+    // (id-mod) rather than hash-based sampling keeps the oracle
+    // engine-independent; ids are synthetic and uncorrelated with content.
+    "sample_stratified" -> ((s, d) => {
+      val docs = Tables.t(s, d, "documents")
+      val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_g"))
+      val minN = counts.agg(min("n_g").as("min_n"))
+      docs.join(broadcast(counts), "lang").crossJoin(broadcast(minN))
+        .withColumn("thresh", expr("CAST((1000 * min_n) DIV n_g AS BIGINT)"))
+        .filter(pmod(col("doc_id"), lit(1000L)) < col("thresh"))
+        .select("doc_id", "lang", "thresh")
+        .orderBy("doc_id")
+    }),
+
     // unigram-LM quality score (the CCNet-style LM filter shape): train
     // token counts over the corpus, take the top-V vocab (V=16 so the OOV
     // smoothing path is exercised even on the small-vocab fixture), score
@@ -481,6 +500,12 @@ object Llm extends QueryModule {
         "SELECT doc_id, n_tok, CAST(coalesce(sum(n_tok) OVER (ORDER BY doc_id " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before " +
         s"FROM (SELECT doc_id, len($tokensDuck) AS n_tok FROM documents)) ORDER BY doc_id"),
+    "sample_stratified" ->
+      ("WITH counts AS (SELECT lang, count(*) AS n_g FROM documents GROUP BY lang), " +
+        "m AS (SELECT min(n_g) AS min_n FROM counts) " +
+        "SELECT doc_id, lang, CAST((1000 * min_n) // n_g AS BIGINT) AS thresh " +
+        "FROM documents JOIN counts USING (lang), m " +
+        "WHERE doc_id % 1000 < thresh ORDER BY doc_id"),
     "text_lm_score" ->
       (s"WITH toks AS (SELECT doc_id, unnest($tokensDuck) AS tok FROM documents), " +
         "counts AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok), " +
