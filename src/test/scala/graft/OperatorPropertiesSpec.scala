@@ -407,6 +407,44 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(rows.map(r => r._4 - r._3).sum == nTok.values.sum)
   }
 
+  test("pack operators: randomized corpora match an independent in-memory reference") {
+    import spark.implicits._
+    // independent oracle: a driver-side fold, not another Spark plan — a
+    // bug shared by the two-phase and naive WINDOW forms can't hide here
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 8) {
+      val n = 1 + rnd.nextInt(60)
+      val ids = rnd.shuffle((0L until 200L).toList).take(n).sorted
+      val rows = ids.map(id => (id, rnd.nextInt(40).toLong))
+      val budget = 1L + rnd.nextInt(30)
+      val width = 1L + rnd.nextInt(50)
+      // reference prefix sums
+      var acc = 0L
+      val refPack = rows.map { case (id, t) =>
+        val r = (id, t, acc, acc / budget); acc += t; r
+      }
+      val refSplit = refPack.flatMap { case (id, t, cb, _) =>
+        if (t == 0) Nil
+        else (cb / budget to (cb + t - 1) / budget).map { s =>
+          (id, s, math.max(0L, s * budget - cb), math.min(t, (s + 1) * budget - cb))
+        }
+      }
+      val df = rows.toDF("doc_id", "n_tok")
+      val gotPack = graft.ops.Corpus
+        .packSequences(df, "doc_id", "n_tok", budget, width)
+        .select("doc_id", "n_tok", "cum_before", "seq_id")
+        .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toList
+      assert(gotPack == refPack,
+        s"trial $trial (budget=$budget width=$width):\n$gotPack\n$refPack")
+      val gotSplit = graft.ops.Corpus
+        .packSplit(df, "doc_id", "n_tok", budget, width)
+        .select("doc_id", "seq_id", "tok_start", "tok_end")
+        .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toList
+      assert(gotSplit == refSplit,
+        s"trial $trial (budget=$budget width=$width):\n$gotSplit\n$refSplit")
+    }
+  }
+
   test("dedup_chunk_exact: first occurrence wins, full dups vanish, reassembly ordered") {
     import spark.implicits._
     val k = 3 // chunk size in tokens

@@ -45,6 +45,17 @@ class TablesSpec extends SparkSpec {
       Seq((1L, 1700000000000000L), (2L, 1700000123456789L)))
   }
 
+  test("every driver table loads with rows at sf0.001 (regeneration canary)") {
+    // the driver regenerated the testdata mid-round-6 with a changed
+    // events encoding; this canary makes the NEXT regeneration fail a
+    // named test instead of surfacing as scattered query errors
+    Tables.names.foreach { name =>
+      val df = Tables.t(spark, sfDir, name)
+      assert(df.columns.nonEmpty, s"$name: no columns")
+      assert(df.limit(1).count() == 1, s"$name: no rows")
+    }
+  }
+
   test("events loader against the driver testdata yields a timestamp ts") {
     // pandas-written parquet carries isAdjustedToUTC=false, which Spark 4
     // decodes as TIMESTAMP_NTZ; with the session TZ pinned UTC the two
