@@ -246,6 +246,25 @@ class PlanSpec extends SparkSpec {
       s"chunk dedup must shard by content, got single-partition window:\n$w"))
   }
 
+  test("text_lm_score: vocab and total ride as broadcasts, no sort-merge join") {
+    val p = plan("text_lm_score")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      p.linesIterator.take(30).mkString("\n"))
+    assert(!p.contains("SortMergeJoin"), "the V-row model must broadcast")
+  }
+
+  test("sample_stratified: pure map-side filter — no data-sized exchange") {
+    val df = SparkEntry.queries("sample_stratified")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(!p.contains("SortMergeJoin"), "thresholds must broadcast")
+    // the documents side must reach its joins without shuffling: the only
+    // hash exchanges allowed are under the tiny aggregations feeding the
+    // broadcasts; the scan side feeds straight into BroadcastHashJoin
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+  }
+
   test("split_points: 1-in-SplitSampleMod sample filter sits below every global window") {
     val df = SparkEntry.queries("split_points")(spark, sfDir)
     val wins = df.queryExecution.sparkPlan.collect {
