@@ -403,6 +403,21 @@ object Llm extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // corpus-wide adjacent-pair (bigram) counts — the counting pass a
+    // BPE-style tokenizer trainer iterates: per-row pair synthesis (no
+    // self-join; pairs come from an indexed transform over the token
+    // array), one partial+final hash agg, TakeOrdered for the top slice
+    "text_bigram_counts" -> ((s, d) => {
+      val docs = Tables.t(s, d, "documents")
+      docs
+        .withColumn("w", tokens(col("text")))
+        .select(explode(expr(
+          "IF(size(w) >= 2, transform(sequence(1, size(w) - 1), " +
+            "i -> concat_ws(' ', w[i-1], w[i])), array())")).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair")).limit(100)
+    }),
+
     // stratified systematic sampling: downsample every language to the
     // smallest language's share via a deterministic id-modulus test —
     // corpus_mix_weights' downsampling twin (that op UPweights, this one
@@ -500,6 +515,12 @@ object Llm extends QueryModule {
         "SELECT doc_id, n_tok, CAST(coalesce(sum(n_tok) OVER (ORDER BY doc_id " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before " +
         s"FROM (SELECT doc_id, len($tokensDuck) AS n_tok FROM documents)) ORDER BY doc_id"),
+    "text_bigram_counts" ->
+      (s"SELECT pair, count(*) AS cnt FROM (" +
+        s"SELECT unnest(CASE WHEN len(t) >= 2 THEN list_transform(t[1:len(t)-1], " +
+        "(x, i) -> x || ' ' || t[i+1]) ELSE [] END) AS pair " +
+        s"FROM (SELECT $tokensDuck AS t FROM documents)) " +
+        "GROUP BY pair ORDER BY cnt DESC, pair LIMIT 100"),
     "sample_stratified" ->
       ("WITH counts AS (SELECT lang, count(*) AS n_g FROM documents GROUP BY lang), " +
         "m AS (SELECT min(n_g) AS min_n FROM counts) " +
