@@ -147,7 +147,52 @@ object Aggregates extends QueryModule {
           max_by(col("url"), col("ord")).as("last_url"),
           min("ts").as("first_ts"),
           max("ts").as("last_ts"))
-        .orderBy("hostword"))
+        .orderBy("hostword")),
+
+    // pivot with an EXPLICIT value list — stays a single-pass partial+final
+    // hash agg. Enumerating the pivot values at plan time is the difference
+    // between one and two corpus scans at 100 TB: the no-values overload
+    // first runs a distinct-collect job just to discover column names.
+    "agg_pivot" -> ((s, d) =>
+      Tables.t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(round(sum("l_quantity"), 6))
+        .withColumnRenamed("F", "qty_f")
+        .withColumnRenamed("O", "qty_o")
+        .orderBy("l_returnflag")),
+
+    // explicit GROUPING SETS ((hostword), (status)) — just the two one-dim
+    // marginals, without the base or grand-total rows that rollup/cube
+    // force; same single-scan Expand plan as agg_rollup (each input row is
+    // replicated once per set, then one hash agg — never two scans)
+    "agg_grouping_sets" -> ((s, d) =>
+      Cdx.df(s, d)
+        .groupingSets(
+          Seq(Seq(col("hostword")), Seq(col("status"))),
+          col("hostword"), col("status"))
+        .agg(grouping_id().cast("int").as("gid"), count(lit(1)).as("cnt"),
+          sum("length").as("sl"))
+        .selectExpr("gid", "coalesce(hostword, '') AS hostword_c",
+          "coalesce(status, -1) AS status_c", "cnt", "CAST(sl AS BIGINT) AS sum_len")
+        .orderBy("gid", "hostword_c", "status_c")),
+
+    // wide→long melt (Dataset.unpivot = SQL UNPIVOT): three measure
+    // columns become (metric, val) rows in one narrow Expand — per-row,
+    // no shuffle, whole-stage codegen'd; the shape feeding any
+    // metric-per-row observability store
+    "agg_unpivot" -> ((s, d) =>
+      Tables.t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          "metric", "val")
+        .withColumn("val", round(col("val"), 6))
+        // (l_orderkey, l_linenumber) is NOT unique in the driver testdata —
+        // val joins the sort to keep the dump order total
+        .orderBy("l_orderkey", "l_linenumber", "metric", "val"))
   )
 
   override def oracleSql: Map[String, String] = Map(
@@ -188,6 +233,23 @@ object Aggregates extends QueryModule {
       "SELECT hostword, arg_min(url, ts || lpad(id::VARCHAR, 10, '0')) AS first_url, " +
         "arg_max(url, ts || lpad(id::VARCHAR, 10, '0')) AS last_url, " +
         "min(ts) AS first_ts, max(ts) AS last_ts " +
-        "FROM cdx GROUP BY hostword ORDER BY hostword")
+        "FROM cdx GROUP BY hostword ORDER BY hostword"),
+    "agg_pivot" ->
+      ("SELECT l_returnflag, " +
+        "round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 6) AS qty_f, " +
+        "round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 6) AS qty_o " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "agg_grouping_sets" -> o(
+      "SELECT CAST(GROUPING(hostword, status) AS INT) AS gid, " +
+        "coalesce(hostword, '') AS hostword_c, coalesce(status, -1) AS status_c, " +
+        "count(*) AS cnt, CAST(sum(length) AS BIGINT) AS sum_len " +
+        "FROM cdx GROUP BY GROUPING SETS ((hostword), (status)) " +
+        "ORDER BY gid, hostword_c, status_c"),
+    "agg_unpivot" ->
+      ("SELECT l_orderkey, l_linenumber, metric, round(val, 6) AS val FROM (" +
+        "UNPIVOT (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount " +
+        "FROM lineitem) ON l_quantity, l_extendedprice, l_discount " +
+        "INTO NAME metric VALUE val) " +
+        "ORDER BY l_orderkey, l_linenumber, metric, val")
   )
 }

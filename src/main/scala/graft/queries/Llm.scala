@@ -35,6 +35,17 @@ object Llm extends QueryModule {
   private val stopwords = Seq("the", "and", "of", "to", "a", "in", "is", "for")
   private val stopDuck = stopwords.mkString("['", "', '", "']")
 
+  /** trained BPE merge memo — training is deterministic (argmax ties
+    * break (freq DESC, left, right)), so sharing one training run across
+    * the train/encode driver keys is sound; Verify's concurrent pool and
+    * Bench's sequential pass then train once per sf dir. */
+  private val bpeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[graft.ops.Bpe.Merge]]()
+  private def bpeMerges(s: SparkSession, d: String): Seq[graft.ops.Bpe.Merge] =
+    bpeCache.computeIfAbsent(d, _ =>
+      graft.ops.Bpe.train(
+        graft.ops.Bpe.wordFreq(Tables.t(s, d, "documents"), "text"), nMerges = 24))
+
   /** documents ∪ re-keyed copy of every 5th doc — gives the dedup
     * operators real duplicates to find (the base table is all-distinct). */
   private def docsWithDups(s: SparkSession, d: String): DataFrame = {
@@ -495,7 +506,48 @@ object Llm extends QueryModule {
         .select(col("vec_id"), col("label"),
           round(call_udf("cosine_sim", col("ed"), col("qd")), 6).as("cos"))
         .orderBy(col("cos").desc, col("vec_id")).limit(20)
-    })
+    }),
+
+    // deterministic global corpus shuffle — the pre-shard ordering pass a
+    // trainer runs before cutting the corpus into training shards
+    // (sequential readers then see a content-decorrelated stream). Order
+    // key = md5(doc_id:seed): seeded, reproducible, engine-portable. The
+    // plan is sort_global's: ONE range exchange with sampled boundaries —
+    // no single-partition sort at any scale. `shard` (the key's hex
+    // prefix) is the downstream 256-way shard assignment, free with the
+    // same key — writers just partitionBy it.
+    "corpus_shuffle" -> ((s, d) =>
+      Tables.t(s, d, "documents")
+        .withColumn("skey", md5(concat(col("doc_id").cast("string"), lit(":42"))))
+        .withColumn("shard", substring(col("skey"), 1, 2))
+        .select("doc_id", "skey", "shard")
+        .orderBy("skey")),
+
+    // distributed BPE tokenizer training (ops/Bpe.scala): the corpus is
+    // aggregated ONCE into the Zipf-bounded (word, freq) relation; each
+    // of the 24 merge rounds runs on that aggregate alone (pair synthesis
+    // → one count agg → 1-row argmax → map-side fold), never back over
+    // the corpus. Oracle-exempt (iterative argmax training is not a
+    // single SQL statement); OperatorPropertiesSpec proves the learned
+    // merge sequence EQUALS an independent in-memory reference BPE.
+    "text_bpe_train" -> ((s, d) => {
+      import s.implicits._
+      bpeMerges(s, d).toDF()
+        .select(col("rank"), col("left"), col("right"),
+          concat(col("left"), col("right")).as("merged"), col("freq"))
+        .orderBy("rank")
+    }),
+
+    // apply the learned merges back over the corpus — the merge table is
+    // a broadcast inside the segmenter, so encoding is map-side at any
+    // corpus size; per-doc piece counts + the compression diagnostic a
+    // tokenizer-training run reports
+    "text_bpe_encode" -> ((s, d) =>
+      graft.ops.Bpe.encode(Tables.t(s, d, "documents"), "doc_id", "text",
+          bpeMerges(s, d).map(m => (m.left, m.right)))
+        .withColumn("compression", round(
+          col("n_chars_tok").cast("double") / greatest(col("n_pieces"), lit(1)), 6))
+        .orderBy("doc_id"))
   )
 
   private val statsDuckCols =
@@ -674,6 +726,10 @@ object Llm extends QueryModule {
         "SELECT cluster_id, doc_id AS kept_doc, quality FROM (" +
         "SELECT c.cluster_id, s.doc_id, s.quality, " +
         "row_number() OVER (PARTITION BY c.cluster_id ORDER BY s.quality DESC, s.doc_id) AS rn " +
-        "FROM clusters c JOIN scored s USING (doc_id)) WHERE rn = 1 ORDER BY cluster_id")
+        "FROM clusters c JOIN scored s USING (doc_id)) WHERE rn = 1 ORDER BY cluster_id"),
+    "corpus_shuffle" ->
+      ("SELECT doc_id, md5(doc_id::VARCHAR || ':42') AS skey, " +
+        "substr(md5(doc_id::VARCHAR || ':42'), 1, 2) AS shard " +
+        "FROM documents ORDER BY skey")
   )
 }

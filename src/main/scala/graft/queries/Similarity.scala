@@ -51,6 +51,30 @@ object Similarity extends QueryModule {
           round(expr(normD("unit")), 6).as("unit_norm"))
         .orderBy("vec_id")),
 
+    // per-dimension int8 scalar quantization — the 4× storage compressor
+    // an embedding store applies before ANN (the PQ codebooks below are
+    // the 32×+ variant). The stats pass is ONE global agg carrying 2×dim
+    // partial min/max columns — no explode (an explode-based stats pass
+    // would multiply 100 TB of vectors by dim before reducing, and its
+    // groupBy(dim) shuffle would hash the whole corpus; this plan shuffles
+    // exactly one row per partition). The one-row stats relation
+    // broadcasts back and quantization is a narrow map. The dim probe
+    // reads a single row (LocalLimit 1), not a scan — a production
+    // pipeline knows dim statically.
+    "emb_quantize_int8" -> ((s, d) => {
+      val e = emb(s, d)
+      val dim = e.select(size(col("ed")).as("n")).head().getInt(0)
+      val stats = e.agg(
+        array((0 until dim).map(i => min(col("ed")(i))): _*).as("mn"),
+        array((0 until dim).map(i => max(col("ed")(i))): _*).as("mx"))
+      e.crossJoin(broadcast(stats))
+        .withColumn("q", expr(
+          "transform(ed, (v, i) -> CAST(round((v - mn[i]) * 255.0D / (mx[i] - mn[i])) - 128 AS INT))"))
+        .select(col("vec_id"),
+          concat_ws(",", expr("transform(q, x -> CAST(x AS STRING))")).as("qvec"))
+        .orderBy("vec_id")
+    }),
+
     // embedding-cosine near-dup over consecutive vec_id pairs
     "dedup_embedding_cos" -> ((s, d) => {
       GraftFunctions.register(s)
@@ -809,6 +833,17 @@ object Similarity extends QueryModule {
         "FROM (SELECT vec_id, embedding, " +
         "sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm FROM embeddings) " +
         "ORDER BY vec_id"),
+    // float→double casts are exact and min/max are order-insensitive, so
+    // the quantized codes match Spark's bit-for-bit; the ,-joined string
+    // keeps the hash compare shape-stable
+    "emb_quantize_int8" ->
+      ("WITH ex0 AS (SELECT vec_id, unnest(list_transform(embedding, (x, i) -> {'i': i, 'v': x})) AS u " +
+        "FROM embeddings), " +
+        "ex AS (SELECT vec_id, u.i AS i, u.v::DOUBLE AS v FROM ex0), " +
+        "st AS (SELECT i, min(v) AS mn, max(v) AS mx FROM ex GROUP BY i) " +
+        "SELECT vec_id, string_agg(CAST(CAST(round((v - mn) * 255.0 / (mx - mn)) - 128 AS INT) AS VARCHAR), " +
+        "',' ORDER BY i) AS qvec " +
+        "FROM ex JOIN st USING (i) GROUP BY vec_id ORDER BY vec_id"),
     "sim_ann_ivf_multiprobe" ->
       ("WITH cents AS (SELECT vec_id AS cid, embedding AS cd FROM embeddings WHERE vec_id < 16), " +
         "sims AS (SELECT e.vec_id, c.cid, " +

@@ -106,6 +106,21 @@ object Windows extends QueryModule {
         .filter(!(col("content_digest") <=> col("prev_digest")))
         .select("urlkey", "ts", "id", "content_digest")
         .orderBy("urlkey", "ts", "id")
+    }),
+
+    // distribution ranks per shard: quartile bucket (ntile), percent_rank,
+    // cume_dist over capture length — the shard-balance diagnostics a
+    // 1000-shard layout reads per shard. One WindowExec pass partitioned
+    // by hostword (no single-partition window); the (length, id) order is
+    // total, so the rank functions are tie-free and oracle-exact.
+    "win_ntile_cume" -> ((s, d) => {
+      val w = Window.partitionBy("hostword").orderBy(col("length"), col("id"))
+      Cdx.df(s, d)
+        .withColumn("q4", ntile(4).over(w))
+        .withColumn("pr", round(percent_rank().over(w), 6))
+        .withColumn("cd", round(cume_dist().over(w), 6))
+        .select("hostword", "id", "length", "q4", "pr", "cd")
+        .orderBy("hostword", "id")
     })
   )
 
@@ -141,6 +156,12 @@ object Windows extends QueryModule {
       "SELECT urlkey, ts, id, content_digest FROM " +
         "(SELECT urlkey, ts, id, sha256(hostword || path || substr(ts, 1, 4)) AS content_digest, " +
         "lag(sha256(hostword || path || substr(ts, 1, 4))) OVER (PARTITION BY hostword, path ORDER BY ts, id) AS prev_digest FROM cdx) " +
-        "WHERE content_digest IS DISTINCT FROM prev_digest ORDER BY urlkey, ts, id")
+        "WHERE content_digest IS DISTINCT FROM prev_digest ORDER BY urlkey, ts, id"),
+    "win_ntile_cume" -> o(
+      "SELECT hostword, id, length, " +
+        "ntile(4) OVER (PARTITION BY hostword ORDER BY length, id) AS q4, " +
+        "round(percent_rank() OVER (PARTITION BY hostword ORDER BY length, id), 6) AS pr, " +
+        "round(cume_dist() OVER (PARTITION BY hostword ORDER BY length, id), 6) AS cd " +
+        "FROM cdx ORDER BY hostword, id")
   )
 }

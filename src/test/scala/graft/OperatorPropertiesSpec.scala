@@ -469,4 +469,84 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(byId(4L) == ((4L, "q r s", 2L, 1L)), s"positional shift must not defeat dedup: ${byId(4L)}")
   }
 
+  /** Independent in-memory BPE (Sennrich'16 shapes: overlapping adjacent
+    * pair counts, position-scan merge application) — deliberately NOT the
+    * `aggregate`-fold the Spark op uses, so agreement is evidence. */
+  private def refBpe(words: Map[String, Long], nMerges: Int)
+      : Seq[(String, String, Long)] = {
+    def applyMerge(syms: Vector[String], l: String, r: String): Vector[String] = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < syms.size) {
+        if (i + 1 < syms.size && syms(i) == l && syms(i + 1) == r) {
+          buf += (l + r); i += 2
+        } else { buf += syms(i); i += 1 }
+      }
+      buf.toVector
+    }
+    var vocab: Vector[(Vector[String], Long)] =
+      words.toVector.map { case (w, f) => (w.map(_.toString).toVector, f) }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var done = false
+    while (out.size < nMerges && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, f) =>
+        (0 until syms.size - 1).foreach { i =>
+          val k = (syms(i), syms(i + 1))
+          counts(k) = counts.getOrElse(k, 0L) + f
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val ((l, r), f) = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+        out += ((l, r, f))
+        vocab = vocab.map { case (syms, fr) => (applyMerge(syms, l, r), fr) }
+      }
+    }
+    out.toSeq
+  }
+
+  test("text_bpe_train/encode: merge sequence and piece counts equal an independent reference BPE") {
+    // independent tokenizer + word-freq (not ops.Dedup.tokens / ops.Bpe)
+    val docs = Tables.t(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val wf = docs.flatMap(d => d._2.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty))
+      .groupBy(identity).map { case (w, ws) => w -> ws.length.toLong }
+    val expected = refBpe(wf, nMerges = 24)
+
+    val got = SparkEntry.queries("text_bpe_train")(spark, sfDir)
+      .select("left", "right", "freq").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == expected, s"merge sequences differ:\ngot  $got\nwant $expected")
+
+    // encode: per-doc piece counts must equal segmenting each word with
+    // the reference merges via the reference position-scan
+    val refMerges = expected.map { case (l, r, _) => (l, r) }
+    def seg(w: String): Int = {
+      var syms = w.map(_.toString).toVector
+      refMerges.foreach { case (l, r) =>
+        val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < syms.size) {
+          if (i + 1 < syms.size && syms(i) == l && syms(i + 1) == r) {
+            buf += (l + r); i += 2
+          } else { buf += syms(i); i += 1 }
+        }
+        syms = buf.toVector
+      }
+      syms.size
+    }
+    val wantPieces = docs.map { case (id, text) =>
+      id -> text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).map(seg).sum
+    }.toMap
+    val gotPieces = SparkEntry.queries("text_bpe_encode")(spark, sfDir)
+      .select("doc_id", "n_pieces").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(gotPieces == wantPieces)
+    // merges must actually compress: strictly fewer pieces than chars
+    val chars = docs.map(_._2.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).map(_.length).sum).sum
+    assert(gotPieces.values.sum < chars, "BPE encode should reduce symbol count")
+  }
+
 }
