@@ -177,6 +177,22 @@ object Aggregates extends QueryModule {
           "coalesce(status, -1) AS status_c", "cnt", "CAST(sl AS BIGINT) AS sum_len")
         .orderBy("gid", "hostword_c", "status_c")),
 
+    // second-moment statistics per group — correlation / covariance /
+    // stddev / variance in ONE partial+final pass (Spark's co-moment
+    // aggregates are mergeable, so the map-side partials carry
+    // (n, mean, M2, co-moment) tuples, not row buffers). The profiling
+    // surface a feature-store build reads per column pair.
+    "agg_corr_stats" -> ((s, d) =>
+      Tables.t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(corr("l_quantity", "l_extendedprice"), 6).as("corr_qp"),
+          round(covar_samp("l_quantity", "l_extendedprice"), 4).as("covar_qp"),
+          round(stddev_samp("l_quantity"), 6).as("sd_q"),
+          round(var_samp("l_quantity"), 6).as("var_q"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag")),
+
     // wide→long melt (Dataset.unpivot = SQL UNPIVOT): three measure
     // columns become (metric, val) rows in one narrow Expand — per-row,
     // no shuffle, whole-stage codegen'd; the shape feeding any
@@ -239,6 +255,14 @@ object Aggregates extends QueryModule {
         "round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 6) AS qty_f, " +
         "round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 6) AS qty_o " +
         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    // corr/covar_samp/stddev_samp/var_samp share definitions across
+    // engines; covar rounds at 4 (values ~1e5, so 6 decimals would sit
+    // inside cross-engine summation-order noise)
+    "agg_corr_stats" ->
+      ("SELECT l_returnflag, round(corr(l_quantity, l_extendedprice), 6) AS corr_qp, " +
+        "round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qp, " +
+        "round(stddev_samp(l_quantity), 6) AS sd_q, round(var_samp(l_quantity), 6) AS var_q, " +
+        "count(*) AS cnt FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
     "agg_grouping_sets" -> o(
       "SELECT CAST(GROUPING(hostword, status) AS INT) AS gid, " +
         "coalesce(hostword, '') AS hostword_c, coalesce(status, -1) AS status_c, " +

@@ -82,6 +82,22 @@ object Formats extends QueryModule {
       s.read.text(dir).orderBy("value")
     }),
 
+    // gzipped JSONL round trip — THE training-corpus interchange format
+    // (every public corpus dump ships as *.jsonl.gz). Read back with an
+    // EXPLICIT schema: schema inference costs a full extra pass over
+    // 100 TB before the real scan, so production readers declare types
+    // (same one-vs-two-scans argument as agg_pivot's value list).
+    "scan_jsonl" -> ((s, d) => {
+      val dir = tmp(d, "docs_jsonl")
+      graft.Tables.t(s, d, "documents")
+        .select("doc_id", "lang", "source", "n_chars")
+        .coalesce(4)
+        .write.mode("overwrite").option("compression", "gzip").json(dir)
+      s.read.schema("doc_id LONG, lang STRING, source STRING, n_chars LONG")
+        .json(dir)
+        .orderBy("doc_id")
+    }),
+
     // per-key gzipped text upload (indexwarcsjob.py §upload) — same
     // round-trip as scan_text_lines but partitioned by crawl segment
     "sink_text_gz" -> ((s, d) => {
@@ -305,6 +321,8 @@ object Formats extends QueryModule {
 
   override def oracleSql: Map[String, String] = Map(
     "scan_text_lines" -> o(s"SELECT $lineExprDuck AS value FROM cdx ORDER BY value"),
+    "scan_jsonl" ->
+      "SELECT doc_id, lang, source, n_chars FROM documents ORDER BY doc_id",
     "sink_text_gz" -> o(s"SELECT $lineExprDuck AS value FROM cdx ORDER BY value"),
     "scan_manifest" -> o("SELECT DISTINCT filename AS warc_path FROM cdx ORDER BY warc_path"),
     "sink_parquet" -> o("SELECT id, urlkey, ts, status, length FROM cdx ORDER BY id"),

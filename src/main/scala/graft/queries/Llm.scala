@@ -523,6 +523,24 @@ object Llm extends QueryModule {
         .select("doc_id", "skey", "shard")
         .orderBy("skey")),
 
+    // deterministic k-per-group sampling — eval-set construction's "take
+    // 20 uniform docs per language", reproducible across runs and
+    // engines: rank by md5(doc_id:seed) within the language, keep the k
+    // smallest. One WindowExec partitioned by lang (never a global
+    // window); at 100 TB per-group rank beats ORDER BY ... LIMIT k
+    // per group (k·|groups| rows survive the shuffle, not the corpus).
+    "sample_per_group" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang")
+        .orderBy(col("skey"), col("doc_id"))
+      Tables.t(s, d, "documents")
+        .withColumn("skey", md5(concat(col("doc_id").cast("string"), lit(":7"))))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 20)
+        .select("lang", "rn", "doc_id", "skey")
+        .orderBy("lang", "rn")
+    }),
+
     // distributed BPE tokenizer training (ops/Bpe.scala): the corpus is
     // aggregated ONCE into the Zipf-bounded (word, freq) relation; each
     // of the 24 merge rounds runs on that aggregate alone (pair synthesis
@@ -730,6 +748,12 @@ object Llm extends QueryModule {
     "corpus_shuffle" ->
       ("SELECT doc_id, md5(doc_id::VARCHAR || ':42') AS skey, " +
         "substr(md5(doc_id::VARCHAR || ':42'), 1, 2) AS shard " +
-        "FROM documents ORDER BY skey")
+        "FROM documents ORDER BY skey"),
+    "sample_per_group" ->
+      ("SELECT lang, rn, doc_id, skey FROM (" +
+        "SELECT lang, doc_id, skey, " +
+        "row_number() OVER (PARTITION BY lang ORDER BY skey, doc_id) AS rn " +
+        "FROM (SELECT lang, doc_id, md5(doc_id::VARCHAR || ':7') AS skey FROM documents)) " +
+        "WHERE rn <= 20 ORDER BY lang, rn")
   )
 }

@@ -279,4 +279,56 @@ class PlanSpec extends SparkSpec {
       assert(sampled.nonEmpty, s"sample filter must precede the window:\n$w")
     }
   }
+
+  test("agg_pivot: explicit values keep pivot one scan; second agg level runs on reduced rows") {
+    val p = plan("agg_pivot")
+    // Spark plans pivot as a TWO-LEVEL aggregate: first reduce by
+    // (l_returnflag, l_linestatus), then pivot-aggregate the reduced rows
+    // — the second exchange moves |groups| rows, not the corpus. With the
+    // values list given there is no distinct-discovery job, so exactly one
+    // corpus scan and three exchanges (pre-agg hash, pivot hash, sort).
+    val scans = p.linesIterator.count(_.trim.matches("""\(\d+\) Scan parquet.*"""))
+    assert(scans == 1, s"one corpus scan expected, got $scans:\n$p")
+    val exchangeOps = p.linesIterator.count(_.trim.matches("""\(\d+\) Exchange"""))
+    assert(exchangeOps == 3, s"pre-agg + pivot + sort exchanges expected, got $exchangeOps:\n$p")
+  }
+
+  test("agg_unpivot: melt is a narrow Expand — only the final sort exchanges") {
+    val p = plan("agg_unpivot")
+    assert(p.contains("Expand"), s"unpivot should plan as Expand:\n$p")
+    val exchangeOps = p.linesIterator.count(_.trim.matches("""\(\d+\) Exchange"""))
+    assert(exchangeOps == 1, s"only the output sort may exchange, got $exchangeOps:\n$p")
+  }
+
+  test("agg_grouping_sets: marginals expand in one scan") {
+    val p = plan("agg_grouping_sets")
+    assert(p.contains("Expand"), s"grouping sets should plan as Expand:\n$p")
+    val scans = p.linesIterator.count(_.trim.matches("""\(\d+\) Scan parquet.*"""))
+    assert(scans == 1, s"one corpus scan expected, got $scans:\n$p")
+  }
+
+  test("corpus_shuffle: one sampled range exchange, like sort_global") {
+    val p = plan("corpus_shuffle")
+    assert(p.contains("rangepartitioning"), p)
+    val exchangeOps = p.linesIterator.count(_.trim.matches("""\(\d+\) Exchange"""))
+    assert(exchangeOps == 1, s"single exchange expected, got $exchangeOps:\n$p")
+  }
+
+  test("emb_quantize_int8: stats agg has no explode; stats broadcast back") {
+    val p = plan("emb_quantize_int8")
+    assert(!p.contains("Generate"),
+      s"per-dim stats must come from array-indexed aggs, not explode:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"the one-row stats relation must broadcast:\n$p")
+  }
+
+  test("sample_per_group: rank window partitions by group") {
+    val df = SparkEntry.queries("sample_per_group")(spark, sfDir)
+    val wins = df.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(wins.nonEmpty, "expected the per-group rank window")
+    wins.foreach(w => assert(w.partitionSpec.nonEmpty,
+      s"per-group sampling must not use a global window:\n$w"))
+  }
 }
