@@ -108,6 +108,28 @@ object Joins extends QueryModule {
         .orderBy("o_orderkey")
     }),
 
+    // FULL OUTER: reconcile observed per-host capture counts against a
+    // configured quota list — rows survive from BOTH unmatched sides
+    // (hosts crawled but not configured, hosts configured but never
+    // crawled), the audit shape a crawl-coverage report needs. Full
+    // outer can't broadcast by definition (both sides' unmatched rows
+    // must surface), so the shuffled join on the host key is the right
+    // plan; both inputs are already aggregated to |hosts| rows before
+    // the join, never corpus-sized.
+    "join_full_outer" -> ((s, d) => {
+      import s.implicits._
+      val got = Cdx.df(s, d).groupBy("hostword").agg(count(lit(1)).as("cnt"))
+      val quota = Seq(("high", 100L), ("low", 200L), ("offline", 50L))
+        .toDF("hostword", "quota")
+      got.join(quota, Seq("hostword"), "full_outer")
+        .select(col("hostword"),
+          coalesce(col("cnt"), lit(0L)).as("cnt"),
+          coalesce(col("quota"), lit(-1L)).as("quota"),
+          col("cnt").isNotNull.as("crawled"),
+          col("quota").isNotNull.as("configured"))
+        .orderBy("hostword")
+    }),
+
     // non-equi range join: probe key -> containing ZipNum block
     // (join form of pywb.cdx.zipnum §search over cluster.idx).
     //
@@ -237,6 +259,14 @@ object Joins extends QueryModule {
       ("SELECT o_orderkey, o_orderpriority FROM orders WHERE EXISTS " +
         "(SELECT 1 FROM lineitem WHERE l_quantity > 45 AND l_orderkey = o_orderkey) " +
         "ORDER BY o_orderkey"),
+    "join_full_outer" -> o(
+      ", got AS (SELECT hostword, count(*) AS cnt FROM cdx GROUP BY hostword), " +
+        "quota AS (SELECT * FROM (VALUES ('high', 100), ('low', 200), ('offline', 50)) " +
+        "AS t(hostword, quota)) " +
+        "SELECT coalesce(g.hostword, q.hostword) AS hostword, " +
+        "coalesce(g.cnt, 0) AS cnt, CAST(coalesce(q.quota, -1) AS BIGINT) AS quota, " +
+        "g.cnt IS NOT NULL AS crawled, q.quota IS NOT NULL AS configured " +
+        "FROM got g FULL JOIN quota q USING (hostword) ORDER BY hostword"),
     // extra CTEs compose with the cdx prefix via a leading comma
     "join_range_block" -> o(
       ", keys AS (SELECT urlkey, row_number() OVER (ORDER BY urlkey) AS rn " +

@@ -57,6 +57,25 @@ object TimeWindows extends QueryModule {
     "stream_dedup" -> ((s, d) => {
       val e = Tables.events(s, d).select("event_id", "user_id", "event_type")
       e.unionAll(e).dropDuplicates("event_id").orderBy("event_id")
+    }),
+
+    // time-RANGE window frame: per-user rolling 1-hour sum of `value` —
+    // the "activity in the trailing hour at each event" feature a
+    // sessionized feature store computes per row. RANGE (value-based)
+    // bounds, not ROWS, so ties and gaps are handled by the frame itself;
+    // one WindowExec partitioned by user_id, and the epoch-seconds sort
+    // key keeps the frame arithmetic integer-exact in both engines.
+    "win_range_frame" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts_sec"))
+        .rangeBetween(-3600L, 0L)
+      Tables.events(s, d)
+        // ts may read as TIMESTAMP_NTZ; the session TZ is pinned UTC so
+        // the cast is exact (same pattern as Cdx's epoch_us)
+        .withColumn("ts_sec", expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 1000000"))
+        .withColumn("roll_sum", round(sum("value").over(w), 6))
+        .select("event_id", "user_id", "ts_sec", "roll_sum")
+        .orderBy("event_id")
     })
   )
 
@@ -85,6 +104,11 @@ object TimeWindows extends QueryModule {
       ("SELECT event_id, user_id FROM events " +
         "WHERE ts >= (SELECT max(ts) - INTERVAL 1 HOUR FROM events) ORDER BY event_id"),
     "stream_dedup" ->
-      "SELECT event_id, user_id, event_type FROM events ORDER BY event_id"
+      "SELECT event_id, user_id, event_type FROM events ORDER BY event_id",
+    "win_range_frame" ->
+      ("SELECT event_id, user_id, epoch_us(ts) // 1000000 AS ts_sec, " +
+        "round(sum(value) OVER (PARTITION BY user_id ORDER BY (epoch_us(ts) // 1000000) " +
+        "RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 6) AS roll_sum " +
+        "FROM events ORDER BY event_id")
   )
 }
