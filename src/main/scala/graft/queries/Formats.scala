@@ -106,7 +106,12 @@ object Formats extends QueryModule {
         .withColumn("seg", split_part(col("filename"), lit("/"), lit(2)))
         .selectExpr("seg", s"$lineExprSpark AS line")
         .write.mode("overwrite").partitionBy("seg").option("compression", "gzip").text(dir)
-      s.read.option("basePath", dir).text(dir + "/seg=*")
+      // read the base DIR (exists before analysis), not a "seg=*" glob:
+      // Spark 4's hybrid analyzer logs a spurious first-pass
+      // FileNotFoundException when a glob path resolves mid-write —
+      // partition discovery finds the seg= dirs either way
+      s.read.option("basePath", dir)
+        .option("recursiveFileLookup", "false").text(dir)
         .select("value").orderBy("value")
     }),
 
@@ -283,7 +288,9 @@ object Formats extends QueryModule {
       val dir = tmp(d, "warc_cdx")
       CdxSink.writePerWarc(
         Cdx.df(s, d).selectExpr("filename", s"$lineExprSpark AS line"), dir)
-      s.read.text(dir + "/*.cdx.gz")
+      // dir path + pathGlobFilter, not a "*.cdx.gz" glob path — same
+      // spurious-first-pass-resolution note as sink_text_gz
+      s.read.option("pathGlobFilter", "*.cdx.gz").text(dir)
         .withColumn("cdx_name", regexp_extract(input_file_name(), "[^/]+$", 0))
         .select(col("cdx_name"), col("value"))
         .orderBy("value")
