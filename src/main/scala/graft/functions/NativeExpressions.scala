@@ -155,6 +155,28 @@ case class SimHashTextExpr(child: Expression)
     copy(child = newChild)
 }
 
+/** Per-row character entropy (see [[EntropyAlg]]): one codegen'd pass,
+  * replacing the explode→two-hash-aggs→join composed form. */
+case class CharEntropyExpr(child: Expression)
+  extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "char_entropy"
+
+  override def nullSafeEval(input: Any): Any =
+    EntropyAlg.charEntropy(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => NullableKernelGen.gen(ctx, ev,
+      "java.lang.Double", "doubleValue", "0.0",
+      s"graft.functions.EntropyAlg.charEntropy($c)"))
+
+  override protected def withNewChildInternal(newChild: Expression): CharEntropyExpr =
+    copy(child = newChild)
+}
+
 /** Fused tokenize+shingle+sketch: (text, n, shingleSize) -> minhash
   * signature, null when the text has < shingleSize tokens. */
 case class MinHashTextExpr(first: Expression, second: Expression, third: Expression)
@@ -461,7 +483,8 @@ object GraftFunctions {
     "pq_encode" -> ((exprs: Seq[Expression]) => PqEncodeExpr(exprs(0), exprs(1), exprs(2), exprs(3))),
     "pq_adc" -> ((exprs: Seq[Expression]) => PqAdcExpr(exprs(0), exprs(1), exprs(2), exprs(3))),
     "lsh_bucket" -> ((exprs: Seq[Expression]) => LshBucketExpr(exprs(0), exprs(1))),
-    "vec_sub" -> ((exprs: Seq[Expression]) => VecSubExpr(exprs(0), exprs(1))))
+    "vec_sub" -> ((exprs: Seq[Expression]) => VecSubExpr(exprs(0), exprs(1))),
+    "char_entropy" -> ((exprs: Seq[Expression]) => CharEntropyExpr(exprs.head)))
 
   def register(spark: SparkSession): Unit = all.foreach { case (name, builder) =>
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "built-in")

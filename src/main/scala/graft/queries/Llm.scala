@@ -523,6 +523,20 @@ object Llm extends QueryModule {
         .select("doc_id", "skey", "shard")
         .orderBy("skey")),
 
+    // per-document character entropy — the classic cheap gibberish /
+    // boilerplate detector (random bytes ≈ ln 256, natural language
+    // ≈ 2.8–3.2, padding → 0). Runs as the char_entropy NATIVE KERNEL:
+    // one codegen'd per-row pass, no explode, no shuffle (the composed
+    // explode→aggs→join form puts |text| rows per doc through a shuffle;
+    // NativeExprSpec pins the two paths equal).
+    "text_char_entropy" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      Tables.t(s, d, "documents")
+        .select(col("doc_id"),
+          round(call_udf("char_entropy", col("text")), 6).as("entropy"))
+        .orderBy("doc_id")
+    }),
+
     // deterministic k-per-group sampling — eval-set construction's "take
     // 20 uniform docs per language", reproducible across runs and
     // engines: rank by md5(doc_id:seed) within the language, keep the k
@@ -749,6 +763,12 @@ object Llm extends QueryModule {
       ("SELECT doc_id, md5(doc_id::VARCHAR || ':42') AS skey, " +
         "substr(md5(doc_id::VARCHAR || ':42'), 1, 2) AS shard " +
         "FROM documents ORDER BY skey"),
+    "text_char_entropy" ->
+      ("WITH chars AS (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents), " +
+        "freq AS (SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY doc_id, ch), " +
+        "tot AS (SELECT doc_id, count(*) AS n FROM chars GROUP BY doc_id) " +
+        "SELECT f.doc_id, round(-sum((c::DOUBLE / n) * ln(c::DOUBLE / n)), 6) AS entropy " +
+        "FROM freq f JOIN tot USING (doc_id) GROUP BY f.doc_id ORDER BY f.doc_id"),
     "sample_per_group" ->
       ("SELECT lang, rn, doc_id, skey FROM (" +
         "SELECT lang, doc_id, skey, " +

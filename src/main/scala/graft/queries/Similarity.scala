@@ -90,6 +90,25 @@ object Similarity extends QueryModule {
         .orderBy("vec_id")
     }),
 
+    // top principal component by distributed power iteration
+    // (ops/Pca.scala) — the whitening/centering preprocessor an embedding
+    // store runs before ANN or clustering. No dim×dim covariance ever
+    // materializes: each round is one narrow corpus pass + one global agg
+    // with dim sum columns (the emb_quantize_int8 stats pattern), the
+    // centered relation localCheckpointed once. Oracle-exempt (iterative;
+    // float-order); SimilaritySpec pins planted-direction recovery,
+    // centering (the deliberate mean offset must not leak into v), and
+    // driver-key determinism.
+    "emb_pca_power" -> ((s, d) => {
+      import s.implicits._
+      val e = emb(s, d).select(col("vec_id"), col("ed"))
+      val dim = e.select(size(col("ed")).as("n")).head().getInt(0)
+      val tc = graft.ops.Pca.topComponent(e, "ed", dim)
+      tc.v.zipWithIndex.map { case (x, i) =>
+        (i, math.rint(x * 1e6) / 1e6, math.rint(tc.eigenvalue * 1e6) / 1e6)
+      }.toSeq.toDF("i", "loading", "eigenvalue")
+    }),
+
     // embedding-cosine near-dup over consecutive vec_id pairs
     "dedup_embedding_cos" -> ((s, d) => {
       GraftFunctions.register(s)

@@ -403,4 +403,29 @@ class NativeExprSpec extends SparkSpec {
     assert(e.getMessage.contains("pq_adc"), s"unexpected analysis error: ${e.getMessage}")
   }
 
+  test("char_entropy kernel equals the composed explode form on the documents corpus") {
+    graft.functions.GraftFunctions.register(spark)
+    val docs = Tables.t(spark, sfDir, "documents")
+    val kernel = docs
+      .select(col("doc_id"), org.apache.spark.sql.functions.call_udf("char_entropy", col("text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val chars = docs
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .filter(col("ch") =!= "")
+    val freq = chars.groupBy("doc_id", "ch").count()
+    val tot = chars.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val composed = freq.join(tot, "doc_id")
+      .withColumn("p", col("count") / col("n"))
+      .groupBy("doc_id").agg((-sum(col("p") * log(col("p")))).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(kernel.keySet == composed.keySet)
+    kernel.foreach { case (id, h) =>
+      assert(math.abs(h - composed(id)) < 1e-9, s"doc $id: kernel $h vs composed ${composed(id)}")
+    }
+    // edge semantics: null in → null out; empty and single-char → 0
+    val edge = Seq[(java.lang.Long, String)]((1L, ""), (2L, "aaaa"), (3L, null))
+      .toDF("id", "t").selectExpr("char_entropy(t) AS h").collect()
+    assert(edge(0).getDouble(0) == 0.0 && edge(1).getDouble(0) == 0.0 && edge(2).isNullAt(0))
+  }
+
 }

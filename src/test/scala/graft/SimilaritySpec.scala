@@ -516,4 +516,30 @@ class SimilaritySpec extends SparkSpec {
     assert(top.nonEmpty && top.head.getAs[Long]("vec_id") == 0L,
       s"cold-serve driver key must self-hit first: ${top.take(3).mkString(",")}")
   }
+
+  test("emb_pca_power: planted dominant direction recovered; centering holds; driver key deterministic") {
+    val rnd = new scala.util.Random(7)
+    val dim = 16
+    val raw = Array.tabulate(dim)(i => math.sin(i + 1.0))
+    val un = math.sqrt(raw.map(x => x * x).sum)
+    val u = raw.map(_ / un)
+    // points = t·u + small noise + a CONSTANT offset: the offset is the
+    // centering trap — an uncentered power iteration converges to the
+    // mean direction instead of the planted component
+    val rows = (0 until 400).map { i =>
+      val t = rnd.nextGaussian() * 5
+      i.toLong -> Array.tabulate(dim)(j => t * u(j) + rnd.nextGaussian() * 0.1 + 2.0).toSeq
+    }
+    val df = rows.toDF("vec_id", "ed")
+    val tc = graft.ops.Pca.topComponent(df, "ed", dim, iters = 15)
+    val cos = math.abs(tc.v.zip(u).map { case (a, b) => a * b }.sum)
+    assert(cos > 0.99, s"|cos(v, planted)| = $cos")
+    // eigenvalue ≈ planted variance (25) + noise, nowhere near the
+    // offset's magnitude — another centering check
+    assert(tc.eigenvalue > 15 && tc.eigenvalue < 40, s"eigenvalue ${tc.eigenvalue}")
+    val a = SparkEntry.queries("emb_pca_power")(spark, sfDir).collect().toSeq
+    val b = SparkEntry.queries("emb_pca_power")(spark, sfDir).collect().toSeq
+    assert(a == b, "driver key must be deterministic")
+    assert(a.size == 64 && a.forall(!_.anyNull))
+  }
 }
