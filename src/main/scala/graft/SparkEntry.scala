@@ -23,6 +23,8 @@ object SparkEntry {
     q.Formats,
     q.Multimodal,
     q.Similarity,
+    q.Graph,
+    q.Search,
     q.UdfSurface)
 
   /** Flagship (SURVEY §7 minimum slice): latest 200-status capture for each

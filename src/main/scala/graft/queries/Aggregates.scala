@@ -193,6 +193,22 @@ object Aggregates extends QueryModule {
           count(lit(1)).as("cnt"))
         .orderBy("l_returnflag")),
 
+    // fixed-bin histogram of document lengths — the one-pass distribution
+    // profile a corpus report draws. width_bucket keeps the bin id a pure
+    // per-row expression (no percentile state), so the whole histogram is
+    // one partial+final hash agg over AT MOST nbins+2 groups — the
+    // shuffle carries bins, never rows, at any corpus size. Bucket 0 /
+    // nbins+1 are the underflow/overflow bins (PostgreSQL semantics,
+    // identical in Spark and DuckDB).
+    "agg_histogram" -> ((s, d) =>
+      Tables.t(s, d, "documents")
+        .select(expr("width_bucket(n_chars, 0, 600, 12)").as("bucket"),
+          col("n_chars"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("cnt"),
+          min("n_chars").as("lo"), max("n_chars").as("hi"))
+        .orderBy("bucket")),
+
     // wide→long melt (Dataset.unpivot = SQL UNPIVOT): three measure
     // columns become (metric, val) rows in one narrow Expand — per-row,
     // no shuffle, whole-stage codegen'd; the shape feeding any
@@ -269,6 +285,14 @@ object Aggregates extends QueryModule {
         "count(*) AS cnt, CAST(sum(length) AS BIGINT) AS sum_len " +
         "FROM cdx GROUP BY GROUPING SETS ((hostword), (status)) " +
         "ORDER BY gid, hostword_c, status_c"),
+    // DuckDB has no width_bucket — the closed form below IS its contract
+    // for (0, 600, 12): underflow -> 0, overflow (v >= max) -> 13, else
+    // floor(v / 50) + 1
+    "agg_histogram" ->
+      ("SELECT CASE WHEN n_chars < 0 THEN 0 WHEN n_chars >= 600 THEN 13 " +
+        "ELSE (n_chars // 50) + 1 END AS bucket, count(*) AS cnt, " +
+        "min(n_chars) AS lo, max(n_chars) AS hi " +
+        "FROM documents GROUP BY bucket ORDER BY bucket"),
     "agg_unpivot" ->
       ("SELECT l_orderkey, l_linenumber, metric, round(val, 6) AS val FROM (" +
         "UNPIVOT (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount " +

@@ -1,0 +1,196 @@
+package graft.queries
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Web-graph analytics over the capture link graph (SURVEY §2.10
+  * extension surface — the WAT link edges `Pipeline.watLinks` emits are
+  * exactly this shape; the driver keys derive a deterministic stand-in
+  * edge list from `lineitem` so DuckDB can replay it).
+  *
+  * Scale notes (100 TB / multi-billion-edge web graph):
+  *  - `graph_degree` is two map-side-combinable hash aggs + one join on
+  *    the node key, all pre-aggregated to |nodes| rows — the corpus-sized
+  *    edge list is touched once per side.
+  *  - `graph_pagerank` keeps EVERYTHING distributed: rank is a node-keyed
+  *    relation, each round is one edges⋈ranks shuffle + one hash agg, the
+  *    dangling-mass scalar rides as a broadcast 1-row aggregate inside the
+  *    plan (never a driver collect), and the rank relation
+  *    localCheckpoints per round so lineage stays O(1) — the same
+  *    iteration hygiene as `ops.Dedup.resolveClusters` / `ops.KMeans`.
+  *  - `graph_triangle_count` orients each undirected edge from its
+  *    lower-(degree, id) endpoint to the higher one before the wedge
+  *    join — the standard hub-skew cap: a node of degree d contributes
+  *    wedges only through its HIGHER-ranked neighbors, so a celebrity
+  *    host with 10^7 in-links no longer fans out 10^14 wedge rows. Any
+  *    acyclic orientation counts each triangle exactly once, which is
+  *    why the DuckDB oracle may orient by plain id order and still agree
+  *    on the count.
+  *  - `emb_knn_graph` (the similarity-graph input to graph-based dedup /
+  *    clustering) generates candidates from multi-table hyperplane-LSH
+  *    buckets — an equi-join on (table, bucket), never an all-pairs cross
+  *    join; candidate ids dedupe BEFORE vectors are fetched, and the
+  *    top-k cut is a src-partitioned window (no single-partition
+  *    WindowExec).
+  */
+object Graph extends QueryModule {
+
+  /** deterministic link-graph stand-in: 500 nodes, edge per distinct
+    * (l_orderkey, l_partkey) residue pair — sparse at sf0.001 (~2% fill),
+    * dense-but-incomplete at sf0.1 (~91%), never degenerate. */
+  private val NMod = 500
+
+  private def edges(s: SparkSession, d: String): DataFrame =
+    Tables.t(s, d, "lineitem")
+      .select((col("l_orderkey") % NMod).as("src"), (col("l_partkey") % NMod).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+
+  private val edgesDuck =
+    s"(SELECT DISTINCT l_orderkey % $NMod AS src, l_partkey % $NMod AS dst " +
+      s"FROM lineitem WHERE l_orderkey % $NMod <> l_partkey % $NMod)"
+
+  /** canonical undirected edge list (a < b, guaranteed by src != dst) */
+  private def undirected(e: DataFrame): DataFrame =
+    e.select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+
+  /** PageRank over an arbitrary edge relation — damping 0.85, dangling
+    * mass redistributed uniformly, every step a DataFrame op (the driver
+    * never holds node-sized data; the only scalar collected is |nodes|).
+    */
+  def pageRank(e: DataFrame, iterations: Int = 10, damping: Double = 0.85): DataFrame = {
+    val ec = e.select(col("src"), col("dst")).localCheckpoint()
+    val nodes = ec.select(col("src").as("node"))
+      .unionByName(ec.select(col("dst").as("node"))).distinct().localCheckpoint()
+    val n = nodes.count()
+    val outDeg = ec.groupBy(col("src").as("node")).agg(count(lit(1)).as("odeg"))
+    var ranks = nodes.withColumn("rank", lit(1.0 / n))
+    for (_ <- 1 to iterations) {
+      val contribs = ec
+        .join(ranks.join(outDeg, "node").withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("rank") / col("odeg")).as("cs"))
+      // dangling mass (rank parked on sink nodes) stays IN the plan as a
+      // broadcast 1-row aggregate — no per-iteration driver collect
+      val dangling = ranks.join(outDeg, Seq("node"), "left_anti")
+        .agg(coalesce(sum("rank"), lit(0.0)).as("dmass"))
+      ranks = nodes
+        .join(contribs, Seq("node"), "left")
+        .crossJoin(broadcast(dangling))
+        .withColumn("rank",
+          lit((1 - damping) / n) +
+            lit(damping) * (coalesce(col("cs"), lit(0.0)) + col("dmass") / n))
+        .select("node", "rank")
+        .localCheckpoint() // lineage cap per round (resolveClusters precedent)
+    }
+    ranks
+  }
+
+  /** exact triangle count with degree-ordered edge orientation (see
+    * object scaladoc); returns a 1-row (triangles BIGINT) relation */
+  def triangleCount(und: DataFrame): DataFrame = {
+    val deg = und.select(col("a").as("node"))
+      .unionByName(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    // orient each edge from the lower-(deg, id) endpoint to the higher
+    val dir = und
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+      .select(
+        when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+          col("a")).otherwise(col("b")).as("lo"),
+        when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+          col("b")).otherwise(col("a")).as("hi"))
+      .localCheckpoint() // consumed three times below — compute the orientation once
+    dir.as("e1")
+      .join(dir.as("e2"), col("e1.hi") === col("e2.lo"))
+      .join(dir.as("e3"),
+        col("e1.lo") === col("e3.lo") && col("e2.hi") === col("e3.hi"))
+      .agg(count(lit(1)).as("triangles"))
+  }
+
+  /** seeded Gaussian hyperplanes — one family per LSH table */
+  private def planes(seed: Long, nPlanes: Int, dim: Int): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** approximate k-NN graph via multi-table hyperplane LSH: candidates
+    * from (table, bucket) equi-joins, id-level dedupe, exact cosine on
+    * the survivors, top-k per src via a src-partitioned window. */
+  def knnGraph(e: DataFrame, k: Int, nTables: Int, nPlanes: Int, dim: Int): DataFrame = {
+    val bucketed = (0 until nTables).map { t =>
+      e.select(col("vec_id"), col("ed"),
+        lit(t).as("tbl"),
+        call_udf("lsh_bucket", col("ed"), typedLit(planes(20260814L + t, nPlanes, dim)))
+          .as("bucket"))
+    }.reduce(_ unionByName _)
+    // candidate ids first — vectors re-attach AFTER the cross-table dedupe,
+    // so each (src, nb) pair ships its vectors exactly once
+    val ids = bucketed.select(col("vec_id").as("src"), col("tbl"), col("bucket"))
+      .join(bucketed.select(col("vec_id").as("nb"), col("tbl"), col("bucket")),
+        Seq("tbl", "bucket"))
+      .filter(col("src") =!= col("nb"))
+      .select("src", "nb").distinct()
+    val scored = ids
+      .join(e.select(col("vec_id").as("src"), col("ed").as("sv")), "src")
+      .join(e.select(col("vec_id").as("nb"), col("ed").as("nv")), "nb")
+      .withColumn("cos", call_udf("cosine_sim", col("sv"), col("nv")))
+    val w = Window.partitionBy("src").orderBy(col("cos").desc, col("nb"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("src"), col("nb"), round(col("cos"), 6).as("cos"), col("rn"))
+  }
+
+  override def queries: Map[String, QFn] = Map(
+    // in/out degree per node — the first profile any web-graph job runs
+    "graph_degree" -> ((s, d) => {
+      val e = edges(s, d)
+      val outd = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("out_deg"))
+      val ind = e.groupBy(col("dst").as("node")).agg(count(lit(1)).as("in_deg"))
+      outd.join(ind, Seq("node"), "full_outer")
+        .na.fill(0L, Seq("out_deg", "in_deg"))
+        .orderBy("node")
+    }),
+
+    // PageRank, 10 rounds — oracle-exempt (iterative float accumulation);
+    // GraphSpec pins the closed forms (cycle → uniform, star dominance,
+    // rank mass conservation) and determinism of the row set
+    "graph_pagerank" -> ((s, d) =>
+      pageRank(edges(s, d), iterations = 10)
+        .select(col("node"), round(col("rank") * 1000, 6).as("pr_permille"))
+        .orderBy("node")),
+
+    // exact triangle count, degree-ordered orientation
+    "graph_triangle_count" -> ((s, d) => triangleCount(undirected(edges(s, d)))),
+
+    // approximate k-NN similarity graph over the embeddings — the input
+    // relation graph-based dedup / clustering consumes
+    "emb_knn_graph" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val e = Tables.t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("ed"))
+      knnGraph(e, k = 5, nTables = 4, nPlanes = 10, dim = 64)
+        .orderBy("src", "rn")
+    })
+  )
+
+  override def oracleSql: Map[String, String] = Map(
+    "graph_degree" ->
+      (s"WITH e AS $edgesDuck, " +
+        "o AS (SELECT src AS node, count(*) AS out_deg FROM e GROUP BY src), " +
+        "i AS (SELECT dst AS node, count(*) AS in_deg FROM e GROUP BY dst) " +
+        "SELECT coalesce(o.node, i.node) AS node, coalesce(out_deg, 0) AS out_deg, " +
+        "coalesce(in_deg, 0) AS in_deg FROM o FULL OUTER JOIN i ON o.node = i.node " +
+        "ORDER BY node"),
+    // id-order orientation — any acyclic orientation yields the same count
+    "graph_triangle_count" ->
+      (s"WITH e AS $edgesDuck, " +
+        "und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM e) " +
+        "SELECT count(*) AS triangles FROM und e1 " +
+        "JOIN und e2 ON e1.b = e2.a JOIN und e3 ON e1.a = e3.a AND e2.b = e3.b")
+  )
+}

@@ -82,6 +82,44 @@ object Llm extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // bloom-prefiltered exact dedup against a HISTORICAL corpus — the
+    // daily-ingest shape when the history is too big to anti-join every
+    // batch against. The history collapses once into a bloom filter (a
+    // driver/broadcast artifact of O(bits), ~1 MB per 10^6 docs at 3%
+    // FPR — at 100 TB you'd size it from the known corpus count and keep
+    // it beside the corpus like the minhash index); each batch then:
+    //   might_contain = false  → definitely new (bloom has NO false
+    //                            negatives) — never touches the join;
+    //   might_contain = true   → candidate, verified by the exact
+    //                            anti-join, so false positives cost I/O
+    //                            but never correctness.
+    // The result is EXACT (== the plain anti-join, which is the oracle)
+    // while only the ~dup_rate + FPR fraction of the batch reaches the
+    // shuffle. The membership probe is a Scala UDF by necessity — Spark
+    // exposes BloomFilter build/probe only via DataFrameStatFunctions /
+    // util.sketch, not as a SQL expression — and runs on the small batch
+    // side only. SearchSpec pins exactness + that the prefilter
+    // actually prunes.
+    "dedup_bloom_prefilter" -> ((s, d) => {
+      val hist = Tables.t(s, d, "documents")
+      val dupes = hist.filter(col("doc_id") % 5 === 0)
+        .withColumn("doc_id", col("doc_id") + 100000L)
+      val novel = hist.filter(col("doc_id") % 7 === 3)
+        .withColumn("doc_id", col("doc_id") + 200000L)
+        .withColumn("text", concat(col("text"), lit(" v2")))
+      val batch = dupes.unionByName(novel)
+      val bf = hist.stat.bloomFilter("text", 1 << 20, 0.03)
+      val bc = s.sparkContext.broadcast(bf)
+      val mightContain = udf((t: String) => t != null && bc.value.mightContainString(t))
+      val flagged = batch.withColumn("cand", mightContain(col("text")))
+      val definiteNew = flagged.filter(!col("cand"))
+      val verified = flagged.filter(col("cand"))
+        .join(hist.select("text"), Seq("text"), "left_anti")
+      definiteNew.select("doc_id", "lang", "source")
+        .unionByName(verified.select("doc_id", "lang", "source"))
+        .orderBy("doc_id")
+    }),
+
     // n-gram (token-set) Jaccard between consecutive docs — the pairwise
     // primitive under near-dup detection, on a bounded pair set
     "dedup_ngram_jaccard" -> ((s, d) => {
@@ -641,6 +679,17 @@ object Llm extends QueryModule {
     "dedup_exact" ->
       (s"SELECT min(doc_id) AS doc_id, sha256(text) AS content_hash FROM $docsWithDupsDuck " +
         "GROUP BY sha256(text) ORDER BY doc_id"),
+    // the bloom path must be invisible in the result: the oracle is the
+    // plain batch-vs-history anti-join (false positives get verified,
+    // false negatives are impossible)
+    "dedup_bloom_prefilter" ->
+      ("WITH batch AS (" +
+        "SELECT doc_id + 100000 AS doc_id, text, lang, source FROM documents WHERE doc_id % 5 = 0 " +
+        "UNION ALL " +
+        "SELECT doc_id + 200000, text || ' v2', lang, source FROM documents WHERE doc_id % 7 = 3) " +
+        "SELECT b.doc_id, b.lang, b.source FROM batch b " +
+        "WHERE NOT EXISTS (SELECT 1 FROM documents h WHERE h.text = b.text) " +
+        "ORDER BY doc_id"),
     "dedup_ngram_jaccard" ->
       ("WITH toks AS (SELECT doc_id, list_distinct(" + tokensDuck + ") AS t FROM documents) " +
         "SELECT a.doc_id - 1 AS doc_id, " +

@@ -1,0 +1,98 @@
+package graft.queries
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Keyword-search surface over the documents corpus: inverted-index
+  * construction, conjunctive term lookup, and corpus vocabulary stats —
+  * the retrieval companion to the embedding ANN keys (SURVEY §2.10
+  * extension surface; the reference's CDX cluster is itself an inverted
+  * index from urlkey to captures, this is the text-side analog).
+  *
+  * Scale notes (100 TB):
+  *  - `build_inverted_index`: per-doc `array_distinct` dedupes tokens
+  *    BEFORE the explode (map-side, cuts the shuffle to one row per
+  *    (doc, distinct term)), then one hash agg partitioned by term — the
+  *    natural hash-partitioned layout the postings table is stored in
+  *    (term-bucketed, the `join_bucketed_colocated` precedent), so a
+  *    query probe reads only its terms' buckets.
+  *  - `search_keyword_and`: the term filter sits directly above the
+  *    generate, so only rows for the queried terms reach the shuffle —
+  *    the aggregate sees |matching (doc, term) pairs|, never the corpus
+  *    token stream. Against the STORED index this is a 2-postings fetch.
+  *  - `agg_topk_terms`: partial+final hash agg + TakeOrderedAndProject;
+  *    the full term->count relation never sorts globally.
+  */
+object Search extends QueryModule {
+
+  /** THE shared tokenizer (ops.Dedup.tokens) — same definition as Llm's
+    * oracles so tokenization can't diverge between modules */
+  private def tokens(c: Column): Column = graft.ops.Dedup.tokens(c)
+
+  private val tokensDuck =
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+
+  /** conjunctive query fixture — both terms frequent in the synthetic
+    * vocab (~300 matching docs at sf0.01), so the key is never vacuous */
+  private val qTerms = Seq("spark", "merge")
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Tables.t(s, d, "documents")
+
+  /** (doc_id, term) pairs, distinct per doc via map-side array_distinct */
+  private def termPairs(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("term"))
+
+  override def queries: Map[String, QFn] = Map(
+    // term -> (document frequency, sorted postings list); postings render
+    // as a csv string — the driver's compare hashes scalar columns
+    // (array columns crash its sort, the minhash_sig_text lesson)
+    "build_inverted_index" -> ((s, d) =>
+      termPairs(docs(s, d))
+        .groupBy("term")
+        .agg(
+          count(lit(1)).as("df"),
+          concat_ws(",", sort_array(collect_list(col("doc_id"))).cast("array<string>"))
+            .as("postings"))
+        .orderBy("term")),
+
+    // conjunctive AND: docs containing every query term — evaluated the
+    // way a stored index answers it (per-term postings intersected via a
+    // doc-grouped count), with the term filter pruning before the shuffle
+    "search_keyword_and" -> ((s, d) =>
+      termPairs(docs(s, d))
+        .filter(col("term").isin(qTerms: _*))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_hit"))
+        .filter(col("n_hit") === qTerms.size)
+        .select("doc_id")
+        .orderBy("doc_id")),
+
+    // corpus vocabulary heavy hitters: top 20 terms by total occurrences
+    "agg_topk_terms" -> ((s, d) =>
+      docs(s, d)
+        .select(explode(tokens(col("text"))).as("term"))
+        .groupBy("term")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("term"))
+        .limit(20))
+  )
+
+  override def oracleSql: Map[String, String] = Map(
+    "build_inverted_index" ->
+      (s"WITH pairs AS (SELECT DISTINCT doc_id, term FROM " +
+        s"(SELECT doc_id, unnest($tokensDuck) AS term FROM documents)) " +
+        "SELECT term, count(*) AS df, " +
+        "array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings " +
+        "FROM pairs GROUP BY term ORDER BY term"),
+    "search_keyword_and" ->
+      (s"SELECT doc_id FROM (SELECT doc_id, $tokensDuck AS t FROM documents) " +
+        s"WHERE ${qTerms.map(t => s"list_contains(t, '$t')").mkString(" AND ")} " +
+        "ORDER BY doc_id"),
+    "agg_topk_terms" ->
+      (s"SELECT term, count(*) AS cnt FROM " +
+        s"(SELECT unnest($tokensDuck) AS term FROM documents) " +
+        "GROUP BY term ORDER BY cnt DESC, term LIMIT 20")
+  )
+}

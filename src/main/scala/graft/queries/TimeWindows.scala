@@ -76,6 +76,27 @@ object TimeWindows extends QueryModule {
         .withColumn("roll_sum", round(sum("value").over(w), 6))
         .select("event_id", "user_id", "ts_sec", "roll_sum")
         .orderBy("event_id")
+    }),
+
+    // forward-fill (last-observation-carried-forward) per user — the gap
+    // repair every telemetry/feature pipeline runs before resampling.
+    // `click` events model the sensor dropping its reading (value -> null);
+    // last(ignoreNulls) over an unbounded-preceding ROWS frame carries the
+    // previous reading forward. One user-partitioned WindowExec (never a
+    // global window); values pass through untouched (no arithmetic), so
+    // the double column stays oracle-exact. The (ts, event_id) order is
+    // total — ties on ts can't flip the fill source.
+    "win_fill_forward" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      Tables.events(s, d)
+        .withColumn("v",
+          when(col("event_type") === "click", lit(null).cast("double"))
+            .otherwise(col("value")))
+        .withColumn("filled", last(col("v"), ignoreNulls = true).over(w))
+        .select("event_id", "user_id", "v", "filled")
+        .orderBy("event_id")
     })
   )
 
@@ -109,6 +130,12 @@ object TimeWindows extends QueryModule {
       ("SELECT event_id, user_id, epoch_us(ts) // 1000000 AS ts_sec, " +
         "round(sum(value) OVER (PARTITION BY user_id ORDER BY (epoch_us(ts) // 1000000) " +
         "RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 6) AS roll_sum " +
-        "FROM events ORDER BY event_id")
+        "FROM events ORDER BY event_id"),
+    "win_fill_forward" ->
+      ("SELECT event_id, user_id, v, " +
+        "last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled " +
+        "FROM (SELECT *, CASE WHEN event_type = 'click' THEN NULL ELSE value END AS v " +
+        "FROM events) ORDER BY event_id")
   )
 }

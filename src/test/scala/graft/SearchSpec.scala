@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Properties for the keyword-search surface (queries/Search.scala) and
+  * the bloom-prefiltered dedup (queries/Llm.scala). */
+class SearchSpec extends SparkSpec {
+
+  test("build_inverted_index: postings round-trip to the matching documents") {
+    val docs = Tables.t(spark, sfDir, "documents")
+    val rows = SparkEntry.queries("build_inverted_index")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    val byTerm = rows.map { case (term, df, postings) =>
+      val ids = postings.split(",").map(_.toLong).toSeq
+      assert(ids.size == df, s"$term: df != postings length")
+      assert(ids == ids.sorted && ids.distinct.size == ids.size,
+        s"$term: postings must be sorted and distinct")
+      term -> ids.toSet
+    }.toMap
+    // spot-check one frequent term against a direct filter
+    val sparkDocs = docs
+      .filter(array_contains(graft.ops.Dedup.tokens(col("text")), "spark"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(byTerm("spark") == sparkDocs)
+  }
+
+  test("search_keyword_and: equals the direct conjunctive filter") {
+    val toks = graft.ops.Dedup.tokens(col("text"))
+    val want = Tables.t(spark, sfDir, "documents")
+      .filter(array_contains(toks, "spark") && array_contains(toks, "merge"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val got = SparkEntry.queries("search_keyword_and")(spark, sfDir)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("dedup_bloom_prefilter: exact vs plain anti-join, and the bloom actually prunes") {
+    val hist = Tables.t(spark, sfDir, "documents")
+    val dupes = hist.filter(col("doc_id") % 5 === 0)
+      .withColumn("doc_id", col("doc_id") + 100000L)
+    val novel = hist.filter(col("doc_id") % 7 === 3)
+      .withColumn("doc_id", col("doc_id") + 200000L)
+      .withColumn("text", concat(col("text"), lit(" v2")))
+    val batch = dupes.unionByName(novel)
+    val want = batch.join(hist.select("text"), Seq("text"), "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val got = SparkEntry.queries("dedup_bloom_prefilter")(spark, sfDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // exactness: bloom false positives are verified away, false negatives
+    // cannot exist — the bloom path must be invisible in the result
+    assert(got == want && got.nonEmpty)
+    // the novel docs are all survivors (their text is not in history)
+    val novelIds = novel.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(novelIds.subsetOf(got))
+    // pruning: every true duplicate must flag as a candidate, so the
+    // bloom keeps at least the dup fraction out of the "definitely new"
+    // fast path — at 3% FPR virtually all novels take the fast path
+    val bf = hist.stat.bloomFilter("text", 1 << 20, 0.03)
+    val dupTexts = dupes.select("text").collect().map(_.getString(0))
+    assert(dupTexts.forall(bf.mightContainString), "bloom must never miss a real dup")
+    val novelTexts = novel.select("text").collect().map(_.getString(0))
+    val fpr = novelTexts.count(bf.mightContainString).toDouble / novelTexts.length
+    assert(fpr < 0.2, s"false-positive rate way above configured 3%: $fpr")
+  }
+}
