@@ -182,6 +182,47 @@ object Dedup {
       .select("a", "b").distinct()
   }
 
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken '03 — the MOSS
+    * fingerprinter): k-token shingle hashes → sliding window of `w`
+    * consecutive hashes → keep each window's MINIMUM → distinct
+    * (doc_id, fp). The selection guarantee is deterministic: any token
+    * run of ≥ w + k − 1 shared between two documents yields at least one
+    * shared fingerprint — unlike minhash's probabilistic recall. Expected
+    * density is 2/(w+1) fingerprints per shingle, so the output is a
+    * bounded fraction of the token stream.
+    *
+    * Everything up to the final distinct is NARROW per-row array math
+    * (tokenize → shingle-hash via xxhash64 → windowed array_min →
+    * array_distinct); no explode of the shingle stream ever crosses a
+    * shuffle. Documents shorter than one full window winnow their single
+    * truncated window (slice past the end truncates), so short docs still
+    * fingerprint; docs with < k tokens emit nothing. */
+  def winnowFingerprints(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, w: Int = 4): DataFrame =
+    df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .withColumn("hs", expr(
+        s"IF(size(toks) >= $k, transform(sequence(1, size(toks) - ${k - 1}), " +
+          s"i -> xxhash64(concat_ws(' ', ${(0 until k).map(j => s"toks[i-1+$j]").mkString(", ")}))), " +
+          "CAST(array() AS array<bigint>))"))
+      .withColumn("fps", expr(
+        // the empty guard matters: sequence(1, 0) would run DESCENDING
+        s"IF(size(hs) = 0, CAST(array() AS array<bigint>), " +
+          s"array_distinct(transform(sequence(1, greatest(size(hs) - ${w - 1}, 1)), " +
+          s"j -> array_min(slice(hs, j, $w)))))"))
+      .select(col("doc_id"), explode(col("fps")).as("fp"))
+
+  /** candidate near-dup pairs from shared winnowing fingerprints — the
+    * same bounded bucket self-join as the minhash/simhash paths (a
+    * fingerprint is a bucket key; degenerate buckets capped). */
+  def winnowCandidates(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, w: Int = 4, maxBucketSize: Int = 10000): DataFrame =
+    bucketedPairs(
+      winnowFingerprints(df, idCol, textCol, k, w)
+        .select(lit(0).as("band"), col("fp").as("sig"), col("doc_id")),
+      maxBucketSize)
+
   /** 64-bit SimHash per document via the FUSED tokenize+sketch kernel
     * ([[graft.functions.SimHashTextExpr]]): one narrow per-row pass, no
     * explode and no shuffle, and — because the relational tokenizer's

@@ -86,6 +86,34 @@ object Media {
     out
   }
 
+  /** difference hash (dHash), the standard perceptual image fingerprint
+    * for near-duplicate image dedup: decode → 9×8 nearest-neighbor
+    * thumbnail → one bit per adjacent-luminance comparison (8 bits × 8
+    * rows). Rendered as 16 hex chars (2 per row, bit x = 1 when
+    * lum(x) > lum(x+1)) so the value stays engine-portable — a 64-bit
+    * int form would fight sign/overflow semantics across engines.
+    * Luminance is the channel SUM (same ordering as the mean, no
+    * rounding choice to disagree on). Near-identical images differ in a
+    * few bits; banding the 8 row-bytes pairs candidates exactly like
+    * simhashCandidates bands its 16-bit words. */
+  def dHashHex(bytes: Array[Byte]): String = {
+    val px = resizeNearest(bytes, 9, 8)
+    def lum(p: Int) = ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+    val sb = new StringBuilder(16)
+    var y = 0
+    while (y < 8) {
+      var b = 0
+      var x = 0
+      while (x < 8) {
+        if (lum(px(y * 9 + x)) > lum(px(y * 9 + x + 1))) b |= 1 << x
+        x += 1
+      }
+      sb.append(f"$b%02x")
+      y += 1
+    }
+    sb.toString
+  }
+
   /** decode PNG bytes with ImageIO and aggregate true per-pixel channel
     * means (exact integers for solid-color fixtures) */
   def decodeImageStats(bytes: Array[Byte]): ImageStats = {

@@ -98,6 +98,25 @@ object Formats extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // gzipped CSV round trip — the other interchange staple (metadata
+    // sheets, crawl manifests, eval tables all ship as csv.gz). Same
+    // explicit-schema rule as scan_jsonl: inference is an extra full
+    // pass; production declares types. Header on so the file is
+    // self-describing; the quote/escape defaults cover the embedded-comma
+    // case (lang/source are clean here, but the reader path is the
+    // standard one).
+    "scan_csv" -> ((s, d) => {
+      val dir = tmp(d, "docs_csv")
+      graft.Tables.t(s, d, "documents")
+        .select("doc_id", "lang", "source", "n_chars")
+        .coalesce(4)
+        .write.mode("overwrite").option("header", "true")
+        .option("compression", "gzip").csv(dir)
+      s.read.schema("doc_id LONG, lang STRING, source STRING, n_chars LONG")
+        .option("header", "true").csv(dir)
+        .orderBy("doc_id")
+    }),
+
     // per-key gzipped text upload (indexwarcsjob.py §upload) — same
     // round-trip as scan_text_lines but partitioned by crawl segment
     "sink_text_gz" -> ((s, d) => {
@@ -329,6 +348,8 @@ object Formats extends QueryModule {
   override def oracleSql: Map[String, String] = Map(
     "scan_text_lines" -> o(s"SELECT $lineExprDuck AS value FROM cdx ORDER BY value"),
     "scan_jsonl" ->
+      "SELECT doc_id, lang, source, n_chars FROM documents ORDER BY doc_id",
+    "scan_csv" ->
       "SELECT doc_id, lang, source, n_chars FROM documents ORDER BY doc_id",
     "sink_text_gz" -> o(s"SELECT $lineExprDuck AS value FROM cdx ORDER BY value"),
     "scan_manifest" -> o("SELECT DISTINCT filename AS warc_path FROM cdx ORDER BY warc_path"),

@@ -66,17 +66,23 @@ object Graph extends QueryModule {
     val nodes = ec.select(col("src").as("node"))
       .unionByName(ec.select(col("dst").as("node"))).distinct().localCheckpoint()
     val n = nodes.count()
-    val outDeg = ec.groupBy(col("src").as("node")).agg(count(lit(1)).as("odeg"))
+    // out-degree is static across rounds — materialize it once instead of
+    // re-aggregating the edge list every iteration
+    val outDeg = ec.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("odeg")).localCheckpoint()
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
+      // nodes WITH out-edges, carrying their rank — feeds both the
+      // contribution join and the dangling-mass aggregate below
+      val withOdeg = ranks.join(outDeg, "node")
       val contribs = ec
-        .join(ranks.join(outDeg, "node").withColumnRenamed("node", "src"), "src")
+        .join(withOdeg.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"))
         .agg(sum(col("rank") / col("odeg")).as("cs"))
-      // dangling mass (rank parked on sink nodes) stays IN the plan as a
-      // broadcast 1-row aggregate — no per-iteration driver collect
-      val dangling = ranks.join(outDeg, Seq("node"), "left_anti")
-        .agg(coalesce(sum("rank"), lit(0.0)).as("dmass"))
+      // dangling mass = 1 − Σ rank(nodes with out-edges): a 1-row
+      // aggregate over the node-sized join — no anti-join, no edge pass,
+      // and it stays IN the plan as a broadcast (never a driver collect)
+      val dangling = withOdeg.agg((lit(1.0) - sum("rank")).as("dmass"))
       ranks = nodes
         .join(contribs, Seq("node"), "left")
         .crossJoin(broadcast(dangling))
@@ -84,7 +90,11 @@ object Graph extends QueryModule {
           lit((1 - damping) / n) +
             lit(damping) * (coalesce(col("cs"), lit(0.0)) + col("dmass") / n))
         .select("node", "rank")
-        .localCheckpoint() // lineage cap per round (resolveClusters precedent)
+      // lineage cap (resolveClusters precedent) — every SECOND round:
+      // a 2-round plan is still O(1) depth, and halving the eager
+      // materialization jobs is most of an iteration's fixed cost at
+      // small scale (each checkpoint is one job + one node-sized write)
+      if (i % 2 == 0 || i == iterations) ranks = ranks.localCheckpoint()
     }
     ranks
   }

@@ -152,6 +152,25 @@ object Llm extends QueryModule {
         .orderBy("a", "b")
     }),
 
+    // winnowing (MOSS) fingerprint candidates — the DETERMINISTIC member
+    // of the fuzzy-dedup family: any shared token run of >= w + k - 1
+    // tokens GUARANTEES a shared fingerprint (minhash recall is only
+    // probabilistic), so the planted dropped-first-token twins here are
+    // recovered with certainty, not high probability. Fingerprinting is
+    // narrow per-row array math (no shingle explode); candidates pair via
+    // the same bounded bucket join as minhash. Oracle-exempt (xxhash64);
+    // OperatorPropertiesSpec pins 100% planted recall + the window
+    // guarantee boundary on a synthetic run.
+    "dedup_winnow_pairs" -> ((s, d) => {
+      val nearDup = Tables.t(s, d, "documents")
+        .filter(col("doc_id") % 7 === 0)
+        .withColumn("doc_id", col("doc_id") + 300000L)
+        .withColumn("text", expr("substring(text, instr(text, ' ') + 1)"))
+      val corpus = Tables.t(s, d, "documents").unionByName(nearDup)
+      graft.ops.Dedup.winnowCandidates(corpus, "doc_id", "text", k = 3, w = 4)
+        .orderBy("a", "b")
+    }),
+
     // INCREMENTAL near-dedup: the corpus's banded signatures persist as a
     // (band, sig)-bucketed index table, then a NEW batch (every 7th doc,
     // first token dropped — dedup_fuzzy_minhash's planted-near-dup

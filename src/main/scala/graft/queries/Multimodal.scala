@@ -299,6 +299,31 @@ object Multimodal extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // perceptual image hash (dHash) — the multimodal dedup primitive: a
+    // REAL decode (ImageIO) → 9×8 thumbnail → 64 adjacent-luminance bits,
+    // so near-identical images land a few bits apart and exact copies
+    // collide outright. The hex rendering keeps the value engine-portable
+    // and the whole hash stays closed-form in (sw, sh), so DuckDB
+    // recomputes every bit from the gradient formula — one wrong sampled
+    // pixel or flipped comparison hash-mismatches. Banding the 8 row
+    // bytes pairs near-dup candidates exactly like simhashCandidates;
+    // MediaSpec pins the near-dup tolerance on a perturbed image.
+    "mm_phash" -> ((s, d) => {
+      import s.implicits._
+      Tables.t(s, d, "documents")
+        .filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val sw = (8 + id % 24).toInt
+            val sh = (8 + id * 3 % 24).toInt
+            (id, graft.ops.Media.dHashHex(graft.ops.Media.gradientPng(sw, sh)))
+          }
+        }
+        .toDF("doc_id", "phash")
+        .orderBy("doc_id")
+    }),
+
     // REAL multi-frame decode: payload is an animated GIF written by the
     // JDK sequence writer; the frame count is recovered by the GIF reader
     // walking image descriptors in the byte stream (not from a side
@@ -389,6 +414,23 @@ object Multimodal extends QueryModule {
         "CAST(((3 * i.sh) // 4 * 11 + 2) % 256 AS INT) AS g33, " +
         "CAST((((3 * i.sw) // 4 + (3 * i.sh) // 4) * 13 + 3) % 256 AS INT) AS b33 " +
         "FROM ids i JOIN m USING (doc_id) ORDER BY doc_id"),
+    // every dHash bit in closed form: thumbnail luminance at (x, y) is the
+    // gradient formula at source pixel ((x·sw)//9, (y·sh)//8); bit x of
+    // row byte y compares adjacent luminances; rows render as %02x
+    "mm_phash" ->
+      ("WITH ids AS (SELECT doc_id, 8 + doc_id % 24 AS sw, 8 + doc_id * 3 % 24 AS sh " +
+        "FROM documents WHERE doc_id % 3 = 0), " +
+        "lums AS (SELECT doc_id, x, y, " +
+        "(((x * sw) // 9) * 7 + 1) % 256 + (((y * sh) // 8) * 11 + 2) % 256 + " +
+        "((((x * sw) // 9) + ((y * sh) // 8)) * 13 + 3) % 256 AS la, " +
+        "((((x + 1) * sw) // 9) * 7 + 1) % 256 + (((y * sh) // 8) * 11 + 2) % 256 + " +
+        "(((((x + 1) * sw) // 9) + ((y * sh) // 8)) * 13 + 3) % 256 AS lb " +
+        "FROM ids, generate_series(0, 7) gx(x), generate_series(0, 7) gy(y)), " +
+        "b AS (SELECT doc_id, y, sum(CASE WHEN la > lb THEN (1 << x) ELSE 0 END) AS byte " +
+        "FROM lums GROUP BY doc_id, y) " +
+        // CAST: DuckDB sum() yields HUGEINT, which printf '%x' rejects
+        "SELECT doc_id, string_agg(printf('%02x', CAST(byte AS INT)), '' ORDER BY y) AS phash " +
+        "FROM b GROUP BY doc_id ORDER BY doc_id"),
     "mm_audio_meta" ->
       ("SELECT doc_id, CAST(8000 AS INT) AS sample_rate, CAST(1 AS INT) AS channels, " +
         "CAST(64 + (doc_id % 50) * 16 AS BIGINT) AS n_samples, " +

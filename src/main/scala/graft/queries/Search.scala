@@ -44,6 +44,55 @@ object Search extends QueryModule {
   private def termPairs(df: DataFrame): DataFrame =
     df.select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("term"))
 
+  // ------------------------------------------------------------ stored index
+
+  /** term-hash partition count of the stored index */
+  private val IdxBuckets = 64
+
+  /** CRC32 is the bucket hash ON PURPOSE: Spark's crc32 and
+    * java.util.zip.CRC32 are the same standard function, so the probe can
+    * compute a query term's bucket DRIVER-SIDE (a static partition filter,
+    * no engine round trip) and be byte-certain it matches what the writer
+    * computed engine-side. */
+  private def termBucketCol(c: Column): Column =
+    pmod(crc32(c.cast("binary")), lit(IdxBuckets.toLong)).cast("int")
+
+  private def termBucketLocal(t: String): Int = {
+    val c = new java.util.zip.CRC32()
+    c.update(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    (c.getValue % IdxBuckets).toInt
+  }
+
+  /** write the (doc_id, term) relation as a term-hash-partitioned parquet
+    * table — the at-rest layout where a query's terms live in a known
+    * subset of directories (the ivfpq_index / bucketed-fact-table
+    * precedent, applied to text) */
+  def writeTermIndex(df: DataFrame, dir: String): Unit =
+    termPairs(df)
+      .withColumn("tb", termBucketCol(col("term")))
+      .write.mode("overwrite").partitionBy("tb").parquet(dir)
+
+  /** conjunctive probe of the STORED index: the term-bucket filter is a
+    * STATIC partition filter (buckets computed driver-side via the shared
+    * CRC32), so the scan lists ≤ |distinct buckets| of IdxBuckets
+    * directories and never touches the rest of the index */
+  def probeTermIndex(stored: DataFrame, terms: Seq[String]): DataFrame = {
+    val buckets = terms.map(termBucketLocal).distinct
+    stored
+      .filter(col("tb").isin(buckets: _*) && col("term").isin(terms: _*))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+      .filter(col("n_hit") === terms.size)
+      .select("doc_id")
+  }
+
+  /** per-sf scratch dir (Similarity/Formats sink convention) */
+  private def tmp(d: String, name: String): String = {
+    val sf = java.nio.file.Paths.get(d).getFileName.toString
+    val p = s"/tmp/graft_fmt/$sf/$name"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(p).getParent)
+    p
+  }
+
   override def queries: Map[String, QFn] = Map(
     // term -> (document frequency, sorted postings list); postings render
     // as a csv string — the driver's compare hashes scalar columns
@@ -69,6 +118,18 @@ object Search extends QueryModule {
         .select("doc_id")
         .orderBy("doc_id")),
 
+    // the write-once/probe-many leg: the SAME conjunctive query answered
+    // from the STORED term-hash-partitioned index — the `tb IN (...)`
+    // filter is a static PARTITION filter, so the scan reads the query
+    // terms' buckets (≤2 of 64 dirs here) and skips the rest of the
+    // index on disk. Same oracle as search_keyword_and: the storage
+    // layout must be invisible in the result.
+    "search_index_probe" -> ((s, d) => {
+      val dir = tmp(d, "term_index")
+      writeTermIndex(docs(s, d), dir)
+      probeTermIndex(s.read.parquet(dir), qTerms).orderBy("doc_id")
+    }),
+
     // corpus vocabulary heavy hitters: top 20 terms by total occurrences
     "agg_topk_terms" -> ((s, d) =>
       docs(s, d)
@@ -87,6 +148,10 @@ object Search extends QueryModule {
         "array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings " +
         "FROM pairs GROUP BY term ORDER BY term"),
     "search_keyword_and" ->
+      (s"SELECT doc_id FROM (SELECT doc_id, $tokensDuck AS t FROM documents) " +
+        s"WHERE ${qTerms.map(t => s"list_contains(t, '$t')").mkString(" AND ")} " +
+        "ORDER BY doc_id"),
+    "search_index_probe" ->
       (s"SELECT doc_id FROM (SELECT doc_id, $tokensDuck AS t FROM documents) " +
         s"WHERE ${qTerms.map(t => s"list_contains(t, '$t')").mkString(" AND ")} " +
         "ORDER BY doc_id"),

@@ -101,4 +101,24 @@ class MediaSpec extends org.scalatest.funsuite.AnyFunSuite {
       assert(odd(y * 4 + x) == expected(sxs(x), sys(y)),
         s"out ($x,$y) must be source (${sxs(x)},${sys(y)})")
   }
+
+  test("dHashHex: exact copies collide; a one-pixel edit moves at most a few bits") {
+    val img = Media.gradientPng(32, 24)
+    val h1 = Media.dHashHex(img)
+    assert(h1 == Media.dHashHex(img.clone()), "identical bytes must collide")
+    assert(h1.matches("[0-9a-f]{16}"), s"16 lowercase hex chars expected: $h1")
+    // flip one source pixel to white and re-encode — the near-duplicate
+    // image a resized/re-saved copy models
+    val bi = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(img))
+    bi.setRGB(5, 5, 0xffffff)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(bi, "png", out)
+    val h2 = Media.dHashHex(out.toByteArray)
+    def rows(h: String) = h.grouped(2).map(Integer.parseInt(_, 16)).toSeq
+    val hamming = rows(h1).zip(rows(h2))
+      .map { case (a, b) => Integer.bitCount(a ^ b) }.sum
+    // one pixel influences at most 2 adjacent comparisons in its sampled
+    // thumbnail row (and possibly none if the resize never samples it)
+    assert(hamming <= 4, s"one-pixel edit moved $hamming bits")
+  }
 }

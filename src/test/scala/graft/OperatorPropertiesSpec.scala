@@ -549,4 +549,44 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(gotPieces.values.sum < chars, "BPE encode should reduce symbol count")
   }
 
+  test("dedup_winnow_pairs: planted near-dup recall is 100% (winnowing guarantee)") {
+    // every doc_id % 7 == 0 has a dropped-first-token twin at +300000;
+    // the shared suffix is far longer than w + k - 1 = 6 tokens, so the
+    // guarantee makes every planted pair a certainty, not a probability
+    val pairs = SparkEntry.queries("dedup_winnow_pairs")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = Tables.t(spark, sfDir, "documents")
+      .filter(col("doc_id") % 7 === 0)
+      .select("doc_id").collect().map(_.getLong(0))
+      .map(id => (id, id + 300000L)).toSet
+    val missed = planted.diff(pairs)
+    assert(missed.isEmpty, s"winnowing must recover EVERY planted pair; missed $missed")
+  }
+
+  test("winnowFingerprints: shared-run guarantee boundary and short-doc handling") {
+    import spark.implicits._
+    val k = 3; val w = 4
+    // two docs sharing a run of exactly w + k - 1 = 6 tokens MUST share a
+    // fingerprint; distinct-token docs must not
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (1L, s"one two $shared"),
+      (2L, s"$shared nine ten"),
+      (3L, "completely different words here entirely"),
+      (4L, "tiny doc"), // < k tokens -> no fingerprints
+      (5L, "just three tokens")) // exactly one shingle -> one truncated window
+      .toDF("doc_id", "text")
+    val fps = graft.ops.Dedup.winnowFingerprints(docs, "doc_id", "text", k, w)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val byDoc = fps.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byDoc(1L).intersect(byDoc(2L)).nonEmpty,
+      "a shared w+k-1 token run must yield a shared fingerprint")
+    assert(byDoc(3L).intersect(byDoc(1L) ++ byDoc(2L)).isEmpty)
+    assert(!byDoc.contains(4L), "sub-k docs emit nothing")
+    assert(byDoc(5L).size == 1, "a single shingle winnows to its own hash")
+    val pairs = graft.ops.Dedup.winnowCandidates(docs, "doc_id", "text", k, w)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), s"only the overlapping pair pairs up: $pairs")
+  }
+
 }

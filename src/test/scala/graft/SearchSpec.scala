@@ -34,6 +34,32 @@ class SearchSpec extends SparkSpec {
     assert(got == want && got.nonEmpty)
   }
 
+  test("search_index_probe: stored probe equals the direct form and prunes partitions") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val direct = SparkEntry.queries("search_keyword_and")(spark, sfDir)
+      .collect().map(_.getLong(0)).toSeq
+    val stored = SparkEntry.queries("search_index_probe")(spark, sfDir)
+    val got = stored.collect().map(_.getLong(0)).toSeq
+    assert(got == direct && got.nonEmpty, "storage layout must be invisible in the result")
+    // the term-bucket filter must reach the scan as a STATIC partition
+    // filter: ≤ |distinct query buckets| of the 64 index dirs are listed
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    // the aggregate puts the scan inside a materialized ShuffleQueryStage,
+    // which plain collect() does not traverse — recurse through both AQE
+    // wrappers explicitly
+    def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
+      p.collect {
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case q: QueryStageExec => scans(q.plan)
+        case f: FileSourceScanExec => Seq(f)
+      }.flatten
+    val scan = scans(stored.queryExecution.executedPlan)
+      .filter(_.partitionFilters.nonEmpty)
+    assert(scan.nonEmpty, "expected a partition-filtered scan of the stored term index")
+    val nParts = scan.head.selectedPartitions.partitionCount
+    assert(nParts <= 2, s"2-term probe must list <= 2 of 64 buckets, listed $nParts")
+  }
+
   test("dedup_bloom_prefilter: exact vs plain anti-join, and the bloom actually prunes") {
     val hist = Tables.t(spark, sfDir, "documents")
     val dupes = hist.filter(col("doc_id") % 5 === 0)
