@@ -193,6 +193,39 @@ object Aggregates extends QueryModule {
           count(lit(1)).as("cnt"))
         .orderBy("l_returnflag")),
 
+    // INCREMENTAL aggregation via mergeable partial states — the
+    // stats-table maintenance loop: day-1 persists per-group partials
+    // (count/sum/min/max — all mergeable), day-2 aggregates ONLY its own
+    // batch and merges with the stored states. The merged result must
+    // equal a full recompute over both days (the oracle), while the
+    // day-2 job's input is the batch + a |groups|-row state table, never
+    // the historical data. agg_hll_merge is the sketch sibling; this is
+    // the exact-aggregate form every incremental dashboard runs.
+    "agg_incremental_merge" -> ((s, d) => {
+      val e = Tables.events(s, d).select("event_type", "value", "event_id")
+      def partial(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy("event_type").agg(
+          count(lit(1)).as("cnt"), sum("value").as("sv"),
+          min("value").as("mn"), max("value").as("mx"))
+      val dir = {
+        val sf = java.nio.file.Paths.get(d).getFileName.toString
+        val p = s"/tmp/graft_fmt/$sf/agg_states"
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(p).getParent)
+        p
+      }
+      partial(e.filter(col("event_id") % 4 =!= 0))
+        .write.mode("overwrite").parquet(dir)
+      s.read.parquet(dir)
+        .unionByName(partial(e.filter(col("event_id") % 4 === 0)))
+        .groupBy("event_type")
+        .agg(sum("cnt").as("cnt"), sum("sv").as("sv"),
+          min("mn").as("mn"), max("mx").as("mx"))
+        .select(col("event_type"), col("cnt"),
+          round(col("sv"), 6).as("sum_v"),
+          round(col("mn"), 6).as("min_v"), round(col("mx"), 6).as("max_v"))
+        .orderBy("event_type")
+    }),
+
     // fixed-bin histogram of document lengths — the one-pass distribution
     // profile a corpus report draws. width_bucket keeps the bin id a pure
     // per-row expression (no percentile state), so the whole histogram is
@@ -285,6 +318,11 @@ object Aggregates extends QueryModule {
         "count(*) AS cnt, CAST(sum(length) AS BIGINT) AS sum_len " +
         "FROM cdx GROUP BY GROUPING SETS ((hostword), (status)) " +
         "ORDER BY gid, hostword_c, status_c"),
+    // the merged states must equal a full single-pass recompute
+    "agg_incremental_merge" ->
+      ("SELECT event_type, count(*) AS cnt, round(sum(value), 6) AS sum_v, " +
+        "round(min(value), 6) AS min_v, round(max(value), 6) AS max_v " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
     // DuckDB has no width_bucket — the closed form below IS its contract
     // for (0, 600, 12): underflow -> 0, overflow (v >= max) -> 13, else
     // floor(v / 50) + 1

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{QueryModule, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Keyword-search surface over the documents corpus: inverted-index
@@ -130,6 +131,53 @@ object Search extends QueryModule {
       probeTermIndex(s.read.parquet(dir), qTerms).orderBy("doc_id")
     }),
 
+    // set-similarity self-join with PREFIX FILTERING (Bayardo et al.
+    // AllPairs / PPJoin): all document pairs with token-set Jaccard ≥ t,
+    // EXACTLY — but without the all-pairs join. Every set sorts its
+    // tokens by global (frequency ASC, token) and explodes only its
+    // PREFIX (|X| − ⌈t·|X|⌉ + 1 rarest tokens): a pair with J ≥ t
+    // provably shares a token inside both prefixes, so the equi-join on
+    // prefix tokens is a LOSSLESS candidate filter — rare tokens carry
+    // tiny buckets, and the frequent tokens that would explode the join
+    // sit outside every prefix. Candidates then verify with the exact
+    // Jaccard, which is what makes the oracle the brute-force all-pairs
+    // (prefix filtering must be invisible in the result). At 100 TB the
+    // freq table is a broadcast vocab artifact and the only data-sized
+    // shuffles are the prefix-token join + the two set fetches.
+    "join_set_similarity" -> ((s, d) => {
+      val t = 0.9
+      val base = docs(s, d).filter(col("doc_id") % 10 === 0)
+      val twins = base.filter(col("doc_id") % 7 === 0)
+        .withColumn("doc_id", col("doc_id") + 400000L)
+        .withColumn("text", expr("substring(text, instr(text, ' ') + 1)"))
+      val sets = base.unionByName(twins)
+        .select(col("doc_id"), array_sort(array_distinct(tokens(col("text")))).as("toks"))
+        .filter(size(col("toks")) > 0)
+        .localCheckpoint() // consumed 3×: freq, prefixes, both verify fetches
+      val freq = sets.select(explode(col("toks")).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("tf"))
+      val pref = sets
+        .select(col("doc_id"), size(col("toks")).as("n"), explode(col("toks")).as("term"))
+        .join(broadcast(freq), "term")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("doc_id").orderBy(col("tf"), col("term"))))
+        .filter(col("rn") <= col("n") - ceil(col("n") * t) + 1)
+        .select("doc_id", "term")
+      val cand = pref.select(col("term"), col("doc_id").as("a"))
+        .join(pref.select(col("term"), col("doc_id").as("b")), "term")
+        .filter(col("a") < col("b"))
+        .select("a", "b").distinct()
+      cand
+        .join(sets.select(col("doc_id").as("a"), col("toks").as("ta")), "a")
+        .join(sets.select(col("doc_id").as("b"), col("toks").as("tb")), "b")
+        .withColumn("jac",
+          size(array_intersect(col("ta"), col("tb"))).cast("double") /
+            size(array_union(col("ta"), col("tb"))))
+        .filter(col("jac") >= t)
+        .select(col("a"), col("b"), round(col("jac"), 6).as("jac"))
+        .orderBy("a", "b")
+    }),
+
     // corpus vocabulary heavy hitters: top 20 terms by total occurrences
     "agg_topk_terms" -> ((s, d) =>
       docs(s, d)
@@ -151,6 +199,18 @@ object Search extends QueryModule {
       (s"SELECT doc_id FROM (SELECT doc_id, $tokensDuck AS t FROM documents) " +
         s"WHERE ${qTerms.map(t => s"list_contains(t, '$t')").mkString(" AND ")} " +
         "ORDER BY doc_id"),
+    // brute-force all-pairs: prefix filtering must be invisible
+    "join_set_similarity" ->
+      (s"WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0), " +
+        "raw AS (SELECT doc_id, text FROM base UNION ALL " +
+        "SELECT doc_id + 400000, substring(text, instr(text, ' ') + 1) FROM base WHERE doc_id % 7 = 0), " +
+        s"sets AS (SELECT doc_id, list_distinct($tokensDuck) AS t FROM raw " +
+        s"WHERE len($tokensDuck) > 0) " +
+        "SELECT x.doc_id AS a, y.doc_id AS b, round(" +
+        "len(list_intersect(x.t, y.t))::DOUBLE / len(list_distinct(list_concat(x.t, y.t))), 6) AS jac " +
+        "FROM sets x JOIN sets y ON x.doc_id < y.doc_id " +
+        "WHERE len(list_intersect(x.t, y.t))::DOUBLE / len(list_distinct(list_concat(x.t, y.t))) >= 0.9 " +
+        "ORDER BY a, b"),
     "search_index_probe" ->
       (s"SELECT doc_id FROM (SELECT doc_id, $tokensDuck AS t FROM documents) " +
         s"WHERE ${qTerms.map(t => s"list_contains(t, '$t')").mkString(" AND ")} " +

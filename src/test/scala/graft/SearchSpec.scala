@@ -60,6 +60,31 @@ class SearchSpec extends SparkSpec {
     assert(nParts <= 2, s"2-term probe must list <= 2 of 64 buckets, listed $nParts")
   }
 
+  test("join_set_similarity: prefix filtering is lossless vs in-Spark brute force") {
+    val got = SparkEntry.queries("join_set_similarity")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force over the same fixture corpus
+    val base = Tables.t(spark, sfDir, "documents").filter(col("doc_id") % 10 === 0)
+    val twins = base.filter(col("doc_id") % 7 === 0)
+      .withColumn("doc_id", col("doc_id") + 400000L)
+      .withColumn("text", expr("substring(text, instr(text, ' ') + 1)"))
+    val sets = base.unionByName(twins)
+      .select(col("doc_id"), array_distinct(graft.ops.Dedup.tokens(col("text"))).as("t"))
+      .filter(size(col("t")) > 0)
+    val a = sets.select(col("doc_id").as("a"), col("t").as("ta"))
+    val b = sets.select(col("doc_id").as("b"), col("t").as("tb"))
+    val want = a.crossJoin(b).filter(col("a") < col("b"))
+      .withColumn("jac",
+        size(array_intersect(col("ta"), col("tb"))).cast("double") /
+          size(array_union(col("ta"), col("tb"))))
+      .filter(col("jac") >= 0.9)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want, s"missed=${want.diff(got).take(5)} extra=${got.diff(want).take(5)}")
+    // the planted dropped-first-token twins must qualify at t=0.9 when the
+    // dropped token is a duplicate of a later one (token SET unchanged)
+    assert(got.nonEmpty)
+  }
+
   test("dedup_bloom_prefilter: exact vs plain anti-join, and the bloom actually prunes") {
     val hist = Tables.t(spark, sfDir, "documents")
     val dupes = hist.filter(col("doc_id") % 5 === 0)
