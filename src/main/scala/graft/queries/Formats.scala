@@ -98,6 +98,19 @@ object Formats extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // ORC round trip — the other columnar format Spark ships natively
+    // (Hive-ecosystem tables arrive as ORC). Same pushdown/pruning
+    // machinery as parquet on the read side; the round trip pins that
+    // the engine's format surface isn't parquet-only.
+    "scan_orc" -> ((s, d) => {
+      val dir = tmp(d, "docs_orc")
+      graft.Tables.t(s, d, "documents")
+        .select("doc_id", "lang", "source", "n_chars")
+        .coalesce(4)
+        .write.mode("overwrite").orc(dir)
+      s.read.orc(dir).filter(col("n_chars") > 100).orderBy("doc_id")
+    }),
+
     // gzipped CSV round trip — the other interchange staple (metadata
     // sheets, crawl manifests, eval tables all ship as csv.gz). Same
     // explicit-schema rule as scan_jsonl: inference is an extra full
@@ -351,6 +364,8 @@ object Formats extends QueryModule {
       "SELECT doc_id, lang, source, n_chars FROM documents ORDER BY doc_id",
     "scan_csv" ->
       "SELECT doc_id, lang, source, n_chars FROM documents ORDER BY doc_id",
+    "scan_orc" ->
+      "SELECT doc_id, lang, source, n_chars FROM documents WHERE n_chars > 100 ORDER BY doc_id",
     "sink_text_gz" -> o(s"SELECT $lineExprDuck AS value FROM cdx ORDER BY value"),
     "scan_manifest" -> o("SELECT DISTINCT filename AS warc_path FROM cdx ORDER BY warc_path"),
     "sink_parquet" -> o("SELECT id, urlkey, ts, status, length FROM cdx ORDER BY id"),

@@ -331,4 +331,42 @@ class PlanSpec extends SparkSpec {
     wins.foreach(w => assert(w.partitionSpec.nonEmpty,
       s"per-group sampling must not use a global window:\n$w"))
   }
+
+  test("agg_topk_terms: TakeOrderedAndProject over a two-phase aggregate") {
+    val p = plan("agg_topk_terms")
+    assert(p.contains("TakeOrderedAndProject"), p.linesIterator.take(15).mkString("\n"))
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      "term counting must run partial+final")
+  }
+
+  test("join_set_similarity: never degrades to an all-pairs join; windows stay per-doc") {
+    val df = SparkEntry.queries("join_set_similarity")(spark, sfDir)
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "prefix filtering exists precisely to avoid the all-pairs plan")
+    val wins = df.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    wins.foreach(w => assert(w.partitionSpec.nonEmpty,
+      "the prefix-rank window must partition by doc_id, never run global"))
+  }
+
+  test("dedup_bloom_prefilter: the bloom probe filters BELOW the anti-join") {
+    val p = plan("dedup_bloom_prefilter")
+    assert(p.contains("LeftAnti"), "exact verification is an anti join")
+    // the might_contain UDF must appear as a Filter condition feeding the
+    // join (candidates only) and, negated, on the fast path — not as a
+    // post-join projection
+    assert(p.contains("UDF("), s"bloom probe missing from the plan:\n${p.take(2000)}")
+  }
+
+  test("emb_knn_graph: per-src top-k group-limits before the window shuffle") {
+    val df = SparkEntry.queries("emb_knn_graph")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(p.contains("WindowGroupLimit"),
+      "Spark's rank-limit pushdown must prune candidates before the final window")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "candidates must come from the (table, bucket) equi-join")
+  }
 }
