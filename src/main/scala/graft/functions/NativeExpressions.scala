@@ -220,6 +220,52 @@ case class MinHashTextExpr(first: Expression, second: Expression, third: Express
     copy(first = newFirst, second = newSecond, third = newThird)
 }
 
+/** Fused tokenize+shingle-hash+window-min winnowing fingerprints:
+  * (text, k, w) -> distinct array<long> fingerprints, null when the text
+  * has < k tokens ([[WinnowAlg]] kernel; bit-parity with the composed
+  * `Dedup.winnowFingerprintsComposed` HOF stack it replaces — the
+  * round-7 1914 s bench line). */
+case class WinnowTextExpr(first: Expression, second: Expression, third: Expression)
+  extends TernaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType, IntegerType, IntegerType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "winnow_fps_text"
+
+  /** same analysis-time guard as [[MinHashTextExpr]] for k and w */
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val base = super.checkInputDataTypes()
+    if (base.isFailure) return base
+    Seq(("k", second), ("w", third)).foldLeft(
+      TypeCheckResult.TypeCheckSuccess: TypeCheckResult) { case (acc, (name, e)) =>
+      if (acc.isFailure) acc
+      else if (!e.foldable)
+        TypeCheckResult.TypeCheckFailure(s"$prettyName: $name must be a literal")
+      else e.eval() match {
+        case v: Int if v <= 0 =>
+          TypeCheckResult.TypeCheckFailure(s"$prettyName: $name must be positive, got $v")
+        case _ => TypeCheckResult.TypeCheckSuccess
+      }
+    }
+  }
+
+  override def nullSafeEval(text: Any, k: Any, w: Any): Any =
+    WinnowAlg.fingerprints(
+      text.asInstanceOf[UTF8String], k.asInstanceOf[Int], w.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, k, w) =>
+      s"""
+         |${ev.value} = graft.functions.WinnowAlg.fingerprints($t, $k, $w);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin)
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): WinnowTextExpr =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
 /** (array<double>, array<double>) -> cosine similarity. Replaces the
   * CodegenFallback `aggregate(zip_with(...))` lambda stack on every
   * embedding hot path (round-3 sim_ann_* finding); value-parity with the
@@ -478,6 +524,7 @@ object GraftFunctions {
     "minhash_sig" -> ((exprs: Seq[Expression]) => MinHashSigExpr(exprs(0), exprs(1))),
     "simhash64_text" -> ((exprs: Seq[Expression]) => SimHashTextExpr(exprs.head)),
     "minhash_sig_text" -> ((exprs: Seq[Expression]) => MinHashTextExpr(exprs(0), exprs(1), exprs(2))),
+    "winnow_fps_text" -> ((exprs: Seq[Expression]) => WinnowTextExpr(exprs(0), exprs(1), exprs(2))),
     "cosine_sim" -> ((exprs: Seq[Expression]) => CosineSimExpr(exprs(0), exprs(1))),
     "l2_dist" -> ((exprs: Seq[Expression]) => L2DistExpr(exprs(0), exprs(1))),
     "pq_encode" -> ((exprs: Seq[Expression]) => PqEncodeExpr(exprs(0), exprs(1), exprs(2), exprs(3))),

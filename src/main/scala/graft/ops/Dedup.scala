@@ -196,8 +196,29 @@ object Dedup {
     * array_distinct); no explode of the shingle stream ever crosses a
     * shuffle. Documents shorter than one full window winnow their single
     * truncated window (slice past the end truncates), so short docs still
-    * fingerprint; docs with < k tokens emit nothing. */
+    * fingerprint; docs with < k tokens emit nothing.
+    *
+    * Fingerprinting runs in the FUSED tokenize+shingle-hash+window-min
+    * kernel ([[graft.functions.WinnowTextExpr]]): one O(tokens) codegen'd
+    * pass per row with a monotonic deque for the window minima. The
+    * composed higher-order-function form below
+    * ([[winnowFingerprintsComposed]]) is kept as the bit-parity reference
+    * — its nested `transform` lambdas re-evaluate argument subtrees per
+    * element (O(tokens³) interpreted work per document: the round-7
+    * 1914 s bench line), so it must never be on a hot path. */
   def winnowFingerprints(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, w: Int = 4): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.selectExpr(s"`$idCol` AS doc_id", s"winnow_fps_text(`$textCol`, $k, $w) AS fps")
+      .select(col("doc_id"), explode(col("fps")).as("fp"))
+  }
+
+  /** Composed-builtin reference form of [[winnowFingerprints]] (what the
+    * kernel must agree with bit-for-bit — NativeExprSpec pins it).
+    * O(tokens³) interpreted lambda evaluation per row: parity testing
+    * only, never a hot path. */
+  def winnowFingerprintsComposed(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, w: Int = 4): DataFrame =
     df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
@@ -214,10 +235,17 @@ object Dedup {
 
   /** candidate near-dup pairs from shared winnowing fingerprints — the
     * same bounded bucket self-join as the minhash/simhash paths (a
-    * fingerprint is a bucket key; degenerate buckets capped). */
+    * fingerprint is a bucket key; degenerate buckets capped).
+    *
+    * The default cap is deliberately TIGHTER than the minhash path's:
+    * winnowing selects globally-minimal shingle hashes, so the same
+    * low-hash boilerplate shingles recur corpus-wide — a fingerprint
+    * shared by more than a few hundred documents is a stop-fingerprint
+    * (header/footer/license text), not near-dup evidence, and its
+    * bucket's quadratic pair fan-out would dominate at corpus scale. */
   def winnowCandidates(
       df: DataFrame, idCol: String, textCol: String,
-      k: Int = 3, w: Int = 4, maxBucketSize: Int = 10000): DataFrame =
+      k: Int = 3, w: Int = 4, maxBucketSize: Int = 500): DataFrame =
     bucketedPairs(
       winnowFingerprints(df, idCol, textCol, k, w)
         .select(lit(0).as("band"), col("fp").as("sig"), col("doc_id")),

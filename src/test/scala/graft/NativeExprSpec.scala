@@ -403,6 +403,36 @@ class NativeExprSpec extends SparkSpec {
     assert(e.getMessage.contains("pq_adc"), s"unexpected analysis error: ${e.getMessage}")
   }
 
+  test("winnow_fps_text kernel == composed HOF form on the documents corpus") {
+    val docs = Tables.t(spark, sfDir, "documents")
+    // both paths end in distinct (doc_id, fp) rows; bit parity = equal sets
+    val native = ops.Dedup.winnowFingerprints(docs, "doc_id", "text", k = 3, w = 4)
+    val composed = ops.Dedup.winnowFingerprintsComposed(docs, "doc_id", "text", k = 3, w = 4)
+    assert(native.exceptAll(composed).isEmpty && composed.exceptAll(native).isEmpty,
+      "kernel and composed winnow fingerprint sets differ")
+  }
+
+  test("winnow_fps_text edge semantics: short docs, truncated window, nulls") {
+    GraftFunctions.register(spark)
+    val rows = Seq(
+      (1L, "alpha beta"),           // 2 tokens < k=3 -> null
+      (2L, "alpha beta gamma"),     // 1 shingle < w -> its own hash, one fp
+      (3L, "a b c d e"),            // 3 shingles < w=4 -> ONE truncated window
+      (4L, null.asInstanceOf[String]))
+      .toDF("id", "t")
+      .selectExpr("id", "winnow_fps_text(t, 3, 4) AS fps")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getSeq[Long](1))).toMap
+    assert(rows(1L) == null && rows(4L) == null)
+    assert(rows(2L).length == 1)
+    val oneShingleHash = Seq("alpha beta gamma").toDF("t")
+      .selectExpr("xxhash64(t) AS h").collect().head.getLong(0)
+    assert(rows(2L).head == oneShingleHash, "single shingle winnows to its own xxhash64")
+    // doc 3: hashes of 'a b c','b c d','c d e'; one truncated window -> global min
+    val hs = Seq("a b c", "b c d", "c d e").toDF("t")
+      .selectExpr("xxhash64(t) AS h").collect().map(_.getLong(0))
+    assert(rows(3L) == Seq(hs.min))
+  }
+
   test("char_entropy kernel equals the composed explode form on the documents corpus") {
     graft.functions.GraftFunctions.register(spark)
     val docs = Tables.t(spark, sfDir, "documents")
