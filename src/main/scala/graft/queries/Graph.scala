@@ -130,18 +130,35 @@ object Graph extends QueryModule {
 
   /** approximate k-NN graph via multi-table hyperplane LSH: candidates
     * from (table, bucket) equi-joins, id-level dedupe, exact cosine on
-    * the survivors, top-k per src via a src-partitioned window. */
-  def knnGraph(e: DataFrame, k: Int, nTables: Int, nPlanes: Int, dim: Int): DataFrame = {
+    * the survivors, top-k per src via a src-partitioned window.
+    *
+    * `maxBucketSize` bounds the per-bucket self-join like every other
+    * candidate path (Dedup.bucketedPairs): lsh_bucket maps null-slot or
+    * non-`dim` vectors to bucket 0, and a skewed hyperplane family can
+    * concentrate a table — either fans out quadratically uncapped.
+    * Wrong-width vectors are dropped up front (they carry no usable
+    * geometry AND would all collide in bucket 0). */
+  def knnGraph(e: DataFrame, k: Int, nTables: Int, nPlanes: Int, dim: Int,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val typed = e.filter(size(col("ed")) === dim)
     val bucketed = (0 until nTables).map { t =>
-      e.select(col("vec_id"), col("ed"),
+      typed.select(col("vec_id"), col("ed"),
         lit(t).as("tbl"),
         call_udf("lsh_bucket", col("ed"), typedLit(planes(20260814L + t, nPlanes, dim)))
           .as("bucket"))
     }.reduce(_ unionByName _)
     // candidate ids first — vectors re-attach AFTER the cross-table dedupe,
-    // so each (src, nb) pair ships its vectors exactly once
-    val ids = bucketed.select(col("vec_id").as("src"), col("tbl"), col("bucket"))
-      .join(bucketed.select(col("vec_id").as("nb"), col("tbl"), col("bucket")),
+    // so each (src, nb) pair ships its vectors exactly once. The bucket
+    // count shuffles on the same (tbl, bucket) key as the self-join, so
+    // the exchange is reused.
+    val keyed = bucketed.select(col("vec_id"), col("tbl"), col("bucket"))
+    val ok = keyed.groupBy("tbl", "bucket")
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") <= maxBucketSize)
+      .select("tbl", "bucket")
+    val bounded = keyed.join(ok, Seq("tbl", "bucket"))
+    val ids = bounded.select(col("vec_id").as("src"), col("tbl"), col("bucket"))
+      .join(bounded.select(col("vec_id").as("nb"), col("tbl"), col("bucket")),
         Seq("tbl", "bucket"))
       .filter(col("src") =!= col("nb"))
       .select("src", "nb").distinct()

@@ -108,7 +108,13 @@ object Llm extends QueryModule {
         .withColumn("doc_id", col("doc_id") + 200000L)
         .withColumn("text", concat(col("text"), lit(" v2")))
       val batch = dupes.unionByName(novel)
-      val bf = hist.stat.bloomFilter("text", 1 << 20, 0.03)
+      // size the filter from the HISTORY's actual count (floored so a
+      // near-empty test corpus doesn't degenerate): a constant capacity
+      // silently erodes the realized FPR — and with it the pruning this
+      // query exists to demonstrate — once the corpus outgrows it. The
+      // count is one cheap aggregate against the same scan the filter
+      // build reads right after.
+      val bf = hist.stat.bloomFilter("text", math.max(hist.count(), 1L << 16), 0.03)
       val bc = s.sparkContext.broadcast(bf)
       val mightContain = udf((t: String) => t != null && bc.value.mightContainString(t))
       val flagged = batch.withColumn("cand", mightContain(col("text")))

@@ -81,6 +81,23 @@ object ZipNumSource {
       case LessThan("urlkey", v: String) => tightenHi(v)
       case _ =>
     }
+    // ts bounds tighten the range ONLY under an exact urlkey: idx keys
+    // are the block's first "urlkey ts" pair, so for a single urlkey the
+    // ts interval maps to a contiguous key range — the cdx-server
+    // exact-url + from=/to= shape stops reading every block of a hot URL.
+    // (Under a prefix/range urlkey, ts is a secondary sort and cannot
+    // tighten the global block range.) Strict ts bounds keep their
+    // boundary block — pruning stays conservative; residuals re-filter.
+    filters.collectFirst { case EqualTo("urlkey", v: String) => v }.foreach { v =>
+      filters.foreach {
+        case EqualTo("ts", t: String) => tightenLo(s"$v $t"); tightenHi(s"$v $t$max")
+        case GreaterThanOrEqual("ts", t: String) => tightenLo(s"$v $t")
+        case GreaterThan("ts", t: String) => tightenLo(s"$v $t")
+        case LessThanOrEqual("ts", t: String) => tightenHi(s"$v $t$max")
+        case LessThan("ts", t: String) => tightenHi(s"$v $t")
+        case _ =>
+      }
+    }
     KeyRange(lo, hi)
   }
 }
@@ -163,6 +180,9 @@ final class ZipNumScanBuilder(dir: String, conf: SerializableHadoopConf)
   override def isPartiallyPushed(): Boolean = true
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    // ts predicates are accepted too: they prune blocks only when an
+    // exact urlkey is ALSO pushed (see rangeFromFilters), and are inert
+    // advisory otherwise — always residual either way
     pushed = filters.filter {
       case EqualTo("urlkey", _: String) => true
       case StringStartsWith("urlkey", _) => true
@@ -170,6 +190,11 @@ final class ZipNumScanBuilder(dir: String, conf: SerializableHadoopConf)
       case GreaterThan("urlkey", _: String) => true
       case LessThanOrEqual("urlkey", _: String) => true
       case LessThan("urlkey", _: String) => true
+      case EqualTo("ts", _: String) => true
+      case GreaterThanOrEqual("ts", _: String) => true
+      case GreaterThan("ts", _: String) => true
+      case LessThanOrEqual("ts", _: String) => true
+      case LessThan("ts", _: String) => true
       case _ => false
     }
     filters // everything stays residual: pruning is I/O-only

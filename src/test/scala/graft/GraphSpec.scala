@@ -37,9 +37,18 @@ class GraphSpec extends SparkSpec {
   }
 
   test("graph_pagerank driver key: deterministic row set at sf0.001") {
-    val a = SparkEntry.queries("graph_pagerank")(spark, sfDir).collect()
-    val b = SparkEntry.queries("graph_pagerank")(spark, sfDir).collect()
-    assert(a.nonEmpty && a.sameElements(b))
+    // exact equality on the NODE set only: partial-aggregation merge
+    // order for double sums is not deterministic across executions, so a
+    // rank landing near a rounding boundary can flip its last kept digit
+    // — compare ranks with a tolerance instead of bit-for-bit
+    def byNode(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val a = byNode(SparkEntry.queries("graph_pagerank")(spark, sfDir).collect())
+    val b = byNode(SparkEntry.queries("graph_pagerank")(spark, sfDir).collect())
+    assert(a.nonEmpty && a.keySet == b.keySet)
+    a.foreach { case (n, v) =>
+      assert(math.abs(v - b(n)) < 1e-5, s"node $n: $v vs ${b(n)}")
+    }
   }
 
   // --------------------------------------------------------------- triangles

@@ -267,4 +267,39 @@ class SourceV2Spec extends SparkSpec {
     assert(cursorBlocks < allBlocks / 2 + 2 && cursorBlocks > 0,
       s"cursor kept $cursorBlocks of $allBlocks blocks")
   }
+
+  test("ts bounds under an exact urlkey prune a hot URL's blocks") {
+    // hot URL: 40 captures of ONE key across 20 two-line blocks — the
+    // cdx-server exact-url + from=/to= shape must not read all of them
+    val dir = "/tmp/graft_test/v2_zipnum_hot"
+    val hot = "com,hot)/page"
+    val lines = (0 until 40).map(i =>
+      f"$hot 201502${i + 10}%02d000000 " + s"""{"status":"200"}""") ++
+      Seq("com,zz)/tail 20150101000000 " + s"""{"status":"200"}""")
+    ZipNum.write(lines.sorted.toDF("line"), dir, shards = 2, linesPerBlock = 2)
+    val df = spark.read.format("zipnum").load(dir)
+      .filter(col("urlkey") === hot &&
+        col("ts") >= "20150220000000" && col("ts") <= "20150223000000")
+    val got = df.select("ts").as[String].collect().toSeq.sorted
+    assert(got == (20 to 23).map(d => s"201502${d}000000"))
+    // plan level: the combined (urlkey, ts) KeyRange keeps a handful of
+    // blocks, not the hot URL's full 20
+    import org.apache.spark.sql.sources.{EqualTo, GreaterThanOrEqual, LessThanOrEqual}
+    val range = ZipNumSource.rangeFromFilters(Seq(
+      EqualTo("urlkey", hot),
+      GreaterThanOrEqual("ts", "20150220000000"), LessThanOrEqual("ts", "20150223000000")))
+    def blocksOf(r: ZipNumSource.KeyRange) =
+      new graft.sources.ZipNumScan(dir, r, ZipNumSource.schema)
+        .planInputPartitions()
+        .map(_.asInstanceOf[graft.sources.ZipNumBlockPartition].blocks.length).sum
+    val urlOnly = blocksOf(ZipNumSource.rangeFromFilters(Seq(EqualTo("urlkey", hot))))
+    val tsBounded = blocksOf(range)
+    assert(urlOnly >= 20, s"exact-url alone spans the hot URL: $urlOnly blocks")
+    assert(tsBounded <= 4 && tsBounded > 0,
+      s"ts bounds kept $tsBounded of $urlOnly hot-URL blocks")
+    // ts filters WITHOUT an exact urlkey must not tighten anything
+    val tsOnly = ZipNumSource.rangeFromFilters(Seq(
+      GreaterThanOrEqual("ts", "20150220000000")))
+    assert(tsOnly.lo.isEmpty && tsOnly.hi.isEmpty)
+  }
 }
