@@ -254,6 +254,30 @@ object Formats extends QueryModule {
         .pageByKey("org,example,medium)", "org,example,medium)/order/3", "", 400)
     }),
 
+    // the cdx-server exact-url + from=/to= shape through the V2 source:
+    // Catalyst pushes the urlkey equality AND the ts bounds, which the
+    // scan folds into one 'urlkey ts' idx key range — a hot URL's blocks
+    // outside the time box are never read (SourceV2Spec pins the block
+    // counts; this entry pins end-to-end row correctness via the oracle).
+    // The target is the HOTTEST key (most captures, urlkey tie-break) so
+    // the entry is scale-independent and the result set is non-trivial;
+    // the window's lower bound is that key's earliest capture — trivially
+    // inclusive, so the result is never empty — and the upper bound cuts
+    // at 1997 (clamped to the anchor so a late-only key still matches).
+    "zipnum_ts_bounded" -> ((s, d) => {
+      val dir = tmp(d, "zipnum_tsb")
+      ZipNum.write(cdxLines(s, d), dir, shards = 8, linesPerBlock = 100)
+      val hot = Cdx.df(s, d).groupBy("urlkey")
+        .agg(count(lit(1)).as("n"), min("ts").as("from_ts"))
+        .orderBy(col("n").desc, col("urlkey")).select("urlkey", "from_ts").head
+      val to = Seq(hot.getString(1), "19970101000000").max
+      s.read.format("zipnum").load(dir)
+        .filter(col("urlkey") === hot.getString(0) &&
+          col("ts") >= hot.getString(1) && col("ts") <= to)
+        .select("urlkey", "ts", "json")
+        .orderBy("urlkey", "ts", "json")
+    }),
+
     // same lookup through the V2 source: Catalyst pushes the startsWith
     // filter into the scan, which prunes blocks via cluster.idx
     "zipnum_v2_pushdown" -> ((s, d) => {
@@ -379,6 +403,17 @@ object Formats extends QueryModule {
     "zipnum_v2_pushdown" -> o(
       s"SELECT urlkey, ts, $jsonExprDuck FROM cdx " +
         "WHERE urlkey LIKE 'org,example,medium)%' ORDER BY urlkey, ts, json"),
+    // same hottest-key + earliest-capture anchors as the Spark side
+    // (scalar subqueries, not a second WITH — DuckDB rejects that after
+    // the CTE prefix)
+    "zipnum_ts_bounded" -> o(
+      s"SELECT urlkey, ts, $jsonExprDuck FROM cdx " +
+        "WHERE urlkey = (SELECT urlkey FROM cdx GROUP BY urlkey ORDER BY count(*) DESC, urlkey LIMIT 1) " +
+        "AND ts >= (SELECT min(ts) FROM cdx WHERE urlkey = " +
+        "(SELECT urlkey FROM cdx GROUP BY urlkey ORDER BY count(*) DESC, urlkey LIMIT 1)) " +
+        "AND ts <= greatest((SELECT min(ts) FROM cdx WHERE urlkey = " +
+        "(SELECT urlkey FROM cdx GROUP BY urlkey ORDER BY count(*) DESC, urlkey LIMIT 1)), '19970101000000') " +
+        "ORDER BY urlkey, ts, json"),
     // merged cluster == index built from all captures at once
     "zipnum_merge_incremental" -> o(
       s"SELECT $lineExprDuck AS line FROM cdx WHERE id % 4 = 0 ORDER BY line"),
