@@ -291,6 +291,30 @@ case class CosineSimExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** (array<double>, array<double>) -> dot product; the projection step of
+  * every power-iteration / linear-scoring pass (Pca.topComponent ran this
+  * as an interpreted aggregate(zip_with(...)) per row per iteration). */
+case class VecDotExpr(left: Expression, right: Expression)
+  extends BinaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true // null on length mismatch (HOF parity)
+  override def prettyName: String = "vec_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecAlg.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => NullableKernelGen.gen(ctx, ev,
+      "java.lang.Double", "doubleValue", "0.0",
+      s"graft.functions.VecAlg.dot($a, $b)"))
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecDotExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 /** (array<double>, array<double>) -> Euclidean distance */
 case class L2DistExpr(left: Expression, right: Expression)
   extends BinaryExpression with ImplicitCastInputTypes {
@@ -526,6 +550,7 @@ object GraftFunctions {
     "minhash_sig_text" -> ((exprs: Seq[Expression]) => MinHashTextExpr(exprs(0), exprs(1), exprs(2))),
     "winnow_fps_text" -> ((exprs: Seq[Expression]) => WinnowTextExpr(exprs(0), exprs(1), exprs(2))),
     "cosine_sim" -> ((exprs: Seq[Expression]) => CosineSimExpr(exprs(0), exprs(1))),
+    "vec_dot" -> ((exprs: Seq[Expression]) => VecDotExpr(exprs(0), exprs(1))),
     "l2_dist" -> ((exprs: Seq[Expression]) => L2DistExpr(exprs(0), exprs(1))),
     "pq_encode" -> ((exprs: Seq[Expression]) => PqEncodeExpr(exprs(0), exprs(1), exprs(2), exprs(3))),
     "pq_adc" -> ((exprs: Seq[Expression]) => PqAdcExpr(exprs(0), exprs(1), exprs(2), exprs(3))),

@@ -44,6 +44,12 @@ object VecAlg {
     false
   }
 
+  /** Σ aᵢ·bᵢ; NULL on length mismatch or null elements (see [[cosine]]) —
+    * the projection kernel under power iteration / any v·x scoring pass */
+  def dot(a: ArrayData, b: ArrayData): java.lang.Double =
+    if (a.numElements() != b.numElements() || hasNullSlot(a) || hasNullSlot(b)) null
+    else java.lang.Double.valueOf(dotEq(a, b))
+
   /** dot/(‖a‖·‖b‖), each factor computed exactly like the composed form
     * (dot / (sqrt(Σa²) * sqrt(Σb²)) — NOT sqrt of the product). NULL on
     * length mismatch OR a null element: zip_with pads the shorter side

@@ -39,10 +39,11 @@ object Pca {
     var lambda = 0.0
     var it = 0
     while (it < iters) {
+      // vec_dot kernel, not aggregate(zip_with(...)): the HOF is
+      // CodegenFallback — interpreted per row, per iteration, over the
+      // whole corpus. Same array-order accumulation, bit-equal values.
       val row = centered
-        .withColumn("vq", typedLit(v.toSeq))
-        .withColumn("s",
-          expr("aggregate(zip_with(cd, vq, (a, b) -> a * b), 0D, (acc, x) -> acc + x)"))
+        .withColumn("s", call_udf("vec_dot", col("cd"), typedLit(v.toSeq)))
         .agg(
           array((0 until dim).map(i => sum(col("cd")(i) * col("s"))): _*).as("w"),
           sum(col("s") * col("s")).as("ss"),

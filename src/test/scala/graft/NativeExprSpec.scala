@@ -192,8 +192,11 @@ class NativeExprSpec extends SparkSpec {
       .withColumn("l2_hof", expr(
         "sqrt(aggregate(zip_with(ea, eb, (x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v))"))
       .withColumn("l2_native", call_udf("l2_dist", col("ea"), col("eb")))
+      .withColumn("dot_hof", expr(dot))
+      .withColumn("dot_native", call_udf("vec_dot", col("ea"), col("eb")))
       .filter(not(col("cos_hof") <=> col("cos_native")) ||
-        not(col("l2_hof") <=> col("l2_native")))
+        not(col("l2_hof") <=> col("l2_native")) ||
+        not(col("dot_hof") <=> col("dot_native")))
       .collect()
     assert(diff.isEmpty, diff.take(3).mkString("\n"))
   }
@@ -211,11 +214,15 @@ class NativeExprSpec extends SparkSpec {
         "aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (acc, v) -> acc + v) / " +
           "(sqrt(aggregate(a, 0D, (acc, v) -> acc + v * v)) * " +
           "sqrt(aggregate(b, 0D, (acc, v) -> acc + v * v))) AS cosh",
-        "sqrt(aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v)) AS l2h")
+        "sqrt(aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v)) AS l2h",
+        "vec_dot(a, b) AS dotk",
+        "aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (acc, v) -> acc + v) AS doth")
       .collect()
     rows.foreach { r =>
       assert(r.isNullAt(0) == r.isNullAt(2) && r.isNullAt(1) == r.isNullAt(3), r.toString)
       if (!r.isNullAt(0)) assert(r.getDouble(0) == r.getDouble(2) && r.getDouble(1) == r.getDouble(3))
+      assert(r.isNullAt(4) == r.isNullAt(5), r.toString)
+      if (!r.isNullAt(4)) assert(r.getDouble(4) == r.getDouble(5))
     }
     // pq_encode: a row that doesn't tile the codebook -> NULL codes
     // (book = 2 centroids of 1 subspace, so valid rows have length 2)

@@ -76,6 +76,28 @@ class PlanSpec extends SparkSpec {
       s"native expression must sit inside a codegen'd (starred) operator:\n$p")
   }
 
+  test("winnow_fps_text: fingerprinting is one codegen'd pass (fp explode only)") {
+    // the round-7 1914 s regression was the composed HOF form's
+    // interpreted lambda blowup — pin the kernel path: no aggregate, the
+    // ONLY Generate is the fingerprint-array explode (never shingles),
+    // and the kernel sits inside a starred (codegen'd) operator
+    val fps = graft.ops.Dedup.winnowFingerprints(
+      Tables.t(spark, sfDir, "documents"), "doc_id", "text", k = 3, w = 4)
+    val plan = fps.queryExecution.sparkPlan
+    assert(plan.collect {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+      case s: org.apache.spark.sql.execution.aggregate.SortAggregateExec => s }.isEmpty,
+      "winnow fingerprinting must not aggregate")
+    val gens = plan.collect { case g: org.apache.spark.sql.execution.GenerateExec => g }
+    assert(gens.size == 1 && gens.head.toString.contains("winnow_fps_text"),
+      s"exactly one Generate, exploding the kernel's fps array:\n$plan")
+    fps.collect()
+    val p = fps.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+    assert(p.linesIterator.exists(l => l.contains("winnow_fps_text") && l.contains("*(")),
+      s"winnow_fps_text must sit inside a codegen'd operator:\n$p")
+  }
+
   test("sketch kernels: signature computation adds no Generate/aggregate stage") {
     // simhash64/minhash_sig are per-row — the plan up to the sketch must
     // hold no explode (Generate) of tokens/shingles and no HashAggregate;
