@@ -44,7 +44,9 @@ object Plans {
     "search_keyword_and" -> "term filter directly above the generate — only queried-term pairs reach the aggregate shuffle",
     "emb_knn_graph" -> "LSH (table,bucket) equi-join candidates, id-dedup before vectors re-attach, src-partitioned top-k window",
     "graph_triangle_count" -> "degree-ordered orientation computed once (localCheckpoint), wedge join on oriented edges — hub skew capped",
-    "join_set_similarity" -> "AllPairs prefix filter: rare-token prefix equi-join candidates + exact-Jaccard verify, no cartesian anywhere")
+    "join_set_similarity" -> "AllPairs prefix filter: rare-token prefix equi-join candidates + exact-Jaccard verify, no cartesian anywhere",
+    "dedup_winnow_pairs" -> "fused winnow_fps_text kernel: one codegen'd O(tokens) pass per doc (monotonic-deque window minima), fp-bucket pair join capped at 500",
+    "zipnum_ts_bounded" -> "exact-url + ts bounds folded into ONE 'urlkey ts' idx key range: a hot URL's out-of-window blocks never read")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse(
