@@ -78,6 +78,25 @@ object TimeWindows extends QueryModule {
         .orderBy("event_id")
     }),
 
+    // CUSTOM STATEFUL sessionization (flatMapGroupsWithState) through the
+    // driver gate — the §2.8 "stateful custom ops" surface, batch-run:
+    // per-user gap sessions with per-session (start, end, count) state,
+    // O(active users) state in a streaming deployment (StreamingSpec pins
+    // the cross-batch merge through MemoryStream; this entry pins the
+    // session arithmetic against the gaps-and-islands oracle). Epoch-µs
+    // outputs keep the compare integer-exact.
+    "stream_stateful_session" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .select(col("user_id"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP))").as("tsUs"))
+        .as[graft.streaming.StreamOps.SessEvent]
+      graft.streaming.StreamOps
+        .sessionize(ev, gapUs = 30L * 60 * 1000000, flushOpen = true)
+        .toDF()
+        .orderBy("user_id", "sstart_us")
+    }),
+
     // forward-fill (last-observation-carried-forward) per user — the gap
     // repair every telemetry/feature pipeline runs before resampling.
     // `click` events model the sensor dropping its reading (value -> null);
@@ -121,6 +140,17 @@ object TimeWindows extends QueryModule {
         "ROWS UNBOUNDED PRECEDING) AS sid FROM marked) " +
         "SELECT min(ts) AS sstart, user_id, count(*) AS n_events " +
         "FROM sess GROUP BY user_id, sid ORDER BY user_id, sstart"),
+    // same gaps-and-islands as win_session, in epoch-µs, with session
+    // end + count — the complete session set the batch run must emit
+    "stream_stateful_session" ->
+      ("WITH marked AS (SELECT user_id, epoch_us(ts) AS ts_us, " +
+        "CASE WHEN lag(epoch_us(ts)) OVER w IS NULL " +
+        "OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000 THEN 1 ELSE 0 END AS new_s " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))), " +
+        "sess AS (SELECT user_id, ts_us, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us " +
+        "ROWS UNBOUNDED PRECEDING) AS sid FROM marked) " +
+        "SELECT user_id, min(ts_us) AS sstart_us, max(ts_us) AS send_us, " +
+        "count(*) AS n_events FROM sess GROUP BY user_id, sid ORDER BY user_id, sstart_us"),
     "stream_late_policy" ->
       ("SELECT event_id, user_id FROM events " +
         "WHERE ts >= (SELECT max(ts) - INTERVAL 1 HOUR FROM events) ORDER BY event_id"),

@@ -131,6 +131,60 @@ object StreamOps {
       }
   }
 
+  final case class SessEvent(user_id: Long, tsUs: Long)
+  final case class SessState(startUs: Long, endUs: Long, n: Long)
+  final case class SessionOut(
+      user_id: Long, sstart_us: Long, send_us: Long, n_events: Long)
+
+  /** Custom stateful sessionization via flatMapGroupsWithState — the
+    * operator session_window can't express when the emission contract is
+    * per-CLOSED-session with arbitrary per-session state. A session is a
+    * maximal run of a user's events where consecutive gaps are < `gapUs`
+    * (gap >= gapUs opens a new one — the same boundary convention as
+    * win_session). State is ONE open session per user (three longs), so
+    * state size is O(active users) regardless of history length; closed
+    * sessions are emitted and forgotten.
+    *
+    * `flushOpen = true` (the batch/driver path, where each key's full
+    * history arrives in the one invocation) also emits the trailing
+    * still-open session, making the output the complete session set —
+    * exactly the gaps-and-islands SQL the DuckDB oracle runs. A streaming
+    * deployment keeps `flushOpen = false` and flushes idle sessions with
+    * an EventTimeTimeout instead (StreamingSpec pins the cross-batch
+    * session merge through MemoryStream).
+    *
+    * Per-invocation work sorts ONE user's batch slice in memory —
+    * the bounded-per-key pattern every mapGroups state op relies on. */
+  def sessionize(events: Dataset[SessEvent], gapUs: Long,
+      flushOpen: Boolean): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[SessEvent], state: GroupState[SessState]) =>
+          val ts = rows.map(_.tsUs).toArray
+          java.util.Arrays.sort(ts)
+          val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+          var (st, en, n) = state.getOption
+            .map(s => (s.startUs, s.endUs, s.n)).getOrElse((-1L, -1L, 0L))
+          var i = 0
+          while (i < ts.length) {
+            val t = ts(i)
+            if (st < 0) { st = t; en = t; n = 1 }
+            else if (t - en >= gapUs) {
+              out += SessionOut(uid, st, en, n); st = t; en = t; n = 1
+            } else { if (t > en) en = t; n += 1 }
+            i += 1
+          }
+          if (st >= 0) {
+            if (flushOpen) { out += SessionOut(uid, st, en, n); state.remove() }
+            else state.update(SessState(st, en, n))
+          }
+          out.iterator
+      }
+  }
+
   /** transformWithState form of the frontier state (Spark 4 arbitrary
     * state v2): typed ValueState per user, TTL-capable handle — the
     * SURVEY §2.8 "stateful custom ops" hard-tail item. */

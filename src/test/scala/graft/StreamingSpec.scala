@@ -93,6 +93,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionize: an open session carries across batches and merges") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long)] // (user_id, tsUs)
+    def us(minute: Int): Long = (Timestamp.valueOf(
+      f"2024-01-01 10:$minute%02d:00").getTime / 1000) * 1000000L
+    val gap = 30L * 60 * 1000000
+    val q = StreamOps.sessionize(
+        input.toDS().map { case (u, t) => StreamOps.SessEvent(u, t) },
+        gap, flushOpen = false)
+      .writeStream.format("memory").queryName("sess_sink")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: (10:00, 10:10) close when 11:00 arrives (gap >= 30m);
+      // 11:00 stays OPEN in state
+      input.addData((1L, us(0)), (1L, us(10)), (1L, us(60)))
+      q.processAllAvailable()
+      val afterB1 = spark.table("sess_sink")
+        .as[StreamOps.SessionOut].collect().toSet
+      assert(afterB1 == Set(StreamOps.SessionOut(1L, us(0), us(10), 2L)),
+        s"only the closed session emits, got $afterB1")
+      // batch 2: 11:10 continues the OPEN 11:00 session (cross-batch
+      // merge via state); 12:30 closes it as a 2-event session
+      input.addData((1L, us(70)), (1L, us(150)))
+      q.processAllAvailable()
+      val afterB2 = spark.table("sess_sink")
+        .as[StreamOps.SessionOut].collect().toSet
+      assert(afterB2 == Set(
+        StreamOps.SessionOut(1L, us(0), us(10), 2L),
+        StreamOps.SessionOut(1L, us(60), us(70), 2L)),
+        s"batch-2 session must span the batch boundary, got $afterB2")
+    } finally q.stop()
+  }
+
   test("dedupWithinWatermark: dups near the original drop, state is bounded") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[E]
