@@ -10,6 +10,26 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
+/** shared analysis-time guard: every (name, expr) must be a FOLDABLE
+  * positive Int literal — misuse fails at analysis, not as an array-size
+  * exception inside an executor task (round-3 advice). A foldable NULL
+  * passes (null param -> null rows, the SQL convention). One definition
+  * for the minhash/winnow parameter expressions instead of a copy each. */
+private[functions] object PositiveLiteralGuard {
+  def check(pretty: String, params: (String, Expression)*): TypeCheckResult =
+    params.foldLeft(TypeCheckResult.TypeCheckSuccess: TypeCheckResult) {
+      case (acc, (name, e)) =>
+        if (acc.isFailure) acc
+        else if (!e.foldable)
+          TypeCheckResult.TypeCheckFailure(s"$pretty: $name must be a literal")
+        else e.eval() match {
+          case v: Int if v <= 0 =>
+            TypeCheckResult.TypeCheckFailure(s"$pretty: $name must be positive, got $v")
+          case _ => TypeCheckResult.TypeCheckSuccess
+        }
+    }
+}
+
 /** shared codegen template for kernels that return a BOXED value (null =
   * SQL NULL): call into a fresh local, derive isNull, unbox with a
   * neutral default — one definition instead of a copy per expression */
@@ -102,19 +122,10 @@ case class MinHashSigExpr(left: Expression, right: Expression)
   override def nullable: Boolean = true
   override def prettyName: String = "minhash_sig"
 
-  /** misuse (non-literal / non-positive n) fails at ANALYSIS, not as a
-    * NegativeArraySizeException inside an executor task (round-3 advice) */
   override def checkInputDataTypes(): TypeCheckResult = {
     val base = super.checkInputDataTypes()
     if (base.isFailure) base
-    else if (!right.foldable)
-      TypeCheckResult.TypeCheckFailure(s"$prettyName: n must be a literal")
-    else right.eval() match {
-      case null => TypeCheckResult.TypeCheckSuccess // null n -> null row, fine
-      case n: Int if n <= 0 =>
-        TypeCheckResult.TypeCheckFailure(s"$prettyName: n must be positive, got $n")
-      case _ => TypeCheckResult.TypeCheckSuccess
-    }
+    else PositiveLiteralGuard.check(prettyName, "n" -> right)
   }
 
   override def nullSafeEval(shingles: Any, n: Any): Any =
@@ -187,21 +198,10 @@ case class MinHashTextExpr(first: Expression, second: Expression, third: Express
   override def nullable: Boolean = true
   override def prettyName: String = "minhash_sig_text"
 
-  /** same analysis-time guard as [[MinHashSigExpr]] for n and shingleSize */
   override def checkInputDataTypes(): TypeCheckResult = {
     val base = super.checkInputDataTypes()
-    if (base.isFailure) return base
-    Seq(("n", second), ("shingleSize", third)).foldLeft(
-      TypeCheckResult.TypeCheckSuccess: TypeCheckResult) { case (acc, (name, e)) =>
-      if (acc.isFailure) acc
-      else if (!e.foldable)
-        TypeCheckResult.TypeCheckFailure(s"$prettyName: $name must be a literal")
-      else e.eval() match {
-        case v: Int if v <= 0 =>
-          TypeCheckResult.TypeCheckFailure(s"$prettyName: $name must be positive, got $v")
-        case _ => TypeCheckResult.TypeCheckSuccess
-      }
-    }
+    if (base.isFailure) base
+    else PositiveLiteralGuard.check(prettyName, "n" -> second, "shingleSize" -> third)
   }
 
   override def nullSafeEval(text: Any, n: Any, shingleSize: Any): Any =
@@ -233,21 +233,10 @@ case class WinnowTextExpr(first: Expression, second: Expression, third: Expressi
   override def nullable: Boolean = true
   override def prettyName: String = "winnow_fps_text"
 
-  /** same analysis-time guard as [[MinHashTextExpr]] for k and w */
   override def checkInputDataTypes(): TypeCheckResult = {
     val base = super.checkInputDataTypes()
-    if (base.isFailure) return base
-    Seq(("k", second), ("w", third)).foldLeft(
-      TypeCheckResult.TypeCheckSuccess: TypeCheckResult) { case (acc, (name, e)) =>
-      if (acc.isFailure) acc
-      else if (!e.foldable)
-        TypeCheckResult.TypeCheckFailure(s"$prettyName: $name must be a literal")
-      else e.eval() match {
-        case v: Int if v <= 0 =>
-          TypeCheckResult.TypeCheckFailure(s"$prettyName: $name must be positive, got $v")
-        case _ => TypeCheckResult.TypeCheckSuccess
-      }
-    }
+    if (base.isFailure) base
+    else PositiveLiteralGuard.check(prettyName, "k" -> second, "w" -> third)
   }
 
   override def nullSafeEval(text: Any, k: Any, w: Any): Any =

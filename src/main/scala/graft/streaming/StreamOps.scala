@@ -154,7 +154,13 @@ object StreamOps {
     * session merge through MemoryStream).
     *
     * Per-invocation work sorts ONE user's batch slice in memory —
-    * the bounded-per-key pattern every mapGroups state op relies on. */
+    * the bounded-per-key pattern every mapGroups state op relies on.
+    * Late-data policy (streaming only — a batch invocation sees each
+    * key's history sorted, so no branch below ever fires): an event
+    * within `gapUs` of the open session's start extends it backward; an
+    * event older than that belongs to an already-emitted past and is
+    * dropped, the same contract a watermark enforces — retro-splitting
+    * would need unbounded history, which O(1) state forbids. */
   def sessionize(events: Dataset[SessEvent], gapUs: Long,
       flushOpen: Boolean): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
@@ -166,18 +172,32 @@ object StreamOps {
           val ts = rows.map(_.tsUs).toArray
           java.util.Arrays.sort(ts)
           val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+          // explicit hasOpen flag, NOT a sentinel timestamp — epoch-µs is
+          // signed, so pre-1970 timestamps are valid values
+          var hasOpen = state.getOption.isDefined
           var (st, en, n) = state.getOption
-            .map(s => (s.startUs, s.endUs, s.n)).getOrElse((-1L, -1L, 0L))
+            .map(s => (s.startUs, s.endUs, s.n)).getOrElse((0L, 0L, 0L))
           var i = 0
           while (i < ts.length) {
             val t = ts(i)
-            if (st < 0) { st = t; en = t; n = 1 }
-            else if (t - en >= gapUs) {
+            if (!hasOpen) { hasOpen = true; st = t; en = t; n = 1 }
+            else if (t < st - gapUs) {
+              // LATE event from before the open session's reach: its true
+              // session was already emitted (or never seen) — dropping is
+              // the same contract a watermark enforces; retro-splitting
+              // would need unbounded history, which O(1) state forbids
+            } else if (t - en >= gapUs) {
               out += SessionOut(uid, st, en, n); st = t; en = t; n = 1
-            } else { if (t > en) en = t; n += 1 }
+            } else {
+              // in-gap: extends the open session — backward too, for a
+              // late event landing within gap of its start
+              if (t < st) st = t
+              if (t > en) en = t
+              n += 1
+            }
             i += 1
           }
-          if (st >= 0) {
+          if (hasOpen) {
             if (flushOpen) { out += SessionOut(uid, st, en, n); state.remove() }
             else state.update(SessState(st, en, n))
           }

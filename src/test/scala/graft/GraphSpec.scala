@@ -41,8 +41,11 @@ class GraphSpec extends SparkSpec {
     // order for double sums is not deterministic across executions, so a
     // rank landing near a rounding boundary can flip its last kept digit
     // — compare ranks with a tolerance instead of bit-for-bit
-    def byNode(rows: Array[org.apache.spark.sql.Row]) =
-      rows.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def byNode(rows: Array[org.apache.spark.sql.Row]) = {
+      val m = rows.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(m.size == rows.length, "duplicate node rows") // toMap must not mask dupes
+      m
+    }
     val a = byNode(SparkEntry.queries("graph_pagerank")(spark, sfDir).collect())
     val b = byNode(SparkEntry.queries("graph_pagerank")(spark, sfDir).collect())
     assert(a.nonEmpty && a.keySet == b.keySet)

@@ -96,8 +96,10 @@ class StreamingSpec extends SparkSpec {
   test("sessionize: an open session carries across batches and merges") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Long)] // (user_id, tsUs)
-    def us(minute: Int): Long = (Timestamp.valueOf(
-      f"2024-01-01 10:$minute%02d:00").getTime / 1000) * 1000000L
+    // arithmetic, not Timestamp.valueOf: minutes >= 60 would lean on the
+    // deprecated Date constructor's lenient normalization
+    val baseUs = Timestamp.valueOf("2024-01-01 10:00:00").getTime * 1000L
+    def us(minute: Int): Long = baseUs + minute * 60L * 1000000L
     val gap = 30L * 60 * 1000000
     val q = StreamOps.sessionize(
         input.toDS().map { case (u, t) => StreamOps.SessEvent(u, t) },
@@ -123,6 +125,42 @@ class StreamingSpec extends SparkSpec {
         StreamOps.SessionOut(1L, us(0), us(10), 2L),
         StreamOps.SessionOut(1L, us(60), us(70), 2L)),
         s"batch-2 session must span the batch boundary, got $afterB2")
+    } finally q.stop()
+  }
+
+  test("sessionize: negative (pre-1970) timestamps sessionize normally") {
+    // epoch-µs is signed — an open session must be tracked by an explicit
+    // flag, not a negative-sentinel timestamp
+    val ev = Seq(
+      StreamOps.SessEvent(1L, -120L * 1000000),
+      StreamOps.SessEvent(1L, -60L * 1000000)).toDS()
+    val got = StreamOps.sessionize(ev, 30L * 60 * 1000000, flushOpen = true).collect().toSeq
+    assert(got == Seq(StreamOps.SessionOut(1L, -120000000L, -60000000L, 2L)),
+      s"one 2-event session expected, got $got")
+  }
+
+  test("sessionize late-data policy: in-gap extends backward, older drops") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long)]
+    val baseUs = Timestamp.valueOf("2024-01-01 10:00:00").getTime * 1000L
+    def us(minute: Int): Long = baseUs + minute * 60L * 1000000L
+    val q = StreamOps.sessionize(
+        input.toDS().map { case (u, t) => StreamOps.SessEvent(u, t) },
+        30L * 60 * 1000000, flushOpen = false)
+      .writeStream.format("memory").queryName("sess_late_sink")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((1L, us(120))) // open session at 12:00
+      q.processAllAvailable()
+      // 9:00 is older than start - gap -> dropped; 11:45 is within the
+      // gap of the start -> extends the open session BACKWARD
+      input.addData((1L, us(-60)), (1L, us(105)))
+      q.processAllAvailable()
+      input.addData((1L, us(240))) // 14:00 closes it
+      q.processAllAvailable()
+      val got = spark.table("sess_late_sink").as[StreamOps.SessionOut].collect().toSet
+      assert(got == Set(StreamOps.SessionOut(1L, us(105), us(120), 2L)),
+        s"expected the backward-extended closed session only, got $got")
     } finally q.stop()
   }
 
