@@ -251,6 +251,60 @@ object Dedup {
         .select(lit(0).as("band"), col("fp").as("sig"), col("doc_id")),
       maxBucketSize)
 
+  /** Persist a corpus's winnowing fingerprints as an fp-bucketed table —
+    * the stored-index leg of the DETERMINISTIC dedup member, mirroring
+    * [[writeMinhashIndex]]: a fingerprint is the bucket key the probe
+    * join co-locates on. The build-time stop-fingerprint cap drops
+    * corpus-wide boilerplate fps (winnowing selects globally-minimal
+    * hashes, so license/header shingles recur everywhere). */
+  def writeWinnowIndex(
+      df: DataFrame, idCol: String, textCol: String, table: String,
+      nBuckets: Int = 8, k: Int = 3, w: Int = 4,
+      maxBucketSize: Int = 500): Unit = {
+    val fps = winnowFingerprints(df, idCol, textCol, k, w)
+    val ok = fps.groupBy("fp")
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") <= maxBucketSize)
+      .select("fp")
+    fps.join(ok, Seq("fp"))
+      .select("fp", "doc_id")
+      .write.mode("overwrite")
+      .bucketBy(nBuckets, "fp").sortBy("fp")
+      .saveAsTable(table)
+  }
+
+  /** Incremental winnow dedup: candidate (corpus `a`, new `b`) pairs
+    * between a NEW batch and the stored fingerprint index — the same
+    * daily-ingest shape as [[incrementalCandidates]], with winnowing's
+    * determinism guarantee: a batch doc sharing a ≥ w+k−1 token run with
+    * ANY indexed doc is caught with certainty, not probability. The index
+    * side is fp-bucketed so only the (small) batch shuffles to the
+    * layout. */
+  def incrementalWinnowCandidates(
+      spark: org.apache.spark.sql.SparkSession, table: String,
+      newDocs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, w: Int = 4): DataFrame = {
+    val newFps = winnowFingerprints(newDocs, idCol, textCol, k, w)
+      .select(col("fp"), col("doc_id").as("b"))
+    // merge hint for the same reason as the minhash probe: pin the plan
+    // the bucketed layout exists for (AQE would broadcast at test scale)
+    spark.table(table).hint("merge")
+      .select(col("fp"), col("doc_id").as("a"))
+      .join(newFps, Seq("fp"))
+      .select("a", "b").distinct()
+  }
+
+  /** Fold an accepted batch's fingerprints into the stored index
+    * (INSERT INTO keeps the bucket layout, like
+    * [[appendToMinhashIndex]]); the stop-fingerprint cap is re-applied
+    * only on periodic [[writeWinnowIndex]] rebuilds. */
+  def appendToWinnowIndex(
+      newDocs: DataFrame, idCol: String, textCol: String, table: String,
+      k: Int = 3, w: Int = 4): Unit =
+    winnowFingerprints(newDocs, idCol, textCol, k, w)
+      .select("fp", "doc_id")
+      .write.mode("append").insertInto(table)
+
   /** 64-bit SimHash per document via the FUSED tokenize+sketch kernel
     * ([[graft.functions.SimHashTextExpr]]): one narrow per-row pass, no
     * explode and no shuffle, and — because the relational tokenizer's

@@ -203,6 +203,30 @@ object Llm extends QueryModule {
         .orderBy("a", "b")
     }),
 
+    // INCREMENTAL winnow dedup: the deterministic member's daily-ingest
+    // shape — corpus fingerprints persist as an fp-bucketed index, a new
+    // batch probes it exchange-free on the index side, and winnowing's
+    // window guarantee makes the probe recall CERTAIN, not probabilistic
+    // (dedup_incremental_minhash is the probabilistic sibling).
+    // Oracle-exempt (xxhash64); OperatorPropertiesSpec pins probe pairs
+    // == the full-batch winnowCandidates cross pairs + the exchange-free
+    // index side.
+    "dedup_incremental_winnow" -> ((s, d) => {
+      val docs = Tables.t(s, d, "documents")
+      val wh = new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir"))
+      val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+      s.sql("DROP TABLE IF EXISTS graft_winnow_index")
+      val loc = new org.apache.hadoop.fs.Path(wh, "graft_winnow_index")
+      if (fs.exists(loc)) fs.delete(loc, true)
+      graft.ops.Dedup.writeWinnowIndex(docs, "doc_id", "text", "graft_winnow_index")
+      val newBatch = docs.filter(col("doc_id") % 7 === 0)
+        .withColumn("doc_id", col("doc_id") + 300000L)
+        .withColumn("text", expr("substring(text, instr(text, ' ') + 1)"))
+      graft.ops.Dedup.incrementalWinnowCandidates(
+          s, "graft_winnow_index", newBatch, "doc_id", "text")
+        .orderBy("a", "b")
+    }),
+
     // word counts over the corpus (top 100 by frequency)
     "text_tokenize" -> ((s, d) =>
       Tables.t(s, d, "documents")

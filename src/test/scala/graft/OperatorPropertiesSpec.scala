@@ -115,6 +115,61 @@ class OperatorPropertiesSpec extends SparkSpec {
       s"the bucketed index side must not re-shuffle:\n${smj.head}")
   }
 
+  test("dedup_incremental_winnow: stored-index probe == full-batch cross pairs, index side exchange-free") {
+    val inc = SparkEntry.queries("dedup_incremental_winnow")(spark, sfDir)
+    val incPairs = inc.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val docs = Tables.t(spark, sfDir, "documents")
+    val newBatch = docs.filter(col("doc_id") % 7 === 0)
+      .withColumn("doc_id", col("doc_id") + 300000L)
+      .withColumn("text", expr("substring(text, instr(text, ' ') + 1)"))
+    val cross = graft.ops.Dedup
+      .winnowCandidates(docs.unionByName(newBatch), "doc_id", "text")
+      .filter(col("a") < 300000L && col("b") >= 300000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(incPairs == cross,
+      s"incremental-vs-full divergence: only-inc=${incPairs.diff(cross).take(5)} " +
+        s"only-full=${cross.diff(incPairs).take(5)}")
+    // the winnowing guarantee holds through the index: every planted twin
+    // shares a >= w+k-1 token run with its original, so EVERY one pairs
+    val planted = docs.filter(col("doc_id") % 7 === 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val missedTwins = planted.filter(id => !incPairs.contains((id, id + 300000L)))
+    assert(missedTwins.isEmpty,
+      s"winnowing must recover EVERY planted twin through the index; missed $missedTwins")
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val smj = inc.queryExecution.sparkPlan.collect { case j: SortMergeJoinExec => j }
+    assert(smj.nonEmpty, "expected the probe to sort-merge join the index")
+    assert(smj.exists(j =>
+      Seq(j.left, j.right).exists(_.collect { case e: ShuffleExchangeExec => e }.isEmpty)),
+      s"the fp-bucketed index side must not re-shuffle:\n${smj.head}")
+  }
+
+  test("appendToWinnowIndex folds a batch in; later probes see it") {
+    val docs = Tables.t(spark, sfDir, "documents")
+    val wh = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
+    val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    spark.sql("DROP TABLE IF EXISTS graft_winnow_append_test")
+    val loc = new org.apache.hadoop.fs.Path(wh, "graft_winnow_append_test")
+    if (fs.exists(loc)) fs.delete(loc, true)
+    graft.ops.Dedup.writeWinnowIndex(docs, "doc_id", "text", "graft_winnow_append_test")
+    def shifted(mod: Int, offset: Long) = docs.filter(col("doc_id") % mod === 0)
+      .withColumn("doc_id", col("doc_id") + offset)
+      .withColumn("text", expr("substring(text, instr(text, ' ') + 1)"))
+    graft.ops.Dedup.appendToWinnowIndex(
+      shifted(7, 300000L), "doc_id", "text", "graft_winnow_append_test")
+    val probe2 = graft.ops.Dedup.incrementalWinnowCandidates(
+      spark, "graft_winnow_append_test", shifted(14, 600000L), "doc_id", "text")
+    val pairs = probe2.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val vsCorpus = pairs.filter(_._1 < 300000L)
+    val vsBatch1 = pairs.filter(p => p._1 >= 300000L && p._1 < 600000L)
+    assert(vsCorpus.nonEmpty, "batch2 must pair against the original corpus")
+    assert(vsBatch1.nonEmpty, "batch2 must pair against the APPENDED batch1 rows")
+    // positional insertInto binding check, like the minhash sibling
+    assert(vsBatch1.forall { case (a, _) => (a - 300000L) % 7 == 0 },
+      s"appended ids malformed: ${vsBatch1.take(5)}")
+  }
+
   test("appendToMinhashIndex folds a batch in; later probes see it, layout survives") {
     // day-2 of the ingest loop: after batch1 is accepted, its banded rows
     // INSERT INTO the bucketed index; a batch2 probe must then find pairs
