@@ -231,6 +231,24 @@ object Aggregates extends QueryModule {
         .orderBy("event_type")
     }),
 
+    // quantile SKETCH per group (Greenwald-Khanna via percentile_approx)
+    // — the mergeable bounded-memory member of the sketch family (HLL =
+    // agg_approx_distinct, bloom = dedup_bloom_prefilter): state is
+    // O(accuracy · log n) per group regardless of group size, merged
+    // partial+final like any agg, where agg_percentiles' exact form
+    // buffers the group. The 100 TB latency-dashboard shape. Oracle-
+    // exempt (sketch internals are engine-specific); the rank-error
+    // bound |rank(v) − p·n| ≤ n/accuracy is pinned in
+    // OperatorPropertiesSpec against the exact distribution.
+    "agg_approx_quantile" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(percentile_approx(
+          col("value"), array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("q"))
+        .select(col("event_type"),
+          col("q")(0).as("p50"), col("q")(1).as("p90"), col("q")(2).as("p99"))
+        .orderBy("event_type")),
+
     // fixed-bin histogram of document lengths — the one-pass distribution
     // profile a corpus report draws. width_bucket keeps the bin id a pure
     // per-row expression (no percentile state), so the whole histogram is

@@ -97,6 +97,49 @@ object TimeWindows extends QueryModule {
         .orderBy("user_id", "sstart_us")
     }),
 
+    // ordered funnel (view -> click within 30m -> purchase within 30m of
+    // the click) — the product-analytics sequence query. Shape: three
+    // event-type slices equi-join on user_id with in-plan time-range
+    // bounds, then first-step aggregation; everything shuffles on
+    // user_id only, and the per-user fan-out is bounded by the 30-minute
+    // window (a hot user's views only meet the clicks inside each
+    // window, not the full history). Epoch-µs keeps the arithmetic
+    // integer-exact in both engines.
+    "win_funnel_steps" -> ((s, d) => {
+      val gapUs = 30L * 60 * 1000000
+      val e = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP))").as("ts_us"))
+      def slice(t: String, uAs: String, tsAs: String) =
+        e.filter(col("event_type") === t)
+          .select(col("user_id").as(uAs), col("ts_us").as(tsAs))
+      // the range bound lives IN the left join's ON-clause: a view with
+      // no in-window click keeps its row (null c_ts) instead of fanning
+      // out to the user's whole click history and getting filtered away.
+      // event_id keys each view so two views at the same microsecond
+      // stay two funnel starts (matching the oracle's per-row semantics)
+      val vc = e.filter(col("event_type") === "view")
+        .select(col("event_id").as("v_id"), col("user_id"), col("ts_us").as("v_ts"))
+        .join(slice("click", "cu", "c_ts"),
+          col("user_id") === col("cu") &&
+            col("c_ts") > col("v_ts") && col("c_ts") <= col("v_ts") + gapUs,
+          "left")
+        .groupBy("user_id", "v_id", "v_ts")
+        .agg(min(col("c_ts")).as("first_click"))
+      val vcp = vc
+        .join(slice("purchase", "pu", "p_ts"),
+          col("user_id") === col("pu") &&
+            col("p_ts") > col("first_click") && col("p_ts") <= col("first_click") + gapUs,
+          "left")
+        .groupBy("user_id", "v_id", "first_click")
+        .agg(min(col("p_ts")).as("first_purchase"))
+      vcp.groupBy("user_id")
+        .agg(count(lit(1)).as("n_views"),
+          count(col("first_click")).as("n_clicked"),
+          count(col("first_purchase")).as("n_purchased"))
+        .orderBy("user_id")
+    }),
+
     // forward-fill (last-observation-carried-forward) per user — the gap
     // repair every telemetry/feature pipeline runs before resampling.
     // `click` events model the sensor dropping its reading (value -> null);
@@ -140,6 +183,20 @@ object TimeWindows extends QueryModule {
         "ROWS UNBOUNDED PRECEDING) AS sid FROM marked) " +
         "SELECT min(ts) AS sstart, user_id, count(*) AS n_events " +
         "FROM sess GROUP BY user_id, sid ORDER BY user_id, sstart"),
+    // per-view first-step resolution as correlated scalar subqueries —
+    // semantically identical to the Spark range-bounded left joins
+    "win_funnel_steps" ->
+      ("WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events), " +
+        "vc AS (SELECT v.user_id, v.ts_us AS v_ts, " +
+        "(SELECT min(c.ts_us) FROM ev c WHERE c.user_id = v.user_id AND c.event_type = 'click' " +
+        "AND c.ts_us > v.ts_us AND c.ts_us <= v.ts_us + 1800000000) AS first_click " +
+        "FROM ev v WHERE v.event_type = 'view'), " +
+        "vcp AS (SELECT user_id, v_ts, first_click, " +
+        "(SELECT min(p.ts_us) FROM ev p WHERE p.user_id = vc.user_id AND p.event_type = 'purchase' " +
+        "AND p.ts_us > vc.first_click AND p.ts_us <= vc.first_click + 1800000000) AS first_purchase " +
+        "FROM vc) " +
+        "SELECT user_id, count(*) AS n_views, count(first_click) AS n_clicked, " +
+        "count(first_purchase) AS n_purchased FROM vcp GROUP BY user_id ORDER BY user_id"),
     // same gaps-and-islands as win_session, in epoch-µs, with session
     // end + count — the complete session set the batch run must emit
     "stream_stateful_session" ->

@@ -115,6 +115,28 @@ class OperatorPropertiesSpec extends SparkSpec {
       s"the bucketed index side must not re-shuffle:\n${smj.head}")
   }
 
+  test("agg_approx_quantile: sketch values land within the rank-error bound") {
+    val rows = SparkEntry.queries("agg_approx_quantile")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val exact = Tables.events(spark, sfDir)
+      .select("event_type", "value").collect()
+      .groupBy(_.getString(0)).map { case (k, rs) =>
+        k -> rs.map(_.getDouble(1)).sorted }
+    rows.foreach { r =>
+      val vs = exact(r.getString(0))
+      val n = vs.length
+      Seq(0.50 -> r.getDouble(1), 0.90 -> r.getDouble(2), 0.99 -> r.getDouble(3))
+        .foreach { case (p, v) =>
+          assert(vs.contains(v), s"sketch must return an actual data value, got $v")
+          // rank of v (count <= v) within n/accuracy (+1 discreteness slack)
+          val rank = vs.count(_ <= v)
+          val err = math.abs(rank - p * n)
+          assert(err <= n / 10000.0 + 1,
+            s"${r.getString(0)} p$p: value $v has rank $rank of $n (err $err)")
+        }
+    }
+  }
+
   test("dedup_incremental_winnow: stored-index probe == full-batch cross pairs, index side exchange-free") {
     val inc = SparkEntry.queries("dedup_incremental_winnow")(spark, sfDir)
     val incPairs = inc.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
