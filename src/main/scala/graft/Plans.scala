@@ -46,7 +46,9 @@ object Plans {
     "graph_triangle_count" -> "degree-ordered orientation computed once (localCheckpoint), wedge join on oriented edges — hub skew capped",
     "join_set_similarity" -> "AllPairs prefix filter: rare-token prefix equi-join candidates + exact-Jaccard verify, no cartesian anywhere",
     "dedup_winnow_pairs" -> "fused winnow_fps_text kernel: one codegen'd O(tokens) pass per doc (monotonic-deque window minima), fp-bucket pair join capped at 500",
-    "zipnum_ts_bounded" -> "exact-url + ts bounds folded into ONE 'urlkey ts' idx key range: a hot URL's out-of-window blocks never read")
+    "zipnum_ts_bounded" -> "exact-url + ts bounds folded into ONE 'urlkey ts' idx key range: a hot URL's out-of-window blocks never read",
+    "dedup_incremental_winnow" -> "fp-bucketed stored fingerprint index probed exchange-free: only the new batch shuffles to the layout",
+    "win_funnel_steps" -> "range-bounded left joins per funnel step, all shuffles on user_id — no fan-out-then-filter")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse(
