@@ -48,7 +48,9 @@ object Plans {
     "dedup_winnow_pairs" -> "fused winnow_fps_text kernel: one codegen'd O(tokens) pass per doc (monotonic-deque window minima), fp-bucket pair join capped at 500",
     "zipnum_ts_bounded" -> "exact-url + ts bounds folded into ONE 'urlkey ts' idx key range: a hot URL's out-of-window blocks never read",
     "dedup_incremental_winnow" -> "fp-bucketed stored fingerprint index probed exchange-free: only the new batch shuffles to the layout",
-    "win_funnel_steps" -> "range-bounded left joins per funnel step, all shuffles on user_id — no fan-out-then-filter")
+    "win_funnel_steps" -> "range-bounded left joins per funnel step, all shuffles on user_id — no fan-out-then-filter",
+    "layout_zorder" -> "z-clustered write is ONE range exchange (codegen bit-interleave key); the box query's scan carries both pushed filters against per-file min/max boxes",
+    "join_interval_bucket" -> "theta join rewritten to a bucket equi-join: interval explode bounded by len/width+1, shuffled hash join, exact bounds re-checked above it")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse(

@@ -11,6 +11,26 @@ object Aggregates extends QueryModule {
 
   private def o(sql: String): String = Cdx.duckCte + sql
 
+  /** count-min sketch geometry: d hash rows × w counters. w=2048 keeps
+    * the εN overcount (ε = e/w) well under the uniform per-key count at
+    * every sf; the whole merged sketch is d·w = 8192 longs. */
+  private[graft] val cmsD = 4
+  private[graft] val cmsW = 2048
+
+  /** per-segment CMS cells of `user_id` frequencies: (seg, r, c) -> cnt.
+    * The d-way explode is map-local — partial aggregation collapses it
+    * to ≤ nSeg·d·w cells before any shuffle. Row hashes are
+    * xxhash64(user_id, r): independent-enough rows, computable by any
+    * prober without coordination. */
+  private[graft] def cmsCells(
+      ev: org.apache.spark.sql.DataFrame, nSeg: Int): org.apache.spark.sql.DataFrame =
+    ev.select(col("event_id"), col("user_id"))
+      .withColumn("seg", pmod(col("event_id"), lit(nSeg.toLong)))
+      .select(col("seg"), col("user_id"),
+        explode(expr(s"sequence(0, ${cmsD - 1})")).as("r"))
+      .withColumn("c", pmod(xxhash64(col("user_id"), col("r")), lit(cmsW)))
+      .groupBy("seg", "r", "c").agg(count(lit(1)).as("cnt"))
+
   override def queries: Map[String, QFn] = Map(
     // crawl stats (mrjob increment_counter analog, indexwarcsjob.py recon ~L90–110)
     "agg_count_by_key" -> ((s, d) =>
@@ -79,6 +99,42 @@ object Aggregates extends QueryModule {
         .withColumn("rel_err",
           round(abs(col("est_distinct_urlkeys") - col("exact_distinct_urlkeys")) /
             col("exact_distinct_urlkeys"), 6))
+    }),
+
+    // Count-min sketch, merged across segments — the mergeable FREQUENCY
+    // sketch, completing the family next to HLL (agg_hll_merge, distinct),
+    // bloom (dedup_bloom_prefilter, membership) and GK
+    // (agg_approx_quantile, quantiles). Each segment's sketch is d×w
+    // counters REGARDLESS of key cardinality; merge is counter addition
+    // (groupBy sum over ≤ d×w cells), and a point estimate is
+    // min over d rows of the counter each row hashes the key to — the
+    // deterministic guarantee est ≥ exact holds because every occurrence
+    // of the key incremented all d of its counters, and collisions only
+    // ever ADD. Relational build: the explode to (seg, row, col) cells
+    // collapses map-side (partial agg), so the shuffle carries ≤
+    // nSeg·d·w cells, never events. Oracle-exempt (xxhash64 row hashes
+    // are engine-specific); the driver row is SELF-CHECKING (exact count
+    // and overcount ride along) and OperatorPropertiesSpec pins est ≥
+    // exact, the εN overcount bound, and merged == built-whole cell
+    // equality.
+    "agg_cms_merge" -> ((s, d) => {
+      val merged = cmsCells(Tables.events(s, d), nSeg = 8)
+        .groupBy("r", "c").agg(sum("cnt").as("cnt"))
+      // probe the 20 lowest user ids: est(u) = min_r counter[r][h_r(u)]
+      val probes = s.range(0, 20).toDF("user_id")
+        .select(col("user_id"),
+          explode(expr(s"sequence(0, ${cmsD - 1})")).as("r"))
+        .withColumn("c", pmod(xxhash64(col("user_id"), col("r")), lit(cmsW)))
+      val est = probes.join(merged, Seq("r", "c"), "left")
+        .na.fill(0L, Seq("cnt"))
+        .groupBy("user_id").agg(min("cnt").as("est_cnt"))
+      val exact = Tables.events(s, d)
+        .filter(col("user_id") < 20)
+        .groupBy("user_id").agg(count(lit(1)).as("exact_cnt"))
+      est.join(exact, Seq("user_id"), "left")
+        .na.fill(0L, Seq("exact_cnt"))
+        .withColumn("overcount", col("est_cnt") - col("exact_cnt"))
+        .orderBy("user_id")
     }),
 
     "agg_rollup" -> ((s, d) =>

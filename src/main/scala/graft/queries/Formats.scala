@@ -130,6 +130,48 @@ object Formats extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // Z-ORDER storage layout (ops/Layout.scala): events rewritten
+    // clustered on the Morton curve over (user_id, ts), then a 2-d box
+    // query answered from the clustered table. One range sort can only
+    // serve ONE dimension's pruning; the z-layout gives every output
+    // file a compact box in BOTH dimensions, so parquet min/max
+    // row-group stats prune scans for predicates on EITHER column —
+    // Delta OPTIMIZE ZORDER / Iceberg sort-order rewrite, with no index
+    // structure, just row order. The per-dim bounds come from one tiny
+    // 2-column ANALYZE agg; the z-value is a pure codegen bit-interleave
+    // and the write is the standard repartitionByRange + per-partition
+    // sort (exactly one exchange, the sort_global shape). The layout
+    // must be INVISIBLE in the result — the oracle is the plain filter
+    // on the original table; LayoutSpec pins the actual skipping (scan
+    // rows out of the z-table ≪ a ts-sorted table for a user-only box).
+    "layout_zorder" -> ((s, d) => {
+      val dir = tmp(d, "zorder")
+      val ev = graft.Tables.events(s, d).select(
+        col("event_id"), col("user_id"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP))").as("ts_us"),
+        col("event_type"), round(col("value"), 6).as("value"))
+      val b = ev.agg(
+        min("user_id"), max("user_id"), min("ts_us"), max("ts_us")).head()
+      val z = graft.ops.Layout.zvalue(
+        graft.ops.Layout.norm16(col("user_id"), b.getLong(0), b.getLong(1)),
+        graft.ops.Layout.norm16(col("ts_us"), b.getLong(2), b.getLong(3)))
+      // 64 z-intervals: files >> partitions-per-dim keeps the
+      // quantile-boundary blur a vanishing fraction (LayoutSpec measures
+      // the skipping); at 100 TB this is thousands of files and the same
+      // one range exchange
+      ev.withColumn("z", z)
+        .repartitionByRange(64, col("z"))
+        .sortWithinPartitions("z")
+        .drop("z")
+        .write.mode("overwrite").parquet(dir)
+      // 2-d box: users 100-199 within a 3-day window (literal epoch-µs
+      // bounds, 2024-01-10 .. 2024-01-13 UTC — inside every sf's range)
+      s.read.parquet(dir)
+        .filter(col("user_id").between(100L, 199L) &&
+          col("ts_us").between(1704844800000000L, 1705103999999999L))
+        .orderBy("event_id")
+    }),
+
     // per-key gzipped text upload (indexwarcsjob.py §upload) — same
     // round-trip as scan_text_lines but partitioned by crawl segment
     "sink_text_gz" -> ((s, d) => {
@@ -390,6 +432,14 @@ object Formats extends QueryModule {
       "SELECT doc_id, lang, source, n_chars FROM documents ORDER BY doc_id",
     "scan_orc" ->
       "SELECT doc_id, lang, source, n_chars FROM documents WHERE n_chars > 100 ORDER BY doc_id",
+    // the z-order layout must be invisible: the oracle is the plain box
+    // filter on the source table
+    "layout_zorder" ->
+      ("SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, " +
+        "round(value, 6) AS value FROM events " +
+        "WHERE user_id BETWEEN 100 AND 199 " +
+        "AND epoch_us(ts) BETWEEN 1704844800000000 AND 1705103999999999 " +
+        "ORDER BY event_id"),
     "sink_text_gz" -> o(s"SELECT $lineExprDuck AS value FROM cdx ORDER BY value"),
     "scan_manifest" -> o("SELECT DISTINCT filename AS warc_path FROM cdx ORDER BY warc_path"),
     "sink_parquet" -> o("SELECT id, urlkey, ts, status, length FROM cdx ORDER BY id"),

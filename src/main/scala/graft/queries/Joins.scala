@@ -209,6 +209,40 @@ object Joins extends QueryModule {
         .orderBy("o_orderpriority")
     }),
 
+    // interval-overlap join via the TIME-BUCKET equi-join rewrite. The
+    // declarative form is a theta join (ev.ts BETWEEN iv.lo AND iv.hi),
+    // which Spark can only plan as a broadcast-NLJ or cartesian — O(n·m)
+    // compares, dead at 10^6 intervals. The rewrite: pick a bucket width
+    // ≥ the max interval length, explode each interval to its covered
+    // buckets (≤ 2 rows each, bounded by len/width + 1), map each event
+    // to its single bucket, EQUI-join on the bucket, then re-check the
+    // exact bounds. Same result, but the shuffle keys on bucket — both
+    // sides scale linearly and AQE handles any hot bucket like any other
+    // skewed equi-join (join_skew_salted's machinery applies unchanged).
+    // join_range_block broadcasts a tiny idx instead; this is the shape
+    // for when NEITHER side is broadcastable. PlanSpec pins no
+    // NLJ/cartesian anywhere. 50 deterministic 45-min maintenance
+    // windows every 14 h, literal arithmetic on both engines.
+    "join_interval_bucket" -> ((s, d) => {
+      val t0 = 1704067200L // 2024-01-01 00:00 UTC, epoch s
+      val ev = Tables.events(s, d).select(
+        col("event_id"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 1000000").as("ts_s"),
+        col("value"))
+      val iv = s.range(0, 50).select(
+        col("id").as("window_id"),
+        (lit(t0) + col("id") * lit(14L * 3600L)).as("lo"))
+        .withColumn("hi", col("lo") + lit(45L * 60L))
+      val ivB = iv.withColumn("bucket",
+        explode(expr("sequence(lo DIV 3600, hi DIV 3600)")))
+      val evB = ev.withColumn("bucket", expr("ts_s DIV 3600"))
+      evB.hint("shuffle_hash").join(ivB, Seq("bucket"))
+        .filter(col("ts_s") >= col("lo") && col("ts_s") < col("hi"))
+        .groupBy("window_id")
+        .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_v"))
+        .orderBy("window_id")
+    }),
+
     // as-of/nearest: capture closest to a target instant per url-prefix
     // (cdx-server sort=closest consumer contract)
     "join_asof_closest" -> ((s, d) => {
@@ -276,6 +310,15 @@ object Joins extends QueryModule {
         "SELECT c.id, c.urlkey, i.block FROM cdx c JOIN idx2 i " +
         "ON c.id % 97 = 0 AND c.urlkey >= i.start_key AND (i.next_key IS NULL OR c.urlkey < i.next_key) " +
         "ORDER BY c.id"),
+    // the declarative theta form — the bucket rewrite must be invisible
+    "join_interval_bucket" ->
+      ("WITH iv AS (SELECT i AS window_id, 1704067200 + i * 50400 AS lo, " +
+        "1704067200 + i * 50400 + 2700 AS hi " +
+        "FROM (SELECT unnest(range(0, 50)) AS i)), " +
+        "ev AS (SELECT event_id, epoch_us(ts) // 1000000 AS ts_s, value FROM events) " +
+        "SELECT window_id, count(*) AS cnt, round(sum(value), 2) AS sum_v " +
+        "FROM ev JOIN iv ON ev.ts_s >= iv.lo AND ev.ts_s < iv.hi " +
+        "GROUP BY window_id ORDER BY window_id"),
     "join_asof_closest" -> o(
       "SELECT prefix_key, id, ts, diff_us FROM (" +
         "SELECT split_part(urlkey, '?', 1) AS prefix_key, id, ts, " +

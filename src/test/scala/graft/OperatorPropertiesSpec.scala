@@ -666,4 +666,31 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)), s"only the overlapping pair pairs up: $pairs")
   }
 
+  test("agg_cms_merge: est >= exact with the εN overcount bound, merge == built-whole") {
+    val rows = SparkEntry.queries("agg_cms_merge")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val n = Tables.events(spark, sfDir).count()
+    // CMS guarantee: exact <= est, and est <= exact + εN with ε = e/w at
+    // confidence 1 - e^-d (~98% for d=4). Deterministic data + fixed row
+    // hashes make the check reproducible; 4× headroom on εN keeps it far
+    // from the confidence tail without weakening the claim's shape.
+    val bound = math.ceil(4 * math.E * n / graft.queries.Aggregates.cmsW).toLong
+    rows.foreach { r =>
+      val est = r.getAs[Long]("est_cnt")
+      val exact = r.getAs[Long]("exact_cnt")
+      assert(est >= exact, s"CMS must never underestimate: $r")
+      assert(est - exact <= bound, s"overcount ${est - exact} > bound $bound: $r")
+      assert(r.getAs[Long]("overcount") == est - exact, s"self-check column: $r")
+    }
+    // counter addition commutes: the 8-segment merged cell table must be
+    // CELL-IDENTICAL to a single-pass build (not just estimate-close)
+    val ev = Tables.events(spark, sfDir)
+    def cells(nSeg: Int) = graft.queries.Aggregates.cmsCells(ev, nSeg)
+      .groupBy("r", "c").agg(sum("cnt").as("cnt"))
+    val diff = cells(8).union(cells(1)).groupBy("r", "c")
+      .agg(countDistinct("cnt").as("k"), count(lit(1)).as("m"))
+      .filter(col("k") =!= 1 || col("m") =!= 2)
+    assert(diff.isEmpty, "merged-from-segments cells must equal built-whole cells")
+  }
+
 }

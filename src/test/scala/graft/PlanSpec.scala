@@ -382,6 +382,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("UDF("), s"bloom probe missing from the plan:\n${p.take(2000)}")
   }
 
+  test("join_interval_bucket: the bucket rewrite plans an equi-join, never NLJ/cartesian") {
+    val p = plan("join_interval_bucket")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the bucket equi-join rewrite exists precisely to avoid the theta-join plan")
+    assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"),
+      s"expected the shuffled equi-join shape (neither side broadcastable at scale):\n${p.take(1500)}")
+  }
+
   test("emb_knn_graph: per-src top-k group-limits before the window shuffle") {
     val df = SparkEntry.queries("emb_knn_graph")(spark, sfDir)
     df.collect()
