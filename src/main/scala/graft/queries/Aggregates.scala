@@ -137,6 +137,44 @@ object Aggregates extends QueryModule {
         .orderBy("user_id")
     }),
 
+    // CDC changelog compaction — last-writer-wins: an ordered op log
+    // (I/U/D per key, seq = the change's position) collapses to the
+    // final table state. The natural form is a per-key window (rank by
+    // seq desc, keep rn=1) — but the window buffers every key's whole
+    // history at the shuffle. max_by/arg_max is the plan you want at
+    // 100 TB: a MERGEABLE aggregate whose partial state is one
+    // (seq, payload) pair per key, so the map side compacts each
+    // partition's history before the single hash shuffle, and a key's
+    // wire cost is O(partitions touched), not O(ops). Deletes survive
+    // compaction to the HAVING (a delete must win over older upserts,
+    // then drop from the state). This is the op-log leg feeding
+    // sink_merge_upsert's batch; PlanSpec pins agg-not-window.
+    //
+    // The op travels through the aggregate as an INT code, decoded to
+    // its letter after: a string in a max_by buffer is a non-mutable
+    // agg-buffer type, which silently demotes the whole aggregate to
+    // SortAggregate (two extra per-partition sorts); all-primitive
+    // buffers keep it a HashAggregate (the demotion is exactly what the
+    // PlanSpec pin would catch).
+    "cdc_compact_changelog" -> ((s, d) => {
+      val log = Tables.events(s, d).select(
+        col("user_id"), col("event_id").as("seq"),
+        expr("CASE WHEN event_id % 10 = 0 THEN 3 " +
+          "WHEN event_id % 10 < 5 THEN 1 ELSE 2 END").as("opc"),
+        col("value"))
+      log.groupBy("user_id")
+        .agg(
+          max("seq").as("last_seq"),
+          max_by(col("opc"), col("seq")).as("opc"),
+          round(max_by(col("value"), col("seq")), 6).as("value"),
+          count(lit(1)).as("n_ops"))
+        .filter(col("opc") =!= 3)
+        .select(col("user_id"), col("last_seq"),
+          expr("CASE opc WHEN 1 THEN 'I' ELSE 'U' END").as("op"),
+          col("value"), col("n_ops"))
+        .orderBy("user_id")
+    }),
+
     "agg_rollup" -> ((s, d) =>
       Cdx.df(s, d).rollup("hostword", "status")
         .agg(grouping_id().cast("int").as("gid"), count(lit(1)).as("cnt"))
@@ -340,6 +378,14 @@ object Aggregates extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "cdc_compact_changelog" ->
+      ("WITH log AS (SELECT user_id, event_id AS seq, " +
+        "CASE WHEN event_id % 10 = 0 THEN 'D' " +
+        "WHEN event_id % 10 < 5 THEN 'I' ELSE 'U' END AS op, value FROM events) " +
+        "SELECT user_id, max(seq) AS last_seq, max_by(op, seq) AS op, " +
+        "round(max_by(value, seq), 6) AS value, count(*) AS n_ops " +
+        "FROM log GROUP BY user_id HAVING max_by(op, seq) <> 'D' " +
+        "ORDER BY user_id"),
     "agg_count_by_key" -> o(
       "SELECT record_type, status, count(*) AS cnt FROM cdx GROUP BY record_type, status ORDER BY record_type, status"),
     "agg_sum_min_max" ->

@@ -172,6 +172,42 @@ object Formats extends QueryModule {
         .orderBy("event_id")
     }),
 
+    // copy-on-write MERGE (ops/Merge.scala): a day-partitioned events
+    // table takes a deterministic upsert batch (updates: value+1000 for
+    // id%37==0; inserts: id+10M for id%97==0 — both confined to
+    // 2024-01-05..07), and ONLY those three day-partitions are read or
+    // rewritten: static isin partition pruning on the survivors read,
+    // broadcast anti-join on the batch keys, dynamic-partition-overwrite
+    // commit. The merge must be INVISIBLE relative to a full recompute —
+    // the oracle recomputes the merged state declaratively; MergeSpec
+    // pins untouched partitions byte-identical and the pruned scan.
+    "sink_merge_upsert" -> ((s, d) => {
+      val dir = tmp(d, "merge_upsert")
+      val ev = graft.Tables.events(s, d).select(
+        col("event_id"), col("user_id"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP))").as("ts_us"),
+        col("event_type"), col("value"),
+        date_format(col("ts"), "yyyyMMdd").cast("int").as("p_day"))
+      // day-clustered base write: one file per day, not tasks × days
+      ev.repartition(col("p_day"))
+        .write.mode("overwrite").partitionBy("p_day").parquet(dir)
+      val inDays = col("p_day").between(20240105, 20240107)
+      val updates = ev.filter(col("event_id") % 37 === 0 && inDays)
+        .withColumn("value", col("value") + 1000)
+      val inserts = ev.filter(col("event_id") % 97 === 0 && inDays)
+        .select((col("event_id") + 10000000L).as("event_id"), col("user_id"),
+          col("ts_us"), lit("insert").as("event_type"),
+          lit(1.0).as("value"), col("p_day"))
+      graft.ops.Merge.upsertPartitioned(
+        s, dir, updates.unionByName(inserts), "event_id", "p_day")
+      s.read.parquet(dir)
+        .groupBy("p_day")
+        .agg(count(lit(1)).as("cnt"),
+          round(sum("value"), 2).as("sum_v"),
+          sum(when(col("event_type") === "insert", 1L).otherwise(0L)).as("n_ins"))
+        .orderBy("p_day")
+    }),
+
     // per-key gzipped text upload (indexwarcsjob.py §upload) — same
     // round-trip as scan_text_lines but partitioned by crawl segment
     "sink_text_gz" -> ((s, d) => {
@@ -440,6 +476,22 @@ object Formats extends QueryModule {
         "WHERE user_id BETWEEN 100 AND 199 " +
         "AND epoch_us(ts) BETWEEN 1704844800000000 AND 1705103999999999 " +
         "ORDER BY event_id"),
+    // declarative recompute of the merged state: base minus batch keys,
+    // union batch, aggregated per day — the in-place COW merge must agree
+    "sink_merge_upsert" ->
+      ("WITH base AS (SELECT event_id, event_type, value, " +
+        "strftime(ts, '%Y%m%d')::INT AS p_day FROM events), " +
+        "batch AS (" +
+        "SELECT event_id, event_type, value + 1000 AS value, p_day " +
+        "FROM base WHERE event_id % 37 = 0 AND p_day BETWEEN 20240105 AND 20240107 " +
+        "UNION ALL " +
+        "SELECT event_id + 10000000, 'insert', 1.0, p_day " +
+        "FROM base WHERE event_id % 97 = 0 AND p_day BETWEEN 20240105 AND 20240107), " +
+        "merged AS (SELECT * FROM base WHERE event_id NOT IN " +
+        "(SELECT event_id FROM batch) UNION ALL SELECT * FROM batch) " +
+        "SELECT p_day, count(*) AS cnt, round(sum(value), 2) AS sum_v, " +
+        "CAST(sum(CASE WHEN event_type = 'insert' THEN 1 ELSE 0 END) AS BIGINT) AS n_ins " +
+        "FROM merged GROUP BY p_day ORDER BY p_day"),
     "sink_text_gz" -> o(s"SELECT $lineExprDuck AS value FROM cdx ORDER BY value"),
     "scan_manifest" -> o("SELECT DISTINCT filename AS warc_path FROM cdx ORDER BY warc_path"),
     "sink_parquet" -> o("SELECT id, urlkey, ts, status, length FROM cdx ORDER BY id"),

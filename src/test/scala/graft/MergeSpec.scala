@@ -1,0 +1,93 @@
+package graft
+
+import java.nio.file.{Files, Path}
+
+import graft.ops.Merge
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+
+import scala.jdk.CollectionConverters._
+
+/** Copy-on-write MERGE (ops/Merge.scala + the sink_merge_upsert driver
+  * key): the partition-bounded contract — untouched partitions keep
+  * byte-identical files, the survivors read prunes to exactly the
+  * affected partitions, and the merged content equals a full
+  * recompute. */
+class MergeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def listing(dir: Path): Map[String, Seq[(String, Long)]] =
+    Files.list(dir).iterator().asScala
+      .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("p_day="))
+      .map { p =>
+        p.getFileName.toString ->
+          Files.list(p).iterator().asScala
+            .filter(_.getFileName.toString.endsWith(".parquet"))
+            .map(f => f.getFileName.toString -> Files.size(f))
+            .toSeq.sortBy(_._1)
+      }.toMap
+
+  test("merge rewrites ONLY the batch's partitions; content equals a full recompute") {
+    val dir = Files.createTempDirectory("merge_cow")
+    val base = Seq(
+      (1L, 10, "a", 1.0), (2L, 10, "b", 2.0), (3L, 11, "c", 3.0),
+      (4L, 11, "d", 4.0), (5L, 12, "e", 5.0), (6L, 13, "f", 6.0))
+      .toDF("k", "p_day", "tag", "v")
+    base.write.mode("overwrite").partitionBy("p_day").parquet(dir.toString)
+    val before = listing(dir)
+    assert(before.keySet == Set("p_day=10", "p_day=11", "p_day=12", "p_day=13"))
+
+    // batch: update k=3 (day 11), delete-by-replace k=4 (day 11), insert
+    // k=99 (day 10) — days 12 and 13 must not be touched
+    val batch = Seq(
+      (3L, 11, "c2", 30.0), (4L, 11, "d2", 40.0), (99L, 10, "new", 9.0))
+      .toDF("k", "p_day", "tag", "v")
+    val days = Merge.upsertPartitioned(spark, dir.toString, batch, "k", "p_day")
+    assert(days.toSet == Set(10, 11))
+
+    val after = listing(dir)
+    // untouched partitions: identical file names AND sizes
+    Seq("p_day=12", "p_day=13").foreach { p =>
+      assert(after(p) == before(p), s"$p must be byte-untouched: ${before(p)} -> ${after(p)}")
+    }
+    // touched partitions really were rewritten (fresh file names)
+    Seq("p_day=10", "p_day=11").foreach { p =>
+      assert(after(p).map(_._1) != before(p).map(_._1), s"$p should have new files")
+    }
+
+    // merged content == declarative recompute over the original base
+    val merged = spark.read.parquet(dir.toString)
+      .select("k", "p_day", "tag", "v").sort("k")
+    val recompute = base.join(batch.select("k"), Seq("k"), "left_anti")
+      .unionByName(batch).sort("k")
+    assert(merged.collect().toSeq == recompute.collect().toSeq)
+  }
+
+  test("survivors read prunes to exactly the affected partitions") {
+    val dir = Files.createTempDirectory("merge_prune")
+    val ev = Tables.events(spark, sfDir).select(
+      col("event_id"), col("user_id"),
+      date_format(col("ts"), "yyyyMMdd").cast("int").as("p_day"))
+    ev.write.mode("overwrite").partitionBy("p_day").parquet(dir.toString)
+    val nDays = ev.select("p_day").distinct().count()
+    assert(nDays > 10, s"fixture needs many day partitions, got $nDays")
+
+    val batch = ev.filter(col("p_day").between(20240105, 20240107))
+      .filter(col("event_id") % 11 === 0)
+    val days = batch.select("p_day").distinct().collect().map(_.get(0)).toSeq
+    val surv = Merge.survivors(spark, dir.toString, batch, "event_id", "p_day", days)
+    surv.collect()
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => scans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+    }.flatten
+    val baseScan = scans(surv.queryExecution.executedPlan)
+      .filter(_.partitionFilters.nonEmpty)
+    assert(baseScan.nonEmpty, "survivors must scan the base with a partition filter")
+    val nParts = baseScan.head.selectedPartitions.partitionCount
+    assert(nParts == days.size,
+      s"survivors scan must list exactly ${days.size} partitions, listed $nParts")
+  }
+}

@@ -382,6 +382,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("UDF("), s"bloom probe missing from the plan:\n${p.take(2000)}")
   }
 
+  test("cdc_compact_changelog: last-writer-wins compacts as a mergeable agg, not a window") {
+    val df = SparkEntry.queries("cdc_compact_changelog")(spark, sfDir)
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("Window"),
+      "compaction must be max_by partial+final, never a per-key history window")
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      "expected map-side partial + final aggregation")
+  }
+
   test("join_interval_bucket: the bucket rewrite plans an equi-join, never NLJ/cartesian") {
     val p = plan("join_interval_bucket")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
