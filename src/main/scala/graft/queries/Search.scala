@@ -38,6 +38,10 @@ object Search extends QueryModule {
     * vocab (~300 matching docs at sf0.01), so the key is never vacuous */
   private val qTerms = Seq("spark", "merge")
 
+  /** phrase fixture — adjacent occurrence in ~30 docs at sf0.01 (and
+    * ≥20 at every sf), measured against the regex oracle */
+  private val qPhrase = Seq("fast", "merge")
+
   private def docs(s: SparkSession, d: String): DataFrame =
     Tables.t(s, d, "documents")
 
@@ -118,6 +122,31 @@ object Search extends QueryModule {
         .filter(col("n_hit") === qTerms.size)
         .select("doc_id")
         .orderBy("doc_id")),
+
+    // PHRASE query over positional postings — the adjacency refinement a
+    // real text index answers "fast merge" (as a phrase, not an AND)
+    // with. Positional pairs (doc, pos, term) are the stored shape;
+    // adjacency is an EQUI-join on (doc_id, pos) after shifting the
+    // second term's positions by −1 — no window, no per-doc collect, and
+    // the term filters prune each side to its postings BEFORE the join
+    // shuffle (the same filter-above-generate discipline as
+    // search_keyword_and). k-term phrases chain k−1 shifted joins, all
+    // on the same (doc_id, pos) key. The oracle is an independent
+    // formulation: a token-boundary regex over the raw text (exact
+    // parity with token adjacency because the tokenizer splits on
+    // [^a-z0-9]+ — the separator class the regex requires between the
+    // phrase words).
+    "search_phrase" -> ((s, d) => {
+      val pp = docs(s, d)
+        .select(col("doc_id"), posexplode(tokens(col("text"))))
+        .toDF("doc_id", "pos", "term")
+      val first = pp.filter(col("term") === qPhrase(0)).select("doc_id", "pos")
+      val second = pp.filter(col("term") === qPhrase(1))
+        .select(col("doc_id"), (col("pos") - 1).as("pos"))
+      first.join(second, Seq("doc_id", "pos"))
+        .select("doc_id").distinct()
+        .orderBy("doc_id")
+    }),
 
     // the write-once/probe-many leg: the SAME conjunctive query answered
     // from the STORED term-hash-partitioned index — the `tb IN (...)`
@@ -211,6 +240,11 @@ object Search extends QueryModule {
         "FROM sets x JOIN sets y ON x.doc_id < y.doc_id " +
         "WHERE len(list_intersect(x.t, y.t))::DOUBLE / len(list_distinct(list_concat(x.t, y.t))) >= 0.9 " +
         "ORDER BY a, b"),
+    // independent formulation: token-boundary regex over the raw text
+    "search_phrase" ->
+      ("SELECT doc_id FROM documents WHERE regexp_matches(lower(text), " +
+        s"'(^|[^a-z0-9])${qPhrase(0)}[^a-z0-9]+${qPhrase(1)}([^a-z0-9]|$$)') " +
+        "ORDER BY doc_id"),
     "search_index_probe" ->
       (s"SELECT doc_id FROM (SELECT doc_id, $tokensDuck AS t FROM documents) " +
         s"WHERE ${qTerms.map(t => s"list_contains(t, '$t')").mkString(" AND ")} " +

@@ -78,6 +78,57 @@ object TimeWindows extends QueryModule {
         .orderBy("event_id")
     }),
 
+    // time-series RESAMPLE to a regular hourly grid with LINEAR
+    // interpolation between observations — the gap-filling step every
+    // metrics/feature pipeline runs before joining series on aligned
+    // timestamps (win_fill_forward is the LOCF member; this is the
+    // interpolating one). Shape: observations pre-aggregate to one row
+    // per (user, second) — deterministic under duplicate timestamps —
+    // then UNION with the grid points and ONE shuffle on user_id feeds
+    // two user-partitioned windows (prev = last real obs at-or-before,
+    // next = first real obs at-or-after, via a reversed frame); the
+    // interpolation itself is a narrow expression. Grid size is bounded
+    // by users × horizon (never corpus-sized); an exact-hit grid point
+    // takes the observation's value, points outside the observed range
+    // stay NULL. The oracle is an independent formulation: two DuckDB
+    // ASOF joins (<= / >=) with the identical arithmetic.
+    "ts_resample_linear" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val g0 = 1704844800L // 2024-01-10 00:00 UTC; 72 hourly points
+      val obs = Tables.events(s, d)
+        .filter(col("user_id") < 15) // present at every sf
+        .withColumn("ts_s", expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 1000000"))
+        .groupBy("user_id", "ts_s").agg(avg("value").as("v"))
+      val grid = obs.select("user_id").distinct()
+        .crossJoin(broadcast(
+          s.range(0, 72).select((lit(g0) + col("id") * 3600L).as("ts_s"))))
+      val all = obs.select(col("user_id"), col("ts_s"), col("v"), lit(0).as("is_grid"))
+        .unionByName(grid.select(col("user_id"), col("ts_s"),
+          lit(null).cast("double").as("v"), lit(1).as("is_grid")))
+      // real rows sort BEFORE grid rows at the same ts in BOTH window
+      // directions, so an exact-hit observation is visible to each side
+      val wPrev = Window.partitionBy("user_id")
+        .orderBy(col("ts_s").asc, col("is_grid").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wNext = Window.partitionBy("user_id")
+        .orderBy(col("ts_s").desc, col("is_grid").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      all
+        .withColumn("pv", last("v", ignoreNulls = true).over(wPrev))
+        .withColumn("pt", last(when(col("is_grid") === 0, col("ts_s")), ignoreNulls = true).over(wPrev))
+        .withColumn("nv", last("v", ignoreNulls = true).over(wNext))
+        .withColumn("nt", last(when(col("is_grid") === 0, col("ts_s")), ignoreNulls = true).over(wNext))
+        .filter(col("is_grid") === 1)
+        .select(col("user_id"), col("ts_s"),
+          round(
+            when(col("pt") === col("ts_s"), col("pv"))
+              .when(col("pt").isNull || col("nt").isNull, lit(null).cast("double"))
+              .otherwise(col("pv") +
+                (col("nv") - col("pv")) * ((col("ts_s") - col("pt")) / (col("nt") - col("pt")))),
+            6).as("v"))
+        .orderBy("user_id", "ts_s")
+    }),
+
     // CUSTOM STATEFUL sessionization (flatMapGroupsWithState) through the
     // driver gate — the §2.8 "stateful custom ops" surface, batch-run:
     // per-user gap sessions with per-session (start, end, count) state,
@@ -163,6 +214,23 @@ object TimeWindows extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    // independent formulation: two ASOF joins (<= prev / >= next), same
+    // pre-aggregation and the identical interpolation arithmetic
+    "ts_resample_linear" ->
+      ("WITH obs AS (SELECT user_id, epoch_us(ts) // 1000000 AS ts_s, " +
+        "avg(value) AS v FROM events WHERE user_id < 15 GROUP BY 1, 2), " +
+        "grid AS (SELECT u.user_id, g.ts_s FROM " +
+        "(SELECT DISTINCT user_id FROM obs) u, " +
+        "(SELECT 1704844800 + unnest(range(0, 72)) * 3600 AS ts_s) g), " +
+        "prev AS (SELECT g.user_id, g.ts_s, e.ts_s AS pt, e.v AS pv " +
+        "FROM grid g ASOF LEFT JOIN obs e ON g.user_id = e.user_id AND e.ts_s <= g.ts_s), " +
+        "nxt AS (SELECT g.user_id, g.ts_s, e.ts_s AS nt, e.v AS nv " +
+        "FROM grid g ASOF LEFT JOIN obs e ON g.user_id = e.user_id AND e.ts_s >= g.ts_s) " +
+        "SELECT p.user_id, p.ts_s, round(CASE WHEN p.pt = p.ts_s THEN p.pv " +
+        "WHEN p.pt IS NULL OR n.nt IS NULL THEN NULL " +
+        "ELSE p.pv + (n.nv - p.pv) * ((p.ts_s - p.pt) / (n.nt - p.pt)) END, 6) AS v " +
+        "FROM prev p JOIN nxt n ON p.user_id = n.user_id AND p.ts_s = n.ts_s " +
+        "ORDER BY p.user_id, p.ts_s"),
     "win_tumbling" ->
       ("SELECT date_trunc('hour', ts) AS wstart, event_type, count(*) AS cnt " +
         "FROM events GROUP BY wstart, event_type ORDER BY wstart, event_type"),
