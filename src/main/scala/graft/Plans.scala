@@ -52,7 +52,8 @@ object Plans {
     "layout_zorder" -> "z-clustered write is ONE range exchange (codegen bit-interleave key); the box query's scan carries both pushed filters against per-file min/max boxes",
     "join_interval_bucket" -> "theta join rewritten to a bucket equi-join: interval explode bounded by len/width+1, shuffled hash join, exact bounds re-checked above it",
     "sink_merge_upsert" -> "COW merge reads ONLY the batch's partitions (static isin pruning), anti-joins batch keys broadcast, rewrites just those partitions via dynamic overwrite",
-    "cdc_compact_changelog" -> "last-writer-wins as a mergeable max_by agg: map-side partial compaction, one hash shuffle, no per-key history window")
+    "cdc_compact_changelog" -> "last-writer-wins as a mergeable max_by agg: map-side partial compaction, one hash shuffle, no per-key history window",
+    "join_dpp_partitioned" -> "weekend filter on the calendar dim becomes a dynamicpruningexpression on the fact scan: 8 of 30 day-dirs read, dim broadcast reused as the pruning subquery")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse(

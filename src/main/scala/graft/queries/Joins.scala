@@ -21,6 +21,14 @@ object Joins extends QueryModule {
 
   private def o(sql: String): String = Cdx.duckCte + sql
 
+  /** per-sf scratch dir (Formats/Search sink convention) */
+  private def tmpj(d: String, name: String): String = {
+    val sf = java.nio.file.Paths.get(d).getFileName.toString
+    val p = s"/tmp/graft_fmt/$sf/$name"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(p).getParent)
+    p
+  }
+
   override def queries: Map[String, QFn] = Map(
     // --skip-existing: WARCs in the manifest whose output doesn't already
     // exist (indexwarcsjob.py §skip-existing option, recon ~L40–60).
@@ -243,6 +251,35 @@ object Joins extends QueryModule {
         .orderBy("window_id")
     }),
 
+    // DYNAMIC partition pruning on a day-partitioned fact — the classic
+    // star-schema scan cut: the weekend filter lives on the CALENDAR
+    // dim, so no static partition predicate exists at plan time; the
+    // broadcast of the filtered dim doubles as the runtime pruning
+    // subquery (dynamicpruningexpression on the fact scan), and the scan
+    // lists only the weekend day-directories (8 of 30 — PlanSpec pins
+    // the count). The dim is a shuffle-free range projection ON PURPOSE:
+    // AQE's broadcast-reuse match fails across a shuffle/window in the
+    // dim subtree and DPP silently degrades to a full scan (the
+    // sim_ann_ivfpq_serve lesson, SURVEY §2.11). At 100 TB this is the
+    // difference between reading 8 and 3650 day-partitions.
+    "join_dpp_partitioned" -> ((s, d) => {
+      val dir = tmpj(d, "events_day_part")
+      graft.Tables.events(s, d)
+        .select(col("event_id"), col("value"),
+          date_format(col("ts"), "yyyyMMdd").cast("int").as("p_day"))
+        .repartition(col("p_day"))
+        .write.mode("overwrite").partitionBy("p_day").parquet(dir)
+      val cal = s.range(0, 30)
+        .select((lit(20240101L) + col("id")).cast("int").as("p_day"))
+        .withColumn("dow", dayofweek(to_date(col("p_day").cast("string"), "yyyyMMdd")))
+        .filter(col("dow").isin(1, 7)) // Sunday=1, Saturday=7
+        .select("p_day")
+      s.read.parquet(dir).join(cal, Seq("p_day"))
+        .groupBy("p_day")
+        .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_v"))
+        .orderBy("p_day")
+    }),
+
     // as-of/nearest: capture closest to a target instant per url-prefix
     // (cdx-server sort=closest consumer contract)
     "join_asof_closest" -> ((s, d) => {
@@ -310,6 +347,14 @@ object Joins extends QueryModule {
         "SELECT c.id, c.urlkey, i.block FROM cdx c JOIN idx2 i " +
         "ON c.id % 97 = 0 AND c.urlkey >= i.start_key AND (i.next_key IS NULL OR c.urlkey < i.next_key) " +
         "ORDER BY c.id"),
+    // weekend selection recomputed independently (DuckDB dayofweek:
+    // 0=Sunday, 6=Saturday); the partitioned layout must be invisible
+    "join_dpp_partitioned" ->
+      ("SELECT p_day, count(*) AS cnt, round(sum(value), 2) AS sum_v FROM " +
+        "(SELECT strftime(ts, '%Y%m%d')::INT AS p_day, value FROM events) e " +
+        "JOIN (SELECT (20240101 + unnest(range(0, 30)))::INT AS p_day) c USING (p_day) " +
+        "WHERE dayofweek(strptime(p_day::VARCHAR, '%Y%m%d')) IN (0, 6) " +
+        "GROUP BY p_day ORDER BY p_day"),
     // the declarative theta form — the bucket rewrite must be invisible
     "join_interval_bucket" ->
       ("WITH iv AS (SELECT i AS window_id, 1704067200 + i * 50400 AS lo, " +

@@ -382,6 +382,25 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("UDF("), s"bloom probe missing from the plan:\n${p.take(2000)}")
   }
 
+  test("join_dpp_partitioned: the fact scan dynamically prunes to the 8 weekend partitions") {
+    val df = SparkEntry.queries("join_dpp_partitioned")(spark, sfDir)
+    df.collect()
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+    }.flatten
+    val factScan = scans(df.queryExecution.executedPlan)
+      .filter(_.partitionFilters.exists(_.toString.contains("dynamicpruning")))
+    assert(factScan.nonEmpty,
+      "the day-partitioned fact scan must carry a dynamicpruningexpression")
+    val nParts = factScan.head.metrics("numPartitions").value
+    assert(nParts == 8,
+      s"DPP must prune the scan to the 8 weekend day-partitions, read $nParts")
+  }
+
   test("cdc_compact_changelog: last-writer-wins compacts as a mergeable agg, not a window") {
     val df = SparkEntry.queries("cdc_compact_changelog")(spark, sfDir)
     val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
