@@ -172,7 +172,51 @@ object Graph extends QueryModule {
       .select(col("src"), col("nb"), round(col("cos"), 6).as("cos"), col("rn"))
   }
 
+  /** multi-source BFS: minimum hop distance from `sources` within
+    * `maxHops`, as iterative frontier expansion — each round is ONE
+    * edges⋈frontier shuffle + a distinct + an anti-join against the
+    * settled set (so a node's distance is written exactly once, and the
+    * frontier only carries NEW nodes — on a web graph the frontier
+    * peaks and collapses instead of accumulating). Relations
+    * localCheckpoint per round (the pageRank/resolveClusters lineage
+    * hygiene); the only driver scalar is the early-exit emptiness
+    * check, never node-sized data. */
+  def bfsHops(e: DataFrame, sources: DataFrame, maxHops: Int): DataFrame = {
+    val ec = e.select("src", "dst").localCheckpoint()
+    var dist = sources.select(col("node")).distinct()
+      .withColumn("dist", lit(0)).localCheckpoint()
+    var frontier = dist.select("node")
+    var hop = 1
+    var done = false
+    while (hop <= maxHops && !done) {
+      val next = ec.join(frontier.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node")).distinct()
+        .join(dist.select("node"), Seq("node"), "left_anti")
+        .withColumn("dist", lit(hop))
+        .localCheckpoint()
+      if (next.isEmpty) done = true
+      else {
+        dist = dist.unionByName(next).localCheckpoint()
+        frontier = next.select("node")
+      }
+      hop += 1
+    }
+    dist
+  }
+
   override def queries: Map[String, QFn] = Map(
+    // BFS hop distance from node 0 (≤ 6 hops) — the traversal member of
+    // the graph family (link-distance / crawl-frontier shape). The
+    // DuckDB oracle is an independent recursive CTE (UNION-deduped so
+    // the path explosion of a dense graph never materializes) reduced by
+    // min(dist) — settled-set BFS and shortest-of-all-walks agree by
+    // definition of hop distance.
+    "graph_bfs_hops" -> ((s, d) => {
+      import s.implicits._
+      bfsHops(edges(s, d), Seq(0L).toDF("node"), maxHops = 6)
+        .orderBy("node")
+    }),
+
     // in/out degree per node — the first profile any web-graph job runs
     "graph_degree" -> ((s, d) => {
       val e = edges(s, d)
@@ -206,6 +250,16 @@ object Graph extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    // UNION (not UNION ALL) dedupes (node, dist) rows per level, so the
+    // recursion's working set stays <= nodes × hops even on the dense
+    // sf0.1 graph where counting walks would explode combinatorially
+    "graph_bfs_hops" ->
+      (s"WITH RECURSIVE bfs(node, dist) AS (" +
+        "SELECT CAST(0 AS BIGINT) AS node, 0 AS dist " +
+        "UNION " +
+        s"SELECT e.dst, b.dist + 1 FROM bfs b JOIN $edgesDuck e ON e.src = b.node " +
+        "WHERE b.dist < 6) " +
+        "SELECT node, min(dist) AS dist FROM bfs GROUP BY node ORDER BY node"),
     "graph_degree" ->
       (s"WITH e AS $edgesDuck, " +
         "o AS (SELECT src AS node, count(*) AS out_deg FROM e GROUP BY src), " +

@@ -114,4 +114,19 @@ class GraphSpec extends SparkSpec {
     assert(maxPer <= 5L)
     assert(rows.filter(col("src") === col("nb")).isEmpty, "no self-edges")
   }
+
+  test("bfsHops: golden distances on a branched path; horizon and anti-join respected") {
+    import spark.implicits._
+    // 1→2→3→4→5 with shortcut 1→3 and an unreachable island 8→9
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 3L), (8L, 9L))
+      .toDF("src", "dst")
+    val got = graft.queries.Graph.bfsHops(e, Seq(1L).toDF("node"), maxHops = 6)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // the shortcut must win (3 at dist 1, not 2) and the island stays out
+    assert(got == Map(1L -> 0, 2L -> 1, 3L -> 1, 4L -> 2, 5L -> 3), s"got $got")
+    // horizon: maxHops=2 truncates the frontier, settled dists unchanged
+    val capped = graft.queries.Graph.bfsHops(e, Seq(1L).toDF("node"), maxHops = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(capped == Map(1L -> 0, 2L -> 1, 3L -> 1, 4L -> 2), s"got $capped")
+  }
 }
