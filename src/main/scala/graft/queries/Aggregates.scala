@@ -175,6 +175,42 @@ object Aggregates extends QueryModule {
         .orderBy("user_id")
     }),
 
+    // single-pass data-quality audit (the Deequ/dbt-test shape): EVERY
+    // profile metric — row count, key uniqueness, null fraction, domain
+    // violations, bounds — comes out of ONE aggregate over the fact
+    // (each check is a when().otherwise() partial sum, so the audit
+    // costs one scan regardless of how many checks ride it), plus one
+    // broadcast anti-join for referential integrity (orphan o_custkey ∉
+    // customer). At 100 TB the audit is exactly one pass over the table
+    // it certifies; checks never multiply scans. Long output format so
+    // adding a check adds a row, not a schema change.
+    "pipeline_data_audit" -> ((s, d) => {
+      val ord = Tables.t(s, d, "orders")
+      val cust = Tables.t(s, d, "customer")
+      val prof = ord.agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct("o_orderkey").as("n_keys"),
+        sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("null_custkey"),
+        sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("nonpos_price"),
+        sum(when(col("o_orderstatus").isin("O", "F", "P"), 0L).otherwise(1L))
+          .as("bad_status"))
+      // nulls are the null_custkey check's job, and anti-join vs NOT IN
+      // disagree on them (anti keeps a null key, NOT IN drops the row) —
+      // exclude them from the orphan check in BOTH engines
+      val orphans = ord.select("o_custkey").filter(col("o_custkey").isNotNull)
+        .join(cust.select(col("c_custkey").as("o_custkey")), Seq("o_custkey"), "left_anti")
+        .agg(count(lit(1)).as("orphan_custkey"))
+      prof.crossJoin(orphans)
+        .selectExpr("stack(6, " +
+          "'n_rows', n_rows, " +
+          "'dup_keys', n_rows - n_keys, " +
+          "'null_custkey', null_custkey, " +
+          "'nonpos_price', nonpos_price, " +
+          "'bad_status', bad_status, " +
+          "'orphan_custkey', orphan_custkey) AS (chk, v)")
+        .orderBy("chk")
+    }),
+
     "agg_rollup" -> ((s, d) =>
       Cdx.df(s, d).rollup("hostword", "status")
         .agg(grouping_id().cast("int").as("gid"), count(lit(1)).as("cnt"))
@@ -378,6 +414,24 @@ object Aggregates extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "pipeline_data_audit" ->
+      ("WITH prof AS (SELECT count(*) AS n_rows, " +
+        "count(DISTINCT o_orderkey) AS n_keys, " +
+        "CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_custkey, " +
+        "CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS nonpos_price, " +
+        "CAST(sum(CASE WHEN o_orderstatus IN ('O', 'F', 'P') THEN 0 ELSE 1 END) AS BIGINT) AS bad_status " +
+        "FROM orders), " +
+        "orph AS (SELECT count(*) AS orphan_custkey FROM orders " +
+        "WHERE o_custkey IS NOT NULL " +
+        "AND o_custkey NOT IN (SELECT c_custkey FROM customer)) " +
+        "SELECT chk, v FROM (" +
+        "SELECT 'n_rows' AS chk, n_rows AS v FROM prof " +
+        "UNION ALL SELECT 'dup_keys', n_rows - n_keys FROM prof " +
+        "UNION ALL SELECT 'null_custkey', null_custkey FROM prof " +
+        "UNION ALL SELECT 'nonpos_price', nonpos_price FROM prof " +
+        "UNION ALL SELECT 'bad_status', bad_status FROM prof " +
+        "UNION ALL SELECT 'orphan_custkey', orphan_custkey FROM orph) " +
+        "ORDER BY chk"),
     "cdc_compact_changelog" ->
       ("WITH log AS (SELECT user_id, event_id AS seq, " +
         "CASE WHEN event_id % 10 = 0 THEN 'D' " +
