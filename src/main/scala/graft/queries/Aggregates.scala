@@ -211,6 +211,24 @@ object Aggregates extends QueryModule {
         .orderBy("chk")
     }),
 
+    // exact per-group MODE with a deterministic tie-break — built-in
+    // mode() breaks ties arbitrarily (engine- and order-dependent), so
+    // it can never hash-match an oracle. Two mergeable hash aggs
+    // instead: count per (group, value) — |groups × domain| rows, the
+    // only data-sized shuffle — then max over a (count, value) STRUCT,
+    // whose lexicographic comparison IS the tie-break (max count, then
+    // max value), evaluated identically by Spark struct max and DuckDB
+    // struct max. Same two-level-reduction shape as agg_pivot's second
+    // level: the final agg runs on already-reduced rows.
+    "agg_mode" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy("user_id", "event_type").agg(count(lit(1)).as("n"))
+        .groupBy("user_id")
+        .agg(max(struct(col("n"), col("event_type"))).as("m"))
+        .select(col("user_id"),
+          col("m.event_type").as("mode_event"), col("m.n").as("n_mode"))
+        .orderBy("user_id")),
+
     "agg_rollup" -> ((s, d) =>
       Cdx.df(s, d).rollup("hostword", "status")
         .agg(grouping_id().cast("int").as("gid"), count(lit(1)).as("cnt"))
@@ -414,6 +432,14 @@ object Aggregates extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    // struct max compares fields in order — the same (n, event_type)
+    // lexicographic tie-break as the Spark side
+    "agg_mode" ->
+      ("WITH c AS (SELECT user_id, event_type, count(*) AS n FROM events " +
+        "GROUP BY user_id, event_type) " +
+        "SELECT user_id, (max({'n': n, 'event_type': event_type})).event_type AS mode_event, " +
+        "(max({'n': n, 'event_type': event_type})).n AS n_mode " +
+        "FROM c GROUP BY user_id ORDER BY user_id"),
     "pipeline_data_audit" ->
       ("WITH prof AS (SELECT count(*) AS n_rows, " +
         "count(DISTINCT o_orderkey) AS n_keys, " +

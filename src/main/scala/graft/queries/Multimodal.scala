@@ -153,7 +153,62 @@ object Multimodal extends QueryModule {
   private def features(payloadBytes: Long): Array[Double] =
     Array.tabulate(8)(k => ((payloadBytes * (k + 1)) % 97).toDouble / 97.0)
 
+  /** per-sf scratch dir (Formats/Search sink convention) */
+  private def tmp(d: String, name: String): String = {
+    val sf = java.nio.file.Paths.get(d).getFileName.toString
+    val p = s"/tmp/graft_fmt/$sf/$name"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(p).getParent)
+    p
+  }
+
   override def queries: Map[String, QFn] = Map(
+    // RAW-FILE ingestion through Spark's binaryFile source — how image/
+    // audio blobs actually ARRIVE before any of the decode keys below
+    // run (a crawl dump is a directory of files, not a parquet column).
+    // The fixture writes one real gradient PNG per selected doc from the
+    // executors (distributed side-effect write, the CdxSink pattern),
+    // then `format("binaryFile")` lists and reads them back — path,
+    // length, content — and the SAME ImageIO decode used by
+    // mm_image_stats recovers each file's dimensions FROM THE BYTES. The
+    // oracle recomputes the expected dimensions from the doc-id
+    // arithmetic alone: decode-vs-closed-form, the mm_image_stats
+    // discipline, now through the file-source path. At scale the
+    // listing parallelizes over the driver's file index exactly like any
+    // file source; content rows stream without materializing the corpus.
+    "scan_binary_files" -> ((s, d) => {
+      import s.implicits._
+      val dir = tmp(d, "bin_imgs")
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      // fresh fixture dir: a stale file from an older parameterization
+      // would otherwise survive the per-file overwrites and join the scan
+      java.nio.file.Files.list(java.nio.file.Paths.get(dir)).forEach(p =>
+        java.nio.file.Files.deleteIfExists(p))
+      Tables.t(s, d, "documents")
+        .filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id")).as[Long]
+        .foreachPartition { (it: Iterator[Long]) =>
+          it.foreach { id =>
+            val bytes = graft.ops.Media.gradientPng(
+              (8 + id % 24).toInt, (8 + id * 3 % 24).toInt)
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(dir, s"img_$id.png"), bytes)
+          }
+        }
+      s.read.format("binaryFile").load(dir)
+        .select(
+          regexp_extract(col("path"), "img_(\\d+)\\.png$", 1).cast("long").as("doc_id"),
+          col("content"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          it.map { case (id, bytes) =>
+            val st = graft.ops.Media.decodeImageStats(bytes)
+            (id, st.width, st.height)
+          }
+        }
+        .toDF("doc_id", "w", "h")
+        .orderBy("doc_id")
+    }),
+
     // decode → typed metadata, batched per partition
     "mm_decode_meta" -> ((s, d) => {
       import s.implicits._
@@ -357,6 +412,12 @@ object Multimodal extends QueryModule {
       "ELSE octet_length(encode(text)) END)"
 
   override def oracleSql: Map[String, String] = Map(
+    // dimensions recomputed from the id arithmetic alone — the decode
+    // must recover them from the PNG bytes
+    "scan_binary_files" ->
+      ("SELECT doc_id, CAST(8 + doc_id % 24 AS INT) AS w, " +
+        "CAST(8 + doc_id * 3 % 24 AS INT) AS h " +
+        "FROM documents WHERE doc_id % 50 = 0 ORDER BY doc_id"),
     // image dims mirror what media() wrote INTO the PNG header and audio
     // rate/frames mirror what it encoded INTO the WAVE file (all keyed on
     // doc_id) — the Spark side re-reads them from the bytes, so a parser
