@@ -428,8 +428,68 @@ object Aggregates extends QueryModule {
         .withColumn("val", round(col("val"), 6))
         // (l_orderkey, l_linenumber) is NOT unique in the driver testdata —
         // val joins the sort to keep the dump order total
-        .orderBy("l_orderkey", "l_linenumber", "metric", "val"))
+        .orderBy("l_orderkey", "l_linenumber", "metric", "val")),
+
+    driftEntry
   )
+
+  /** distribution-DRIFT report between a reference population and a
+    * simulated drifted batch (event_id % 3 splits; the drifted side's
+    * values shift by v·1.1 + 5) — the day-over-day input-monitoring
+    * check every training-data pipeline runs before a batch is admitted.
+    * Two metrics from ONE corpus scan: PSI (population stability index,
+    * Σ (pᵢ−qᵢ)·ln(pᵢ/qᵢ) with +0.5 count smoothing over a FIXED 13-bin
+    * spine so empty bins stay finite and well-defined) and the binned
+    * two-sample KS statistic (max |cumP/Nₚ − cumQ/N_q|).
+    *
+    * Scale: the scan reduces to ≤13 (bucket, cp, cq) rows via one
+    * conditional-sum hash agg (the agg_histogram bucket arithmetic);
+    * everything after — the bin spine join, totals, running sums — runs
+    * on that bounded artifact, so the single-partition WindowExec is a
+    * 13-row driver-sized tail, never data-sized. Determinism: counts are
+    * exact integers; PSI accumulates via a RUNNING sum in bucket order
+    * (both engines left-fold identically — the float-sum-order trap the
+    * hash agg would hit); KS's max is order-independent.
+    */
+  private def driftEntry: (String, QFn) =
+    "agg_drift_report" -> { (s: org.apache.spark.sql.SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val binned = Tables.t(s, d, "events")
+        .select((col("event_id") % 3 === 0).as("isq"),
+          when(col("event_id") % 3 === 0, col("value") * 1.1 + 5)
+            .otherwise(col("value")).as("v"))
+        .select(col("isq"),
+          when(col("v") < 0, 0L).when(col("v") >= 550, 12L)
+            .otherwise(floor(col("v") / 50) + 1).as("bucket"))
+        .groupBy("bucket")
+        .agg(sum(when(!col("isq"), 1L).otherwise(0L)).as("cp"),
+          sum(when(col("isq"), 1L).otherwise(0L)).as("cq"))
+      val spine = s.range(0, 13).select(col("id").as("bucket"))
+      val j = spine.join(binned, Seq("bucket"), "left")
+        .select(col("bucket"),
+          coalesce(col("cp"), lit(0L)).as("cp"),
+          coalesce(col("cq"), lit(0L)).as("cq"))
+      val all = Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val run = Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      def p(c: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column) =
+        (c + 0.5) / (n + 6.5)
+      val w = j
+        .withColumn("np", sum("cp").over(all)).withColumn("nq", sum("cq").over(all))
+        .withColumn("cump", sum("cp").over(run)).withColumn("cumq", sum("cq").over(run))
+        .withColumn("ksb",
+          abs(col("cump").cast("double") / col("np") -
+            col("cumq").cast("double") / col("nq")))
+        .withColumn("psirun", sum(
+          (p(col("cp"), col("np")) - p(col("cq"), col("nq"))) *
+            log(p(col("cp"), col("np")) / p(col("cq"), col("nq")))).over(run))
+      w.agg(
+        round(max(col("ksb")), 6).as("ks"),
+        round(max(when(col("bucket") === 12, col("psirun"))), 6).as("psi"))
+        .selectExpr("stack(2, 'ks', ks, 'psi', psi) AS (metric, v)")
+        .orderBy("metric")
+    }}
 
   override def oracleSql: Map[String, String] = Map(
     // struct max compares fields in order — the same (n, event_type)
@@ -541,6 +601,34 @@ object Aggregates extends QueryModule {
         "UNPIVOT (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount " +
         "FROM lineitem) ON l_quantity, l_extendedprice, l_discount " +
         "INTO NAME metric VALUE val) " +
-        "ORDER BY l_orderkey, l_linenumber, metric, val")
+        "ORDER BY l_orderkey, l_linenumber, metric, val"),
+    // identical bin arithmetic and identical LEFT-FOLD order for the PSI
+    // running sum; casts keep DuckDB's HUGEINT count sums out of the
+    // float divisions
+    "agg_drift_report" ->
+      ("WITH base AS (SELECT event_id % 3 = 0 AS isq, " +
+        "CASE WHEN event_id % 3 = 0 THEN value * 1.1 + 5 ELSE value END AS v FROM events), " +
+        // floor(), NOT `//`: DuckDB's `//` on DOUBLE is plain division
+        // and CAST(double AS BIGINT) rounds-half-even — together they'd
+        // shift every bin boundary up by half a bin
+        "cnt AS (SELECT CASE WHEN v < 0 THEN 0 WHEN v >= 550 THEN 12 " +
+        "ELSE CAST(floor(v / 50) AS BIGINT) + 1 END AS bucket, " +
+        "sum(CASE WHEN NOT isq THEN 1 ELSE 0 END) AS cp, " +
+        "sum(CASE WHEN isq THEN 1 ELSE 0 END) AS cq FROM base GROUP BY bucket), " +
+        "spine AS (SELECT unnest(generate_series(0, 12)) AS bucket), " +
+        "j AS (SELECT s.bucket, CAST(coalesce(cp, 0) AS BIGINT) AS cp, " +
+        "CAST(coalesce(cq, 0) AS BIGINT) AS cq FROM spine s LEFT JOIN cnt USING (bucket)), " +
+        "w AS (SELECT bucket, cp, cq, " +
+        "CAST(sum(cp) OVER () AS BIGINT) AS np, CAST(sum(cq) OVER () AS BIGINT) AS nq, " +
+        "CAST(sum(cp) OVER (ORDER BY bucket) AS BIGINT) AS cump, " +
+        "CAST(sum(cq) OVER (ORDER BY bucket) AS BIGINT) AS cumq FROM j), " +
+        "t AS (SELECT bucket, " +
+        "abs(CAST(cump AS DOUBLE) / np - CAST(cumq AS DOUBLE) / nq) AS ksb, " +
+        "sum(((cp + 0.5) / (np + 6.5) - (cq + 0.5) / (nq + 6.5)) * " +
+        "ln(((cp + 0.5) / (np + 6.5)) / ((cq + 0.5) / (nq + 6.5)))) " +
+        "OVER (ORDER BY bucket) AS psirun FROM w) " +
+        "SELECT metric, v FROM (SELECT 'ks' AS metric, round(max(ksb), 6) AS v FROM t " +
+        "UNION ALL SELECT 'psi', round(max(CASE WHEN bucket = 12 THEN psirun END), 6) FROM t) " +
+        "ORDER BY metric")
   )
 }

@@ -535,6 +535,29 @@ object Llm extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // WEIGHT-PROPORTIONAL Bernoulli sampling, fully deterministic — the
+    // quality-weighted downsampling step a data-mix recipe runs (keep
+    // probability ∝ n_chars here; any per-doc score works). Each doc gets
+    // a reproducible uniform u ∈ [0, 2³²) from the md5 of its id (+ a
+    // seed tag), and keeps iff u·max_w·8 < w·2³² — i.e. P(keep) =
+    // w / (8·max_w) — evaluated in PURE INTEGER arithmetic (≤2⁴⁵, no
+    // float rounding for engines to disagree on; md5 hex is
+    // byte-identical across engines, unlike xxhash64 vs DuckDB hash()).
+    // Scale shape: one 1-row max agg broadcast back, then a map-side
+    // filter — zero data-sized shuffle, and re-running on a grown corpus
+    // re-selects the same surviving docs as long as max_w is pinned.
+    "sample_weighted" -> ((s, d) => {
+      val docs = Tables.t(s, d, "documents")
+      val maxW = docs.agg(max("n_chars").as("max_w"))
+      docs.crossJoin(broadcast(maxW))
+        .withColumn("u",
+          conv(substring(md5(concat(col("doc_id").cast("string"), lit(":g8"))), 1, 8),
+            16, 10).cast("bigint"))
+        .filter(col("u") * col("max_w") * 8 < col("n_chars") * lit(4294967296L))
+        .select("doc_id", "n_chars", "u")
+        .orderBy("doc_id")
+    }),
+
     // unigram-LM quality score (the CCNet-style LM filter shape): train
     // token counts over the corpus, take the top-V vocab (V=16 so the OOV
     // smoothing path is exercised even on the small-vocab fixture), score
@@ -698,6 +721,14 @@ object Llm extends QueryModule {
         "SELECT doc_id, lang, CAST((1000 * min_n) // n_g AS BIGINT) AS thresh " +
         "FROM documents JOIN counts USING (lang), m " +
         "WHERE doc_id % 1000 < thresh ORDER BY doc_id"),
+    // same md5-derived uniform, same pure-integer keep test
+    "sample_weighted" ->
+      ("WITH m AS (SELECT max(n_chars) AS max_w FROM documents), " +
+        "u AS (SELECT doc_id, n_chars, " +
+        "CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':g8'), 1, 8) AS BIGINT) AS u " +
+        "FROM documents) " +
+        "SELECT doc_id, n_chars, u FROM u, m " +
+        "WHERE u * max_w * 8 < n_chars * 4294967296 ORDER BY doc_id"),
     "text_lm_score" ->
       (s"WITH toks AS (SELECT doc_id, unnest($tokensDuck) AS tok FROM documents), " +
         "counts AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok), " +

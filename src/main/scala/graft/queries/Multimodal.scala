@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryModule, Tables}
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** North-star multimodal columns (builder brief + SURVEY §2.10): media
@@ -397,6 +397,56 @@ object Multimodal extends QueryModule {
         }
         .toDF("doc_id", "n_frames", "frame_no", "frame_w")
         .orderBy("doc_id", "frame_no")
+    }),
+
+    // IMAGE near-dedup — the dedup decision on top of mm_phash, at the
+    // right altitude for 100 TB: the corpus does ONE hash-groupBy (class
+    // = distinct dHash, rep = min doc_id), and all pairwise work runs on
+    // the |distinct hashes| relation, never the corpus. Near classes pair
+    // by LSH banding: 64 bits split into 4 bands of 16 (4 hex chars);
+    // hamming ≤ 3 differing bits can touch at most 3 bands, so two
+    // near-dup hashes share ≥ 1 band VERBATIM (pigeonhole) — the band
+    // equi-join is a LOSSLESS candidate filter, verified by the exact
+    // bit_count hamming on the two 32-bit halves (conv keeps each half in
+    // BIGINT range). A doc survives iff no lower-id doc hashes within 3
+    // bits — exactly the brute-force rule the all-pairs oracle applies —
+    // which collapses to: the class rep survives iff it is the min rep of
+    // its hamming ball, and non-rep docs never survive (their own rep is
+    // lower). Output stays linear in |distinct hashes|.
+    "dedup_image_phash" -> ((s, d) => {
+      import s.implicits._
+      val classes = Tables.t(s, d, "documents")
+        .filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val sw = (8 + id % 24).toInt
+            val sh = (8 + id * 3 % 24).toInt
+            (id, graft.ops.Media.dHashHex(graft.ops.Media.gradientPng(sw, sh)))
+          }
+        }
+        .toDF("doc_id", "phash")
+        .groupBy("phash").agg(min("doc_id").as("rep"))
+        .localCheckpoint() // tiny (≤ |distinct hashes|); consumed 3×
+      val bands = classes.select(col("phash"), posexplode(
+          array((0 until 4).map(b => substring(col("phash"), b * 4 + 1, 4)): _*)))
+        .toDF("phash", "band", "sig")
+      def half(c: Column, i: Int) =
+        conv(substring(c, i * 8 + 1, 8), 16, 10).cast("bigint")
+      def hamming(a: Column, b: Column) =
+        bit_count(half(a, 0).bitwiseXOR(half(b, 0))) +
+          bit_count(half(a, 1).bitwiseXOR(half(b, 1)))
+      val ballMin = bands.select(col("band"), col("sig"), col("phash").as("ha"))
+        .join(bands.select(col("band"), col("sig"), col("phash").as("hb")),
+          Seq("band", "sig"))
+        .select("ha", "hb").distinct() // includes the self pair (recall base)
+        .filter(hamming(col("ha"), col("hb")) <= 3)
+        .join(classes.select(col("phash").as("hb"), col("rep").as("nb_rep")), "hb")
+        .groupBy(col("ha").as("phash")).agg(min("nb_rep").as("ball_min"))
+      classes.join(ballMin, "phash")
+        .filter(col("rep") === col("ball_min"))
+        .select(col("rep").as("doc_id"), col("phash"))
+        .orderBy("doc_id")
     })
   )
 
@@ -492,6 +542,29 @@ object Multimodal extends QueryModule {
         // CAST: DuckDB sum() yields HUGEINT, which printf '%x' rejects
         "SELECT doc_id, string_agg(printf('%02x', CAST(byte AS INT)), '' ORDER BY y) AS phash " +
         "FROM b GROUP BY doc_id ORDER BY doc_id"),
+    // brute force over ALL pairs: a doc survives iff no lower-id doc
+    // hashes within 3 bits — the banded class-level path must be
+    // invisible in the result
+    "dedup_image_phash" ->
+      ("WITH ids AS (SELECT doc_id, 8 + doc_id % 24 AS sw, 8 + doc_id * 3 % 24 AS sh " +
+        "FROM documents WHERE doc_id % 3 = 0), " +
+        "lums AS (SELECT doc_id, x, y, " +
+        "(((x * sw) // 9) * 7 + 1) % 256 + (((y * sh) // 8) * 11 + 2) % 256 + " +
+        "((((x * sw) // 9) + ((y * sh) // 8)) * 13 + 3) % 256 AS la, " +
+        "((((x + 1) * sw) // 9) * 7 + 1) % 256 + (((y * sh) // 8) * 11 + 2) % 256 + " +
+        "(((((x + 1) * sw) // 9) + ((y * sh) // 8)) * 13 + 3) % 256 AS lb " +
+        "FROM ids, generate_series(0, 7) gx(x), generate_series(0, 7) gy(y)), " +
+        "b AS (SELECT doc_id, y, sum(CASE WHEN la > lb THEN (1 << x) ELSE 0 END) AS byte " +
+        "FROM lums GROUP BY doc_id, y), " +
+        "h AS (SELECT doc_id, string_agg(printf('%02x', CAST(byte AS INT)), '' ORDER BY y) AS phash " +
+        "FROM b GROUP BY doc_id), " +
+        "hi AS (SELECT doc_id, phash, " +
+        "CAST('0x' || substring(phash, 1, 8) AS BIGINT) AS h1, " +
+        "CAST('0x' || substring(phash, 9, 8) AS BIGINT) AS h2 FROM h) " +
+        "SELECT x.doc_id, x.phash FROM hi x WHERE NOT EXISTS (" +
+        "SELECT 1 FROM hi y WHERE y.doc_id < x.doc_id AND " +
+        "bit_count(xor(x.h1, y.h1)) + bit_count(xor(x.h2, y.h2)) <= 3) " +
+        "ORDER BY x.doc_id"),
     "mm_audio_meta" ->
       ("SELECT doc_id, CAST(8000 AS INT) AS sample_rate, CAST(1 AS INT) AS channels, " +
         "CAST(64 + (doc_id % 50) * 16 AS BIGINT) AS n_samples, " +

@@ -42,6 +42,11 @@ object Search extends QueryModule {
     * ≥20 at every sf), measured against the regex oracle */
   private val qPhrase = Seq("fast", "merge")
 
+  /** ranked-retrieval fixture — three terms with DIFFERENT document
+    * frequencies so the idf weighting actually orders the result; listed
+    * in the FIXED order both engines add the per-term scores in */
+  private val qRank = Seq("fast", "merge", "spark")
+
   private def docs(s: SparkSession, d: String): DataFrame =
     Tables.t(s, d, "documents")
 
@@ -207,6 +212,50 @@ object Search extends QueryModule {
         .orderBy("a", "b")
     }),
 
+    // BM25 ranked retrieval — the scoring leg the keyword/phrase keys
+    // stop short of (Robertson-Spärck Jones probabilistic weighting, the
+    // Lucene/Elasticsearch default). Per-(doc, query-term) tf after a
+    // term filter directly above the generate (only matching postings
+    // reach the shuffle), df from the already-tiny tf relation
+    // (broadcast), doc length from a second narrow corpus pass, corpus N
+    // + avgdl as an IN-PLAN broadcast 1-row aggregate (the pageRank
+    // dangling-mass pattern — no driver collect). Determinism: each
+    // term's contribution is a conditional sum over the ONE (doc, term)
+    // row, and the final score adds the three terms in FIXED textual
+    // order — no float-accumulation order for engines to disagree on
+    // (integer token counts stay exact in doubles; ln matches the
+    // text_lm_score precedent). Top-20 by (rounded score, doc_id), both
+    // tie-break keys deterministic.
+    "search_bm25_rank" -> ((s, d) => {
+      val toks = docs(s, d).select(col("doc_id"), tokens(col("text")).as("t"))
+      val dl = toks.select(col("doc_id"), size(col("t")).as("dl"))
+      val stats = dl.agg(
+        count(lit(1)).cast("double").as("n"), avg("dl").as("avgdl"))
+      val tf = toks.select(col("doc_id"), explode(col("t")).as("term"))
+        .filter(col("term").isin(qRank: _*))
+        .groupBy("doc_id", "term").agg(count(lit(1)).cast("double").as("tf"))
+      val dft = tf.groupBy("term").agg(count(lit(1)).cast("double").as("dft"))
+      val comp = tf
+        .join(broadcast(dft), "term")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("c",
+          log((col("n") - col("dft") + 0.5) / (col("dft") + 0.5) + 1.0) *
+            (col("tf") * 2.2) /
+            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+      val perTerm = comp.groupBy("doc_id")
+        .agg(
+          sum(when(col("term") === qRank(0), col("c"))).as("s0"),
+          sum(when(col("term") === qRank(1), col("c"))).as("s1"),
+          sum(when(col("term") === qRank(2), col("c"))).as("s2"))
+      perTerm
+        .select(col("doc_id"), round(
+          coalesce(col("s0"), lit(0.0)) + coalesce(col("s1"), lit(0.0)) +
+            coalesce(col("s2"), lit(0.0)), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(20)
+    }),
+
     // corpus vocabulary heavy hitters: top 20 terms by total occurrences
     "agg_topk_terms" -> ((s, d) =>
       docs(s, d)
@@ -249,6 +298,27 @@ object Search extends QueryModule {
       (s"SELECT doc_id FROM (SELECT doc_id, $tokensDuck AS t FROM documents) " +
         s"WHERE ${qTerms.map(t => s"list_contains(t, '$t')").mkString(" AND ")} " +
         "ORDER BY doc_id"),
+    // identical arithmetic in identical textual order — only the plan
+    // differs (DuckDB recomputes everything from the raw corpus)
+    "search_bm25_rank" ->
+      (s"WITH toks AS (SELECT doc_id, $tokensDuck AS t FROM documents), " +
+        "dl AS (SELECT doc_id, len(t) AS dl FROM toks), " +
+        "stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl), " +
+        "tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM " +
+        "(SELECT doc_id, unnest(t) AS term FROM toks) " +
+        s"WHERE term IN (${qRank.map(t => s"'$t'").mkString(", ")}) GROUP BY doc_id, term), " +
+        "dft AS (SELECT term, CAST(count(*) AS DOUBLE) AS dft FROM tf GROUP BY term), " +
+        "comp AS (SELECT doc_id, term, " +
+        "ln((n - dft + 0.5) / (dft + 0.5) + 1.0) * (tf * 2.2) / " +
+        "(tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS c " +
+        "FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN stats), " +
+        "pt AS (SELECT doc_id, " +
+        s"sum(CASE WHEN term = '${qRank(0)}' THEN c END) AS s0, " +
+        s"sum(CASE WHEN term = '${qRank(1)}' THEN c END) AS s1, " +
+        s"sum(CASE WHEN term = '${qRank(2)}' THEN c END) AS s2 " +
+        "FROM comp GROUP BY doc_id) " +
+        "SELECT doc_id, round(coalesce(s0, 0.0) + coalesce(s1, 0.0) + coalesce(s2, 0.0), 6) AS score " +
+        "FROM pt ORDER BY score DESC, doc_id LIMIT 20"),
     "agg_topk_terms" ->
       (s"SELECT term, count(*) AS cnt FROM " +
         s"(SELECT unnest($tokensDuck) AS term FROM documents) " +

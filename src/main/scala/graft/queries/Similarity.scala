@@ -122,6 +122,51 @@ object Similarity extends QueryModule {
         .orderBy("vec_id")
     }),
 
+    // SEMANTIC dedup (the SemDeDup recipe — Abbas et al. 2023,
+    // arXiv:2303.09540, public): embeddings cluster under a trained
+    // coarse quantizer, and near-duplicate pruning runs WITHIN each
+    // cluster only — cosine ≥ τ to a lower-id member of the same cell
+    // drops a vector, so the corpus never sees an all-pairs join. This is
+    // the embedding-space sibling of dedup_fuzzy_minhash (token space)
+    // and dedup_image_phash (pixel space): candidates come from a
+    // bucketing structure (here the k-means cells the IVF family already
+    // trains), verification is the exact cosine kernel. Planted dups are
+    // exact-direction copies (new ids, +700000) — identical vectors land
+    // in the SAME cell with cos = 1, so recall through the cell structure
+    // is certain, which SimilaritySpec pins along with the
+    // survivors+dropped partition. Cells are size-capped before the
+    // self-join (the knnGraph/bucketedPairs discipline — a degenerate
+    // quantizer must not fan out quadratically). Oracle-exempt: trained
+    // centroids depend on distributed float-summation order, the same
+    // reason as every *_trained key.
+    "dedup_semantic" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val base = emb(s, d).select(col("vec_id"), col("ed"))
+      val twins = base.filter(col("vec_id") % 9 === 0)
+        .withColumn("vec_id", col("vec_id") + 700000L)
+      val e = base.unionByName(twins).localCheckpoint() // fit + assign + 2 fetches
+      val cents = graft.ops.KMeans.train(
+        e, "ed", graft.ops.KMeans.seedById(e, "vec_id", "ed", k = 16, dim = 64),
+        maxIters = 4)
+      val centLit = typedLit(cents.map(_.toSeq).toSeq)
+      val assigned = e.withColumn("cid",
+        element_at(call_udf("pq_encode", col("ed"), centLit, lit(64), lit(16)), 1))
+      val keyed = assigned.select(col("vec_id"), col("cid"))
+      val ok = keyed.groupBy("cid").agg(count(lit(1)).as("n"))
+        .filter(col("n") <= 2000).select("cid")
+      val bounded = keyed.join(ok, Seq("cid"))
+      val dropped = bounded.select(col("cid"), col("vec_id").as("a"))
+        .join(bounded.select(col("cid"), col("vec_id").as("b")), Seq("cid"))
+        .filter(col("a") < col("b"))
+        .join(assigned.select(col("vec_id").as("a"), col("ed").as("ea")), "a")
+        .join(assigned.select(col("vec_id").as("b"), col("ed").as("eb")), "b")
+        .filter(call_udf("cosine_sim", col("ea"), col("eb")) >= 0.99)
+        .select(col("b").as("vec_id")).distinct()
+      assigned.select("vec_id", "cid")
+        .join(dropped, Seq("vec_id"), "left_anti")
+        .orderBy("vec_id")
+    }),
+
     // 64-bit SimHash over token hashes (oracle-exempt: xxhash64 is
     // engine-specific; SimilaritySpec asserts near-dups land close in
     // Hamming distance, far pairs far, and that this codegen-kernel path

@@ -210,6 +210,31 @@ object TimeWindows extends QueryModule {
         .withColumn("filled", last(col("v"), ignoreNulls = true).over(w))
         .select("event_id", "user_id", "v", "filled")
         .orderBy("event_id")
+    }),
+
+    // cohort RETENTION matrix — the product-analytics staple over an
+    // event log: users cohort by their first-seen day, and cell
+    // (cohort_day, day_offset) counts the distinct cohort members active
+    // offset days later. Two shuffles, both on user_id with the exchange
+    // reusable between them (first-seen min-agg, then the events⋈cohort
+    // equi-join); the final (cohort, offset) agg is |days²|-bounded — 900
+    // groups for a 30-day log, a broadcast-sized artifact no matter the
+    // corpus. count_distinct's expand runs AFTER the per-user collapse,
+    // so it sees (cohort, offset, user) rows, never raw events.
+    "win_retention_cohorts" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+      val cohort = ev.groupBy("user_id").agg(min("day").as("cohort_day"))
+      ev.join(cohort, "user_id")
+        .groupBy(col("cohort_day"),
+          datediff(col("day"), col("cohort_day")).as("day_offset"))
+        .agg(count_distinct(col("user_id")).as("n_users"))
+        // DATE stays internal; the output renders it as a string so the
+        // dump/oracle compare sees one type (DuckDB DATE fetches as
+        // Timestamp, Spark DATE as datetime.date — same day, hash FAIL)
+        .select(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+          col("day_offset"), col("n_users"))
+        .orderBy("cohort_day", "day_offset")
     })
   )
 
@@ -292,5 +317,14 @@ object TimeWindows extends QueryModule {
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled " +
         "FROM (SELECT *, CASE WHEN event_type = 'click' THEN NULL ELSE value END AS v " +
         "FROM events) ORDER BY event_id")
+      ,
+    "win_retention_cohorts" ->
+      ("WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events), " +
+        "cohort AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY user_id) " +
+        "SELECT strftime(c.cohort_day, '%Y-%m-%d') AS cohort_day, " +
+        "CAST(date_diff('day', c.cohort_day, e.day) AS INT) AS day_offset, " +
+        "count(DISTINCT e.user_id) AS n_users " +
+        "FROM ev e JOIN cohort c USING (user_id) " +
+        "GROUP BY 1, 2 ORDER BY 1, 2")
   )
 }
