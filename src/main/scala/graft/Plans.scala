@@ -53,7 +53,16 @@ object Plans {
     "join_interval_bucket" -> "theta join rewritten to a bucket equi-join: interval explode bounded by len/width+1, shuffled hash join, exact bounds re-checked above it",
     "sink_merge_upsert" -> "COW merge reads ONLY the batch's partitions (static isin pruning), anti-joins batch keys broadcast, rewrites just those partitions via dynamic overwrite",
     "cdc_compact_changelog" -> "last-writer-wins as a mergeable max_by agg: map-side partial compaction, one hash shuffle, no per-key history window",
-    "join_dpp_partitioned" -> "weekend filter on the calendar dim becomes a dynamicpruningexpression on the fact scan: 8 of 30 day-dirs read, dim broadcast reused as the pruning subquery")
+    "join_dpp_partitioned" -> "weekend filter on the calendar dim becomes a dynamicpruningexpression on the fact scan: 8 of 30 day-dirs read, dim broadcast reused as the pruning subquery",
+    "dedup_image_phash" -> "corpus collapses to ONE hash-groupBy; banded hamming candidates + ball-min survivor rule run on |distinct hashes|, never the corpus",
+    "dedup_semantic" -> "SemDeDup: trained-cell assignment is a narrow pq_encode pass; cosine prune joins within size-capped cells only",
+    "search_bm25_rank" -> "df + corpus stats broadcast (1-row cross as BNLJ); per-term scores conditional-summed in fixed order; top-20 is TakeOrderedAndProject",
+    "agg_drift_report" -> "corpus reduces to ≤13 (bucket,cp,cq) rows in one conditional-sum agg; spine join + running sums run on that bounded artifact",
+    "win_retention_cohorts" -> "first-seen agg and events⋈cohort share the user_id exchange; final agg is |days²|-bounded",
+    "sample_weighted" -> "1-row max agg broadcast back; keep decision is a map-side pure-integer filter — zero data-sized shuffle",
+    "graph_label_propagation" -> "per-round: one nbrs⋈labels shuffle + two hash aggs off a checkpointed neighbor list — no driver-sized state",
+    "sim_ann_binary_quant" -> "sign-bit pack is one narrow codegen projection; query words broadcast; top-10 is TakeOrderedAndProject on the popcount",
+    "ts_anomaly_mad" -> "two grouped exact percentiles broadcast back as |event_types|-row artifacts; the flag is a map-side filter")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse(

@@ -130,6 +130,23 @@ object Formats extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // XML round trip through Spark 4's BUILT-IN XML source (spark-xml
+    // folded into core in 4.0) — the config/feed interchange surface next
+    // to jsonl/csv/orc. Same explicit-schema rule (no inference pass);
+    // rowTag rows, one file per partition, the reader streams elements
+    // without materializing documents.
+    "scan_xml" -> ((s, d) => {
+      val dir = tmp(d, "docs_xml")
+      graft.Tables.t(s, d, "documents")
+        .select("doc_id", "lang", "source", "n_chars")
+        .coalesce(4)
+        .write.mode("overwrite")
+        .option("rowTag", "doc").option("rootTag", "docs").xml(dir)
+      s.read.schema("doc_id LONG, lang STRING, source STRING, n_chars LONG")
+        .option("rowTag", "doc").xml(dir)
+        .orderBy("doc_id")
+    }),
+
     // Z-ORDER storage layout (ops/Layout.scala): events rewritten
     // clustered on the Morton curve over (user_id, ts), then a 2-d box
     // query answered from the clustered table. One range sort can only
@@ -465,6 +482,8 @@ object Formats extends QueryModule {
     "scan_jsonl" ->
       "SELECT doc_id, lang, source, n_chars FROM documents ORDER BY doc_id",
     "scan_csv" ->
+      "SELECT doc_id, lang, source, n_chars FROM documents ORDER BY doc_id",
+    "scan_xml" ->
       "SELECT doc_id, lang, source, n_chars FROM documents ORDER BY doc_id",
     "scan_orc" ->
       "SELECT doc_id, lang, source, n_chars FROM documents WHERE n_chars > 100 ORDER BY doc_id",

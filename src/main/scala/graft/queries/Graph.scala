@@ -238,6 +238,34 @@ object Graph extends QueryModule {
     // exact triangle count, degree-ordered orientation
     "graph_triangle_count" -> ((s, d) => triangleCount(undirected(edges(s, d)))),
 
+    // label propagation (community detection), 3 SYNCHRONOUS rounds with
+    // a deterministic tie-break — and therefore ORACLE-CHECKED, unlike
+    // pageRank: every update is integer arithmetic (neighbor-label counts
+    // + a (cnt, −label) struct-max that picks the smallest label among
+    // the most frequent, the agg_mode trick), so DuckDB replays the exact
+    // rounds. Each round is one nbrs⋈labels shuffle + two hash aggs, the
+    // relation localCheckpoints per round (pageRank's lineage hygiene);
+    // nothing driver-sized ever materializes. Synchronous LPA (all
+    // updates read the PREVIOUS round) is the distributed-safe variant —
+    // async update order is engine-dependent by construction.
+    "graph_label_propagation" -> ((s, d) => {
+      val und = undirected(edges(s, d))
+      val nbrs = und.select(col("a").as("v"), col("b").as("n"))
+        .unionByName(und.select(col("b").as("v"), col("a").as("n")))
+        .localCheckpoint()
+      var labels = nbrs.select(col("v")).distinct().withColumn("lbl", col("v"))
+      for (_ <- 1 to 3) {
+        labels = nbrs
+          .join(labels.select(col("v").as("n"), col("lbl")), "n")
+          .groupBy("v", "lbl").agg(count(lit(1)).as("cnt"))
+          .groupBy("v")
+          .agg(max(struct(col("cnt"), (-col("lbl")).as("neg"))).as("m"))
+          .select(col("v"), (-col("m.neg")).as("lbl"))
+          .localCheckpoint()
+      }
+      labels.orderBy("v")
+    }),
+
     // approximate k-NN similarity graph over the embeddings — the input
     // relation graph-based dedup / clustering consumes
     "emb_knn_graph" -> ((s, d) => {
@@ -267,6 +295,23 @@ object Graph extends QueryModule {
         "SELECT coalesce(o.node, i.node) AS node, coalesce(out_deg, 0) AS out_deg, " +
         "coalesce(in_deg, 0) AS in_deg FROM o FULL OUTER JOIN i ON o.node = i.node " +
         "ORDER BY node"),
+    // the same 3 synchronous rounds unrolled; {'c': cnt, 'g': -lbl}
+    // struct-max IS the (max count, min label) tie-break
+    "graph_label_propagation" ->
+      (s"WITH e AS $edgesDuck, " +
+        "und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM e), " +
+        "nbr AS (SELECT a AS v, b AS n FROM und UNION ALL SELECT b, a FROM und), " +
+        "l0 AS (SELECT DISTINCT v, v AS lbl FROM nbr), " +
+        "l1 AS (SELECT x.v, -(max({'c': x.cnt, 'g': -x.lbl})).g AS lbl FROM " +
+        "(SELECT nb.v, l.lbl, count(*) AS cnt FROM nbr nb JOIN l0 l ON nb.n = l.v " +
+        "GROUP BY nb.v, l.lbl) x GROUP BY x.v), " +
+        "l2 AS (SELECT x.v, -(max({'c': x.cnt, 'g': -x.lbl})).g AS lbl FROM " +
+        "(SELECT nb.v, l.lbl, count(*) AS cnt FROM nbr nb JOIN l1 l ON nb.n = l.v " +
+        "GROUP BY nb.v, l.lbl) x GROUP BY x.v), " +
+        "l3 AS (SELECT x.v, -(max({'c': x.cnt, 'g': -x.lbl})).g AS lbl FROM " +
+        "(SELECT nb.v, l.lbl, count(*) AS cnt FROM nbr nb JOIN l2 l ON nb.n = l.v " +
+        "GROUP BY nb.v, l.lbl) x GROUP BY x.v) " +
+        "SELECT v, lbl FROM l3 ORDER BY v"),
     // id-order orientation — any acyclic orientation yields the same count
     "graph_triangle_count" ->
       (s"WITH e AS $edgesDuck, " +

@@ -229,6 +229,34 @@ object Similarity extends QueryModule {
         .limit(10)
     }),
 
+    // BINARY quantization ANN — the 512× compression end of the
+    // quantization spectrum (1 bit/dim vs PQ's byte-per-subspace vs
+    // int8's byte-per-dim): bit i = sign(ed[i]), packed into two 32-bit
+    // words (BIGINT-safe, the dedup_image_phash convention), distance =
+    // XOR popcount. Fully deterministic — sign extraction and bit packing
+    // are exact integer ops — so unlike the trained variants this ANN
+    // path is DuckDB-ORACLED end to end. Scale shape: packing is one
+    // narrow codegen projection (the corpus at rest is 8 bytes/vector),
+    // the query words broadcast, top-10 is TakeOrderedAndProject on
+    // (hamming, vec_id).
+    "sim_ann_binary_quant" -> ((s, d) => {
+      val e = emb(s, d).select(col("vec_id"), col("ed"))
+      def word(lo: Int) =
+        (lo until lo + 32)
+          .map(i => when(col("ed")(i) > 0, lit(1L << (i - lo))).otherwise(lit(0L)))
+          .reduce(_ + _)
+      val packed = e.select(col("vec_id"), word(0).as("h1"), word(32).as("h2"))
+      val q = packed.filter(col("vec_id") === 0)
+        .select(col("h1").as("q1"), col("h2").as("q2"))
+      packed.crossJoin(broadcast(q))
+        .withColumn("ham",
+          bit_count(col("h1").bitwiseXOR(col("q1"))) +
+            bit_count(col("h2").bitwiseXOR(col("q2"))))
+        .select(col("vec_id"), col("ham"))
+        .orderBy(col("ham"), col("vec_id"))
+        .limit(10)
+    }),
+
     // Product-quantization ANN (the classic 100-TB-scale path: vectors
     // compress to m small codes, the scan touches codes only). m=4
     // subspaces × 16 dims; codebook per subspace = subvectors of the first
@@ -923,6 +951,15 @@ object Similarity extends QueryModule {
   }
 
   override def oracleSql: Map[String, String] = Map(
+    // same sign-bit packing into two 32-bit words, same XOR popcount
+    "sim_ann_binary_quant" ->
+      ("WITH b AS (SELECT vec_id, " +
+        "CAST(sum(CASE WHEN i < 32 AND embedding[i + 1] > 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS h1, " +
+        "CAST(sum(CASE WHEN i >= 32 AND embedding[i + 1] > 0 THEN (1::BIGINT << (i - 32)) ELSE 0 END) AS BIGINT) AS h2 " +
+        "FROM embeddings, generate_series(0, 63) g(i) GROUP BY vec_id), " +
+        "q AS (SELECT h1 AS q1, h2 AS q2 FROM b WHERE vec_id = 0) " +
+        "SELECT vec_id, CAST(bit_count(xor(h1, q1)) + bit_count(xor(h2, q2)) AS INT) AS ham " +
+        "FROM b, q ORDER BY ham, vec_id LIMIT 10"),
     "emb_normalize" ->
       ("SELECT vec_id, round(nrm, 6) AS nrm, round(embedding[1]::DOUBLE / nrm, 6) AS u0, " +
         "round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> (x / nrm) * (x / nrm)))), 6) AS unit_norm " +

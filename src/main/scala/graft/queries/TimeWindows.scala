@@ -235,6 +235,32 @@ object TimeWindows extends QueryModule {
         .select(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
           col("day_offset"), col("n_users"))
         .orderBy("cohort_day", "day_offset")
+    }),
+
+    // robust per-group anomaly flagging via median absolute deviation —
+    // agg_drift_report's row-level sibling (drift watches the
+    // distribution, this flags individual readings): a value is anomalous
+    // when |v − median| > 3σ-equivalent (3 · 1.4826 ≈ 4.4478 MADs, the
+    // Gaussian-consistency constant). Exact grouped percentile (the
+    // agg_percentiles buffering trade-off, per event_type not per key) —
+    // both medians broadcast back as |event_types|-row artifacts, so the
+    // flag itself is a map-side filter over one more corpus pass. Scores
+    // stay oracle-exact: Spark's exact percentile and DuckDB's
+    // quantile_cont use the same linear interpolation.
+    "ts_anomaly_mad" -> ((s, d) => {
+      val ev = Tables.t(s, d, "events")
+        .select("event_id", "event_type", "value")
+      val med = ev.groupBy("event_type")
+        .agg(expr("percentile(value, 0.5)").as("med"))
+      val dev = ev.join(broadcast(med), "event_type")
+        .withColumn("ad", abs(col("value") - col("med")))
+      val mad = dev.groupBy("event_type")
+        .agg(expr("percentile(ad, 0.5)").as("mad"))
+      dev.join(broadcast(mad), "event_type")
+        .filter(col("mad") > 0 && col("ad") > col("mad") * 4.4478)
+        .select(col("event_id"), col("event_type"),
+          round(col("ad") / col("mad"), 6).as("score"))
+        .orderBy("event_id")
     })
   )
 
@@ -325,6 +351,16 @@ object TimeWindows extends QueryModule {
         "CAST(date_diff('day', c.cohort_day, e.day) AS INT) AS day_offset, " +
         "count(DISTINCT e.user_id) AS n_users " +
         "FROM ev e JOIN cohort c USING (user_id) " +
-        "GROUP BY 1, 2 ORDER BY 1, 2")
+        "GROUP BY 1, 2 ORDER BY 1, 2"),
+    "ts_anomaly_mad" ->
+      ("WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med " +
+        "FROM events GROUP BY event_type), " +
+        "dev AS (SELECT e.event_id, e.event_type, abs(e.value - m.med) AS ad " +
+        "FROM events e JOIN med m USING (event_type)), " +
+        "mad AS (SELECT event_type, quantile_cont(ad, 0.5) AS mad " +
+        "FROM dev GROUP BY event_type) " +
+        "SELECT d.event_id, d.event_type, round(d.ad / m.mad, 6) AS score " +
+        "FROM dev d JOIN mad m USING (event_type) " +
+        "WHERE m.mad > 0 AND d.ad > m.mad * 4.4478 ORDER BY d.event_id")
   )
 }

@@ -693,4 +693,24 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(diff.isEmpty, "merged-from-segments cells must equal built-whole cells")
   }
 
+  test("sample_weighted: selection set equals the md5-integer rule recomputed independently") {
+    import spark.implicits._
+    val sel = SparkEntry.queries("sample_weighted")(spark, sfDir).collect()
+      .map(_.getLong(0)).toSet
+    val docs = Tables.t(spark, sfDir, "documents")
+      .select("doc_id", "n_chars").as[(Long, Long)].collect()
+    val maxW = docs.map(_._2).max
+    def u(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$id:g8".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16)
+    }
+    val expect = docs.collect {
+      case (id, w) if u(id) * maxW * 8 < w * 4294967296L => id
+    }.toSet
+    assert(sel == expect, s"selection diverged: extra=${sel -- expect} missing=${expect -- sel}")
+    // the rule actually samples: nonempty, and well under the corpus
+    assert(sel.nonEmpty && sel.size < docs.length / 2,
+      s"${sel.size} of ${docs.length} selected")
+  }
 }

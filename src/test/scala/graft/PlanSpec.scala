@@ -427,4 +427,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "candidates must come from the (table, bucket) equi-join")
   }
+
+  test("search_bm25_rank: stats ride as broadcasts, top-k avoids a global sort") {
+    val df = SparkEntry.queries("search_bm25_rank")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.explainString(ExplainMode.fromString("simple"))
+    // the 1-row corpus stats and the ≤|terms|-row df relation broadcast;
+    // the only sort-merge-eligible join is tf⋈dl on doc_id
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), "1-row stats must broadcast, not cartesian")
+    assert(p.contains("TakeOrderedAndProject"), "top-20 must not globally sort")
+  }
 }

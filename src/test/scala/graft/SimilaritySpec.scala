@@ -542,4 +542,52 @@ class SimilaritySpec extends SparkSpec {
     assert(a == b, "driver key must be deterministic")
     assert(a.size == 64 && a.forall(!_.anyNull))
   }
+
+  test("dedup_semantic: planted twins all dropped; no surviving same-cell pair is 0.99-close") {
+    val res = SparkEntry.queries("dedup_semantic")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    val survivors = res.map(_._1).toSet
+    assert(survivors.nonEmpty)
+    val base = Tables.t(spark, sfDir, "embeddings")
+      .selectExpr("vec_id", "cast(embedding as array<double>) AS ed")
+      .as[(Long, Seq[Double])].collect().toMap
+    // recall through the cell structure is CERTAIN for identical vectors:
+    // a twin shares its original's cell and scores cosine exactly 1
+    val twinIds = base.keySet.filter(_ % 9 == 0).map(_ + 700000L)
+    assert(twinIds.nonEmpty)
+    twinIds.foreach(t => assert(!survivors.contains(t), s"planted twin $t survived"))
+    // independent verification of the postcondition: within every cell,
+    // surviving vectors are pairwise below the 0.99 cosine threshold
+    def vec(id: Long): Seq[Double] = base(if (id >= 700000L) id - 700000L else id)
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    res.groupBy(_._2).values.foreach { cell =>
+      for (Seq((ia, _), (ib, _)) <- cell.toSeq.combinations(2))
+        assert(cos(vec(ia), vec(ib)) < 0.99, s"survivors $ia/$ib are near-dups")
+    }
+  }
+
+  test("dedup_image_phash: survivors pairwise > 3 bits apart and exactly the undominated docs") {
+    val rows = SparkEntry.queries("dedup_image_phash")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.nonEmpty)
+    def bits(h: String): Long = java.lang.Long.parseUnsignedLong(h, 16)
+    def ham(a: String, b: String): Int = java.lang.Long.bitCount(bits(a) ^ bits(b))
+    for (Seq((ia, ha), (ib, hb)) <- rows.toSeq.combinations(2))
+      assert(ham(ha, hb) > 3, s"survivors $ia/$ib are within 3 bits")
+    // independent brute-force recheck of the survivor rule: a doc
+    // survives iff NO lower-id doc hashes within 3 bits
+    val all = Tables.t(spark, sfDir, "documents")
+      .filter(col("doc_id") % 3 === 0).select("doc_id").as[Long].collect().sorted
+      .map(id => id -> graft.ops.Media.dHashHex(
+        graft.ops.Media.gradientPng((8 + id % 24).toInt, (8 + id * 3 % 24).toInt)))
+    val surv = rows.map(_._1).toSet
+    all.foreach { case (id, h) =>
+      val dominated = all.exists { case (j, g) => j < id && ham(g, h) <= 3 }
+      assert(surv.contains(id) == !dominated,
+        s"doc $id: survivor=${surv.contains(id)} but dominated=$dominated")
+    }
+  }
 }
