@@ -62,7 +62,8 @@ object Plans {
     "sample_weighted" -> "1-row max agg broadcast back; keep decision is a map-side pure-integer filter — zero data-sized shuffle",
     "graph_label_propagation" -> "per-round: one nbrs⋈labels shuffle + two hash aggs off a checkpointed neighbor list — no driver-sized state",
     "sim_ann_binary_quant" -> "sign-bit pack is one narrow codegen projection; query words broadcast; top-10 is TakeOrderedAndProject on the popcount",
-    "ts_anomaly_mad" -> "two grouped exact percentiles broadcast back as |event_types|-row artifacts; the flag is a map-side filter")
+    "ts_anomaly_mad" -> "two grouped exact percentiles broadcast back as |event_types|-row artifacts; the flag is a map-side filter",
+    "graph_connected_components" -> "pointer-jumping rounds off a checkpointed symmetric edge list — diameter 2^k coverage, observe()-counted convergence, no driver-sized state")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse(

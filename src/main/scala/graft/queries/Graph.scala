@@ -266,6 +266,21 @@ object Graph extends QueryModule {
       labels.orderBy("v")
     }),
 
+    // connected components over the link graph — the SAME pointer-jumping
+    // min-label routine the dedup pipeline uses (ops.Dedup.resolveClusters:
+    // per round one edges⋈labels agg + a rep-chasing self-join, so rounds
+    // cover diameter 2^k, converged-or-throw), surfaced as a graph key
+    // and ORACLE-CHECKED: component id = min node id in the component,
+    // which a DuckDB recursive CTE reproduces exactly.
+    "graph_connected_components" -> ((s, d) => {
+      val und = undirected(edges(s, d))
+      val verts = und.select(col("a").as("v"))
+        .unionByName(und.select(col("b").as("v"))).distinct()
+      graft.ops.Dedup.resolveClusters(verts, und)
+        .select(col("v").as("node"), col("rep").as("component"))
+        .orderBy("node")
+    }),
+
     // approximate k-NN similarity graph over the embeddings — the input
     // relation graph-based dedup / clustering consumes
     "emb_knn_graph" -> ((s, d) => {
@@ -312,6 +327,17 @@ object Graph extends QueryModule {
         "(SELECT nb.v, l.lbl, count(*) AS cnt FROM nbr nb JOIN l2 l ON nb.n = l.v " +
         "GROUP BY nb.v, l.lbl) x GROUP BY x.v) " +
         "SELECT v, lbl FROM l3 ORDER BY v"),
+    // component membership spreads along UNION-deduped reach rows, so the
+    // working set stays ≤ |nodes|·|components' spans|, never walk counts
+    "graph_connected_components" ->
+      (s"WITH RECURSIVE e AS $edgesDuck, " +
+        "und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM e), " +
+        "nbr AS (SELECT a AS v, b AS n FROM und UNION ALL SELECT b, a FROM und), " +
+        "reach(v, r) AS (" +
+        "SELECT v, v FROM (SELECT DISTINCT v FROM nbr) " +
+        "UNION " +
+        "SELECT n.v, r.r FROM nbr n JOIN reach r ON n.n = r.v) " +
+        "SELECT v AS node, min(r) AS component FROM reach GROUP BY v ORDER BY node"),
     // id-order orientation — any acyclic orientation yields the same count
     "graph_triangle_count" ->
       (s"WITH e AS $edgesDuck, " +

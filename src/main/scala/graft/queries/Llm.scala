@@ -142,6 +142,27 @@ object Llm extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // ASYMMETRIC token-set containment C(X|Y) = |X∩Y|/|X| over the same
+    // bounded consecutive-doc pairs — the quote / doc-inside-doc detector
+    // Jaccard can't express (a short doc fully quoted inside a long one
+    // scores high containment but low Jaccard, because the union is
+    // dominated by the long side). Both directions reported; same narrow
+    // per-row set ops, same single equi-join shape as dedup_ngram_jaccard.
+    "text_containment" -> ((s, d) => {
+      val docs = Tables.t(s, d, "documents")
+        .select(col("doc_id"), array_distinct(tokens(col("text"))).as("toks"))
+      val a = docs.select(col("doc_id"), col("toks").as("toks_a"))
+      val b = docs.select((col("doc_id") - 1).as("doc_id"), col("toks").as("toks_b"))
+      a.join(b, "doc_id")
+        .filter(size(col("toks_a")) > 0 && size(col("toks_b")) > 0)
+        .select(col("doc_id"),
+          round(size(array_intersect(col("toks_a"), col("toks_b"))).cast("double") /
+            size(col("toks_a")), 6).as("cont_ab"),
+          round(size(array_intersect(col("toks_b"), col("toks_a"))).cast("double") /
+            size(col("toks_b")), 6).as("cont_ba"))
+        .orderBy("doc_id")
+    }),
+
     // shingle → minhash → banded LSH candidate pairs. Oracle-exempt
     // (xxhash64 is engine-specific); LlmSpec asserts the planted
     // near-dup pairs are all recovered with zero spurious-pair noise
@@ -775,6 +796,13 @@ object Llm extends QueryModule {
         "SELECT a.doc_id - 1 AS doc_id, " +
         "round(len(list_intersect(a.t, b.t))::DOUBLE / len(list_distinct(list_concat(a.t, b.t))), 6) AS jaccard " +
         "FROM toks a JOIN toks b ON a.doc_id = b.doc_id + 1 ORDER BY doc_id"),
+    "text_containment" ->
+      ("WITH toks AS (SELECT doc_id, list_distinct(" + tokensDuck + ") AS t FROM documents) " +
+        "SELECT b.doc_id - 1 AS doc_id, " +
+        "round(len(list_intersect(a.t, b.t))::DOUBLE / len(a.t), 6) AS cont_ab, " +
+        "round(len(list_intersect(a.t, b.t))::DOUBLE / len(b.t), 6) AS cont_ba " +
+        "FROM toks a JOIN toks b ON b.doc_id = a.doc_id + 1 " +
+        "WHERE len(a.t) > 0 AND len(b.t) > 0 ORDER BY doc_id"),
     "text_tokenize" ->
       (s"SELECT word, count(*) AS cnt FROM (SELECT unnest($tokensDuck) AS word FROM documents) " +
         "GROUP BY word ORDER BY cnt DESC, word LIMIT 100"),
