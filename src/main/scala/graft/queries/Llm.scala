@@ -473,6 +473,32 @@ object Llm extends QueryModule {
         .orderBy("lang", "source")
     }),
 
+    // TEMPERATURE-scaled sampling weights per language — the standard
+    // multilingual rebalance (the p^α recipe popularized by the
+    // mBERT/XLM-R line of work, α = 0.7): sampling probability
+    // q_i = p_i^α / Σ p_j^α upweights low-resource languages without
+    // corpus_mix_weights' hard uniformity, and per-doc sampling weight
+    // = q_i / p_i. All on the |languages|-row count artifact: one
+    // corpus agg, a 1-row Σ p^α broadcast back in-plan, narrow
+    // arithmetic — the POW/ln float path matches across engines at
+    // 6-digit rounding (the text_lm_score precedent). α rides as a
+    // literal in both engines so the exponent can't drift.
+    "sample_temperature" -> ((s, d) => {
+      val docs = Tables.t(s, d, "documents")
+      val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      val total = docs.agg(count(lit(1)).as("total"))
+      val scaled = counts.crossJoin(broadcast(total))
+        .withColumn("p", col("n_docs").cast("double") / col("total"))
+        .withColumn("pa", pow(col("p"), 0.7))
+      val z = scaled.agg(sum("pa").as("z"))
+      scaled.crossJoin(broadcast(z))
+        .select(col("lang"), col("n_docs"),
+          round(col("p"), 6).as("p"),
+          round(col("pa") / col("z"), 6).as("q"),
+          round((col("pa") / col("z")) / col("p"), 6).as("weight"))
+        .orderBy("lang")
+    }),
+
     // Token-budget corpus fill: keep each language's highest-quality
     // docs until a 5k-token budget is spent — the mixing primitive
     // ("N tokens per language"). Implemented scale-safe
@@ -901,6 +927,15 @@ object Llm extends QueryModule {
         "SELECT lang, source, n_docs, round(n_docs::DOUBLE / total, 6) AS frac, " +
         "round(total::DOUBLE / (n_groups * n_docs), 6) AS weight " +
         "FROM counts, t, g ORDER BY lang, source"),
+    // identical arithmetic: p, p^0.7, the Σ p^α normalizer, q/p
+    "sample_temperature" ->
+      ("WITH counts AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang), " +
+        "t AS (SELECT count(*) AS total FROM documents), " +
+        "sc AS (SELECT lang, n_docs, n_docs::DOUBLE / total AS p, " +
+        "pow(n_docs::DOUBLE / total, 0.7) AS pa FROM counts, t), " +
+        "z AS (SELECT sum(pa) AS z FROM sc) " +
+        "SELECT lang, n_docs, round(p, 6) AS p, round(pa / z, 6) AS q, " +
+        "round((pa / z) / p, 6) AS weight FROM sc, z ORDER BY lang"),
     "dedup_keep_best" ->
       (s"WITH RECURSIVE edges AS (" +
         "SELECT d.doc_id AS a, d.doc_id + 1 AS b FROM documents d " +
