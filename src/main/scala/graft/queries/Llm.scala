@@ -490,7 +490,13 @@ object Llm extends QueryModule {
       val scaled = counts.crossJoin(broadcast(total))
         .withColumn("p", col("n_docs").cast("double") / col("total"))
         .withColumn("pa", pow(col("p"), 0.7))
-      val z = scaled.agg(sum("pa").as("z"))
+      // Σ p^α folds in FIXED lang order (running sum, then max — monotone
+      // for positive terms), not a bare hash-agg double sum whose
+      // accumulation order could diverge from the oracle's at a rounding
+      // boundary (the agg_drift_report discipline)
+      val zw = org.apache.spark.sql.expressions.Window.orderBy("lang")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val z = scaled.withColumn("zr", sum("pa").over(zw)).agg(max("zr").as("z"))
       scaled.crossJoin(broadcast(z))
         .select(col("lang"), col("n_docs"),
           round(col("p"), 6).as("p"),
@@ -933,7 +939,8 @@ object Llm extends QueryModule {
         "t AS (SELECT count(*) AS total FROM documents), " +
         "sc AS (SELECT lang, n_docs, n_docs::DOUBLE / total AS p, " +
         "pow(n_docs::DOUBLE / total, 0.7) AS pa FROM counts, t), " +
-        "z AS (SELECT sum(pa) AS z FROM sc) " +
+        "z AS (SELECT max(zr) AS z FROM " +
+        "(SELECT sum(pa) OVER (ORDER BY lang) AS zr FROM sc)) " +
         "SELECT lang, n_docs, round(p, 6) AS p, round(pa / z, 6) AS q, " +
         "round((pa / z) / p, 6) AS weight FROM sc, z ORDER BY lang"),
     "dedup_keep_best" ->

@@ -151,11 +151,16 @@ object Similarity extends QueryModule {
       // a frozen codebook assigns identical vectors identically, so the
       // planted twins' certain-recall argument is codebook-independent —
       // and the daily dedup run costs ZERO training jobs.
-      val e = base.unionByName(twins).localCheckpoint() // assign + 2 fetches
+      val e = base.unionByName(twins)
       val cents = ivfpqFitMemo(s, d).coarse
       val centLit = typedLit(cents.map(_.toSeq).toSeq)
+      // checkpoint AFTER assignment (the ivfpqFit discipline): the
+      // assigned relation feeds five subtrees (cell count, bounded join,
+      // both vector fetches, final output) — materializing the union
+      // instead would re-run the corpus-wide pq_encode pass per consumer
       val assigned = e.withColumn("cid",
         element_at(call_udf("pq_encode", col("ed"), centLit, lit(64), lit(16)), 1))
+        .localCheckpoint()
       val keyed = assigned.select(col("vec_id"), col("cid"))
       val ok = keyed.groupBy("cid").agg(count(lit(1)).as("n"))
         .filter(col("n") <= 2000).select("cid")

@@ -250,12 +250,17 @@ object TimeWindows extends QueryModule {
     "ts_anomaly_mad" -> ((s, d) => {
       val ev = Tables.t(s, d, "events")
         .select("event_id", "event_type", "value")
+      // med/mad ROUND to 6 digits before any downstream use: the two
+      // engines' median interpolation formulas can differ in the last
+      // ulp, and the outlier filter below consumes these values raw —
+      // rounding first confines any divergence to the same
+      // rounding-boundary risk class as every other rounded float column
       val med = ev.groupBy("event_type")
-        .agg(expr("percentile(value, 0.5)").as("med"))
+        .agg(round(expr("percentile(value, 0.5)"), 6).as("med"))
       val dev = ev.join(broadcast(med), "event_type")
         .withColumn("ad", abs(col("value") - col("med")))
       val mad = dev.groupBy("event_type")
-        .agg(expr("percentile(ad, 0.5)").as("mad"))
+        .agg(round(expr("percentile(ad, 0.5)"), 6).as("mad"))
       dev.join(broadcast(mad), "event_type")
         .filter(col("mad") > 0 && col("ad") > col("mad") * 4.4478)
         .select(col("event_id"), col("event_type"),
@@ -353,11 +358,11 @@ object TimeWindows extends QueryModule {
         "FROM ev e JOIN cohort c USING (user_id) " +
         "GROUP BY 1, 2 ORDER BY 1, 2"),
     "ts_anomaly_mad" ->
-      ("WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med " +
+      ("WITH med AS (SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med " +
         "FROM events GROUP BY event_type), " +
         "dev AS (SELECT e.event_id, e.event_type, abs(e.value - m.med) AS ad " +
         "FROM events e JOIN med m USING (event_type)), " +
-        "mad AS (SELECT event_type, quantile_cont(ad, 0.5) AS mad " +
+        "mad AS (SELECT event_type, round(quantile_cont(ad, 0.5), 6) AS mad " +
         "FROM dev GROUP BY event_type) " +
         "SELECT d.event_id, d.event_type, round(d.ad / m.mad, 6) AS score " +
         "FROM dev d JOIN mad m USING (event_type) " +
