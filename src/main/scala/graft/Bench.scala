@@ -1,6 +1,17 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** The outlier trigger for the rerun-keep-minimum protocol, extracted
+    * so BenchSpec can pin it: with an idle reference, >3× the reference
+    * (and >1 s absolute) is presumed contention; WITHOUT a reference —
+    * a query new this round — anything over an absolute 20 s is
+    * suspicious (the slowest legitimate idle line is ~4 s). The no-ref
+    * arm is the guard that round 7's 1914 s dedup_winnow_pairs line
+    * shipped through the absence of. */
+  private[graft] def suspicious(refs: Map[String, Double], name: String, t: Double): Boolean =
+    refs.get(name).map(r => t > math.max(3 * r, 1.0)).getOrElse(t > 20.0)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -81,10 +92,9 @@ object Bench {
     // every sample and is still reported. no_ref names are emitted in
     // bench_out.json so an incomplete reference file is visible, not
     // silent.
-    def suspicious(name: String, t: Double): Boolean =
-      refs.get(name).map(r => t > math.max(3 * r, 1.0)).getOrElse(t > 20.0)
+    def susp(name: String, t: Double): Boolean = suspicious(refs, name, t)
     val results = firstPass.map { case (name, (t, ok)) =>
-      if (!ok || !suspicious(name, t)) name -> t
+      if (!ok || !susp(name, t)) name -> t
       else {
         reran += name
         // a FAILED rerun must not donate its fast wall time (and the
@@ -96,7 +106,7 @@ object Bench {
         // still >3× after the first rerun gets ONE more attempt — a real
         // regression survives all three samples and is still reported.
         val best = (1 to 2).foldLeft(t) { (acc, _) =>
-          if (!suspicious(name, acc)) acc
+          if (!susp(name, acc)) acc
           else {
             val (t2, ok2) = timeOne(name, SparkEntry.queries(name), recordFailure = false)
             if (ok2) math.min(acc, t2) else acc
