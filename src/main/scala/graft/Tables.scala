@@ -48,4 +48,15 @@ trait QueryModule {
   type QFn = (SparkSession, String) => DataFrame
   def queries: Map[String, QFn]
   def oracleSql: Map[String, String]
+
+  /** THE per-sf scratch dir for fixture sinks (`/tmp/graft_fmt/<sf>/
+    * <name>`) — one definition, so sf0.001/sf0.01 runs can't collide and
+    * a layout/cleanup-policy change can't silently split fixture
+    * locations across query modules (this was six private copies). */
+  protected def tmp(d: String, name: String): String = {
+    val sf = java.nio.file.Paths.get(d).getFileName.toString
+    val p = s"/tmp/graft_fmt/$sf/$name"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(p).getParent)
+    p
+  }
 }

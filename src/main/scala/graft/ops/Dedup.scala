@@ -283,14 +283,29 @@ object Dedup {
   def incrementalWinnowCandidates(
       spark: org.apache.spark.sql.SparkSession, table: String,
       newDocs: DataFrame, idCol: String, textCol: String,
-      k: Int = 3, w: Int = 4): DataFrame = {
+      k: Int = 3, w: Int = 4, maxBucketSize: Int = 500): DataFrame = {
     val newFps = winnowFingerprints(newDocs, idCol, textCol, k, w)
       .select(col("fp"), col("doc_id").as("b"))
+      .localCheckpoint() // consumed by the count AND the pair join
+    val idx = spark.table(table).select(col("fp"), col("doc_id").as("a"))
+    // the COMBINED (index + batch) bucket cap — the same rule
+    // winnowCandidates applies to the full-batch self-join, so
+    // probe == full-batch pairs BY CONSTRUCTION even when a bucket
+    // straddles the cap, and a boilerplate fingerprint arriving in the
+    // batch cannot re-open the quadratic fan-out the build-time
+    // stop-fingerprint cut closed (the build cap sees corpus-only counts;
+    // without this the probe side was entirely uncapped). The index-side
+    // count aggregates on the bucketed layout (no exchange); the batch
+    // side is small by the daily-ingest contract.
+    val ok = idx.groupBy("fp").agg(count(lit(1)).as("na"))
+      .join(newFps.groupBy("fp").agg(count(lit(1)).as("nb")), Seq("fp"))
+      .filter(col("na") + col("nb") <= maxBucketSize)
+      .select("fp")
     // merge hint for the same reason as the minhash probe: pin the plan
     // the bucketed layout exists for (AQE would broadcast at test scale)
-    spark.table(table).hint("merge")
-      .select(col("fp"), col("doc_id").as("a"))
+    idx.hint("merge")
       .join(newFps, Seq("fp"))
+      .join(ok, Seq("fp"), "left_semi")
       .select("a", "b").distinct()
   }
 

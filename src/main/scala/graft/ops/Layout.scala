@@ -48,9 +48,16 @@ object Layout {
 
   /** Linear normalization of a dimension into the 16-bit z-domain given
     * its global [lo, hi] bounds (the one-row ANALYZE agg every z-order
-    * job runs first — Delta's OPTIMIZE does the same stats pass). */
+    * job runs first — Delta's OPTIMIZE does the same stats pass).
+    * Scaled in DOUBLE: the integer form ((c−lo)·65535) wraps Long once
+    * the domain spans > ~1.4e14 (a µs-timestamp column a few years wide
+    * — routine for the tables this targets), silently garbling z-values;
+    * a double loses at most ulp precision ≪ one z-cell, and the layout
+    * is advisory (dropped before write), so rounding cannot affect
+    * results — only clustering quality, which overflow destroyed. */
   def norm16(c: Column, lo: Long, hi: Long): Column =
-    ((c - lit(lo)) * lit(65535L) / lit(math.max(hi - lo, 1L))).cast("long")
+    ((c - lit(lo)).cast("double") * 65535.0 / math.max(hi - lo, 1L).toDouble)
+      .cast("long")
 
   /** Reference JVM implementation of [[zvalue]] for spec parity. */
   def zvalueRef(a: Int, b: Int): Long = {

@@ -50,7 +50,12 @@ object Merge {
       spark: SparkSession, baseDir: String, batch: DataFrame,
       keyCol: String, partCol: String): Seq[Any] = {
     val days = batch.select(partCol).distinct().collect().map(_.get(0)).toSeq
-    require(days.size <= 100000,
+    // 2000 ≈ five years of daily partitions: far above any real batch
+    // (which touches days, not years) but LOW enough to actually fire
+    // when a caller passes a key-like column as partCol — the mistake
+    // that silently turns the merge into a full-table rewrite through a
+    // tens-of-thousands-literal isin filter
+    require(days.size <= 2000,
       s"batch touches ${days.size} partitions — not a partition-bounded merge")
     // repartition on the partition column before the write: each task
     // owns whole partitions, so a rewritten day is ONE file instead of

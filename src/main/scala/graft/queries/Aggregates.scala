@@ -355,12 +355,7 @@ object Aggregates extends QueryModule {
         df.groupBy("event_type").agg(
           count(lit(1)).as("cnt"), sum("value").as("sv"),
           min("value").as("mn"), max("value").as("mx"))
-      val dir = {
-        val sf = java.nio.file.Paths.get(d).getFileName.toString
-        val p = s"/tmp/graft_fmt/$sf/agg_states"
-        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(p).getParent)
-        p
-      }
+      val dir = tmp(d, "agg_states")
       partial(e.filter(col("event_id") % 4 =!= 0))
         .write.mode("overwrite").parquet(dir)
       s.read.parquet(dir)

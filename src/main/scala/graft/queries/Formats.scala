@@ -65,14 +65,6 @@ object Formats extends QueryModule {
   private def cdxLines(s: SparkSession, d: String): DataFrame =
     Cdx.df(s, d).selectExpr(s"$lineExprSpark AS line")
 
-  /** per-sf scratch dir so sf0.001/sf0.01 runs don't collide */
-  private def tmp(d: String, name: String): String = {
-    val sf = Paths.get(d).getFileName.toString
-    val p = s"/tmp/graft_fmt/$sf/$name"
-    Files.createDirectories(Paths.get(p).getParent)
-    p
-  }
-
   override def queries: Map[String, QFn] = Map(
     // newline text scan incl. transparent .gz (zipnumclusterjob.py §mapper)
     "scan_text_lines" -> ((s, d) => {

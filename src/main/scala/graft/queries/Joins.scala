@@ -21,14 +21,6 @@ object Joins extends QueryModule {
 
   private def o(sql: String): String = Cdx.duckCte + sql
 
-  /** per-sf scratch dir (Formats/Search sink convention) */
-  private def tmpj(d: String, name: String): String = {
-    val sf = java.nio.file.Paths.get(d).getFileName.toString
-    val p = s"/tmp/graft_fmt/$sf/$name"
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(p).getParent)
-    p
-  }
-
   override def queries: Map[String, QFn] = Map(
     // --skip-existing: WARCs in the manifest whose output doesn't already
     // exist (indexwarcsjob.py §skip-existing option, recon ~L40–60).
@@ -263,7 +255,7 @@ object Joins extends QueryModule {
     // sim_ann_ivfpq_serve lesson, SURVEY §2.11). At 100 TB this is the
     // difference between reading 8 and 3650 day-partitions.
     "join_dpp_partitioned" -> ((s, d) => {
-      val dir = tmpj(d, "events_day_part")
+      val dir = tmp(d, "events_day_part")
       graft.Tables.events(s, d)
         .select(col("event_id"), col("value"),
           date_format(col("ts"), "yyyyMMdd").cast("int").as("p_day"))

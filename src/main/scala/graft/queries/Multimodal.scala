@@ -153,14 +153,6 @@ object Multimodal extends QueryModule {
   private def features(payloadBytes: Long): Array[Double] =
     Array.tabulate(8)(k => ((payloadBytes * (k + 1)) % 97).toDouble / 97.0)
 
-  /** per-sf scratch dir (Formats/Search sink convention) */
-  private def tmp(d: String, name: String): String = {
-    val sf = java.nio.file.Paths.get(d).getFileName.toString
-    val p = s"/tmp/graft_fmt/$sf/$name"
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(p).getParent)
-    p
-  }
-
   override def queries: Map[String, QFn] = Map(
     // RAW-FILE ingestion through Spark's binaryFile source — how image/
     // audio blobs actually ARRIVE before any of the decode keys below
@@ -181,8 +173,10 @@ object Multimodal extends QueryModule {
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
       // fresh fixture dir: a stale file from an older parameterization
       // would otherwise survive the per-file overwrites and join the scan
-      java.nio.file.Files.list(java.nio.file.Paths.get(dir)).forEach(p =>
-        java.nio.file.Files.deleteIfExists(p))
+      // (stream closed explicitly — Files.list leaks an fd otherwise)
+      val listing = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      try listing.forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally listing.close()
       Tables.t(s, d, "documents")
         .filter(col("doc_id") % 50 === 0)
         .select(col("doc_id")).as[Long]

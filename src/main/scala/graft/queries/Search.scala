@@ -95,14 +95,6 @@ object Search extends QueryModule {
       .select("doc_id")
   }
 
-  /** per-sf scratch dir (Similarity/Formats sink convention) */
-  private def tmp(d: String, name: String): String = {
-    val sf = java.nio.file.Paths.get(d).getFileName.toString
-    val p = s"/tmp/graft_fmt/$sf/$name"
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(p).getParent)
-    p
-  }
-
   override def queries: Map[String, QFn] = Map(
     // term -> (document frequency, sorted postings list); postings render
     // as a csv string — the driver's compare hashes scalar columns

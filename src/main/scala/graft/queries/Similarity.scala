@@ -438,15 +438,6 @@ object Similarity extends QueryModule {
     })
   )
 
-  /** per-sf scratch dir for stored-index round trips (same convention as
-    * the Formats sinks) */
-  private def tmp(d: String, name: String): String = {
-    val sf = java.nio.file.Paths.get(d).getFileName.toString
-    val p = s"/tmp/graft_fmt/$sf/$name"
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(p).getParent)
-    p
-  }
-
   /** A fitted IVF-PQ model: trained coarse centroids, trained residual
     * codebook (flat j·nCent + c layout), and the checkpointed
     * (vec_id, ed, cid, res) assignment relation the fit ran over. The

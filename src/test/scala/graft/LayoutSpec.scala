@@ -87,4 +87,16 @@ class LayoutSpec extends SparkSpec {
     assert(zRows < (total * 3) / 4,
       s"z layout should skip >=25% of rows for the user box, scanned $zRows of $total")
   }
+
+  test("norm16: a multi-year microsecond domain maps 0..65535 without Long wrap") {
+    import spark.implicits._
+    // 10 years of µs ≈ 3.2e14 — (c-lo)*65535 would exceed Long.MaxValue
+    // and wrap negative under the old integer scaling
+    val hi = 10L * 365 * 24 * 3600 * 1000000L
+    val ns = Seq(0L, hi / 2, hi).toDF("c")
+      .select(Layout.norm16(col("c"), 0L, hi).as("n"))
+      .as[Long].collect().sorted
+    assert(ns.head == 0L && ns.last == 65535L && ns(1) > 32000L && ns(1) < 33000L,
+      s"wide domain garbled: ${ns.toSeq}")
+  }
 }

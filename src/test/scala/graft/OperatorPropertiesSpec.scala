@@ -192,6 +192,33 @@ class OperatorPropertiesSpec extends SparkSpec {
       s"appended ids malformed: ${vsBatch1.take(5)}")
   }
 
+  test("incrementalWinnowCandidates: combined bucket cap matches the batch path on a straddling bucket") {
+    import spark.implicits._
+    // 3 identical docs in the corpus (every fp bucket = 3, passes a cap
+    // of 3 at build time) + 2 identical batch docs carrying the same fps:
+    // the COMBINED bucket is 5 — the batch path drops it at cap 3, so the
+    // probe must too (this asymmetry was a real bug: the probe side had
+    // no cap at all, so a boilerplate fp in the batch re-opened the
+    // quadratic fan-out and broke probe==full-batch parity at the cap)
+    val text = "alpha beta gamma delta epsilon zeta eta theta"
+    val corpus = Seq((1L, text), (2L, text), (3L, text)).toDF("doc_id", "text")
+    val batch = Seq((101L, text), (102L, text)).toDF("doc_id", "text")
+    spark.sql("DROP TABLE IF EXISTS graft_winnow_cap_test")
+    graft.ops.Dedup.writeWinnowIndex(
+      corpus, "doc_id", "text", "graft_winnow_cap_test", maxBucketSize = 3)
+    def probe(cap: Int) = graft.ops.Dedup.incrementalWinnowCandidates(
+      spark, "graft_winnow_cap_test", batch, "doc_id", "text", maxBucketSize = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def full(cap: Int) = graft.ops.Dedup.winnowCandidates(
+      corpus.unionByName(batch), "doc_id", "text", maxBucketSize = cap)
+      .filter(col("a") < 100L && col("b") >= 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(probe(3) == full(3) && probe(3).isEmpty,
+      s"straddling bucket must drop in BOTH paths: probe=${probe(3)} full=${full(3)}")
+    assert(probe(10) == full(10) && probe(10).size == 6,
+      s"under the cap both paths emit all 3x2 cross pairs: probe=${probe(10)}")
+  }
+
   test("appendToMinhashIndex folds a batch in; later probes see it, layout survives") {
     // day-2 of the ingest loop: after batch1 is accepted, its banded rows
     // INSERT INTO the bucketed index; a batch2 probe must then find pairs
