@@ -204,6 +204,12 @@ class OperatorPropertiesSpec extends SparkSpec {
     val corpus = Seq((1L, text), (2L, text), (3L, text)).toDF("doc_id", "text")
     val batch = Seq((101L, text), (102L, text)).toDF("doc_id", "text")
     spark.sql("DROP TABLE IF EXISTS graft_winnow_cap_test")
+    // DROP alone can leave the location behind (prior-JVM leftovers) —
+    // clear it like the append test does
+    val wh = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
+    val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val loc = new org.apache.hadoop.fs.Path(wh, "graft_winnow_cap_test")
+    if (fs.exists(loc)) fs.delete(loc, true)
     graft.ops.Dedup.writeWinnowIndex(
       corpus, "doc_id", "text", "graft_winnow_cap_test", maxBucketSize = 3)
     def probe(cap: Int) = graft.ops.Dedup.incrementalWinnowCandidates(
