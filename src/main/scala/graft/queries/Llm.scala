@@ -632,6 +632,37 @@ object Llm extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // SECOND-ORDER LM quality score — text_lm_score's bigram sibling
+    // (the stronger fluency signal a CCNet-style filter actually wants:
+    // unigram scores can't see scrambled word order). Model = the top-16
+    // bigrams + top-16 context unigrams by corpus count, both broadcast;
+    // each doc's adjacent pairs (the text_bigram_counts indexed-transform
+    // shape, no self-join) score p(w|prev) = (c_bigram+1)/(c_prev+17)
+    // with add-one smoothing, unseen counts coalescing to 0 — so scoring
+    // is map-side against two tiny broadcast tables, and the only data
+    // shuffle is the per-doc mean.
+    "text_lm_score_bigram" -> ((s, d) => {
+      val docs = Tables.t(s, d, "documents")
+      val pairs = docs
+        .withColumn("w", tokens(col("text")))
+        .select(col("doc_id"), explode(expr(
+          "IF(size(w) >= 2, transform(sequence(1, size(w) - 1), " +
+            "i -> struct(w[i-1] AS prev, w[i] AS cur)), array())")).as("pr"))
+        .select(col("doc_id"), col("pr.prev").as("prev"), col("pr.cur").as("cur"))
+      val bigrams = pairs.groupBy("prev", "cur").agg(count(lit(1)).as("cb"))
+        .orderBy(col("cb").desc, col("prev"), col("cur")).limit(16)
+      val contexts = pairs.groupBy("prev").agg(count(lit(1)).as("cp"))
+        .orderBy(col("cp").desc, col("prev")).limit(16)
+      pairs
+        .join(broadcast(bigrams), Seq("prev", "cur"), "left")
+        .join(broadcast(contexts), Seq("prev"), "left")
+        .withColumn("lp",
+          log((coalesce(col("cb"), lit(0L)) + 1).cast("double") /
+            (coalesce(col("cp"), lit(0L)) + 17)))
+        .groupBy("doc_id").agg(round(avg("lp"), 6).as("lm2_score"))
+        .orderBy("doc_id")
+    }),
+
     // splitting variant: documents SPAN sequence boundaries (the trainer's
     // concatenate-and-cut contract) — one row per (doc, seq) overlap with
     // the doc-relative token sub-range; interior sequences exactly full
@@ -789,6 +820,19 @@ object Llm extends QueryModule {
         "tot AS (SELECT sum(c) AS n FROM counts) " +
         "SELECT doc_id, round(avg(ln((coalesce(v.c, 0) + 1)::DOUBLE / (n + 17))), 6) AS lm_score " +
         "FROM toks t LEFT JOIN vocab v USING (tok), tot GROUP BY doc_id ORDER BY doc_id"),
+    // parallel unnest zips the shifted slices positionally — the same
+    // adjacent pairs the Spark indexed transform emits
+    "text_lm_score_bigram" ->
+      (s"WITH toks AS (SELECT doc_id, $tokensDuck AS t FROM documents), " +
+        "pr AS (SELECT doc_id, unnest(t[1:len(t)-1]) AS prev, unnest(t[2:len(t)]) AS cur " +
+        "FROM toks WHERE len(t) >= 2), " +
+        "bg AS (SELECT prev, cur, count(*) AS cb FROM pr GROUP BY 1, 2 " +
+        "ORDER BY cb DESC, prev, cur LIMIT 16), " +
+        "cx AS (SELECT prev, count(*) AS cp FROM pr GROUP BY 1 " +
+        "ORDER BY cp DESC, prev LIMIT 16) " +
+        "SELECT doc_id, round(avg(ln((coalesce(cb, 0) + 1)::DOUBLE / (coalesce(cp, 0) + 17))), 6) AS lm2_score " +
+        "FROM pr LEFT JOIN bg USING (prev, cur) LEFT JOIN cx USING (prev) " +
+        "GROUP BY doc_id ORDER BY doc_id"),
     "pipeline_pack_split" ->
       (s"SELECT doc_id, s AS seq_id, CAST(greatest(0, s * 512 - cum_before) AS BIGINT) AS tok_start, " +
         "CAST(least(n_tok, (s + 1) * 512 - cum_before) AS BIGINT) AS tok_end FROM (" +
