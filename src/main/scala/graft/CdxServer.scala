@@ -112,6 +112,64 @@ final class CdxServer(spark: SparkSession, clusterDir: String) {
       .drop("rn")
   }
 
+  /** Memento TimeMap rows (RFC 7089 link-format — pywb's /timemap/link/
+    * endpoint over the same index): every capture of the URL becomes a
+    * memento link with rel position markers (first/last) and an RFC 1123
+    * datetime. The datetime is rebuilt from the 14-digit ts by pure
+    * substring/CASE arithmetic — date_format's EEE/MMM names are
+    * JVM-locale-dependent, which an engine-portable oracle can't rely
+    * on. One urlkey-partition window pair finds the first/last capture
+    * in the same pass (no second scan). */
+  def timemap(urlkey: String): DataFrame = {
+    val w = Window.partitionBy("urlkey")
+    val dow = dayofweek(to_date(substring(col("ts"), 1, 8), "yyyyMMdd"))
+    val dowName = when(dow === 1, "Sun").when(dow === 2, "Mon")
+      .when(dow === 3, "Tue").when(dow === 4, "Wed").when(dow === 5, "Thu")
+      .when(dow === 6, "Fri").otherwise("Sat")
+    val mm = substring(col("ts"), 5, 2)
+    val monName = when(mm === "01", "Jan").when(mm === "02", "Feb")
+      .when(mm === "03", "Mar").when(mm === "04", "Apr").when(mm === "05", "May")
+      .when(mm === "06", "Jun").when(mm === "07", "Jul").when(mm === "08", "Aug")
+      .when(mm === "09", "Sep").when(mm === "10", "Oct").when(mm === "11", "Nov")
+      .otherwise("Dec")
+    val rfc = concat(dowName, lit(", "), substring(col("ts"), 7, 2), lit(" "),
+      monName, lit(" "), substring(col("ts"), 1, 4), lit(" "),
+      substring(col("ts"), 9, 2), lit(":"), substring(col("ts"), 11, 2),
+      lit(":"), substring(col("ts"), 13, 2), lit(" GMT"))
+    exactUrl(urlkey)
+      .withColumn("ft", min("ts").over(w))
+      .withColumn("lt", max("ts").over(w))
+      .withColumn("rel",
+        when(col("ts") === col("ft") && col("ts") === col("lt"), "first last memento")
+          .when(col("ts") === col("ft"), "first memento")
+          .when(col("ts") === col("lt"), "last memento")
+          .otherwise("memento"))
+      .select(col("ts"), col("rel"),
+        concat(lit("<http://memento.example/web/"), col("ts"), lit("/"),
+          get_json_object(col("json"), "$.url"), lit(">; rel=\""),
+          col("rel"), lit("\"; datetime=\""), rfc, lit("\"")).as("link"))
+      .orderBy("ts", "link")
+  }
+
+  /** pywb fuzzy-match fallback: an exact-URL MISS retries with the
+    * query-stripped key as a prefix (the canonical rule in pywb's
+    * fuzzymatcher — drop the querystring, rescan `base?`); a hit
+    * suppresses the fallback entirely. The hit test rides in-plan as a
+    * broadcast 1-row count — no driver round trip, so the whole
+    * two-stage lookup is ONE job and the fallback scan still prunes on
+    * the base prefix through cluster.idx. */
+  def fuzzyMatch(urlkey: String): DataFrame = {
+    val base = urlkey.takeWhile(_ != '?')
+    val exact = exactUrl(urlkey)
+    val hit = exact.agg(count(lit(1)).as("n_exact"))
+    val fallback = scan(Some(base + "?"))
+      .crossJoin(broadcast(hit)).filter(col("n_exact") === 0).drop("n_exact")
+    exact.select("urlkey", "ts", "json").withColumn("is_fuzzy", lit(false))
+      .unionByName(fallback.select("urlkey", "ts", "json")
+        .withColumn("is_fuzzy", lit(true)))
+      .orderBy("urlkey", "ts", "json")
+  }
+
   /** pagination contract: numPages for a prefix at `blocksPerPage`
     * (pywb showNumPages), computed from cluster.idx alone — no data I/O */
   def numPages(surtPrefix: String, blocksPerPage: Int): Long = {

@@ -341,6 +341,31 @@ object Formats extends QueryModule {
         .pageByKey("org,example,medium)", "org,example,medium)/order/3", "", 400)
     }),
 
+    // pywb /timemap/link through the gate: the hottest URL's captures as
+    // Memento link-format rows (rel first/last markers, RFC 1123
+    // datetime rebuilt by substring/CASE arithmetic so the oracle can
+    // reproduce every byte without locale-dependent date formatting)
+    "cdx_timemap" -> ((s, d) => {
+      val dir = tmp(d, "zipnum_tm")
+      ZipNum.write(cdxLines(s, d), dir, shards = 8, linesPerBlock = 100)
+      val hot = Cdx.df(s, d).groupBy("urlkey").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("urlkey")).head.getString(0)
+      new graft.CdxServer(s, dir).timemap(hot)
+    }),
+
+    // pywb fuzzy matching through the gate: an exact URL with a
+    // guaranteed-missing querystring falls back to the query-stripped
+    // prefix rescan — the in-plan miss test keeps the two-stage lookup
+    // one job, and the fallback still idx-prunes on the base prefix
+    "cdx_fuzzy_match" -> ((s, d) => {
+      val dir = tmp(d, "zipnum_fz")
+      ZipNum.write(cdxLines(s, d), dir, shards = 8, linesPerBlock = 100)
+      val hot = Cdx.df(s, d).groupBy("urlkey").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("urlkey")).head.getString(0)
+      val base = hot.takeWhile(_ != '?')
+      new graft.CdxServer(s, dir).fuzzyMatch(base + "?zzzgraftmissing=1")
+    }),
+
     // the cdx-server exact-url + from=/to= shape through the V2 source:
     // Catalyst pushes the urlkey equality AND the ts bounds, which the
     // scan folds into one 'urlkey ts' idx key range — a hot URL's blocks
@@ -542,6 +567,34 @@ object Formats extends QueryModule {
         "WHERE urlkey >= 'org,example,medium)/order/3' " +
         "AND (urlkey > 'org,example,medium)/order/3' OR ts > '') " +
         "ORDER BY urlkey, ts, json LIMIT 400"),
+    // identical byte-by-byte link construction; DuckDB dayofweek is
+    // Sunday=0 where Spark's is Sunday=1, so the CASE maps differ
+    "cdx_timemap" -> o(
+      "SELECT ts, rel, '<http://memento.example/web/' || ts || '/' || url || " +
+        "'>; rel=\"' || rel || '\"; datetime=\"' || " +
+        "(CASE dayofweek(strptime(substr(ts, 1, 8), '%Y%m%d')) " +
+        "WHEN 0 THEN 'Sun' WHEN 1 THEN 'Mon' WHEN 2 THEN 'Tue' WHEN 3 THEN 'Wed' " +
+        "WHEN 4 THEN 'Thu' WHEN 5 THEN 'Fri' ELSE 'Sat' END) || ', ' || " +
+        "substr(ts, 7, 2) || ' ' || " +
+        "(CASE substr(ts, 5, 2) WHEN '01' THEN 'Jan' WHEN '02' THEN 'Feb' " +
+        "WHEN '03' THEN 'Mar' WHEN '04' THEN 'Apr' WHEN '05' THEN 'May' " +
+        "WHEN '06' THEN 'Jun' WHEN '07' THEN 'Jul' WHEN '08' THEN 'Aug' " +
+        "WHEN '09' THEN 'Sep' WHEN '10' THEN 'Oct' WHEN '11' THEN 'Nov' " +
+        "ELSE 'Dec' END) || ' ' || substr(ts, 1, 4) || ' ' || " +
+        "substr(ts, 9, 2) || ':' || substr(ts, 11, 2) || ':' || substr(ts, 13, 2) || " +
+        "' GMT\"' AS link FROM (" +
+        "SELECT ts, url, CASE WHEN ts = min(ts) OVER () AND ts = max(ts) OVER () " +
+        "THEN 'first last memento' WHEN ts = min(ts) OVER () THEN 'first memento' " +
+        "WHEN ts = max(ts) OVER () THEN 'last memento' ELSE 'memento' END AS rel " +
+        "FROM cdx WHERE urlkey = (SELECT urlkey FROM cdx GROUP BY urlkey " +
+        "ORDER BY count(*) DESC, urlkey LIMIT 1)) ORDER BY ts, link"),
+    // the miss is guaranteed, so the result is exactly the fallback
+    // (query-stripped prefix) rows, all flagged fuzzy
+    "cdx_fuzzy_match" -> o(
+      s"SELECT urlkey, ts, $jsonExprDuck, TRUE AS is_fuzzy FROM cdx " +
+        "WHERE starts_with(urlkey, (SELECT split_part(urlkey, '?', 1) FROM " +
+        "(SELECT urlkey FROM cdx GROUP BY urlkey ORDER BY count(*) DESC, urlkey LIMIT 1)) || '?') " +
+        "ORDER BY urlkey, ts, json"),
     "sink_warc_cdx" -> o(
       "SELECT regexp_replace(regexp_extract(filename, '[^/]+$'), '\\.warc\\.gz$', '.cdx.gz') AS cdx_name, " +
         s"$lineExprDuck AS value FROM cdx ORDER BY value"),
