@@ -295,16 +295,16 @@ object Pipeline {
     * that stored doc. (The offset-log/replay reasoning already assumes
     * this; it is the caller's id-minting obligation.)
     *
-    * Degenerate-bucket asymmetry: the in-batch pass caps buckets at
-    * [[graft.ops.Dedup.minhashCandidates]]'s maxBucketSize, while the
-    * index probe is uncapped (an append-side cap would need the bucket's
-    * total count, which a probe doesn't aggregate — see
-    * [[graft.ops.Dedup.appendToMinhashIndex]]). Consequence on replay: in
-    * a >maxBucketSize bucket, a first attempt that crashed AFTER indexing
-    * its keepers can drop, via the uncapped index probe, batch docs the
-    * in-batch cap had let through. Keeper sets then differ only inside
-    * buckets the build-time cap already declares degenerate-by-policy;
-    * the periodic rebuild re-caps them. */
+    * Degenerate buckets: BOTH passes apply the same cap — the in-batch
+    * pass via [[graft.ops.Dedup.minhashCandidates]]'s maxBucketSize, the
+    * index probe via [[graft.ops.Dedup.incrementalCandidates]]'s COMBINED
+    * (index + batch) bucket count, so a bucket that straddles the cap
+    * across the index boundary is dropped by the same rule a full-batch
+    * self-join would apply. Replay consequence: keeper sets can still
+    * differ inside buckets whose size crossed the cap BETWEEN the first
+    * attempt and the replay (the appended keepers count toward the
+    * combined total) — buckets the cap already declares
+    * degenerate-by-policy; the periodic rebuild re-caps them. */
   def dedupIngestBatch(
       batch: DataFrame, table: String, corpusBase: String, batchId: Long): Unit = {
     val spark = batch.sparkSession

@@ -28,6 +28,20 @@ private[functions] object PositiveLiteralGuard {
           case _ => TypeCheckResult.TypeCheckSuccess
         }
     }
+
+  /** variant that also RETURNS the literal's value, for checks that need
+    * it downstream (codebook-shape validation). Unlike [[check]], a
+    * foldable NULL fails here — a null geometry parameter cannot size
+    * anything. One definition instead of the per-expression copies
+    * PqEncodeExpr/PqAdcExpr used to carry. */
+  def value(pretty: String, name: String, e: Expression): Either[TypeCheckResult, Int] =
+    if (!e.foldable)
+      Left(TypeCheckResult.TypeCheckFailure(s"$pretty: $name must be a literal"))
+    else e.eval() match {
+      case v: Int if v > 0 => Right(v)
+      case v => Left(TypeCheckResult.TypeCheckFailure(
+        s"$pretty: $name must be a positive literal, got $v"))
+    }
 }
 
 /** shared codegen template for kernels that return a BOXED value (null =
@@ -351,13 +365,7 @@ case class PqEncodeExpr(
     val base = super.checkInputDataTypes()
     if (base.isFailure) return base
     def positiveLit(name: String, e: Expression): Either[TypeCheckResult, Int] =
-      if (!e.foldable)
-        Left(TypeCheckResult.TypeCheckFailure(s"$prettyName: $name must be a literal"))
-      else e.eval() match {
-        case v: Int if v > 0 => Right(v)
-        case v => Left(TypeCheckResult.TypeCheckFailure(
-          s"$prettyName: $name must be a positive literal, got $v"))
-      }
+      PositiveLiteralGuard.value(prettyName, name, e)
     (positiveLit("subDim", third), positiveLit("nCent", fourth)) match {
       case (Left(f), _) => f
       case (_, Left(f)) => f
@@ -430,12 +438,9 @@ case class PqAdcExpr(
   override def checkInputDataTypes(): TypeCheckResult = {
     val base = super.checkInputDataTypes()
     if (base.isFailure) return base
-    if (!fourth.foldable)
-      return TypeCheckResult.TypeCheckFailure(s"$prettyName: nCent must be a literal")
-    val nCent = fourth.eval() match {
-      case v: Int if v > 0 => v
-      case v => return TypeCheckResult.TypeCheckFailure(
-        s"$prettyName: nCent must be a positive literal, got $v")
+    val nCent = PositiveLiteralGuard.value(prettyName, "nCent", fourth) match {
+      case Left(f) => return f
+      case Right(v) => v
     }
     if (!third.foldable) return TypeCheckResult.TypeCheckSuccess
     third.eval() match {

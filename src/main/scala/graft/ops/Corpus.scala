@@ -51,7 +51,12 @@ object Corpus {
   def budgetFill(
       docs: DataFrame, groupCol: String, qualityCol: String,
       tokensCol: String, idCol: String, budget: Long): DataFrame = {
-    val levels = docs.groupBy(groupCol, qualityCol)
+    // null-quality docs are EXCLUDED, explicitly: they cannot rank in a
+    // quality-ordered fill, and leaving them in would have them vanish
+    // implicitly through the null-unsafe level join below — the silent
+    // version of the same decision
+    val ranked = docs.filter(col(qualityCol).isNotNull)
+    val levels = ranked.groupBy(groupCol, qualityCol)
       .agg(sum(tokensCol).as("level_tokens"))
     val wLevel = Window.partitionBy(groupCol).orderBy(col(qualityCol).desc)
     val open = levels
@@ -61,7 +66,7 @@ object Corpus {
       .filter(col("cum_before") <= budget)
       .select(col(groupCol), col(qualityCol), col("cum_before"))
     val wDoc = Window.partitionBy(groupCol, qualityCol).orderBy(idCol)
-    docs.join(open, Seq(groupCol, qualityCol))
+    ranked.join(open, Seq(groupCol, qualityCol))
       .withColumn("cum_tokens", col("cum_before") + sum(tokensCol).over(wDoc))
       .filter(col("cum_tokens") <= budget)
       .drop("cum_before")

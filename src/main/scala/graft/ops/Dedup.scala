@@ -91,11 +91,7 @@ object Dedup {
       nBuckets: Int = 8, nHashes: Int = 16, bands: Int = 4,
       shingleSize: Int = 3, maxBucketSize: Int = 10000): Unit = {
     val banded = bandedMinhash(df, idCol, textCol, nHashes, bands, shingleSize)
-    val ok = banded.groupBy("band", "sig")
-      .agg(count(lit(1)).as("bucket_n"))
-      .filter(col("bucket_n") <= maxBucketSize)
-      .select("band", "sig")
-    banded.join(ok, Seq("band", "sig"))
+    capBuckets(banded, Seq("band", "sig"), maxBucketSize)
       .write.mode("overwrite")
       .bucketBy(nBuckets, "band", "sig").sortBy("band", "sig")
       .saveAsTable(table)
@@ -117,17 +113,33 @@ object Dedup {
   def incrementalCandidates(
       spark: org.apache.spark.sql.SparkSession, table: String,
       newDocs: DataFrame, idCol: String, textCol: String,
-      nHashes: Int = 16, bands: Int = 4, shingleSize: Int = 3): DataFrame = {
+      nHashes: Int = 16, bands: Int = 4, shingleSize: Int = 3,
+      maxBucketSize: Int = 10000): DataFrame = {
     val newBanded =
       bandedMinhash(newDocs, idCol, textCol, nHashes, bands, shingleSize)
         .select(col("band"), col("sig"), col("doc_id").as("b"))
+        .localCheckpoint() // consumed by the count AND the pair join
+    val idx = spark.table(table)
+      .select(col("band"), col("sig"), col("doc_id").as("a"))
+    // COMBINED (index + batch) bucket cap — the same rule the full-batch
+    // self-join applies, mirroring incrementalWinnowCandidates: a bucket
+    // sitting just under the build-time cap (or grown past it via
+    // appends, which never re-cap) plus a boilerplate signature arriving
+    // heavily in the batch would otherwise fan out |index|×|batch| pairs
+    // unbounded. The index-side count aggregates on the bucketed layout
+    // (no exchange); the batch side is small by the ingest contract.
+    val ok = idx.groupBy("band", "sig").agg(count(lit(1)).as("na"))
+      .join(newBanded.groupBy("band", "sig").agg(count(lit(1)).as("nb")),
+        Seq("band", "sig"))
+      .filter(col("na") + col("nb") <= maxBucketSize)
+      .select("band", "sig")
     // merge hint: the bucketed layout serves a sort-merge join; at test
     // scale AQE would otherwise broadcast the batch side and skip the
     // layout entirely (fine at 100 TB too — bucketing still saves the
     // sort — but the pinned plan is the one the layout exists for)
-    spark.table(table).hint("merge")
-      .select(col("band"), col("sig"), col("doc_id").as("a"))
+    idx.hint("merge")
       .join(newBanded, Seq("band", "sig"))
+      .join(ok, Seq("band", "sig"), "left_semi")
       .select("a", "b").distinct()
   }
 
@@ -169,12 +181,22 @@ object Dedup {
   /** shared tail: (band, sig, doc_id) buckets → bounded candidate pairs.
     * The bucket-size count shuffles on the same (band, sig) key as the
     * self-join, so the exchange is reused rather than repeated. */
-  private def bucketedPairs(banded: DataFrame, maxBucketSize: Int): DataFrame = {
-    val ok = banded.groupBy("band", "sig")
+  /** THE degenerate-bucket rule, in ONE place for every candidate path
+    * (pair self-joins and index builds alike): keep only buckets whose
+    * row count is ≤ `max`. The count aggregates on the same key the
+    * caller joins on, so the exchange is reused, and a future cap-rule
+    * change cannot silently diverge between build time and query time
+    * (this was three hand-maintained copies). */
+  private def capBuckets(df: DataFrame, keys: Seq[String], max: Int): DataFrame = {
+    val ok = df.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("bucket_n"))
-      .filter(col("bucket_n") <= maxBucketSize)
-      .select("band", "sig")
-    val bounded = banded.join(ok, Seq("band", "sig"))
+      .filter(col("bucket_n") <= max)
+      .select(keys.map(col): _*)
+    df.join(ok, keys)
+  }
+
+  private def bucketedPairs(banded: DataFrame, maxBucketSize: Int): DataFrame = {
+    val bounded = capBuckets(banded, Seq("band", "sig"), maxBucketSize)
     val l = bounded.select(col("band"), col("sig"), col("doc_id").as("a"))
     val r = bounded.select(col("band"), col("sig"), col("doc_id").as("b"))
     l.join(r, Seq("band", "sig"))
@@ -262,11 +284,7 @@ object Dedup {
       nBuckets: Int = 8, k: Int = 3, w: Int = 4,
       maxBucketSize: Int = 500): Unit = {
     val fps = winnowFingerprints(df, idCol, textCol, k, w)
-    val ok = fps.groupBy("fp")
-      .agg(count(lit(1)).as("bucket_n"))
-      .filter(col("bucket_n") <= maxBucketSize)
-      .select("fp")
-    fps.join(ok, Seq("fp"))
+    capBuckets(fps, Seq("fp"), maxBucketSize)
       .select("fp", "doc_id")
       .write.mode("overwrite")
       .bucketBy(nBuckets, "fp").sortBy("fp")
@@ -423,8 +441,12 @@ object Dedup {
     require(64 % bands == 0,
       s"bands must divide 64 (got $bands) — truncated widths would leave high bits unbanded")
     val width = 64 / bands
+    // bands=1 → width 64: (1L << 64) is a JVM shift-by-0 (shift counts
+    // mask to 6 bits), so the naive (1L<<width)-1 mask would be ZERO and
+    // every doc would band to sig 0 — spell the full-width mask as -1
+    val mask = if (width == 64) -1L else (1L << width) - 1
     val bandCols = (0 until bands).map(b =>
-      expr(s"(simhash >> ${b * width}) & ${(1L << width) - 1}"))
+      expr(s"(simhash >> ${b * width}) & $mask"))
     val banded = hashes.select(col("doc_id"), posexplode(array(bandCols: _*)))
       .toDF("doc_id", "band", "sig")
     bucketedPairs(banded, maxBucketSize)

@@ -44,7 +44,9 @@ object KMeans {
   def seedById(
       e: DataFrame, idCol: String, vecCol: String, k: Int, dim: Int): Array[Array[Double]] = {
     val rows = e.filter(size(col(vecCol)) === dim)
-      .filter(expr(s"!exists($vecCol, x -> x IS NULL)"))
+      // backtick-quoted like bandedMinhash/winnowFingerprints: an
+      // unquoted interpolation breaks on column names needing quoting
+      .filter(expr(s"!exists(`$vecCol`, x -> x IS NULL)"))
       .orderBy(col(idCol)).limit(k).select(vecCol).collect()
     require(rows.length == k, s"need $k valid seed vectors, corpus has ${rows.length}")
     rows.map(_.getSeq[Double](0).toArray)

@@ -177,8 +177,13 @@ object Media {
       sum += s; sumSq += s * s
       i += 2
     }
+    // per-SAMPLE stats: the loop accumulates every channel's samples, so
+    // divide by frames × channels — dividing by frames alone overstated
+    // meanAmp by ×channels (and rms by √channels) on any non-mono input
+    // (the mono generator masked it)
+    val samples = n.toDouble * fmt.getChannels
     AudioStats(fmt.getSampleRate.toInt, fmt.getChannels, n,
-      meanAmp = sum / n, rms = math.sqrt(sumSq / n))
+      meanAmp = sum / samples, rms = math.sqrt(sumSq / samples))
   }
 
   // ------------------------------------------------------- video (GIF89a)

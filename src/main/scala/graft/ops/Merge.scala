@@ -49,14 +49,27 @@ object Merge {
   def upsertPartitioned(
       spark: SparkSession, baseDir: String, batch: DataFrame,
       keyCol: String, partCol: String): Seq[Any] = {
-    val days = batch.select(partCol).distinct().collect().map(_.get(0)).toSeq
-    // 2000 ≈ five years of daily partitions: far above any real batch
-    // (which touches days, not years) but LOW enough to actually fire
-    // when a caller passes a key-like column as partCol — the mistake
-    // that silently turns the merge into a full-table rewrite through a
-    // tens-of-thousands-literal isin filter
-    require(days.size <= 2000,
-      s"batch touches ${days.size} partitions — not a partition-bounded merge")
+    // limit BEFORE collect (the Corpus.packSequences discipline): the
+    // guard exists to catch a key-like column passed as partCol, and that
+    // misuse must fail loudly — not OOM the driver materializing millions
+    // of distinct values first. 2000 ≈ five years of daily partitions:
+    // far above any real batch (which touches days, not years) but low
+    // enough to actually fire on the mistake that silently turns the
+    // merge into a full-table rewrite.
+    val cap = 2000
+    val days = batch.select(partCol).distinct().limit(cap + 1)
+      .collect().map(_.get(0)).toSeq
+    require(days.size <= cap,
+      s"batch touches ${if (days.size > cap) ">" + cap else days.size} partitions — " +
+        "not a partition-bounded merge")
+    // a NULL partition value would silently DELETE base rows: isin(days)
+    // never matches null, so null-partition survivors are not read, yet
+    // dynamic overwrite still replaces that partition with batch-only
+    // rows. A null partition key is a data defect for a partitioned
+    // merge — reject it loudly instead.
+    require(!days.contains(null),
+      s"batch carries a NULL $partCol — null partitions cannot merge " +
+        "(survivors of the default partition would be silently dropped)")
     // repartition on the partition column before the write: each task
     // owns whole partitions, so a rewritten day is ONE file instead of
     // (tasks × days) small files — the small-file problem is the other

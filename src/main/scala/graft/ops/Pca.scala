@@ -34,6 +34,11 @@ object Pca {
     val centered = e
       .withColumn("cd", call_udf("vec_sub", col(vecCol), typedLit(mu.toSeq)))
       .select("cd")
+      // damaged vectors (null slot / wrong width) null out of vec_sub;
+      // drop them HERE so the eigenvalue's n counts exactly the rows the
+      // s² sum covers — counting them would silently deflate λ by the
+      // damaged fraction (the direction v was never affected)
+      .filter(col("cd").isNotNull)
       .localCheckpoint()
     var v = Array.fill(dim)(1.0 / math.sqrt(dim))
     var lambda = 0.0

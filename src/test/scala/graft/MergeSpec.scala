@@ -90,4 +90,19 @@ class MergeSpec extends SparkSpec {
     assert(nParts == days.size,
       s"survivors scan must list exactly ${days.size} partitions, listed $nParts")
   }
+
+  test("upsertPartitioned rejects a NULL partition value loudly") {
+    // isin(null, ...) never matches base null-partition rows, so a null
+    // in the batch would silently DELETE every default-partition survivor
+    // under dynamic overwrite — the merge must refuse instead
+    val dir = Files.createTempDirectory("merge_null")
+    Seq((1L, 10, "a", 1.0)).toDF("k", "p_day", "tag", "v")
+      .write.mode("overwrite").partitionBy("p_day").parquet(dir.toString)
+    val batch = Seq((2L, Option(10), "b", 2.0), (3L, Option.empty[Int], "c", 3.0))
+      .toDF("k", "p_day", "tag", "v")
+    val e = intercept[IllegalArgumentException] {
+      Merge.upsertPartitioned(spark, dir.toString, batch, "k", "p_day")
+    }
+    assert(e.getMessage.contains("NULL p_day"), e.getMessage)
+  }
 }

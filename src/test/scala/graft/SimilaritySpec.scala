@@ -590,4 +590,15 @@ class SimilaritySpec extends SparkSpec {
         s"doc $id: survivor=${surv.contains(id)} but dominated=$dominated")
     }
   }
+
+  test("simhashCandidates bands=1: full-width mask pairs only exact 64-bit matches") {
+    import spark.implicits._
+    // (1L << 64) - 1 is ZERO under JVM shift masking — the old mask
+    // banded every doc to sig 0, pairing everything (or, capped, nothing)
+    val hashes = Seq((1L, 123456789L), (2L, 123456789L), (3L, -987654321L))
+      .toDF("doc_id", "simhash")
+    val pairs = graft.ops.Dedup.simhashCandidates(hashes, bands = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), s"got $pairs")
+  }
 }
