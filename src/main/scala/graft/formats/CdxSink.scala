@@ -52,23 +52,49 @@ object CdxSink {
         val pfs = org.apache.hadoop.fs.FileSystem.newInstance(
           new Path(dir).toUri, sconf.value)
         pfs.setWriteChecksum(false)
+        // attempt isolation (the ZipNumWrite discipline): write to an
+        // attempt-keyed temp name, rename into place on roll — a
+        // speculative or zombie attempt racing its retry on the FINAL
+        // name would truncate the winner's gzip mid-write (local/NFS) or
+        // fail on a lease conflict (HDFS). rename(overwrite) is the
+        // atomic last step, so whichever attempt renames last leaves a
+        // complete file.
+        val attempt = Option(org.apache.spark.TaskContext.get())
+          .map(tc => s"${tc.partitionId()}-${tc.taskAttemptId()}")
+          .getOrElse(java.util.UUID.randomUUID().toString)
         // filenames are grouped by the sort; roll files on change
         var current: String = null
         var out: GZIPOutputStream = null
-        def close(): Unit = if (out != null) { out.finish(); out.close(); out = null }
+        def close(): Unit = if (out != null) {
+          out.finish(); out.close(); out = null
+          val tmp = new Path(dir, s".${cdxName(current)}.$attempt.tmp")
+          val fin = new Path(dir, cdxName(current))
+          if (!pfs.rename(tmp, fin)) {
+            // rename signals failure by RETURNING false (dest exists on
+            // some filesystems): replace explicitly, then fail loudly if
+            // the publish still didn't happen
+            pfs.delete(fin, false)
+            require(pfs.rename(tmp, fin),
+              s"could not publish ${fin.getName} from ${tmp.getName}")
+          }
+        }
         try {
           it.foreach { row =>
             val warc = row.getString(0)
             if (warc != current) {
               close()
-              out = new GZIPOutputStream(pfs.create(new Path(dir, cdxName(warc)), true))
               current = warc
+              out = new GZIPOutputStream(
+                pfs.create(new Path(dir, s".${cdxName(warc)}.$attempt.tmp"), true))
             }
             out.write(row.getString(1).getBytes("UTF-8"))
             out.write('\n')
           }
-        } finally {
           close()
+        } finally {
+          // an abandoned attempt leaves only its hidden .tmp (readers'
+          // underscore/dot filters skip it); never a truncated final file
+          if (out != null) { try { out.close() } catch { case _: java.io.IOException => } }
           try pfs.close() catch { case _: java.io.IOException => }
         }
       }

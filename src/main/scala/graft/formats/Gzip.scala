@@ -130,6 +130,16 @@ object Gzip {
     }
   }
 
+  /** Decompressed-size ceiling per member (1 GiB). Without it a gzip
+    * bomb — or flipped bits that happen to form a huge valid deflate
+    * stream — inflates into the unbounded member buffer until the
+    * executor dies with OutOfMemoryError, which escapes the permissive
+    * catch and kills the job. With it, the member becomes an
+    * IllegalStateException → CorruptSpan: one pathological member costs
+    * one record, which is the whole permissive contract. Real WARC
+    * members are tens of MB at the extreme. */
+  private[graft] val MaxMemberBytes: Int = 1 << 30
+
   /** Iterate the gzip members of `in` (a full `.gz` stream). Strict: any
     * undecodable byte throws — right for ZipNum clusters, whose idx
     * promises exact member tiling. Crawl inputs want [[entries]]. */
@@ -201,7 +211,12 @@ object Gzip {
             lastN = n
           }
           val n = inflater.inflate(outBuf)
-          if (n > 0) { out.write(outBuf, 0, n); crc.update(outBuf, 0, n) }
+          if (n > 0) {
+            out.write(outBuf, 0, n); crc.update(outBuf, 0, n)
+            if (out.size > MaxMemberBytes)
+              throw new IllegalStateException(
+                s"gzip member at offset $offset exceeds $MaxMemberBytes decompressed bytes")
+          }
         }
         // leftover bytes sit at the tail of the last fed chunk; they are
         // the trailer plus (possibly) the start of the next member

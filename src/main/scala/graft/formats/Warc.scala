@@ -111,8 +111,13 @@ object Warc {
     val httpHead = new String(body, 0, httpEnd, UTF_8).split("\r\n")
     val statusLine = httpHead.headOption.getOrElse("")
     val parts = statusLine.split(" ")
+    // length cap: an all-digit token can still overflow Int (a hostile
+    // 'HTTP/1.1 99999999999 OK' line) and a NumberFormatException here
+    // would kill the task — real statuses are 3 digits; ≤ 5 stays
+    // permissive about junk without risking the parse
     val status: Integer =
-      if (parts.length >= 2 && parts(1).nonEmpty && parts(1).forall(_.isDigit)) parts(1).toInt
+      if (parts.length >= 2 && parts(1).nonEmpty && parts(1).length <= 5 &&
+        parts(1).forall(_.isDigit)) parts(1).toInt
       else null
     val mime = httpHead.drop(1).flatMap { line =>
       val i = line.indexOf(':')
@@ -162,7 +167,8 @@ object Warc {
       val (httpStatus, httpMime, payload) = parseHttp(body)
       val status: Integer =
         if (httpStatus != null) httpStatus
-        else if (f.length >= 10 && f(4).nonEmpty && f(4).forall(_.isDigit)) f(4).toInt
+        else if (f.length >= 10 && f(4).nonEmpty && f(4).length <= 5 &&
+          f(4).forall(_.isDigit)) f(4).toInt
         else null
       // ARC has no revisit/request records: every URL record is a response
       Row("response", url, ts, digest, status,

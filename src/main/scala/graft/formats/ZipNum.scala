@@ -573,19 +573,15 @@ object ZipNum {
           lo.forall(l => next.forall(nk => utf8Compare(nk, l) >= 0))
       }.map(_._1)
 
+  /** U+10FFFF, built from the code point (no raw literal in source) */
+  private[graft] val MaxCodePoint: String = new String(Character.toChars(0x10FFFF))
+
   /** [lo, hi) bounds for a key prefix. The upper sentinel is U+10FFFF
     * (max code point, 4-byte F4 8F BF BF): in UTF-8 byte order every
     * continuation of `prefix` sorts below it — unlike the old U+FFFF
     * sentinel (3-byte), which supplementary characters sort ABOVE.
     * (Only a key containing U+10FFFF itself at the boundary could
     * escape; U+10FFFF never appears in URLs/SURT keys.) */
-  /** `cdx-00042.gz` -> 42 (numeric shard order, padding-width-proof) */
-  private[graft] def shardOrdinal(shard: String): Long =
-    shard.filter(_.isDigit).toLong
-
-  /** U+10FFFF, built from the code point (no raw literal in source) */
-  private[graft] val MaxCodePoint: String = new String(Character.toChars(0x10FFFF))
-
   def prefixBounds(prefix: String): (Option[String], Option[String]) =
     (Some(prefix), Some(prefix + MaxCodePoint))
 

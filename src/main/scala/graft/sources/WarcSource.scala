@@ -37,19 +37,24 @@ final class WarcTable(path: String) extends Table with SupportsRead {
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val p = Option(options.get("path")).filter(_.nonEmpty).getOrElse(path)
-    () => new WarcScan(p)
+    // capture the session's Hadoop conf HERE (analysis time, session
+    // thread), exactly like ZipNumSource: planInputPartitions can run on
+    // AQE threads where getActiveSession is empty, and a bare
+    // `new Configuration()` fallback silently drops every
+    // spark.hadoop.* setting (S3 credentials, custom FS)
+    val conf = new SerializableHadoopConf(
+      org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
+    () => new WarcScan(p, conf)
   }
 }
 
-final class WarcScan(pathGlob: String) extends Scan with Batch {
+final class WarcScan(pathGlob: String, sconf0: SerializableHadoopConf)
+  extends Scan with Batch {
   override def readSchema(): StructType = Warc.schema
   override def description(): String = s"WarcScan[$pathGlob]"
   override def toBatch: Batch = this
 
-  private def sessionConf: Configuration =
-    org.apache.spark.sql.SparkSession.getActiveSession
-      .map(_.sparkContext.hadoopConfiguration)
-      .getOrElse(new Configuration())
+  private def sessionConf: Configuration = sconf0.value
 
   override def planInputPartitions(): Array[InputPartition] = {
     val path = new Path(pathGlob)
@@ -62,12 +67,25 @@ final class WarcScan(pathGlob: String) extends Scan with Batch {
     // An EXPLICIT glob/file is taken verbatim (the user asked for it).
     def isArchive(name: String): Boolean =
       !name.startsWith("_") && !name.startsWith(".") && name.endsWith(".gz")
+    // directories expand RECURSIVELY (crawls ship as
+    // /crawl/seg-N/*.warc.gz — one-level listing silently returned zero
+    // partitions for the standard layout); depth-capped so a filesystem
+    // loop can't hang planning
+    def expand(s: org.apache.hadoop.fs.FileStatus, depth: Int)
+        : Seq[org.apache.hadoop.fs.FileStatus] =
+      if (s.isFile) {
+        if (isArchive(s.getPath.getName)) Seq(s) else Seq.empty
+      } else if (depth >= 16) Seq.empty
+      else fs.listStatus(s.getPath).toSeq
+        .filterNot(c => c.getPath.getName.startsWith("_") ||
+          c.getPath.getName.startsWith("."))
+        .flatMap(c => expand(c, depth + 1))
     val statuses = Option(fs.globStatus(path))
       .map(_.toSeq).getOrElse(Seq.empty)
       .flatMap { s =>
-        if (s.isFile) Seq(s)
-        else fs.listStatus(s.getPath).toSeq
-          .filter(f => f.isFile && isArchive(f.getPath.getName))
+        // an EXPLICIT glob/file match is taken verbatim (the user asked
+        // for that exact file); directories expand to their archives
+        if (s.isFile) Seq(s) else expand(s, 0)
       }
     statuses.map(s => WarcFilePartition(s.getPath.toString): InputPartition).toArray
   }

@@ -115,6 +115,14 @@ final class ZipNumTable(path: String, providedSchema: StructType)
       TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // the 'line'-shaped external metadata exists for the WRITE frame
+    // only; a READ with that schema would survive getTable's guard and
+    // then fail deep in column resolution — reject it here with the
+    // clear message instead
+    require(providedSchema == null || providedSchema.isEmpty ||
+        providedSchema == ZipNumSource.schema,
+      "zipnum does not support user-specified read schemas; " +
+        s"columns are ${ZipNumSource.schema.fieldNames.mkString(", ")}")
     val p = Option(options.get("path")).filter(_.nonEmpty).getOrElse(path)
     // capture the session's Hadoop conf HERE (analysis time, session
     // thread) and thread it through the scan: estimateStatistics /

@@ -149,7 +149,10 @@ final class ZipNumDataWriter(
     val from = new Path(dir, temp)
     val to = new Path(dir, fin)
     if (fs.exists(to)) fs.delete(to, false) // losing attempt's rename target
-    fs.rename(from, to)
+    // rename signals failure by RETURNING false, not throwing — ignoring
+    // it would let commit() succeed and publish a cluster.idx that
+    // references a shard file which never arrived
+    require(fs.rename(from, to), s"could not publish $fin from $temp")
   }
 
   override def commit(): WriterCommitMessage = {
