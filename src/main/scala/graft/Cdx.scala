@@ -16,6 +16,25 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Cdx {
 
+  /** Null-tolerant (urlkey, ts, json) columns from a raw CDX(J) line —
+    * THE line-splitting idiom, in one place (it was six hand-copied
+    * selectExpr triples). try_element_at, not element_at: under Spark
+    * 4's default ANSI mode a short or blank line (split -> fewer than 3
+    * parts) raises INVALID_ARRAY_INDEX_IN_ELEMENT_AT, killing the whole
+    * query — and, behind a streaming checkpoint, poisoning it forever;
+    * the try_ form yields nulls, which is what a 2-field CDX line means.
+    * `names` lets callers keep their local aliases. */
+  def lineCols(
+      line: org.apache.spark.sql.Column,
+      names: (String, String, String) = ("urlkey", "ts", "json"))
+      : Seq[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.{lit, split, try_element_at}
+    val p = split(line, " ", 3)
+    Seq(try_element_at(p, lit(1)).as(names._1),
+      try_element_at(p, lit(2)).as(names._2),
+      try_element_at(p, lit(3)).as(names._3))
+  }
+
   /** Spark-side derivation. Columns:
     * id, hostword, host, path, qs, url, urlkey, ts, epoch_us, status, mime,
     * record_type, digest, length, filename, redirect, robotflags.

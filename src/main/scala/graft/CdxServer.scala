@@ -72,10 +72,13 @@ final class CdxServer(spark: SparkSession, clusterDir: String) {
     * (pywb's closest response carries no distance field) */
   def closest(urlkey: String, target: String, k: Int): DataFrame =
     exactUrl(urlkey)
+      // try_to_timestamp, not to_timestamp: under Spark 4's default ANSI
+      // mode one malformed ts in the cluster would abort the whole query;
+      // a null dist sorts LAST so a corrupt row can never be the "best"
       .withColumn("dist", abs(
-        unix_timestamp(to_timestamp(col("ts"), "yyyyMMddHHmmss")) -
-          unix_timestamp(to_timestamp(lit(target), "yyyyMMddHHmmss"))))
-      .orderBy(col("dist"), col("ts"))
+        unix_timestamp(try_to_timestamp(col("ts"), lit("yyyyMMddHHmmss"))) -
+          unix_timestamp(try_to_timestamp(lit(target), lit("yyyyMMddHHmmss")))))
+      .orderBy(col("dist").asc_nulls_last, col("ts"))
       .limit(k)
       .drop("dist")
 
@@ -122,6 +125,9 @@ final class CdxServer(spark: SparkSession, clusterDir: String) {
     * in the same pass (no second scan). */
   def timemap(urlkey: String): DataFrame = {
     val w = Window.partitionBy("urlkey")
+    // non-14-digit ts rows leave the timemap up front: garbage cannot
+    // render an RFC 1123 datetime, and under default ANSI mode the
+    // to_date below would otherwise abort the whole query on one of them
     val dow = dayofweek(to_date(substring(col("ts"), 1, 8), "yyyyMMdd"))
     val dowName = when(dow === 1, "Sun").when(dow === 2, "Mon")
       .when(dow === 3, "Tue").when(dow === 4, "Wed").when(dow === 5, "Thu")
@@ -137,6 +143,7 @@ final class CdxServer(spark: SparkSession, clusterDir: String) {
       substring(col("ts"), 9, 2), lit(":"), substring(col("ts"), 11, 2),
       lit(":"), substring(col("ts"), 13, 2), lit(" GMT"))
     exactUrl(urlkey)
+      .filter(col("ts").rlike("^\\d{14}$"))
       .withColumn("ft", min("ts").over(w))
       .withColumn("lt", max("ts").over(w))
       .withColumn("rel",
@@ -162,7 +169,12 @@ final class CdxServer(spark: SparkSession, clusterDir: String) {
     val base = urlkey.takeWhile(_ != '?')
     val exact = exactUrl(urlkey)
     val hit = exact.agg(count(lit(1)).as("n_exact"))
-    val fallback = scan(Some(base + "?"))
+    // scan on the bare base so the QUERY-LESS capture of the same URL
+    // (urlkey exactly `base` — SURT keys carry no '?' for a bare URL, the
+    // most natural fuzzy target) matches too; the filter then excludes
+    // unrelated longer paths that share the prefix
+    val fallback = scan(Some(base))
+      .filter(col("urlkey") === base || col("urlkey").startsWith(base + "?"))
       .crossJoin(broadcast(hit)).filter(col("n_exact") === 0).drop("n_exact")
     exact.select("urlkey", "ts", "json").withColumn("is_fuzzy", lit(false))
       .unionByName(fallback.select("urlkey", "ts", "json")
@@ -229,8 +241,12 @@ final class CdxServer(spark: SparkSession, clusterDir: String) {
     val body = if (negate) spec.substring(1) else spec
     val (target, pattern) = body.split(":", 2) match {
       case Array(field, p) =>
+        // pywb spells ts 'timestamp' — the same alias withFields maps;
+        // without it filter=timestamp:... probes the json (always null)
+        // and silently matches nothing
+        val source = if (field == "timestamp") "ts" else field
         val c =
-          if (df.columns.contains(field)) col(field)
+          if (df.columns.contains(source)) col(source)
           else get_json_object(col("json"), s"$$.$field")
         (c, p)
       case _ => (concat_ws(" ", col("urlkey"), col("ts"), col("json")), body)
@@ -274,7 +290,11 @@ final class CdxServer(spark: SparkSession, clusterDir: String) {
       .withColumn("mime", get_json_object(col("json"), "$.mime"))
     val revisits = d.filter(col("mime") === "warc/revisit")
       .select("urlkey", "ts", "json", "digest")
-    val originals = d.filter(col("mime") =!= "warc/revisit" && col("digest") =!= "-")
+    // null-safe: a capture whose json lacks a mime key has mime = NULL;
+    // `=!=` would evaluate NULL and silently drop it from the originals
+    // side, leaving its revisits unresolved
+    val originals = d.filter(!(col("mime") <=> "warc/revisit") &&
+        col("digest").isNotNull && col("digest") =!= "-")
       .select(col("digest").as("digest_o"), col("ts").as("orig_ts"),
         get_json_object(col("json"), "$.filename").as("orig_filename"),
         get_json_object(col("json"), "$.offset").as("orig_offset"),
@@ -300,9 +320,6 @@ final class CdxServer(spark: SparkSession, clusterDir: String) {
     val blocks = idxFor(surtPrefix)
       .slice(n * blocksPerPage, (n + 1) * blocksPerPage)
     ZipNum.readBlockLines(spark, clusterDir, blocks, Some(surtPrefix))
-      .selectExpr(
-        "element_at(split(line, ' ', 3), 1) AS urlkey",
-        "element_at(split(line, ' ', 3), 2) AS ts",
-        "element_at(split(line, ' ', 3), 3) AS json")
+      .select(Cdx.lineCols(col("line")): _*)
   }
 }

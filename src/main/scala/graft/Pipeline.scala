@@ -52,12 +52,18 @@ object Pipeline {
     * corpus-side mirror of revisit resolution (same digest⇒same content
     * idea the WARC format encodes). All narrow ops plus one hash
     * aggregation; at 100 TB the dedup groupBy is the only exchange. */
-  def warcToCorpus(spark: SparkSession, warcGlob: String, minTokens: Int = 2): DataFrame = {
+  def warcToCorpus(spark: SparkSession, warcGlob: String, minTokens: Int = 2): DataFrame =
+    keepEarliestPerHash(
+      graft.ops.Html.extract(Warc.scan(spark, warcGlob))
+        .filter(col("n_tokens") >= minTokens)
+        .withColumn("quality", graft.ops.Text.qualityScore(col("text")))
+        .withColumn("fingerprint", graft.ops.Text.fingerprint(col("text"))))
+
+  /** exact dedup keeping the EARLIEST capture per content hash — ONE
+    * definition for both corpus producers, so a change to the dedup key
+    * or tie-break can't silently diverge their keeper sets */
+  private def keepEarliestPerHash(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = graft.ops.Html.extract(Warc.scan(spark, warcGlob))
-      .filter(col("n_tokens") >= minTokens)
-      .withColumn("quality", graft.ops.Text.qualityScore(col("text")))
-      .withColumn("fingerprint", graft.ops.Text.fingerprint(col("text")))
     val w = Window.partitionBy(sha2(col("text"), 256)).orderBy(col("ts"), col("url"))
     docs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
   }
@@ -75,18 +81,15 @@ object Pipeline {
     * zero tokens, so a token-count gate would silently drop whole
     * languages. `n_tokens` stays as a column (the Latin-centric quality
     * heuristics downstream use it knowingly) but never gates inclusion. */
-  def wetToCorpus(spark: SparkSession, wetGlob: String, minChars: Int = 8): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val docs = Warc.scan(spark, wetGlob)
-      .filter(col("record_type") === "conversion")
-      .select(col("url"), col("ts"), col("payload").cast("string").as("text"))
-      .filter(length(trim(col("text"))) >= minChars)
-      .withColumn("n_tokens", graft.ops.Text.wordCount(col("text")))
-      .withColumn("quality", graft.ops.Text.qualityScore(col("text")))
-      .withColumn("fingerprint", graft.ops.Text.fingerprint(col("text")))
-    val w = Window.partitionBy(sha2(col("text"), 256)).orderBy(col("ts"), col("url"))
-    docs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
-  }
+  def wetToCorpus(spark: SparkSession, wetGlob: String, minChars: Int = 8): DataFrame =
+    keepEarliestPerHash(
+      Warc.scan(spark, wetGlob)
+        .filter(col("record_type") === "conversion")
+        .select(col("url"), col("ts"), col("payload").cast("string").as("text"))
+        .filter(length(trim(col("text"))) >= minChars)
+        .withColumn("n_tokens", graft.ops.Text.wordCount(col("text")))
+        .withColumn("quality", graft.ops.Text.qualityScore(col("text")))
+        .withColumn("fingerprint", graft.ops.Text.fingerprint(col("text"))))
 
   /** WAT (response-metadata JSON records) -> per-capture link edges: the
     * Common Crawl *.warc.wat.gz envelope parsed ONCE with from_json over
@@ -153,8 +156,17 @@ object Pipeline {
       nHashes: Int = 16, bands: Int = 4, shingleSize: Int = 3,
       exactThreshold: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val scored = docs.select(col("doc_id"), col("lang"), col("text"))
-      .withColumn("quality", graft.ops.Text.qualityScore(col("text")))
+    // reuse an upstream quality column when the producer (warcToCorpus /
+    // wetToCorpus) already paid the O(text) scoring pass; localCheckpoint
+    // because scored feeds BOTH the threshold aggregation and the gated
+    // join — uncheckpointed lineage would run the scoring kernel twice
+    val scored = (
+      if (docs.columns.contains("quality"))
+        docs.select(col("doc_id"), col("lang"), col("text"), col("quality"))
+      else
+        docs.select(col("doc_id"), col("lang"), col("text"))
+          .withColumn("quality", graft.ops.Text.qualityScore(col("text")))
+      ).localCheckpoint()
     // Default approx_percentile, NOT exact percentile: the exact form
     // buffers every quality value per language group — unbounded agg
     // state when one 'en' group spans most of a 100 TB corpus. The trade:
@@ -207,7 +219,7 @@ object Pipeline {
       obs,
       count(lit(1)).as("n_lines"),
       approx_count_distinct(
-        expr("element_at(split(line, ' ', 3), 1)")).as("approx_urlkeys"),
+        expr("try_element_at(split(line, ' ', 3), 1)")).as("approx_urlkeys"),
       // octet_length: bytes, not codepoints — non-ASCII URLs are common
       sum(octet_length(col("line"))).as("total_line_bytes"))
     (observed, obs)
@@ -233,10 +245,7 @@ object Pipeline {
     spark.readStream
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .text(inDir)
-      .selectExpr(
-        "element_at(split(value, ' ', 3), 1) AS urlkey",
-        "element_at(split(value, ' ', 3), 2) AS ts",
-        "element_at(split(value, ' ', 3), 3) AS json")
+      .select(Cdx.lineCols(org.apache.spark.sql.functions.col("value")): _*)
       .writeStream
       .format("parquet")
       .option("path", outDir)

@@ -83,11 +83,7 @@ object CdxOps extends QueryModule {
     "split_cdx_line" -> ((s, d) =>
       Cdx.df(s, d)
         .selectExpr("id", s"urlkey || ' ' || ts || ' ' || ${cdxjJsonSpark} AS line")
-        .selectExpr(
-          "id",
-          "element_at(split(line, ' ', 3), 1) AS k",
-          "element_at(split(line, ' ', 3), 2) AS t",
-          "element_at(split(line, ' ', 3), 3) AS j")
+        .select(col("id") +: graft.Cdx.lineCols(col("line"), ("k", "t", "j")): _*)
         .orderBy("id")),
 
     "status_class" -> ((s, d) =>

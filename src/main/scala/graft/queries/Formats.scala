@@ -258,10 +258,7 @@ object Formats extends QueryModule {
       val dir = tmp(d, "zipnum")
       ZipNum.write(cdxLines(s, d), dir, shards = 8, linesPerBlock = 100)
       ZipNum.readLines(s, dir)
-        .selectExpr(
-          "element_at(split(line, ' ', 3), 1) AS urlkey",
-          "element_at(split(line, ' ', 3), 2) AS ts",
-          "element_at(split(line, ' ', 3), 3) AS json")
+        .select(graft.Cdx.lineCols(col("line")): _*)
         .orderBy("urlkey", "ts", "json")
     }),
 
@@ -276,10 +273,7 @@ object Formats extends QueryModule {
         .option("shards", "8").option("linesPerBlock", "100")
         .mode("overwrite").save(dir)
       ZipNum.readLines(s, dir)
-        .selectExpr(
-          "element_at(split(line, ' ', 3), 1) AS urlkey",
-          "element_at(split(line, ' ', 3), 2) AS ts",
-          "element_at(split(line, ' ', 3), 3) AS json")
+        .select(graft.Cdx.lineCols(col("line")): _*)
         .orderBy("urlkey", "ts", "json")
     }),
 
@@ -289,10 +283,7 @@ object Formats extends QueryModule {
       val dir = tmp(d, "zipnum_lookup")
       ZipNum.write(cdxLines(s, d), dir, shards = 8, linesPerBlock = 100)
       ZipNum.readLines(s, dir, prefix = Some("org,example,medium)"))
-        .selectExpr(
-          "element_at(split(line, ' ', 3), 1) AS urlkey",
-          "element_at(split(line, ' ', 3), 2) AS ts",
-          "element_at(split(line, ' ', 3), 3) AS json")
+        .select(graft.Cdx.lineCols(col("line")): _*)
         .orderBy("urlkey", "ts", "json")
     }),
 
