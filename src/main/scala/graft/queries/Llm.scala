@@ -32,7 +32,10 @@ object Llm extends QueryModule {
   private val tokensDuck =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
 
-  private val stopwords = Seq("the", "and", "of", "to", "a", "in", "is", "for")
+  // derived from THE definition (ops.Text) — a private copy here would
+  // let an edit to either side silently diverge seven oracles from the
+  // Spark results they verify
+  private val stopwords = graft.ops.Text.defaultStopwords
   private val stopDuck = stopwords.mkString("['", "', '", "']")
 
   /** trained BPE merge memo — training is deterministic (argmax ties
@@ -134,6 +137,10 @@ object Llm extends QueryModule {
       val a = docs.select(col("doc_id"), col("toks").as("toks_a"))
       val b = docs.select((col("doc_id") - 1).as("doc_id"), col("toks").as("toks_b"))
       a.join(b, "doc_id")
+        // token-less docs leave the pair set (the text_containment
+        // guard): a 0-token union would divide 0/0 — NaN on Spark, NULL
+        // on DuckDB, a guaranteed verify mismatch
+        .filter(size(col("toks_a")) > 0 && size(col("toks_b")) > 0)
         .select(
           col("doc_id"),
           round(
@@ -871,7 +878,8 @@ object Llm extends QueryModule {
       ("WITH toks AS (SELECT doc_id, list_distinct(" + tokensDuck + ") AS t FROM documents) " +
         "SELECT a.doc_id - 1 AS doc_id, " +
         "round(len(list_intersect(a.t, b.t))::DOUBLE / len(list_distinct(list_concat(a.t, b.t))), 6) AS jaccard " +
-        "FROM toks a JOIN toks b ON a.doc_id = b.doc_id + 1 ORDER BY doc_id"),
+        "FROM toks a JOIN toks b ON a.doc_id = b.doc_id + 1 " +
+        "WHERE len(a.t) > 0 AND len(b.t) > 0 ORDER BY doc_id"),
     "text_containment" ->
       ("WITH toks AS (SELECT doc_id, list_distinct(" + tokensDuck + ") AS t FROM documents) " +
         "SELECT b.doc_id - 1 AS doc_id, " +

@@ -49,8 +49,13 @@ object Similarity extends QueryModule {
     * one process, one day-1 build. */
   private val ivfpqFitCache =
     new java.util.concurrent.ConcurrentHashMap[String, IvfPqModel]()
+  /** keyed by (session, dir), not dir alone: the model caches a
+    * localCheckpointed DataFrame whose blocks belong to ONE session — a
+    * second SparkSession in the same JVM (Verify then Bench, or two
+    * suites) must refit rather than probe a stopped session's blocks */
   private def ivfpqFitMemo(s: SparkSession, d: String): IvfPqModel =
-    ivfpqFitCache.computeIfAbsent(d,
+    ivfpqFitCache.computeIfAbsent(
+      s"${System.identityHashCode(s)}:${s.sparkContext.applicationId}:$d",
       _ => ivfpqFit(emb(s, d).select(col("vec_id"), col("ed"))))
 
 
@@ -118,8 +123,11 @@ object Similarity extends QueryModule {
       val b = e.select((col("vec_id") - 1).as("vec_id"), col("ed").as("eb"))
       a.join(b, "vec_id")
         .withColumn("cos", call_udf("cosine_sim", col("ea"), col("eb")))
+        // near_dup thresholds the ROUNDED cosine — both engines compare
+        // the same 6-digit value, so a pair sitting within accumulation
+        // ulps of 0.95 can't flip the boolean between them
         .select(col("vec_id"), round(col("cos"), 6).as("cos"),
-          (col("cos") > 0.95).as("near_dup"))
+          (round(col("cos"), 6) > 0.95).as("near_dup"))
         .orderBy("vec_id")
     }),
 
@@ -152,14 +160,19 @@ object Similarity extends QueryModule {
       // planted twins' certain-recall argument is codebook-independent —
       // and the daily dedup run costs ZERO training jobs.
       val e = base.unionByName(twins)
-      val cents = ivfpqFitMemo(s, d).coarse
+      val model = ivfpqFitMemo(s, d)
+      val cents = model.coarse
       val centLit = typedLit(cents.map(_.toSeq).toSeq)
       // checkpoint AFTER assignment (the ivfpqFit discipline): the
       // assigned relation feeds five subtrees (cell count, bounded join,
       // both vector fetches, final output) — materializing the union
       // instead would re-run the corpus-wide pq_encode pass per consumer
+      // dims DERIVED from the shared model, never hard-coded: a changed
+      // ivfpqFit geometry with stale literals would NULL every cid and
+      // silently stop deduping anything
       val assigned = e.withColumn("cid",
-        element_at(call_udf("pq_encode", col("ed"), centLit, lit(64), lit(16)), 1))
+        element_at(call_udf("pq_encode", col("ed"), centLit,
+          lit(model.dim), lit(cents.length)), 1))
         .localCheckpoint()
       val keyed = assigned.select(col("vec_id"), col("cid"))
       val ok = keyed.groupBy("cid").agg(count(lit(1)).as("n"))
@@ -1034,7 +1047,7 @@ object Similarity extends QueryModule {
     "dedup_embedding_cos" ->
       ("SELECT a.vec_id - 1 AS vec_id, " +
         "round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos, " +
-        "list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0.95 AS near_dup " +
+        "round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) > 0.95 AS near_dup " +
         "FROM embeddings a JOIN embeddings b ON a.vec_id = b.vec_id + 1 ORDER BY vec_id")
   )
 }
