@@ -21,6 +21,10 @@ object Bench {
       // events.parquet carries nanos timestamps; set the legacy flag once,
       // up front, so no query mutates session conf mid-run
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // transformWithState (stream_frontier) requires the RocksDB state
+      // store provider even batch-run; inert for every other query
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       // pin UTC like Verify/GraftSession — the CDX derivations assume it,
       // so an unpinned TZ would bench a different row set than the one
       // correctness-verified (build.sbt sets the -D too; belt-and-braces)
@@ -87,7 +91,7 @@ object Bench {
     // never trip the 3× rule — exactly how round 7's 1914 s
     // dedup_winnow_pairs line shipped silently. Fallback guard: with no
     // ref, anything over an absolute 20 s is suspicious (the slowest
-    // legitimate line in the idle reference is ~7 s) — it gets the same
+    // legitimate line in the current idle reference is ~4 s) — it gets the same
     // rerun-keep-minimum treatment, and a REAL regression stays slow on
     // every sample and is still reported. no_ref names are emitted in
     // bench_out.json so an incomplete reference file is visible, not

@@ -29,6 +29,10 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // transformWithState (stream_frontier) requires the RocksDB state
+      // store provider even batch-run; inert for every other query
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .config("spark.sql.files.maxPartitionBytes", "256m")
       .config("spark.sql.parquet.aggregatePushdown", "true")
       // selective dim filters propagate to fact-side scans as injected

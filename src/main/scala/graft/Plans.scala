@@ -63,7 +63,19 @@ object Plans {
     "graph_label_propagation" -> "per-round: one nbrs⋈labels shuffle + two hash aggs off a checkpointed neighbor list — no driver-sized state",
     "sim_ann_binary_quant" -> "sign-bit pack is one narrow codegen projection; query words broadcast; top-10 is TakeOrderedAndProject on the popcount",
     "ts_anomaly_mad" -> "two grouped exact percentiles broadcast back as |event_types|-row artifacts; the flag is a map-side filter",
-    "graph_connected_components" -> "pointer-jumping rounds off a checkpointed symmetric edge list — diameter 2^k coverage, observe()-counted convergence, no driver-sized state")
+    "graph_connected_components" -> "pointer-jumping rounds off a checkpointed symmetric edge list — diameter 2^k coverage, observe()-counted convergence, no driver-sized state",
+    "pipeline_warc_corpus" -> "the north-star composition as ONE lazy plan: WARC scan -> codegen HTML extract + gates -> content-hash dedup window -> bucket-prefix-sum packing; only declared exchanges between stages",
+    "stream_frontier" -> "transformWithState dedup-and-emit: one exchange on urlkey into TransformWithStateExec, state O(distinct keys), no second shuffle",
+    "cdx_timemap" -> "TimeMap link lines: hottest-key anchor rides as a broadcast scalar; window over ONE urlkey's rows, idx-pruned scan below it",
+    "cdx_fuzzy_match" -> "fallback scan prunes on the query-stripped prefix through cluster.idx; the exact-hit miss test is an in-plan broadcast 1-row count, no driver round trip",
+    "ts_resample_linear" -> "hourly grid cross join is |users|x72 broadcast rows; both interpolation windows partition by user_id — no global window, no data-sized grid",
+    "graph_bfs_hops" -> "per-hop: frontier⋈edges shuffle + min-agg off a checkpointed edge list; visited set stays distributed, rounds bounded by depth",
+    "pipeline_data_audit" -> "all audit counters ride ONE conditional-sum pass (observe-style aggregates); no per-rule scan",
+    "search_phrase" -> "positional-index self-join on (term,doc) pairs with adjacent-position equi-condition — no document re-scan, no cartesian",
+    "sample_temperature" -> "one |langs|-row corpus agg broadcast back as the normalizer; weights are a map-side projection",
+    "text_lm_score_bigram" -> "bigram + context tables broadcast; per-doc score is a narrow indexed-transform fold — no explode past the shuffle-free aggregate build",
+    "agg_mode" -> "mode as max_by(struct(cnt,-key)) over a two-phase hash agg — no per-group sort, no window",
+    "scan_binary_files" -> "binaryFile source with pathGlobFilter pushed to the listing; metadata-only projection never reads payload bytes")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse(
@@ -74,6 +86,10 @@ object Plans {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // transformWithState (stream_frontier) requires the RocksDB state
+      // store provider even batch-run; inert for every other query
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -87,7 +103,13 @@ object Plans {
       val df = SparkEntry.queries(name)(spark, sfDir)
       df.collect() // drive AQE to its final plan
       val plan = df.queryExecution.explainString(ExplainMode.fromString("simple"))
-      sb.append(s"\n## $name\n\n$why\n\n```\n${plan.trim}\n```\n")
+      // cap pathological lines: a plan-literal model artifact (e.g. the
+      // ~60 KB serialized bloom filter) would otherwise dump as one
+      // megascreen hex line and drown the plan it rides in
+      val capped = plan.trim.linesIterator.map(l =>
+        if (l.length > 400) l.take(400) + s"… [+${l.length - 400} chars]" else l)
+        .mkString("\n")
+      sb.append(s"\n## $name\n\n$why\n\n```\n$capped\n```\n")
     }
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), sb.toString)
     println(s"[plans] wrote ${flagship.size} plans to $outFile")

@@ -14,6 +14,10 @@ object Verify {
       // set once up front — queries must not mutate session conf from the
       // worker pool while other queries plan concurrently
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // transformWithState (stream_frontier) requires the RocksDB state
+      // store provider even batch-run; inert for every other query
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -56,9 +56,13 @@ object CdxSink {
         // attempt-keyed temp name, rename into place on roll — a
         // speculative or zombie attempt racing its retry on the FINAL
         // name would truncate the winner's gzip mid-write (local/NFS) or
-        // fail on a lease conflict (HDFS). rename(overwrite) is the
-        // atomic last step, so whichever attempt renames last leaves a
-        // complete file.
+        // fail on a lease conflict (HDFS). Publish prefers FileContext's
+        // overwrite-capable rename (atomic where the FS supports it), so
+        // whichever attempt renames last leaves a complete file.
+        val fctx: Option[org.apache.hadoop.fs.FileContext] =
+          try Some(org.apache.hadoop.fs.FileContext.getFileContext(
+            new Path(dir).toUri, sconf.value))
+          catch { case _: org.apache.hadoop.fs.UnsupportedFileSystemException => None }
         val attempt = Option(org.apache.spark.TaskContext.get())
           .map(tc => s"${tc.partitionId()}-${tc.taskAttemptId()}")
           .getOrElse(java.util.UUID.randomUUID().toString)
@@ -69,13 +73,23 @@ object CdxSink {
           out.finish(); out.close(); out = null
           val tmp = new Path(dir, s".${cdxName(current)}.$attempt.tmp")
           val fin = new Path(dir, cdxName(current))
-          if (!pfs.rename(tmp, fin)) {
-            // rename signals failure by RETURNING false (dest exists on
-            // some filesystems): replace explicitly, then fail loudly if
-            // the publish still didn't happen
-            pfs.delete(fin, false)
-            require(pfs.rename(tmp, fin),
-              s"could not publish ${fin.getName} from ${tmp.getName}")
+          fctx match {
+            case Some(fc) =>
+              // single-call overwrite rename: atomic on HDFS/local, no
+              // window where the final name is absent
+              fc.rename(tmp, fin, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+            case None =>
+              // FS without an AbstractFileSystem binding: FileSystem.rename
+              // signals failure by RETURNING false (dest exists on some
+              // filesystems) — replace explicitly. NOT atomic: a task
+              // killed between the delete and the rename leaves no final
+              // file for this WARC until a retry attempt republishes it
+              // (the .tmp survives; only the final name has a gap).
+              if (!pfs.rename(tmp, fin)) {
+                pfs.delete(fin, false)
+                require(pfs.rename(tmp, fin),
+                  s"could not publish ${fin.getName} from ${tmp.getName}")
+              }
           }
         }
         try {

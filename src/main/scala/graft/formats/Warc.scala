@@ -369,4 +369,29 @@ object Warc {
       FixtureRecord("response", "http://www.example.com/raw", "2016-01-06T14:00:00Z",
         b32("raw"), 200, "text/plain", "plain payload".getBytes(UTF_8)))
   }
+
+  /** End-to-end corpus fixture (the pipeline_warc_corpus driver key):
+    * [[htmlFixtureRecords]] plus the cases the WARC→corpus composition
+    * must exercise — a LATER duplicate capture of the menu page (same
+    * payload bytes, new timestamp: earliest-capture dedup must keep the
+    * 2016-01-02 one), a one-word page the minTokens gate drops, and a
+    * stopword-rich long page that clearly PASSES the quality gate the
+    * short /latin and /bare pages fall under. */
+  def corpusFixtureRecords: Seq[FixtureRecord] = {
+    def b32(seed: String): String =
+      seed.flatMap(c => Integer.toString((c.toInt % 32), 32)).toUpperCase.padTo(32, '2').take(32)
+    val menuPayload = htmlFixtureRecords
+      .find(_.url == "http://www.example.com/menu").get.payload
+    val longPage =
+      ("<html><title>Guide</title><body>The quick brown fox jumps over the " +
+        "lazy dog and runs to the river every morning for a drink of water" +
+        "</body></html>").getBytes(UTF_8)
+    htmlFixtureRecords ++ Seq(
+      FixtureRecord("response", "http://www.example.com/menu", "2016-02-01T09:00:00Z",
+        b32("menu"), 200, "text/html; charset=UTF-8", menuPayload),
+      FixtureRecord("response", "http://www.example.com/tiny", "2016-01-07T15:00:00Z",
+        b32("tiny"), 200, "text/html", "<html><body>hi</body></html>".getBytes(UTF_8)),
+      FixtureRecord("response", "http://www.example.com/long", "2016-01-08T16:00:00Z",
+        b32("long"), 200, "text/html; charset=UTF-8", longPage))
+  }
 }

@@ -530,6 +530,74 @@ case class LshBucketExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** (string, binary serialized [[org.apache.spark.util.sketch.BloomFilter]])
+  * -> might-contain boolean (kernel #14). Replaces the last corpus-sized
+  * Scala UDF (the dedup_bloom_prefilter probe): a closure-based probe
+  * boxes every row and breaks whole-stage codegen in its projection; this
+  * stays inside codegen via a reference-object call.
+  *
+  * NULL text probes FALSE, not NULL — the prefilter contract is "could
+  * this text be in the history", and a null text certainly is not; this
+  * also matches the prior UDF's `t != null && mightContain` semantics so
+  * the driver key's row set is unchanged.
+  *
+  * The filter rides the plan as a foldable binary literal and is
+  * deserialized ONCE per task (lazy val, shared by interpreted eval and
+  * the codegen reference object). Scale note: Spark broadcasts the task
+  * binary (which embeds literals + codegen references) once per executor
+  * via TorrentBroadcast, so a plan-embedded filter costs the same
+  * per-executor bytes as an explicit `sparkContext.broadcast` — without
+  * the driver-side handle plumbing. */
+case class BloomMightContainExpr(left: Expression, right: Expression)
+  extends BinaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType, BinaryType)
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def nullable: Boolean = false
+  override def prettyName: String = "bloom_might_contain"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val base = super.checkInputDataTypes()
+    if (base.isFailure) base
+    else if (!right.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: filter must be a literal binary (a serialized BloomFilter)")
+    else if (right.eval() == null)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName: filter must not be null")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  @transient private lazy val filter: org.apache.spark.util.sketch.BloomFilter =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(right.eval().asInstanceOf[Array[Byte]]))
+
+  // mightContainBinary on the UTF8String's bytes == mightContainString on
+  // the JVM string (both hash the UTF-8 encoding) — no String allocation
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val t = left.eval(input)
+    t != null && filter.mightContainBinary(t.asInstanceOf[UTF8String].getBytes)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val bf = ctx.addReferenceObj("bloomFilter", filter,
+      classOf[org.apache.spark.util.sketch.BloomFilter].getName)
+    val c = left.genCode(ctx)
+    ev.copy(
+      code = c.code + code"""
+        |boolean ${ev.value} = false;
+        |if (!${c.isNull}) {
+        |  ${ev.value} = $bf.mightContainBinary(${c.value}.getBytes());
+        |}
+      """.stripMargin,
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BloomMightContainExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Registration — either per-session ([[GraftFunctions.register]]) or at
   * session build time via
   * `.withExtensions(new GraftExtensions)` / the
@@ -550,7 +618,8 @@ object GraftFunctions {
     "pq_adc" -> ((exprs: Seq[Expression]) => PqAdcExpr(exprs(0), exprs(1), exprs(2), exprs(3))),
     "lsh_bucket" -> ((exprs: Seq[Expression]) => LshBucketExpr(exprs(0), exprs(1))),
     "vec_sub" -> ((exprs: Seq[Expression]) => VecSubExpr(exprs(0), exprs(1))),
-    "char_entropy" -> ((exprs: Seq[Expression]) => CharEntropyExpr(exprs.head)))
+    "char_entropy" -> ((exprs: Seq[Expression]) => CharEntropyExpr(exprs.head)),
+    "bloom_might_contain" -> ((exprs: Seq[Expression]) => BloomMightContainExpr(exprs(0), exprs(1))))
 
   def register(spark: SparkSession): Unit = all.foreach { case (name, builder) =>
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "built-in")

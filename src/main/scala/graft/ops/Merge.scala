@@ -24,12 +24,17 @@ import org.apache.spark.sql.functions._
   *     partition's files are untouched bytes (MergeSpec pins the file
   *     listing).
   *
-  * The localCheckpoint before the write is the local-mode stand-in for
-  * a staging-dir commit: Spark (correctly) refuses a plan that reads
-  * the same files its write is replacing, so the affected partitions'
-  * survivors — batch-scale data by leg 1 — materialize first. A
-  * production deployment swaps this for the table format's
-  * staging/commit protocol; nothing else changes.
+  * Commit protocol (the ZipNum.write discipline): the merged output is
+  * written ONCE into a hidden dot-prefixed staging dir under the base
+  * (invisible to parquet readers), validated (_SUCCESS + one staged dir
+  * per affected day), then swapped in with per-partition backup →
+  * rename → drop-backup. The base table is untouched bytes until the
+  * first rename, so a crash anywhere in stage or validate leaves the
+  * table exactly as it was (MergeSpec pins this window). The only
+  * non-atomic residue is per-partition: a crash mid-swap can leave one
+  * day at its backup name — restored on rename failure, and strictly
+  * smaller exposure than the previous localCheckpoint stand-in, which
+  * also paid a second full materialization of the survivors.
   */
 object Merge {
 
@@ -45,7 +50,17 @@ object Merge {
 
   /** MERGE `batch` (updates + inserts, keyed by `keyCol`, partitioned by
     * `partCol`) into the parquet table at `baseDir` in place. Returns the
-    * partition values that were rewritten. */
+    * partition values that were rewritten.
+    *
+    * PRECONDITION — key-partition stability: a key's `partCol` value must
+    * never change between the base table and the batch. The anti-join
+    * reads only the batch's own partitions, so a batch row whose
+    * partition differs from the key's existing base partition would leave
+    * the old copy untouched and duplicate the key after the merge. This
+    * is the standard partitioned-upsert contract (partition key derives
+    * from the merge key, e.g. day-of-event); it is NOT a Delta-style
+    * global-key MERGE. MergeSpec pins the contract with a
+    * moved-partition counter-example. */
   def upsertPartitioned(
       spark: SparkSession, baseDir: String, batch: DataFrame,
       keyCol: String, partCol: String): Seq[Any] = {
@@ -70,18 +85,78 @@ object Merge {
     require(!days.contains(null),
       s"batch carries a NULL $partCol — null partitions cannot merge " +
         "(survivors of the default partition would be silently dropped)")
+    val staging = stage(spark, baseDir, batch, keyCol, partCol, days)
+    commit(spark, baseDir, staging, days.size)
+    days
+  }
+
+  /** Leg A — write the merged partitions ONCE into a hidden staging dir
+    * under the base (dot-prefixed, so readers of the base never list it).
+    * Returns the staging path. The base table's bytes are untouched. */
+  private[graft] def stage(
+      spark: SparkSession, baseDir: String, batch: DataFrame,
+      keyCol: String, partCol: String, days: Seq[Any]): org.apache.hadoop.fs.Path = {
+    val basePath = new org.apache.hadoop.fs.Path(baseDir)
+    val staging = new org.apache.hadoop.fs.Path(
+      basePath, s".merge_staging_${java.util.UUID.randomUUID().toString.take(8)}")
     // repartition on the partition column before the write: each task
     // owns whole partitions, so a rewritten day is ONE file instead of
     // (tasks × days) small files — the small-file problem is the other
-    // half of why table formats exist
-    val staged = survivors(spark, baseDir, batch, keyCol, partCol, days)
-      .unionByName(batch)
-      .repartition(col(partCol))
-      .localCheckpoint()
-    staged.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(partCol)
-      .parquet(baseDir)
-    days
+    // half of why table formats exist. This is the ONLY materialization
+    // of the survivors: the read-base/write-staging plan has no
+    // read-write cycle, so no localCheckpoint is needed.
+    try {
+      survivors(spark, baseDir, batch, keyCol, partCol, days)
+        .unionByName(batch)
+        .repartition(col(partCol))
+        .write.partitionBy(partCol).parquet(staging.toString)
+    } catch {
+      case e: Throwable =>
+        // a failed staging job must not leave hidden debris under the base
+        try basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(staging, true)
+        catch { case _: java.io.IOException => }
+        throw e
+    }
+    staging
+  }
+
+  /** Leg B — validate the staging dir, then swap each staged day into the
+    * base via backup → rename → drop-backup (ZipNum.write discipline).
+    * Refuses to touch the base if the staging job left no _SUCCESS or a
+    * wrong partition count. Partition dir names are taken from the
+    * staging LISTING, not re-derived, so value escaping can never
+    * mismatch the base layout. */
+  private[graft] def commit(
+      spark: SparkSession, baseDir: String,
+      staging: org.apache.hadoop.fs.Path, nDays: Int): Unit = {
+    val basePath = new org.apache.hadoop.fs.Path(baseDir)
+    val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      require(fs.exists(new org.apache.hadoop.fs.Path(staging, "_SUCCESS")),
+        s"staging at $staging carries no _SUCCESS — refusing to commit an incomplete merge")
+      val stagedParts = fs.listStatus(staging)
+        .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+        .map(_.getPath)
+      require(stagedParts.length == nDays,
+        s"staging holds ${stagedParts.length} partition dirs, expected $nDays — " +
+          "refusing to commit a partial merge")
+      stagedParts.foreach { sp =>
+        val fin = new org.apache.hadoop.fs.Path(basePath, sp.getName)
+        val backup = new org.apache.hadoop.fs.Path(basePath, s".${sp.getName}.replaced")
+        val had = fs.exists(fin)
+        if (had) {
+          fs.delete(backup, true)
+          require(fs.rename(fin, backup), s"could not back up $fin before swap")
+        }
+        if (!fs.rename(sp, fin)) {
+          if (had) fs.rename(backup, fin) // restore the old partition
+          throw new IllegalStateException(s"rename $sp -> $fin failed")
+        }
+        if (had) fs.delete(backup, true)
+      }
+    } finally {
+      fs.delete(staging, true)
+    }
   }
 }

@@ -430,6 +430,37 @@ object Formats extends QueryModule {
         .orderBy("url", "ts")
     }),
 
+    // the NORTH-STAR composition as one driver key and ONE lazy plan:
+    // scan_warc → HTML text extract → token + quality gates →
+    // earliest-capture exact dedup → fixed-budget sequence packing.
+    // Every stage is a lazy transform over the WARC scan; the only
+    // driver-side artifacts are packSequences' bounded bucket offsets
+    // (the declared exchange, same as pipeline_pack_sequences). The
+    // fixture plants one case per stage: a later duplicate capture of
+    // /menu (earliest-dedup drops it), a one-word /tiny page (token
+    // gate), and the short /latin + /bare pages (absolute quality gate
+    // at 0.02, which the /menu and stopword-rich /long pages clear).
+    // Oracle-exempt (binary fixture input, like every WARC-scan key);
+    // PipelineSpec pins the exact surviving row set and the packing
+    // invariants, PLANS.md the barrier-free plan.
+    "pipeline_warc_corpus" -> ((s, d) => {
+      val file = tmp(d, "fixture_corpus.warc.gz")
+      Warc.writeFixture(file, Warc.corpusFixtureRecords)
+      val corpus = graft.Pipeline.warcToCorpus(s, file)
+        .filter(col("quality") >= 0.02)
+        // packSequences needs a nonnegative unique BIGINT id; hash the
+        // capture identity instead of a global row_number (which would be
+        // exactly the single-partition window the pack op exists to avoid)
+        .withColumn("doc_id",
+          expr("xxhash64(url, ts) & 9223372036854775807"))
+      graft.ops.Corpus.packSequences(
+        corpus.select(col("doc_id"), col("url"), col("ts"),
+          col("n_tokens").cast("long").as("n_tok"), col("quality")),
+        "doc_id", "n_tok", seqBudget = 8, bucketWidth = 1L << 47)
+        .select("url", "ts", "n_tok", "cum_before", "seq_id")
+        .orderBy("url", "ts")
+    }),
+
     // legacy ARC member scan through the same reader (pre-2010 crawls;
     // pywb ArchiveIterator reads both) — oracle-exempt like scan_warc
     "scan_arc" -> ((s, d) => {
@@ -580,11 +611,16 @@ object Formats extends QueryModule {
         "FROM cdx WHERE urlkey = (SELECT urlkey FROM cdx GROUP BY urlkey " +
         "ORDER BY count(*) DESC, urlkey LIMIT 1)) ORDER BY ts, link"),
     // the miss is guaranteed, so the result is exactly the fallback
-    // (query-stripped prefix) rows, all flagged fuzzy
+    // rows, all flagged fuzzy. The fallback contract (CdxServer
+    // .fuzzyMatch) is BOTH arms: the query-less capture of the same URL
+    // (urlkey exactly = base) AND query-carrying captures (base || '?'
+    // prefix) — encode both here so a future fixture with a bare capture
+    // of the hot URL still hash-matches
     "cdx_fuzzy_match" -> o(
-      s"SELECT urlkey, ts, $jsonExprDuck, TRUE AS is_fuzzy FROM cdx " +
-        "WHERE starts_with(urlkey, (SELECT split_part(urlkey, '?', 1) FROM " +
-        "(SELECT urlkey FROM cdx GROUP BY urlkey ORDER BY count(*) DESC, urlkey LIMIT 1)) || '?') " +
+      s"SELECT urlkey, ts, $jsonExprDuck, TRUE AS is_fuzzy FROM cdx CROSS JOIN " +
+        "(SELECT split_part(urlkey, '?', 1) AS fz_base FROM " +
+        "(SELECT urlkey FROM cdx GROUP BY urlkey ORDER BY count(*) DESC, urlkey LIMIT 1)) " +
+        "WHERE urlkey = fz_base OR starts_with(urlkey, fz_base || '?') " +
         "ORDER BY urlkey, ts, json"),
     "sink_warc_cdx" -> o(
       "SELECT regexp_replace(regexp_extract(filename, '[^/]+$'), '\\.warc\\.gz$', '.cdx.gz') AS cdx_name, " +

@@ -98,11 +98,14 @@ object Llm extends QueryModule {
     //                            but never correctness.
     // The result is EXACT (== the plain anti-join, which is the oracle)
     // while only the ~dup_rate + FPR fraction of the batch reaches the
-    // shuffle. The membership probe is a Scala UDF by necessity — Spark
-    // exposes BloomFilter build/probe only via DataFrameStatFunctions /
-    // util.sketch, not as a SQL expression — and runs on the small batch
-    // side only. SearchSpec pins exactness + that the prefilter
-    // actually prunes.
+    // shuffle. The membership probe is the codegen kernel
+    // `bloom_might_contain` (NativeExpressions — Spark exposes
+    // BloomFilter build only via DataFrameStatFunctions, with no public
+    // probe expression), so the candidate projection stays inside
+    // whole-stage codegen instead of boxing every row through a Scala
+    // closure. SearchSpec pins exactness + that the prefilter actually
+    // prunes; NativeExprSpec pins probe parity with
+    // BloomFilter.mightContainString.
     "dedup_bloom_prefilter" -> ((s, d) => {
       val hist = Tables.t(s, d, "documents")
       val dupes = hist.filter(col("doc_id") % 5 === 0)
@@ -118,9 +121,11 @@ object Llm extends QueryModule {
       // count is one cheap aggregate against the same scan the filter
       // build reads right after.
       val bf = hist.stat.bloomFilter("text", math.max(hist.count(), 1L << 16), 0.03)
-      val bc = s.sparkContext.broadcast(bf)
-      val mightContain = udf((t: String) => t != null && bc.value.mightContainString(t))
-      val flagged = batch.withColumn("cand", mightContain(col("text")))
+      val bfBytes = { val bos = new java.io.ByteArrayOutputStream()
+        bf.writeTo(bos); bos.toByteArray }
+      graft.functions.GraftFunctions.register(s)
+      val flagged = batch.withColumn("cand",
+        call_udf("bloom_might_contain", col("text"), lit(bfBytes)))
       val definiteNew = flagged.filter(!col("cand"))
       val verified = flagged.filter(col("cand"))
         .join(hist.select("text"), Seq("text"), "left_anti")

@@ -143,9 +143,10 @@ object Similarity extends QueryModule {
     // exact-direction copies (new ids, +700000) — identical vectors land
     // in the SAME cell with cos = 1, so recall through the cell structure
     // is certain, which SimilaritySpec pins along with the
-    // survivors+dropped partition. Cells are size-capped before the
-    // self-join (the knnGraph/bucketedPairs discipline — a degenerate
-    // quantizer must not fan out quadratically). Oracle-exempt: trained
+    // survivors+dropped partition. Over-cap cells SUB-SPLIT on residual
+    // sign-LSH before the self-join (quadratic fan-out stays bounded
+    // without the round-8 skip-the-hot-cell recall hole; degenerate
+    // leaves collapse exact copies linearly). Oracle-exempt: trained
     // centroids depend on distributed float-summation order, the same
     // reason as every *_trained key.
     "dedup_semantic" -> ((s, d) => {
@@ -174,17 +175,12 @@ object Similarity extends QueryModule {
         element_at(call_udf("pq_encode", col("ed"), centLit,
           lit(model.dim), lit(cents.length)), 1))
         .localCheckpoint()
-      val keyed = assigned.select(col("vec_id"), col("cid"))
-      val ok = keyed.groupBy("cid").agg(count(lit(1)).as("n"))
-        .filter(col("n") <= 2000).select("cid")
-      val bounded = keyed.join(ok, Seq("cid"))
-      val dropped = bounded.select(col("cid"), col("vec_id").as("a"))
-        .join(bounded.select(col("cid"), col("vec_id").as("b")), Seq("cid"))
-        .filter(col("a") < col("b"))
-        .join(assigned.select(col("vec_id").as("a"), col("ed").as("ea")), "a")
-        .join(assigned.select(col("vec_id").as("b"), col("ed").as("eb")), "b")
-        .filter(call_udf("cosine_sim", col("ea"), col("eb")) >= 0.99)
-        .select(col("b").as("vec_id")).distinct()
+      // candidate pairing + hot-cell sub-split live in
+      // [[graft.ops.Dedup.semDedupDropped]]: over-cap cells re-bucket on
+      // residual sign-LSH (never skipped — the round-8 recall hole), and
+      // pathological leaves fall back to linear exact-vector collapse
+      val dropped = graft.ops.Dedup.semDedupDropped(
+        assigned, cents.map(_.toSeq).toSeq, model.dim)
       assigned.select("vec_id", "cid")
         .join(dropped, Seq("vec_id"), "left_anti")
         .orderBy("vec_id")

@@ -148,6 +148,23 @@ object TimeWindows extends QueryModule {
         .orderBy("user_id", "sstart_us")
     }),
 
+    // crawl-frontier dedup-and-emit via transformWithState (arbitrary
+    // state v2 — the TTL-capable typed-ValueState handle) through the
+    // driver gate: each urlkey emits ONCE, on first discovery, with its
+    // first-capture ts and sighting count. Batch-run each key's history
+    // arrives in one invocation, so the output equals the
+    // min-ts/count-per-key oracle; StreamingSpec pins the cross-batch
+    // suppression contract through MemoryStream.
+    "stream_frontier" -> ((s, d) => {
+      import s.implicits._
+      val in = graft.Cdx.df(s, d)
+        .select(col("urlkey"), col("ts"))
+        .as[graft.streaming.StreamOps.FrontierIn]
+      graft.streaming.StreamOps.frontier(in)
+        .toDF()
+        .orderBy("urlkey")
+    }),
+
     // ordered funnel (view -> click within 30m -> purchase within 30m of
     // the click) — the product-analytics sequence query. Shape: three
     // event-type slices equi-join on user_id with in-plan time-range
@@ -332,6 +349,10 @@ object TimeWindows extends QueryModule {
         "ROWS UNBOUNDED PRECEDING) AS sid FROM marked) " +
         "SELECT user_id, min(ts_us) AS sstart_us, max(ts_us) AS send_us, " +
         "count(*) AS n_events FROM sess GROUP BY user_id, sid ORDER BY user_id, sstart_us"),
+    // batch-run frontier == first capture + sighting count per urlkey
+    "stream_frontier" ->
+      (graft.Cdx.duckCte + "SELECT urlkey, min(ts) AS first_ts, " +
+        "count(*) AS n_seen FROM cdx GROUP BY urlkey ORDER BY urlkey"),
     "stream_late_policy" ->
       ("SELECT event_id, user_id FROM events " +
         "WHERE ts >= (SELECT max(ts) - INTERVAL 1 HOUR FROM events) ORDER BY event_id"),

@@ -235,6 +235,86 @@ object StreamOps {
     }
   }
 
+  // ---- crawl-frontier dedup-and-emit (transformWithState driver key) ----
+
+  final case class FrontierIn(urlkey: String, ts: String)
+  final case class FrontierState(firstTs: String, n: Long)
+  final case class FrontierOut(urlkey: String, first_ts: String, n_seen: Long)
+
+  /** Crawl-frontier dedup-and-emit: a candidate URL stream where each
+    * urlkey must be fetched ONCE — the frontier answers "is this new?"
+    * and emits a key only on first discovery, with per-key
+    * (first-capture ts, seen count) state. transformWithState (arbitrary
+    * state v2) rather than mapGroupsWithState: the typed ValueState
+    * handle is TTL-capable (`ttl` — a real frontier expires keys to
+    * re-crawl after N days; the driver key passes TTLConfig.NONE for
+    * determinism) and the processor generalizes to multiple state
+    * variables (politeness timers, retry counters) without re-keying.
+    *
+    * State is O(distinct urlkeys) × three fields — at 100 TB this is the
+    * shape that stays bounded only WITH the TTL eviction, which is
+    * exactly why the TTL-capable handle is the right primitive here.
+    *
+    * Batch-run through the driver gate, each key's full history arrives
+    * in one invocation, so the output is (urlkey, min ts, count) —
+    * the `SELECT urlkey, min(ts), count(*) GROUP BY urlkey` oracle.
+    * StreamingSpec pins the cross-batch contract: a key introduced in
+    * batch 1 is SUPPRESSED in batch 2 (emitted once, counted twice). */
+  final class FrontierProcessor(ttl: org.apache.spark.sql.streaming.TTLConfig)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[String, FrontierIn, FrontierOut] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, ValueState}
+    import org.apache.spark.sql.Encoders
+
+    @transient private var seen: ValueState[FrontierState] = _
+
+    override def init(
+        outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      seen = getHandle.getValueState[FrontierState](
+        "frontier", Encoders.product[FrontierState], ttl)
+    }
+
+    override def handleInputRows(
+        key: String, inputRows: Iterator[FrontierIn],
+        timerValues: TimerValues): Iterator[FrontierOut] = {
+      var mn: String = null
+      var cnt = 0L
+      inputRows.foreach { r =>
+        if (mn == null || r.ts < mn) mn = r.ts
+        cnt += 1L
+      }
+      Option(seen.get()) match {
+        case Some(prev) =>
+          // known key: count the re-sighting, emit nothing — the
+          // dedup-and-emit contract (first_ts never moves backward in a
+          // stream: earlier-ts arrivals after discovery are late data)
+          seen.update(FrontierState(prev.firstTs, prev.n + cnt))
+          Iterator.empty
+        case None =>
+          seen.update(FrontierState(mn, cnt))
+          Iterator.single(FrontierOut(key, mn, cnt))
+      }
+    }
+  }
+
+  /** frontier over a candidate stream/batch; see [[FrontierProcessor]] */
+  def frontier(in: Dataset[FrontierIn],
+      ttl: org.apache.spark.sql.streaming.TTLConfig =
+        org.apache.spark.sql.streaming.TTLConfig.NONE): Dataset[FrontierOut] = {
+    import in.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    // BATCH-run TWS still loads a RocksDB store per task, and store load
+    // reports its snapshot version to the driver's StateStoreCoordinator
+    // RPC endpoint — which only STREAMING query startup registers
+    // (StreamingQueryManager's lazy stateStoreCoordinator). Force that
+    // same lazy here so batch tasks find the endpoint; going through the
+    // manager (reflectively — the member is private[sql]) means a later
+    // real streaming query SHARES the ref instead of double-registering.
+    val mgr = in.sparkSession.streams
+    mgr.getClass.getMethod("stateStoreCoordinator").invoke(mgr)
+    in.groupByKey(_.urlkey)
+      .transformWithState(new FrontierProcessor(ttl), TimeMode.None(), OutputMode.Append())
+  }
+
   /** same running counts through transformWithState */
   def userRunningCountsTws(events: Dataset[UserEvent]): Dataset[UserUpdate] = {
     import events.sparkSession.implicits._

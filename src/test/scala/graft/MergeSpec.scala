@@ -91,6 +91,65 @@ class MergeSpec extends SparkSpec {
       s"survivors scan must list exactly ${days.size} partitions, listed $nParts")
   }
 
+  test("crash between stage and commit leaves the base table byte-intact") {
+    val dir = Files.createTempDirectory("merge_crash")
+    val base = Seq((1L, 10, "a", 1.0), (2L, 11, "b", 2.0), (3L, 12, "c", 3.0))
+      .toDF("k", "p_day", "tag", "v")
+    base.write.mode("overwrite").partitionBy("p_day").parquet(dir.toString)
+    val before = listing(dir)
+    val batch = Seq((1L, 10, "a2", 10.0), (9L, 11, "new", 9.0))
+      .toDF("k", "p_day", "tag", "v")
+    val days = Seq(10, 11)
+    // stage only — the simulated crash point: the merged output exists
+    // (hidden) but no commit rename has run
+    val staging = Merge.stage(spark, dir.toString, batch, "k", "p_day", days)
+    assert(listing(dir) == before, "base partition files must be untouched after stage")
+    // readers of the base must not see the staged (dot-prefixed) dir
+    val readBack = spark.read.parquet(dir.toString).select("k", "p_day", "tag", "v").sort("k")
+    assert(readBack.collect().toSeq == base.sort("k").collect().toSeq)
+    // resuming the commit completes the merge
+    Merge.commit(spark, dir.toString, staging, days.size)
+    val merged = spark.read.parquet(dir.toString).select("k").as[Long].collect().toSet
+    assert(merged == Set(1L, 2L, 3L, 9L))
+    // staging debris is gone after commit
+    assert(!Files.list(dir).iterator().asScala
+      .exists(_.getFileName.toString.startsWith(".merge_staging_")))
+  }
+
+  test("commit refuses an incomplete staging dir and leaves the base intact") {
+    val dir = Files.createTempDirectory("merge_refuse")
+    val base = Seq((1L, 10, "a", 1.0), (2L, 11, "b", 2.0))
+      .toDF("k", "p_day", "tag", "v")
+    base.write.mode("overwrite").partitionBy("p_day").parquet(dir.toString)
+    val before = listing(dir)
+    val batch = Seq((1L, 10, "a2", 10.0)).toDF("k", "p_day", "tag", "v")
+    val staging = Merge.stage(spark, dir.toString, batch, "k", "p_day", Seq(10))
+    // simulate a staging job that died before its commit marker
+    Files.delete(dir.resolve(staging.getName).resolve("_SUCCESS"))
+    val e = intercept[IllegalArgumentException] {
+      Merge.commit(spark, dir.toString, staging, 1)
+    }
+    assert(e.getMessage.contains("_SUCCESS"), e.getMessage)
+    assert(listing(dir) == before, "refused commit must not touch the base")
+  }
+
+  test("precondition: a key that MOVES partitions duplicates (documented non-contract)") {
+    // the scaladoc's key-partition-stability precondition, pinned as a
+    // counter-example so the behavior is explicit: k=1 lives in day 10,
+    // the batch re-sends it under day 11 — the day-10 copy survives
+    // (its partition is never read) and the key is now duplicated.
+    // Callers needing global-key MERGE must keep partCol derived from
+    // the key.
+    val dir = Files.createTempDirectory("merge_moved")
+    Seq((1L, 10, "a", 1.0), (2L, 11, "b", 2.0))
+      .toDF("k", "p_day", "tag", "v")
+      .write.mode("overwrite").partitionBy("p_day").parquet(dir.toString)
+    val batch = Seq((1L, 11, "moved", 5.0)).toDF("k", "p_day", "tag", "v")
+    Merge.upsertPartitioned(spark, dir.toString, batch, "k", "p_day")
+    val k1 = spark.read.parquet(dir.toString).filter(col("k") === 1L).count()
+    assert(k1 == 2L, "moved-partition key duplicates — the documented precondition violation")
+  }
+
   test("upsertPartitioned rejects a NULL partition value loudly") {
     // isin(null, ...) never matches base null-partition rows, so a null
     // in the batch would silently DELETE every default-partition survivor

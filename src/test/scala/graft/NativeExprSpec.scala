@@ -465,4 +465,41 @@ class NativeExprSpec extends SparkSpec {
     assert(edge(0).getDouble(0) == 0.0 && edge(1).getDouble(0) == 0.0 && edge(2).isNullAt(0))
   }
 
+  test("bloom_might_contain kernel == BloomFilter.mightContainString on the documents corpus") {
+    GraftFunctions.register(spark)
+    val docs = Tables.t(spark, sfDir, "documents")
+    // filter built over HALF the corpus so both arms (member and
+    // non-member) are exercised, including the FPR side
+    val hist = docs.filter(col("doc_id") % 2 === 0)
+    val bf = hist.stat.bloomFilter("text", math.max(hist.count(), 1L << 10), 0.03)
+    val bfBytes = { val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos); bos.toByteArray }
+    val rows = docs
+      .select(col("doc_id"), col("text"),
+        call_udf("bloom_might_contain", col("text"), lit(bfBytes)).as("k"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val expected = r.getString(1) != null && bf.mightContainString(r.getString(1))
+      assert(r.getBoolean(2) == expected, s"doc ${r.getLong(0)} kernel vs driver probe mismatch")
+    }
+    // no false negatives by construction: every member probes true
+    val members = hist.select(
+      call_udf("bloom_might_contain", col("text"), lit(bfBytes)).as("k"))
+      .filter(!col("k")).count()
+    assert(members == 0L, "bloom must have no false negatives")
+    // edge semantics: null text probes FALSE (prefilter contract), not NULL
+    val edge = Seq[(java.lang.Long, String)]((1L, null))
+      .toDF("id", "t")
+      .select(call_udf("bloom_might_contain", col("t"), lit(bfBytes)).as("k"))
+      .collect()
+    assert(!edge(0).isNullAt(0) && !edge(0).getBoolean(0))
+    // misuse fails at analysis, not inside a task: non-foldable filter
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      docs.select(call_udf("bloom_might_contain", col("text"),
+        col("text").cast("binary")).as("k")).collect()
+    }
+    assert(e.getMessage.contains("literal"), e.getMessage)
+  }
+
 }

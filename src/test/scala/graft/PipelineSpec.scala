@@ -94,4 +94,38 @@ class PipelineSpec extends SparkSpec {
     assert(kept.filter(col("cluster_size") >= 2).count() > 0)
     kept.unpersist()
   }
+
+  test("pipeline_warc_corpus: every stage bites exactly once; packing is consistent (golden)") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("pipeline_warc_corpus")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // surviving capture set: /menu earliest capture + /long.
+    //  - the 2016-02-01 duplicate /menu capture fell to earliest-dedup
+    //  - /latin ("Latin résumé", q=0.012) and /bare ("no title here",
+    //    q=0.013) fell to the 0.02 quality gate
+    //  - /tiny (1 token) fell to the token gate
+    //  - /gone (404) and /raw (text/plain) fell to the extract filter
+    val urls = rows.map(r => (r._1, r._2)).toSet
+    assert(urls == Set(
+      ("http://www.example.com/menu", "20160102100000"),
+      ("http://www.example.com/long", "20160108160000")), s"got $urls")
+    // golden token counts from the pinned extracted texts:
+    // "Alpha & Beta Café menu Tea <hot> & biscuits' price" -> alpha beta
+    // caf menu tea hot biscuits price = 8; "Guide The quick brown fox
+    // jumps over the lazy dog and runs to the river every morning for a
+    // drink of water" -> 22
+    val byUrl = rows.map(r => r._1 -> r).toMap
+    assert(byUrl("http://www.example.com/menu")._3 == 8L)
+    assert(byUrl("http://www.example.com/long")._3 == 22L)
+    // packing invariants: cum_before is the prefix sum of n_tok in doc_id
+    // (hash) order, and seq_id = cum_before DIV 8
+    assert(rows.forall(r => r._5 == r._4 / 8))
+    val cums = rows.map(r => (r._4, r._3)).sortBy(_._1)
+    assert(cums.head._1 == 0L)
+    assert(cums(1)._1 == cums.head._2, "second doc's offset must equal the first doc's tokens")
+    // determinism: a second run returns the identical frame
+    val again = SparkEntry.queries("pipeline_warc_corpus")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.toSeq == again.toSeq)
+  }
 }

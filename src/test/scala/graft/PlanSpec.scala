@@ -373,13 +373,20 @@ class PlanSpec extends SparkSpec {
       "the prefix-rank window must partition by doc_id, never run global"))
   }
 
-  test("dedup_bloom_prefilter: the bloom probe filters BELOW the anti-join") {
-    val p = plan("dedup_bloom_prefilter")
+  test("dedup_bloom_prefilter: the bloom probe filters BELOW the anti-join, inside codegen") {
+    val df = SparkEntry.queries("dedup_bloom_prefilter")(spark, sfDir)
+    df.collect() // finalize the AQE plan for THIS query execution
+    val p = df.queryExecution.explainString(ExplainMode.fromString("simple"))
     assert(p.contains("LeftAnti"), "exact verification is an anti join")
-    // the might_contain UDF must appear as a Filter condition feeding the
-    // join (candidates only) and, negated, on the fast path — not as a
-    // post-join projection
-    assert(p.contains("UDF("), s"bloom probe missing from the plan:\n${p.take(2000)}")
+    // the probe is the native kernel — it must appear as a Filter
+    // condition feeding the join (candidates only) and, negated, on the
+    // fast path — and it must sit inside a codegen'd (starred) operator,
+    // the invariant the old Scala-closure UDF broke
+    assert(p.contains("bloom_might_contain"),
+      s"native bloom probe missing from the plan:\n${p.take(2000)}")
+    assert(!p.contains("UDF("), "no Scala UDF may remain on the probe path")
+    assert(p.linesIterator.exists(l => l.contains("bloom_might_contain") && l.contains("*(")),
+      s"bloom probe must sit inside a codegen'd (starred) operator:\n$p")
   }
 
   test("join_dpp_partitioned: the fact scan dynamically prunes to the 8 weekend partitions") {

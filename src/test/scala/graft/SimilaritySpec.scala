@@ -569,6 +569,43 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("semDedupDropped: planted twin inside an OVER-CAP cell is still dropped (sub-split, not skipped)") {
+    // 2500 members in one coarse cell — past the 2000 cap, so the round-8
+    // code would have skipped the cell entirely and dropped NOTHING here.
+    // The sub-split must re-bucket on residual LSH and still catch the
+    // planted exact twin.
+    val dim = 4
+    val rng = new scala.util.Random(7)
+    val members = (0 until 2500).map { i =>
+      val v = (0 until dim).map(j => (if (j == 0) 1.0 else 0.0) + rng.nextGaussian() * 0.5)
+      (i.toLong, v, 0)
+    }
+    val twin = (900000L, members(17)._2, 0)
+    val assigned = (members :+ twin).toDF("vec_id", "ed", "cid")
+    val dropped = graft.ops.Dedup.semDedupDropped(
+      assigned, Seq(Seq(1.0, 0.0, 0.0, 0.0)), dim)
+      .as[Long].collect().toSet
+    assert(dropped.contains(900000L),
+      "planted twin inside an over-cap cell must be dropped by the sub-split pass")
+    // the drop rule keeps the lower id of a close pair: id 0 has no lower
+    // counterpart, so it must always survive
+    assert(!dropped.contains(0L))
+  }
+
+  test("semDedupDropped: a degenerate leaf (identical vectors beyond any split) exact-collapses linearly") {
+    // 2500 IDENTICAL vectors: every sub-split level lands them in the same
+    // leaf (same residual), leaving it over cap — the exact-collapse
+    // fallback must keep exactly the minimum id and drop the rest, at any
+    // size, without a pairwise pass
+    val v = Seq(1.0, 2.0, 3.0, 4.0)
+    val assigned = (0 until 2500).map(i => (i.toLong, v, 0)).toDF("vec_id", "ed", "cid")
+    val dropped = graft.ops.Dedup.semDedupDropped(
+      assigned, Seq(Seq(1.0, 2.0, 3.0, 4.0)), 4)
+      .as[Long].collect().toSet
+    assert(dropped == (1 until 2500).map(_.toLong).toSet,
+      s"exact collapse must drop all but id 0; got ${dropped.size} drops")
+  }
+
   test("dedup_image_phash: survivors pairwise > 3 bits apart and exactly the undominated docs") {
     val rows = SparkEntry.queries("dedup_image_phash")(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getString(1)))

@@ -333,6 +333,48 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("frontier: a key introduced in batch 1 is suppressed in batch 2 (emitted once, counted twice)") {
+    implicit val sqlCtx = spark.sqlContext
+    // TWS requires the RocksDB state store provider
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[StreamOps.FrontierIn]
+    val q = StreamOps.frontier(input.toDS()).writeStream
+      .format("memory").queryName("frontier_sink").outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        StreamOps.FrontierIn("com,a)/", "20240102000000"),
+        StreamOps.FrontierIn("com,a)/", "20240101000000"),
+        StreamOps.FrontierIn("com,b)/", "20240103000000"))
+      q.processAllAvailable()
+      // batch 1: both keys emitted, a's first_ts is the batch minimum
+      val b1 = spark.table("frontier_sink")
+        .as[StreamOps.FrontierOut].collect().sortBy(_.urlkey)
+      assert(b1.toSeq == Seq(
+        StreamOps.FrontierOut("com,a)/", "20240101000000", 2L),
+        StreamOps.FrontierOut("com,b)/", "20240103000000", 1L)))
+      // batch 2: known key a re-sighted -> NO new emission; new key c emits
+      input.addData(
+        StreamOps.FrontierIn("com,a)/", "20240104000000"),
+        StreamOps.FrontierIn("com,c)/", "20240105000000"))
+      q.processAllAvailable()
+      val b2 = spark.table("frontier_sink")
+        .as[StreamOps.FrontierOut].collect().sortBy(_.urlkey)
+      assert(b2.toSeq == Seq(
+        StreamOps.FrontierOut("com,a)/", "20240101000000", 2L),
+        StreamOps.FrontierOut("com,b)/", "20240103000000", 1L),
+        StreamOps.FrontierOut("com,c)/", "20240105000000", 1L)),
+        s"got ${b2.toSeq}")
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("mapGroupsWithState accumulates per-user counts across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[StreamOps.UserEvent]
