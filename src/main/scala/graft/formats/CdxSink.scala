@@ -75,8 +75,12 @@ object CdxSink {
           val fin = new Path(dir, cdxName(current))
           fctx match {
             case Some(fc) =>
-              // single-call overwrite rename: atomic on HDFS/local, no
-              // window where the final name is absent
+              // single-call overwrite rename. Truly atomic where the
+              // AbstractFileSystem overrides 3-arg renameInternal (HDFS
+              // does); LocalFs/ChecksumFs fall back to delete-then-rename
+              // INSIDE this call, so a small absent-final-name window
+              // still exists there — a later retry attempt republishes
+              // from its own .tmp, which is the recovery story either way
               fc.rename(tmp, fin, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
             case None =>
               // FS without an AbstractFileSystem binding: FileSystem.rename

@@ -313,11 +313,14 @@ object Warc {
           "Beta", Seq("http://www.example.com/path?b=2&a=1")).getBytes(UTF_8)))
   }
 
+  /** deterministic fake digest for fixture records (one definition for
+    * all three fixture sets, so the convention cannot diverge) */
+  private def b32(seed: String): String =
+    seed.flatMap(c => Integer.toString((c.toInt % 32), 32)).toUpperCase.padTo(32, '2').take(32)
+
   /** Deterministic 8-record fixture over 3 URLs — used by the scan_warc
     * demo query and the golden spec. */
   def fixtureRecords: Seq[FixtureRecord] = {
-    def b32(seed: String): String =
-      seed.flatMap(c => Integer.toString((c.toInt % 32), 32)).toUpperCase.padTo(32, '2').take(32)
     Seq(
       FixtureRecord("warcinfo", null, "2015-02-15T01:00:00Z", b32("info"), 0, null,
         "software: graft-fixture".getBytes(UTF_8)),
@@ -343,8 +346,6 @@ object Warc {
     * page two is the single byte 0xE9 — a UTF-8 misdecode corrupts it),
     * a titleless page, and rows the response/200/html filter must drop. */
   def htmlFixtureRecords: Seq[FixtureRecord] = {
-    def b32(seed: String): String =
-      seed.flatMap(c => Integer.toString((c.toInt % 32), 32)).toUpperCase.padTo(32, '2').take(32)
     val utf8Page =
       ("<html><head><title> Alpha &amp; Beta </title>" +
         "<style>body { color: red }</style></head>" +
@@ -378,8 +379,6 @@ object Warc {
     * stopword-rich long page that clearly PASSES the quality gate the
     * short /latin and /bare pages fall under. */
   def corpusFixtureRecords: Seq[FixtureRecord] = {
-    def b32(seed: String): String =
-      seed.flatMap(c => Integer.toString((c.toInt % 32), 32)).toUpperCase.padTo(32, '2').take(32)
     val menuPayload = htmlFixtureRecords
       .find(_.url == "http://www.example.com/menu").get.payload
     val longPage =

@@ -473,8 +473,26 @@ object Dedup {
     *    would be quadratic at any cap, so the leaf falls back to EXACT
     *    vector collapse — group by the full vector, keep the min id —
     *    which is linear at any size and still catches exact twins (the
-    *    planted-recall guarantee). Near-but-not-exact dups inside such a
-    *    leaf are the only remaining (documented) recall loss.
+    *    planted-recall guarantee).
+    *
+    * Recall accounting, honest version: sub-splitting trades a BOUNDED
+    * recall loss for linearity. Exact twins share a residual, so they
+    *    always share every sub-bucket — their recall is certain at any
+    * depth. A NEAR-dup pair at exactly the 0.99 threshold (~8°) is cut
+    * by each random hyperplane with probability θ/π ≈ 2.5%, so a level-1
+    * split loses ~12% of threshold-grade pairs (more at level 2), and a
+    * still-over-cap leaf additionally loses its non-exact near-dups to
+    * the collapse fallback. That loss applies ONLY inside over-cap cells
+    * — strictly better than the round-8 behavior of skipping those cells
+    * entirely (100% loss) — and shrinks as cos→1. Multi-probe (assigning
+    * small-margin members to both sides of a plane) is the known
+    * extension if the tail matters.
+    *
+    * Cost shape: sub-split machinery (residual + two 5-plane LSH
+    * projections, level-1 bucket counts) is computed ONLY for members of
+    * over-cap cells; the common all-under-cap corpus pays one broadcast
+    * size join and the pairwise self-join carries vectors with it, so no
+    * second pass over `assigned` ever happens.
     * SimilaritySpec pins the over-cap recall property with a planted twin
     * in a cell driven past the cap. */
   def semDedupDropped(
@@ -486,17 +504,20 @@ object Dedup {
       Seq.fill(5)(Seq.fill(dim)(rng.nextGaussian()))
     }
     val centLit = typedLit(centroids)
-    val sub = assigned
-      .withColumn("resid", call_udf("vec_sub", col("ed"),
-        element_at(centLit, col("cid").cast("int") + 1)))
-      .withColumn("b1", call_udf("lsh_bucket", col("resid"), typedLit(planes(0x5EED1))))
-      .withColumn("b2", call_udf("lsh_bucket", col("resid"), typedLit(planes(0x5EED2))))
-    val n0 = sub.groupBy("cid").agg(count(lit(1)).as("n0"))
-    val n1 = sub.groupBy("cid", "b1").agg(count(lit(1)).as("n1"))
-    // cell-size relations are |cells|-sized — broadcast back onto members
-    val eff = sub
-      .join(broadcast(n0), Seq("cid"))
-      .join(broadcast(n1), Seq("cid", "b1"))
+    val n0 = assigned.groupBy("cid").agg(count(lit(1)).as("n0"))
+    // sub-split projections gated under when(n0 > cap): the common
+    // all-under-cap corpus never evaluates the residual or either 5-plane
+    // LSH projection — hot-cell members only
+    val hot = col("n0") > cap
+    val sized = assigned.join(broadcast(n0), Seq("cid"))
+      .withColumn("resid", when(hot, call_udf("vec_sub", col("ed"),
+        element_at(centLit, col("cid").cast("int") + 1))))
+      .withColumn("b1", when(hot, call_udf("lsh_bucket", col("resid"), typedLit(planes(0x5EED1)))))
+      .withColumn("b2", when(hot, call_udf("lsh_bucket", col("resid"), typedLit(planes(0x5EED2)))))
+    // level-1 bucket counts exist only for hot-cell members
+    val n1 = sized.filter(hot).groupBy("cid", "b1").agg(count(lit(1)).as("n1"))
+    val eff = sized
+      .join(broadcast(n1), Seq("cid", "b1"), "left")
       .withColumn("ecell",
         when(col("n0") <= cap, concat_ws("/", col("cid")))
           .when(col("n1") <= cap, concat_ws("/", col("cid"), col("b1")))
@@ -504,12 +525,16 @@ object Dedup {
       .select("vec_id", "ecell", "ed")
     val sizes = eff.groupBy("ecell").agg(count(lit(1)).as("ne"))
     val withSz = eff.join(broadcast(sizes), Seq("ecell"))
-    val keyed = withSz.filter(col("ne") <= cap).select("vec_id", "ecell")
-    val dropPairs = keyed.select(col("ecell"), col("vec_id").as("a"))
-      .join(keyed.select(col("ecell"), col("vec_id").as("b")), Seq("ecell"))
+    // the pairwise self-join CARRIES the vectors (one shuffle of the
+    // keyed corpus per side) instead of re-joining pairs back onto
+    // `assigned` — the round-9 review flagged those two extra
+    // corpus-wide joins as the dedup_semantic bench regression
+    val keyed = withSz.filter(col("ne") <= cap).select("vec_id", "ecell", "ed")
+    val dropPairs = keyed
+      .select(col("ecell"), col("vec_id").as("a"), col("ed").as("ea"))
+      .join(keyed.select(col("ecell"), col("vec_id").as("b"), col("ed").as("eb")),
+        Seq("ecell"))
       .filter(col("a") < col("b"))
-      .join(assigned.select(col("vec_id").as("a"), col("ed").as("ea")), "a")
-      .join(assigned.select(col("vec_id").as("b"), col("ed").as("eb")), "b")
       .filter(call_udf("cosine_sim", col("ea"), col("eb")) >= threshold)
       .select(col("b").as("vec_id"))
     val overflow = withSz.filter(col("ne") > cap)

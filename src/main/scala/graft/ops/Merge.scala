@@ -85,9 +85,39 @@ object Merge {
     require(!days.contains(null),
       s"batch carries a NULL $partCol — null partitions cannot merge " +
         "(survivors of the default partition would be silently dropped)")
+    recoverDebris(spark, baseDir)
     val staging = stage(spark, baseDir, batch, keyCol, partCol, days)
     commit(spark, baseDir, staging, days.size)
     days
+  }
+
+  /** Crash-debris recovery, run before every merge (single-writer table,
+    * the same assumption the whole COW protocol makes):
+    *  - orphaned `.merge_staging_*` dirs from a run that died between
+    *    stage and commit are deleted — without this every crash leaves an
+    *    invisible full copy of its affected partitions under the base
+    *    forever;
+    *  - an orphaned `.<part>.replaced` backup whose final name is MISSING
+    *    marks a crash mid-swap where the backup is the only copy — it is
+    *    restored; one whose final name exists is stale (the swap
+    *    completed) and is deleted. */
+  private[graft] def recoverDebris(spark: SparkSession, baseDir: String): Unit = {
+    val basePath = new org.apache.hadoop.fs.Path(baseDir)
+    val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(basePath)) return
+    fs.listStatus(basePath).foreach { st =>
+      val nm = st.getPath.getName
+      if (st.isDirectory && nm.startsWith(".merge_staging_"))
+        fs.delete(st.getPath, true)
+      else if (st.isDirectory && nm.startsWith(".") && nm.endsWith(".replaced")) {
+        val fin = new org.apache.hadoop.fs.Path(
+          basePath, nm.stripPrefix(".").stripSuffix(".replaced"))
+        if (!fs.exists(fin))
+          require(fs.rename(st.getPath, fin),
+            s"could not restore crashed-swap backup ${st.getPath} to $fin")
+        else fs.delete(st.getPath, true)
+      }
+    }
   }
 
   /** Leg A — write the merged partitions ONCE into a hidden staging dir
@@ -150,8 +180,15 @@ object Merge {
           require(fs.rename(fin, backup), s"could not back up $fin before swap")
         }
         if (!fs.rename(sp, fin)) {
-          if (had) fs.rename(backup, fin) // restore the old partition
-          throw new IllegalStateException(s"rename $sp -> $fin failed")
+          // the restore must be CHECKED: if it also fails, the partition
+          // data sits only at the hidden backup name and the operator
+          // must know — a silent false here would read as a deleted day
+          val restored = !had || fs.rename(backup, fin)
+          throw new IllegalStateException(
+            s"rename $sp -> $fin failed" + (if (restored)
+              " (previous partition contents restored)"
+            else s"; RESTORE ALSO FAILED — the partition's data sits at " +
+              s"$backup; rename it back to ${fin.getName} manually"))
         }
         if (had) fs.delete(backup, true)
       }

@@ -448,9 +448,15 @@ object Formats extends QueryModule {
       Warc.writeFixture(file, Warc.corpusFixtureRecords)
       val corpus = graft.Pipeline.warcToCorpus(s, file)
         .filter(col("quality") >= 0.02)
-        // packSequences needs a nonnegative unique BIGINT id; hash the
-        // capture identity instead of a global row_number (which would be
-        // exactly the single-partition window the pack op exists to avoid)
+        // packSequences needs a nonnegative BIGINT id; hash the capture
+        // identity instead of a global row_number (which would be exactly
+        // the single-partition window the pack op exists to avoid).
+        // Uniqueness is probabilistic, not guaranteed: distinct (url, ts)
+        // pairs collide in the 63-bit space with ~n²/2⁶⁴ probability
+        // (~1 expected collision at 4B docs), and a collision means a
+        // nondeterministic pack order for that pair. A production run at
+        // that scale assigns ids from a persisted id table (the minhash-
+        // index discipline) instead of a hash.
         .withColumn("doc_id",
           expr("xxhash64(url, ts) & 9223372036854775807"))
       graft.ops.Corpus.packSequences(

@@ -310,7 +310,19 @@ object StreamOps {
     // manager (reflectively — the member is private[sql]) means a later
     // real streaming query SHARES the ref instead of double-registering.
     val mgr = in.sparkSession.streams
-    mgr.getClass.getMethod("stateStoreCoordinator").invoke(mgr)
+    try mgr.getClass.getMethod("stateStoreCoordinator").invoke(mgr)
+    catch {
+      case e: ReflectiveOperationException =>
+        // private-API dependency (no public batch hook exists): fail with
+        // a message that names the fix instead of a bare NoSuchMethod
+        // deep inside a task retry loop
+        throw new IllegalStateException(
+          "could not pre-register the StateStoreCoordinator via " +
+            "StreamingQueryManager.stateStoreCoordinator (private API " +
+            "changed in this Spark version?) — batch transformWithState " +
+            "needs the coordinator; start any streaming query first, or " +
+            "update this shim", e)
+    }
     in.groupByKey(_.urlkey)
       .transformWithState(new FrontierProcessor(ttl), TimeMode.None(), OutputMode.Append())
   }

@@ -116,6 +116,32 @@ class MergeSpec extends SparkSpec {
       .exists(_.getFileName.toString.startsWith(".merge_staging_")))
   }
 
+  test("recoverDebris: orphaned staging dropped, crashed-swap backup restored, stale backup dropped") {
+    val dir = Files.createTempDirectory("merge_debris")
+    Seq((1L, 10, "a", 1.0), (2L, 11, "b", 2.0))
+      .toDF("k", "p_day", "tag", "v")
+      .write.mode("overwrite").partitionBy("p_day").parquet(dir.toString)
+    // orphaned staging dir from a run that died between stage and commit
+    val batch = Seq((1L, 10, "a2", 10.0)).toDF("k", "p_day", "tag", "v")
+    Merge.stage(spark, dir.toString, batch, "k", "p_day", Seq(10))
+    // crashed swap: p_day=11 moved to its backup name, final missing
+    Files.move(dir.resolve("p_day=11"), dir.resolve(".p_day=11.replaced"))
+    // stale backup: p_day=10 exists AND a leftover backup copy of it
+    Files.createDirectory(dir.resolve(".p_day=10.replaced"))
+    Merge.recoverDebris(spark, dir.toString)
+    val names = Files.list(dir).iterator().asScala.map(_.getFileName.toString).toSet
+    assert(!names.exists(_.startsWith(".merge_staging_")), s"staging debris survives: $names")
+    assert(!names.contains(".p_day=11.replaced") && names.contains("p_day=11"),
+      s"crashed-swap backup must be restored: $names")
+    assert(!names.contains(".p_day=10.replaced"), s"stale backup must be dropped: $names")
+    // the recovered table reads back complete
+    val ks = spark.read.parquet(dir.toString).select("k").as[Long].collect().toSet
+    assert(ks == Set(1L, 2L))
+    // and a subsequent full merge over the recovered table works
+    Merge.upsertPartitioned(spark, dir.toString, batch, "k", "p_day")
+    assert(spark.read.parquet(dir.toString).filter(col("tag") === "a2").count() == 1L)
+  }
+
   test("commit refuses an incomplete staging dir and leaves the base intact") {
     val dir = Files.createTempDirectory("merge_refuse")
     val base = Seq((1L, 10, "a", 1.0), (2L, 11, "b", 2.0))

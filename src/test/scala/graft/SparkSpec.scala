@@ -18,10 +18,10 @@ object SparkSpec {
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
-      // transformWithState (stream_frontier) requires the RocksDB state
-      // store provider even batch-run; inert for every other query
-      .config("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // deliberately NO global RocksDB providerClass here: the stateful
+      // streaming tests must keep covering the DEFAULT HDFS-backed
+      // provider an unconfigured production session uses; the TWS tests
+      // that need RocksDB set (and restore) it themselves
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
