@@ -504,44 +504,60 @@ object Dedup {
       Seq.fill(5)(Seq.fill(dim)(rng.nextGaussian()))
     }
     val centLit = typedLit(centroids)
-    val n0 = assigned.groupBy("cid").agg(count(lit(1)).as("n0"))
-    // sub-split projections gated under when(n0 > cap): the common
-    // all-under-cap corpus never evaluates the residual or either 5-plane
-    // LSH projection — hot-cell members only
-    val hot = col("n0") > cap
-    val sized = assigned.join(broadcast(n0), Seq("cid"))
-      .withColumn("resid", when(hot, call_udf("vec_sub", col("ed"),
-        element_at(centLit, col("cid").cast("int") + 1))))
-      .withColumn("b1", when(hot, call_udf("lsh_bucket", col("resid"), typedLit(planes(0x5EED1)))))
-      .withColumn("b2", when(hot, call_udf("lsh_bucket", col("resid"), typedLit(planes(0x5EED2)))))
-    // level-1 bucket counts exist only for hot-cell members
-    val n1 = sized.filter(hot).groupBy("cid", "b1").agg(count(lit(1)).as("n1"))
-    val eff = sized
-      .join(broadcast(n1), Seq("cid", "b1"), "left")
-      .withColumn("ecell",
-        when(col("n0") <= cap, concat_ws("/", col("cid")))
-          .when(col("n1") <= cap, concat_ws("/", col("cid"), col("b1")))
-          .otherwise(concat_ws("/", col("cid"), col("b1"), col("b2"))))
-      .select("vec_id", "ecell", "ed")
-    val sizes = eff.groupBy("ecell").agg(count(lit(1)).as("ne"))
-    val withSz = eff.join(broadcast(sizes), Seq("ecell"))
+    // cell sizes are a |cells|-row model artifact; checkpoint it and ask
+    // the DRIVER whether any cell is hot at all (one bounded action, the
+    // ivfpqFit discipline) — the common all-under-cap corpus then builds
+    // a plan with NO sub-split machinery: no residual/LSH projections, no
+    // level-1 count pass, no per-ecell size join
+    val n0 = assigned.groupBy("cid").agg(count(lit(1)).as("n0")).localCheckpoint()
+    val anyHot = n0.filter(col("n0") > cap).limit(1).count() > 0
+    val (underCap, overflow) =
+      if (!anyHot)
+        (assigned.select(col("vec_id"), concat_ws("/", col("cid")).as("ecell"), col("ed")),
+          None)
+      else {
+        // sub-split projections gated under when(n0 > cap): members of
+        // under-cap cells never evaluate the residual or either 5-plane
+        // LSH projection
+        val hot = col("n0") > cap
+        val sized = assigned.join(broadcast(n0), Seq("cid"))
+          .withColumn("resid", when(hot, call_udf("vec_sub", col("ed"),
+            element_at(centLit, col("cid").cast("int") + 1))))
+          .withColumn("b1", when(hot, call_udf("lsh_bucket", col("resid"), typedLit(planes(0x5EED1)))))
+          .withColumn("b2", when(hot, call_udf("lsh_bucket", col("resid"), typedLit(planes(0x5EED2)))))
+        // level-1 bucket counts exist only for hot-cell members
+        val n1 = sized.filter(hot).groupBy("cid", "b1").agg(count(lit(1)).as("n1"))
+        val eff = sized
+          .join(broadcast(n1), Seq("cid", "b1"), "left")
+          .withColumn("ecell",
+            when(col("n0") <= cap, concat_ws("/", col("cid")))
+              .when(col("n1") <= cap, concat_ws("/", col("cid"), col("b1")))
+              .otherwise(concat_ws("/", col("cid"), col("b1"), col("b2"))))
+          .select("vec_id", "ecell", "ed")
+        val sizes = eff.groupBy("ecell").agg(count(lit(1)).as("ne"))
+        val withSz = eff.join(broadcast(sizes), Seq("ecell"))
+        (withSz.filter(col("ne") <= cap).select("vec_id", "ecell", "ed"),
+          Some(withSz.filter(col("ne") > cap)))
+      }
     // the pairwise self-join CARRIES the vectors (one shuffle of the
     // keyed corpus per side) instead of re-joining pairs back onto
     // `assigned` — the round-9 review flagged those two extra
     // corpus-wide joins as the dedup_semantic bench regression
-    val keyed = withSz.filter(col("ne") <= cap).select("vec_id", "ecell", "ed")
-    val dropPairs = keyed
+    val dropPairs = underCap
       .select(col("ecell"), col("vec_id").as("a"), col("ed").as("ea"))
-      .join(keyed.select(col("ecell"), col("vec_id").as("b"), col("ed").as("eb")),
+      .join(underCap.select(col("ecell"), col("vec_id").as("b"), col("ed").as("eb")),
         Seq("ecell"))
       .filter(col("a") < col("b"))
       .filter(call_udf("cosine_sim", col("ea"), col("eb")) >= threshold)
       .select(col("b").as("vec_id"))
-    val overflow = withSz.filter(col("ne") > cap)
-    val keepers = overflow.groupBy("ecell", "ed").agg(min("vec_id").as("vkeep"))
-    val dropExact = overflow.join(keepers, Seq("ecell", "ed"))
-      .filter(col("vec_id") =!= col("vkeep"))
-      .select("vec_id")
+    val dropExact = overflow match {
+      case None => dropPairs.limit(0)
+      case Some(ov) =>
+        val keepers = ov.groupBy("ecell", "ed").agg(min("vec_id").as("vkeep"))
+        ov.join(keepers, Seq("ecell", "ed"))
+          .filter(col("vec_id") =!= col("vkeep"))
+          .select("vec_id")
+    }
     dropPairs.unionByName(dropExact).distinct()
   }
 }
