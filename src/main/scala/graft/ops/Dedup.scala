@@ -484,9 +484,13 @@ object Dedup {
     * still-over-cap leaf additionally loses its non-exact near-dups to
     * the collapse fallback. That loss applies ONLY inside over-cap cells
     * — strictly better than the round-8 behavior of skipping those cells
-    * entirely (100% loss) — and shrinks as cos→1. Multi-probe (assigning
-    * small-margin members to both sides of a plane) is the known
-    * extension if the tail matters.
+    * entirely (100% loss) — and shrinks as cos→1. Level-1 members
+    * additionally MULTI-PROBE: a residual within 0.15·|resid| of its
+    * nearest hyperplane also pairs through the flipped bucket, which
+    * recovers the split pairs whose small-margin side sits near the
+    * cutting plane (SimilaritySpec pins ≥80% planted NEAR-twin recall
+    * through an over-cap cell); the residue is pairs whose minimum-margin
+    * plane is not the splitting plane, plus level-2 splits.
     *
     * Cost shape: sub-split machinery (residual + two 5-plane LSH
     * projections, level-1 bucket counts) is computed ONLY for members of
@@ -499,9 +503,16 @@ object Dedup {
       assigned: DataFrame, centroids: Seq[Seq[Double]], dim: Int,
       cap: Int = 2000, threshold: Double = 0.99): DataFrame = {
     graft.functions.GraftFunctions.register(assigned.sparkSession)
+    // UNIT-NORM planes: sign buckets are scale-invariant, but the
+    // multi-probe margin test below compares |dot(resid, p)| against a
+    // fraction of |resid| — that calibration needs |p| = 1
     def planes(seed: Long): Seq[Seq[Double]] = {
       val rng = new scala.util.Random(seed)
-      Seq.fill(5)(Seq.fill(dim)(rng.nextGaussian()))
+      Seq.fill(5) {
+        val v = Seq.fill(dim)(rng.nextGaussian())
+        val n = math.sqrt(v.map(x => x * x).sum)
+        v.map(_ / n)
+      }
     }
     val centLit = typedLit(centroids)
     // cell sizes are a |cells|-row model artifact; checkpoint it and ask
@@ -527,17 +538,45 @@ object Dedup {
           .withColumn("b2", when(hot, call_udf("lsh_bucket", col("resid"), typedLit(planes(0x5EED2)))))
         // level-1 bucket counts exist only for hot-cell members
         val n1 = sized.filter(hot).groupBy("cid", "b1").agg(count(lit(1)).as("n1"))
-        val eff = sized
-          .join(broadcast(n1), Seq("cid", "b1"), "left")
-          .withColumn("ecell",
-            when(col("n0") <= cap, concat_ws("/", col("cid")))
-              .when(col("n1") <= cap, concat_ws("/", col("cid"), col("b1")))
-              .otherwise(concat_ws("/", col("cid"), col("b1"), col("b2"))))
-          .select("vec_id", "ecell", "ed")
+        val withLvl = sized.join(broadcast(n1), Seq("cid", "b1"), "left")
+        val lvl1 = hot && col("n1") <= cap
+        val ecellMain =
+          when(col("n0") <= cap, concat_ws("/", col("cid")))
+            .when(col("n1") <= cap, concat_ws("/", col("cid"), col("b1")))
+            .otherwise(concat_ws("/", col("cid"), col("b1"), col("b2")))
+        // MULTI-PROBE (level-1 members): a residual within 0.15·|resid| of
+        // its nearest hyperplane ALSO probes the bucket with that plane's
+        // bit flipped. A threshold-grade pair (cos 0.99 ≈ 8°) that a plane
+        // splits leaves one member within sin(8°)·|resid| ≈ 0.14·|resid|
+        // of it, so the small-margin side's probe re-finds the pair —
+        // recovering most of the ~θ/π-per-plane recall loss the scaladoc
+        // documents. Probabilistic residue: the flipped plane is the
+        // MINIMUM-margin one, which may not be the splitting plane when
+        // two margins are both small. Probe rows pair only; they never
+        // count toward bucket sizes or the overflow collapse.
+        val p1Lit = typedLit(planes(0x5EED1))
+        val absdots = transform(p1Lit,
+          pl => abs(call_udf("vec_dot", col("resid"), pl)))
+        val minabs = array_min(absdots)
+        val argmin = array_position(absdots, minabs) // 1-based
+        val rnorm = sqrt(call_udf("vec_dot", col("resid"), col("resid")))
+        val b1alt = col("b1")
+          .bitwiseXOR(call_udf("shiftleft", lit(1), (argmin - 1).cast("int")))
+        val eff = withLvl.select(col("vec_id"), ecellMain.as("ecell"),
+          when(lvl1 && minabs < lit(0.15) * rnorm,
+            concat_ws("/", col("cid"), b1alt)).as("ecell_probe"),
+          col("ed"))
         val sizes = eff.groupBy("ecell").agg(count(lit(1)).as("ne"))
         val withSz = eff.join(broadcast(sizes), Seq("ecell"))
-        (withSz.filter(col("ne") <= cap).select("vec_id", "ecell", "ed"),
-          Some(withSz.filter(col("ne") > cap)))
+        val mains = withSz.filter(col("ne") <= cap).select("vec_id", "ecell", "ed")
+        // a probe targets an existing under-cap bucket or pairs nothing
+        val probes = eff.filter(col("ecell_probe").isNotNull)
+          .select(col("vec_id"), col("ecell_probe").as("ecell"), col("ed"))
+          .join(broadcast(sizes), Seq("ecell"))
+          .filter(col("ne") <= cap)
+          .select("vec_id", "ecell", "ed")
+        (mains.unionByName(probes),
+          Some(withSz.filter(col("ne") > cap).drop("ecell_probe")))
       }
     // the pairwise self-join CARRIES the vectors (one shuffle of the
     // keyed corpus per side) instead of re-joining pairs back onto

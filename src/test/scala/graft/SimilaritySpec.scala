@@ -592,6 +592,44 @@ class SimilaritySpec extends SparkSpec {
     assert(!dropped.contains(0L))
   }
 
+  test("semDedupDropped: NEAR twins in an over-cap cell survive the sub-split (multi-probe recall ≥ 80%)") {
+    // the sub-split's documented loss mode: a near-but-not-exact pair can
+    // be cut by a level-1 hyperplane. Multi-probe must recover most of
+    // them. 2500 members force the split; 50 planted near twins
+    // (cos ≈ 0.995 by construction: v' = v + 0.1·|v|·u) of members
+    // 100..149 must be dropped at ≥80% recall. Fixed seeds everywhere —
+    // the outcome is deterministic, not flaky.
+    val dim = 8
+    val rng = new scala.util.Random(11)
+    val members = (0 until 2500).map { i =>
+      val v = (0 until dim).map(j => (if (j == 0) 1.0 else 0.0) + rng.nextGaussian() * 0.5)
+      (i.toLong, v, 0)
+    }
+    val twins = (0 until 50).map { i =>
+      val v = members(100 + i)._2
+      val nv = math.sqrt(v.map(x => x * x).sum)
+      val u = (0 until dim).map(_ => rng.nextGaussian())
+      val nu = math.sqrt(u.map(x => x * x).sum)
+      val vp = v.zip(u).map { case (x, y) => x + 0.1 * nv * y / nu }
+      (800000L + i, vp, 0)
+    }
+    val assigned = (members ++ twins).toDF("vec_id", "ed", "cid")
+    val dropped = graft.ops.Dedup.semDedupDropped(
+      assigned, Seq(Seq(1.0) ++ Seq.fill(dim - 1)(0.0)), dim, threshold = 0.99)
+      .as[Long].collect().toSet
+    // only count twins that really are over-threshold (the perturbation
+    // bound makes ~all of them, but compute it honestly)
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val eligible = twins.filter(t => cos(t._2, members((t._1 - 800000L).toInt + 100)._2) >= 0.99)
+    assert(eligible.size >= 40, s"fixture degenerated: only ${eligible.size} twins over threshold")
+    val found = eligible.count(t => dropped.contains(t._1))
+    assert(found >= (eligible.size * 8) / 10,
+      s"near-twin recall through the sub-split: $found of ${eligible.size}")
+  }
+
   test("semDedupDropped: a degenerate leaf (identical vectors beyond any split) exact-collapses linearly") {
     // 2500 IDENTICAL vectors: every sub-split level lands them in the same
     // leaf (same residual), leaving it over cap — the exact-collapse
