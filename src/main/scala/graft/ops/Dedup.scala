@@ -499,6 +499,13 @@ object Dedup {
     * second pass over `assigned` ever happens.
     * SimilaritySpec pins the over-cap recall property with a planted twin
     * in a cell driven past the cap. */
+  /** NOTE: runs two bounded driver actions at CALL time (the |cells|-row
+    * size artifact is checkpointed and probed to pick the plan shape), so
+    * `assigned` should be materialized (checkpointed/cached) and
+    * deterministic — an expensive lazy lineage would recompute for the
+    * size pass, and a nondeterministic one could make the plan choice
+    * diverge from the data the main job sees. The dedup_semantic caller
+    * localCheckpoints its assignment first. */
   def semDedupDropped(
       assigned: DataFrame, centroids: Seq[Seq[Double]], dim: Int,
       cap: Int = 2000, threshold: Double = 0.99): DataFrame = {
@@ -524,7 +531,12 @@ object Dedup {
     val anyHot = n0.filter(col("n0") > cap).limit(1).count() > 0
     val (underCap, overflow) =
       if (!anyHot)
-        (assigned.select(col("vec_id"), concat_ws("/", col("cid")).as("ecell"), col("ed")),
+        // null-cid rows (a stale-geometry pq_encode artifact) are OUT in
+        // both branches: the hot branch's inner join on cid drops them
+        // implicitly, so the fast path must filter explicitly or the drop
+        // set for identical rows would depend on an unrelated hot cell
+        (assigned.filter(col("cid").isNotNull)
+          .select(col("vec_id"), concat_ws("/", col("cid")).as("ecell"), col("ed")),
           None)
       else {
         // sub-split projections gated under when(n0 > cap): members of

@@ -312,10 +312,16 @@ object StreamOps {
     val mgr = in.sparkSession.streams
     try mgr.getClass.getMethod("stateStoreCoordinator").invoke(mgr)
     catch {
-      case e: ReflectiveOperationException =>
-        // private-API dependency (no public batch hook exists): fail with
-        // a message that names the fix instead of a bare NoSuchMethod
-        // deep inside a task retry loop
+      // a real initialization failure inside the getter arrives wrapped —
+      // surface ITS cause rather than misdiagnosing it as an API change
+      case e: java.lang.reflect.InvocationTargetException =>
+        throw new IllegalStateException(
+          "StateStoreCoordinator initialization failed (batch " +
+            "transformWithState needs the coordinator)", e.getCause)
+      // private-API dependency (no public batch hook exists): fail with
+      // a message that names the fix instead of a bare NoSuchMethod
+      // deep inside a task retry loop
+      case e @ (_: NoSuchMethodException | _: IllegalAccessException) =>
         throw new IllegalStateException(
           "could not pre-register the StateStoreCoordinator via " +
             "StreamingQueryManager.stateStoreCoordinator (private API " +
