@@ -333,6 +333,96 @@ object StreamOps {
       .transformWithState(new FrontierProcessor(ttl), TimeMode.None(), OutputMode.Append())
   }
 
+  // ---- event-time-timer session flush (arbitrary state v2 TIMERS) ----
+
+  final case class TimedEvent(user_id: Long, ts: java.sql.Timestamp)
+  final case class OpenSession(startMs: Long, endMs: Long, n: Long)
+  final case class FlushedSession(
+      user_id: Long, sstart_ms: Long, send_ms: Long, n_events: Long)
+
+  /** The streaming-deployment leg [[sessionize]]'s scaladoc promises: an
+    * IDLE session flushes when the event-time watermark passes its
+    * gap deadline, WITHOUT the key receiving another event — via
+    * transformWithState's event-time timers (registerTimer /
+    * handleExpiredTimer), the arbitrary-state-v2 facility
+    * mapGroupsWithState exposed only as coarse GroupStateTimeout.
+    *
+    * Per batch a key merges its events into the open session (same gap /
+    * late-data discipline as [[sessionize]]), emits any sessions an
+    * in-batch gap closed, then re-arms a flush timer at `end + gap`.
+    * Stale timers from extended sessions fire and are IGNORED by the
+    * expiry check (`expiry >= end + gap` fails once the session grew) —
+    * cheaper than delete-and-re-register, and the timer count per key is
+    * bounded by its batch count and drains as the watermark advances.
+    * State is O(active keys) × three longs; a flushed key leaves no
+    * state and no live timer deadline. StreamingSpec drives this through
+    * MemoryStream and pins the no-further-input flush. */
+  final class SessionFlushProcessor(gapMs: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, TimedEvent, FlushedSession] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimeMode, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+
+    @transient private var open: ValueState[OpenSession] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      open = getHandle.getValueState[OpenSession](
+        "open", Encoders.product[OpenSession], TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long, rows: Iterator[TimedEvent],
+        timerValues: TimerValues): Iterator[FlushedSession] = {
+      val ts = rows.map(_.ts.getTime).toArray
+      java.util.Arrays.sort(ts)
+      val out = scala.collection.mutable.ArrayBuffer.empty[FlushedSession]
+      var hasOpen = Option(open.get()).isDefined
+      var (st, en, n) = Option(open.get())
+        .map(s => (s.startMs, s.endMs, s.n)).getOrElse((0L, 0L, 0L))
+      var i = 0
+      while (i < ts.length) {
+        val t = ts(i)
+        if (!hasOpen) { hasOpen = true; st = t; en = t; n = 1 }
+        else if (t < st - gapMs) {
+          // late event from before the open session's reach — dropped,
+          // the sessionize contract (see its scaladoc)
+        } else if (t - en >= gapMs) {
+          out += FlushedSession(key, st, en, n); st = t; en = t; n = 1
+        } else {
+          if (t < st) st = t
+          if (t > en) en = t
+          n += 1
+        }
+        i += 1
+      }
+      if (hasOpen) {
+        open.update(OpenSession(st, en, n))
+        getHandle.registerTimer(en + gapMs)
+      }
+      out.iterator
+    }
+
+    override def handleExpiredTimer(
+        key: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[FlushedSession] =
+      Option(open.get()) match {
+        case Some(s) if expiredTimerInfo.getExpiryTimeInMs >= s.endMs + gapMs =>
+          open.clear()
+          Iterator.single(FlushedSession(key, s.startMs, s.endMs, s.n))
+        case _ => Iterator.empty // stale timer — the session grew since
+      }
+  }
+
+  /** idle-flushing sessionizer over a timestamped stream; 0-delay
+    * watermark keeps the spec deterministic (the caller picks a real
+    * allowed-lateness in production) */
+  def sessionFlush(in: Dataset[TimedEvent], gapMs: Long): Dataset[FlushedSession] = {
+    import in.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    in.withWatermark("ts", "0 seconds")
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new SessionFlushProcessor(gapMs), TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** same running counts through transformWithState */
   def userRunningCountsTws(events: Dataset[UserEvent]): Dataset[UserUpdate] = {
     import events.sparkSession.implicits._

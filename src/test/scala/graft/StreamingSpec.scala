@@ -375,6 +375,56 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("event-time timers flush idle sessions WITHOUT further input from their key") {
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[StreamOps.TimedEvent]
+    def ev(u: Long, sec: Long) = StreamOps.TimedEvent(u, new java.sql.Timestamp(sec * 1000))
+    // 10-minute gap
+    val q = StreamOps.sessionFlush(input.toDS(), gapMs = 600000L).writeStream
+      .format("memory").queryName("flush_sink").outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: users 10 (two events, one session) and 20 (one event)
+      input.addData(ev(10, 100), ev(10, 200), ev(20, 150))
+      q.processAllAvailable()
+      // batch 2: only user 30, far in the future — advances the watermark
+      // past both idle deadlines (800s and 750s); batch 3 gives the
+      // engine a cycle in case timer firing rides the next micro-batch
+      input.addData(ev(30, 5000))
+      q.processAllAvailable()
+      input.addData(ev(30, 5100))
+      q.processAllAvailable()
+      val rows = spark.table("flush_sink")
+        .as[StreamOps.FlushedSession].collect().sortBy(_.user_id)
+      // users 10 and 20 flushed with NO further events of their own;
+      // user 30's session is still open (watermark has not passed it)
+      assert(rows.toSeq == Seq(
+        StreamOps.FlushedSession(10L, 100000L, 200000L, 2L),
+        StreamOps.FlushedSession(20L, 150000L, 150000L, 1L)), s"got ${rows.toSeq}")
+      // a stale timer must NOT flush an extended session: user 40 gets an
+      // event, then another inside the gap (re-arming the deadline), then
+      // the watermark passes only the FIRST deadline
+      input.addData(ev(40, 6000))
+      q.processAllAvailable()
+      input.addData(ev(40, 6500)) // extends; stale timer at 6600s
+      q.processAllAvailable()
+      input.addData(ev(30, 6700)) // watermark -> 6500s... then 6700s
+      q.processAllAvailable()
+      val after = spark.table("flush_sink")
+        .as[StreamOps.FlushedSession].collect().filter(_.user_id == 40L)
+      assert(after.isEmpty,
+        s"stale timer flushed an extended session: ${after.toSeq}")
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("mapGroupsWithState accumulates per-user counts across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[StreamOps.UserEvent]
