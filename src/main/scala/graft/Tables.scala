@@ -59,4 +59,23 @@ trait QueryModule {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(p).getParent)
     p
   }
+
+  /** THE memo key for session-scoped caches (ivfpqFitMemo, sharedCluster):
+    * session identity + app id + FULL data dir. One definition so the
+    * keying discipline (why identityHashCode: a second SparkSession in the
+    * same JVM must rebuild rather than read a stopped session's blocks;
+    * why full `d`: two dirs sharing a basename must not alias) can't
+    * drift between cache sites. */
+  protected def sessionKey(s: SparkSession, d: String): String =
+    s"${System.identityHashCode(s)}:${s.sparkContext.applicationId}:$d"
+
+  /** Collision-free suffix for scratch dirs derived from a [[sessionKey]]:
+    * distinct cache keys MUST write distinct paths, or a cache miss for
+    * one key deletes/rebuilds a directory another key's live cache entry
+    * still points at (`tmp` alone keys by basename(d), which aliases). */
+  protected def keyTag(key: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5").digest(
+      key.getBytes("UTF-8"))
+    md.take(6).map(b => f"${b & 0xff}%02x").mkString
+  }
 }

@@ -72,19 +72,21 @@ object Formats extends QueryModule {
     * ivfpqFitMemo soundness argument, and truer to the
     * write-once/serve-many reality each serving key tells. `sink_zipnum`
     * and the merge key keep their OWN builds: there the write IS the
-    * operator under test. Keyed by session identity like ivfpqFitMemo so
-    * a second SparkSession in the same JVM rebuilds rather than reading
-    * another session's scratch. */
+    * operator under test. Keyed by [[sessionKey]] (session identity +
+    * full dir) and written under a [[keyTag]]-suffixed path so distinct
+    * cache keys can never alias one mutable directory — a rebuild for a
+    * new session/dir must not delete blocks an older cached entry still
+    * serves. */
   private val clusterCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def sharedCluster(s: SparkSession, d: String): String =
-    clusterCache.computeIfAbsent(
-      s"${System.identityHashCode(s)}:${s.sparkContext.applicationId}:$d",
-      _ => {
-        val dir = tmp(d, "zipnum_shared")
-        ZipNum.write(cdxLines(s, d), dir, shards = 8, linesPerBlock = 100)
-        dir
-      })
+  private def sharedCluster(s: SparkSession, d: String): String = {
+    val key = sessionKey(s, d)
+    clusterCache.computeIfAbsent(key, _ => {
+      val dir = tmp(d, s"zipnum_shared_${keyTag(key)}")
+      ZipNum.write(cdxLines(s, d), dir, shards = 8, linesPerBlock = 100)
+      dir
+    })
+  }
 
   override def queries: Map[String, QFn] = Map(
     // newline text scan incl. transparent .gz (zipnumclusterjob.py §mapper)

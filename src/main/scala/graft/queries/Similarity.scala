@@ -49,13 +49,14 @@ object Similarity extends QueryModule {
     * one process, one day-1 build. */
   private val ivfpqFitCache =
     new java.util.concurrent.ConcurrentHashMap[String, IvfPqModel]()
-  /** keyed by (session, dir), not dir alone: the model caches a
-    * localCheckpointed DataFrame whose blocks belong to ONE session — a
-    * second SparkSession in the same JVM (Verify then Bench, or two
-    * suites) must refit rather than probe a stopped session's blocks */
+  /** keyed by [[sessionKey]] (session identity + dir), not dir alone: the
+    * model caches a localCheckpointed DataFrame whose blocks belong to ONE
+    * session — a second SparkSession in the same JVM (Verify then Bench,
+    * or two suites) must refit rather than probe a stopped session's
+    * blocks */
   private def ivfpqFitMemo(s: SparkSession, d: String): IvfPqModel =
     ivfpqFitCache.computeIfAbsent(
-      s"${System.identityHashCode(s)}:${s.sparkContext.applicationId}:$d",
+      sessionKey(s, d),
       _ => ivfpqFit(emb(s, d).select(col("vec_id"), col("ed"))))
 
 

@@ -374,9 +374,12 @@ object StreamOps {
       val ts = rows.map(_.ts.getTime).toArray
       java.util.Arrays.sort(ts)
       val out = scala.collection.mutable.ArrayBuffer.empty[FlushedSession]
-      var hasOpen = Option(open.get()).isDefined
-      var (st, en, n) = Option(open.get())
-        .map(s => (s.startMs, s.endMs, s.n)).getOrElse((0L, 0L, 0L))
+      // one RocksDB point lookup per key per batch — each ValueState.get
+      // is a real store read, unlike GroupState.getOption's in-memory view
+      val cur = Option(open.get())
+      var hasOpen = cur.isDefined
+      var (st, en, n) =
+        cur.map(s => (s.startMs, s.endMs, s.n)).getOrElse((0L, 0L, 0L))
       var i = 0
       while (i < ts.length) {
         val t = ts(i)

@@ -416,6 +416,19 @@ class StreamingSpec extends SparkSpec {
         .as[StreamOps.FlushedSession].collect().filter(_.user_id == 40L)
       assert(after.isEmpty,
         s"stale timer flushed an extended session: ${after.toSeq}")
+      // ... and once the watermark passes the RE-ARMED deadline (7100s),
+      // the extended session flushes exactly once with the MERGED extent —
+      // pins that re-arming registered end+gap (not start+gap) and that
+      // the merge preserved the session's full [start, end] and count
+      input.addData(ev(30, 8000))
+      q.processAllAvailable()
+      input.addData(ev(30, 8100))
+      q.processAllAvailable()
+      val flushed40 = spark.table("flush_sink")
+        .as[StreamOps.FlushedSession].collect().filter(_.user_id == 40L)
+      assert(flushed40.toSeq == Seq(
+        StreamOps.FlushedSession(40L, 6000000L, 6500000L, 2L)),
+        s"extended session must flush merged at the re-armed deadline: ${flushed40.toSeq}")
     } finally {
       q.stop()
       prevProvider match {
