@@ -598,6 +598,62 @@ case class BloomMightContainExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** (array<string> words, binary serialized merge table) -> total BPE piece
+  * count (kernel #15). Replaces the `Bpe.encode` per-row Scala UDF — the
+  * last corpus-sized closure path — with a codegen reference-object call,
+  * same motivation as [[BloomMightContainExpr]]: a closure boxes every
+  * row's Seq[String] through the converter layer and breaks whole-stage
+  * codegen in its projection.
+  *
+  * The merge table rides the plan as a foldable binary literal
+  * ([[BpeAlg.serialize]]) and is parsed ONCE per task into a
+  * [[BpeAlg.Coder]] whose per-thread memo collapses Zipf-repeated words
+  * to a single segmentation each. NULL words-array -> NULL (the UDF's
+  * null-in/null-out); null ELEMENTS count 0 defensively. */
+case class BpePieceCountExpr(left: Expression, right: Expression)
+  extends BinaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType), BinaryType)
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "bpe_piece_count"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val base = super.checkInputDataTypes()
+    if (base.isFailure) base
+    else if (!right.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: merges must be a literal binary (BpeAlg.serialize output)")
+    else if (right.eval() == null)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName: merges must not be null")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  @transient private lazy val coder: BpeAlg.Coder =
+    new BpeAlg.Coder(right.eval().asInstanceOf[Array[Byte]])
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val a = left.eval(input)
+    if (a == null) null else coder.pieceCountAll(a.asInstanceOf[ArrayData])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val cd = ctx.addReferenceObj("bpeCoder", coder, classOf[BpeAlg.Coder].getName)
+    val c = left.genCode(ctx)
+    ev.copy(code = c.code + code"""
+      |boolean ${ev.isNull} = ${c.isNull};
+      |int ${ev.value} = -1;
+      |if (!${ev.isNull}) {
+      |  ${ev.value} = $cd.pieceCountAll(${c.value});
+      |}
+    """.stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BpePieceCountExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Registration — either per-session ([[GraftFunctions.register]]) or at
   * session build time via
   * `.withExtensions(new GraftExtensions)` / the
@@ -619,7 +675,8 @@ object GraftFunctions {
     "lsh_bucket" -> ((exprs: Seq[Expression]) => LshBucketExpr(exprs(0), exprs(1))),
     "vec_sub" -> ((exprs: Seq[Expression]) => VecSubExpr(exprs(0), exprs(1))),
     "char_entropy" -> ((exprs: Seq[Expression]) => CharEntropyExpr(exprs.head)),
-    "bloom_might_contain" -> ((exprs: Seq[Expression]) => BloomMightContainExpr(exprs(0), exprs(1))))
+    "bloom_might_contain" -> ((exprs: Seq[Expression]) => BloomMightContainExpr(exprs(0), exprs(1))),
+    "bpe_piece_count" -> ((exprs: Seq[Expression]) => BpePieceCountExpr(exprs(0), exprs(1))))
 
   def register(spark: SparkSession): Unit = all.foreach { case (name, builder) =>
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "built-in")

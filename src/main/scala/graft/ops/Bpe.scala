@@ -87,22 +87,25 @@ object Bpe {
     syms
   }
 
-  /** Apply a learned merge list over a corpus: the merge table rides as a
-    * broadcast inside the UDF closure and segmentation is map-side only —
-    * no shuffle at any corpus size (the word loop is per-row work).
+  /** Apply a learned merge list over a corpus: the merge table rides the
+    * plan as a foldable binary literal inside the `bpe_piece_count`
+    * kernel (graft.functions.BpeAlg — parsed once per task, per-thread
+    * word memo) and segmentation is map-side only — no shuffle at any
+    * corpus size, and the projection stays inside whole-stage codegen
+    * (the previous Scala-UDF closure boxed every row's Seq[String]).
     * Output: (idCol, n_words, n_chars_tok, n_pieces). */
   def encode(docs: DataFrame, idCol: String, textCol: String,
       merges: Seq[(String, String)]): DataFrame = {
-    val bc = docs.sparkSession.sparkContext.broadcast(merges)
-    val enc = udf((words: Seq[String]) => {
-      val m = bc.value
-      words.map(w => applyMerges(w, m).size).sum
-    })
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val mergesLit = lit(graft.functions.BpeAlg.serialize(merges))
     docs.select(col(idCol), Dedup.tokens(col(textCol)).as("w"))
-      .withColumn("n_pieces", enc(col("w")))
+      .withColumn("n_pieces", call_udf("bpe_piece_count", col("w"), mergesLit))
+      // sum-of-token-lengths as length(concat_ws) — equal by definition,
+      // but codegen-able where the aggregate/transform HOF pair is
+      // interpreted-only and would drop this whole projection out of
+      // whole-stage codegen (PlanSpec pins the star)
       .select(col(idCol), size(col("w")).as("n_words"),
-        expr("aggregate(transform(w, x -> length(x)), 0, (a, b) -> a + b)")
-          .as("n_chars_tok"),
+        length(concat_ws("", col("w"))).as("n_chars_tok"),
         col("n_pieces"))
   }
 }

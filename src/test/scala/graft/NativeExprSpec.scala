@@ -502,4 +502,48 @@ class NativeExprSpec extends SparkSpec {
     assert(e.getMessage.contains("literal"), e.getMessage)
   }
 
+  test("bpe_piece_count kernel == Bpe.applyMerges fold on the documents corpus") {
+    GraftFunctions.register(spark)
+    val docs = Tables.t(spark, sfDir, "documents")
+    val merges = graft.ops.Bpe.train(
+      graft.ops.Bpe.wordFreq(docs.limit(200), "text"), nMerges = 12)
+      .map(m => (m.left, m.right))
+    assert(merges.nonEmpty)
+    val mergesLit = lit(graft.functions.BpeAlg.serialize(merges))
+    val rows = docs.limit(200)
+      .select(col("doc_id"),
+        graft.ops.Dedup.tokens(col("text")).as("w"),
+        call_udf("bpe_piece_count",
+          graft.ops.Dedup.tokens(col("text")), mergesLit).as("k"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val expected = r.getSeq[String](1)
+        .map(w => graft.ops.Bpe.applyMerges(w, merges).size).sum
+      assert(r.getInt(2) == expected, s"doc ${r.getLong(0)} kernel vs reference fold")
+    }
+    // overlap semantics ('aaaa' under (a,a) -> [aa, aa]) and the fused
+    // cascade ((a,a) then (aa,aa) -> one piece) — the exact fold contract
+    val tricky = Seq((1L, Seq("aaaa")), (2L, Seq("aaa")), (3L, Seq("ab", "ba")))
+      .toDF("id", "w")
+    val trickyMerges = Seq(("a", "a"), ("aa", "aa"))
+    val tl = lit(graft.functions.BpeAlg.serialize(trickyMerges))
+    val got = tricky.select(col("id"), call_udf("bpe_piece_count", col("w"), tl).as("k"))
+      .orderBy("id").collect().map(_.getInt(1)).toSeq
+    val want = Seq(Seq("aaaa"), Seq("aaa"), Seq("ab", "ba")).map(
+      _.map(w => graft.ops.Bpe.applyMerges(w, trickyMerges).size).sum)
+    assert(got == want, s"$got vs $want")
+    assert(got(0) == 1, "aaaa -> [aa,aa] -> [aaaa]")
+    // NULL array -> NULL (the UDF's null-in/null-out)
+    val edge = Seq(Tuple1[Seq[String]](null)).toDF("w")
+      .select(call_udf("bpe_piece_count", col("w"), tl).as("k")).collect()
+    assert(edge(0).isNullAt(0))
+    // misuse fails at analysis: non-foldable merge table
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      tricky.select(call_udf("bpe_piece_count", col("w"),
+        col("id").cast("string").cast("binary")).as("k")).collect()
+    }
+    assert(e2.getMessage.contains("literal"), e2.getMessage)
+  }
+
 }

@@ -389,6 +389,22 @@ class PlanSpec extends SparkSpec {
       s"bloom probe must sit inside a codegen'd (starred) operator:\n$p")
   }
 
+  test("text_bpe_encode: segmentation is map-side native-kernel work inside codegen") {
+    val df = SparkEntry.queries("text_bpe_encode")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(p.contains("bpe_piece_count"),
+      s"native BPE kernel missing from the plan:\n${p.take(2000)}")
+    assert(!p.contains("UDF("), "no Scala UDF may remain on the encode path")
+    assert(p.linesIterator.exists(l => l.contains("bpe_piece_count") && l.contains("*(")),
+      s"BPE segmentation must sit inside a codegen'd (starred) operator:\n$p")
+    // map-side only below the final presentation sort: encoding itself
+    // must not shuffle (the plan's only exchange is the orderBy's range
+    // partitioning over the tiny per-doc stats output)
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"encode must not hash-shuffle the corpus:\n$p")
+  }
+
   test("join_dpp_partitioned: the fact scan dynamically prunes to the 8 weekend partitions") {
     val df = SparkEntry.queries("join_dpp_partitioned")(spark, sfDir)
     df.collect()
