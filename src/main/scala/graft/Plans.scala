@@ -66,6 +66,8 @@ object Plans {
     "graph_connected_components" -> "pointer-jumping rounds off a checkpointed symmetric edge list — diameter 2^k coverage, observe()-counted convergence, no driver-sized state",
     "pipeline_warc_corpus" -> "the north-star composition as ONE lazy plan: WARC scan -> codegen HTML extract + gates -> content-hash dedup window -> bucket-prefix-sum packing; only declared exchanges between stages",
     "stream_frontier" -> "transformWithState dedup-and-emit: one exchange on urlkey into TransformWithStateExec, state O(distinct keys), no second shuffle",
+    "stream_recent_k" -> "ListState latest-k buffer: one exchange on urlkey into TransformWithStateExec, admission changelog out, state O(keys)*k — no history re-scan",
+    "stream_host_status" -> "MapState per-host class counts: one exchange on host into TransformWithStateExec; per-class point reads/writes, state O(hosts*4)",
     "cdx_timemap" -> "TimeMap link lines: hottest-key anchor rides as a broadcast scalar; window over ONE urlkey's rows, idx-pruned scan below it",
     "cdx_fuzzy_match" -> "fallback scan prunes on the query-stripped prefix through cluster.idx; the exact-hit miss test is an in-plan broadcast 1-row count, no driver round trip",
     "ts_resample_linear" -> "hourly grid cross join is |users|x72 broadcast rows; both interpolation windows partition by user_id — no global window, no data-sized grid",

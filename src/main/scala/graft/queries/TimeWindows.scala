@@ -165,6 +165,32 @@ object TimeWindows extends QueryModule {
         .orderBy("urlkey")
     }),
 
+    // latest-k capture buffer per urlkey (ListState changelog; see
+    // RecentKProcessor) — batch-run admissions == the row_number()<=k set
+    "stream_recent_k" -> ((s, d) => {
+      import s.implicits._
+      val in = graft.Cdx.df(s, d)
+        .select(col("urlkey"), col("ts"), col("digest"))
+        .as[graft.streaming.StreamOps.CaptureIn]
+      graft.streaming.StreamOps.recentK(in, k = 3)
+        .toDF()
+        .orderBy(col("urlkey"), col("ts").desc, col("digest").desc)
+    }),
+
+    // per-host status-class running counts (MapState changelog; see
+    // HostStatusProcessor) — batch-run totals == the GROUP BY oracle
+    "stream_host_status" -> ((s, d) => {
+      import s.implicits._
+      val in = graft.Cdx.df(s, d)
+        .select(col("host"),
+          concat(floor(col("status") / 100).cast("int").cast("string"), lit("xx"))
+            .as("status_class"))
+        .as[graft.streaming.StreamOps.HostStatusIn]
+      graft.streaming.StreamOps.hostStatus(in)
+        .toDF()
+        .orderBy("host", "status_class")
+    }),
+
     // ordered funnel (view -> click within 30m -> purchase within 30m of
     // the click) — the product-analytics sequence query. Shape: three
     // event-type slices equi-join on user_id with in-plan time-range
@@ -353,6 +379,16 @@ object TimeWindows extends QueryModule {
     "stream_frontier" ->
       (graft.Cdx.duckCte + "SELECT urlkey, min(ts) AS first_ts, " +
         "count(*) AS n_seen FROM cdx GROUP BY urlkey ORDER BY urlkey"),
+    "stream_recent_k" ->
+      (graft.Cdx.duckCte + "SELECT urlkey, ts, digest FROM (" +
+        "SELECT urlkey, ts, digest, row_number() OVER (" +
+        "PARTITION BY urlkey ORDER BY ts DESC, digest DESC) AS rn FROM cdx) " +
+        "WHERE rn <= 3 ORDER BY urlkey, ts DESC, digest DESC"),
+    "stream_host_status" ->
+      (graft.Cdx.duckCte + "SELECT host, " +
+        "CAST(floor(status / 100) AS INT) || 'xx' AS status_class, " +
+        "count(*) AS n FROM cdx GROUP BY host, status_class " +
+        "ORDER BY host, status_class"),
     "stream_late_policy" ->
       ("SELECT event_id, user_id FROM events " +
         "WHERE ts >= (SELECT max(ts) - INTERVAL 1 HOUR FROM events) ORDER BY event_id"),

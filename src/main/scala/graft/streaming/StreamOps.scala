@@ -296,20 +296,18 @@ object StreamOps {
     }
   }
 
-  /** frontier over a candidate stream/batch; see [[FrontierProcessor]] */
-  def frontier(in: Dataset[FrontierIn],
-      ttl: org.apache.spark.sql.streaming.TTLConfig =
-        org.apache.spark.sql.streaming.TTLConfig.NONE): Dataset[FrontierOut] = {
-    import in.sparkSession.implicits._
-    import org.apache.spark.sql.streaming.TimeMode
-    // BATCH-run TWS still loads a RocksDB store per task, and store load
-    // reports its snapshot version to the driver's StateStoreCoordinator
-    // RPC endpoint — which only STREAMING query startup registers
-    // (StreamingQueryManager's lazy stateStoreCoordinator). Force that
-    // same lazy here so batch tasks find the endpoint; going through the
-    // manager (reflectively — the member is private[sql]) means a later
-    // real streaming query SHARES the ref instead of double-registering.
-    val mgr = in.sparkSession.streams
+  /** BATCH-run TWS still loads a RocksDB store per task, and store load
+    * reports its snapshot version to the driver's StateStoreCoordinator
+    * RPC endpoint — which only STREAMING query startup registers
+    * (StreamingQueryManager's lazy stateStoreCoordinator). Force that
+    * same lazy so batch tasks find the endpoint; going through the
+    * manager (reflectively — the member is private[sql]) means a later
+    * real streaming query SHARES the ref instead of double-registering.
+    * One definition for every batch-run transformWithState entry point
+    * (frontier / recentK / hostStatus). */
+  private def ensureStateStoreCoordinator(
+      s: org.apache.spark.sql.SparkSession): Unit = {
+    val mgr = s.streams
     try mgr.getClass.getMethod("stateStoreCoordinator").invoke(mgr)
     catch {
       // a real initialization failure inside the getter arrives wrapped —
@@ -329,6 +327,15 @@ object StreamOps {
             "needs the coordinator; start any streaming query first, or " +
             "update this shim", e)
     }
+  }
+
+  /** frontier over a candidate stream/batch; see [[FrontierProcessor]] */
+  def frontier(in: Dataset[FrontierIn],
+      ttl: org.apache.spark.sql.streaming.TTLConfig =
+        org.apache.spark.sql.streaming.TTLConfig.NONE): Dataset[FrontierOut] = {
+    import in.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    ensureStateStoreCoordinator(in.sparkSession)
     in.groupByKey(_.urlkey)
       .transformWithState(new FrontierProcessor(ttl), TimeMode.None(), OutputMode.Append())
   }
@@ -434,6 +441,128 @@ object StreamOps {
       .groupByKey(_.user_id)
       .transformWithState(
         new UserCountProcessor, TimeMode.None(), OutputMode.Update())
+  }
+
+  // ---- latest-k capture buffer (transformWithState LIST state) ----
+
+  final case class CaptureIn(urlkey: String, ts: String, digest: String)
+  final case class CaptureOut(urlkey: String, ts: String, digest: String)
+
+  /** Per-urlkey latest-k capture buffer — the state a continuously-fed
+    * replay index maintains so `closest`/memento queries never scan
+    * history: each key keeps its k most-recent captures (ts desc, digest
+    * desc tie-break), merged incrementally as batches arrive.
+    *
+    * ListState rather than a ValueState[Seq]: the list is the native
+    * multi-value handle (`put`/`get` of the kept rows without re-encoding
+    * a wrapper struct), and it generalizes to unbounded append patterns
+    * where ValueState would rewrite the whole blob per arrival.
+    *
+    * Emission contract is the ADMISSION CHANGELOG: a capture row is
+    * emitted exactly when it enters the kept top-k (multiset-aware, so
+    * duplicate identical captures each count once) — the delta a
+    * downstream incremental index consumes. An evicted row is never
+    * re-emitted. Batch-run for the driver gate, one invocation sees the
+    * full history, so admissions == the final kept set == the
+    * `row_number() <= k` oracle; StreamingSpec pins the cross-batch
+    * contract (later batch admits the newer capture only, evictions stay
+    * silent). State is O(keys) × k rows. */
+  final class RecentKProcessor(k: Int)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[String, CaptureIn, CaptureOut] {
+    import org.apache.spark.sql.streaming.{ListState, TimeMode, TimerValues, TTLConfig}
+    import org.apache.spark.sql.Encoders
+
+    @transient private var kept: ListState[CaptureIn] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      kept = getHandle.getListState[CaptureIn](
+        "recent", Encoders.product[CaptureIn], TTLConfig.NONE)
+
+    // most-recent-first total order over the kept triple (rows with equal
+    // (ts, digest) under one urlkey are identical rows, so the order is
+    // deterministic for the oracle compare)
+    private def newer(a: CaptureIn, b: CaptureIn): Boolean =
+      a.ts > b.ts || (a.ts == b.ts && a.digest > b.digest)
+
+    override def handleInputRows(
+        key: String, rows: Iterator[CaptureIn],
+        timerValues: TimerValues): Iterator[CaptureOut] = {
+      val prev = {
+        val b = scala.collection.mutable.ArrayBuffer.empty[CaptureIn]
+        val it = kept.get(); while (it.hasNext) b += it.next()
+        b.toArray
+      }
+      val merged = (prev ++ rows).sortWith(newer).take(k)
+      kept.put(merged)
+      // multiset delta vs prev: emit each admitted occurrence once
+      val remaining = scala.collection.mutable.ArrayBuffer.from(prev)
+      merged.iterator.filter { c =>
+        val i = remaining.indexOf(c)
+        if (i >= 0) { remaining.remove(i); false } else true
+      }.map(c => CaptureOut(c.urlkey, c.ts, c.digest))
+    }
+  }
+
+  /** latest-k buffer over a capture stream/batch; see [[RecentKProcessor]] */
+  def recentK(in: Dataset[CaptureIn], k: Int): Dataset[CaptureOut] = {
+    import in.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    ensureStateStoreCoordinator(in.sparkSession)
+    in.groupByKey(_.urlkey)
+      .transformWithState(new RecentKProcessor(k), TimeMode.None(), OutputMode.Append())
+  }
+
+  // ---- per-host status-class counts (transformWithState MAP state) ----
+
+  final case class HostStatusIn(host: String, status_class: String)
+  final case class HostStatusOut(host: String, status_class: String, n: Long)
+
+  /** Per-host fetch-health monitor: running counts per status class
+    * (2xx/3xx/4xx/5xx) under each host key — the state a crawl
+    * controller consults for backoff decisions ("this host started
+    * 5xx-ing").
+    *
+    * MapState rather than re-keying by (host, class): the host is the
+    * natural key (one politeness/budget decision per host) and the class
+    * map is its sub-keyed state — `getMapState` reads/writes ONE class
+    * entry per update without deserializing the host's whole profile,
+    * which is the point of the v2 map handle. Emits the updated totals
+    * for the classes a batch touched (update-mode changelog). Batch-run
+    * for the driver gate, one invocation sees all rows, so the emission
+    * is the `GROUP BY host, class` oracle; StreamingSpec pins cross-batch
+    * accumulation. State is O(hosts × 4). */
+  final class HostStatusProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[String, HostStatusIn, HostStatusOut] {
+    import org.apache.spark.sql.streaming.{MapState, TimeMode, TimerValues, TTLConfig}
+    import org.apache.spark.sql.Encoders
+
+    @transient private var counts: MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long](
+        "counts", Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: String, rows: Iterator[HostStatusIn],
+        timerValues: TimerValues): Iterator[HostStatusOut] = {
+      val batch = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      rows.foreach(r => batch.update(r.status_class, batch.getOrElse(r.status_class, 0L) + 1L))
+      // strict: the state writes must not ride a lazily-consumed iterator
+      batch.toArray.map { case (cls, delta) =>
+        val total = (if (counts.containsKey(cls)) counts.getValue(cls) else 0L) + delta
+        counts.updateValue(cls, total)
+        HostStatusOut(key, cls, total)
+      }.iterator
+    }
+  }
+
+  /** per-host status-class totals; see [[HostStatusProcessor]] */
+  def hostStatus(in: Dataset[HostStatusIn]): Dataset[HostStatusOut] = {
+    import in.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    ensureStateStoreCoordinator(in.sparkSession)
+    in.groupByKey(_.host)
+      .transformWithState(new HostStatusProcessor, TimeMode.None(), OutputMode.Update())
   }
 
   /** outputMode for each op when run as a sink: update for stateful aggs,

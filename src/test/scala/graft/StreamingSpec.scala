@@ -375,6 +375,78 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("recentK ListState: a newer capture is admitted, the evicted one stays silent") {
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[StreamOps.CaptureIn]
+    def cap(ts: String) = StreamOps.CaptureIn("com,a)/", ts, "d")
+    val q = StreamOps.recentK(input.toDS(), k = 3).writeStream
+      .format("memory").queryName("recentk_sink").outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: three captures fill the buffer — all admitted
+      input.addData(cap("20240103000000"), cap("20240101000000"), cap("20240102000000"))
+      q.processAllAvailable()
+      val b1 = spark.table("recentk_sink")
+        .as[StreamOps.CaptureOut].collect().map(_.ts).sorted.toSeq
+      assert(b1 == Seq("20240101000000", "20240102000000", "20240103000000"))
+      // batch 2: a newer capture admits ONCE and evicts the oldest — the
+      // eviction is silent (no retraction row) and the kept rows are not
+      // re-emitted; a stale capture older than the kept window is ignored
+      input.addData(cap("20240104000000"), cap("20231231000000"))
+      q.processAllAvailable()
+      val b2 = spark.table("recentk_sink")
+        .as[StreamOps.CaptureOut].collect().map(_.ts).sorted.toSeq
+      assert(b2 == Seq("20240101000000", "20240102000000",
+        "20240103000000", "20240104000000"), s"got $b2")
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("hostStatus MapState: per-class totals accumulate across batches, untouched classes stay quiet") {
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[StreamOps.HostStatusIn]
+    val q = StreamOps.hostStatus(input.toDS()).writeStream
+      .format("memory").queryName("hoststatus_sink").outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(
+        StreamOps.HostStatusIn("a.org", "2xx"), StreamOps.HostStatusIn("a.org", "2xx"),
+        StreamOps.HostStatusIn("a.org", "5xx"), StreamOps.HostStatusIn("b.org", "2xx"))
+      q.processAllAvailable()
+      val b1 = spark.table("hoststatus_sink")
+        .as[StreamOps.HostStatusOut].collect().sortBy(r => (r.host, r.status_class))
+      assert(b1.toSeq == Seq(
+        StreamOps.HostStatusOut("a.org", "2xx", 2L),
+        StreamOps.HostStatusOut("a.org", "5xx", 1L),
+        StreamOps.HostStatusOut("b.org", "2xx", 1L)), s"got ${b1.toSeq}")
+      // batch 2: only a.org 2xx arrives — its total accumulates to 3; the
+      // untouched 5xx and b.org classes emit nothing new
+      input.addData(StreamOps.HostStatusIn("a.org", "2xx"))
+      q.processAllAvailable()
+      val a2xx = spark.table("hoststatus_sink")
+        .as[StreamOps.HostStatusOut].collect()
+        .filter(r => r.host == "a.org" && r.status_class == "2xx").map(_.n).sorted.toSeq
+      assert(a2xx == Seq(2L, 3L), s"got $a2xx")
+      assert(spark.table("hoststatus_sink").count() == 4L,
+        "untouched classes must not re-emit")
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("event-time timers flush idle sessions WITHOUT further input from their key") {
     implicit val sqlCtx = spark.sqlContext
     val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
