@@ -83,6 +83,18 @@ object Formats extends QueryModule {
     val key = sessionKey(s, d)
     clusterCache.computeIfAbsent(key, _ => {
       val dir = tmp(d, s"zipnum_shared_${keyTag(key)}")
+      // reap stale siblings from dead sessions/JVM runs before building:
+      // per-key dirs fix the aliasing hazard but would otherwise
+      // accumulate one full cluster per session forever. Anything the
+      // live cache doesn't reference cannot be served again (its key
+      // embeds a dead identityHashCode/appId), so deletion is safe.
+      val live = new java.util.HashSet[String](clusterCache.values())
+      val parent = new java.io.File(dir).getParentFile
+      Option(parent.listFiles()).getOrElse(Array.empty).foreach { f =>
+        if (f.getName.startsWith("zipnum_shared") && !live.contains(f.getPath)
+            && f.getPath != dir)
+          org.apache.commons.io.FileUtils.deleteQuietly(f)
+      }
       ZipNum.write(cdxLines(s, d), dir, shards = 8, linesPerBlock = 100)
       dir
     })

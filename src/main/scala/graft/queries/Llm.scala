@@ -776,9 +776,10 @@ object Llm extends QueryModule {
         .orderBy("rank")
     }),
 
-    // apply the learned merges back over the corpus — the merge table is
-    // a broadcast inside the segmenter, so encoding is map-side at any
-    // corpus size; per-doc piece counts + the compression diagnostic a
+    // apply the learned merges back over the corpus — the merge table
+    // rides the plan as a binary literal inside the bpe_piece_count
+    // kernel, so encoding is map-side codegen at any corpus size;
+    // per-doc piece counts + the compression diagnostic a
     // tokenizer-training run reports
     "text_bpe_encode" -> ((s, d) =>
       graft.ops.Bpe.encode(Tables.t(s, d, "documents"), "doc_id", "text",
