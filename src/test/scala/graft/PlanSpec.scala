@@ -389,6 +389,30 @@ class PlanSpec extends SparkSpec {
       s"bloom probe must sit inside a codegen'd (starred) operator:\n$p")
   }
 
+  test("stream_recent_k: ONE stateful exchange feeds TransformWithState, no second data shuffle") {
+    // RocksDB provider for batch-run transformWithState (see StreamOps)
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val df = SparkEntry.queries("stream_recent_k")(spark, sfDir)
+      df.collect()
+      val p = df.queryExecution.explainString(ExplainMode.fromString("simple"))
+      assert(p.contains("TransformWithState"), s"expected the v2 stateful operator:\n$p")
+      // exactly one corpus-sized exchange: the key hash-partitioning the
+      // stateful operator REQUIRES; everything above it is the bounded
+      // changelog (the presentation sort's range exchange rides on that)
+      val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+      assert(hashEx == 1,
+        s"the stateful key exchange must be the only data shuffle ($hashEx found):\n$p")
+      assert(p.contains("REQUIRED_BY_STATEFUL_OPERATOR"),
+        s"the exchange must be the operator's own requirement, not an extra repartition:\n$p")
+    } finally prevProvider match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("text_bpe_encode: segmentation is map-side native-kernel work inside codegen") {
     val df = SparkEntry.queries("text_bpe_encode")(spark, sfDir)
     df.collect()
