@@ -67,6 +67,7 @@ object Plans {
     "pipeline_warc_corpus" -> "the north-star composition as ONE lazy plan: WARC scan -> codegen HTML extract + gates -> content-hash dedup window -> bucket-prefix-sum packing; only declared exchanges between stages",
     "stream_frontier" -> "transformWithState dedup-and-emit: one exchange on urlkey into TransformWithStateExec, state O(distinct keys), no second shuffle",
     "stream_recent_k" -> "ListState latest-k buffer: one exchange on urlkey into TransformWithStateExec, admission changelog out, state O(keys)*k — no history re-scan",
+    "crawl_diff" -> "crawl-to-crawl diff as ONE partial+final hash agg (conditional max over a sortable ts||len key); classification is a map-side projection — no self-join, no window",
     "stream_host_status" -> "MapState per-host class counts: one exchange on host into TransformWithStateExec; per-class point reads/writes, state O(hosts*4)",
     "cdx_timemap" -> "TimeMap link lines: hottest-key anchor rides as a broadcast scalar; window over ONE urlkey's rows, idx-pruned scan below it",
     "cdx_fuzzy_match" -> "fallback scan prunes on the query-stripped prefix through cluster.idx; the exact-hit miss test is an in-plan broadcast 1-row count, no driver round trip",

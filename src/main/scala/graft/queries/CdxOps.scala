@@ -131,7 +131,39 @@ object CdxOps extends QueryModule {
     "filter_null_safe" -> ((s, d) =>
       Cdx.df(s, d).filter(col("redirect") <=> col("robotflags"))
         .selectExpr("id", "coalesce(redirect, '-') AS redirect_c", "coalesce(robotflags, '-') AS robot_c")
-        .orderBy("id"))
+        .orderBy("id")),
+
+    // crawl-to-crawl diff — "what changed since the last crawl", the
+    // operational query an archive runs after every ingest: per urlkey,
+    // compare the LATEST capture in generation A (ts < cut) against
+    // generation B (ts >= cut) and classify new / gone / changed /
+    // unchanged (by response length). Shape: ONE partial+final hash
+    // aggregation — no self-join, no window; the per-gen latest rides as
+    // a conditional max over the sortable LONG key ts*100000+len (14-digit
+    // ts ~2e18 < int64 max; length < 1e5), so the buffer stays primitive
+    // and the agg stays HashAggregate (a string key demotes to
+    // SortAggregate — per-partition sorts the corpus doesn't need). The
+    // classification is a map-side projection on the |urlkeys|-sized
+    // aggregate. At 100 TB this is a single shuffle of (urlkey, 2 longs).
+    "crawl_diff" -> ((s, d) => {
+      val cut = "19960101000000"
+      def genKey(cond: org.apache.spark.sql.Column) =
+        max(when(cond, col("ts").cast("long") * 100000L + col("length")))
+      Cdx.df(s, d)
+        .groupBy("urlkey")
+        .agg(
+          genKey(col("ts") < cut).as("ka"),
+          genKey(col("ts") >= cut).as("kb"))
+        .select(
+          col("urlkey"),
+          (col("ka") % 100000L).cast("int").as("len_a"),
+          (col("kb") % 100000L).cast("int").as("len_b"),
+          when(col("ka").isNull, "new")
+            .when(col("kb").isNull, "gone")
+            .when(col("ka") % 100000L === col("kb") % 100000L, "unchanged")
+            .otherwise("changed").as("change"))
+        .orderBy("urlkey")
+    })
   )
 
   /** CDXJ JSON payload expression — identical Spark SQL and DuckDB forms. */
@@ -183,6 +215,17 @@ object CdxOps extends QueryModule {
       "SELECT id, ts FROM cdx WHERE ts >= '19970101000000' AND ts < '19990101000000' ORDER BY id"),
     "filter_null_safe" -> o(
       "SELECT id, coalesce(redirect, '-') AS redirect_c, coalesce(robotflags, '-') AS robot_c " +
-        "FROM cdx WHERE redirect IS NOT DISTINCT FROM robotflags ORDER BY id")
+        "FROM cdx WHERE redirect IS NOT DISTINCT FROM robotflags ORDER BY id"),
+
+    "crawl_diff" -> o(
+      "SELECT urlkey, CAST(ka % 100000 AS INT) AS len_a, " +
+        "CAST(kb % 100000 AS INT) AS len_b, " +
+        "CASE WHEN ka IS NULL THEN 'new' WHEN kb IS NULL THEN 'gone' " +
+        "WHEN ka % 100000 = kb % 100000 THEN 'unchanged' " +
+        "ELSE 'changed' END AS change FROM (" +
+        "SELECT urlkey, " +
+        "max(CASE WHEN ts < '19960101000000' THEN ts::BIGINT * 100000 + length END) AS ka, " +
+        "max(CASE WHEN ts >= '19960101000000' THEN ts::BIGINT * 100000 + length END) AS kb " +
+        "FROM cdx GROUP BY urlkey) ORDER BY urlkey")
   )
 }

@@ -389,6 +389,23 @@ class PlanSpec extends SparkSpec {
       s"bloom probe must sit inside a codegen'd (starred) operator:\n$p")
   }
 
+  test("crawl_diff: one partial+final HASH aggregation, no self-join, no window") {
+    val df = SparkEntry.queries("crawl_diff")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"the diff must be a single aggregation, not a self-join/window:\n$p")
+    // primitive (long) max buffers keep it HashAggregate — a string key
+    // would demote to SortAggregate and per-partition-sort the corpus
+    assert(p.contains("HashAggregate") && !p.contains("SortAggregate"),
+      s"conditional-max buffers must stay primitive (HashAggregate):\n$p")
+    // AQE "simple" mode prints the Initial Plan after the Final one —
+    // count exchanges in the final section only
+    val finalP = p.split("== Initial Plan ==")(0)
+    val hashEx = finalP.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx == 1, s"exactly one corpus shuffle expected ($hashEx):\n$p")
+  }
+
   test("stream_recent_k: ONE stateful exchange feeds TransformWithState, no second data shuffle") {
     // RocksDB provider for batch-run transformWithState (see StreamOps)
     val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
