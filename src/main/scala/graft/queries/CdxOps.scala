@@ -11,6 +11,37 @@ object CdxOps extends QueryModule {
 
   private def o(sql: String): String = Cdx.duckCte + sql
 
+  /** crawl-to-crawl diff over a (urlkey, ts, status) capture relation:
+    * per urlkey, the LATEST capture in generation A (ts < cut) vs
+    * generation B (ts >= cut), classified new / gone / changed /
+    * unchanged by that latest status. The per-generation latest rides a
+    * conditional max over the sortable LONG key ts*100000+status
+    * (14-digit ts ~2e18 < int64 max; status < 1e3), so the buffer stays
+    * primitive and the aggregation stays HashAggregate (a string key
+    * demotes to SortAggregate — per-partition sorts the corpus doesn't
+    * need); ties on (urlkey, ts) break on the higher status in BOTH
+    * engines. Exposed as a helper so OperatorPropertiesSpec can drive a
+    * planted fixture through every classification arm (the synthetic
+    * corpus never plants all four at once). */
+  def crawlDiff(captures: org.apache.spark.sql.DataFrame, cut: String): org.apache.spark.sql.DataFrame = {
+    def genKey(cond: org.apache.spark.sql.Column) =
+      max(when(cond, col("ts").cast("long") * 100000L + col("status")))
+    captures
+      .groupBy("urlkey")
+      .agg(
+        genKey(col("ts") < cut).as("ka"),
+        genKey(col("ts") >= cut).as("kb"))
+      .select(
+        col("urlkey"),
+        (col("ka") % 100000L).cast("int").as("status_a"),
+        (col("kb") % 100000L).cast("int").as("status_b"),
+        when(col("ka").isNull, "new")
+          .when(col("kb").isNull, "gone")
+          .when(col("ka") % 100000L === col("kb") % 100000L, "unchanged")
+          .otherwise("changed").as("change"))
+      .orderBy("urlkey")
+  }
+
   override def queries: Map[String, QFn] = Map(
     // ---- §2.2 projections / scalars ----
     "proj_cdx_fields" -> ((s, d) =>
@@ -137,33 +168,15 @@ object CdxOps extends QueryModule {
     // operational query an archive runs after every ingest: per urlkey,
     // compare the LATEST capture in generation A (ts < cut) against
     // generation B (ts >= cut) and classify new / gone / changed /
-    // unchanged (by response length). Shape: ONE partial+final hash
-    // aggregation — no self-join, no window; the per-gen latest rides as
-    // a conditional max over the sortable LONG key ts*100000+len (14-digit
-    // ts ~2e18 < int64 max; length < 1e5), so the buffer stays primitive
-    // and the agg stays HashAggregate (a string key demotes to
-    // SortAggregate — per-partition sorts the corpus doesn't need). The
-    // classification is a map-side projection on the |urlkeys|-sized
-    // aggregate. At 100 TB this is a single shuffle of (urlkey, 2 longs).
-    "crawl_diff" -> ((s, d) => {
-      val cut = "19960101000000"
-      def genKey(cond: org.apache.spark.sql.Column) =
-        max(when(cond, col("ts").cast("long") * 100000L + col("length")))
-      Cdx.df(s, d)
-        .groupBy("urlkey")
-        .agg(
-          genKey(col("ts") < cut).as("ka"),
-          genKey(col("ts") >= cut).as("kb"))
-        .select(
-          col("urlkey"),
-          (col("ka") % 100000L).cast("int").as("len_a"),
-          (col("kb") % 100000L).cast("int").as("len_b"),
-          when(col("ka").isNull, "new")
-            .when(col("kb").isNull, "gone")
-            .when(col("ka") % 100000L === col("kb") % 100000L, "unchanged")
-            .otherwise("changed").as("change"))
-        .orderBy("urlkey")
-    })
+    // unchanged (by latest HTTP status — "did the page start erroring /
+    // redirecting since last crawl", the crawl-health signal; status
+    // collides across generations so BOTH change arms are live under the
+    // sf0.01+ oracle, unlike response length whose ~uniform 90k values
+    // never repeat). Shape: ONE partial+final hash aggregation — see
+    // [[CdxOps.crawlDiff]]; a planted 4-arm golden lives in
+    // OperatorPropertiesSpec. At 100 TB this is a single shuffle of
+    // (urlkey, 2 longs).
+    "crawl_diff" -> ((s, d) => crawlDiff(Cdx.df(s, d), cut = "19960101000000"))
   )
 
   /** CDXJ JSON payload expression — identical Spark SQL and DuckDB forms. */
@@ -218,14 +231,14 @@ object CdxOps extends QueryModule {
         "FROM cdx WHERE redirect IS NOT DISTINCT FROM robotflags ORDER BY id"),
 
     "crawl_diff" -> o(
-      "SELECT urlkey, CAST(ka % 100000 AS INT) AS len_a, " +
-        "CAST(kb % 100000 AS INT) AS len_b, " +
+      "SELECT urlkey, CAST(ka % 100000 AS INT) AS status_a, " +
+        "CAST(kb % 100000 AS INT) AS status_b, " +
         "CASE WHEN ka IS NULL THEN 'new' WHEN kb IS NULL THEN 'gone' " +
         "WHEN ka % 100000 = kb % 100000 THEN 'unchanged' " +
         "ELSE 'changed' END AS change FROM (" +
         "SELECT urlkey, " +
-        "max(CASE WHEN ts < '19960101000000' THEN ts::BIGINT * 100000 + length END) AS ka, " +
-        "max(CASE WHEN ts >= '19960101000000' THEN ts::BIGINT * 100000 + length END) AS kb " +
+        "max(CASE WHEN ts < '19960101000000' THEN ts::BIGINT * 100000 + status END) AS ka, " +
+        "max(CASE WHEN ts >= '19960101000000' THEN ts::BIGINT * 100000 + status END) AS kb " +
         "FROM cdx GROUP BY urlkey) ORDER BY urlkey")
   )
 }

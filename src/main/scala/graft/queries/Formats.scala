@@ -83,21 +83,44 @@ object Formats extends QueryModule {
     val key = sessionKey(s, d)
     clusterCache.computeIfAbsent(key, _ => {
       val dir = tmp(d, s"zipnum_shared_${keyTag(key)}")
-      // reap stale siblings from dead sessions/JVM runs before building:
-      // per-key dirs fix the aliasing hazard but would otherwise
-      // accumulate one full cluster per session forever. Anything the
-      // live cache doesn't reference cannot be served again (its key
-      // embeds a dead identityHashCode/appId), so deletion is safe.
-      val live = new java.util.HashSet[String](clusterCache.values())
-      val parent = new java.io.File(dir).getParentFile
-      Option(parent.listFiles()).getOrElse(Array.empty).foreach { f =>
-        if (f.getName.startsWith("zipnum_shared") && !live.contains(f.getPath)
-            && f.getPath != dir)
-          org.apache.commons.io.FileUtils.deleteQuietly(f)
-      }
-      ZipNum.write(cdxLines(s, d), dir, shards = 8, linesPerBlock = 100)
-      dir
+      // reap stale siblings from DEAD sessions before building: per-key
+      // dirs fix the aliasing hazard but would otherwise accumulate one
+      // full cluster per session forever. Liveness can't be checked
+      // across processes, so a dir is only reaped when (a) this JVM's
+      // cache doesn't reference it, (b) no in-flight build in this JVM
+      // owns it (computeIfAbsent publishes only on return), and (c) it is
+      // old enough (2 h) that no concurrently-running JVM plausibly still
+      // serves it — fresh dirs from a parallel Bench/Verify/test process
+      // are left alone.
+      building.add(dir)
+      try {
+        val live = new java.util.HashSet[String](clusterCache.values())
+        live.addAll(building)
+        val cutoff = System.currentTimeMillis() - 2L * 3600 * 1000
+        val parent = new java.io.File(dir).getParentFile
+        Option(parent.listFiles()).getOrElse(Array.empty).foreach { f =>
+          if (f.getName.startsWith("zipnum_shared") && !live.contains(f.getPath)
+              && f.lastModified() < cutoff)
+            deleteRecursively(f.toPath)
+        }
+        ZipNum.write(cdxLines(s, d), dir, shards = 8, linesPerBlock = 100)
+        dir
+      } finally building.remove(dir)
     })
+  }
+  private val building =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(p)) {
+      val s = java.nio.file.Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator().asScala
+        .foreach(q => try java.nio.file.Files.deleteIfExists(q) catch {
+          case _: java.io.IOException => () // best-effort, like the old deleteQuietly
+        })
+      finally s.close()
+    }
   }
 
   override def queries: Map[String, QFn] = Map(

@@ -746,4 +746,33 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(sel.nonEmpty && sel.size < docs.length / 2,
       s"${sel.size} of ${docs.length} selected")
   }
+
+  test("crawl_diff: planted fixture drives every classification arm") {
+    import spark.implicits._
+    val cut = "19960101000000"
+    // one urlkey per arm, plus a latest-capture tie-break case: the
+    // synthetic corpus never plants all four at once (sf0.001 has only
+    // new/gone; no sf produces 'unchanged' by accident), so the 4-way
+    // CASE is pinned here against hand-computed truth
+    val captures = Seq(
+      ("k_new", "19970101000000", 200L),
+      ("k_gone", "19950101000000", 200L),
+      ("k_unchanged", "19950601000000", 301L), // latest of gen A...
+      ("k_unchanged", "19950301000000", 503L), // (earlier, must lose)
+      ("k_unchanged", "19970101000000", 301L), // ...equals latest of gen B
+      ("k_changed", "19950101000000", 200L),
+      ("k_changed", "19970101000000", 404L),
+      ("k_tie", "19950101000000", 200L), // same ts twice: higher status
+      ("k_tie", "19950101000000", 301L), // wins the gen-A latest...
+      ("k_tie", "19970101000000", 301L)  // ...so k_tie is 'unchanged'
+    ).toDF("urlkey", "ts", "status")
+    val got = graft.queries.CdxOps.crawlDiff(captures, cut)
+      .collect().map(r => (r.getString(0), Option(r.get(1)), Option(r.get(2)), r.getString(3)))
+    assert(got.toSeq == Seq(
+      ("k_changed", Some(200), Some(404), "changed"),
+      ("k_gone", Some(200), None, "gone"),
+      ("k_new", None, Some(200), "new"),
+      ("k_tie", Some(301), Some(301), "unchanged"),
+      ("k_unchanged", Some(301), Some(301), "unchanged")), s"got ${got.toSeq}")
+  }
 }
