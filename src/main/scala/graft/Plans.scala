@@ -69,6 +69,7 @@ object Plans {
     "stream_recent_k" -> "ListState latest-k buffer: one exchange on urlkey into TransformWithStateExec, admission changelog out, state O(keys)*k — no history re-scan",
     "crawl_diff" -> "crawl-to-crawl diff as ONE partial+final hash agg (conditional max over a sortable ts||len key); classification is a map-side projection — no self-join, no window",
     "stream_host_status" -> "MapState per-host class counts: one exchange on host into TransformWithStateExec; per-class point reads/writes, state O(hosts*4)",
+    "stream_session_flush" -> "event-time-timer sessionizer batch-run: one exchange on user_id into TransformWithStateExec; state O(active keys)*3 longs, open sessions flushed by the end-of-batch timer sweep",
     "cdx_timemap" -> "TimeMap link lines: hottest-key anchor rides as a broadcast scalar; window over ONE urlkey's rows, idx-pruned scan below it",
     "cdx_fuzzy_match" -> "fallback scan prunes on the query-stripped prefix through cluster.idx; the exact-hit miss test is an in-plan broadcast 1-row count, no driver round trip",
     "ts_resample_linear" -> "hourly grid cross join is |users|x72 broadcast rows; both interpolation windows partition by user_id — no global window, no data-sized grid",

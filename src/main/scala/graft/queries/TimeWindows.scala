@@ -148,6 +148,28 @@ object TimeWindows extends QueryModule {
         .orderBy("user_id", "sstart_us")
     }),
 
+    // EVENT-TIME-TIMER sessionization (transformWithState + registerTimer /
+    // handleExpiredTimer) through the driver gate — the last StreamOps
+    // entry point without a CORRECTNESS row. Batch-run via
+    // sessionFlushBatch (ProcessingTime mode: batch plans carry no
+    // watermark, so the end-of-batch timer sweep is what flushes each
+    // key's final open session — see its scaladoc). All history per key
+    // arrives in one invocation, so the emitted set is the complete
+    // gaps-and-islands sessions at a 10-minute gap (distinct from
+    // stream_stateful_session's 30-minute flatMapGroupsWithState leg).
+    // Epoch-MILLIS outputs (Timestamp.getTime) keep the compare
+    // integer-exact: Spark's micros→Timestamp floors to ms, matching the
+    // oracle's epoch_us // 1000.
+    "stream_session_flush" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("ts").cast("timestamp").as("ts"))
+        .as[graft.streaming.StreamOps.TimedEvent]
+      graft.streaming.StreamOps.sessionFlushBatch(ev, gapMs = 10L * 60 * 1000)
+        .toDF()
+        .orderBy("user_id", "sstart_ms")
+    }),
+
     // crawl-frontier dedup-and-emit via transformWithState (arbitrary
     // state v2 — the TTL-capable typed-ValueState handle) through the
     // driver gate: each urlkey emits ONCE, on first discovery, with its
@@ -375,6 +397,20 @@ object TimeWindows extends QueryModule {
         "ROWS UNBOUNDED PRECEDING) AS sid FROM marked) " +
         "SELECT user_id, min(ts_us) AS sstart_us, max(ts_us) AS send_us, " +
         "count(*) AS n_events FROM sess GROUP BY user_id, sid ORDER BY user_id, sstart_us"),
+    // gaps-and-islands at ms resolution, 10-minute gap — the complete
+    // session set the batch-run timer sweep must emit (open sessions
+    // included: the processing-time flush fires for every key)
+    "stream_session_flush" ->
+      ("WITH marked AS (SELECT user_id, epoch_us(ts) // 1000 AS ts_ms, " +
+        "CASE WHEN lag(epoch_us(ts) // 1000) OVER w IS NULL " +
+        "OR epoch_us(ts) // 1000 - lag(epoch_us(ts) // 1000) OVER w >= 600000 THEN 1 ELSE 0 END AS new_s " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) // 1000, epoch_us(ts))), " +
+        "sess AS (SELECT user_id, ts_ms, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_ms " +
+        "ROWS UNBOUNDED PRECEDING) AS sid FROM marked) " +
+        "SELECT user_id, min(ts_ms) AS sstart_ms, max(ts_ms) AS send_ms, " +
+        "count(*) AS n_events FROM sess GROUP BY user_id, sid " +
+        "ORDER BY user_id, sstart_ms"),
+
     // batch-run frontier == first capture + sighting count per urlkey
     "stream_frontier" ->
       (graft.Cdx.duckCte + "SELECT urlkey, min(ts) AS first_ts, " +

@@ -433,6 +433,27 @@ object StreamOps {
         new SessionFlushProcessor(gapMs), TimeMode.EventTime(), OutputMode.Append())
   }
 
+  /** [[sessionFlush]] for one-shot BATCH execution (the driver gate's
+    * `stream_session_flush` key): batch plans carry no watermark
+    * (`eventTimeWatermarkForEviction` is None in
+    * `TransformWithStateExec.generateSparkPlanForBatchQueries`), so
+    * EventTime timers throw INTERNAL_ERROR_TWS — ProcessingTime mode
+    * instead, where the end-of-batch timer sweep fires everything `<=
+    * batchTimestampMs` (wall-clock now, strictly after any historical
+    * `end + gap` deadline the processor registers). Identical processor,
+    * identical per-key session arithmetic; the ONLY behavioral delta vs
+    * the streaming leg is WHEN the final open session flushes, and in a
+    * one-shot batch "end of batch" is the correct flush point. Output is
+    * therefore the complete gaps-and-islands session set. */
+  def sessionFlushBatch(in: Dataset[TimedEvent], gapMs: Long): Dataset[FlushedSession] = {
+    import in.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    ensureStateStoreCoordinator(in.sparkSession)
+    in.groupByKey(_.user_id)
+      .transformWithState(
+        new SessionFlushProcessor(gapMs), TimeMode.ProcessingTime(), OutputMode.Append())
+  }
+
   /** same running counts through transformWithState */
   def userRunningCountsTws(events: Dataset[UserEvent]): Dataset[UserUpdate] = {
     import events.sparkSession.implicits._

@@ -510,6 +510,30 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("sessionFlushBatch emits the complete session set in one batch run") {
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def ev(u: Long, sec: Long) = StreamOps.TimedEvent(u, new java.sql.Timestamp(sec * 1000))
+      // user 10: two sessions split by a >=10m gap; user 20: one open session
+      // — the batch timer sweep must flush BOTH keys' final sessions
+      // (EventTime mode cannot run here: batch plans carry no watermark)
+      val in = Seq(ev(10, 100), ev(10, 200), ev(10, 900), ev(20, 150)).toDS()
+      val rows = StreamOps.sessionFlushBatch(in, gapMs = 600000L)
+        .collect().sortBy(r => (r.user_id, r.sstart_ms))
+      assert(rows.toSeq == Seq(
+        StreamOps.FlushedSession(10L, 100000L, 200000L, 2L),
+        StreamOps.FlushedSession(10L, 900000L, 900000L, 1L),
+        StreamOps.FlushedSession(20L, 150000L, 150000L, 1L)), s"got ${rows.toSeq}")
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("mapGroupsWithState accumulates per-user counts across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[StreamOps.UserEvent]
