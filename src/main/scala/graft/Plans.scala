@@ -71,6 +71,7 @@ object Plans {
     "stream_host_status" -> "MapState per-host class counts: one exchange on host into TransformWithStateExec; per-class point reads/writes, state O(hosts*4)",
     "stream_session_flush" -> "event-time-timer sessionizer batch-run: one exchange on user_id into TransformWithStateExec; state O(active keys)*3 longs, open sessions flushed by the end-of-batch timer sweep",
     "cdx_timemap" -> "TimeMap link lines: hottest-key anchor rides as a broadcast scalar; window over ONE urlkey's rows, idx-pruned scan below it",
+    "cdx_host_match" -> "matchType=host: the ')' -terminated prefix bound excludes planted subdomain keys at the cluster.idx level — blocks holding only comma-keys are never read",
     "cdx_fuzzy_match" -> "fallback scan prunes on the query-stripped prefix through cluster.idx; the exact-hit miss test is an in-plan broadcast 1-row count, no driver round trip",
     "ts_resample_linear" -> "hourly grid cross join is |users|x72 broadcast rows; both interpolation windows partition by user_id — no global window, no data-sized grid",
     "graph_bfs_hops" -> "per-hop: frontier⋈edges shuffle + min-agg off a checkpointed edge list; visited set stays distributed, rounds bounded by depth",

@@ -398,6 +398,30 @@ object Formats extends QueryModule {
       new graft.CdxServer(s, dir).timemap(hot)
     }),
 
+    // pywb matchType=host through the gate: exactly one host's captures —
+    // keys under 'org,example,medium)' but NOT subdomain keys
+    // 'org,example,medium,<label>)…'. The fixture cluster PLANTS a
+    // subdomain generation (every 8th capture re-keyed under ,cdn) so the
+    // boundary has real keys on both sides; because ')' (0x29) sorts
+    // before ',' (0x2C), the planted keys sit immediately AFTER the
+    // host's range and the host() prefix bound excludes them at the
+    // cluster.idx level — blocks holding only comma-keys are never read
+    // (CdxServerSpec pins the host-vs-domain semantics; this entry pins
+    // end-to-end row correctness via the oracle). Quarter-scale fixture,
+    // like zipnum_merge_incremental, keeps the line about LOOKUP cost.
+    "cdx_host_match" -> ((s, d) => {
+      val dir = tmp(d, "zipnum_hostmatch")
+      val quarter = Cdx.df(s, d).filter(col("id") % 4 === 0)
+      val baseLines = quarter.selectExpr(s"$lineExprSpark AS line")
+      val subLines = quarter.filter(col("id") % 8 === 0)
+        .selectExpr(s"$lineExprSpark AS line")
+        .select(regexp_replace(col("line"), "^([^)]*)\\)", "$1,cdn)").as("line"))
+      ZipNum.write(baseLines.unionAll(subLines), dir, shards = 4, linesPerBlock = 100)
+      new graft.CdxServer(s, dir).host("org,example,medium")
+        .select("urlkey", "ts", "json")
+        .orderBy("urlkey", "ts", "json")
+    }),
+
     // pywb fuzzy matching through the gate: an exact URL with a
     // guaranteed-missing querystring falls back to the query-stripped
     // prefix rescan — the in-plan miss test keeps the two-stage lookup
@@ -631,6 +655,13 @@ object Formats extends QueryModule {
         "AND ts <= greatest((SELECT min(ts) FROM cdx WHERE urlkey = " +
         "(SELECT urlkey FROM cdx GROUP BY urlkey ORDER BY count(*) DESC, urlkey LIMIT 1)), '19970101000000') " +
         "ORDER BY urlkey, ts, json"),
+    // the host boundary from the source table: the planted ,cdn) subdomain
+    // keys can never match the ')' -terminated host prefix, so the oracle
+    // is the plain quarter-scale host filter — if the Spark side leaked a
+    // subdomain key past the prefix bound, the row counts would differ
+    "cdx_host_match" -> o(
+      s"SELECT urlkey, ts, $jsonExprDuck FROM cdx WHERE id % 4 = 0 " +
+        "AND urlkey LIKE 'org,example,medium)%' ORDER BY urlkey, ts, json"),
     // merged cluster == index built from all captures at once
     "zipnum_merge_incremental" -> o(
       s"SELECT $lineExprDuck AS line FROM cdx WHERE id % 4 = 0 ORDER BY line"),
