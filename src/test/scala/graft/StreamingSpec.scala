@@ -534,6 +534,169 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  // ---- restart recovery: kill a stateful query, resume it from its
+  // checkpoint, and prove state/timer/watermark continuity (the scale
+  // behavior that matters in a real deployment — a 1000-executor job
+  // WILL be preempted mid-stream). Each test runs batches, STOPS the
+  // query, restarts FROM THE SAME CHECKPOINT (fresh memory sink — the
+  // sink is not fault-tolerant, which is exactly why re-emission after
+  // restart would be visible), and asserts exactly-once semantics.
+
+  /** run one stateful-query phase against a shared checkpoint dir: start,
+    * apply `drive`, stop; returns the rows the SINK saw DURING this phase.
+    * foreachBatch, not the memory sink — memory does not support
+    * checkpoint recovery ("This query does not support recovering from
+    * checkpoint location"), and a per-phase buffer makes re-emission
+    * after the resume directly visible. */
+  private def phase[T](df: org.apache.spark.sql.Dataset[T], ck: String, name: String)(
+      drive: org.apache.spark.sql.streaming.StreamingQuery => Unit): Array[org.apache.spark.sql.Row] = {
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Row]()
+    val q = df.writeStream.queryName(name)
+      .option("checkpointLocation", ck)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[T], _: Long) =>
+        batch.toDF().collect().foreach(got.add)
+      }
+      .start()
+    try { drive(q); got.toArray(Array.empty[org.apache.spark.sql.Row]) }
+    finally q.stop()
+  }
+
+  private def withRocksDb[A](body: => A): A = {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  private def freshDir(name: String): String = {
+    val d = s"/tmp/graft_test/$name"
+    new scala.reflect.io.Directory(new java.io.File(d)).deleteRecursively()
+    d
+  }
+
+  test("restart recovery: frontier's ValueState suppresses across a checkpoint resume") {
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      val ck = freshDir("rt_frontier_ck")
+      val input = MemoryStream[StreamOps.FrontierIn]
+      val ds = StreamOps.frontier(input.toDS())
+      // phase 1: a (twice) and b discovered
+      val p1 = phase(ds, ck, "rt_frontier_1") { q =>
+        input.addData(
+          StreamOps.FrontierIn("a", "20240101000000"),
+          StreamOps.FrontierIn("a", "20240102000000"),
+          StreamOps.FrontierIn("b", "20240103000000"))
+        q.processAllAvailable()
+      }
+      assert(p1.map(_.getString(0)).sorted.toSeq == Seq("a", "b"), s"got ${p1.toSeq}")
+      // phase 2 resumes from the RocksDB checkpoint with an EMPTY sink:
+      // a re-sighting of 'a' must stay suppressed (its ValueState
+      // survived the restart), while new key 'c' emits — if state had
+      // been lost, 'a' would re-emit here and the sink would show it
+      val p2 = phase(ds, ck, "rt_frontier_2") { q =>
+        input.addData(
+          StreamOps.FrontierIn("a", "20240104000000"),
+          StreamOps.FrontierIn("c", "20240105000000"))
+        q.processAllAvailable()
+      }
+      assert(p2.map(r => (r.getString(0), r.getString(1))).toSeq ==
+        Seq(("c", "20240105000000")),
+        s"exactly-once after resume violated: ${p2.toSeq}")
+    }
+  }
+
+  test("restart recovery: sessionFlush's state, TIMER, and watermark survive a resume") {
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      val ck = freshDir("rt_flush_ck")
+      val input = MemoryStream[StreamOps.TimedEvent]
+      def ev(u: Long, sec: Long) = StreamOps.TimedEvent(u, new java.sql.Timestamp(sec * 1000))
+      val ds = StreamOps.sessionFlush(input.toDS(), gapMs = 600000L)
+      // phase 1: user 10's session [100s, 200s] stays OPEN — its timer is
+      // armed at 800s and the watermark only reaches 700s (user 30's
+      // event), below the deadline even for the trailing empty batch
+      // processAllAvailable runs — nothing may flush before the kill
+      val p1 = phase(ds, ck, "rt_flush_1") { q =>
+        input.addData(ev(10, 100), ev(10, 200), ev(30, 700))
+        q.processAllAvailable()
+      }
+      assert(p1.isEmpty, s"nothing should flush in phase 1: ${p1.toSeq}")
+      // phase 2 resumes from the checkpoint: user 30's event at 6000s
+      // (a) closes user 30's RESTORED open session [700s, 700s] by the
+      // in-batch gap, and (b) advances the watermark past user 10's
+      // RESTORED 800s timer, which flushes [100s, 200s] exactly once with
+      // the merged extent — together pinning all three recovered
+      // artifacts (open-session ValueState, the registered timer, and
+      // the watermark; losing any would drop or mis-extent a session)
+      val p2 = phase(ds, ck, "rt_flush_2") { q =>
+        input.addData(ev(30, 6000))
+        q.processAllAvailable()
+      }
+      val flushed = p2.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1)
+      assert(flushed.toSeq == Seq(
+        (10L, 100000L, 200000L, 2L),
+        (30L, 700000L, 700000L, 1L)),
+        s"resume must flush exactly the two closed sessions: ${flushed.toSeq}")
+    }
+  }
+
+  test("restart recovery: recentK's ListState keeps its buffer across a resume") {
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      val ck = freshDir("rt_recentk_ck")
+      val input = MemoryStream[StreamOps.CaptureIn]
+      val ds = StreamOps.recentK(input.toDS(), k = 2)
+      val p1 = phase(ds, ck, "rt_recentk_1") { q =>
+        input.addData(
+          StreamOps.CaptureIn("u", "20240101000000", "d1"),
+          StreamOps.CaptureIn("u", "20240102000000", "d2"))
+        q.processAllAvailable()
+      }
+      assert(p1.length == 2, s"both captures admitted in phase 1: ${p1.toSeq}")
+      // phase 2: a newer capture arrives after the resume — ONLY it is
+      // admitted (the restored ListState still holds d1/d2, so d2 stays
+      // kept and d1 is evicted SILENTLY; a lost buffer would re-admit
+      // both incoming-retained rows or emit a wrong delta)
+      val p2 = phase(ds, ck, "rt_recentk_2") { q =>
+        input.addData(StreamOps.CaptureIn("u", "20240103000000", "d3"))
+        q.processAllAvailable()
+      }
+      assert(p2.map(_.getString(2)).toSeq == Seq("d3"),
+        s"only the new capture may emit after resume: ${p2.toSeq}")
+    }
+  }
+
+  test("restart recovery: hostStatus' MapState counts continue across a resume") {
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      val ck = freshDir("rt_hoststatus_ck")
+      val input = MemoryStream[StreamOps.HostStatusIn]
+      val ds = StreamOps.hostStatus(input.toDS())
+      val p1 = phase(ds, ck, "rt_hoststatus_1") { q =>
+        input.addData(
+          StreamOps.HostStatusIn("a.org", "2xx"),
+          StreamOps.HostStatusIn("a.org", "2xx"),
+          StreamOps.HostStatusIn("a.org", "5xx"))
+        q.processAllAvailable()
+      }
+      assert(p1.map(r => (r.getString(1), r.getLong(2))).sorted.toSeq ==
+        Seq(("2xx", 2L), ("5xx", 1L)), s"got ${p1.toSeq}")
+      // phase 2: the 2xx count CONTINUES from the restored MapState (3,
+      // not 1), and the untouched 5xx class stays quiet
+      val p2 = phase(ds, ck, "rt_hoststatus_2") { q =>
+        input.addData(StreamOps.HostStatusIn("a.org", "2xx"))
+        q.processAllAvailable()
+      }
+      assert(p2.map(r => (r.getString(1), r.getLong(2))).toSeq == Seq(("2xx", 3L)),
+        s"count must continue from restored state: ${p2.toSeq}")
+    }
+  }
+
   test("mapGroupsWithState accumulates per-user counts across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[StreamOps.UserEvent]
