@@ -90,6 +90,17 @@ object Warc {
       r.get(9).asInstanceOf[Array[Byte]])
   }
 
+  /** [[parseRow]] over EVERY record in the member (multi-record members —
+    * see [[parseWarcRecords]]); the V2 source's per-member unit. */
+  private[graft] def parseRows(
+      bytes: Array[Byte], offset: Long, length: Long, filename: String)
+      : Seq[(String, String, String, String, java.lang.Integer, String, Array[Byte])] =
+    parseRecords(bytes, offset, length, filename).map { r =>
+      (r.getString(0), r.getString(1), r.getString(2), r.getString(3),
+        r.get(4).asInstanceOf[java.lang.Integer], r.getString(5),
+        r.get(9).asInstanceOf[Array[Byte]])
+    }
+
   /** Parse one decompressed WARC record into a row-shaped tuple. */
   /** byte index of the first CRLF CRLF, or -1 — header/body split MUST be
     * found on bytes: non-ASCII header values (UTF-8 URLs are common in
@@ -119,24 +130,71 @@ object Warc {
       if (parts.length >= 2 && parts(1).nonEmpty && parts(1).length <= 5 &&
         parts(1).forall(_.isDigit)) parts(1).toInt
       else null
-    val mime = httpHead.drop(1).flatMap { line =>
+    def header(name: String): Option[String] = httpHead.drop(1).flatMap { line =>
       val i = line.indexOf(':')
-      if (i > 0 && line.substring(0, i).equalsIgnoreCase("Content-Type"))
+      if (i > 0 && line.substring(0, i).equalsIgnoreCase(name))
         Some(line.substring(i + 1).trim)
       else None
-    }.headOption.orNull
-    (status, mime, body.drop(httpEnd + 4))
+    }.headOption
+    val mime = header("Content-Type").orNull
+    val raw = body.drop(httpEnd + 4)
+    // chunked-transfer-encoded payloads (capture-time proxies record the
+    // wire form; warcio/pywb de-chunk on read, so the indexed payload —
+    // and any digest recomputation — must be the DECODED bytes): strip
+    // the framing; a malformed framing keeps the raw bytes (a mis-labeled
+    // Transfer-Encoding header must not destroy a payload)
+    val payload =
+      if (header("Transfer-Encoding").exists(_.toLowerCase.contains("chunked"))) {
+        val d = dechunk(raw)
+        if (d != null) d else raw
+      } else raw
+    (status, mime, payload)
+  }
+
+  /** Decode HTTP/1.1 chunked framing: `hexsize[;ext] CRLF data CRLF` …
+    * `0 CRLF [trailers CRLF] CRLF`. Returns null when the framing is
+    * malformed (caller falls back to the raw bytes). Trailers after the
+    * terminal chunk are dropped, like every consuming client. */
+  private def dechunk(b: Array[Byte]): Array[Byte] = {
+    def crlfAt(i: Int): Boolean =
+      i + 1 < b.length && b(i) == '\r' && b(i + 1) == '\n'
+    val out = new java.io.ByteArrayOutputStream()
+    var i = 0
+    while (i < b.length) {
+      var lineEnd = i
+      while (lineEnd < b.length && !crlfAt(lineEnd)) lineEnd += 1
+      if (lineEnd >= b.length) return null
+      val hex = new String(b, i, lineEnd - i, UTF_8).takeWhile(_ != ';').trim
+      if (hex.isEmpty || hex.length > 8 ||
+        !hex.forall(c => Character.digit(c, 16) >= 0)) return null
+      val n = java.lang.Long.parseLong(hex, 16).toInt
+      i = lineEnd + 2
+      if (n == 0) return out.toByteArray // terminal chunk; trailers ignored
+      if (i + n > b.length) return null
+      out.write(b, i, n)
+      i += n
+      if (!crlfAt(i)) return null
+      i += 2
+    }
+    null // ran out of bytes before the terminal 0-chunk
   }
 
   private def isWarc(bytes: Array[Byte]): Boolean =
     bytes.length >= 5 && bytes(0) == 'W' && bytes(1) == 'A' &&
       bytes(2) == 'R' && bytes(3) == 'C' && bytes(4) == '/'
 
-  /** One decompressed member -> row; sniffs WARC vs legacy ARC. */
+  /** One decompressed member -> first row; sniffs WARC vs legacy ARC. */
   private[graft] def parseRecord(
       bytes: Array[Byte], offset: Long, length: Long, filename: String): Row =
     if (isWarc(bytes)) parseWarcRecord(bytes, offset, length, filename)
     else parseArcRecord(bytes, offset, length, filename)
+
+  /** One decompressed member -> ALL its rows (see [[parseWarcRecords]];
+    * ARC members are always single-record). */
+  private[graft] def parseRecords(
+      bytes: Array[Byte], offset: Long, length: Long, filename: String): Seq[Row] =
+    if (isWarc(bytes)) parseWarcRecords(bytes, offset, length, filename)
+    else Seq(parseArcRecord(bytes, offset, length, filename))
 
   /** ARC v1 (5-field) / v2 (10-field) URL-record:
     * `url ip date mime length` / `url ip date mime result checksum
@@ -178,26 +236,70 @@ object Warc {
   }
 
   private[graft] def parseWarcRecord(
-      bytes: Array[Byte], offset: Long, length: Long, filename: String): Row = {
-    val headerEnd = crlfCrlf(bytes)
-    val headerBlock =
-      new String(bytes, 0, if (headerEnd >= 0) headerEnd else bytes.length, UTF_8)
-    val headers = headerBlock.split("\r\n").drop(1).flatMap { line =>
-      val i = line.indexOf(':')
-      if (i > 0) Some(line.substring(0, i).toLowerCase -> line.substring(i + 1).trim) else None
-    }.toMap
-    val recordType = headers.getOrElse("warc-type", "")
-    val url = headers.getOrElse("warc-target-uri", null)
-    val isoDate = headers.get("warc-date")
-    val ts = isoDate.map(_.replaceAll("[^0-9]", "").take(14)).orNull
-    val digest = headers.get("warc-payload-digest").map(_.stripPrefix("sha1:")).orNull
-    // no terminator -> header-only record, empty body
-    val body = if (headerEnd >= 0) bytes.drop(headerEnd + 4) else Array.emptyByteArray
-    val isHttpResponse = recordType == "response" &&
-      headers.getOrElse("content-type", "").startsWith("application/http")
-    val (status, mime, payload) =
-      if (isHttpResponse) parseHttp(body) else (null: Integer, null: String, body)
-    Row(recordType, url, ts, digest, status, mime, offset, length, filename, payload)
+      bytes: Array[Byte], offset: Long, length: Long, filename: String): Row =
+    parseWarcRecords(bytes, offset, length, filename).head
+
+  private def isWarcAt(bytes: Array[Byte], p: Int): Boolean =
+    p + 4 < bytes.length && bytes(p) == 'W' && bytes(p + 1) == 'A' &&
+      bytes(p + 2) == 'R' && bytes(p + 3) == 'C' && bytes(p + 4) == '/'
+
+  /** Parse EVERY record in one decompressed member. Conforming writers put
+    * one record per gzip member, but warcio's permissive reader — and
+    * therefore real Common Crawl-adjacent corpora — also accepts members
+    * holding several concatenated records (wget- and proxy-written files
+    * do this monthly); one member must then yield N rows, not one row
+    * whose payload swallows the successors. The split honors the record's
+    * own Content-Length ONLY when what follows the block (after the
+    * record-terminating CRLFs) is another `WARC/` header or end-of-member
+    * — a wrong Content-Length (e.g. a `WARC-Truncated` record cut mid-
+    * payload by a crashed writer) keeps today's whole-remainder behavior
+    * instead of fabricating a phantom second record. All rows in a member
+    * share its (offset, compressedLength): that pair is the re-fetch unit
+    * for auditing, and sub-member byte offsets don't survive gzip. */
+  private[graft] def parseWarcRecords(
+      bytes: Array[Byte], offset: Long, length: Long, filename: String): Seq[Row] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+    var pos = 0
+    while (pos < bytes.length) {
+      val headerEnd = crlfCrlf(bytes, pos)
+      val hEnd = if (headerEnd >= 0) headerEnd else bytes.length
+      val headerBlock = new String(bytes, pos, hEnd - pos, UTF_8)
+      val headers = headerBlock.split("\r\n").drop(1).flatMap { line =>
+        val i = line.indexOf(':')
+        if (i > 0) Some(line.substring(0, i).toLowerCase -> line.substring(i + 1).trim) else None
+      }.toMap
+      // no terminator -> header-only record, empty body
+      val bodyStart = if (headerEnd >= 0) headerEnd + 4 else bytes.length
+      var bodyEnd = bytes.length
+      var nextPos = bytes.length
+      headers.get("content-length")
+        .filter(s => s.nonEmpty && s.length <= 18 && s.forall(_.isDigit))
+        .map(_.toLong)
+        .filter(n => bodyStart.toLong + n <= bytes.length)
+        .foreach { n =>
+          var p = bodyStart + n.toInt
+          while (p + 1 < bytes.length && bytes(p) == '\r' && bytes(p + 1) == '\n') p += 2
+          if (p >= bytes.length || isWarcAt(bytes, p)) {
+            bodyEnd = bodyStart + n.toInt
+            nextPos = p
+          }
+        }
+      val body = java.util.Arrays.copyOfRange(bytes, math.min(bodyStart, bytes.length), bodyEnd)
+      val recordType = headers.getOrElse("warc-type", "")
+      val url = headers.getOrElse("warc-target-uri", null)
+      val ts = headers.get("warc-date").map(_.replaceAll("[^0-9]", "").take(14)).orNull
+      val digest = headers.get("warc-payload-digest").map(_.stripPrefix("sha1:")).orNull
+      val isHttpResponse = recordType == "response" &&
+        headers.getOrElse("content-type", "").startsWith("application/http")
+      val (status, mime, payload) =
+        if (isHttpResponse) parseHttp(body) else (null: Integer, null: String, body)
+      out += Row(recordType, url, ts, digest, status, mime, offset, length, filename, payload)
+      pos = nextPos
+    }
+    if (out.isEmpty) // zero-length member: keep the one-row-per-member contract
+      out += Row("unknown", null, null, null, null, null, offset, length, filename,
+        Array.emptyByteArray)
+    out.toSeq
   }
 
   final case class ArcFixtureRecord(
@@ -251,12 +353,12 @@ object Warc {
         Option(org.apache.spark.TaskContext.get())
           .foreach(_.addTaskCompletionListener[Unit](_ => try in.close() catch { case _: Throwable => }))
         val shortName = file.substring(file.lastIndexOf('/') + 1)
-        val it = Gzip.entries(in, permissive).map {
+        val it = Gzip.entries(in, permissive).flatMap {
           case m: Gzip.Member =>
-            parseRecord(m.bytes, m.offset, m.compressedLength, shortName)
+            parseRecords(m.bytes, m.offset, m.compressedLength, shortName)
           case s: Gzip.CorruptSpan =>
-            Row("corrupt", null, null, null, null, null,
-              s.offset, s.compressedLength, shortName, null)
+            Seq(Row("corrupt", null, null, null, null, null,
+              s.offset, s.compressedLength, shortName, null))
         }
         new Iterator[Row] {
           override def hasNext: Boolean = {

@@ -108,22 +108,29 @@ final class WarcPartitionReader(file: String, sconf: SerializableHadoopConf)
   // record_type='corrupt' rows, not task failures
   private val entries = Gzip.entries(in, permissive = true)
   private var row: InternalRow = _
+  // a (non-conforming but real) multi-record gzip member yields several
+  // rows from one entry — buffer the member's remainder between next()s
+  private val pending = new scala.collection.mutable.Queue[InternalRow]()
 
   override def next(): Boolean = {
-    if (!entries.hasNext) return false
-    entries.next() match {
-      case m: Gzip.Member =>
-        val r = Warc.parseRow(m.bytes, m.offset, m.compressedLength, shortName)
-        row = new GenericInternalRow(Array[Any](
-          utf8(r._1), utf8(r._2), utf8(r._3), utf8(r._4),
-          r._5, utf8(r._6), m.offset, m.compressedLength,
-          UTF8String.fromString(shortName), r._7))
-      case s: Gzip.CorruptSpan =>
-        row = new GenericInternalRow(Array[Any](
-          utf8("corrupt"), null, null, null,
-          null, null, s.offset, s.compressedLength,
-          UTF8String.fromString(shortName), null))
+    while (pending.isEmpty) {
+      if (!entries.hasNext) return false
+      entries.next() match {
+        case m: Gzip.Member =>
+          Warc.parseRows(m.bytes, m.offset, m.compressedLength, shortName).foreach { r =>
+            pending.enqueue(new GenericInternalRow(Array[Any](
+              utf8(r._1), utf8(r._2), utf8(r._3), utf8(r._4),
+              r._5, utf8(r._6), m.offset, m.compressedLength,
+              UTF8String.fromString(shortName), r._7)))
+          }
+        case s: Gzip.CorruptSpan =>
+          pending.enqueue(new GenericInternalRow(Array[Any](
+            utf8("corrupt"), null, null, null,
+            null, null, s.offset, s.compressedLength,
+            UTF8String.fromString(shortName), null)))
+      }
     }
+    row = pending.dequeue()
     true
   }
 

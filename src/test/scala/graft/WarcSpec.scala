@@ -217,4 +217,104 @@ class WarcSpec extends SparkSpec {
     val resolved = revisit.join(originals, "digest").collect()
     assert(resolved.length == 1) // the revisit's digest matches exactly one response
   }
+
+  // ---- valid-but-odd shapes from warcio's permissive set (round-10
+  // hardening): chunked-transfer payloads, WARC-Truncated records, and
+  // multi-record gzip members written by non-conforming tools.
+
+  /** render a raw WARC response record; contentLength overrides the header
+    * (for truncation shapes), default = the block's true length */
+  private def rawRec(typ: String, url: String, block: Array[Byte],
+      contentLength: Long = -1L): Array[Byte] = {
+    val cl = if (contentLength >= 0) contentLength else block.length.toLong
+    val hdr = Seq("WARC/1.0", s"WARC-Type: $typ") ++
+      Option(url).map(u => s"WARC-Target-URI: $u") ++
+      Seq("WARC-Date: 2015-02-15T01:23:45Z",
+        "Content-Type: application/http; msgtype=response",
+        s"Content-Length: $cl")
+    hdr.mkString("", "\r\n", "\r\n\r\n").getBytes("UTF-8") ++ block
+  }
+
+  private def writeRawMembers(path: String, members: Seq[Array[Byte]]): Unit = {
+    Files.createDirectories(Paths.get(path).getParent)
+    val out = Files.newOutputStream(Paths.get(path))
+    try members.foreach(m => graft.formats.Gzip.writeMember(out, m))
+    finally out.close()
+  }
+
+  test("chunked transfer encoding is decoded; malformed framing keeps raw bytes") {
+    val f = "/tmp/graft_test/chunked.warc.gz"
+    val goodHttp = ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+      "Transfer-Encoding: chunked\r\n\r\n" +
+      "6\r\nchunk1\r\n7;ext=1\r\n-chunk2\r\n0\r\n\r\n").getBytes("UTF-8")
+    // labeled chunked but the framing is junk — payload must survive raw
+    val badHttp = ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+      "Transfer-Encoding: chunked\r\n\r\nZZnot-chunked-at-all").getBytes("UTF-8")
+    writeRawMembers(f, Seq(
+      rawRec("response", "http://example.com/a", goodHttp),
+      rawRec("response", "http://example.com/b", badHttp)))
+    val rows = Warc.scan(spark, f).select("url", "status", "mime", "payload")
+      .orderBy("offset").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getInt(1) == 200 && rows(0).getString(2) == "text/html")
+    assert(new String(rows(0).getAs[Array[Byte]]("payload"), "UTF-8") == "chunk1-chunk2")
+    assert(new String(rows(1).getAs[Array[Byte]]("payload"), "UTF-8") == "ZZnot-chunked-at-all")
+  }
+
+  test("WARC-Truncated / short members still parse (no phantom records)") {
+    val f = "/tmp/graft_test/truncated.warc.gz"
+    // a crawler hit its size cap: HTTP claims 1000 bytes, the record was
+    // cut after 9, and the WARC Content-Length (honest about the cut)
+    // plus WARC-Truncated: length mark it — pywb still indexes the row
+    val cutHttp = ("HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n" +
+      "Content-Length: 1000\r\n\r\npartial-b").getBytes("UTF-8")
+    val truncated =
+      ("WARC/1.0\r\nWARC-Type: response\r\n" +
+        "WARC-Target-URI: http://example.com/cut\r\n" +
+        "WARC-Date: 2015-02-15T01:23:45Z\r\n" +
+        "WARC-Truncated: length\r\n" +
+        "Content-Type: application/http; msgtype=response\r\n" +
+        s"Content-Length: ${cutHttp.length}\r\n\r\n").getBytes("UTF-8") ++ cutHttp
+    // a DISHONEST Content-Length (writer crashed mid-payload: header says
+    // more bytes than the member holds) must yield ONE row carrying the
+    // whole remainder, not a phantom successor or a lost record
+    val overrun = rawRec("response", "http://example.com/crash",
+      ("HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\nhalf").getBytes("UTF-8"),
+      contentLength = 99999L)
+    writeRawMembers(f, Seq(truncated, overrun))
+    val rows = Warc.scan(spark, f).select("url", "status", "mime", "payload")
+      .orderBy("offset").collect()
+    assert(rows.length == 2, s"got ${rows.length} rows")
+    assert(rows(0).getString(0) == "http://example.com/cut")
+    assert(rows(0).getInt(1) == 200 && rows(0).getString(2) == "text/plain")
+    assert(new String(rows(0).getAs[Array[Byte]]("payload"), "UTF-8") == "partial-b")
+    assert(rows(1).getString(0) == "http://example.com/crash")
+    assert(new String(rows(1).getAs[Array[Byte]]("payload"), "UTF-8") == "half")
+  }
+
+  test("multi-record gzip members yield one row per record (scan AND V2 source)") {
+    val f = "/tmp/graft_test/multirec.warc.gz"
+    def http(body: String) =
+      (s"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n$body").getBytes("UTF-8")
+    // one gzip member holding THREE records, CRLF CRLF-terminated — the
+    // wget/proxy shape warcio reads and a conforming writer never emits
+    val member =
+      rawRec("response", "http://example.com/1", http("one")) ++ "\r\n\r\n".getBytes("UTF-8") ++
+      rawRec("response", "http://example.com/2", http("two")) ++ "\r\n\r\n".getBytes("UTF-8") ++
+      rawRec("response", "http://example.com/3", http("three"))
+    // plus a normal single-record member after it: the splitter must not
+    // disturb member boundaries
+    writeRawMembers(f, Seq(member, rawRec("response", "http://example.com/4", http("four"))))
+    for (df <- Seq(Warc.scan(spark, f), spark.read.format("warc").load(f))) {
+      val rows = df.select("url", "payload", "offset").orderBy("offset", "url").collect()
+      assert(rows.map(_.getString(0)).toSeq ==
+        (1 to 4).map(i => s"http://example.com/$i"), s"got ${rows.toSeq}")
+      assert(rows.map(r => new String(r.getAs[Array[Byte]]("payload"), "UTF-8")).toSeq ==
+        Seq("one", "two", "three", "four"))
+      // the three sub-records share their member's (offset, length) — the
+      // gzip member is the re-fetch unit; the fourth starts past it
+      assert(rows.take(3).map(_.getLong(2)).distinct.length == 1)
+      assert(rows(3).getLong(2) > rows(0).getLong(2))
+    }
+  }
 }
