@@ -3,14 +3,33 @@ import org.apache.spark.sql.SparkSession
 object Bench {
 
   /** The outlier trigger for the rerun-keep-minimum protocol, extracted
-    * so BenchSpec can pin it: with an idle reference, >3× the reference
-    * (and >1 s absolute) is presumed contention; WITHOUT a reference —
-    * a query new this round — anything over an absolute 20 s is
-    * suspicious (the slowest legitimate idle line is ~4 s). The no-ref
-    * arm is the guard that round 7's 1914 s dedup_winnow_pairs line
-    * shipped through the absence of. */
-  private[graft] def suspicious(refs: Map[String, Double], name: String, t: Double): Boolean =
-    refs.get(name).map(r => t > math.max(3 * r, 1.0)).getOrElse(t > 20.0)
+    * so BenchSpec can pin it: with an idle reference, >2× the reference
+    * (and >1 s absolute) is presumed contention for a query whose code
+    * was NOT touched this round — a slowdown there cannot be a code
+    * change, so the tighter band applies (round-9 verdict: graph_pagerank
+    * at 2.22× its reference sailed under the old uniform 3× trigger and
+    * had to be hand-re-measured). Queries named in SPARK_GRAFT_TOUCHED
+    * (comma-separated; the round's snapshot protocol sets it from `git
+    * diff --name-only` → module → keys) keep the looser 3× band so a
+    * fresh plan change gets an honest first reading — though keep-minimum
+    * never hides a REAL regression either way: it stays slow on every
+    * sample and is still reported. Unset ⇒ empty ⇒ the 2× band applies
+    * everywhere, the right default for the driver's unattended run.
+    * WITHOUT a reference — a query new this round — anything over an
+    * absolute 20 s is suspicious (the slowest legitimate idle line is
+    * ~4 s); that no-ref arm is the guard that round 7's 1914 s
+    * dedup_winnow_pairs line shipped through the absence of. */
+  private[graft] def suspicious(refs: Map[String, Double], touched: Set[String],
+      name: String, t: Double): Boolean =
+    refs.get(name) match {
+      case Some(r) =>
+        val mult = if (touched.contains(name)) 3.0 else 2.0
+        t > math.max(mult * r, 1.0)
+      case None => t > 20.0
+    }
+
+  private[graft] def touchedFromEnv(env: Option[String]): Set[String] =
+    env.iterator.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty).toSet
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -96,7 +115,8 @@ object Bench {
     // every sample and is still reported. no_ref names are emitted in
     // bench_out.json so an incomplete reference file is visible, not
     // silent.
-    def susp(name: String, t: Double): Boolean = suspicious(refs, name, t)
+    val touched = touchedFromEnv(sys.env.get("SPARK_GRAFT_TOUCHED"))
+    def susp(name: String, t: Double): Boolean = suspicious(refs, touched, name, t)
     val results = firstPass.map { case (name, (t, ok)) =>
       if (!ok || !susp(name, t)) name -> t
       else {
@@ -136,8 +156,18 @@ object Bench {
     val reranJson = reran.map("\"" + _ + "\"").mkString("[", ",", "]")
     val noRef = results.map(_._1).filterNot(refs.contains).sorted
     val noRefJson = noRef.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // provenance: bench_out.json is overwritten by every run, so stamp
+    // WHICH run produced it (round-9 verdict item: its BASELINE.md row
+    // was implicit) — commit + wall time identify the snapshot exactly
+    val gitHead = try {
+      val p = new ProcessBuilder("git", "rev-parse", "--short", "HEAD")
+        .redirectErrorStream(true).start()
+      val head = new String(p.getInputStream.readAllBytes(), "UTF-8").trim
+      if (p.waitFor() == 0 && head.matches("[0-9a-f]{4,40}")) head else "unknown"
+    } catch { case _: Throwable => "unknown" }
+    val recordedUtc = java.time.Instant.now().toString
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"reran":$reranJson,"no_ref":$noRefJson$ratioStats,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","git_head":"$gitHead","recorded_utc":"$recordedUtc","queries":$qs,"failed":$failedJson,"reran":$reranJson,"no_ref":$noRefJson$ratioStats,"sf":"$sfDir"}"""
     // The full 135-query line is ~4.5 KB; the driver captures only the
     // LAST 2000 chars of stdout, so printing it whole has never parsed
     // (BENCH_r04/r05 both recorded parsed:null and the judge fell back to
