@@ -10,7 +10,15 @@ object Verify {
     // driver gate always runs the unfiltered form)
     val (sfDir, outDir, only) = args match {
       case Array(a, b)    => (a, b, None)
-      case Array(a, b, c) => (a, b, Some(c.split(',').toSet))
+      case Array(a, b, c) =>
+        // same comma-separated convention (and trimming) as Bench's
+        // SPARK_GRAFT_TOUCHED; a typo'd name must fail LOUDLY here —
+        // silently dumping nothing would let a dev validate an empty run
+        val names = Bench.touchedFromEnv(Some(c))
+        val unknown = names.diff(SparkEntry.queries.keySet)
+        require(unknown.isEmpty,
+          s"unknown query name(s) in filter: ${unknown.toSeq.sorted.mkString(", ")}")
+        (a, b, Some(names))
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()

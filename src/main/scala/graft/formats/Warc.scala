@@ -11,7 +11,7 @@ import org.apache.spark.sql.types._
   * is one gzip member per record. WARC records are `WARC/1.0\r\n` + headers
   * + CRLF CRLF + block; ARC v1/v2 records are a single space-separated
   * header line (`url ip date mime length` / the 10-field v2 form) + LF +
-  * the raw HTTP response. [[parseRecord]] sniffs the member prefix and
+  * the raw HTTP response. [[parseRecords]] sniffs the member prefix and
   * dispatches — pre-2010 crawls are ARC, and the reference reads both
   * through pywb's ArchiveIterator (SURVEY §1.1).
   *
@@ -79,19 +79,10 @@ object Warc {
     headers.getBytes(UTF_8) ++ block
   }
 
-  /** Parse one decompressed WARC record into raw fields:
-    * (record_type, url, ts14, digest, status (nullable), mime, payload). */
-  private[graft] def parseRow(
-      bytes: Array[Byte], offset: Long, length: Long, filename: String)
-      : (String, String, String, String, java.lang.Integer, String, Array[Byte]) = {
-    val r = parseRecord(bytes, offset, length, filename)
-    (r.getString(0), r.getString(1), r.getString(2), r.getString(3),
-      r.get(4).asInstanceOf[java.lang.Integer], r.getString(5),
-      r.get(9).asInstanceOf[Array[Byte]])
-  }
-
-  /** [[parseRow]] over EVERY record in the member (multi-record members —
-    * see [[parseWarcRecords]]); the V2 source's per-member unit. */
+  /** Parse one decompressed member into raw per-record fields
+    * (record_type, url, ts14, digest, status (nullable), mime, payload)
+    * for EVERY record in it (multi-record members — see
+    * [[parseWarcRecords]]); the V2 source's per-member unit. */
   private[graft] def parseRows(
       bytes: Array[Byte], offset: Long, length: Long, filename: String)
       : Seq[(String, String, String, String, java.lang.Integer, String, Array[Byte])] =
@@ -167,12 +158,16 @@ object Warc {
       val hex = new String(b, i, lineEnd - i, UTF_8).takeWhile(_ != ';').trim
       if (hex.isEmpty || hex.length > 8 ||
         !hex.forall(c => Character.digit(c, 16) >= 0)) return null
-      val n = java.lang.Long.parseLong(hex, 16).toInt
+      // size stays a Long: 8 hex digits reach 0xFFFFFFFF, whose .toInt is
+      // NEGATIVE — a hostile 'FFFFFFF0' chunk line would turn the bounds
+      // guard false and make out.write throw, killing the task instead of
+      // falling back to raw bytes
+      val n = java.lang.Long.parseLong(hex, 16)
       i = lineEnd + 2
       if (n == 0) return out.toByteArray // terminal chunk; trailers ignored
-      if (i + n > b.length) return null
-      out.write(b, i, n)
-      i += n
+      if (i.toLong + n > b.length) return null
+      out.write(b, i, n.toInt)
+      i += n.toInt
       if (!crlfAt(i)) return null
       i += 2
     }
@@ -183,14 +178,8 @@ object Warc {
     bytes.length >= 5 && bytes(0) == 'W' && bytes(1) == 'A' &&
       bytes(2) == 'R' && bytes(3) == 'C' && bytes(4) == '/'
 
-  /** One decompressed member -> first row; sniffs WARC vs legacy ARC. */
-  private[graft] def parseRecord(
-      bytes: Array[Byte], offset: Long, length: Long, filename: String): Row =
-    if (isWarc(bytes)) parseWarcRecord(bytes, offset, length, filename)
-    else parseArcRecord(bytes, offset, length, filename)
-
   /** One decompressed member -> ALL its rows (see [[parseWarcRecords]];
-    * ARC members are always single-record). */
+    * ARC members are always single-record); sniffs WARC vs legacy ARC. */
   private[graft] def parseRecords(
       bytes: Array[Byte], offset: Long, length: Long, filename: String): Seq[Row] =
     if (isWarc(bytes)) parseWarcRecords(bytes, offset, length, filename)
@@ -234,10 +223,6 @@ object Warc {
         offset, length, filename, payload)
     }
   }
-
-  private[graft] def parseWarcRecord(
-      bytes: Array[Byte], offset: Long, length: Long, filename: String): Row =
-    parseWarcRecords(bytes, offset, length, filename).head
 
   private def isWarcAt(bytes: Array[Byte], p: Int): Boolean =
     p + 4 < bytes.length && bytes(p) == 'W' && bytes(p + 1) == 'A' &&

@@ -428,6 +428,9 @@ object Formats extends QueryModule {
     // one job, and the fallback still idx-prunes on the base prefix
     "cdx_fuzzy_match" -> ((s, d) => {
       val dir = sharedCluster(s, d)
+      // the .head is PARAMETER SELECTION (picking a scale-independent
+      // query URL for the fixture), not part of the measured plan — a
+      // real server receives the URL; only fuzzyMatch below is the op
       val hot = Cdx.df(s, d).groupBy("urlkey").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("urlkey")).head.getString(0)
       val base = hot.takeWhile(_ != '?')

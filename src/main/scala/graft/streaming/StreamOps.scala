@@ -364,7 +364,7 @@ object StreamOps {
     * State is O(active keys) × three longs; a flushed key leaves no
     * state and no live timer deadline. StreamingSpec drives this through
     * MemoryStream and pins the no-further-input flush. */
-  final class SessionFlushProcessor(gapMs: Long)
+  final class SessionFlushProcessor(gapMs: Long, flushAtBatchEnd: Boolean = false)
     extends org.apache.spark.sql.streaming.StatefulProcessor[Long, TimedEvent, FlushedSession] {
     import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimeMode, TimerValues, TTLConfig, ValueState}
     import org.apache.spark.sql.Encoders
@@ -405,7 +405,14 @@ object StreamOps {
       }
       if (hasOpen) {
         open.update(OpenSession(st, en, n))
-        getHandle.registerTimer(en + gapMs)
+        // one-shot batch: the event-time deadline en+gap can sit in the
+        // FUTURE of the processing-time sweep (live-tail data whose last
+        // event is within gap of wall-clock now) — register an
+        // already-expired timer instead, so END OF INPUT is the flush
+        // point and the output never depends on when the batch ran
+        if (flushAtBatchEnd)
+          getHandle.registerTimer(timerValues.getCurrentProcessingTimeInMs() - 1)
+        else getHandle.registerTimer(en + gapMs)
       }
       out.iterator
     }
@@ -414,7 +421,13 @@ object StreamOps {
         key: Long, timerValues: TimerValues,
         expiredTimerInfo: ExpiredTimerInfo): Iterator[FlushedSession] =
       Option(open.get()) match {
-        case Some(s) if expiredTimerInfo.getExpiryTimeInMs >= s.endMs + gapMs =>
+        // batch mode: one invocation per key means the open state IS the
+        // final session — flush unconditionally (the staleness check
+        // below compares against an event-time deadline this mode never
+        // registers)
+        case Some(s)
+          if flushAtBatchEnd ||
+            expiredTimerInfo.getExpiryTimeInMs >= s.endMs + gapMs =>
           open.clear()
           Iterator.single(FlushedSession(key, s.startMs, s.endMs, s.n))
         case _ => Iterator.empty // stale timer — the session grew since
@@ -438,20 +451,23 @@ object StreamOps {
     * (`eventTimeWatermarkForEviction` is None in
     * `TransformWithStateExec.generateSparkPlanForBatchQueries`), so
     * EventTime timers throw INTERNAL_ERROR_TWS — ProcessingTime mode
-    * instead, where the end-of-batch timer sweep fires everything `<=
-    * batchTimestampMs` (wall-clock now, strictly after any historical
-    * `end + gap` deadline the processor registers). Identical processor,
-    * identical per-key session arithmetic; the ONLY behavioral delta vs
-    * the streaming leg is WHEN the final open session flushes, and in a
-    * one-shot batch "end of batch" is the correct flush point. Output is
-    * therefore the complete gaps-and-islands session set. */
+    * instead, with `flushAtBatchEnd`: each key registers an
+    * already-expired timer, so the end-of-batch sweep flushes every open
+    * session regardless of how its event times relate to wall-clock now
+    * (registering the event-time deadline `end + gap` would silently
+    * drop any key whose last event is within gap of now — live-tail
+    * data). Identical per-key session arithmetic as the streaming leg;
+    * the ONLY behavioral delta is WHEN the final open session flushes,
+    * and in a one-shot batch end-of-input is the correct flush point.
+    * Output is therefore the complete gaps-and-islands session set. */
   def sessionFlushBatch(in: Dataset[TimedEvent], gapMs: Long): Dataset[FlushedSession] = {
     import in.sparkSession.implicits._
     import org.apache.spark.sql.streaming.TimeMode
     ensureStateStoreCoordinator(in.sparkSession)
     in.groupByKey(_.user_id)
       .transformWithState(
-        new SessionFlushProcessor(gapMs), TimeMode.ProcessingTime(), OutputMode.Append())
+        new SessionFlushProcessor(gapMs, flushAtBatchEnd = true),
+        TimeMode.ProcessingTime(), OutputMode.Append())
   }
 
   /** same running counts through transformWithState */

@@ -511,10 +511,7 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("sessionFlushBatch emits the complete session set in one batch run") {
-    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    withRocksDb {
       def ev(u: Long, sec: Long) = StreamOps.TimedEvent(u, new java.sql.Timestamp(sec * 1000))
       // user 10: two sessions split by a >=10m gap; user 20: one open session
       // — the batch timer sweep must flush BOTH keys' final sessions
@@ -526,11 +523,15 @@ class StreamingSpec extends SparkSpec {
         StreamOps.FlushedSession(10L, 100000L, 200000L, 2L),
         StreamOps.FlushedSession(10L, 900000L, 900000L, 1L),
         StreamOps.FlushedSession(20L, 150000L, 150000L, 1L)), s"got ${rows.toSeq}")
-    } finally {
-      prevProvider match {
-        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-      }
+      // LIVE-TAIL pin: a session whose last event is wall-clock NOW (its
+      // event-time deadline now+gap is in the future of the batch sweep)
+      // still flushes — end of input, not the wall clock, is the batch
+      // flush point
+      val now = System.currentTimeMillis()
+      val live = Seq(StreamOps.TimedEvent(40L, new java.sql.Timestamp(now))).toDS()
+      val liveRows = StreamOps.sessionFlushBatch(live, gapMs = 600000L).collect()
+      assert(liveRows.toSeq == Seq(StreamOps.FlushedSession(40L, now, now, 1L)),
+        s"live-tail session must flush at end of input: ${liveRows.toSeq}")
     }
   }
 
