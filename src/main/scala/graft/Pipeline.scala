@@ -246,6 +246,14 @@ object Pipeline {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .text(inDir)
       .select(Cdx.lineCols(org.apache.spark.sql.functions.col("value")): _*)
+      // lineCols parses permissively (try_element_at — a throwing row
+      // would poison the checkpoint), so malformed lines surface as
+      // null/empty fields: drop them HERE, or they append to the serving
+      // index as null-ts rows the batch pipeline can never produce
+      .filter(org.apache.spark.sql.functions.col("urlkey").isNotNull &&
+        org.apache.spark.sql.functions.col("urlkey") =!= "" &&
+        org.apache.spark.sql.functions.col("ts").isNotNull &&
+        org.apache.spark.sql.functions.col("json").isNotNull)
       .writeStream
       .format("parquet")
       .option("path", outDir)
@@ -326,9 +334,15 @@ object Pipeline {
       .incrementalCandidates(spark, table, b, "doc_id", "text")
       .filter(col("a") =!= col("b"))
       .select(col("b").as("doc_id"))
-    // the drop list is at most batch-sized — broadcast it into the anti-join
+    // the drop list is bounded by the BATCH, but the batch is bounded
+    // only by the caller's trigger settings — no forced broadcast() here:
+    // a backlog-draining first micro-batch can make the drop list
+    // arbitrarily large, and a forced broadcast would override
+    // autoBroadcastJoinThreshold into a driver OOM. AQE converts the
+    // anti-join to a broadcast join at runtime whenever the list is
+    // actually small, which is the common steady-state case.
     val keep = b.join(
-        broadcast(innerDrop.unionByName(indexDrop).distinct()),
+        innerDrop.unionByName(indexDrop).distinct(),
         Seq("doc_id"), "left_anti")
       .localCheckpoint() // write + index append both consume it
     keep.write.mode("overwrite").parquet(f"$corpusBase/batch-$batchId%05d")

@@ -74,9 +74,15 @@ object StreamOps {
         col("orig_ts") >= col("revisit_ts") - expr(s"INTERVAL $horizon"))
   }
 
-  /** exactly-once style dedup on event_id within the watermark horizon —
-    * the streaming form of `stream_dedup`; late duplicates beyond 1h of
-    * event time are dropped by the same watermark that bounds the state */
+  /** exactly-once style dedup on event_id — the streaming form of
+    * `stream_dedup`. State caveat: the watermark does NOT evict this
+    * operator's state (eviction requires the event-time column in the
+    * dedup key set, and keying on (event_id, ts) would stop catching a
+    * duplicate whose replay carries a different ts — the contract the
+    * spec pins), so state grows with DISTINCT event_ids for the query's
+    * lifetime. Right for bounded replays/backfills; a 100 TB/day
+    * always-on stream uses [[dedupWithinWatermark]], whose state tracks
+    * the watermark window. */
   def dedup(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "1 hour")
@@ -161,6 +167,46 @@ object StreamOps {
     * event older than that belongs to an already-emitted past and is
     * dropped, the same contract a watermark enforces — retro-splitting
     * would need unbounded history, which O(1) state forbids. */
+  /** THE session-merge discipline, defined once for both sessionizer legs
+    * (the flatMapGroupsWithState leg in µs and the timer leg in ms — the
+    * two previously carried verbatim copies of this loop, and a boundary
+    * bug lived in both): merge one key's SORTED batch timestamps into the
+    * open `(start, end, n)` session. Forward: a gap `>= gap` closes the
+    * open session and starts a new one. Backward (late data, streaming
+    * only — batch invocations see each key's full sorted history): an
+    * event STRICTLY within `gap` of the open session's start extends it
+    * backward; an event at or beyond `start - gap` belongs to an
+    * already-emitted past and is dropped — `t == start - gap` is a
+    * full-gap distance, which the forward rule would split on, so the
+    * backward rule must too (dropping is the same contract a watermark
+    * enforces; retro-splitting would need unbounded history, which O(1)
+    * state forbids). Returns (closed sessions, open session). */
+  private[streaming] def mergeSessions(
+      ts: Array[Long], open: Option[(Long, Long, Long)], gap: Long)
+      : (Seq[(Long, Long, Long)], Option[(Long, Long, Long)]) = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    // explicit hasOpen flag, NOT a sentinel timestamp — epoch times are
+    // signed, so pre-1970 timestamps are valid values
+    var hasOpen = open.isDefined
+    var (st, en, n) = open.getOrElse((0L, 0L, 0L))
+    var i = 0
+    while (i < ts.length) {
+      val t = ts(i)
+      if (!hasOpen) { hasOpen = true; st = t; en = t; n = 1 }
+      else if (t <= st - gap) {
+        // late event at or beyond the open session's reach — dropped
+      } else if (t - en >= gap) {
+        out += ((st, en, n)); st = t; en = t; n = 1
+      } else {
+        if (t < st) st = t
+        if (t > en) en = t
+        n += 1
+      }
+      i += 1
+    }
+    (out.toSeq, if (hasOpen) Some((st, en, n)) else None)
+  }
+
   def sessionize(events: Dataset[SessEvent], gapUs: Long,
       flushOpen: Boolean): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
@@ -171,35 +217,15 @@ object StreamOps {
         (uid: Long, rows: Iterator[SessEvent], state: GroupState[SessState]) =>
           val ts = rows.map(_.tsUs).toArray
           java.util.Arrays.sort(ts)
+          val (closed, openAfter) = mergeSessions(
+            ts, state.getOption.map(s => (s.startUs, s.endUs, s.n)), gapUs)
           val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
-          // explicit hasOpen flag, NOT a sentinel timestamp — epoch-µs is
-          // signed, so pre-1970 timestamps are valid values
-          var hasOpen = state.getOption.isDefined
-          var (st, en, n) = state.getOption
-            .map(s => (s.startUs, s.endUs, s.n)).getOrElse((0L, 0L, 0L))
-          var i = 0
-          while (i < ts.length) {
-            val t = ts(i)
-            if (!hasOpen) { hasOpen = true; st = t; en = t; n = 1 }
-            else if (t < st - gapUs) {
-              // LATE event from before the open session's reach: its true
-              // session was already emitted (or never seen) — dropping is
-              // the same contract a watermark enforces; retro-splitting
-              // would need unbounded history, which O(1) state forbids
-            } else if (t - en >= gapUs) {
-              out += SessionOut(uid, st, en, n); st = t; en = t; n = 1
-            } else {
-              // in-gap: extends the open session — backward too, for a
-              // late event landing within gap of its start
-              if (t < st) st = t
-              if (t > en) en = t
-              n += 1
-            }
-            i += 1
-          }
-          if (hasOpen) {
-            if (flushOpen) { out += SessionOut(uid, st, en, n); state.remove() }
-            else state.update(SessState(st, en, n))
+          closed.foreach { case (s, e, n) => out += SessionOut(uid, s, e, n) }
+          openAfter match {
+            case Some((s, e, n)) if flushOpen =>
+              out += SessionOut(uid, s, e, n); state.remove()
+            case Some((s, e, n)) => state.update(SessState(s, e, n))
+            case None => state.remove()
           }
           out.iterator
       }
@@ -380,30 +406,13 @@ object StreamOps {
         timerValues: TimerValues): Iterator[FlushedSession] = {
       val ts = rows.map(_.ts.getTime).toArray
       java.util.Arrays.sort(ts)
-      val out = scala.collection.mutable.ArrayBuffer.empty[FlushedSession]
       // one RocksDB point lookup per key per batch — each ValueState.get
       // is a real store read, unlike GroupState.getOption's in-memory view
-      val cur = Option(open.get())
-      var hasOpen = cur.isDefined
-      var (st, en, n) =
-        cur.map(s => (s.startMs, s.endMs, s.n)).getOrElse((0L, 0L, 0L))
-      var i = 0
-      while (i < ts.length) {
-        val t = ts(i)
-        if (!hasOpen) { hasOpen = true; st = t; en = t; n = 1 }
-        else if (t < st - gapMs) {
-          // late event from before the open session's reach — dropped,
-          // the sessionize contract (see its scaladoc)
-        } else if (t - en >= gapMs) {
-          out += FlushedSession(key, st, en, n); st = t; en = t; n = 1
-        } else {
-          if (t < st) st = t
-          if (t > en) en = t
-          n += 1
-        }
-        i += 1
-      }
-      if (hasOpen) {
+      val cur = Option(open.get()).map(s => (s.startMs, s.endMs, s.n))
+      // same merge discipline as the flatMapGroupsWithState leg — ONE
+      // definition (mergeSessions), so the two legs cannot drift
+      val (closed, openAfter) = mergeSessions(ts, cur, gapMs)
+      openAfter.foreach { case (st, en, n) =>
         open.update(OpenSession(st, en, n))
         // one-shot batch: the event-time deadline en+gap can sit in the
         // FUTURE of the processing-time sweep (live-tail data whose last
@@ -414,7 +423,7 @@ object StreamOps {
           getHandle.registerTimer(timerValues.getCurrentProcessingTimeInMs() - 1)
         else getHandle.registerTimer(en + gapMs)
       }
-      out.iterator
+      closed.iterator.map { case (st, en, n) => FlushedSession(key, st, en, n) }
     }
 
     override def handleExpiredTimer(
@@ -608,6 +617,7 @@ object StreamOps {
     * windows emit on close under append, which is the bounded-state mode */
   val outputModes: Map[String, OutputMode] = Map(
     "tumbling" -> OutputMode.Update(),
+    "sliding" -> OutputMode.Update(), // windowed agg, same as tumbling
     "session" -> OutputMode.Append(),
     "dedup" -> OutputMode.Append(),
     "late" -> OutputMode.Update())

@@ -28,11 +28,15 @@ class StreamingSpec extends SparkSpec {
     Files.writeString(Paths.get(s"$in/batch1.cdx"), lines(0 to 9))
     Pipeline.streamingCdxIngest(spark, in, out, ck).awaitTermination()
     assert(spark.read.parquet(out).count() == 10)
-    // second arrival: only the NEW file's rows append (source offset log)
-    Files.writeString(Paths.get(s"$in/batch2.cdx"), lines(10 to 14))
+    // second arrival: only the NEW file's rows append (source offset log);
+    // the trailing malformed lines (blank + truncated) must be DROPPED,
+    // not appended as null-field rows the batch pipeline can never produce
+    Files.writeString(Paths.get(s"$in/batch2.cdx"),
+      lines(10 to 14) + "\ncom,example)/truncated 20260101\n")
     Pipeline.streamingCdxIngest(spark, in, out, ck).awaitTermination()
     val rows = spark.read.parquet(out)
-    assert(rows.count() == 15, "no reprocessing of batch1")
+    assert(rows.count() == 15, "no reprocessing of batch1; malformed lines dropped")
+    assert(rows.filter("urlkey IS NULL OR ts IS NULL OR json IS NULL").count() == 0)
     val parsed = rows.orderBy("urlkey").collect()
     assert(parsed.head.getString(0) == "org,example)/p000")
     assert(parsed.head.getString(1).startsWith("201502150123"))
@@ -152,9 +156,11 @@ class StreamingSpec extends SparkSpec {
     try {
       input.addData((1L, us(120))) // open session at 12:00
       q.processAllAvailable()
-      // 9:00 is older than start - gap -> dropped; 11:45 is within the
-      // gap of the start -> extends the open session BACKWARD
-      input.addData((1L, us(-60)), (1L, us(105)))
+      // 9:00 is older than start - gap -> dropped; 11:30 is EXACTLY
+      // start - gap -> also dropped (a full-gap distance splits forward,
+      // so it must split backward too — the r10 boundary fix); 11:45 is
+      // strictly within the gap of the start -> extends BACKWARD
+      input.addData((1L, us(-60)), (1L, us(90)), (1L, us(105)))
       q.processAllAvailable()
       input.addData((1L, us(240))) // 14:00 closes it
       q.processAllAvailable()
