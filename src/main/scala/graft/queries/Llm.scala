@@ -29,6 +29,20 @@ object Llm extends QueryModule {
     * tokenization tweak can't silently diverge from these oracles */
   private def tokens(c: Column): Column = graft.ops.Dedup.tokens(c)
 
+  /** The bounded consecutive-doc pair relation (doc_id, toks_a, toks_b)
+    * shared by dedup_ngram_jaccard and text_containment — ONE definition
+    * of the pairing stride and the empty-token guard (a 0-token side
+    * would divide 0/0: NaN on Spark, NULL on DuckDB, a guaranteed
+    * verify mismatch), so the two set-similarity queries cannot drift. */
+  private def consecutiveTokenPairs(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.t(s, d, "documents")
+      .select(col("doc_id"), array_distinct(tokens(col("text"))).as("toks"))
+    val a = docs.select(col("doc_id"), col("toks").as("toks_a"))
+    val b = docs.select((col("doc_id") - 1).as("doc_id"), col("toks").as("toks_b"))
+    a.join(b, "doc_id")
+      .filter(size(col("toks_a")) > 0 && size(col("toks_b")) > 0)
+  }
+
   private val tokensDuck =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
 
@@ -136,23 +150,14 @@ object Llm extends QueryModule {
 
     // n-gram (token-set) Jaccard between consecutive docs — the pairwise
     // primitive under near-dup detection, on a bounded pair set
-    "dedup_ngram_jaccard" -> ((s, d) => {
-      val docs = Tables.t(s, d, "documents")
-        .select(col("doc_id"), array_distinct(tokens(col("text"))).as("toks"))
-      val a = docs.select(col("doc_id"), col("toks").as("toks_a"))
-      val b = docs.select((col("doc_id") - 1).as("doc_id"), col("toks").as("toks_b"))
-      a.join(b, "doc_id")
-        // token-less docs leave the pair set (the text_containment
-        // guard): a 0-token union would divide 0/0 — NaN on Spark, NULL
-        // on DuckDB, a guaranteed verify mismatch
-        .filter(size(col("toks_a")) > 0 && size(col("toks_b")) > 0)
+    "dedup_ngram_jaccard" -> ((s, d) =>
+      consecutiveTokenPairs(s, d)
         .select(
           col("doc_id"),
           round(
             size(array_intersect(col("toks_a"), col("toks_b"))).cast("double") /
               size(array_union(col("toks_a"), col("toks_b"))), 6).as("jaccard"))
-        .orderBy("doc_id")
-    }),
+        .orderBy("doc_id")),
 
     // ASYMMETRIC token-set containment C(X|Y) = |X∩Y|/|X| over the same
     // bounded consecutive-doc pairs — the quote / doc-inside-doc detector
@@ -160,20 +165,14 @@ object Llm extends QueryModule {
     // scores high containment but low Jaccard, because the union is
     // dominated by the long side). Both directions reported; same narrow
     // per-row set ops, same single equi-join shape as dedup_ngram_jaccard.
-    "text_containment" -> ((s, d) => {
-      val docs = Tables.t(s, d, "documents")
-        .select(col("doc_id"), array_distinct(tokens(col("text"))).as("toks"))
-      val a = docs.select(col("doc_id"), col("toks").as("toks_a"))
-      val b = docs.select((col("doc_id") - 1).as("doc_id"), col("toks").as("toks_b"))
-      a.join(b, "doc_id")
-        .filter(size(col("toks_a")) > 0 && size(col("toks_b")) > 0)
+    "text_containment" -> ((s, d) =>
+      consecutiveTokenPairs(s, d)
         .select(col("doc_id"),
           round(size(array_intersect(col("toks_a"), col("toks_b"))).cast("double") /
             size(col("toks_a")), 6).as("cont_ab"),
           round(size(array_intersect(col("toks_b"), col("toks_a"))).cast("double") /
             size(col("toks_b")), 6).as("cont_ba"))
-        .orderBy("doc_id")
-    }),
+        .orderBy("doc_id")),
 
     // shingle → minhash → banded LSH candidate pairs. Oracle-exempt
     // (xxhash64 is engine-specific); LlmSpec asserts the planted
@@ -506,8 +505,7 @@ object Llm extends QueryModule {
       // for positive terms), not a bare hash-agg double sum whose
       // accumulation order could diverge from the oracle's at a rounding
       // boundary (the agg_drift_report discipline)
-      val zw = org.apache.spark.sql.expressions.Window.orderBy("lang")
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val zw = Window.orderBy("lang").rowsBetween(Window.unboundedPreceding, 0)
       val z = scaled.withColumn("zr", sum("pa").over(zw)).agg(max("zr").as("z"))
       scaled.crossJoin(broadcast(z))
         .select(col("lang"), col("n_docs"),
@@ -750,7 +748,7 @@ object Llm extends QueryModule {
     // window); at 100 TB per-group rank beats ORDER BY ... LIMIT k
     // per group (k·|groups| rows survive the shuffle, not the corpus).
     "sample_per_group" -> ((s, d) => {
-      val w = org.apache.spark.sql.expressions.Window
+      val w = Window
         .partitionBy("lang")
         .orderBy(col("skey"), col("doc_id"))
       Tables.t(s, d, "documents")

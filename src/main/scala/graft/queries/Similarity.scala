@@ -90,8 +90,13 @@ object Similarity extends QueryModule {
         array((0 until dim).map(i => min(col("ed")(i))): _*).as("mn"),
         array((0 until dim).map(i => max(col("ed")(i))): _*).as("mx"))
       e.crossJoin(broadcast(stats))
+        // the mx=mn arm is load-bearing under Spark 4 ANSI: a dimension
+        // constant across the corpus (zero-padding) makes the scale 0/0 =
+        // NaN, and CAST(NaN AS INT) THROWS — a constant dimension carries
+        // no information, so its code is pinned to 0 (oracle matches)
         .withColumn("q", expr(
-          "transform(ed, (v, i) -> CAST(round((v - mn[i]) * 255.0D / (mx[i] - mn[i])) - 128 AS INT))"))
+          "transform(ed, (v, i) -> CAST(CASE WHEN mx[i] = mn[i] THEN 0 " +
+            "ELSE round((v - mn[i]) * 255.0D / (mx[i] - mn[i])) - 128 END AS INT))"))
         .select(col("vec_id"),
           concat_ws(",", expr("transform(q, x -> CAST(x AS STRING))")).as("qvec"))
         .orderBy("vec_id")
@@ -182,6 +187,12 @@ object Similarity extends QueryModule {
       // pathological leaves fall back to linear exact-vector collapse
       val dropped = graft.ops.Dedup.semDedupDropped(
         assigned, cents.map(_.toSeq).toSeq, model.dim)
+      // DELIBERATE null-cid policy (differs from ivfpqFit/ivfpqEncode's
+      // filter): a damaged vector (wrong length / null slot) encodes to
+      // cid NULL, can never pair in the null-unsafe cid equi-join, and
+      // therefore always SURVIVES — a dedup operator must pass through
+      // data it cannot embed rather than silently delete it; the null
+      // cid in the output row is the caller's quarantine signal
       assigned.select("vec_id", "cid")
         .join(dropped, Seq("vec_id"), "left_anti")
         .orderBy("vec_id")
@@ -505,13 +516,30 @@ object Similarity extends QueryModule {
     * [[ivfpqCodes]] (fit-side operations) refuse it. */
   def ivfpqLoadModel(spark: SparkSession, dir: String): IvfPqModel = {
     val rows = spark.read.parquet(dir).collect() // bounded: a model artifact
-    def part(kind: String): Array[Array[Double]] = rows
-      .filter(_.getString(0) == kind).sortBy(_.getInt(1))
-      .map(_.getSeq[Double](2).toArray)
+    def part(kind: String): Array[Array[Double]] = {
+      val rs = rows.filter(_.getString(0) == kind).sortBy(_.getInt(1))
+      // duplicate/holey idx values mean two overlapping writes landed in
+      // the dir — the row-count requires below can't see duplicates the
+      // shape row doesn't constrain (coarse nCells isn't in shape)
+      require(rs.map(_.getInt(1)).toSeq == rs.indices.toSeq,
+        s"model $dir: '$kind' rows are not a clean 0..${rs.length - 1} " +
+          "index sequence — overlapping writes?")
+      rs.map(_.getSeq[Double](2).toArray)
+    }
     val shape = part("shape").head
     require(shape.length == 3, s"malformed model shape row in $dir")
-    IvfPqModel(part("coarse"), part("book"),
-      shape(0).toInt, shape(1).toInt, shape(2).toInt, assigned = null)
+    val (m, subDim, nCent) = (shape(0).toInt, shape(1).toInt, shape(2).toInt)
+    val (coarse, book) = (part("coarse"), part("book"))
+    // row/shape validation against the shape row: a corrupt or
+    // doubly-written model dir (two overlapping mode-overwrite attempts)
+    // would otherwise LOAD silently with duplicate centroid rows, and the
+    // probe's cid filter would select wrong-or-no cells downstream —
+    // fail here, loudly, like the shape require above
+    require(coarse.nonEmpty && coarse.forall(_.length == m * subDim),
+      s"model $dir: coarse centroids disagree with shape dim=${m * subDim}")
+    require(book.length == m * nCent && book.forall(_.length == subDim),
+      s"model $dir: ${book.length} codebook rows, expected m*nCent = ${m * nCent} of subDim=$subDim")
+    IvfPqModel(coarse, book, m, subDim, nCent, assigned = null)
   }
 
   /** Train the IVF-PQ model: coarse quantizer (seeded Lloyd's), then one
@@ -985,7 +1013,8 @@ object Similarity extends QueryModule {
         "FROM embeddings), " +
         "ex AS (SELECT vec_id, u.i AS i, u.v::DOUBLE AS v FROM ex0), " +
         "st AS (SELECT i, min(v) AS mn, max(v) AS mx FROM ex GROUP BY i) " +
-        "SELECT vec_id, string_agg(CAST(CAST(round((v - mn) * 255.0 / (mx - mn)) - 128 AS INT) AS VARCHAR), " +
+        "SELECT vec_id, string_agg(CAST(CAST(CASE WHEN mx = mn THEN 0 " +
+        "ELSE round((v - mn) * 255.0 / (mx - mn)) - 128 END AS INT) AS VARCHAR), " +
         "',' ORDER BY i) AS qvec " +
         "FROM ex JOIN st USING (i) GROUP BY vec_id ORDER BY vec_id"),
     "sim_ann_ivf_multiprobe" ->
