@@ -1,6 +1,5 @@
 package graft.queries
 
-import java.nio.file.{Files, Paths}
 
 import graft.{Cdx, QueryModule}
 import graft.formats.{CdxSink, Warc, ZipNum}
@@ -81,45 +80,60 @@ object Formats extends QueryModule {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def sharedCluster(s: SparkSession, d: String): String = {
     val key = sessionKey(s, d)
-    clusterCache.computeIfAbsent(key, _ => {
-      val dir = tmp(d, s"zipnum_shared_${keyTag(key)}")
+    val dir = clusterCache.computeIfAbsent(key, _ => {
+      val newDir = tmp(d, s"zipnum_shared_${keyTag(key)}")
       // reap stale siblings from DEAD sessions before building: per-key
       // dirs fix the aliasing hazard but would otherwise accumulate one
       // full cluster per session forever. Liveness can't be checked
       // across processes, so a dir is only reaped when (a) this JVM's
       // cache doesn't reference it, (b) no in-flight build in this JVM
-      // owns it (computeIfAbsent publishes only on return), and (c) it is
-      // old enough (2 h) that no concurrently-running JVM plausibly still
-      // serves it — fresh dirs from a parallel Bench/Verify/test process
-      // are left alone.
-      building.add(dir)
+      // owns it (computeIfAbsent publishes only on return), and (c) its
+      // mtime is old — and mtime IS a liveness signal here, because every
+      // cache hit below touches the dir: a long-lived serving JVM keeps
+      // its cluster fresh, so the 8 h cutoff only fires on dirs no
+      // process has served for a full working session (the repo's own
+      // rounds run ~6 h; the old 2 h cutoff could reap a cluster a
+      // concurrent round was still quietly holding between queries).
+      building.add(newDir)
       try {
         val live = new java.util.HashSet[String](clusterCache.values())
         live.addAll(building)
-        val cutoff = System.currentTimeMillis() - 2L * 3600 * 1000
-        val parent = new java.io.File(dir).getParentFile
+        val cutoff = System.currentTimeMillis() - 8L * 3600 * 1000
+        val parent = new java.io.File(newDir).getParentFile
         Option(parent.listFiles()).getOrElse(Array.empty).foreach { f =>
           if (f.getName.startsWith("zipnum_shared") && !live.contains(f.getPath)
               && f.lastModified() < cutoff)
             deleteRecursively(f.toPath)
         }
-        ZipNum.write(cdxLines(s, d), dir, shards = 8, linesPerBlock = 100)
-        dir
-      } finally building.remove(dir)
+        ZipNum.write(cdxLines(s, d), newDir, shards = 8, linesPerBlock = 100)
+        newDir
+      } finally building.remove(newDir)
     })
+    // heartbeat (see the reap rationale above): serving from cache keeps
+    // the dir's mtime fresh so a parallel process can't reap it mid-use
+    new java.io.File(dir).setLastModified(System.currentTimeMillis())
+    dir
   }
   private val building =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
-    if (java.nio.file.Files.exists(p)) {
-      val s = java.nio.file.Files.walk(p)
-      try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .iterator().asScala
-        .foreach(q => try java.nio.file.Files.deleteIfExists(q) catch {
-          case _: java.io.IOException => () // best-effort, like the old deleteQuietly
-        })
-      finally s.close()
+    // best-effort GC, wholesale: walk() itself (open, or the sorted
+    // stream's traversal) throws when a sibling reaper races us or the
+    // dir vanishes between exists() and the walk — a failed cleanup of an
+    // UNRELATED stale dir must never abort the query that triggered it
+    try {
+      if (java.nio.file.Files.exists(p)) {
+        val s = java.nio.file.Files.walk(p)
+        try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .iterator().asScala
+          .foreach(q => try java.nio.file.Files.deleteIfExists(q) catch {
+            case _: java.io.IOException => () // best-effort, like the old deleteQuietly
+          })
+        finally s.close()
+      }
+    } catch {
+      case _: java.io.IOException | _: java.io.UncheckedIOException => ()
     }
   }
 
@@ -267,10 +281,19 @@ object Formats extends QueryModule {
           lit(1.0).as("value"), col("p_day"))
       graft.ops.Merge.upsertPartitioned(
         s, dir, updates.unionByName(inserts), "event_id", "p_day")
+      // sum_v folds in FIXED event_id order (running-sum window, then the
+      // value at the last id) — the repo's float-sum discipline: a bare
+      // hash-agg sum of doubles accumulates in shuffle-fetch order, and a
+      // per-day total landing near a .005 rounding midpoint would flip
+      // the round(.,2) between engines/runs under the exact-hash gate
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("p_day").orderBy("event_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
       s.read.parquet(dir)
+        .withColumn("rs", sum("value").over(w))
         .groupBy("p_day")
         .agg(count(lit(1)).as("cnt"),
-          round(sum("value"), 2).as("sum_v"),
+          round(max_by(col("rs"), col("event_id")), 2).as("sum_v"),
           sum(when(col("event_type") === "insert", 1L).otherwise(0L)).as("n_ins"))
         .orderBy("p_day")
     }),
@@ -630,10 +653,12 @@ object Formats extends QueryModule {
         "SELECT event_id + 10000000, 'insert', 1.0, p_day " +
         "FROM base WHERE event_id % 97 = 0 AND p_day BETWEEN 20240105 AND 20240107), " +
         "merged AS (SELECT * FROM base WHERE event_id NOT IN " +
-        "(SELECT event_id FROM batch) UNION ALL SELECT * FROM batch) " +
-        "SELECT p_day, count(*) AS cnt, round(sum(value), 2) AS sum_v, " +
+        "(SELECT event_id FROM batch) UNION ALL SELECT * FROM batch), " +
+        "folded AS (SELECT *, sum(value) OVER (PARTITION BY p_day " +
+        "ORDER BY event_id ROWS UNBOUNDED PRECEDING) AS rs FROM merged) " +
+        "SELECT p_day, count(*) AS cnt, round(max_by(rs, event_id), 2) AS sum_v, " +
         "CAST(sum(CASE WHEN event_type = 'insert' THEN 1 ELSE 0 END) AS BIGINT) AS n_ins " +
-        "FROM merged GROUP BY p_day ORDER BY p_day"),
+        "FROM folded GROUP BY p_day ORDER BY p_day"),
     "sink_text_gz" -> o(s"SELECT $lineExprDuck AS value FROM cdx ORDER BY value"),
     "scan_manifest" -> o("SELECT DISTINCT filename AS warc_path FROM cdx ORDER BY warc_path"),
     "sink_parquet" -> o("SELECT id, urlkey, ts, status, length FROM cdx ORDER BY id"),
