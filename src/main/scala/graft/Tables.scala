@@ -39,6 +39,20 @@ object Tables {
       case _ => df
     }
   }
+
+  /** Epoch-µs of the events `ts` column — ONE definition of the idiom
+    * (the explicit CAST makes the extraction exact whether ts decoded as
+    * TIMESTAMP or TIMESTAMP_NTZ; the session TZ is pinned UTC, so the
+    * cast is the identity on the instant). Every query deriving an epoch
+    * from events.ts must go through this or [[eventsTsSec]] so a future
+    * normalization change lands in one place, not at seven call sites. */
+  def eventsTsUs: org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.expr("unix_micros(CAST(ts AS TIMESTAMP))")
+
+  /** Epoch-seconds sibling of [[eventsTsUs]] (integer floor). */
+  def eventsTsSec: org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.expr(
+      "unix_micros(CAST(ts AS TIMESTAMP)) DIV 1000000")
 }
 
 /** A query module contributes operator implementations (SURVEY.md §2 keys)

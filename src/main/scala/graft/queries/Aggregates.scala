@@ -285,10 +285,14 @@ object Aggregates extends QueryModule {
           "p90")
         .orderBy("record_type")),
 
-    // first/last capture per host (limit=1 / reverse cdx-server params)
+    // first/last capture per host (limit=1 / reverse cdx-server params).
+    // lpad width 20 covers any BIGINT id — lpad TRUNCATES when the value
+    // is wider (both engines), and truncated ids collapse distinct
+    // captures to equal order keys, making the min_by/max_by pick
+    // engine-arbitrary at 11+-digit ids
     "agg_first_last" -> ((s, d) =>
       Cdx.df(s, d)
-        .withColumn("ord", concat(col("ts"), lpad(col("id").cast("string"), 10, "0")))
+        .withColumn("ord", concat(col("ts"), lpad(col("id").cast("string"), 20, "0")))
         .groupBy("hostword")
         .agg(
           min_by(col("url"), col("ord")).as("first_url"),
@@ -555,8 +559,8 @@ object Aggregates extends QueryModule {
         "round(quantile_cont(length, 0.9), 6) AS p90 " +
         "FROM cdx GROUP BY record_type ORDER BY record_type"),
     "agg_first_last" -> o(
-      "SELECT hostword, arg_min(url, ts || lpad(id::VARCHAR, 10, '0')) AS first_url, " +
-        "arg_max(url, ts || lpad(id::VARCHAR, 10, '0')) AS last_url, " +
+      "SELECT hostword, arg_min(url, ts || lpad(id::VARCHAR, 20, '0')) AS first_url, " +
+        "arg_max(url, ts || lpad(id::VARCHAR, 20, '0')) AS last_url, " +
         "min(ts) AS first_ts, max(ts) AS last_ts " +
         "FROM cdx GROUP BY hostword ORDER BY hostword"),
     "agg_pivot" ->

@@ -229,7 +229,7 @@ object Formats extends QueryModule {
       val dir = tmp(d, "zorder")
       val ev = graft.Tables.events(s, d).select(
         col("event_id"), col("user_id"),
-        expr("unix_micros(CAST(ts AS TIMESTAMP))").as("ts_us"),
+        graft.Tables.eventsTsUs.as("ts_us"),
         col("event_type"), round(col("value"), 6).as("value"))
       val b = ev.agg(
         min("user_id"), max("user_id"), min("ts_us"), max("ts_us")).head()
@@ -266,7 +266,7 @@ object Formats extends QueryModule {
       val dir = tmp(d, "merge_upsert")
       val ev = graft.Tables.events(s, d).select(
         col("event_id"), col("user_id"),
-        expr("unix_micros(CAST(ts AS TIMESTAMP))").as("ts_us"),
+        graft.Tables.eventsTsUs.as("ts_us"),
         col("event_type"), col("value"),
         date_format(col("ts"), "yyyyMMdd").cast("int").as("p_day"))
       // day-clustered base write: one file per day, not tasks × days

@@ -182,11 +182,17 @@ object Joins extends QueryModule {
     // PlanSpec asserts the join subtree is exchange-free.
     "join_bucketed_colocated" -> ((s, d) => {
       val nBuckets = 8
+      // sf-scoped table names, the tmp() discipline for the catalog: an
+      // sf0.001 smoke run overlapping an sf0.01 Verify would otherwise
+      // DROP+rewrite the same warehouse location mid-scan of the other
+      val sfTag = java.nio.file.Paths.get(d).getFileName.toString
+        .replaceAll("[^A-Za-z0-9_]", "_")
+      val (liT, ordT) = (s"graft_li_bucketed_$sfTag", s"graft_ord_bucketed_$sfTag")
       // the in-memory catalog is per-session but the warehouse dir is not:
       // drop any registered table AND its leftover physical location
       val wh = new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir"))
       val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
-      Seq("graft_li_bucketed", "graft_ord_bucketed").foreach { t =>
+      Seq(liT, ordT).foreach { t =>
         s.sql(s"DROP TABLE IF EXISTS $t")
         val loc = new org.apache.hadoop.fs.Path(wh, t)
         if (fs.exists(loc)) fs.delete(loc, true)
@@ -195,15 +201,15 @@ object Joins extends QueryModule {
       val ord = Tables.t(s, d, "orders").select("o_orderkey", "o_orderpriority")
       li.write.mode("overwrite")
         .bucketBy(nBuckets, "l_orderkey").sortBy("l_orderkey")
-        .saveAsTable("graft_li_bucketed")
+        .saveAsTable(liT)
       ord.write.mode("overwrite")
         .bucketBy(nBuckets, "o_orderkey").sortBy("o_orderkey")
-        .saveAsTable("graft_ord_bucketed")
+        .saveAsTable(ordT)
       // merge hint: at 100 TB neither side broadcasts; at test scale the
       // hint keeps the plan in the sort-merge shape the bucketing serves
-      s.table("graft_li_bucketed")
+      s.table(liT)
         .hint("merge")
-        .join(s.table("graft_ord_bucketed"), col("l_orderkey") === col("o_orderkey"))
+        .join(s.table(ordT), col("l_orderkey") === col("o_orderkey"))
         .groupBy("o_orderpriority")
         .agg(round(sum("l_quantity"), 6).as("sum_qty"), count(lit(1)).as("n_lines"))
         .orderBy("o_orderpriority")
@@ -227,7 +233,7 @@ object Joins extends QueryModule {
       val t0 = 1704067200L // 2024-01-01 00:00 UTC, epoch s
       val ev = Tables.events(s, d).select(
         col("event_id"),
-        expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 1000000").as("ts_s"),
+        Tables.eventsTsSec.as("ts_s"),
         col("value"))
       val iv = s.range(0, 50).select(
         col("id").as("window_id"),

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{QueryModule, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** SURVEY.md §2.8 time windows over the `events` table, batch-mode.
@@ -66,13 +67,13 @@ object TimeWindows extends QueryModule {
     // one WindowExec partitioned by user_id, and the epoch-seconds sort
     // key keeps the frame arithmetic integer-exact in both engines.
     "win_range_frame" -> ((s, d) => {
-      val w = org.apache.spark.sql.expressions.Window
+      val w = Window
         .partitionBy("user_id").orderBy(col("ts_sec"))
         .rangeBetween(-3600L, 0L)
       Tables.events(s, d)
         // ts may read as TIMESTAMP_NTZ; the session TZ is pinned UTC so
         // the cast is exact (same pattern as Cdx's epoch_us)
-        .withColumn("ts_sec", expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 1000000"))
+        .withColumn("ts_sec", Tables.eventsTsSec)
         .withColumn("roll_sum", round(sum("value").over(w), 6))
         .select("event_id", "user_id", "ts_sec", "roll_sum")
         .orderBy("event_id")
@@ -93,11 +94,10 @@ object TimeWindows extends QueryModule {
     // stay NULL. The oracle is an independent formulation: two DuckDB
     // ASOF joins (<= / >=) with the identical arithmetic.
     "ts_resample_linear" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val g0 = 1704844800L // 2024-01-10 00:00 UTC; 72 hourly points
       val obs = Tables.events(s, d)
         .filter(col("user_id") < 15) // present at every sf
-        .withColumn("ts_s", expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 1000000"))
+        .withColumn("ts_s", Tables.eventsTsSec)
         .groupBy("user_id", "ts_s").agg(avg("value").as("v"))
       val grid = obs.select("user_id").distinct()
         .crossJoin(broadcast(
@@ -140,7 +140,7 @@ object TimeWindows extends QueryModule {
       import s.implicits._
       val ev = Tables.events(s, d)
         .select(col("user_id"),
-          expr("unix_micros(CAST(ts AS TIMESTAMP))").as("tsUs"))
+          Tables.eventsTsUs.as("tsUs"))
         .as[graft.streaming.StreamOps.SessEvent]
       graft.streaming.StreamOps
         .sessionize(ev, gapUs = 30L * 60 * 1000000, flushOpen = true)
@@ -225,7 +225,7 @@ object TimeWindows extends QueryModule {
       val gapUs = 30L * 60 * 1000000
       val e = Tables.events(s, d)
         .select(col("event_id"), col("user_id"), col("event_type"),
-          expr("unix_micros(CAST(ts AS TIMESTAMP))").as("ts_us"))
+          Tables.eventsTsUs.as("ts_us"))
       def slice(t: String, uAs: String, tsAs: String) =
         e.filter(col("event_type") === t)
           .select(col("user_id").as(uAs), col("ts_us").as(tsAs))
@@ -265,9 +265,9 @@ object TimeWindows extends QueryModule {
     // the double column stays oracle-exact. The (ts, event_id) order is
     // total — ties on ts can't flip the fill source.
     "win_fill_forward" -> ((s, d) => {
-      val w = org.apache.spark.sql.expressions.Window
+      val w = Window
         .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        .rowsBetween(Window.unboundedPreceding, 0)
       Tables.events(s, d)
         .withColumn("v",
           when(col("event_type") === "click", lit(null).cast("double"))
