@@ -211,6 +211,46 @@ object Formats extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // Avro container round trip through the engine's OWN format pair
+    // (formats/Avro.scala sink + the gavro V2 source — the distribution
+    // ships no spark-avro connector, so the engine implements the public
+    // container spec directly on avro-1.12.1). maxSplitBytes=4KB forces
+    // MULTI-SPLIT reads even at fixture scale, so the oracle checks the
+    // sync-marker split contract (no dup/loss across range boundaries),
+    // not just the happy single-split decode.
+    "scan_avro" -> ((s, d) => {
+      val dir = tmp(d, "docs_avro")
+      graft.formats.Avro.write(
+        graft.Tables.t(s, d, "documents")
+          .select("doc_id", "lang", "source", "n_chars")
+          .coalesce(2), dir)
+      s.read.format("gavro")
+        .schema("doc_id LONG, lang STRING, source STRING, n_chars LONG")
+        .option("maxSplitBytes", 4096).load(dir)
+        .orderBy("doc_id")
+    }),
+
+    // Avro sink with the timestamp-micros logical type: events written
+    // then read back, ts re-emitted as epoch-µs so the oracle pins the
+    // round trip EXACT at micros resolution (the engine's native
+    // timestamp domain). Column pruning pushes into the gavro scan
+    // (SupportsPushDownRequiredColumns — decode-and-drop on the
+    // row-major format).
+    "sink_avro" -> ((s, d) => {
+      val dir = tmp(d, "events_avro")
+      graft.formats.Avro.write(
+        graft.Tables.events(s, d)
+          .select("event_id", "ts", "user_id", "event_type", "value")
+          .coalesce(2), dir)
+      s.read.format("gavro")
+        .schema("event_id LONG, ts TIMESTAMP, user_id LONG, " +
+          "event_type STRING, value DOUBLE")
+        .load(dir)
+        .selectExpr("event_id", "unix_micros(ts) AS ts_us", "user_id",
+          "event_type", "round(value, 6) AS value")
+        .orderBy("event_id")
+    }),
+
     // Z-ORDER storage layout (ops/Layout.scala): events rewritten
     // clustered on the Morton curve over (user_id, ts), then a 2-d box
     // query answered from the clustered table. One range sort can only
@@ -633,6 +673,11 @@ object Formats extends QueryModule {
       "SELECT doc_id, lang, source, n_chars FROM documents ORDER BY doc_id",
     "scan_orc" ->
       "SELECT doc_id, lang, source, n_chars FROM documents WHERE n_chars > 100 ORDER BY doc_id",
+    "scan_avro" ->
+      "SELECT doc_id, lang, source, n_chars FROM documents ORDER BY doc_id",
+    "sink_avro" ->
+      ("SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, " +
+        "round(value, 6) AS value FROM events ORDER BY event_id"),
     // the z-order layout must be invisible: the oracle is the plain box
     // filter on the source table
     "layout_zorder" ->
