@@ -303,6 +303,58 @@ object Llm extends QueryModule {
           graft.ops.Text.bpeEstimate(col("text")).as("bpe_est"))
         .orderBy("doc_id")),
 
+    // Substring-level dedup (the suffix-array exact-substring pass of
+    // Lee et al. 2022, at token 5-gram granularity): mark every maximal
+    // token span covered by a 5-gram that occurs ≥2 times ANYWHERE in
+    // the corpus (cross-doc or within-doc), and report per-doc span
+    // count / covered-token mass — the signal that drives span excision,
+    // which doc-level dedup (exact/minhash) structurally cannot see.
+    // Shape: the gram relation is token-sized (the build_inverted_index
+    // scale class); duplicated grams fall out of one partial+final hash
+    // agg; the hit set comes back via an equi join; span merging is a
+    // gaps-and-islands window partitioned per doc (bounded by doc
+    // length, never global). At 100 TB the gram string would ride as
+    // xxhash64(gram) to narrow the shuffle — kept as the string here so
+    // the DuckDB oracle checks identical keys.
+    "text_dedup_substring" -> ((s, d) => {
+      val toks = docsWithDups(s, d)
+        .select(col("doc_id"), graft.ops.Dedup.tokens(col("text")).as("w"))
+      // pos = 0-based start token of the gram (array order == token order)
+      val grams = toks.filter(size(col("w")) >= 5)
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(1, size(w) - 4), " +
+            "i -> concat_ws(' ', w[i-1], w[i], w[i+1], w[i+2], w[i+3]))"))
+          .as(Seq("pos", "gram")))
+      val dup = grams.groupBy("gram").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= 2).select("gram")
+      val hits = grams.join(dup, "gram")
+        .select(col("doc_id"), col("pos"), (col("pos") + 4).as("e"))
+      val byPos = Window.partitionBy("doc_id").orderBy("pos")
+      // island break when this gram starts past (running max end + 1):
+      // overlapping OR token-adjacent coverage fuses into one span
+      val prevMax = max("e").over(
+        byPos.rowsBetween(Window.unboundedPreceding, -1))
+      val spans = hits
+        .withColumn("brk",
+          when(coalesce(prevMax, lit(-2L)) < col("pos") - 1, 1L).otherwise(0L))
+        .withColumn("iid",
+          sum("brk").over(byPos.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("doc_id", "iid")
+        .agg(min("pos").as("s"), max("e").as("e"))
+      val perDoc = spans.groupBy("doc_id").agg(
+        count(lit(1)).as("n_dup_spans"),
+        sum(col("e") - col("s") + 1).as("dup_tokens"))
+      toks.select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+          coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+          when(col("n_tokens") === 0, 0.0).otherwise(
+            round(coalesce(col("dup_tokens"), lit(0L)).cast("double") /
+              col("n_tokens"), 6)).as("dup_frac"))
+        .orderBy("doc_id")
+    }),
+
     // fingerprint: hash of whitespace-normalized content (prefix kept
     // short — collision-safe enough for grouping, cheap to store)
     "doc_fingerprint" -> ((s, d) =>
@@ -910,6 +962,30 @@ object Llm extends QueryModule {
     "doc_fingerprint" ->
       ("SELECT doc_id, substr(sha256(regexp_replace(lower(text), '\\s+', ' ', 'g')), 1, 16) AS fingerprint " +
         "FROM documents ORDER BY doc_id"),
+    // same 5-gram/coverage/islands pipeline in ANSI window SQL; the
+    // coalesce(-2) seed makes the first hit per doc always open a span
+    "text_dedup_substring" ->
+      (s"WITH src AS (SELECT * FROM $docsWithDupsDuck), " +
+        s"toks AS (SELECT doc_id, $tokensDuck AS t FROM src), " +
+        "grams AS (SELECT doc_id, pos, t[pos+1] || ' ' || t[pos+2] || ' ' || " +
+        "t[pos+3] || ' ' || t[pos+4] || ' ' || t[pos+5] AS gram " +
+        "FROM (SELECT doc_id, t, unnest(range(len(t) - 4)) AS pos FROM toks WHERE len(t) >= 5)), " +
+        "dup AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2), " +
+        "hits AS (SELECT g.doc_id, g.pos, g.pos + 4 AS e FROM grams g JOIN dup USING (gram)), " +
+        "isl AS (SELECT doc_id, pos, e, CASE WHEN coalesce(max(e) OVER " +
+        "(PARTITION BY doc_id ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) " +
+        "< pos - 1 THEN 1 ELSE 0 END AS brk FROM hits), " +
+        "isl2 AS (SELECT doc_id, pos, e, sum(brk) OVER " +
+        "(PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS iid FROM isl), " +
+        "spans AS (SELECT doc_id, iid, min(pos) AS s, max(e) AS e FROM isl2 GROUP BY doc_id, iid), " +
+        "perdoc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans, " +
+        "CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens FROM spans GROUP BY doc_id) " +
+        "SELECT tk.doc_id, CAST(len(t) AS BIGINT) AS n_tokens, " +
+        "coalesce(n_dup_spans, 0) AS n_dup_spans, " +
+        "coalesce(dup_tokens, 0) AS dup_tokens, " +
+        "CASE WHEN len(t) = 0 THEN 0.0 ELSE " +
+        "round(coalesce(dup_tokens, 0)::DOUBLE / len(t), 6) END AS dup_frac " +
+        "FROM toks tk LEFT JOIN perdoc USING (doc_id) ORDER BY doc_id"),
     // same tokenizer as text_tokenize; ln() == Spark log(); ::DOUBLE
     // guards DuckDB integer division
     "text_tfidf" ->

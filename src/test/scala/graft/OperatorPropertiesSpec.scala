@@ -775,4 +775,34 @@ class OperatorPropertiesSpec extends SparkSpec {
       ("k_tie", Some(301), Some(301), "unchanged"),
       ("k_unchanged", Some(301), Some(301), "unchanged")), s"got ${got.toSeq}")
   }
+
+  test("text_dedup_substring: disjoint duplicated 5-grams form SEPARATE maximal spans") {
+    import spark.implicits._
+    // crafted corpus on a scratch documents.parquet: doc 0 embeds two
+    // duplicated 5-gram runs (head, tail) separated by unique filler —
+    // they must surface as TWO spans; docs 1 & 2 each carry one of the
+    // runs plus unique padding (one span each); doc 3 is all-unique
+    // (zero spans). Tokens are distinct words so no accidental grams.
+    val dir = "/tmp/graft_test/subdup_fixture"
+    val run1 = (1 to 5).map(i => s"alpha$i").mkString(" ")
+    val run2 = (1 to 5).map(i => s"omega$i").mkString(" ")
+    def uniq(tag: String, n: Int) = (1 to n).map(i => s"$tag$i").mkString(" ")
+    // ids deliberately NOT %5==0: the docsWithDups planted-copy helper
+    // must stay out of the way (a full copy would fuse doc 1's two spans
+    // into one full-coverage span)
+    Seq(
+      (1L, s"$run1 ${uniq("mid", 6)} $run2", "en", "src0", 1L),
+      (2L, s"$run1 ${uniq("pad", 7)}", "en", "src1", 1L),
+      (3L, s"${uniq("qad", 7)} $run2", "en", "src2", 1L),
+      (4L, uniq("zed", 12), "en", "src3", 1L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("text_dedup_substring")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq(
+      (1L, 2L, 10L),   // two disjoint 5-token spans, filler uncovered
+      (2L, 1L, 5L),    // shared head run only
+      (3L, 1L, 5L),    // shared tail run only
+      (4L, 0L, 0L)), s"got $got")
+  }
 }
