@@ -355,6 +355,37 @@ object Llm extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // N-gram novelty — the marginal-contribution metric of ingestion-order
+    // curation: what fraction of THIS doc's distinct 3-grams does the
+    // corpus see here FIRST (first = min doc_id, the deterministic stand-in
+    // for arrival order)? Planted full copies score 0; fresh docs score
+    // ~1; boilerplate-heavy docs fall in between — the rank signal for
+    // "does adding this doc buy any new text". Shape: one distinct on
+    // (doc, gram), one gram-level min agg (partial+final), an equi join
+    // back, a per-doc agg — the text_tfidf scale class, nothing global.
+    "text_ngram_novelty" -> ((s, d) => {
+      val toks = docsWithDups(s, d)
+        .select(col("doc_id"), graft.ops.Dedup.tokens(col("text")).as("w"))
+      val grams = toks
+        .select(col("doc_id"), explode(expr(shingle3)).as("gram"))
+        .distinct()
+      val first = grams.groupBy("gram").agg(min("doc_id").as("first_doc"))
+      val perDoc = grams.join(first, "gram")
+        .groupBy("doc_id").agg(
+          count(lit(1)).as("n_grams"),
+          sum(when(col("doc_id") === col("first_doc"), 1L).otherwise(0L))
+            .as("n_novel"))
+      toks.select("doc_id")
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+          coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+          when(coalesce(col("n_grams"), lit(0L)) === 0, 0.0).otherwise(
+            round(col("n_novel").cast("double") / col("n_grams"), 6))
+            .as("novelty"))
+        .orderBy("doc_id")
+    }),
+
     // fingerprint: hash of whitespace-normalized content (prefix kept
     // short — collision-safe enough for grouping, cheap to store)
     "doc_fingerprint" -> ((s, d) =>
@@ -962,6 +993,21 @@ object Llm extends QueryModule {
     "doc_fingerprint" ->
       ("SELECT doc_id, substr(sha256(regexp_replace(lower(text), '\\s+', ' ', 'g')), 1, 16) AS fingerprint " +
         "FROM documents ORDER BY doc_id"),
+    // same distinct-gram/min-first/join pipeline; shingle3Duck binds `t`
+    "text_ngram_novelty" ->
+      (s"WITH src AS (SELECT * FROM $docsWithDupsDuck), " +
+        s"toks AS (SELECT doc_id, $tokensDuck AS t FROM src), " +
+        s"grams AS (SELECT DISTINCT doc_id, gram FROM " +
+        s"(SELECT doc_id, unnest($shingle3Duck) AS gram FROM toks)), " +
+        "firsts AS (SELECT gram, min(doc_id) AS first_doc FROM grams GROUP BY gram), " +
+        "perdoc AS (SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams, " +
+        "CAST(sum(CASE WHEN g.doc_id = f.first_doc THEN 1 ELSE 0 END) AS BIGINT) AS n_novel " +
+        "FROM grams g JOIN firsts f USING (gram) GROUP BY g.doc_id) " +
+        "SELECT tk.doc_id, coalesce(n_grams, 0) AS n_grams, " +
+        "coalesce(n_novel, 0) AS n_novel, " +
+        "CASE WHEN coalesce(n_grams, 0) = 0 THEN 0.0 ELSE " +
+        "round(n_novel::DOUBLE / n_grams, 6) END AS novelty " +
+        "FROM toks tk LEFT JOIN perdoc USING (doc_id) ORDER BY doc_id"),
     // same 5-gram/coverage/islands pipeline in ANSI window SQL; the
     // coalesce(-2) seed makes the first hit per doc always open a span
     "text_dedup_substring" ->
