@@ -82,7 +82,8 @@ object Plans {
     "agg_mode" -> "mode as max_by(struct(cnt,-key)) over a two-phase hash agg — no per-group sort, no window",
     "scan_binary_files" -> "binaryFile source with pathGlobFilter pushed to the listing; metadata-only projection never reads payload bytes",
     "scan_avro" -> "gavro DSv2 scan: byte-range splits on sync markers (4KB forces multi-split here), ReadSchema pruned to the projected columns",
-    "text_dedup_substring" -> "duplicated grams from one partial+final hash agg; hits re-attach by equi join; span merge is a per-doc islands window — no global window, no self-join")
+    "text_dedup_substring" -> "duplicated grams from one partial+final hash agg; hits re-attach by equi join; span merge is a per-doc islands window — no global window, no self-join",
+    "ts_interval_coverage" -> "interval union entirely inside user-partitioned windows + two hash aggs on user_id — one exchange reused end-to-end, no self-join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse(

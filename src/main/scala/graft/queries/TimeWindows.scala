@@ -302,6 +302,66 @@ object TimeWindows extends QueryModule {
         .orderBy("cohort_day", "day_offset")
     }),
 
+    // Longest consecutive-day activity streak per user — the classic
+    // gaps-and-islands engagement metric (and the dashboard sibling of
+    // win_retention_cohorts' cohort view). day − row_number is constant
+    // within a run of consecutive days, so streaks fall out of one
+    // distinct + one user-partitioned window + two hash aggs; the
+    // longest-streak pick is the (max len, min start) struct-max
+    // tie-break, no second window. All shuffles on user_id.
+    "win_streak" -> ((s, d) => {
+      val days = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val byDay = Window.partitionBy("user_id").orderBy("day")
+      val streaks = days
+        .withColumn("g", expr(
+          "date_sub(day, row_number() OVER (PARTITION BY user_id ORDER BY day))"))
+        .groupBy("user_id", "g")
+        .agg(count(lit(1)).as("len"), min("day").as("start"))
+      streaks.groupBy("user_id").agg(
+        sum("len").as("n_active_days"),
+        max(struct(col("len"),
+          (lit(0) - unix_date(col("start"))).as("negs"))).as("best"))
+        .select(col("user_id"), col("n_active_days"),
+          col("best.len").as("max_streak"),
+          date_format(date_from_unix_date(-col("best.negs")), "yyyy-MM-dd")
+            .as("streak_start"))
+        .orderBy("user_id")
+    }),
+
+    // Interval union / coverage — merge overlapping per-user activity
+    // intervals (the crawl-window / session-coverage primitive: "how much
+    // wall-clock was this user active, in how many contiguous stretches").
+    // Each event opens a deterministic half-open interval
+    // [t, t + 60 + (id%10)·30); overlapping or touching intervals fuse.
+    // Same islands discipline as text_dedup_substring but in the seconds
+    // domain: running max-end window partitioned per user with a
+    // DETERMINISTIC (start, end, event_id) sort so peer ties can't flip
+    // islands between engines; merged spans then reduce per user.
+    "ts_interval_coverage" -> ((s, d) => {
+      val iv = Tables.events(s, d).select(
+        col("user_id"), col("event_id"),
+        Tables.eventsTsSec.as("s0"),
+        (Tables.eventsTsSec + lit(60L) + (col("event_id") % 10) * 30L).as("e0"))
+      val byStart = Window.partitionBy("user_id").orderBy("s0", "e0", "event_id")
+      val prevMax = max("e0").over(
+        byStart.rowsBetween(Window.unboundedPreceding, -1))
+      val merged = iv
+        .withColumn("brk",
+          when(coalesce(prevMax, lit(Long.MinValue)) < col("s0"), 1L)
+            .otherwise(0L))
+        .withColumn("iid",
+          sum("brk").over(byStart.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "iid")
+        .agg(min("s0").as("ivs"), max("e0").as("ive"))
+      merged.groupBy("user_id").agg(
+        count(lit(1)).as("n_intervals"),
+        sum(col("ive") - col("ivs")).as("covered_sec"),
+        min("ivs").as("first_start"),
+        max("ive").as("last_end"))
+        .orderBy("user_id")
+    }),
+
     // robust per-group anomaly flagging via median absolute deviation —
     // agg_drift_report's row-level sibling (drift watches the
     // distribution, this flags individual readings): a value is anomalous
@@ -450,6 +510,32 @@ object TimeWindows extends QueryModule {
         "count(DISTINCT e.user_id) AS n_users " +
         "FROM ev e JOIN cohort c USING (user_id) " +
         "GROUP BY 1, 2 ORDER BY 1, 2"),
+    // day − row_number islands; the (max len, min start) pick is the
+    // agg_mode struct-max idiom with negated epoch-days
+    "win_streak" ->
+      ("WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events), " +
+        "streaks AS (SELECT user_id, g, CAST(count(*) AS BIGINT) AS len, min(day) AS start " +
+        "FROM (SELECT user_id, day, day - CAST(row_number() OVER " +
+        "(PARTITION BY user_id ORDER BY day) AS INT) AS g FROM days) GROUP BY user_id, g) " +
+        "SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days, " +
+        "(max({'len': len, 'negs': -(start - DATE '1970-01-01')})).len AS max_streak, " +
+        "strftime(DATE '1970-01-01' + CAST(-(max({'len': len, 'negs': -(start - DATE '1970-01-01')})).negs AS INT), '%Y-%m-%d') AS streak_start " +
+        "FROM streaks GROUP BY user_id ORDER BY user_id"),
+    // identical islands SQL in the seconds domain; the coalesce seed is
+    // LONG_MIN so the first interval per user always opens a span
+    "ts_interval_coverage" ->
+      ("WITH iv AS (SELECT user_id, event_id, epoch_us(ts) // 1000000 AS s0, " +
+        "epoch_us(ts) // 1000000 + 60 + (event_id % 10) * 30 AS e0 FROM events), " +
+        "m AS (SELECT user_id, event_id, s0, e0, CASE WHEN coalesce(max(e0) OVER " +
+        "(PARTITION BY user_id ORDER BY s0, e0, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), " +
+        "-9223372036854775808) < s0 THEN 1 ELSE 0 END AS brk FROM iv), " +
+        "m2 AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY s0, e0, event_id " +
+        "ROWS UNBOUNDED PRECEDING) AS iid FROM m), " +
+        "mg AS (SELECT user_id, iid, min(s0) AS ivs, max(e0) AS ive FROM m2 GROUP BY user_id, iid) " +
+        "SELECT user_id, CAST(count(*) AS BIGINT) AS n_intervals, " +
+        "CAST(sum(ive - ivs) AS BIGINT) AS covered_sec, " +
+        "min(ivs) AS first_start, max(ive) AS last_end " +
+        "FROM mg GROUP BY user_id ORDER BY user_id"),
     "ts_anomaly_mad" ->
       ("WITH med AS (SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med " +
         "FROM events GROUP BY event_type), " +
