@@ -74,6 +74,48 @@ object Aggregates extends QueryModule {
             col("exact_urlkeys"), 6))
         .orderBy("hostword")),
 
+    // KMV (k-minimum-values / bottom-k) distinct sketch — the ONE sketch
+    // family member whose estimate is hash-deterministic, so unlike
+    // HLL/CMS it gets the full DuckDB hash oracle, not a property bound:
+    // est = (k−1)·2³² / h_k over md5-derived 32-bit uniforms (Beyer et
+    // al. 2007), exact count when a group holds < k distinct keys. The
+    // sketch is MERGEABLE (bottom-k of a union = bottom-k of the unioned
+    // sketches — set-identical, pinned in OperatorPropertiesSpec), which
+    // is what a multi-day pipeline persists instead of re-scanning
+    // history. Shape: one distinct on (group, hash) — the only
+    // data-sized shuffle — then a group-partitioned bottom-k window over
+    // ≤|distinct| rows and a tiny per-group agg. Self-checking like
+    // agg_approx_distinct: exact count + rel err ride along.
+    "agg_kmv_distinct" -> ((s, d) => {
+      val k = 64
+      val hashes = Cdx.df(s, d).select(col("hostword"),
+        conv(substring(md5(concat(col("urlkey"), lit(":kmv"))), 1, 8), 16, 10)
+          .cast("bigint").as("h"))
+        .distinct()
+      val byH = org.apache.spark.sql.expressions.Window
+        .partitionBy("hostword").orderBy("h")
+      val sketch = hashes
+        .withColumn("rn", row_number().over(byH))
+        .filter(col("rn") <= k)
+        .groupBy("hostword")
+        .agg(count(lit(1)).as("n_in_sketch"), max("h").as("h_k"))
+      val exact = Cdx.df(s, d).groupBy("hostword")
+        .agg(countDistinct("urlkey").as("exact_urlkeys"))
+      sketch.join(exact, "hostword")
+        // floor, not round: CAST(double AS BIGINT) is round-half-even on
+        // DuckDB and HALF_UP on Spark — floor is the one function both
+        // engines agree on for every representable quotient
+        .withColumn("kmv_est",
+          when(col("n_in_sketch") < k, col("n_in_sketch"))
+            .otherwise(floor(lit((k - 1).toDouble * 4294967296.0) / col("h_k"))
+              .cast("long")))
+        .withColumn("rel_err",
+          round(abs(col("kmv_est") - col("exact_urlkeys")) /
+            col("exact_urlkeys"), 6))
+        .select("hostword", "kmv_est", "exact_urlkeys", "rel_err")
+        .orderBy("hostword")
+    }),
+
     // Mergeable distinct sketches — the cross-job form of
     // agg_approx_distinct. Each segment builds its own DataSketches HLL
     // (map-side; only sketch BYTES cross the wire), a final union merges
@@ -536,6 +578,23 @@ object Aggregates extends QueryModule {
     "agg_count_distinct" -> o(
       "SELECT hostword, count(DISTINCT urlkey) AS n_urlkeys, count(DISTINCT path) AS n_paths, count(*) AS cnt " +
         "FROM cdx GROUP BY hostword ORDER BY hostword"),
+    // hash-deterministic sketch: identical md5 uniforms, identical
+    // bottom-k, floor() for the one engine-agreed double→int step;
+    // subqueries, not a second WITH (duckCte owns the prefix)
+    "agg_kmv_distinct" -> o(
+      "SELECT s.hostword, CASE WHEN s.n_in_sketch < 64 THEN s.n_in_sketch " +
+        "ELSE CAST(floor(270582939648.0 / s.h_k) AS BIGINT) END AS kmv_est, " +
+        "e.exact_urlkeys, " +
+        "round(abs((CASE WHEN s.n_in_sketch < 64 THEN s.n_in_sketch " +
+        "ELSE CAST(floor(270582939648.0 / s.h_k) AS BIGINT) END) - e.exact_urlkeys) " +
+        "/ e.exact_urlkeys, 6) AS rel_err " +
+        "FROM (SELECT hostword, CAST(count(*) AS BIGINT) AS n_in_sketch, max(h) AS h_k " +
+        "FROM (SELECT hostword, h, row_number() OVER (PARTITION BY hostword ORDER BY h) AS rn " +
+        "FROM (SELECT DISTINCT hostword, " +
+        "CAST('0x' || substring(md5(urlkey || ':kmv'), 1, 8) AS BIGINT) AS h FROM cdx)) " +
+        "WHERE rn <= 64 GROUP BY hostword) s " +
+        "JOIN (SELECT hostword, count(DISTINCT urlkey) AS exact_urlkeys " +
+        "FROM cdx GROUP BY hostword) e USING (hostword) ORDER BY hostword"),
     "agg_rollup" -> o(
       "SELECT CAST(GROUPING(hostword, status) AS INT) AS gid, coalesce(hostword, '') AS hostword_c, " +
         "coalesce(status, -1) AS status_c, count(*) AS cnt " +

@@ -776,6 +776,37 @@ class OperatorPropertiesSpec extends SparkSpec {
       ("k_unchanged", Some(301), Some(301), "unchanged")), s"got ${got.toSeq}")
   }
 
+  test("agg_kmv_distinct: bottom-k sketch is exactly mergeable across segments") {
+    import org.apache.spark.sql.expressions.Window
+    // the property that makes KMV a SKETCH: bottom-k of the union of
+    // per-segment bottom-k sketches == bottom-k computed directly over
+    // the whole corpus — set-identical, not approximately equal. Four
+    // id%4 segments stand in for four executors/days.
+    val k = 64
+    val hashes = Cdx.df(spark, sfDir).select(col("hostword"), col("id"),
+      conv(substring(md5(concat(col("urlkey"), lit(":kmv"))), 1, 8), 16, 10)
+        .cast("bigint").as("h"))
+    def bottomK(df: org.apache.spark.sql.DataFrame) = df
+      .select("hostword", "h").distinct()
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("hostword").orderBy("h")))
+      .filter(col("rn") <= k).select("hostword", "h")
+    val direct = bottomK(hashes).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val merged = bottomK(
+      (0 until 4).map(i => bottomK(hashes.filter(col("id") % 4 === i)))
+        .reduce(_ unionByName _))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(merged == direct,
+      s"sketch merge must be lossless: ${merged.diff(direct).take(3)} / ${direct.diff(merged).take(3)}")
+    // and the estimator is sane in aggregate (per-group tails can be
+    // unlucky at k=64 — the sf0.01 'medium' group sits at 3.4σ — so the
+    // bound is on the MEDIAN relative error, not the max)
+    val errs = SparkEntry.queries("agg_kmv_distinct")(spark, sfDir)
+      .collect().map(_.getAs[Double]("rel_err")).sorted
+    assert(errs(errs.length / 2) < 0.2, s"median rel_err: ${errs.toSeq}")
+  }
+
   test("text_dedup_substring: disjoint duplicated 5-grams form SEPARATE maximal spans") {
     import spark.implicits._
     // crafted corpus on a scratch documents.parquet: doc 0 embeds two
