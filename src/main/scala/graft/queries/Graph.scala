@@ -99,6 +99,47 @@ object Graph extends QueryModule {
     ranks
   }
 
+  /** HITS hubs & authorities (Kleinberg 1999) over an arbitrary edge
+    * relation — pageRank's query-independent sibling for link-quality
+    * scoring: auth ← Σ hub(in-neighbors), hub ← Σ auth(out-neighbors),
+    * each L1-normalized per half-step (the NetworkX convention; the
+    * fixpoint direction is identical to L2 up to scale). Same iteration
+    * discipline as [[pageRank]]: score relations stay node-keyed and
+    * distributed, every half-step is one edges⋈scores shuffle + a hash
+    * agg, the normalizer rides as an in-plan broadcast 1-row aggregate
+    * (never a driver collect), localCheckpoint every 2nd round caps
+    * lineage. Requires a non-empty edge relation (normalizers are
+    * guaranteed positive: every round some node holds mass).
+    */
+  def hits(e: DataFrame, iterations: Int = 10): DataFrame = {
+    val ec = e.select(col("src"), col("dst")).localCheckpoint()
+    val nodes = ec.select(col("src").as("node"))
+      .unionByName(ec.select(col("dst").as("node"))).distinct().localCheckpoint()
+    val n = nodes.count()
+    var hubs = nodes.withColumn("hub", lit(1.0 / n))
+    var auths: DataFrame = null
+    for (i <- 1 to iterations) {
+      val a0 = ec.join(hubs.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node")).agg(sum("hub").as("a0"))
+      val aall = nodes.join(a0, Seq("node"), "left")
+        .select(col("node"), coalesce(col("a0"), lit(0.0)).as("a0"))
+      val aNorm = aall.agg(sum("a0").as("s"))
+      auths = aall.crossJoin(broadcast(aNorm))
+        .select(col("node"), (col("a0") / col("s")).as("auth"))
+      val h0 = ec.join(auths.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src").as("node")).agg(sum("auth").as("h0"))
+      val hall = nodes.join(h0, Seq("node"), "left")
+        .select(col("node"), coalesce(col("h0"), lit(0.0)).as("h0"))
+      val hNorm = hall.agg(sum("h0").as("s"))
+      hubs = hall.crossJoin(broadcast(hNorm))
+        .select(col("node"), (col("h0") / col("s")).as("hub"))
+      if (i % 2 == 0 || i == iterations) {
+        hubs = hubs.localCheckpoint(); auths = auths.localCheckpoint()
+      }
+    }
+    hubs.join(auths, "node")
+  }
+
   /** exact triangle count with degree-ordered edge orientation (see
     * object scaladoc); returns a 1-row (triangles BIGINT) relation */
   def triangleCount(und: DataFrame): DataFrame = {
@@ -237,6 +278,16 @@ object Graph extends QueryModule {
 
     // exact triangle count, degree-ordered orientation
     "graph_triangle_count" -> ((s, d) => triangleCount(undirected(edges(s, d)))),
+
+    // HITS hubs/authorities — float-iterative like pageRank, so
+    // prop/golden: GraphSpec pins closed forms, a dense pure-Scala
+    // reference replay, and run-to-run determinism with tolerance
+    "graph_hits" -> ((s, d) =>
+      hits(edges(s, d), iterations = 8)
+        .select(col("node"),
+          round(col("hub") * 1000, 6).as("hub_permille"),
+          round(col("auth") * 1000, 6).as("auth_permille"))
+        .orderBy("node")),
 
     // label propagation (community detection), 3 SYNCHRONOUS rounds with
     // a deterministic tie-break — and therefore ORACLE-CHECKED, unlike

@@ -11,6 +11,64 @@ class GraphSpec extends SparkSpec {
     pairs.toDF("src", "dst")
   }
 
+  // ---------------------------------------------------------------- hits
+
+  test("graph_hits: star closed form — center is the only authority, leaves split hub mass") {
+    val star = edgesOf((1L to 9L).map(l => (l, 0L)))
+    val m = Graph.hits(star, iterations = 6).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(math.abs(m(0L)._2 - 1.0) < 1e-12, s"center auth: ${m(0L)}")
+    assert(math.abs(m(0L)._1) < 1e-12, "center has no out-edges -> hub 0")
+    (1L to 9L).foreach { l =>
+      assert(math.abs(m(l)._1 - 1.0 / 9) < 1e-12, s"leaf hub: ${m(l)}")
+      assert(math.abs(m(l)._2) < 1e-12, "leaves receive nothing")
+    }
+  }
+
+  test("graph_hits matches a dense in-memory replay on the sf0.001 graph") {
+    // the operator must equal the textbook power iteration run on the
+    // COLLECTED edge list (test-only collect; sf0.001 is a few hundred
+    // edges) — same L1 half-step normalization, same iteration count
+    val eRows = SparkEntry.queries("graph_hits")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val edges = Tables.t(spark, sfDir, "lineitem")
+      .selectExpr("l_orderkey % 500 AS src", "l_partkey % 500 AS dst")
+      .filter(col("src") =!= col("dst")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    var hub = nodes.map(_ -> 1.0 / nodes.length).toMap
+    var auth = Map.empty[Long, Double]
+    for (_ <- 1 to 8) {
+      val a0 = edges.groupBy(_._2).map { case (v, es) =>
+        v -> es.map(e => hub(e._1)).sum }
+      val aS = a0.values.sum
+      auth = nodes.map(v => v -> (a0.getOrElse(v, 0.0) / aS)).toMap
+      val h0 = edges.groupBy(_._1).map { case (u, es) =>
+        u -> es.map(e => auth(e._2)).sum }
+      val hS = h0.values.sum
+      hub = nodes.map(v => v -> (h0.getOrElse(v, 0.0) / hS)).toMap
+    }
+    assert(eRows.keySet == nodes.toSet)
+    nodes.foreach { v =>
+      assert(math.abs(eRows(v)._1 - hub(v) * 1000) < 1e-3,
+        s"hub($v): ${eRows(v)._1} vs ${hub(v) * 1000}")
+      assert(math.abs(eRows(v)._2 - auth(v) * 1000) < 1e-3,
+        s"auth($v): ${eRows(v)._2} vs ${auth(v) * 1000}")
+    }
+  }
+
+  test("graph_hits driver key: stable across runs within float tolerance") {
+    def m(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val a = m(SparkEntry.queries("graph_hits")(spark, sfDir).collect())
+    val b = m(SparkEntry.queries("graph_hits")(spark, sfDir).collect())
+    assert(a.keySet == b.keySet)
+    a.foreach { case (k, (h1, a1)) =>
+      assert(math.abs(h1 - b(k)._1) < 1e-4 && math.abs(a1 - b(k)._2) < 1e-4,
+        s"node $k drifted: ${(h1, a1)} vs ${b(k)}")
+    }
+  }
+
   // ---------------------------------------------------------------- pagerank
 
   test("graph_pagerank: directed cycle is a fixpoint at uniform rank") {
