@@ -114,34 +114,58 @@ object Avro {
           new Path(dir).toUri, sconf.value)
         val tmp = new Path(dir, f".part-$pid%05d.$attempt.avro.tmp")
         val fin = new Path(dir, f"part-$pid%05d.avro")
-        val out: OutputStream = pfs.create(tmp, true)
-        val writer = new DataFileWriter[GenericRecord](
-          new GenericDatumWriter[GenericRecord](schema))
-        writer.setCodec(CodecFactory.deflateCodec(level))
-        // a sync marker every ~16 KiB of serialized data keeps the
-        // split-seek granularity fine even for wide rows
-        writer.setSyncInterval(sync)
-        writer.create(schema, out)
+        // the non-cached FS instance and the attempt temp must not
+        // outlive a failed attempt: close in finally, reap tmp on error
         try {
-          it.foreach { row =>
-            val rec = new GenericData.Record(schema)
-            var i = 0
-            while (i < st.length) {
-              rec.put(i, toAvro(row.get(i), st(i).dataType))
-              i += 1
+          val out: OutputStream = pfs.create(tmp, true)
+          val writer = new DataFileWriter[GenericRecord](
+            new GenericDatumWriter[GenericRecord](schema))
+          writer.setCodec(CodecFactory.deflateCodec(level))
+          // a sync marker every ~16 KiB of serialized data keeps the
+          // split-seek granularity fine even for wide rows
+          writer.setSyncInterval(sync)
+          writer.create(schema, out)
+          try {
+            it.foreach { row =>
+              val rec = new GenericData.Record(schema)
+              var i = 0
+              while (i < st.length) {
+                rec.put(i, toAvro(row.get(i), st(i).dataType))
+                i += 1
+              }
+              writer.append(rec)
             }
-            writer.append(rec)
-          }
-        } finally writer.close() // closes `out`
-        // overwrite rename (atomic where the FS supports it): last
-        // complete attempt wins, partial attempts never hold the final name
-        val fctx = org.apache.hadoop.fs.FileContext.getFileContext(
-          new Path(dir).toUri, sconf.value)
-        fctx.rename(tmp, fin, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-        pfs.close()
+          } finally writer.close() // closes `out`
+          // overwrite rename (atomic where the FS supports it): last
+          // complete attempt wins, partial attempts never hold the final name
+          val fctx = org.apache.hadoop.fs.FileContext.getFileContext(
+            new Path(dir).toUri, sconf.value)
+          fctx.rename(tmp, fin, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+        } catch {
+          case t: Throwable =>
+            try pfs.delete(tmp, false) catch { case _: Exception => () }
+            throw t
+        } finally pfs.close()
       }
     }
+    // an all-empty write must still be READABLE (parquet/orc leave an
+    // empty footer file; gavro's schema inference needs one header):
+    // publish a header-only container when no partition produced a file
+    if (AvroSource0.listEmpty(dir, spark.sparkContext.hadoopConfiguration)) {
+      val schema = new Schema.Parser().parse(schemaJson)
+      val out = fs.create(new Path(dir, "part-empty.avro"), true)
+      val writer = new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](schema))
+      try writer.create(schema, out) finally writer.close()
+    }
     schemaJson
+  }
+
+  /** small indirection so formats/ doesn't import sources/ at the top
+    * level (the listing logic lives with the reader) */
+  private object AvroSource0 {
+    def listEmpty(dir: String, conf: org.apache.hadoop.conf.Configuration): Boolean =
+      graft.sources.AvroSource.listAvro(dir, conf).isEmpty
   }
 
   /** Avro→Spark type for the fields [[avroSchema]] emits (plus the common

@@ -312,7 +312,6 @@ object TimeWindows extends QueryModule {
     "win_streak" -> ((s, d) => {
       val days = Tables.events(s, d)
         .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
-      val byDay = Window.partitionBy("user_id").orderBy("day")
       val streaks = days
         .withColumn("g", expr(
           "date_sub(day, row_number() OVER (PARTITION BY user_id ORDER BY day))"))

@@ -71,18 +71,28 @@ object AvroSource {
   }
 
   /** (path, length) of every data file: explicit file/glob verbatim,
-    * directories expanded (skipping hidden/in-progress names — the
-    * WarcSource listing discipline). */
+    * directories expanded RECURSIVELY (partitioned layouts nest files
+    * under key=value dirs; one-level listing would silently plan zero
+    * partitions for them), skipping hidden/in-progress names and
+    * depth-capped against filesystem loops — the WarcSource listing
+    * discipline. */
   def listAvro(pathGlob: String, conf: Configuration): Seq[(Path, Long)] = {
     val p = new Path(pathGlob)
     val fs = p.getFileSystem(conf)
-    def ok(name: String): Boolean =
-      !name.startsWith("_") && !name.startsWith(".") && name.endsWith(".avro")
-    Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty).flatMap { s =>
-      if (s.isFile) Seq(s.getPath -> s.getLen)
+    def hidden(name: String): Boolean =
+      name.startsWith("_") || name.startsWith(".")
+    def expand(s: org.apache.hadoop.fs.FileStatus, depth: Int)
+        : Seq[(Path, Long)] =
+      if (s.isFile) {
+        if (!hidden(s.getPath.getName) && s.getPath.getName.endsWith(".avro"))
+          Seq(s.getPath -> s.getLen)
+        else Seq.empty
+      } else if (depth >= 16) Seq.empty
       else fs.listStatus(s.getPath).toSeq
-        .filter(c => c.isFile && ok(c.getPath.getName))
-        .map(c => c.getPath -> c.getLen)
+        .filterNot(c => hidden(c.getPath.getName))
+        .flatMap(c => expand(c, depth + 1))
+    Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty).flatMap { s =>
+      if (s.isFile) Seq(s.getPath -> s.getLen) else expand(s, 0)
     }
   }
 }
@@ -159,18 +169,37 @@ final class AvroPartitionReader(
     split: AvroSplit, required: StructType, sconf: SerializableHadoopConf)
   extends PartitionReader[InternalRow] {
   private val in = new FsInput(new Path(split.file), sconf.value)
-  private val reader = new DataFileReader[GenericRecord](
-    in, new GenericDatumReader[GenericRecord]())
-  // position at the first block whose sync marker is at/after `start`
-  // (for start=0 this lands on the first block, past the header)
-  reader.sync(split.start)
-  // field index in the FILE schema for each required output field (by
-  // name — a foreign writer's field order need not match ours); missing
-  // fields surface as null, the usual schema-evolution read semantics
+  // the input must not leak if the header parse or seek throws (a
+  // truncated/corrupt container fails `new DataFileReader`; with task
+  // retries × splits-per-file an unguarded open leaks a descriptor per
+  // attempt)
+  private val reader =
+    try {
+      val r = new DataFileReader[GenericRecord](
+        in, new GenericDatumReader[GenericRecord]())
+      // position at the first block whose sync marker is at/after `start`
+      // (for start=0 this lands on the first block, past the header)
+      r.sync(split.start)
+      r
+    } catch {
+      case t: Throwable =>
+        try in.close() catch { case _: Exception => () }
+        throw t
+    }
+  // field index in the FILE schema for each required output field: exact
+  // name match first, then UNAMBIGUOUS case-insensitive fallback (Spark
+  // resolves declared schemas case-insensitively by default — an exact-only
+  // lookup would silently null out a column over a foreign writer's
+  // capitalization); missing fields surface as null, the usual
+  // schema-evolution read semantics
   private val fileSchema = reader.getSchema
   private val plan: Array[(Int, DataType)] = required.fields.map { f =>
-    val ff = fileSchema.getField(f.name)
-    (if (ff == null) -1 else ff.pos(), f.dataType)
+    val pos = Option(fileSchema.getField(f.name)).map(_.pos()).getOrElse {
+      val ci = fileSchema.getFields.asScala
+        .filter(_.name().equalsIgnoreCase(f.name))
+      if (ci.size == 1) ci.head.pos() else -1
+    }
+    (pos, f.dataType)
   }
   private var rec: GenericRecord = _
 

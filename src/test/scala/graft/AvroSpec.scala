@@ -101,6 +101,47 @@ class AvroSpec extends SparkSpec {
     assert(ev.head.getAs[String]("tag") == "doc-3" && ev.head.isNullAt(1))
   }
 
+  test("nested partitioned layouts list recursively") {
+    val dir = s"$base/nested"
+    val sub = s"$dir/date=2024-01-01"
+    Avro.write(spark.range(0, 10).toDF("id").coalesce(1), sub)
+    // a second leaf one level deeper
+    Avro.write(spark.range(10, 15).toDF("id").coalesce(1),
+      s"$dir/date=2024-01-02/hour=03")
+    val got = spark.read.format("gavro").schema("id LONG").load(dir)
+      .as[Long].collect().sorted.toSeq
+    assert(got == (0L until 15L).toSeq)
+  }
+
+  test("an empty write is still readable (header-only container)") {
+    val dir = s"$base/empty"
+    Avro.write(spark.range(10).toDF("id").filter(col("id") < 0), dir)
+    val back = spark.read.format("gavro").load(dir) // schema inference
+    assert(back.schema.fieldNames.toSeq == Seq("id"))
+    assert(back.count() == 0)
+  }
+
+  test("declared-schema field names resolve case-insensitively like Spark") {
+    val dir = s"$base/casing"
+    Avro.write(spark.range(3).select(col("id").as("Tag")).coalesce(1), dir)
+    val got = spark.read.format("gavro").schema("tag LONG").load(dir)
+      .as[Long].collect().sorted.toSeq
+    assert(got == Seq(0L, 1L, 2L), "case-insensitive by-name resolution")
+  }
+
+  test("a corrupt container fails loudly, not silently empty") {
+    val dir = s"$base/corrupt"
+    Files.createDirectories(Paths.get(dir))
+    Files.write(Paths.get(s"$dir/bad.avro"), Array.fill[Byte](64)(7))
+    val e = intercept[Exception] {
+      spark.read.format("gavro").schema("id LONG").load(dir).collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else t.toString +: chain(t.getCause)
+    assert(chain(e).exists(_.toLowerCase.contains("not a")) ||
+      chain(e).exists(_.toLowerCase.contains("avro")), chain(e).mkString(" | "))
+  }
+
   test("unsupported write type fails loudly") {
     val df = spark.range(1).select(struct(col("id")).as("nested"))
     val e = intercept[Exception] { Avro.write(df, s"$base/bad") }
