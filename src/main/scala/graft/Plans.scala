@@ -83,7 +83,8 @@ object Plans {
     "scan_binary_files" -> "binaryFile source with pathGlobFilter pushed to the listing; metadata-only projection never reads payload bytes",
     "scan_avro" -> "gavro DSv2 scan: byte-range splits on sync markers (4KB forces multi-split here), ReadSchema pruned to the projected columns",
     "text_dedup_substring" -> "duplicated grams from one partial+final hash agg; hits re-attach by equi join; span merge is a per-doc islands window — no global window, no self-join",
-    "ts_interval_coverage" -> "interval union entirely inside user-partitioned windows + two hash aggs on user_id — one exchange reused end-to-end, no self-join")
+    "ts_interval_coverage" -> "interval union entirely inside user-partitioned windows + two hash aggs on user_id — one exchange reused end-to-end, no self-join",
+    "join_asof_tolerance" -> "as-of via union-window: both sides union once, ONE partitioned window carries the latest right row forward — zero joins, no range-join blow-up")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse(

@@ -74,6 +74,32 @@ object Aggregates extends QueryModule {
             col("exact_urlkeys"), 6))
         .orderBy("hostword")),
 
+    // WEIGHTED percentiles — "half the corpus TOKENS live in docs shorter
+    // than this", the curation threshold unweighted quantiles get wrong
+    // (one 500-char doc ≠ one 40k-char doc). Neither engine ships a
+    // weighted quantile, so this IS the portable form: per-group
+    // cumulative-weight window + a pure-INTEGER threshold compare
+    // (cum·2 ≥ tot, cum·10 ≥ 9·tot — no float percentile interpolation
+    // to disagree on), then one conditional-min agg. The window
+    // partitions per group, the agg is |groups|-bounded — nothing global.
+    "agg_weighted_percentile" -> ((s, d) => {
+      val docs = graft.Tables.t(s, d, "documents")
+      val byLen = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy("n_chars", "doc_id")
+      val grp = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+      docs
+        .withColumn("cum", sum("n_chars").over(
+          byLen.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        .withColumn("tot", sum("n_chars").over(grp))
+        .groupBy("lang")
+        .agg(
+          min(when(col("cum") * 2 >= col("tot"), col("n_chars"))).as("wp50_chars"),
+          min(when(col("cum") * 10 >= col("tot") * 9, col("n_chars"))).as("wp90_chars"),
+          max("tot").as("total_chars"),
+          count(lit(1)).as("n_docs"))
+        .orderBy("lang")
+    }),
+
     // KMV (k-minimum-values / bottom-k) distinct sketch — the ONE sketch
     // family member whose estimate is hash-deterministic, so unlike
     // HLL/CMS it gets the full DuckDB hash oracle, not a property bound:
@@ -578,6 +604,18 @@ object Aggregates extends QueryModule {
     "agg_count_distinct" -> o(
       "SELECT hostword, count(DISTINCT urlkey) AS n_urlkeys, count(DISTINCT path) AS n_paths, count(*) AS cnt " +
         "FROM cdx GROUP BY hostword ORDER BY hostword"),
+    // identical cumulative-weight window + integer threshold compares
+    "agg_weighted_percentile" ->
+      ("SELECT lang, " +
+        "min(CASE WHEN cum * 2 >= tot THEN n_chars END) AS wp50_chars, " +
+        "min(CASE WHEN cum * 10 >= tot * 9 THEN n_chars END) AS wp90_chars, " +
+        "max(tot) AS total_chars, count(*) AS n_docs " +
+        "FROM (SELECT lang, doc_id, n_chars, " +
+        "CAST(sum(n_chars) OVER (PARTITION BY lang ORDER BY n_chars, doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum, " +
+        "CAST(sum(n_chars) OVER (PARTITION BY lang) AS BIGINT) AS tot " +
+        "FROM documents) GROUP BY lang ORDER BY lang"),
+
     // hash-deterministic sketch: identical md5 uniforms, identical
     // bottom-k, floor() for the one engine-agreed double→int step;
     // subqueries, not a second WITH (duckCte owns the prefix)

@@ -291,6 +291,44 @@ object Joins extends QueryModule {
         .filter(col("rn") === 1)
         .select("prefix_key", "id", "ts", "diff_us")
         .orderBy("prefix_key")
+    }),
+
+    // As-of join WITH TOLERANCE via the union-window trick — the
+    // scalable distributed as-of: instead of a range join (quadratic
+    // blow-up risk) or a per-left-row subquery, UNION both sides tagged,
+    // sort once per key by (time, side), and carry the latest right-side
+    // row forward with a running struct-max — ZERO joins, one
+    // urlkey-partitioned window. Semantics: each revisit resolves to the
+    // most recent response at-or-before its timestamp for the same
+    // query-stripped URL prefix (response sorts first on ties), but only
+    // within a 180-day tolerance — older matches are stale and return
+    // null, the asof-join backward-tolerance contract (pandas
+    // merge_asof / QuestDB ASOF). Keyed on the prefix, not the full
+    // urlkey: the fixture's qs is id-unique by construction, and the
+    // prefix is the real revisit identity anyway (same page, any query).
+    "join_asof_tolerance" -> ((s, d) => {
+      val tolUs = 180L * 86400 * 1000000
+      val c = Cdx.df(s, d)
+        .withColumn("pkey", split_part(col("urlkey"), lit("?"), lit(1)))
+      val tagged = c.filter(col("record_type") === "response")
+        .select(col("pkey"), col("epoch_us"), col("id"), lit(0).as("side"))
+        .unionByName(
+          c.filter(col("record_type") === "revisit")
+            .select(col("pkey"), col("epoch_us"), col("id"), lit(1).as("side")))
+      val w = Window.partitionBy("pkey")
+        .orderBy(col("epoch_us"), col("side"), col("id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val best = max(when(col("side") === 0,
+        struct(col("epoch_us").as("e"), col("id").as("i")))).over(w)
+      tagged
+        .withColumn("best", best)
+        .filter(col("side") === 1)
+        .select(col("id").as("rev_id"), col("pkey"),
+          when(col("epoch_us") - col("best.e") <= tolUs, col("best.i"))
+            .as("resp_id"),
+          when(col("epoch_us") - col("best.e") <= tolUs,
+            col("epoch_us") - col("best.e")).as("gap_us"))
+        .orderBy("rev_id")
     })
   )
 
@@ -368,6 +406,20 @@ object Joins extends QueryModule {
         "abs(epoch_us - epoch_us(TIMESTAMP '1998-06-01 00:00:00')) AS diff_us, " +
         "row_number() OVER (PARTITION BY split_part(urlkey, '?', 1) " +
         "ORDER BY abs(epoch_us - epoch_us(TIMESTAMP '1998-06-01 00:00:00')), id) AS rn " +
-        "FROM cdx) WHERE rn = 1 ORDER BY prefix_key")
+        "FROM cdx) WHERE rn = 1 ORDER BY prefix_key"),
+    // same union-window replay; struct-field access on a NULL running
+    // max yields NULL, which the CASE propagates — both engines agree
+    "join_asof_tolerance" -> o(
+      "SELECT id AS rev_id, pkey, " +
+        "CASE WHEN epoch_us - (best).e <= 15552000000000 THEN (best).i END AS resp_id, " +
+        "CASE WHEN epoch_us - (best).e <= 15552000000000 THEN epoch_us - (best).e END AS gap_us " +
+        "FROM (SELECT *, max(CASE WHEN side = 0 THEN {'e': epoch_us, 'i': id} END) OVER " +
+        "(PARTITION BY pkey ORDER BY epoch_us, side, id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS best " +
+        "FROM (SELECT split_part(urlkey, '?', 1) AS pkey, epoch_us, id, 0 AS side " +
+        "FROM cdx WHERE record_type = 'response' " +
+        "UNION ALL SELECT split_part(urlkey, '?', 1), epoch_us, id, 1 " +
+        "FROM cdx WHERE record_type = 'revisit')) " +
+        "WHERE side = 1 ORDER BY rev_id")
   )
 }
