@@ -323,3 +323,42 @@ final class CdxServer(spark: SparkSession, clusterDir: String) {
       .select(Cdx.lineCols(col("line")): _*)
   }
 }
+
+object CdxServer {
+
+  /** pywb access control (`.aclj` rule files): each rule is a SURT prefix
+    * plus an access label (`allow` / `block` / `exclude`), and a capture's
+    * effective access is decided by the LONGEST rule prefix that
+    * string-prefixes its urlkey — `org,example,urgent)/order/1` overrides
+    * a host-wide `org,example,urgent)` block for that subtree, exactly the
+    * most-specific-wins contract pywb's aclj lookup implements. Returns
+    * `captures` with `rule_prefix` (the winning rule, null when none
+    * matched) and `access` (`default` when none matched) appended.
+    *
+    * Plan shape: the rule table compiles into a length-descending
+    * `coalesce(when(startswith...)))` chain — a pure map-side projection,
+    * zero shuffles, zero joins, fully inside whole-stage codegen, so the
+    * policy sweep rides every scan for free at 100 TB. Two distinct
+    * equal-length prefixes cannot both match one key, so length-descending
+    * order alone is deterministic. Real aclj files are O(10²–10⁴) rules —
+    * fine as a plan literal (janino splits oversized methods); a
+    * truly huge rule set would instead ship sorted prefixes to a
+    * binary-search expression, the cluster.idx discipline.
+    */
+  def aclApply(
+      captures: DataFrame,
+      key: org.apache.spark.sql.Column,
+      rules: Seq[(String, String)],
+      default: String): DataFrame = {
+    require(rules.nonEmpty, "aclApply needs at least one rule")
+    val sorted = rules.sortBy(-_._1.length)
+    val prefixCol = coalesce(
+      sorted.map { case (p, _) => when(key.startsWith(p), lit(p)) }: _*)
+    val accessCol = coalesce(
+      sorted.map { case (p, a) => when(key.startsWith(p), lit(a)) } :+
+        lit(default): _*)
+    captures
+      .withColumn("rule_prefix", prefixCol)
+      .withColumn("access", accessCol)
+  }
+}

@@ -176,8 +176,33 @@ object CdxOps extends QueryModule {
     // [[CdxOps.crawlDiff]]; a planted 4-arm golden lives in
     // OperatorPropertiesSpec. At 100 TB this is a single shuffle of
     // (urlkey, 2 longs).
-    "crawl_diff" -> ((s, d) => crawlDiff(Cdx.df(s, d), cut = "19960101000000"))
+    "crawl_diff" -> ((s, d) => crawlDiff(Cdx.df(s, d), cut = "19960101000000")),
+
+    // pywb access control (.aclj): longest-SURT-prefix-match rule
+    // application — the serving-side policy sweep every public archive
+    // runs before a capture leaves the building. The fixture plants the
+    // contract's one subtle case: a path-level allow INSIDE a host-level
+    // block (`…urgent)/order/1` beats `…urgent)`), so most-specific-wins
+    // is pinned, not just any-match. Plan shape: a length-descending
+    // coalesce(when(startswith)) chain — pure map-side codegen, zero
+    // shuffles/joins (see [[graft.CdxServer.aclApply]]); the oracle
+    // replays it as a LIKE-join + longest-prefix row_number.
+    "cdx_acl_policy" -> ((s, d) =>
+      graft.CdxServer.aclApply(
+        Cdx.df(s, d), col("urlkey"), aclRules, default = "allow")
+        .select("id", "urlkey", "rule_prefix", "access")
+        .orderBy("id"))
   )
+
+  private def aclRulesDuck: String =
+    aclRules.map { case (p, a) => s"('$p', '$a')" }.mkString(", ")
+
+  /** ACL fixture rules (prefix, access) — see `cdx_acl_policy`. */
+  private val aclRules: Seq[(String, String)] = Seq(
+    "org,example,urgent)" -> "block",
+    "org,example,urgent)/order/1" -> "allow",
+    "org,example,low)" -> "exclude",
+    "org,example,notspecified)/order/9" -> "block")
 
   /** CDXJ JSON payload expression — identical Spark SQL and DuckDB forms. */
   private val cdxjJsonSpark =
@@ -226,6 +251,16 @@ object CdxOps extends QueryModule {
       "SELECT id, urlkey, ts FROM cdx WHERE urlkey LIKE 'org,example,medium)/order/1%' ORDER BY urlkey, ts, id"),
     "filter_ts_range" -> o(
       "SELECT id, ts FROM cdx WHERE ts >= '19970101000000' AND ts < '19990101000000' ORDER BY id"),
+    // LIKE-join + longest-prefix row_number replay of the when-chain;
+    // an unmatched capture left-joins to exactly one all-NULL rule row,
+    // so rn = 1 selects it and coalesce applies the default
+    "cdx_acl_policy" -> o(
+      "SELECT id, urlkey, rule_prefix, access FROM (" +
+        "SELECT c.id, c.urlkey, r.prefix AS rule_prefix, " +
+        "coalesce(r.access, 'allow') AS access, " +
+        "row_number() OVER (PARTITION BY c.id ORDER BY length(r.prefix) DESC) AS rn " +
+        "FROM cdx c LEFT JOIN (VALUES " + aclRulesDuck + ") AS r(prefix, access) " +
+        "ON c.urlkey LIKE r.prefix || '%') WHERE rn = 1 ORDER BY id"),
     "filter_null_safe" -> o(
       "SELECT id, coalesce(redirect, '-') AS redirect_c, coalesce(robotflags, '-') AS robot_c " +
         "FROM cdx WHERE redirect IS NOT DISTINCT FROM robotflags ORDER BY id"),

@@ -260,4 +260,24 @@ class CdxServerSpec extends SparkSpec {
     assert(walked == full,
       s"NULL-json and empty-json rows must both survive page boundaries: $walked vs $full")
   }
+
+  test("aclApply: longest SURT prefix wins; unmatched keys take the default") {
+    val caps = Seq(
+      "org,example,urgent)/order/1?x=2", // path allow INSIDE host block
+      "org,example,urgent)/other",       // host block
+      "org,example,urgent)",             // host block (exact boundary)
+      "org,example,open)/a"              // no rule → default
+    ).toDF("urlkey")
+    val rules = Seq(
+      "org,example,urgent)" -> "block",
+      "org,example,urgent)/order/1" -> "allow")
+    val out = CdxServer.aclApply(caps, col("urlkey"), rules, default = "allow")
+      .select("urlkey", "rule_prefix", "access")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+    assert(out == Seq(
+      ("org,example,urgent)/order/1?x=2", "org,example,urgent)/order/1", "allow"),
+      ("org,example,urgent)/other", "org,example,urgent)", "block"),
+      ("org,example,urgent)", "org,example,urgent)", "block"),
+      ("org,example,open)/a", null, "allow")), out.toString)
+  }
 }

@@ -406,6 +406,25 @@ class PlanSpec extends SparkSpec {
     assert(hashEx == 1, s"exactly one corpus shuffle expected ($hashEx):\n$p")
   }
 
+  test("cdx_acl_policy: rule sweep is a pure map-side projection — no join, no shuffle before the output sort") {
+    val df = SparkEntry.queries("cdx_acl_policy")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(!p.contains("Join"),
+      s"the rule table must compile into the projection, not join:\n$p")
+    // the only exchange allowed is the single range exchange of the
+    // deterministic output orderBy — the policy decision itself rides
+    // the scan
+    val finalP = p.split("== Initial Plan ==")(0)
+    assert(!finalP.contains("Exchange hashpartitioning"),
+      s"ACL application must not shuffle:\n$p")
+    assert(finalP.linesIterator.count(_.contains("Exchange rangepartitioning")) <= 1, p)
+    // the startswith chain must sit inside whole-stage codegen
+    assert(p.linesIterator.exists(l => l.contains("Project") && l.contains("*(")) ||
+      finalP.linesIterator.exists(_.startsWith("*(")),
+      s"rule chain must stay in codegen:\n$p")
+  }
+
   test("stream_recent_k: ONE stateful exchange feeds TransformWithState, no second data shuffle") {
     // RocksDB provider for batch-run transformWithState (see StreamOps)
     val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
