@@ -69,6 +69,8 @@ object Plans {
     "stream_recent_k" -> "ListState latest-k buffer: one exchange on urlkey into TransformWithStateExec, admission changelog out, state O(keys)*k — no history re-scan",
     "crawl_diff" -> "crawl-to-crawl diff as ONE partial+final hash agg (conditional max over a sortable ts||len key); classification is a map-side projection — no self-join, no window",
     "cdx_acl_policy" -> "longest-prefix ACL rules compile to a length-descending coalesce(when(startswith)) chain — pure map-side codegen projection, zero shuffles/joins; only exchange is the output sort",
+    "robots_parse" -> "robots.txt grammar over an O(hosts) table: per-host line windows (files are ~100s of lines), rule↔agent fan-out joins within the same host partitioning — corpus-independent cost",
+    "robots_check" -> "captures⋈rules on host equality (prefix match rides as residual); winner window keys (host,id) so it REUSES the join's HashPartitioning(host) — one corpus shuffle total",
     "stream_host_status" -> "MapState per-host class counts: one exchange on host into TransformWithStateExec; per-class point reads/writes, state O(hosts*4)",
     "stream_session_flush" -> "event-time-timer sessionizer batch-run: one exchange on user_id into TransformWithStateExec; state O(active keys)*3 longs, open sessions flushed by the end-of-batch timer sweep",
     "cdx_timemap" -> "TimeMap link lines: hottest-key anchor rides as a broadcast scalar; window over ONE urlkey's rows, idx-pruned scan below it",

@@ -191,8 +191,74 @@ object CdxOps extends QueryModule {
       graft.CdxServer.aclApply(
         Cdx.df(s, d), col("urlkey"), aclRules, default = "allow")
         .select("id", "urlkey", "rule_prefix", "access")
-        .orderBy("id"))
+        .orderBy("id")),
+
+    // RFC 9309 robots.txt parse: comment/blank stripping, case-folded
+    // directives, stacked User-agent groups via a lag+running-sum window,
+    // pre-group and empty rules dropped. Output is the flattened
+    // auditable rule table; the oracle replays the whole grammar in SQL.
+    "robots_parse" -> ((s, _) => {
+      import s.implicits._
+      graft.ops.Robots.parse(
+        graft.ops.Robots.fixture.toDF("host", "txt"))
+        .orderBy("host", "ln", "agent")
+    }),
+
+    // RFC 9309 verdict for every capture: agent-specific group beats *,
+    // longest path prefix wins, allow beats disallow at equal length,
+    // no rule / no robots.txt => allow. Captures join rules on HOST
+    // equality (prefix match as join residual) and the winner window
+    // keys (host, id) so it reuses the join exchange — one corpus
+    // shuffle total (see [[graft.ops.Robots]] scaladoc).
+    "robots_check" -> ((s, d) => {
+      import s.implicits._
+      graft.ops.Robots.check(
+        Cdx.df(s, d).selectExpr("id", "host", "path || '?' || qs AS upath"),
+        graft.ops.Robots.fixture.toDF("host", "txt"),
+        agent = "graftbot")
+        .orderBy("id")
+    })
   )
+
+  // ---- robots.txt oracle scaffolding (see graft.ops.Robots) ----
+
+  /** Directive lines with group ids — DuckDB replay of Robots.directives
+    * (string_split + unnest(range) for 1-based positions, then the same
+    * lag + running-sum group assignment). */
+  private def robotsGrouped: String =
+    """SELECT host, ln, directive, value,
+      | sum(CASE WHEN directive = 'user-agent' AND coalesce(prev_ua, FALSE) = FALSE
+      |     THEN 1 ELSE 0 END)
+      |   OVER (PARTITION BY host ORDER BY ln ROWS UNBOUNDED PRECEDING) AS block
+      |FROM (
+      | SELECT *, lag(directive = 'user-agent') OVER (PARTITION BY host ORDER BY ln) AS prev_ua
+      | FROM (
+      |  SELECT host, ln,
+      |    lower(regexp_extract(line, '^([A-Za-z-]+)\s*:', 1)) AS directive,
+      |    trim(regexp_extract(line, '^[A-Za-z-]+\s*:\s*(.*)$', 1)) AS value
+      |  FROM (
+      |   SELECT host, i AS ln, trim(regexp_replace(parts[i], '#.*$', '')) AS line
+      |   FROM (SELECT host, string_split(txt, chr(10)) AS parts,
+      |                unnest(range(1, len(string_split(txt, chr(10)))+1)) AS i
+      |         FROM """.stripMargin + graft.ops.Robots.fixtureDuck + """)
+      |  ) WHERE line <> ''
+      | ) WHERE directive IN ('user-agent','allow','disallow')
+      |)""".stripMargin
+
+  private def robotsAgents: String =
+    s"SELECT host, block, lower(value) AS agent FROM ($robotsGrouped) WHERE directive = 'user-agent'"
+
+  private def robotsRules: String =
+    s"SELECT host, block, ln, directive AS rule, value AS path FROM ($robotsGrouped) " +
+      "WHERE directive IN ('allow','disallow') AND value <> '' AND block > 0"
+
+  private def robotsApplicable: String =
+    s"""SELECT g.host, g.rule, g.path FROM
+       | (SELECT a.host, a.agent, r.rule, r.path
+       |  FROM ($robotsRules) r JOIN ($robotsAgents) a ON r.host = a.host AND r.block = a.block) g
+       | JOIN (SELECT host, max(CASE WHEN agent = 'graftbot' THEN 1 ELSE 0 END) AS spec
+       |       FROM ($robotsAgents) GROUP BY host) h ON g.host = h.host
+       | WHERE g.agent = CASE WHEN h.spec = 1 THEN 'graftbot' ELSE '*' END""".stripMargin
 
   private def aclRulesDuck: String =
     aclRules.map { case (p, a) => s"('$p', '$a')" }.mkString(", ")
@@ -261,6 +327,21 @@ object CdxOps extends QueryModule {
         "row_number() OVER (PARTITION BY c.id ORDER BY length(r.prefix) DESC) AS rn " +
         "FROM cdx c LEFT JOIN (VALUES " + aclRulesDuck + ") AS r(prefix, access) " +
         "ON c.urlkey LIKE r.prefix || '%') WHERE rn = 1 ORDER BY id"),
+    // full grammar replay: flattened (host, ln, agent, rule, path) table
+    "robots_parse" -> (
+      s"SELECT r.host, r.ln, a.agent, r.rule, r.path " +
+        s"FROM ($robotsRules) r JOIN ($robotsAgents) a ON r.host = a.host AND r.block = a.block " +
+        "ORDER BY r.host, r.ln, a.agent"),
+    // LIKE-join + longest-prefix row_number; unmatched ids keep one
+    // all-NULL rule row, so rn = 1 selects it and coalesce defaults to
+    // allow — 'allow' < 'disallow' makes the equal-length tie lexical
+    "robots_check" -> o(
+      "SELECT id, host, allowed, rule_path FROM (" +
+        "SELECT u.id, u.host, coalesce(r.rule = 'allow', TRUE) AS allowed, r.path AS rule_path, " +
+        "row_number() OVER (PARTITION BY u.id ORDER BY length(r.path) DESC, r.rule) AS rn " +
+        "FROM (SELECT id, host, path || '?' || qs AS upath FROM cdx) u " +
+        s"LEFT JOIN ($robotsApplicable) r ON u.host = r.host AND u.upath LIKE r.path || '%') " +
+        "WHERE rn = 1 ORDER BY id"),
     "filter_null_safe" -> o(
       "SELECT id, coalesce(redirect, '-') AS redirect_c, coalesce(robotflags, '-') AS robot_c " +
         "FROM cdx WHERE redirect IS NOT DISTINCT FROM robotflags ORDER BY id"),

@@ -425,6 +425,14 @@ class PlanSpec extends SparkSpec {
       s"rule chain must stay in codegen:\n$p")
   }
 
+  test("robots_check: rules broadcast, single corpus shuffle for the winner window, no cartesian") {
+    val df = SparkEntry.queries("robots_check")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.explainString(ExplainMode.fromString("simple"))
+    info(p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("stream_recent_k: ONE stateful exchange feeds TransformWithState, no second data shuffle") {
     // RocksDB provider for batch-run transformWithState (see StreamOps)
     val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
