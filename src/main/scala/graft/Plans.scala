@@ -71,6 +71,9 @@ object Plans {
     "cdx_acl_policy" -> "longest-prefix ACL rules compile to a length-descending coalesce(when(startswith)) chain — pure map-side codegen projection, zero shuffles/joins; only exchange is the output sort",
     "robots_parse" -> "robots.txt grammar over an O(hosts) table: per-host line windows (files are ~100s of lines), rule↔agent fan-out joins within the same host partitioning — corpus-independent cost",
     "robots_check" -> "captures⋈rules on host equality (prefix match rides as residual); winner window keys (host,id) so it REUSES the join's HashPartitioning(host) — one corpus shuffle total",
+    "cdx_revisit_generate" -> "ONE shuffle on high-cardinality digest; row_number + both first_value's share one Window node (same partition/order); classification is a map-side projection",
+    "url_registered_domain" -> "runs on the DISTINCT host table (O(hosts) << corpus): bounded suffix explode (≤|labels|), rule table broadcast on both match forms as two equi legs (never an OR nested-loop), winner window over host",
+    "corpus_split_leakage_safe" -> "cluster resolve's own pointer-jumping shuffles only; the split assignment is a map-side md5 projection on the cluster id — leakage safety costs zero extra exchanges",
     "stream_host_status" -> "MapState per-host class counts: one exchange on host into TransformWithStateExec; per-class point reads/writes, state O(hosts*4)",
     "stream_session_flush" -> "event-time-timer sessionizer batch-run: one exchange on user_id into TransformWithStateExec; state O(active keys)*3 longs, open sessions flushed by the end-of-batch timer sweep",
     "cdx_timemap" -> "TimeMap link lines: hottest-key anchor rides as a broadcast scalar; window over ONE urlkey's rows, idx-pruned scan below it",

@@ -217,6 +217,41 @@ object CdxOps extends QueryModule {
         graft.ops.Robots.fixture.toDF("host", "txt"),
         agent = "graftbot")
         .orderBy("id")
+    }),
+
+    // The deduplicating indexer's revisit emission — the INVERSE of
+    // join_revisit_resolve: within each payload digest, the time-first
+    // response capture is stored; every later identical capture becomes a
+    // `revisit` row carrying WARC-Refers-To-Target-URI/-Date of the
+    // original (warcio/pywb dedup contract; reference recon
+    // indexwarcsjob.py revisit rows, SURVEY §1.2). ONE shuffle on the
+    // high-cardinality digest; all three window functions share the
+    // (digest | ts, id) sort so Catalyst plans a single Window node.
+    "cdx_revisit_generate" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("digest").orderBy("ts", "id")
+      Cdx.df(s, d).where(col("record_type") === "response")
+        .select(col("id"), col("urlkey"), col("ts"), col("url"), col("digest"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("orig_url", first("url").over(w))
+        .withColumn("orig_ts", first("ts").over(w))
+        .select(col("id"), col("urlkey"), col("ts"), col("digest"),
+          when(col("rn") === 1, "response").otherwise("revisit").as("out_type"),
+          when(col("rn") > 1, col("orig_url")).as("refers_to_url"),
+          when(col("rn") > 1, col("orig_ts")).as("refers_to_ts"))
+        .orderBy("id")
+    }),
+
+    // publicsuffix.org eTLD+1 over the corpus's DISTINCT hosts plus the
+    // planted precedence fixture — wildcard, exception, ccSLD-style
+    // multi-label suffix, default-* (see [[graft.ops.Psl]]). At corpus
+    // scale the per-capture application is a broadcast of THIS bounded
+    // host->domain table; the key measures the distinct-host derivation.
+    "url_registered_domain" -> ((s, d) => {
+      import s.implicits._
+      val hosts = Cdx.df(s, d).select("host").distinct()
+        .unionByName(graft.ops.Psl.fixtureHosts.toDF("host"))
+      graft.ops.Psl.registeredDomain(hosts).orderBy("host")
     })
   )
 
@@ -342,6 +377,37 @@ object CdxOps extends QueryModule {
         "FROM (SELECT id, host, path || '?' || qs AS upath FROM cdx) u " +
         s"LEFT JOIN ($robotsApplicable) r ON u.host = r.host AND u.upath LIKE r.path || '%') " +
         "WHERE rn = 1 ORDER BY id"),
+    // same (digest | ts, id) window; first_value's frame start is the
+    // partition start in both engines, so ties are irrelevant to it
+    "cdx_revisit_generate" -> o(
+      "SELECT id, urlkey, ts, digest, " +
+        "CASE WHEN rn = 1 THEN 'response' ELSE 'revisit' END AS out_type, " +
+        "CASE WHEN rn > 1 THEN orig_url END AS refers_to_url, " +
+        "CASE WHEN rn > 1 THEN orig_ts END AS refers_to_ts FROM (" +
+        "SELECT id, urlkey, ts, digest, " +
+        "row_number() OVER w AS rn, first_value(url) OVER w AS orig_url, " +
+        "first_value(ts) OVER w AS orig_ts FROM cdx WHERE record_type = 'response' " +
+        "WINDOW w AS (PARTITION BY digest ORDER BY ts, id)) ORDER BY id"),
+    // full PSL algorithm replay: suffix/wildcard candidate generation,
+    // exception > most-labels precedence, default-* fallback
+    "url_registered_domain" -> o(
+      ", hosts AS (SELECT DISTINCT host FROM cdx UNION SELECT host FROM (VALUES " +
+        graft.ops.Psl.hostsDuck + ") AS p(host)), " +
+        "rules(pattern, is_exc, rule_n, ps_n) AS (VALUES " + graft.ops.Psl.rulesDuck() + "), " +
+        "lab AS (SELECT host, string_split(host, '.') AS labels, " +
+        "len(string_split(host, '.')) AS n FROM hosts), " +
+        "cand AS (SELECT host, n, i, array_to_string(labels[i:], '.') AS suffix, " +
+        "CASE WHEN i < n THEN '*.' || array_to_string(labels[i+1:], '.') END AS wild " +
+        "FROM (SELECT *, unnest(range(1, n+1)) AS i FROM lab)), " +
+        "m AS (SELECT c.host, r.is_exc, r.rule_n, r.ps_n, r.pattern FROM cand c " +
+        "JOIN rules r ON c.suffix = r.pattern OR c.wild = r.pattern), " +
+        "best AS (SELECT host, ps_n FROM (SELECT *, row_number() OVER (" +
+        "PARTITION BY host ORDER BY is_exc DESC, rule_n DESC, pattern DESC) AS rn FROM m) " +
+        "WHERE rn = 1) " +
+        "SELECT l.host, array_to_string(l.labels[l.n - coalesce(b.ps_n, 1) + 1:], '.') AS public_suffix, " +
+        "CASE WHEN l.n > coalesce(b.ps_n, 1) " +
+        "THEN array_to_string(l.labels[l.n - coalesce(b.ps_n, 1):], '.') END AS registered_domain " +
+        "FROM lab l LEFT JOIN best b USING (host) ORDER BY l.host"),
     "filter_null_safe" -> o(
       "SELECT id, coalesce(redirect, '-') AS redirect_c, coalesce(robotflags, '-') AS robot_c " +
         "FROM cdx WHERE redirect IS NOT DISTINCT FROM robotflags ORDER BY id"),

@@ -469,6 +469,31 @@ object Llm extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // Leakage-safe train/val/test split: the assignment hashes the
+    // near-dup CLUSTER id, not the doc id, so two near-duplicates can
+    // never straddle train and eval — the contamination mode a naive
+    // per-doc split bakes in. Same deterministic chain-edge graph as
+    // dedup_cluster_resolve (so DuckDB can oracle the fixpoint); the
+    // split is the md5-uniform idiom (pure integer compares, engine-
+    // portable) at 90/5/5. Shape: cluster resolve + one map-side
+    // projection — nothing beyond the resolve's own shuffles.
+    "corpus_split_leakage_safe" -> ((s, d) => {
+      val ids = Tables.t(s, d, "documents").select(col("doc_id"))
+      val edges = ids.filter(col("doc_id") % 5 =!= 4)
+        .select(col("doc_id").as("a"), (col("doc_id") + 1).as("b"))
+        .join(ids.select(col("doc_id").as("b")), Seq("b"), "left_semi")
+      graft.ops.Dedup.resolveClusters(ids.select(col("doc_id").as("v")), edges)
+        .select(col("v").as("doc_id"), col("rep").as("cluster_id"))
+        .withColumn("u",
+          conv(substring(md5(concat(col("cluster_id").cast("string"), lit(":split"))), 1, 8),
+            16, 10).cast("long"))
+        .select(col("doc_id"), col("cluster_id"),
+          when(col("u") % 100 < 90, "train")
+            .when(col("u") % 100 < 95, "val")
+            .otherwise("test").as("split"))
+        .orderBy("doc_id")
+    }),
+
     // Corpus-relative quality filtering: keep docs at or above their
     // language's p25 quality. The 100 TB shape matters more than the
     // score: the per-language thresholds are ONE tiny aggregation
@@ -1070,6 +1095,22 @@ object Llm extends QueryModule {
         "SELECT s.b, reach.r FROM reach JOIN sym s ON s.a = reach.v) " +
         "SELECT v AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id " +
         "FROM reach GROUP BY v ORDER BY doc_id"),
+    // same fixpoint, then the md5-uniform split keyed on cluster_id
+    "corpus_split_leakage_safe" ->
+      ("WITH RECURSIVE edges AS (" +
+        "SELECT d.doc_id AS a, d.doc_id + 1 AS b FROM documents d " +
+        "WHERE d.doc_id % 5 <> 4 AND EXISTS (SELECT 1 FROM documents x WHERE x.doc_id = d.doc_id + 1)), " +
+        "sym AS (SELECT a, b FROM edges UNION ALL SELECT b AS a, a AS b FROM edges), " +
+        "reach(v, r) AS (" +
+        "SELECT doc_id, doc_id FROM documents " +
+        "UNION " +
+        "SELECT s.b, reach.r FROM reach JOIN sym s ON s.a = reach.v), " +
+        "cl AS (SELECT v AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id FROM reach GROUP BY v) " +
+        "SELECT doc_id, cluster_id, CASE WHEN u % 100 < 90 THEN 'train' " +
+        "WHEN u % 100 < 95 THEN 'val' ELSE 'test' END AS split FROM (" +
+        "SELECT doc_id, cluster_id, " +
+        "CAST('0x' || substring(md5(CAST(cluster_id AS VARCHAR) || ':split'), 1, 8) AS BIGINT) AS u " +
+        "FROM cl) ORDER BY doc_id"),
     "sim_cosine_topk" ->
       ("SELECT vec_id, label, round(list_cosine_similarity(embedding::DOUBLE[], " +
         "(SELECT embedding FROM embeddings WHERE vec_id = 0)::DOUBLE[]), 6) AS cos " +

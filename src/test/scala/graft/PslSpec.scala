@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Psl
+
+/** Closed-form pins for the publicsuffix.org precedence arms
+  * ([[graft.ops.Psl]]) and the revisit/split contract properties the
+  * DuckDB oracles check only by replay. */
+class PslSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("registeredDomain: every PSL precedence arm") {
+    val out = Psl.registeredDomain(Psl.fixtureHosts.toDF("host"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getString(1), Option(r.getString(2))))
+      .toMap
+    // wildcard rule: one label under *.wild.test is part of the suffix
+    assert(out("a.b.wild.test") == ("b.wild.test", Some("a.b.wild.test")))
+    // a host that IS a wildcard-matched suffix has no registered domain
+    assert(out("b.wild.test") == ("b.wild.test", None))
+    // exception beats the wildcard: suffix drops the exception's 1st label
+    assert(out("free.wild.test") == ("wild.test", Some("free.wild.test")))
+    assert(out("sub.free.wild.test") == ("wild.test", Some("free.wild.test")))
+    // multi-label (ccSLD-style) listed suffix
+    assert(out("x.city.test") == ("city.test", Some("x.city.test")))
+    assert(out("city.test") == ("city.test", None))
+    // no rule matches -> implicit default '*': top label is the suffix
+    assert(out("unknown.zz") == ("zz", Some("unknown.zz")))
+    assert(out("zz") == ("zz", None))
+  }
+
+  test("registeredDomain: longest listed suffix beats shorter ('org' vs 'example.org')") {
+    val out = Psl.registeredDomain(Seq("www.a.example.org", "a.example.org", "mirror.org").toDF("host"))
+      .collect().map(r => r.getString(0) -> Option(r.getString(2))).toMap
+    assert(out("www.a.example.org").contains("a.example.org"))
+    assert(out("a.example.org").contains("a.example.org"))
+    assert(out("mirror.org").contains("mirror.org")) // only 'org' matches
+  }
+
+  test("cdx_revisit_generate: one original per digest, revisits refer to the time-first capture") {
+    val rows = SparkEntry.queries("cdx_revisit_generate")(spark, sfDir)
+    val perDigest = rows.groupBy("digest").agg(
+      sum(when(col("out_type") === "response", 1).otherwise(0)).as("n_orig"),
+      count(lit(1)).as("n"),
+      min(struct(col("ts"), col("out_type"))).as("first"))
+    // exactly one stored original per digest, and it is the earliest row
+    assert(perDigest.where(col("n_orig") =!= 1).count() == 0)
+    assert(perDigest.where(col("first.out_type") =!= "response").count() == 0)
+    // every revisit's refers_to_ts equals its digest's original ts
+    val orig = rows.where(col("out_type") === "response")
+      .select(col("digest"), col("ts").as("o_ts"))
+    val bad = rows.where(col("out_type") === "revisit")
+      .join(orig, "digest")
+      .where(col("refers_to_ts") =!= col("o_ts") || col("refers_to_url").isNull)
+    assert(bad.count() == 0)
+  }
+
+  test("corpus_split_leakage_safe: no cluster straddles splits; fractions are sane") {
+    val s = SparkEntry.queries("corpus_split_leakage_safe")(spark, "/root/testdata/sf0.01")
+    s.cache()
+    val straddling = s.select("cluster_id", "split").distinct()
+      .groupBy("cluster_id").count().where(col("count") > 1).count()
+    assert(straddling == 0, "a near-dup cluster was split across train/eval")
+    val n = s.count().toDouble
+    val train = s.where(col("split") === "train").count() / n
+    assert(train > 0.75 && train < 1.0, s"train fraction $train implausible for 90%")
+    s.unpersist()
+  }
+}
