@@ -56,7 +56,7 @@ object Warc {
     finally out.close()
   }
 
-  private def renderRecord(r: FixtureRecord): Array[Byte] = {
+  private[formats] def renderRecord(r: FixtureRecord): Array[Byte] = {
     val isResponse = r.recordType == "response"
     val block: Array[Byte] =
       if (isResponse) {

@@ -1,0 +1,107 @@
+package graft.formats
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed WARC writer — the container-format direction the reader
+  * ([[Warc.scan]]) consumes, so a pipeline can re-package a curated
+  * corpus back into the interchange format the whole web-archive
+  * ecosystem (warcio/pywb, reference recon SURVEY §1.1) reads. One
+  * `.warc.gz` per input shard; each record is its OWN gzip member (the
+  * seekable convention CDX `offset`/`length` columns point into — a
+  * reader can range-request one record), with WARC/1.0 response records
+  * carrying a full HTTP head and a writer-computed
+  * `WARC-Payload-Digest: sha1:<base32>` (the warcio contract; digest
+  * helper shared with the CDX surface, [[graft.functions.SurtAlg.base32]]).
+  *
+  * Scale notes: parallelism is per shard (repartition on `shard` — pick
+  * shard cardinality ≈ desired file count); each task STREAMS its sorted
+  * group through one output, so memory is O(1 record), never O(file).
+  * Publish uses the CdxSink/ZipNumWrite attempt-isolation discipline:
+  * write to an attempt-keyed `.tmp`, rename into place on roll, so a
+  * speculative or zombie attempt can never truncate a winner's gzip.
+  */
+object WarcSink {
+
+  /** `crawl/seg-3/warc-17.warc.gz` -> `warc-17.warc.gz` */
+  private def warcName(shard: String): String = {
+    val base = shard.substring(shard.lastIndexOf('/') + 1)
+    if (base.endsWith(".warc.gz")) base else base + ".warc.gz"
+  }
+
+  private def iso(ts14: String): String =
+    s"${ts14.substring(0, 4)}-${ts14.substring(4, 6)}-${ts14.substring(6, 8)}T" +
+      s"${ts14.substring(8, 10)}:${ts14.substring(10, 12)}:${ts14.substring(12, 14)}Z"
+
+  /** Write `df` (columns: shard, url, ts [14-digit], status, mime,
+    * payload [binary]) as one `<shard-base>.warc.gz` per distinct shard
+    * under `dir`, one gzip member per response record. Shard base names
+    * must be distinct across shard values (they name the output files).
+    */
+  def write(df: DataFrame, dir: String): Unit = {
+    val need = Seq("shard", "url", "ts", "status", "mime", "payload")
+    require(need.forall(df.columns.contains),
+      s"WarcSink.write needs [${need.mkString(", ")}]; got [${df.columns.mkString(", ")}]")
+    val spark = df.sparkSession
+    val dirPath = new Path(dir)
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(dirPath)) fs.delete(dirPath, true)
+    fs.mkdirs(dirPath)
+    val sconf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
+    df.select(need.map(col): _*)
+      .repartition(col("shard"))
+      .sortWithinPartitions("shard", "url", "ts", "status")
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        val pfs = org.apache.hadoop.fs.FileSystem.newInstance(
+          new Path(dir).toUri, sconf.value)
+        pfs.setWriteChecksum(false) // private instance — see CdxSink note
+        val fctx: Option[org.apache.hadoop.fs.FileContext] =
+          try Some(org.apache.hadoop.fs.FileContext.getFileContext(
+            new Path(dir).toUri, sconf.value))
+          catch { case _: org.apache.hadoop.fs.UnsupportedFileSystemException => None }
+        val attempt = Option(org.apache.spark.TaskContext.get())
+          .map(tc => s"${tc.partitionId()}-${tc.taskAttemptId()}")
+          .getOrElse(java.util.UUID.randomUUID().toString)
+        val sha1 = java.security.MessageDigest.getInstance("SHA-1")
+        var current: String = null
+        var out: java.io.OutputStream = null
+        def close(): Unit = if (out != null) {
+          out.close(); out = null
+          val tmp = new Path(dir, s".${warcName(current)}.$attempt.tmp")
+          val fin = new Path(dir, warcName(current))
+          fctx match {
+            case Some(fc) => // atomicity caveats identical to CdxSink
+              fc.rename(tmp, fin, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+            case None =>
+              if (!pfs.rename(tmp, fin)) {
+                pfs.delete(fin, false)
+                require(pfs.rename(tmp, fin),
+                  s"could not publish ${fin.getName} from ${tmp.getName}")
+              }
+          }
+        }
+        try {
+          it.foreach { row =>
+            val shard = row.getString(0)
+            if (shard != current) {
+              close()
+              current = shard
+              out = pfs.create(new Path(dir, s".${warcName(shard)}.$attempt.tmp"), true)
+            }
+            val payload = row.getAs[Array[Byte]]("payload")
+            sha1.reset()
+            val digest = graft.functions.SurtAlg.base32(sha1.digest(payload))
+            val rec = Warc.renderRecord(Warc.FixtureRecord(
+              "response", row.getString(1), iso(row.getString(2)), digest,
+              row.getInt(3), row.getString(4), payload))
+            Gzip.writeMember(out, rec)
+          }
+          close()
+        } finally {
+          if (out != null) out.close()
+          try pfs.close() catch { case _: Throwable => }
+        }
+      }
+  }
+}

@@ -633,6 +633,31 @@ object Formats extends QueryModule {
         .orderBy("value")
     }),
 
+    // Distributed WARC WRITER round trip: re-package response captures
+    // (deterministic payloads) as per-shard .warc.gz via WarcSink, then
+    // read back through the INDEPENDENT Warc.scan — what comes out the
+    // reader is the correctness evidence for the writer (record framing,
+    // gzip member boundaries, HTTP head, WARC-Date<->ts14, payload
+    // bytes). The oracle replays url/ts/status/mime/payload-sha256
+    // straight from the cdx CTE; the writer-computed sha1-b32
+    // WARC-Payload-Digest is pinned separately in WarcSpec (DuckDB has
+    // no base32). orderBy covers every column: (url, ts) is not unique
+    // by construction, but full-row duplicates are order-insensitive.
+    "sink_warc_write" -> ((s, d) => {
+      val dir = tmp(d, "warc_write")
+      graft.formats.WarcSink.write(
+        Cdx.df(s, d).where(col("record_type") === "response")
+          .selectExpr("filename AS shard", "url", "ts", "status", "mime",
+            "CAST(concat('payload:', urlkey, '@', ts) AS BINARY) AS payload"),
+        dir)
+      Warc.scan(s, dir + "/*.warc.gz")
+        .where(col("record_type") === "response")
+        .select(col("url"), col("ts"), col("status"), col("mime"),
+          length(col("payload")).as("n_bytes"),
+          sha2(col("payload"), 256).as("body_sha256"))
+        .orderBy("url", "ts", "status", "mime", "body_sha256")
+    }),
+
     // classic CDX-11 emit (the cdxj=False output dialect)
     "cdx11_pack" -> ((s, d) =>
       Cdx.df(s, d)
@@ -786,6 +811,12 @@ object Formats extends QueryModule {
     "sink_warc_cdx" -> o(
       "SELECT regexp_replace(regexp_extract(filename, '[^/]+$'), '\\.warc\\.gz$', '.cdx.gz') AS cdx_name, " +
         s"$lineExprDuck AS value FROM cdx ORDER BY value"),
+    "sink_warc_write" -> o(
+      "SELECT url, ts, status, mime, " +
+        "CAST(length('payload:' || urlkey || '@' || ts) AS INTEGER) AS n_bytes, " +
+        "sha256('payload:' || urlkey || '@' || ts) AS body_sha256 " +
+        "FROM cdx WHERE record_type = 'response' " +
+        "ORDER BY url, ts, status, mime, body_sha256"),
     "cdx11_pack" -> o(
       s"SELECT id, $cdx11LineDuck AS line FROM " +
         s"(SELECT *, $boffsetDuck AS boffset FROM cdx) ORDER BY id"),

@@ -317,4 +317,38 @@ class WarcSpec extends SparkSpec {
       assert(rows(3).getLong(2) > rows(0).getLong(2))
     }
   }
+
+  test("WarcSink: writer-computed sha1-b32 digest and one-gzip-member-per-record framing") {
+    import org.apache.spark.sql.functions._
+    val dir = "/tmp/graft_test/warcsink"
+    val recs = Seq(
+      ("s/a.warc.gz", "http://example.com/x", "20240102030405", 200, "text/html", "alpha".getBytes("UTF-8")),
+      ("s/a.warc.gz", "http://example.com/y", "20240102030406", 404, "text/plain", "bravo!".getBytes("UTF-8")),
+      ("s/b.warc.gz", "http://example.com/z", "20240102030407", 200, "text/html", Array.emptyByteArray))
+    graft.formats.WarcSink.write(
+      spark.createDataFrame(recs).toDF("shard", "url", "ts", "status", "mime", "payload"), dir)
+    val back = Warc.scan(spark, dir + "/*.warc.gz")
+      .select("url", "ts", "status", "mime", "digest", "payload", "offset", "filename")
+      .orderBy("url").collect()
+    assert(back.map(_.getString(0)).toSeq ==
+      Seq("http://example.com/x", "http://example.com/y", "http://example.com/z"))
+    // ts14 <-> WARC-Date round trip and HTTP head fields
+    assert(back.map(_.getString(1)).toSeq ==
+      Seq("20240102030405", "20240102030406", "20240102030407"))
+    assert(back.map(_.getInt(2)).toSeq == Seq(200, 404, 200))
+    // the digest in the file is the writer's own sha1-b32 of the payload
+    val sha1 = java.security.MessageDigest.getInstance("SHA-1")
+    back.foreach { r =>
+      sha1.reset()
+      val expect = graft.functions.SurtAlg.base32(sha1.digest(r.getAs[Array[Byte]]("payload")))
+      assert(r.getString(4) == expect, s"digest mismatch for ${r.getString(0)}")
+    }
+    // payload bytes survive, including the empty payload
+    assert(new String(back(0).getAs[Array[Byte]]("payload"), "UTF-8") == "alpha")
+    assert(back(2).getAs[Array[Byte]]("payload").isEmpty)
+    // one gzip member per record: a.warc.gz's two records have DISTINCT
+    // member offsets (the seekable re-fetch contract)
+    val aOffs = back.filter(_.getString(7) == "a.warc.gz").map(_.getLong(6))
+    assert(aOffs.length == 2 && aOffs.distinct.length == 2)
+  }
 }
