@@ -75,6 +75,7 @@ object Plans {
     "url_registered_domain" -> "runs on the DISTINCT host table (O(hosts) << corpus): bounded suffix explode (≤|labels|), rule table broadcast on both match forms as two equi legs (never an OR nested-loop), winner window over host",
     "corpus_split_leakage_safe" -> "cluster resolve's own pointer-jumping shuffles only; the split assignment is a map-side md5 projection on the cluster id — leakage safety costs zero extra exchanges",
     "sink_warc_write" -> "write: ONE shuffle to co-locate shards, each task streams its sorted group O(1)-memory through gzip members with attempt-isolated publish; read-back is the WARC scan's per-file parallelism",
+    "scan_sitemap" -> "index child-list is a bounded explode broadcast-joined to the sitemap corpus on name; per-sitemap URL extraction is one map-side explode+projection (files spec-capped at 50k URLs) — nothing global",
     "stream_host_status" -> "MapState per-host class counts: one exchange on host into TransformWithStateExec; per-class point reads/writes, state O(hosts*4)",
     "stream_session_flush" -> "event-time-timer sessionizer batch-run: one exchange on user_id into TransformWithStateExec; state O(active keys)*3 longs, open sessions flushed by the end-of-batch timer sweep",
     "cdx_timemap" -> "TimeMap link lines: hottest-key anchor rides as a broadcast scalar; window over ONE urlkey's rows, idx-pruned scan below it",

@@ -633,6 +633,16 @@ object Formats extends QueryModule {
         .orderBy("value")
     }),
 
+    // sitemaps.org two-level expansion over the fixture corpus: index ->
+    // child urlsets -> (loc, lastmod, changefreq, priority); the missing
+    // child contributes nothing, the orphan urlset is never read
+    "scan_sitemap" -> ((s, _) => {
+      import s.implicits._
+      graft.ops.Sitemap.expand(
+        graft.ops.Sitemap.fixture.toDF("name", "xml"), "sitemap_index.xml")
+        .orderBy("sitemap", "loc")
+    }),
+
     // Distributed WARC WRITER round trip: re-package response captures
     // (deterministic payloads) as per-shard .warc.gz via WarcSink, then
     // read back through the INDEPENDENT Warc.scan — what comes out the
@@ -811,6 +821,17 @@ object Formats extends QueryModule {
     "sink_warc_cdx" -> o(
       "SELECT regexp_replace(regexp_extract(filename, '[^/]+$'), '\\.warc\\.gz$', '.cdx.gz') AS cdx_name, " +
         s"$lineExprDuck AS value FROM cdx ORDER BY value"),
+    "scan_sitemap" -> (
+      "WITH ch AS (SELECT regexp_extract(block, '(?s)<loc>(.*?)</loc>', 1) AS sitemap " +
+        "FROM (SELECT unnest(regexp_extract_all(xml, '(?s)<sitemap>(.*?)</sitemap>', 1)) AS block " +
+        s"FROM ${graft.ops.Sitemap.fixtureDuck} WHERE name = 'sitemap_index.xml')), " +
+        "u AS (SELECT sitemap, unnest(regexp_extract_all(xml, '(?s)<url>(.*?)</url>', 1)) AS block " +
+        s"FROM ch JOIN ${graft.ops.Sitemap.fixtureDuck} ON sitemap = name) " +
+        "SELECT sitemap, regexp_extract(block, '(?s)<loc>(.*?)</loc>', 1) AS loc, " +
+        "nullif(regexp_extract(block, '(?s)<lastmod>(.*?)</lastmod>', 1), '') AS lastmod, " +
+        "nullif(regexp_extract(block, '(?s)<changefreq>(.*?)</changefreq>', 1), '') AS changefreq, " +
+        "CAST(nullif(regexp_extract(block, '(?s)<priority>(.*?)</priority>', 1), '') AS DOUBLE) AS priority " +
+        "FROM u ORDER BY sitemap, loc"),
     "sink_warc_write" -> o(
       "SELECT url, ts, status, mime, " +
         "CAST(length('payload:' || urlkey || '@' || ts) AS INTEGER) AS n_bytes, " +

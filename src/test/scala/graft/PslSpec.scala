@@ -4,8 +4,8 @@ import org.apache.spark.sql.functions._
 import graft.ops.Psl
 
 /** Closed-form pins for the publicsuffix.org precedence arms
-  * ([[graft.ops.Psl]]) and the revisit/split contract properties the
-  * DuckDB oracles check only by replay. */
+  * ([[graft.ops.Psl]]) and the revisit / split / sitemap contract
+  * properties the DuckDB oracles check only by replay. */
 class PslSpec extends SparkSpec {
   import spark.implicits._
 
@@ -53,6 +53,17 @@ class PslSpec extends SparkSpec {
       .join(orig, "digest")
       .where(col("refers_to_ts") =!= col("o_ts") || col("refers_to_url").isNull)
     assert(bad.count() == 0)
+  }
+
+  test("scan_sitemap: expansion boundaries — missing child silent, orphan unread, fields nullable") {
+    val rows = SparkEntry.queries("scan_sitemap")(spark, sfDir).collect()
+    assert(rows.length == 5)
+    val bySm = rows.groupBy(_.getString(0)).view.mapValues(_.length).toMap
+    assert(bySm == Map("sitemap_a.xml" -> 3, "sitemap_b.xml" -> 2)) // no missing/orphan rows
+    val full = rows.find(_.getString(1).endsWith("/order/1")).get
+    assert(full.getString(2) == "2024-02-01" && full.getString(3) == "daily" && full.getDouble(4) == 0.8)
+    val bare = rows.find(_.getString(1) == "http://www.high.example.org/").get
+    assert(bare.isNullAt(2) && bare.isNullAt(3) && bare.isNullAt(4))
   }
 
   test("corpus_split_leakage_safe: no cluster straddles splits; fractions are sane") {
