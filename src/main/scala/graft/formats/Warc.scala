@@ -60,7 +60,10 @@ object Warc {
     val isResponse = r.recordType == "response"
     val block: Array[Byte] =
       if (isResponse) {
-        val head = s"HTTP/1.1 ${r.status} OK\r\nContent-Type: ${r.mime}\r\n" +
+        // a null mime omits the Content-Type line (the capture had none)
+        // rather than writing the literal string "null" into the head
+        val head = s"HTTP/1.1 ${r.status} OK\r\n" +
+          Option(r.mime).map(m => s"Content-Type: $m\r\n").getOrElse("") +
           s"Content-Length: ${r.payload.length}\r\n\r\n"
         head.getBytes(UTF_8) ++ r.payload
       } else r.payload
@@ -68,7 +71,13 @@ object Warc {
       if (isResponse) "application/http; msgtype=response"
       else if (r.recordType == "conversion") "text/plain" // WET convention
       else "application/octet-stream"
-    val headerLines = Seq("WARC/1.0", s"WARC-Type: ${r.recordType}") ++
+    // WARC-Record-ID is MANDATORY on every record (ISO 28500 §5.2);
+    // name-based UUID over the identifying fields keeps output
+    // deterministic — only byte-identical records share an id
+    val rid = java.util.UUID.nameUUIDFromBytes(
+      s"${r.recordType}|${r.url}|${r.isoDate}|${r.digest}".getBytes(UTF_8))
+    val headerLines = Seq("WARC/1.0", s"WARC-Type: ${r.recordType}",
+      s"WARC-Record-ID: <urn:uuid:$rid>") ++
       Option(r.url).map(u => s"WARC-Target-URI: $u") ++
       Seq(
         s"WARC-Date: ${r.isoDate}",

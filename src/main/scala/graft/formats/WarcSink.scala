@@ -34,11 +34,13 @@ object WarcSink {
     s"${ts14.substring(0, 4)}-${ts14.substring(4, 6)}-${ts14.substring(6, 8)}T" +
       s"${ts14.substring(8, 10)}:${ts14.substring(10, 12)}:${ts14.substring(12, 14)}Z"
 
-  /** Write `df` (columns: shard, url, ts [14-digit], status, mime,
-    * payload [binary]) as one `<shard-base>.warc.gz` per distinct shard
-    * under `dir`, one gzip member per response record. Shard base names
-    * must be distinct across shard values (they name the output files).
-    */
+  /** Write `df` (columns: shard, url, ts [14-digit non-null], status,
+    * mime, payload [binary]) as one `<shard-base>.warc.gz` per distinct
+    * shard under `dir`, one gzip member per record. Rows with a null
+    * status become `resource` records (content without a protocol
+    * envelope); null payloads write as empty; a null mime omits the
+    * HTTP Content-Type line. Shard base names must be distinct across
+    * shard values (they name the output files). */
   def write(df: DataFrame, dir: String): Unit = {
     val need = Seq("shard", "url", "ts", "status", "mime", "payload")
     require(need.forall(df.columns.contains),
@@ -89,12 +91,21 @@ object WarcSink {
               current = shard
               out = pfs.create(new Path(dir, s".${warcName(shard)}.$attempt.tmp"), true)
             }
-            val payload = row.getAs[Array[Byte]]("payload")
+            require(!row.isNullAt(2), s"WarcSink: null ts for url=${row.getString(1)}")
+            // a curated corpus read back via Warc.scan can carry null
+            // status/mime/payload (malformed HTTP heads parse to nulls):
+            // no status -> a `resource` record (content without protocol
+            // envelope, spec-legal), null payload -> empty bytes, null
+            // mime -> renderRecord omits the Content-Type line
+            val payload = Option(row.getAs[Array[Byte]]("payload"))
+              .getOrElse(Array.emptyByteArray)
+            val isResp = !row.isNullAt(3)
             sha1.reset()
             val digest = graft.functions.SurtAlg.base32(sha1.digest(payload))
             val rec = Warc.renderRecord(Warc.FixtureRecord(
-              "response", row.getString(1), iso(row.getString(2)), digest,
-              row.getInt(3), row.getString(4), payload))
+              if (isResp) "response" else "resource",
+              row.getString(1), iso(row.getString(2)), digest,
+              if (isResp) row.getInt(3) else 0, row.getString(4), payload))
             Gzip.writeMember(out, rec)
           }
           close()

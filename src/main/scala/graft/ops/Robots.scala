@@ -92,14 +92,17 @@ object Robots {
     * exist for the host, otherwise the `*` group(s) — groups with the
     * same chosen agent merge (RFC 9309 §2.2.1). */
   def applicable(texts: DataFrame, agent: String): DataFrame = {
+    // product tokens compare case-insensitively (RFC 9309 §2.2.1) —
+    // stored agents are already lowercased by [[directives]]
+    val ag = agent.toLowerCase(java.util.Locale.ROOT)
     val d = directives(texts)
     val a = agents(d)
-    val spec = a.where(col("agent").isin(agent, "*"))
+    val spec = a.where(col("agent").isin(ag, "*"))
       .groupBy("host")
-      .agg(max(when(col("agent") === agent, 1).otherwise(0)).as("spec"))
+      .agg(max(when(col("agent") === ag, 1).otherwise(0)).as("spec"))
     rules(d).join(a, Seq("host", "block"))
       .join(spec, Seq("host"))
-      .where(col("agent") === when(col("spec") === 1, agent).otherwise("*"))
+      .where(col("agent") === when(col("spec") === 1, ag).otherwise("*"))
       .select("host", "rule", "path")
   }
 

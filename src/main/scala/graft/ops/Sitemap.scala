@@ -32,7 +32,12 @@ object Sitemap {
       .select(explode(
         regexp_extract_all(col("xml"), lit("(?s)<sitemap>(.*?)</sitemap>"), lit(1)))
         .as("block"))
-      .select(regexp_extract(col("block"), "(?s)<loc>(.*?)</loc>", 1).as("sitemap"))
+      .select(wstrip(regexp_extract(col("block"), "(?s)<loc>(.*?)</loc>", 1)).as("sitemap"))
+
+  /** Whitespace strip — NOT `trim`, which in Spark AND DuckDB removes
+    * only 0x20 spaces; pretty-printed `<loc>` content carries newlines. */
+  private def wstrip(c: org.apache.spark.sql.Column) =
+    regexp_replace(c, "^\\s+|\\s+$", "")
 
   /** Expand index -> child sitemaps -> URL entries:
     * `(sitemap, loc, lastmod, changefreq, priority)`. Children named by
@@ -40,7 +45,7 @@ object Sitemap {
     * fetch layer's miss, not the parser's). */
   def expand(texts: DataFrame, indexName: String): DataFrame = {
     def field(tag: String) =
-      nullif(regexp_extract(col("block"), s"(?s)<$tag>(.*?)</$tag>", 1), lit(""))
+      nullif(wstrip(regexp_extract(col("block"), s"(?s)<$tag>(.*?)</$tag>", 1)), lit(""))
     children(texts, indexName)
       .join(texts, col("sitemap") === col("name"))
       .select(col("sitemap"), explode(
@@ -48,23 +53,25 @@ object Sitemap {
         .as("block"))
       .select(
         col("sitemap"),
-        regexp_extract(col("block"), "(?s)<loc>(.*?)</loc>", 1).as("loc"),
+        wstrip(regexp_extract(col("block"), "(?s)<loc>(.*?)</loc>", 1)).as("loc"),
         field("lastmod").as("lastmod"),
         field("changefreq").as("changefreq"),
         field("priority").cast("double").as("priority"))
   }
 
   /** Fixture: an index naming two present children plus one the fetch
-    * missed; a multi-line urlset with every optional-field combination;
-    * and an orphan urlset no index references (must contribute nothing).
-    */
+    * missed; a multi-line urlset with every optional-field combination
+    * (including pretty-printed whitespace INSIDE `<loc>` — the dominant
+    * real-world shape, which must trim away or the child join silently
+    * drops the sitemap); and an orphan urlset no index references (must
+    * contribute nothing). */
   val fixture: Seq[(String, String)] = Seq(
     "sitemap_index.xml" ->
-      ("<sitemapindex>\n  <sitemap>\n    <loc>sitemap_a.xml</loc>\n    <lastmod>2024-01-05</lastmod>\n  </sitemap>\n" +
+      ("<sitemapindex>\n  <sitemap>\n    <loc>\n      sitemap_a.xml\n    </loc>\n    <lastmod>2024-01-05</lastmod>\n  </sitemap>\n" +
         "  <sitemap><loc>sitemap_b.xml</loc></sitemap>\n" +
         "  <sitemap><loc>sitemap_missing.xml</loc></sitemap>\n</sitemapindex>"),
     "sitemap_a.xml" ->
-      ("<urlset>\n<url>\n  <loc>http://www.urgent.example.org/order/1</loc>\n" +
+      ("<urlset>\n<url>\n  <loc>\n    http://www.urgent.example.org/order/1\n  </loc>\n" +
         "  <lastmod>2024-02-01</lastmod>\n  <changefreq>daily</changefreq>\n  <priority>0.8</priority>\n</url>\n" +
         "<url><loc>http://www.urgent.example.org/order/2</loc><priority>0.5</priority></url>\n" +
         "<url><loc>http://www.high.example.org/</loc></url>\n</urlset>"),

@@ -249,8 +249,11 @@ object CdxOps extends QueryModule {
     // host->domain table; the key measures the distinct-host derivation.
     "url_registered_domain" -> ((s, d) => {
       import s.implicits._
-      val hosts = Cdx.df(s, d).select("host").distinct()
+      // distinct AFTER the union: the oracle's UNION dedupes, so a
+      // fixture host overlapping the corpus must not double a row here
+      val hosts = Cdx.df(s, d).select("host")
         .unionByName(graft.ops.Psl.fixtureHosts.toDF("host"))
+        .distinct()
       graft.ops.Psl.registeredDomain(hosts).orderBy("host")
     })
   )

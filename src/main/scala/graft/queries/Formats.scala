@@ -821,16 +821,19 @@ object Formats extends QueryModule {
     "sink_warc_cdx" -> o(
       "SELECT regexp_replace(regexp_extract(filename, '[^/]+$'), '\\.warc\\.gz$', '.cdx.gz') AS cdx_name, " +
         s"$lineExprDuck AS value FROM cdx ORDER BY value"),
+    // ws() mirrors Sitemap.wstrip — plain trim() strips only 0x20 in
+    // BOTH engines and would (consistently, wrongly) drop pretty-printed
+    // <loc> children on the newline
     "scan_sitemap" -> (
-      "WITH ch AS (SELECT regexp_extract(block, '(?s)<loc>(.*?)</loc>', 1) AS sitemap " +
+      "WITH ch AS (SELECT regexp_replace(regexp_extract(block, '(?s)<loc>(.*?)</loc>', 1), '^\\s+|\\s+$', '', 'g') AS sitemap " +
         "FROM (SELECT unnest(regexp_extract_all(xml, '(?s)<sitemap>(.*?)</sitemap>', 1)) AS block " +
         s"FROM ${graft.ops.Sitemap.fixtureDuck} WHERE name = 'sitemap_index.xml')), " +
         "u AS (SELECT sitemap, unnest(regexp_extract_all(xml, '(?s)<url>(.*?)</url>', 1)) AS block " +
         s"FROM ch JOIN ${graft.ops.Sitemap.fixtureDuck} ON sitemap = name) " +
-        "SELECT sitemap, regexp_extract(block, '(?s)<loc>(.*?)</loc>', 1) AS loc, " +
-        "nullif(regexp_extract(block, '(?s)<lastmod>(.*?)</lastmod>', 1), '') AS lastmod, " +
-        "nullif(regexp_extract(block, '(?s)<changefreq>(.*?)</changefreq>', 1), '') AS changefreq, " +
-        "CAST(nullif(regexp_extract(block, '(?s)<priority>(.*?)</priority>', 1), '') AS DOUBLE) AS priority " +
+        "SELECT sitemap, regexp_replace(regexp_extract(block, '(?s)<loc>(.*?)</loc>', 1), '^\\s+|\\s+$', '', 'g') AS loc, " +
+        "nullif(regexp_replace(regexp_extract(block, '(?s)<lastmod>(.*?)</lastmod>', 1), '^\\s+|\\s+$', '', 'g'), '') AS lastmod, " +
+        "nullif(regexp_replace(regexp_extract(block, '(?s)<changefreq>(.*?)</changefreq>', 1), '^\\s+|\\s+$', '', 'g'), '') AS changefreq, " +
+        "CAST(nullif(regexp_replace(regexp_extract(block, '(?s)<priority>(.*?)</priority>', 1), '^\\s+|\\s+$', '', 'g'), '') AS DOUBLE) AS priority " +
         "FROM u ORDER BY sitemap, loc"),
     "sink_warc_write" -> o(
       "SELECT url, ts, status, mime, " +

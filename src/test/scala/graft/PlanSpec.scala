@@ -425,12 +425,22 @@ class PlanSpec extends SparkSpec {
       s"rule chain must stay in codegen:\n$p")
   }
 
-  test("robots_check: rules broadcast, single corpus shuffle for the winner window, no cartesian") {
+  test("robots_check: winner window REUSES the captures-rules join exchange; no cartesian") {
     val df = SparkEntry.queries("robots_check")(spark, sfDir)
     df.collect()
     val p = df.queryExecution.explainString(ExplainMode.fromString("simple"))
-    info(p)
-    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    // rank pushdown: only each (host,id)'s top row survives the sort
+    assert(p.contains("WindowGroupLimit"), s"rank pushdown lost:\n$p")
+    // THE headline property: no Exchange between the winner window and
+    // the captures-rules join below it — the window's (host,id)
+    // clustering is satisfied by the join's HashPartitioning(host)
+    val lines = p.linesIterator.toIndexedSeq
+    val wi = lines.indexWhere(_.contains("row_number() windowspecdefinition(host"))
+    val ji = lines.indexWhere(l => l.contains("Join [host") && l.contains("StartsWith"), wi)
+    assert(wi >= 0 && ji > wi, s"expected window above the rules join:\n$p")
+    val between = lines.slice(wi + 1, ji).filter(_.contains("Exchange "))
+    assert(between.isEmpty, s"window no longer reuses the join exchange:\n$p")
   }
 
   test("stream_recent_k: ONE stateful exchange feeds TransformWithState, no second data shuffle") {

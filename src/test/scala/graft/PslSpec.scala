@@ -66,8 +66,13 @@ class PslSpec extends SparkSpec {
     assert(bare.isNullAt(2) && bare.isNullAt(3) && bare.isNullAt(4))
   }
 
+  // sf0.01 (500 docs / ~100 clusters), NOT the suite default sf0.001:
+  // the 90/5/5 fraction assertion needs enough clusters for statistical
+  // power (at 50 docs a single 10-doc cluster swings train by 20 points)
+  private val splitSfDir = "/root/testdata/sf0.01"
+
   test("corpus_split_leakage_safe: no cluster straddles splits; fractions are sane") {
-    val s = SparkEntry.queries("corpus_split_leakage_safe")(spark, "/root/testdata/sf0.01")
+    val s = SparkEntry.queries("corpus_split_leakage_safe")(spark, splitSfDir)
     s.cache()
     val straddling = s.select("cluster_id", "split").distinct()
       .groupBy("cluster_id").count().where(col("count") > 1).count()

@@ -32,7 +32,10 @@ class RobotsSpec extends SparkSpec {
     assert(rows.filter(_._1 == "www.low.example.org").map(_._2) == Set(3))
   }
 
-  test("check: specific group beats *, longest prefix wins within it") {
+  test("check: specific group beats *, longest prefix wins within it; agent match is case-insensitive") {
+    // RFC 9309 §2.2.1: 'GraftBot' must select the 'graftbot' group
+    val vCase = verdicts(Seq((9L, "www.urgent.example.org", "/order/9?x=1")), agent = "GraftBot")
+    assert(vCase(9L) == (true, None))
     val v = verdicts(Seq(
       (1L, "www.urgent.example.org", "/order/9?x=1"),   // graftbot group: no match -> allow (not *'s Disallow: /)
       (2L, "www.urgent.example.org", "/order/19?a=b"),  // Disallow /order/1
