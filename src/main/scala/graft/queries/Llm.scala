@@ -736,6 +736,38 @@ object Llm extends QueryModule {
     // nature (train, then score); the model rides as a BROADCAST (V rows),
     // the total-count scalar as a broadcast single-row relation — scoring
     // is map-side, the only data shuffle is the per-doc mean.
+    // Learned quality classifier, inference half — scoring the corpus
+    // under a FIXED rational weight vector over md5-hashed unigram
+    // buckets (graft.ops.Classifier). The logit numerator is an exact
+    // integer sum (order-free, no libm), so this is fully DuckDB-oracled
+    // down to the 6th decimal: it pins the featurize+score plumbing the
+    // trained model (text_quality_train) rides on. Map-side hashing +
+    // one per-doc agg — the full-corpus scoring shape.
+    "text_quality_infer" -> ((s, d) =>
+      graft.ops.Classifier.inferLiteral(Tables.t(s, d, "documents"))
+        .orderBy("doc_id")),
+
+    // Learned quality classifier, training half — distributed batch-GD
+    // logistic regression over hashed unigram features. Labels are a
+    // PLANTED linear rule (count('fast') > count('slow')) the model must
+    // recover; ClassifierSpec pins held-out accuracy. Output is the
+    // D=128 weight table (the driver-side model artifact, KMeans
+    // precedent); rows-only driver check, property-verified. Train docs
+    // = doc_id % 5 != 0 (the held-out fifth never touches training).
+    "text_quality_train" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.t(s, d, "documents").where(col("doc_id") % 5 =!= 0)
+      val labels = docs.select(col("doc_id"),
+        (size(filter(tokens(col("text")), t => t === "fast")) >
+          size(filter(tokens(col("text")), t => t === "slow"))).cast("int").as("y"))
+      val w = graft.ops.Classifier.train(
+        graft.ops.Classifier.features(docs), labels)
+      w.zipWithIndex
+        .map { case (wt, b) => (b, math.rint(wt * 1e6) / 1e6) }
+        .toSeq.toDF("bucket", "weight")
+        .orderBy("bucket")
+    }),
+
     "text_lm_score" -> ((s, d) => {
       val docs = Tables.t(s, d, "documents")
       val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
@@ -932,6 +964,17 @@ object Llm extends QueryModule {
         "FROM documents) " +
         "SELECT doc_id, n_chars, u FROM u, m " +
         "WHERE u * max_w * 8 < n_chars * 4294967296 ORDER BY doc_id"),
+    // same md5 bucket + same integer-numerator logit; k_b replayed
+    // arithmetically: ((b*37+11)%21)-10
+    "text_quality_infer" ->
+      (s"WITH toks AS (SELECT doc_id, unnest($tokensDuck) AS tok FROM documents), " +
+        "fb AS (SELECT doc_id, CAST(CAST('0x' || substring(md5(tok), 1, 4) AS BIGINT) % 128 AS INT) AS bucket, " +
+        "count(*) AS cnt FROM toks GROUP BY 1, 2) " +
+        "SELECT doc_id, " +
+        "round(CAST(sum((((bucket * 37 + 11) % 21) - 10) * cnt) AS DOUBLE) / " +
+        "CAST(sum(cnt) * 10 AS DOUBLE), 6) AS logit, " +
+        "sum((((bucket * 37 + 11) % 21) - 10) * cnt) >= 0 AS pred " +
+        "FROM fb GROUP BY doc_id ORDER BY doc_id"),
     "text_lm_score" ->
       (s"WITH toks AS (SELECT doc_id, unnest($tokensDuck) AS tok FROM documents), " +
         "counts AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok), " +
