@@ -70,12 +70,13 @@ object Warc {
     val contentType =
       if (isResponse) "application/http; msgtype=response"
       else if (r.recordType == "conversion") "text/plain" // WET convention
-      else "application/octet-stream"
+      else Option(r.mime).getOrElse("application/octet-stream")
     // WARC-Record-ID is MANDATORY on every record (ISO 28500 §5.2);
-    // name-based UUID over the identifying fields keeps output
-    // deterministic — only byte-identical records share an id
+    // name-based UUID over ALL identifying fields (status/mime included)
+    // keeps output deterministic — only byte-identical records share an id
     val rid = java.util.UUID.nameUUIDFromBytes(
-      s"${r.recordType}|${r.url}|${r.isoDate}|${r.digest}".getBytes(UTF_8))
+      s"${r.recordType}|${r.url}|${r.isoDate}|${r.digest}|${r.status}|${r.mime}"
+        .getBytes(UTF_8))
     val headerLines = Seq("WARC/1.0", s"WARC-Type: ${r.recordType}",
       s"WARC-Record-ID: <urn:uuid:$rid>") ++
       Option(r.url).map(u => s"WARC-Target-URI: $u") ++
@@ -285,8 +286,12 @@ object Warc {
       val digest = headers.get("warc-payload-digest").map(_.stripPrefix("sha1:")).orNull
       val isHttpResponse = recordType == "response" &&
         headers.getOrElse("content-type", "").startsWith("application/http")
+      // non-HTTP records (resource/conversion/metadata) carry their
+      // payload's mime in the WARC Content-Type header itself — surface
+      // it (pywb indexes it this way) instead of a blanket null
       val (status, mime, payload) =
-        if (isHttpResponse) parseHttp(body) else (null: Integer, null: String, body)
+        if (isHttpResponse) parseHttp(body)
+        else (null: Integer, headers.get("content-type").orNull, body)
       out += Row(recordType, url, ts, digest, status, mime, offset, length, filename, payload)
       pos = nextPos
     }

@@ -77,44 +77,46 @@ object Classifier {
   def train(feats: DataFrame, labels: DataFrame, iters: Int = 40, lr: Double = 0.7)
       : Array[Double] = {
     val spark = feats.sparkSession
-    // per-bucket RMS scaling (computed ONCE, D rows to the driver):
-    // column scales differ by orders of magnitude between hot and rare
-    // buckets, and unconditioned batch GD crawls on that ellipse
-    val raw = feats.join(labels, "doc_id")
+    import spark.implicits._
+    // ONE materialization: the feature/label join, hash-partitioned on
+    // doc_id (co-locates every doc's rows) and sorted (makes them
+    // contiguous for the partition passes below), persisted as a typed
+    // RDD. Everything downstream — the scaling pass and every GD
+    // iteration — is a single-stage mapPartitions + reduce over it (the
+    // MLlib GradientDescent shape: no shuffle, no plan rebuild, no
+    // leaked checkpoint blocks; per-iteration cost is pure compute).
+    val data = feats.join(labels, "doc_id")
       .select(col("doc_id"), col("bucket"),
         col("cnt").cast("double").as("x"), col("y").cast("double"))
-    val s = new Array[Double](D)
-    java.util.Arrays.fill(s, 1.0)
-    raw.groupBy("bucket").agg(sqrt(avg(col("x") * col("x"))).as("s"))
-      .collect().foreach(r => if (r.getDouble(1) > 0) s(r.getInt(0)) = r.getDouble(1))
-    val slit = array(s.map(lit): _*)
-    // scaled feature table, hash-partitioned on doc_id (co-locates every
-    // doc's rows) and sorted (makes them contiguous for the partition
-    // pass below); localCheckpoint MEASURABLY beats recomputing the
-    // explode/groupBy/join lineage when the RDD below materializes
-    val f = raw
-      .withColumn("x", col("x") / element_at(slit, col("bucket") + 1))
       .repartition(col("doc_id"))
       .sortWithinPartitions("doc_id")
-      .localCheckpoint()
-    val nDocs = labels.count().toDouble
-    // the iteration loop runs on a cached typed RDD, not per-iteration
-    // DataFrame jobs: each GD step is ONE single-stage mapPartitions +
-    // reduce (the MLlib GradientDescent shape). The hash repartition on
-    // doc_id above co-locates every doc's rows and the sort makes them
-    // contiguous, so the per-partition pass computes each doc's margin
-    // with a tiny row buffer and emits one D-double partial gradient —
-    // no shuffle, no codegen replan, per-iteration cost is pure compute.
-    import spark.implicits._
-    val data = f.select("doc_id", "bucket", "x", "y")
       .as[(Long, Int, Double, Double)].rdd
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    data.count() // materialize once
+    require(data.count() > 0, // materialize once
+      "Classifier.train: empty training set (no doc_ids overlap the features?)")
+    val nDocs = labels.count().toDouble
+    // per-bucket RMS scaling (computed ONCE, D doubles to the driver):
+    // column scales differ by orders of magnitude between hot and rare
+    // buckets, and unconditioned batch GD crawls on that ellipse
+    val s = {
+      val (sq, n) = data.mapPartitions { rows =>
+        val sq = new Array[Double](D)
+        val n = new Array[Long](D)
+        rows.foreach { case (_, b, x, _) => sq(b) += x * x; n(b) += 1 }
+        Iterator.single((sq, n))
+      }.reduce { (a, b) =>
+        var i = 0
+        while (i < D) { a._1(i) += b._1(i); a._2(i) += b._2(i); i += 1 }
+        a
+      }
+      Array.tabulate(D)(b => if (n(b) > 0 && sq(b) > 0) math.sqrt(sq(b) / n(b)) else 1.0)
+    }
     val w = new Array[Double](D)
     val v = new Array[Double](D) // heavy-ball momentum state
     var it = 0
     while (it < iters) {
       val wl = w.clone() // ~1 KB closure per job
+      val sl = s
       val grad = data.mapPartitions { rows =>
         val g = new Array[Double](D)
         val bs = new scala.collection.mutable.ArrayBuffer[Int](64)
@@ -130,7 +132,8 @@ object Classifier {
         }
         rows.foreach { case (doc, b, x, yy) =>
           if (doc != curDoc) { flush(); curDoc = doc; y = yy }
-          z += wl(b) * x; bs += b; xs += x
+          val xsc = x / sl(b) // scaled feature
+          z += wl(b) * xsc; bs += b; xs += xsc
         }
         flush()
         Iterator.single(g)

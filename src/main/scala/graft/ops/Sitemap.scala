@@ -56,7 +56,11 @@ object Sitemap {
         wstrip(regexp_extract(col("block"), "(?s)<loc>(.*?)</loc>", 1)).as("loc"),
         field("lastmod").as("lastmod"),
         field("changefreq").as("changefreq"),
-        field("priority").cast("double").as("priority"))
+        // regex-gated cast, NOT a bare cast: Spark 4's default ANSI mode
+        // throws on '<priority>high</priority>' (tolerant grammar must
+        // yield null); the gate is replayed identically in the oracle
+        when(field("priority").rlike("^\\d*\\.?\\d+$"),
+          field("priority").cast("double")).as("priority"))
   }
 
   /** Fixture: an index naming two present children plus one the fetch

@@ -17,6 +17,16 @@ object Formats extends QueryModule {
 
   private def o(sql: String): String = Cdx.duckCte + sql
 
+  // DuckDB fragments for the scan_sitemap oracle, one-to-one with
+  // graft.ops.Sitemap: block-tag extract, whitespace strip (all of \s,
+  // not trim's 0x20-only), nullable optional field
+  private def smTag(tag: String): String =
+    s"regexp_extract(block, '(?s)<$tag>(.*?)</$tag>', 1)"
+  private def smWs(e: String): String =
+    s"regexp_replace($e, '^\\s+|\\s+$$', '', 'g')"
+  private def smField(tag: String): String =
+    s"nullif(${smWs(smTag(tag))}, '')"
+
   /** Classic CDX-11 line (` CDX N b a m s k r M S V g`, SURVEY §1.2 —
     * the `write_cdx_index(..., cdxj=False)` dialect): 11 space-separated
     * fields urlkey, ts, url, normalized mime, status, digest, redirect,
@@ -821,19 +831,20 @@ object Formats extends QueryModule {
     "sink_warc_cdx" -> o(
       "SELECT regexp_replace(regexp_extract(filename, '[^/]+$'), '\\.warc\\.gz$', '.cdx.gz') AS cdx_name, " +
         s"$lineExprDuck AS value FROM cdx ORDER BY value"),
-    // ws() mirrors Sitemap.wstrip — plain trim() strips only 0x20 in
-    // BOTH engines and would (consistently, wrongly) drop pretty-printed
-    // <loc> children on the newline
+    // smWs()/smField() mirror Sitemap.wstrip/field — plain trim() strips
+    // only 0x20 in BOTH engines and would (consistently, wrongly) drop
+    // pretty-printed <loc> children on the newline
     "scan_sitemap" -> (
-      "WITH ch AS (SELECT regexp_replace(regexp_extract(block, '(?s)<loc>(.*?)</loc>', 1), '^\\s+|\\s+$', '', 'g') AS sitemap " +
+      s"WITH ch AS (SELECT ${smWs(smTag("loc"))} AS sitemap " +
         "FROM (SELECT unnest(regexp_extract_all(xml, '(?s)<sitemap>(.*?)</sitemap>', 1)) AS block " +
         s"FROM ${graft.ops.Sitemap.fixtureDuck} WHERE name = 'sitemap_index.xml')), " +
         "u AS (SELECT sitemap, unnest(regexp_extract_all(xml, '(?s)<url>(.*?)</url>', 1)) AS block " +
         s"FROM ch JOIN ${graft.ops.Sitemap.fixtureDuck} ON sitemap = name) " +
-        "SELECT sitemap, regexp_replace(regexp_extract(block, '(?s)<loc>(.*?)</loc>', 1), '^\\s+|\\s+$', '', 'g') AS loc, " +
-        "nullif(regexp_replace(regexp_extract(block, '(?s)<lastmod>(.*?)</lastmod>', 1), '^\\s+|\\s+$', '', 'g'), '') AS lastmod, " +
-        "nullif(regexp_replace(regexp_extract(block, '(?s)<changefreq>(.*?)</changefreq>', 1), '^\\s+|\\s+$', '', 'g'), '') AS changefreq, " +
-        "CAST(nullif(regexp_replace(regexp_extract(block, '(?s)<priority>(.*?)</priority>', 1), '^\\s+|\\s+$', '', 'g'), '') AS DOUBLE) AS priority " +
+        s"SELECT sitemap, ${smWs(smTag("loc"))} AS loc, " +
+        s"${smField("lastmod")} AS lastmod, " +
+        s"${smField("changefreq")} AS changefreq, " +
+        s"CASE WHEN regexp_matches(${smField("priority")}, '^\\d*\\.?\\d+$$') " +
+        s"THEN CAST(${smField("priority")} AS DOUBLE) END AS priority " +
         "FROM u ORDER BY sitemap, loc"),
     "sink_warc_write" -> o(
       "SELECT url, ts, status, mime, " +

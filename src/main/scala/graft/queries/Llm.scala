@@ -729,13 +729,6 @@ object Llm extends QueryModule {
         .orderBy("doc_id")
     }),
 
-    // unigram-LM quality score (the CCNet-style LM filter shape): train
-    // token counts over the corpus, take the top-V vocab (V=16 so the OOV
-    // smoothing path is exercised even on the small-vocab fixture), score
-    // each doc by mean log p(token) under add-one smoothing. Two passes by
-    // nature (train, then score); the model rides as a BROADCAST (V rows),
-    // the total-count scalar as a broadcast single-row relation — scoring
-    // is map-side, the only data shuffle is the per-doc mean.
     // Learned quality classifier, inference half — scoring the corpus
     // under a FIXED rational weight vector over md5-hashed unigram
     // buckets (graft.ops.Classifier). The logit numerator is an exact
@@ -768,6 +761,13 @@ object Llm extends QueryModule {
         .orderBy("bucket")
     }),
 
+    // unigram-LM quality score (the CCNet-style LM filter shape): train
+    // token counts over the corpus, take the top-V vocab (V=16 so the OOV
+    // smoothing path is exercised even on the small-vocab fixture), score
+    // each doc by mean log p(token) under add-one smoothing. Two passes by
+    // nature (train, then score); the model rides as a BROADCAST (V rows),
+    // the total-count scalar as a broadcast single-row relation — scoring
+    // is map-side, the only data shuffle is the per-doc mean.
     "text_lm_score" -> ((s, d) => {
       val docs = Tables.t(s, d, "documents")
       val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))

@@ -42,7 +42,10 @@ class ClassifierSpec extends SparkSpec {
   test("inferLiteral: integer-exact logit — recompute one doc by hand") {
     val docs = Tables.t(spark, sf01, "documents").limit(1).cache()
     val row = docs.select("doc_id", "text").collect()(0)
-    val toks = row.getString(1).toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+    // Locale.ROOT: Spark's lower() is locale-independent; a default-locale
+    // toLowerCase would diverge under e.g. a Turkish JVM locale
+    val toks = row.getString(1).toLowerCase(java.util.Locale.ROOT)
+      .split("[^a-z0-9]+").filter(_.nonEmpty)
     val md = java.security.MessageDigest.getInstance("MD5")
     def bucket(t: String): Int = {
       md.reset()

@@ -19,14 +19,17 @@ class WarcSpec extends SparkSpec {
       .orderBy("offset")
       .collect().toSeq.map(_.toSeq)
 
+    // non-HTTP records surface their WARC Content-Type as mime (the pywb
+    // indexing convention); the fixture writer stamps octet-stream on
+    // records whose FixtureRecord.mime is null
     val expected: Seq[Seq[Any]] = Seq(
-      Seq("warcinfo", null, "20150215010000", null, null),
+      Seq("warcinfo", null, "20150215010000", null, "application/octet-stream"),
       Seq("response", "http://www.example.com/path?b=2&a=1", "20150215012345", 200, "text/html; charset=UTF-8"),
-      Seq("request", "http://www.example.com/path?b=2&a=1", "20150215012345", null, null),
+      Seq("request", "http://www.example.com/path?b=2&a=1", "20150215012345", null, "application/octet-stream"),
       Seq("response", "http://example.com/other", "20150301120000", 404, "text/plain"),
-      Seq("revisit", "http://www.example.com/path?b=2&a=1", "20150402083000", null, null),
+      Seq("revisit", "http://www.example.com/path?b=2&a=1", "20150402083000", null, "application/octet-stream"),
       Seq("response", "https://sub.iana.org/x", "20150510235959", 301, "text/html"),
-      Seq("metadata", "http://example.com/other", "20150301120001", null, null),
+      Seq("metadata", "http://example.com/other", "20150301120001", null, "application/octet-stream"),
       Seq("response", "http://example.com/other", "20150601000000", 200, "text/plain"))
     rows.zip(expected).zipWithIndex.foreach { case ((got, want), i) =>
       assert(got == want, s"record $i")
