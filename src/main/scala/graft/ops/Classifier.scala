@@ -52,10 +52,15 @@ object Classifier {
   def literalK(b: Int): Int = ((b * 37 + 11) % 21) - 10
 
   /** Oracled scoring under the literal model: logit_i =
-    * Σ_b k_b·cnt_ib / (10·n_i). The numerator is a pure integer sum
-    * (exact, accumulation-order-free); ONE double division at the end;
-    * pred = logit >= 0. No exp() anywhere — libm ULP differences between
-    * engines cannot flip a rounding boundary. */
+    * Σ_b k_b·cnt_ib / (10·n_i), emitted as the INTEGER `logit_ppm` =
+    * round(logit·10⁶). The numerator is a pure integer sum (exact,
+    * accumulation-order-free) and the ppm rounding happens on an exact
+    * double product — a fractional-decimal round(x, 6) is NOT safe here:
+    * num/(10n) has terminating decimal expansions whenever n is a power
+    * of two (e.g. 41/640 = 0.0640625), and on those exact half-boundaries
+    * Spark's BigDecimal HALF_UP and DuckDB's multiply-then-round disagree
+    * (bitten at sf0.1). round() to an integer on the SAME exact double is
+    * half-away-from-zero in both engines. No exp() anywhere. */
   def inferLiteral(docs: DataFrame): DataFrame = {
     val ks = array((0 until D).map(b => lit(literalK(b))): _*)
     features(docs)
@@ -64,7 +69,8 @@ object Classifier {
         sum(element_at(ks, col("bucket") + 1).cast("long") * col("cnt")).as("num"),
         sum(col("cnt")).as("n"))
       .select(col("doc_id"),
-        round(col("num").cast("double") / (col("n") * 10).cast("double"), 6).as("logit"),
+        round(col("num").cast("double") * lit(100000.0) / col("n").cast("double"))
+          .cast("long").as("logit_ppm"),
         (col("num") >= 0).as("pred"))
   }
 

@@ -965,14 +965,16 @@ object Llm extends QueryModule {
         "SELECT doc_id, n_chars, u FROM u, m " +
         "WHERE u * max_w * 8 < n_chars * 4294967296 ORDER BY doc_id"),
     // same md5 bucket + same integer-numerator logit; k_b replayed
-    // arithmetically: ((b*37+11)%21)-10
+    // arithmetically: ((b*37+11)%21)-10. Integer ppm via round() on the
+    // identical exact double (fractional round(x,6) hits exact decimal
+    // half-boundaries when n is a power of two — see Classifier scaladoc)
     "text_quality_infer" ->
       (s"WITH toks AS (SELECT doc_id, unnest($tokensDuck) AS tok FROM documents), " +
         "fb AS (SELECT doc_id, CAST(CAST('0x' || substring(md5(tok), 1, 4) AS BIGINT) % 128 AS INT) AS bucket, " +
         "count(*) AS cnt FROM toks GROUP BY 1, 2) " +
         "SELECT doc_id, " +
-        "round(CAST(sum((((bucket * 37 + 11) % 21) - 10) * cnt) AS DOUBLE) / " +
-        "CAST(sum(cnt) * 10 AS DOUBLE), 6) AS logit, " +
+        "CAST(round(CAST(sum((((bucket * 37 + 11) % 21) - 10) * cnt) AS DOUBLE) * 100000 / " +
+        "CAST(sum(cnt) AS DOUBLE)) AS BIGINT) AS logit_ppm, " +
         "sum((((bucket * 37 + 11) % 21) - 10) * cnt) >= 0 AS pred " +
         "FROM fb GROUP BY doc_id ORDER BY doc_id"),
     "text_lm_score" ->

@@ -53,9 +53,10 @@ class ClassifierSpec extends SparkSpec {
       (java.lang.Long.parseLong(hex, 16) % 128).toInt
     }
     val num = toks.map(t => Classifier.literalK(bucket(t)).toLong).sum
-    val expect = math.rint(num.toDouble / (toks.length * 10).toDouble * 1e6) / 1e6
+    val v = num.toDouble * 100000.0 / toks.length.toDouble // Spark's exact op order
+    val expect = BigDecimal(v).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
     val got = Classifier.inferLiteral(docs).collect()(0)
-    assert(got.getDouble(1) == expect, s"logit ${got.getDouble(1)} != hand $expect")
+    assert(got.getLong(1) == expect, s"logit_ppm ${got.getLong(1)} != hand $expect")
     assert(got.getBoolean(2) == (num >= 0))
     docs.unpersist()
   }
