@@ -36,6 +36,15 @@ import org.apache.spark.sql.functions._
   * corpus shuffle. When the rule table is broadcast-small Catalyst takes
   * BHJ instead and the window's (host, id) exchange becomes the single
   * corpus shuffle; either regime has exactly one.
+  *
+  * Hot-host skew: the exchange-reuse trades balance for a shuffle — a
+  * host holding a disproportionate share of captures concentrates on
+  * one task in the SMJ regime. The degradation is graceful, not a
+  * cliff: AQE's skew-join split divides the hot join partition, and the
+  * window's ClusteredDistribution([host, id]) is then re-satisfied by a
+  * balanced hash(host, id) exchange AQE inserts — two exchanges under
+  * skew, one when balanced, never a straggler bound by |hot host|
+  * (SkewSpec measures this).
   */
 object Robots {
 

@@ -149,6 +149,62 @@ class SkewSpec extends SparkSpec {
     }
   }
 
+  test("robots_check under a hot host: AQE splits the captures-rules join, verdicts stay correct") {
+    // the exchange-reuse plan (Robots scaladoc) trades balance for a
+    // shuffle: a giant host concentrates its captures on one task. This
+    // pins the documented graceful degradation — AQE splits the hot join
+    // partition (forceOptimize, since the window above would otherwise
+    // veto the split as an extra shuffle) and the (host,id) window
+    // re-clusters balanced — and that the verdicts are unaffected.
+    val n = 400000L
+    def urls(hot: Boolean) = spark.range(n).select(
+      (if (hot) when(col("id") % 10 < 6, lit("www.hot.test"))
+        .otherwise(concat(lit("h"), (col("id") % 20000).cast("string"), lit(".test")))
+       else concat(lit("h"), (col("id") % 20000).cast("string"), lit(".test"))).as("host"),
+      // unique md5 query keeps the hot partition's shuffle bytes
+      // incompressible (AQE's detector reads compressed sizes)
+      concat(lit("/p/"), (col("id") % 1000).cast("string"), lit("?x="),
+        md5(col("id").cast("string"))).as("upath"),
+      col("id"))
+    val texts = spark.range(20000)
+      .select(concat(lit("h"), col("id").cast("string"), lit(".test")).as("host"),
+        lit("User-agent: *\nDisallow: /p/1\nAllow: /p/12\nDisallow: /p/5").as("txt"))
+      .unionByName(Seq(("www.hot.test",
+        "User-agent: *\nDisallow: /p/1\nAllow: /p/12\nDisallow: /p/5")).toDF("host", "txt"))
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "256KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "256KB")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      def run(hot: Boolean): (Array[org.apache.spark.sql.Row], Double, String) = {
+        val v = graft.ops.Robots.check(urls(hot), texts, agent = "graftbot")
+          .groupBy("allowed").agg(count(lit(1)).as("cnt"))
+        val (rows, t) = time(v.collect())
+        (rows, t, v.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("simple")))
+      }
+      val (rowsU, tU, _) = run(hot = false)
+      val (rowsS, tS, planS) = run(hot = true)
+      // same verdict totals: disallowed = paths under /p/1* (minus /p/12*)
+      // and /p/5* — identical path distribution in both twins
+      assert(rowsU.map(r => r.getBoolean(0) -> r.getLong(1)).toMap ==
+        rowsS.map(r => r.getBoolean(0) -> r.getLong(1)).toMap,
+        s"verdicts diverged: ${rowsU.toSeq} vs ${rowsS.toSeq}")
+      assert(rowsS.map(_.getLong(1)).sum == n)
+      assert(planS.toLowerCase.contains("skew"),
+        s"AQE skew split missing from the hot-host final plan:\n$planS")
+      assert(tS <= math.max(6 * tU, tU + 10.0),
+        f"hot-host robots_check $tS%.1fs vs uniform $tU%.1fs — straggler-bound")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("minhash + winnow candidate generation stay linear under Zipf lengths + hot boilerplate buckets") {
     val n = 20000L
     val (pu, tu) = time(
