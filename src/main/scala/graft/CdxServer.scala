@@ -82,15 +82,20 @@ final class CdxServer(spark: SparkSession, clusterDir: String) {
       .limit(k)
       .drop("dist")
 
-  /** collapse=timestamp:N — first capture per ts-prefix granule per key */
+  /** collapse=timestamp:N — first capture per ts-prefix granule per key.
+    * Tie-break on json: real clusters hold duplicate (urlkey, ts) runs
+    * (see [[pageByKey]]'s cursor note) and a ts-only window would pick
+    * an arbitrary peer. Output re-sorted — the prefix() scan order does
+    * not survive the window exchange. */
   def collapse(surtPrefix: String, tsPrefixLen: Int): DataFrame = {
     val w = Window
       .partitionBy(col("urlkey"), substring(col("ts"), 1, tsPrefixLen))
-      .orderBy("ts")
+      .orderBy("ts", "json")
     prefix(surtPrefix)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .drop("rn")
+      .orderBy("urlkey", "ts", "json")
   }
 
   /** collapse=digest — drop a capture when its payload digest equals the
@@ -98,21 +103,26 @@ final class CdxServer(spark: SparkSession, clusterDir: String) {
     * last crawl"); run-length semantics, first capture always kept.
     * Complements [[collapse]] (first-per-timestamp-granule). */
   def collapseDigest(surtPrefix: String): DataFrame = {
-    val w = Window.partitionBy("urlkey").orderBy("ts")
+    // (ts, json) total order: duplicate (urlkey, ts) peers otherwise
+    // make the run-length comparison order-nondeterministic
+    val w = Window.partitionBy("urlkey").orderBy("ts", "json")
     prefix(surtPrefix)
       .withColumn("digest", get_json_object(col("json"), "$.digest"))
       .withColumn("prev_digest", lag(col("digest"), 1).over(w))
       .filter(!(col("digest") <=> col("prev_digest")))
       .drop("prev_digest", "digest")
+      .orderBy("urlkey", "ts", "json")
   }
 
-  /** latest capture per urlkey under a prefix (sort=reverse&limit=1) */
+  /** latest capture per urlkey under a prefix (sort=reverse&limit=1);
+    * (ts, json) desc so duplicate-ts peers resolve deterministically */
   def latest(surtPrefix: String): DataFrame = {
-    val w = Window.partitionBy("urlkey").orderBy(col("ts").desc)
+    val w = Window.partitionBy("urlkey").orderBy(col("ts").desc, col("json").desc)
     prefix(surtPrefix)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .drop("rn")
+      .orderBy("urlkey")
   }
 
   /** Memento TimeMap rows (RFC 7089 link-format — pywb's /timemap/link/
@@ -125,10 +135,14 @@ final class CdxServer(spark: SparkSession, clusterDir: String) {
     * in the same pass (no second scan). */
   def timemap(urlkey: String): DataFrame = {
     val w = Window.partitionBy("urlkey")
-    // non-14-digit ts rows leave the timemap up front: garbage cannot
-    // render an RFC 1123 datetime, and under default ANSI mode the
-    // to_date below would otherwise abort the whole query on one of them
-    val dow = dayofweek(to_date(substring(col("ts"), 1, 8), "yyyyMMdd"))
+    // invalid ts rows leave the timemap up front: garbage cannot render
+    // an RFC 1123 datetime. The rlike alone is NOT enough — a 14-digit
+    // calendar-invalid ts (month 13, Feb 30) passes it, and a strict
+    // to_date would abort the whole query under default ANSI mode (and
+    // the when-chains below would mislabel nulls as Sat/Dec), so the
+    // filter also requires try_to_date to parse
+    val parsed = try_to_date(substring(col("ts"), 1, 8), "yyyyMMdd")
+    val dow = dayofweek(parsed)
     val dowName = when(dow === 1, "Sun").when(dow === 2, "Mon")
       .when(dow === 3, "Tue").when(dow === 4, "Wed").when(dow === 5, "Thu")
       .when(dow === 6, "Fri").otherwise("Sat")
@@ -143,7 +157,8 @@ final class CdxServer(spark: SparkSession, clusterDir: String) {
       substring(col("ts"), 9, 2), lit(":"), substring(col("ts"), 11, 2),
       lit(":"), substring(col("ts"), 13, 2), lit(" GMT"))
     exactUrl(urlkey)
-      .filter(col("ts").rlike("^\\d{14}$"))
+      .filter(col("ts").rlike("^\\d{14}$") &&
+        try_to_date(substring(col("ts"), 1, 8), "yyyyMMdd").isNotNull)
       .withColumn("ft", min("ts").over(w))
       .withColumn("lt", max("ts").over(w))
       .withColumn("rel",
@@ -185,6 +200,7 @@ final class CdxServer(spark: SparkSession, clusterDir: String) {
   /** pagination contract: numPages for a prefix at `blocksPerPage`
     * (pywb showNumPages), computed from cluster.idx alone — no data I/O */
   def numPages(surtPrefix: String, blocksPerPage: Int): Long = {
+    require(blocksPerPage > 0, s"blocksPerPage must be positive, got $blocksPerPage")
     val nBlocks = idxFor(surtPrefix).size
     math.ceil(nBlocks.toDouble / blocksPerPage).toLong
   }

@@ -139,9 +139,12 @@ object Relational extends QueryModule {
     * window is the ONLY non-scalable term, and the caller controls it. */
   val SplitSampleMod = 500
 
+  /** default split-point count — shared with the oracle interpolation */
+  val DefaultSplits = 8
+
   def splitPoints(
       s: SparkSession, d: String,
-      sampleMod: Int = SplitSampleMod, splits: Int = 8): DataFrame = {
+      sampleMod: Int = SplitSampleMod, splits: Int = DefaultSplits): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.orderBy("urlkey", "ts", "id")
     Cdx.df(s, d)
@@ -176,11 +179,14 @@ object Relational extends QueryModule {
       "SELECT count(*) AS n_rows, count(CASE WHEN status >= 400 THEN 1 END) AS n_err, " +
         "count(redirect) AS n_redirects, CAST(sum(length) AS BIGINT) AS total_bytes, " +
         "min(ts) AS min_ts, max(ts) AS max_ts FROM cdx"),
-    // subquery, not a second WITH — the cdx CTE prefix already opens one
+    // subquery, not a second WITH — the cdx CTE prefix already opens one.
+    // Constants interpolated from the Scala side (SplitSampleMod / the
+    // default split count) so retuning the scale knob can't silently
+    // desync the oracle from the query.
     "split_points" -> o(
       "SELECT urlkey AS boundary, rn FROM " +
-        "(SELECT urlkey, row_number() OVER (ORDER BY urlkey, ts, id) AS rn, count(*) OVER () AS cnt " +
-        "FROM cdx WHERE id % 500 = 0) " +
-        "WHERE rn % CAST(ceil(cnt / 8.0) AS BIGINT) = 0 AND rn < cnt ORDER BY rn")
+        s"(SELECT urlkey, row_number() OVER (ORDER BY urlkey, ts, id) AS rn, count(*) OVER () AS cnt " +
+        s"FROM cdx WHERE id % $SplitSampleMod = 0) " +
+        s"WHERE rn % CAST(ceil(cnt / $DefaultSplits.0) AS BIGINT) = 0 AND rn < cnt ORDER BY rn")
   )
 }

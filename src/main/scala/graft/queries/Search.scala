@@ -87,11 +87,14 @@ object Search extends QueryModule {
     * CRC32), so the scan lists ≤ |distinct buckets| of IdxBuckets
     * directories and never touches the rest of the index */
   def probeTermIndex(stored: DataFrame, terms: Seq[String]): DataFrame = {
-    val buckets = terms.map(termBucketLocal).distinct
+    // distinct: the stored pairs are distinct-per-doc, so raw user
+    // tokens with a repeated term would make the n_hit test unsatisfiable
+    val distinctTerms = terms.distinct
+    val buckets = distinctTerms.map(termBucketLocal).distinct
     stored
-      .filter(col("tb").isin(buckets: _*) && col("term").isin(terms: _*))
+      .filter(col("tb").isin(buckets: _*) && col("term").isin(distinctTerms: _*))
       .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
-      .filter(col("n_hit") === terms.size)
+      .filter(col("n_hit") === distinctTerms.size)
       .select("doc_id")
   }
 
@@ -152,7 +155,9 @@ object Search extends QueryModule {
     // index on disk. Same oracle as search_keyword_and: the storage
     // layout must be invisible in the result.
     "search_index_probe" -> ((s, d) => {
-      val dir = tmp(d, "term_index")
+      // keyTag suffix: tmp() keys by basename(d), which aliases across
+      // distinct data dirs sharing a basename (the Tables.keyTag hazard)
+      val dir = tmp(d, s"term_index_${keyTag(d)}")
       writeTermIndex(docs(s, d), dir)
       probeTermIndex(s.read.parquet(dir), qTerms).orderBy("doc_id")
     }),
