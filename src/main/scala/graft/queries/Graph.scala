@@ -137,13 +137,14 @@ object Graph extends QueryModule {
       hubs = ec.join(auths.withColumnRenamed("node", "dst"), "dst")
         .groupBy(col("src").as("node")).agg(sum("auth").as("hub"))
       if (i % 4 == 0 && i != iterations) {
+        // renormalize HUBS only: auths is recomputed from hubs at the top
+        // of the next round before any read, so renormalizing it here was
+        // two dead jobs (an agg + an eager checkpoint) per renorm round —
+        // and bounded hubs bound the derived auths anyway (HITS is
+        // linear; the single final L1 normalization fixes the scale)
         val hN = hubs.agg(sum("hub").as("s"))
         hubs = hubs.crossJoin(broadcast(hN))
           .select(col("node"), (col("hub") / col("s")).as("hub"))
-          .localCheckpoint()
-        val aN = auths.agg(sum("auth").as("s"))
-        auths = auths.crossJoin(broadcast(aN))
-          .select(col("node"), (col("auth") / col("s")).as("auth"))
           .localCheckpoint()
       } else if (i == iterations) {
         hubs = hubs.localCheckpoint(); auths = auths.localCheckpoint()
@@ -186,11 +187,11 @@ object Graph extends QueryModule {
       .agg(count(lit(1)).as("triangles"))
   }
 
-  /** seeded Gaussian hyperplanes — one family per LSH table */
-  private def planes(seed: Long, nPlanes: Int, dim: Int): Seq[Seq[Double]] = {
-    val rnd = new scala.util.Random(seed)
-    Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
-  }
+  /** seeded Gaussian hyperplanes — one family per LSH table (the shared
+    * generator, seed-parameterized: a plane-generation change happens in
+    * exactly one place) */
+  private def planes(seed: Long, nPlanes: Int, dim: Int): Seq[Seq[Double]] =
+    Similarity.hyperplanes(nPlanes, dim, seed)
 
   /** approximate k-NN graph via multi-table hyperplane LSH: candidates
     * from (table, bucket) equi-joins, id-level dedupe, exact cosine on
@@ -204,6 +205,9 @@ object Graph extends QueryModule {
     * geometry AND would all collide in bucket 0). */
   def knnGraph(e: DataFrame, k: Int, nTables: Int, nPlanes: Int, dim: Int,
       maxBucketSize: Int = 1000): DataFrame = {
+    // defensive kernel registration (ivfTopK/pqTopK convention) — direct
+    // callers must not depend on a driver key having registered first
+    graft.functions.GraftFunctions.register(e.sparkSession)
     val typed = e.filter(size(col("ed")) === dim)
     val bucketed = (0 until nTables).map { t =>
       typed.select(col("vec_id"), col("ed"),
@@ -216,11 +220,17 @@ object Graph extends QueryModule {
     // count shuffles on the same (tbl, bucket) key as the self-join, so
     // the exchange is reused.
     val keyed = bucketed.select(col("vec_id"), col("tbl"), col("bucket"))
-    val ok = keyed.groupBy("tbl", "bucket")
-      .agg(count(lit(1)).as("bucket_n"))
-      .filter(col("bucket_n") <= maxBucketSize)
-      .select("tbl", "bucket")
-    val bounded = keyed.join(ok, Seq("tbl", "bucket"))
+    // over-cap buckets are CAPPED (deterministic min-vec_id members keep
+    // participating), not dropped whole: dropping gave vectors hot in
+    // every table ZERO knn edges — the round-8 semantic-dedup recall
+    // hole, repeated. Capping bounds each bucket's pair fan-out at cap²
+    // while dense regions keep (partial) neighborhoods; callers needing
+    // full hot-region recall sub-split as Dedup.semDedupDropped does.
+    val wb = Window.partitionBy("tbl", "bucket").orderBy("vec_id")
+    val bounded = keyed
+      .withColumn("brn", row_number().over(wb))
+      .filter(col("brn") <= maxBucketSize)
+      .drop("brn")
     val ids = bounded.select(col("vec_id").as("src"), col("tbl"), col("bucket"))
       .join(bounded.select(col("vec_id").as("nb"), col("tbl"), col("bucket")),
         Seq("tbl", "bucket"))

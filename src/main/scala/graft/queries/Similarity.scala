@@ -146,7 +146,7 @@ object Similarity extends QueryModule {
     // and dedup_image_phash (pixel space): candidates come from a
     // bucketing structure (here the k-means cells the IVF family already
     // trains), verification is the exact cosine kernel. Planted dups are
-    // exact-direction copies (new ids, +700000) — identical vectors land
+    // exact-direction copies (new ids, +AppendIdOffset) — identical vectors land
     // in the SAME cell with cos = 1, so recall through the cell structure
     // is certain, which SimilaritySpec pins along with the
     // survivors+dropped partition. Over-cap cells SUB-SPLIT on residual
@@ -159,7 +159,7 @@ object Similarity extends QueryModule {
       GraftFunctions.register(s)
       val base = emb(s, d).select(col("vec_id"), col("ed"))
       val twins = base.filter(col("vec_id") % 9 === 0)
-        .withColumn("vec_id", col("vec_id") + 700000L)
+        .withColumn("vec_id", col("vec_id") + AppendIdOffset)
       // the coarse cells come from the SHARED day-1 fit (ivfpqFitMemo —
       // the corpus-wide quantizer every sim_ann_ivfpq* key serves from):
       // SemDeDup does not need cells trained on the dedup batch itself;
@@ -983,9 +983,11 @@ object Similarity extends QueryModule {
     book
   }
 
-  /** deterministic pseudo-random hyperplanes (seeded; same across runs) */
-  def hyperplanes(nPlanes: Int, dim: Int): Seq[Seq[Double]] = {
-    val rnd = new scala.util.Random(20260812L)
+  /** deterministic pseudo-random hyperplanes (seeded; same across runs).
+    * THE Gaussian plane generator — Graph.knnGraph's per-table families
+    * delegate here with per-table seeds. */
+  def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 20260812L): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
     Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
   }
 

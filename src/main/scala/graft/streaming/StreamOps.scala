@@ -128,10 +128,13 @@ object StreamOps {
       .mapGroupsWithState[UserState, UserUpdate](GroupStateTimeout.NoTimeout) {
         (userId: Long, batch: Iterator[UserEvent], state: GroupState[UserState]) =>
           val events = batch.toSeq
-          val prev = state.getOption.getOrElse(UserState(0L, 0L))
+          // Long.MinValue sentinel, not 0: epochs are SIGNED, and a 0L
+          // seed would clamp pre-1970 event times (mergeSessions' guard)
+          val prev = state.getOption.getOrElse(UserState(0L, Long.MinValue))
           val next = UserState(
             prev.nEvents + events.size,
-            math.max(prev.lastTsMs, if (events.isEmpty) 0L else events.map(_.tsMs).max))
+            if (events.isEmpty) prev.lastTsMs
+            else math.max(prev.lastTsMs, events.map(_.tsMs).max))
           state.update(next)
           UserUpdate(userId, next.nEvents, events.size.toLong)
       }
@@ -252,10 +255,12 @@ object StreamOps {
         key: Long, inputRows: Iterator[UserEvent],
         timerValues: TimerValues): Iterator[UserUpdate] = {
       val events = inputRows.toSeq
-      val prev = Option(state.get()).getOrElse(UserState(0L, 0L))
+      // Long.MinValue sentinel — signed-epoch guard, same as above
+      val prev = Option(state.get()).getOrElse(UserState(0L, Long.MinValue))
       val next = UserState(
         prev.nEvents + events.size,
-        math.max(prev.lastTsMs, if (events.isEmpty) 0L else events.map(_.tsMs).max))
+        if (events.isEmpty) prev.lastTsMs
+        else math.max(prev.lastTsMs, events.map(_.tsMs).max))
       state.update(next)
       Iterator.single(UserUpdate(key, next.nEvents, events.size.toLong))
     }
