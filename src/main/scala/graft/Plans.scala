@@ -42,7 +42,7 @@ object Plans {
     "win_range_frame" -> "time-RANGE frame inside a user-partitioned WindowExec — no global window, integer epoch sort key",
     "dedup_bloom_prefilter" -> "bloom fast path: might_contain filter keeps definite-new rows out of the anti-join; only candidates shuffle",
     "search_keyword_and" -> "term filter directly above the generate — only queried-term pairs reach the aggregate shuffle",
-    "emb_knn_graph" -> "LSH (table,bucket) equi-join candidates, id-dedup before vectors re-attach, src-partitioned top-k window",
+    "emb_knn_graph" -> "LSH (table,bucket) equi-join candidates with over-cap buckets CAPPED not dropped (dense regions keep partial neighborhoods), id-dedup before vectors re-attach, src-partitioned top-k window",
     "graph_triangle_count" -> "degree-ordered orientation computed once (localCheckpoint), wedge join on oriented edges — hub skew capped",
     "join_set_similarity" -> "AllPairs prefix filter: rare-token prefix equi-join candidates + exact-Jaccard verify, no cartesian anywhere",
     "dedup_winnow_pairs" -> "fused winnow_fps_text kernel: one codegen'd O(tokens) pass per doc (monotonic-deque window minima), fp-bucket pair join capped at 500",
