@@ -117,9 +117,14 @@ object Bench {
     // silent.
     val touched = touchedFromEnv(sys.env.get("SPARK_GRAFT_TOUCHED"))
     def susp(name: String, t: Double): Boolean = suspicious(refs, touched, name, t)
-    val results = firstPass.map { case (name, (t, ok)) =>
-      if (!ok || !susp(name, t)) name -> t
-      else {
+    // FAILED queries are excluded from the per-query map, the headline
+    // total, and the ratio stats: a query that throws after 0.1 s would
+    // otherwise read as a 40× speedup and drag ratio_median down — the
+    // failed list is their (loud) record
+    val results = firstPass.flatMap { case (name, (t, ok)) =>
+      if (!ok) None
+      else if (!susp(name, t)) Some(name -> t)
+      else Some {
         reran += name
         // a FAILED rerun must not donate its fast wall time (and the
         // first pass already proved the query green) — keep t unless the

@@ -41,13 +41,25 @@ object SparkEntry {
       .orderBy("urlkey", "ts")
   }
 
+  /** loud duplicate-key guard: toMap keeps the LAST occurrence, so a key
+    * defined in two modules would silently shadow one implementation —
+    * it would never be benched or verified while every gate stayed green
+    * (the silent-denominator-shrink failure class). */
+  private def merged[V](kind: String, maps: Seq[Map[String, V]]): Map[String, V] = {
+    val all = maps.flatten
+    val dups = all.groupBy(_._1).collect { case (k, vs) if vs.size > 1 => k }
+    require(dups.isEmpty,
+      s"duplicate $kind keys across query modules: ${dups.toSeq.sorted.mkString(", ")}")
+    all.toMap
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    modules.flatMap(_.queries).toMap
+    merged("query", modules.map(_.queries))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    modules.flatMap(_.oracleSql).toMap
+    merged("oracle", modules.map(_.oracleSql))
 }

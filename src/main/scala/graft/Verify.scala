@@ -15,10 +15,15 @@ object Verify {
         // SPARK_GRAFT_TOUCHED; a typo'd name must fail LOUDLY here —
         // silently dumping nothing would let a dev validate an empty run
         val names = Bench.touchedFromEnv(Some(c))
+        // an empty filter ('' or ',') would pass the unknown-name check
+        // vacuously and produce a green-looking EMPTY run
+        require(names.nonEmpty, s"empty query-name filter: '$c'")
         val unknown = names.diff(SparkEntry.queries.keySet)
         require(unknown.isEmpty,
           s"unknown query name(s) in filter: ${unknown.toSeq.sorted.mkString(", ")}")
         (a, b, Some(names))
+      case other =>
+        sys.error(s"usage: Verify <sfDir> <outDir> [name,name,...] — got ${other.length} args")
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()

