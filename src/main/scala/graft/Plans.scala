@@ -77,6 +77,7 @@ object Plans {
     "sink_warc_write" -> "write: ONE shuffle to co-locate shards, each task streams its sorted group O(1)-memory through gzip members with attempt-isolated publish; read-back is the WARC scan's per-file parallelism",
     "scan_sitemap" -> "index child-list is a bounded explode broadcast-joined to the sitemap corpus on name; per-sitemap URL extraction is one map-side explode+projection (files spec-capped at 50k URLs) — nothing global",
     "text_quality_infer" -> "md5 bucket hashing is map-side codegen; the logit is ONE per-doc hash agg of an exact integer sum — full-corpus scoring costs one shuffle",
+    "cdx_policy_gate" -> "ACL chain is a map-side codegen projection riding the scan; its verdict is carried THROUGH robots_check's join+window as keep columns — the composed gate still costs exactly one corpus shuffle, no verdict-join on id",
     "text_quality_train" -> "feature table co-partitioned+sorted by doc ONCE; each GD iteration is a single-stage mapPartitions+reduce emitting one D=128 partial gradient per partition — no per-iteration shuffle (train on a sample at 100 TB, score map-side)",
     "stream_host_status" -> "MapState per-host class counts: one exchange on host into TransformWithStateExec; per-class point reads/writes, state O(hosts*4)",
     "stream_session_flush" -> "event-time-timer sessionizer batch-run: one exchange on user_id into TransformWithStateExec; state O(active keys)*3 longs, open sessions flushed by the end-of-batch timer sweep",

@@ -117,15 +117,19 @@ object Robots {
 
   /** Per-URL verdict for `agent`: `urls` needs (host, `pathCol`) plus an
     * `idCol` unique within host. Output: urls' id and host plus `allowed`
-    * (boolean) and `rule_path` (winning rule, null = no match → allow).
-    * The winner window partitions by (host, id) ON PURPOSE — see the
-    * class note on exchange reuse. */
+    * (boolean) and `rule_path` (winning rule, null = no match → allow),
+    * plus any `keep` columns of `urls` carried through unchanged (lets a
+    * composition ride this one corpus shuffle instead of joining verdicts
+    * back on id). The winner window partitions by (host, id) ON PURPOSE —
+    * see the class note on exchange reuse. */
   def check(urls: DataFrame, texts: DataFrame, agent: String,
-      idCol: String = "id", pathCol: String = "upath"): DataFrame = {
+      idCol: String = "id", pathCol: String = "upath",
+      keep: Seq[String] = Nil): DataFrame = {
     val r = applicable(texts, agent)
     val cand = urls.join(r,
       urls("host") === r("host") && col(pathCol).startsWith(col("path")), "left")
-      .select(urls("host"), col(idCol), col(pathCol), col("rule"), col("path"))
+      .select(urls("host") +: col(idCol) +: col(pathCol) +: col("rule") +:
+        col("path") +: keep.map(urls(_)): _*)
     // longest path wins; equal length resolves 'allow' < 'disallow'
     // lexically; two distinct equal-length prefixes cannot both match one
     // path, so (length, rule) is already a total deterministic order
@@ -133,9 +137,9 @@ object Robots {
       .orderBy(length(col("path")).desc, col("rule").asc)
     cand.withColumn("rn", row_number().over(w))
       .where(col("rn") === 1)
-      .select(col(idCol), col("host"),
-        coalesce(col("rule") === "allow", lit(true)).as("allowed"),
-        col("path").as("rule_path"))
+      .select(col(idCol) +: col("host") +:
+        coalesce(col("rule") === "allow", lit(true)).as("allowed") +:
+        col("path").as("rule_path") +: keep.map(col): _*)
   }
 
   /** Fixture robots.txt corpus over the synthetic CDX hosts

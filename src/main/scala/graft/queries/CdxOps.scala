@@ -219,6 +219,25 @@ object CdxOps extends QueryModule {
         .orderBy("id")
     }),
 
+    // The COMPOSED policy gate — "may this capture be served?": pywb
+    // .aclj access control (map-side longest-prefix chain, rides the
+    // scan for free) AND the RFC 9309 robots verdict, in ONE plan. The
+    // ACL verdict is carried THROUGH robots_check's join+window via the
+    // keep columns, so the composition still costs exactly one corpus
+    // shuffle — not a verdict-join on id.
+    "cdx_policy_gate" -> ((s, d) => {
+      import s.implicits._
+      val acl = graft.CdxServer.aclApply(
+        Cdx.df(s, d), col("urlkey"), aclRules, default = "allow")
+        .selectExpr("id", "host", "urlkey", "access", "path || '?' || qs AS upath")
+      graft.ops.Robots.check(
+        acl, graft.ops.Robots.fixture.toDF("host", "txt"),
+        agent = "graftbot", keep = Seq("urlkey", "access"))
+        .select(col("id"), col("urlkey"), col("access"), col("allowed"),
+          (col("access") === "allow" && col("allowed")).as("servable"))
+        .orderBy("id")
+    }),
+
     // The deduplicating indexer's revisit emission — the INVERSE of
     // join_revisit_resolve: within each payload digest, the time-first
     // response capture is stored; every later identical capture becomes a
@@ -365,6 +384,22 @@ object CdxOps extends QueryModule {
         "row_number() OVER (PARTITION BY c.id ORDER BY length(r.prefix) DESC) AS rn " +
         "FROM cdx c LEFT JOIN (VALUES " + aclRulesDuck + ") AS r(prefix, access) " +
         "ON c.urlkey LIKE r.prefix || '%') WHERE rn = 1 ORDER BY id"),
+    // both policy replays joined per id: the acl LIKE-join winner and the
+    // robots longest-prefix winner, then the AND
+    "cdx_policy_gate" -> o(
+      "SELECT a.id, a.urlkey, a.access, r.allowed, " +
+        "(a.access = 'allow' AND r.allowed) AS servable FROM (" +
+        "SELECT id, urlkey, access FROM (" +
+        "SELECT c.id, c.urlkey, coalesce(rr.access, 'allow') AS access, " +
+        "row_number() OVER (PARTITION BY c.id ORDER BY length(rr.prefix) DESC) AS rn " +
+        "FROM cdx c LEFT JOIN (VALUES " + aclRulesDuck + ") AS rr(prefix, access) " +
+        "ON c.urlkey LIKE rr.prefix || '%') WHERE rn = 1) a JOIN (" +
+        "SELECT id, allowed FROM (" +
+        "SELECT u.id, coalesce(p.rule = 'allow', TRUE) AS allowed, " +
+        "row_number() OVER (PARTITION BY u.id ORDER BY length(p.path) DESC, p.rule) AS rn " +
+        "FROM (SELECT id, host, path || '?' || qs AS upath FROM cdx) u " +
+        s"LEFT JOIN ($robotsApplicable) p ON u.host = p.host AND u.upath LIKE p.path || '%') " +
+        "WHERE rn = 1) r ON a.id = r.id ORDER BY a.id"),
     // full grammar replay: flattened (host, ln, agent, rule, path) table
     "robots_parse" -> (
       s"SELECT r.host, r.ln, a.agent, r.rule, r.path " +

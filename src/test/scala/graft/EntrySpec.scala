@@ -21,7 +21,7 @@ class EntrySpec extends SparkSpec {
   }
 
   test("all queries are distinct objects and total count matches COVERAGE.md") {
-    assert(SparkEntry.queries.size == 233, s"got ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 194, s"got ${SparkEntry.oracleSql.size}")
+    assert(SparkEntry.queries.size == 234, s"got ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 195, s"got ${SparkEntry.oracleSql.size}")
   }
 }

@@ -443,6 +443,21 @@ class PlanSpec extends SparkSpec {
     assert(between.isEmpty, s"window no longer reuses the join exchange:\n$p")
   }
 
+  test("cdx_policy_gate: the ACL verdict rides the robots join — no second verdict join") {
+    val df = SparkEntry.queries("cdx_policy_gate")(spark, sfDir)
+    df.collect()
+    val full = df.queryExecution.explainString(ExplainMode.fromString("simple"))
+    // the simple mode prints Final AND Initial plans — count in the final only
+    val p = full.split("== Initial Plan ==")(0)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    // exactly ONE join touches the capture corpus (the StartsWith
+    // residual one robots_check owns); a verdict-join on id would add a
+    // second corpus-sized join
+    val corpusJoins = p.linesIterator.count(l => l.contains("Join") && l.contains("StartsWith"))
+    assert(corpusJoins == 1, s"expected one captures-rules join, got $corpusJoins:\n$p")
+    assert(!p.contains("Join [id"), s"verdict re-join on id crept in:\n$p")
+  }
+
   test("stream_recent_k: ONE stateful exchange feeds TransformWithState, no second data shuffle") {
     // RocksDB provider for batch-run transformWithState (see StreamOps)
     val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
