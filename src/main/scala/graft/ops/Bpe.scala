@@ -72,7 +72,10 @@ object Bpe {
 
   /** Segment one word with a learned merge list — the same fold the
     * training update applies, run per merge in rank order (Sennrich
-    * encode semantics). Used executor-side by [[encode]]. */
+    * encode semantics). This is the REFERENCE/ORACLE form the
+    * `bpe_piece_count` native kernel must match (NativeExprSpec parity,
+    * the minhashSignaturesComposed convention) — [[encode]] itself runs
+    * the kernel, not this. */
   def applyMerges(word: String, merges: Seq[(String, String)]): Seq[String] = {
     var syms: Seq[String] = word.map(_.toString)
     merges.foreach { case (l, r) =>

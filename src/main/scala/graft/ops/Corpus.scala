@@ -121,7 +121,15 @@ object Corpus {
       .collect()
       // an all-null bucket sums to null; the naive window's sum() skips
       // nulls, so null contributes 0 here for hash-parity with the oracle
-      .map(r => (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1)))
+      .map { r =>
+        // a null id bucket means null ids in the input: fail with the
+        // precondition, not a bare driver NPE from getLong — and the
+        // rows would anyway vanish in the offset join below, silently
+        // breaking the documented naive-window hash-equality
+        require(!r.isNullAt(0),
+          s"packSequences: null $idCol values in the input — ids must be non-null")
+        (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+      }
       .sortBy(_._1)
     require(totals.length <= bucketCap,
       s"packSequences: more than $bucketCap buckets; " +
@@ -191,8 +199,11 @@ object Corpus {
         least(col(tokensCol), expr(s"(seq_id + 1) * $seqBudget - cum_before")))
 
   /** Chunk-level exact dedup ("paragraph dedup" for a corpus without
-    * paragraph marks): split each document's whitespace token stream into
-    * consecutive `chunkTokens`-token chunks, keep each distinct chunk only
+    * paragraph marks): split each document's SINGLE-SPACE token stream
+    * (split on ' ' literally — tabs/newlines/space-runs are NOT
+    * separators, so reassembly is byte-faithful; normalize whitespace
+    * upstream if cross-whitespace-variant boilerplate must collapse)
+    * into consecutive `chunkTokens`-token chunks, keep each distinct chunk only
     * at its FIRST occurrence in (id, chunk-index) order, and reassemble
     * the surviving text per document. This is the scalable approximation
     * of exact-substring dedup: boilerplate repeated across documents

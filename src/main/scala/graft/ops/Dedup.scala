@@ -121,26 +121,7 @@ object Dedup {
         .localCheckpoint() // consumed by the count AND the pair join
     val idx = spark.table(table)
       .select(col("band"), col("sig"), col("doc_id").as("a"))
-    // COMBINED (index + batch) bucket cap — the same rule the full-batch
-    // self-join applies, mirroring incrementalWinnowCandidates: a bucket
-    // sitting just under the build-time cap (or grown past it via
-    // appends, which never re-cap) plus a boilerplate signature arriving
-    // heavily in the batch would otherwise fan out |index|×|batch| pairs
-    // unbounded. The index-side count aggregates on the bucketed layout
-    // (no exchange); the batch side is small by the ingest contract.
-    val ok = idx.groupBy("band", "sig").agg(count(lit(1)).as("na"))
-      .join(newBanded.groupBy("band", "sig").agg(count(lit(1)).as("nb")),
-        Seq("band", "sig"))
-      .filter(col("na") + col("nb") <= maxBucketSize)
-      .select("band", "sig")
-    // merge hint: the bucketed layout serves a sort-merge join; at test
-    // scale AQE would otherwise broadcast the batch side and skip the
-    // layout entirely (fine at 100 TB too — bucketing still saves the
-    // sort — but the pinned plan is the one the layout exists for)
-    idx.hint("merge")
-      .join(newBanded, Seq("band", "sig"))
-      .join(ok, Seq("band", "sig"), "left_semi")
-      .select("a", "b").distinct()
+    probeCappedPairs(idx, newBanded, Seq("band", "sig"), maxBucketSize)
   }
 
   /** Fold an accepted batch into the stored index: its banded rows
@@ -178,9 +159,6 @@ object Dedup {
       .select(col("doc_id"), array((0 until nHashes).map(i => col(s"m$i")): _*).as("sig"))
   }
 
-  /** shared tail: (band, sig, doc_id) buckets → bounded candidate pairs.
-    * The bucket-size count shuffles on the same (band, sig) key as the
-    * self-join, so the exchange is reused rather than repeated. */
   /** THE degenerate-bucket rule, in ONE place for every candidate path
     * (pair self-joins and index builds alike): keep only buckets whose
     * row count is ≤ `max`. The count aggregates on the same key the
@@ -195,6 +173,35 @@ object Dedup {
     df.join(ok, keys)
   }
 
+  /** THE probe-side COMBINED cap rule, in ONE place for both stored-index
+    * probes (minhash band/sig and winnow fp — this was two hand-kept
+    * copies): a bucket is probed only when |index rows| + |batch rows| ≤
+    * `max`, the same rule the full-batch self-join applies, so
+    * probe == full-batch pairs BY CONSTRUCTION even when a bucket
+    * straddles the cap, and a boilerplate key arriving heavily in the
+    * batch cannot re-open the quadratic fan-out the build-time cap closed
+    * (build caps see corpus-only counts). `idx` carries the stored docs
+    * as `a`, `batch` the new docs as `b`; the index-side count aggregates
+    * on the bucketed layout (no exchange), and the merge hint pins the
+    * exchange-free plan the layout exists for (AQE would broadcast the
+    * small batch side at test scale — fine at 100 TB too, but the pinned
+    * plan is the layout's reason to exist). */
+  private def probeCappedPairs(
+      idx: DataFrame, batch: DataFrame, keys: Seq[String], max: Int): DataFrame = {
+    val kc = keys.map(col)
+    val ok = idx.groupBy(kc: _*).agg(count(lit(1)).as("na"))
+      .join(batch.groupBy(kc: _*).agg(count(lit(1)).as("nb")), keys)
+      .filter(col("na") + col("nb") <= max)
+      .select(kc: _*)
+    idx.hint("merge")
+      .join(batch, keys)
+      .join(ok, keys, "left_semi")
+      .select("a", "b").distinct()
+  }
+
+  /** shared tail: (band, sig, doc_id) buckets → bounded candidate pairs;
+    * the bucket-size count shuffles on the same key as the self-join, so
+    * the exchange is reused rather than repeated. */
   private def bucketedPairs(banded: DataFrame, maxBucketSize: Int): DataFrame = {
     val bounded = capBuckets(banded, Seq("band", "sig"), maxBucketSize)
     val l = bounded.select(col("band"), col("sig"), col("doc_id").as("a"))
@@ -306,25 +313,7 @@ object Dedup {
       .select(col("fp"), col("doc_id").as("b"))
       .localCheckpoint() // consumed by the count AND the pair join
     val idx = spark.table(table).select(col("fp"), col("doc_id").as("a"))
-    // the COMBINED (index + batch) bucket cap — the same rule
-    // winnowCandidates applies to the full-batch self-join, so
-    // probe == full-batch pairs BY CONSTRUCTION even when a bucket
-    // straddles the cap, and a boilerplate fingerprint arriving in the
-    // batch cannot re-open the quadratic fan-out the build-time
-    // stop-fingerprint cut closed (the build cap sees corpus-only counts;
-    // without this the probe side was entirely uncapped). The index-side
-    // count aggregates on the bucketed layout (no exchange); the batch
-    // side is small by the daily-ingest contract.
-    val ok = idx.groupBy("fp").agg(count(lit(1)).as("na"))
-      .join(newFps.groupBy("fp").agg(count(lit(1)).as("nb")), Seq("fp"))
-      .filter(col("na") + col("nb") <= maxBucketSize)
-      .select("fp")
-    // merge hint for the same reason as the minhash probe: pin the plan
-    // the bucketed layout exists for (AQE would broadcast at test scale)
-    idx.hint("merge")
-      .join(newFps, Seq("fp"))
-      .join(ok, Seq("fp"), "left_semi")
-      .select("a", "b").distinct()
+    probeCappedPairs(idx, newFps, Seq("fp"), maxBucketSize)
   }
 
   /** Fold an accepted batch's fingerprints into the stored index
@@ -527,7 +516,12 @@ object Dedup {
     // ivfpqFit discipline) — the common all-under-cap corpus then builds
     // a plan with NO sub-split machinery: no residual/LSH projections, no
     // level-1 count pass, no per-ecell size join
-    val n0 = assigned.groupBy("cid").agg(count(lit(1)).as("n0")).localCheckpoint()
+    // null-cid (stale-geometry) rows are excluded from the hot check too:
+    // they are dropped in BOTH branches below, so letting their count
+    // trip anyHot would build the whole sub-split machinery only to
+    // discard every row that triggered it
+    val n0 = assigned.filter(col("cid").isNotNull)
+      .groupBy("cid").agg(count(lit(1)).as("n0")).localCheckpoint()
     val anyHot = n0.filter(col("n0") > cap).limit(1).count() > 0
     val (underCap, overflow) =
       if (!anyHot)

@@ -43,11 +43,13 @@ object KMeans {
     * ORACLE codebooks stay strict by-id) */
   def seedById(
       e: DataFrame, idCol: String, vecCol: String, k: Int, dim: Int): Array[Array[Double]] = {
-    val rows = e.filter(size(col(vecCol)) === dim)
-      // backtick-quoted like bandedMinhash/winnowFingerprints: an
-      // unquoted interpolation breaks on column names needing quoting
+    // backtick-quoted CONSISTENTLY (col() parses dots as struct access,
+    // so quoting only the exists() expr left size/orderBy/select broken
+    // on exactly the names the quoting exists for)
+    val vq = col(s"`$vecCol`")
+    val rows = e.filter(size(vq) === dim)
       .filter(expr(s"!exists(`$vecCol`, x -> x IS NULL)"))
-      .orderBy(col(idCol)).limit(k).select(vecCol).collect()
+      .orderBy(col(s"`$idCol`")).limit(k).select(vq).collect()
     require(rows.length == k, s"need $k valid seed vectors, corpus has ${rows.length}")
     rows.map(_.getSeq[Double](0).toArray)
   }
@@ -78,6 +80,11 @@ object KMeans {
       sampleFraction: Double = 1.0, seed: Long = 20260813L,
       checkpointInput: Boolean = true): Array[Array[Double]] = {
     require(initBook.nonEmpty && initBook.length % nCent == 0 && maxIters > 0)
+    // mis-shaped init rows make pq_encode null EVERY row, which would
+    // silently return initBook verbatim below — fail loudly instead
+    require(initBook.forall(_.length == subDim),
+      s"initBook rows must be subDim=$subDim wide; got widths " +
+        initBook.map(_.length).distinct.mkString(","))
     graft.functions.GraftFunctions.register(e.sparkSession)
     val base = e.select(col(vecCol).as("v")).filter(col("v").isNotNull)
     val sampled =
@@ -100,6 +107,11 @@ object KMeans {
           (col("pos") % subDim).as("spos"), col("col"))
         .groupBy("j", "code", "spos").agg(avg("col").as("m"))
         .collect()
+      // zero assignments on the FIRST pass = no vector tiled the
+      // codebook (empty sample / fully damaged corpus): returning the
+      // init book as "trained" would be a silent no-op
+      require(iter > 0 || means.nonEmpty,
+        "trainSubspaces: no vector matched the codebook shape — training would be a no-op")
       val next = book.map(_.clone())
       means.foreach(r =>
         next(r.getInt(0) * nCent + r.getInt(1))(r.getInt(2)) = r.getDouble(3))
