@@ -46,6 +46,21 @@ object WarcSink {
     require(need.forall(df.columns.contains),
       s"WarcSink.write needs [${need.mkString(", ")}]; got [${df.columns.mkString(", ")}]")
     val spark = df.sparkSession
+    // Output files are named by shard BASENAME, so two distinct shard
+    // values sharing one ('a/x.warc.gz' + 'b/x.warc.gz') would have the
+    // second rename-OVERWRITE silently replace the first shard's file.
+    // One tiny distinct agg over shard values (O(#files), not O(rows))
+    // turns that silent loss into a loud driver-side failure.
+    val clash = df.select("shard").distinct()
+      .groupBy(regexp_extract(col("shard"), "[^/]+$", 0).as("base"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"),
+        sort_array(collect_list("shard")).as("shards"))
+      .filter(col("n") > 1)
+      .limit(5).collect()
+    require(clash.isEmpty,
+      "WarcSink.write: shard basenames must be unique across shard values " +
+        "(they name the output .warc.gz files); colliding groups: " +
+        clash.map(r => r.getSeq[String](2).mkString("[", ", ", "]")).mkString("; "))
     val dirPath = new Path(dir)
     val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(dirPath)) fs.delete(dirPath, true)
@@ -91,7 +106,10 @@ object WarcSink {
               current = shard
               out = pfs.create(new Path(dir, s".${warcName(shard)}.$attempt.tmp"), true)
             }
-            require(!row.isNullAt(2), s"WarcSink: null ts for url=${row.getString(1)}")
+            require(!row.isNullAt(2) && row.getString(2).matches("\\d{14}"),
+              s"WarcSink: ts must be 14 digits (WARC-Date source, the " +
+                s"CdxServer.timemap discipline); got ${row.getString(2)} " +
+                s"for url=${row.getString(1)}")
             // a curated corpus read back via Warc.scan can carry null
             // status/mime/payload (malformed HTTP heads parse to nulls):
             // no status -> a `resource` record (content without protocol

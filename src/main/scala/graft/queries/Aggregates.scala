@@ -130,11 +130,14 @@ object Aggregates extends QueryModule {
       sketch.join(exact, "hostword")
         // floor, not round: CAST(double AS BIGINT) is round-half-even on
         // DuckDB and HALF_UP on Spark — floor is the one function both
-        // engines agree on for every representable quotient
+        // engines agree on for every representable quotient.
+        // greatest(h_k, 1): an all-zero md5 32-bit prefix (~2^-32/key)
+        // would divide by 0 → Infinity, which Spark's cast saturates but
+        // DuckDB's CAST(floor(inf) AS BIGINT) errors — engine-divergent.
         .withColumn("kmv_est",
           when(col("n_in_sketch") < k, col("n_in_sketch"))
-            .otherwise(floor(lit((k - 1).toDouble * 4294967296.0) / col("h_k"))
-              .cast("long")))
+            .otherwise(floor(lit((k - 1).toDouble * 4294967296.0) /
+              greatest(col("h_k"), lit(1L))).cast("long")))
         .withColumn("rel_err",
           round(abs(col("kmv_est") - col("exact_urlkeys")) /
             col("exact_urlkeys"), 6))
@@ -621,10 +624,10 @@ object Aggregates extends QueryModule {
     // subqueries, not a second WITH (duckCte owns the prefix)
     "agg_kmv_distinct" -> o(
       "SELECT s.hostword, CASE WHEN s.n_in_sketch < 64 THEN s.n_in_sketch " +
-        "ELSE CAST(floor(270582939648.0 / s.h_k) AS BIGINT) END AS kmv_est, " +
+        "ELSE CAST(floor(270582939648.0 / greatest(s.h_k, 1)) AS BIGINT) END AS kmv_est, " +
         "e.exact_urlkeys, " +
         "round(abs((CASE WHEN s.n_in_sketch < 64 THEN s.n_in_sketch " +
-        "ELSE CAST(floor(270582939648.0 / s.h_k) AS BIGINT) END) - e.exact_urlkeys) " +
+        "ELSE CAST(floor(270582939648.0 / greatest(s.h_k, 1)) AS BIGINT) END) - e.exact_urlkeys) " +
         "/ e.exact_urlkeys, 6) AS rel_err " +
         "FROM (SELECT hostword, CAST(count(*) AS BIGINT) AS n_in_sketch, max(h) AS h_k " +
         "FROM (SELECT hostword, h, row_number() OVER (PARTITION BY hostword ORDER BY h) AS rn " +

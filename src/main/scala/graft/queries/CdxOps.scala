@@ -42,6 +42,26 @@ object CdxOps extends QueryModule {
       .orderBy("urlkey")
   }
 
+  /** cdx_revisit_generate body over a (id, urlkey, ts, url, digest)
+    * response relation — a helper so OperatorPropertiesSpec can drive the
+    * null-digest arm (the synthetic corpus's digests are all non-null).
+    * See the driver key's scaladoc for the window/skew rationale. */
+  def revisitGenerate(responses: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(coalesce(col("digest"), concat(lit(" null:"), col("id"))))
+      .orderBy("ts", "id")
+    responses
+      .select(col("id"), col("urlkey"), col("ts"), col("url"), col("digest"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("orig_url", first("url").over(w))
+      .withColumn("orig_ts", first("ts").over(w))
+      .select(col("id"), col("urlkey"), col("ts"), col("digest"),
+        when(col("rn") === 1, "response").otherwise("revisit").as("out_type"),
+        when(col("rn") > 1, col("orig_url")).as("refers_to_url"),
+        when(col("rn") > 1, col("orig_ts")).as("refers_to_ts"))
+      .orderBy("id")
+  }
+
   override def queries: Map[String, QFn] = Map(
     // ---- §2.2 projections / scalars ----
     "proj_cdx_fields" -> ((s, d) =>
@@ -186,7 +206,7 @@ object CdxOps extends QueryModule {
     // is pinned, not just any-match. Plan shape: a length-descending
     // coalesce(when(startswith)) chain — pure map-side codegen, zero
     // shuffles/joins (see [[graft.CdxServer.aclApply]]); the oracle
-    // replays it as a LIKE-join + longest-prefix row_number.
+    // replays it as a starts_with-join + longest-prefix row_number.
     "cdx_acl_policy" -> ((s, d) =>
       graft.CdxServer.aclApply(
         Cdx.df(s, d), col("urlkey"), aclRules, default = "allow")
@@ -246,20 +266,12 @@ object CdxOps extends QueryModule {
     // indexwarcsjob.py revisit rows, SURVEY §1.2). ONE shuffle on the
     // high-cardinality digest; all three window functions share the
     // (digest | ts, id) sort so Catalyst plans a single Window node.
-    "cdx_revisit_generate" -> ((s, d) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("digest").orderBy("ts", "id")
-      Cdx.df(s, d).where(col("record_type") === "response")
-        .select(col("id"), col("urlkey"), col("ts"), col("url"), col("digest"))
-        .withColumn("rn", row_number().over(w))
-        .withColumn("orig_url", first("url").over(w))
-        .withColumn("orig_ts", first("ts").over(w))
-        .select(col("id"), col("urlkey"), col("ts"), col("digest"),
-          when(col("rn") === 1, "response").otherwise("revisit").as("out_type"),
-          when(col("rn") > 1, col("orig_url")).as("refers_to_url"),
-          when(col("rn") > 1, col("orig_ts")).as("refers_to_ts"))
-        .orderBy("id")
-    }),
+    // Digest-less responses are NOT deduped (warcio/pywb never emit a
+    // revisit without a payload digest): each null-digest row gets a
+    // synthetic singleton partition key, so it emits as a plain response
+    // — and at scale nulls can't all land in one hot partition.
+    "cdx_revisit_generate" -> ((s, d) =>
+      revisitGenerate(Cdx.df(s, d).where(col("record_type") === "response"))),
 
     // publicsuffix.org eTLD+1 over the corpus's DISTINCT hosts plus the
     // planted precedence fixture — wildcard, exception, ccSLD-style
@@ -374,7 +386,7 @@ object CdxOps extends QueryModule {
       "SELECT id, urlkey, ts FROM cdx WHERE urlkey LIKE 'org,example,medium)/order/1%' ORDER BY urlkey, ts, id"),
     "filter_ts_range" -> o(
       "SELECT id, ts FROM cdx WHERE ts >= '19970101000000' AND ts < '19990101000000' ORDER BY id"),
-    // LIKE-join + longest-prefix row_number replay of the when-chain;
+    // starts_with-join + longest-prefix row_number replay of the when-chain;
     // an unmatched capture left-joins to exactly one all-NULL rule row,
     // so rn = 1 selects it and coalesce applies the default
     "cdx_acl_policy" -> o(
@@ -383,8 +395,8 @@ object CdxOps extends QueryModule {
         "coalesce(r.access, 'allow') AS access, " +
         "row_number() OVER (PARTITION BY c.id ORDER BY length(r.prefix) DESC) AS rn " +
         "FROM cdx c LEFT JOIN (VALUES " + aclRulesDuck + ") AS r(prefix, access) " +
-        "ON c.urlkey LIKE r.prefix || '%') WHERE rn = 1 ORDER BY id"),
-    // both policy replays joined per id: the acl LIKE-join winner and the
+        "ON starts_with(c.urlkey, r.prefix)) WHERE rn = 1 ORDER BY id"),
+    // both policy replays joined per id: the acl starts_with-join winner and the
     // robots longest-prefix winner, then the AND
     "cdx_policy_gate" -> o(
       "SELECT a.id, a.urlkey, a.access, r.allowed, " +
@@ -393,19 +405,19 @@ object CdxOps extends QueryModule {
         "SELECT c.id, c.urlkey, coalesce(rr.access, 'allow') AS access, " +
         "row_number() OVER (PARTITION BY c.id ORDER BY length(rr.prefix) DESC) AS rn " +
         "FROM cdx c LEFT JOIN (VALUES " + aclRulesDuck + ") AS rr(prefix, access) " +
-        "ON c.urlkey LIKE rr.prefix || '%') WHERE rn = 1) a JOIN (" +
+        "ON starts_with(c.urlkey, rr.prefix)) WHERE rn = 1) a JOIN (" +
         "SELECT id, allowed FROM (" +
         "SELECT u.id, coalesce(p.rule = 'allow', TRUE) AS allowed, " +
         "row_number() OVER (PARTITION BY u.id ORDER BY length(p.path) DESC, p.rule) AS rn " +
         "FROM (SELECT id, host, path || '?' || qs AS upath FROM cdx) u " +
-        s"LEFT JOIN ($robotsApplicable) p ON u.host = p.host AND u.upath LIKE p.path || '%') " +
+        s"LEFT JOIN ($robotsApplicable) p ON u.host = p.host AND starts_with(u.upath, p.path)) " +
         "WHERE rn = 1) r ON a.id = r.id ORDER BY a.id"),
     // full grammar replay: flattened (host, ln, agent, rule, path) table
     "robots_parse" -> (
       s"SELECT r.host, r.ln, a.agent, r.rule, r.path " +
         s"FROM ($robotsRules) r JOIN ($robotsAgents) a ON r.host = a.host AND r.block = a.block " +
         "ORDER BY r.host, r.ln, a.agent"),
-    // LIKE-join + longest-prefix row_number; unmatched ids keep one
+    // starts_with-join (literal prefix — LIKE would treat _/% in a rule path as wildcards); unmatched ids keep one
     // all-NULL rule row, so rn = 1 selects it and coalesce defaults to
     // allow — 'allow' < 'disallow' makes the equal-length tie lexical
     "robots_check" -> o(
@@ -413,7 +425,7 @@ object CdxOps extends QueryModule {
         "SELECT u.id, u.host, coalesce(r.rule = 'allow', TRUE) AS allowed, r.path AS rule_path, " +
         "row_number() OVER (PARTITION BY u.id ORDER BY length(r.path) DESC, r.rule) AS rn " +
         "FROM (SELECT id, host, path || '?' || qs AS upath FROM cdx) u " +
-        s"LEFT JOIN ($robotsApplicable) r ON u.host = r.host AND u.upath LIKE r.path || '%') " +
+        s"LEFT JOIN ($robotsApplicable) r ON u.host = r.host AND starts_with(u.upath, r.path)) " +
         "WHERE rn = 1 ORDER BY id"),
     // same (digest | ts, id) window; first_value's frame start is the
     // partition start in both engines, so ties are irrelevant to it
@@ -425,7 +437,7 @@ object CdxOps extends QueryModule {
         "SELECT id, urlkey, ts, digest, " +
         "row_number() OVER w AS rn, first_value(url) OVER w AS orig_url, " +
         "first_value(ts) OVER w AS orig_ts FROM cdx WHERE record_type = 'response' " +
-        "WINDOW w AS (PARTITION BY digest ORDER BY ts, id)) ORDER BY id"),
+        "WINDOW w AS (PARTITION BY coalesce(digest, ' null:' || id) ORDER BY ts, id)) ORDER BY id"),
     // full PSL algorithm replay: suffix/wildcard candidate generation,
     // exception > most-labels precedence, default-* fallback
     "url_registered_domain" -> o(

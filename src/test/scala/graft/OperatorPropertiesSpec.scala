@@ -776,6 +776,30 @@ class OperatorPropertiesSpec extends SparkSpec {
       ("k_unchanged", Some(301), Some(301), "unchanged")), s"got ${got.toSeq}")
   }
 
+  test("cdx_revisit_generate: digest-less responses are never deduped") {
+    import spark.implicits._
+    // the warcio/pywb dedup contract: a record without a payload digest
+    // can't be a revisit target OR a revisit — three null-digest rows
+    // sharing nothing must each emit as a plain response (and not pile
+    // into one null partition), while the non-null pair still dedupes
+    val responses = Seq(
+      (1L, "k/a", "19960101000000", "http://a/1", "DIGESTAAAA"),
+      (2L, "k/b", "19970101000000", "http://b/2", null),
+      (3L, "k/c", "19980101000000", "http://c/3", null),
+      (4L, "k/d", "19990101000000", "http://d/4", "DIGESTAAAA"),
+      (5L, "k/e", "20000101000000", "http://e/5", null)
+    ).toDF("id", "urlkey", "ts", "url", "digest")
+    val got = graft.queries.CdxOps.revisitGenerate(responses)
+      .select("id", "out_type", "refers_to_url", "refers_to_ts")
+      .collect().map(r => (r.getLong(0), r.getString(1), Option(r.getString(2)), Option(r.getString(3))))
+    assert(got.toSeq == Seq(
+      (1L, "response", None, None),
+      (2L, "response", None, None),
+      (3L, "response", None, None),
+      (4L, "revisit", Some("http://a/1"), Some("19960101000000")),
+      (5L, "response", None, None)), s"got ${got.toSeq}")
+  }
+
   test("agg_kmv_distinct: bottom-k sketch is exactly mergeable across segments") {
     import org.apache.spark.sql.expressions.Window
     // the property that makes KMV a SKETCH: bottom-k of the union of

@@ -354,4 +354,31 @@ class WarcSpec extends SparkSpec {
     val aOffs = back.filter(_.getString(7) == "a.warc.gz").map(_.getLong(6))
     assert(aOffs.length == 2 && aOffs.distinct.length == 2)
   }
+
+  test("WarcSink: colliding shard basenames and malformed ts fail loudly") {
+    import org.apache.spark.sql.functions._
+    // 'a/x.warc.gz' and 'b/x.warc.gz' both publish as x.warc.gz — the
+    // rename-OVERWRITE would silently drop one shard's records; the
+    // driver-side distinct-basename require must reject the write
+    val clash = Seq(
+      ("a/x.warc.gz", "http://example.com/1", "20240102030405", 200, "text/html", "a".getBytes("UTF-8")),
+      ("b/x.warc.gz", "http://example.com/2", "20240102030406", 200, "text/html", "b".getBytes("UTF-8")))
+    val e1 = intercept[IllegalArgumentException] {
+      graft.formats.WarcSink.write(
+        spark.createDataFrame(clash).toDF("shard", "url", "ts", "status", "mime", "payload"),
+        "/tmp/graft_test/warcsink_clash")
+    }
+    assert(e1.getMessage.contains("basenames") && e1.getMessage.contains("x.warc.gz"))
+    // a non-14-digit ts would substring-crash or emit a malformed
+    // WARC-Date; the per-row require names the bad value
+    val badTs = Seq(
+      ("s/c.warc.gz", "http://example.com/3", "2024-01-02", 200, "text/html", "c".getBytes("UTF-8")))
+    val e2 = intercept[org.apache.spark.SparkException] {
+      graft.formats.WarcSink.write(
+        spark.createDataFrame(badTs).toDF("shard", "url", "ts", "status", "mime", "payload"),
+        "/tmp/graft_test/warcsink_badts")
+    }
+    assert(e2.getMessage.contains("14 digits") || Option(e2.getCause).exists(
+      c => String.valueOf(c.getMessage).contains("14 digits")))
+  }
 }
