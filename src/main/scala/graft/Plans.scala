@@ -95,7 +95,10 @@ object Plans {
     "scan_avro" -> "gavro DSv2 scan: byte-range splits on sync markers (4KB forces multi-split here), ReadSchema pruned to the projected columns",
     "text_dedup_substring" -> "duplicated grams from one partial+final hash agg; hits re-attach by equi join; span merge is a per-doc islands window — no global window, no self-join",
     "ts_interval_coverage" -> "interval union entirely inside user-partitioned windows + two hash aggs on user_id — one exchange reused end-to-end, no self-join",
-    "join_asof_tolerance" -> "as-of via union-window: both sides union once, ONE partitioned window carries the latest right row forward — zero joins, no range-join blow-up")
+    "join_asof_tolerance" -> "as-of via union-window: both sides union once, ONE partitioned window carries the latest right row forward — zero joins, no range-join blow-up",
+    "text_gopher_rules" -> "the whole Gopher rule panel is ONE map-side projection (HOF filters, no Generate) fused into the scan's codegen stage — the only exchange is the output sort",
+    "crawl_politeness" -> "sched=max(arrival,prev+delay) recursion in closed window form: one shuffle on host; row_number and the running max share a single Window node — no iteration, no driver state",
+    "url_strip_tracking" -> "planted-variant union is exchange-free; canon (HOF param filter+sort) computed map-side; ONE hash agg on canon — the dedup_exact shuffle class")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse(

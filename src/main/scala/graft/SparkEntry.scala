@@ -25,6 +25,7 @@ object SparkEntry {
     q.Similarity,
     q.Graph,
     q.Search,
+    q.Curation,
     q.UdfSurface)
 
   /** Flagship (SURVEY §7 minimum slice): latest 200-status capture for each

@@ -800,6 +800,62 @@ class OperatorPropertiesSpec extends SparkSpec {
       (5L, "response", None, None)), s"got ${got.toSeq}")
   }
 
+  test("text_gopher_rules: planted fixture drives the punctuation arms") {
+    import spark.implicits._
+    // the synthetic corpus has no punctuation, so the symbol / bullet /
+    // ellipsis / mean-word-length arms are pinned here against
+    // hand-computed truth (the crawl_diff planted-arm pattern).
+    // `good` = 104 words, mean length 3.46, all 8 stop-signal words.
+    val good = Seq.fill(8)("the words be to of and that have with more body text here").mkString(" ")
+    val docs = Seq(
+      (1L, good),                                          // passes every rule
+      (2L, good + " ############### x"),                   // 15 '#' > 10% of 105 words
+      (3L, good + (1 to 10).map(_ => "\n- item").mkString("")), // 10 of 11 bullet lines
+      (4L, good + "\nmore...\nmore...\nmore..."),          // 3 of 4 ellipsis lines
+      (5L, Seq.fill(30)("a ex").mkString(" ")),            // mean word length < 3
+      (6L, Seq.fill(60)("extraordinarily").mkString(" ")), // mean word length > 10
+      (7L, "too short to pass")                            // word count < 50
+    ).toDF("doc_id", "text")
+    // columns 2..9: r_wordcount r_meanlen r_alpha r_stop r_symbol r_bullets r_ellipsis keep
+    val got = graft.queries.Curation.gopherRules(docs)
+      .collect().map(r => (r.getLong(0),
+        (2 to 9).map(i => if (r.getBoolean(i)) 'T' else 'F').mkString))
+    assert(got.toSeq == Seq(
+      (1L, "TTTTTTTT"),
+      (2L, "TTTTFTTF"),
+      (3L, "TTTTTFTF"),
+      (4L, "TTTTTTFF"),
+      (5L, "TFTFTTTF"),
+      (6L, "TFTFTTTF"),
+      (7L, "FTTFTTTF")), s"got ${got.toSeq}")
+  }
+
+  test("crawl_politeness: window closed form equals the sequential recursion") {
+    import spark.implicits._
+    // sched_i = max(arrival_i, sched_{i-1} + delay) — the closed form
+    // (delay·rn + running max of arrival − delay·rn) must equal a plain
+    // sequential fold, including burst arrivals (identical timestamps)
+    // and long idle gaps that reset the backlog
+    val delay = 2000000L
+    val arrivals = Seq(0L, 0L, 0L, 1000000L, 9000000L, 9100000L, 50000000L)
+    val df = arrivals.zipWithIndex
+      .map { case (ts, i) => (i.toLong, "h", ts) }
+      .toDF("id", "hostword", "epoch_us")
+      .withColumn("host", col("hostword"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("host").orderBy("epoch_us", "id")
+    val got = df
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w).cast("long"))
+      .withColumn("sched_us", lit(delay) * col("rn") +
+        org.apache.spark.sql.functions.max(col("epoch_us") - lit(delay) * col("rn")).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .orderBy("id").select("sched_us").collect().map(_.getLong(0)).toSeq
+    val expect = arrivals.tail.scanLeft(arrivals.head) {
+      (prev, ts) => math.max(ts, prev + delay)
+    }
+    assert(got == expect, s"closed form $got != recursion $expect")
+  }
+
   test("agg_kmv_distinct: bottom-k sketch is exactly mergeable across segments") {
     import org.apache.spark.sql.expressions.Window
     // the property that makes KMV a SKETCH: bottom-k of the union of
