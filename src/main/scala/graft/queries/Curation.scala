@@ -68,6 +68,57 @@ object Curation extends QueryModule {
           col("r_stop") && col("r_symbol") && col("r_bullets") && col("r_ellipsis"))
       .orderBy("doc_id")
 
+  /** C4 cleaning pass (Raffel et al. 2020 §2.2) over a (doc_id, text)
+    * relation whose text is '\n'-separated lines: keep only lines that
+    * end in terminal punctuation (. ! ? "), carry ≥ 3 words, and do not
+    * mention javascript; drop the whole page when it contains
+    * "lorem ipsum" or a curly brace, or keeps fewer than 5 lines (the
+    * kept-line count standing in for C4's sentence count). Emits the
+    * counters plus md5(cleaned text) so the oracle pins the exact kept
+    * content, not just its size. One map-side projection (HOF filters,
+    * no explode) — scan-speed at any corpus size. */
+  def c4Filters(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs
+      .withColumn("lines", split(col("text"), "\n"))
+      .withColumn("kept", filter(col("lines"), l =>
+        rtrim(l).rlike("[.!?\"]$") &&
+          size(split(l, " ")) >= 3 &&
+          !lower(l).contains("javascript")))
+      .withColumn("cleaned", array_join(col("kept"), "\n"))
+      .select(
+        col("doc_id"),
+        size(col("lines")).cast("bigint").as("n_lines"),
+        size(col("kept")).cast("bigint").as("n_kept"),
+        length(col("cleaned")).cast("bigint").as("kept_chars"),
+        lower(col("text")).contains("lorem ipsum").as("has_lorem"),
+        col("text").contains("{").as("has_brace"),
+        md5(col("cleaned")).as("c4_md5"))
+      .withColumn("keep_doc",
+        !col("has_lorem") && !col("has_brace") && col("n_kept") >= 5)
+      .orderBy("doc_id")
+
+  /** Pointer-jumping chain resolution over a functional (src, dst) edge
+    * relation (each src has at most ONE outgoing edge — a redirect map):
+    * returns (src, dst = terminal, hops). Each round left-joins the jump
+    * map with itself, composing it — coverage doubles per round, so
+    * `rounds` = ⌈log₂ maxHops⌉ resolves every chain with O(log) hash
+    * self-joins and no per-hop driver loop (the graph_connected_components
+    * discipline applied to a successor function). A chain longer than
+    * 2^rounds resolves PARTIALLY (dst = the node 2^rounds ahead) — the
+    * caller bounds rounds from its topology; OperatorPropertiesSpec pins
+    * both sides of that boundary. */
+  def resolveChains(edges: org.apache.spark.sql.DataFrame, rounds: Int): org.apache.spark.sql.DataFrame = {
+    var jump = edges.select(col("src"), col("dst")).withColumn("hops", lit(1L))
+    for (_ <- 1 to rounds) {
+      val r = jump.select(col("src").as("jsrc"), col("dst").as("jdst"),
+        col("hops").as("jhops"))
+      jump = jump.join(r, col("dst") === col("jsrc"), "left")
+        .select(col("src"), coalesce(col("jdst"), col("dst")).as("dst"),
+          (col("hops") + coalesce(col("jhops"), lit(0L))).as("hops"))
+    }
+    jump
+  }
+
   /** tracking-parameter regex, shared by both engines: the ubiquitous
     * analytics/session params whose presence forks one logical URL into
     * unbounded capture variants (utm_* per Google's public docs; gclid/
@@ -89,6 +140,62 @@ object Curation extends QueryModule {
         when(col("doc_id") % 3 === 0,
           concat(col("text"), lit(" the be to of and that have with")))
           .otherwise(col("text"))))),
+
+    // ---- C4 cleaning pass (Raffel et al. 2020) ----
+    // The fixture text is a single line with no punctuation, so the key
+    // first builds a PAGE out of each doc — 8-word lines whose endings
+    // rotate on (doc_id + line) % 5 through '.', '!', '?', nothing, and
+    // ' javascript.' — and plants the page-level drop triggers (lorem
+    // ipsum / curly brace) on sparse doc_id residues. Every C4 arm is
+    // live under the oracle: per-line terminal-punct, ≥3-words, and
+    // javascript drops; page-level lorem/brace/too-few-kept-lines
+    // drops; and md5(cleaned) pins the exact surviving text. Both the
+    // page build and the filter are HOF projections — no explode, no
+    // shuffle (the output sort is the only exchange).
+    "text_c4_filters" -> ((s, d) => {
+      val endings = Seq(".", "!", "?", "", " javascript.")
+      val paged = Tables.t(s, d, "documents")
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("nl", ceil(size(col("toks")) / lit(8.0)).cast("int"))
+        .withColumn("page", concat(
+          array_join(transform(sequence(lit(0), col("nl") - 1), i =>
+            concat(array_join(slice(col("toks"), i * 8 + 1, lit(8)), " "),
+              element_at(typedLit(endings),
+                ((col("doc_id") + i) % 5 + 1).cast("int")))), "\n"),
+          when(col("doc_id") % 31 === 0, "\nlorem ipsum dolor sit amet.").otherwise(""),
+          when(col("doc_id") % 37 === 0, "\n{ var x = 1; }").otherwise("")))
+        .select(col("doc_id"), col("page").as("text"))
+      c4Filters(paged)
+    }),
+
+    // ---- redirect-chain resolution (pointer jumping, log-hop joins) ----
+    // Resolve every capture's 3xx chain to its terminal URL. The fixture
+    // has no real chains, so the key plants an arithmetic topology whose
+    // closed form the oracle replays WITHOUT any recursion: id → id−1
+    // unless id ≡ 0 (mod 5), so terminal(id) = id − id%5 and
+    // hops = id%5 — while the Spark side must actually resolve it by
+    // pointer-jumping DOUBLING over the edge table (each round composes
+    // the jump map with itself: 3 rounds cover 8 hops). This is the
+    // scale shape for chain-walking at 100 TB: O(log maxHops) hash
+    // self-joins, no per-hop driver loop, no recursion depth tied to
+    // data. Terminal URLs re-attach by one equi join (absent captures —
+    // orderkey gaps — surface as null, left-join semantics).
+    "url_redirect_chain" -> ((s, d) => {
+      val cdx = Cdx.df(s, d).select("id", "url")
+      val edges = cdx
+        .filter(col("id") % 5 =!= 0)
+        .select(col("id"), explode(sequence(lit(0L), col("id") % 5 - 1)).as("k"))
+        .select((col("id") - col("k")).as("src"), (col("id") - col("k") - 1).as("dst"))
+        .distinct()
+      val jump = resolveChains(edges, rounds = 3) // 2^3 = 8 ≥ max 4 planted hops
+      cdx.join(jump, cdx("id") === jump("src"), "left")
+        .select(col("id"), coalesce(col("dst"), col("id")).as("terminal_id"),
+          coalesce(col("hops"), lit(0L)).as("hops"))
+        .join(cdx.select(col("id").as("terminal_id"), col("url").as("terminal_url")),
+          Seq("terminal_id"), "left")
+        .select("id", "terminal_id", "hops", "terminal_url")
+        .orderBy("id")
+    }),
 
     // ---- URL canonicalization: strip tracking params, count variants ----
     // The indexer's SURT key sorts query params but keeps them all; a
@@ -199,6 +306,37 @@ object Curation extends QueryModule {
         "SELECT doc_id, CASE WHEN doc_id % 3 = 0 " +
         "THEN text || ' the be to of and that have with' ELSE text END AS text " +
         "FROM documents))) ORDER BY doc_id"),
+
+    "text_c4_filters" ->
+      ("SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines, " +
+        "CAST(len(kept) AS BIGINT) AS n_kept, " +
+        "CAST(length(cleaned) AS BIGINT) AS kept_chars, " +
+        "contains(lower(text), 'lorem ipsum') AS has_lorem, " +
+        "contains(text, '{') AS has_brace, md5(cleaned) AS c4_md5, " +
+        "(NOT contains(lower(text), 'lorem ipsum') AND NOT contains(text, '{') " +
+        "AND len(kept) >= 5) AS keep_doc FROM (" +
+        // coalesce: DuckDB's array_to_string of an EMPTY list is NULL,
+        // Spark's array_join is '' — the all-lines-dropped docs must agree
+        "SELECT doc_id, text, lines, kept, " +
+        "coalesce(array_to_string(kept, chr(10)), '') AS cleaned FROM (" +
+        "SELECT doc_id, text, lines, list_filter(lines, l -> " +
+        "regexp_matches(rtrim(l), '[.!?\"]$') AND len(string_split(l, ' ')) >= 3 " +
+        "AND NOT contains(lower(l), 'javascript')) AS kept FROM (" +
+        "SELECT doc_id, text, string_split(text, chr(10)) AS lines FROM (" +
+        "SELECT doc_id, " +
+        "array_to_string(list_transform(range(0, nl), i -> " +
+        "array_to_string(toks[(i*8+1):(i*8+8)], ' ') || " +
+        "(['.', '!', '?', '', ' javascript.'])[CAST((doc_id + i) % 5 AS INT) + 1]), chr(10)) " +
+        "|| CASE WHEN doc_id % 31 = 0 THEN chr(10) || 'lorem ipsum dolor sit amet.' ELSE '' END " +
+        "|| CASE WHEN doc_id % 37 = 0 THEN chr(10) || '{ var x = 1; }' ELSE '' END AS text FROM (" +
+        "SELECT doc_id, string_split(text, ' ') AS toks, " +
+        "CAST(ceil(len(string_split(text, ' ')) / 8.0) AS INT) AS nl " +
+        "FROM documents))))) ORDER BY doc_id"),
+
+    "url_redirect_chain" -> o(
+      "SELECT c.id, c.id - (c.id % 5) AS terminal_id, c.id % 5 AS hops, " +
+        "t.url AS terminal_url FROM cdx c " +
+        "LEFT JOIN cdx t ON t.id = c.id - (c.id % 5) ORDER BY c.id"),
 
     "url_strip_tracking" -> o(
       "SELECT host || path || '?' || array_to_string(list_sort(list_filter(" +

@@ -856,6 +856,23 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(got == expect, s"closed form $got != recursion $expect")
   }
 
+  test("url_redirect_chain: doubling rounds cover exactly 2^rounds hops") {
+    import spark.implicits._
+    // a single 9-hop chain 9→8→…→0: rounds=4 (covers 16) must fully
+    // resolve every suffix; rounds=3 (covers 8) must leave ONLY the
+    // 9-hop head partially resolved at its 8-step waypoint — pinning
+    // that the round bound is the real coverage bound, not a heuristic
+    val edges = (1 to 9).map(i => (i.toLong, i.toLong - 1)).toDF("src", "dst")
+    val full = graft.queries.Curation.resolveChains(edges, rounds = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(full.toSeq == (1 to 9).map(i => (i.toLong, 0L, i.toLong)),
+      s"rounds=4 got ${full.toSeq}")
+    val partial = graft.queries.Curation.resolveChains(edges, rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(partial.toSeq == (1 to 8).map(i => (i.toLong, 0L, i.toLong)) :+ (9L, 1L, 8L),
+      s"rounds=3 got ${partial.toSeq}")
+  }
+
   test("agg_kmv_distinct: bottom-k sketch is exactly mergeable across segments") {
     import org.apache.spark.sql.expressions.Window
     // the property that makes KMV a SKETCH: bottom-k of the union of
