@@ -213,6 +213,23 @@ object TimeWindows extends QueryModule {
         .orderBy("host", "status_class")
     }),
 
+    // the politeness planner as CONTINUOUS state (ValueState = one long
+    // per host, the last granted slot; see PolitenessProcessor): the
+    // streaming twin of crawl_politeness, sharing its closed-form oracle
+    // verbatim — batch-run the fold over each host's full history must
+    // equal the window algebra, or one of the two implementations is
+    // wrong. StreamingSpec pins cross-batch slot continuity.
+    "stream_politeness" -> ((s, d) => {
+      import s.implicits._
+      val in = graft.Cdx.df(s, d)
+        .select(col("id"), col("host"), col("epoch_us"),
+          ((length(col("hostword")) % 3 + 1).cast("bigint") * 1000000L).as("delay_us"))
+        .as[graft.streaming.StreamOps.FetchIn]
+      graft.streaming.StreamOps.politeness(in)
+        .toDF()
+        .orderBy("id")
+    }),
+
     // ordered funnel (view -> click within 30m -> purchase within 30m of
     // the click) — the product-analytics sequence query. Shape: three
     // event-type slices equi-join on user_id with in-plan time-range
@@ -394,6 +411,9 @@ object TimeWindows extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    // the SAME oracle string as the batch window form — the stream fold
+    // and the closed-form window algebra must agree row-for-row
+    "stream_politeness" -> Curation.oracleSql("crawl_politeness"),
     // independent formulation: two ASOF joins (<= prev / >= next), same
     // pre-aggregation and the identical interpolation arithmetic
     "ts_resample_linear" ->

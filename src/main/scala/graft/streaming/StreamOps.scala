@@ -616,6 +616,64 @@ object StreamOps {
       .transformWithState(new HostStatusProcessor, TimeMode.None(), OutputMode.Update())
   }
 
+  // ---- per-host politeness scheduler (transformWithState VALUE state) ----
+
+  final case class FetchIn(id: Long, host: String, epoch_us: Long, delay_us: Long)
+  final case class FetchOut(id: Long, host: String, epoch_us: Long,
+      delay_us: Long, sched_us: Long, wait_us: Long)
+
+  /** The crawl controller's continuous form of the batch
+    * `crawl_politeness` planner: per host, assign each arriving fetch
+    * request the earliest slot respecting
+    * sched = max(arrival, prevSched + delay). State is ONE long per host
+    * (the last granted slot), so a resumed query keeps spacing fetches
+    * correctly across batches — the property StreamingSpec pins. Within
+    * an invocation rows sort by (epoch_us, id) before the fold (stream
+    * micro-batches deliver a key's rows unordered); the per-key buffer is
+    * O(key rows in the batch) — the RecentK/SessionFlush bound, which at
+    * crawl scale is one host's arrivals per micro-batch, not history.
+    * Batch-run each key's whole history arrives in one invocation, so
+    * the emitted schedule equals the closed-form window oracle of
+    * `crawl_politeness` — the two driver keys share ONE oracle string. */
+  final class PolitenessProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[String, FetchIn, FetchOut] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+
+    @transient private var lastSched: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      lastSched = getHandle.getValueState[Long](
+        "lastSched", Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: String, rows: Iterator[FetchIn],
+        timerValues: TimerValues): Iterator[FetchOut] = {
+      val sorted = rows.toArray.sortBy(r => (r.epoch_us, r.id))
+      var hasPrev = lastSched.exists()
+      var prev = if (hasPrev) lastSched.get() else 0L
+      val out = sorted.map { r =>
+        val sched =
+          if (hasPrev) math.max(r.epoch_us, prev + r.delay_us) else r.epoch_us
+        hasPrev = true
+        prev = sched
+        FetchOut(r.id, r.host, r.epoch_us, r.delay_us, sched, sched - r.epoch_us)
+      }
+      if (sorted.nonEmpty) lastSched.update(prev)
+      out.iterator
+    }
+  }
+
+  /** per-host fetch scheduling over a request stream/batch; see
+    * [[PolitenessProcessor]] */
+  def politeness(in: Dataset[FetchIn]): Dataset[FetchOut] = {
+    import in.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    ensureStateStoreCoordinator(in.sparkSession)
+    in.groupByKey(_.host)
+      .transformWithState(new PolitenessProcessor, TimeMode.None(), OutputMode.Append())
+  }
+
   /** outputMode for each op when run as a sink: update for stateful aggs,
     * append for session/dedup — complete mode would retain all aggregation
     * state forever, defeating the watermark's state eviction; session

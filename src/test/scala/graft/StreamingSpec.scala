@@ -415,6 +415,41 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("politeness ValueState: fetch slots stay spaced across batches and reset after idle gaps") {
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[StreamOps.FetchIn]
+    val d = 2000000L // 2s crawl delay
+    def f(id: Long, at: Long) = StreamOps.FetchIn(id, "a.org", at, d)
+    val q = StreamOps.politeness(input.toDS()).writeStream
+      .format("memory").queryName("polite_sink").outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: a burst of three simultaneous requests spreads out at
+      // delay spacing (0, 2s, 4s)
+      input.addData(f(1, 0L), f(2, 0L), f(3, 0L))
+      q.processAllAvailable()
+      val b1 = spark.table("polite_sink")
+        .as[StreamOps.FetchOut].collect().sortBy(_.id).map(_.sched_us).toSeq
+      assert(b1 == Seq(0L, d, 2 * d), s"got $b1")
+      // batch 2: a request arriving 1s after the last granted slot (4s)
+      // must wait for 6s — the CROSS-BATCH continuity only the ValueState
+      // can provide; a later request past the backlog fetches on arrival
+      input.addData(f(4, 5000000L), f(5, 60000000L))
+      q.processAllAvailable()
+      val b2 = spark.table("polite_sink")
+        .as[StreamOps.FetchOut].collect().sortBy(_.id).map(_.sched_us).toSeq
+      assert(b2 == Seq(0L, d, 2 * d, 3 * d, 60000000L), s"got $b2")
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("hostStatus MapState: per-class totals accumulate across batches, untouched classes stay quiet") {
     implicit val sqlCtx = spark.sqlContext
     val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
