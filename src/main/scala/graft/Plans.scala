@@ -97,7 +97,7 @@ object Plans {
     "ts_interval_coverage" -> "interval union entirely inside user-partitioned windows + two hash aggs on user_id — one exchange reused end-to-end, no self-join",
     "join_asof_tolerance" -> "as-of via union-window: both sides union once, ONE partitioned window carries the latest right row forward — zero joins, no range-join blow-up",
     "text_gopher_rules" -> "the whole Gopher rule panel is ONE map-side projection (HOF filters, no Generate) fused into the scan's codegen stage — the only exchange is the output sort",
-    "crawl_politeness" -> "sched=max(arrival,prev+delay) recursion in closed window form: one shuffle on host; row_number and the running max share a single Window node — no iteration, no driver state",
+    "crawl_politeness" -> "sched=max(arrival,prev+delay) recursion in closed window form: one shuffle on host; both Window nodes (rn, then the running max consuming it) reuse that exchange and ONE sort — no iteration, no driver state",
     "url_strip_tracking" -> "planted-variant union is exchange-free; canon (HOF param filter+sort) computed map-side; ONE hash agg on canon — the dedup_exact shuffle class",
     "text_c4_filters" -> "page build AND the whole C4 filter are chained HOF projections (no Generate, no shuffle); md5(cleaned) rides the same codegen stage",
     "url_redirect_chain" -> "pointer-jumping doubling: 3 self-joins of the jump map (log coverage, not per-hop rounds); terminal URLs re-attach by one left equi join",

@@ -230,8 +230,9 @@ object Curation extends QueryModule {
     // slot respecting sched_i = max(arrival_i, sched_{i-1} + delay): the
     // recursive form every naive implementation loops over is CLOSED
     // under a window — sched_i = delay·i + running_max(arrival_j −
-    // delay·j) — so the whole schedule is ONE shuffle on host and one
-    // Window node (rn and the running max share the same sort). Pure
+    // delay·j) — so the whole schedule is ONE shuffle on host: the two
+    // Window nodes (rn, then the running max that consumes it) share
+    // that exchange and a single sort — no second exchange. Pure
     // int64 µs arithmetic, so the DuckDB replay is exact. At 100 TB:
     // partition-parallel per host, no iteration, no driver state; a hot
     // host is one partition's sort (the same bound every per-host window
