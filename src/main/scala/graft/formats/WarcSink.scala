@@ -30,6 +30,16 @@ object WarcSink {
     if (base.endsWith(".warc.gz")) base else base + ".warc.gz"
   }
 
+  /** allocation-free `^\d{14}$` — this runs once per record in the
+    * writer's hot loop, where a regex Pattern.compile per row would be
+    * measurable overhead */
+  private def isTs14(s: String): Boolean = {
+    if (s == null || s.length != 14) return false
+    var i = 0
+    while (i < 14) { val c = s.charAt(i); if (c < '0' || c > '9') return false; i += 1 }
+    true
+  }
+
   private def iso(ts14: String): String =
     s"${ts14.substring(0, 4)}-${ts14.substring(4, 6)}-${ts14.substring(6, 8)}T" +
       s"${ts14.substring(8, 10)}:${ts14.substring(10, 12)}:${ts14.substring(12, 14)}Z"
@@ -46,28 +56,23 @@ object WarcSink {
     require(need.forall(df.columns.contains),
       s"WarcSink.write needs [${need.mkString(", ")}]; got [${df.columns.mkString(", ")}]")
     val spark = df.sparkSession
-    // Output files are named by shard BASENAME, so two distinct shard
-    // values sharing one ('a/x.warc.gz' + 'b/x.warc.gz') would have the
-    // second rename-OVERWRITE silently replace the first shard's file.
-    // One tiny distinct agg over shard values (O(#files), not O(rows))
-    // turns that silent loss into a loud driver-side failure.
-    val clash = df.select("shard").distinct()
-      .groupBy(regexp_extract(col("shard"), "[^/]+$", 0).as("base"))
-      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"),
-        sort_array(collect_list("shard")).as("shards"))
-      .filter(col("n") > 1)
-      .limit(5).collect()
-    require(clash.isEmpty,
-      "WarcSink.write: shard basenames must be unique across shard values " +
-        "(they name the output .warc.gz files); colliding groups: " +
-        clash.map(r => r.getSeq[String](2).mkString("[", ", ", "]")).mkString("; "))
     val dirPath = new Path(dir)
     val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(dirPath)) fs.delete(dirPath, true)
     fs.mkdirs(dirPath)
     val sconf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
+    // Partition on the NORMALIZED output name (the warcName() image of
+    // the shard), not the raw shard value: two distinct shards sharing a
+    // basename ('a/x.warc.gz' + 'b/x.warc.gz', or 'seg1/part' +
+    // 'seg2/part.warc.gz' after the .warc.gz normalization) then land in
+    // the SAME task, where the publish loop detects the collision and
+    // fails loudly BEFORE the second shard's rename-OVERWRITE could
+    // silently replace the first one's file — no extra driver-side job,
+    // no second computation of the input lineage.
+    val base = substring_index(col("shard"), "/", -1)
     df.select(need.map(col): _*)
-      .repartition(col("shard"))
+      .repartition(when(base.endsWith(".warc.gz"), base)
+        .otherwise(concat(base, lit(".warc.gz"))))
       .sortWithinPartitions("shard", "url", "ts", "status")
       .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
         val pfs = org.apache.hadoop.fs.FileSystem.newInstance(
@@ -98,15 +103,27 @@ object WarcSink {
               }
           }
         }
+        // colliding shards co-locate here (the repartition key above), so
+        // name -> first-shard tracking inside the task catches every clash
+        val published = scala.collection.mutable.HashMap.empty[String, String]
         try {
           it.foreach { row =>
             val shard = row.getString(0)
             if (shard != current) {
               close()
+              val name = warcName(shard)
+              published.get(name) match {
+                case Some(other) if other != shard =>
+                  throw new IllegalArgumentException(
+                    s"WarcSink: shard basenames must be unique across shard " +
+                      s"values (they name the output files) — '$shard' and " +
+                      s"'$other' both publish $name")
+                case _ => published.update(name, shard)
+              }
               current = shard
               out = pfs.create(new Path(dir, s".${warcName(shard)}.$attempt.tmp"), true)
             }
-            require(!row.isNullAt(2) && row.getString(2).matches("\\d{14}"),
+            require(!row.isNullAt(2) && isTs14(row.getString(2)),
               s"WarcSink: ts must be 14 digits (WARC-Date source, the " +
                 s"CdxServer.timemap discipline); got ${row.getString(2)} " +
                 s"for url=${row.getString(1)}")

@@ -340,8 +340,10 @@ object Curation extends QueryModule {
         "LEFT JOIN cdx t ON t.id = c.id - (c.id % 5) ORDER BY c.id"),
 
     "url_strip_tracking" -> o(
-      "SELECT host || path || '?' || array_to_string(list_sort(list_filter(" +
-        "string_split(qs, '&'), p -> NOT regexp_matches(p, '^(utm_[^=]*|gclid|fbclid|sessionid|phpsessid)='))), '&') AS canon, " +
+      // coalesce: an all-tracking qs filters to the EMPTY list, where
+      // DuckDB's array_to_string is NULL but Spark's array_join is ''
+      "SELECT host || path || '?' || coalesce(array_to_string(list_sort(list_filter(" +
+        "string_split(qs, '&'), p -> NOT regexp_matches(p, '^(utm_[^=]*|gclid|fbclid|sessionid|phpsessid)='))), '&'), '') AS canon, " +
         "CAST(count(*) AS BIGINT) AS n_variants, " +
         "CAST(count(DISTINCT qs) AS BIGINT) AS n_raw_qs FROM (" +
         "SELECT host, path, qs FROM cdx " +

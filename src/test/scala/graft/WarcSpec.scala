@@ -358,17 +358,27 @@ class WarcSpec extends SparkSpec {
   test("WarcSink: colliding shard basenames and malformed ts fail loudly") {
     import org.apache.spark.sql.functions._
     // 'a/x.warc.gz' and 'b/x.warc.gz' both publish as x.warc.gz — the
-    // rename-OVERWRITE would silently drop one shard's records; the
-    // driver-side distinct-basename require must reject the write
-    val clash = Seq(
-      ("a/x.warc.gz", "http://example.com/1", "20240102030405", 200, "text/html", "a".getBytes("UTF-8")),
-      ("b/x.warc.gz", "http://example.com/2", "20240102030406", 200, "text/html", "b".getBytes("UTF-8")))
-    val e1 = intercept[IllegalArgumentException] {
-      graft.formats.WarcSink.write(
-        spark.createDataFrame(clash).toDF("shard", "url", "ts", "status", "mime", "payload"),
-        "/tmp/graft_test/warcsink_clash")
+    // rename-OVERWRITE would silently drop one shard's records. The
+    // repartition key is the NORMALIZED name, so the colliding shards
+    // co-locate and the task's publish loop rejects the write; the
+    // second case collides only AFTER the .warc.gz normalization
+    // ('seg1/part' -> part.warc.gz), pinning that the check runs on the
+    // warcName image, not the raw basename.
+    for (shards <- Seq(Seq("a/x.warc.gz", "b/x.warc.gz"),
+        Seq("seg1/part", "seg2/part.warc.gz"))) {
+      val clash = shards.zipWithIndex.map { case (sh, i) =>
+        (sh, s"http://example.com/$i", "20240102030405", 200, "text/html", "a".getBytes("UTF-8"))
+      }
+      val e1 = intercept[org.apache.spark.SparkException] {
+        graft.formats.WarcSink.write(
+          spark.createDataFrame(clash).toDF("shard", "url", "ts", "status", "mime", "payload"),
+          "/tmp/graft_test/warcsink_clash")
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else String.valueOf(t.getMessage) +: msgs(t.getCause)
+      assert(msgs(e1).exists(m => m.contains("basenames") && m.contains(".warc.gz")),
+        s"got ${msgs(e1)}")
     }
-    assert(e1.getMessage.contains("basenames") && e1.getMessage.contains("x.warc.gz"))
     // a non-14-digit ts would substring-crash or emit a malformed
     // WARC-Date; the per-row require names the bad value
     val badTs = Seq(
