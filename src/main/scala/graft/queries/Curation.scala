@@ -197,6 +197,48 @@ object Curation extends QueryModule {
         .orderBy("id")
     }),
 
+    // ---- redirect-LOOP detection (the chain resolver's failure mode) ----
+    // Real redirect maps contain CYCLES (A→B→A misconfigurations); a
+    // resolver that assumes termination either livelocks or reports a
+    // bogus terminal. This key extends url_redirect_chain's topology
+    // with planted 5-cycles — every capture id ≡ 0 (mod 100) gains the
+    // back edge id → id+4, closing {id..id+4} into a loop (the cycle's
+    // other four edges coincide with the base id→id−1 rule, so the map
+    // stays functional) — and classifies every capture: acyclic chains
+    // resolve to (terminal, hops) as before; chains that flow into a
+    // cycle report is_loop with NULL terminal. Detection is structural,
+    // not iterative: after doubling rounds that cover every ACYCLIC
+    // chain length, a resolved dst that still has an outgoing edge can
+    // only be inside a cycle — one extra semi-join against the edge
+    // sources, no convergence test, no driver loop. The oracle stays
+    // closed-form: is_loop ⇔ the chain's terminal is a multiple of 100
+    // PRESENT in the corpus (only then was the cycle planted).
+    "url_redirect_loops" -> ((s, d) => {
+      val ids = Cdx.df(s, d).select("id")
+      val base = ids
+        .filter(col("id") % 5 =!= 0)
+        .select(col("id"), explode(sequence(lit(0L), col("id") % 5 - 1)).as("k"))
+        .select((col("id") - col("k")).as("src"), (col("id") - col("k") - 1).as("dst"))
+      val cyc = ids
+        .filter(col("id") % 100 === 0)
+        .select(col("id"), explode(sequence(lit(0L), lit(4L))).as("k"))
+        .select(
+          when(col("k") === 0, col("id")).otherwise(col("id") + 5 - col("k")).as("src"),
+          when(col("k") === 0, col("id") + 4).otherwise(col("id") + 4 - col("k")).as("dst"))
+      val edges = base.unionByName(cyc).distinct()
+      val jump = resolveChains(edges, rounds = 3) // 8 ≥ max 4 acyclic hops
+      val outSrcs = edges.select(col("src").as("osrc")).distinct()
+      ids.join(jump, col("id") === col("src"), "left")
+        .select(col("id"), coalesce(col("dst"), col("id")).as("rdst"),
+          coalesce(col("hops"), lit(0L)).as("rhops"))
+        .join(outSrcs, col("rdst") === col("osrc"), "left")
+        .select(col("id"),
+          when(col("osrc").isNull, col("rdst")).as("terminal_id"),
+          when(col("osrc").isNull, col("rhops")).as("hops"),
+          col("osrc").isNotNull.as("is_loop"))
+        .orderBy("id")
+    }),
+
     // ---- URL canonicalization: strip tracking params, count variants ----
     // The indexer's SURT key sorts query params but keeps them all; a
     // training-data pipeline also DROPS the tracking params so the same
@@ -338,6 +380,14 @@ object Curation extends QueryModule {
       "SELECT c.id, c.id - (c.id % 5) AS terminal_id, c.id % 5 AS hops, " +
         "t.url AS terminal_url FROM cdx c " +
         "LEFT JOIN cdx t ON t.id = c.id - (c.id % 5) ORDER BY c.id"),
+
+    "url_redirect_loops" -> o(
+      "SELECT c.id, " +
+        "CASE WHEN t100.id IS NULL THEN c.id - (c.id % 5) END AS terminal_id, " +
+        "CASE WHEN t100.id IS NULL THEN c.id % 5 END AS hops, " +
+        "(t100.id IS NOT NULL) AS is_loop FROM cdx c " +
+        "LEFT JOIN cdx t100 ON t100.id = c.id - (c.id % 5) AND t100.id % 100 = 0 " +
+        "ORDER BY c.id"),
 
     "url_strip_tracking" -> o(
       // coalesce: an all-tracking qs filters to the EMPTY list, where

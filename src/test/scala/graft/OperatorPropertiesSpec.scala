@@ -873,6 +873,33 @@ class OperatorPropertiesSpec extends SparkSpec {
       s"rounds=3 got ${partial.toSeq}")
   }
 
+  test("url_redirect_loops: doubling + out-edge semi-join classifies cycles structurally") {
+    import spark.implicits._
+    // the minimal zoo: a plain chain (3→2→1→0), a 2-cycle (10↔11), a
+    // chain FLOWING INTO that cycle (12→10), and an isolated terminal
+    // (20). Doubling rounds cover every acyclic prefix; the "resolved
+    // dst still has an out-edge" test must flag exactly the cycle
+    // members and the chain that drains into them.
+    val edges = Seq(3L -> 2L, 2L -> 1L, 1L -> 0L,
+      10L -> 11L, 11L -> 10L, 12L -> 10L).toDF("src", "dst")
+    val jump = graft.queries.Curation.resolveChains(edges, rounds = 2)
+    val outSrcs = edges.select(col("src").as("osrc")).distinct()
+    val ids = Seq(0L, 1L, 2L, 3L, 10L, 11L, 12L, 20L).toDF("id")
+    val got = ids.join(jump, col("id") === col("src"), "left")
+      .select(col("id"), coalesce(col("dst"), col("id")).as("rdst"),
+        coalesce(col("hops"), lit(0L)).as("rhops"))
+      .join(outSrcs, col("rdst") === col("osrc"), "left")
+      .select(col("id"),
+        when(col("osrc").isNull, col("rdst")).as("terminal_id"),
+        col("osrc").isNotNull.as("is_loop"))
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), r.getBoolean(2)))
+    assert(got.toSeq == Seq(
+      (0L, Some(0L), false), (1L, Some(0L), false), (2L, Some(0L), false),
+      (3L, Some(0L), false), (10L, None, true), (11L, None, true),
+      (12L, None, true), (20L, Some(20L), false)), s"got ${got.toSeq}")
+  }
+
   test("agg_kmv_distinct: bottom-k sketch is exactly mergeable across segments") {
     import org.apache.spark.sql.expressions.Window
     // the property that makes KMV a SKETCH: bottom-k of the union of
