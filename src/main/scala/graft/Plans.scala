@@ -102,7 +102,8 @@ object Plans {
     "text_c4_filters" -> "page build AND the whole C4 filter are chained HOF projections (no Generate, no shuffle); md5(cleaned) rides the same codegen stage",
     "url_redirect_chain" -> "pointer-jumping doubling: 3 self-joins of the jump map (log coverage, not per-hop rounds); terminal URLs re-attach by one left equi join",
     "stream_politeness" -> "one exchange on host into TransformWithStateExec; state is ONE long per host (last granted slot) — the scheduler runs as a changelog, no history rescans",
-    "url_redirect_loops" -> "loop detection is STRUCTURAL: doubling joins cover acyclic lengths, then one semi-join against edge sources flags dsts that still have an out-edge — no convergence test, no iteration-until-fixpoint")
+    "url_redirect_loops" -> "loop detection is STRUCTURAL: doubling joins cover acyclic lengths, then one semi-join against edge sources flags dsts that still have an out-edge — no convergence test, no iteration-until-fixpoint",
+    "pipeline_quality_funnel" -> "page build + BOTH rule panels are map-side pass-through stages in one plan; the only data-sized exchange is the (lang, content-key) dedup window; the rollup is |langs| rows")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse(

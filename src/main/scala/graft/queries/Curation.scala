@@ -36,6 +36,15 @@ object Curation extends QueryModule {
     * shuffles — at 100 TB this runs at scan speed and fuses into the
     * same WholeStageCodegen as the scan it filters. */
   def gopherRules(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    gopherCols(docs)
+      .select("doc_id", "n_words", "r_wordcount", "r_meanlen", "r_alpha",
+        "r_stop", "r_symbol", "r_bullets", "r_ellipsis", "keep")
+      .orderBy("doc_id")
+
+  /** [[gopherRules]] as a pass-through stage: appends n_words, the rule
+    * flags, and `keep` while retaining the input's columns — the form
+    * pipeline_quality_funnel composes with the C4 stage in one plan. */
+  def gopherCols(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     docs
       .withColumn("toks", graft.ops.Dedup.tokens(col("text")))
       .withColumn("n_words", size(col("toks")).cast("bigint"))
@@ -53,20 +62,19 @@ object Curation extends QueryModule {
         l => ltrim(l).startsWith("-") || ltrim(l).startsWith("*"))).cast("bigint"))
       .withColumn("n_ellipsis", size(filter(col("lines"),
         l => rtrim(l).endsWith("..."))).cast("bigint"))
-      .select(
-        col("doc_id"), col("n_words"),
-        (col("n_words") >= 50 && col("n_words") <= 100000).as("r_wordcount"),
-        (col("tok_chars") >= col("n_words") * 3 &&
-          col("tok_chars") <= col("n_words") * 10).as("r_meanlen"),
-        (col("n_alpha") * 5 >= col("n_words") * 4).as("r_alpha"),
-        (col("n_stop_kinds") >= 2).as("r_stop"),
-        (col("n_symbols") * 10 <= col("n_words")).as("r_symbol"),
-        (col("n_bullet") * 10 <= col("n_lines") * 9).as("r_bullets"),
-        (col("n_ellipsis") * 10 <= col("n_lines") * 3).as("r_ellipsis"))
+      .withColumn("r_wordcount", col("n_words") >= 50 && col("n_words") <= 100000)
+      .withColumn("r_meanlen", col("tok_chars") >= col("n_words") * 3 &&
+        col("tok_chars") <= col("n_words") * 10)
+      .withColumn("r_alpha", col("n_alpha") * 5 >= col("n_words") * 4)
+      .withColumn("r_stop", col("n_stop_kinds") >= 2)
+      .withColumn("r_symbol", col("n_symbols") * 10 <= col("n_words"))
+      .withColumn("r_bullets", col("n_bullet") * 10 <= col("n_lines") * 9)
+      .withColumn("r_ellipsis", col("n_ellipsis") * 10 <= col("n_lines") * 3)
       .withColumn("keep",
         col("r_wordcount") && col("r_meanlen") && col("r_alpha") &&
           col("r_stop") && col("r_symbol") && col("r_bullets") && col("r_ellipsis"))
-      .orderBy("doc_id")
+      .drop("toks", "tok_chars", "n_alpha", "n_stop_kinds", "n_symbols",
+        "lines", "n_lines", "n_bullet", "n_ellipsis")
 
   /** C4 cleaning pass (Raffel et al. 2020 §2.2) over a (doc_id, text)
     * relation whose text is '\n'-separated lines: keep only lines that
@@ -78,24 +86,30 @@ object Curation extends QueryModule {
     * content, not just its size. One map-side projection (HOF filters,
     * no explode) — scan-speed at any corpus size. */
   def c4Filters(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    c4Cols(docs)
+      .select("doc_id", "n_lines", "n_kept", "kept_chars",
+        "has_lorem", "has_brace", "c4_md5", "keep_doc")
+      .orderBy("doc_id")
+
+  /** [[c4Filters]] as a pass-through stage (retains input columns AND
+    * the `cleaned` text, which the funnel's token accounting consumes) */
+  def c4Cols(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     docs
-      .withColumn("lines", split(col("text"), "\n"))
-      .withColumn("kept", filter(col("lines"), l =>
+      .withColumn("c4lines", split(col("text"), "\n"))
+      .withColumn("c4kept", filter(col("c4lines"), l =>
         rtrim(l).rlike("[.!?\"]$") &&
           size(split(l, " ")) >= 3 &&
           !lower(l).contains("javascript")))
-      .withColumn("cleaned", array_join(col("kept"), "\n"))
-      .select(
-        col("doc_id"),
-        size(col("lines")).cast("bigint").as("n_lines"),
-        size(col("kept")).cast("bigint").as("n_kept"),
-        length(col("cleaned")).cast("bigint").as("kept_chars"),
-        lower(col("text")).contains("lorem ipsum").as("has_lorem"),
-        col("text").contains("{").as("has_brace"),
-        md5(col("cleaned")).as("c4_md5"))
+      .withColumn("cleaned", array_join(col("c4kept"), "\n"))
+      .withColumn("n_lines", size(col("c4lines")).cast("bigint"))
+      .withColumn("n_kept", size(col("c4kept")).cast("bigint"))
+      .withColumn("kept_chars", length(col("cleaned")).cast("bigint"))
+      .withColumn("has_lorem", lower(col("text")).contains("lorem ipsum"))
+      .withColumn("has_brace", col("text").contains("{"))
+      .withColumn("c4_md5", md5(col("cleaned")))
       .withColumn("keep_doc",
         !col("has_lorem") && !col("has_brace") && col("n_kept") >= 5)
-      .orderBy("doc_id")
+      .drop("c4lines", "c4kept")
 
   /** Pointer-jumping chain resolution over a functional (src, dst) edge
     * relation (each src has at most ONE outgoing edge — a redirect map):
@@ -195,6 +209,62 @@ object Curation extends QueryModule {
           Seq("terminal_id"), "left")
         .select("id", "terminal_id", "hops", "terminal_url")
         .orderBy("id")
+    }),
+
+    // ---- the composed curation funnel: Gopher ∧ C4 ∧ exact dedup ----
+    // The report a corpus owner reads after every ingest: per language,
+    // how many pages entered, how many each quality pass kept, how many
+    // survived both, how many are content-UNIQUE, and how many tokens
+    // the surviving unique set carries. ONE lazy plan: dup-planted union
+    // (every 5th doc rides twice — +100000 ids; every plant modulus
+    // divides 100000, so a dup and its original build IDENTICAL pages
+    // and the dedup arm is live) → page build → Gopher cols → C4 cols
+    // (all map-side projections) → one window on (lang, content-key)
+    // for first-occurrence marking (non-survivors get singleton keys —
+    // no hot null partition) → one |langs|-row aggregate. The only
+    // data-sized exchange is the window's.
+    "pipeline_quality_funnel" -> ((s, d) => {
+      val endings = Seq(".", "!", "?", "", " javascript.")
+      val docs = Tables.t(s, d, "documents").select("doc_id", "lang", "text")
+      val corpus = docs.unionByName(
+        docs.filter(col("doc_id") % 5 === 0)
+          .withColumn("doc_id", col("doc_id") + 100000L))
+      val paged = corpus
+        .withColumn("text",
+          when(col("doc_id") % 5 === 0,
+            concat(col("text"), lit(" the be to of and that have with")))
+            .otherwise(col("text")))
+        .withColumn("toks0", split(col("text"), " "))
+        .withColumn("nl", ceil(size(col("toks0")) / lit(8.0)).cast("int"))
+        .withColumn("page", concat(
+          array_join(transform(sequence(lit(0), col("nl") - 1), i =>
+            concat(array_join(slice(col("toks0"), i * 8 + 1, lit(8)), " "),
+              element_at(typedLit(endings),
+                ((col("doc_id") + i) % 5 + 1).cast("int")))), "\n"),
+          when(col("doc_id") % 25 === 0, "\nlorem ipsum dolor sit amet.").otherwise(""),
+          when(col("doc_id") % 32 === 0, "\n{ var x = 1; }").otherwise("")))
+        .select(col("doc_id"), col("lang"), col("page").as("text"))
+      val flagged = c4Cols(gopherCols(paged))
+      val both = col("keep") && col("keep_doc")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang", "dedup_key").orderBy("doc_id")
+      flagged
+        .withColumn("dedup_key",
+          when(both, col("c4_md5")).otherwise(concat(lit("x:"), col("doc_id"))))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("first_keep", (both && col("rn") === 1).cast("long"))
+        .withColumn("cleaned_words",
+          size(filter(split(col("cleaned"), "[ \n]+"), wd => wd =!= "")).cast("long"))
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("keep").cast("long")).as("n_gopher"),
+          sum(col("keep_doc").cast("long")).as("n_c4"),
+          sum(both.cast("long")).as("n_both"),
+          sum(col("first_keep")).as("n_unique"),
+          sum(when(col("first_keep") === 1, col("cleaned_words")).otherwise(0L))
+            .as("tokens_kept"))
+        .orderBy("lang")
     }),
 
     // ---- redirect-LOOP detection (the chain resolver's failure mode) ----
@@ -380,6 +450,65 @@ object Curation extends QueryModule {
       "SELECT c.id, c.id - (c.id % 5) AS terminal_id, c.id % 5 AS hops, " +
         "t.url AS terminal_url FROM cdx c " +
         "LEFT JOIN cdx t ON t.id = c.id - (c.id % 5) ORDER BY c.id"),
+
+    // full replay: dup-planted union → page build → both panels → dedup
+    // window → per-lang rollup; shares every engine-parity guard the two
+    // standalone oracles established (empty-list coalesce, // floor div)
+    "pipeline_quality_funnel" ->
+      ("SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(CASE WHEN g_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_gopher, " +
+        "CAST(sum(CASE WHEN c_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_c4, " +
+        "CAST(sum(CASE WHEN g_keep AND c_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_both, " +
+        "CAST(sum(first_keep) AS BIGINT) AS n_unique, " +
+        "CAST(sum(CASE WHEN first_keep = 1 THEN cleaned_words ELSE 0 END) AS BIGINT) AS tokens_kept " +
+        "FROM (SELECT lang, g_keep, c_keep, cleaned_words, " +
+        "CASE WHEN g_keep AND c_keep AND " +
+        "row_number() OVER (PARTITION BY lang, dedup_key ORDER BY doc_id) = 1 " +
+        "THEN 1 ELSE 0 END AS first_keep " +
+        "FROM (SELECT lang, doc_id, g_keep, c_keep, cleaned_words, " +
+        "CASE WHEN g_keep AND c_keep THEN c4_md5 ELSE 'x:' || doc_id END AS dedup_key " +
+        "FROM (SELECT lang, doc_id, " +
+        "(n_words >= 50 AND n_words <= 100000 AND tok_chars >= n_words * 3 " +
+        "AND tok_chars <= n_words * 10 AND n_alpha * 5 >= n_words * 4 " +
+        "AND n_stop_kinds >= 2 AND n_symbols * 10 <= n_words " +
+        "AND n_bullet * 10 <= n_lines_g * 9 AND n_ellipsis * 10 <= n_lines_g * 3) AS g_keep, " +
+        "(NOT has_lorem AND NOT has_brace AND n_kept >= 5) AS c_keep, " +
+        "c4_md5, cleaned_words " +
+        "FROM (SELECT lang, doc_id, " +
+        "len(toks) AS n_words, " +
+        "length(array_to_string(toks, '')) AS tok_chars, " +
+        "len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS n_alpha, " +
+        s"len(list_filter($gopherStopsDuck, w2 -> list_contains(toks, w2))) AS n_stop_kinds, " +
+        "length(text) - length(replace(text, '#', '')) + " +
+        "(length(text) - length(replace(text, '...', ''))) // 3 AS n_symbols, " +
+        "len(lines) AS n_lines_g, " +
+        "len(list_filter(lines, l -> starts_with(ltrim(l), '-') OR starts_with(ltrim(l), '*'))) AS n_bullet, " +
+        "len(list_filter(lines, l -> ends_with(rtrim(l), '...'))) AS n_ellipsis, " +
+        "contains(lower(text), 'lorem ipsum') AS has_lorem, " +
+        "contains(text, '{') AS has_brace, " +
+        "len(kept) AS n_kept, md5(cleaned) AS c4_md5, " +
+        "len(list_filter(string_split_regex(cleaned, '[ ' || chr(10) || ']+'), wd -> wd <> '')) AS cleaned_words " +
+        "FROM (SELECT lang, doc_id, text, toks, lines, kept, " +
+        "coalesce(array_to_string(kept, chr(10)), '') AS cleaned " +
+        "FROM (SELECT lang, doc_id, text, " +
+        "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks, " +
+        "lines, " +
+        "list_filter(lines, l -> regexp_matches(rtrim(l), '[.!?\"]$') " +
+        "AND len(string_split(l, ' ')) >= 3 AND NOT contains(lower(l), 'javascript')) AS kept " +
+        "FROM (SELECT lang, doc_id, text, string_split(text, chr(10)) AS lines " +
+        "FROM (SELECT lang, doc_id, " +
+        "array_to_string(list_transform(range(0, nl), i -> " +
+        "array_to_string(toks0[(i*8+1):(i*8+8)], ' ') || " +
+        "(['.', '!', '?', '', ' javascript.'])[CAST((doc_id + i) % 5 AS INT) + 1]), chr(10)) " +
+        "|| CASE WHEN doc_id % 25 = 0 THEN chr(10) || 'lorem ipsum dolor sit amet.' ELSE '' END " +
+        "|| CASE WHEN doc_id % 32 = 0 THEN chr(10) || '{ var x = 1; }' ELSE '' END AS text " +
+        "FROM (SELECT lang, doc_id, string_split(text0, ' ') AS toks0, " +
+        "CAST(ceil(len(string_split(text0, ' ')) / 8.0) AS INT) AS nl " +
+        "FROM (SELECT lang, doc_id, " +
+        "CASE WHEN doc_id % 5 = 0 THEN text || ' the be to of and that have with' ELSE text END AS text0 " +
+        "FROM (SELECT lang, doc_id, text FROM documents " +
+        "UNION ALL SELECT lang, doc_id + 100000, text FROM documents WHERE doc_id % 5 = 0))))))))))) " +
+        "GROUP BY lang ORDER BY lang"),
 
     "url_redirect_loops" -> o(
       "SELECT c.id, " +
