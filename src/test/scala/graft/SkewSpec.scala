@@ -244,6 +244,82 @@ class SkewSpec extends SparkSpec {
       f"hot-term agg $ts%.1fs vs uniform $tu%.1fs")
   }
 
+  test("crawl_politeness under a hot host: single-partition sort bound, schedule invariants hold") {
+    // the closed-form scheduler's documented skew bound: a hot host is
+    // ONE partition's sort (the generic per-host window cost) — never
+    // quadratic, never a driver loop. 60% of a 1M-row frontier on one
+    // host vs a uniform twin; the spacing invariant (consecutive slots
+    // ≥ delay apart, no slot before its arrival) is checked ON the hot
+    // output, not assumed.
+    val n = 1000000L
+    def frontier(hot: Boolean) = spark.range(n).select(
+      col("id"),
+      (if (hot) when(col("id") % 10 < 6, lit("www.hot.test"))
+        .otherwise(concat(lit("h"), (col("id") % 20000).cast("string"), lit(".test")))
+       else concat(lit("h"), (col("id") % 20000).cast("string"), lit(".test"))).as("host"),
+      (lit(1700000000000000L) + pmod(col("id") * 7919, lit(86400L)) * 1000000L).as("epoch_us"),
+      lit(1000000L).as("delay_us"))
+    def schedule(df: DataFrame) = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("host").orderBy("epoch_us", "id")
+      df.withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("sched_us", col("delay_us") * col("rn") +
+          max(col("epoch_us") - col("delay_us") * col("rn")).over(
+            w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+    }
+    val (cu, tu) = time(schedule(frontier(hot = false)).count())
+    val wCheck = org.apache.spark.sql.expressions.Window
+      .partitionBy("host").orderBy("sched_us", "id")
+    val ((cs, bad), ts) = time {
+      val sched = schedule(frontier(hot = true))
+        .withColumn("prev", lag("sched_us", 1).over(wCheck))
+      val agg = sched.agg(
+        count(lit(1)),
+        sum(when(col("sched_us") < col("epoch_us"), 1L).otherwise(0L)) +
+          sum(when(col("prev").isNotNull &&
+            col("sched_us") - col("prev") < col("delay_us"), 1L).otherwise(0L))).collect()(0)
+      (agg.getLong(0), agg.getLong(1))
+    }
+    assert(cu == n && cs == n)
+    assert(bad == 0L, s"$bad schedule-invariant violations on the hot host")
+    assert(ts <= math.max(6 * tu, tu + 15.0),
+      f"hot-host politeness $ts%.1fs vs uniform $tu%.1fs — straggler-bound")
+  }
+
+  test("url_strip_tracking canon agg stays linear when one canon is corpus-hot") {
+    // a duplicate storm (60% of captures collapsing to ONE canonical
+    // URL) hits the canon hash agg: partial (map-side) aggregation must
+    // absorb the hot key — the count arrives as per-task partials, and
+    // the distinct-qs leg shuffles pre-deduped (canon, qs) pairs, so
+    // the hot reducer sorts its own rows once, never re-scans the corpus
+    val n = 1000000L
+    def captures(hot: Boolean) = spark.range(n).select(
+      (if (hot) when(col("id") % 10 < 6, lit("www.hot.test/p"))
+        .otherwise(concat(lit("h"), (col("id") % 20000).cast("string"), lit(".test/p"), (col("id") % 977).cast("string")))
+       else concat(lit("h"), (col("id") % 20000).cast("string"), lit(".test/p"), (col("id") % 977).cast("string"))).as("canon_base"),
+      concat(lit("a=1&utm_source=s"), col("id").cast("string")).as("qs"))
+    def strip(df: DataFrame) = df
+      .withColumn("canon", concat(col("canon_base"), lit("?"),
+        array_join(array_sort(filter(split(col("qs"), "&"),
+          p => !p.rlike("^(utm_[^=]*|gclid|fbclid|sessionid|phpsessid)="))), "&")))
+      .groupBy("canon")
+      .agg(count(lit(1)).as("n_variants"), countDistinct("qs").as("n_raw_qs"))
+    val (ru, tu) = time(strip(captures(hot = false)).count())
+    val ((rs, hotRow), ts) = time {
+      val out = strip(captures(hot = true)).cache()
+      val c = out.count()
+      val h = out.filter(col("canon") === "www.hot.test/p?a=1")
+        .collect().map(r => (r.getLong(1), r.getLong(2)))
+      out.unpersist()
+      (c, h)
+    }
+    assert(ru > 20000 && rs > 20000)
+    assert(hotRow.toSeq == Seq((600000L, 600000L)),
+      s"hot canon miscounted: ${hotRow.toSeq}")
+    assert(ts <= math.max(6 * tu, tu + 15.0),
+      f"hot-canon strip $ts%.1fs vs uniform $tu%.1fs")
+  }
+
   test("pagerank with a celebrity node (30% of edges) stays near the uniform twin") {
     val n = 150000L
     val (ru, tu) = time(

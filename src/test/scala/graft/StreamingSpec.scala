@@ -651,6 +651,36 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("restart recovery: politeness' last granted slot survives a resume") {
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      val ck = freshDir("rt_polite_ck")
+      val input = MemoryStream[StreamOps.FetchIn]
+      val d = 2000000L
+      val ds = StreamOps.politeness(input.toDS())
+      // phase 1: a burst of three at t=0 books slots 0 / 2s / 4s
+      val p1 = phase(ds, ck, "rt_polite_1") { q =>
+        input.addData(
+          StreamOps.FetchIn(1, "a.org", 0L, d),
+          StreamOps.FetchIn(2, "a.org", 0L, d),
+          StreamOps.FetchIn(3, "a.org", 0L, d))
+        q.processAllAvailable()
+      }
+      assert(p1.sortBy(_.getLong(0)).map(_.getLong(4)).toSeq == Seq(0L, d, 2 * d),
+        s"got ${p1.toSeq}")
+      // phase 2 resumes from the checkpoint: an arrival at 5s sits
+      // INSIDE the restored backlog (last slot 4s) and must wait for
+      // 6s — if the ValueState had been lost, it would fetch at 5s and
+      // the crawler would burst-hit the host after every restart
+      val p2 = phase(ds, ck, "rt_polite_2") { q =>
+        input.addData(StreamOps.FetchIn(4, "a.org", 5000000L, d))
+        q.processAllAvailable()
+      }
+      assert(p2.map(r => (r.getLong(0), r.getLong(4))).toSeq == Seq((4L, 6000000L)),
+        s"restored backlog violated: ${p2.toSeq}")
+    }
+  }
+
   test("restart recovery: sessionFlush's state, TIMER, and watermark survive a resume") {
     implicit val sqlCtx = spark.sqlContext
     withRocksDb {
