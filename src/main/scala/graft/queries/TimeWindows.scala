@@ -388,6 +388,31 @@ object TimeWindows extends QueryModule {
     // flag itself is a map-side filter over one more corpus pass. Scores
     // stay oracle-exact: Spark's exact percentile and DuckDB's
     // quantile_cont use the same linear interpolation.
+    // CUSUM change detection (Page 1954) over per-host daily capture
+    // counts — "this host's crawl volume has drifted above baseline",
+    // the alarm a crawl operator watches. The textbook recursion
+    // s_i = max(0, s_{i-1} + x_i − k) is CLOSED under windows exactly
+    // like the politeness scheduler's: s_i = prefix_i − min(0, running
+    // min of prefix), where prefix is the running sum of (x − k) — two
+    // frames over ONE (host | day) sort, pure integer arithmetic, so
+    // the DuckDB replay is exact and there is no per-day iteration.
+    // Shape: one hash agg to (host, day) counts (the only data-sized
+    // shuffle), then windows over the tiny per-host day series.
+    "ts_cusum_alarm" -> ((s, d) => {
+      val k = 2L // per-day reference rate; h = 4 alarm threshold
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("hostword").orderBy("day")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      graft.Cdx.df(s, d)
+        .groupBy(col("hostword"), substring(col("ts"), 1, 8).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("prefix", sum(col("cnt") - k).over(w))
+        .withColumn("cusum", col("prefix") - least(min("prefix").over(w), lit(0L)))
+        .select(col("hostword"), col("day"), col("cnt"), col("cusum"),
+          (col("cusum") >= 4).as("alarm"))
+        .orderBy("hostword", "day")
+    }),
+
     "ts_anomaly_mad" -> ((s, d) => {
       val ev = Tables.t(s, d, "events")
         .select("event_id", "event_type", "value")
@@ -414,6 +439,17 @@ object TimeWindows extends QueryModule {
     // the SAME oracle string as the batch window form — the stream fold
     // and the closed-form window algebra must agree row-for-row
     "stream_politeness" -> Curation.oracleSql("crawl_politeness"),
+    // same two-frame closed form over the same (host | day) sort
+    "ts_cusum_alarm" -> (graft.Cdx.duckCte +
+      "SELECT hostword, day, cnt, " +
+        "prefix - least(min(prefix) OVER w2, 0) AS cusum, " +
+        "(prefix - least(min(prefix) OVER w2, 0)) >= 4 AS alarm FROM (" +
+        "SELECT hostword, day, cnt, " +
+        "CAST(sum(cnt - 2) OVER (PARTITION BY hostword ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS prefix " +
+        "FROM (SELECT hostword, substring(ts, 1, 8) AS day, CAST(count(*) AS BIGINT) AS cnt " +
+        "FROM cdx GROUP BY 1, 2)) " +
+        "WINDOW w2 AS (PARTITION BY hostword ORDER BY day ROWS UNBOUNDED PRECEDING) " +
+        "ORDER BY hostword, day"),
     // independent formulation: two ASOF joins (<= prev / >= next), same
     // pre-aggregation and the identical interpolation arithmetic
     "ts_resample_linear" ->

@@ -900,6 +900,27 @@ class OperatorPropertiesSpec extends SparkSpec {
       (12L, None, true), (20L, Some(20L), false)), s"got ${got.toSeq}")
   }
 
+  test("ts_cusum_alarm: window closed form equals the sequential CUSUM recursion") {
+    import spark.implicits._
+    // s_i = max(0, s_{i-1} + x_i − k) vs prefix_i − min(0, running min
+    // prefix) — checked over a series that exercises reset-to-zero,
+    // gradual drift, a spike, and recovery
+    val k = 2L
+    val xs = Seq(1L, 1L, 5L, 1L, 3L, 3L, 0L, 0L, 8L, 2L)
+    val df = xs.zipWithIndex.map { case (x, i) => ("h", f"$i%02d", x) }
+      .toDF("hostword", "day", "cnt")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("hostword").orderBy("day")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val got = df
+      .withColumn("prefix", org.apache.spark.sql.functions.sum(col("cnt") - k).over(w))
+      .withColumn("cusum", col("prefix") - least(
+        org.apache.spark.sql.functions.min("prefix").over(w), lit(0L)))
+      .orderBy("day").select("cusum").collect().map(_.getLong(0)).toSeq
+    val expect = xs.scanLeft(0L)((s, x) => math.max(0L, s + x - k)).tail
+    assert(got == expect, s"closed form $got != recursion $expect")
+  }
+
   test("agg_kmv_distinct: bottom-k sketch is exactly mergeable across segments") {
     import org.apache.spark.sql.expressions.Window
     // the property that makes KMV a SKETCH: bottom-k of the union of
