@@ -24,10 +24,21 @@ import org.apache.spark.sql.functions._
   */
 object WarcSink {
 
-  /** `crawl/seg-3/warc-17.warc.gz` -> `warc-17.warc.gz` */
-  private def warcName(shard: String): String = {
+  /** `crawl/seg-3/warc-17.warc.gz` -> `warc-17.warc.gz`.
+    * KEEP IN LOCKSTEP with [[warcNameCol]] — the clash pre-flight and
+    * the repartition key both rely on the Column form computing exactly
+    * this function; WarcSpec pins the equivalence over adversarial
+    * shard values, so a divergence fails the suite, not the corpus. */
+  private[graft] def warcName(shard: String): String = {
     val base = shard.substring(shard.lastIndexOf('/') + 1)
     if (base.endsWith(".warc.gz")) base else base + ".warc.gz"
+  }
+
+  /** the Catalyst twin of [[warcName]] (codegen-friendly — no UDF on
+    * the corpus-sized repartition path) */
+  private[graft] def warcNameCol(shard: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val base = substring_index(shard, "/", -1)
+    when(base.endsWith(".warc.gz"), base).otherwise(concat(base, lit(".warc.gz")))
   }
 
   /** allocation-free `^\d{14}$` — this runs once per record in the
@@ -56,6 +67,24 @@ object WarcSink {
     require(need.forall(df.columns.contains),
       s"WarcSink.write needs [${need.mkString(", ")}]; got [${df.columns.mkString(", ")}]")
     val spark = df.sparkSession
+    // VALIDATE BEFORE DESTROY: the target dir may hold the previous good
+    // corpus, and it is wiped below — so null shards and clashing
+    // normalized basenames must be rejected while that corpus is still
+    // intact. This pre-flight re-reads the one shard column (an extra
+    // pass over the input lineage — the accepted price of never
+    // replacing a good corpus with a partial failed write); the in-task
+    // guard in the publish loop stays as defense in depth for anything
+    // the pre-flight's snapshot could miss.
+    val clash = df.select(col("shard"))
+      .groupBy(when(col("shard").isNull, lit(null))
+        .otherwise(warcNameCol(col("shard"))).as("base"))
+      .agg(countDistinct(col("shard")).as("n"))
+      .filter(col("base").isNull || col("n") > 1)
+      .limit(5).collect()
+    require(clash.isEmpty,
+      "WarcSink.write: shard values must be non-null and their normalized " +
+        "basenames unique (they name the output .warc.gz files); offending " +
+        "basenames: " + clash.map(r => String.valueOf(r.get(0))).mkString(", "))
     val dirPath = new Path(dir)
     val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(dirPath)) fs.delete(dirPath, true)
@@ -63,16 +92,12 @@ object WarcSink {
     val sconf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
     // Partition on the NORMALIZED output name (the warcName() image of
     // the shard), not the raw shard value: two distinct shards sharing a
-    // basename ('a/x.warc.gz' + 'b/x.warc.gz', or 'seg1/part' +
-    // 'seg2/part.warc.gz' after the .warc.gz normalization) then land in
-    // the SAME task, where the publish loop detects the collision and
-    // fails loudly BEFORE the second shard's rename-OVERWRITE could
-    // silently replace the first one's file — no extra driver-side job,
-    // no second computation of the input lineage.
-    val base = substring_index(col("shard"), "/", -1)
+    // normalized basename then land in the SAME task, where the publish
+    // loop re-detects any collision the pre-flight's snapshot missed and
+    // fails before the second rename-OVERWRITE could silently replace
+    // the first shard's file.
     df.select(need.map(col): _*)
-      .repartition(when(base.endsWith(".warc.gz"), base)
-        .otherwise(concat(base, lit(".warc.gz"))))
+      .repartition(warcNameCol(col("shard")))
       .sortWithinPartitions("shard", "url", "ts", "status")
       .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
         val pfs = org.apache.hadoop.fs.FileSystem.newInstance(
@@ -108,6 +133,8 @@ object WarcSink {
         val published = scala.collection.mutable.HashMap.empty[String, String]
         try {
           it.foreach { row =>
+            require(!row.isNullAt(0),
+              "WarcSink: null shard value (rows must name their output file)")
             val shard = row.getString(0)
             if (shard != current) {
               close()

@@ -359,25 +359,46 @@ class WarcSpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     // 'a/x.warc.gz' and 'b/x.warc.gz' both publish as x.warc.gz — the
     // rename-OVERWRITE would silently drop one shard's records. The
-    // repartition key is the NORMALIZED name, so the colliding shards
-    // co-locate and the task's publish loop rejects the write; the
-    // second case collides only AFTER the .warc.gz normalization
-    // ('seg1/part' -> part.warc.gz), pinning that the check runs on the
-    // warcName image, not the raw basename.
+    // pre-flight must reject the write BEFORE the target dir is wiped
+    // (a marker file standing in for the previous good corpus must
+    // survive); the second case collides only AFTER the .warc.gz
+    // normalization ('seg1/part' -> part.warc.gz), pinning that the
+    // check runs on the warcName image, not the raw basename; the
+    // third is a null shard (would otherwise NPE mid-task).
+    val clashDir = "/tmp/graft_test/warcsink_clash"
+    new java.io.File(clashDir).mkdirs()
+    val marker = new java.io.File(clashDir, "previous-good-corpus.warc.gz")
+    java.nio.file.Files.write(marker.toPath, "keep".getBytes("UTF-8"))
     for (shards <- Seq(Seq("a/x.warc.gz", "b/x.warc.gz"),
-        Seq("seg1/part", "seg2/part.warc.gz"))) {
+        Seq("seg1/part", "seg2/part.warc.gz"), Seq("ok/y.warc.gz", null))) {
       val clash = shards.zipWithIndex.map { case (sh, i) =>
         (sh, s"http://example.com/$i", "20240102030405", 200, "text/html", "a".getBytes("UTF-8"))
       }
-      val e1 = intercept[org.apache.spark.SparkException] {
+      val e1 = intercept[IllegalArgumentException] {
         graft.formats.WarcSink.write(
           spark.createDataFrame(clash).toDF("shard", "url", "ts", "status", "mime", "payload"),
-          "/tmp/graft_test/warcsink_clash")
+          clashDir)
       }
-      def msgs(t: Throwable): Seq[String] =
-        if (t == null) Nil else String.valueOf(t.getMessage) +: msgs(t.getCause)
-      assert(msgs(e1).exists(m => m.contains("basenames") && m.contains(".warc.gz")),
-        s"got ${msgs(e1)}")
+      assert(e1.getMessage.contains("basenames") || e1.getMessage.contains("non-null"),
+        s"got ${e1.getMessage}")
+      assert(marker.exists(),
+        "the pre-existing corpus must survive a rejected write (validate before destroy)")
+    }
+
+    // the repartition key and the in-task publish guard both assume the
+    // Column expression IS warcName — pin the equivalence over the
+    // adversarial shapes (no slash, trailing slash-ish names, dots,
+    // case-sensitive extension, embedded .warc.gz, unicode)
+    val adversarial = Seq(
+      "plain", "a/b/c/deep.warc.gz", "noext/file", "dot.only/x.gz",
+      "x.warc.gz", "UPPER/NAME.WARC.GZ", "trail/x.warc.gz.bak",
+      "mid/x.warc.gz.warc.gz", "späce/ünïcode.warc.gz", "a/b.warc", "-/x-y_z.9")
+    val evaled = spark.createDataFrame(adversarial.map(Tuple1(_))).toDF("shard")
+      .select(col("shard"), graft.formats.WarcSink.warcNameCol(col("shard")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    adversarial.foreach { sh =>
+      assert(evaled(sh) == graft.formats.WarcSink.warcName(sh),
+        s"warcNameCol diverged from warcName for '$sh': ${evaled(sh)}")
     }
     // a non-14-digit ts would substring-crash or emit a malformed
     // WARC-Date; the per-row require names the bad value
