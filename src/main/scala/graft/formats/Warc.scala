@@ -4,7 +4,7 @@ import java.io.{ByteArrayInputStream, OutputStream}
 import java.nio.charset.StandardCharsets.UTF_8
 import java.nio.file.{Files, Paths}
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{functions, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
 
 /** WARC (ISO 28500) + legacy ARC container support: a `.warc.gz`/`.arc.gz`
@@ -368,6 +368,60 @@ object Warc {
           override def next(): Row = it.next()
         }
     }
+    spark.createDataFrame(rows, schema)
+  }
+
+  /** The REPLAY primitive: fetch exactly the gzip members that CDX
+    * `(filename, offset, length)` pointers name — the range-request path
+    * pywb serves captures through, and the whole reason the index stores
+    * those two byte columns (SURVEY §1.2). Requests repartition by
+    * filename and sort by offset, so each task opens a file ONCE and
+    * reads its ranges in ascending order (sequential on local/HDFS,
+    * coalescing-friendly positioned reads on s3a); every fetched range
+    * goes through the SAME member reader and record parser as the full
+    * [[scan]], so fetched rows are bit-identical to scanned ones
+    * (WarcSpec pins the round trip). At serving scale the request list
+    * is query-sized — the corpus is never scanned. Wrong pointers fail
+    * loudly (strict member decode): a serving stack must know its index
+    * is stale, not silently skip. */
+  def fetchRecords(spark: SparkSession, requests: DataFrame, dir: String): DataFrame = {
+    val need = Seq("filename", "offset", "length")
+    require(need.forall(requests.columns.contains),
+      s"fetchRecords needs [${need.mkString(", ")}]; got [${requests.columns.mkString(", ")}]")
+    val sconf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
+    val rows = requests.select(need.map(functions.col): _*)
+      .repartition(functions.col("filename"))
+      .sortWithinPartitions("filename", "offset")
+      .rdd.mapPartitions { it =>
+        var fs: org.apache.hadoop.fs.FileSystem = null
+        var in: org.apache.hadoop.fs.FSDataInputStream = null
+        var current: String = null
+        def close(): Unit = if (in != null) { try in.close() catch { case _: Throwable => }; in = null }
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => close()))
+        val out = it.flatMap { r =>
+          val fname = r.getString(0)
+          val off = r.getLong(1)
+          val len = r.getLong(2)
+          require(len > 0 && len <= Gzip.MaxMemberBytes,
+            s"fetchRecords: implausible member length $len for $fname@$off")
+          if (fname != current) {
+            close()
+            val p = new org.apache.hadoop.fs.Path(dir, fname)
+            if (fs == null) fs = p.getFileSystem(sconf.value)
+            in = fs.open(p)
+            current = fname
+          }
+          val buf = new Array[Byte](len.toInt)
+          in.readFully(off, buf) // positioned read — no seek-state coupling
+          Gzip.members(new java.io.ByteArrayInputStream(buf)).flatMap(m =>
+            parseRecords(m.bytes, off + m.offset, m.compressedLength, fname)).toSeq
+        }
+        new Iterator[Row] {
+          override def hasNext: Boolean = { val h = out.hasNext; if (!h) close(); h }
+          override def next(): Row = out.next()
+        }
+      }
     spark.createDataFrame(rows, schema)
   }
 

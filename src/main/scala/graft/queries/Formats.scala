@@ -569,6 +569,23 @@ object Formats extends QueryModule {
         .orderBy("offset")
     }),
 
+    // The REPLAY primitive through the driver gate ([[Warc.fetchRecords]]):
+    // scan the fixture once for its CDX pointers, then FETCH the
+    // URL-bearing records back by (filename, offset, length) RANGE reads
+    // — the path pywb serves captures through and the reason the index
+    // stores those byte columns. Oracle-exempt like scan_warc (binary
+    // input); fetch == scan equality INCLUDING payload bytes is
+    // golden-pinned in WarcSpec; driver records rows>0.
+    "warc_fetch_record" -> ((s, d) => {
+      val file = tmp(d, "fixture.warc.gz")
+      Warc.writeFixture(file, Warc.fixtureRecords)
+      val reqs = Warc.scan(s, file).filter(col("url").isNotNull)
+        .select("filename", "offset", "length")
+      Warc.fetchRecords(s, reqs, new java.io.File(file).getParent)
+        .select("record_type", "url", "ts", "digest", "status", "mime", "offset", "length")
+        .orderBy("offset")
+    }),
+
     // payload → corpus bridge: HTML text extraction over the WARC scan
     // (script/style/comment strip, entity decode, per-row charset) — the
     // step between the reference's index pipeline and the §2.10 curation
