@@ -105,7 +105,8 @@ object Plans {
     "url_redirect_loops" -> "loop detection is STRUCTURAL: doubling joins cover acyclic lengths, then one semi-join against edge sources flags dsts that still have an out-edge — no convergence test, no iteration-until-fixpoint",
     "pipeline_quality_funnel" -> "page build + BOTH rule panels are map-side pass-through stages in one plan; the only data-sized exchange is the (lang, content-key) dedup window; the rollup is |langs| rows",
     "ts_cusum_alarm" -> "the CUSUM max-recursion in closed window form: one day-count hash agg (the only data-sized shuffle), then two frames sharing one (host | day) sort — no per-day iteration",
-    "warc_fetch_record" -> "replay by RANGE read: requests repartition per file + sort by offset (one open, ascending positioned reads); the corpus itself is never scanned")
+    "warc_fetch_record" -> "replay by RANGE read: requests repartition per file + sort by offset (one open, ascending positioned reads); the corpus itself is never scanned",
+    "crawl_politeness_robots" -> "robots-granted delays are an O(hosts) broadcast into the closed-form schedule — policy-driven politeness still costs ONE corpus shuffle on host")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse(

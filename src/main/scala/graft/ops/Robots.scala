@@ -53,7 +53,8 @@ object Robots {
     * GROUP id (running count of group starts; stacked `User-agent` lines
     * share one group). Columns: host, ln (1-based), directive, value,
     * block (0 = before any group). */
-  def directives(texts: DataFrame, hostCol: String = "host", txtCol: String = "txt"): DataFrame = {
+  def directives(texts: DataFrame, hostCol: String = "host", txtCol: String = "txt",
+      extra: Seq[String] = Nil): DataFrame = {
     val lines = texts
       .select(col(hostCol).as("host"), posexplode(split(col(txtCol), "\n")).as(Seq("pos", "raw")))
       .select(col("host"), (col("pos") + 1).as("ln"),
@@ -62,7 +63,7 @@ object Robots {
       .select(col("host"), col("ln"),
         lower(regexp_extract(col("line"), "^([A-Za-z-]+)\\s*:", 1)).as("directive"),
         trim(regexp_extract(col("line"), "^[A-Za-z-]+\\s*:\\s*(.*)$", 1)).as("value"))
-      .where(col("directive").isin("user-agent", "allow", "disallow"))
+      .where(col("directive").isin("user-agent" +: "allow" +: "disallow" +: extra: _*))
     val byLn = Window.partitionBy("host").orderBy("ln")
     val isUa = col("directive") === "user-agent"
     lines
@@ -142,6 +143,41 @@ object Robots {
         col("path").as("rule_path") +: keep.map(col): _*)
   }
 
+  /** `(host, delay_sec)` — the `Crawl-delay` each host's chosen group
+    * grants `agent` (the de-facto extension most engines honor; not in
+    * RFC 9309, hence parsed through a WIDENED directive view so the
+    * strict [[parse]]/[[check]] surface is untouched). Semantics:
+    * specific group beats `*`; the FIRST delay line of the chosen
+    * group(s) wins; non-numeric values are ignored; a delay before any
+    * group is ignored; hosts granting none take `defaultSec`. Note the
+    * widened view is also where a Crawl-delay BETWEEN stacked
+    * `User-agent` lines correctly ends the stack (RFC 9309 §2.2.1:
+    * only adjacent agent lines share a group) — visible here, invisible
+    * to the strict rule surface. O(hosts) output — broadcast it. */
+  def crawlDelays(texts: DataFrame, agent: String, defaultSec: Long): DataFrame = {
+    val ag = agent.toLowerCase(java.util.Locale.ROOT)
+    val d = directives(texts, extra = Seq("crawl-delay"))
+    val a = agents(d)
+    val spec = a.where(col("agent").isin(ag, "*"))
+      .groupBy("host")
+      .agg(max(when(col("agent") === ag, 1).otherwise(0)).as("spec"))
+    val w = Window.partitionBy("host").orderBy("ln")
+    val granted = d
+      .where(col("directive") === "crawl-delay" &&
+        col("value").rlike("^[0-9]{1,6}$") && col("block") > 0)
+      .select(col("host"), col("block"), col("ln"),
+        col("value").cast("long").as("delay_sec"))
+      .join(a, Seq("host", "block"))
+      .join(spec, Seq("host"))
+      .where(col("agent") === when(col("spec") === 1, ag).otherwise("*"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select("host", "delay_sec")
+    texts.select(col("host")).distinct()
+      .join(granted, Seq("host"), "left")
+      .select(col("host"), coalesce(col("delay_sec"), lit(defaultSec)).as("delay_sec"))
+  }
+
   /** Fixture robots.txt corpus over the synthetic CDX hosts
     * ([[graft.Cdx]]): urgent pins specific-group-beats-`*` and
     * longest-allow-inside-disallow; high pins stacked agents, the
@@ -150,14 +186,20 @@ object Robots {
     * pre-group rules being ignored; notspecified has NO robots.txt →
     * default allow. */
   val fixture: Seq[(String, String)] = Seq(
+    // Crawl-delay arms (crawlDelays; inert to the strict rule surface):
+    // urgent = specific group's 2 beats the * group's 10; high = a
+    // non-numeric delay is ignored (→ default); medium = lowercase
+    // directive, * group grants 5; low = a delay BEFORE any group is
+    // ignored (→ default)
     "www.urgent.example.org" ->
-      "# crawl policy\nUser-agent: graftbot\nDisallow: /order/1\nAllow: /order/12\nUser-agent: *\nDisallow: /",
+      ("# crawl policy\nUser-agent: graftbot\nDisallow: /order/1\nAllow: /order/12\nCrawl-delay: 2\n" +
+        "User-agent: *\nDisallow: /\nCrawl-delay: 10"),
     "www.high.example.org" ->
-      "User-agent: graftbot\nUser-agent: otherbot\nDisallow: /order/2\nAllow: /order/2\nDisallow: /order/3\nDisallow:",
+      "User-agent: graftbot\nUser-agent: otherbot\nDisallow: /order/2\nAllow: /order/2\nDisallow: /order/3\nDisallow:\nCrawl-delay: fast",
     "www.medium.example.org" ->
-      "USER-AGENT: *\nDISALLOW: /order/4\nallow: /order/44\n# comment line",
+      "USER-AGENT: *\nDISALLOW: /order/4\nallow: /order/44\ncrawl-delay: 5\n# comment line",
     "www.low.example.org" ->
-      "Disallow: /order/5\nUser-agent: *\nDisallow: /order/6")
+      "Crawl-delay: 9\nDisallow: /order/5\nUser-agent: *\nDisallow: /order/6")
 
   /** The fixture as a DuckDB VALUES clause (escape-string literals). */
   def fixtureDuck: String =

@@ -258,6 +258,36 @@ object CdxOps extends QueryModule {
         .orderBy("id")
     }),
 
+    // Politeness driven by the POLICY surface, not a constant: per-host
+    // crawl delays come from robots.txt `Crawl-delay` (the de-facto
+    // extension; [[graft.ops.Robots.crawlDelays]] — specific group beats
+    // `*`, first delay wins, non-numeric and pre-group delays ignored,
+    // absent → 1 s default), then the closed-form schedule
+    // (crawl_politeness's window algebra) runs under those delays. The
+    // delay table is O(hosts) and broadcasts; the schedule still costs
+    // ONE corpus shuffle on host. The fixture grants 2 s (specific
+    // beats the * group's 10), 5 s (lowercase directive), and three
+    // default arms (no file / non-numeric / pre-group) — all live.
+    "crawl_politeness_robots" -> ((s, d) => {
+      import s.implicits._
+      val delays = graft.ops.Robots.crawlDelays(
+        graft.ops.Robots.fixture.toDF("host", "txt"),
+        agent = "graftbot", defaultSec = 1L)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("host").orderBy("epoch_us", "id")
+      Cdx.df(s, d)
+        .join(broadcast(delays), Seq("host"), "left")
+        .withColumn("delay_us", coalesce(col("delay_sec"), lit(1L)) * 1000000L)
+        .withColumn("rn", row_number().over(w).cast("bigint"))
+        .withColumn("sched_us",
+          col("delay_us") * col("rn") +
+            max(col("epoch_us") - col("delay_us") * col("rn")).over(
+              w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        .select(col("id"), col("host"), col("epoch_us"), col("delay_us"),
+          col("sched_us"), (col("sched_us") - col("epoch_us")).as("wait_us"))
+        .orderBy("id")
+    }),
+
     // The deduplicating indexer's revisit emission — the INVERSE of
     // join_revisit_resolve: within each payload digest, the time-first
     // response capture is stored; every later identical capture becomes a
@@ -313,6 +343,31 @@ object CdxOps extends QueryModule {
       |  ) WHERE line <> ''
       | ) WHERE directive IN ('user-agent','allow','disallow')
       |)""".stripMargin
+
+  /** the WIDENED grammar view crawlDelays parses through — crawl-delay
+    * lines visible, so one between stacked User-agent lines correctly
+    * ends the stack (invisible to the strict [[robotsGrouped]] view) */
+  private def robotsGroupedWide: String =
+    robotsGrouped.replace("('user-agent','allow','disallow')",
+      "('user-agent','allow','disallow','crawl-delay')")
+
+  /** per-host granted Crawl-delay for graftbot: specific group beats *,
+    * first (min ln) numeric delay of the chosen group wins */
+  private def robotsDelays: String =
+    s"""SELECT host, delay_sec FROM (
+       | SELECT c.host, CAST(c.value AS BIGINT) AS delay_sec,
+       |        row_number() OVER (PARTITION BY c.host ORDER BY c.ln) AS rn
+       | FROM ($robotsGroupedWide) c
+       | JOIN (SELECT host, block, lower(value) AS agent FROM ($robotsGroupedWide)
+       |       WHERE directive = 'user-agent') a
+       |   ON c.host = a.host AND c.block = a.block
+       | JOIN (SELECT host, max(CASE WHEN lower(value) = 'graftbot' THEN 1 ELSE 0 END) AS spec
+       |       FROM ($robotsGroupedWide) WHERE directive = 'user-agent' GROUP BY host) h
+       |   ON c.host = h.host
+       | WHERE c.directive = 'crawl-delay' AND regexp_matches(c.value, '^[0-9]{1,6}$$')
+       |   AND c.block > 0
+       |   AND a.agent = CASE WHEN h.spec = 1 THEN 'graftbot' ELSE '*' END
+       |) WHERE rn = 1""".stripMargin
 
   private def robotsAgents: String =
     s"SELECT host, block, lower(value) AS agent FROM ($robotsGrouped) WHERE directive = 'user-agent'"
@@ -427,6 +482,19 @@ object CdxOps extends QueryModule {
         "FROM (SELECT id, host, path || '?' || qs AS upath FROM cdx) u " +
         s"LEFT JOIN ($robotsApplicable) r ON u.host = r.host AND starts_with(u.upath, r.path)) " +
         "WHERE rn = 1 ORDER BY id"),
+    // delays via the widened grammar replay; then the identical closed
+    // window form as crawl_politeness's oracle
+    "crawl_politeness_robots" -> o(
+      "SELECT id, host, epoch_us, delay_us, " +
+        "delay_us * rn + max(epoch_us - delay_us * rn) OVER " +
+        "(PARTITION BY host ORDER BY epoch_us, id ROWS UNBOUNDED PRECEDING) AS sched_us, " +
+        "delay_us * rn + max(epoch_us - delay_us * rn) OVER " +
+        "(PARTITION BY host ORDER BY epoch_us, id ROWS UNBOUNDED PRECEDING) - epoch_us AS wait_us FROM (" +
+        "SELECT c.id, c.host, c.epoch_us, " +
+        "CAST(coalesce(dl.delay_sec, 1) * 1000000 AS BIGINT) AS delay_us, " +
+        "CAST(row_number() OVER (PARTITION BY c.host ORDER BY c.epoch_us, c.id) AS BIGINT) AS rn " +
+        s"FROM cdx c LEFT JOIN ($robotsDelays) dl ON c.host = dl.host) ORDER BY id"),
+
     // same (digest | ts, id) window; first_value's frame start is the
     // partition start in both engines, so ties are irrelevant to it
     "cdx_revisit_generate" -> o(

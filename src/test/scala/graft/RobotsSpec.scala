@@ -28,8 +28,9 @@ class RobotsSpec extends SparkSpec {
     // UPPER/lower directive names fold; the trailing comment line is gone
     assert(rows.contains(("www.medium.example.org", 2, "*", "disallow", "/order/4")))
     assert(rows.contains(("www.medium.example.org", 3, "*", "allow", "/order/44")))
-    // low's ln 1 Disallow precedes any group -> ignored
-    assert(rows.filter(_._1 == "www.low.example.org").map(_._2) == Set(3))
+    // low's ln 2 Disallow precedes any group -> ignored (ln 1 is the
+    // pre-group Crawl-delay, invisible to the strict rule surface)
+    assert(rows.filter(_._1 == "www.low.example.org").map(_._2) == Set(4))
   }
 
   test("check: specific group beats *, longest prefix wins within it; agent match is case-insensitive") {
@@ -71,5 +72,29 @@ class RobotsSpec extends SparkSpec {
     assert(v(1L) == (true, None))
     assert(v(2L) == (false, Some("/order/6")))
     assert(v(3L) == (true, None))
+  }
+
+  test("crawlDelays: group choice, first-wins, junk/pre-group ignored, stack-break") {
+    import spark.implicits._
+    val texts = Seq(
+      // specific group grants 2; the * group's 10 must lose
+      "s.test" -> "User-agent: graftbot\nCrawl-delay: 2\nUser-agent: *\nCrawl-delay: 10",
+      // first numeric delay of the chosen group wins
+      "f.test" -> "User-agent: *\nCrawl-delay: 3\nCrawl-delay: 7",
+      // non-numeric ignored -> default
+      "j.test" -> "User-agent: *\nCrawl-delay: soon",
+      // a delay before any group is ignored -> default
+      "p.test" -> "Crawl-delay: 9\nUser-agent: *\nDisallow: /x",
+      // RFC 9309 stacking: the delay BETWEEN agent lines ends the first
+      // stack, so it belongs to graftbot's group alone — otherbot's
+      // separate group grants nothing and graftbot still reads 4
+      "b.test" -> "User-agent: graftbot\nCrawl-delay: 4\nUser-agent: otherbot\nCrawl-delay: 8",
+      // no delay anywhere -> default
+      "n.test" -> "User-agent: *\nDisallow: /y"
+    ).toDF("host", "txt")
+    val got = graft.ops.Robots.crawlDelays(texts, agent = "graftbot", defaultSec = 1L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("s.test" -> 2L, "f.test" -> 3L, "j.test" -> 1L,
+      "p.test" -> 1L, "b.test" -> 4L, "n.test" -> 1L), s"got $got")
   }
 }
