@@ -389,7 +389,12 @@ object Warc {
     require(need.forall(requests.columns.contains),
       s"fetchRecords needs [${need.mkString(", ")}]; got [${requests.columns.mkString(", ")}]")
     val sconf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
+    // dedupe pointers: a multi-record member's N records all share ONE
+    // (filename, offset, length) re-fetch unit, so a scan/index over it
+    // emits N identical pointers — fetching each would parse the member
+    // N times and return N×N rows, breaking fetch == scan identity
     val rows = requests.select(need.map(functions.col): _*)
+      .dropDuplicates(need)
       .repartition(functions.col("filename"))
       .sortWithinPartitions("filename", "offset")
       .rdd.mapPartitions { it =>
@@ -403,7 +408,13 @@ object Warc {
           val fname = r.getString(0)
           val off = r.getLong(1)
           val len = r.getLong(2)
-          require(len > 0 && len <= Gzip.MaxMemberBytes,
+          // MaxMemberBytes caps DECOMPRESSED size; this len is the
+          // COMPRESSED member, which for incompressible data runs
+          // ~0.03% + header bytes LARGER (deflate stored blocks), so a
+          // legal near-cap member the scanner accepts must not be
+          // rejected here — allow 1 MiB of framing slack (and stay
+          // under Int.MaxValue for the buffer allocation)
+          require(len > 0 && len <= Gzip.MaxMemberBytes.toLong + (1L << 20),
             s"fetchRecords: implausible member length $len for $fname@$off")
           if (fname != current) {
             close()

@@ -75,9 +75,9 @@ object WarcSink {
     // replacing a good corpus with a partial failed write); the in-task
     // guard in the publish loop stays as defense in depth for anything
     // the pre-flight's snapshot could miss.
+    // warcNameCol propagates null shards to a null group on its own
     val clash = df.select(col("shard"))
-      .groupBy(when(col("shard").isNull, lit(null))
-        .otherwise(warcNameCol(col("shard"))).as("base"))
+      .groupBy(warcNameCol(col("shard")).as("base"))
       .agg(countDistinct(col("shard")).as("n"))
       .filter(col("base").isNull || col("n") > 1)
       .limit(5).collect()

@@ -272,12 +272,13 @@ object CdxOps extends QueryModule {
       import s.implicits._
       val delays = graft.ops.Robots.crawlDelays(
         graft.ops.Robots.fixture.toDF("host", "txt"),
-        agent = "graftbot", defaultSec = 1L)
+        agent = "graftbot", defaultSec = politeDefaultSec)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("host").orderBy("epoch_us", "id")
       Cdx.df(s, d)
         .join(broadcast(delays), Seq("host"), "left")
-        .withColumn("delay_us", coalesce(col("delay_sec"), lit(1L)) * 1000000L)
+        .withColumn("delay_us",
+          coalesce(col("delay_sec"), lit(politeDefaultSec)) * 1000000L)
         .withColumn("rn", row_number().over(w).cast("bigint"))
         .withColumn("sched_us",
           col("delay_us") * col("rn") +
@@ -319,13 +320,20 @@ object CdxOps extends QueryModule {
     })
   )
 
+  /** ONE definition of the no-grant crawl delay — used by the Spark key
+    * (crawlDelays default + the non-fixture-host coalesce) AND the
+    * DuckDB oracle, so the three sites cannot drift apart. */
+  private val politeDefaultSec = 1L
+
   // ---- robots.txt oracle scaffolding (see graft.ops.Robots) ----
 
   /** Directive lines with group ids — DuckDB replay of Robots.directives
     * (string_split + unnest(range) for 1-based positions, then the same
-    * lag + running-sum group assignment). */
-  private def robotsGrouped: String =
-    """SELECT host, ln, directive, value,
+    * lag + running-sum group assignment). The visible-directive list is
+    * a PARAMETER (not post-hoc string surgery on the SQL, which would
+    * silently no-op if the literal were ever reformatted). */
+  private def robotsGroupedFor(directiveList: String): String =
+    s"""SELECT host, ln, directive, value,
       | sum(CASE WHEN directive = 'user-agent' AND coalesce(prev_ua, FALSE) = FALSE
       |     THEN 1 ELSE 0 END)
       |   OVER (PARTITION BY host ORDER BY ln ROWS UNBOUNDED PRECEDING) AS block
@@ -333,23 +341,25 @@ object CdxOps extends QueryModule {
       | SELECT *, lag(directive = 'user-agent') OVER (PARTITION BY host ORDER BY ln) AS prev_ua
       | FROM (
       |  SELECT host, ln,
-      |    lower(regexp_extract(line, '^([A-Za-z-]+)\s*:', 1)) AS directive,
-      |    trim(regexp_extract(line, '^[A-Za-z-]+\s*:\s*(.*)$', 1)) AS value
+      |    lower(regexp_extract(line, '^([A-Za-z-]+)\\s*:', 1)) AS directive,
+      |    trim(regexp_extract(line, '^[A-Za-z-]+\\s*:\\s*(.*)$$', 1)) AS value
       |  FROM (
-      |   SELECT host, i AS ln, trim(regexp_replace(parts[i], '#.*$', '')) AS line
+      |   SELECT host, i AS ln, trim(regexp_replace(parts[i], '#.*$$', '')) AS line
       |   FROM (SELECT host, string_split(txt, chr(10)) AS parts,
       |                unnest(range(1, len(string_split(txt, chr(10)))+1)) AS i
-      |         FROM """.stripMargin + graft.ops.Robots.fixtureDuck + """)
+      |         FROM ${graft.ops.Robots.fixtureDuck})
       |  ) WHERE line <> ''
-      | ) WHERE directive IN ('user-agent','allow','disallow')
+      | ) WHERE directive IN $directiveList
       |)""".stripMargin
+
+  private def robotsGrouped: String =
+    robotsGroupedFor("('user-agent','allow','disallow')")
 
   /** the WIDENED grammar view crawlDelays parses through — crawl-delay
     * lines visible, so one between stacked User-agent lines correctly
     * ends the stack (invisible to the strict [[robotsGrouped]] view) */
   private def robotsGroupedWide: String =
-    robotsGrouped.replace("('user-agent','allow','disallow')",
-      "('user-agent','allow','disallow','crawl-delay')")
+    robotsGroupedFor("('user-agent','allow','disallow','crawl-delay')")
 
   /** per-host granted Crawl-delay for graftbot: specific group beats *,
     * first (min ln) numeric delay of the chosen group wins */
@@ -491,7 +501,7 @@ object CdxOps extends QueryModule {
         "delay_us * rn + max(epoch_us - delay_us * rn) OVER " +
         "(PARTITION BY host ORDER BY epoch_us, id ROWS UNBOUNDED PRECEDING) - epoch_us AS wait_us FROM (" +
         "SELECT c.id, c.host, c.epoch_us, " +
-        "CAST(coalesce(dl.delay_sec, 1) * 1000000 AS BIGINT) AS delay_us, " +
+        s"CAST(coalesce(dl.delay_sec, $politeDefaultSec) * 1000000 AS BIGINT) AS delay_us, " +
         "CAST(row_number() OVER (PARTITION BY c.host ORDER BY c.epoch_us, c.id) AS BIGINT) AS rn " +
         s"FROM cdx c LEFT JOIN ($robotsDelays) dl ON c.host = dl.host) ORDER BY id"),
 

@@ -36,9 +36,15 @@ class EntrySpec extends SparkSpec {
     val survey = read("SURVEY.md")
     val coverage = read("COVERAGE.md")
     val keys = SparkEntry.queries.keySet
-    val noSurvey = keys.filterNot(survey.contains)
+    // whole-token match, not substring: crawl_politeness_robots's row
+    // must not satisfy the check for crawl_politeness (key names are
+    // prefixes of each other across the inventory)
+    def mentions(text: String, key: String): Boolean =
+      ("(?<![A-Za-z0-9_])" + java.util.regex.Pattern.quote(key) + "(?![A-Za-z0-9_])")
+        .r.findFirstIn(text).isDefined
+    val noSurvey = keys.filterNot(mentions(survey, _))
     assert(noSurvey.isEmpty, s"keys missing from SURVEY.md: ${noSurvey.toSeq.sorted}")
-    val noCoverage = keys.filterNot(coverage.contains)
+    val noCoverage = keys.filterNot(mentions(coverage, _))
     assert(noCoverage.isEmpty, s"keys missing from COVERAGE.md: ${noCoverage.toSeq.sorted}")
     val ghostPlans = Plans.flagship.map(_._1).filterNot(keys.contains)
     assert(ghostPlans.isEmpty, s"Plans.flagship names unknown keys: $ghostPlans")

@@ -371,9 +371,12 @@ class WarcSpec extends SparkSpec {
         Option(r.getAs[Array[Byte]]("payload")).map(_.toSeq).getOrElse(Nil))
     }.sortBy(t => (t._9, t._7))
     // full round trip: every pointer the scan emits fetches back the
-    // exact same row, payload bytes included, across BOTH files
-    val all = Warc.fetchRecords(spark,
-      scanned.select("filename", "offset", "length"), dir).collect()
+    // exact same row, payload bytes included, across BOTH files — and
+    // DUPLICATED pointers (a multi-record member's N rows share one
+    // re-fetch unit, so real indexes emit repeats) must not multiply
+    // the output
+    val ptrs = scanned.select("filename", "offset", "length")
+    val all = Warc.fetchRecords(spark, ptrs.unionAll(ptrs), dir).collect()
     assert(canon(all).toSeq == canon(scanned.collect()).toSeq)
     // subset: fetching two arbitrary pointers touches ONLY those records
     val pick = scanned.filter(col("url").isNotNull).orderBy("filename", "offset")
