@@ -544,6 +544,42 @@ class PlanSpec extends SparkSpec {
       "candidates must come from the (table, bucket) equi-join")
   }
 
+  test("text_gopher_rules: the whole rule panel is map-side — only the output sort exchanges") {
+    val p = plan("text_gopher_rules")
+    val exchangeOps = p.linesIterator.filter(_.trim.matches("""\(\d+\) Exchange.*""")).toSeq
+    assert(exchangeOps.size == 1 && p.contains("rangepartitioning"),
+      s"one range exchange (output sort) expected:\n${exchangeOps.mkString("\n")}")
+    assert(!p.contains("Generate"), "HOF filters must not explode")
+    assert(!p.contains("HashAggregate"), "the panel is a projection, not an aggregation")
+  }
+
+  test("crawl_politeness: one host exchange feeds both window frames") {
+    val p = plan("crawl_politeness")
+    // formatted mode: op headers `(n) Exchange` with Arguments on the
+    // next lines — exactly two exchanges total (hash on host + the
+    // output range sort), and the host hash appears once
+    val exchanges = p.linesIterator.count(_.trim.matches("""\(\d+\) Exchange.*"""))
+    assert(exchanges == 2, s"two exchanges (host hash + output range) expected, got $exchanges")
+    assert(p.linesIterator.count(_.contains("hashpartitioning(host")) == 1,
+      "exactly one hash exchange on host")
+    val sorts = p.linesIterator.count(_.trim.matches("""\(\d+\) Sort.*"""))
+    assert(sorts == 2, s"two sorts (window-local + output) expected, got $sorts")
+    assert(p.linesIterator.count(_.trim.matches("""\(\d+\) Window.*""")) == 2,
+      "rn + running max are two Window nodes sharing the exchange")
+  }
+
+  test("pipeline_quality_funnel: the dedup window's exchange is the only data-sized one") {
+    val df = SparkEntry.queries("pipeline_quality_funnel")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(p.contains("dedup_key"), "the first-occurrence window must key on (lang, dedup_key)")
+    assert(!p.contains("CartesianProduct") && !p.contains("Generate"),
+      "page build + panels must stay joined-free map-side projections")
+    // partial+final agg: the lang rollup shuffles partials, not the corpus
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      "lang rollup must run partial+final")
+  }
+
   test("search_bm25_rank: stats ride as broadcasts, top-k avoids a global sort") {
     val df = SparkEntry.queries("search_bm25_rank")(spark, sfDir)
     df.collect()
