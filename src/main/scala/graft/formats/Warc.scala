@@ -392,8 +392,18 @@ object Warc {
     // dedupe pointers: a multi-record member's N records all share ONE
     // (filename, offset, length) re-fetch unit, so a scan/index over it
     // emits N identical pointers — fetching each would parse the member
-    // N times and return N×N rows, breaking fetch == scan identity
-    val rows = requests.select(need.map(functions.col): _*)
+    // N times and return N×N rows, breaking fetch == scan identity.
+    // Casts make any numeric index schema (INT offsets from a hand-built
+    // frame) work instead of ClassCastException-ing in the task. Length
+    // CONFLICTS (two pointers at one offset disagreeing on length — a
+    // stale index) are detected in-task below off the existing sort:
+    // after the 3-column dedupe, a repeated (filename, offset) can only
+    // mean differing lengths, and it must fail loudly, not parse the
+    // member twice and silently duplicate rows.
+    val rows = requests.select(
+        functions.col("filename").cast("string"),
+        functions.col("offset").cast("long"),
+        functions.col("length").cast("long"))
       .dropDuplicates(need)
       .repartition(functions.col("filename"))
       .sortWithinPartitions("filename", "offset")
@@ -401,6 +411,7 @@ object Warc {
         var fs: org.apache.hadoop.fs.FileSystem = null
         var in: org.apache.hadoop.fs.FSDataInputStream = null
         var current: String = null
+        var prevOffset: Long = -1L
         def close(): Unit = if (in != null) { try in.close() catch { case _: Throwable => }; in = null }
         Option(org.apache.spark.TaskContext.get())
           .foreach(_.addTaskCompletionListener[Unit](_ => close()))
@@ -422,7 +433,14 @@ object Warc {
             if (fs == null) fs = p.getFileSystem(sconf.value)
             in = fs.open(p)
             current = fname
+            prevOffset = -1L
           }
+          // sorted by (filename, offset) and exact-triple-deduped above:
+          // a repeated offset here means two pointers disagree on length
+          require(off != prevOffset,
+            s"fetchRecords: conflicting lengths for $fname@$off — the index " +
+              "is stale (two pointers at one offset); refusing to guess")
+          prevOffset = off
           val buf = new Array[Byte](len.toInt)
           in.readFully(off, buf) // positioned read — no seek-state coupling
           Gzip.members(new java.io.ByteArrayInputStream(buf)).flatMap(m =>

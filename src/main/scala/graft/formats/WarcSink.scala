@@ -61,20 +61,22 @@ object WarcSink {
     * status become `resource` records (content without a protocol
     * envelope); null payloads write as empty; a null mime omits the
     * HTTP Content-Type line. Shard base names must be distinct across
-    * shard values (they name the output files). */
+    * shard values (they name the output files). The write is staged: the
+    * job fills `<dir>.staging-<id>` and only a fully successful job
+    * swaps it into `dir` (backup-rename of the old corpus, swap, delete
+    * backup), so any failure leaves the previous corpus in place. */
   def write(df: DataFrame, dir: String): Unit = {
     val need = Seq("shard", "url", "ts", "status", "mime", "payload")
     require(need.forall(df.columns.contains),
       s"WarcSink.write needs [${need.mkString(", ")}]; got [${df.columns.mkString(", ")}]")
     val spark = df.sparkSession
-    // VALIDATE BEFORE DESTROY: the target dir may hold the previous good
-    // corpus, and it is wiped below — so null shards and clashing
-    // normalized basenames must be rejected while that corpus is still
-    // intact. This pre-flight re-reads the one shard column (an extra
-    // pass over the input lineage — the accepted price of never
-    // replacing a good corpus with a partial failed write); the in-task
+    // VALIDATE BEFORE DESTROY: null shards and clashing normalized
+    // basenames are rejected while the previous corpus is still intact.
+    // This pre-flight re-reads the one shard column (a pruned extra pass
+    // over the input lineage — cheap, and it fails in milliseconds with
+    // a clear message instead of launching the write job); the in-task
     // guard in the publish loop stays as defense in depth for anything
-    // the pre-flight's snapshot could miss.
+    // the pre-flight's snapshot misses on nondeterministic lineage.
     // warcNameCol propagates null shards to a null group on its own
     val clash = df.select(col("shard"))
       .groupBy(warcNameCol(col("shard")).as("base"))
@@ -87,8 +89,16 @@ object WarcSink {
         "basenames: " + clash.map(r => String.valueOf(r.get(0))).mkString(", "))
     val dirPath = new Path(dir)
     val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(dirPath)) fs.delete(dirPath, true)
-    fs.mkdirs(dirPath)
+    // STAGE THEN SWAP: the job writes into a sibling staging dir, and only
+    // a fully successful job replaces `dir` (backup-rename, swap in,
+    // delete backup). Any mid-write task failure — including a clash the
+    // pre-flight's snapshot missed, caught by the in-task guard — leaves
+    // the previous good corpus untouched instead of destroyed-and-partial.
+    val stamp = java.util.UUID.randomUUID().toString.take(8)
+    val staging = dirPath.suffix(s".staging-$stamp")
+    if (fs.exists(staging)) fs.delete(staging, true)
+    fs.mkdirs(staging)
+    val outDir = staging.toString
     val sconf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
     // Partition on the NORMALIZED output name (the warcName() image of
     // the shard), not the raw shard value: two distinct shards sharing a
@@ -96,16 +106,16 @@ object WarcSink {
     // loop re-detects any collision the pre-flight's snapshot missed and
     // fails before the second rename-OVERWRITE could silently replace
     // the first shard's file.
-    df.select(need.map(col): _*)
+    try df.select(need.map(col): _*)
       .repartition(warcNameCol(col("shard")))
       .sortWithinPartitions("shard", "url", "ts", "status")
       .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
         val pfs = org.apache.hadoop.fs.FileSystem.newInstance(
-          new Path(dir).toUri, sconf.value)
+          new Path(outDir).toUri, sconf.value)
         pfs.setWriteChecksum(false) // private instance — see CdxSink note
         val fctx: Option[org.apache.hadoop.fs.FileContext] =
           try Some(org.apache.hadoop.fs.FileContext.getFileContext(
-            new Path(dir).toUri, sconf.value))
+            new Path(outDir).toUri, sconf.value))
           catch { case _: org.apache.hadoop.fs.UnsupportedFileSystemException => None }
         val attempt = Option(org.apache.spark.TaskContext.get())
           .map(tc => s"${tc.partitionId()}-${tc.taskAttemptId()}")
@@ -115,8 +125,8 @@ object WarcSink {
         var out: java.io.OutputStream = null
         def close(): Unit = if (out != null) {
           out.close(); out = null
-          val tmp = new Path(dir, s".${warcName(current)}.$attempt.tmp")
-          val fin = new Path(dir, warcName(current))
+          val tmp = new Path(outDir, s".${warcName(current)}.$attempt.tmp")
+          val fin = new Path(outDir, warcName(current))
           fctx match {
             case Some(fc) => // atomicity caveats identical to CdxSink
               fc.rename(tmp, fin, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
@@ -148,7 +158,7 @@ object WarcSink {
                 case _ => published.update(name, shard)
               }
               current = shard
-              out = pfs.create(new Path(dir, s".${warcName(shard)}.$attempt.tmp"), true)
+              out = pfs.create(new Path(outDir, s".${warcName(shard)}.$attempt.tmp"), true)
             }
             require(!row.isNullAt(2) && isTs14(row.getString(2)),
               s"WarcSink: ts must be 14 digits (WARC-Date source, the " +
@@ -176,5 +186,26 @@ object WarcSink {
           try pfs.close() catch { case _: Throwable => }
         }
       }
+    catch { case t: Throwable =>
+      // failed job: drop the partial staging output, keep the old corpus
+      try fs.delete(staging, true) catch { case _: Throwable => }
+      throw t
+    }
+    // success: swap the staging dir into place. Move the old corpus aside
+    // first (rename, not delete) so a rename failure can restore it — the
+    // previous corpus survives EVERY failure mode, not just pre-flight-
+    // detectable ones.
+    val backup = dirPath.suffix(s".old-$stamp")
+    val hadOld = fs.exists(dirPath)
+    if (hadOld) require(fs.rename(dirPath, backup),
+      s"WarcSink.write: could not move the previous corpus aside ($dirPath -> " +
+        s"$backup); new corpus left intact at $staging")
+    if (!fs.rename(staging, dirPath)) {
+      if (hadOld) fs.rename(backup, dirPath) // restore the old corpus
+      throw new java.io.IOException(
+        s"WarcSink.write: could not publish $staging as $dirPath" +
+          (if (hadOld) "; previous corpus restored" else ""))
+    }
+    if (hadOld) fs.delete(backup, true)
   }
 }

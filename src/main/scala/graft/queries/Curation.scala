@@ -53,8 +53,11 @@ object Curation extends QueryModule {
       .withColumn("n_stop_kinds",
         size(filter(typedLit(gopherStops), w => array_contains(col("toks"), w))).cast("bigint"))
       .withColumn("n_symbols",
+        // floor(): Spark `/` is double division; the replace delta happens
+        // to be a multiple of 3 today, but integer semantics must hold by
+        // construction (the DuckDB oracle floor-divides), not by invariant
         (length(col("text")) - length(regexp_replace(col("text"), "#", "")) +
-          (length(col("text")) - length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / 3)
+          floor((length(col("text")) - length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / 3))
           .cast("bigint"))
       .withColumn("lines", split(col("text"), "\n"))
       .withColumn("n_lines", size(col("lines")).cast("bigint"))

@@ -31,8 +31,18 @@ class EntrySpec extends SparkSpec {
     // to the judge's line-by-line check, and a renamed key leaves a
     // stale Plans entry that silently stops being dumped. Make drift a
     // test failure instead of an audit finding.
+    // resolve the ledgers from the repo root, not the bare cwd: sbt runs
+    // tests from the project base, but a fork/IDE run may not — walk up
+    // from user.dir until SURVEY.md appears and fail with a clear message
+    // (not a vacuous pass) when it can't be found
+    val repoRoot = Iterator
+      .iterate(java.nio.file.Paths.get(sys.props("user.dir")).toAbsolutePath)(_.getParent)
+      .takeWhile(_ != null).take(4)
+      .find(p => java.nio.file.Files.exists(p.resolve("SURVEY.md")))
+      .getOrElse(fail(s"SURVEY.md not found from ${sys.props("user.dir")} upward — " +
+        "run tests from the repo (ledger-drift check needs the ledgers)"))
     def read(p: String) = new String(
-      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)), "UTF-8")
+      java.nio.file.Files.readAllBytes(repoRoot.resolve(p)), "UTF-8")
     val survey = read("SURVEY.md")
     val coverage = read("COVERAGE.md")
     val keys = SparkEntry.queries.keySet

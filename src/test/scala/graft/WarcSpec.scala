@@ -384,6 +384,48 @@ class WarcSpec extends SparkSpec {
     val two = Warc.fetchRecords(spark, pick, dir).collect()
     assert(two.length == 2 &&
       two.map(key).toSet.subsetOf(scanned.collect().map(key).toSet))
+    // an INT-typed index schema (hand-built frames) must work — the
+    // request columns are cast, not assumed LongType
+    val intPtrs = pick.select(col("filename"),
+      col("offset").cast("int").as("offset"), col("length").cast("int").as("length"))
+    assert(Warc.fetchRecords(spark, intPtrs, dir).count() == 2)
+    // a STALE index — two pointers at one offset disagreeing on length —
+    // must fail loudly, not parse the member twice / silently duplicate
+    val stale = pick.limit(1).unionAll(
+      pick.limit(1).select(col("filename"), col("offset"), (col("length") + 1).as("length")))
+    val e = intercept[Exception] { Warc.fetchRecords(spark, stale, dir).collect() }
+    def rootMsg(t: Throwable): String =
+      (Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.getMessage)
+        .filter(_ != null)).mkString(" | ")
+    assert(rootMsg(e).contains("conflicting lengths"), rootMsg(e))
+  }
+
+  test("WarcSink: a mid-job failure leaves the previous corpus untouched (staged swap)") {
+    // the write is staged into <dir>.staging-<id> and only swapped in on
+    // success: a task failure mid-write (malformed ts here) must leave
+    // the previous good corpus — files AND bytes — exactly as it was,
+    // and must not leak the staging directory
+    val dir = "/tmp/graft_test/warcsink_staged"
+    def rows(ts: String) = Seq(
+      ("s/a.warc.gz", "http://example.com/1", ts, 200, "text/html", "one".getBytes("UTF-8")))
+    def df(ts: String) = spark.createDataFrame(rows(ts))
+      .toDF("shard", "url", "ts", "status", "mime", "payload")
+    graft.formats.WarcSink.write(df("20240102030405"), dir)
+    val f = new java.io.File(dir, "a.warc.gz")
+    val goodBytes = java.nio.file.Files.readAllBytes(f.toPath).toSeq
+    val e = intercept[Exception] { graft.formats.WarcSink.write(df("not-a-ts"), dir) }
+    assert(e.getMessage == null || !e.getMessage.contains("could not publish"))
+    assert(java.nio.file.Files.readAllBytes(f.toPath).toSeq == goodBytes,
+      "previous corpus must survive a failed staged write byte-for-byte")
+    val parent = new java.io.File(dir).getParentFile
+    assert(!parent.listFiles().exists(_.getName.contains(".staging-")),
+      "failed write must clean up its staging directory")
+    // and a SUCCESSFUL rewrite replaces the corpus and leaves no staging/backup
+    graft.formats.WarcSink.write(df("20250102030405"), dir)
+    assert(Warc.scan(spark, dir + "/*.warc.gz").select("ts").collect()
+      .map(_.getString(0)).toSeq == Seq("20250102030405"))
+    assert(!parent.listFiles().exists(f =>
+      f.getName.contains(".staging-") || f.getName.contains(".old-")))
   }
 
   test("WarcSink: colliding shard basenames and malformed ts fail loudly") {
