@@ -46,15 +46,18 @@ object Pipeline {
       .selectExpr("concat(urlkey, ' ', ts, ' ', json) AS line")
   }
 
-  /** WARC glob -> deduplicated training-corpus frame: HTML text
-    * extraction (ops/Html), quality + fingerprint columns (ops/Text),
-    * then exact dedup by content hash keeping the EARLIEST capture — the
-    * corpus-side mirror of revisit resolution (same digest⇒same content
-    * idea the WARC format encodes). All narrow ops plus one hash
-    * aggregation; at 100 TB the dedup groupBy is the only exchange. */
+  /** WARC glob -> deduplicated training-corpus frame: MAIN-CONTENT HTML
+    * extraction (ops/Html.extractMain — boilerplate/nav/footer/link-farm
+    * blocks removed BEFORE the gates, the C4/Gopher/RefinedWeb order, so
+    * chrome never inflates downstream token counts), quality +
+    * fingerprint columns (ops/Text), then exact dedup by content hash
+    * keeping the EARLIEST capture — the corpus-side mirror of revisit
+    * resolution (same digest⇒same content idea the WARC format encodes).
+    * All narrow ops plus one hash aggregation; at 100 TB the dedup
+    * groupBy is the only exchange. */
   def warcToCorpus(spark: SparkSession, warcGlob: String, minTokens: Int = 2): DataFrame =
     keepEarliestPerHash(
-      graft.ops.Html.extract(Warc.scan(spark, warcGlob))
+      graft.ops.Html.extractMain(Warc.scan(spark, warcGlob))
         .filter(col("n_tokens") >= minTokens)
         .withColumn("quality", graft.ops.Text.qualityScore(col("text")))
         .withColumn("fingerprint", graft.ops.Text.fingerprint(col("text"))))

@@ -563,15 +563,30 @@ object Warc {
     * stopword-rich long page that clearly PASSES the quality gate the
     * short /latin and /bare pages fall under. */
   def corpusFixtureRecords: Seq[FixtureRecord] = {
-    val menuPayload = htmlFixtureRecords
-      .find(_.url == "http://www.example.com/menu").get.payload
+    // the corpus pipeline extracts MAIN content (Html.extractMain), so
+    // its menu page carries real chrome — nav links, a short heading, a
+    // footer — around one content-classified paragraph: the pipeline key
+    // demonstrates that tokens_kept counts ONLY the paragraph. The two
+    // menu captures share this payload (earliest-capture dedup plant).
+    val menuPayload =
+      ("<html><head><title>Menu</title><style>body { color: red }</style></head>" +
+        "<body><nav><a href=\"/\">Home</a> <a href=\"/menu\">Menu</a> " +
+        "<a href=\"/contact\">Contact</a></nav><h1>Café menu</h1>" +
+        "<p>Tea and biscuits are served with a pot of cream for the price " +
+        "of a song in the morning.</p>" +
+        "<footer>&copy; Example Café. All rights reserved.</footer>" +
+        "</body></html>").getBytes(UTF_8)
     val longPage =
       ("<html><title>Guide</title><body>The quick brown fox jumps over the " +
         "lazy dog and runs to the river every morning for a drink of water" +
         "</body></html>").getBytes(UTF_8)
-    htmlFixtureRecords ++ Seq(
+    htmlFixtureRecords.map { r =>
+      if (r.url == "http://www.example.com/menu")
+        r.copy(digest = b32("menu2"), payload = menuPayload)
+      else r
+    } ++ Seq(
       FixtureRecord("response", "http://www.example.com/menu", "2016-02-01T09:00:00Z",
-        b32("menu"), 200, "text/html; charset=UTF-8", menuPayload),
+        b32("menu2"), 200, "text/html; charset=UTF-8", menuPayload),
       FixtureRecord("response", "http://www.example.com/tiny", "2016-01-07T15:00:00Z",
         b32("tiny"), 200, "text/html", "<html><body>hi</body></html>".getBytes(UTF_8)),
       FixtureRecord("response", "http://www.example.com/long", "2016-01-08T16:00:00Z",

@@ -59,10 +59,92 @@ object Html {
     trim(regexp_replace(decodeEntities(noTags), "\\s+", " "))
   }
 
+  /** stopword list for the main-content block classifier: the Gopher
+    * stop-signal set ∪ [[Text.defaultStopwords]] — closed-class English
+    * words whose per-block density separates prose from chrome (the
+    * jusText signal, Pomikálek 2011 §4.2). KEEP IN LOCKSTEP with the
+    * html_main_content oracle literal (Curation.scala). */
+  val contentStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with",
+      "a", "in", "is", "for")
+
+  /** block-level segmentation boundaries — any open or close of a tag
+    * that starts a new visual block (the jusText paragraph unit) */
+  private[graft] val blockSplitRe =
+    "(?i)</?(?:p|div|h[1-6]|li|ul|ol|dl|dt|dd|td|th|tr|table|thead|tbody|" +
+      "section|article|blockquote|pre|figure|figcaption|main|center)" +
+      "(?:\\s[^>]*)?>|<(?:br|hr)\\s*/?+>"
+
+  /** script/style/comment strip PLUS whole-subtree removal of the chrome
+    * containers (head/title/nav/header/footer/aside/form) — the tags a
+    * browser never renders as main content. Non-greedy, so a nested
+    * same-tag chrome element closes at the first matching close tag (the
+    * documented regex-subset fidelity bound, same as script/style). */
+  private def chromeStripped(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?is)<(script|style)[^>]*>.*?</\\1\\s*>", " ")
+    val noComment = regexp_replace(noScript, "(?s)<!--.*?-->", " ")
+    regexp_replace(noComment,
+      "(?is)<(head|title|nav|header|footer|aside|form)(\\s[^>]*)?>.*?</\\1\\s*>", " ")
+  }
+
+  /** one block's visible text: strip inline tags, decode entities,
+    * collapse whitespace */
+  private def blockText(b: Column): Column =
+    trim(regexp_replace(decodeEntities(regexp_replace(b, "(?s)<[^>]*>", " ")), "\\s+", " "))
+
+  /** per-block (text, link-chars) structs after chrome removal. Link
+    * chars are measured as the character loss from deleting `<a>`
+    * subtrees — no second parse, stays in codegen. */
+  private def blockStructs(html: Column): Column =
+    transform(split(chromeStripped(html), blockSplitRe), b => {
+      val total = blockText(b)
+      val nonLink = blockText(regexp_replace(b, "(?is)<a(\\s[^>]*)?>.*?</a\\s*>", " "))
+      struct(total.as("t"), (length(total) - length(nonLink)).as("lc"))
+    })
+
+  /** jusText-shaped keep decision for one scored block, integer-exact
+    * (cross-multiplied thresholds so a SQL oracle replays bit-for-bit):
+    * link density ≤ 1/3, ≥ 40 chars, and either stopword density ≥ 1/4
+    * (prose signal) or ≥ 200 chars (long low-link text is content even
+    * when the stop list's language doesn't match). */
+  private def isContent(s: Column): Column = {
+    val bc = length(s("t"))
+    val toks = Dedup.tokens(s("t"))
+    s("lc") * 3 <= bc && bc >= 40 &&
+      (size(filter(toks, w => w.isInCollection(contentStops))) * 4 >= size(toks) ||
+        bc >= 200)
+  }
+
+  /** the blocks [[mainContent]] keeps, as (t: text, lc: link-chars)
+    * structs — exposed so callers can count/inspect without re-splitting */
+  def mainBlocks(html: Column): Column = filter(blockStructs(html), isContent _)
+
+  /** main-content extraction (boilerplate removal): chrome subtrees
+    * dropped, the remainder segmented into blocks, and only
+    * content-classified blocks kept (jusText/trafilatura shape), joined
+    * with newlines. Pure codegen'd built-ins end-to-end — at 100 TB this
+    * is a map-side projection that fuses into the WARC scan's
+    * WholeStageCodegen, zero shuffles. */
+  def mainContent(html: Column): Column =
+    array_join(transform(mainBlocks(html), s => s("t")), "\n")
+
   /** one-call extraction over a `warc_records`-shaped frame: keeps 200
     * text/html responses, decodes per-row charset, emits the
     * documents-shaped columns downstream curation ops expect */
-  def extract(warc: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+  def extract(warc: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    extractWith(warc, text)
+
+  /** [[extract]] with boilerplate removal: `text` is [[mainContent]]
+    * (nav/footer/link-farm chrome dropped), the corpus-building default —
+    * the published pipelines (C4, Gopher, RefinedWeb) all extract main
+    * content BEFORE their quality gates, so chrome never inflates
+    * token counts. */
+  def extractMain(warc: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    extractWith(warc, mainContent)
+
+  private def extractWith(
+      warc: org.apache.spark.sql.DataFrame,
+      toText: Column => Column): org.apache.spark.sql.DataFrame = {
     val cs = charsetOf(col("mime"))
     val html = decodePayload(col("payload"), cs)
     warc
@@ -72,7 +154,7 @@ object Html {
         col("status") === 200 && lower(col("mime")).contains("html"))
       .select(
         col("url"), col("ts"), cs.as("charset"),
-        title(html).as("title"), text(html).as("text"))
+        title(html).as("title"), toText(html).as("text"))
       .withColumn("n_tokens", Text.wordCount(col("text")))
   }
 }

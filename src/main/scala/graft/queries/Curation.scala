@@ -24,6 +24,17 @@ object Curation extends QueryModule {
 
   private val gopherStopsDuck = gopherStops.mkString("['", "', '", "']")
 
+  /** html_main_content's planted known-good paragraph — stop-dense and
+    * over the 40-char floor, so its keep decision is constant-true by
+    * construction (24 words, 16 in [[graft.ops.Html.contentStops]]; the
+    * oracle replays it as a literal) */
+  private[graft] val mainDemoPara =
+    "And that is the point of the story we have to be told with all of " +
+      "the care and the time that it deserves."
+
+  private val contentStopsDuck =
+    graft.ops.Html.contentStops.mkString("['", "', '", "']")
+
   /** Gopher rule panel over a (doc_id, text) relation — a helper so
     * OperatorPropertiesSpec can plant the bullet/ellipsis/symbol arms the
     * synthetic corpus (single-line, punctuation-free text) never trips.
@@ -183,6 +194,44 @@ object Curation extends QueryModule {
           when(col("doc_id") % 37 === 0, "\n{ var x = 1; }").otherwise("")))
         .select(col("doc_id"), col("page").as("text"))
       c4Filters(paged)
+    }),
+
+    // ---- main-content extraction (boilerplate removal, jusText shape) ----
+    // The published funnels (C4 §2.2, Gopher §A1, RefinedWeb) all strip
+    // page chrome BEFORE their quality gates; this key drives
+    // [[graft.ops.Html.mainContent]] under the DuckDB oracle by building
+    // a PAGE around every doc (the text_c4_filters planting pattern):
+    // head+script chrome, a nav link bar, the doc text as the candidate
+    // content paragraph, then per-residue plants — a known-good
+    // stop-dense paragraph (doc_id%3, KEPT — pins block joining), a
+    // link-farm div (doc_id%7, dropped by link density), a short junk
+    // block (doc_id%5, dropped by min length), and a footer (always
+    // dropped as chrome). The oracle replays the plants closed-form and
+    // the body paragraph's keep decision exactly (integer cross-product
+    // thresholds). The whole key is ONE map-side HOF projection — no
+    // explode, no shuffle beyond the output sort.
+    "html_main_content" -> ((s, d) => {
+      val page = concat(
+        lit("<html><head><title>Doc</title><script>var x = '<p>no</p>';" +
+          "</script></head><body><nav><a href=\"/\">Home</a> " +
+          "<a href=\"/about\">About</a> <a href=\"/contact\">Contact</a></nav><p>"),
+        col("text"),
+        lit("</p>"),
+        when(col("doc_id") % 3 === 0, lit("<p>" + mainDemoPara + "</p>")).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, lit("<div><a href=\"/p1\">click</a> " +
+          "<a href=\"/p2\">here</a> <a href=\"/p3\">now</a></div>")).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit("<div>Read more</div>")).otherwise(lit("")),
+        lit("<footer>&copy; 2024 Example Corp. All rights reserved.</footer>" +
+          "</body></html>"))
+      val joined = array_join(transform(col("blocks"),
+        (b: org.apache.spark.sql.Column) => b("t")), "\n")
+      Tables.t(s, d, "documents")
+        .select(col("doc_id"), graft.ops.Html.mainBlocks(page).as("blocks"))
+        .select(col("doc_id"),
+          size(col("blocks")).cast("bigint").as("n_blocks_kept"),
+          length(joined).cast("bigint").as("main_chars"),
+          md5(joined).as("main_md5"))
+        .orderBy("doc_id")
     }),
 
     // ---- redirect-chain resolution (pointer jumping, log-hop joins) ----
@@ -448,6 +497,29 @@ object Curation extends QueryModule {
         "SELECT doc_id, string_split(text, ' ') AS toks, " +
         "CAST(ceil(len(string_split(text, ' ')) / 8.0) AS INT) AS nl " +
         "FROM documents))))) ORDER BY doc_id"),
+
+    // closed-form replay of the planted page: the nav/link-farm/junk/
+    // footer plants are dropped by construction (the ENGINE must agree —
+    // a chrome-strip or density bug shows up as a hash mismatch), the
+    // fixed paragraph is kept by construction, and the body paragraph's
+    // keep decision is replayed exactly (length floor + stop density ≥
+    // 1/4 OR 200-char override; link chars are 0 for the link-free body)
+    "html_main_content" ->
+      ("SELECT doc_id, CAST(bk + fk AS BIGINT) AS n_blocks_kept, " +
+        "CAST(length(main) AS BIGINT) AS main_chars, md5(main) AS main_md5 " +
+        "FROM (SELECT doc_id, bk, fk, " +
+        s"CASE WHEN bk = 1 AND fk = 1 THEN bt || chr(10) || '$mainDemoPara' " +
+        "WHEN bk = 1 THEN bt " +
+        s"WHEN fk = 1 THEN '$mainDemoPara' ELSE '' END AS main " +
+        "FROM (SELECT doc_id, bt, " +
+        "CASE WHEN length(bt) >= 40 AND (4 * sw >= bw OR length(bt) >= 200) " +
+        "THEN 1 ELSE 0 END AS bk, " +
+        "CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS fk " +
+        "FROM (SELECT doc_id, bt, len(toks) AS bw, " +
+        s"len(list_filter(toks, w -> list_contains($contentStopsDuck, w))) AS sw " +
+        "FROM (SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS bt, " +
+        "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks " +
+        "FROM documents)))) ORDER BY doc_id"),
 
     "url_redirect_chain" -> o(
       "SELECT c.id, c.id - (c.id % 5) AS terminal_id, c.id % 5 AS hops, " +

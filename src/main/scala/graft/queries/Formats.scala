@@ -599,15 +599,18 @@ object Formats extends QueryModule {
     }),
 
     // the NORTH-STAR composition as one driver key and ONE lazy plan:
-    // scan_warc → HTML text extract → token + quality gates →
-    // earliest-capture exact dedup → fixed-budget sequence packing.
-    // Every stage is a lazy transform over the WARC scan; the only
-    // driver-side artifacts are packSequences' bounded bucket offsets
-    // (the declared exchange, same as pipeline_pack_sequences). The
-    // fixture plants one case per stage: a later duplicate capture of
-    // /menu (earliest-dedup drops it), a one-word /tiny page (token
-    // gate), and the short /latin + /bare pages (absolute quality gate
-    // at 0.02, which the /menu and stopword-rich /long pages clear).
+    // scan_warc → MAIN-CONTENT extract (boilerplate removal — the menu
+    // page's nav/heading/footer chrome contributes zero tokens) →
+    // token + quality gates → earliest-capture exact dedup →
+    // fixed-budget sequence packing. Every stage is a lazy transform
+    // over the WARC scan; the only driver-side artifacts are
+    // packSequences' bounded bucket offsets (the declared exchange, same
+    // as pipeline_pack_sequences). The fixture plants one case per
+    // stage: a later duplicate capture of /menu (earliest-dedup drops
+    // it), a one-word /tiny page (token gate), the chrome-sized /latin
+    // + /bare pages (empty main content → token gate), and the quality
+    // gate at 0.02 which the /menu paragraph and stopword-rich /long
+    // pages clear.
     // Oracle-exempt (binary fixture input, like every WARC-scan key);
     // PipelineSpec pins the exact surviving row set and the packing
     // invariants, PLANS.md the barrier-free plan.

@@ -45,11 +45,15 @@ class HtmlSpec extends SparkSpec {
   }
 
   test("warcToCorpus dedups identical content keeping the earliest capture") {
-    // two captures of the same page at different times + one distinct page
+    // two captures of the same page at different times + one distinct
+    // page; bodies are content-sized stop-dense sentences so the
+    // main-content classifier keeps them (warcToCorpus extracts MAIN
+    // content — a chrome-sized body would never reach the dedup stage)
     val dir = java.nio.file.Files.createTempDirectory("corpus_spec")
     val file = dir.resolve("dup.warc.gz").toString
     def b32(s: String) = s.padTo(32, '2').take(32).toUpperCase
-    val page = "<html><title>Same</title><body>same body</body></html>"
+    val page = ("<html><title>Same</title><body>The same body is here to " +
+      "be kept for all of the captures in this test.</body></html>")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8)
     Warc.writeFixture(file, Seq(
       Warc.FixtureRecord("response", "http://a.example.com/", "2016-02-01T00:00:00Z",
@@ -58,7 +62,8 @@ class HtmlSpec extends SparkSpec {
         b32("p2"), 200, "text/html", page),
       Warc.FixtureRecord("response", "http://c.example.com/", "2016-03-01T00:00:00Z",
         b32("p3"), 200, "text/html",
-        "<html><title>Other</title><body>different body</body></html>"
+        ("<html><title>Other</title><body>A different body is here to " +
+          "be kept for all of the captures in this test.</body></html>")
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))))
     val corpus = Pipeline.warcToCorpus(spark, file).collect()
     assert(corpus.length == 2, "exact dup must collapse to one row")
@@ -69,5 +74,63 @@ class HtmlSpec extends SparkSpec {
       assert(r.getAs[Double]("quality") > 0.0)
       assert(r.getAs[String]("fingerprint").length == 16)
     }
+  }
+
+  // ---- main-content extraction (boilerplate removal) ----
+
+  private def mc(html: String): String =
+    spark.range(1).select(Html.mainContent(lit(html)).as("m")).head.getString(0)
+
+  private val goodPara =
+    "Tea and biscuits are served with a pot of cream for the price of a song."
+
+  test("mainContent: chrome subtrees drop, the content paragraph stays") {
+    val html = "<html><head><title>T</title><script>var x = '<p>no</p>';</script>" +
+      "</head><body><nav><a href=\"/\">Home</a> <a href=\"/a\">About</a></nav>" +
+      "<h1>Tiny head</h1><p>" + goodPara + "</p>" +
+      "<aside>Related links here</aside>" +
+      "<footer>&copy; 2024 Example. All rights reserved.</footer></body></html>"
+    assert(mc(html) == goodPara)
+  }
+
+  test("mainContent: link-dense blocks drop even when long") {
+    val farm = "<div><a href=\"/x\">the quick brown fox and the lazy dog</a> " +
+      "<a href=\"/y\">jumps over all of the fences today</a></div>"
+    assert(mc("<html><body>" + farm + "<p>" + goodPara + "</p></body></html>")
+      == goodPara)
+    assert(mc("<html><body>" + farm + "</body></html>") == "")
+  }
+
+  test("mainContent: short blocks drop; long low-stopword text keeps via the length arm") {
+    assert(mc("<html><body><div>Read more</div><p>" + goodPara + "</p></body></html>")
+      == goodPara)
+    // 240 chars of a word that never hits the stop list: the >=200-char
+    // override must keep it (non-English prose is still content)
+    val cjkish = Seq.fill(60)("zzz").mkString(" ")
+    assert(mc("<html><body><p>" + cjkish + "</p></body></html>") == cjkish)
+    // but the same text at 120 chars (under the override, no stop signal) drops
+    val short = Seq.fill(30)("zzz").mkString(" ")
+    assert(mc("<html><body><p>" + short + "</p></body></html>") == "")
+  }
+
+  test("mainContent: kept blocks join with newlines in document order") {
+    val p2 = "And that is the point of the story we have to be told with care."
+    assert(mc("<html><body><p>" + goodPara + "</p><div>x</div><p>" + p2 +
+      "</p></body></html>") == goodPara + "\n" + p2)
+  }
+
+  test("extractMain: the old chrome-only menu page extracts to empty text") {
+    // htmlFixtureRecords' menu page has only sub-40-char blocks (heading
+    // + a short line) — under main-content extraction its text is empty,
+    // so chrome-sized pages contribute ZERO tokens downstream
+    val file = java.nio.file.Files.createTempDirectory("html_spec_main")
+      .resolve("fixture_html.warc.gz").toString
+    Warc.writeFixture(file, Warc.htmlFixtureRecords)
+    val main = Html.extractMain(Warc.scan(spark, file)).orderBy("url").collect()
+    val menu = main.find(_.getAs[String]("url").endsWith("/menu")).get
+    assert(menu.getAs[String]("text") == "")
+    assert(menu.getAs[Int]("n_tokens") == 0)
+    // title extraction is unaffected by the chrome strip
+    assert(menu.getAs[String]("title") == "Alpha & Beta")
   }
 }

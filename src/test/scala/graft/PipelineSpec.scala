@@ -101,22 +101,24 @@ class PipelineSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
     // surviving capture set: /menu earliest capture + /long.
     //  - the 2016-02-01 duplicate /menu capture fell to earliest-dedup
-    //  - /latin ("Latin résumé", q=0.012) and /bare ("no title here",
-    //    q=0.013) fell to the 0.02 quality gate
-    //  - /tiny (1 token) fell to the token gate
+    //  - /latin ("résumé") and /bare ("no title here") extract to EMPTY
+    //    main content (sub-40-char blocks) and fall to the token gate,
+    //    as does /tiny (1 word)
     //  - /gone (404) and /raw (text/plain) fell to the extract filter
     val urls = rows.map(r => (r._1, r._2)).toSet
     assert(urls == Set(
       ("http://www.example.com/menu", "20160102100000"),
       ("http://www.example.com/long", "20160108160000")), s"got $urls")
-    // golden token counts from the pinned extracted texts:
-    // "Alpha & Beta Café menu Tea <hot> & biscuits' price" -> alpha beta
-    // caf menu tea hot biscuits price = 8; "Guide The quick brown fox
-    // jumps over the lazy dog and runs to the river every morning for a
-    // drink of water" -> 22
+    // golden token counts from the pinned MAIN-CONTENT texts — the menu
+    // page's nav bar ("Home Menu Contact"), heading, and footer
+    // contribute ZERO of these (the boilerplate-removal demonstration):
+    // "Tea and biscuits are served with a pot of cream for the price of
+    // a song in the morning." -> 19; "The quick brown fox jumps over the
+    // lazy dog and runs to the river every morning for a drink of water"
+    // -> 21 (the <title> subtree "Guide" no longer leaks into body text)
     val byUrl = rows.map(r => r._1 -> r).toMap
-    assert(byUrl("http://www.example.com/menu")._3 == 8L)
-    assert(byUrl("http://www.example.com/long")._3 == 22L)
+    assert(byUrl("http://www.example.com/menu")._3 == 19L)
+    assert(byUrl("http://www.example.com/long")._3 == 21L)
     // packing invariants: cum_before is the prefix sum of n_tok in doc_id
     // (hash) order, and seq_id = cum_before DIV 8
     assert(rows.forall(r => r._5 == r._4 / 8))
