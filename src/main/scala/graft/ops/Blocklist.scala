@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Broadcast URL/domain blocklist gate — the C4 cleaning pass's list
+  * filter (Raffel et al. 2020 §2.2 drops pages from a public
+  * badwords/blocklist) on the URL surface. Two arms:
+  *
+  *  - domain arm: the capture's REGISTERED domain (eTLD+1 via
+  *    [[Psl.registeredDomain]] — so listing `badsite.com` blocks
+  *    `www.badsite.com` and every other subdomain through the full
+  *    public-suffix precedence, wildcard/exception rules included)
+  *    membership in the blocked-domain list;
+  *  - substring arm: any blocked term contained in the lowercased URL
+  *    (the badwords-list analog for ad/tracker/chumbox path patterns).
+  *
+  * Scale shape: the PSL precedence (explode + window) runs over the
+  * DISTINCT host table only; the captures themselves never shuffle —
+  * the blocked-host set comes back as a BROADCAST left join and the
+  * term arm is a codegen'd HOF over a literal array. At 100 TB the
+  * corpus-side cost is one broadcast hash join plus a map-side
+  * projection; the distinct-host aggregation is the only exchange and
+  * is shared infrastructure with `url_registered_domain`.
+  */
+object Blocklist {
+
+  /** Fixture blocklist: one registered domain the synthetic corpus
+    * actually serves (`low.example.org` — the hostword arm, so a real
+    * fraction of captures block) and one PSL-EXCEPTION domain
+    * (`free.wild.test`) only planted captures hit, keeping the
+    * exception-beats-wildcard precedence live inside the gate. */
+  val fixtureDomains: Seq[String] = Seq("low.example.org", "free.wild.test")
+
+  /** URL substring arm — path/query patterns, lowercase. */
+  val fixtureUrlTerms: Seq[String] = Seq("/order/13", "a=4")
+
+  /** The blocked-host side artifact: PSL precedence over a host
+    * universe, filtered to hosts whose registered domain (or the host
+    * itself — registered_domain is null when the host IS a public
+    * suffix) is listed. O(|blocked hosts|) rows — at production scale
+    * this is computed ONCE per blocklist revision over the distinct-host
+    * table and broadcast into every gating query (the IVF-model
+    * persistence discipline), not recomputed per corpus pass. */
+  def blockedHostSet(
+      hosts: DataFrame,
+      domains: Seq[String] = fixtureDomains,
+      rules: Seq[Psl.Rule] = Psl.fixtureRules): DataFrame =
+    Psl.registeredDomain(hosts, rules)
+      .where(col("registered_domain").isin(domains: _*) || col("host").isin(domains: _*))
+      .select("host")
+
+  /** Adds `blocked_domain`, `blocked_term`, `keep` to a frame with
+    * `host` and `url` columns, given a pre-built blocked-host set —
+    * a broadcast left join plus a codegen'd HOF; the captures never
+    * shuffle. */
+  def gateWith(
+      captures: DataFrame,
+      blockedHosts: DataFrame,
+      urlTerms: Seq[String] = fixtureUrlTerms): DataFrame =
+    captures
+      .join(broadcast(blockedHosts.select(col("host"), lit(true).as("bl_dom"))),
+        Seq("host"), "left")
+      .withColumn("blocked_domain", coalesce(col("bl_dom"), lit(false)))
+      .drop("bl_dom")
+      .withColumn("blocked_term",
+        exists(typedLit(urlTerms), t => contains(lower(col("url")), t)))
+      .withColumn("keep", !col("blocked_domain") && !col("blocked_term"))
+
+  /** One-call form: derives the host universe from the captures
+    * themselves (one distinct-host aggregation — the only exchange). */
+  def gate(
+      captures: DataFrame,
+      domains: Seq[String] = fixtureDomains,
+      urlTerms: Seq[String] = fixtureUrlTerms,
+      rules: Seq[Psl.Rule] = Psl.fixtureRules): DataFrame =
+    gateWith(captures,
+      blockedHostSet(captures.select("host").distinct(), domains, rules), urlTerms)
+}

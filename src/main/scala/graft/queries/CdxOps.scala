@@ -317,8 +317,64 @@ object CdxOps extends QueryModule {
         .unionByName(graft.ops.Psl.fixtureHosts.toDF("host"))
         .distinct()
       graft.ops.Psl.registeredDomain(hosts).orderBy("host")
+    }),
+
+    // C4-style broadcast URL/domain blocklist gate (Raffel et al. 2020
+    // §2.2): registered-domain membership through the FULL public-suffix
+    // precedence (listing low.example.org blocks every www.low.… capture;
+    // the planted captures keep the exception-beats-wildcard arm live)
+    // plus a lowercased-URL substring arm. Corpus side is one broadcast
+    // join + a map-side HOF — the PSL window runs on distinct hosts only
+    // ([[graft.ops.Blocklist]]).
+    "filter_url_blocklist" -> ((s, d) => {
+      import s.implicits._
+      val caps = Cdx.df(s, d).select("id", "host", "url")
+        .unionByName(blocklistPlants.toDF("id", "host", "url"))
+      graft.ops.Blocklist.gate(caps)
+        .select("id", "host", "blocked_domain", "blocked_term", "keep")
+        .orderBy("id")
     })
   )
+
+  /** Planted captures keeping the blocklist gate's PSL precedence arms
+    * live (the synthetic corpus serves only *.example.org hosts): the
+    * exception domain itself, a subdomain of it (blocks THROUGH the
+    * exception rule), a wildcard-suffix host (not blocked), and a
+    * default-* host (not blocked). Shared verbatim with the oracle. */
+  private val blocklistPlants = Seq(
+    (-1L, "free.wild.test", "http://free.wild.test/x"),
+    (-2L, "sub.free.wild.test", "http://sub.free.wild.test/x"),
+    (-3L, "a.b.wild.test", "http://a.b.wild.test/x"),
+    (-4L, "unknown.zz", "http://unknown.zz/x"))
+
+  private def blocklistPlantsDuck: String =
+    blocklistPlants.map { case (i, h, u) => s"($i, '$h', '$u')" }.mkString(", ")
+
+  private def blockDomainsDuck: String =
+    graft.ops.Blocklist.fixtureDomains.mkString("('", "', '", "')")
+
+  private def blockTermsDuck: String =
+    graft.ops.Blocklist.fixtureUrlTerms
+      .map(t => s"contains(lower(c.url), '$t')").mkString(" OR ")
+
+  /** Shared DuckDB CTE chain for the PSL registered-domain replay
+    * (hosts → rules → lab → cand → m → best); `hostsSel` PARAMETERIZES
+    * the host universe (never string-replaced — a reformat would
+    * silently no-op a replace). Callers append their own final SELECT
+    * over `lab`/`best`. */
+  private def pslChainDuck(hostsSel: String): String =
+    s", hosts AS ($hostsSel), " +
+      "rules(pattern, is_exc, rule_n, ps_n) AS (VALUES " + graft.ops.Psl.rulesDuck() + "), " +
+      "lab AS (SELECT host, string_split(host, '.') AS labels, " +
+      "len(string_split(host, '.')) AS n FROM hosts), " +
+      "cand AS (SELECT host, n, i, array_to_string(labels[i:], '.') AS suffix, " +
+      "CASE WHEN i < n THEN '*.' || array_to_string(labels[i+1:], '.') END AS wild " +
+      "FROM (SELECT *, unnest(range(1, n+1)) AS i FROM lab)), " +
+      "m AS (SELECT c.host, r.is_exc, r.rule_n, r.ps_n, r.pattern FROM cand c " +
+      "JOIN rules r ON c.suffix = r.pattern OR c.wild = r.pattern), " +
+      "best AS (SELECT host, ps_n FROM (SELECT *, row_number() OVER (" +
+      "PARTITION BY host ORDER BY is_exc DESC, rule_n DESC, pattern DESC) AS rn FROM m) " +
+      "WHERE rn = 1)"
 
   /** ONE definition of the no-grant crawl delay — used by the Spark key
     * (crawlDelays default + the non-fixture-host coalesce) AND the
@@ -519,23 +575,31 @@ object CdxOps extends QueryModule {
     // full PSL algorithm replay: suffix/wildcard candidate generation,
     // exception > most-labels precedence, default-* fallback
     "url_registered_domain" -> o(
-      ", hosts AS (SELECT DISTINCT host FROM cdx UNION SELECT host FROM (VALUES " +
-        graft.ops.Psl.hostsDuck + ") AS p(host)), " +
-        "rules(pattern, is_exc, rule_n, ps_n) AS (VALUES " + graft.ops.Psl.rulesDuck() + "), " +
-        "lab AS (SELECT host, string_split(host, '.') AS labels, " +
-        "len(string_split(host, '.')) AS n FROM hosts), " +
-        "cand AS (SELECT host, n, i, array_to_string(labels[i:], '.') AS suffix, " +
-        "CASE WHEN i < n THEN '*.' || array_to_string(labels[i+1:], '.') END AS wild " +
-        "FROM (SELECT *, unnest(range(1, n+1)) AS i FROM lab)), " +
-        "m AS (SELECT c.host, r.is_exc, r.rule_n, r.ps_n, r.pattern FROM cand c " +
-        "JOIN rules r ON c.suffix = r.pattern OR c.wild = r.pattern), " +
-        "best AS (SELECT host, ps_n FROM (SELECT *, row_number() OVER (" +
-        "PARTITION BY host ORDER BY is_exc DESC, rule_n DESC, pattern DESC) AS rn FROM m) " +
-        "WHERE rn = 1) " +
-        "SELECT l.host, array_to_string(l.labels[l.n - coalesce(b.ps_n, 1) + 1:], '.') AS public_suffix, " +
+      pslChainDuck("SELECT DISTINCT host FROM cdx UNION SELECT host FROM (VALUES " +
+        graft.ops.Psl.hostsDuck + ") AS p(host)") +
+        " SELECT l.host, array_to_string(l.labels[l.n - coalesce(b.ps_n, 1) + 1:], '.') AS public_suffix, " +
         "CASE WHEN l.n > coalesce(b.ps_n, 1) " +
         "THEN array_to_string(l.labels[l.n - coalesce(b.ps_n, 1):], '.') END AS registered_domain " +
         "FROM lab l LEFT JOIN best b USING (host) ORDER BY l.host"),
+
+    // full PSL precedence replay over the gate's host universe, then the
+    // two arms exactly as the engine computes them (IN on the nullable
+    // registered domain coalesced false, host-equals fallback, substring
+    // contains over the lowercased url)
+    "filter_url_blocklist" -> o(
+      ", caps AS (SELECT id, host, url FROM cdx UNION ALL " +
+        s"SELECT * FROM (VALUES $blocklistPlantsDuck) AS p(id, host, url))" +
+        pslChainDuck("SELECT DISTINCT host FROM caps") +
+        ", reg AS (SELECT l.host, CASE WHEN l.n > coalesce(b.ps_n, 1) " +
+        "THEN array_to_string(l.labels[l.n - coalesce(b.ps_n, 1):], '.') END AS registered_domain " +
+        "FROM lab l LEFT JOIN best b USING (host)) " +
+        "SELECT id, host, blocked_domain, blocked_term, " +
+        "(NOT blocked_domain AND NOT blocked_term) AS keep FROM (" +
+        "SELECT c.id, c.host, " +
+        s"(coalesce(r.registered_domain IN $blockDomainsDuck, FALSE) " +
+        s"OR c.host IN $blockDomainsDuck) AS blocked_domain, " +
+        s"($blockTermsDuck) AS blocked_term " +
+        "FROM caps c JOIN reg r USING (host)) ORDER BY id"),
     "filter_null_safe" -> o(
       "SELECT id, coalesce(redirect, '-') AS redirect_c, coalesce(robotflags, '-') AS robot_c " +
         "FROM cdx WHERE redirect IS NOT DISTINCT FROM robotflags ORDER BY id"),

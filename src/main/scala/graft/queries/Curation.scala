@@ -35,6 +35,10 @@ object Curation extends QueryModule {
   private val contentStopsDuck =
     graft.ops.Html.contentStops.mkString("['", "', '", "']")
 
+  /** funnel URL-plant hostwords — index 3 is the blocked domain; the
+    * modulus 4 divides the 100000 dup offset so dup pairs share a host */
+  private val funnelHostWords = Seq("alpha", "beta", "gamma", "low")
+
   /** Gopher rule panel over a (doc_id, text) relation — a helper so
     * OperatorPropertiesSpec can plant the bullet/ellipsis/symbol arms the
     * synthetic corpus (single-line, punctuation-free text) never trips.
@@ -263,18 +267,22 @@ object Curation extends QueryModule {
         .orderBy("id")
     }),
 
-    // ---- the composed curation funnel: Gopher ∧ C4 ∧ exact dedup ----
+    // -- the composed curation funnel: blocklist ∧ Gopher ∧ C4 ∧ dedup --
     // The report a corpus owner reads after every ingest: per language,
     // how many pages entered, how many each quality pass kept, how many
-    // survived both, how many are content-UNIQUE, and how many tokens
-    // the surviving unique set carries. ONE lazy plan: dup-planted union
-    // (every 5th doc rides twice — +100000 ids; every plant modulus
-    // divides 100000, so a dup and its original build IDENTICAL pages
-    // and the dedup arm is live) → page build → Gopher cols → C4 cols
-    // (all map-side projections) → one window on (lang, content-key)
-    // for first-occurrence marking (non-survivors get singleton keys —
-    // no hot null partition) → one |langs|-row aggregate. The only
-    // data-sized exchange is the window's.
+    // survived both, how many the URL blocklist dropped, how many are
+    // content-UNIQUE, and how many tokens the surviving unique set
+    // carries. ONE lazy plan: dup-planted union (every 5th doc rides
+    // twice — +100000 ids; every plant modulus divides 100000, so a dup
+    // and its original build IDENTICAL pages and the dedup arm is live)
+    // → page build + URL plant → broadcast blocklist gate (r12 — the
+    // C4 §2.2 list filter through graft.ops.Blocklist; the blocked-host
+    // set is a bounded side artifact, so the gate adds NO data-sized
+    // exchange) → Gopher cols → C4 cols (all map-side projections) →
+    // one window on (lang, content-key) for first-occurrence marking
+    // (non-survivors get singleton keys — no hot null partition) → one
+    // |langs|-row aggregate. The only data-sized exchange is the
+    // window's.
     "pipeline_quality_funnel" -> ((s, d) => {
       val endings = Seq(".", "!", "?", "", " javascript.")
       val docs = Tables.t(s, d, "documents").select("doc_id", "lang", "text")
@@ -296,15 +304,35 @@ object Curation extends QueryModule {
           when(col("doc_id") % 25 === 0, "\nlorem ipsum dolor sit amet.").otherwise(""),
           when(col("doc_id") % 32 === 0, "\n{ var x = 1; }").otherwise("")))
         .select(col("doc_id"), col("lang"), col("page").as("text"))
-      val flagged = c4Cols(gopherCols(paged))
-      val both = col("keep") && col("keep_doc")
+        // planted URL surface for the blocklist stage: hostword rotates
+        // on doc_id%4 (4 divides the 100000 dup offset, so dup pairs
+        // share a host) — index 3 ('low') is the blocked domain
+        .withColumn("host", concat(lit("www."),
+          element_at(typedLit(funnelHostWords), (col("doc_id") % 4 + 1).cast("int")),
+          lit(".example.org")))
+        .withColumn("url", concat(lit("http://"), col("host"), lit("/doc/"), col("doc_id")))
+      // the C4 §2.2 blocklist stage through the REAL gate: the blocked-
+      // host set is a bounded side artifact built over the (literal,
+      // planted) host universe and broadcast in — the funnel keeps its
+      // single data-sized exchange (the dedup window); gate's composite
+      // `keep` is dropped (the funnel folds the arms into `pass` itself)
+      val hostDf = {
+        import s.implicits._
+        funnelHostWords.map(w => s"www.$w.example.org").toDF("host")
+      }
+      val gated = graft.ops.Blocklist.gateWith(paged,
+        graft.ops.Blocklist.blockedHostSet(hostDf, Seq("low.example.org")),
+        Seq("/doc/13")).drop("keep")
+      val flagged = c4Cols(gopherCols(gated))
+      val blocked = col("blocked_domain") || col("blocked_term")
+      val pass = col("keep") && col("keep_doc") && !blocked
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("lang", "dedup_key").orderBy("doc_id")
       flagged
         .withColumn("dedup_key",
-          when(both, col("c4_md5")).otherwise(concat(lit("x:"), col("doc_id"))))
+          when(pass, col("c4_md5")).otherwise(concat(lit("x:"), col("doc_id"))))
         .withColumn("rn", row_number().over(w))
-        .withColumn("first_keep", (both && col("rn") === 1).cast("long"))
+        .withColumn("first_keep", (pass && col("rn") === 1).cast("long"))
         .withColumn("cleaned_words",
           size(filter(split(col("cleaned"), "[ \n]+"), wd => wd =!= "")).cast("long"))
         .groupBy("lang")
@@ -312,7 +340,8 @@ object Curation extends QueryModule {
           count(lit(1)).as("n_docs"),
           sum(col("keep").cast("long")).as("n_gopher"),
           sum(col("keep_doc").cast("long")).as("n_c4"),
-          sum(both.cast("long")).as("n_both"),
+          sum((col("keep") && col("keep_doc")).cast("long")).as("n_both"),
+          sum(blocked.cast("long")).as("n_blocked"),
           sum(col("first_keep")).as("n_unique"),
           sum(when(col("first_keep") === 1, col("cleaned_words")).otherwise(0L))
             .as("tokens_kept"))
@@ -534,14 +563,21 @@ object Curation extends QueryModule {
         "CAST(sum(CASE WHEN g_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_gopher, " +
         "CAST(sum(CASE WHEN c_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_c4, " +
         "CAST(sum(CASE WHEN g_keep AND c_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_both, " +
+        "CAST(sum(CASE WHEN blocked THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked, " +
         "CAST(sum(first_keep) AS BIGINT) AS n_unique, " +
         "CAST(sum(CASE WHEN first_keep = 1 THEN cleaned_words ELSE 0 END) AS BIGINT) AS tokens_kept " +
-        "FROM (SELECT lang, g_keep, c_keep, cleaned_words, " +
-        "CASE WHEN g_keep AND c_keep AND " +
+        "FROM (SELECT lang, g_keep, c_keep, blocked, cleaned_words, " +
+        "CASE WHEN g_keep AND c_keep AND NOT blocked AND " +
         "row_number() OVER (PARTITION BY lang, dedup_key ORDER BY doc_id) = 1 " +
         "THEN 1 ELSE 0 END AS first_keep " +
+        // blocked replays the URL plant CLOSED-FORM (independent of the
+        // engine's url build): domain arm ⇔ doc_id%4 = 3 ('low' hostword),
+        // term arm '/doc/13' ⇔ the decimal doc_id starts with 13
         "FROM (SELECT lang, doc_id, g_keep, c_keep, cleaned_words, " +
-        "CASE WHEN g_keep AND c_keep THEN c4_md5 ELSE 'x:' || doc_id END AS dedup_key " +
+        "(doc_id % 4 = 3 OR starts_with(CAST(doc_id AS VARCHAR), '13')) AS blocked, " +
+        "CASE WHEN g_keep AND c_keep AND NOT " +
+        "(doc_id % 4 = 3 OR starts_with(CAST(doc_id AS VARCHAR), '13')) " +
+        "THEN c4_md5 ELSE 'x:' || doc_id END AS dedup_key " +
         "FROM (SELECT lang, doc_id, " +
         "(n_words >= 50 AND n_words <= 100000 AND tok_chars >= n_words * 3 " +
         "AND tok_chars <= n_words * 10 AND n_alpha * 5 >= n_words * 4 " +

@@ -573,8 +573,21 @@ class PlanSpec extends SparkSpec {
     df.collect()
     val p = df.queryExecution.explainString(ExplainMode.fromString("simple"))
     assert(p.contains("dedup_key"), "the first-occurrence window must key on (lang, dedup_key)")
-    assert(!p.contains("CartesianProduct") && !p.contains("Generate"),
-      "page build + panels must stay joined-free map-side projections")
+    // the r12 blocklist stage joins the bounded blocked-host set as a
+    // BROADCAST — the corpus side must never join-shuffle, and the only
+    // Generate allowed is the PSL suffix explode inside that bounded
+    // broadcast subtree (a second one would mean the page build or a
+    // panel regressed into an explode)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      "the blocklist stage must broadcast; the corpus never join-shuffles")
+    assert(p.contains("BroadcastHashJoin"), "blocked-host set must join as a broadcast")
+    // the PSL explode is explode(sequence(1, n)) over host labels; it may
+    // print once per join branch of the bounded subtree — what matters is
+    // that NO OTHER Generate exists (a page-build or panel regression
+    // into explode would carry a different generator expression)
+    val gens = p.linesIterator.filter(_.contains("Generate")).toSeq
+    assert(gens.forall(_.contains("sequence(1")),
+      s"only the PSL suffix explode may Generate; got: $gens")
     // partial+final agg: the lang rollup shuffles partials, not the corpus
     assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2,
       "lang rollup must run partial+final")

@@ -82,4 +82,32 @@ class PslSpec extends SparkSpec {
     assert(train > 0.75 && train < 1.0, s"train fraction $train implausible for 90%")
     s.unpersist()
   }
+
+  test("Blocklist.blockedHostSet blocks through the full PSL precedence") {
+    import spark.implicits._
+    // free.wild.test is an EXCEPTION rule (beats *.wild.test), so its
+    // registered domain is itself and subdomains inherit it; a.b.wild.test
+    // sits under the wildcard suffix (reg = a.b.wild.test ≠ listed);
+    // city.test IS a public suffix (reg null) — blocked only via the
+    // host-equals fallback when listed directly
+    val hosts = Seq("free.wild.test", "sub.free.wild.test", "deep.sub.free.wild.test",
+      "a.b.wild.test", "unknown.zz", "www.low.example.org", "low.example.org",
+      "city.test").toDF("host")
+    val blocked = graft.ops.Blocklist
+      .blockedHostSet(hosts, Seq("low.example.org", "free.wild.test", "city.test"))
+      .collect().map(_.getString(0)).toSet
+    assert(blocked == Set("free.wild.test", "sub.free.wild.test",
+      "deep.sub.free.wild.test", "www.low.example.org", "low.example.org", "city.test"))
+    // and the gate arms: term matching is on the LOWERCASED url
+    val caps = Seq(("www.low.example.org", "http://www.low.example.org/x"),
+      ("ok.example.org", "http://ok.example.org/ORDER/13"),
+      ("ok.example.org", "http://ok.example.org/fine")).toDF("host", "url")
+    val gated = graft.ops.Blocklist.gate(caps).orderBy("url")
+      .select("blocked_domain", "blocked_term", "keep")
+      .collect().map(r => (r.getBoolean(0), r.getBoolean(1), r.getBoolean(2)))
+    assert(gated.toSeq == Seq(
+      (false, true, false),   // /ORDER/13 -> lowercased term hit
+      (false, false, true),   // clean
+      (true, false, false)))  // domain hit
+  }
 }
