@@ -138,15 +138,20 @@ object Curation extends QueryModule {
     * discipline applied to a successor function). A chain longer than
     * 2^rounds resolves PARTIALLY (dst = the node 2^rounds ahead) — the
     * caller bounds rounds from its topology; OperatorPropertiesSpec pins
-    * both sides of that boundary. */
+    * both sides of that boundary. Lineage is localCheckpoint-truncated
+    * every 2nd round (the graph_connected_components discipline): each
+    * round SQUARES the self-join plan, so an uncheckpointed rounds≈10
+    * call would hand Catalyst an exponentially nested tree — the helper
+    * is public API and must be safe at caller-chosen depth. */
   def resolveChains(edges: org.apache.spark.sql.DataFrame, rounds: Int): org.apache.spark.sql.DataFrame = {
     var jump = edges.select(col("src"), col("dst")).withColumn("hops", lit(1L))
-    for (_ <- 1 to rounds) {
+    for (round <- 1 to rounds) {
       val r = jump.select(col("src").as("jsrc"), col("dst").as("jdst"),
         col("hops").as("jhops"))
       jump = jump.join(r, col("dst") === col("jsrc"), "left")
         .select(col("src"), coalesce(col("jdst"), col("dst")).as("dst"),
           (col("hops") + coalesce(col("jhops"), lit(0L))).as("hops"))
+      if (round % 2 == 0 && round < rounds) jump = jump.localCheckpoint()
     }
     jump
   }

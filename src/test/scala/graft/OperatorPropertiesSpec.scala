@@ -873,6 +873,25 @@ class OperatorPropertiesSpec extends SparkSpec {
       s"rounds=3 got ${partial.toSeq}")
   }
 
+  test("url_redirect_chain: deep-round calls stay correct and lineage-bounded") {
+    import spark.implicits._
+    // resolveChains is public API at caller-chosen depth: 8 rounds cover
+    // 2^8 = 256 hops, and each round SQUARES the self-join tree — without
+    // the every-2nd-round localCheckpoint the optimizer would receive an
+    // exponentially nested plan (and this test would stall or OOM the
+    // analyzer). A 200-hop chain pins correctness at that depth; the
+    // checkpointed frame's lineage must be a bounded plan, not 8 nested
+    // joins (its string representation stays small).
+    val edges = (1 to 200).map(i => (i.toLong, i.toLong - 1)).toDF("src", "dst")
+    val deep = graft.queries.Curation.resolveChains(edges, rounds = 8)
+    val got = deep.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(got.toSeq == (1 to 200).map(i => (i.toLong, 0L, i.toLong)),
+      s"200-hop chain must fully resolve at rounds=8; head got ${got.take(3).toSeq}")
+    val planChars = deep.queryExecution.optimizedPlan.toString.length
+    assert(planChars < 200000,
+      s"lineage must be checkpoint-truncated, got a $planChars-char plan")
+  }
+
   test("url_redirect_loops: doubling + out-edge semi-join classifies cycles structurally") {
     import spark.implicits._
     // the minimal zoo: a plain chain (3→2→1→0), a 2-cycle (10↔11), a
