@@ -593,6 +593,52 @@ class PlanSpec extends SparkSpec {
       "lang rollup must run partial+final")
   }
 
+  test("unpartitioned windows: every driver key's WindowExec is partitioned or allowlisted") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    // A WindowExec with no partitionSpec moves ALL data to one partition
+    // — fatal at 100 TB. The bench tail's "No Partition Defined" warnings
+    // were adjudicated bounded (documented sample/spine/lang-table
+    // inputs); this sweep ENFORCES that adjudication: a new key shipping
+    // an unbounded single-partition window fails here, not in review.
+    def nodes(p: SparkPlan): Seq[SparkPlan] = {
+      val inner = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case r: ReusedExchangeExec => Seq(r.child)
+        case _ => p.children
+      }
+      p +: (inner ++ p.subqueries).flatMap(nodes)
+    }
+    // key -> why its unpartitioned window is bounded (the documented sites)
+    val allow = Map(
+      "split_points" -> ("Relational.scala splitPoints: the window runs on the " +
+        "1-in-500 SAMPLE (bounded by sampleFraction), never the corpus"),
+      "agg_drift_report" -> ("Aggregates.scala drift spine: the window runs on the " +
+        "per-(column,bin) rollup — at most |columns|x|bins| rows (~13 here)"),
+      "sample_temperature" -> ("Llm.scala mix table: the window runs on the " +
+        "per-language weight table — |langs| rows"))
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { k =>
+      val df = SparkEntry.queries(k)(spark, sfDir)
+      val n = nodes(df.queryExecution.executedPlan).count {
+        case w: WindowExec => w.partitionSpec.isEmpty
+        case w: WindowGroupLimitExec => w.partitionSpec.isEmpty
+        case _ => false
+      }
+      if (n > 0) Seq(k -> n) else Nil
+    }
+    val unexpected = offenders.filterNot { case (k, _) => allow.contains(k) }
+    assert(unexpected.isEmpty,
+      s"unpartitioned WindowExec outside the allowlist: $unexpected — either " +
+        "repartition the window or document the bounded input and allowlist it")
+    // the allowlist must stay honest: an entry whose window disappeared
+    // is stale documentation
+    val stale = allow.keys.filterNot(k => offenders.exists(_._1 == k))
+    assert(stale.isEmpty, s"stale allowlist entries (no unpartitioned window anymore): $stale")
+  }
+
   test("search_bm25_rank: stats ride as broadcasts, top-k avoids a global sort") {
     val df = SparkEntry.queries("search_bm25_rank")(spark, sfDir)
     df.collect()
