@@ -409,7 +409,7 @@ object Multimodal extends QueryModule {
     // lower). Output stays linear in |distinct hashes|.
     "dedup_image_phash" -> ((s, d) => {
       import s.implicits._
-      val classes = Tables.t(s, d, "documents")
+      val hashes = Tables.t(s, d, "documents")
         .filter(col("doc_id") % 3 === 0)
         .select(col("doc_id")).as[Long]
         .mapPartitions { it =>
@@ -420,29 +420,38 @@ object Multimodal extends QueryModule {
           }
         }
         .toDF("doc_id", "phash")
-        .groupBy("phash").agg(min("doc_id").as("rep"))
-        .localCheckpoint() // tiny (≤ |distinct hashes|); consumed 3×
-      val bands = classes.select(col("phash"), posexplode(
-          array((0 until 4).map(b => substring(col("phash"), b * 4 + 1, 4)): _*)))
-        .toDF("phash", "band", "sig")
-      def half(c: Column, i: Int) =
-        conv(substring(c, i * 8 + 1, 8), 16, 10).cast("bigint")
-      def hamming(a: Column, b: Column) =
-        bit_count(half(a, 0).bitwiseXOR(half(b, 0))) +
-          bit_count(half(a, 1).bitwiseXOR(half(b, 1)))
-      val ballMin = bands.select(col("band"), col("sig"), col("phash").as("ha"))
-        .join(bands.select(col("band"), col("sig"), col("phash").as("hb")),
-          Seq("band", "sig"))
-        .select("ha", "hb").distinct() // includes the self pair (recall base)
-        .filter(hamming(col("ha"), col("hb")) <= 3)
-        .join(classes.select(col("phash").as("hb"), col("rep").as("nb_rep")), "hb")
-        .groupBy(col("ha").as("phash")).agg(min("nb_rep").as("ball_min"))
-      classes.join(ballMin, "phash")
-        .filter(col("rep") === col("ball_min"))
-        .select(col("rep").as("doc_id"), col("phash"))
-        .orderBy("doc_id")
+      phashDedupCore(hashes).orderBy("doc_id")
     })
   )
+
+  /** Banded-hamming phash dedup core (the dedup_image_phash engine;
+    * SkewSpec volume-ladders it): `hashes` = (doc_id, phash 16-hex);
+    * returns the surviving (doc_id, phash) class reps — a doc survives
+    * iff its hash is the min rep of its hamming-≤3 ball. */
+  private[graft] def phashDedupCore(hashes: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val classes = hashes
+      .groupBy("phash").agg(min("doc_id").as("rep"))
+      .localCheckpoint() // tiny (≤ |distinct hashes|); consumed 3×
+    val bands = classes.select(col("phash"), posexplode(
+        array((0 until 4).map(b => substring(col("phash"), b * 4 + 1, 4)): _*)))
+      .toDF("phash", "band", "sig")
+    def half(c: Column, i: Int) =
+      conv(substring(c, i * 8 + 1, 8), 16, 10).cast("bigint")
+    def hamming(a: Column, b: Column) =
+      bit_count(half(a, 0).bitwiseXOR(half(b, 0))) +
+        bit_count(half(a, 1).bitwiseXOR(half(b, 1)))
+    val ballMin = bands.select(col("band"), col("sig"), col("phash").as("ha"))
+      .join(bands.select(col("band"), col("sig"), col("phash").as("hb")),
+        Seq("band", "sig"))
+      .select("ha", "hb").distinct() // includes the self pair (recall base)
+      .filter(hamming(col("ha"), col("hb")) <= 3)
+      .join(classes.select(col("phash").as("hb"), col("rep").as("nb_rep")), "hb")
+      .groupBy(col("ha").as("phash")).agg(min("nb_rep").as("ball_min"))
+    classes.join(ballMin, "phash")
+      .filter(col("rep") === col("ball_min"))
+      .select(col("rep").as("doc_id"), col("phash"))
+  }
 
   /** per-type payload size: image = UTF-8 text bytes + the 33-byte PNG
     * header media() prepends; audio = a canonical 44-byte WAVE header +

@@ -98,6 +98,40 @@ object Search extends QueryModule {
       .select("doc_id")
   }
 
+  /** Prefix-filtered set-similarity self-join core (the
+    * join_set_similarity engine; SkewSpec volume-ladders it): `sets` =
+    * (doc_id, toks sorted-distinct array); returns (a, b, jac ≥ t). Two
+    * sets at Jaccard ≥ t provably share a token inside both prefixes
+    * (|prefix| = n − ⌈t·n⌉ + 1 of the RAREST tokens), so the prefix-token
+    * equi-join is a lossless candidate filter; candidates verify with the
+    * exact Jaccard. */
+  private[graft] def setSimilarityJoin(
+      sets0: org.apache.spark.sql.DataFrame, t: Double): org.apache.spark.sql.DataFrame = {
+    val sets = sets0
+      .localCheckpoint() // consumed 3×: freq, prefixes, both verify fetches
+    val freq = sets.select(explode(col("toks")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("tf"))
+    val pref = sets
+      .select(col("doc_id"), size(col("toks")).as("n"), explode(col("toks")).as("term"))
+      .join(broadcast(freq), "term")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("tf"), col("term"))))
+      .filter(col("rn") <= col("n") - ceil(col("n") * t) + 1)
+      .select("doc_id", "term")
+    val cand = pref.select(col("term"), col("doc_id").as("a"))
+      .join(pref.select(col("term"), col("doc_id").as("b")), "term")
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    cand
+      .join(sets.select(col("doc_id").as("a"), col("toks").as("ta")), "a")
+      .join(sets.select(col("doc_id").as("b"), col("toks").as("tb")), "b")
+      .withColumn("jac",
+        size(array_intersect(col("ta"), col("tb"))).cast("double") /
+          size(array_union(col("ta"), col("tb"))))
+      .filter(col("jac") >= t)
+      .select(col("a"), col("b"), round(col("jac"), 6).as("jac"))
+  }
+
   override def queries: Map[String, QFn] = Map(
     // term -> (document frequency, sorted postings list); postings render
     // as a csv string — the driver's compare hashes scalar columns
@@ -176,7 +210,6 @@ object Search extends QueryModule {
     // freq table is a broadcast vocab artifact and the only data-sized
     // shuffles are the prefix-token join + the two set fetches.
     "join_set_similarity" -> ((s, d) => {
-      val t = 0.9
       val base = docs(s, d).filter(col("doc_id") % 10 === 0)
       val twins = base.filter(col("doc_id") % 7 === 0)
         .withColumn("doc_id", col("doc_id") + 400000L)
@@ -184,29 +217,7 @@ object Search extends QueryModule {
       val sets = base.unionByName(twins)
         .select(col("doc_id"), array_sort(array_distinct(tokens(col("text")))).as("toks"))
         .filter(size(col("toks")) > 0)
-        .localCheckpoint() // consumed 3×: freq, prefixes, both verify fetches
-      val freq = sets.select(explode(col("toks")).as("term"))
-        .groupBy("term").agg(count(lit(1)).as("tf"))
-      val pref = sets
-        .select(col("doc_id"), size(col("toks")).as("n"), explode(col("toks")).as("term"))
-        .join(broadcast(freq), "term")
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("doc_id").orderBy(col("tf"), col("term"))))
-        .filter(col("rn") <= col("n") - ceil(col("n") * t) + 1)
-        .select("doc_id", "term")
-      val cand = pref.select(col("term"), col("doc_id").as("a"))
-        .join(pref.select(col("term"), col("doc_id").as("b")), "term")
-        .filter(col("a") < col("b"))
-        .select("a", "b").distinct()
-      cand
-        .join(sets.select(col("doc_id").as("a"), col("toks").as("ta")), "a")
-        .join(sets.select(col("doc_id").as("b"), col("toks").as("tb")), "b")
-        .withColumn("jac",
-          size(array_intersect(col("ta"), col("tb"))).cast("double") /
-            size(array_union(col("ta"), col("tb"))))
-        .filter(col("jac") >= t)
-        .select(col("a"), col("b"), round(col("jac"), 6).as("jac"))
-        .orderBy("a", "b")
+      setSimilarityJoin(sets, t = 0.9).orderBy("a", "b")
     }),
 
     // BM25 ranked retrieval — the scoring leg the keyword/phrase keys

@@ -330,4 +330,65 @@ class SkewSpec extends SparkSpec {
     assert(ts <= math.max(6 * tu, tu + 15.0),
       f"celebrity pagerank $ts%.1fs vs uniform $tu%.1fs")
   }
+
+  // ------------------------------------------------ growth-exponent pins
+
+  /** least-squares log-log slope of wall-clock vs volume over a ladder —
+    * the fitted GROWTH EXPONENT. A warm-up run at the smallest volume
+    * keeps JIT/codegen compilation out of the measurement; fixed job
+    * overhead DEFLATES the fit (safe direction), while any quadratic
+    * candidate blowup inflates the top point and trips the bound. */
+  private def growthExponent(ns: Seq[Long])(work: Long => Unit): Double = {
+    work(ns.head)
+    val ts = ns.map(n => time(work(n))._2)
+    val xs = ns.map(n => math.log(n.toDouble))
+    val ys = ts.map(t => math.log(math.max(t, 1e-3)))
+    val xm = xs.sum / xs.size
+    val ym = ys.sum / ys.size
+    xs.zip(ys).map { case (x, y) => (x - xm) * (y - ym) }.sum /
+      xs.map(x => (x - xm) * (x - xm)).sum
+  }
+
+  test("growth ladder: set-similarity, phash dedup, chain doubling fit near-linear exponents") {
+    // the r10/r11 join-shaped keys had no volume pin: a quadratic
+    // regression in the prefix filter, the banding pigeonhole, or the
+    // doubling joins would pass every fixed-SF oracle and only surface at
+    // 100 TB. 3-point ladder with 4× spread; bound 1.35 (quadratic fits
+    // ≈ 2 once the n² term dominates; overhead pulls fits BELOW 1).
+    val ladder = Seq(25000L, 50000L, 100000L)
+
+    // join_set_similarity core: ~10 tokens/doc from a vocab scaled with n
+    // (constant token frequency across the ladder — candidate counts grow
+    // linearly iff the prefix filter works)
+    def sets(n: Long) = spark.range(n).select(col("id").as("doc_id"),
+      array_sort(array_distinct(expr(
+        s"transform(sequence(0, 9), i -> concat('t', pmod(hash(id * 37 + i), ${math.max(n / 2, 1000)})))")))
+        .as("toks"))
+    val eSim = growthExponent(ladder)(n =>
+      graft.queries.Search.setSimilarityJoin(sets(n), t = 0.9).count(): Unit)
+    info(f"set-similarity exponent: $eSim%.2f")
+    assert(eSim <= 1.35, f"set-similarity join grows superlinearly: $eSim%.2f")
+
+    // dedup_image_phash core: synthetic 16-hex hashes in hamming-≤2
+    // clusters of 4 (last nibble tweaked) — near-dup structure without
+    // image decoding, distinct hashes O(n)
+    def hashes(n: Long) = spark.range(n).select(col("id").as("doc_id"),
+      concat(substring(lpad(hex(xxhash64(expr("id div 4"))), 16, "0"), 1, 15),
+        element_at(typedLit(Seq("0", "1", "2", "3")),
+          (pmod(col("id"), lit(4)) + 1).cast("int"))).as("phash"))
+    val ePhash = growthExponent(ladder)(n =>
+      graft.queries.Multimodal.phashDedupCore(hashes(n)).count(): Unit)
+    info(f"phash-dedup exponent: $ePhash%.2f")
+    assert(ePhash <= 1.35, f"phash dedup grows superlinearly: $ePhash%.2f")
+
+    // resolveChains doubling joins: the redirect plant topology (id→id−1
+    // unless id ≡ 0 mod 5) at 3 rounds — each round is one O(n) hash join
+    def edges(n: Long) = spark.range(1, n)
+      .filter(pmod(col("id"), lit(5)) =!= 0)
+      .select(col("id").as("src"), (col("id") - 1).as("dst"))
+    val eChain = growthExponent(ladder.map(_ * 4))(n =>
+      graft.queries.Curation.resolveChains(edges(n), rounds = 3).count(): Unit)
+    info(f"resolveChains exponent: $eChain%.2f")
+    assert(eChain <= 1.35, f"resolveChains grows superlinearly: $eChain%.2f")
+  }
 }
