@@ -56,6 +56,17 @@ object Warc {
     finally out.close()
   }
 
+  /** the same fixture as `.warc.zst`: a leading skippable frame (the
+    * warcio dictionary slot — readers must consume it silently) followed
+    * by one self-contained zstd frame per record */
+  def writeFixtureZst(path: String, records: Seq[FixtureRecord]): Unit = {
+    val out = Files.newOutputStream(Paths.get(path))
+    try {
+      out.write(ZstdMembers.skippableFrame("graft-zst-dictionary-slot".getBytes(UTF_8)))
+      records.foreach(r => out.write(ZstdMembers.compressFrame(renderRecord(r))))
+    } finally out.close()
+  }
+
   private[formats] def renderRecord(r: FixtureRecord): Array[Byte] = {
     val isResponse = r.recordType == "response"
     val block: Array[Byte] =
@@ -338,12 +349,16 @@ object Warc {
     ArcFixtureRecord("http://sub.iana.org/x", "192.0.2.1",
       "20040510235959", "text/html", 301, "<a>arc moved</a>".getBytes(UTF_8)))
 
-  /** Distributed scan: one task per WARC file, iterating gzip members
-    * inside the partition (SURVEY §2.1 `scan_warc`). Permissive by
-    * default: crawl archives at 100 TB always carry some damaged members,
-    * and one bad byte must cost one `record_type='corrupt'` row (offset +
-    * skipped length preserved for auditing), never the job — pipelines
-    * filter on record_type anyway. Pass permissive=false to fail fast. */
+  /** Distributed scan: one task per WARC file, iterating compressed
+    * members inside the partition (SURVEY §2.1 `scan_warc`). The member
+    * reader dispatches on the file extension: `.zst` files walk zstd
+    * frames ([[ZstdMembers]] — the warcio `.warc.zst` convention), all
+    * others walk gzip members; both feed the SAME record parser, so a
+    * compression swap is invisible downstream. Permissive by default:
+    * crawl archives at 100 TB always carry some damaged members, and one
+    * bad byte must cost one `record_type='corrupt'` row (offset + skipped
+    * length preserved for auditing), never the job — pipelines filter on
+    * record_type anyway. Pass permissive=false to fail fast. */
   def scan(spark: SparkSession, pathGlob: String, permissive: Boolean = true): DataFrame = {
     val rows = spark.sparkContext.binaryFiles(pathGlob).flatMap {
       case (file, pds) =>
@@ -352,7 +367,10 @@ object Warc {
         Option(org.apache.spark.TaskContext.get())
           .foreach(_.addTaskCompletionListener[Unit](_ => try in.close() catch { case _: Throwable => }))
         val shortName = file.substring(file.lastIndexOf('/') + 1)
-        val it = Gzip.entries(in, permissive).flatMap {
+        val entries =
+          if (shortName.endsWith(".zst")) ZstdMembers.entries(in, permissive)
+          else Gzip.entries(in, permissive)
+        val it = entries.flatMap {
           case m: Gzip.Member =>
             parseRecords(m.bytes, m.offset, m.compressedLength, shortName)
           case s: Gzip.CorruptSpan =>
@@ -443,7 +461,12 @@ object Warc {
           prevOffset = off
           val buf = new Array[Byte](len.toInt)
           in.readFully(off, buf) // positioned read — no seek-state coupling
-          Gzip.members(new java.io.ByteArrayInputStream(buf)).flatMap(m =>
+          // member decode dispatches on extension exactly like scan, so
+          // zst indexes replay through the same fetch path
+          val ms =
+            if (fname.endsWith(".zst")) ZstdMembers.members(new java.io.ByteArrayInputStream(buf))
+            else Gzip.members(new java.io.ByteArrayInputStream(buf))
+          ms.flatMap(m =>
             parseRecords(m.bytes, off + m.offset, m.compressedLength, fname)).toSeq
         }
         new Iterator[Row] {

@@ -1,0 +1,217 @@
+package graft.formats
+
+import java.io.InputStream
+
+import com.github.luben.zstd.{Zstd => JZstd, ZstdInputStream}
+
+/** zstd *frame* framing for `.warc.zst` members. warcio/pywb (the
+  * reference's own dependency) read WARCs whose records are independent
+  * zstd FRAMES — the seekable convention mirroring `.warc.gz`'s
+  * one-gzip-member-per-record, so a CDX (offset, length) pointer names
+  * one decompressable unit. This reader walks the frame sequence with
+  * the same contract as [[Gzip.entries]]: data frames decode to
+  * [[Gzip.Member]]s (offset + compressed length preserved), skippable
+  * frames (RFC 8878 magic 0x184D2A5x — warcio parks its dictionary in
+  * one) are consumed silently, and in permissive mode undecodable bytes
+  * cost a [[Gzip.CorruptSpan]] and a resync scan, never the task.
+  *
+  * Fidelity bound (documented, like the Gzip reader's): frames
+  * compressed AGAINST the skippable-frame dictionary are not wired to
+  * it — they surface as corrupt spans in permissive mode. Plain
+  * multi-frame `.warc.zst` (each record self-contained) decodes fully.
+  *
+  * Memory bound: one frame is buffered at a time (frames are
+  * record-sized by construction); decompressed size is capped at
+  * [[Gzip.MaxMemberBytes]] exactly like the gzip path.
+  */
+object ZstdMembers {
+
+  private val FrameMagic = 0xFD2FB528
+  private val SkippableMask = 0xFFFFFFF0
+  private val SkippableBase = 0x184D2A50
+  private val Chunk = 1 << 16
+
+  /** strict form: members only, corruption throws (the fetchRecords
+    * contract — a stale index must fail loudly) */
+  def members(in: InputStream): Iterator[Gzip.Member] =
+    entries(in, permissive = false).collect { case m: Gzip.Member => m }
+
+  def entries(in: InputStream, permissive: Boolean): Iterator[Gzip.Entry] =
+    new Iterator[Gzip.Entry] {
+      // growable byte window [head, size) over the stream; bufStart is
+      // the absolute offset of buf(0). Doubling growth + compaction on
+      // refill keeps the amortized cost linear in stream length.
+      private var buf = new Array[Byte](Chunk)
+      private var bufSize = 0
+      private var head = 0
+      private var bufStart = 0L
+      private var eof = false
+      private var pending: Gzip.Entry = _
+
+      private def avail = bufSize - head
+
+      private def fill(min: Int): Unit = {
+        if (head > 0 && head + min > buf.length) {
+          System.arraycopy(buf, head, buf, 0, avail)
+          bufStart += head
+          bufSize -= head
+          head = 0
+        }
+        var need = min - avail
+        while (!eof && need > 0) {
+          if (bufSize + Chunk > buf.length)
+            buf = java.util.Arrays.copyOf(buf, math.max(buf.length * 2, bufSize + Chunk))
+          val n = in.read(buf, bufSize, buf.length - bufSize)
+          if (n < 0) eof = true else { bufSize += n; need -= n }
+        }
+      }
+
+      private def le32(at: Int): Int =
+        (buf(at) & 0xff) | (buf(at + 1) & 0xff) << 8 |
+          (buf(at + 2) & 0xff) << 16 | (buf(at + 3) & 0xff) << 24
+
+      private def abs = bufStart + head
+
+      private def fail(reason: String): Nothing =
+        throw new IllegalStateException(s"bad zstd frame at offset $abs: $reason")
+
+      /** permissive resync: scan forward (growing the window as needed)
+        * for the next plausible frame magic; returns the corrupt span. */
+      private def resync(spanStart: Long, reason: String): Gzip.Entry = {
+        head += 1
+        var found = false
+        while (!found) {
+          fill(4)
+          while (!found && avail >= 4) {
+            val m = le32(head)
+            if (m == FrameMagic || (m & SkippableMask) == SkippableBase) found = true
+            else head += 1
+          }
+          if (!found) {
+            if (eof) { head = bufSize; return Gzip.CorruptSpan(spanStart, bufStart + bufSize - spanStart, reason) }
+            fill(avail + Chunk)
+          }
+        }
+        Gzip.CorruptSpan(spanStart, abs - spanStart, reason)
+      }
+
+      private def decodeFrame(): Gzip.Entry = {
+        val start = abs
+        // grow the window until the complete frame is buffered (zstd can
+        // only report a frame's compressed size from the whole frame);
+        // zstd-jni surfaces native error codes as thrown ZstdException
+        // ("Src size is incorrect" = frame not fully buffered yet)
+        var lastErr = "unknown"
+        def tryFrameSize(): Long =
+          try {
+            val s = JZstd.findFrameCompressedSize(buf, head, avail)
+            if (JZstd.isError(s)) { lastErr = JZstd.getErrorName(s); -1L }
+            else if (s <= 0) { lastErr = s"frame size $s"; -1L }
+            else s
+          } catch {
+            case e: com.github.luben.zstd.ZstdException =>
+              lastErr = String.valueOf(e.getMessage); -1L
+          }
+        var sz = tryFrameSize()
+        while (sz < 0 && !eof &&
+            avail.toLong <= Gzip.MaxMemberBytes.toLong + (1L << 20)) {
+          fill(avail + Chunk)
+          sz = tryFrameSize()
+        }
+        if (sz < 0 || sz > avail) {
+          val reason = if (sz < 0) lastErr else s"frame size $sz exceeds buffered bytes"
+          if (!permissive) fail(reason)
+          return resync(start, reason)
+        }
+        val flen = sz.toInt
+        try {
+          val zin = new ZstdInputStream(
+            new java.io.ByteArrayInputStream(buf, head, flen))
+          val out = new java.io.ByteArrayOutputStream()
+          val tmp = new Array[Byte](Chunk)
+          var n = zin.read(tmp)
+          while (n >= 0) {
+            out.write(tmp, 0, n)
+            if (out.size > Gzip.MaxMemberBytes)
+              throw new IllegalStateException(
+                s"zstd frame at offset $start exceeds ${Gzip.MaxMemberBytes} decompressed bytes")
+            n = zin.read(tmp)
+          }
+          zin.close()
+          head += flen
+          Gzip.Member(start, flen, out.toByteArray)
+        } catch {
+          case e: Exception if permissive => resync(start, String.valueOf(e.getMessage))
+          case e: Exception => fail(String.valueOf(e.getMessage))
+        }
+      }
+
+      private def advance(): Gzip.Entry = {
+        while (true) {
+          fill(4)
+          if (avail == 0 && eof) return null
+          if (avail < 4) {
+            val reason = "truncated frame magic"
+            if (!permissive) fail(reason)
+            val span = Gzip.CorruptSpan(abs, avail.toLong, reason)
+            head = bufSize
+            return span
+          }
+          val magic = le32(head)
+          if ((magic & SkippableMask) == SkippableBase) {
+            fill(8)
+            if (avail < 8) {
+              if (!permissive) fail("truncated skippable frame header")
+              val span = Gzip.CorruptSpan(abs, avail.toLong, "truncated skippable frame header")
+              head = bufSize
+              return span
+            }
+            val contentLen = le32(head + 4).toLong & 0xffffffffL
+            if (contentLen > Gzip.MaxMemberBytes) {
+              if (!permissive) fail(s"implausible skippable frame length $contentLen")
+              return resync(abs, s"implausible skippable frame length $contentLen")
+            }
+            val total = 8 + contentLen.toInt
+            fill(total)
+            if (avail < total) {
+              if (!permissive) fail("truncated skippable frame")
+              val span = Gzip.CorruptSpan(abs, avail.toLong, "truncated skippable frame")
+              head = bufSize
+              return span
+            }
+            head += total // dictionary slot etc. — consumed, not emitted
+          } else if (magic == FrameMagic) {
+            return decodeFrame()
+          } else {
+            if (!permissive) fail(f"bad frame magic 0x$magic%08x")
+            return resync(abs, f"bad frame magic 0x$magic%08x")
+          }
+        }
+        null // unreachable
+      }
+
+      override def hasNext: Boolean = {
+        if (pending == null) pending = advance()
+        pending != null
+      }
+
+      override def next(): Gzip.Entry = {
+        if (!hasNext) throw new NoSuchElementException
+        val e = pending
+        pending = null
+        e
+      }
+    }
+
+  /** one self-contained zstd frame over `bytes` (content size recorded) */
+  def compressFrame(bytes: Array[Byte]): Array[Byte] = JZstd.compress(bytes)
+
+  /** RFC 8878 skippable frame (magic 0x184D2A50) around `content` — the
+    * slot warcio uses for its dictionary; readers must consume silently */
+  def skippableFrame(content: Array[Byte]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 + content.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(SkippableBase).putInt(content.length).put(content)
+    bb.array()
+  }
+}

@@ -569,6 +569,20 @@ object Formats extends QueryModule {
         .orderBy("offset")
     }),
 
+    // the SAME fixture as zstd frames (warcio's .warc.zst convention:
+    // one self-contained frame per record behind a skippable dictionary
+    // slot) through the SAME scan — the member reader dispatches on the
+    // extension, so the record surface is identical to scan_warc's.
+    // Oracle-exempt like every binary-fixture scan; WarcSpec pins
+    // gz == zst record-for-record plus the corrupt-frame contract.
+    "scan_warc_zst" -> ((s, d) => {
+      val file = tmp(d, "fixture.warc.zst")
+      Warc.writeFixtureZst(file, Warc.fixtureRecords)
+      Warc.scan(s, file)
+        .select("record_type", "url", "ts", "digest", "status", "mime", "offset", "length")
+        .orderBy("offset")
+    }),
+
     // The REPLAY primitive through the driver gate ([[Warc.fetchRecords]]):
     // scan the fixture once for its CDX pointers, then FETCH the
     // URL-bearing records back by (filename, offset, length) RANGE reads

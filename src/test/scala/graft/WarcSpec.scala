@@ -400,6 +400,57 @@ class WarcSpec extends SparkSpec {
     assert(rootMsg(e).contains("conflicting lengths"), rootMsg(e))
   }
 
+  test("zstd WARC: gz and zst scans agree record-for-record; skippable frame is silent") {
+    val dir = java.nio.file.Files.createTempDirectory("warc_zst")
+    val gz = dir.resolve("fix.warc.gz").toString
+    val zst = dir.resolve("fix.warc.zst").toString
+    Warc.writeFixture(gz, Warc.fixtureRecords)
+    Warc.writeFixtureZst(zst, Warc.fixtureRecords)
+    def canon(path: String) = Warc.scan(spark, path)
+      .select("record_type", "url", "ts", "digest", "status", "mime")
+      .orderBy("ts", "record_type")
+      .collect().toSeq.map(_.toSeq)
+    // the leading skippable (dictionary-slot) frame must cost nothing:
+    // identical record surface through the SAME parser, offsets aside
+    assert(canon(zst) == canon(gz))
+    // offsets/lengths tile the zst file past the 8+25-byte skippable frame
+    val spans = Warc.scan(spark, zst).select("offset", "length")
+      .orderBy("offset").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(spans.head._1 == 8L + 25L, s"first frame must follow the skippable, got ${spans.head}")
+    spans.sliding(2).foreach { case Array(a, b) =>
+      assert(a._1 + a._2 == b._1, s"frames must tile: $a then $b")
+    case _ => }
+    assert(spans.last._1 + spans.last._2 == new java.io.File(zst).length())
+
+    // range replay: fetchRecords dispatches on the .zst extension and
+    // returns rows bit-identical to the scan
+    val scanned = Warc.scan(spark, zst)
+    val fetched = Warc.fetchRecords(spark,
+      scanned.select("filename", "offset", "length"), dir.toString).collect()
+    def key(r: org.apache.spark.sql.Row) = (r.getString(8), r.getLong(6), r.getString(2))
+    assert(fetched.map(key).sorted.toSeq == scanned.collect().map(key).sorted.toSeq)
+
+    // corrupt frame: flip one byte inside the SECOND data frame — one
+    // 'corrupt' row (offset + skipped span), every other record survives
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(zst))
+    val secondOff = spans(1)._1.toInt
+    bytes(secondOff + 9) = (bytes(secondOff + 9) ^ 0x5a).toByte
+    val bad = dir.resolve("bad.warc.zst").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(bad), bytes)
+    val badRows = Warc.scan(spark, bad).select("record_type").collect().map(_.getString(0))
+    assert(badRows.count(_ == "corrupt") >= 1, s"expected a corrupt row, got ${badRows.toSeq}")
+    assert(badRows.count(_ != "corrupt") >= Warc.fixtureRecords.size - 2,
+      s"one bad frame must not take neighbors down: ${badRows.toSeq}")
+    // strict mode fails fast instead
+    val e = intercept[Exception] {
+      Warc.scan(spark, bad, permissive = false).collect()
+    }
+    def rootHas(t: Throwable, s: String): Boolean =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .exists(x => x.getMessage != null && x.getMessage.contains(s))
+    assert(rootHas(e, "zstd") || rootHas(e, "frame"), e.getMessage)
+  }
+
   test("WarcSink: a mid-job failure leaves the previous corpus untouched (staged swap)") {
     // the write is staged into <dir>.staging-<id> and only swapped in on
     // success: a task failure mid-write (malformed ts here) must leave
