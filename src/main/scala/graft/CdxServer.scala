@@ -36,7 +36,11 @@ final class CdxServer(spark: SparkSession, clusterDir: String) {
   }
 
   private def scan(prefixKey: Option[String]): DataFrame = {
+    // project to the pywb response fields: the source also exposes its
+    // internal `blockseq` ordering column, which must never leak into a
+    // server response (caught by the CdxMatrixSpec parameter sweep)
     val df = spark.read.format("zipnum").load(clusterDir)
+      .select("urlkey", "ts", "json")
     prefixKey.map(p => df.filter(col("urlkey").startsWith(p))).getOrElse(df)
   }
 
