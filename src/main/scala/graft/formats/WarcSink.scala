@@ -201,10 +201,14 @@ object WarcSink {
       s"WarcSink.write: could not move the previous corpus aside ($dirPath -> " +
         s"$backup); new corpus left intact at $staging")
     if (!fs.rename(staging, dirPath)) {
-      if (hadOld) fs.rename(backup, dirPath) // restore the old corpus
+      // the restore can fail under the same FS fault — report what
+      // actually happened, never claim a restore that didn't occur
+      val restored = hadOld && fs.rename(backup, dirPath)
       throw new java.io.IOException(
         s"WarcSink.write: could not publish $staging as $dirPath" +
-          (if (hadOld) "; previous corpus restored" else ""))
+          (if (restored) "; previous corpus restored"
+          else if (hadOld) s"; RESTORE FAILED — previous corpus is at $backup"
+          else ""))
     }
     if (hadOld) fs.delete(backup, true)
   }

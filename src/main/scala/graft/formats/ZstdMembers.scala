@@ -125,23 +125,33 @@ object ZstdMembers {
         }
         val flen = sz.toInt
         try {
+          // close on EVERY path — a leaked ZstdInputStream holds a native
+          // decompression context until finalization, and permissive scans
+          // of damaged archives hit the failure path repeatedly
           val zin = new ZstdInputStream(
             new java.io.ByteArrayInputStream(buf, head, flen))
           val out = new java.io.ByteArrayOutputStream()
-          val tmp = new Array[Byte](Chunk)
-          var n = zin.read(tmp)
-          while (n >= 0) {
-            out.write(tmp, 0, n)
-            if (out.size > Gzip.MaxMemberBytes)
-              throw new IllegalStateException(
-                s"zstd frame at offset $start exceeds ${Gzip.MaxMemberBytes} decompressed bytes")
-            n = zin.read(tmp)
-          }
-          zin.close()
+          try {
+            val tmp = new Array[Byte](Chunk)
+            var n = zin.read(tmp)
+            while (n >= 0) {
+              out.write(tmp, 0, n)
+              if (out.size > Gzip.MaxMemberBytes)
+                throw new IllegalStateException(
+                  s"zstd frame at offset $start exceeds ${Gzip.MaxMemberBytes} decompressed bytes")
+              n = zin.read(tmp)
+            }
+          } finally zin.close()
           head += flen
           Gzip.Member(start, flen, out.toByteArray)
         } catch {
-          case e: Exception if permissive => resync(start, String.valueOf(e.getMessage))
+          // the frame's compressed extent IS known here (flen): consume
+          // exactly it and emit one span — resyncing from start+1 would
+          // re-parse compressed payload bytes, and any chance frame-magic
+          // sequence inside them would yield spurious overlapping rows
+          case e: Exception if permissive =>
+            head += flen
+            Gzip.CorruptSpan(start, flen.toLong, String.valueOf(e.getMessage))
           case e: Exception => fail(String.valueOf(e.getMessage))
         }
       }
@@ -171,15 +181,25 @@ object ZstdMembers {
               if (!permissive) fail(s"implausible skippable frame length $contentLen")
               return resync(abs, s"implausible skippable frame length $contentLen")
             }
-            val total = 8 + contentLen.toInt
-            fill(total)
-            if (avail < total) {
-              if (!permissive) fail("truncated skippable frame")
-              val span = Gzip.CorruptSpan(abs, avail.toLong, "truncated skippable frame")
-              head = bufSize
-              return span
+            // dictionary slot etc. — consumed, not emitted. SKIP, never
+            // buffer: the 8-byte header gives the exact length, so a
+            // near-cap skippable frame must cost O(Chunk) memory, not a
+            // ~1 GiB window fill. Bytes beyond the buffered window bypass
+            // buf via in.skip — account them in bufStart.
+            val spanStart = abs
+            head += 8
+            var remaining = contentLen - math.min(contentLen, avail.toLong)
+            head += math.min(contentLen, avail.toLong).toInt
+            while (remaining > 0 && !eof) {
+              val skipped = in.skip(remaining)
+              if (skipped > 0) { bufStart += skipped; remaining -= skipped }
+              else if (in.read() < 0) eof = true
+              else { bufStart += 1; remaining -= 1 }
             }
-            head += total // dictionary slot etc. — consumed, not emitted
+            if (remaining > 0) {
+              if (!permissive) fail("truncated skippable frame")
+              return Gzip.CorruptSpan(spanStart, abs - spanStart, "truncated skippable frame")
+            }
           } else if (magic == FrameMagic) {
             return decodeFrame()
           } else {

@@ -26,7 +26,7 @@ object Curation extends QueryModule {
 
   /** html_main_content's planted known-good paragraph — stop-dense and
     * over the 40-char floor, so its keep decision is constant-true by
-    * construction (24 words, 16 in [[graft.ops.Html.contentStops]]; the
+    * construction (24 words, 15 in [[graft.ops.Html.contentStops]]; the
     * oracle replays it as a literal) */
   private[graft] val mainDemoPara =
     "And that is the point of the story we have to be told with all of " +
