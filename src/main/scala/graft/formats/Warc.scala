@@ -67,6 +67,24 @@ object Warc {
     } finally out.close()
   }
 
+  /** warcio DICT-mode fixture: every record frame is compressed AGAINST
+    * a shared dictionary parked in the leading skippable frame (itself
+    * zstd-compressed when `compressedDict` — both warcio conventions).
+    * The dictionary is the records' shared header vocabulary, so frames
+    * genuinely reference it and a dict-less decode fails. */
+  def writeFixtureZstDict(
+      path: String, records: Seq[FixtureRecord], compressedDict: Boolean): Unit = {
+    val dict = records.map(r => new String(renderRecord(r), UTF_8).take(200))
+      .mkString("\n").getBytes(UTF_8)
+    val slot = if (compressedDict) ZstdMembers.compressFrame(dict) else dict
+    val out = Files.newOutputStream(Paths.get(path))
+    try {
+      out.write(ZstdMembers.skippableFrame(slot))
+      records.foreach(r =>
+        out.write(ZstdMembers.compressFrameDict(renderRecord(r), dict)))
+    } finally out.close()
+  }
+
   private[formats] def renderRecord(r: FixtureRecord): Array[Byte] = {
     val isResponse = r.recordType == "response"
     val block: Array[Byte] =

@@ -15,10 +15,12 @@ import com.github.luben.zstd.{Zstd => JZstd, ZstdInputStream}
   * one) are consumed silently, and in permissive mode undecodable bytes
   * cost a [[Gzip.CorruptSpan]] and a resync scan, never the task.
   *
-  * Fidelity bound (documented, like the Gzip reader's): frames
-  * compressed AGAINST the skippable-frame dictionary are not wired to
-  * it — they surface as corrupt spans in permissive mode. Plain
-  * multi-frame `.warc.zst` (each record self-contained) decodes fully.
+  * Dictionary mode (warcio's full convention) is wired: the FIRST
+  * skippable frame's content — raw, or itself a zstd frame holding the
+  * dictionary — is captured, and any data frame whose plain decode
+  * fails retries against it before surfacing as corrupt. Plain
+  * multi-frame `.warc.zst` (each record self-contained) never touches
+  * the dict path.
   *
   * Memory bound: one frame is buffered at a time (frames are
   * record-sized by construction); decompressed size is capped at
@@ -30,6 +32,11 @@ object ZstdMembers {
   private val SkippableMask = 0xFFFFFFF0
   private val SkippableBase = 0x184D2A50
   private val Chunk = 1 << 16
+
+  /** largest skippable-frame content treated as a dictionary candidate
+    * (real warcio dicts are ~100 KiB; anything larger is skipped
+    * unbuffered) */
+  private val DictCap = 16 << 20
 
   /** strict form: members only, corruption throws (the fetchRecords
     * contract — a stale index must fail loudly) */
@@ -47,6 +54,10 @@ object ZstdMembers {
       private var bufStart = 0L
       private var eof = false
       private var pending: Gzip.Entry = _
+      // the FIRST skippable frame's content is warcio's dictionary slot:
+      // captured (decompressed when itself a zstd frame) and offered to
+      // any data frame whose plain decode fails. null until seen.
+      private var dict: Array[Byte] = _
 
       private def avail = bufSize - head
 
@@ -124,12 +135,13 @@ object ZstdMembers {
           return resync(start, reason)
         }
         val flen = sz.toInt
-        try {
-          // close on EVERY path — a leaked ZstdInputStream holds a native
-          // decompression context until finalization, and permissive scans
-          // of damaged archives hit the failure path repeatedly
+        // close on EVERY path — a leaked ZstdInputStream holds a native
+        // decompression context until finalization, and permissive scans
+        // of damaged archives hit the failure path repeatedly
+        def inflate(withDict: Option[Array[Byte]]): Array[Byte] = {
           val zin = new ZstdInputStream(
             new java.io.ByteArrayInputStream(buf, head, flen))
+          withDict.foreach(zin.setDict)
           val out = new java.io.ByteArrayOutputStream()
           try {
             val tmp = new Array[Byte](Chunk)
@@ -142,8 +154,21 @@ object ZstdMembers {
               n = zin.read(tmp)
             }
           } finally zin.close()
+          out.toByteArray
+        }
+        try {
+          // warcio dict mode: frames may be compressed against the
+          // skippable-slot dictionary — plain decode first (self-contained
+          // frames, the common case), dict retry on failure; the PLAIN
+          // error is reported if both fail (the dict is a guess)
+          val bytes =
+            try inflate(None)
+            catch {
+              case e: Exception if dict != null =>
+                try inflate(Some(dict)) catch { case _: Exception => throw e }
+            }
           head += flen
-          Gzip.Member(start, flen, out.toByteArray)
+          Gzip.Member(start, flen, bytes)
         } catch {
           // the frame's compressed extent IS known here (flen): consume
           // exactly it and emit one span — resyncing from start+1 would
@@ -181,24 +206,53 @@ object ZstdMembers {
               if (!permissive) fail(s"implausible skippable frame length $contentLen")
               return resync(abs, s"implausible skippable frame length $contentLen")
             }
-            // dictionary slot etc. — consumed, not emitted. SKIP, never
-            // buffer: the 8-byte header gives the exact length, so a
-            // near-cap skippable frame must cost O(Chunk) memory, not a
-            // ~1 GiB window fill. Bytes beyond the buffered window bypass
-            // buf via in.skip — account them in bufStart.
+            // dictionary slot etc. — consumed, not emitted. The FIRST
+            // dict-sized slot is CAPTURED (warcio parks its dictionary
+            // there, raw or itself zstd-compressed); anything larger is
+            // SKIPPED in O(Chunk) memory — the 8-byte header gives the
+            // exact length, so a near-cap skippable frame never costs a
+            // window fill. Skipped bytes bypass buf via in.skip and are
+            // accounted in bufStart.
             val spanStart = abs
-            head += 8
-            var remaining = contentLen - math.min(contentLen, avail.toLong)
-            head += math.min(contentLen, avail.toLong).toInt
-            while (remaining > 0 && !eof) {
-              val skipped = in.skip(remaining)
-              if (skipped > 0) { bufStart += skipped; remaining -= skipped }
-              else if (in.read() < 0) eof = true
-              else { bufStart += 1; remaining -= 1 }
-            }
-            if (remaining > 0) {
-              if (!permissive) fail("truncated skippable frame")
-              return Gzip.CorruptSpan(spanStart, abs - spanStart, "truncated skippable frame")
+            if (dict == null && contentLen > 0 && contentLen <= DictCap) {
+              val total = 8 + contentLen.toInt
+              fill(total)
+              if (avail < total) {
+                if (!permissive) fail("truncated skippable frame")
+                val span = Gzip.CorruptSpan(spanStart, avail.toLong, "truncated skippable frame")
+                head = bufSize
+                return span
+              }
+              val content = java.util.Arrays.copyOfRange(
+                buf, head + 8, head + 8 + contentLen.toInt)
+              dict =
+                if (content.length >= 4 &&
+                    ((content(0) & 0xff) | (content(1) & 0xff) << 8 |
+                      (content(2) & 0xff) << 16 | (content(3) & 0xff) << 24) == FrameMagic)
+                  // compressed-dict convention: the slot holds a zstd
+                  // frame whose payload is the dictionary; an undecodable
+                  // slot falls back to the raw bytes (the dict is a guess
+                  // either way — only ever used as a decode retry)
+                  try JZstd.decompress(content,
+                    math.min(Gzip.MaxMemberBytes.toLong, JZstd.getFrameContentSize(
+                      content, 0, content.length, false) max 1L).toInt)
+                  catch { case _: Exception => content }
+                else content
+              head += total
+            } else {
+              head += 8
+              var remaining = contentLen - math.min(contentLen, avail.toLong)
+              head += math.min(contentLen, avail.toLong).toInt
+              while (remaining > 0 && !eof) {
+                val skipped = in.skip(remaining)
+                if (skipped > 0) { bufStart += skipped; remaining -= skipped }
+                else if (in.read() < 0) eof = true
+                else { bufStart += 1; remaining -= 1 }
+              }
+              if (remaining > 0) {
+                if (!permissive) fail("truncated skippable frame")
+                return Gzip.CorruptSpan(spanStart, abs - spanStart, "truncated skippable frame")
+              }
             }
           } else if (magic == FrameMagic) {
             return decodeFrame()
@@ -225,6 +279,14 @@ object ZstdMembers {
 
   /** one self-contained zstd frame over `bytes` (content size recorded) */
   def compressFrame(bytes: Array[Byte]): Array[Byte] = JZstd.compress(bytes)
+
+  /** one zstd frame compressed AGAINST `dict` (warcio dict mode — the
+    * reader must pair it with the skippable-slot dictionary) */
+  def compressFrameDict(bytes: Array[Byte], dict: Array[Byte]): Array[Byte] = {
+    val ctx = new com.github.luben.zstd.ZstdCompressCtx()
+    try ctx.loadDict(dict).compress(bytes)
+    finally ctx.close()
+  }
 
   /** RFC 8878 skippable frame (magic 0x184D2A50) around `content` — the
     * slot warcio uses for its dictionary; readers must consume silently */

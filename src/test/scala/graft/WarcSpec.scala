@@ -451,6 +451,44 @@ class WarcSpec extends SparkSpec {
     assert(rootHas(e, "zstd") || rootHas(e, "frame"), e.getMessage)
   }
 
+  test("zstd WARC dict mode: frames compressed against the skippable-slot dictionary decode") {
+    val dir = java.nio.file.Files.createTempDirectory("warc_zst_dict")
+    def canon(path: String) = Warc.scan(spark, path)
+      .select("record_type", "url", "ts", "digest", "status", "mime")
+      .orderBy("ts", "record_type").collect().toSeq.map(_.toSeq)
+    val gz = dir.resolve("ref.warc.gz").toString
+    Warc.writeFixture(gz, Warc.fixtureRecords)
+    // both warcio dictionary conventions: raw dict bytes in the skippable
+    // slot, and the dict itself zstd-compressed inside the slot
+    for ((compressed, name) <- Seq(false -> "raw", true -> "comp")) {
+      val zst = dir.resolve(s"dict-$name.warc.zst").toString
+      Warc.writeFixtureZstDict(zst, Warc.fixtureRecords, compressedDict = compressed)
+      assert(canon(zst) == canon(gz), s"dict=$name surface must equal the gzip scan")
+    }
+    // the fixture genuinely exercises the dict path: at least one frame
+    // must NOT decode standalone (otherwise this test proves nothing)
+    val zstBytes = java.nio.file.Files.readAllBytes(dir.resolve("dict-raw.warc.zst"))
+    val frames = Iterator.unfold(
+      { // first data frame starts after the 8-byte-headed skippable slot
+        val contentLen = java.nio.ByteBuffer.wrap(zstBytes, 4, 4)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+        8 + contentLen
+      }) { off =>
+      if (off >= zstBytes.length) None
+      else {
+        val sz = com.github.luben.zstd.Zstd.findFrameCompressedSize(
+          zstBytes, off, zstBytes.length - off).toInt
+        Some((java.util.Arrays.copyOfRange(zstBytes, off, off + sz), off + sz))
+      }
+    }.toSeq
+    val standaloneFailures = frames.count { f =>
+      try { com.github.luben.zstd.Zstd.decompress(f, 1 << 20); false }
+      catch { case _: Exception => true }
+    }
+    assert(standaloneFailures > 0,
+      "no frame referenced the dictionary — the dict retry path went unexercised")
+  }
+
   test("WarcSink: a mid-job failure leaves the previous corpus untouched (staged swap)") {
     // the write is staged into <dir>.staging-<id> and only swapped in on
     // success: a task failure mid-write (malformed ts here) must leave
