@@ -128,6 +128,46 @@ object Html {
   def mainContent(html: Column): Column =
     array_join(transform(mainBlocks(html), s => s("t")), "\n")
 
+  /** Outlink extraction — the web-graph edge feed when WAT sidecars are
+    * absent (the in-engine twin of [[graft.Pipeline.watLinks]]): every
+    * `<a href>` element yields a (dst, anchor) struct with the href
+    * RESOLVED against the page URL — absolute kept, protocol-relative
+    * gets the base scheme, root-relative the base origin, path-relative
+    * the base directory; fragment/javascript/mailto pseudo-links drop.
+    * Anchor text is tag-stripped/entity-decoded/whitespace-collapsed.
+    * All codegen'd built-ins (regexp_extract_all + HOFs) — map-side,
+    * zero shuffles, fuses into the scan. Fidelity bound (documented):
+    * no `<base href>` override and no ../ dot-segment normalization —
+    * the regex-subset contract the rest of this module keeps. */
+  def links(html: Column, baseUrl: Column): Column = {
+    val noScript = regexp_replace(html, "(?is)<(script|style)[^>]*>.*?</\\1\\s*>", " ")
+    val noComment = regexp_replace(noScript, "(?s)<!--.*?-->", " ")
+    val anchors = regexp_extract_all(noComment,
+      lit("(?is)<a\\s[^>]*href[^>]*>.*?</a\\s*>"), lit(0))
+    val scheme = regexp_extract(baseUrl, "^([A-Za-z][A-Za-z0-9+.-]*):", 1)
+    val origin = regexp_extract(baseUrl, "^([A-Za-z][A-Za-z0-9+.-]*://[^/]+)", 1)
+    val dir = regexp_extract(baseUrl, "^([A-Za-z][A-Za-z0-9+.-]*://.*/)[^/]*$", 1)
+    filter(
+      transform(anchors, a => {
+        // quoted forms first; the bare form stops at whitespace/>/quote
+        val href = trim(coalesce(
+          nullif(regexp_extract(a, "(?is)href\\s*=\\s*\"([^\"]*)\"", 1), lit("")),
+          nullif(regexp_extract(a, "(?is)href\\s*=\\s*'([^']*)'", 1), lit("")),
+          nullif(regexp_extract(a, "(?is)href\\s*=\\s*([^\\s\"'>]+)", 1), lit(""))))
+        val dst =
+          when(href.isNull || href === "" || href.startsWith("#") ||
+            lower(href).startsWith("javascript:") || lower(href).startsWith("mailto:"),
+            lit(null).cast("string"))
+            .when(href.rlike("(?i)^[a-z][a-z0-9+.-]*://"), href)
+            .when(href.startsWith("//"), concat(scheme, lit(":"), href))
+            .when(href.startsWith("/"), concat(origin, href))
+            .otherwise(concat(
+              coalesce(nullif(dir, lit("")), concat(origin, lit("/"))), href))
+        struct(dst.as("dst"), blockText(a).as("anchor"))
+      }),
+      s => s("dst").isNotNull)
+  }
+
   /** one-call extraction over a `warc_records`-shaped frame: keeps 200
     * text/html responses, decodes per-row charset, emits the
     * documents-shaped columns downstream curation ops expect */

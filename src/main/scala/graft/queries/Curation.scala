@@ -243,6 +243,39 @@ object Curation extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // ---- outlink extraction (the WAT-less web-graph feed) ----
+    // Html.links under the oracle via a planted page per doc: an absolute
+    // link (entity+markup in the anchor — pins the inner strip), a
+    // root-relative and a bare path-relative href (pin origin/directory
+    // resolution against the per-doc base URL), protocol-relative on even
+    // docs (pins scheme attach), and fragment/javascript pseudo-links
+    // BETWEEN them (pins both the drop and the position renumbering
+    // after the filter). Closed-form oracle; map-side HOFs, the output
+    // sort is the only exchange.
+    "html_links" -> ((s, d) => {
+      val m4 = (col("doc_id") % 4).cast("string")
+      val base = concat(lit("http://www.site"), m4,
+        lit(".example/dir/page"), col("doc_id").cast("string"), lit(".html"))
+      val page = concat(
+        lit("<html><head><title>L</title></head><body><p>" +
+          "<a href=\"http://ext.example/e"), (col("doc_id") % 5).cast("string"),
+        lit("\"><b>External</b>&nbsp;link</a> <a href='/rel/"),
+        (col("doc_id") % 7).cast("string"),
+        lit("'>Relative</a> <a href=\"#frag\">Frag</a> " +
+          "<a href=\"javascript:void(0)\">JS</a> <a href=plain"),
+        (col("doc_id") % 3).cast("string"),
+        lit(".html>Plain</a>"),
+        when(col("doc_id") % 2 === 0,
+          lit("<a href=\"//cdn.example/x\">CDN</a>")).otherwise(lit("")),
+        lit("</p></body></html>"))
+      Tables.t(s, d, "documents")
+        .select(col("doc_id"),
+          posexplode(graft.ops.Html.links(page, base)))
+        .select(col("doc_id"), col("pos").cast("bigint").as("pos"),
+          col("col")("dst").as("dst"), col("col")("anchor").as("anchor"))
+        .orderBy("doc_id", "pos")
+    }),
+
     // ---- redirect-chain resolution (pointer jumping, log-hop joins) ----
     // Resolve every capture's 3xx chain to its terminal URL. The fixture
     // has no real chains, so the key plants an arithmetic topology whose
@@ -554,6 +587,22 @@ object Curation extends QueryModule {
         "FROM (SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS bt, " +
         "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks " +
         "FROM documents)))) ORDER BY doc_id"),
+
+    // each arm replayed closed-form; positions are POST-filter (the
+    // fragment/javascript links between arms never consume a slot)
+    "html_links" ->
+      ("SELECT doc_id, CAST(pos AS BIGINT) AS pos, dst, anchor FROM (" +
+        "SELECT doc_id, 0 AS pos, 'http://ext.example/e' || (doc_id % 5) AS dst, " +
+        "'External link' AS anchor FROM documents " +
+        "UNION ALL SELECT doc_id, 1, " +
+        "'http://www.site' || (doc_id % 4) || '.example/rel/' || (doc_id % 7), " +
+        "'Relative' FROM documents " +
+        "UNION ALL SELECT doc_id, 2, " +
+        "'http://www.site' || (doc_id % 4) || '.example/dir/plain' || (doc_id % 3) || '.html', " +
+        "'Plain' FROM documents " +
+        "UNION ALL SELECT doc_id, 3, 'http://cdn.example/x', 'CDN' " +
+        "FROM documents WHERE doc_id % 2 = 0" +
+        ") ORDER BY doc_id, pos"),
 
     "url_redirect_chain" -> o(
       "SELECT c.id, c.id - (c.id % 5) AS terminal_id, c.id % 5 AS hops, " +
