@@ -29,16 +29,18 @@ object WarcSink {
     * the repartition key both rely on the Column form computing exactly
     * this function; WarcSpec pins the equivalence over adversarial
     * shard values, so a divergence fails the suite, not the corpus. */
-  private[graft] def warcName(shard: String): String = {
+  private[graft] def warcName(shard: String, ext: String = ".warc.gz"): String = {
     val base = shard.substring(shard.lastIndexOf('/') + 1)
-    if (base.endsWith(".warc.gz")) base else base + ".warc.gz"
+    if (base.endsWith(ext)) base else base + ext
   }
 
   /** the Catalyst twin of [[warcName]] (codegen-friendly — no UDF on
     * the corpus-sized repartition path) */
-  private[graft] def warcNameCol(shard: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+  private[graft] def warcNameCol(
+      shard: org.apache.spark.sql.Column,
+      ext: String = ".warc.gz"): org.apache.spark.sql.Column = {
     val base = substring_index(shard, "/", -1)
-    when(base.endsWith(".warc.gz"), base).otherwise(concat(base, lit(".warc.gz")))
+    when(base.endsWith(ext), base).otherwise(concat(base, lit(ext)))
   }
 
   /** allocation-free `^\d{14}$` — this runs once per record in the
@@ -65,10 +67,19 @@ object WarcSink {
     * job fills `<dir>.staging-<id>` and only a fully successful job
     * swaps it into `dir` (backup-rename of the old corpus, swap, delete
     * backup), so any failure leaves the previous corpus in place. */
-  def write(df: DataFrame, dir: String): Unit = {
+  def write(df: DataFrame, dir: String, codec: String = "gzip"): Unit = {
     val need = Seq("shard", "url", "ts", "status", "mime", "payload")
     require(need.forall(df.columns.contains),
       s"WarcSink.write needs [${need.mkString(", ")}]; got [${df.columns.mkString(", ")}]")
+    // zstd shards follow warcio's .warc.zst convention: one self-contained
+    // frame per record, the same seekable unit the CDX offset/length
+    // columns point into; the independent reader dispatches on extension
+    val ext = codec match {
+      case "gzip" => ".warc.gz"
+      case "zstd" => ".warc.zst"
+      case other => throw new IllegalArgumentException(
+        s"WarcSink.write: codec must be gzip or zstd, got '$other'")
+    }
     val spark = df.sparkSession
     // VALIDATE BEFORE DESTROY: null shards and clashing normalized
     // basenames are rejected while the previous corpus is still intact.
@@ -79,13 +90,13 @@ object WarcSink {
     // the pre-flight's snapshot misses on nondeterministic lineage.
     // warcNameCol propagates null shards to a null group on its own
     val clash = df.select(col("shard"))
-      .groupBy(warcNameCol(col("shard")).as("base"))
+      .groupBy(warcNameCol(col("shard"), ext).as("base"))
       .agg(countDistinct(col("shard")).as("n"))
       .filter(col("base").isNull || col("n") > 1)
       .limit(5).collect()
     require(clash.isEmpty,
       "WarcSink.write: shard values must be non-null and their normalized " +
-        "basenames unique (they name the output .warc.gz files); offending " +
+        s"basenames unique (they name the output $ext files); offending " +
         "basenames: " + clash.map(r => String.valueOf(r.get(0))).mkString(", "))
     val dirPath = new Path(dir)
     val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -107,7 +118,7 @@ object WarcSink {
     // fails before the second rename-OVERWRITE could silently replace
     // the first shard's file.
     try df.select(need.map(col): _*)
-      .repartition(warcNameCol(col("shard")))
+      .repartition(warcNameCol(col("shard"), ext))
       .sortWithinPartitions("shard", "url", "ts", "status")
       .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
         val pfs = org.apache.hadoop.fs.FileSystem.newInstance(
@@ -125,8 +136,8 @@ object WarcSink {
         var out: java.io.OutputStream = null
         def close(): Unit = if (out != null) {
           out.close(); out = null
-          val tmp = new Path(outDir, s".${warcName(current)}.$attempt.tmp")
-          val fin = new Path(outDir, warcName(current))
+          val tmp = new Path(outDir, s".${warcName(current, ext)}.$attempt.tmp")
+          val fin = new Path(outDir, warcName(current, ext))
           fctx match {
             case Some(fc) => // atomicity caveats identical to CdxSink
               fc.rename(tmp, fin, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
@@ -148,7 +159,7 @@ object WarcSink {
             val shard = row.getString(0)
             if (shard != current) {
               close()
-              val name = warcName(shard)
+              val name = warcName(shard, ext)
               published.get(name) match {
                 case Some(other) if other != shard =>
                   throw new IllegalArgumentException(
@@ -158,7 +169,7 @@ object WarcSink {
                 case _ => published.update(name, shard)
               }
               current = shard
-              out = pfs.create(new Path(outDir, s".${warcName(shard)}.$attempt.tmp"), true)
+              out = pfs.create(new Path(outDir, s".${warcName(shard, ext)}.$attempt.tmp"), true)
             }
             require(!row.isNullAt(2) && isTs14(row.getString(2)),
               s"WarcSink: ts must be 14 digits (WARC-Date source, the " +
@@ -178,7 +189,8 @@ object WarcSink {
               if (isResp) "response" else "resource",
               row.getString(1), iso(row.getString(2)), digest,
               if (isResp) row.getInt(3) else 0, row.getString(4), payload))
-            Gzip.writeMember(out, rec)
+            if (ext == ".warc.zst") out.write(ZstdMembers.compressFrame(rec))
+            else Gzip.writeMember(out, rec)
           }
           close()
         } finally {

@@ -712,6 +712,25 @@ object Formats extends QueryModule {
         .orderBy("url", "ts", "status", "mime", "body_sha256")
     }),
 
+    // the same writer at codec="zstd" (one self-contained frame per
+    // record, warcio .warc.zst), round-tripped through the independent
+    // zstd scan path — SAME closed-form oracle as sink_warc_write, so
+    // the compression swap is pinned invisible end-to-end
+    "sink_warc_zst_write" -> ((s, d) => {
+      val dir = tmp(d, "warc_write_zst")
+      graft.formats.WarcSink.write(
+        Cdx.df(s, d).where(col("record_type") === "response")
+          .selectExpr("filename AS shard", "url", "ts", "status", "mime",
+            "CAST(concat('payload:', urlkey, '@', ts) AS BINARY) AS payload"),
+        dir, codec = "zstd")
+      Warc.scan(s, dir + "/*.warc.zst")
+        .where(col("record_type") === "response")
+        .select(col("url"), col("ts"), col("status"), col("mime"),
+          length(col("payload")).as("n_bytes"),
+          sha2(col("payload"), 256).as("body_sha256"))
+        .orderBy("url", "ts", "status", "mime", "body_sha256")
+    }),
+
     // classic CDX-11 emit (the cdxj=False output dialect)
     "cdx11_pack" -> ((s, d) =>
       Cdx.df(s, d)
@@ -741,6 +760,15 @@ object Formats extends QueryModule {
   /** json payload = everything after the first two space-separated fields */
   private val jsonExprDuck =
     s"substr($lineExprDuck, length(urlkey) + length(ts) + 3) AS json"
+
+  /** shared by sink_warc_write and its zstd twin — ONE definition, so
+    * the two codecs can never drift to different expected content */
+  private val warcWriteOracle: String =
+    "SELECT url, ts, status, mime, " +
+      "CAST(length('payload:' || urlkey || '@' || ts) AS INTEGER) AS n_bytes, " +
+      "sha256('payload:' || urlkey || '@' || ts) AS body_sha256 " +
+      "FROM cdx WHERE record_type = 'response' " +
+      "ORDER BY url, ts, status, mime, body_sha256"
 
   override def oracleSql: Map[String, String] = Map(
     "scan_text_lines" -> o(s"SELECT $lineExprDuck AS value FROM cdx ORDER BY value"),
@@ -880,12 +908,8 @@ object Formats extends QueryModule {
         s"CASE WHEN regexp_matches(${smField("priority")}, '^\\d*\\.?\\d+$$') " +
         s"THEN CAST(${smField("priority")} AS DOUBLE) END AS priority " +
         "FROM u ORDER BY sitemap, loc"),
-    "sink_warc_write" -> o(
-      "SELECT url, ts, status, mime, " +
-        "CAST(length('payload:' || urlkey || '@' || ts) AS INTEGER) AS n_bytes, " +
-        "sha256('payload:' || urlkey || '@' || ts) AS body_sha256 " +
-        "FROM cdx WHERE record_type = 'response' " +
-        "ORDER BY url, ts, status, mime, body_sha256"),
+    "sink_warc_write" -> o(warcWriteOracle),
+    "sink_warc_zst_write" -> o(warcWriteOracle),
     "cdx11_pack" -> o(
       s"SELECT id, $cdx11LineDuck AS line FROM " +
         s"(SELECT *, $boffsetDuck AS boffset FROM cdx) ORDER BY id"),

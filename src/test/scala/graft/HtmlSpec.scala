@@ -119,6 +119,32 @@ class HtmlSpec extends SparkSpec {
       "</p></body></html>") == goodPara + "\n" + p2)
   }
 
+  test("links: href resolution arms, quote styles, and pseudo-link drops") {
+    def lk(html: String, base: String): Seq[(String, String)] =
+      spark.range(1).select(explode(Html.links(lit(html), lit(base))).as("l"))
+        .select(col("l")("dst"), col("l")("anchor"))
+        .collect().toSeq.map(r => (r.getString(0), r.getString(1)))
+    val base = "http://www.example.com/a/b/page.html"
+    // double-quoted absolute (uppercase scheme normal-matched), single-
+    // quoted root-relative, bare path-relative, protocol-relative
+    assert(lk("<a href=\"HTTPS://x.example/p\">A</a>" +
+      "<a href='/root'>B</a><a href=rel.html>C</a>" +
+      "<a href=\"//cdn.example/y\">D</a>", base) == Seq(
+      ("HTTPS://x.example/p", "A"),
+      ("http://www.example.com/root", "B"),
+      ("http://www.example.com/a/b/rel.html", "C"),
+      ("http://cdn.example/y", "D")))
+    // pseudo-links and missing/empty hrefs never emit
+    assert(lk("<a href=\"#sec\">x</a><a href=\"javascript:void(0)\">y</a>" +
+      "<a href=\"mailto:a@b\">z</a><a href=\"\">w</a>", base).isEmpty)
+    // a base URL with no path resolves path-relative links under /
+    assert(lk("<a href=\"p.html\">E</a>", "http://host.example") ==
+      Seq(("http://host.example/p.html", "E")))
+    // anchor markup and entities strip; uppercase HREF attribute matches
+    assert(lk("<a HREF=\"/x\"><b>Bold</b>&amp;&nbsp;co</a>", base) ==
+      Seq(("http://www.example.com/x", "Bold & co")))
+  }
+
   test("extractMain: the old chrome-only menu page extracts to empty text") {
     // htmlFixtureRecords' menu page has only sub-40-char blocks (heading
     // + a short line) — under main-content extraction its text is empty,
