@@ -58,6 +58,16 @@ object ZstdMembers {
       // captured (decompressed when itself a zstd frame) and offered to
       // any data frame whose plain decode fails. null until seen.
       private var dict: Array[Byte] = _
+      // ONE reused native decompress context for the known-content-size
+      // fast path — a ZstdInputStream per frame costs a native context
+      // alloc/init per record, the hot-loop overhead that dominated the
+      // read-back at sf0.1. Closed when the stream exhausts; an
+      // exception path leaves it to the finalizer (the task is dying).
+      private var dctxRef: com.github.luben.zstd.ZstdDecompressCtx = _
+      private def dctx() = {
+        if (dctxRef == null) dctxRef = new com.github.luben.zstd.ZstdDecompressCtx()
+        dctxRef
+      }
 
       private def avail = bufSize - head
 
@@ -135,10 +145,11 @@ object ZstdMembers {
           return resync(start, reason)
         }
         val flen = sz.toInt
-        // close on EVERY path — a leaked ZstdInputStream holds a native
-        // decompression context until finalization, and permissive scans
-        // of damaged archives hit the failure path repeatedly
-        def inflate(withDict: Option[Array[Byte]]): Array[Byte] = {
+        // streaming fallback (unknown content size, or oversize — the
+        // stream enforces the cap and fails loudly); close on EVERY path,
+        // a leaked ZstdInputStream holds a native context until
+        // finalization and permissive scans hit failures repeatedly
+        def inflateStream(withDict: Option[Array[Byte]]): Array[Byte] = {
           val zin = new ZstdInputStream(
             new java.io.ByteArrayInputStream(buf, head, flen))
           withDict.foreach(zin.setDict)
@@ -155,6 +166,23 @@ object ZstdMembers {
             }
           } finally zin.close()
           out.toByteArray
+        }
+        // fast path: the frame header records its content size (warcio
+        // writers set it) — one reused-context native call per frame
+        def inflate(withDict: Option[Array[Byte]]): Array[Byte] = {
+          val cs =
+            try JZstd.getFrameContentSize(buf, head, flen, false)
+            catch { case _: Exception => -1L }
+          if (cs < 0 || cs > Gzip.MaxMemberBytes) inflateStream(withDict)
+          else withDict match {
+            case None => dctx().decompress(buf, head, flen, cs.toInt)
+            case Some(d) =>
+              // dict retries are the rare path — a one-shot ctx avoids
+              // dict-state lingering in the reused one
+              val c = new com.github.luben.zstd.ZstdDecompressCtx()
+              try { c.loadDict(d); c.decompress(buf, head, flen, cs.toInt) }
+              finally c.close()
+          }
         }
         try {
           // warcio dict mode: frames may be compressed against the
@@ -184,7 +212,10 @@ object ZstdMembers {
       private def advance(): Gzip.Entry = {
         while (true) {
           fill(4)
-          if (avail == 0 && eof) return null
+          if (avail == 0 && eof) {
+            if (dctxRef != null) { try dctxRef.close() catch { case _: Throwable => }; dctxRef = null }
+            return null
+          }
           if (avail < 4) {
             val reason = "truncated frame magic"
             if (!permissive) fail(reason)
