@@ -553,6 +553,49 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("HashAggregate"), "the panel is a projection, not an aggregation")
   }
 
+  test("html_main_content: page build + chrome strip + block classifier are one map-side pass") {
+    val p = plan("html_main_content")
+    val exchangeOps = p.linesIterator.filter(_.trim.matches("""\(\d+\) Exchange.*""")).toSeq
+    assert(exchangeOps.size == 1 && p.contains("rangepartitioning"),
+      s"one range exchange (output sort) expected:\n${exchangeOps.mkString("\n")}")
+    assert(!p.contains("Generate"),
+      "block split/classify are HOFs over the array — no explode")
+    assert(!p.contains("HashAggregate") && !p.contains("Join"),
+      "the extractor is a projection: no aggregate, no join")
+  }
+
+  test("html_links: extraction is map-side; the single Generate is the output posexplode") {
+    val p = plan("html_links")
+    val exchangeOps = p.linesIterator.filter(_.trim.matches("""\(\d+\) Exchange.*""")).toSeq
+    assert(exchangeOps.size == 1 && p.contains("rangepartitioning"),
+      s"one range exchange (output sort) expected:\n${exchangeOps.mkString("\n")}")
+    val gens = p.linesIterator.count(_.trim.matches("""\(\d+\) Generate.*"""))
+    assert(gens == 1, s"exactly the output posexplode may Generate, got $gens")
+    assert(!p.contains("HashAggregate") && !p.contains("Join"),
+      "anchor extraction + href resolution are projections")
+  }
+
+  test("filter_url_blocklist: corpus side is one broadcast join, PSL runs on distinct hosts") {
+    val df = SparkEntry.queries("filter_url_blocklist")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.explainString(ExplainMode.fromString("simple"))
+    // the CAPTURE-side join is the broadcast left join on host; the PSL
+    // subtree (over DISTINCT hosts — the url_registered_domain exchange
+    // class) may sort-merge internally (lab ⋈ best), which is fine: it
+    // is bounded by |hosts|, never the corpus
+    assert(p.contains("BroadcastHashJoin"), "blocked-host set must broadcast")
+    assert(!p.contains("CartesianProduct"), "no cartesian anywhere")
+    val smj = p.linesIterator.filter(_.contains("SortMergeJoin")).toSeq
+    assert(smj.forall(_.contains("[host")),
+      s"any sort-merge join must be the PSL host-keyed one, got: $smj")
+    // the PSL machinery (explode + window) must sit on the DISTINCT host
+    // aggregation's subtree, never the capture lineage: every Generate in
+    // the plan is the suffix-candidate explode over host labels
+    val gens = p.linesIterator.filter(_.contains("Generate")).toSeq
+    assert(gens.nonEmpty && gens.forall(_.contains("sequence(1")),
+      s"only the PSL suffix explode may Generate: $gens")
+  }
+
   test("crawl_politeness: one host exchange feeds both window frames") {
     val p = plan("crawl_politeness")
     // formatted mode: op headers `(n) Exchange` with Arguments on the
