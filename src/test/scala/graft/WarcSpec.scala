@@ -489,6 +489,61 @@ class WarcSpec extends SparkSpec {
       "no frame referenced the dictionary — the dict retry path went unexercised")
   }
 
+  test("fuzz: random binary corpora round-trip identically through gzip, zstd, and zstd-dict framing") {
+    // seeded fuzz — payloads are random BINARY with fake gzip and zstd
+    // frame magics planted INSIDE them, the bytes that break any framing
+    // code that scans content instead of honoring member/frame lengths;
+    // urls carry unicode + query strings. All three container writers
+    // must scan back to the same record surface with payloads
+    // byte-identical, and every pointer must re-fetch its record.
+    val rnd = new scala.util.Random(20260815L)
+    def randPayload(i: Int): Array[Byte] = {
+      val n = 1 + rnd.nextInt(1500)
+      val b = new Array[Byte](n)
+      rnd.nextBytes(b)
+      if (n > 16) {
+        b(3) = 0x1f.toByte; b(4) = 0x8b.toByte // gzip magic mid-payload
+        b(8) = 0x28.toByte; b(9) = 0xb5.toByte // zstd magic mid-payload
+        b(10) = 0x2f.toByte; b(11) = 0xfd.toByte
+      }
+      b
+    }
+    def b32(i: Int) = ("F%02d" format i).padTo(32, '3').take(32)
+    val records = (0 until 40).map { i =>
+      Warc.FixtureRecord("response",
+        s"http://fuzz.example/p$i/café?q=${rnd.nextInt(100)}",
+        f"2021-0${1 + i % 9}%d-${10 + i % 18}%02dT0${i % 10}%d:00:00Z",
+        b32(i), 200, "application/octet-stream", randPayload(i))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("warc_fuzz")
+    Warc.writeFixture(dir.resolve("f.warc.gz").toString, records)
+    Warc.writeFixtureZst(dir.resolve("f.warc.zst").toString, records)
+    Warc.writeFixtureZstDict(dir.resolve("d.warc.zst").toString, records,
+      compressedDict = true)
+    def canon(path: String) = Warc.scan(spark, path)
+      .select("url", "ts", "status", "digest", "payload")
+      .collect().toSeq
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getString(3),
+        r.getAs[Array[Byte]]("payload").toSeq))
+      .sortBy(t => (t._1, t._2))
+    val gz = canon(dir.resolve("f.warc.gz").toString)
+    assert(gz.size == 40 && gz.map(_._5).forall(_.nonEmpty))
+    assert(canon(dir.resolve("f.warc.zst").toString) == gz, "zst surface diverged")
+    assert(canon(dir.resolve("d.warc.zst").toString) == gz, "zst-dict surface diverged")
+    // pointer replay on both containers — payloads byte-identical again
+    for (f <- Seq("f.warc.gz", "f.warc.zst")) {
+      val p = dir.resolve(f).toString
+      val scanned = Warc.scan(spark, p)
+      val fetched = Warc.fetchRecords(spark,
+        scanned.select("filename", "offset", "length"), dir.toString)
+      assert(fetched.select("url", "payload").collect()
+        .map(r => (r.getString(0), r.getAs[Array[Byte]]("payload").toSeq)).sortBy(_._1).toSeq
+        == scanned.select("url", "payload").collect()
+        .map(r => (r.getString(0), r.getAs[Array[Byte]]("payload").toSeq)).sortBy(_._1).toSeq,
+        s"fetch != scan for $f")
+    }
+  }
+
   test("WarcSink: a mid-job failure leaves the previous corpus untouched (staged swap)") {
     // the write is staged into <dir>.staging-<id> and only swapped in on
     // success: a task failure mid-write (malformed ts here) must leave
