@@ -53,19 +53,23 @@ object Blocklist {
   /** Adds `blocked_domain`, `blocked_term`, `keep` to a frame with
     * `host` and `url` columns, given a pre-built blocked-host set —
     * a broadcast left join plus a codegen'd HOF; the captures never
-    * shuffle. */
+    * shuffle. `broadcastHint = false` is the escape hatch for a listed
+    * MEGA-domain whose observed subdomains inflate the set past
+    * broadcast size: the join then shuffles on host (DEPLOY.md §4). */
   def gateWith(
       captures: DataFrame,
       blockedHosts: DataFrame,
-      urlTerms: Seq[String] = fixtureUrlTerms): DataFrame =
+      urlTerms: Seq[String] = fixtureUrlTerms,
+      broadcastHint: Boolean = true): DataFrame = {
+    val bh = blockedHosts.select(col("host"), lit(true).as("bl_dom"))
     captures
-      .join(broadcast(blockedHosts.select(col("host"), lit(true).as("bl_dom"))),
-        Seq("host"), "left")
+      .join(if (broadcastHint) broadcast(bh) else bh, Seq("host"), "left")
       .withColumn("blocked_domain", coalesce(col("bl_dom"), lit(false)))
       .drop("bl_dom")
       .withColumn("blocked_term",
         exists(typedLit(urlTerms), t => contains(lower(col("url")), t)))
       .withColumn("keep", !col("blocked_domain") && !col("blocked_term"))
+  }
 
   /** One-call form: derives the host universe from the captures
     * themselves (one distinct-host aggregation — the only exchange). */

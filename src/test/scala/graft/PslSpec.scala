@@ -109,5 +109,13 @@ class PslSpec extends SparkSpec {
       (false, true, false),   // /ORDER/13 -> lowercased term hit
       (false, false, true),   // clean
       (true, false, false)))  // domain hit
+    // the mega-domain escape hatch (broadcastHint = false, DEPLOY §4)
+    // must compute the identical gate through a shuffled join
+    val hinted = graft.ops.Blocklist.gate(caps).orderBy("url").collect().map(_.toSeq)
+    val shuffled = graft.ops.Blocklist.gateWith(caps,
+      graft.ops.Blocklist.blockedHostSet(caps.select("host").distinct()),
+      graft.ops.Blocklist.fixtureUrlTerms, broadcastHint = false)
+      .orderBy("url").collect().map(_.toSeq)
+    assert(hinted.toSeq == shuffled.toSeq)
   }
 }
