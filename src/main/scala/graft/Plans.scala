@@ -104,6 +104,7 @@ object Plans {
     "filter_url_blocklist" -> "PSL precedence runs on DISTINCT hosts only; the corpus side is a BROADCAST left join of the filtered blocked-host set plus a map-side HOF term match — captures never shuffle before the output sort",
     "html_links" -> "anchor extraction + per-link href resolution are ONE map-side HOF projection over the page build (regexp_extract_all + transform/filter, no Generate until the single posexplode); the output sort is the only exchange",
     "sink_warc_zst_write" -> "same plan as sink_warc_write: one repartition on the normalized shard name, per-task streaming write (O(1 record) memory), pre-flight clash scan pruned to the shard column; zstd frames replace gzip members",
+    "crawl_change_rate" -> "the lag window and the per-urlkey rollup share ONE urlkey exchange (AQE exchange reuse); change classification is a map-side integer projection — no self-join, no second shuffle",
     "scan_warc_zst" -> "one task per .zst file, zstd frames walked inside the partition with a one-frame buffer window — same per-file parallelism and corrupt-row contract as the gzip scan; no shuffle before the output sort",
     "url_redirect_chain" -> "pointer-jumping doubling: 3 self-joins of the jump map (log coverage, not per-hop rounds); terminal URLs re-attach by one left equi join",
     "stream_politeness" -> "one exchange on host into TransformWithStateExec; state is ONE long per host (last granted slot) — the scheduler runs as a changelog, no history rescans",

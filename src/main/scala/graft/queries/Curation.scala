@@ -505,6 +505,39 @@ object Curation extends QueryModule {
           sum(col("ina") * col("inb")).as("n_both"),
           count(lit(1)).as("n_union"))
         .orderBy("hostword")
+    }),
+
+    // ---- per-URL change-rate counters (recrawl scheduling input) ----
+    // The Cho & Garcia-Molina (2003) change-frequency estimator runs on
+    // exactly these per-URL counters: consecutive-capture pairs, how many
+    // changed content (digest flip), and the observation span. Emitting
+    // the INTEGER counters (pairs/changed/span-micros) plus a
+    // cross-product class keeps the key engine-exact; the λ̂ division is
+    // the consumer's one float op. The fixture's digest is constant per
+    // urlkey (sha2(hostword, path)), so the key plants content VERSIONS
+    // on a closed form — version = (id % 13) % 3 (13 is coprime with the id stride shared-urlkey captures carry), so consecutive captures
+    // flip digests on a replayable schedule and every class arm
+    // populates. ONE urlkey exchange: the lag window and the rollup
+    // share it (AQE reuse), plus the output sort.
+    "crawl_change_rate" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("urlkey").orderBy("ts", "id")
+      Cdx.df(s, d)
+        .withColumn("ver", concat(col("digest"), lit(":"),
+          ((col("id") % 13) % 3).cast("string")))
+        .withColumn("prev_ver", lag(col("ver"), 1).over(w))
+        .withColumn("prev_us", lag(col("epoch_us"), 1).over(w))
+        .filter(col("prev_ver").isNotNull)
+        .groupBy("urlkey")
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          sum(when(col("ver") =!= col("prev_ver"), 1L).otherwise(0L)).as("n_changed"),
+          sum(col("epoch_us") - col("prev_us")).as("span_us"))
+        .withColumn("change_class",
+          when(col("n_changed") * 10 >= col("n_pairs") * 8, "fast")
+            .when(col("n_changed") * 10 >= col("n_pairs") * 3, "medium")
+            .otherwise("slow"))
+        .orderBy("urlkey")
     }))
 
   override def oracleSql: Map[String, String] = Map(
@@ -603,6 +636,25 @@ object Curation extends QueryModule {
         "UNION ALL SELECT doc_id, 3, 'http://cdn.example/x', 'CDN' " +
         "FROM documents WHERE doc_id % 2 = 0" +
         ") ORDER BY doc_id, pos"),
+
+    // full lag replay over the same planted version column; the class
+    // arms are integer cross-products (8/10 and 3/10 thresholds)
+    "crawl_change_rate" -> o(
+      "SELECT urlkey, CAST(n_pairs AS BIGINT) AS n_pairs, " +
+        "CAST(n_changed AS BIGINT) AS n_changed, " +
+        "CAST(span_us AS BIGINT) AS span_us, " +
+        "CASE WHEN n_changed * 10 >= n_pairs * 8 THEN 'fast' " +
+        "WHEN n_changed * 10 >= n_pairs * 3 THEN 'medium' " +
+        "ELSE 'slow' END AS change_class FROM (" +
+        "SELECT urlkey, count(*) AS n_pairs, " +
+        "sum(CASE WHEN ver <> prev_ver THEN 1 ELSE 0 END) AS n_changed, " +
+        "sum(epoch_us - prev_us) AS span_us FROM (" +
+        "SELECT urlkey, ver, epoch_us, " +
+        "lag(ver) OVER (PARTITION BY urlkey ORDER BY ts, id) AS prev_ver, " +
+        "lag(epoch_us) OVER (PARTITION BY urlkey ORDER BY ts, id) AS prev_us FROM (" +
+        "SELECT urlkey, ts, id, epoch_us, " +
+        "digest || ':' || ((id % 13) % 3) AS ver FROM cdx)) " +
+        "WHERE prev_ver IS NOT NULL GROUP BY urlkey) ORDER BY urlkey"),
 
     "url_redirect_chain" -> o(
       "SELECT c.id, c.id - (c.id % 5) AS terminal_id, c.id % 5 AS hops, " +
