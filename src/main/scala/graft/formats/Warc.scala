@@ -381,13 +381,23 @@ object Warc {
     val rows = spark.sparkContext.binaryFiles(pathGlob).flatMap {
       case (file, pds) =>
         val in = pds.open()
-        // close even when the downstream stops consuming early (limit, error)
-        Option(org.apache.spark.TaskContext.get())
-          .foreach(_.addTaskCompletionListener[Unit](_ => try in.close() catch { case _: Throwable => }))
         val shortName = file.substring(file.lastIndexOf('/') + 1)
-        val entries =
+        val entries: Iterator[Gzip.Entry] =
           if (shortName.endsWith(".zst")) ZstdMembers.entries(in, permissive)
           else Gzip.entries(in, permissive)
+        // close BOTH the stream and the entry iterator even when the
+        // downstream stops consuming early (limit, error): the zstd
+        // iterator holds a reused native decompress context with no
+        // finalizer — an unclosed one leaks for the executor's lifetime
+        def closeAll(): Unit = {
+          try in.close() catch { case _: Throwable => }
+          entries match {
+            case c: java.io.Closeable => try c.close() catch { case _: Throwable => }
+            case _ =>
+          }
+        }
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => closeAll()))
         val it = entries.flatMap {
           case m: Gzip.Member =>
             parseRecords(m.bytes, m.offset, m.compressedLength, shortName)
@@ -398,7 +408,7 @@ object Warc {
         new Iterator[Row] {
           override def hasNext: Boolean = {
             val h = it.hasNext
-            if (!h) try in.close() catch { case _: Throwable => }
+            if (!h) closeAll()
             h
           }
           override def next(): Row = it.next()
@@ -448,6 +458,14 @@ object Warc {
         var in: org.apache.hadoop.fs.FSDataInputStream = null
         var current: String = null
         var prevOffset: Long = -1L
+        // per-file warcio dictionary (dict-mode .warc.zst): the dict lives
+        // in the file's LEADING skippable frame, outside every fetched
+        // (offset, length) slice, so it must be loaded separately — lazily,
+        // on the first member whose plain decode fails (plain archives
+        // never pay the extra read). Loaded-but-absent is remembered so a
+        // genuinely corrupt member doesn't re-read offset 0 per pointer.
+        var zdict: Array[Byte] = null
+        var zdictLoaded = false
         def close(): Unit = if (in != null) { try in.close() catch { case _: Throwable => }; in = null }
         Option(org.apache.spark.TaskContext.get())
           .foreach(_.addTaskCompletionListener[Unit](_ => close()))
@@ -470,6 +488,8 @@ object Warc {
             in = fs.open(p)
             current = fname
             prevOffset = -1L
+            zdict = null
+            zdictLoaded = false
           }
           // sorted by (filename, offset) and exact-triple-deduped above:
           // a repeated offset here means two pointers disagree on length
@@ -480,12 +500,34 @@ object Warc {
           val buf = new Array[Byte](len.toInt)
           in.readFully(off, buf) // positioned read — no seek-state coupling
           // member decode dispatches on extension exactly like scan, so
-          // zst indexes replay through the same fetch path
-          val ms =
-            if (fname.endsWith(".zst")) ZstdMembers.members(new java.io.ByteArrayInputStream(buf))
-            else Gzip.members(new java.io.ByteArrayInputStream(buf))
-          ms.flatMap(m =>
-            parseRecords(m.bytes, off + m.offset, m.compressedLength, fname)).toSeq
+          // zst indexes replay through the same fetch path — INCLUDING
+          // dict-mode archives: on a plain-decode failure the leading
+          // skippable frame is fetched from offset 0 and the decode
+          // retried against it (the scan discovers the same dict in-stream)
+          if (fname.endsWith(".zst")) {
+            def decodeZst(d: Array[Byte]): Seq[Row] = {
+              val es = ZstdMembers.entries(
+                new java.io.ByteArrayInputStream(buf), permissive = false, presetDict = d)
+              // strict decode can throw mid-iteration — es holds a native
+              // context with no finalizer, so close on every path
+              try es.collect { case m: Gzip.Member => m }.flatMap(m =>
+                parseRecords(m.bytes, off + m.offset, m.compressedLength, fname)).toSeq
+              finally es.close()
+            }
+            try decodeZst(zdict)
+            catch {
+              case e: Exception if !zdictLoaded =>
+                zdictLoaded = true
+                zdict = ZstdMembers.leadingDict((at, b) => in.readFully(at, b))
+                if (zdict == null) throw e
+                // the PLAIN error stands if the dict doesn't help either
+                try decodeZst(zdict) catch { case _: Exception => throw e }
+            }
+          } else {
+            val ms = Gzip.members(new java.io.ByteArrayInputStream(buf))
+            ms.flatMap(m =>
+              parseRecords(m.bytes, off + m.offset, m.compressedLength, fname)).toSeq
+          }
         }
         new Iterator[Row] {
           override def hasNext: Boolean = { val h = out.hasNext; if (!h) close(); h }

@@ -66,7 +66,16 @@ object WarcSink {
     * shard values (they name the output files). The write is staged: the
     * job fills `<dir>.staging-<id>` and only a fully successful job
     * swaps it into `dir` (backup-rename of the old corpus, swap, delete
-    * backup), so any failure leaves the previous corpus in place. */
+    * backup), so any failure leaves the previous corpus in place.
+    *
+    * Publish caveats (single-writer-per-target assumed, like any staged
+    * swap): the two publish renames are not one atomic operation, so a
+    * concurrent READER can see `dir` absent for the instant between them
+    * — retry-on-ENOENT or read a snapshot path if that matters; and a
+    * writer crash in that window strands the corpus in `.old-<stamp>`.
+    * The next write() heals that: on start it restores the newest
+    * orphaned backup when `dir` is missing and clears leftover
+    * `.staging-*`/`.old-*` siblings from dead runs. */
   def write(df: DataFrame, dir: String, codec: String = "gzip"): Unit = {
     val need = Seq("shard", "url", "ts", "status", "mime", "payload")
     require(need.forall(df.columns.contains),
@@ -100,6 +109,32 @@ object WarcSink {
         "basenames: " + clash.map(r => String.valueOf(r.get(0))).mkString(", "))
     val dirPath = new Path(dir)
     val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // CRASH RECOVERY: a previous run that died between its two publish
+    // renames leaves the corpus stranded in `.old-<stamp>` (dir absent),
+    // and any crashed run leaves its `.staging-<stamp>` behind. Writers
+    // are exclusive per target (the staged swap already assumes that), so
+    // every such sibling belongs to a dead run: restore the newest backup
+    // when the corpus is missing, then clear the leftovers.
+    val parent = dirPath.getParent
+    if (parent != null && fs.exists(parent)) {
+      val base = dirPath.getName
+      val orphans = fs.listStatus(parent).filter { st =>
+        val n = st.getPath.getName
+        n.startsWith(s"$base.staging-") || n.startsWith(s"$base.old-")
+      }
+      if (!fs.exists(dirPath)) {
+        val backups = orphans.filter(_.getPath.getName.startsWith(s"$base.old-"))
+        if (backups.nonEmpty) {
+          val newest = backups.maxBy(_.getModificationTime).getPath
+          require(fs.rename(newest, dirPath),
+            s"WarcSink.write: could not restore orphaned backup $newest to $dirPath")
+        }
+      }
+      // the restored backup was renamed away; everything still present is
+      // superseded (an .old-* next to a live dir, or partial staging)
+      orphans.foreach(st =>
+        if (fs.exists(st.getPath)) fs.delete(st.getPath, true))
+    }
     // STAGE THEN SWAP: the job writes into a sibling staging dir, and only
     // a fully successful job replaces `dir` (backup-rename, swap in,
     // delete backup). Any mid-write task failure — including a clash the

@@ -43,8 +43,54 @@ object ZstdMembers {
   def members(in: InputStream): Iterator[Gzip.Member] =
     entries(in, permissive = false).collect { case m: Gzip.Member => m }
 
-  def entries(in: InputStream, permissive: Boolean): Iterator[Gzip.Entry] =
-    new Iterator[Gzip.Entry] {
+  /** warcio dictionary slot from `content` (the first skippable frame's
+    * body): raw bytes, or — compressed-dict convention — a zstd frame
+    * whose payload is the dictionary. An undecodable slot falls back to
+    * the raw bytes (the dict is a guess either way — only ever used as a
+    * decode retry). */
+  private[formats] def dictFromSlot(content: Array[Byte]): Array[Byte] =
+    if (content.length >= 4 &&
+        ((content(0) & 0xff) | (content(1) & 0xff) << 8 |
+          (content(2) & 0xff) << 16 | (content(3) & 0xff) << 24) == FrameMagic)
+      try JZstd.decompress(content,
+        math.min(Gzip.MaxMemberBytes.toLong, JZstd.getFrameContentSize(
+          content, 0, content.length, false) max 1L).toInt)
+      catch { case _: Exception => content }
+    else content
+
+  /** The warcio dictionary parked at FILE offset 0, via positioned reads
+    * (`pread(absoluteOffset, intoBuffer)` must fill the buffer fully) —
+    * the fetchRecords replay path needs this because a CDX pointer's
+    * (offset, length) slice excludes the leading skippable frame the
+    * dictionary lives in. Returns null when the file does not begin with
+    * a dict-sized skippable frame (plain `.warc.zst`, or any read
+    * failure — the caller's plain-decode error is the real diagnosis). */
+  def leadingDict(pread: (Long, Array[Byte]) => Unit): Array[Byte] = {
+    val hdr = new Array[Byte](8)
+    try pread(0L, hdr) catch { case _: Exception => return null }
+    val magic = (hdr(0) & 0xff) | (hdr(1) & 0xff) << 8 |
+      (hdr(2) & 0xff) << 16 | (hdr(3) & 0xff) << 24
+    val clen = ((hdr(4) & 0xff) | (hdr(5) & 0xff) << 8 |
+      (hdr(6) & 0xff) << 16 | (hdr(7) & 0xff) << 24).toLong & 0xffffffffL
+    if ((magic & SkippableMask) != SkippableBase || clen <= 0 || clen > DictCap)
+      return null
+    val content = new Array[Byte](clen.toInt)
+    try pread(8L, content) catch { case _: Exception => return null }
+    dictFromSlot(content)
+  }
+
+  /** `presetDict` seeds the dictionary slot for streams that START
+    * mid-file (fetchRecords range replay — the in-file skippable frame is
+    * outside the fetched slice); frames still try a plain decode first.
+    * The returned iterator is [[java.io.Closeable]]: early termination
+    * (limit/take, or a strict-mode decode error) must close it, or the
+    * reused native decompress context leaks for the executor's lifetime —
+    * zstd-jni has no finalizer. Exhausting the iterator closes it too. */
+  def entries(
+      in: InputStream,
+      permissive: Boolean,
+      presetDict: Array[Byte] = null): Iterator[Gzip.Entry] with java.io.Closeable =
+    new Iterator[Gzip.Entry] with java.io.Closeable {
       // growable byte window [head, size) over the stream; bufStart is
       // the absolute offset of buf(0). Doubling growth + compaction on
       // refill keeps the amortized cost linear in stream length.
@@ -56,14 +102,22 @@ object ZstdMembers {
       private var pending: Gzip.Entry = _
       // the FIRST skippable frame's content is warcio's dictionary slot:
       // captured (decompressed when itself a zstd frame) and offered to
-      // any data frame whose plain decode fails. null until seen.
-      private var dict: Array[Byte] = _
+      // any data frame whose plain decode fails. Seeded by presetDict for
+      // mid-file streams; otherwise null until seen.
+      private var dict: Array[Byte] = presetDict
       // ONE reused native decompress context for the known-content-size
       // fast path — a ZstdInputStream per frame costs a native context
       // alloc/init per record, the hot-loop overhead that dominated the
-      // read-back at sf0.1. Closed when the stream exhausts; an
-      // exception path leaves it to the finalizer (the task is dying).
+      // read-back at sf0.1. Closed on exhaustion AND by close() — callers
+      // that may stop early (scan's task listener, fetchRecords' strict
+      // decode) must close(); there is no finalizer to fall back on.
       private var dctxRef: com.github.luben.zstd.ZstdDecompressCtx = _
+
+      override def close(): Unit =
+        if (dctxRef != null) {
+          try dctxRef.close() catch { case _: Throwable => }
+          dctxRef = null
+        }
       private def dctx() = {
         if (dctxRef == null) dctxRef = new com.github.luben.zstd.ZstdDecompressCtx()
         dctxRef
@@ -213,7 +267,7 @@ object ZstdMembers {
         while (true) {
           fill(4)
           if (avail == 0 && eof) {
-            if (dctxRef != null) { try dctxRef.close() catch { case _: Throwable => }; dctxRef = null }
+            close()
             return null
           }
           if (avail < 4) {
@@ -256,19 +310,7 @@ object ZstdMembers {
               }
               val content = java.util.Arrays.copyOfRange(
                 buf, head + 8, head + 8 + contentLen.toInt)
-              dict =
-                if (content.length >= 4 &&
-                    ((content(0) & 0xff) | (content(1) & 0xff) << 8 |
-                      (content(2) & 0xff) << 16 | (content(3) & 0xff) << 24) == FrameMagic)
-                  // compressed-dict convention: the slot holds a zstd
-                  // frame whose payload is the dictionary; an undecodable
-                  // slot falls back to the raw bytes (the dict is a guess
-                  // either way — only ever used as a decode retry)
-                  try JZstd.decompress(content,
-                    math.min(Gzip.MaxMemberBytes.toLong, JZstd.getFrameContentSize(
-                      content, 0, content.length, false) max 1L).toInt)
-                  catch { case _: Exception => content }
-                else content
+              dict = dictFromSlot(content)
               head += total
             } else {
               head += 8

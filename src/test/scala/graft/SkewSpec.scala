@@ -338,9 +338,13 @@ class SkewSpec extends SparkSpec {
     * keeps JIT/codegen compilation out of the measurement; fixed job
     * overhead DEFLATES the fit (safe direction), while any quadratic
     * candidate blowup inflates the top point and trips the bound. */
-  private def growthExponent(ns: Seq[Long])(work: Long => Unit): Double = {
+  private def growthExponent(ns: Seq[Long], samples: Int = 1)(work: Long => Unit): Double = {
     work(ns.head)
-    val ts = ns.map(n => time(work(n))._2)
+    def timedMedian(n: Long): Double = {
+      val runs = Seq.fill(samples)(time(work(n))._2).sorted
+      runs(runs.size / 2)
+    }
+    val ts = ns.map(timedMedian)
     val xs = ns.map(n => math.log(n.toDouble))
     val ys = ts.map(t => math.log(math.max(t, 1e-3)))
     val xm = xs.sum / xs.size
@@ -358,12 +362,15 @@ class SkewSpec extends SparkSpec {
     val ladder = Seq(25000L, 50000L, 100000L)
 
     // single-sample timings are contention-sensitive: one GC pause on the
-    // top ladder point inflates a true-linear fit past the bound. Retry
-    // ONCE and keep the smaller fit — a real quadratic blowup reproduces,
-    // ambient noise doesn't.
+    // top ladder point inflates a true-linear fit past the bound. The
+    // fast path stays single-sample; a failing fit is re-measured with
+    // MEDIAN-of-3 timings per ladder point (not min-of-fits — a median
+    // is robust to one noisy run in either direction), and that refit is
+    // authoritative: a real quadratic blowup reproduces in every sample,
+    // ambient GC/contention spikes don't survive the median.
     def fitTwiceMin(ns: Seq[Long])(work: Long => Unit): Double = {
       val e1 = growthExponent(ns)(work)
-      if (e1 <= 1.35) e1 else math.min(e1, growthExponent(ns)(work))
+      if (e1 <= 1.35) e1 else growthExponent(ns, samples = 3)(work)
     }
 
     // join_set_similarity core: ~10 tokens/doc from a vocab scaled with n

@@ -530,8 +530,11 @@ class WarcSpec extends SparkSpec {
     assert(gz.size == 40 && gz.map(_._5).forall(_.nonEmpty))
     assert(canon(dir.resolve("f.warc.zst").toString) == gz, "zst surface diverged")
     assert(canon(dir.resolve("d.warc.zst").toString) == gz, "zst-dict surface diverged")
-    // pointer replay on both containers — payloads byte-identical again
-    for (f <- Seq("f.warc.gz", "f.warc.zst")) {
+    // pointer replay on ALL THREE containers — payloads byte-identical
+    // again; d.warc.zst exercises the dict-reload path (the fetched slice
+    // excludes the leading skippable frame, so fetchRecords must pull the
+    // dictionary from offset 0 on its plain-decode failure)
+    for (f <- Seq("f.warc.gz", "f.warc.zst", "d.warc.zst")) {
       val p = dir.resolve(f).toString
       val scanned = Warc.scan(spark, p)
       val fetched = Warc.fetchRecords(spark,
@@ -570,6 +573,55 @@ class WarcSpec extends SparkSpec {
       .map(_.getString(0)).toSeq == Seq("20250102030405"))
     assert(!parent.listFiles().exists(f =>
       f.getName.contains(".staging-") || f.getName.contains(".old-")))
+  }
+
+  test("WarcSink: orphaned .old-/.staging- siblings from a crashed run are healed on the next write") {
+    // a writer crash BETWEEN the two publish renames strands the corpus
+    // in .old-<stamp> with dir absent; a crash mid-job strands a partial
+    // .staging-<stamp>. The next write must restore the newest backup
+    // (when dir is missing) and clear every leftover before publishing.
+    val dir = "/tmp/graft_test/warcsink_orphans"
+    val dirFile = new java.io.File(dir)
+    val parent = dirFile.getParentFile
+    def df(ts: String) = spark.createDataFrame(Seq(
+        ("s/a.warc.gz", "http://example.com/1", ts, 200, "text/html", "one".getBytes("UTF-8"))))
+      .toDF("shard", "url", "ts", "status", "mime", "payload")
+    parent.listFiles().filter(_.getName.startsWith(dirFile.getName))
+      .foreach(f => new scala.reflect.io.Directory(f).deleteRecursively())
+    graft.formats.WarcSink.write(df("20240102030405"), dir)
+    // simulate the mid-swap crash: corpus renamed aside, dir gone, plus a
+    // stale partial staging dir and an OLDER second backup that must lose
+    val older = new java.io.File(parent, dirFile.getName + ".old-dead1")
+    older.mkdirs()
+    java.nio.file.Files.write(new java.io.File(older, "stale.warc.gz").toPath,
+      "stale".getBytes("UTF-8"))
+    older.setLastModified(System.currentTimeMillis() - 3600_000L)
+    val backup = new java.io.File(parent, dirFile.getName + ".old-dead2")
+    assert(dirFile.renameTo(backup))
+    val staging = new java.io.File(parent, dirFile.getName + ".staging-dead3")
+    staging.mkdirs()
+    java.nio.file.Files.write(new java.io.File(staging, "partial.tmp").toPath,
+      "junk".getBytes("UTF-8"))
+    // next write: restores .old-dead2 (newest), clears dead1/dead3, publishes
+    graft.formats.WarcSink.write(df("20250102030405"), dir)
+    assert(Warc.scan(spark, dir + "/*.warc.gz").select("ts").collect()
+      .map(_.getString(0)).toSeq == Seq("20250102030405"))
+    val leftovers = parent.listFiles().map(_.getName)
+      .filter(n => n.startsWith(dirFile.getName + ".")).toSeq
+    assert(leftovers.isEmpty, s"orphans must be healed, found: $leftovers")
+
+    // restore-only path: dir absent, one backup, NO write racing it —
+    // verify the restored corpus is byte-identical to the pre-crash one
+    val bytes0 = java.nio.file.Files.readAllBytes(
+      new java.io.File(dir, "a.warc.gz").toPath).toSeq
+    assert(dirFile.renameTo(new java.io.File(parent, dirFile.getName + ".old-dead4")))
+    graft.formats.WarcSink.write(df("20260102030405"), dir)
+    // the new write restored dead4 first (old corpus briefly live), then
+    // replaced it; the published corpus is the new one and nothing leaks
+    assert(Warc.scan(spark, dir + "/*.warc.gz").select("ts").collect()
+      .map(_.getString(0)).toSeq == Seq("20260102030405"))
+    assert(bytes0.nonEmpty && !parent.listFiles().exists(f =>
+      f.getName.startsWith(dirFile.getName + ".")))
   }
 
   test("WarcSink: colliding shard basenames and malformed ts fail loudly") {
