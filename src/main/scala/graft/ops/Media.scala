@@ -63,6 +63,84 @@ object Media {
     out.toByteArray
   }
 
+  /** a complete, valid JPEG: w×h solid color through the JDK JPEG writer
+    * at an explicit quality (defaults high — solid blocks survive DCT
+    * quantization almost exactly, so decoded means stay within a few
+    * counts of the request). JPEG is the dominant web image format; the
+    * generic ImageIO decode used by [[decodeImageStats]]/[[resizeNearest]]
+    * /[[dHashHex]] reads it with zero extra code — these fixtures exist
+    * to PROVE that and to pin the lossy tolerance in MediaSpec. */
+  def solidJpeg(w: Int, h: Int, r: Int, g: Int, b: Int, quality: Float = 0.9f): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (r << 16) | (g << 8) | b
+    var y = 0
+    while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+    encodeJpeg(img, quality)
+  }
+
+  /** the [[gradientPng]] pixel formula through the JPEG encoder — the
+    * lossy twin for near-dup/goldens (decode returns APPROXIMATELY the
+    * gradient, never exactly; assertions must use tolerances) */
+  def gradientJpeg(w: Int, h: Int, quality: Float = 0.9f): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y,
+          (((x * 7 + 1) % 256) << 16) | (((y * 11 + 2) % 256) << 8) | ((x + y) * 13 + 3) % 256)
+        x += 1
+      }
+      y += 1
+    }
+    encodeJpeg(img, quality)
+  }
+
+  private def encodeJpeg(img: java.awt.image.BufferedImage, quality: Float): Array[Byte] = {
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val params = writer.getDefaultWriteParam
+    params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    params.setCompressionQuality(quality)
+    val out = new ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
+    writer.setOutput(ios)
+    try writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+    finally { ios.close(); writer.dispose() }
+    out.toByteArray
+  }
+
+  /** JPEG dimensions from the SOF marker, by walking the marker stream —
+    * the metadata-only parse (no pixel decode) [[graft.queries.Multimodal]]
+    * uses for `mm_decode_meta`, the JPEG analog of its PNG IHDR parse.
+    * Handles real files (APP0/DQT/… segments before SOF) and any baseline
+    * or progressive SOF (0xC0–0xCF except DHT/DAC/RST). Returns None when
+    * the bytes are not a JPEG or the stream ends before a SOF. */
+  def jpegDims(bytes: Array[Byte]): Option[(Int, Int)] = {
+    if (bytes.length < 4 || (bytes(0) & 0xff) != 0xff || (bytes(1) & 0xff) != 0xd8)
+      return None // no SOI
+    var i = 2
+    while (i + 3 < bytes.length) {
+      if ((bytes(i) & 0xff) != 0xff) return None // marker misalignment
+      val m = bytes(i + 1) & 0xff
+      if (m == 0xff) { i += 1 } // fill byte
+      else if (m == 0x01 || (m >= 0xd0 && m <= 0xd8)) { i += 2 } // standalone
+      else if (m == 0xd9 || m == 0xda) return None // EOI / scan start: no SOF seen
+      else {
+        val segLen = ((bytes(i + 2) & 0xff) << 8) | (bytes(i + 3) & 0xff)
+        if (segLen < 2) return None
+        if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
+          // SOFn: precision(1) height(2) width(2)
+          if (i + 8 >= bytes.length) return None
+          val h = ((bytes(i + 5) & 0xff) << 8) | (bytes(i + 6) & 0xff)
+          val w = ((bytes(i + 7) & 0xff) << 8) | (bytes(i + 8) & 0xff)
+          return Some((w, h))
+        }
+        i += 2 + segLen
+      }
+    }
+    None
+  }
+
   /** nearest-neighbor resize to a fixed (outW × outH) thumbnail — the
     * decode→downsample step every image-feature pipeline runs before
     * featurization. Source pixel for output (x, y) is

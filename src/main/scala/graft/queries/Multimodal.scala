@@ -12,9 +12,10 @@ import org.apache.spark.sql.functions._
   * image rows carry a genuine PNG signature+IHDR ([[pngDims]] parses it
   * back), audio rows carry complete RIFF/WAVE files that [[decode]] routes
   * through the JDK PCM reader ([[graft.ops.Media.decodeWav]]), and the
-  * `mm_image_stats` / `mm_audio_meta` / `mm_video_frames` queries run full
-  * JDK codec round trips (PNG pixels via ImageIO, animated-GIF frames via
-  * the GIF reader). `mm_batch_infer` scores with a real broadcast-weights
+  * `mm_image_stats` / `mm_audio_meta` / `mm_video_frames` /
+  * `mm_jpeg_decode` queries run full JDK codec round trips (PNG and JPEG
+  * pixels via ImageIO — JPEG being what real crawls mostly carry —
+  * animated-GIF frames via the GIF reader). `mm_batch_infer` scores with a real broadcast-weights
   * linear model, one matvec call per batch. Video payloads stay opaque
   * (length-keyed deterministic metadata — the undecodable-payload default
   * every real pipeline needs), and `mm_feature_extract`'s features are
@@ -68,9 +69,30 @@ object Multimodal extends QueryModule {
       Some((bb.getInt, bb.getInt))
     } else None
 
+  /** a real JPEG file prefix — SOI + a baseline SOF0 segment carrying the
+    * given dimensions (21 bytes; 8-bit precision, 3 components): any
+    * standards-compliant JPEG dimension parser reads it, the JPEG analog
+    * of [[pngHeader]]. JPEG is the dominant web image format, so the
+    * metadata table must carry both containers. */
+  private[graft] val JpegHeaderLen = 21
+  private[graft] def jpegHeader(width: Int, height: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(JpegHeaderLen)
+    bb.put(0xff.toByte).put(0xd8.toByte)             // SOI
+    bb.put(0xff.toByte).put(0xc0.toByte)             // SOF0
+    bb.putShort(17)                                  // segment length: 8 + 3*3
+    bb.put(8.toByte)                                 // precision
+    bb.putShort(height.toShort).putShort(width.toShort)
+    bb.put(3.toByte)                                 // components
+    for (c <- 1 to 3)
+      bb.put(c.toByte).put(0x11.toByte).put(0.toByte) // id, 1x1 sampling, qtable
+    bb.array()
+  }
+
   /** media table = documents carrying deterministically-typed payloads:
-    * image rows get a REAL PNG header (dimensions derived from doc_id) in
-    * front of the text bytes; audio rows get a COMPLETE RIFF/WAVE file
+    * image rows get a REAL container header (dimensions derived from
+    * doc_id) in front of the text bytes — PNG for doc_id % 6 = 0, JPEG
+    * (SOI+SOF0) for doc_id % 6 = 3, mirroring that real crawls carry
+    * both and are MOSTLY JPEG; audio rows get a COMPLETE RIFF/WAVE file
     * (square-wave PCM, parameters keyed on doc_id) written by the JDK
     * WAVE encoder; video rows keep the raw text bytes as an opaque
     * container stand-in (exercising the undecodable-payload default). */
@@ -84,8 +106,10 @@ object Multimodal extends QueryModule {
       .as[MediaRow]
       .map { r =>
         r.media_type match {
-          case "image" => r.copy(payload = pngHeader(
-            (16 + r.doc_id % 640).toInt, (16 + r.doc_id * 7 % 480).toInt) ++ r.payload)
+          case "image" =>
+            val (w, h) = ((16 + r.doc_id % 640).toInt, (16 + r.doc_id * 7 % 480).toInt)
+            val hdr = if (r.doc_id % 6 == 0) pngHeader(w, h) else jpegHeader(w, h)
+            r.copy(payload = hdr ++ r.payload)
           case "audio" => r.copy(payload = graft.ops.Media.squareWav(
             sampleRate = 8000,
             amp = (1 + r.doc_id % 100).toInt * 300,
@@ -101,12 +125,14 @@ object Multimodal extends QueryModule {
       payload(0) == 'R' && payload(1) == 'I' && payload(2) == 'F' && payload(3) == 'F' &&
       payload(8) == 'W' && payload(9) == 'A' && payload(10) == 'V' && payload(11) == 'E'
 
-  /** decode: REAL byte parsers per container — PNG via [[pngDims]],
-    * RIFF/WAVE via the JDK PCM reader ([[graft.ops.Media.decodeWav]]:
-    * sample rate + audio frame count come from the parsed header, frames
-    * land in n_frames). Payloads matching no known container take the
-    * deterministic length-keyed metadata defaults — the policy for
-    * undecodable payloads, not a stand-in for a missing parser. */
+  /** decode: REAL byte parsers per container — PNG via [[pngDims]], JPEG
+    * via the SOF marker walk ([[graft.ops.Media.jpegDims]] — the dominant
+    * web image format), RIFF/WAVE via the JDK PCM reader
+    * ([[graft.ops.Media.decodeWav]]: sample rate + audio frame count come
+    * from the parsed header, frames land in n_frames). Payloads matching
+    * no known container take the deterministic length-keyed metadata
+    * defaults — the policy for undecodable payloads, not a stand-in for a
+    * missing parser. */
   private[graft] def decode(r: MediaRow): MediaMeta = {
     val n = r.payload.length.toLong
     def defaults = MediaMeta(
@@ -115,7 +141,7 @@ object Multimodal extends QueryModule {
       height = (16 + (n * 7) % 480).toInt,
       n_frames = if (r.media_type == "video") (1 + n % 24).toInt else 1,
       sample_rate = 0)
-    pngDims(r.payload) match {
+    pngDims(r.payload).orElse(graft.ops.Media.jpegDims(r.payload)) match {
       case Some((w, h)) =>
         MediaMeta(r.doc_id, r.media_type, n, w, h, n_frames = 1, sample_rate = 0)
       case None if isRiffWave(r.payload) =>
@@ -373,6 +399,39 @@ object Multimodal extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // REAL JPEG round trip — the dominant web image format: payload is a
+    // complete JDK-encoded JPEG (solid color keyed on doc_id, quality
+    // 0.9), decoded back through the SAME generic ImageIO path as the PNG
+    // keys. JPEG is lossy, so the oracle discipline splits: dimensions
+    // survive exactly (closed-form columns), channel means come back
+    // within a few counts of the request (solid blocks quantize almost
+    // exactly) and are checked as an IN-ROW tolerance predicate — the
+    // oracle asserts mean_close=1, so a decoder drifting > 8 counts
+    // hash-mismatches. Channels stay in [20, 219]: gamut-edge colors clip
+    // under YCbCr rounding and would make the tolerance about the
+    // fixture, not the codec. MediaSpec pins the per-field goldens.
+    "mm_jpeg_decode" -> ((s, d) => {
+      import s.implicits._
+      Tables.t(s, d, "documents")
+        .filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions { it => // JPEG writer/reader init amortizes here
+          it.map { id =>
+            val sw = (8 + id % 24).toInt
+            val sh = (8 + id * 3 % 24).toInt
+            val (r, g, b) =
+              ((20 + id % 200).toInt, (20 + id * 7 % 200).toInt, (20 + id * 13 % 200).toInt)
+            val st = graft.ops.Media.decodeImageStats(
+              graft.ops.Media.solidJpeg(sw, sh, r, g, b))
+            val maxDev = math.max(math.abs(st.meanR - r),
+              math.max(math.abs(st.meanG - g), math.abs(st.meanB - b)))
+            (id, st.width, st.height, if (maxDev <= 8) 1 else 0)
+          }
+        }
+        .toDF("doc_id", "width", "height", "mean_close")
+        .orderBy("doc_id")
+    }),
+
     // REAL multi-frame decode: payload is an animated GIF written by the
     // JDK sequence writer; the frame count is recovered by the GIF reader
     // walking image descriptors in the byte stream (not from a side
@@ -453,14 +512,16 @@ object Multimodal extends QueryModule {
       .select(col("rep").as("doc_id"), col("phash"))
   }
 
-  /** per-type payload size: image = UTF-8 text bytes + the 33-byte PNG
-    * header media() prepends; audio = a canonical 44-byte WAVE header +
-    * 16-bit mono PCM (2 bytes × the doc_id-keyed sample count — MediaSpec
-    * pins the JDK writer to exactly this layout); video = the raw text
-    * bytes (octet_length, NOT length(text): character counting would
-    * silently diverge on any non-ASCII corpus). */
+  /** per-type payload size: image = UTF-8 text bytes + the container
+    * header media() prepends (33-byte PNG IHDR for doc_id % 6 = 0,
+    * 21-byte JPEG SOI+SOF0 for doc_id % 6 = 3); audio = a canonical
+    * 44-byte WAVE header + 16-bit mono PCM (2 bytes × the doc_id-keyed
+    * sample count — MediaSpec pins the JDK writer to exactly this
+    * layout); video = the raw text bytes (octet_length, NOT
+    * length(text): character counting would silently diverge on any
+    * non-ASCII corpus). */
   private val nBytes =
-    "(CASE doc_id % 3 WHEN 0 THEN octet_length(encode(text)) + 33 " +
+    "(CASE doc_id % 3 WHEN 0 THEN octet_length(encode(text)) + (CASE doc_id % 6 WHEN 0 THEN 33 ELSE 21 END) " +
       "WHEN 1 THEN 44 + (64 + (doc_id % 50) * 16) * 2 " +
       "ELSE octet_length(encode(text)) END)"
 
@@ -568,6 +629,14 @@ object Multimodal extends QueryModule {
         "SELECT 1 FROM hi y WHERE y.doc_id < x.doc_id AND " +
         "bit_count(xor(x.h1, y.h1)) + bit_count(xor(x.h2, y.h2)) <= 3) " +
         "ORDER BY x.doc_id"),
+    // JPEG: dims are lossless (closed form); the lossy channel means are
+    // tolerance-folded into mean_close Spark-side, so the oracle's claim
+    // is exactly "every decode landed within 8 counts"
+    "mm_jpeg_decode" ->
+      ("SELECT doc_id, CAST(8 + doc_id % 24 AS INT) AS width, " +
+        "CAST(8 + doc_id * 3 % 24 AS INT) AS height, " +
+        "CAST(1 AS INT) AS mean_close " +
+        "FROM documents WHERE doc_id % 3 = 0 ORDER BY doc_id"),
     "mm_audio_meta" ->
       ("SELECT doc_id, CAST(8000 AS INT) AS sample_rate, CAST(1 AS INT) AS channels, " +
         "CAST(64 + (doc_id % 50) * 16 AS BIGINT) AS n_samples, " +

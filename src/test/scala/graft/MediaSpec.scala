@@ -20,6 +20,60 @@ class MediaSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert((bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G')
   }
 
+  test("JPEG round trip: dimensions exact, solid-color channel means within lossy tolerance") {
+    // JPEG is lossy — per-field GOLDENS with a tolerance, not the PNG
+    // closed forms: dimensions must survive exactly, and a solid block
+    // (DC-only after DCT) must decode within a few counts of the request.
+    // Channels stay inside [20, 219] (the mm_jpeg_decode fixture range) —
+    // gamut-edge colors clip under YCbCr rounding.
+    for ((w, h, r, g, b) <- Seq((8, 8, 20, 219, 120), (31, 9, 200, 30, 77), (24, 16, 57, 119, 181))) {
+      val st = Media.decodeImageStats(Media.solidJpeg(w, h, r, g, b))
+      assert(st.width == w && st.height == h, s"dims must survive: $st")
+      val dev = Seq(st.meanR - r, st.meanG - g, st.meanB - b).map(math.abs).max
+      assert(dev <= 8, s"solid ($r,$g,$b) decoded to $st — deviation $dev")
+    }
+  }
+
+  test("JPEG bytes start with SOI and jpegDims walks real marker streams") {
+    val bytes = Media.solidJpeg(19, 7, 40, 80, 120)
+    assert((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8, "SOI missing")
+    // a REAL file: APP0/DQT/... segments precede SOF — the walker must
+    // skip them by declared length, not expect SOF at a fixed offset
+    assert(Media.jpegDims(bytes).contains((19, 7)))
+    // the minimal SOI+SOF0 metadata prefix mm_decode_meta plants
+    assert(Media.jpegDims(queries.Multimodal.jpegHeader(640, 480)).contains((640, 480)))
+    assert(queries.Multimodal.jpegHeader(1, 1).length == queries.Multimodal.JpegHeaderLen)
+    // non-JPEG and truncated inputs answer None, never throw
+    assert(Media.jpegDims("plain text".getBytes("UTF-8")).isEmpty)
+    assert(Media.jpegDims(Media.solidPng(4, 4, 1, 2, 3)).isEmpty)
+    assert(Media.jpegDims(java.util.Arrays.copyOf(bytes, 6)).isEmpty)
+    assert(Media.jpegDims(Array(0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xd9.toByte)).isEmpty)
+  }
+
+  test("JPEG feeds the generic decode paths: resize recovers dims, dHash lands near the PNG twin") {
+    val (w, h) = (20, 14)
+    val jpg = Media.gradientJpeg(w, h)
+    // resizeNearest accepts JPEG (decode is format-generic)
+    val px = Media.resizeNearest(jpg, 4, 4)
+    assert(px.length == 16)
+    // dHash of the lossy gradient must land a FEW bits from the lossless
+    // PNG of the same pixels — that is the whole point of a perceptual
+    // hash (and what dedup_image_phash's ≤3-bit banding exploits on real
+    // crawl images); identical would be suspicious, far apart is a bug
+    val hp = Media.dHashHex(Media.gradientPng(w, h))
+    val hj = Media.dHashHex(jpg)
+    def bits(hex: String) = java.lang.Long.parseUnsignedLong(hex, 16)
+    val hamming = java.lang.Long.bitCount(bits(hp) ^ bits(hj))
+    assert(hamming <= 12, s"png=$hp jpeg=$hj hamming=$hamming")
+  }
+
+  test("Multimodal.decode parses the JPEG arm's dimensions from the SOF bytes") {
+    val payload = queries.Multimodal.jpegHeader(123, 45) ++ "body text".getBytes("UTF-8")
+    val meta = queries.Multimodal.decode(queries.Multimodal.MediaRow(3L, "image", payload))
+    assert(meta.width == 123 && meta.height == 45 && meta.n_frames == 1 && meta.sample_rate == 0)
+    assert(meta.n_bytes == payload.length)
+  }
+
   test("WAV round trip: header fields, frame count, mean 0, RMS == amplitude") {
     for ((amp, n) <- Seq((300, 64), (30000, 848), (1, 2))) {
       val st = Media.decodeWav(Media.squareWav(8000, amp, n))
