@@ -3,7 +3,7 @@ package graft
 import graft.formats.{Warc, ZipNum}
 import graft.functions.GraftFunctions
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The reference's whole three-job pipeline as ONE lazy Spark plan
@@ -137,6 +137,77 @@ object Pipeline {
         html.getField("Head").getField("Title").as("title"),
         col("link.url").as("dst"))
       .filter(col("dst").isNotNull)
+  }
+
+  /** WARC responses -> the WET sidecar's record frame (shard, url, ts,
+    * text) — the GENERATION twin of [[wetToCorpus]], feeding
+    * [[graft.formats.WarcSink.writeWet]]. Same page gate and extraction
+    * as [[graft.ops.Html.extract]] (response/200/html, per-row charset,
+    * full text — WET carries the whole page's text, boilerplate removal
+    * is the CORPUS pipeline's job); kept in lockstep by the WarcSpec
+    * round-trip golden (wetToCorpus over the written sidecar must equal
+    * the extraction over the original WARC). Pages whose extraction is
+    * empty write no record, like the Common Crawl generator. All
+    * map-side codegen'd HOFs — the only exchange is writeWet's shard
+    * repartition. */
+  def toWet(warc: DataFrame): DataFrame = {
+    val cs = graft.ops.Html.charsetOf(col("mime"))
+    val html = graft.ops.Html.decodePayload(col("payload"), cs)
+    warc
+      .filter(col("record_type") === "response" &&
+        col("status") === 200 && lower(col("mime")).contains("html"))
+      .select(col("filename").as("shard"), col("url"), col("ts"),
+        graft.ops.Html.text(html).as("text"))
+      .filter(length(trim(col("text"))) > 0)
+  }
+
+  /** the Common Crawl WAT JSON envelope ([[watLinks]]'s parse schema, in
+    * the WRITE direction): title + outlink urls under
+    * Envelope.Payload-Metadata.HTTP-Response-Metadata.HTML-Metadata,
+    * plus the WARC-Header-Metadata block real WAT carries. `dsts` is an
+    * array<string> of resolved outlink URLs. Null titles are omitted
+    * from the JSON (to_json drops null fields), which from_json reads
+    * back as null — the round trip is exact. */
+  def watEnvelope(url: Column, ts: Column, title: Column, dsts: Column): Column = {
+    val iso = concat(
+      substring(ts, 1, 4), lit("-"), substring(ts, 5, 2), lit("-"), substring(ts, 7, 2),
+      lit("T"), substring(ts, 9, 2), lit(":"), substring(ts, 11, 2),
+      lit(":"), substring(ts, 13, 2), lit("Z"))
+    to_json(struct(
+      struct(
+        struct(url.as("WARC-Target-URI"), iso.as("WARC-Date"))
+          .as("WARC-Header-Metadata"),
+        struct(
+          struct(
+            struct(
+              struct(title.as("Title")).as("Head"),
+              transform(dsts, d =>
+                struct(lit("A@/href").as("path"), d.as("url"))).as("Links")
+            ).as("HTML-Metadata")
+          ).as("HTTP-Response-Metadata")
+        ).as("Payload-Metadata")
+      ).as("Envelope")))
+  }
+
+  /** WARC responses -> the WAT sidecar's record frame (shard, url, ts,
+    * meta) — the GENERATION twin of [[watLinks]], feeding
+    * [[graft.formats.WarcSink.writeWat]]: per page, title
+    * ([[graft.ops.Html.title]]) and resolved outlinks
+    * ([[graft.ops.Html.links]] — the same extraction behind html_links)
+    * packed into [[watEnvelope]]. Link-less pages still write a record
+    * (real WAT inventories every response); their Links array is empty
+    * and contributes no edges on read-back. */
+  def toWat(warc: DataFrame): DataFrame = {
+    val cs = graft.ops.Html.charsetOf(col("mime"))
+    val html = graft.ops.Html.decodePayload(col("payload"), cs)
+    warc
+      .filter(col("record_type") === "response" &&
+        col("status") === 200 && lower(col("mime")).contains("html"))
+      .select(col("filename").as("shard"), col("url"), col("ts"),
+        watEnvelope(col("url"), col("ts"),
+          graft.ops.Html.title(html),
+          transform(graft.ops.Html.links(html, col("url")), _.getField("dst"))
+        ).as("meta"))
   }
 
   /** The composed near-dup curation flow over a `(doc_id, lang, text)`

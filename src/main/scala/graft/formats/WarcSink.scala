@@ -75,20 +75,39 @@ object WarcSink {
     * writer crash in that window strands the corpus in `.old-<stamp>`.
     * The next write() heals that: on start it restores the newest
     * orphaned backup when `dir` is missing and clears leftover
-    * `.staging-*`/`.old-*` siblings from dead runs. */
-  def write(df: DataFrame, dir: String, codec: String = "gzip"): Unit = {
+    * `.staging-*`/`.old-*` siblings from dead runs.
+    *
+    * Sidecar support (the WET/WAT generation path, [[writeWet]] /
+    * [[writeWat]]): an optional `record_type` column overrides the
+    * response/resource default per row (`conversion` for WET text,
+    * `metadata` for WAT JSON); `ext` overrides the codec-derived file
+    * extension (`.warc.wet.gz` / `.warc.wat.gz` — the reader still
+    * dispatches on the trailing `.gz`/`.zst`); a non-null `warcinfo`
+    * opens every output file with a `warcinfo` record carrying it (the
+    * Common Crawl sidecar convention), dated from the file's first
+    * record so output stays deterministic. */
+  def write(
+      df: DataFrame, dir: String, codec: String = "gzip",
+      ext: String = null, warcinfo: String = null): Unit = {
     val need = Seq("shard", "url", "ts", "status", "mime", "payload")
     require(need.forall(df.columns.contains),
       s"WarcSink.write needs [${need.mkString(", ")}]; got [${df.columns.mkString(", ")}]")
+    val hasType = df.columns.contains("record_type")
+    val cols = if (hasType) need :+ "record_type" else need
     // zstd shards follow warcio's .warc.zst convention: one self-contained
     // frame per record, the same seekable unit the CDX offset/length
     // columns point into; the independent reader dispatches on extension
-    val ext = codec match {
+    val defaultExt = codec match {
       case "gzip" => ".warc.gz"
       case "zstd" => ".warc.zst"
       case other => throw new IllegalArgumentException(
         s"WarcSink.write: codec must be gzip or zstd, got '$other'")
     }
+    val outExt = Option(ext).getOrElse(defaultExt)
+    // the scan dispatches its member reader on the trailing extension —
+    // a mismatched override would write zstd frames the gzip path rejects
+    require(outExt.endsWith(if (codec == "zstd") ".zst" else ".gz"),
+      s"WarcSink.write: ext '$outExt' conflicts with codec '$codec'")
     val spark = df.sparkSession
     // VALIDATE BEFORE DESTROY: null shards and clashing normalized
     // basenames are rejected while the previous corpus is still intact.
@@ -99,13 +118,13 @@ object WarcSink {
     // the pre-flight's snapshot misses on nondeterministic lineage.
     // warcNameCol propagates null shards to a null group on its own
     val clash = df.select(col("shard"))
-      .groupBy(warcNameCol(col("shard"), ext).as("base"))
+      .groupBy(warcNameCol(col("shard"), outExt).as("base"))
       .agg(countDistinct(col("shard")).as("n"))
       .filter(col("base").isNull || col("n") > 1)
       .limit(5).collect()
     require(clash.isEmpty,
       "WarcSink.write: shard values must be non-null and their normalized " +
-        s"basenames unique (they name the output $ext files); offending " +
+        s"basenames unique (they name the output $outExt files); offending " +
         "basenames: " + clash.map(r => String.valueOf(r.get(0))).mkString(", "))
     val dirPath = new Path(dir)
     val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -152,8 +171,8 @@ object WarcSink {
     // loop re-detects any collision the pre-flight's snapshot missed and
     // fails before the second rename-OVERWRITE could silently replace
     // the first shard's file.
-    try df.select(need.map(col): _*)
-      .repartition(warcNameCol(col("shard"), ext))
+    try df.select(cols.map(col): _*)
+      .repartition(warcNameCol(col("shard"), outExt))
       .sortWithinPartitions("shard", "url", "ts", "status")
       .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
         val pfs = org.apache.hadoop.fs.FileSystem.newInstance(
@@ -171,14 +190,14 @@ object WarcSink {
         // context per frame (Zstd.compress) costs a native alloc+init in
         // the hot loop — measured 2.5x the whole write at sf0.1
         val zctx =
-          if (ext == ".warc.zst") new com.github.luben.zstd.ZstdCompressCtx()
+          if (codec == "zstd") new com.github.luben.zstd.ZstdCompressCtx()
           else null
         var current: String = null
         var out: java.io.OutputStream = null
         def close(): Unit = if (out != null) {
           out.close(); out = null
-          val tmp = new Path(outDir, s".${warcName(current, ext)}.$attempt.tmp")
-          val fin = new Path(outDir, warcName(current, ext))
+          val tmp = new Path(outDir, s".${warcName(current, outExt)}.$attempt.tmp")
+          val fin = new Path(outDir, warcName(current, outExt))
           fctx match {
             case Some(fc) => // atomicity caveats identical to CdxSink
               fc.rename(tmp, fin, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
@@ -200,7 +219,7 @@ object WarcSink {
             val shard = row.getString(0)
             if (shard != current) {
               close()
-              val name = warcName(shard, ext)
+              val name = warcName(shard, outExt)
               published.get(name) match {
                 case Some(other) if other != shard =>
                   throw new IllegalArgumentException(
@@ -210,7 +229,21 @@ object WarcSink {
                 case _ => published.update(name, shard)
               }
               current = shard
-              out = pfs.create(new Path(outDir, s".${warcName(shard, ext)}.$attempt.tmp"), true)
+              out = pfs.create(new Path(outDir, s".${warcName(shard, outExt)}.$attempt.tmp"), true)
+              if (warcinfo != null) {
+                // sidecar convention: every file opens with a warcinfo
+                // record; dated from the file's FIRST record (the sort
+                // makes that deterministic — no wall clock in the bytes)
+                require(!row.isNullAt(2) && isTs14(row.getString(2)),
+                  s"WarcSink: ts must be 14 digits; got ${row.getString(2)}")
+                val infoBytes = warcinfo.getBytes("UTF-8")
+                val info = Warc.renderRecord(Warc.FixtureRecord(
+                  "warcinfo", null, iso(row.getString(2)),
+                  graft.functions.SurtAlg.base32(sha1.digest(infoBytes)), 0,
+                  "application/warc-fields", infoBytes))
+                if (zctx != null) out.write(zctx.compress(info))
+                else Gzip.writeMember(out, info)
+              }
             }
             require(!row.isNullAt(2) && isTs14(row.getString(2)),
               s"WarcSink: ts must be 14 digits (WARC-Date source, the " +
@@ -224,12 +257,19 @@ object WarcSink {
             val payload = Option(row.getAs[Array[Byte]]("payload"))
               .getOrElse(Array.emptyByteArray)
             val isResp = !row.isNullAt(3)
+            // an explicit record_type (the WET/WAT sidecar path) wins;
+            // `response` stays tied to a real status — a typed row
+            // claiming response without one would render a garbage head
+            val rtype =
+              if (hasType && !row.isNullAt(6)) row.getString(6)
+              else if (isResp) "response" else "resource"
+            require(rtype != "response" || isResp,
+              s"WarcSink: record_type=response needs a status (url=${row.getString(1)})")
             sha1.reset()
             val digest = graft.functions.SurtAlg.base32(sha1.digest(payload))
             val rec = Warc.renderRecord(Warc.FixtureRecord(
-              if (isResp) "response" else "resource",
-              row.getString(1), iso(row.getString(2)), digest,
-              if (isResp) row.getInt(3) else 0, row.getString(4), payload))
+              rtype, row.getString(1), iso(row.getString(2)), digest,
+              if (rtype == "response") row.getInt(3) else 0, row.getString(4), payload))
             if (zctx != null) out.write(zctx.compress(rec))
             else Gzip.writeMember(out, rec)
           }
@@ -266,4 +306,45 @@ object WarcSink {
     }
     if (hadOld) fs.delete(backup, true)
   }
+
+  /** a WARC shard name's sidecar base: `warc-17.warc.gz` -> `warc-17`,
+    * so warcName() rebuilds the Common Crawl sidecar names
+    * (`warc-17.warc.wet.gz` / `.warc.wat.gz`) instead of stacking
+    * extensions */
+  private def sidecarShard = regexp_replace(col("shard"), "\\.warc\\.(gz|zst)$", "")
+
+  /** WET sidecar writer — the GENERATION direction of the Common Crawl
+    * `*.warc.wet.gz` convention the engine already consumes
+    * ([[graft.Pipeline.wetToCorpus]], scan_wet): `df` = (shard, url,
+    * ts [14-digit], text) becomes one `<shard-base>.warc.wet.gz` per
+    * shard of WARC `conversion` records (text/plain payloads, the WET
+    * contract) behind a leading `warcinfo` record. Round-trips through
+    * the engine's own scan — WarcSpec pins wetToCorpus(written) equal to
+    * the extraction over the original WARC. */
+  def writeWet(df: DataFrame, dir: String): Unit =
+    write(
+      df.select(
+        sidecarShard.as("shard"), col("url"), col("ts"),
+        lit(null).cast("int").as("status"), lit(null).cast("string").as("mime"),
+        col("text").cast("binary").as("payload"),
+        lit("conversion").as("record_type")),
+      dir, ext = ".warc.wet.gz",
+      warcinfo = "software: graft\r\nformat: WARC File Format 1.0\r\n" +
+        "description: extracted-text sidecar (WET)")
+
+  /** WAT sidecar writer — the GENERATION direction of `*.warc.wat.gz`
+    * ([[graft.Pipeline.watLinks]], scan_wat): `df` = (shard, url, ts,
+    * meta [the JSON envelope string — build it with
+    * [[graft.Pipeline.watEnvelope]]]) becomes WARC `metadata` records
+    * (application/json payloads) behind a leading `warcinfo` record. */
+  def writeWat(df: DataFrame, dir: String): Unit =
+    write(
+      df.select(
+        sidecarShard.as("shard"), col("url"), col("ts"),
+        lit(null).cast("int").as("status"), lit("application/json").as("mime"),
+        col("meta").cast("binary").as("payload"),
+        lit("metadata").as("record_type")),
+      dir, ext = ".warc.wat.gz",
+      warcinfo = "software: graft\r\nformat: WARC File Format 1.0\r\n" +
+        "description: response-metadata sidecar (WAT)")
 }

@@ -731,6 +731,55 @@ object Formats extends QueryModule {
         .orderBy("url", "ts", "status", "mime", "body_sha256")
     }),
 
+    // WET GENERATION round trip — the sidecar the Common Crawl ecosystem
+    // builds next to the indexer, previously consume-only (scan_wet):
+    // deterministic per-capture text written as `conversion` records via
+    // WarcSink.writeWet (one .warc.wet.gz per source WARC shard, leading
+    // warcinfo), then read back through the ENGINE'S OWN WET consumer
+    // (Pipeline.wetToCorpus — record-type filter, UTF-8 cast, dedup).
+    // The oracle replays url/ts/text straight from the cdx CTE, so the
+    // whole container round trip (framing, WARC-Date<->ts14, payload
+    // bytes, conversion typing) must be byte-faithful to hash-match.
+    // The HTML→WET extraction composition (Pipeline.toWet) is pinned
+    // equal to Html.extract in WarcSpec.
+    "sink_wet" -> ((s, d) => {
+      val dir = tmp(d, "wet_write")
+      graft.formats.WarcSink.writeWet(
+        Cdx.df(s, d).where(col("record_type") === "response")
+          .selectExpr("filename AS shard", "url", "ts",
+            "concat('wet text of capture ', id, ' at ', urlkey) AS text"),
+        dir)
+      graft.Pipeline.wetToCorpus(s, dir + "/*.warc.wet.gz")
+        .select(col("url"), col("ts"), col("text"))
+        .orderBy("url", "ts", "text")
+    }),
+
+    // WAT GENERATION round trip — deterministic per-capture title +
+    // outlinks packed into the Common Crawl JSON envelope
+    // (Pipeline.watEnvelope), written as `metadata` records via
+    // WarcSink.writeWat, read back through the ENGINE'S OWN WAT consumer
+    // (Pipeline.watLinks: one from_json parse, link explode). The oracle
+    // replays the planted edges from the cdx CTE — id%3 captures carry a
+    // second outlink, so the link fan-out (1 and 2 edges per record)
+    // crosses the envelope in both shapes. The HTML→WAT composition
+    // (Pipeline.toWat over Html.title/links) is pinned in WarcSpec.
+    "sink_wat" -> ((s, d) => {
+      val dir = tmp(d, "wat_write")
+      graft.formats.WarcSink.writeWat(
+        Cdx.df(s, d).where(col("record_type") === "response")
+          .selectExpr("filename AS shard", "url", "ts",
+            "concat('Title ', id % 100) AS title",
+            "filter(array(concat('http://dst.example.org/', id % 50), " +
+              "CASE WHEN id % 3 = 0 THEN concat('http://alt.example.org/', id % 20) END), " +
+              "x -> x IS NOT NULL) AS dsts")
+          .select(col("shard"), col("url"), col("ts"),
+            graft.Pipeline.watEnvelope(
+              col("url"), col("ts"), col("title"), col("dsts")).as("meta")),
+        dir)
+      graft.Pipeline.watLinks(s, dir + "/*.warc.wat.gz")
+        .orderBy("src", "ts", "title", "dst")
+    }),
+
     // classic CDX-11 emit (the cdxj=False output dialect)
     "cdx11_pack" -> ((s, d) =>
       Cdx.df(s, d)
@@ -910,6 +959,23 @@ object Formats extends QueryModule {
         "FROM u ORDER BY sitemap, loc"),
     "sink_warc_write" -> o(warcWriteOracle),
     "sink_warc_zst_write" -> o(warcWriteOracle),
+    // the WET text replayed from the cdx CTE: the conversion-record
+    // round trip must hand back exactly the planted string per capture
+    "sink_wet" -> o(
+      "SELECT url, ts, 'wet text of capture ' || id || ' at ' || urlkey AS text " +
+        "FROM cdx WHERE record_type = 'response' ORDER BY url, ts, text"),
+    // the WAT edges replayed from the cdx CTE: one edge per capture plus
+    // a second for id%3 rows — exactly what watEnvelope packed
+    "sink_wat" -> o(
+      "SELECT src, ts, title, dst FROM (" +
+        "SELECT url AS src, ts, 'Title ' || (id % 100) AS title, " +
+        "'http://dst.example.org/' || (id % 50) AS dst " +
+        "FROM cdx WHERE record_type = 'response' " +
+        "UNION ALL " +
+        "SELECT url AS src, ts, 'Title ' || (id % 100) AS title, " +
+        "'http://alt.example.org/' || (id % 20) AS dst " +
+        "FROM cdx WHERE record_type = 'response' AND id % 3 = 0" +
+        ") ORDER BY src, ts, title, dst"),
     "cdx11_pack" -> o(
       s"SELECT id, $cdx11LineDuck AS line FROM " +
         s"(SELECT *, $boffsetDuck AS boffset FROM cdx) ORDER BY id"),

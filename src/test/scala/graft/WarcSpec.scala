@@ -547,6 +547,67 @@ class WarcSpec extends SparkSpec {
     }
   }
 
+  test("WET/WAT generation: sidecars from a WARC scan round-trip through the engine's own consumers") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("warc_sidecar")
+    val warc = dir.resolve("orig.warc.gz").toString
+    // corpusFixtureRecords: duplicate menu captures (dedup plant), a nav
+    // with real <a href> links (the WAT edges), ISO-8859-1 + UTF-8 pages
+    Warc.writeFixture(warc, Warc.corpusFixtureRecords)
+    val scanned = Warc.scan(spark, warc)
+
+    // ---- WET: write via toWet, read back via wetToCorpus
+    val wetDir = dir.resolve("wet").toString
+    graft.formats.WarcSink.writeWet(graft.Pipeline.toWet(scanned), wetDir)
+    assert(new java.io.File(wetDir).list().toSeq == Seq("orig.warc.wet.gz"),
+      "sidecar must take the CC name (strip .warc.gz, append .warc.wet.gz)")
+    val back = graft.Pipeline.wetToCorpus(spark, wetDir + "/*.warc.wet.gz", minChars = 1)
+      .select("url", "ts", "text").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).sortBy(t => (t._1, t._2)).toSeq
+    // the direct path: Html.extract over the original, then the same
+    // earliest-capture-per-content dedup wetToCorpus applies
+    val direct = graft.ops.Html.extract(scanned)
+      .filter(length(trim(col("text"))) > 0)
+      .select("url", "ts", "text").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    val expected = direct.groupBy(_._3).map { case (_, rows) =>
+      rows.minBy(r => (r._2, r._1)) }.toSeq.sortBy(t => (t._1, t._2))
+    assert(back == expected, "wetToCorpus over the written sidecar must equal direct extraction")
+    assert(back.exists(_._3.contains("résumé")),
+      "the ISO-8859-1 page's text must survive the UTF-8 WET round trip")
+    // file layout: warcinfo record first, conversion records after
+    val wetTypes = Warc.scan(spark, wetDir + "/*.warc.wet.gz")
+      .orderBy("offset").select("record_type").collect().map(_.getString(0)).toSeq
+    assert(wetTypes.head == "warcinfo" && wetTypes.tail.forall(_ == "conversion"), wetTypes.toString)
+
+    // ---- WAT: write via toWat, read back via watLinks
+    val watDir = dir.resolve("wat").toString
+    graft.formats.WarcSink.writeWat(graft.Pipeline.toWat(scanned), watDir)
+    assert(new java.io.File(watDir).list().toSeq == Seq("orig.warc.wat.gz"))
+    val edges = graft.Pipeline.watLinks(spark, watDir + "/*.warc.wat.gz")
+      .select("src", "ts", "title", "dst").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+      .sortBy(t => (t._1, t._2, t._4)).toSeq
+    // direct: title + resolved links straight off the page bytes
+    val cs = graft.ops.Html.charsetOf(col("mime"))
+    val html = graft.ops.Html.decodePayload(col("payload"), cs)
+    val directEdges = scanned
+      .filter(col("record_type") === "response" && col("status") === 200 &&
+        lower(col("mime")).contains("html"))
+      .select(col("url").as("src"), col("ts"),
+        graft.ops.Html.title(html).as("title"),
+        explode(transform(graft.ops.Html.links(html, col("url")), _.getField("dst"))).as("dst"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+      .sortBy(t => (t._1, t._2, t._4)).toSeq
+    assert(edges == directEdges, "watLinks over the written sidecar must equal direct Html.links")
+    assert(edges.nonEmpty && edges.exists(_._3 == "Menu"),
+      "the nav links must survive as edges with their page title")
+    val watTypes = Warc.scan(spark, watDir + "/*.warc.wat.gz")
+      .orderBy("offset").select("record_type").collect().map(_.getString(0)).toSeq
+    assert(watTypes.head == "warcinfo" && watTypes.tail.forall(_ == "metadata"), watTypes.toString)
+  }
+
   test("WarcSink: a mid-job failure leaves the previous corpus untouched (staged swap)") {
     // the write is staged into <dir>.staging-<id> and only swapped in on
     // success: a task failure mid-write (malformed ts here) must leave
