@@ -128,25 +128,64 @@ object Html {
   def mainContent(html: Column): Column =
     array_join(transform(mainBlocks(html), s => s("t")), "\n")
 
+  /** resolve `href` against `base` — absolute kept, protocol-relative
+    * gets the base scheme, root-relative the base origin, path-relative
+    * the base directory. Shared by the per-anchor resolution and the
+    * `<base href>` resolution in [[links]] (a base href may itself be
+    * relative to the page URL). */
+  private def resolve(base: Column, href: Column): Column = {
+    val scheme = regexp_extract(base, "^([A-Za-z][A-Za-z0-9+.-]*):", 1)
+    val origin = regexp_extract(base, "^([A-Za-z][A-Za-z0-9+.-]*://[^/]+)", 1)
+    val dir = regexp_extract(base, "^([A-Za-z][A-Za-z0-9+.-]*://.*/)[^/]*$", 1)
+    when(href.rlike("(?i)^[a-z][a-z0-9+.-]*://"), href)
+      .when(href.startsWith("//"), concat(scheme, lit(":"), href))
+      .when(href.startsWith("/"), concat(origin, href))
+      .otherwise(concat(
+        coalesce(nullif(dir, lit("")), concat(origin, lit("/"))), href))
+  }
+
+  /** RFC 3986 §5.2.4-shaped dot-segment removal on the PATH component
+    * of an absolute URL: `/./` and a trailing `/.` vanish, `/seg/../`
+    * collapses (up to 6 levels per URL — a deeper `../` chain stays
+    * partially normalized, the documented bound of this loop-free
+    * codegen form), a leading `/../` clamps to root. Query/fragment
+    * bytes are never touched — resolvers only normalize paths. */
+  private[graft] def normalizeDots(u: Column): Column = {
+    val origin = regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
+    val rest = u.substr(length(origin) + 1, length(u))
+    val path0 = regexp_extract(rest, "^([^?#]*)", 1)
+    val tail = rest.substr(length(path0) + 1, length(rest))
+    // lookaheads keep the boundary slash unconsumed, so adjacent /./././
+    // collapse in ONE pass; the ../ collapse genuinely needs iteration
+    // (each pass removes one nesting level)
+    val noDot = regexp_replace(path0, "/\\.(?=/|$)", "")
+    val collapsed = (1 to 6).foldLeft(noDot)((p, _) =>
+      regexp_replace(regexp_replace(p,
+        "/(?!\\.\\.(?=/|$))[^/]+/\\.\\.(?=/|$)", ""),
+        "^/\\.\\.(?=/|$)", ""))
+    val path = when(collapsed === "" && path0 =!= "", lit("/")).otherwise(collapsed)
+    concat(origin, path, tail)
+  }
+
   /** Outlink extraction — the web-graph edge feed when WAT sidecars are
     * absent (the in-engine twin of [[graft.Pipeline.watLinks]]): every
     * `<a href>` element yields a (dst, anchor) struct with the href
-    * RESOLVED against the page URL — absolute kept, protocol-relative
-    * gets the base scheme, root-relative the base origin, path-relative
-    * the base directory; fragment/javascript/mailto pseudo-links drop.
-    * Anchor text is tag-stripped/entity-decoded/whitespace-collapsed.
-    * All codegen'd built-ins (regexp_extract_all + HOFs) — map-side,
-    * zero shuffles, fuses into the scan. Fidelity bound (documented):
-    * no `<base href>` override and no ../ dot-segment normalization —
-    * the regex-subset contract the rest of this module keeps. */
+    * RESOLVED against the page's effective base — the first
+    * `<base href>` when present (itself resolved against the page URL,
+    * per HTML spec), the page URL otherwise — then dot-segments
+    * normalized ([[normalizeDots]]; the when() guard keeps the common
+    * dotless link on the cheap path). Fragment/javascript/mailto
+    * pseudo-links drop. Anchor text is tag-stripped/entity-decoded/
+    * whitespace-collapsed. All codegen'd built-ins (regexp_extract_all +
+    * HOFs) — map-side, zero shuffles, fuses into the scan. */
   def links(html: Column, baseUrl: Column): Column = {
     val noScript = regexp_replace(html, "(?is)<(script|style)[^>]*>.*?</\\1\\s*>", " ")
     val noComment = regexp_replace(noScript, "(?s)<!--.*?-->", " ")
     val anchors = regexp_extract_all(noComment,
       lit("(?is)<a\\s[^>]*href[^>]*>.*?</a\\s*>"), lit(0))
-    val scheme = regexp_extract(baseUrl, "^([A-Za-z][A-Za-z0-9+.-]*):", 1)
-    val origin = regexp_extract(baseUrl, "^([A-Za-z][A-Za-z0-9+.-]*://[^/]+)", 1)
-    val dir = regexp_extract(baseUrl, "^([A-Za-z][A-Za-z0-9+.-]*://.*/)[^/]*$", 1)
+    val rawBase = nullif(trim(regexp_extract(noComment,
+      "(?is)<base\\s[^>]*?href\\s*=\\s*[\"']?([^\\s\"'>]+)", 1)), lit(""))
+    val effBase = when(rawBase.isNull, baseUrl).otherwise(resolve(baseUrl, rawBase))
     filter(
       transform(anchors, a => {
         // quoted forms first; the bare form stops at whitespace/>/quote
@@ -154,15 +193,12 @@ object Html {
           nullif(regexp_extract(a, "(?is)href\\s*=\\s*\"([^\"]*)\"", 1), lit("")),
           nullif(regexp_extract(a, "(?is)href\\s*=\\s*'([^']*)'", 1), lit("")),
           nullif(regexp_extract(a, "(?is)href\\s*=\\s*([^\\s\"'>]+)", 1), lit(""))))
-        val dst =
+        val dst0 =
           when(href.isNull || href === "" || href.startsWith("#") ||
             lower(href).startsWith("javascript:") || lower(href).startsWith("mailto:"),
             lit(null).cast("string"))
-            .when(href.rlike("(?i)^[a-z][a-z0-9+.-]*://"), href)
-            .when(href.startsWith("//"), concat(scheme, lit(":"), href))
-            .when(href.startsWith("/"), concat(origin, href))
-            .otherwise(concat(
-              coalesce(nullif(dir, lit("")), concat(origin, lit("/"))), href))
+            .otherwise(resolve(effBase, href))
+        val dst = when(dst0.contains("/."), normalizeDots(dst0)).otherwise(dst0)
         struct(dst.as("dst"), blockText(a).as("anchor"))
       }),
       s => s("dst").isNotNull)

@@ -248,16 +248,24 @@ object Curation extends QueryModule {
     // link (entity+markup in the anchor — pins the inner strip), a
     // root-relative and a bare path-relative href (pin origin/directory
     // resolution against the per-doc base URL), protocol-relative on even
-    // docs (pins scheme attach), and fragment/javascript pseudo-links
+    // docs (pins scheme attach), fragment/javascript pseudo-links
     // BETWEEN them (pins both the drop and the position renumbering
-    // after the filter). Closed-form oracle; map-side HOFs, the output
-    // sort is the only exchange.
+    // after the filter), a `<base href="/based/">` on doc_id%5=1 heads
+    // (the path-relative Plain arm must resolve under /based/ there —
+    // the base-override plant), and a dotted './x/../up/' href on every
+    // doc (both dot-segment forms collapse — ./ drops, x/../ cancels —
+    // leaving the effective base directory intact, so normalization
+    // composes with the base arm; RFC 3986 §5.2.4). Closed-form oracle;
+    // map-side HOFs, the output sort is the only exchange.
     "html_links" -> ((s, d) => {
       val m4 = (col("doc_id") % 4).cast("string")
       val base = concat(lit("http://www.site"), m4,
         lit(".example/dir/page"), col("doc_id").cast("string"), lit(".html"))
       val page = concat(
-        lit("<html><head><title>L</title></head><body><p>" +
+        lit("<html><head><title>L</title>"),
+        when(col("doc_id") % 5 === 1,
+          lit("<base href=\"/based/\">")).otherwise(lit("")),
+        lit("</head><body><p>" +
           "<a href=\"http://ext.example/e"), (col("doc_id") % 5).cast("string"),
         lit("\"><b>External</b>&nbsp;link</a> <a href='/rel/"),
         (col("doc_id") % 7).cast("string"),
@@ -267,7 +275,8 @@ object Curation extends QueryModule {
         lit(".html>Plain</a>"),
         when(col("doc_id") % 2 === 0,
           lit("<a href=\"//cdn.example/x\">CDN</a>")).otherwise(lit("")),
-        lit("</p></body></html>"))
+        lit("<a href='./x/../up/"), (col("doc_id") % 6).cast("string"),
+        lit(".html'>Up</a></p></body></html>"))
       Tables.t(s, d, "documents")
         .select(col("doc_id"),
           posexplode(graft.ops.Html.links(page, base)))
@@ -622,7 +631,13 @@ object Curation extends QueryModule {
         "FROM documents)))) ORDER BY doc_id"),
 
     // each arm replayed closed-form; positions are POST-filter (the
-    // fragment/javascript links between arms never consume a slot)
+    // fragment/javascript links between arms never consume a slot).
+    // Plain resolves under /based/ on the base-override docs (%5=1);
+    // the Up arm's './x/../up/' cancels only its own planted x segment
+    // (RFC 3986: one ../ consumes one preceding segment), so it lands
+    // under the SAME directory as Plain — /based/up/ on base docs,
+    // /dir/up/ otherwise — pinning that normalization composes with the
+    // base override rather than erasing it.
     "html_links" ->
       ("SELECT doc_id, CAST(pos AS BIGINT) AS pos, dst, anchor FROM (" +
         "SELECT doc_id, 0 AS pos, 'http://ext.example/e' || (doc_id % 5) AS dst, " +
@@ -631,10 +646,17 @@ object Curation extends QueryModule {
         "'http://www.site' || (doc_id % 4) || '.example/rel/' || (doc_id % 7), " +
         "'Relative' FROM documents " +
         "UNION ALL SELECT doc_id, 2, " +
-        "'http://www.site' || (doc_id % 4) || '.example/dir/plain' || (doc_id % 3) || '.html', " +
+        "'http://www.site' || (doc_id % 4) || '.example' || " +
+        "(CASE WHEN doc_id % 5 = 1 THEN '/based/' ELSE '/dir/' END) || " +
+        "'plain' || (doc_id % 3) || '.html', " +
         "'Plain' FROM documents " +
         "UNION ALL SELECT doc_id, 3, 'http://cdn.example/x', 'CDN' " +
-        "FROM documents WHERE doc_id % 2 = 0" +
+        "FROM documents WHERE doc_id % 2 = 0 " +
+        "UNION ALL SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN 4 ELSE 3 END, " +
+        "'http://www.site' || (doc_id % 4) || '.example' || " +
+        "(CASE WHEN doc_id % 5 = 1 THEN '/based/' ELSE '/dir/' END) || " +
+        "'up/' || (doc_id % 6) || '.html', " +
+        "'Up' FROM documents" +
         ") ORDER BY doc_id, pos"),
 
     // full lag replay over the same planted version column; the class

@@ -143,6 +143,34 @@ class HtmlSpec extends SparkSpec {
     // anchor markup and entities strip; uppercase HREF attribute matches
     assert(lk("<a HREF=\"/x\"><b>Bold</b>&amp;&nbsp;co</a>", base) ==
       Seq(("http://www.example.com/x", "Bold & co")))
+
+    // <base href>: the FIRST base overrides path-relative resolution;
+    // root-relative stays on the page origin; an absolute base rehomes
+    // everything; a RELATIVE base resolves against the page URL first
+    assert(lk("<head><base href=\"/based/\"></head>" +
+      "<a href=rel.html>R</a><a href='/root'>O</a>", base) == Seq(
+      ("http://www.example.com/based/rel.html", "R"),
+      ("http://www.example.com/root", "O")))
+    assert(lk("<base href=\"https://other.example/deep/\">" +
+      "<a href=p.html>P</a><a href=/q>Q</a>", base) == Seq(
+      ("https://other.example/deep/p.html", "P"),
+      ("https://other.example/q", "Q")))
+    assert(lk("<base href=\"sub/\"><a href=p.html>S</a>", base) ==
+      Seq(("http://www.example.com/a/b/sub/p.html", "S")))
+
+    // dot segments: ./ drops, seg/../ collapses (chained), leading ../
+    // clamps at root, query strings pass untouched
+    assert(lk("<a href=\"../up.html\">U</a>", base) ==
+      Seq(("http://www.example.com/a/up.html", "U")))
+    assert(lk("<a href=\"./same.html\">S</a>", base) ==
+      Seq(("http://www.example.com/a/b/same.html", "S")))
+    assert(lk("<a href=\"../../../../too-far.html\">T</a>", base) ==
+      Seq(("http://www.example.com/too-far.html", "T")))
+    assert(lk("<a href=\"./x/../y/./z/../w.html?q=/../keep\">M</a>", base) ==
+      Seq(("http://www.example.com/a/b/y/w.html?q=/../keep", "M")))
+    // dotfile segments are NOT dot segments
+    assert(lk("<a href=\"/.well-known/x\">W</a>", base) ==
+      Seq(("http://www.example.com/.well-known/x", "W")))
   }
 
   test("extractMain: the old chrome-only menu page extracts to empty text") {
