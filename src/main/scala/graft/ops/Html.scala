@@ -13,8 +13,10 @@ import org.apache.spark.sql.functions._
   * inside whole-stage codegen, fully distributed.
   *
   * Fidelity scope: tag/script/style/comment stripping, the HTML entities
-  * crawled text actually carries, per-row charset decode for the charsets
-  * web archives actually declare (utf-8 / iso-8859-1 / us-ascii families).
+  * crawled text actually carries — the common named set plus full
+  * numeric/hex character references (`&#233;`, `&#x263A;`) — per-row
+  * charset decode for the charsets web archives actually declare
+  * (utf-8 / iso-8859-1 / us-ascii families).
   * A DOM-accurate extractor is a deliberate non-goal (needs a parser lib);
   * the regex subset is the 80% that matters for corpus building and is
   * golden-tested in HtmlSpec.
@@ -37,13 +39,50 @@ object Html {
       .when(cs.isin("us-ascii", "ascii"), decode(payload, "US-ASCII"))
       .otherwise(decode(payload, "UTF-8"))
 
-  /** the entities crawled text actually carries, in decode-safe order */
+  /** one Unicode codepoint as a string, from its integer value — built
+    * from the UTF-32BE byte form (4 hex-padded bytes → decode), since
+    * the builtin `chr` masks to one byte and would corrupt anything
+    * past U+00FF. Callers must range-guard (≤ U+10FFFF, no surrogates):
+    * Spark 4's decode throws on malformed coding. */
+  private def codepointChar(cp: Column): Column =
+    decode(to_binary(lpad(hex(cp), 8, "0"), lit("hex")), "UTF-32")
+
+  /** numeric (`&#247;`) and hex (`&#x41;`) character references — real
+    * pages carry both. Split on lookahead boundaries so each piece
+    * starts with at most one reference; invalid codepoints (out of
+    * range, surrogates) stay literal text, like browsers render
+    * unparseable references. The containment guard keeps reference-free
+    * text (the overwhelmingly common case) to one `contains`. */
+  private def decodeNumericEntities(c: Column): Column = {
+    def cpOk(cp: Column) =
+      cp <= 0x10FFFF && !(cp >= 0xD800 && cp <= 0xDFFF)
+    val decoded = array_join(
+      transform(split(c, "(?=&#)"), p => {
+        val dec = nullif(regexp_extract(p, "^&#([0-9]{1,7});", 1), lit(""))
+        val hx = nullif(regexp_extract(p, "^&#[xX]([0-9A-Fa-f]{1,6});", 1), lit(""))
+        when(dec.isNotNull && cpOk(dec.cast("int")),
+          concat(codepointChar(dec.cast("int")),
+            regexp_replace(p, "^&#[0-9]{1,7};", "")))
+          .when(hx.isNotNull && cpOk(conv(hx, 16, 10).cast("int")),
+            concat(codepointChar(conv(hx, 16, 10).cast("int")),
+              regexp_replace(p, "^&#[xX][0-9A-Fa-f]{1,6};", "")))
+          .otherwise(p)
+      }), "")
+    when(c.contains("&#"), decoded).otherwise(c)
+  }
+
+  /** the entities crawled text actually carries, in decode-safe order:
+    * numeric/hex references first (matching the browser result for
+    * `&amp;#65;` — the `&amp;` stays escaped through one decode pass),
+    * then the named set */
   private def decodeEntities(c: Column): Column =
     Seq(
       "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
       "&quot;" -> "\"", "&#39;" -> "'", "&apos;" -> "'",
       "&amp;" -> "&" // last: &amp;lt; must become &lt;, not <
-    ).foldLeft(c) { case (acc, (e, r)) => regexp_replace(acc, e, r) }
+    ).foldLeft(decodeNumericEntities(c)) {
+      case (acc, (e, r)) => regexp_replace(acc, e, r)
+    }
 
   /** `<title>` text (entity-decoded, trimmed), null when absent */
   def title(html: Column): Column =

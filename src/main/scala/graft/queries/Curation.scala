@@ -28,9 +28,17 @@ object Curation extends QueryModule {
     * over the 40-char floor, so its keep decision is constant-true by
     * construction (24 words, 15 in [[graft.ops.Html.contentStops]]; the
     * oracle replays it as a literal) */
+  /** the known-good content paragraph, in BOTH forms: the page build
+    * plants the RAW form (numeric + hex character references — real
+    * pages carry them) and the oracle replays the DECODED form, so the
+    * html_main_content hash only matches if Html.decodeEntities actually
+    * resolves `&#233;` -> é and `&#x263A;` -> ☺ */
+  private[graft] val mainDemoParaRaw =
+    "And that is the point of the story we have to be told with all of " +
+      "the care and the time that the caf&#233; crowd &#x263A; deserves."
   private[graft] val mainDemoPara =
     "And that is the point of the story we have to be told with all of " +
-      "the care and the time that it deserves."
+      "the care and the time that the café crowd ☺ deserves."
 
   private val contentStopsDuck =
     graft.ops.Html.contentStops.mkString("['", "', '", "']")
@@ -226,7 +234,7 @@ object Curation extends QueryModule {
           "<a href=\"/about\">About</a> <a href=\"/contact\">Contact</a></nav><p>"),
         col("text"),
         lit("</p>"),
-        when(col("doc_id") % 3 === 0, lit("<p>" + mainDemoPara + "</p>")).otherwise(lit("")),
+        when(col("doc_id") % 3 === 0, lit("<p>" + mainDemoParaRaw + "</p>")).otherwise(lit("")),
         when(col("doc_id") % 7 === 0, lit("<div><a href=\"/p1\">click</a> " +
           "<a href=\"/p2\">here</a> <a href=\"/p3\">now</a></div>")).otherwise(lit("")),
         when(col("doc_id") % 5 === 0, lit("<div>Read more</div>")).otherwise(lit("")),

@@ -31,6 +31,24 @@ class HtmlSpec extends SparkSpec {
     assert(menu.getAs[String]("charset") == "utf-8")
   }
 
+  test("numeric and hex character references decode; invalid ones stay literal") {
+    def tx(html: String): String =
+      spark.range(1).select(Html.text(lit(html)).as("t")).head().getString(0)
+    // decimal, hex (both cases), BMP and supplementary-plane codepoints
+    assert(tx("<p>caf&#233; &#x263A; &#X41; &#128512;</p>") == "café ☺ A 😀")
+    // &amp;#65; is an ESCAPED reference: one decode pass yields the
+    // literal text &#65;, never A (the browser behavior)
+    assert(tx("<p>&amp;#65;</p>") == "&#65;")
+    // out-of-range / surrogate / malformed references pass through as
+    // text instead of killing the task (real pages carry junk)
+    assert(tx("<p>&#9999999; &#xD800; &#x110000; &#12abc; &#; stays</p>") ==
+      "&#9999999; &#xD800; &#x110000; &#12abc; &#; stays")
+    // adjacent references and a reference at string start
+    assert(tx("&#65;&#66;&#67;") == "ABC")
+    // the old literal &#39; arm agrees with the numeric path
+    assert(tx("<p>it&#39;s</p>") == "it's")
+  }
+
   test("ISO-8859-1 payloads decode through the declared charset") {
     val latin = extracted.find(_.getAs[String]("url").endsWith("/latin")).get
     assert(latin.getAs[String]("charset") == "iso-8859-1")
