@@ -12,9 +12,16 @@ import org.apache.spark.sql.functions._
   * fragment; KEEP non-default ports (`com,example:8080)`); reverse host
   * labels joined by `,` with `)` separator; sort query params. Returns
   * null for URLs with no parseable host (agreeing with [[SurtAlg]]).
-  * Remaining deviation from full surt, documented: IDN hosts are not
-  * punycoded on this composed path (no builtin exposes IDN) — the native
-  * [[SurtKeyExpr]] path punycodes; the two paths agree on ASCII hosts.
+  *
+  * IDN unification: `try_parse_url` returns a NULL host for raw-IDN
+  * URLs (java.net.URI can't parse them), so the composed arms would
+  * null the key where the native [[SurtKeyExpr]] punycodes it. Any URL
+  * carrying a non-ASCII byte therefore DELEGATES to the registered
+  * `surt_key_native` expression — the two paths are identical by
+  * construction on the non-ASCII tail, and the ~100% ASCII common case
+  * stays on the pure-built-in codegen path. Callers must have run
+  * [[GraftFunctions.register]] on the session (the driver key and the
+  * specs do); analysis fails loudly otherwise.
   */
 object Surt {
 
@@ -30,7 +37,11 @@ object Surt {
     * `http://www.Example.com/Path?b=2&a=1` -> `com,example)/path?a=1&b=2`;
     * `http://example.com:8080/p` -> `com,example:8080)/p`.
     */
-  def surtKey(url: Column): Column = {
+  def surtKey(url: Column): Column =
+    when(url.rlike("[^\\x00-\\x7F]"), call_udf("surt_key_native", url))
+      .otherwise(surtKeyAscii(url))
+
+  private def surtKeyAscii(url: Column): Column = {
     // try_parse_url: ANSI-mode parse_url (Spark 4 default) throws on
     // malformed URLs; the SURT contract is null for those
     val host  = try_parse_url(url, lit("HOST"))

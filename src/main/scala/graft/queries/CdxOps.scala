@@ -69,9 +69,12 @@ object CdxOps extends QueryModule {
         .select("urlkey", "ts", "url", "mime", "status", "digest", "length", "filename", "id")
         .orderBy("id")),
 
-    "surt_key" -> ((s, d) =>
+    "surt_key" -> ((s, d) => {
+      // the composed path's non-ASCII arm delegates to surt_key_native
+      graft.functions.GraftFunctions.register(s)
       Cdx.df(s, d).select(col("id"), col("url"), Surt.surtKey(col("url")).as("urlkey"))
-        .orderBy("id")),
+        .orderBy("id")
+    }),
 
     // same op through the native codegen Expression (SURVEY §4 item 1);
     // oracle identical to surt_key -> cross-checks expr vs DuckDB

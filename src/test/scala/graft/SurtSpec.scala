@@ -5,10 +5,14 @@ import org.apache.spark.sql.functions._
 
 /** Golden pairs from the public surt test vectors (FIXTURES.md §A.5) +
   * idempotence property. Non-default ports are kept, default ports
-  * dropped, IDN hosts punycoded (native path; the composed path has no
-  * IDN builtin — documented in Surt's scaladoc). */
+  * dropped, IDN hosts punycoded on BOTH paths — the composed path
+  * delegates any non-ASCII URL to the native expression (Surt's
+  * scaladoc), so the two can't diverge on IDN. */
 class SurtSpec extends SparkSpec {
   import spark.implicits._
+
+  // the composed path's non-ASCII arm resolves surt_key_native
+  graft.functions.GraftFunctions.register(spark)
 
   private def surtOf(urls: String*): Seq[String] =
     urls.toDF("url").select(Surt.surtKey(col("url")).as("k"))
@@ -39,9 +43,14 @@ class SurtSpec extends SparkSpec {
     assert(urls.map(functions.SurtAlg.surtKey) == expected)
   }
 
-  test("IDN hosts punycode on the native path") {
+  test("IDN hosts punycode IDENTICALLY on both paths (composed delegates to native)") {
     assert(functions.SurtAlg.surtKey("http://bücher.example/x")
       == "example,xn--bcher-kva)/x")
+    // the composed path used to NULL raw-IDN keys (try_parse_url can't
+    // parse them); the delegation arm must yield the punycoded key now
+    assert(surtOf("http://bücher.example/x") == Seq("example,xn--bcher-kva)/x"))
+    assert(surtOf("https://münchen.example:8443/p") == Seq("example,xn--mnchen-3ya:8443)/p"))
+    assert(surtOf("http://BÜcher.example/x") == Seq("example,xn--bcher-kva)/x"))
     // already-ASCII xn-- hosts pass through unchanged on both paths
     assert(surtOf("http://xn--bcher-kva.example/x") == Seq("example,xn--bcher-kva)/x"))
     assert(functions.SurtAlg.surtKey("http://xn--bcher-kva.example/x")
