@@ -34,6 +34,14 @@ object Similarity extends QueryModule {
 
   /** embeddings with a double-cast copy of the vector (Cast on arrays is
     * codegen'd, unlike a transform(...) lambda) */
+  /** deterministic PQ codebook literal for the kernel driver rows:
+    * 32 entries = 4 subspaces × 8 centroids (VecAlg.pqEncode layout —
+    * entry j*nCent+c is centroid c of subspace j), each 16-dim with a
+    * per-subspace offset so no two subspaces quantize identically */
+  private val kernelBook =
+    "transform(sequence(0, 31), k -> transform(sequence(0, 15), " +
+      "i -> ((k % 8) - 3.5) * 0.02 + ((i + k) % 3 - 1) * 0.01))"
+
   private def emb(s: SparkSession, d: String): DataFrame =
     Tables.t(s, d, "embeddings")
       .withColumn("ed", col("embedding").cast("array<double>"))
@@ -228,6 +236,58 @@ object Similarity extends QueryModule {
         .selectExpr("doc_id",
           "concat_ws(',', transform(minhash_sig_text(text, 16, 3), x -> hex(x))) AS sig_hex")
         .orderBy("doc_id")
+    }),
+
+    // ---- the 5 vector kernels as their own driver projection rows ----
+    // (kernelBook is defined on the module: 4 subspaces × 8 centroids of
+    // 16 dims, flattened in VecAlg.pqEncode's j*nCent+c layout)
+    // (simhash64_text's discipline: every SURVEY §2 kernel row gets a
+    // CORRECTNESS entry and a bench line. Oracle-exempt — float kernels
+    // with engine-specific accumulation; bit-parity vs the composed HOF
+    // forms and damage/guard behavior are pinned in NativeExprSpec, and
+    // every kernel is ALSO inside oracled composite keys like
+    // sim_ann_pq/sim_cosine_topk. Query/codebook/plane literals are
+    // closed-form sequence() expressions — nothing driver-side.)
+    "cosine_sim" -> ((s, d) => {
+      GraftFunctions.register(s)
+      emb(s, d).selectExpr("vec_id",
+        "round(cosine_sim(ed, transform(sequence(0, 63), i -> 0.5 + i * 0.01)), 6) AS cos_q")
+        .orderBy("vec_id")
+    }),
+    "l2_dist" -> ((s, d) => {
+      GraftFunctions.register(s)
+      emb(s, d).selectExpr("vec_id",
+        "round(l2_dist(ed, transform(sequence(0, 63), i -> 0.5 + i * 0.01)), 6) AS l2_q")
+        .orderBy("vec_id")
+    }),
+    "lsh_bucket" -> ((s, d) => {
+      GraftFunctions.register(s)
+      emb(s, d).selectExpr("vec_id",
+        "lsh_bucket(ed, transform(sequence(0, 3), p -> transform(sequence(0, 63), " +
+          "i -> CASE WHEN (i + p) % 3 = 0 THEN 1.0 ELSE -0.5 END))) AS bucket")
+        .orderBy("vec_id")
+    }),
+    "pq_encode" -> ((s, d) => {
+      GraftFunctions.register(s)
+      // 4 subspaces x 16 dims against the deterministic 32-entry codebook
+      // (entry j*nCent+c = centroid c of subspace j — VecAlg.pqEncode layout);
+      // codes render comma-joined so the dump pipeline can hash them
+      emb(s, d).selectExpr("vec_id",
+        "concat_ws(',', transform(pq_encode(ed, " + kernelBook + ", 16, 8), " +
+          "x -> CAST(x AS STRING))) AS codes")
+        .orderBy("vec_id")
+    }),
+    "pq_adc" -> ((s, d) => {
+      GraftFunctions.register(s)
+      // encode-then-score composition: the ADC distance of each vector's
+      // OWN codes against the fixed query — the executor-side serving op
+      emb(s, d)
+        .selectExpr("vec_id",
+          "pq_encode(ed, " + kernelBook + ", 16, 8) AS codes")
+        .selectExpr("vec_id",
+          "round(pq_adc(transform(sequence(0, 63), i -> 0.5 + i * 0.01), codes, " +
+            kernelBook + ", 8), 6) AS adc_q")
+        .orderBy("vec_id")
     }),
 
     // banded SimHash candidate pairs over a corpus with planted near-dups
