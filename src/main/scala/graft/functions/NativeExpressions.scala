@@ -548,6 +548,56 @@ case class LshBucketExpr(left: Expression, right: Expression)
   * via TorrentBroadcast, so a plan-embedded filter costs the same
   * per-executor bytes as an explicit `sparkContext.broadcast` — without
   * the driver-side handle plumbing. */
+/** (string haystack, LITERAL array<string> terms) -> any term is a
+  * byte-substring of the haystack — kernel #16, the blocklist term arm
+  * at realistic list size. Replaces `exists(typedLit(terms),
+  * contains(...))`, whose cost is |terms| naive scans per row (C4's
+  * badwords list is ~400 entries), with ONE [[AhoCorasick]] automaton
+  * pass per row — cost independent of term count, built once per plan
+  * from the foldable term array. Byte-level matching == the
+  * UTF8String.contains semantics of the HOF form (NativeExprSpec pins
+  * parity); null ELEMENTS are skipped, an empty-string term matches
+  * everything (the contains("") convention). */
+case class MultiContainsExpr(left: Expression, right: Expression)
+  extends BinaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType, ArrayType(StringType))
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "multi_contains"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val base = super.checkInputDataTypes()
+    if (base.isFailure) base
+    else if (!right.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: terms must be a literal array (the automaton builds once per plan)")
+    else if (right.eval() == null)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName: terms must not be null")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  @transient private lazy val ac: AhoCorasick = {
+    val arr = right.eval().asInstanceOf[ArrayData]
+    val terms = (0 until arr.numElements()).flatMap(i =>
+      Option(arr.getUTF8String(i)).map(_.getBytes))
+    AhoCorasick.build(terms)
+  }
+
+  def matchesUTF8(s: UTF8String): Boolean = ac.matches(s)
+
+  override def nullSafeEval(s: Any, t: Any): Any =
+    matchesUTF8(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("multiContains", this, classOf[MultiContainsExpr].getName)
+    nullSafeCodeGen(ctx, ev, (s, _) => s"${ev.value} = $ref.matchesUTF8($s);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): MultiContainsExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 case class BloomMightContainExpr(left: Expression, right: Expression)
   extends BinaryExpression with ImplicitCastInputTypes {
 
@@ -676,6 +726,7 @@ object GraftFunctions {
     "vec_sub" -> ((exprs: Seq[Expression]) => VecSubExpr(exprs(0), exprs(1))),
     "char_entropy" -> ((exprs: Seq[Expression]) => CharEntropyExpr(exprs.head)),
     "bloom_might_contain" -> ((exprs: Seq[Expression]) => BloomMightContainExpr(exprs(0), exprs(1))),
+    "multi_contains" -> ((exprs: Seq[Expression]) => MultiContainsExpr(exprs(0), exprs(1))),
     "bpe_piece_count" -> ((exprs: Seq[Expression]) => BpePieceCountExpr(exprs(0), exprs(1))))
 
   def register(spark: SparkSession): Unit = all.foreach { case (name, builder) =>

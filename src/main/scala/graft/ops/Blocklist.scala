@@ -50,11 +50,20 @@ object Blocklist {
       .where(col("registered_domain").isin(domains: _*) || col("host").isin(domains: _*))
       .select("host")
 
+  /** above this, the term arm switches from the `exists(contains)` HOF
+    * (|terms| substring scans per row — fine for a handful) to the
+    * [[graft.functions.MultiContainsExpr]] Aho-Corasick kernel (one
+    * O(len) automaton pass, cost independent of term count — C4's real
+    * badwords list is ~400 entries). Both arms are byte-substring
+    * semantics; NativeExprSpec pins parity, SkewSpec pins the kernel's
+    * flat cost on a term-count ladder. */
+  val TermKernelThreshold = 8
+
   /** Adds `blocked_domain`, `blocked_term`, `keep` to a frame with
     * `host` and `url` columns, given a pre-built blocked-host set —
-    * a broadcast left join plus a codegen'd HOF; the captures never
-    * shuffle. `broadcastHint = false` is the escape hatch for a listed
-    * MEGA-domain whose observed subdomains inflate the set past
+    * a broadcast left join plus a codegen'd term match; the captures
+    * never shuffle. `broadcastHint = false` is the escape hatch for a
+    * listed MEGA-domain whose observed subdomains inflate the set past
     * broadcast size: the join then shuffles on host (DEPLOY.md §4). */
   def gateWith(
       captures: DataFrame,
@@ -62,12 +71,19 @@ object Blocklist {
       urlTerms: Seq[String] = fixtureUrlTerms,
       broadcastHint: Boolean = true): DataFrame = {
     val bh = blockedHosts.select(col("host"), lit(true).as("bl_dom"))
+    val termMatch =
+      if (urlTerms.isEmpty) lit(false)
+      else if (urlTerms.size <= TermKernelThreshold)
+        exists(typedLit(urlTerms), t => contains(lower(col("url")), t))
+      else {
+        graft.functions.GraftFunctions.register(captures.sparkSession)
+        call_udf("multi_contains", lower(col("url")), typedLit(urlTerms))
+      }
     captures
       .join(if (broadcastHint) broadcast(bh) else bh, Seq("host"), "left")
       .withColumn("blocked_domain", coalesce(col("bl_dom"), lit(false)))
       .drop("bl_dom")
-      .withColumn("blocked_term",
-        exists(typedLit(urlTerms), t => contains(lower(col("url")), t)))
+      .withColumn("blocked_term", termMatch)
       .withColumn("keep", !col("blocked_domain") && !col("blocked_term"))
   }
 

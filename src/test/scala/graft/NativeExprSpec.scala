@@ -546,4 +546,49 @@ class NativeExprSpec extends SparkSpec {
     assert(e2.getMessage.contains("literal"), e2.getMessage)
   }
 
+  test("multi_contains kernel == exists(contains) HOF at a realistic 400-term list") {
+    GraftFunctions.register(spark)
+    // terms like C4's badwords list in shape: mostly misses, some hits
+    // sampled from the cdx url grammar, overlapping prefixes included
+    val terms: Seq[String] =
+      (0 until 380).map(i => s"zzz-blocked-$i") ++
+        Seq("/order/13", "/order/134", "a=4", "b=2&a", "low.example",
+          "order/7", ".example.org/ord", "http://www.med", "?b=", "9?b")
+    val tl = typedLit(terms)
+    val diff = Cdx.df(spark, sfDir)
+      .select(col("url"),
+        call_udf("multi_contains", lower(col("url")), tl).as("kernel"),
+        exists(tl, t => contains(lower(col("url")), t)).as("hof"))
+      .filter(not(col("kernel") <=> col("hof")))
+      .collect()
+    assert(diff.isEmpty, diff.take(5).mkString("\n"))
+    // and the hit arm is genuinely exercised (a vacuous all-false parity
+    // would pass while matching nothing)
+    val hits = Cdx.df(spark, sfDir)
+      .filter(call_udf("multi_contains", lower(col("url")), tl)).count()
+    assert(hits > 0, "the term list must hit the corpus somewhere")
+
+    // edge cases: term at start/end, overlap resolution, empty term
+    def m(hay: String, ts: Seq[String]): Boolean =
+      Seq(hay).toDF("h")
+        .select(call_udf("multi_contains", col("h"), typedLit(ts)).as("m"))
+        .head().getBoolean(0)
+    assert(m("abcd", Seq("ab")) && m("abcd", Seq("cd")) && m("abcd", Seq("abcd")))
+    assert(!m("abcd", Seq("abcde", "bce")))
+    assert(m("xabcz", Seq("abcd", "abc")), "shorter overlapping term must still hit")
+    assert(m("anything", Seq("zzz", "")), "empty term matches everything (contains convention)")
+    assert(!m("anything", Seq.empty[String]), "empty LIST matches nothing")
+    // unicode bytes match byte-level, the UTF8String.contains semantics
+    assert(m("pre-café-post", Seq("café")) && !m("pre-cafe-post", Seq("café")))
+    // NULL haystack -> NULL; misuse (non-foldable terms) fails at analysis
+    val nullRow = Seq(Tuple1[String](null)).toDF("h")
+      .select(call_udf("multi_contains", col("h"), typedLit(Seq("x"))).as("m")).head()
+    assert(nullRow.isNullAt(0))
+    val e3 = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(("a", Seq("a"))).toDF("h", "ts")
+        .select(call_udf("multi_contains", col("h"), col("ts"))).collect()
+    }
+    assert(e3.getMessage.contains("literal"), e3.getMessage)
+  }
+
 }

@@ -407,4 +407,29 @@ class SkewSpec extends SparkSpec {
     info(f"resolveChains exponent: $eChain%.2f")
     assert(eChain <= 1.35, f"resolveChains grows superlinearly: $eChain%.2f")
   }
+
+  test("multi_contains term arm is FLAT in term count (the realistic-blocklist shape)") {
+    // the blocklist gate's exists(contains) HOF costs |terms| substring
+    // scans per row — linear in term count, the thing C4's ~400-entry
+    // badwords list would expose. The Aho-Corasick kernel's per-row cost
+    // must be independent of term count: fit wall-clock vs TERM COUNT
+    // (fixed row count) on a 16x ladder and pin the exponent near zero.
+    // A per-term implementation fits ~1 once term cost dominates.
+    graft.functions.GraftFunctions.register(spark)
+    def urls = spark.range(400000L).select(
+      concat(lit("http://www.host"), pmod(col("id"), lit(1000)),
+        lit(".example/path/"), col("id"), lit("?q=x")).as("url"))
+    def work(nTerms: Long): Unit = {
+      // all-miss terms: every row walks the whole automaton, the
+      // worst case for the kernel and the fairest per-term comparison
+      val terms = (0 until nTerms.toInt).map(i => s"zzz-term-$i-needle")
+      urls.filter(call_udf("multi_contains", lower(col("url")), typedLit(terms)))
+        .count(): Unit
+    }
+    val ladder = Seq(50L, 200L, 800L)
+    val e1 = growthExponent(ladder)(work)
+    val e = if (e1 <= 0.35) e1 else growthExponent(ladder, samples = 3)(work)
+    info(f"multi_contains term-count exponent: $e%.2f")
+    assert(e <= 0.35, f"term arm grows with term count: $e%.2f (flat expected)")
+  }
 }
