@@ -292,6 +292,67 @@ object CdxOps extends QueryModule {
         .orderBy("id")
     }),
 
+    // The composed RECRAWL SCHEDULER — what a crawler actually runs:
+    // crawl_change_rate's per-URL counters decide each URL's priority
+    // class and desired next-fetch time (last capture + a class-keyed
+    // recrawl interval; Cho & Garcia-Molina's uniform-allocation lesson:
+    // fast-changing pages get short intervals, 'new' single-capture URLs
+    // explore first), and crawl_politeness_robots' closed window form
+    // serializes them under each host's robots Crawl-delay. Exchanges:
+    // the lag window and the per-urlkey rollup share ONE urlkey exchange
+    // (the crawl_change_rate shape), the robots delays broadcast, and
+    // the schedule window is the single host shuffle. Fully
+    // DuckDB-oracled: both building blocks already have closed forms.
+    "crawl_recrawl_schedule" -> ((s, d) => {
+      import s.implicits._
+      val delays = graft.ops.Robots.crawlDelays(
+        graft.ops.Robots.fixture.toDF("host", "txt"),
+        agent = "graftbot", defaultSec = politeDefaultSec)
+      val wk = org.apache.spark.sql.expressions.Window
+        .partitionBy("urlkey").orderBy("ts", "id")
+      val rates = Cdx.df(s, d)
+        .withColumn("ver", concat(col("digest"), lit(":"),
+          ((col("id") % 13) % 3).cast("string")))
+        .withColumn("prev_ver", lag(col("ver"), 1).over(wk))
+        .groupBy("urlkey")
+        .agg(
+          min(col("host")).as("host"), // host is functionally 1:1 with urlkey
+          max(col("epoch_us")).as("last_us"),
+          sum(when(col("prev_ver").isNotNull, 1L).otherwise(0L)).as("n_pairs"),
+          sum(when(col("prev_ver").isNotNull && col("ver") =!= col("prev_ver"), 1L)
+            .otherwise(0L)).as("n_changed"))
+      val classed = rates
+        .withColumn("change_class",
+          when(col("n_pairs") === 0, "new")
+            .when(col("n_changed") * 10 >= col("n_pairs") * 8, "fast")
+            .when(col("n_changed") * 10 >= col("n_pairs") * 3, "medium")
+            .otherwise("slow"))
+        .withColumn("priority",
+          when(col("change_class") === "new", 0)
+            .when(col("change_class") === "fast", 1)
+            .when(col("change_class") === "medium", 2)
+            .otherwise(3).cast("int"))
+        .withColumn("desired_us", col("last_us") +
+          when(col("change_class") === "new", lit(RecrawlNewUs))
+            .when(col("change_class") === "fast", lit(RecrawlFastUs))
+            .when(col("change_class") === "medium", lit(RecrawlMediumUs))
+            .otherwise(lit(RecrawlSlowUs)))
+      val wh = org.apache.spark.sql.expressions.Window
+        .partitionBy("host").orderBy("priority", "desired_us", "urlkey")
+      classed
+        .join(broadcast(delays), Seq("host"), "left")
+        .withColumn("delay_us",
+          coalesce(col("delay_sec"), lit(politeDefaultSec)) * 1000000L)
+        .withColumn("rn", row_number().over(wh).cast("bigint"))
+        .withColumn("sched_us",
+          col("delay_us") * col("rn") +
+            max(col("desired_us") - col("delay_us") * col("rn")).over(
+              wh.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        .select(col("urlkey"), col("host"), col("change_class"), col("priority"),
+          col("n_pairs"), col("last_us"), col("desired_us"), col("delay_us"), col("sched_us"))
+        .orderBy("urlkey")
+    }),
+
     // The deduplicating indexer's revisit emission — the INVERSE of
     // join_revisit_resolve: within each payload digest, the time-first
     // response capture is stored; every later identical capture becomes a
@@ -383,6 +444,16 @@ object CdxOps extends QueryModule {
     * (crawlDelays default + the non-fixture-host coalesce) AND the
     * DuckDB oracle, so the three sites cannot drift apart. */
   private val politeDefaultSec = 1L
+
+  /** recrawl intervals per change class (µs): fast pages daily, slow
+    * monthly, never-reobserved URLs explored within 2 days — the
+    * uniform-allocation-beats-proportional lesson applied as a bounded
+    * class ladder. KEEP IN LOCKSTEP with the crawl_recrawl_schedule
+    * oracle literals. */
+  private val RecrawlNewUs = 2L * 86400000000L
+  private val RecrawlFastUs = 1L * 86400000000L
+  private val RecrawlMediumUs = 7L * 86400000000L
+  private val RecrawlSlowUs = 30L * 86400000000L
 
   // ---- robots.txt oracle scaffolding (see graft.ops.Robots) ----
 
@@ -563,6 +634,41 @@ object CdxOps extends QueryModule {
         s"CAST(coalesce(dl.delay_sec, $politeDefaultSec) * 1000000 AS BIGINT) AS delay_us, " +
         "CAST(row_number() OVER (PARTITION BY c.host ORDER BY c.epoch_us, c.id) AS BIGINT) AS rn " +
         s"FROM cdx c LEFT JOIN ($robotsDelays) dl ON c.host = dl.host) ORDER BY id"),
+
+    // full replay of the composed scheduler: the change-rate lag/rollup
+    // closed form, the class→(priority, interval) ladder, the robots
+    // delays replay, and the politeness running-max recursion over the
+    // (priority, desired_us, urlkey) host queue
+    "crawl_recrawl_schedule" -> o(
+      "SELECT urlkey, host, change_class, priority, n_pairs, last_us, desired_us, delay_us, " +
+        "delay_us * rn + max(desired_us - delay_us * rn) OVER " +
+        "(PARTITION BY host ORDER BY priority, desired_us, urlkey ROWS UNBOUNDED PRECEDING) AS sched_us " +
+        "FROM (" +
+        "SELECT q.urlkey, q.host, q.change_class, q.priority, q.n_pairs, q.last_us, q.desired_us, " +
+        s"CAST(coalesce(dl.delay_sec, $politeDefaultSec) * 1000000 AS BIGINT) AS delay_us, " +
+        "CAST(row_number() OVER (PARTITION BY q.host ORDER BY q.priority, q.desired_us, q.urlkey) AS BIGINT) AS rn " +
+        "FROM (" +
+        "SELECT urlkey, host, change_class, " +
+        "CAST(CASE change_class WHEN 'new' THEN 0 WHEN 'fast' THEN 1 WHEN 'medium' THEN 2 ELSE 3 END AS INT) AS priority, " +
+        "n_pairs, last_us, " +
+        "last_us + CASE change_class WHEN 'new' THEN 172800000000 WHEN 'fast' THEN 86400000000 " +
+        "WHEN 'medium' THEN 604800000000 ELSE 2592000000000 END AS desired_us " +
+        "FROM (" +
+        "SELECT urlkey, host, n_pairs, n_changed, last_us, " +
+        "CASE WHEN n_pairs = 0 THEN 'new' " +
+        "WHEN n_changed * 10 >= n_pairs * 8 THEN 'fast' " +
+        "WHEN n_changed * 10 >= n_pairs * 3 THEN 'medium' ELSE 'slow' END AS change_class " +
+        "FROM (" +
+        "SELECT urlkey, min(host) AS host, max(epoch_us) AS last_us, " +
+        "CAST(sum(CASE WHEN prev_ver IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs, " +
+        "CAST(sum(CASE WHEN prev_ver IS NOT NULL AND ver <> prev_ver THEN 1 ELSE 0 END) AS BIGINT) AS n_changed " +
+        "FROM (" +
+        "SELECT urlkey, host, epoch_us, ver, " +
+        "lag(ver) OVER (PARTITION BY urlkey ORDER BY ts, id) AS prev_ver FROM (" +
+        "SELECT urlkey, host, ts, id, epoch_us, digest || ':' || ((id % 13) % 3) AS ver FROM cdx)) " +
+        "GROUP BY urlkey))) q " +
+        s"LEFT JOIN ($robotsDelays) dl ON q.host = dl.host" +
+        ") ORDER BY urlkey"),
 
     // same (digest | ts, id) window; first_value's frame start is the
     // partition start in both engines, so ties are irrelevant to it
