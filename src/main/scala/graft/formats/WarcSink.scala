@@ -88,10 +88,13 @@ object WarcSink {
     * record so output stays deterministic. */
   def write(
       df: DataFrame, dir: String, codec: String = "gzip",
-      ext: String = null, warcinfo: String = null): Unit = {
+      ext: String = null, warcinfo: String = null,
+      zstdDict: Array[Byte] = null): Unit = {
     val need = Seq("shard", "url", "ts", "status", "mime", "payload")
     require(need.forall(df.columns.contains),
       s"WarcSink.write needs [${need.mkString(", ")}]; got [${df.columns.mkString(", ")}]")
+    require(zstdDict == null || codec == "zstd",
+      "WarcSink.write: zstdDict only applies to codec=zstd")
     val hasType = df.columns.contains("record_type")
     val cols = if (hasType) need :+ "record_type" else need
     // zstd shards follow warcio's .warc.zst convention: one self-contained
@@ -192,6 +195,17 @@ object WarcSink {
         val zctx =
           if (codec == "zstd") new com.github.luben.zstd.ZstdCompressCtx()
           else null
+        // dict mode (warcio's full .warc.zst convention): the dictionary
+        // loads into the reused task context ONCE — every record frame
+        // compresses against it — and each output file opens with the
+        // dict parked (itself zstd-compressed) in the leading skippable
+        // slot, where the scan's in-stream capture and fetchRecords'
+        // offset-0 reload both find it
+        if (zctx != null && zstdDict != null) zctx.loadDict(zstdDict)
+        val dictSlot =
+          if (zstdDict != null)
+            ZstdMembers.skippableFrame(ZstdMembers.compressFrame(zstdDict))
+          else null
         var current: String = null
         var out: java.io.OutputStream = null
         def close(): Unit = if (out != null) {
@@ -230,6 +244,7 @@ object WarcSink {
               }
               current = shard
               out = pfs.create(new Path(outDir, s".${warcName(shard, outExt)}.$attempt.tmp"), true)
+              if (dictSlot != null) out.write(dictSlot) // FIRST frame of the file
               if (warcinfo != null) {
                 // sidecar convention: every file opens with a warcinfo
                 // record; dated from the file's FIRST record (the sort
@@ -305,6 +320,56 @@ object WarcSink {
           else ""))
     }
     if (hadOld) fs.delete(backup, true)
+  }
+
+  /** Train a zstd dictionary from a bounded SAMPLE of the records about
+    * to be written — the side-artifact discipline (build once per corpus
+    * revision, pass into [[write]]'s `zstdDict`): renders up to
+    * `maxSamples` rows through the same record renderer the writer uses
+    * (so the dictionary learns the real WARC header vocabulary) and runs
+    * ZDICT over them. Small-record corpora are exactly where the warcio
+    * dict convention pays — the shared header boilerplate compresses to
+    * dictionary references.
+    *
+    * ZDICT refuses degenerate inputs (too few/too-small samples); the
+    * fallback is a raw CONTENT dictionary — the concatenated sample
+    * prefixes, the `writeFixtureZstDict` convention — which zstd accepts
+    * as a dictionary verbatim. Either way the result round-trips through
+    * the reader's plain-then-dict decode. The limit() bounds the driver
+    * transfer itself. */
+  def trainZstdDict(
+      df: DataFrame, dictSize: Int = 16 << 10, maxSamples: Int = 2000): Array[Byte] = {
+    val need = Seq("url", "ts", "status", "mime", "payload")
+    require(need.forall(df.columns.contains),
+      s"WarcSink.trainZstdDict needs [${need.mkString(", ")}]; got [${df.columns.mkString(", ")}]")
+    val sha1 = java.security.MessageDigest.getInstance("SHA-1")
+    val samples = df.select(need.map(col): _*).limit(maxSamples).collect().map { row =>
+      val payload = Option(row.getAs[Array[Byte]]("payload")).getOrElse(Array.emptyByteArray)
+      val isResp = !row.isNullAt(2)
+      sha1.reset()
+      Warc.renderRecord(Warc.FixtureRecord(
+        if (isResp) "response" else "resource",
+        row.getString(0), iso(row.getString(1)),
+        graft.functions.SurtAlg.base32(sha1.digest(payload)),
+        if (isResp) row.getInt(2) else 0, row.getString(3), payload))
+    }
+    require(samples.nonEmpty, "WarcSink.trainZstdDict: no sample rows")
+    try {
+      val trainer = new com.github.luben.zstd.ZstdDictTrainer(
+        samples.map(_.length).sum, dictSize)
+      samples.foreach(trainer.addSample)
+      trainer.trainSamples()
+    } catch {
+      case _: com.github.luben.zstd.ZstdException =>
+        // raw content dictionary: sample prefixes, capped at dictSize
+        val out = new java.io.ByteArrayOutputStream()
+        val it = samples.iterator
+        while (out.size < dictSize && it.hasNext) {
+          val s = it.next()
+          out.write(s, 0, math.min(s.length, math.min(200, dictSize - out.size)))
+        }
+        out.toByteArray
+    }
   }
 
   /** a WARC shard name's sidecar base: `warc-17.warc.gz` -> `warc-17`,
