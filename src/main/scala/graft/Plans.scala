@@ -108,6 +108,7 @@ object Plans {
     "scan_warc_zst" -> "one task per .zst file, zstd frames walked inside the partition with a one-frame buffer window — same per-file parallelism and corrupt-row contract as the gzip scan; no shuffle before the output sort",
     "url_redirect_chain" -> "pointer-jumping doubling: 3 self-joins of the jump map (log coverage, not per-hop rounds); terminal URLs re-attach by one left equi join",
     "mm_jpeg_decode" -> "lossy-codec decode is one narrow mapPartitions pass (JPEG writer/reader init amortized per partition); dims + tolerance verdict computed in-row — no shuffle before the output sort",
+    "mm_exif_meta" -> "EXIF parse is one narrow mapPartitions pass (base JPEG encoded once per partition, per-row APP1 splice+parse); no joins/aggregates before the output sort",
     "crawl_recrawl_schedule" -> "composed scheduler: lag window + per-urlkey rollup share ONE urlkey exchange; robots delays broadcast; the host schedule window is the single corpus host shuffle — classification and intervals are map-side projections",
     "sink_wet" -> "WET generation: ONE shuffle to co-locate sidecar shards (same plan class as sink_warc_write); envelope-free text payloads stream O(1)-memory per task; read-back is the WET scan's per-file parallelism + its dedup window",
     "sink_wat" -> "WAT generation: watEnvelope is a map-side to_json projection (no Generate, no second parse); one shard shuffle to write; read-back parses each envelope ONCE (JsonToStructs == 1, the watLinks pin) then explodes links",

@@ -112,12 +112,31 @@ object ZstdMembers {
       // that may stop early (scan's task listener, fetchRecords' strict
       // decode) must close(); there is no finalizer to fall back on.
       private var dctxRef: com.github.luben.zstd.ZstdDecompressCtx = _
+      // SECOND reused context for dict-mode frames: the dictionary is
+      // fixed for the stream once captured, so it loads ONCE here — the
+      // plain-path ctx stays dict-free (dict state must never linger
+      // into self-contained frames), and dict-mode archives don't pay a
+      // native ctx alloc per record.
+      private var dctxDictRef: com.github.luben.zstd.ZstdDecompressCtx = _
+      private var dictLoadedRef: Array[Byte] = _
 
-      override def close(): Unit =
+      override def close(): Unit = {
         if (dctxRef != null) {
           try dctxRef.close() catch { case _: Throwable => }
           dctxRef = null
         }
+        if (dctxDictRef != null) {
+          try dctxDictRef.close() catch { case _: Throwable => }
+          dctxDictRef = null
+          dictLoadedRef = null
+        }
+      }
+
+      private def dctxDict(d: Array[Byte]) = {
+        if (dctxDictRef == null) dctxDictRef = new com.github.luben.zstd.ZstdDecompressCtx()
+        if (dictLoadedRef ne d) { dctxDictRef.loadDict(d); dictLoadedRef = d }
+        dctxDictRef
+      }
       private def dctx() = {
         if (dctxRef == null) dctxRef = new com.github.luben.zstd.ZstdDecompressCtx()
         dctxRef
@@ -230,12 +249,7 @@ object ZstdMembers {
           if (cs < 0 || cs > Gzip.MaxMemberBytes) inflateStream(withDict)
           else withDict match {
             case None => dctx().decompress(buf, head, flen, cs.toInt)
-            case Some(d) =>
-              // dict retries are the rare path — a one-shot ctx avoids
-              // dict-state lingering in the reused one
-              val c = new com.github.luben.zstd.ZstdDecompressCtx()
-              try { c.loadDict(d); c.decompress(buf, head, flen, cs.toInt) }
-              finally c.close()
+            case Some(d) => dctxDict(d).decompress(buf, head, flen, cs.toInt)
           }
         }
         try {

@@ -213,6 +213,121 @@ object Media {
     ImageStats(w, h, (sr / n).toInt, (sg / n).toInt, (sb / n).toInt)
   }
 
+  // ----------------------------------------------------------------- EXIF
+
+  final case class ExifMeta(orientation: Int, dateTime: String, make: String, model: String)
+
+  /** the APP1 EXIF identifier: "Exif" + two NUL bytes */
+  private val ExifSig: Array[Byte] =
+    "Exif".getBytes("US-ASCII") ++ Array[Byte](0, 0)
+
+  /** splice an EXIF APP1 segment into a JPEG right after SOI — fixture
+    * builder for [[exifMeta]]. The segment is a real TIFF IFD0 (entries
+    * ascending by tag: Make 0x010F, Model 0x0110, Orientation 0x0112,
+    * DateTime 0x0132) in the given byte order; decoders skip APP1, so
+    * the spliced image still pixel-decodes and [[jpegDims]] still walks
+    * to its SOF. `dateTime` must be the EXIF form `YYYY:MM:DD HH:MM:SS`. */
+  def withExif(
+      jpeg: Array[Byte], orientation: Int, dateTime: String,
+      make: String, model: String, bigEndian: Boolean): Array[Byte] = {
+    require(jpeg.length >= 2 && (jpeg(0) & 0xff) == 0xff && (jpeg(1) & 0xff) == 0xd8,
+      "not a JPEG (no SOI)")
+    require(dateTime.length == 19, s"EXIF DateTime must be 19 chars, got '$dateTime'")
+    val mk = make.getBytes("US-ASCII"); val md = model.getBytes("US-ASCII")
+    val dt = dateTime.getBytes("US-ASCII")
+    val dataStart = 8 + 2 + 4 * 12 + 4 // tiff hdr + count + entries + next-IFD
+    val tiffLen = dataStart + (mk.length + 1) + (md.length + 1) + (dt.length + 1)
+    val tiff = java.nio.ByteBuffer.allocate(tiffLen).order(
+      if (bigEndian) java.nio.ByteOrder.BIG_ENDIAN else java.nio.ByteOrder.LITTLE_ENDIAN)
+    tiff.putShort(if (bigEndian) 0x4D4D.toShort else 0x4949.toShort) // MM / II
+    tiff.putShort(42).putInt(8) // magic, IFD0 offset
+    tiff.putShort(4) // entry count
+    def ascii(tag: Int, bytes: Array[Byte], off: Int): Unit = {
+      tiff.putShort(tag.toShort).putShort(2).putInt(bytes.length + 1).putInt(off)
+    }
+    var dataOff = dataStart
+    ascii(0x010F, mk, dataOff); dataOff += mk.length + 1
+    ascii(0x0110, md, dataOff); dataOff += md.length + 1
+    tiff.putShort(0x0112).putShort(3).putInt(1) // Orientation, SHORT x1
+    tiff.putShort(orientation.toShort).putShort(0) // inline value + pad
+    ascii(0x0132, dt, dataOff)
+    tiff.putInt(0) // next IFD
+    for (b <- Seq(mk, md, dt)) { tiff.put(b); tiff.put(0.toByte) }
+    val exif = ExifSig ++ tiff.array()
+    val app1 = java.nio.ByteBuffer.allocate(4 + exif.length)
+      .putShort(0xFFE1.toShort).putShort((2 + exif.length).toShort).put(exif).array()
+    jpeg.take(2) ++ app1 ++ jpeg.drop(2)
+  }
+
+  /** parse the APP1/EXIF IFD0 of a JPEG: Orientation, DateTime, Make,
+    * Model — the per-image metadata real crawl pipelines key rotation
+    * and dedup heuristics on. Handles BOTH TIFF byte orders; absent
+    * segment/tags and any malformed offset return None / null fields
+    * (junk EXIF must never kill a task). */
+  def exifMeta(bytes: Array[Byte]): Option[ExifMeta] = {
+    if (bytes.length < 4 || (bytes(0) & 0xff) != 0xff || (bytes(1) & 0xff) != 0xd8)
+      return None
+    // marker walk to APP1 (same discipline as jpegDims)
+    var i = 2
+    var app1: Int = -1
+    var app1Len = 0
+    while (app1 < 0 && i + 3 < bytes.length) {
+      if ((bytes(i) & 0xff) != 0xff) return None
+      val m = bytes(i + 1) & 0xff
+      if (m == 0xff) i += 1
+      else if (m == 0x01 || (m >= 0xd0 && m <= 0xd8)) i += 2
+      else if (m == 0xd9 || m == 0xda) return None // no APP1 before the scan
+      else {
+        val segLen = ((bytes(i + 2) & 0xff) << 8) | (bytes(i + 3) & 0xff)
+        if (segLen < 2 || i + 2 + segLen > bytes.length) return None
+        if (m == 0xe1) { app1 = i + 4; app1Len = segLen - 2 }
+        else i += 2 + segLen
+      }
+    }
+    if (app1 < 0 || app1Len < 14) return None
+    if (!ExifSig.indices.forall(k => bytes(app1 + k) == ExifSig(k))) return None
+    val tiff = app1 + 6
+    val end = app1 + app1Len
+    def ok(at: Int, n: Int) = at >= tiff && at + n <= end
+    val big = (bytes(tiff) & 0xff) == 0x4D
+    if (!big && (bytes(tiff) & 0xff) != 0x49) return None
+    def u16(at: Int): Int =
+      if (big) ((bytes(at) & 0xff) << 8) | (bytes(at + 1) & 0xff)
+      else ((bytes(at + 1) & 0xff) << 8) | (bytes(at) & 0xff)
+    def u32(at: Int): Long =
+      if (big) (u16(at).toLong << 16) | u16(at + 2)
+      else (u16(at + 2).toLong << 16) | u16(at)
+    if (!ok(tiff + 2, 2) || u16(tiff + 2) != 42) return None
+    val ifd = tiff + u32(tiff + 4).toInt
+    if (!ok(ifd, 2)) return None
+    val n = u16(ifd)
+    var orientation = 0
+    var dateTime: String = null
+    var mk: String = null
+    var md: String = null
+    def asciiAt(entry: Int): String = {
+      val count = u32(entry + 4).toInt
+      if (count <= 0) return null
+      val at = if (count <= 4) entry + 8 else tiff + u32(entry + 8).toInt
+      if (!ok(at, count)) return null
+      // count includes the NUL terminator
+      new String(bytes, at, count - 1, "US-ASCII")
+    }
+    var e = 0
+    while (e < n && ok(ifd + 2 + e * 12, 12)) {
+      val entry = ifd + 2 + e * 12
+      u16(entry) match {
+        case 0x0112 => orientation = u16(entry + 8) // SHORT, inline
+        case 0x0132 => dateTime = asciiAt(entry)
+        case 0x010F => mk = asciiAt(entry)
+        case 0x0110 => md = asciiAt(entry)
+        case _ =>
+      }
+      e += 1
+    }
+    Some(ExifMeta(orientation, dateTime, mk, md))
+  }
+
   // ---------------------------------------------------------------- audio
 
   final case class AudioStats(

@@ -432,6 +432,34 @@ object Multimodal extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // REAL EXIF parse — the per-image metadata crawl pipelines key
+    // rotation and dedup heuristics on: a JDK-encoded JPEG gets a
+    // genuine APP1/TIFF IFD0 spliced in (Orientation/DateTime/Make/Model,
+    // byte order alternating big/little on doc_id%2 so BOTH TIFF forms
+    // stay live), and Media.exifMeta walks the marker stream and the IFD
+    // back out. Every field is closed-form in doc_id — fully oracled;
+    // the base image encodes ONCE per partition (metadata splice is
+    // per-row, the cheap part).
+    "mm_exif_meta" -> ((s, d) => {
+      import s.implicits._
+      Tables.t(s, d, "documents")
+        .filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          val base = graft.ops.Media.solidJpeg(8, 8, 90, 120, 150)
+          it.map { id =>
+            val dt = f"${2010 + id % 15}%04d:${1 + id % 9}%02d:15 08:30:${id % 60}%02d"
+            val meta = graft.ops.Media.exifMeta(graft.ops.Media.withExif(
+              base, (1 + id % 8).toInt, dt,
+              s"GraftCam-${id % 5}", s"Model-${id % 7}",
+              bigEndian = id % 2 == 0)).get
+            (id, meta.orientation, meta.dateTime, meta.make, meta.model)
+          }
+        }
+        .toDF("doc_id", "orientation", "exif_dt", "make", "model")
+        .orderBy("doc_id")
+    }),
+
     // REAL multi-frame decode: payload is an animated GIF written by the
     // JDK sequence writer; the frame count is recovered by the GIF reader
     // walking image descriptors in the byte stream (not from a side
@@ -643,6 +671,16 @@ object Multimodal extends QueryModule {
         "round(0.0, 6) AS mean_amp, " +
         "round(CAST((1 + doc_id % 100) * 300 AS DOUBLE), 6) AS rms " +
         "FROM documents WHERE doc_id % 3 = 1 ORDER BY doc_id"),
+    // every EXIF field replayed from the id arithmetic — the parse must
+    // recover them from the APP1 bytes in BOTH byte orders
+    "mm_exif_meta" ->
+      ("SELECT doc_id, CAST(1 + doc_id % 8 AS INT) AS orientation, " +
+        "CAST(2010 + doc_id % 15 AS VARCHAR) || ':' || " +
+        "lpad(CAST(1 + doc_id % 9 AS VARCHAR), 2, '0') || ':15 08:30:' || " +
+        "lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') AS exif_dt, " +
+        "'GraftCam-' || (doc_id % 5) AS make, " +
+        "'Model-' || (doc_id % 7) AS model " +
+        "FROM documents WHERE doc_id % 3 = 0 ORDER BY doc_id"),
     "mm_video_frames" ->
       ("SELECT doc_id, CAST(1 + doc_id % 24 AS INT) AS n_frames, " +
         "CAST(frame_no AS INT) AS frame_no, CAST(4 AS INT) AS frame_w FROM (" +

@@ -67,6 +67,32 @@ class MediaSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(hamming <= 12, s"png=$hp jpeg=$hj hamming=$hamming")
   }
 
+  test("EXIF round trip: spliced APP1 parses back in both byte orders; image still decodes") {
+    val base = Media.solidJpeg(12, 9, 60, 70, 80)
+    for (big <- Seq(true, false)) {
+      val jpg = Media.withExif(base, orientation = 6,
+        dateTime = "2023:04:15 08:30:59", make = "GraftCam-1", model = "Model-2",
+        bigEndian = big)
+      val meta = Media.exifMeta(jpg)
+      assert(meta.contains(Media.ExifMeta(6, "2023:04:15 08:30:59", "GraftCam-1", "Model-2")),
+        s"bigEndian=$big got $meta")
+      // the splice is format-legal: dims parse AND pixels still decode
+      assert(Media.jpegDims(jpg).contains((12, 9)))
+      val st = Media.decodeImageStats(jpg)
+      assert(st.width == 12 && st.height == 9)
+    }
+    // no APP1 -> None; junk never throws
+    assert(Media.exifMeta(base).isEmpty)
+    assert(Media.exifMeta("not a jpeg".getBytes("UTF-8")).isEmpty)
+    assert(Media.exifMeta(Media.solidPng(4, 4, 1, 2, 3)).isEmpty)
+    // truncated APP1: cut inside the IFD — parse returns None or partial
+    // fields, never an exception
+    val full = Media.withExif(base, 3, "2020:01:01 00:00:00", "M", "N", bigEndian = true)
+    for (cut <- Seq(6, 10, 20, 30)) {
+      Media.exifMeta(java.util.Arrays.copyOf(full, cut)) // must not throw
+    }
+  }
+
   test("Multimodal.decode parses the JPEG arm's dimensions from the SOF bytes") {
     val payload = queries.Multimodal.jpegHeader(123, 45) ++ "body text".getBytes("UTF-8")
     val meta = queries.Multimodal.decode(queries.Multimodal.MediaRow(3L, "image", payload))

@@ -682,6 +682,37 @@ class PlanSpec extends SparkSpec {
     assert(stale.isEmpty, s"stale allowlist entries (no unpartitioned window anymore): $stale")
   }
 
+  test("crawl_recrawl_schedule: shared urlkey exchange, one host shuffle, delays broadcast") {
+    val p = plan("crawl_recrawl_schedule")
+    // the lag window and the per-urlkey rollup must share ONE urlkey
+    // exchange (the crawl_change_rate adjudication); the schedule window
+    // is the single host shuffle; robots delays ride as a broadcast
+    assert(p.linesIterator.count(_.contains("hashpartitioning(urlkey")) == 1,
+      "lag window + rollup must share one urlkey exchange")
+    // the robots-delays derivation adds small host exchanges on its
+    // BOUNDED side (the 8-row fixture table feeding the broadcast);
+    // the corpus-sized one is the schedule window's — the only host
+    // exchange whose input carries the frontier columns
+    val blocks = p.split("\n\n")
+    val corpusHostEx = blocks.count(b =>
+      b.contains("Arguments: hashpartitioning(host") && b.contains("desired_us"))
+    assert(corpusHostEx == 1,
+      s"exactly one corpus-sized host exchange for the schedule window, got $corpusHostEx")
+    assert(p.contains("BroadcastHashJoin"), "robots delays must broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "nothing may join-shuffle the urlkey table")
+  }
+
+  test("mm_jpeg_decode: one narrow mapPartitions pass, no joins or aggregates") {
+    val p = plan("mm_jpeg_decode")
+    assert(!p.contains("Join") && !p.contains("HashAggregate"),
+      "the lossy decode is per-row — nothing relational before the sort")
+    val exchangeOps = p.linesIterator.filter(_.trim.matches("""\(\d+\) Exchange.*""")).toSeq
+    assert(exchangeOps.size == 1 && p.contains("rangepartitioning"),
+      s"one range exchange (output sort) expected:\n${exchangeOps.mkString("\n")}")
+    assert(p.contains("MapPartitions"), "codec init must amortize per partition")
+  }
+
   test("search_bm25_rank: stats ride as broadcasts, top-k avoids a global sort") {
     val df = SparkEntry.queries("search_bm25_rank")(spark, sfDir)
     df.collect()
