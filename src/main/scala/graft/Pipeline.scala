@@ -153,9 +153,7 @@ object Pipeline {
   def toWet(warc: DataFrame): DataFrame = {
     val cs = graft.ops.Html.charsetOf(col("mime"))
     val html = graft.ops.Html.decodePayload(col("payload"), cs)
-    warc
-      .filter(col("record_type") === "response" &&
-        col("status") === 200 && lower(col("mime")).contains("html"))
+    graft.ops.Html.htmlResponses(warc)
       .select(col("filename").as("shard"), col("url"), col("ts"),
         graft.ops.Html.text(html).as("text"))
       .filter(length(trim(col("text"))) > 0)
@@ -200,9 +198,7 @@ object Pipeline {
   def toWat(warc: DataFrame): DataFrame = {
     val cs = graft.ops.Html.charsetOf(col("mime"))
     val html = graft.ops.Html.decodePayload(col("payload"), cs)
-    warc
-      .filter(col("record_type") === "response" &&
-        col("status") === 200 && lower(col("mime")).contains("html"))
+    graft.ops.Html.htmlResponses(warc)
       .select(col("filename").as("shard"), col("url"), col("ts"),
         watEnvelope(col("url"), col("ts"),
           graft.ops.Html.title(html),

@@ -556,8 +556,10 @@ case class LshBucketExpr(left: Expression, right: Expression)
   * pass per row — cost independent of term count, built once per plan
   * from the foldable term array. Byte-level matching == the
   * UTF8String.contains semantics of the HOF form (NativeExprSpec pins
-  * parity); null ELEMENTS are skipped, an empty-string term matches
-  * everything (the contains("") convention). */
+  * parity on null-free lists); null ELEMENTS are SKIPPED — the HOF's
+  * three-valued exists would yield NULL there, so callers must sanitize
+  * nulls out of the list (Blocklist.gateWith does) — and an empty-string
+  * term matches everything (the contains("") convention). */
 case class MultiContainsExpr(left: Expression, right: Expression)
   extends BinaryExpression with ImplicitCastInputTypes {
 

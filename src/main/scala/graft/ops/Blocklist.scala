@@ -71,13 +71,18 @@ object Blocklist {
       urlTerms: Seq[String] = fixtureUrlTerms,
       broadcastHint: Boolean = true): DataFrame = {
     val bh = blockedHosts.select(col("host"), lit(true).as("bl_dom"))
+    // null terms are list junk, sanitized BEFORE either arm: the HOF's
+    // three-valued exists would turn a null element into blocked_term =
+    // NULL on non-matching rows (poisoning keep), and the kernel skips
+    // nulls — filtering here keeps the two arms' semantics identical
+    val terms = urlTerms.filter(_ != null)
     val termMatch =
-      if (urlTerms.isEmpty) lit(false)
-      else if (urlTerms.size <= TermKernelThreshold)
-        exists(typedLit(urlTerms), t => contains(lower(col("url")), t))
+      if (terms.isEmpty) lit(false)
+      else if (terms.size <= TermKernelThreshold)
+        exists(typedLit(terms), t => contains(lower(col("url")), t))
       else {
         graft.functions.GraftFunctions.register(captures.sparkSession)
-        call_udf("multi_contains", lower(col("url")), typedLit(urlTerms))
+        call_udf("multi_contains", lower(col("url")), typedLit(terms))
       }
     captures
       .join(if (broadcastHint) broadcast(bh) else bh, Seq("host"), "left")

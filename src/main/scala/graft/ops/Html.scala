@@ -54,8 +54,13 @@ object Html {
     * unparseable references. The containment guard keeps reference-free
     * text (the overwhelmingly common case) to one `contains`. */
   private def decodeNumericEntities(c: Column): Column = {
+    // codepoint 38 ('&') is DEFERRED to decodeEntities' final pass: an
+    // early '&' would merge with following text into a named-entity
+    // shape ('&#38;lt;' -> '&lt;' -> '<'), double-decoding what a
+    // browser renders literally as '&lt;' — the same single-pass rule
+    // the '&amp;-last' ordering protects for the named form
     def cpOk(cp: Column) =
-      cp <= 0x10FFFF && !(cp >= 0xD800 && cp <= 0xDFFF)
+      cp <= 0x10FFFF && !(cp >= 0xD800 && cp <= 0xDFFF) && cp =!= 38
     val decoded = array_join(
       transform(split(c, "(?=&#)"), p => {
         val dec = nullif(regexp_extract(p, "^&#([0-9]{1,7});", 1), lit(""))
@@ -73,16 +78,21 @@ object Html {
 
   /** the entities crawled text actually carries, in decode-safe order:
     * numeric/hex references first (matching the browser result for
-    * `&amp;#65;` — the `&amp;` stays escaped through one decode pass),
-    * then the named set */
-  private def decodeEntities(c: Column): Column =
-    Seq(
+    * `&amp;#65;` — the `&amp;` stays escaped through one decode pass;
+    * `&#39;` decodes on the numeric path, so no named rule for it), then
+    * the named set, then the DEFERRED ampersand references (`&#38;` /
+    * `&#x26;`, leading zeros included) — after the named pass, exactly
+    * like `&amp;`, so one decode pass never cascades into a second */
+  private def decodeEntities(c: Column): Column = {
+    val named = Seq(
       "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
-      "&quot;" -> "\"", "&#39;" -> "'", "&apos;" -> "'",
+      "&quot;" -> "\"", "&apos;" -> "'",
       "&amp;" -> "&" // last: &amp;lt; must become &lt;, not <
     ).foldLeft(decodeNumericEntities(c)) {
       case (acc, (e, r)) => regexp_replace(acc, e, r)
     }
+    regexp_replace(named, "&#0*38;|&#[xX]0*26;", "&")
+  }
 
   /** `<title>` text (entity-decoded, trimmed), null when absent */
   def title(html: Column): Column =
@@ -225,22 +235,41 @@ object Html {
     val rawBase = nullif(trim(regexp_extract(noComment,
       "(?is)<base\\s[^>]*?href\\s*=\\s*[\"']?([^\\s\"'>]+)", 1)), lit(""))
     val effBase = when(rawBase.isNull, baseUrl).otherwise(resolve(baseUrl, rawBase))
-    filter(
-      transform(anchors, a => {
-        // quoted forms first; the bare form stops at whitespace/>/quote
-        val href = trim(coalesce(
-          nullif(regexp_extract(a, "(?is)href\\s*=\\s*\"([^\"]*)\"", 1), lit("")),
-          nullif(regexp_extract(a, "(?is)href\\s*=\\s*'([^']*)'", 1), lit("")),
-          nullif(regexp_extract(a, "(?is)href\\s*=\\s*([^\\s\"'>]+)", 1), lit(""))))
-        val dst0 =
-          when(href.isNull || href === "" || href.startsWith("#") ||
-            lower(href).startsWith("javascript:") || lower(href).startsWith("mailto:"),
-            lit(null).cast("string"))
-            .otherwise(resolve(effBase, href))
-        val dst = when(dst0.contains("/."), normalizeDots(dst0)).otherwise(dst0)
-        struct(dst.as("dst"), blockText(a).as("anchor"))
-      }),
-      s => s("dst").isNotNull)
+    // HOIST the per-PAGE work out of the per-ANCHOR lambda: effBase (and
+    // its scheme/origin/dir derivations) embed the full-document
+    // script-strip/<base> regexes — inlined into the lambda they would
+    // re-run per anchor (HOF lambdas have no subexpression caching),
+    // turning the map-side pass into O(anchors × page bytes). The
+    // one-element transform() binds them to a lambda VARIABLE, evaluated
+    // once per row; only the cheap per-anchor string ops stay inside.
+    val pageCtx = struct(
+      regexp_extract(effBase, "^([A-Za-z][A-Za-z0-9+.-]*):", 1).as("sch"),
+      regexp_extract(effBase, "^([A-Za-z][A-Za-z0-9+.-]*://[^/]+)", 1).as("org"),
+      regexp_extract(effBase, "^([A-Za-z][A-Za-z0-9+.-]*://.*/)[^/]*$", 1).as("dir"),
+      anchors.as("anchors"))
+    element_at(
+      transform(array(pageCtx), c =>
+        filter(
+          transform(c("anchors"), a => {
+            // quoted forms first; the bare form stops at whitespace/>/quote
+            val href = trim(coalesce(
+              nullif(regexp_extract(a, "(?is)href\\s*=\\s*\"([^\"]*)\"", 1), lit("")),
+              nullif(regexp_extract(a, "(?is)href\\s*=\\s*'([^']*)'", 1), lit("")),
+              nullif(regexp_extract(a, "(?is)href\\s*=\\s*([^\\s\"'>]+)", 1), lit(""))))
+            val dst0 =
+              when(href.isNull || href === "" || href.startsWith("#") ||
+                lower(href).startsWith("javascript:") || lower(href).startsWith("mailto:"),
+                lit(null).cast("string"))
+                .when(href.rlike("(?i)^[a-z][a-z0-9+.-]*://"), href)
+                .when(href.startsWith("//"), concat(c("sch"), lit(":"), href))
+                .when(href.startsWith("/"), concat(c("org"), href))
+                .otherwise(concat(
+                  coalesce(nullif(c("dir"), lit("")), concat(c("org"), lit("/"))), href))
+            val dst = when(dst0.contains("/."), normalizeDots(dst0)).otherwise(dst0)
+            struct(dst.as("dst"), blockText(a).as("anchor"))
+          }),
+          s => s("dst").isNotNull)),
+      1)
   }
 
   /** one-call extraction over a `warc_records`-shaped frame: keeps 200
@@ -257,16 +286,22 @@ object Html {
   def extractMain(warc: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     extractWith(warc, mainContent)
 
+  /** the page gate every HTML consumer shares — 200 text/html responses
+    * (lower(): Content-Type arrives as 'Text/HTML; ...' in real crawls;
+    * charsetOf is (?i) for the same reason). ONE definition, so
+    * extract/extractMain and the WET/WAT generators
+    * ([[graft.Pipeline.toWet]]/[[graft.Pipeline.toWat]]) can never
+    * diverge on what counts as a page. */
+  def htmlResponses(warc: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    warc.filter(col("record_type") === "response" &&
+      col("status") === 200 && lower(col("mime")).contains("html"))
+
   private def extractWith(
       warc: org.apache.spark.sql.DataFrame,
       toText: Column => Column): org.apache.spark.sql.DataFrame = {
     val cs = charsetOf(col("mime"))
     val html = decodePayload(col("payload"), cs)
-    warc
-      .filter(col("record_type") === "response" &&
-        // lower(): Content-Type arrives as 'Text/HTML; ...' in real crawls
-        // (charsetOf is already (?i) for the same reason)
-        col("status") === 200 && lower(col("mime")).contains("html"))
+    htmlResponses(warc)
       .select(
         col("url"), col("ts"), cs.as("charset"),
         title(html).as("title"), toText(html).as("text"))

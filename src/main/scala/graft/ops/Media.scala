@@ -236,23 +236,29 @@ object Media {
     val mk = make.getBytes("US-ASCII"); val md = model.getBytes("US-ASCII")
     val dt = dateTime.getBytes("US-ASCII")
     val dataStart = 8 + 2 + 4 * 12 + 4 // tiff hdr + count + entries + next-IFD
-    val tiffLen = dataStart + (mk.length + 1) + (md.length + 1) + (dt.length + 1)
+    // TIFF rule: values of ≤ 4 bytes (count includes the NUL) live
+    // INLINE in the value field; only longer ones go via offset
+    def inline(b: Array[Byte]) = b.length + 1 <= 4
+    val offsetData = Seq(mk, md, dt).filterNot(inline)
+    val tiffLen = dataStart + offsetData.map(_.length + 1).sum
     val tiff = java.nio.ByteBuffer.allocate(tiffLen).order(
       if (bigEndian) java.nio.ByteOrder.BIG_ENDIAN else java.nio.ByteOrder.LITTLE_ENDIAN)
     tiff.putShort(if (bigEndian) 0x4D4D.toShort else 0x4949.toShort) // MM / II
     tiff.putShort(42).putInt(8) // magic, IFD0 offset
     tiff.putShort(4) // entry count
-    def ascii(tag: Int, bytes: Array[Byte], off: Int): Unit = {
-      tiff.putShort(tag.toShort).putShort(2).putInt(bytes.length + 1).putInt(off)
-    }
     var dataOff = dataStart
-    ascii(0x010F, mk, dataOff); dataOff += mk.length + 1
-    ascii(0x0110, md, dataOff); dataOff += md.length + 1
+    def ascii(tag: Int, bytes: Array[Byte]): Unit = {
+      tiff.putShort(tag.toShort).putShort(2).putInt(bytes.length + 1)
+      if (inline(bytes)) tiff.put(java.util.Arrays.copyOf(bytes, 4)) // NUL-padded, order-free
+      else { tiff.putInt(dataOff); dataOff += bytes.length + 1 }
+    }
+    ascii(0x010F, mk)
+    ascii(0x0110, md)
     tiff.putShort(0x0112).putShort(3).putInt(1) // Orientation, SHORT x1
     tiff.putShort(orientation.toShort).putShort(0) // inline value + pad
-    ascii(0x0132, dt, dataOff)
+    ascii(0x0132, dt)
     tiff.putInt(0) // next IFD
-    for (b <- Seq(mk, md, dt)) { tiff.put(b); tiff.put(0.toByte) }
+    for (b <- offsetData) { tiff.put(b); tiff.put(0.toByte) }
     val exif = ExifSig ++ tiff.array()
     val app1 = java.nio.ByteBuffer.allocate(4 + exif.length)
       .putShort(0xFFE1.toShort).putShort((2 + exif.length).toShort).put(exif).array()
@@ -267,7 +273,10 @@ object Media {
   def exifMeta(bytes: Array[Byte]): Option[ExifMeta] = {
     if (bytes.length < 4 || (bytes(0) & 0xff) != 0xff || (bytes(1) & 0xff) != 0xd8)
       return None
-    // marker walk to APP1 (same discipline as jpegDims)
+    // marker walk to the EXIF APP1 (same discipline as jpegDims). APP1
+    // also carries XMP, and real writers (phone pipelines, Photoshop)
+    // can put that one FIRST — a non-EXIF APP1 is skipped like any other
+    // segment, the walk continues to a later EXIF one.
     var i = 2
     var app1: Int = -1
     var app1Len = 0
@@ -276,16 +285,17 @@ object Media {
       val m = bytes(i + 1) & 0xff
       if (m == 0xff) i += 1
       else if (m == 0x01 || (m >= 0xd0 && m <= 0xd8)) i += 2
-      else if (m == 0xd9 || m == 0xda) return None // no APP1 before the scan
+      else if (m == 0xd9 || m == 0xda) return None // no EXIF before the scan
       else {
         val segLen = ((bytes(i + 2) & 0xff) << 8) | (bytes(i + 3) & 0xff)
         if (segLen < 2 || i + 2 + segLen > bytes.length) return None
-        if (m == 0xe1) { app1 = i + 4; app1Len = segLen - 2 }
+        val isExif = m == 0xe1 && segLen - 2 >= 14 &&
+          ExifSig.indices.forall(k => bytes(i + 4 + k) == ExifSig(k))
+        if (isExif) { app1 = i + 4; app1Len = segLen - 2 }
         else i += 2 + segLen
       }
     }
-    if (app1 < 0 || app1Len < 14) return None
-    if (!ExifSig.indices.forall(k => bytes(app1 + k) == ExifSig(k))) return None
+    if (app1 < 0) return None
     val tiff = app1 + 6
     val end = app1 + app1Len
     def ok(at: Int, n: Int) = at >= tiff && at + n <= end

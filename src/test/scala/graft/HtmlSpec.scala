@@ -47,6 +47,13 @@ class HtmlSpec extends SparkSpec {
     assert(tx("&#65;&#66;&#67;") == "ABC")
     // the old literal &#39; arm agrees with the numeric path
     assert(tx("<p>it&#39;s</p>") == "it's")
+    // the DEFERRED ampersand: &#38;lt; is an escaped reference — one
+    // decode pass yields the literal &lt;, never < (browser behavior);
+    // leading zeros and the hex spelling defer identically
+    assert(tx("<p>&#38;lt;b&#38;gt;</p>") == "&lt;b&gt;")
+    assert(tx("<p>&#038;amp; &#x26;quot; &#X26;</p>") == "&amp; &quot; &")
+    // a BARE ampersand reference still decodes to '&'
+    assert(tx("<p>fish &#38; chips</p>") == "fish & chips")
   }
 
   test("ISO-8859-1 payloads decode through the declared charset") {

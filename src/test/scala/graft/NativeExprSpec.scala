@@ -578,6 +578,10 @@ class NativeExprSpec extends SparkSpec {
     assert(m("xabcz", Seq("abcd", "abc")), "shorter overlapping term must still hit")
     assert(m("anything", Seq("zzz", "")), "empty term matches everything (contains convention)")
     assert(!m("anything", Seq.empty[String]), "empty LIST matches nothing")
+    // null ELEMENTS skip (documented divergence from the HOF's
+    // three-valued exists — Blocklist.gateWith sanitizes nulls out
+    // before either arm, so the arms never see one)
+    assert(!m("anything", Seq(null, "zzz")) && m("has-zzz-here", Seq(null, "zzz")))
     // unicode bytes match byte-level, the UTF8String.contains semantics
     assert(m("pre-café-post", Seq("café")) && !m("pre-cafe-post", Seq("café")))
     // NULL haystack -> NULL; misuse (non-foldable terms) fails at analysis

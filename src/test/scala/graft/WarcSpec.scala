@@ -669,9 +669,7 @@ class WarcSpec extends SparkSpec {
     // direct: title + resolved links straight off the page bytes
     val cs = graft.ops.Html.charsetOf(col("mime"))
     val html = graft.ops.Html.decodePayload(col("payload"), cs)
-    val directEdges = scanned
-      .filter(col("record_type") === "response" && col("status") === 200 &&
-        lower(col("mime")).contains("html"))
+    val directEdges = graft.ops.Html.htmlResponses(scanned)
       .select(col("url").as("src"), col("ts"),
         graft.ops.Html.title(html).as("title"),
         explode(transform(graft.ops.Html.links(html, col("url")), _.getField("dst"))).as("dst"))
@@ -722,6 +720,7 @@ class WarcSpec extends SparkSpec {
     val dir = "/tmp/graft_test/warcsink_orphans"
     val dirFile = new java.io.File(dir)
     val parent = dirFile.getParentFile
+    java.nio.file.Files.createDirectories(parent.toPath) // listFiles is null otherwise
     def df(ts: String) = spark.createDataFrame(Seq(
         ("s/a.warc.gz", "http://example.com/1", ts, 200, "text/html", "one".getBytes("UTF-8"))))
       .toDF("shard", "url", "ts", "status", "mime", "payload")
