@@ -260,11 +260,13 @@ object Curation extends QueryModule {
     // BETWEEN them (pins both the drop and the position renumbering
     // after the filter), a `<base href="/based/">` on doc_id%5=1 heads
     // (the path-relative Plain arm must resolve under /based/ there —
-    // the base-override plant), and a dotted './x/../up/' href on every
-    // doc (both dot-segment forms collapse — ./ drops, x/../ cancels —
+    // the base-override plant), and a dotted './x/../up/' href on odd
+    // docs (both dot-segment forms collapse — ./ drops, x/../ cancels —
     // leaving the effective base directory intact, so normalization
-    // composes with the base arm; RFC 3986 §5.2.4). Closed-form oracle;
-    // map-side HOFs, the output sort is the only exchange.
+    // composes with the base arm; RFC 3986 §5.2.4; odd-only keeps the
+    // key's per-row cost proportionate — the CDN/Up arms alternate).
+    // Closed-form oracle; map-side HOFs, the output sort is the only
+    // exchange.
     "html_links" -> ((s, d) => {
       val m4 = (col("doc_id") % 4).cast("string")
       val base = concat(lit("http://www.site"), m4,
@@ -282,9 +284,10 @@ object Curation extends QueryModule {
         (col("doc_id") % 3).cast("string"),
         lit(".html>Plain</a>"),
         when(col("doc_id") % 2 === 0,
-          lit("<a href=\"//cdn.example/x\">CDN</a>")).otherwise(lit("")),
-        lit("<a href='./x/../up/"), (col("doc_id") % 6).cast("string"),
-        lit(".html'>Up</a></p></body></html>"))
+          lit("<a href=\"//cdn.example/x\">CDN</a>"))
+          .otherwise(concat(lit("<a href='./x/../up/"),
+            (col("doc_id") % 6).cast("string"), lit(".html'>Up</a>"))),
+        lit("</p></body></html>"))
       Tables.t(s, d, "documents")
         .select(col("doc_id"),
           posexplode(graft.ops.Html.links(page, base)))
@@ -641,11 +644,12 @@ object Curation extends QueryModule {
     // each arm replayed closed-form; positions are POST-filter (the
     // fragment/javascript links between arms never consume a slot).
     // Plain resolves under /based/ on the base-override docs (%5=1);
-    // the Up arm's './x/../up/' cancels only its own planted x segment
-    // (RFC 3986: one ../ consumes one preceding segment), so it lands
-    // under the SAME directory as Plain — /based/up/ on base docs,
-    // /dir/up/ otherwise — pinning that normalization composes with the
-    // base override rather than erasing it.
+    // the Up arm (odd docs — pos 3 alternates with even docs' CDN)
+    // cancels only its own planted x segment (RFC 3986: one ../ consumes
+    // one preceding segment), so it lands under the SAME directory as
+    // Plain — /based/up/ on base docs, /dir/up/ otherwise — pinning that
+    // normalization composes with the base override rather than erasing
+    // it.
     "html_links" ->
       ("SELECT doc_id, CAST(pos AS BIGINT) AS pos, dst, anchor FROM (" +
         "SELECT doc_id, 0 AS pos, 'http://ext.example/e' || (doc_id % 5) AS dst, " +
@@ -660,11 +664,11 @@ object Curation extends QueryModule {
         "'Plain' FROM documents " +
         "UNION ALL SELECT doc_id, 3, 'http://cdn.example/x', 'CDN' " +
         "FROM documents WHERE doc_id % 2 = 0 " +
-        "UNION ALL SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN 4 ELSE 3 END, " +
+        "UNION ALL SELECT doc_id, 3, " +
         "'http://www.site' || (doc_id % 4) || '.example' || " +
         "(CASE WHEN doc_id % 5 = 1 THEN '/based/' ELSE '/dir/' END) || " +
         "'up/' || (doc_id % 6) || '.html', " +
-        "'Up' FROM documents" +
+        "'Up' FROM documents WHERE doc_id % 2 = 1" +
         ") ORDER BY doc_id, pos"),
 
     // full lag replay over the same planted version column; the class
