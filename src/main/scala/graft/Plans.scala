@@ -117,7 +117,10 @@ object Plans {
     "pipeline_quality_funnel" -> "page build + BOTH rule panels are map-side pass-through stages in one plan; the only data-sized exchange is the (lang, content-key) dedup window; the rollup is |langs| rows",
     "ts_cusum_alarm" -> "the CUSUM max-recursion in closed window form: one day-count hash agg (the only data-sized shuffle), then two frames sharing one (host | day) sort — no per-day iteration",
     "warc_fetch_record" -> "replay by RANGE read: requests repartition per file + sort by offset (one open, ascending positioned reads); the corpus itself is never scanned",
-    "crawl_politeness_robots" -> "robots-granted delays are an O(hosts) broadcast into the closed-form schedule — policy-driven politeness still costs ONE corpus shuffle on host")
+    "crawl_politeness_robots" -> "robots-granted delays are an O(hosts) broadcast into the closed-form schedule — policy-driven politeness still costs ONE corpus shuffle on host",
+    "sink_warc_revisit_write" -> "dedup write: ONE digest window picks keepers, revisit rows carry refers-to columns; resolve-on-read is ONE digest equi-join — payload bytes shuffle once per distinct digest, never per capture",
+    "scan_parquet_bloom" -> "point lookup: EqualTo(urlkey) pushed to the scan, split-block bloom in the footer skips row groups without decoding pages — read cost O(row groups probed), not O(rows)",
+    "sink_compact_small_files" -> "compaction with ZERO exchange: FilePartition bin-packing (maxPartitionBytes = target size) groups small files per read task; write emits one right-sized file per task")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse(

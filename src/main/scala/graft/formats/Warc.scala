@@ -46,7 +46,14 @@ object Warc {
       digest: String,
       status: Int,
       mime: String,
-      payload: Array[Byte])
+      payload: Array[Byte],
+      // revisit provenance (ISO 28500 §6.7.2, the identical-payload-digest
+      // profile warcio/pywb write): non-null refersToUri turns a revisit
+      // record's headers into the full profile form — WARC-Profile +
+      // WARC-Refers-To-Target-URI + WARC-Refers-To-Date. Defaults keep
+      // every pre-existing fixture byte-identical (golden offsets).
+      refersToUri: String = null,
+      refersToDate: String = null)
 
   /** Write records as a `.warc.gz` (one gzip member each) — fixture/golden
     * generation for tests and for the scan_warc demo query. */
@@ -87,6 +94,12 @@ object Warc {
 
   private[formats] def renderRecord(r: FixtureRecord): Array[Byte] = {
     val isResponse = r.recordType == "response"
+    // a PROFILE revisit (refersToUri set, status recorded) carries the
+    // duplicate capture's HTTP head as its block — no body — exactly the
+    // warcio identical-payload-digest shape pywb replays headers from;
+    // a bare revisit (the legacy fixture form) keeps its payload block
+    val isRevisitHttp =
+      r.recordType == "revisit" && r.refersToUri != null && r.status != 0
     val block: Array[Byte] =
       if (isResponse) {
         // a null mime omits the Content-Type line (the capture had none)
@@ -95,23 +108,36 @@ object Warc {
           Option(r.mime).map(m => s"Content-Type: $m\r\n").getOrElse("") +
           s"Content-Length: ${r.payload.length}\r\n\r\n"
         head.getBytes(UTF_8) ++ r.payload
+      } else if (isRevisitHttp) {
+        (s"HTTP/1.1 ${r.status} OK\r\n" +
+          Option(r.mime).map(m => s"Content-Type: $m\r\n").getOrElse("") +
+          "\r\n").getBytes(UTF_8)
       } else r.payload
     val contentType =
-      if (isResponse) "application/http; msgtype=response"
+      if (isResponse || isRevisitHttp) "application/http; msgtype=response"
       else if (r.recordType == "conversion") "text/plain" // WET convention
       else Option(r.mime).getOrElse("application/octet-stream")
     // WARC-Record-ID is MANDATORY on every record (ISO 28500 §5.2);
     // name-based UUID over ALL identifying fields (status/mime included)
-    // keeps output deterministic — only byte-identical records share an id
+    // keeps output deterministic — only byte-identical records share an
+    // id. Refers-To fields join the seed ONLY when present, so every
+    // record written before the revisit profile existed keeps its id.
     val rid = java.util.UUID.nameUUIDFromBytes(
-      s"${r.recordType}|${r.url}|${r.isoDate}|${r.digest}|${r.status}|${r.mime}"
+      (s"${r.recordType}|${r.url}|${r.isoDate}|${r.digest}|${r.status}|${r.mime}" +
+        (if (r.refersToUri != null) s"|${r.refersToUri}|${r.refersToDate}" else ""))
         .getBytes(UTF_8))
     val headerLines = Seq("WARC/1.0", s"WARC-Type: ${r.recordType}",
       s"WARC-Record-ID: <urn:uuid:$rid>") ++
       Option(r.url).map(u => s"WARC-Target-URI: $u") ++
       Seq(
         s"WARC-Date: ${r.isoDate}",
-        s"WARC-Payload-Digest: sha1:${r.digest}",
+        s"WARC-Payload-Digest: sha1:${r.digest}") ++
+      (if (r.recordType == "revisit" && r.refersToUri != null) Seq(
+        "WARC-Profile: http://netpreserve.org/warc/1.1/revisit/identical-payload-digest",
+        s"WARC-Refers-To-Target-URI: ${r.refersToUri}",
+        s"WARC-Refers-To-Date: ${r.refersToDate}")
+      else Seq.empty) ++
+      Seq(
         s"Content-Type: $contentType",
         s"Content-Length: ${block.length}")
     val headers = headerLines.mkString("", "\r\n", "\r\n\r\n")
@@ -313,7 +339,12 @@ object Warc {
       val url = headers.getOrElse("warc-target-uri", null)
       val ts = headers.get("warc-date").map(_.replaceAll("[^0-9]", "").take(14)).orNull
       val digest = headers.get("warc-payload-digest").map(_.stripPrefix("sha1:")).orNull
-      val isHttpResponse = recordType == "response" &&
+      // revisit records in the identical-payload-digest profile carry the
+      // duplicate capture's HTTP head (and nothing else) as their block —
+      // parse it the same way, so a deduplicated corpus surfaces each
+      // revisit's own status/mime while the payload resolves via the
+      // digest join (join_revisit_resolve / sink_warc_revisit_write)
+      val isHttpResponse = (recordType == "response" || recordType == "revisit") &&
         headers.getOrElse("content-type", "").startsWith("application/http")
       // non-HTTP records (resource/conversion/metadata) carry their
       // payload's mime in the WARC Content-Type header itself — surface

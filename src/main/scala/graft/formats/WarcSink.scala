@@ -95,8 +95,14 @@ object WarcSink {
       s"WarcSink.write needs [${need.mkString(", ")}]; got [${df.columns.mkString(", ")}]")
     require(zstdDict == null || codec == "zstd",
       "WarcSink.write: zstdDict only applies to codec=zstd")
-    val hasType = df.columns.contains("record_type")
-    val cols = if (hasType) need :+ "record_type" else need
+    // deduplicated-corpus support (sink_warc_revisit_write): `digest`
+    // overrides the writer-computed WARC-Payload-Digest (a revisit record
+    // names the ORIGINAL payload's digest while carrying none itself);
+    // `refers_url`/`refers_ts` (14-digit) become the revisit profile's
+    // WARC-Refers-To-Target-URI / WARC-Refers-To-Date headers
+    val optional =
+      Seq("record_type", "digest", "refers_url", "refers_ts").filter(df.columns.contains)
+    val cols = need ++ optional
     // zstd shards follow warcio's .warc.zst convention: one self-contained
     // frame per record, the same seekable unit the CDX offset/length
     // columns point into; the independent reader dispatches on extension
@@ -178,6 +184,12 @@ object WarcSink {
       .repartition(warcNameCol(col("shard"), outExt))
       .sortWithinPartitions("shard", "url", "ts", "status")
       .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        // optional-column indexes resolved once per task (the select above
+        // fixes the layout; -1 = column absent)
+        val iType = cols.indexOf("record_type")
+        val iDigest = cols.indexOf("digest")
+        val iRefUrl = cols.indexOf("refers_url")
+        val iRefTs = cols.indexOf("refers_ts")
         val pfs = org.apache.hadoop.fs.FileSystem.newInstance(
           new Path(outDir).toUri, sconf.value)
         pfs.setWriteChecksum(false) // private instance — see CdxSink note
@@ -276,15 +288,32 @@ object WarcSink {
             // `response` stays tied to a real status — a typed row
             // claiming response without one would render a garbage head
             val rtype =
-              if (hasType && !row.isNullAt(6)) row.getString(6)
+              if (iType >= 0 && !row.isNullAt(iType)) row.getString(iType)
               else if (isResp) "response" else "resource"
             require(rtype != "response" || isResp,
               s"WarcSink: record_type=response needs a status (url=${row.getString(1)})")
             sha1.reset()
-            val digest = graft.functions.SurtAlg.base32(sha1.digest(payload))
+            // a provided digest wins (a revisit record names the ORIGINAL
+            // payload's digest — computing from its own empty block would
+            // break the digest-join resolution the format exists for)
+            val digest =
+              if (iDigest >= 0 && !row.isNullAt(iDigest)) row.getString(iDigest)
+              else graft.functions.SurtAlg.base32(sha1.digest(payload))
+            val refUrl =
+              if (iRefUrl >= 0 && !row.isNullAt(iRefUrl)) row.getString(iRefUrl) else null
+            val refTs =
+              if (iRefTs >= 0 && !row.isNullAt(iRefTs)) row.getString(iRefTs) else null
+            if (refTs != null) require(isTs14(refTs),
+              s"WarcSink: refers_ts must be 14 digits; got $refTs for url=${row.getString(1)}")
+            // a revisit with a recorded status renders the duplicate
+            // capture's HTTP head (identical-payload-digest profile) —
+            // status/mime survive dedup, only the payload bytes are shed
             val rec = Warc.renderRecord(Warc.FixtureRecord(
               rtype, row.getString(1), iso(row.getString(2)), digest,
-              if (rtype == "response") row.getInt(3) else 0, row.getString(4), payload))
+              if (isResp && (rtype == "response" || rtype == "revisit")) row.getInt(3) else 0,
+              row.getString(4), payload,
+              refersToUri = refUrl,
+              refersToDate = if (refTs != null) iso(refTs) else null))
             if (zctx != null) out.write(zctx.compress(rec))
             else Gzip.writeMember(out, rec)
           }

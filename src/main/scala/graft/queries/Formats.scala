@@ -383,6 +383,57 @@ object Formats extends QueryModule {
       s.read.parquet(dir).orderBy("id")
     }),
 
+    // parquet BLOOM-FILTER pointed lookup — the needle-in-100-TB shape:
+    // the writer stamps a split-block bloom on the lookup column
+    // (parquet.bloom.filter.enabled#urlkey, the public parquet-mr
+    // option), and an equality probe then skips every row group whose
+    // bloom rejects the key WITHOUT decoding its pages — the same
+    // mechanism that makes a single-URL lookup on a 10¹¹-row index an
+    // O(row groups tested) read instead of a scan. The oracle is the
+    // plain equality filter on the source table (the bloom must be
+    // invisible); PlanSpec pins the EqualTo pushdown reaching the scan.
+    "scan_parquet_bloom" -> ((s, d) => {
+      val dir = tmp(d, "bloom_parquet")
+      val cdx = Cdx.df(s, d)
+      cdx.select("id", "urlkey", "ts", "status", "length")
+        .write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#urlkey", "true")
+        .option("parquet.bloom.filter.expected.ndv#urlkey", "100000")
+        .parquet(dir)
+      // the hottest key, same bounded-driver-anchor idiom as
+      // zipnum_ts_bounded (one tiny agg, one row to the driver)
+      val hot = cdx.groupBy("urlkey").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("urlkey")).select("urlkey").head.getString(0)
+      s.read.parquet(dir).where(col("urlkey") === hot)
+        .select("id", "urlkey", "ts", "status", "length")
+        .orderBy("id")
+    }),
+
+    // small-file COMPACTION, shuffle-free — the operational chore every
+    // long-lived 100 TB table needs: a fragmented corpus (64 tiny files
+    // here; real tables grow them from streaming/incremental appends) is
+    // re-read with `spark.sql.files.maxPartitionBytes` sized to the
+    // TARGET file size, so Spark's own FilePartition bin-packing groups
+    // many small files into each read task, and a plain write emits one
+    // right-sized file per task — no repartition(), no exchange, each
+    // task streams its bin. The oracle is content equality with the
+    // source (compaction must be invisible); FormatsSinkSpec pins the
+    // file-count collapse and the plan's zero-exchange shape.
+    "sink_compact_small_files" -> ((s, d) => {
+      val fragDir = tmp(d, "frag_parquet")
+      val outDir = tmp(d, "compact_parquet")
+      Cdx.df(s, d).select("id", "urlkey", "ts", "status", "length")
+        .repartition(64) // the small-files problem, planted
+        .write.mode("overwrite").parquet(fragDir)
+      // a CLONED session (own SQLConf, shared context) carries the
+      // target-size conf — Verify/Bench plan queries concurrently, so
+      // mutating the shared session's conf would race other queries
+      val packer = s.newSession()
+      packer.conf.set("spark.sql.files.maxPartitionBytes", (256L << 20).toString)
+      packer.read.parquet(fragDir).write.mode("overwrite").parquet(outDir)
+      s.read.parquet(outDir).orderBy("id")
+    }),
+
     // ZipNum cluster: range-partition + sort + gzip-member blocks + idx,
     // then read EVERY block back through the member reader
     "sink_zipnum" -> ((s, d) => {
@@ -662,6 +713,35 @@ object Formats extends QueryModule {
         .orderBy("offset")
     }),
 
+    // ARC -> WARC migration — the conversion every pre-2010 crawl went
+    // through when the ecosystem standardized on WARC: legacy members in
+    // (5-field v1 headers + raw HTTP), ISO 28500 response records out,
+    // via the SAME distributed writer every other corpus uses. The
+    // filedesc:// header member surfaces as `arcinfo` and is dropped (its
+    // WARC analog, warcinfo, is metadata the writer can re-stamp). The
+    // oracle pins the content BYTES through both containers: url/ts/
+    // status/mime and the payload sha256 of each migrated record, as
+    // literals — the ARC parse (header line, HTTP head strip) and the
+    // WARC render must agree end-to-end for the hash to match.
+    "sink_arc2warc" -> ((s, d) => {
+      val arc = tmp(d, "migrate.arc.gz")
+      Warc.writeArcFixture(arc, Warc.arcFixtureRecords)
+      val outDir = tmp(d, "arc2warc_out")
+      graft.formats.WarcSink.write(
+        Warc.scan(s, arc)
+          .where(col("record_type") === "response")
+          .select(
+            regexp_replace(col("filename"), "\\.arc\\.gz$", "").as("shard"),
+            col("url"), col("ts"), col("status"), col("mime"), col("payload")),
+        outDir)
+      Warc.scan(s, outDir + "/*.warc.gz")
+        .where(col("record_type") === "response")
+        .select(col("url"), col("ts"), col("status"), col("mime"),
+          length(col("payload")).as("n_bytes"),
+          sha2(col("payload"), 256).as("body_sha256"))
+        .orderBy("url")
+    }),
+
     // per-WARC `.cdx.gz` naming sink (indexwarcsjob.py §upload layout):
     // one sorted gz per input WARC named `<warc>.cdx.gz` — the oracle
     // checks BOTH the lines and the name contract (cdx_name column)
@@ -725,6 +805,59 @@ object Formats extends QueryModule {
         dir, codec = "zstd")
       Warc.scan(s, dir + "/*.warc.zst")
         .where(col("record_type") === "response")
+        .select(col("url"), col("ts"), col("status"), col("mime"),
+          length(col("payload")).as("n_bytes"),
+          sha2(col("payload"), 256).as("body_sha256"))
+        .orderBy("url", "ts", "status", "mime", "body_sha256")
+    }),
+
+    // Deduplicated WARC WRITER round trip — the storage lever of the
+    // whole archive ecosystem: within each payload digest the time-first
+    // capture keeps its payload; every later capture writes as a
+    // `revisit` record in the identical-payload-digest profile (block =
+    // the capture's own HTTP head only, WARC-Payload-Digest = the
+    // ORIGINAL payload's, Refers-To-Target-URI/Date headers — the warcio
+    // recrawl shape). Read back through the independent scan, revisits
+    // resolve payloads via the digest equi-join (the CDX convention
+    // join_revisit_resolve proves), and the REPLAYED corpus must equal
+    // the undeduplicated one row-for-row: the oracle is sink_warc_write's
+    // closed form with payload keyed on digest, so shed-then-resolve is
+    // pinned lossless end-to-end. Scale: one digest window + the digest
+    // join — both shuffle on the dedup key, never corpus×corpus; payload
+    // bytes are written ONCE per distinct digest (the 100 TB win).
+    "sink_warc_revisit_write" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val dir = tmp(d, "warc_revisit")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("cdigest").orderBy("ts", "id")
+      val ded = Cdx.df(s, d).where(col("record_type") === "response")
+        .selectExpr("filename AS shard", "url", "ts", "status", "mime", "id",
+          "digest AS cdigest",
+          "CAST(concat('payload:', digest) AS BINARY) AS payload")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("orig_url", first("url").over(w))
+        .withColumn("orig_ts", first("ts").over(w))
+        .select(
+          col("shard"), col("url"), col("ts"), col("status"), col("mime"),
+          when(col("rn") === 1, col("payload"))
+            .otherwise(lit(Array.emptyByteArray)).as("payload"),
+          when(col("rn") === 1, lit("response"))
+            .otherwise(lit("revisit")).as("record_type"),
+          // the revisit names the original's digest — identical to what
+          // the writer computes for the rn=1 row's payload bytes
+          when(col("rn") > 1,
+            expr("base32(unhex(sha1(concat('payload:', cdigest))))")).as("digest"),
+          when(col("rn") > 1, col("orig_url")).as("refers_url"),
+          when(col("rn") > 1, col("orig_ts")).as("refers_ts"))
+      graft.formats.WarcSink.write(ded, dir)
+      val back = Warc.scan(s, dir + "/*.warc.gz")
+      val originals = back.where(col("record_type") === "response")
+      val resolved = back.where(col("record_type") === "revisit")
+        .select(col("url"), col("ts"), col("status"), col("mime"), col("digest"))
+        .join(originals.select(col("digest"), col("payload")), "digest")
+      originals.select(col("url"), col("ts"), col("status"), col("mime"), col("payload"))
+        .unionByName(
+          resolved.select(col("url"), col("ts"), col("status"), col("mime"), col("payload")))
         .select(col("url"), col("ts"), col("status"), col("mime"),
           length(col("payload")).as("n_bytes"),
           sha2(col("payload"), 256).as("body_sha256"))
@@ -863,6 +996,14 @@ object Formats extends QueryModule {
     "sink_text_gz" -> o(s"SELECT $lineExprDuck AS value FROM cdx ORDER BY value"),
     "scan_manifest" -> o("SELECT DISTINCT filename AS warc_path FROM cdx ORDER BY warc_path"),
     "sink_parquet" -> o("SELECT id, urlkey, ts, status, length FROM cdx ORDER BY id"),
+    // the bloom must be invisible: plain equality filter on the source
+    "scan_parquet_bloom" -> o(
+      "SELECT id, urlkey, ts, status, length FROM cdx WHERE urlkey = " +
+        "(SELECT urlkey FROM cdx GROUP BY urlkey ORDER BY count(*) DESC, urlkey LIMIT 1) " +
+        "ORDER BY id"),
+    // compaction must be invisible: content equality with the source
+    "sink_compact_small_files" -> o(
+      "SELECT id, urlkey, ts, status, length FROM cdx ORDER BY id"),
     "sink_zipnum" -> o(
       s"SELECT urlkey, ts, $jsonExprDuck FROM cdx ORDER BY urlkey, ts, json"),
     "sink_zipnum_v2" -> o(
@@ -959,6 +1100,27 @@ object Formats extends QueryModule {
         "FROM u ORDER BY sitemap, loc"),
     "sink_warc_write" -> o(warcWriteOracle),
     "sink_warc_zst_write" -> o(warcWriteOracle),
+    // the ARC fixture's three URL records, bytes pinned as literals —
+    // DuckDB computes the same sha256 over the same payload strings the
+    // migration must carry through both containers
+    "sink_arc2warc" -> (
+      "SELECT url, ts, status, mime, n_bytes, body_sha256 FROM (VALUES " +
+        "('http://www.example.com/path?b=2&a=1', '20040215012345', 200, 'text/html', " +
+        "CAST(22 AS INTEGER), sha256('<html>arc-alpha</html>')), " +
+        "('http://example.com/other', '20040301120000', 404, 'text/plain', " +
+        "CAST(12 AS INTEGER), sha256('arc not here')), " +
+        "('http://sub.iana.org/x', '20040510235959', 301, 'text/html', " +
+        "CAST(16 AS INTEGER), sha256('<a>arc moved</a>'))" +
+        ") AS t(url, ts, status, mime, n_bytes, body_sha256) ORDER BY url"),
+    // dedup must be INVISIBLE to the replayed corpus: every response
+    // capture comes back with its own url/ts/status/mime and the payload
+    // of its digest — whether it was stored as bytes or as a revisit
+    "sink_warc_revisit_write" -> o(
+      "SELECT url, ts, status, mime, " +
+        "CAST(length('payload:' || digest) AS INTEGER) AS n_bytes, " +
+        "sha256('payload:' || digest) AS body_sha256 " +
+        "FROM cdx WHERE record_type = 'response' " +
+        "ORDER BY url, ts, status, mime, body_sha256"),
     // the WET text replayed from the cdx CTE: the conversion-record
     // round trip must hand back exactly the planted string per capture
     "sink_wet" -> o(

@@ -88,6 +88,30 @@ class LayoutSpec extends SparkSpec {
       s"z layout should skip >=25% of rows for the user box, scanned $zRows of $total")
   }
 
+  test("sink_compact_small_files: 64 fragments collapse to a handful of files, no exchange") {
+    // run the driver key (it plants the 64-file fragmentation, compacts,
+    // and returns the re-read), then audit the directories it left behind
+    SparkEntry.queries("sink_compact_small_files")(spark, sfDir).collect()
+    val sf = java.nio.file.Paths.get(sfDir).getFileName.toString
+    def parquetFiles(p: String): Int =
+      new java.io.File(s"/tmp/graft_fmt/$sf/$p").listFiles()
+        .count(f => f.getName.endsWith(".parquet"))
+    assert(parquetFiles("frag_parquet") == 64, "the planted fragmentation")
+    val out = parquetFiles("compact_parquet")
+    assert(out <= 4, s"compaction must collapse 64 fragments to a few files, got $out")
+    // the mechanism: with maxPartitionBytes at the target size, Spark's
+    // own FilePartition bin-packing groups the fragments into read tasks
+    // — partitions == output files, and the write plan carries NO
+    // exchange (each task streams its bin; nothing shuffles)
+    val packer = spark.newSession() // same isolation the key itself uses
+    packer.conf.set("spark.sql.files.maxPartitionBytes", (256L << 20).toString)
+    val packed = packer.read.parquet(s"/tmp/graft_fmt/$sf/frag_parquet")
+    assert(packed.rdd.getNumPartitions <= 4,
+      s"bin-packing expected <=4 read partitions, got ${packed.rdd.getNumPartitions}")
+    val p = packed.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"compaction must not shuffle:\n$p")
+  }
+
   test("norm16: a multi-year microsecond domain maps 0..65535 without Long wrap") {
     import spark.implicits._
     // 10 years of µs ≈ 3.2e14 — (c-lo)*65535 would exceed Long.MaxValue

@@ -45,6 +45,32 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p.linesIterator.take(20).mkString("\n"))
   }
 
+  test("scan_parquet_bloom: equality probe pushes down; the bloom is really in the footer") {
+    val p = plan("scan_parquet_bloom") // runs the key body: bloom write + probe build
+    assert(p.contains("PushedFilters:") && p.contains("EqualTo(urlkey,"),
+      s"point lookup must reach the scan as an EqualTo pushdown:\n$p")
+    // the writer option must have taken effect — a silently bloom-less
+    // file would leave the key green while losing the row-group skipping
+    // the key exists to demonstrate
+    val sf = java.nio.file.Paths.get(sfDir).getFileName.toString
+    val file = new java.io.File(s"/tmp/graft_fmt/$sf/bloom_parquet").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file.getAbsolutePath),
+        spark.sparkContext.hadoopConfiguration))
+    try {
+      import scala.jdk.CollectionConverters._
+      val blocks = reader.getFooter.getBlocks.asScala
+      assert(blocks.nonEmpty, "parquet file must have row groups")
+      val urlkeyCol = blocks.head.getColumns.asScala
+        .find(_.getPath.toDotString == "urlkey")
+        .getOrElse(fail("urlkey column chunk missing from footer"))
+      assert(urlkeyCol.getBloomFilterOffset >= 0,
+        "urlkey column chunk must carry a bloom filter (writer option took effect)")
+    } finally reader.close()
+  }
+
   test("agg_count_by_key: two-phase hash aggregation (map-side partial)") {
     val p = plan("agg_count_by_key")
     val aggLines = p.linesIterator.filter(_.contains("HashAggregate")).toSeq

@@ -684,6 +684,68 @@ class WarcSpec extends SparkSpec {
     assert(watTypes.head == "warcinfo" && watTypes.tail.forall(_ == "metadata"), watTypes.toString)
   }
 
+  test("WarcSink revisit dedup: profile headers, digest override, lossless resolve, smaller files") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("warc_revisit").toString
+    // INCOMPRESSIBLE duplicate bytes (seeded random): a repetitive text
+    // payload gzips to almost nothing per member, hiding the dedup win
+    // behind codec luck — real payloads (images, minified js) don't
+    val body = { val b = new Array[Byte](4096); new scala.util.Random(42).nextBytes(b); b }
+    val sha1 = java.security.MessageDigest.getInstance("SHA-1")
+    val dig = graft.functions.SurtAlg.base32(sha1.digest(body))
+    // one original + two recrawls of the same bytes + an unrelated page
+    val rows = Seq(
+      ("s/a.warc.gz", "http://example.com/x", "20240101000000", 200, "text/html",
+        body, "response", null, null, null),
+      ("s/a.warc.gz", "http://example.com/x", "20240201000000", 200, "text/html",
+        Array.emptyByteArray, "revisit", dig, "http://example.com/x", "20240101000000"),
+      ("s/a.warc.gz", "http://mirror.example.com/x", "20240301000000", 301, "text/html",
+        Array.emptyByteArray, "revisit", dig, "http://example.com/x", "20240101000000"),
+      ("s/a.warc.gz", "http://example.com/y", "20240101000001", 404, "text/plain",
+        "tiny".getBytes("UTF-8"), "response", null, null, null))
+    val df = spark.createDataFrame(rows)
+      .toDF("shard", "url", "ts", "status", "mime", "payload",
+        "record_type", "digest", "refers_url", "refers_ts")
+    graft.formats.WarcSink.write(df, dir)
+
+    // raw bytes: the revisit profile headers are in the file, verbatim
+    val file = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".warc.gz")).head
+    val gin = new java.util.zip.GZIPInputStream( // reads ALL concatenated members
+      new java.io.ByteArrayInputStream(java.nio.file.Files.readAllBytes(file.toPath)))
+    val raw = new String(gin.readAllBytes(), "ISO-8859-1")
+    assert(raw.contains("WARC-Profile: http://netpreserve.org/warc/1.1/revisit/identical-payload-digest"))
+    assert(raw.contains("WARC-Refers-To-Target-URI: http://example.com/x"))
+    assert(raw.contains("WARC-Refers-To-Date: 2024-01-01T00:00:00Z"))
+
+    val back = Warc.scan(spark, dir + "/*.warc.gz").orderBy("ts")
+      .select("record_type", "url", "ts", "status", "mime", "digest", "payload").collect()
+    // revisit rows surface their OWN status/mime (the head block) with an
+    // empty payload and the ORIGINAL's digest (the override, not a digest
+    // of the empty block)
+    val rev = back.filter(_.getString(0) == "revisit")
+    assert(rev.length == 2)
+    assert(rev.map(_.getInt(3)).toSeq == Seq(200, 301))
+    assert(rev.forall(_.getString(5) == dig), "revisits must carry the referred digest")
+    assert(rev.forall(_.getAs[Array[Byte]]("payload").isEmpty))
+    // digest-join resolution hands every capture its payload back
+    val byDigest = back.filter(_.getString(0) == "response")
+      .map(r => r.getString(5) -> r.getAs[Array[Byte]]("payload")).toMap
+    rev.foreach(r => assert(byDigest(r.getString(5)).sameElements(body)))
+
+    // dedup is a real storage win: the same corpus written WITHOUT dedup
+    // (every capture carries its bytes) must be strictly larger
+    val fullDir = java.nio.file.Files.createTempDirectory("warc_revisit_full").toString
+    graft.formats.WarcSink.write(
+      spark.createDataFrame(rows.map(r => (r._1, r._2, r._3, r._4, r._5,
+        if (r._8 == null) r._6 else body))) // revisits carry the full bytes
+        .toDF("shard", "url", "ts", "status", "mime", "payload"),
+      fullDir)
+    val dedupBytes = new java.io.File(dir).listFiles().map(_.length).sum
+    val fullBytes = new java.io.File(fullDir).listFiles().map(_.length).sum
+    assert(dedupBytes < fullBytes,
+      s"revisit corpus ($dedupBytes B) must be smaller than full ($fullBytes B)")
+  }
+
   test("WarcSink: a mid-job failure leaves the previous corpus untouched (staged swap)") {
     // the write is staged into <dir>.staging-<id> and only swapped in on
     // success: a task failure mid-write (malformed ts here) must leave
