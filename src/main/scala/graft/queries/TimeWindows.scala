@@ -230,6 +230,24 @@ object TimeWindows extends QueryModule {
         .orderBy("id")
     }),
 
+    // the deduplicating indexer as CONTINUOUS state (ValueState = one
+    // (url, ts) original per payload digest; see RevisitProcessor): the
+    // streaming twin of cdx_revisit_generate — and the ingest half of
+    // sink_warc_revisit_write — sharing the batch key's closed-form
+    // window oracle verbatim. Batch-run the per-digest fold over full
+    // history must equal the window algebra, or one of the two
+    // implementations is wrong. StreamingSpec pins that a recrawl in a
+    // LATER micro-batch still resolves to the day-1 original.
+    "stream_revisit_generate" -> ((s, d) => {
+      import s.implicits._
+      val in = graft.Cdx.df(s, d).where(col("record_type") === "response")
+        .select(col("id"), col("urlkey"), col("ts"), col("url"), col("digest"))
+        .as[graft.streaming.StreamOps.RevisitIn]
+      graft.streaming.StreamOps.revisitGenerate(in)
+        .toDF()
+        .orderBy("id")
+    }),
+
     // ordered funnel (view -> click within 30m -> purchase within 30m of
     // the click) — the product-analytics sequence query. Shape: three
     // event-type slices equi-join on user_id with in-plan time-range
@@ -439,6 +457,8 @@ object TimeWindows extends QueryModule {
     // the SAME oracle string as the batch window form — the stream fold
     // and the closed-form window algebra must agree row-for-row
     "stream_politeness" -> Curation.oracleSql("crawl_politeness"),
+    // the streaming fold must equal the batch window algebra — ONE oracle
+    "stream_revisit_generate" -> CdxOps.oracleSql("cdx_revisit_generate"),
     // same two-frame closed form over the same (host | day) sort
     "ts_cusum_alarm" -> (graft.Cdx.duckCte +
       "SELECT hostword, day, cnt, " +

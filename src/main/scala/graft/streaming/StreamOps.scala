@@ -664,6 +664,66 @@ object StreamOps {
     }
   }
 
+  // ---- digest-keyed revisit generation (transformWithState VALUE state) ----
+
+  final case class RevisitIn(id: Long, urlkey: String, ts: String, url: String, digest: String)
+  final case class RevisitOut(id: Long, urlkey: String, ts: String, digest: String,
+      out_type: String, refers_to_url: String, refers_to_ts: String)
+  /** the stored original: first capture of each payload digest */
+  final case class OrigRef(url: String, ts: String)
+
+  /** The deduplicating indexer as CONTINUOUS state — the streaming twin
+    * of `cdx_revisit_generate` (and the ingest half of
+    * `sink_warc_revisit_write`): per payload digest, the first capture
+    * ever seen is the stored original; every later arrival emits as a
+    * `revisit` row pointing at it. State is ONE (url, ts) pair per
+    * distinct digest, so a resumed ingest keeps deduplicating against
+    * everything it has already stored — the property a daily-crawl
+    * pipeline needs (a recrawl next month still resolves to the day-1
+    * original). Within an invocation rows sort by (ts, id) before the
+    * fold; batch-run each digest's whole history arrives at once, so the
+    * emitted rows equal the closed-form window oracle of
+    * `cdx_revisit_generate` — the two driver keys share ONE oracle
+    * string. StreamingSpec pins cross-batch original continuity. */
+  final class RevisitProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[String, RevisitIn, RevisitOut] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+
+    @transient private var orig: ValueState[OrigRef] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      orig = getHandle.getValueState[OrigRef](
+        "orig", Encoders.product[OrigRef], TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: String, rows: Iterator[RevisitIn],
+        timerValues: TimerValues): Iterator[RevisitOut] = {
+      val sorted = rows.toArray.sortBy(r => (r.ts, r.id))
+      var cur = if (orig.exists()) orig.get() else null
+      val out = sorted.map { r =>
+        if (cur == null) {
+          cur = OrigRef(r.url, r.ts)
+          RevisitOut(r.id, r.urlkey, r.ts, r.digest, "response", null, null)
+        } else RevisitOut(r.id, r.urlkey, r.ts, r.digest, "revisit", cur.url, cur.ts)
+      }
+      if (sorted.nonEmpty) orig.update(cur)
+      out.iterator
+    }
+  }
+
+  /** revisit generation over a capture stream/batch; digest-less rows
+    * key on a synthetic singleton (never deduped — warcio/pywb never
+    * emit a revisit without a payload digest), matching the batch
+    * operator's null arm. See [[RevisitProcessor]]. */
+  def revisitGenerate(in: Dataset[RevisitIn]): Dataset[RevisitOut] = {
+    import in.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    ensureStateStoreCoordinator(in.sparkSession)
+    in.groupByKey(r => if (r.digest != null) r.digest else " null:" + r.id)
+      .transformWithState(new RevisitProcessor, TimeMode.None(), OutputMode.Append())
+  }
+
   /** per-host fetch scheduling over a request stream/batch; see
     * [[PolitenessProcessor]] */
   def politeness(in: Dataset[FetchIn]): Dataset[FetchOut] = {

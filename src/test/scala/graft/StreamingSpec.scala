@@ -450,6 +450,49 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("revisit ValueState: a later-batch recrawl still resolves to the day-1 original") {
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[StreamOps.RevisitIn]
+    def c(id: Long, ts: String, url: String, digest: String) =
+      StreamOps.RevisitIn(id, "key)", ts, url, digest)
+    val q = StreamOps.revisitGenerate(input.toDS()).writeStream
+      .format("memory").queryName("revisit_sink").outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: two captures of digest A (second becomes a revisit
+      // within the batch), one digest-less capture (never deduped)
+      input.addData(
+        c(1, "20240101000000", "http://a.org/x", "A"),
+        c(2, "20240102000000", "http://mirror.org/x", "A"),
+        c(3, "20240101000000", "http://a.org/nodigest", null))
+      q.processAllAvailable()
+      val b1 = spark.table("revisit_sink")
+        .as[StreamOps.RevisitOut].collect().sortBy(_.id).toSeq
+      assert(b1.map(_.out_type) == Seq("response", "revisit", "response"), s"got $b1")
+      assert(b1(1).refers_to_url == "http://a.org/x" && b1(1).refers_to_ts == "20240101000000")
+      // batch 2 — the property only the ValueState provides: a recrawl a
+      // month later must still resolve to the day-1 original, and a new
+      // digest starts its own original
+      input.addData(
+        c(4, "20240201000000", "http://late.org/x", "A"),
+        c(5, "20240201000000", "http://b.org/y", "B"))
+      q.processAllAvailable()
+      val b2 = spark.table("revisit_sink")
+        .as[StreamOps.RevisitOut].collect().sortBy(_.id).toSeq
+      assert(b2.map(_.out_type) == Seq("response", "revisit", "response", "revisit", "response"))
+      assert(b2(3).refers_to_url == "http://a.org/x" && b2(3).refers_to_ts == "20240101000000",
+        s"cross-batch original lost: ${b2(3)}")
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("hostStatus MapState: per-class totals accumulate across batches, untouched classes stay quiet") {
     implicit val sqlCtx = spark.sqlContext
     val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
