@@ -71,7 +71,7 @@ object Plans {
     "cdx_acl_policy" -> "longest-prefix ACL rules compile to a length-descending coalesce(when(startswith)) chain — pure map-side codegen projection, zero shuffles/joins; only exchange is the output sort",
     "robots_parse" -> "robots.txt grammar over an O(hosts) table: per-host line windows (files are ~100s of lines), rule↔agent fan-out joins within the same host partitioning — corpus-independent cost",
     "robots_check" -> "captures⋈rules on host equality (prefix match rides as residual); winner window keys (host,id) so it REUSES the join's HashPartitioning(host) — one corpus shuffle total",
-    "cdx_revisit_generate" -> "ONE shuffle on high-cardinality digest; row_number + both first_value's share one Window node (same partition/order); classification is a map-side projection",
+    "cdx_revisit_generate" -> "original-picking is a MERGEABLE min_by agg (map-side partials collapse a mega-digest before the shuffle) + digest equi-join AQE can skew-split — never a digest window sorting a hot digest's whole history in one task",
     "url_registered_domain" -> "runs on the DISTINCT host table (O(hosts) << corpus): bounded suffix explode (≤|labels|), rule table broadcast on both match forms as two equi legs (never an OR nested-loop), winner window over host",
     "corpus_split_leakage_safe" -> "cluster resolve's own pointer-jumping shuffles only; the split assignment is a map-side md5 projection on the cluster id — leakage safety costs zero extra exchanges",
     "sink_warc_write" -> "write: ONE shuffle to co-locate shards, each task streams its sorted group O(1)-memory through gzip members with attempt-isolated publish; read-back is the WARC scan's per-file parallelism",
@@ -118,7 +118,7 @@ object Plans {
     "ts_cusum_alarm" -> "the CUSUM max-recursion in closed window form: one day-count hash agg (the only data-sized shuffle), then two frames sharing one (host | day) sort — no per-day iteration",
     "warc_fetch_record" -> "replay by RANGE read: requests repartition per file + sort by offset (one open, ascending positioned reads); the corpus itself is never scanned",
     "crawl_politeness_robots" -> "robots-granted delays are an O(hosts) broadcast into the closed-form schedule — policy-driven politeness still costs ONE corpus shuffle on host",
-    "sink_warc_revisit_write" -> "dedup write: ONE digest window picks keepers, revisit rows carry refers-to columns; resolve-on-read is ONE digest equi-join — payload bytes shuffle once per distinct digest, never per capture",
+    "sink_warc_revisit_write" -> "dedup write: originals picked by a mergeable min_by agg + skew-splittable digest join (no hot-digest window); resolve-on-read is ONE digest equi-join — payload bytes shuffle once per distinct digest, never per capture",
     "scan_parquet_bloom" -> "point lookup: EqualTo(urlkey) pushed to the scan, split-block bloom in the footer skips row groups without decoding pages — read cost O(row groups probed), not O(rows)",
     "sink_compact_small_files" -> "compaction with ZERO exchange: FilePartition bin-packing (maxPartitionBytes = target size) groups small files per read task; write emits one right-sized file per task")
 

@@ -45,20 +45,32 @@ object CdxOps extends QueryModule {
   /** cdx_revisit_generate body over a (id, urlkey, ts, url, digest)
     * response relation — a helper so OperatorPropertiesSpec can drive the
     * null-digest arm (the synthetic corpus's digests are all non-null).
-    * See the driver key's scaladoc for the window/skew rationale. */
+    *
+    * Shape (r13 rework): original-picking is a MERGEABLE min_by AGG +
+    * equi-join, not a digest-partitioned window — the
+    * cdc_compact_changelog idiom. The difference only shows under
+    * mega-digest skew, which real crawls have (a global error page is
+    * ONE digest with 10⁸ captures): a window must sort that digest's
+    * whole history in one task, while the agg collapses it map-side to
+    * one (url, ts, id) row per digest before the shuffle, and AQE's
+    * skew-join split handles the join-side hot partition. SkewSpec's
+    * hot-digest ladder pins the exponent. Output is unchanged — the
+    * original is the (ts, id)-first capture per digest; null digests
+    * take a synthetic singleton key (never deduped, warcio/pywb never
+    * emit a revisit without a payload digest). */
   def revisitGenerate(responses: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(coalesce(col("digest"), concat(lit(" null:"), col("id"))))
-      .orderBy("ts", "id")
-    responses
+    val keyed = responses
       .select(col("id"), col("urlkey"), col("ts"), col("url"), col("digest"))
-      .withColumn("rn", row_number().over(w))
-      .withColumn("orig_url", first("url").over(w))
-      .withColumn("orig_ts", first("ts").over(w))
+      .withColumn("dkey", coalesce(col("digest"), concat(lit(" null:"), col("id"))))
+    val orig = keyed.groupBy("dkey")
+      .agg(min_by(
+        struct(col("url").as("url"), col("ts").as("ts"), col("id").as("id")),
+        struct(col("ts"), col("id"))).as("o"))
+    keyed.join(orig, "dkey")
       .select(col("id"), col("urlkey"), col("ts"), col("digest"),
-        when(col("rn") === 1, "response").otherwise("revisit").as("out_type"),
-        when(col("rn") > 1, col("orig_url")).as("refers_to_url"),
-        when(col("rn") > 1, col("orig_ts")).as("refers_to_ts"))
+        when(col("id") === col("o.id"), "response").otherwise("revisit").as("out_type"),
+        when(col("id") =!= col("o.id"), col("o.url")).as("refers_to_url"),
+        when(col("id") =!= col("o.id"), col("o.ts")).as("refers_to_ts"))
       .orderBy("id")
   }
 
@@ -358,13 +370,11 @@ object CdxOps extends QueryModule {
     // response capture is stored; every later identical capture becomes a
     // `revisit` row carrying WARC-Refers-To-Target-URI/-Date of the
     // original (warcio/pywb dedup contract; reference recon
-    // indexwarcsjob.py revisit rows, SURVEY §1.2). ONE shuffle on the
-    // high-cardinality digest; all three window functions share the
-    // (digest | ts, id) sort so Catalyst plans a single Window node.
-    // Digest-less responses are NOT deduped (warcio/pywb never emit a
-    // revisit without a payload digest): each null-digest row gets a
-    // synthetic singleton partition key, so it emits as a plain response
-    // — and at scale nulls can't all land in one hot partition.
+    // indexwarcsjob.py revisit rows, SURVEY §1.2). Original-picking is a
+    // mergeable min_by agg + digest equi-join (see revisitGenerate's
+    // scaladoc for the mega-digest skew rationale); digest-less
+    // responses are NOT deduped (warcio/pywb never emit a revisit
+    // without a payload digest) — each takes a synthetic singleton key.
     "cdx_revisit_generate" -> ((s, d) =>
       revisitGenerate(Cdx.df(s, d).where(col("record_type") === "response"))),
 

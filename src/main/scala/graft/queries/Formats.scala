@@ -822,33 +822,37 @@ object Formats extends QueryModule {
     // join_revisit_resolve proves), and the REPLAYED corpus must equal
     // the undeduplicated one row-for-row: the oracle is sink_warc_write's
     // closed form with payload keyed on digest, so shed-then-resolve is
-    // pinned lossless end-to-end. Scale: one digest window + the digest
-    // join — both shuffle on the dedup key, never corpus×corpus; payload
-    // bytes are written ONCE per distinct digest (the 100 TB win).
+    // pinned lossless end-to-end. Scale: original-picking is a MERGEABLE
+    // min_by agg + digest equi-join (the cdc_compact_changelog idiom,
+    // not a digest window) — a mega-digest (a global error page = one
+    // digest with 10⁸ captures) collapses map-side in the agg and AQE
+    // skew-splits the join, where a window would sort the whole hot
+    // digest in one task. Payload bytes are written ONCE per distinct
+    // digest (the 100 TB win); never corpus×corpus.
     "sink_warc_revisit_write" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
       val dir = tmp(d, "warc_revisit")
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("cdigest").orderBy("ts", "id")
-      val ded = Cdx.df(s, d).where(col("record_type") === "response")
+      val base = Cdx.df(s, d).where(col("record_type") === "response")
         .selectExpr("filename AS shard", "url", "ts", "status", "mime", "id",
           "digest AS cdigest",
           "CAST(concat('payload:', digest) AS BINARY) AS payload")
-        .withColumn("rn", row_number().over(w))
-        .withColumn("orig_url", first("url").over(w))
-        .withColumn("orig_ts", first("ts").over(w))
+      val orig = base.groupBy("cdigest")
+        .agg(min_by(
+          struct(col("url").as("url"), col("ts").as("ts"), col("id").as("id")),
+          struct(col("ts"), col("id"))).as("o"))
+      val ded = base.join(orig, "cdigest")
         .select(
           col("shard"), col("url"), col("ts"), col("status"), col("mime"),
-          when(col("rn") === 1, col("payload"))
+          when(col("id") === col("o.id"), col("payload"))
             .otherwise(lit(Array.emptyByteArray)).as("payload"),
-          when(col("rn") === 1, lit("response"))
+          when(col("id") === col("o.id"), lit("response"))
             .otherwise(lit("revisit")).as("record_type"),
           // the revisit names the original's digest — identical to what
-          // the writer computes for the rn=1 row's payload bytes
-          when(col("rn") > 1,
+          // the writer computes for the original row's payload bytes
+          when(col("id") =!= col("o.id"),
             expr("base32(unhex(sha1(concat('payload:', cdigest))))")).as("digest"),
-          when(col("rn") > 1, col("orig_url")).as("refers_url"),
-          when(col("rn") > 1, col("orig_ts")).as("refers_ts"))
+          when(col("id") =!= col("o.id"), col("o.url")).as("refers_url"),
+          when(col("id") =!= col("o.id"), col("o.ts")).as("refers_ts"))
       graft.formats.WarcSink.write(ded, dir)
       val back = Warc.scan(s, dir + "/*.warc.gz")
       val originals = back.where(col("record_type") === "response")

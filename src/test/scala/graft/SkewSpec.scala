@@ -408,6 +408,29 @@ class SkewSpec extends SparkSpec {
     assert(eChain <= 1.35, f"resolveChains grows superlinearly: $eChain%.2f")
   }
 
+  test("revisit generation stays near-linear under a mega-digest (half the corpus, one digest)") {
+    // the real-crawl skew shape: a global error page is ONE payload
+    // digest carrying a huge share of captures. Original-picking as a
+    // digest WINDOW would sort that digest's whole history in one task;
+    // the r13 min_by-agg + join shape collapses it map-side and lets AQE
+    // skew-split the join — fit the exponent on a ladder where the hot
+    // digest grows WITH the corpus (half of all rows, every point).
+    def captures(n: Long) = spark.range(n).select(
+      col("id"),
+      concat(lit("org,example)/k"), col("id")).as("urlkey"),
+      lpad(col("id").cast("string"), 14, "0").as("ts"),
+      concat(lit("http://e.org/"), col("id")).as("url"),
+      when(pmod(col("id"), lit(2)) === 0, lit("HOTDIGEST"))
+        .otherwise(concat(lit("d"), col("id"))).as("digest"))
+    def work(n: Long): Unit =
+      graft.queries.CdxOps.revisitGenerate(captures(n)).count(): Unit
+    val ladder = Seq(25000L, 50000L, 100000L)
+    val e1 = growthExponent(ladder)(work)
+    val e = if (e1 <= 1.35) e1 else growthExponent(ladder, samples = 3)(work)
+    info(f"hot-digest revisit exponent: $e%.2f")
+    assert(e <= 1.35, f"revisit generation grows superlinearly under a mega-digest: $e%.2f")
+  }
+
   test("multi_contains term arm is FLAT in term count (the realistic-blocklist shape)") {
     // the blocklist gate's exists(contains) HOF costs |terms| substring
     // scans per row — linear in term count, the thing C4's ~400-entry
