@@ -378,6 +378,32 @@ object CdxOps extends QueryModule {
     "cdx_revisit_generate" -> ((s, d) =>
       revisitGenerate(Cdx.df(s, d).where(col("record_type") === "response"))),
 
+    // STORAGE ACCOUNTING for the revisit-dedup family — the report an
+    // operator reads before/after enabling sink_warc_revisit_write:
+    // per WARC shard, captures vs distinct payloads, logical bytes
+    // (every capture's length) vs stored bytes (only globally-original
+    // captures keep their bytes; the original lives in ONE shard, so
+    // dedup skews savings ACROSS shards — exactly what this surfaces),
+    // and the percent saved. Same min_by-agg + join shape as
+    // revisitGenerate (mega-digest-safe); the rollup is |shards| rows.
+    "obs_dedup_savings" -> ((s, d) => {
+      val resp = Cdx.df(s, d).where(col("record_type") === "response")
+        .select(col("id"), col("ts"), col("filename"), col("length"), col("digest"))
+      val orig = resp.groupBy("digest")
+        .agg(min_by(col("id"), struct(col("ts"), col("id"))).as("orig_id"))
+      resp.join(orig, "digest")
+        .groupBy("filename")
+        .agg(count(lit(1)).as("n_captures"),
+          countDistinct("digest").as("n_digests"),
+          sum("length").as("logical_bytes"),
+          sum(when(col("id") === col("orig_id"), col("length")).otherwise(0L))
+            .as("stored_bytes"))
+        .withColumn("pct_saved",
+          round(lit(100.0) * (col("logical_bytes") - col("stored_bytes")) /
+            col("logical_bytes"), 4))
+        .orderBy("filename")
+    }),
+
     // publicsuffix.org eTLD+1 over the corpus's DISTINCT hosts plus the
     // planted precedence fixture — wildcard, exception, ccSLD-style
     // multi-label suffix, default-* (see [[graft.ops.Psl]]). At corpus
@@ -682,6 +708,15 @@ object CdxOps extends QueryModule {
 
     // same (digest | ts, id) window; first_value's frame start is the
     // partition start in both engines, so ties are irrelevant to it
+    // per-shard dedup ledger; origin = (ts, id)-first per digest GLOBALLY
+    "obs_dedup_savings" -> o(
+      "SELECT filename, count(*) AS n_captures, count(DISTINCT digest) AS n_digests, " +
+        "CAST(sum(length) AS BIGINT) AS logical_bytes, " +
+        "CAST(sum(CASE WHEN is_orig THEN length ELSE 0 END) AS BIGINT) AS stored_bytes, " +
+        "round(100.0 * (sum(length) - sum(CASE WHEN is_orig THEN length ELSE 0 END)) / sum(length), 4) AS pct_saved " +
+        "FROM (SELECT *, row_number() OVER (PARTITION BY digest ORDER BY ts, id) = 1 AS is_orig " +
+        "FROM cdx WHERE record_type = 'response') " +
+        "GROUP BY filename ORDER BY filename"),
     "cdx_revisit_generate" -> o(
       "SELECT id, urlkey, ts, digest, " +
         "CASE WHEN rn = 1 THEN 'response' ELSE 'revisit' END AS out_type, " +

@@ -46,6 +46,37 @@ object Llm extends QueryModule {
   private val tokensDuck =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
 
+  /** multilingual-gate word lists — ONE definition; both engines' SQL
+    * fragments derive from it (the tokensDuck discipline), so the lists
+    * can never drift between the key and its oracle. Tiny fixed lists
+    * keep the oracle exact; production swaps the full per-language
+    * tables in (DEPLOY). zh is CHARACTER-based: the alnum tokenizer
+    * yields nothing for unsegmented CJK. */
+  private val mlStopLists: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "es" -> Seq("el", "la", "de", "los", "que"))
+  private val mlZhChars: Seq[String] = Seq("的", "了", "是", "在", "和")
+  /** per-lang planted token (the lead stopword; zh plants its lead char) */
+  private val mlPlantCase: String =
+    "CASE lang " +
+      mlStopLists.map { case (l, ws) => s"WHEN '$l' THEN '${ws.head}'" }.mkString(" ") +
+      s" WHEN 'zh' THEN '${mlZhChars.head}' ELSE '' END"
+  private def mlList(ws: Seq[String]): String = ws.map(w => s"'$w'").mkString(", ")
+  private val mlStopListCase: String = // Spark array() literal form
+    "CASE lang " +
+      mlStopLists.map { case (l, ws) => s"WHEN '$l' THEN array(${mlList(ws)})" }.mkString(" ") +
+      " ELSE array() END"
+  private val mlStopListCaseDuck: String = // DuckDB [] literal form
+    "CASE lang " +
+      mlStopLists.map { case (l, ws) => s"WHEN '$l' THEN [${mlList(ws)}]" }.mkString(" ") +
+      " ELSE [] END"
+  /** stop-CHARACTER occurrence sum; replace() is non-regex 3-arg in both
+    * engines, so the identical string serves both */
+  private val mlZhHits: String =
+    mlZhChars.map(c => s"(length(page) - length(replace(page, '$c', '')))").mkString(" + ")
+
   // derived from THE definition (ops.Text) — a private copy here would
   // let an edit to either side silently diverge seven oracles from the
   // Spark results they verify
@@ -292,6 +323,32 @@ object Llm extends QueryModule {
       Tables.t(s, d, "documents")
         .select(col("doc_id"),
           graft.ops.Text.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")),
+
+    // MULTILINGUAL stop-signal quality gate — the CCNet/fineweb2 lesson:
+    // Gopher/C4's English stop lists score every other language as junk,
+    // so the gate needs per-language lists, and unsegmented CJK (where
+    // the alnum tokenizer yields nothing) needs stop CHARACTERS counted
+    // on the raw text. The fixture text is English-soup for every lang,
+    // so each doc plants doc_id%4 copies of its language's lead stopword
+    // (zh plants 的) — both keep arms populate per language. Integer
+    // cross-product thresholds (10% of tokens / 2% of chars) keep both
+    // engines exact. All map-side codegen'd built-ins; the output sort
+    // is the only exchange.
+    "text_quality_multilang" -> ((s, d) =>
+      Tables.t(s, d, "documents")
+        .selectExpr("doc_id", "lang",
+          s"concat(text, ' ', repeat(concat($mlPlantCase, ' '), CAST(doc_id % 4 AS INT))) AS page")
+        .selectExpr("doc_id", "lang", "page",
+          s"$mlStopListCase AS sl",
+          "filter(split(lower(page), '[^a-z0-9]+'), t -> t <> '') AS tok")
+        .selectExpr("doc_id", "lang",
+          "CASE WHEN lang = 'zh' THEN length(page) ELSE size(tok) END AS n_units",
+          s"CASE WHEN lang = 'zh' THEN $mlZhHits " +
+            "ELSE size(filter(tok, t -> array_contains(sl, t))) END AS stop_hits")
+        .selectExpr("doc_id", "lang", "n_units", "stop_hits",
+          "CASE WHEN lang = 'zh' THEN stop_hits * 50 >= n_units " +
+            "ELSE stop_hits * 10 >= n_units END AS keep")
         .orderBy("doc_id")),
 
     // token counting: whitespace tokens + a chars/4 BPE-style estimate
@@ -1060,6 +1117,21 @@ object Llm extends QueryModule {
     "text_token_count" ->
       (s"SELECT doc_id, len($tokensDuck) AS ws_tokens, " +
         "CAST(ceil(length(text) / 4.0) AS BIGINT) AS bpe_est FROM documents ORDER BY doc_id"),
+    // per-language lists + the zh char path, derived from the SAME
+    // mlStopLists/mlZhChars the Spark side reads
+    "text_quality_multilang" ->
+      ("SELECT doc_id, lang, n_units, stop_hits, " +
+        "CASE WHEN lang = 'zh' THEN stop_hits * 50 >= n_units " +
+        "ELSE stop_hits * 10 >= n_units END AS keep FROM (" +
+        "SELECT doc_id, lang, " +
+        "CASE WHEN lang = 'zh' THEN length(page) ELSE len(tok) END AS n_units, " +
+        s"CASE WHEN lang = 'zh' THEN $mlZhHits " +
+        "ELSE len(list_filter(tok, t -> list_contains(sl, t))) END AS stop_hits FROM (" +
+        s"SELECT doc_id, lang, page, $mlStopListCaseDuck AS sl, " +
+        "list_filter(string_split_regex(lower(page), '[^a-z0-9]+'), t -> t <> '') AS tok FROM (" +
+        s"SELECT doc_id, lang, concat(text, ' ', " +
+        s"repeat(concat($mlPlantCase, ' '), CAST(doc_id % 4 AS INT))) AS page " +
+        "FROM documents))) ORDER BY doc_id"),
     "doc_fingerprint" ->
       ("SELECT doc_id, substr(sha256(regexp_replace(lower(text), '\\s+', ' ', 'g')), 1, 16) AS fingerprint " +
         "FROM documents ORDER BY doc_id"),
