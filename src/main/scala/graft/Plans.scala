@@ -120,7 +120,8 @@ object Plans {
     "crawl_politeness_robots" -> "robots-granted delays are an O(hosts) broadcast into the closed-form schedule — policy-driven politeness still costs ONE corpus shuffle on host",
     "sink_warc_revisit_write" -> "dedup write: originals picked by a mergeable min_by agg + skew-splittable digest join (no hot-digest window); resolve-on-read is ONE digest equi-join — payload bytes shuffle once per distinct digest, never per capture",
     "scan_parquet_bloom" -> "point lookup: EqualTo(urlkey) pushed to the scan, split-block bloom in the footer skips row groups without decoding pages — read cost O(row groups probed), not O(rows)",
-    "sink_compact_small_files" -> "compaction with ZERO exchange: FilePartition bin-packing (maxPartitionBytes = target size) groups small files per read task; write emits one right-sized file per task")
+    "sink_compact_small_files" -> "compaction with ZERO exchange: FilePartition bin-packing (maxPartitionBytes = target size) groups small files per read task; write emits one right-sized file per task",
+    "scan_warc_split" -> "byte-range splits INSIDE a .warc.gz: member-magic resync + strict one-member CRC-validated decode per candidate, ownership by member start — a 500 GB file becomes size/splitBytes tasks instead of one")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse(

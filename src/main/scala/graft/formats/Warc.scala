@@ -448,6 +448,140 @@ object Warc {
     spark.createDataFrame(rows, schema)
   }
 
+  /** SPLITTABLE `.warc.gz` scan — byte-range splits WITHIN files. The
+    * plain [[scan]] parallelizes per file, which is right for the crawl
+    * reality of many ~1 GB WARCs; but an archive of FEW HUGE files (a
+    * national-library 500 GB WARC) starves a 1000-executor cluster at
+    * one task per file. Gzip members are self-delimiting, so a mid-file
+    * split can re-synchronize: scan forward for the member magic
+    * (`1f 8b 08`, FLG reserved bits clear — the resync heuristic the
+    * corrupt-recovery path already uses) and VALIDATE the candidate by
+    * strictly decoding one full member from it (CRC32 + ISIZE checked by
+    * the decoder), seeking on; a false magic inside deflate data fails
+    * the decode and the scan continues. Ownership: a member belongs to
+    * the split containing its START offset — the owner decodes past its
+    * range end to finish a straddling member, the next split syncs past
+    * that member's interior. Rows are bit-identical to [[scan]]'s
+    * (WarcSpec pins parity across split sizes); the one documented
+    * divergence: corrupt BYTES overlapping a split boundary are skipped
+    * by the syncing split rather than attributed to a span, so corrupt-
+    * row extents can tile differently — record rows never differ.
+    * Residual risk: a false candidate whose bytes decode as a valid
+    * member AND pass CRC32+ISIZE (~2⁻³² on content that already looks
+    * like a gzip header) would emit phantom rows; at that probability
+    * the failure mode is the same class as undetected bit rot. */
+  def scanSplit(
+      spark: SparkSession, pathGlob: String, splitBytes: Long,
+      permissive: Boolean = true): DataFrame = {
+    require(splitBytes > 0, s"scanSplit: splitBytes must be positive, got $splitBytes")
+    val sc = spark.sparkContext
+    val sconf = new SerializableHadoopConf(sc.hadoopConfiguration)
+    val glob = new org.apache.hadoop.fs.Path(pathGlob)
+    val fs = glob.getFileSystem(sc.hadoopConfiguration)
+    val files = fs.globStatus(glob)
+    require(files != null && files.nonEmpty, s"scanSplit: no files match $pathGlob")
+    // driver artifact is one tuple per split — bounded by corpus/splitBytes
+    val splits = files.toSeq.filter(_.isFile).flatMap { st =>
+      val size = st.getLen
+      val n = math.max(1L, (size + splitBytes - 1) / splitBytes)
+      (0L until n).map(i =>
+        (st.getPath.toString, i * splitBytes, math.min((i + 1) * splitBytes, size)))
+    }
+    val rows = sc.parallelize(splits, math.max(splits.size, 1)).flatMap {
+      case (file, start, end) =>
+        val shortName = file.substring(file.lastIndexOf('/') + 1)
+        val p = new org.apache.hadoop.fs.Path(file)
+        val pfs = p.getFileSystem(sconf.value)
+        val synced = if (start == 0L) 0L else syncToMemberBoundary(pfs, p, start, end)
+        if (synced < 0 || synced >= end) Iterator.empty
+        else {
+          val in = pfs.open(p)
+          in.seek(synced)
+          val entries = Gzip.entries(in, permissive)
+          def closeAll(): Unit = try in.close() catch { case _: Throwable => }
+          Option(org.apache.spark.TaskContext.get())
+            .foreach(_.addTaskCompletionListener[Unit](_ => closeAll()))
+          // entry offsets are relative to the seek point; rebase to the
+          // file, and stop at the first entry STARTING at/after range end
+          val it = entries
+            .takeWhile(e => synced + e.offset < end)
+            .flatMap {
+              case m: Gzip.Member =>
+                parseRecords(m.bytes, synced + m.offset, m.compressedLength, shortName)
+              case s: Gzip.CorruptSpan =>
+                Seq(Row("corrupt", null, null, null, null, null,
+                  synced + s.offset, s.compressedLength, shortName, null))
+            }
+          new Iterator[Row] {
+            override def hasNext: Boolean = {
+              val h = it.hasNext
+              if (!h) closeAll()
+              h
+            }
+            override def next(): Row = it.next()
+          }
+        }
+    }
+    spark.createDataFrame(rows, schema)
+  }
+
+  /** First TRUE gzip-member boundary at offset in [from, end), or -1.
+    * Pattern scan + strict one-member decode validation per candidate. */
+  private def syncToMemberBoundary(
+      fs: org.apache.hadoop.fs.FileSystem, path: org.apache.hadoop.fs.Path,
+      from: Long, end: Long): Long = {
+    val probe = fs.open(path)
+    val verify = fs.open(path)
+    try {
+      probe.seek(from)
+      val buf = new Array[Byte](64 << 10)
+      // 4-byte sliding window across chunk edges
+      val win = new Array[Int](4)
+      var filled = 0
+      var pos = from // absolute offset of win(0) once filled
+      var bufLen = 0
+      var bufAt = 0
+      def nextByte(): Int = {
+        if (bufAt >= bufLen) {
+          bufLen = probe.read(buf); bufAt = 0
+          if (bufLen <= 0) return -1
+        }
+        val b = buf(bufAt) & 0xff; bufAt += 1; b
+      }
+      while (pos < end) {
+        while (filled < 4) {
+          val b = nextByte()
+          if (b < 0) return -1L
+          win(filled) = b; filled += 1
+        }
+        if (win(0) == 0x1f && win(1) == 0x8b && win(2) == 0x08 && (win(3) & 0xe0) == 0) {
+          // validate: one full strict member must decode from here
+          verify.seek(pos)
+          val ok =
+            try { val it = Gzip.members(verify); it.hasNext && { it.next(); true } }
+            catch { case _: Exception => false }
+          if (ok) return pos
+        }
+        win(0) = win(1); win(1) = win(2); win(2) = win(3)
+        filled = 3
+        pos += 1
+      }
+      -1L
+    } finally {
+      try probe.close() catch { case _: Throwable => }
+      try verify.close() catch { case _: Throwable => }
+    }
+  }
+
+  /** Deterministic many-record fixture (≈300 records, tens of KB) so a
+    * small-splitBytes [[scanSplit]] genuinely cuts mid-file. */
+  def splitFixtureRecords: Seq[FixtureRecord] = (0 until 300).map { i =>
+    FixtureRecord("response", s"http://www.example.com/split/$i",
+      f"2016-02-01T${(i / 60) % 24}%02d:${i % 60}%02d:00Z",
+      b32(s"split$i"), 200, "text/html",
+      (s"<html>split payload $i " + ("x" * (i % 97)) + "</html>").getBytes(UTF_8))
+  }
+
   /** The REPLAY primitive: fetch exactly the gzip members that CDX
     * `(filename, offset, length)` pointers name — the range-request path
     * pywb serves captures through, and the whole reason the index stores

@@ -620,6 +620,22 @@ object Formats extends QueryModule {
         .orderBy("offset")
     }),
 
+    // SPLITTABLE gzip WARC scan — the few-huge-files shape (a 500 GB
+    // national-library WARC starves a cluster at one task per file):
+    // byte-range splits re-synchronize on the gzip member magic with
+    // strict one-member decode validation, ownership by member START
+    // offset. 4 KB splits over a ~40 KB 300-record fixture force many
+    // mid-file cuts; oracle-exempt like every binary-fixture scan —
+    // WarcSpec pins split==whole parity across split sizes (records AND
+    // payload bytes), including on a corrupted corpus.
+    "scan_warc_split" -> ((s, d) => {
+      val file = tmp(d, "split_fixture.warc.gz")
+      Warc.writeFixture(file, Warc.splitFixtureRecords)
+      Warc.scanSplit(s, file, splitBytes = 4096)
+        .select("record_type", "url", "ts", "digest", "status", "mime", "offset", "length")
+        .orderBy("offset")
+    }),
+
     // the SAME fixture as zstd frames (warcio's .warc.zst convention:
     // one self-contained frame per record behind a skippable dictionary
     // slot) through the SAME scan — the member reader dispatches on the
@@ -854,17 +870,19 @@ object Formats extends QueryModule {
           when(col("id") =!= col("o.id"), col("o.url")).as("refers_url"),
           when(col("id") =!= col("o.id"), col("o.ts")).as("refers_ts"))
       graft.formats.WarcSink.write(ded, dir)
+      // resolve-on-read in ONE join over TWO corpus scans (not a
+      // scan-per-branch union): every row — original or revisit — takes
+      // its payload from its digest's stored original; for a response
+      // that IS its own payload, so no union or third scan is needed
       val back = Warc.scan(s, dir + "/*.warc.gz")
-      val originals = back.where(col("record_type") === "response")
-      val resolved = back.where(col("record_type") === "revisit")
+      val origPayload = back.where(col("record_type") === "response")
+        .select(col("digest"), col("payload").as("orig_payload"))
+      back.where(col("record_type").isin("response", "revisit"))
         .select(col("url"), col("ts"), col("status"), col("mime"), col("digest"))
-        .join(originals.select(col("digest"), col("payload")), "digest")
-      originals.select(col("url"), col("ts"), col("status"), col("mime"), col("payload"))
-        .unionByName(
-          resolved.select(col("url"), col("ts"), col("status"), col("mime"), col("payload")))
+        .join(origPayload, "digest")
         .select(col("url"), col("ts"), col("status"), col("mime"),
-          length(col("payload")).as("n_bytes"),
-          sha2(col("payload"), 256).as("body_sha256"))
+          length(col("orig_payload")).as("n_bytes"),
+          sha2(col("orig_payload"), 256).as("body_sha256"))
         .orderBy("url", "ts", "status", "mime", "body_sha256")
     }),
 

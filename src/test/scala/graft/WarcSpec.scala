@@ -684,6 +684,43 @@ class WarcSpec extends SparkSpec {
     assert(watTypes.head == "warcinfo" && watTypes.tail.forall(_ == "metadata"), watTypes.toString)
   }
 
+  test("scanSplit: byte-range splits return rows bit-identical to the whole-file scan") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("warc_split")
+    val file = dir.resolve("big.warc.gz").toString
+    Warc.writeFixture(file, Warc.splitFixtureRecords)
+    def rowsOf(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+      df.select(col("record_type"), col("url"), col("ts"), col("digest"),
+        col("status"), col("mime"), col("offset"), col("length"),
+        sha2(col("payload"), 256).as("psha"))
+        .orderBy("offset").collect().toSeq.map(_.toSeq)
+    val whole = rowsOf(Warc.scan(spark, file))
+    assert(whole.size == 300)
+    // split sizes chosen to cut mid-member constantly (977 is prime and
+    // smaller than most members; 4096/16384 cut every few members); a
+    // splitBytes larger than the file degenerates to the whole scan
+    for (sb <- Seq(977L, 4096L, 16384L, 1L << 30)) {
+      val split = rowsOf(Warc.scanSplit(spark, file, sb))
+      assert(split == whole, s"splitBytes=$sb diverged from the whole-file scan")
+    }
+
+    // corruption: record rows must still match the whole scan's records
+    // (corrupt-SPAN extents may tile differently across splits — the
+    // documented divergence); flip bytes inside one member's deflate data
+    val corrupted = dir.resolve("corrupt.warc.gz").toString
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(file))
+    for (i <- 5000 until 5040) bytes(i) = 0x5a
+    java.nio.file.Files.write(java.nio.file.Paths.get(corrupted), bytes)
+    def records(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+      rowsOf(df.where(col("record_type") =!= "corrupt"))
+    val wholeRec = records(Warc.scan(spark, corrupted))
+    assert(wholeRec.size < 300 && wholeRec.size > 290, s"got ${wholeRec.size}")
+    for (sb <- Seq(977L, 4096L)) {
+      val splitRec = records(Warc.scanSplit(spark, corrupted, sb))
+      assert(splitRec == wholeRec, s"splitBytes=$sb record rows diverged on the corrupt corpus")
+    }
+  }
+
   test("WarcSink revisit dedup: profile headers, digest override, lossless resolve, smaller files") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("warc_revisit").toString
