@@ -469,7 +469,13 @@ object Warc {
     * Residual risk: a false candidate whose bytes decode as a valid
     * member AND pass CRC32+ISIZE (~2⁻³² on content that already looks
     * like a gzip header) would emit phantom rows; at that probability
-    * the failure mode is the same class as undetected bit rot. */
+    * the failure mode is the same class as undetected bit rot.
+    *
+    * `.warc.zst` splits the same way (frame/skippable magic resync,
+    * strict one-frame decode validation); a dict-mode archive's
+    * dictionary lives in the offset-0 skippable frame — outside every
+    * mid-file range — so splits preload it by positioned read, the
+    * fetchRecords discipline. */
   def scanSplit(
       spark: SparkSession, pathGlob: String, splitBytes: Long,
       permissive: Boolean = true): DataFrame = {
@@ -492,13 +498,33 @@ object Warc {
         val shortName = file.substring(file.lastIndexOf('/') + 1)
         val p = new org.apache.hadoop.fs.Path(file)
         val pfs = p.getFileSystem(sconf.value)
-        val synced = if (start == 0L) 0L else syncToMemberBoundary(pfs, p, start, end)
+        val isZst = shortName.endsWith(".zst")
+        // a dict-mode .warc.zst parks its dictionary in the offset-0
+        // skippable frame — OUTSIDE every mid-file split's range, so
+        // splits preload it by positioned read (the fetchRecords path)
+        val presetDict: Array[Byte] =
+          if (isZst && start > 0L) {
+            val din = pfs.open(p)
+            try ZstdMembers.leadingDict((pos, buf) => { din.readFully(pos, buf); () })
+            finally { try din.close() catch { case _: Throwable => } }
+          } else null
+        val synced =
+          if (start == 0L) 0L
+          else syncToMemberBoundary(pfs, p, start, end, isZst, presetDict)
         if (synced < 0 || synced >= end) Iterator.empty
         else {
           val in = pfs.open(p)
           in.seek(synced)
-          val entries = Gzip.entries(in, permissive)
-          def closeAll(): Unit = try in.close() catch { case _: Throwable => }
+          val entries: Iterator[Gzip.Entry] =
+            if (isZst) ZstdMembers.entries(in, permissive, presetDict)
+            else Gzip.entries(in, permissive)
+          def closeAll(): Unit = {
+            try in.close() catch { case _: Throwable => }
+            entries match {
+              case c: java.io.Closeable => try c.close() catch { case _: Throwable => }
+              case _ =>
+            }
+          }
           Option(org.apache.spark.TaskContext.get())
             .foreach(_.addTaskCompletionListener[Unit](_ => closeAll()))
           // entry offsets are relative to the seek point; rebase to the
@@ -525,13 +551,37 @@ object Warc {
     spark.createDataFrame(rows, schema)
   }
 
-  /** First TRUE gzip-member boundary at offset in [from, end), or -1.
-    * Pattern scan + strict one-member decode validation per candidate. */
+  /** First TRUE member/frame boundary at offset in [from, end), or -1.
+    * Pattern scan (gzip member magic, or the zstd frame/skippable magics)
+    * + strict one-member decode validation per candidate. */
   private def syncToMemberBoundary(
       fs: org.apache.hadoop.fs.FileSystem, path: org.apache.hadoop.fs.Path,
-      from: Long, end: Long): Long = {
+      from: Long, end: Long, isZst: Boolean, presetDict: Array[Byte]): Long = {
     val probe = fs.open(path)
     val verify = fs.open(path)
+    def candidateAt(win: Array[Int]): Boolean =
+      if (isZst) {
+        // little-endian magics: frame 0xFD2FB528, skippable 0x184D2A5x
+        val le = win(0) | win(1) << 8 | win(2) << 16 | win(3) << 24
+        le == 0xFD2FB528 || (le & 0xFFFFFFF0) == 0x184D2A50
+      } else
+        win(0) == 0x1f && win(1) == 0x8b && win(2) == 0x08 && (win(3) & 0xe0) == 0
+    def validAt(pos: Long): Boolean = {
+      verify.seek(pos)
+      try {
+        if (isZst) {
+          // strict: a frame that doesn't decode (or a skippable frame
+          // followed by garbage) throws; entries consumes skippables
+          // silently, so the first next() is a real member
+          val it = ZstdMembers.entries(verify, permissive = false, presetDict)
+          try it.hasNext && { it.next(); true }
+          finally it.close() // frees the native ctx, not the stream
+        } else {
+          val it = Gzip.members(verify)
+          it.hasNext && { it.next(); true }
+        }
+      } catch { case _: Exception => false }
+    }
     try {
       probe.seek(from)
       val buf = new Array[Byte](64 << 10)
@@ -554,14 +604,7 @@ object Warc {
           if (b < 0) return -1L
           win(filled) = b; filled += 1
         }
-        if (win(0) == 0x1f && win(1) == 0x8b && win(2) == 0x08 && (win(3) & 0xe0) == 0) {
-          // validate: one full strict member must decode from here
-          verify.seek(pos)
-          val ok =
-            try { val it = Gzip.members(verify); it.hasNext && { it.next(); true } }
-            catch { case _: Exception => false }
-          if (ok) return pos
-        }
+        if (candidateAt(win) && validAt(pos)) return pos
         win(0) = win(1); win(1) = win(2); win(2) = win(3)
         filled = 3
         pos += 1

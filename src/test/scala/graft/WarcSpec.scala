@@ -719,6 +719,26 @@ class WarcSpec extends SparkSpec {
       val splitRec = records(Warc.scanSplit(spark, corrupted, sb))
       assert(splitRec == wholeRec, s"splitBytes=$sb record rows diverged on the corrupt corpus")
     }
+
+    // zstd: same parity through the frame-magic resync — plain frames AND
+    // dict mode, where every frame needs the offset-0 dictionary that mid
+    // splits can only get by positioned preload
+    val zst = dir.resolve("big.warc.zst").toString
+    Warc.writeFixtureZst(zst, Warc.splitFixtureRecords)
+    val wholeZst = rowsOf(Warc.scan(spark, zst))
+    assert(wholeZst.size == 300)
+    for (sb <- Seq(977L, 4096L)) {
+      val split = rowsOf(Warc.scanSplit(spark, zst, sb))
+      assert(split == wholeZst, s"zst splitBytes=$sb diverged from the whole-file scan")
+    }
+    val zstDict = dir.resolve("dict.warc.zst").toString
+    Warc.writeFixtureZstDict(zstDict, Warc.splitFixtureRecords, compressedDict = true)
+    val wholeDict = rowsOf(Warc.scan(spark, zstDict))
+    assert(wholeDict.size == 300)
+    for (sb <- Seq(977L, 4096L)) {
+      val split = rowsOf(Warc.scanSplit(spark, zstDict, sb))
+      assert(split == wholeDict, s"zst-dict splitBytes=$sb diverged from the whole-file scan")
+    }
   }
 
   test("WarcSink revisit dedup: profile headers, digest override, lossless resolve, smaller files") {
