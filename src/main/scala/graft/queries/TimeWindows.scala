@@ -230,6 +230,25 @@ object TimeWindows extends QueryModule {
         .orderBy("id")
     }),
 
+    // the recrawl estimator's counters as CONTINUOUS state (ValueState =
+    // one last-observation + counters record per urlkey; see
+    // ChangeRateProcessor): the streaming twin of crawl_change_rate,
+    // sharing its lag-window closed-form oracle verbatim — the
+    // cross-batch consecutive pair is what the ValueState buys over a
+    // windowed recompute. StreamingSpec pins counter continuity across
+    // batches; the `ver` plant is the batch key's, byte-for-byte.
+    "stream_change_rate" -> ((s, d) => {
+      import s.implicits._
+      val in = graft.Cdx.df(s, d)
+        .withColumn("ver", concat(col("digest"), lit(":"),
+          ((col("id") % 13) % 3).cast("string")))
+        .select(col("id"), col("urlkey"), col("epoch_us"), col("ts"), col("ver"))
+        .as[graft.streaming.StreamOps.ChangeIn]
+      graft.streaming.StreamOps.changeRate(in)
+        .toDF()
+        .orderBy("urlkey")
+    }),
+
     // the deduplicating indexer as CONTINUOUS state (ValueState = one
     // (url, ts) original per payload digest; see RevisitProcessor): the
     // streaming twin of cdx_revisit_generate — and the ingest half of
@@ -459,6 +478,7 @@ object TimeWindows extends QueryModule {
     "stream_politeness" -> Curation.oracleSql("crawl_politeness"),
     // the streaming fold must equal the batch window algebra — ONE oracle
     "stream_revisit_generate" -> CdxOps.oracleSql("cdx_revisit_generate"),
+    "stream_change_rate" -> Curation.oracleSql("crawl_change_rate"),
     // same two-frame closed form over the same (host | day) sort
     "ts_cusum_alarm" -> (graft.Cdx.duckCte +
       "SELECT hostword, day, cnt, " +

@@ -664,6 +664,72 @@ object StreamOps {
     }
   }
 
+  // ---- per-URL change-rate counters (transformWithState VALUE state) ----
+
+  final case class ChangeIn(id: Long, urlkey: String, epoch_us: Long, ts: String, ver: String)
+  final case class ChangeOut(urlkey: String, n_pairs: Long, n_changed: Long,
+      span_us: Long, change_class: String)
+  /** last observation + cumulative counters per urlkey */
+  final case class ChangeState(lastTs: String, lastId: Long, lastUs: Long,
+      lastVer: String, nPairs: Long, nChanged: Long, spanUs: Long)
+
+  /** `crawl_change_rate` as CONTINUOUS state — the Cho & Garcia-Molina
+    * estimator counters maintained per urlkey as captures ARRIVE instead
+    * of recomputed over history: state is one (last observation +
+    * counters) record per URL, each arrival extends the consecutive-pair
+    * chain (the cross-batch pair — last capture of batch N paired with
+    * the first of batch N+1 — is exactly what a windowed recompute pays
+    * a full-history rescan for). Emits the updated rollup per key per
+    * batch (Update-mode changelog). Batch-run, each urlkey's history
+    * arrives in one (ts, id)-sorted invocation, so the emitted rows
+    * equal the batch key's lag-window closed form — ONE shared oracle.
+    * Same in-order-across-batches assumption as [[PolitenessProcessor]]. */
+  final class ChangeRateProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[String, ChangeIn, ChangeOut] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+
+    @transient private var st: ValueState[ChangeState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[ChangeState](
+        "change", Encoders.product[ChangeState], TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: String, rows: Iterator[ChangeIn],
+        timerValues: TimerValues): Iterator[ChangeOut] = {
+      val sorted = rows.toArray.sortBy(r => (r.ts, r.id))
+      if (sorted.isEmpty) return Iterator.empty
+      var s = if (st.exists()) st.get() else null
+      sorted.foreach { r =>
+        s =
+          if (s == null) ChangeState(r.ts, r.id, r.epoch_us, r.ver, 0L, 0L, 0L)
+          else ChangeState(r.ts, r.id, r.epoch_us, r.ver,
+            s.nPairs + 1L,
+            s.nChanged + (if (r.ver != s.lastVer) 1L else 0L),
+            s.spanUs + (r.epoch_us - s.lastUs))
+      }
+      st.update(s)
+      // single-capture URLs emit nothing — the batch key's
+      // prev-non-null filter, held under incremental arrival
+      if (s.nPairs == 0L) Iterator.empty
+      else Iterator.single(ChangeOut(key, s.nPairs, s.nChanged, s.spanUs,
+        if (s.nChanged * 10 >= s.nPairs * 8) "fast"
+        else if (s.nChanged * 10 >= s.nPairs * 3) "medium"
+        else "slow"))
+    }
+  }
+
+  /** change-rate counters over a capture stream/batch; see
+    * [[ChangeRateProcessor]] */
+  def changeRate(in: Dataset[ChangeIn]): Dataset[ChangeOut] = {
+    import in.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    ensureStateStoreCoordinator(in.sparkSession)
+    in.groupByKey(_.urlkey)
+      .transformWithState(new ChangeRateProcessor, TimeMode.None(), OutputMode.Update())
+  }
+
   // ---- digest-keyed revisit generation (transformWithState VALUE state) ----
 
   final case class RevisitIn(id: Long, urlkey: String, ts: String, url: String, digest: String)

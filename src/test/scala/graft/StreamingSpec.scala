@@ -450,6 +450,41 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("changeRate ValueState: the cross-batch consecutive pair is counted, counters accumulate") {
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[StreamOps.ChangeIn]
+    def c(id: Long, us: Long, ver: String) =
+      StreamOps.ChangeIn(id, "key)", us, f"20240101${id}%06d00", ver)
+    val q = StreamOps.changeRate(input.toDS()).writeStream
+      .format("memory").queryName("chrate_sink").outputMode(OutputMode.Update()).start()
+    try {
+      // batch 1: three captures, one version flip -> 2 pairs, 1 change
+      input.addData(c(1, 1000L, "A"), c(2, 2000L, "A"), c(3, 3000L, "B"))
+      q.processAllAvailable()
+      val b1 = spark.table("chrate_sink").as[StreamOps.ChangeOut]
+        .collect().maxBy(_.n_pairs)
+      assert((b1.n_pairs, b1.n_changed, b1.span_us) == ((2L, 1L, 2000L)), s"got $b1")
+      // batch 2: one capture — the PAIR (batch-1 last, batch-2 first) and
+      // its span/flip must count, which only the carried state allows
+      input.addData(c(4, 10000L, "A"))
+      q.processAllAvailable()
+      val b2 = spark.table("chrate_sink").as[StreamOps.ChangeOut]
+        .collect().maxBy(_.n_pairs)
+      assert((b2.n_pairs, b2.n_changed, b2.span_us) == ((3L, 2L, 9000L)),
+        s"cross-batch pair lost: $b2")
+      assert(b2.change_class == "medium", s"2/3 flips -> medium, got ${b2.change_class}")
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("revisit ValueState: a later-batch recrawl still resolves to the day-1 original") {
     implicit val sqlCtx = spark.sqlContext
     val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
