@@ -295,12 +295,25 @@ object ZipNum {
     * because the bounds partition the line space under the same UTF-8
     * order the writer sorts by. ZipNumSpec pins byte-equality of the
     * read-back against [[merge]]'s output on the same inputs. */
+  /** `excludePrefixes`: lines whose urlkey starts with any of these are
+    * DROPPED during the merge — tombstone application at compaction
+    * time, the LSM discipline and the web archive's takedown operation
+    * (a legal exclusion must leave the serving index, not just be
+    * ACL-masked at query time). CDX lines BEGIN with the urlkey, so the
+    * match is a plain line-prefix test inside the streaming merge; the
+    * list rides the task closure — takedown lists are legal documents
+    * (tens to thousands of entries), never data-sized. */
   def mergeSorted(
       spark: SparkSession, dirs: Seq[String], outDir: String,
       shards: Int, linesPerBlock: Int,
-      compressThreads: Int = DefaultCompressThreads): Unit = {
+      compressThreads: Int = DefaultCompressThreads,
+      excludePrefixes: Seq[String] = Nil): Unit = {
     require(dirs.nonEmpty, "mergeSorted needs at least one input cluster")
     require(shards > 0 && linesPerBlock > 0, "shards and linesPerBlock must be positive")
+    require(excludePrefixes.size <= 100000,
+      s"mergeSorted: ${excludePrefixes.size} exclusion prefixes — the list rides " +
+        "task closures and is meant for takedown-scale inputs; shard a larger " +
+        "purge into multiple compactions")
     val conf = spark.sparkContext.hadoopConfiguration
     val outPath = new Path(outDir)
     val fs = outPath.getFileSystem(conf)
@@ -328,9 +341,13 @@ object ZipNum {
         def inRange(line: String): Boolean =
           lo.forall(l => utf8Compare(line, l) >= 0) &&
             hi.forall(h => utf8Compare(line, h) < 0)
+        // takedown tombstones apply inside the same streaming pass
+        def kept(line: String): Boolean =
+          excludePrefixes.isEmpty || !excludePrefixes.exists(line.startsWith)
         // one sorted, range-filtered line stream per input cluster
         val streams = inputs.map { case (d, entries) =>
-          blockLineIterator(d, entries, taskConf).filter(inRange).buffered
+          blockLineIterator(d, entries, taskConf)
+            .filter(l => inRange(l) && kept(l)).buffered
         }.filter(_.hasNext)
         if (streams.isEmpty) -1
         else {

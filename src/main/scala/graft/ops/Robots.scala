@@ -207,4 +207,44 @@ object Robots {
       val esc = t.replace("\\", "\\\\").replace("'", "''").replace("\n", "\\n")
       s"('$h', e'$esc')"
     }.mkString("(VALUES ", ", ", ") AS rb(host, txt)")
+
+  /** sitemaps.org discovery directive: `Sitemap: <absolute-url>`,
+    * group-INDEPENDENT per the spec (it applies file-wide, wherever it
+    * appears — even before any User-agent group), case-insensitive,
+    * optional space after the colon. ONE pattern constant; the Spark
+    * side gets it via lit() (no SQL-literal escape processing) and the
+    * DuckDB oracle interpolates it into a plain '...' literal, where
+    * backslashes are verbatim — both regex engines see the same chars. */
+  private[graft] val SitemapRe = "(?im)^[ \\t]*sitemap:[ \\t]*(\\S+)[ \\t]*$"
+
+  /** robots.txt sitemap discovery over a (host, txt) table — the loop
+    * that feeds [[graft.ops.Sitemap.expand]]: crawlers learn sitemap
+    * URLs from robots.txt, then expand index → urlsets → the frontier.
+    * Map-side regexp per host file; O(hosts), never corpus-sized. */
+  def sitemaps(texts: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    texts.select(col("host"),
+      explode(regexp_extract_all(col("txt"), lit(SitemapRe), lit(1))).as("sitemap"))
+  }
+
+  /** fixture hosts carrying Sitemap directives — a SEPARATE fixture
+    * (fixture ++ plants) so the rule-grammar keys' oracles are untouched:
+    * a spaced directive, an UPPERCASE one on a CDN host (cross-host
+    * sitemaps are legal and common), a space-less one, and one BEFORE
+    * any group (spec: group-independent); the base hosts are the
+    * negative arm (no directive → no row). */
+  val sitemapFixture: Seq[(String, String)] = fixture ++ Seq(
+    "www.maps.example.org" ->
+      ("User-agent: *\nDisallow: /tmp\nSitemap: https://www.maps.example.org/sitemap_index.xml\n" +
+        "SITEMAP: https://cdn.example.net/maps/extra-sitemap.xml"),
+    "www.mixed.example.org" ->
+      ("Sitemap: https://www.mixed.example.org/sm.xml\nUser-agent: *\nCrawl-delay: 3\n" +
+        "sitemap:https://www.mixed.example.org/sm2.xml"))
+
+  /** the sitemap fixture as a DuckDB VALUES clause */
+  def sitemapFixtureDuck: String =
+    sitemapFixture.map { case (h, t) =>
+      val esc = t.replace("\\", "\\\\").replace("'", "''").replace("\n", "\\n")
+      s"('$h', e'$esc')"
+    }.mkString("(VALUES ", ", ", ") AS rb(host, txt)")
 }

@@ -239,6 +239,18 @@ object CdxOps extends QueryModule {
         .orderBy("host", "ln", "agent")
     }),
 
+    // robots.txt SITEMAP DISCOVERY — how crawlers learn sitemap URLs
+    // (then Sitemap.expand walks index -> urlsets -> frontier): the
+    // group-independent `Sitemap:` directive, case-insensitive, spaced
+    // or not, cross-host CDN targets legal; hosts without one are the
+    // negative arm. One regexp pass per host file, O(hosts).
+    "robots_sitemaps" -> ((s, _) => {
+      import s.implicits._
+      graft.ops.Robots.sitemaps(
+        graft.ops.Robots.sitemapFixture.toDF("host", "txt"))
+        .orderBy("host", "sitemap")
+    }),
+
     // RFC 9309 verdict for every capture: agent-specific group beats *,
     // longest path prefix wins, allow beats disallow at equal length,
     // no rule / no robots.txt => allow. Captures join rules on HOST
@@ -643,6 +655,11 @@ object CdxOps extends QueryModule {
         "FROM (SELECT id, host, path || '?' || qs AS upath FROM cdx) u " +
         s"LEFT JOIN ($robotsApplicable) p ON u.host = p.host AND starts_with(u.upath, p.path)) " +
         "WHERE rn = 1) r ON a.id = r.id ORDER BY a.id"),
+    // same ONE pattern constant the Spark side reads; '...' literals in
+    // DuckDB keep backslashes verbatim, so RE2 sees the same chars
+    "robots_sitemaps" -> (
+      s"SELECT host, unnest(regexp_extract_all(txt, '${graft.ops.Robots.SitemapRe}', 1)) AS sitemap " +
+        s"FROM ${graft.ops.Robots.sitemapFixtureDuck} ORDER BY host, sitemap"),
     // full grammar replay: flattened (host, ln, agent, rule, path) table
     "robots_parse" -> (
       s"SELECT r.host, r.ln, a.agent, r.rule, r.path " +

@@ -491,6 +491,26 @@ object Formats extends QueryModule {
       ZipNum.readLines(s, out) // cluster order == sorted line order
     }),
 
+    // TAKEDOWN at compaction — the web archive's legal-purge operation:
+    // a tombstoned urlkey prefix must LEAVE the serving index, not just
+    // be ACL-masked at query time (cdx_acl_policy is the masking layer;
+    // this is the purge layer). Same exchange-free streaming merge as
+    // zipnum_merge_incremental with the exclusion applied inside the
+    // pass — lines are read once, dropped in-stream, never re-shuffled.
+    // The oracle is the retained set in closed form.
+    "zipnum_takedown_merge" -> ((s, d) => {
+      val dirA = tmp(d, "zipnum_take_a")
+      val dirB = tmp(d, "zipnum_take_b")
+      val out = tmp(d, "zipnum_taken")
+      val lines = Cdx.df(s, d).filter(col("id") % 4 === 0)
+        .selectExpr(s"$lineExprSpark AS line")
+      ZipNum.write(lines.filter(length(col("line")) % 2 === 0), dirA, 4, 100)
+      ZipNum.write(lines.filter(length(col("line")) % 2 === 1), dirB, 4, 100)
+      ZipNum.mergeSorted(s, Seq(dirA, dirB), out, shards = 8, linesPerBlock = 100,
+        excludePrefixes = Seq("org,example,medium)"))
+      ZipNum.readLines(s, out)
+    }),
+
     // pywb fl= through the gate: CdxServer field-list projection over a
     // cluster — urlkey/timestamp ride the scan columns, mime is pulled
     // from the CDXJ json; a scan-columns-only fl= additionally prunes
@@ -1057,6 +1077,12 @@ object Formats extends QueryModule {
     // merged cluster == index built from all captures at once
     "zipnum_merge_incremental" -> o(
       s"SELECT $lineExprDuck AS line FROM cdx WHERE id % 4 = 0 ORDER BY line"),
+    // the retained set: everything except the tombstoned urlkey prefix
+    // (urlkey is the line's first token, so line-prefix == urlkey-prefix
+    // for any space-free prefix)
+    "zipnum_takedown_merge" -> o(
+      s"SELECT $lineExprDuck AS line FROM cdx WHERE id % 4 = 0 " +
+        "AND NOT starts_with(urlkey, 'org,example,medium)') ORDER BY line"),
     // every sort column is projected, so duplicate rows are literal
     // duplicates and positional compare is order-stable
     "cdx_fl_projection" -> o(

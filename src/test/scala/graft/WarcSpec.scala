@@ -720,6 +720,14 @@ class WarcSpec extends SparkSpec {
       assert(splitRec == wholeRec, s"splitBytes=$sb record rows diverged on the corrupt corpus")
     }
 
+    // the index contract: CDX pointers built FROM a split scan replay
+    // through fetchRecords exactly like pointers from the whole scan —
+    // split offsets are absolute file offsets, not split-relative
+    val ptrs = Warc.scanSplit(spark, file, 4096L)
+      .select(col("filename"), col("offset"), col("length")).distinct()
+    val fetched = Warc.fetchRecords(spark, ptrs, dir.toString)
+    assert(rowsOf(fetched) == whole, "split-scan pointers must replay bit-identically")
+
     // zstd: same parity through the frame-magic resync — plain frames AND
     // dict mode, where every frame needs the offset-0 dictionary that mid
     // splits can only get by positioned preload

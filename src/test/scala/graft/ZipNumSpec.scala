@@ -134,6 +134,30 @@ class ZipNumSpec extends SparkSpec {
     assert(re == a.sorted(ZipNum.utf8Ordering), "re-shard must preserve content and order")
   }
 
+  test("mergeSorted takedown: excluded prefixes leave the index; output == filtered write") {
+    val (a, b) = inputLines.partition(_.hashCode % 2 == 0)
+    val dirA = "/tmp/graft_test/zipnum_td_a"
+    val dirB = "/tmp/graft_test/zipnum_td_b"
+    val taken = "/tmp/graft_test/zipnum_td_out"
+    val direct = "/tmp/graft_test/zipnum_td_direct"
+    ZipNum.write(a.toDF("line"), dirA, shards = 3, linesPerBlock = 37)
+    ZipNum.write(b.toDF("line"), dirB, shards = 4, linesPerBlock = 41)
+    // tombstone a real urlkey prefix present in the fixture lines
+    val prefix = inputLines.head.takeWhile(_ != '/') // e.g. "com,example..." up to the path
+    val excl = Seq(prefix)
+    ZipNum.mergeSorted(spark, Seq(dirA, dirB), taken,
+      shards = 5, linesPerBlock = 29, excludePrefixes = excl)
+    val kept = inputLines.filterNot(l => excl.exists(l.startsWith))
+    assert(kept.size < inputLines.size, "the tombstone must hit something")
+    // byte-equal to building the index from the retained lines directly
+    ZipNum.write(kept.toDF("line"), direct, shards = 5, linesPerBlock = 29)
+    val got = ZipNum.readLines(spark, taken).as[String].collect().toSeq
+    val expect = ZipNum.readLines(spark, direct).as[String].collect().toSeq
+    assert(got == expect, s"takedown merge diverged: ${got.size} vs ${expect.size} lines")
+    // the purged prefix is GONE from the serving surface
+    assert(!got.exists(_.startsWith(prefix)))
+  }
+
   test("idx: offsets tile each shard; blocks <= linesPerBlock; firstkeys sorted") {
     written
     val idx = ZipNum.readIdx(spark, dir)
