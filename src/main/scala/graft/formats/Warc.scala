@@ -558,7 +558,14 @@ object Warc {
       fs: org.apache.hadoop.fs.FileSystem, path: org.apache.hadoop.fs.Path,
       from: Long, end: Long, isZst: Boolean, presetDict: Array[Byte]): Long = {
     val probe = fs.open(path)
-    val verify = fs.open(path)
+    // the second open sits inside probe's try: if it throws (transient
+    // FS error, FD exhaustion — exactly when leaks hurt), probe closes
+    val verify =
+      try fs.open(path)
+      catch { case t: Throwable =>
+        try probe.close() catch { case _: Throwable => }
+        throw t
+      }
     def candidateAt(win: Array[Int]): Boolean =
       if (isZst) {
         // little-endian magics: frame 0xFD2FB528, skippable 0x184D2A5x

@@ -95,11 +95,15 @@ object WarcSink {
       s"WarcSink.write needs [${need.mkString(", ")}]; got [${df.columns.mkString(", ")}]")
     require(zstdDict == null || codec == "zstd",
       "WarcSink.write: zstdDict only applies to codec=zstd")
-    // deduplicated-corpus support (sink_warc_revisit_write): `digest`
-    // overrides the writer-computed WARC-Payload-Digest (a revisit record
-    // names the ORIGINAL payload's digest while carrying none itself);
-    // `refers_url`/`refers_ts` (14-digit) become the revisit profile's
-    // WARC-Refers-To-Target-URI / WARC-Refers-To-Date headers
+    // deduplicated-corpus support (sink_warc_revisit_write): on REVISIT
+    // rows only, `digest` overrides the writer-computed
+    // WARC-Payload-Digest (a revisit names the ORIGINAL payload's digest
+    // while carrying none itself; other record types always keep the
+    // computed digest, so a df that merely carries a digest column — a
+    // re-written scan does — cannot silently propagate header-claimed
+    // digests); `refers_url` + `refers_ts` (14-digit, both required
+    // together) become the revisit profile's WARC-Refers-To-Target-URI /
+    // WARC-Refers-To-Date headers
     val optional =
       Seq("record_type", "digest", "refers_url", "refers_ts").filter(df.columns.contains)
     val cols = need ++ optional
@@ -293,18 +297,28 @@ object WarcSink {
             require(rtype != "response" || isResp,
               s"WarcSink: record_type=response needs a status (url=${row.getString(1)})")
             sha1.reset()
-            // a provided digest wins (a revisit record names the ORIGINAL
-            // payload's digest — computing from its own empty block would
-            // break the digest-join resolution the format exists for)
+            // the digest override applies to REVISIT rows only (a
+            // revisit names the ORIGINAL payload's digest — computing
+            // from its own empty block would break the digest-join
+            // resolution the format exists for). Every other record
+            // type keeps the writer-computed digest even when the input
+            // df happens to carry a digest column (a re-written scan
+            // does) — header-claimed digests must not silently replace
+            // self-consistent computed ones.
             val digest =
-              if (iDigest >= 0 && !row.isNullAt(iDigest)) row.getString(iDigest)
+              if (rtype == "revisit" && iDigest >= 0 && !row.isNullAt(iDigest))
+                row.getString(iDigest)
               else graft.functions.SurtAlg.base32(sha1.digest(payload))
             val refUrl =
               if (iRefUrl >= 0 && !row.isNullAt(iRefUrl)) row.getString(iRefUrl) else null
             val refTs =
               if (iRefTs >= 0 && !row.isNullAt(iRefTs)) row.getString(iRefTs) else null
-            if (refTs != null) require(isTs14(refTs),
-              s"WarcSink: refers_ts must be 14 digits; got $refTs for url=${row.getString(1)}")
+            // the revisit profile is all-or-nothing: a refers_url with no
+            // refers_ts would render the literal 'WARC-Refers-To-Date:
+            // null' into the record
+            require(refUrl == null || (refTs != null && isTs14(refTs)),
+              s"WarcSink: refers_url requires a 14-digit refers_ts; got " +
+                s"refers_ts=$refTs for url=${row.getString(1)}")
             // a revisit with a recorded status renders the duplicate
             // capture's HTTP head (identical-payload-digest profile) —
             // status/mime survive dedup, only the payload bytes are shed

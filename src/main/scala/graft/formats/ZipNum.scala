@@ -294,8 +294,9 @@ object ZipNum {
     * line against the bounds — every line lands in exactly one shard
     * because the bounds partition the line space under the same UTF-8
     * order the writer sorts by. ZipNumSpec pins byte-equality of the
-    * read-back against [[merge]]'s output on the same inputs. */
-  /** `excludePrefixes`: lines whose urlkey starts with any of these are
+    * read-back against [[merge]]'s output on the same inputs.
+    *
+    * `excludePrefixes`: lines whose urlkey starts with any of these are
     * DROPPED during the merge — tombstone application at compaction
     * time, the LSM discipline and the web archive's takedown operation
     * (a legal exclusion must leave the serving index, not just be

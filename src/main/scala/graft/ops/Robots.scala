@@ -201,12 +201,17 @@ object Robots {
     "www.low.example.org" ->
       "Crawl-delay: 9\nDisallow: /order/5\nUser-agent: *\nDisallow: /order/6")
 
-  /** The fixture as a DuckDB VALUES clause (escape-string literals). */
-  def fixtureDuck: String =
-    fixture.map { case (h, t) =>
+  /** (host, txt) rows as a DuckDB VALUES clause (escape-string
+    * literals) — ONE escaping chain for every robots fixture, so an
+    * escaping fix can never reach one oracle and miss the other. */
+  private def duckValues(rows: Seq[(String, String)]): String =
+    rows.map { case (h, t) =>
       val esc = t.replace("\\", "\\\\").replace("'", "''").replace("\n", "\\n")
       s"('$h', e'$esc')"
     }.mkString("(VALUES ", ", ", ") AS rb(host, txt)")
+
+  /** The fixture as a DuckDB VALUES clause. */
+  def fixtureDuck: String = duckValues(fixture)
 
   /** sitemaps.org discovery directive: `Sitemap: <absolute-url>`,
     * group-INDEPENDENT per the spec (it applies file-wide, wherever it
@@ -242,9 +247,5 @@ object Robots {
         "sitemap:https://www.mixed.example.org/sm2.xml"))
 
   /** the sitemap fixture as a DuckDB VALUES clause */
-  def sitemapFixtureDuck: String =
-    sitemapFixture.map { case (h, t) =>
-      val esc = t.replace("\\", "\\\\").replace("'", "''").replace("\n", "\\n")
-      s"('$h', e'$esc')"
-    }.mkString("(VALUES ", ", ", ") AS rb(host, txt)")
+  def sitemapFixtureDuck: String = duckValues(sitemapFixture)
 }

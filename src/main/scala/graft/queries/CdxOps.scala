@@ -399,11 +399,15 @@ object CdxOps extends QueryModule {
     // and the percent saved. Same min_by-agg + join shape as
     // revisitGenerate (mega-digest-safe); the rollup is |shards| rows.
     "obs_dedup_savings" -> ((s, d) => {
+      // dkey coalesces null digests to a synthetic singleton (the
+      // revisitGenerate arm): digest-less captures are their OWN
+      // originals — a bare equi-join would drop them from the ledger
       val resp = Cdx.df(s, d).where(col("record_type") === "response")
-        .select(col("id"), col("ts"), col("filename"), col("length"), col("digest"))
-      val orig = resp.groupBy("digest")
+        .select(col("id"), col("ts"), col("filename"), col("length"), col("digest"),
+          coalesce(col("digest"), concat(lit(" null:"), col("id"))).as("dkey"))
+      val orig = resp.groupBy("dkey")
         .agg(min_by(col("id"), struct(col("ts"), col("id"))).as("orig_id"))
-      resp.join(orig, "digest")
+      resp.join(orig, "dkey")
         .groupBy("filename")
         .agg(count(lit(1)).as("n_captures"),
           countDistinct("digest").as("n_digests"),
@@ -725,13 +729,17 @@ object CdxOps extends QueryModule {
 
     // same (digest | ts, id) window; first_value's frame start is the
     // partition start in both engines, so ties are irrelevant to it
-    // per-shard dedup ledger; origin = (ts, id)-first per digest GLOBALLY
+    // per-shard dedup ledger; origin = (ts, id)-first per digest
+    // GLOBALLY; null digests coalesce to a synthetic singleton (each is
+    // its own original — SQL PARTITION BY would pool all nulls into one
+    // group and wrongly mark all but one as dedupable)
     "obs_dedup_savings" -> o(
       "SELECT filename, count(*) AS n_captures, count(DISTINCT digest) AS n_digests, " +
         "CAST(sum(length) AS BIGINT) AS logical_bytes, " +
         "CAST(sum(CASE WHEN is_orig THEN length ELSE 0 END) AS BIGINT) AS stored_bytes, " +
         "round(100.0 * (sum(length) - sum(CASE WHEN is_orig THEN length ELSE 0 END)) / sum(length), 4) AS pct_saved " +
-        "FROM (SELECT *, row_number() OVER (PARTITION BY digest ORDER BY ts, id) = 1 AS is_orig " +
+        "FROM (SELECT *, row_number() OVER (PARTITION BY coalesce(digest, ' null:' || id) " +
+        "ORDER BY ts, id) = 1 AS is_orig " +
         "FROM cdx WHERE record_type = 'response') " +
         "GROUP BY filename ORDER BY filename"),
     "cdx_revisit_generate" -> o(

@@ -868,10 +868,14 @@ object Formats extends QueryModule {
     "sink_warc_revisit_write" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
       val dir = tmp(d, "warc_revisit")
+      // null digests take a synthetic singleton key (the revisitGenerate
+      // arm): a digest-less capture must pass through as a stored
+      // response — a bare equi-join on a nullable key would silently
+      // DROP it from the written corpus (null keys never equi-join)
       val base = Cdx.df(s, d).where(col("record_type") === "response")
         .selectExpr("filename AS shard", "url", "ts", "status", "mime", "id",
-          "digest AS cdigest",
-          "CAST(concat('payload:', digest) AS BINARY) AS payload")
+          "coalesce(digest, ' null:' || id) AS cdigest",
+          "CAST(concat('payload:', coalesce(digest, CAST(id AS STRING))) AS BINARY) AS payload")
       val orig = base.groupBy("cdigest")
         .agg(min_by(
           struct(col("url").as("url"), col("ts").as("ts"), col("id").as("id")),
