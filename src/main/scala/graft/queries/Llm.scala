@@ -924,6 +924,28 @@ object Llm extends QueryModule {
         .select("doc_id", "skey", "shard")
         .orderBy("skey")),
 
+    // DETERMINISTIC WEIGHTED INTERLEAVE — the training-order op a
+    // multi-source corpus runs after mixing weights are chosen
+    // (corpus_mix_weights picks the rates; this materializes an order
+    // where each source appears at its rate THROUGHOUT, not merely in
+    // total, so a run truncated or resumed at any step has consumed the
+    // intended mix). Window-FREE scalable form: each doc draws a 60-bit
+    // uniform position from its hash and divides by its source's integer
+    // weight — a weight-w source's docs land w× denser on the position
+    // axis, so any pos-ordered prefix carries sources ∝ weights (law of
+    // large numbers, OperatorPropertiesSpec pins the prefix mix). One
+    // map-side projection + one range sort; no per-source window (a
+    // mega-source would hot-spot a rank window at 100 TB), integer-exact
+    // in both engines (conv/hex-cast agree bit-for-bit).
+    "corpus_interleave_sources" -> ((s, d) =>
+      Tables.t(s, d, "documents")
+        .withColumn("skey", md5(concat(col("doc_id").cast("string"), lit(":interleave"))))
+        .withColumn("weight", expr("CAST(substring(source, 4) AS INT) % 3 + 1"))
+        .withColumn("pos",
+          expr("CAST(conv(substring(skey, 1, 15), 16, 10) AS BIGINT) div weight"))
+        .select("doc_id", "source", "weight", "pos")
+        .orderBy("pos", "doc_id")),
+
     // per-document character entropy — the classic cheap gibberish /
     // boilerplate detector (random bytes ≈ ln 256, natural language
     // ≈ 2.8–3.2, padding → 0). Runs as the char_entropy NATIVE KERNEL:
@@ -1298,6 +1320,13 @@ object Llm extends QueryModule {
       ("SELECT doc_id, md5(doc_id::VARCHAR || ':42') AS skey, " +
         "substr(md5(doc_id::VARCHAR || ':42'), 1, 2) AS shard " +
         "FROM documents ORDER BY skey"),
+    // the same 60-bit draw: DuckDB parses '0x…'::BIGINT, Spark conv()s —
+    // bit-for-bit agreement verified, integer division in both
+    "corpus_interleave_sources" ->
+      ("SELECT doc_id, source, weight, " +
+        "CAST(('0x' || substr(md5(doc_id::VARCHAR || ':interleave'), 1, 15)) AS BIGINT) // weight AS pos " +
+        "FROM (SELECT doc_id, source, CAST(substr(source, 4) AS INT) % 3 + 1 AS weight " +
+        "FROM documents) ORDER BY pos, doc_id"),
     "text_char_entropy" ->
       ("WITH chars AS (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents), " +
         "freq AS (SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY doc_id, ch), " +

@@ -59,6 +59,30 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("cnt")).sum == Cdx.df(spark, sfDir).count())
   }
 
+  test("corpus_interleave_sources: any prefix of the order carries sources ~ in weight ratio") {
+    // the property the op exists for: a run truncated at any step has
+    // consumed the intended mix — check the half-corpus prefix's
+    // per-weight-class share against the weight ratio (binomial noise
+    // bound, generous)
+    val rows = SparkEntry.queries("corpus_interleave_sources")(spark, sfDir)
+      .collect() // already pos-ordered
+    val n = rows.length
+    assert(n > 100)
+    val prefix = rows.take(n / 2)
+    // weight classes 1/2/3; expected share of the prefix for class w =
+    // (docs_w * w) / sum(docs_w * w) — docs per class from the full set
+    val byW = rows.groupBy(_.getAs[Int]("weight")).view.mapValues(_.length.toDouble).toMap
+    val mass = byW.map { case (w, c) => w -> c * w }
+    val total = mass.values.sum
+    val got = prefix.groupBy(_.getAs[Int]("weight")).view.mapValues(_.length.toDouble).toMap
+    mass.foreach { case (w, m) =>
+      val expectShare = m / total
+      val gotShare = got.getOrElse(w, 0.0) / prefix.length
+      assert(math.abs(gotShare - expectShare) < 0.08,
+        f"weight-$w prefix share $gotShare%.3f vs expected $expectShare%.3f")
+    }
+  }
+
   test("sample_fraction: count within 4 sigma of expectation, deterministic by seed") {
     val n = Cdx.df(spark, sfDir).count()
     val s1 = SparkEntry.queries("sample_fraction")(spark, sfDir).collect().map(_.getLong(0)).toSeq
