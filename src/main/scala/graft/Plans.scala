@@ -121,7 +121,9 @@ object Plans {
     "sink_warc_revisit_write" -> "dedup write: originals picked by a mergeable min_by agg + skew-splittable digest join (no hot-digest window); resolve-on-read is ONE digest equi-join — payload bytes shuffle once per distinct digest, never per capture",
     "scan_parquet_bloom" -> "point lookup: EqualTo(urlkey) pushed to the scan, split-block bloom in the footer skips row groups without decoding pages — read cost O(row groups probed), not O(rows)",
     "sink_compact_small_files" -> "compaction with ZERO exchange: FilePartition bin-packing (maxPartitionBytes = target size) groups small files per read task; write emits one right-sized file per task",
-    "scan_warc_split" -> "byte-range splits INSIDE a .warc.gz: member-magic resync + strict one-member CRC-validated decode per candidate, ownership by member start — a 500 GB file becomes size/splitBytes tasks instead of one")
+    "scan_warc_split" -> "byte-range splits INSIDE a .warc.gz: member-magic resync + strict one-member CRC-validated decode per candidate, ownership by member start — a 500 GB file becomes size/splitBytes tasks instead of one",
+    "zipnum_takedown_merge" -> "takedown tombstones apply INSIDE the exchange-free streaming k-way merge — excluded lines are read once and dropped in-stream, never re-shuffled; the purge costs the compaction the index already runs",
+    "corpus_interleave_sources" -> "weighted interleave with NO per-source window: hash-draw div weight is a map-side projection, the range sort is the only exchange — a mega-source cannot hot-spot a rank window")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse(
