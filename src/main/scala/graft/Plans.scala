@@ -123,7 +123,9 @@ object Plans {
     "sink_compact_small_files" -> "compaction with ZERO exchange: FilePartition bin-packing (maxPartitionBytes = target size) groups small files per read task; write emits one right-sized file per task",
     "scan_warc_split" -> "byte-range splits INSIDE a .warc.gz: member-magic resync + strict one-member CRC-validated decode per candidate, ownership by member start — a 500 GB file becomes size/splitBytes tasks instead of one",
     "zipnum_takedown_merge" -> "takedown tombstones apply INSIDE the exchange-free streaming k-way merge — excluded lines are read once and dropped in-stream, never re-shuffled; the purge costs the compaction the index already runs",
-    "corpus_interleave_sources" -> "weighted interleave with NO per-source window: hash-draw div weight is a map-side projection, the range sort is the only exchange — a mega-source cannot hot-spot a rank window")
+    "corpus_interleave_sources" -> "weighted interleave with NO per-source window: hash-draw div weight is a map-side projection, the range sort is the only exchange — a mega-source cannot hot-spot a rank window",
+    "sink_ccindex" -> "(crawl, subset) predicates land as PARTITION filters on the columnar index scan: 16 cells on disk, 1 read — directory pruning before any row group opens",
+    "wacz_fetch_record" -> "record replay through the ZIP: index scan is one tail read + the index entry per archive; each record is ONE positioned read through the STORED entry — no archive-sized scan anywhere in the plan")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse(

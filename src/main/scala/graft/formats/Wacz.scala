@@ -1,0 +1,677 @@
+package graft.formats
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** WACZ (Web Archive Collection Zipped) — the Webrecorder packaging
+  * format (public spec: specs.webrecorder.net/wacz/1.1.1; py-wacz /
+  * wabac.js are the public implementations, from the same ecosystem as
+  * the reference indexer's pywb stack — reference recon SURVEY §0): ONE
+  * ZIP holding the WARC data, its sorted CDXJ index, a page list, and a
+  * frictionless `datapackage.json` whose per-resource sha256 hashes make
+  * the archive self-verifying. The point of the format is that the ZIP
+  * members are STORED (not deflated), so a reader can range-request the
+  * index, then range-request one WARC record through the ZIP — exactly
+  * the CDX offset/length discipline the rest of this engine serves.
+  *
+  * Layout written per archive (all entries STORED, range-readable):
+  * {{{
+  *   archive/<base>.warc.gz     one gzip member per record (Warc.scan's unit)
+  *   indexes/index.cdx          CDXJ, sorted by (urlkey, ts); offsets point
+  *                              into the inner .warc.gz, filename = <base>.warc.gz
+  *   pages/pages.jsonl          json-pages-1.0 header + one page per response
+  *   datapackage.json           frictionless resource list with sha256 + bytes
+  *   datapackage-digest.json    sha256 over datapackage.json itself
+  * }}}
+  *
+  * Determinism: entry timestamps are a fixed constant (no wall clock in
+  * the bytes — the WarcSink warcinfo discipline), `datapackage.json`
+  * omits the spec-optional `created` stamp, and page ids derive from
+  * (url, ts). Two writes of the same frame are byte-identical, which is
+  * what lets WaczSpec golden-pin the container.
+  *
+  * Scale: one `.wacz` per input shard (parallelism = shard count, the
+  * WarcSink convention); the writer streams each shard through
+  * fixed-size buffers — records are never accumulated (the inner WARC,
+  * the index, and the page list each stage to a sibling temp file and
+  * are then STREAMED into the ZIP), so task memory is O(1 record) +
+  * O(1 zip central-directory entry per member name). Reads never touch
+  * O(archive) bytes to answer an O(index) or O(record) question: the
+  * central directory is located from one bounded tail read, the index
+  * entry is read by position, and [[fetchRecords]] range-reads single
+  * gzip members through the STORED entry. ZIP64 (archives > 4 GiB or >
+  * 64 Ki entries) is handled on BOTH paths — java.util.zip's writer
+  * switches automatically, and [[centralDirectory]] parses the ZIP64
+  * end-of-central-directory record and per-entry extra fields.
+  *
+  * Fidelity bounds (documented, loud where reachable): multi-WARC
+  * collections (spec-legal) are written as one WARC per wacz here —
+  * readers accept any number; `indexes/index.idx` + compressed cdx (the
+  * spec's ZipNum-style big-archive index) is consumed by [[scanIndex]]
+  * only in its plain/.cdx.gz forms; encrypted or signed datapackage
+  * extensions (WACZ signing spec) are out of scope.
+  */
+object Wacz {
+
+  /** fixed entry mtime — DOS-representable, so java.util.zip adds no
+    * per-entry extended-timestamp extra field and output stays stable */
+  private val FixedTime = java.time.LocalDateTime.of(2020, 1, 1, 0, 0, 0)
+
+  /** `crawl/seg-3/warc-17.warc.gz` -> `warc-17.wacz` (the sidecar-base
+    * convention WET/WAT use). KEEP IN LOCKSTEP with [[waczNameCol]]. */
+  private[graft] def waczName(shard: String): String = {
+    val base = shard.substring(shard.lastIndexOf('/') + 1)
+      .replaceAll("\\.warc\\.(gz|zst)$", "")
+    base + ".wacz"
+  }
+
+  /** Catalyst twin of [[waczName]] (codegen-friendly repartition key) */
+  private[graft] def waczNameCol(shard: Column): Column =
+    concat(
+      regexp_replace(substring_index(shard, "/", -1), "\\.warc\\.(gz|zst)$", ""),
+      lit(".wacz"))
+
+  /** minimal JSON string escaper for the in-task index/pages lines (the
+    * writer runs where `to_json` can't — offsets exist only mid-write) */
+  private def jstr(s: String): String = {
+    val b = new StringBuilder(s.length + 2)
+    b.append('"')
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      c match {
+        case '"' => b.append("\\\"")
+        case '\\' => b.append("\\\\")
+        case '\n' => b.append("\\n")
+        case '\r' => b.append("\\r")
+        case '\t' => b.append("\\t")
+        case ch if ch < 0x20 => b.append(f"\\u${ch.toInt}%04x")
+        case ch => b.append(ch)
+      }
+      i += 1
+    }
+    b.append('"')
+    b.toString
+  }
+
+  /** staged sidecar stream: counts bytes and keeps CRC32 + SHA-256 as
+    * they pass, so the ZIP assembly phase has STORED-entry metadata and
+    * the datapackage hash without re-reading the temp */
+  private final class Staged(fs: org.apache.hadoop.fs.FileSystem, val path: Path) {
+    private val crc = new java.util.zip.CRC32()
+    private val sha = java.security.MessageDigest.getInstance("SHA-256")
+    private var n = 0L
+    private val raw = fs.create(path, true)
+    private var shaHex: String = null
+    val out: java.io.OutputStream = new java.io.OutputStream {
+      override def write(b: Int): Unit = {
+        raw.write(b); crc.update(b); sha.update(b.toByte); n += 1
+      }
+      override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+        raw.write(b, off, len); crc.update(b, off, len); sha.update(b, off, len)
+        n += len
+      }
+    }
+    def finish(): Unit = { raw.close(); shaHex = hex(sha.digest()) }
+    def size: Long = n
+    def crcValue: Long = crc.getValue
+    def sha256: String = shaHex
+  }
+
+  private def hex(b: Array[Byte]): String = {
+    val sb = new StringBuilder(b.length * 2)
+    b.foreach(x => sb.append(f"$x%02x"))
+    sb.toString
+  }
+
+  private def putStored(
+      zip: java.util.zip.ZipOutputStream, name: String, size: Long, crc: Long)(
+      body: java.io.OutputStream => Unit): Unit = {
+    val e = new java.util.zip.ZipEntry(name)
+    e.setMethod(java.util.zip.ZipEntry.STORED)
+    e.setSize(size)
+    e.setCompressedSize(size)
+    e.setCrc(crc)
+    e.setTimeLocal(FixedTime)
+    zip.putNextEntry(e)
+    body(zip)
+    zip.closeEntry()
+  }
+
+  private def crc32(bytes: Array[Byte]): Long = {
+    val c = new java.util.zip.CRC32(); c.update(bytes); c.getValue
+  }
+
+  /** Write `df` (columns: shard, urlkey, url, ts [14-digit], status,
+    * mime, payload [binary], optional title) as one `<base>.wacz` per
+    * distinct shard under `dir`. Records render through the same
+    * WARC/1.0 framing as [[WarcSink]] (one gzip member each); the CDXJ
+    * index is emitted in (urlkey, ts) order by the partition sort — no
+    * in-memory sort, no buffering. Null status rows become `resource`
+    * records and still index; pages list responses only. Publish is
+    * per-file attempt-isolated (write `.tmp`, rename into place), the
+    * CdxSink discipline. */
+  def write(df: DataFrame, dir: String): Unit = {
+    val need = Seq("shard", "urlkey", "url", "ts", "status", "mime", "payload")
+    require(need.forall(df.columns.contains),
+      s"Wacz.write needs [${need.mkString(", ")}]; got [${df.columns.mkString(", ")}]")
+    val cols = need ++ (if (df.columns.contains("title")) Seq("title") else Nil)
+    val spark = df.sparkSession
+    // VALIDATE BEFORE WRITE (the WarcSink pre-flight): shard basenames
+    // must be non-null and collision-free — they name the output files
+    val clash = df.select(col("shard"))
+      .groupBy(waczNameCol(col("shard")).as("base"))
+      .agg(countDistinct(col("shard")).as("n"))
+      .filter(col("base").isNull || col("n") > 1)
+      .limit(5).collect()
+    require(clash.isEmpty,
+      "Wacz.write: shard values must be non-null with unique normalized " +
+        "basenames (they name the output .wacz files); offending: " +
+        clash.map(r => String.valueOf(r.get(0))).mkString(", "))
+    val dirPath = new Path(dir)
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(dirPath)
+    val sconf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
+    val outDir = dir
+    df.select(cols.map(col): _*)
+      .repartition(waczNameCol(col("shard")))
+      .sortWithinPartitions("shard", "urlkey", "ts", "url")
+      .foreachPartition { (it: Iterator[Row]) =>
+        val iTitle = cols.indexOf("title")
+        val pfs = org.apache.hadoop.fs.FileSystem.newInstance(
+          new Path(outDir).toUri, sconf.value)
+        pfs.setWriteChecksum(false)
+        val attempt = Option(org.apache.spark.TaskContext.get())
+          .map(tc => s"${tc.partitionId()}-${tc.taskAttemptId()}")
+          .getOrElse(java.util.UUID.randomUUID().toString)
+        val sha1 = java.security.MessageDigest.getInstance("SHA-1")
+
+        var current: String = null      // shard value
+        var innerName: String = null    // <base>.warc.gz inside archive/
+        var warc: Staged = null
+        var cdx: Staged = null
+        var pages: Staged = null
+        var warcOffset = 0L
+
+        def tempPath(kind: String): Path =
+          new Path(outDir, s".${waczName(current)}.$attempt.$kind.tmp")
+
+        // assemble the shard's ZIP from the three staged temps + the two
+        // in-memory manifests, then publish by rename
+        def close(): Unit = if (current != null) {
+          warc.finish(); cdx.finish(); pages.finish()
+          val name = waczName(current)
+          val tmp = new Path(outDir, s".$name.$attempt.tmp")
+          val zip = new java.util.zip.ZipOutputStream(pfs.create(tmp, true))
+          try {
+            def streamTemp(entry: String, st: Staged): Unit =
+              putStored(zip, entry, st.size, st.crcValue) { out =>
+                val in = pfs.open(st.path)
+                try {
+                  val buf = new Array[Byte](64 << 10)
+                  var r = in.read(buf)
+                  while (r >= 0) { if (r > 0) out.write(buf, 0, r); r = in.read(buf) }
+                } finally in.close()
+              }
+            streamTemp(s"archive/$innerName", warc)
+            streamTemp("indexes/index.cdx", cdx)
+            streamTemp("pages/pages.jsonl", pages)
+            def resource(rname: String, rpath: String, st: Staged): String =
+              s"""{"name":${jstr(rname)},"path":${jstr(rpath)},""" +
+                s""""hash":"sha256:${st.sha256}","bytes":${st.size}}"""
+            val datapackage =
+              ("""{"profile":"data-package","wacz_version":"1.1.1",""" +
+                """"software":"graft","resources":[""" +
+                resource(innerName, s"archive/$innerName", warc) + "," +
+                resource("index.cdx", "indexes/index.cdx", cdx) + "," +
+                resource("pages.jsonl", "pages/pages.jsonl", pages) +
+                "]}").getBytes(UTF_8)
+            putStored(zip, "datapackage.json", datapackage.length.toLong,
+              crc32(datapackage))(_.write(datapackage))
+            val dpSha = hex(java.security.MessageDigest.getInstance("SHA-256")
+              .digest(datapackage))
+            val dpDigest =
+              (s"""{"path":"datapackage.json","hash":"sha256:$dpSha"}""").getBytes(UTF_8)
+            putStored(zip, "datapackage-digest.json", dpDigest.length.toLong,
+              crc32(dpDigest))(_.write(dpDigest))
+          } finally zip.close()
+          pfs.delete(warc.path, false)
+          pfs.delete(cdx.path, false)
+          pfs.delete(pages.path, false)
+          val fin = new Path(outDir, name)
+          if (!pfs.rename(tmp, fin)) {
+            pfs.delete(fin, false)
+            require(pfs.rename(tmp, fin),
+              s"Wacz.write: could not publish ${fin.getName} from ${tmp.getName}")
+          }
+          current = null; warc = null; cdx = null; pages = null
+        }
+
+        try {
+          it.foreach { row =>
+            require(!row.isNullAt(0), "Wacz.write: null shard value")
+            val shard = row.getString(0)
+            if (shard != current) {
+              close()
+              current = shard
+              innerName = WarcSink.warcName(shard)
+              warcOffset = 0L
+              warc = new Staged(pfs, tempPath("warc"))
+              cdx = new Staged(pfs, tempPath("cdx"))
+              pages = new Staged(pfs, tempPath("pages"))
+              pages.out.write(
+                ("""{"format":"json-pages-1.0","id":"pages","title":"All Pages"}""" +
+                  "\n").getBytes(UTF_8))
+            }
+            val urlkey = row.getString(1)
+            val url = row.getString(2)
+            val ts = row.getString(3)
+            require(ts != null && WarcSink.isTs14(ts),
+              s"Wacz.write: ts must be 14 digits; got $ts for url=$url")
+            val isResp = !row.isNullAt(4)
+            val mime = row.getString(5)
+            val payload = Option(row.getAs[Array[Byte]]("payload"))
+              .getOrElse(Array.emptyByteArray)
+            sha1.reset()
+            val digest = graft.functions.SurtAlg.base32(sha1.digest(payload))
+            val rec = Warc.renderRecord(Warc.FixtureRecord(
+              if (isResp) "response" else "resource",
+              url, WarcSink.iso(ts), digest,
+              if (isResp) row.getInt(4) else 0, mime, payload))
+            val memberLen = Gzip.writeMember(warc.out, rec)
+            // CDXJ: numbers as strings (the pywb dialect); filename is the
+            // inner WARC's name — offsets point inside the STORED entry
+            cdx.out.write((s"$urlkey $ts {" +
+              s""""url":${jstr(url)},""" +
+              (if (mime != null) s""""mime":${jstr(mime)},""" else "") +
+              (if (isResp) s""""status":"${row.getInt(4)}",""" else "") +
+              s""""digest":${jstr(digest)},""" +
+              s""""length":"$memberLen","offset":"$warcOffset",""" +
+              s""""filename":${jstr(innerName)}}""" + "\n").getBytes(UTF_8))
+            if (isResp) {
+              val title =
+                if (iTitle >= 0 && !row.isNullAt(iTitle)) row.getString(iTitle) else null
+              sha1.reset()
+              val pid = hex(sha1.digest(s"$url $ts".getBytes(UTF_8))).take(16)
+              pages.out.write((s"""{"id":"$pid","url":${jstr(url)},""" +
+                s""""ts":${jstr(WarcSink.iso(ts))}""" +
+                (if (title != null) s""","title":${jstr(title)}""" else "") +
+                "}\n").getBytes(UTF_8))
+            }
+            warcOffset += memberLen
+          }
+          close()
+        } finally {
+          try pfs.close() catch { case _: Throwable => }
+        }
+      }
+  }
+
+  // ------------------------------------------------------------------
+  // reader side: central-directory parsing via positioned reads
+  // ------------------------------------------------------------------
+
+  /** One central-directory row, resolved to the entry's DATA offset (the
+    * local-header indirection already paid). */
+  private[graft] final case class Entry(
+      name: String, method: Int, dataOffset: Long, compressedSize: Long, size: Long)
+
+  private def u16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+  private def u32(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+      ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+  private def u64(b: Array[Byte], i: Int): Long = {
+    var v = 0L
+    var k = 7
+    while (k >= 0) { v = (v << 8) | (b(i + k) & 0xffL); k -= 1 }
+    v
+  }
+
+  /** Parse a ZIP central directory using only positioned reads: one
+    * bounded tail read to find the end-of-central-directory record (and
+    * the ZIP64 locator when present), one read of the directory itself,
+    * and one 30-byte local-header read per RESOLVED entry to compute its
+    * data offset. O(directory) bytes regardless of archive size. */
+  private[graft] def centralDirectory(
+      read: (Long, Array[Byte]) => Unit, fileLen: Long): Seq[Entry] = {
+    require(fileLen >= 22, s"not a ZIP: $fileLen bytes")
+    // EOCD = 22 bytes + up to 64 KiB comment; the ZIP64 locator (20
+    // bytes) sits immediately before the EOCD when present
+    val tailLen = math.min(fileLen, 22L + 0xffff + 20).toInt
+    val tail = new Array[Byte](tailLen)
+    read(fileLen - tailLen, tail)
+    var eocd = -1
+    var i = tailLen - 22
+    while (eocd < 0 && i >= 0) {
+      if (tail(i) == 0x50 && tail(i + 1) == 0x4b && tail(i + 2) == 0x05 &&
+        tail(i + 3) == 0x06) eocd = i
+      else i -= 1
+    }
+    require(eocd >= 0, "ZIP end-of-central-directory record not found")
+    var nEntries: Long = u16(tail, eocd + 10).toLong
+    var cdSize: Long = u32(tail, eocd + 12)
+    var cdOffset: Long = u32(tail, eocd + 16)
+    if (nEntries == 0xffff || cdSize == 0xffffffffL || cdOffset == 0xffffffffL) {
+      // ZIP64: locator directly precedes the EOCD
+      val loc = eocd - 20
+      require(loc >= 0 && tail(loc) == 0x50 && tail(loc + 1) == 0x4b &&
+        tail(loc + 2) == 0x06 && tail(loc + 3) == 0x07,
+        "ZIP64 sizes in EOCD but no ZIP64 locator")
+      val z64Off = u64(tail, loc + 8)
+      val z64 = new Array[Byte](56)
+      read(z64Off, z64)
+      require(z64(0) == 0x50 && z64(1) == 0x4b && z64(2) == 0x06 && z64(3) == 0x06,
+        "bad ZIP64 end-of-central-directory signature")
+      nEntries = u64(z64, 32)
+      cdSize = u64(z64, 40)
+      cdOffset = u64(z64, 48)
+    }
+    require(cdSize <= (64L << 20),
+      s"central directory is $cdSize bytes — refusing to buffer > 64 MiB " +
+        "(an archive with that many members should shard)")
+    val cd = new Array[Byte](cdSize.toInt)
+    read(cdOffset, cd)
+    val out = Vector.newBuilder[Entry]
+    var p = 0
+    var n = 0L
+    while (n < nEntries) {
+      require(p + 46 <= cd.length && cd(p) == 0x50 && cd(p + 1) == 0x4b &&
+        cd(p + 2) == 0x01 && cd(p + 3) == 0x02,
+        s"bad central-directory entry at +$p")
+      val method = u16(cd, p + 10)
+      var compSize = u32(cd, p + 20)
+      var size = u32(cd, p + 24)
+      val nameLen = u16(cd, p + 28)
+      val extraLen = u16(cd, p + 30)
+      val commentLen = u16(cd, p + 32)
+      var lho = u32(cd, p + 42)
+      val name = new String(cd, p + 46, nameLen, UTF_8)
+      // ZIP64 extra field: only the fields that overflowed are present,
+      // in the fixed order size, compSize, lho
+      var e = p + 46 + nameLen
+      val eEnd = e + extraLen
+      while (e + 4 <= eEnd) {
+        val id = u16(cd, e)
+        val len = u16(cd, e + 2)
+        if (id == 0x0001) {
+          var q = e + 4
+          if (size == 0xffffffffL) { size = u64(cd, q); q += 8 }
+          if (compSize == 0xffffffffL) { compSize = u64(cd, q); q += 8 }
+          if (lho == 0xffffffffL) { lho = u64(cd, q); q += 8 }
+        }
+        e += 4 + len
+      }
+      // the LOCAL header's name/extra lengths differ from the central
+      // copy in general (streaming writers add data-descriptor extras),
+      // so the data offset must come from the local header itself
+      val lh = new Array[Byte](30)
+      read(lho, lh)
+      require(lh(0) == 0x50 && lh(1) == 0x4b && lh(2) == 0x03 && lh(3) == 0x04,
+        s"bad local header for $name at $lho")
+      val dataOff = lho + 30 + u16(lh, 26) + u16(lh, 28)
+      out += Entry(name, method, dataOff, compSize, size)
+      p += 46 + nameLen + extraLen + commentLen
+      n += 1
+    }
+    out.result()
+  }
+
+  /** read an entry's bytes fully (STORED by position; DEFLATED inflated
+    * with nowrap) — for the small manifest/index members only, guarded */
+  private def entryBytes(
+      read: (Long, Array[Byte]) => Unit, e: Entry, cap: Long = 1L << 30): Array[Byte] = {
+    require(e.size <= cap && e.compressedSize <= cap,
+      s"entry ${e.name} is ${e.size} bytes — exceeds the $cap read cap")
+    val comp = new Array[Byte](e.compressedSize.toInt)
+    read(e.dataOffset, comp)
+    if (e.method == 0) comp
+    else {
+      require(e.method == 8, s"entry ${e.name}: unsupported method ${e.method}")
+      val inf = new java.util.zip.Inflater(true)
+      inf.setInput(comp)
+      val out = new Array[Byte](e.size.toInt)
+      var done = 0
+      while (done < out.length && !inf.finished())
+        done += inf.inflate(out, done, out.length - done)
+      inf.end()
+      require(done == out.length,
+        s"entry ${e.name}: inflated $done of ${e.size} bytes")
+      out
+    }
+  }
+
+  private def positionedReader(
+      in: org.apache.hadoop.fs.FSDataInputStream): (Long, Array[Byte]) => Unit =
+    (pos, buf) => in.readFully(pos, buf)
+
+  /** Scan the CDXJ index out of every `.wacz` matching `pathGlob` —
+    * rows (wacz, line). The archive member is never touched: one tail
+    * read + the directory + the index entry per file. Accepts any
+    * `indexes/` entry ending `.cdx` (plain, STORED or DEFLATED) or
+    * `.cdx.gz` (gzip members, the py-wacz compressed form). */
+  def scanIndex(spark: SparkSession, pathGlob: String): DataFrame = {
+    val sc = spark.sparkContext
+    val sconf = new SerializableHadoopConf(sc.hadoopConfiguration)
+    val glob = new Path(pathGlob)
+    val fs = glob.getFileSystem(sc.hadoopConfiguration)
+    val files = fs.globStatus(glob)
+    require(files != null && files.nonEmpty, s"Wacz.scanIndex: no files match $pathGlob")
+    val paths = files.toSeq.filter(_.isFile).map(st => (st.getPath.toString, st.getLen))
+    val rows = sc.parallelize(paths, math.max(paths.size, 1)).flatMap {
+      case (file, len) =>
+        val shortName = file.substring(file.lastIndexOf('/') + 1)
+        val p = new Path(file)
+        val pfs = p.getFileSystem(sconf.value)
+        val in = pfs.open(p)
+        try {
+          val read = positionedReader(in)
+          val dir = centralDirectory(read, len)
+          val idx = dir.filter(e => e.name.startsWith("indexes/") &&
+            (e.name.endsWith(".cdx") || e.name.endsWith(".cdx.gz")))
+          require(idx.nonEmpty, s"$shortName: no indexes/*.cdx[.gz] entry " +
+            s"(entries: ${dir.map(_.name).mkString(", ")})")
+          idx.flatMap { e =>
+            val raw = entryBytes(read, e)
+            val bytes =
+              if (e.name.endsWith(".gz"))
+                Gzip.members(new java.io.ByteArrayInputStream(raw))
+                  .foldLeft(new java.io.ByteArrayOutputStream()) { (o, m) =>
+                    o.write(m.bytes); o
+                  }.toByteArray
+              else raw
+            new String(bytes, UTF_8).split("\n", -1).iterator
+              .filter(_.nonEmpty).map(line => org.apache.spark.sql.Row(shortName, line))
+          }.iterator
+        } finally in.close()
+    }
+    spark.createDataFrame(rows, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("wacz",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("line",
+        org.apache.spark.sql.types.StringType))))
+  }
+
+  /** Replay single records through the ZIP: `requests` = (wacz, filename,
+    * offset, length) where offset/length come from the CDXJ index and
+    * filename names the inner WARC. Each request costs ONE positioned
+    * read of `length` bytes at (entry data offset + offset) — the STORED
+    * framing is what makes the arithmetic legal. Same strict member
+    * decode + record parser as Warc.scan/fetchRecords; wrong pointers
+    * fail loudly. */
+  def fetchRecords(spark: SparkSession, requests: DataFrame, dir: String): DataFrame = {
+    val need = Seq("wacz", "filename", "offset", "length")
+    require(need.forall(requests.columns.contains),
+      s"Wacz.fetchRecords needs [${need.mkString(", ")}]; got [${requests.columns.mkString(", ")}]")
+    val sconf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
+    val rows = requests.select(
+        col("wacz").cast("string"), col("filename").cast("string"),
+        col("offset").cast("long"), col("length").cast("long"))
+      .dropDuplicates(need)
+      .repartition(col("wacz"))
+      .sortWithinPartitions("wacz", "filename", "offset")
+      .rdd.mapPartitions { it =>
+        var in: org.apache.hadoop.fs.FSDataInputStream = null
+        var current: String = null
+        var dataOffsets: Map[String, Long] = null
+        var prev: (String, Long) = null
+        def close(): Unit =
+          if (in != null) { try in.close() catch { case _: Throwable => }; in = null }
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => close()))
+        val out = it.flatMap { r =>
+          val wacz = r.getString(0)
+          val fname = r.getString(1)
+          val off = r.getLong(2)
+          val len = r.getLong(3)
+          require(len > 0 && len <= Gzip.MaxMemberBytes.toLong + (1L << 20),
+            s"Wacz.fetchRecords: implausible member length $len for $wacz!$fname@$off")
+          if (wacz != current) {
+            close()
+            val p = new Path(dir, wacz)
+            val pfs = p.getFileSystem(sconf.value)
+            in = pfs.open(p)
+            val dirEntries =
+              centralDirectory(positionedReader(in), pfs.getFileStatus(p).getLen)
+            dataOffsets = dirEntries
+              .filter(e => e.name.startsWith("archive/") && e.method == 0)
+              .map(e => e.name.stripPrefix("archive/") -> e.dataOffset).toMap
+            current = wacz
+            prev = null
+          }
+          require(prev == null || prev != ((fname, off)),
+            s"Wacz.fetchRecords: conflicting lengths for $wacz!$fname@$off — " +
+              "stale index; refusing to guess")
+          prev = (fname, off)
+          val base = dataOffsets.getOrElse(fname,
+            throw new IllegalArgumentException(
+              s"Wacz.fetchRecords: $wacz has no STORED archive/$fname entry"))
+          val buf = new Array[Byte](len.toInt)
+          in.readFully(base + off, buf)
+          Gzip.members(new java.io.ByteArrayInputStream(buf)).flatMap(m =>
+            Warc.parseRecords(m.bytes, off, len, fname))
+        }
+        new Iterator[Row] {
+          override def hasNext: Boolean = { val h = out.hasNext; if (!h) close(); h }
+          override def next(): Row = out.next()
+        }
+      }
+    spark.createDataFrame(rows, Warc.schema)
+  }
+
+  /** Verify every archive against its own manifest: recompute sha256 +
+    * byte count for each resource `datapackage.json` declares, and check
+    * `datapackage.json` itself against `datapackage-digest.json`. Rows
+    * (wacz, path, declared_sha256, actual_sha256, declared_bytes,
+    * actual_bytes, ok). Resources stream through a 64 KiB window
+    * (STORED and DEFLATED both) — verification never buffers an entry. */
+  def verify(spark: SparkSession, pathGlob: String): DataFrame = {
+    val sc = spark.sparkContext
+    val sconf = new SerializableHadoopConf(sc.hadoopConfiguration)
+    val glob = new Path(pathGlob)
+    val fs = glob.getFileSystem(sc.hadoopConfiguration)
+    val files = fs.globStatus(glob)
+    require(files != null && files.nonEmpty, s"Wacz.verify: no files match $pathGlob")
+    val paths = files.toSeq.filter(_.isFile).map(st => (st.getPath.toString, st.getLen))
+    val rows = sc.parallelize(paths, math.max(paths.size, 1)).flatMap {
+      case (file, len) =>
+        val shortName = file.substring(file.lastIndexOf('/') + 1)
+        val p = new Path(file)
+        val pfs = p.getFileSystem(sconf.value)
+        val in = pfs.open(p)
+        try {
+          val read = positionedReader(in)
+          val entries = centralDirectory(read, len)
+          val byName = entries.map(e => e.name -> e).toMap
+          // digest an entry's UNCOMPRESSED content without buffering it
+          def digestOf(e: Entry): (String, Long) = {
+            val sha = java.security.MessageDigest.getInstance("SHA-256")
+            val buf = new Array[Byte](64 << 10)
+            if (e.method == 0) {
+              var done = 0L
+              while (done < e.compressedSize) {
+                val n = math.min(buf.length.toLong, e.compressedSize - done).toInt
+                val chunk = if (n == buf.length) buf else new Array[Byte](n)
+                read(e.dataOffset + done, chunk)
+                sha.update(chunk, 0, n)
+                done += n
+              }
+              (hex(sha.digest()), done)
+            } else {
+              require(e.method == 8, s"${e.name}: unsupported method ${e.method}")
+              val inf = new java.util.zip.Inflater(true)
+              val cbuf = new Array[Byte](64 << 10)
+              var cdone = 0L
+              var total = 0L
+              while (!inf.finished() && (cdone < e.compressedSize || !inf.needsInput())) {
+                if (inf.needsInput()) {
+                  val n = math.min(cbuf.length.toLong, e.compressedSize - cdone).toInt
+                  val chunk = if (n == cbuf.length) cbuf else new Array[Byte](n)
+                  read(e.dataOffset + cdone, chunk)
+                  inf.setInput(chunk, 0, n)
+                  cdone += n
+                }
+                val n = inf.inflate(buf)
+                if (n > 0) { sha.update(buf, 0, n); total += n }
+              }
+              inf.end()
+              (hex(sha.digest()), total)
+            }
+          }
+          val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+          val dpEntry = byName.getOrElse("datapackage.json",
+            throw new IllegalArgumentException(s"$shortName: no datapackage.json"))
+          val dpBytes = entryBytes(read, dpEntry, cap = 16L << 20)
+          val dp = mapper.readTree(dpBytes)
+          val resources = Option(dp.get("resources"))
+            .map(rs => (0 until rs.size()).map(rs.get))
+            .getOrElse(Seq.empty)
+          val resourceRows = resources.map { r =>
+            val path = r.get("path").asText()
+            val declared = Option(r.get("hash")).map(_.asText()).orNull
+            val declaredSha =
+              if (declared != null && declared.startsWith("sha256:"))
+                declared.stripPrefix("sha256:") else declared
+            val declaredBytes =
+              Option(r.get("bytes")).map(_.asLong()).map(java.lang.Long.valueOf).orNull
+            byName.get(path) match {
+              case None =>
+                Row(shortName, path, declaredSha, null, declaredBytes, null, false)
+              case Some(e) =>
+                val (actualSha, actualBytes) = digestOf(e)
+                val ok = declaredSha == actualSha &&
+                  (declaredBytes == null || declaredBytes.longValue() == actualBytes)
+                Row(shortName, path, declaredSha, actualSha, declaredBytes,
+                  java.lang.Long.valueOf(actualBytes), ok)
+            }
+          }
+          // the manifest's own seal
+          val digestRow = byName.get("datapackage-digest.json").map { de =>
+            val dd = mapper.readTree(entryBytes(read, de, cap = 1L << 20))
+            val declared = Option(dd.get("hash")).map(_.asText()).orNull
+            val declaredSha =
+              if (declared != null && declared.startsWith("sha256:"))
+                declared.stripPrefix("sha256:") else declared
+            val actual = hex(java.security.MessageDigest.getInstance("SHA-256")
+              .digest(dpBytes))
+            Row(shortName, "datapackage.json", declaredSha, actual,
+              java.lang.Long.valueOf(dpBytes.length.toLong),
+              java.lang.Long.valueOf(dpBytes.length.toLong), declaredSha == actual)
+          }
+          (resourceRows ++ digestRow).iterator
+        } finally in.close()
+    }
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(rows, StructType(Seq(
+      StructField("wacz", StringType),
+      StructField("path", StringType),
+      StructField("declared_sha256", StringType),
+      StructField("actual_sha256", StringType),
+      StructField("declared_bytes", LongType),
+      StructField("actual_bytes", LongType),
+      StructField("ok", BooleanType))))
+  }
+}

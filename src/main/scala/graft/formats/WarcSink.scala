@@ -46,14 +46,14 @@ object WarcSink {
   /** allocation-free `^\d{14}$` — this runs once per record in the
     * writer's hot loop, where a regex Pattern.compile per row would be
     * measurable overhead */
-  private def isTs14(s: String): Boolean = {
+  private[formats] def isTs14(s: String): Boolean = {
     if (s == null || s.length != 14) return false
     var i = 0
     while (i < 14) { val c = s.charAt(i); if (c < '0' || c > '9') return false; i += 1 }
     true
   }
 
-  private def iso(ts14: String): String =
+  private[formats] def iso(ts14: String): String =
     s"${ts14.substring(0, 4)}-${ts14.substring(4, 6)}-${ts14.substring(6, 8)}T" +
       s"${ts14.substring(8, 10)}:${ts14.substring(10, 12)}:${ts14.substring(12, 14)}Z"
 

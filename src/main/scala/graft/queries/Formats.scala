@@ -126,6 +126,42 @@ object Formats extends QueryModule {
   }
   private val building =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Session-shared WACZ corpus for the packaging keys: `sink_wacz` is
+    * the writer under test, but the fetch/verify keys READ the same
+    * archives — one deterministic build per (session, sf dir), the
+    * [[sharedCluster]] discipline verbatim (same reap rationale, same
+    * heartbeat, same keyTag-suffixed path so cache keys never alias). */
+  private val waczCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def waczCorpus(s: SparkSession, d: String): String = {
+    val key = sessionKey(s, d)
+    val dir = waczCache.computeIfAbsent(key, _ => {
+      val newDir = tmp(d, s"wacz_shared_${keyTag(key)}")
+      building.add(newDir)
+      try {
+        val live = new java.util.HashSet[String](waczCache.values())
+        live.addAll(building)
+        val cutoff = System.currentTimeMillis() - 8L * 3600 * 1000
+        val parent = new java.io.File(newDir).getParentFile
+        Option(parent.listFiles()).getOrElse(Array.empty).foreach { f =>
+          if (f.getName.startsWith("wacz_shared") && !live.contains(f.getPath)
+              && f.lastModified() < cutoff)
+            deleteRecursively(f.toPath)
+        }
+        graft.formats.Wacz.write(
+          Cdx.df(s, d).where(col("record_type") === "response")
+            .selectExpr("filename AS shard", "urlkey", "url", "ts", "status",
+              "mime",
+              "CAST(concat('payload:', urlkey, '@', ts) AS BINARY) AS payload",
+              "concat('Title ', id % 100) AS title"),
+          newDir)
+        newDir
+      } finally building.remove(newDir)
+    })
+    new java.io.File(dir).setLastModified(System.currentTimeMillis())
+    dir
+  }
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
     // best-effort GC, wholesale: walk() itself (open, or the sorted
@@ -959,6 +995,92 @@ object Formats extends QueryModule {
         .orderBy("src", "ts", "title", "dst")
     }),
 
+    // WACZ packaging round trip (Webrecorder spec 1.1.1, the pywb-stack
+    // portable-archive container): one .wacz per WARC shard — STORED
+    // inner WARC + sorted CDXJ index + pages list + self-verifying
+    // datapackage — then the CDXJ read back through the engine's own
+    // central-directory scan (ONE bounded tail read + the index entry
+    // per file; the archive member is never touched — O(index), not
+    // O(archive)). The oracle replays urlkey/ts/url/status/mime from
+    // the cdx CTE, so the whole pack→locate→parse path must be faithful.
+    "sink_wacz" -> ((s, d) => {
+      val dir = waczCorpus(s, d)
+      graft.formats.Wacz.scanIndex(s, dir + "/*.wacz")
+        .select(col("wacz") +: Cdx.lineCols(col("line")): _*)
+        .select(col("wacz"), col("urlkey"), col("ts"),
+          get_json_object(col("json"), "$.url").as("url"),
+          get_json_object(col("json"), "$.status").cast("int").as("status"),
+          get_json_object(col("json"), "$.mime").as("mime"))
+        .orderBy("wacz", "urlkey", "ts", "url", "status", "mime")
+    }),
+
+    // single-record replay THROUGH the ZIP: CDXJ (offset, length)
+    // pointers + the STORED entry's data offset = one positioned read
+    // per record, strict member decode (the fetchRecords discipline —
+    // wrong pointers fail loudly). A deterministic urlkey-prefix slice
+    // keeps the replay query-sized, the serving reality.
+    "wacz_fetch_record" -> ((s, d) => {
+      val dir = waczCorpus(s, d)
+      val ptrs = graft.formats.Wacz.scanIndex(s, dir + "/*.wacz")
+        .select(col("wacz") +: Cdx.lineCols(col("line")): _*)
+        .where(col("urlkey").startsWith("org,example,u"))
+        .select(col("wacz"),
+          get_json_object(col("json"), "$.filename").as("filename"),
+          get_json_object(col("json"), "$.offset").cast("long").as("offset"),
+          get_json_object(col("json"), "$.length").cast("long").as("length"))
+      graft.formats.Wacz.fetchRecords(s, ptrs, dir)
+        .where(col("record_type") === "response")
+        .select(col("url"), col("ts"), col("status"), col("mime"),
+          length(col("payload")).as("n_bytes"),
+          sha2(col("payload"), 256).as("body_sha256"))
+        .orderBy("url", "ts", "status", "mime", "body_sha256")
+    }),
+
+    // self-verification against the archive's own manifest: recompute
+    // every resource sha256 datapackage.json declares plus the
+    // manifest's own seal (datapackage-digest.json) — the wabac.js load
+    // check. The oracle pins the (wacz × resource) inventory with
+    // ok=true everywhere; hashes/sizes are compression-dependent so
+    // live outside it, and WaczSpec pins tamper detection (a flipped
+    // payload byte → ok=false on exactly the touched resource).
+    "wacz_verify" -> ((s, d) => {
+      val dir = waczCorpus(s, d)
+      graft.formats.Wacz.verify(s, dir + "/*.wacz")
+        .select(col("wacz"), col("path"), col("ok"))
+        .orderBy("wacz", "path")
+    }),
+
+    // COLUMNAR CAPTURE INDEX — the cc-index-table successor of the
+    // row-oriented ZipNum cluster (the public Common Crawl parquet index
+    // Athena/Spark query directly): captures land as parquet PARTITIONED
+    // BY (crawl, subset), so the canonical "one crawl, warc subset"
+    // query prunes to its directory before any row group opens, and
+    // min/max row-group stats serve the url_surtkey range predicates the
+    // ZipNum idx serves in row-land. The round trip reads one
+    // (crawl, subset) cell back; PlanSpec pins the static pruning (the
+    // scan's partitions shrink 16x), the oracle replays the slice.
+    "sink_ccindex" -> ((s, d) => {
+      val dir = tmp(d, "ccindex")
+      Cdx.df(s, d).selectExpr(
+          "urlkey AS url_surtkey", "url", "host AS url_host_name",
+          "epoch_us AS fetch_time_us", "status AS fetch_status",
+          "mime AS content_mime_type", "digest AS content_digest",
+          "filename AS warc_filename", "length AS warc_record_length",
+          "regexp_extract(filename, 'seg-[0-9]+', 0) AS crawl",
+          "CASE WHEN record_type IN ('response', 'revisit') THEN 'warc' " +
+            "ELSE 'crawldiagnostics' END AS subset")
+        .write.mode("overwrite").partitionBy("crawl", "subset")
+        .option("compression", "zstd").parquet(dir)
+      s.read.parquet(dir)
+        .where(col("crawl") === "seg-3" && col("subset") === "warc")
+        .select("url_surtkey", "url", "url_host_name", "fetch_time_us",
+          "fetch_status", "content_mime_type", "content_digest",
+          "warc_filename", "warc_record_length")
+        .orderBy("url_surtkey", "fetch_time_us", "url", "fetch_status",
+          "content_mime_type", "content_digest", "warc_filename",
+          "warc_record_length")
+    }),
+
     // classic CDX-11 emit (the cdxj=False output dialect)
     "cdx11_pack" -> ((s, d) =>
       Cdx.df(s, d)
@@ -1190,6 +1312,43 @@ object Formats extends QueryModule {
         "'http://alt.example.org/' || (id % 20) AS dst " +
         "FROM cdx WHERE record_type = 'response' AND id % 3 = 0" +
         ") ORDER BY src, ts, title, dst"),
+    // the CDXJ inventory replayed from the cdx CTE; wacz name = shard
+    // basename with the container extension swapped
+    "sink_wacz" -> o(
+      "SELECT regexp_replace(regexp_extract(filename, '[^/]+$'), " +
+        "'\\.warc\\.(gz|zst)$', '') || '.wacz' AS wacz, " +
+        "urlkey, ts, url, status, mime FROM cdx WHERE record_type = 'response' " +
+        "ORDER BY wacz, urlkey, ts, url, status, mime"),
+    // the replayed slice must equal the source slice byte-for-byte:
+    // payloads are the deterministic 'payload:urlkey@ts' convention
+    "wacz_fetch_record" -> o(
+      "SELECT url, ts, status, mime, " +
+        "CAST(length('payload:' || urlkey || '@' || ts) AS INTEGER) AS n_bytes, " +
+        "sha256('payload:' || urlkey || '@' || ts) AS body_sha256 " +
+        "FROM cdx WHERE record_type = 'response' AND urlkey LIKE 'org,example,u%' " +
+        "ORDER BY url, ts, status, mime, body_sha256"),
+    // fixed inventory: every shard's wacz carries exactly these four
+    // verifiable resources, all ok (tamper arms live in WaczSpec)
+    "wacz_verify" -> o(
+      "SELECT regexp_replace(w.innername, '\\.warc\\.(gz|zst)$', '') || '.wacz' AS wacz, " +
+        "CASE p.k WHEN 0 THEN 'archive/' || w.innername " +
+        "WHEN 1 THEN 'indexes/index.cdx' WHEN 2 THEN 'pages/pages.jsonl' " +
+        "ELSE 'datapackage.json' END AS path, true AS ok " +
+        "FROM (SELECT DISTINCT regexp_extract(filename, '[^/]+$') AS innername " +
+        "FROM cdx WHERE record_type = 'response') w " +
+        "CROSS JOIN (VALUES (0), (1), (2), (3)) p(k) " +
+        "ORDER BY wacz, path"),
+    // the (seg-3, warc) slice replayed straight from the cdx CTE — the
+    // partition layout must be invisible to the returned rows
+    "sink_ccindex" -> o(
+      "SELECT urlkey AS url_surtkey, url, host AS url_host_name, " +
+        "epoch_us AS fetch_time_us, status AS fetch_status, " +
+        "mime AS content_mime_type, digest AS content_digest, " +
+        "filename AS warc_filename, length AS warc_record_length " +
+        "FROM cdx WHERE regexp_extract(filename, 'seg-[0-9]+') = 'seg-3' " +
+        "AND record_type IN ('response', 'revisit') " +
+        "ORDER BY url_surtkey, fetch_time_us, url, fetch_status, " +
+        "content_mime_type, content_digest, warc_filename, warc_record_length"),
     "cdx11_pack" -> o(
       s"SELECT id, $cdx11LineDuck AS line FROM " +
         s"(SELECT *, $boffsetDuck AS boffset FROM cdx) ORDER BY id"),

@@ -278,6 +278,57 @@ object Graph extends QueryModule {
     dist
   }
 
+  /** HyperBall (Boldi & Vigna 2013 — the algorithm behind the published
+    * web-graph harmonic-centrality rankings): every node carries a
+    * MERGEABLE HLL counter of its growing reachability ball,
+    * counter_r(v) = counter_{r−1}(v) ∪ ⋃_{(v,w)∈E} counter_{r−1}(w), and
+    * harmonic(v) = Σ_r (|ball_r| − |ball_{r−1}|)/r. Pass REVERSED edges
+    * for the in-harmonic the rankings use (ball = nodes that can REACH
+    * v). Exact centrality is Θ(n·m) BFS — dead at web scale; HyperBall
+    * is O(rounds · m) with O(2^lgK) state per node.
+    *
+    * Distributed shape: each round is ONE edges⋈counters shuffle + one
+    * hash agg whose merge is the datasketches HLL union (register-max —
+    * order-insensitive, so map-side partial merges are sound and the
+    * result is deterministic); node state is sketch BYTES, never the
+    * ball's members; localCheckpoint per round (the pageRank lineage
+    * hygiene). The driver never holds node-sized data. Small balls sit
+    * in the sketch's exact (coupon) range, so tiny-graph goldens are
+    * EXACT — GraphSpec pins path/star closed forms and determinism. */
+  def hyperBall(e: DataFrame, rounds: Int, lgK: Int = 12): DataFrame = {
+    val ec = e.select("src", "dst").localCheckpoint()
+    val nodes = ec.select(col("src").as("node"))
+      .unionByName(ec.select(col("dst").as("node"))).distinct()
+    var state = nodes.groupBy("node")
+      .agg(hll_sketch_agg(col("node"), lit(lgK)).as("sketch"))
+      .withColumn("est", hll_sketch_estimate(col("sketch")))
+      .withColumn("harmonic", lit(0.0))
+      .localCheckpoint()
+    for (r <- 1 to rounds) {
+      // v's next ball = its own counter ∪ its out-neighbors' counters;
+      // both arrive as (node, sketch) rows into one union-merge agg
+      val contrib = ec
+        .join(state.select(col("node").as("dst"), col("sketch")), "dst")
+        .select(col("src").as("node"), col("sketch"))
+        .unionByName(state.select("node", "sketch"))
+      val merged = contrib.groupBy("node")
+        .agg(hll_union_agg(col("sketch"), lit(false)).as("sketch"))
+        .withColumn("est", hll_sketch_estimate(col("sketch")))
+      state = merged
+        .join(state.select(col("node"), col("est").as("prev"), col("harmonic")),
+          "node")
+        // greatest(…, 0) guards the HLL-mode estimate's ±ε jitter: a
+        // union can never shrink the true ball, so a negative increment
+        // is estimator noise and must not reduce the centrality sum
+        .withColumn("harmonic",
+          col("harmonic") +
+            greatest(col("est") - col("prev"), lit(0L)).cast("double") / lit(r.toDouble))
+        .select("node", "sketch", "est", "harmonic")
+        .localCheckpoint()
+    }
+    state.select(col("node"), col("est").as("ball_size"), col("harmonic"))
+  }
+
   override def queries: Map[String, QFn] = Map(
     // BFS hop distance from node 0 (≤ 6 hops) — the traversal member of
     // the graph family (link-distance / crawl-frontier shape). The
@@ -362,6 +413,19 @@ object Graph extends QueryModule {
         .unionByName(und.select(col("b").as("v"))).distinct()
       graft.ops.Dedup.resolveClusters(verts, und)
         .select(col("v").as("node"), col("rep").as("component"))
+        .orderBy("node")
+    }),
+
+    // HyperBall harmonic centrality — oracle-exempt (HLL register
+    // internals are engine-specific, like agg_hll_merge); GraphSpec pins
+    // exact path/star closed forms in the sketch's exact range, ball
+    // monotonicity, and run-to-run determinism. Reversed edges: the
+    // in-harmonic (who can reach v) is what the published rankings use.
+    "graph_harmonic_hyperball" -> ((s, d) => {
+      val rev = edges(s, d).select(col("dst").as("src"), col("src").as("dst"))
+      hyperBall(rev, rounds = 8)
+        .select(col("node"), col("ball_size"),
+          round(col("harmonic"), 4).as("harmonic"))
         .orderBy("node")
     }),
 

@@ -11,6 +11,45 @@ class GraphSpec extends SparkSpec {
     pairs.toDF("src", "dst")
   }
 
+  // ----------------------------------------------------------- hyperball
+
+  test("hyperBall: directed path closed form — exact in the sketch's coupon range") {
+    // 0→1→2→3: out-ball of 0 grows 1,2,3,4; harmonic(0) = 1 + 1/2 + 1/3
+    val path = edgesOf(Seq((0L, 1L), (1L, 2L), (2L, 3L)))
+    val m = Graph.hyperBall(path, rounds = 5).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(m(0L) == ((4L, 1.0 + 0.5 + 1.0 / 3)), s"node 0: ${m(0L)}")
+    assert(m(1L) == ((3L, 1.0 + 0.5)), s"node 1: ${m(1L)}")
+    assert(m(2L) == ((2L, 1.0)), s"node 2: ${m(2L)}")
+    assert(m(3L) == ((1L, 0.0)), s"sink has an empty out-ball: ${m(3L)}")
+  }
+
+  test("hyperBall: star + reversed edges = the in-harmonic the driver key computes") {
+    // leaves 1..10 → center 0; REVERSED edges make ball(0) = everyone
+    // who can reach 0, all at distance 1 → in-harmonic(0) = 10
+    val star = edgesOf((1L to 10L).map(l => (l, 0L)))
+    val rev = star.select(col("dst").as("src"), col("src").as("dst"))
+    val m = Graph.hyperBall(rev, rounds = 3).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(m(0L) == ((11L, 10.0)), s"center: ${m(0L)}")
+    (1L to 10L).foreach(l => assert(m(l) == ((1L, 0.0)), s"leaf $l: ${m(l)}"))
+  }
+
+  test("graph_harmonic_hyperball: deterministic, bounded, ball-monotone on the driver graph") {
+    val a = SparkEntry.queries("graph_harmonic_hyperball")(spark, sfDir).collect()
+    val b = SparkEntry.queries("graph_harmonic_hyperball")(spark, sfDir).collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq,
+      "HLL register-max merges must make the run deterministic")
+    val nNodes = a.length
+    a.foreach { r =>
+      val ball = r.getLong(1)
+      assert(ball >= 1L, s"every node reaches itself: $r")
+      // HLL-mode estimates carry ~1.6% error at lgK=12 — allow the slack
+      assert(ball <= math.ceil(nNodes * 1.1).toLong, s"ball exceeds graph: $r")
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= nNodes.toDouble, s"harmonic range: $r")
+    }
+  }
+
   // ---------------------------------------------------------------- hits
 
   test("graph_hits: star closed form — center is the only authority, leaves split hub mass") {

@@ -543,6 +543,26 @@ class PlanSpec extends SparkSpec {
       s"DPP must prune the scan to the 8 weekend day-partitions, read $nParts")
   }
 
+  test("sink_ccindex: the (crawl, subset) filter statically prunes the columnar index scan") {
+    val df = SparkEntry.queries("sink_ccindex")(spark, sfDir)
+    df.collect()
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+    }.flatten
+    val scan = scans(df.queryExecution.executedPlan)
+    assert(scan.nonEmpty, "expected a parquet scan of the columnar index")
+    assert(scan.head.partitionFilters.nonEmpty,
+      "the crawl/subset predicates must be PARTITION filters, not data filters")
+    // 8 crawls x 2 subsets on disk; the query reads exactly one cell
+    val nParts = scan.head.metrics("numPartitions").value
+    assert(nParts == 1,
+      s"static pruning must reduce 16 (crawl, subset) cells to 1, read $nParts")
+  }
+
   test("cdc_compact_changelog: last-writer-wins compacts as a mergeable agg, not a window") {
     val df = SparkEntry.queries("cdc_compact_changelog")(spark, sfDir)
     val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
