@@ -188,6 +188,9 @@ object Wacz {
           .map(tc => s"${tc.partitionId()}-${tc.taskAttemptId()}")
           .getOrElse(java.util.UUID.randomUUID().toString)
         val sha1 = java.security.MessageDigest.getInstance("SHA-1")
+        // one native Deflater per task across all members (the reused-
+        // context discipline of WarcSink's gzip/zstd hot loops)
+        val gzDeflater = Gzip.memberDeflater()
 
         var current: String = null      // shard value
         var innerName: String = null    // <base>.warc.gz inside archive/
@@ -281,7 +284,7 @@ object Wacz {
               if (isResp) "response" else "resource",
               url, WarcSink.iso(ts), digest,
               if (isResp) row.getInt(4) else 0, mime, payload))
-            val memberLen = Gzip.writeMember(warc.out, rec)
+            val memberLen = Gzip.writeMember(warc.out, rec, gzDeflater)
             // CDXJ: numbers as strings (the pywb dialect); filename is the
             // inner WARC's name — offsets point inside the STORED entry
             cdx.out.write((s"$urlkey $ts {" +
@@ -305,6 +308,7 @@ object Wacz {
           }
           close()
         } finally {
+          try gzDeflater.end() catch { case _: Throwable => }
           try pfs.close() catch { case _: Throwable => }
         }
       }

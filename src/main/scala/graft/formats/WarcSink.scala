@@ -211,6 +211,10 @@ object WarcSink {
         val zctx =
           if (codec == "zstd") new com.github.luben.zstd.ZstdCompressCtx()
           else null
+        // gzip twin of the reused zstd context: ONE native Deflater per
+        // task across all members (a per-record init+end measured as the
+        // dominant cost of the zstd writer's first cut)
+        val gzDeflater = if (codec == "gzip") Gzip.memberDeflater() else null
         // dict mode (warcio's full .warc.zst convention): the dictionary
         // loads into the reused task context ONCE — every record frame
         // compresses against it — and each output file opens with the
@@ -273,7 +277,7 @@ object WarcSink {
                   graft.functions.SurtAlg.base32(sha1.digest(infoBytes)), 0,
                   "application/warc-fields", infoBytes))
                 if (zctx != null) out.write(zctx.compress(info))
-                else Gzip.writeMember(out, info)
+                else Gzip.writeMember(out, info, gzDeflater)
               }
             }
             require(!row.isNullAt(2) && isTs14(row.getString(2)),
@@ -329,12 +333,13 @@ object WarcSink {
               refersToUri = refUrl,
               refersToDate = if (refTs != null) iso(refTs) else null))
             if (zctx != null) out.write(zctx.compress(rec))
-            else Gzip.writeMember(out, rec)
+            else Gzip.writeMember(out, rec, gzDeflater)
           }
           close()
         } finally {
           if (out != null) out.close()
           if (zctx != null) try zctx.close() catch { case _: Throwable => }
+          if (gzDeflater != null) try gzDeflater.end() catch { case _: Throwable => }
           try pfs.close() catch { case _: Throwable => }
         }
       }
