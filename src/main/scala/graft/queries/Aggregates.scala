@@ -145,6 +145,73 @@ object Aggregates extends QueryModule {
         .orderBy("hostword")
     }),
 
+    // KMV CROSS-CRAWL OVERLAP — the sketch sibling of agg_crawl_overlap,
+    // run on PAYLOAD DIGESTS: estimate |A∩B| and Jaccard between two
+    // crawl generations' stored-content sets from their MERGEABLE
+    // bottom-k sketches alone — "how much would a joint (revisit-style)
+    // dedup across the two crawls save?" answered from two k-row
+    // artifacts BEFORE paying the exact cross-generation join. KMV theory (Beyer et al. 2007): bottom-k of
+    // A∪B = bottom-k of the unioned sketches, and A's kth minimum ≥ the
+    // union's (A ⊆ A∪B), so every union minimum's membership in A/B is
+    // decidable against the two sketches alone; Ĵ = |union minima in
+    // both| / |union minima|, |A∩B|̂ = Ĵ·|A∪B|̂. Hash-deterministic
+    // (agg_kmv_distinct's md5 recipe) → FULL DuckDB oracle, and the
+    // exact overlap rides along (self-checking). Shape: one distinct on
+    // (hostword, gen, hash) is the only data-sized shuffle; every window
+    // and join after it runs on ≤ 2k rows per group.
+    "agg_kmv_overlap" -> ((s, d) => {
+      val k = 64
+      val cut = "19960101000000" // the agg_crawl_overlap generation split
+      val w = org.apache.spark.sql.expressions.Window
+      val hashes = Cdx.df(s, d).select(col("hostword"),
+          when(col("ts") < cut, lit("a")).otherwise(lit("b")).as("gen"),
+          conv(substring(md5(concat(col("digest"), lit(":kmv"))), 1, 8), 16, 10)
+            .cast("bigint").as("h"))
+        .distinct()
+      val byGen = w.partitionBy("hostword", "gen").orderBy("h")
+      val sk = hashes.withColumn("rn", row_number().over(byGen))
+        .filter(col("rn") <= k)
+        .select("hostword", "gen", "h")
+      val byU = w.partitionBy("hostword").orderBy("h")
+      val uk = sk.select("hostword", "h").distinct()
+        .withColumn("rn", row_number().over(byU)).filter(col("rn") <= k)
+        .select("hostword", "h")
+      val marked = uk
+        .join(sk.filter(col("gen") === "a")
+          .select(col("hostword"), col("h"), lit(1L).as("in_a")),
+          Seq("hostword", "h"), "left")
+        .join(sk.filter(col("gen") === "b")
+          .select(col("hostword"), col("h"), lit(1L).as("in_b")),
+          Seq("hostword", "h"), "left")
+        .na.fill(0L, Seq("in_a", "in_b"))
+      val est = marked.groupBy("hostword").agg(
+          count(lit(1)).as("n_u"),
+          max("h").as("h_k"),
+          sum(col("in_a") * col("in_b")).as("both_sk"))
+        // exact when the union fits the sketch; floor() is the one
+        // double→int step both engines agree on (the kmv_distinct note)
+        .withColumn("union_est",
+          when(col("n_u") < k, col("n_u"))
+            .otherwise(floor(lit((k - 1).toDouble * 4294967296.0) /
+              greatest(col("h_k"), lit(1L))).cast("long")))
+        .withColumn("jaccard_est",
+          round(col("both_sk").cast("double") / col("n_u"), 6))
+        .withColumn("inter_est",
+          floor(col("both_sk").cast("double") * col("union_est") / col("n_u"))
+            .cast("long"))
+      val exact = Cdx.df(s, d)
+        .groupBy("hostword", "digest")
+        .agg(max(when(col("ts") < cut, 1L).otherwise(0L)).as("ina"),
+          max(when(col("ts") >= cut, 1L).otherwise(0L)).as("inb"))
+        .groupBy("hostword")
+        .agg(sum(col("ina") * col("inb")).as("exact_both"),
+          count(lit(1)).as("exact_union"))
+      est.join(exact, "hostword")
+        .select("hostword", "n_u", "union_est", "jaccard_est", "inter_est",
+          "exact_both", "exact_union")
+        .orderBy("hostword")
+    }),
+
     // Mergeable distinct sketches — the cross-job form of
     // agg_approx_distinct. Each segment builds its own DataSketches HLL
     // (map-side; only sketch BYTES cross the wire), a final union merges
@@ -636,6 +703,42 @@ object Aggregates extends QueryModule {
         "WHERE rn <= 64 GROUP BY hostword) s " +
         "JOIN (SELECT hostword, count(DISTINCT urlkey) AS exact_urlkeys " +
         "FROM cdx GROUP BY hostword) e USING (hostword) ORDER BY hostword"),
+    // same md5 uniforms, same bottom-k windows, same floor()s — the sk
+    // fragment is inlined three times because duckCte owns the WITH
+    "agg_kmv_overlap" -> o {
+      val sk = "(SELECT hostword, gen, h FROM (SELECT hostword, gen, h, " +
+        "row_number() OVER (PARTITION BY hostword, gen ORDER BY h) AS rn " +
+        "FROM (SELECT DISTINCT hostword, " +
+        "CASE WHEN ts < '19960101000000' THEN 'a' ELSE 'b' END AS gen, " +
+        "CAST('0x' || substring(md5(digest || ':kmv'), 1, 8) AS BIGINT) AS h " +
+        "FROM cdx)) WHERE rn <= 64)"
+      val unionEst = "CASE WHEN count(*) < 64 THEN CAST(count(*) AS BIGINT) " +
+        "ELSE CAST(floor(270582939648.0 / greatest(max(h), 1)) AS BIGINT) END"
+      "SELECT x.hostword, x.n_u, x.union_est, x.jaccard_est, x.inter_est, " +
+        "e.exact_both, e.exact_union FROM (" +
+        "SELECT hostword, CAST(count(*) AS BIGINT) AS n_u, " +
+        s"$unionEst AS union_est, " +
+        "round(CAST(sum(in_a * in_b) AS DOUBLE) / count(*), 6) AS jaccard_est, " +
+        "CAST(floor(CAST(sum(in_a * in_b) AS DOUBLE) * " +
+        s"($unionEst) / count(*)) AS BIGINT) AS inter_est " +
+        "FROM (SELECT u.hostword, u.h, " +
+        "CASE WHEN a.h IS NULL THEN 0 ELSE 1 END AS in_a, " +
+        "CASE WHEN b.h IS NULL THEN 0 ELSE 1 END AS in_b " +
+        "FROM (SELECT hostword, h FROM (SELECT hostword, h, " +
+        "row_number() OVER (PARTITION BY hostword ORDER BY h) AS rn " +
+        s"FROM (SELECT DISTINCT hostword, h FROM $sk)) WHERE rn <= 64) u " +
+        s"LEFT JOIN (SELECT hostword, h FROM $sk WHERE gen = 'a') a " +
+        "ON u.hostword = a.hostword AND u.h = a.h " +
+        s"LEFT JOIN (SELECT hostword, h FROM $sk WHERE gen = 'b') b " +
+        "ON u.hostword = b.hostword AND u.h = b.h) " +
+        "GROUP BY hostword) x " +
+        "JOIN (SELECT hostword, CAST(sum(ina * inb) AS BIGINT) AS exact_both, " +
+        "count(*) AS exact_union FROM (SELECT hostword, digest, " +
+        "max(CASE WHEN ts < '19960101000000' THEN 1 ELSE 0 END) AS ina, " +
+        "max(CASE WHEN ts >= '19960101000000' THEN 1 ELSE 0 END) AS inb " +
+        "FROM cdx GROUP BY hostword, digest) GROUP BY hostword) e " +
+        "ON x.hostword = e.hostword ORDER BY x.hostword"
+    },
     "agg_rollup" -> o(
       "SELECT CAST(GROUPING(hostword, status) AS INT) AS gid, coalesce(hostword, '') AS hostword_c, " +
         "coalesce(status, -1) AS status_c, count(*) AS cnt " +

@@ -199,6 +199,27 @@ object TimeWindows extends QueryModule {
         .orderBy(col("urlkey"), col("ts").desc, col("digest").desc)
     }),
 
+    // deterministic uniform k-sample per source as CONTINUOUS state
+    // (bottom-k by hash, ListState; see ReservoirProcessor): "keep k
+    // uniformly-random captures per source forever, as they arrive" —
+    // Algorithm R's coin flips replaced by one global hash permutation,
+    // so replicas, re-runs, and the DuckDB oracle all agree, and the
+    // per-group samples stay MERGEABLE (the KMV bottom-k theorem).
+    // Batch-run admissions == the row_number()-over-hash closed form.
+    "stream_sample_reservoir" -> ((s, d) => {
+      import s.implicits._
+      val in = graft.Cdx.df(s, d)
+        .select(col("hostword").as("group"), col("urlkey"), col("ts"),
+          conv(substring(
+            md5(concat(col("urlkey"), lit(":"), col("ts"), lit(":smp"))), 1, 8),
+            16, 10).cast("bigint").as("h"))
+        .as[graft.streaming.StreamOps.SampleIn]
+      graft.streaming.StreamOps.sampleReservoir(in, k = 16)
+        .toDF()
+        .withColumnRenamed("group", "grp")
+        .orderBy("grp", "urlkey", "ts")
+    }),
+
     // per-host status-class running counts (MapState changelog; see
     // HostStatusProcessor) — batch-run totals == the GROUP BY oracle
     "stream_host_status" -> ((s, d) => {
@@ -479,6 +500,15 @@ object TimeWindows extends QueryModule {
     // the streaming fold must equal the batch window algebra — ONE oracle
     "stream_revisit_generate" -> CdxOps.oracleSql("cdx_revisit_generate"),
     "stream_change_rate" -> Curation.oracleSql("crawl_change_rate"),
+    // the hash permutation is shared verbatim, so the streamed bottom-k
+    // must equal the windowed closed form row-for-row
+    "stream_sample_reservoir" -> (graft.Cdx.duckCte +
+      "SELECT grp, urlkey, ts FROM (" +
+        "SELECT hostword AS grp, urlkey, ts, " +
+        "row_number() OVER (PARTITION BY hostword ORDER BY h, urlkey, ts) AS rn " +
+        "FROM (SELECT DISTINCT hostword, urlkey, ts, " +
+        "CAST('0x' || substring(md5(urlkey || ':' || ts || ':smp'), 1, 8) AS BIGINT) AS h " +
+        "FROM cdx)) WHERE rn <= 16 ORDER BY grp, urlkey, ts"),
     // same two-frame closed form over the same (host | day) sort
     "ts_cusum_alarm" -> (graft.Cdx.duckCte +
       "SELECT hostword, day, cnt, " +

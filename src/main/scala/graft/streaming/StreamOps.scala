@@ -554,6 +554,74 @@ object StreamOps {
     }
   }
 
+  // ---- deterministic uniform k-sample (transformWithState LIST state) ----
+
+  final case class SampleIn(group: String, urlkey: String, ts: String, h: Long)
+  final case class SampleOut(group: String, urlkey: String, ts: String)
+
+  /** Uniform k-sample per group over an UNBOUNDED stream — the
+    * training-data primitive ("keep 10k uniformly-random docs per source
+    * forever, as they arrive"). Classic streaming sampling is Vitter's
+    * Algorithm R, but its coin flips make replicas diverge and oracles
+    * impossible; BOTTOM-K BY HASH is the distributed-systems answer: a
+    * fixed hash assigns every distinct item a rank in one global random
+    * permutation, so "the k smallest hashes seen so far" IS a uniform
+    * sample without replacement — deterministic (re-runs and replicas
+    * agree, the DuckDB oracle replays it), MERGEABLE (bottom-k of a
+    * union = bottom-k of the unioned samples — the same theorem the KMV
+    * sketch rides), and incrementally maintainable in O(k) state per
+    * group. Items are identified by (urlkey, ts); re-deliveries of an
+    * identical row are absorbed (exactly-once sample membership under
+    * at-least-once delivery).
+    *
+    * Emission contract is the ADMISSION CHANGELOG (the RecentKProcessor
+    * discipline): a row is emitted exactly when it enters the kept
+    * bottom-k; evictions stay silent. Batch-run one invocation sees all
+    * rows, so admissions == the final kept set == the row_number()-
+    * over-hash oracle. State is O(groups × k). */
+  final class ReservoirProcessor(k: Int)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[String, SampleIn, SampleOut] {
+    import org.apache.spark.sql.streaming.{ListState, TimeMode, TimerValues, TTLConfig}
+    import org.apache.spark.sql.Encoders
+
+    @transient private var kept: ListState[SampleIn] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      kept = getHandle.getListState[SampleIn](
+        "sample", Encoders.product[SampleIn], TTLConfig.NONE)
+
+    // total order: hash rank first, (urlkey, ts) as the collision
+    // tie-break so equal hashes still sort identically in both engines
+    private def lt(a: SampleIn, b: SampleIn): Boolean =
+      a.h < b.h || (a.h == b.h &&
+        (a.urlkey < b.urlkey || (a.urlkey == b.urlkey && a.ts < b.ts)))
+
+    override def handleInputRows(
+        key: String, rows: Iterator[SampleIn],
+        timerValues: TimerValues): Iterator[SampleOut] = {
+      val prev = {
+        val b = scala.collection.mutable.ArrayBuffer.empty[SampleIn]
+        val it = kept.get(); while (it.hasNext) b += it.next()
+        b.toArray
+      }
+      // set semantics: a redelivered identical row must not double-admit
+      val merged = (prev ++ rows).distinct.sortWith(lt).take(k)
+      kept.put(merged)
+      val prevSet = prev.toSet
+      merged.iterator.filterNot(prevSet.contains)
+        .map(s => SampleOut(s.group, s.urlkey, s.ts))
+    }
+  }
+
+  /** deterministic bottom-k-by-hash sample; see [[ReservoirProcessor]] */
+  def sampleReservoir(in: Dataset[SampleIn], k: Int): Dataset[SampleOut] = {
+    import in.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    ensureStateStoreCoordinator(in.sparkSession)
+    in.groupByKey(_.group)
+      .transformWithState(new ReservoirProcessor(k), TimeMode.None(), OutputMode.Append())
+  }
+
   /** latest-k buffer over a capture stream/batch; see [[RecentKProcessor]] */
   def recentK(in: Dataset[CaptureIn], k: Int): Dataset[CaptureOut] = {
     import in.sparkSession.implicits._

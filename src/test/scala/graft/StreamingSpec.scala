@@ -415,6 +415,44 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("sampleReservoir ListState: admissions track the global bottom-k across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[StreamOps.SampleIn]
+    def s(url: String, h: Long) = StreamOps.SampleIn("g", url, "20240101000000", h)
+    val q = StreamOps.sampleReservoir(input.toDS(), k = 2).writeStream
+      .format("memory").queryName("reservoir_sink").outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: both rows fit the k=2 sample — both admitted
+      input.addData(s("u5", 50L), s("u9", 90L))
+      q.processAllAvailable()
+      val b1 = spark.table("reservoir_sink")
+        .as[StreamOps.SampleOut].collect().map(_.urlkey).sorted.toSeq
+      assert(b1 == Seq("u5", "u9"))
+      // batch 2: a smaller hash admits (evicting u9 silently), a larger
+      // one is rejected, and a REDELIVERY of u5 must not re-admit
+      input.addData(s("u1", 10L), s("u7", 70L), s("u5", 50L))
+      q.processAllAvailable()
+      val b2 = spark.table("reservoir_sink")
+        .as[StreamOps.SampleOut].collect().map(_.urlkey).sorted.toSeq
+      assert(b2 == Seq("u1", "u5", "u9"), s"got $b2")
+      // batch 3: nothing beats the kept {u1, u5} — no emissions
+      input.addData(s("u8", 80L))
+      q.processAllAvailable()
+      val b3 = spark.table("reservoir_sink")
+        .as[StreamOps.SampleOut].collect().length
+      assert(b3 == 3, s"got $b3 rows")
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("politeness ValueState: fetch slots stay spaced across batches and reset after idle gaps") {
     implicit val sqlCtx = spark.sqlContext
     val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
