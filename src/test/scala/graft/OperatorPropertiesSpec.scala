@@ -995,6 +995,39 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(errs(errs.length / 2) < 0.2, s"median rel_err: ${errs.toSeq}")
   }
 
+  test("agg_kmv_overlap: union minima are membership-decidable against the two sketches") {
+    import org.apache.spark.sql.expressions.Window
+    // the theorem the overlap estimator stands on (Beyer et al. 2007):
+    // A ⊆ A∪B ⇒ A's kth minimum ≥ the union's kth minimum, so EVERY
+    // union-sketch minimum that belongs to set A is present in A's own
+    // bottom-k sketch — membership tests against the k-row sketches are
+    // exact, never lossy. Checked exhaustively on the driver split.
+    val k = 64
+    val cut = "19960101000000"
+    val hashes = Cdx.df(spark, sfDir).select(col("hostword"),
+        when(col("ts") < cut, lit("a")).otherwise(lit("b")).as("gen"),
+        conv(substring(md5(concat(col("digest"), lit(":kmv"))), 1, 8), 16, 10)
+          .cast("bigint").as("h"))
+      .distinct()
+    def bottomK(df: org.apache.spark.sql.DataFrame, parts: String*) = df
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(parts.map(col): _*).orderBy("h")))
+      .filter(col("rn") <= k).drop("rn")
+    val genSk = bottomK(hashes, "hostword", "gen")
+    val unionSk = bottomK(hashes.select("hostword", "h").distinct(), "hostword")
+    // ground truth membership from the FULL hash sets
+    val fullA = hashes.filter(col("gen") === "a")
+      .select("hostword", "h").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val skA = genSk.filter(col("gen") === "a")
+      .select("hostword", "h").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val uMins = unionSk.select("hostword", "h").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    uMins.foreach { m =>
+      assert(fullA.contains(m) == skA.contains(m),
+        s"membership of union minimum $m must be decidable from A's sketch alone")
+    }
+  }
+
   test("text_dedup_substring: disjoint duplicated 5-grams form SEPARATE maximal spans") {
     import spark.implicits._
     // crafted corpus on a scratch documents.parquet: doc 0 embeds two
