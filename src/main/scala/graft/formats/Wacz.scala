@@ -452,11 +452,33 @@ object Wacz {
       in: org.apache.hadoop.fs.FSDataInputStream): (Long, Array[Byte]) => Unit =
     (pos, buf) => in.readFully(pos, buf)
 
+  /** The per-archive index extraction [[scanIndex]] and the V2 source
+    * ([[graft.sources.WaczSource]]) share: central directory → every
+    * `indexes/` entry ending `.cdx` (plain, STORED or DEFLATED) or
+    * `.cdx.gz` (gzip members, the py-wacz compressed form) → lines. */
+  private[graft] def indexLines(
+      read: (Long, Array[Byte]) => Unit, fileLen: Long, shortName: String): Seq[String] = {
+    val dir = centralDirectory(read, fileLen)
+    val idx = dir.filter(e => e.name.startsWith("indexes/") &&
+      (e.name.endsWith(".cdx") || e.name.endsWith(".cdx.gz")))
+    require(idx.nonEmpty, s"$shortName: no indexes/*.cdx[.gz] entry " +
+      s"(entries: ${dir.map(_.name).mkString(", ")})")
+    idx.flatMap { e =>
+      val raw = entryBytes(read, e)
+      val bytes =
+        if (e.name.endsWith(".gz"))
+          Gzip.members(new java.io.ByteArrayInputStream(raw))
+            .foldLeft(new java.io.ByteArrayOutputStream()) { (o, m) =>
+              o.write(m.bytes); o
+            }.toByteArray
+        else raw
+      new String(bytes, UTF_8).split("\n", -1).toSeq.filter(_.nonEmpty)
+    }
+  }
+
   /** Scan the CDXJ index out of every `.wacz` matching `pathGlob` —
     * rows (wacz, line). The archive member is never touched: one tail
-    * read + the directory + the index entry per file. Accepts any
-    * `indexes/` entry ending `.cdx` (plain, STORED or DEFLATED) or
-    * `.cdx.gz` (gzip members, the py-wacz compressed form). */
+    * read + the directory + the index entry per file. */
   def scanIndex(spark: SparkSession, pathGlob: String): DataFrame = {
     val sc = spark.sparkContext
     val sconf = new SerializableHadoopConf(sc.hadoopConfiguration)
@@ -471,26 +493,9 @@ object Wacz {
         val p = new Path(file)
         val pfs = p.getFileSystem(sconf.value)
         val in = pfs.open(p)
-        try {
-          val read = positionedReader(in)
-          val dir = centralDirectory(read, len)
-          val idx = dir.filter(e => e.name.startsWith("indexes/") &&
-            (e.name.endsWith(".cdx") || e.name.endsWith(".cdx.gz")))
-          require(idx.nonEmpty, s"$shortName: no indexes/*.cdx[.gz] entry " +
-            s"(entries: ${dir.map(_.name).mkString(", ")})")
-          idx.flatMap { e =>
-            val raw = entryBytes(read, e)
-            val bytes =
-              if (e.name.endsWith(".gz"))
-                Gzip.members(new java.io.ByteArrayInputStream(raw))
-                  .foldLeft(new java.io.ByteArrayOutputStream()) { (o, m) =>
-                    o.write(m.bytes); o
-                  }.toByteArray
-              else raw
-            new String(bytes, UTF_8).split("\n", -1).iterator
-              .filter(_.nonEmpty).map(line => org.apache.spark.sql.Row(shortName, line))
-          }.iterator
-        } finally in.close()
+        try indexLines(positionedReader(in), len, shortName)
+          .map(line => org.apache.spark.sql.Row(shortName, line)).iterator
+        finally in.close()
     }
     spark.createDataFrame(rows, org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("wacz",

@@ -1050,6 +1050,18 @@ object Formats extends QueryModule {
         .orderBy("wacz", "path")
     }),
 
+    // the V2 provider over the same shared corpus: format("wacz") with a
+    // urlkey prefix filter — the filter is applied to the line prefix
+    // BEFORE any JSON parse executor-side and re-checked by Spark above
+    // (always residual); column set here forces the JSON arm too
+    "scan_wacz_v2" -> ((s, d) => {
+      val dir = waczCorpus(s, d)
+      s.read.format("wacz").load(dir + "/*.wacz")
+        .where(col("urlkey").startsWith("org,example,medium)"))
+        .select("wacz", "urlkey", "ts", "url", "status", "mime")
+        .orderBy("wacz", "urlkey", "ts", "url", "status", "mime")
+    }),
+
     // COLUMNAR CAPTURE INDEX — the cc-index-table successor of the
     // row-oriented ZipNum cluster (the public Common Crawl parquet index
     // Athena/Spark query directly): captures land as parquet PARTITIONED
@@ -1338,6 +1350,13 @@ object Formats extends QueryModule {
         "FROM cdx WHERE record_type = 'response') w " +
         "CROSS JOIN (VALUES (0), (1), (2), (3)) p(k) " +
         "ORDER BY wacz, path"),
+    // same inventory replay as sink_wacz, cut to the pushed prefix
+    "scan_wacz_v2" -> o(
+      "SELECT regexp_replace(regexp_extract(filename, '[^/]+$'), " +
+        "'\\.warc\\.(gz|zst)$', '') || '.wacz' AS wacz, " +
+        "urlkey, ts, url, status, mime FROM cdx WHERE record_type = 'response' " +
+        "AND urlkey LIKE 'org,example,medium)%' " +
+        "ORDER BY wacz, urlkey, ts, url, status, mime"),
     // the (seg-3, warc) slice replayed straight from the cdx CTE — the
     // partition layout must be invisible to the returned rows
     "sink_ccindex" -> o(

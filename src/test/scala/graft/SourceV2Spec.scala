@@ -59,6 +59,61 @@ class SourceV2Spec extends SparkSpec {
     } finally spark.sparkContext.hadoopConfiguration.unset(key)
   }
 
+  test("format(wacz) parses the CDXJ index and agrees with Wacz.scanIndex") {
+    val dir = "/tmp/graft_test/v2_wacz"
+    val p = Paths.get(dir)
+    if (Files.exists(p))
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(q => Files.deleteIfExists(q))
+    Files.createDirectories(p)
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("shard", StringType), StructField("urlkey", StringType),
+      StructField("url", StringType), StructField("ts", StringType),
+      StructField("status", IntegerType), StructField("mime", StringType),
+      StructField("payload", BinaryType)))
+    val rows = Seq(
+      Row("w-0.warc.gz", "com,a)/x", "http://a.com/x", "20200101000000",
+        Integer.valueOf(200), "text/html", "pa".getBytes("UTF-8")),
+      Row("w-0.warc.gz", "com,b)/y", "http://b.com/y", "20200102000000",
+        Integer.valueOf(404), "text/plain", "pb".getBytes("UTF-8")),
+      Row("w-1.warc.gz", "org,c)/z", "http://c.org/z", "20200103000000",
+        Integer.valueOf(200), "text/html", "pc".getBytes("UTF-8")))
+    graft.formats.Wacz.write(
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema), dir)
+
+    val v2 = spark.read.format("wacz").load(s"$dir/*.wacz")
+      .select("wacz", "urlkey", "ts", "url", "status", "mime",
+        "digest", "length", "offset", "filename")
+      .orderBy("wacz", "urlkey").collect()
+    assert(v2.length == 3)
+    assert(v2.head.getString(0) == "w-0.wacz")
+    assert(v2.head.getString(1) == "com,a)/x")
+    assert(v2.head.getString(3) == "http://a.com/x")
+    assert(v2.head.getInt(4) == 200)
+    assert(v2.head.getString(9) == "w-0.warc.gz")
+    assert(v2.head.getLong(7) > 0 && v2.head.getLong(8) == 0L) // first member
+    // agrees with the RDD-based scanIndex parse
+    val viaScan = graft.formats.Wacz.scanIndex(spark, s"$dir/*.wacz")
+      .select(col("wacz") +: Cdx.lineCols(col("line")): _*)
+      .select("wacz", "urlkey").orderBy("wacz", "urlkey")
+      .collect().map(_.toSeq).toSeq
+    assert(viaScan == v2.map(r => Seq(r.getString(0), r.getString(1))).toSeq)
+
+    // column pruning + filter pushdown surface in the scan description
+    val pruned = spark.read.format("wacz").load(s"$dir/*.wacz")
+      .where(col("urlkey").startsWith("com,"))
+      .select("urlkey")
+    assert(pruned.collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("com,a)/x", "com,b)/y"))
+    val desc = pruned.queryExecution.executedPlan.toString
+    assert(desc.contains("WaczScan"), desc)
+
+    // a directory path (no glob) expands to its .wacz files
+    assert(spark.read.format("wacz").load(dir).count() == 3)
+  }
+
   test("format(zipnum) returns the full sorted cluster") {
     setup()
     val rows = spark.read.format("zipnum").load(zipDir)
