@@ -68,6 +68,17 @@ object Wacz {
     base + ".wacz"
   }
 
+  /** the archive member's name: container extension STRIPPED first, so a
+    * `.warc.zst` shard packages as `<base>.warc.gz` (the inner member is
+    * always gzip — the CDXJ offsets point into gzip members) instead of
+    * stacking extensions. KEEP IN LOCKSTEP with the wacz_verify oracle's
+    * `archive/` path arm. */
+  private[graft] def innerWarcName(shard: String): String = {
+    val base = shard.substring(shard.lastIndexOf('/') + 1)
+      .replaceAll("\\.warc\\.(gz|zst)$", "")
+    base + ".warc.gz"
+  }
+
   /** Catalyst twin of [[waczName]] (codegen-friendly repartition key) */
   private[graft] def waczNameCol(shard: Column): Column =
     concat(
@@ -174,6 +185,18 @@ object Wacz {
     val dirPath = new Path(dir)
     val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(dirPath)
+    // reap dead attempts' staged leftovers: a task that died mid-shard
+    // leaves `.<name>.<attempt>.*.tmp` behind and retries use a NEW
+    // attempt id, so nothing ever overwrites them. Age-gated (the
+    // WarcSink staging-sweep discipline) so a concurrent writer's live
+    // temps survive a single-writer-contract violation.
+    val staleCutoff = System.currentTimeMillis() - 24L * 3600 * 1000
+    fs.listStatus(dirPath).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isFile && n.startsWith(".") && n.endsWith(".tmp") &&
+          st.getModificationTime < staleCutoff)
+        fs.delete(st.getPath, false)
+    }
     val sconf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
     val outDir = dir
     df.select(cols.map(col): _*)
@@ -260,7 +283,7 @@ object Wacz {
             if (shard != current) {
               close()
               current = shard
-              innerName = WarcSink.warcName(shard)
+              innerName = innerWarcName(shard)
               warcOffset = 0L
               warc = new Staged(pfs, tempPath("warc"))
               cdx = new Staged(pfs, tempPath("cdx"))
@@ -308,6 +331,14 @@ object Wacz {
           }
           close()
         } finally {
+          // a shard failed mid-write: drop ITS staged temps best-effort
+          // (a crashed JVM can't run this — the write-start sweep reaps
+          // those on the next run)
+          if (current != null) {
+            Seq(tempPath("warc"), tempPath("cdx"), tempPath("pages"),
+              new Path(outDir, s".${waczName(current)}.$attempt.tmp"))
+              .foreach(p => try pfs.delete(p, false) catch { case _: Throwable => })
+          }
           try gzDeflater.end() catch { case _: Throwable => }
           try pfs.close() catch { case _: Throwable => }
         }
@@ -318,10 +349,24 @@ object Wacz {
   // reader side: central-directory parsing via positioned reads
   // ------------------------------------------------------------------
 
-  /** One central-directory row, resolved to the entry's DATA offset (the
-    * local-header indirection already paid). */
+  /** One central-directory row. The entry's DATA offset requires a
+    * 30-byte local-header read (local name/extra lengths differ from the
+    * central copy in general) — resolved LAZILY by [[dataOffset]], so
+    * opening a 64Ki-entry archive to touch two entries costs two header
+    * reads, not 64Ki serial round-trips. */
   private[graft] final case class Entry(
-      name: String, method: Int, dataOffset: Long, compressedSize: Long, size: Long)
+      name: String, method: Int, localHeaderOffset: Long,
+      compressedSize: Long, size: Long)
+
+  /** resolve an entry's data offset via its local header (one positioned
+    * 30-byte read) */
+  private[graft] def dataOffset(read: (Long, Array[Byte]) => Unit, e: Entry): Long = {
+    val lh = new Array[Byte](30)
+    read(e.localHeaderOffset, lh)
+    require(lh(0) == 0x50 && lh(1) == 0x4b && lh(2) == 0x03 && lh(3) == 0x04,
+      s"bad local header for ${e.name} at ${e.localHeaderOffset}")
+    e.localHeaderOffset + 30 + u16(lh, 26) + u16(lh, 28)
+  }
 
   private def u16(b: Array[Byte], i: Int): Int =
     (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
@@ -409,15 +454,7 @@ object Wacz {
         }
         e += 4 + len
       }
-      // the LOCAL header's name/extra lengths differ from the central
-      // copy in general (streaming writers add data-descriptor extras),
-      // so the data offset must come from the local header itself
-      val lh = new Array[Byte](30)
-      read(lho, lh)
-      require(lh(0) == 0x50 && lh(1) == 0x4b && lh(2) == 0x03 && lh(3) == 0x04,
-        s"bad local header for $name at $lho")
-      val dataOff = lho + 30 + u16(lh, 26) + u16(lh, 28)
-      out += Entry(name, method, dataOff, compSize, size)
+      out += Entry(name, method, lho, compSize, size)
       p += 46 + nameLen + extraLen + commentLen
       n += 1
     }
@@ -431,7 +468,7 @@ object Wacz {
     require(e.size <= cap && e.compressedSize <= cap,
       s"entry ${e.name} is ${e.size} bytes — exceeds the $cap read cap")
     val comp = new Array[Byte](e.compressedSize.toInt)
-    read(e.dataOffset, comp)
+    read(dataOffset(read, e), comp)
     if (e.method == 0) comp
     else {
       require(e.method == 8, s"entry ${e.name}: unsupported method ${e.method}")
@@ -439,11 +476,21 @@ object Wacz {
       inf.setInput(comp)
       val out = new Array[Byte](e.size.toInt)
       var done = 0
-      while (done < out.length && !inf.finished())
-        done += inf.inflate(out, done, out.length - done)
+      var stalled = false
+      // LOUD exit on truncated deflate data: once the single input
+      // buffer is exhausted, inflate() returns 0 forever with
+      // finished()=false — without the stall check this loop would hang
+      // the task on a tampered/truncated foreign archive
+      while (done < out.length && !inf.finished() && !stalled) {
+        val n = inf.inflate(out, done, out.length - done)
+        // the whole input was set upfront, so ZERO progress here can
+        // never resolve (needsInput/needsDictionary both dead-end)
+        if (n == 0) stalled = true else done += n
+      }
       inf.end()
       require(done == out.length,
-        s"entry ${e.name}: inflated $done of ${e.size} bytes")
+        s"entry ${e.name}: inflated $done of ${e.size} declared bytes" +
+          (if (stalled) " (deflate stream truncated)" else ""))
       out
     }
   }
@@ -547,7 +594,7 @@ object Wacz {
               centralDirectory(positionedReader(in), pfs.getFileStatus(p).getLen)
             dataOffsets = dirEntries
               .filter(e => e.name.startsWith("archive/") && e.method == 0)
-              .map(e => e.name.stripPrefix("archive/") -> e.dataOffset).toMap
+              .map(e => e.name.stripPrefix("archive/") -> dataOffset(positionedReader(in), e)).toMap
             current = wacz
             prev = null
           }
@@ -560,8 +607,12 @@ object Wacz {
               s"Wacz.fetchRecords: $wacz has no STORED archive/$fname entry"))
           val buf = new Array[Byte](len.toInt)
           in.readFully(base + off, buf)
+          // per-member attribution (the Warc.fetchRecords contract): a
+          // coalesced multi-member slice emits each record with ITS OWN
+          // member's (offset, length), so returned pointers re-fetch
+          // exactly one member each
           Gzip.members(new java.io.ByteArrayInputStream(buf)).flatMap(m =>
-            Warc.parseRecords(m.bytes, off, len, fname))
+            Warc.parseRecords(m.bytes, off + m.offset, m.compressedLength, fname))
         }
         new Iterator[Row] {
           override def hasNext: Boolean = { val h = out.hasNext; if (!h) close(); h }
@@ -597,6 +648,7 @@ object Wacz {
           val byName = entries.map(e => e.name -> e).toMap
           // digest an entry's UNCOMPRESSED content without buffering it
           def digestOf(e: Entry): (String, Long) = {
+            val dataOff = dataOffset(read, e)
             val sha = java.security.MessageDigest.getInstance("SHA-256")
             val buf = new Array[Byte](64 << 10)
             if (e.method == 0) {
@@ -604,7 +656,7 @@ object Wacz {
               while (done < e.compressedSize) {
                 val n = math.min(buf.length.toLong, e.compressedSize - done).toInt
                 val chunk = if (n == buf.length) buf else new Array[Byte](n)
-                read(e.dataOffset + done, chunk)
+                read(dataOff + done, chunk)
                 sha.update(chunk, 0, n)
                 done += n
               }
@@ -619,7 +671,7 @@ object Wacz {
                 if (inf.needsInput()) {
                   val n = math.min(cbuf.length.toLong, e.compressedSize - cdone).toInt
                   val chunk = if (n == cbuf.length) cbuf else new Array[Byte](n)
-                  read(e.dataOffset + cdone, chunk)
+                  read(dataOff + cdone, chunk)
                   inf.setInput(chunk, 0, n)
                   cdone += n
                 }

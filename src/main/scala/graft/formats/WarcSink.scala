@@ -162,10 +162,22 @@ object WarcSink {
             s"WarcSink.write: could not restore orphaned backup $newest to $dirPath")
         }
       }
-      // the restored backup was renamed away; everything still present is
-      // superseded (an .old-* next to a live dir, or partial staging)
-      orphans.foreach(st =>
-        if (fs.exists(st.getPath)) fs.delete(st.getPath, true))
+      // the restored backup was renamed away; an .old-* next to a live
+      // dir is superseded and always reaped. A .staging-* is only
+      // PRESUMED dead once its mtime is stale: writers are exclusive per
+      // target by contract, but unconditionally deleting staging would
+      // turn a contract violation (two concurrent writers) into a
+      // SILENTLY PARTIAL published corpus — hadoop create() re-makes the
+      // deleted dir, the victim's surviving tasks succeed, and it
+      // publishes missing every earlier file. Age-gating keeps that
+      // failure loud-ish (the violator's cleanup no longer eats a live
+      // run) while still reaping genuinely dead runs on later writes.
+      val staleCutoff = System.currentTimeMillis() - 24L * 3600 * 1000
+      orphans.foreach { st =>
+        val isStaging = st.getPath.getName.startsWith(s"$base.staging-")
+        if (fs.exists(st.getPath) && (!isStaging || st.getModificationTime < staleCutoff))
+          fs.delete(st.getPath, true)
+      }
     }
     // STAGE THEN SWAP: the job writes into a sibling staging dir, and only
     // a fully successful job replaces `dir` (backup-rename, swap in,

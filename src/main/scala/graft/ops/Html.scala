@@ -232,8 +232,17 @@ object Html {
     val noComment = regexp_replace(noScript, "(?s)<!--.*?-->", " ")
     val anchors = regexp_extract_all(noComment,
       lit("(?is)<a\\s[^>]*href[^>]*>.*?</a\\s*>"), lit(0))
-    val rawBase = nullif(trim(regexp_extract(noComment,
-      "(?is)<base\\s[^>]*?href\\s*=\\s*[\"']?([^\\s\"'>]+)", 1)), lit(""))
+    // the same quoted-first coalesce chain as the per-anchor href below:
+    // a quoted base value may legally contain spaces (`href="/my dir/"`),
+    // which the bare-form pattern would truncate at the space — silently
+    // re-rooting every relative link on the page
+    val baseTag = nullif(regexp_extract(noComment,
+      "(?is)<base\\s[^>]*?href[^>]*>", 0), lit(""))
+    val rawBase = nullif(trim(coalesce(
+      nullif(regexp_extract(baseTag, "(?is)href\\s*=\\s*\"([^\"]*)\"", 1), lit("")),
+      nullif(regexp_extract(baseTag, "(?is)href\\s*=\\s*'([^']*)'", 1), lit("")),
+      nullif(regexp_extract(baseTag, "(?is)href\\s*=\\s*([^\\s\"'>]+)", 1), lit("")))),
+      lit(""))
     val effBase = when(rawBase.isNull, baseUrl).otherwise(resolve(baseUrl, rawBase))
     // HOIST the per-PAGE work out of the per-ANCHOR lambda: effBase (and
     // its scheme/origin/dir derivations) embed the full-document

@@ -26,8 +26,9 @@ object Curation extends QueryModule {
 
   /** html_main_content's planted known-good paragraph — stop-dense and
     * over the 40-char floor, so its keep decision is constant-true by
-    * construction (24 words, 15 in [[graft.ops.Html.contentStops]]; the
-    * oracle replays it as a literal) */
+    * construction (27 tokens, 16 in [[graft.ops.Html.contentStops]] —
+    * stops×4 ≥ tokens holds with a wide margin; the oracle replays it
+    * as a literal) */
   /** the known-good content paragraph, in BOTH forms: the page build
     * plants the RAW form (numeric + hex character references — real
     * pages carry them) and the oracle replays the DECODED form, so the

@@ -88,34 +88,40 @@ object Formats extends QueryModule {
     * serves. */
   private val clusterCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def sharedCluster(s: SparkSession, d: String): String = {
+  private def sharedCluster(s: SparkSession, d: String): String =
+    sharedBuild(clusterCache, "zipnum_shared", s, d)(newDir =>
+      ZipNum.write(cdxLines(s, d), newDir, shards = 8, linesPerBlock = 100))
+
+  /** ONE lifecycle implementation for every session-shared corpus build
+    * (the zipnum cluster, the WACZ corpus): computeIfAbsent keyed by
+    * [[sessionKey]] under a [[keyTag]]-suffixed path (distinct cache
+    * keys never alias one mutable dir), an in-flight guard, and an
+    * age-gated reap of DEAD sessions' dirs before building — liveness
+    * can't be checked across processes, so a dir is only reaped when
+    * (a) this JVM's cache doesn't reference it, (b) no in-flight build
+    * here owns it (computeIfAbsent publishes only on return), and (c)
+    * its mtime is stale. mtime IS a liveness signal: every cache hit
+    * heartbeats the dir, so the 8 h cutoff only fires on dirs no process
+    * has served for a full working session (rounds run ~6 h — a 2 h
+    * cutoff once reaped a cluster a concurrent round still held). */
+  private def sharedBuild(
+      cache: java.util.concurrent.ConcurrentHashMap[String, String],
+      prefix: String, s: SparkSession, d: String)(build: String => Unit): String = {
     val key = sessionKey(s, d)
-    val dir = clusterCache.computeIfAbsent(key, _ => {
-      val newDir = tmp(d, s"zipnum_shared_${keyTag(key)}")
-      // reap stale siblings from DEAD sessions before building: per-key
-      // dirs fix the aliasing hazard but would otherwise accumulate one
-      // full cluster per session forever. Liveness can't be checked
-      // across processes, so a dir is only reaped when (a) this JVM's
-      // cache doesn't reference it, (b) no in-flight build in this JVM
-      // owns it (computeIfAbsent publishes only on return), and (c) its
-      // mtime is old — and mtime IS a liveness signal here, because every
-      // cache hit below touches the dir: a long-lived serving JVM keeps
-      // its cluster fresh, so the 8 h cutoff only fires on dirs no
-      // process has served for a full working session (the repo's own
-      // rounds run ~6 h; the old 2 h cutoff could reap a cluster a
-      // concurrent round was still quietly holding between queries).
+    val dir = cache.computeIfAbsent(key, _ => {
+      val newDir = tmp(d, s"${prefix}_${keyTag(key)}")
       building.add(newDir)
       try {
-        val live = new java.util.HashSet[String](clusterCache.values())
+        val live = new java.util.HashSet[String](cache.values())
         live.addAll(building)
         val cutoff = System.currentTimeMillis() - 8L * 3600 * 1000
         val parent = new java.io.File(newDir).getParentFile
         Option(parent.listFiles()).getOrElse(Array.empty).foreach { f =>
-          if (f.getName.startsWith("zipnum_shared") && !live.contains(f.getPath)
+          if (f.getName.startsWith(prefix) && !live.contains(f.getPath)
               && f.lastModified() < cutoff)
             deleteRecursively(f.toPath)
         }
-        ZipNum.write(cdxLines(s, d), newDir, shards = 8, linesPerBlock = 100)
+        build(newDir)
         newDir
       } finally building.remove(newDir)
     })
@@ -134,34 +140,15 @@ object Formats extends QueryModule {
     * heartbeat, same keyTag-suffixed path so cache keys never alias). */
   private val waczCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def waczCorpus(s: SparkSession, d: String): String = {
-    val key = sessionKey(s, d)
-    val dir = waczCache.computeIfAbsent(key, _ => {
-      val newDir = tmp(d, s"wacz_shared_${keyTag(key)}")
-      building.add(newDir)
-      try {
-        val live = new java.util.HashSet[String](waczCache.values())
-        live.addAll(building)
-        val cutoff = System.currentTimeMillis() - 8L * 3600 * 1000
-        val parent = new java.io.File(newDir).getParentFile
-        Option(parent.listFiles()).getOrElse(Array.empty).foreach { f =>
-          if (f.getName.startsWith("wacz_shared") && !live.contains(f.getPath)
-              && f.lastModified() < cutoff)
-            deleteRecursively(f.toPath)
-        }
-        graft.formats.Wacz.write(
-          Cdx.df(s, d).where(col("record_type") === "response")
-            .selectExpr("filename AS shard", "urlkey", "url", "ts", "status",
-              "mime",
-              "CAST(concat('payload:', urlkey, '@', ts) AS BINARY) AS payload",
-              "concat('Title ', id % 100) AS title"),
-          newDir)
-        newDir
-      } finally building.remove(newDir)
-    })
-    new java.io.File(dir).setLastModified(System.currentTimeMillis())
-    dir
-  }
+  private def waczCorpus(s: SparkSession, d: String): String =
+    sharedBuild(waczCache, "wacz_shared", s, d)(newDir =>
+      graft.formats.Wacz.write(
+        Cdx.df(s, d).where(col("record_type") === "response")
+          .selectExpr("filename AS shard", "urlkey", "url", "ts", "status",
+            "mime",
+            "CAST(concat('payload:', urlkey, '@', ts) AS BINARY) AS payload",
+            "concat('Title ', id % 100) AS title"),
+        newDir))
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
     // best-effort GC, wholesale: walk() itself (open, or the sorted
@@ -1342,11 +1329,14 @@ object Formats extends QueryModule {
     // fixed inventory: every shard's wacz carries exactly these four
     // verifiable resources, all ok (tamper arms live in WaczSpec)
     "wacz_verify" -> o(
-      "SELECT regexp_replace(w.innername, '\\.warc\\.(gz|zst)$', '') || '.wacz' AS wacz, " +
-        "CASE p.k WHEN 0 THEN 'archive/' || w.innername " +
+      // `base` mirrors Wacz.innerWarcName/waczName: container extension
+      // stripped, inner member always `.warc.gz`
+      "SELECT base || '.wacz' AS wacz, " +
+        "CASE p.k WHEN 0 THEN 'archive/' || base || '.warc.gz' " +
         "WHEN 1 THEN 'indexes/index.cdx' WHEN 2 THEN 'pages/pages.jsonl' " +
         "ELSE 'datapackage.json' END AS path, true AS ok " +
-        "FROM (SELECT DISTINCT regexp_extract(filename, '[^/]+$') AS innername " +
+        "FROM (SELECT DISTINCT regexp_replace(regexp_extract(filename, '[^/]+$'), " +
+        "'\\.warc\\.(gz|zst)$', '') AS base " +
         "FROM cdx WHERE record_type = 'response') w " +
         "CROSS JOIN (VALUES (0), (1), (2), (3)) p(k) " +
         "ORDER BY wacz, path"),

@@ -772,9 +772,17 @@ object StreamOps {
       sorted.foreach { r =>
         s =
           if (s == null) ChangeState(r.ts, r.id, r.epoch_us, r.ver, 0L, 0L, 0L)
+          // SQL null semantics, matching the shared batch oracle exactly:
+          // a pair exists iff the PREVIOUS ver is non-null (`prev_ver IS
+          // NOT NULL`), and `ver <> prev_ver` is only TRUE when both
+          // sides are non-null and differ — a null-digest capture breaks
+          // the chain as the prev but never counts as a change itself
+          else if (s.lastVer == null)
+            ChangeState(r.ts, r.id, r.epoch_us, r.ver,
+              s.nPairs, s.nChanged, s.spanUs)
           else ChangeState(r.ts, r.id, r.epoch_us, r.ver,
             s.nPairs + 1L,
-            s.nChanged + (if (r.ver != s.lastVer) 1L else 0L),
+            s.nChanged + (if (r.ver != null && r.ver != s.lastVer) 1L else 0L),
             s.spanUs + (r.epoch_us - s.lastUs))
       }
       st.update(s)

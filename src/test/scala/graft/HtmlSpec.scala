@@ -182,6 +182,13 @@ class HtmlSpec extends SparkSpec {
       ("https://other.example/q", "Q")))
     assert(lk("<base href=\"sub/\"><a href=p.html>S</a>", base) ==
       Seq(("http://www.example.com/a/b/sub/p.html", "S")))
+    // a QUOTED base value may contain spaces — must not truncate at the
+    // space (that would silently re-root every relative link); the
+    // single-quoted form goes through the same chain
+    assert(lk("<base href=\"/my dir/\"><a href=p.html>W</a>", base) ==
+      Seq(("http://www.example.com/my dir/p.html", "W")))
+    assert(lk("<base href='/sq dir/'><a href=p.html>V</a>", base) ==
+      Seq(("http://www.example.com/sq dir/p.html", "V")))
 
     // dot segments: ./ drops, seg/../ collapses (chained), leading ../
     // clamps at root, query strings pass untouched

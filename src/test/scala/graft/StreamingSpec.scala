@@ -415,6 +415,38 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("changeRate null semantics: a null ver breaks the pair chain and never counts a change") {
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[StreamOps.ChangeIn]
+    def c(id: Long, us: Long, ver: String) =
+      StreamOps.ChangeIn(id, "k", us, f"2024010100000$id%01d", ver)
+    val q = StreamOps.changeRate(input.toDS()).writeStream
+      .format("memory").queryName("chrate_sink").outputMode(OutputMode.Update()).start()
+    try {
+      // history [null, X, X] ++ [null, Y] — the SQL lag-window semantics:
+      // (null,X) filtered (prev_ver IS NULL); (X,X) pair, unchanged;
+      // (X,null) pair, `ver <> prev_ver` is NULL -> NOT a change;
+      // (null,Y) filtered. Totals: n_pairs=2, n_changed=0, span=200.
+      input.addData(c(1, 100L, null), c(2, 200L, "X"), c(3, 300L, "X"))
+      q.processAllAvailable()
+      input.addData(c(4, 400L, null), c(5, 500L, "Y"))
+      q.processAllAvailable()
+      val last = spark.table("chrate_sink").as[StreamOps.ChangeOut]
+        .collect().maxBy(_.n_pairs)
+      assert(last.n_pairs == 2L && last.n_changed == 0L && last.span_us == 200L,
+        s"got $last")
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("sampleReservoir ListState: admissions track the global bottom-k across batches") {
     implicit val sqlCtx = spark.sqlContext
     val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")

@@ -156,6 +156,69 @@ class WaczSpec extends SparkSpec {
     assert(tampered("datapackage.json"))
   }
 
+  test("a .warc.zst shard packages a .warc.gz inner member, not stacked extensions") {
+    val dir = s"$base/zstshard"
+    val p = Paths.get(dir)
+    if (Files.exists(p))
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(q => Files.deleteIfExists(q))
+    Files.createDirectories(p)
+    val df = fixtureDf.withColumn("shard",
+      org.apache.spark.sql.functions.lit("seg/z-0.warc.zst"))
+    Wacz.write(df, dir)
+    val zf = new java.util.zip.ZipFile(s"$dir/z-0.wacz")
+    try {
+      import scala.jdk.CollectionConverters._
+      val names = zf.entries().asScala.map(_.getName).toSet
+      assert(names.contains("archive/z-0.warc.gz"),
+        s"inner member must strip the container extension first: $names")
+      assert(!names.exists(_.contains(".warc.zst.warc.gz")), names.toString)
+      val idx = new String(
+        zf.getInputStream(zf.getEntry("indexes/index.cdx")).readAllBytes(), "UTF-8")
+      assert(idx.contains("\"filename\":\"z-0.warc.gz\""))
+    } finally zf.close()
+    // and the manifest verifies against the corrected path
+    val ok = Wacz.verify(spark, s"$dir/*.wacz").select("ok")
+      .collect().map(_.getBoolean(0))
+    assert(ok.nonEmpty && ok.forall(identity))
+  }
+
+  test("a truncated DEFLATED entry fails loudly instead of hanging") {
+    val dir = s"$base/truncated"
+    Files.createDirectories(Paths.get(dir))
+    val p = Paths.get(s"$dir/trunc.wacz")
+    val out = new java.util.zip.ZipOutputStream(Files.newOutputStream(p))
+    try {
+      val e = new java.util.zip.ZipEntry("indexes/index.cdx") // DEFLATED
+      e.setTimeLocal(java.time.LocalDateTime.of(2020, 1, 1, 0, 0, 0))
+      out.putNextEntry(e)
+      out.write(("com,x)/ 20200101000000 {\"url\":\"http://x.com/\"}\n" * 50).getBytes("UTF-8"))
+      out.closeEntry()
+    } finally out.close()
+    // zero the tail half of the deflate data (directory sizes stay as
+    // declared): inflate stalls or errors mid-output — must THROW
+    val bytes = Files.readAllBytes(p)
+    val dataStart = 30 + "indexes/index.cdx".length
+    def findSig(b: Array[Byte], from: Int): Int = {
+      var i = from
+      while (i + 4 < b.length) {
+        if (b(i) == 0x50 && b(i + 1) == 0x4b && b(i + 2) == 0x01 && b(i + 3) == 0x02)
+          return i
+        i += 1
+      }
+      -1
+    }
+    val cd = findSig(bytes, dataStart)
+    val dataEnd = cd - 16 // deflated entry carries a 16-byte data descriptor
+    assert(cd > 0 && dataEnd - dataStart > 20, s"cd=$cd dataStart=$dataStart")
+    java.util.Arrays.fill(bytes, dataStart + (dataEnd - dataStart) / 2, dataEnd, 0.toByte)
+    Files.write(p, bytes)
+    val ex = intercept[Exception] {
+      Wacz.scanIndex(spark, s"$dir/trunc.wacz").collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
   test("centralDirectory parses a ZIP64 directory (entry-count overflow)") {
     val p = Paths.get(s"$base/zip64.zip")
     Files.createDirectories(p.getParent)
