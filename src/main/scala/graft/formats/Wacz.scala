@@ -33,12 +33,12 @@ import org.apache.spark.sql.functions._
   * (url, ts). Two writes of the same frame are byte-identical, which is
   * what lets WaczSpec golden-pin the container.
   *
-  * Scale: one `.wacz` per input shard (parallelism = shard count, the
-  * WarcSink convention); the writer streams each shard through
-  * fixed-size buffers — records are never accumulated (the inner WARC,
-  * the index, and the page list each stage to a sibling temp file and
-  * are then STREAMED into the ZIP), so task memory is O(1 record) +
-  * O(1 zip central-directory entry per member name). Reads never touch
+  * Scale: one `.wacz` per collection (default: per shard — parallelism
+  * = collection count, the WarcSink convention); the writer streams
+  * each collection through fixed-size buffers — records are never
+  * accumulated (each inner WARC, the index, and the page list stage to
+  * sibling temp files and are then STREAMED into the ZIP), so task
+  * memory is O(1 record) + one open stream per shard in the collection. Reads never touch
   * O(archive) bytes to answer an O(index) or O(record) question: the
   * central directory is located from one bounded tail read, the index
   * entry is read by position, and [[fetchRecords]] range-reads single
@@ -47,12 +47,17 @@ import org.apache.spark.sql.functions._
   * switches automatically, and [[centralDirectory]] parses the ZIP64
   * end-of-central-directory record and per-entry extra fields.
   *
-  * Fidelity bounds (documented, loud where reachable): multi-WARC
-  * collections (spec-legal) are written as one WARC per wacz here —
-  * readers accept any number; `indexes/index.idx` + compressed cdx (the
-  * spec's ZipNum-style big-archive index) is consumed by [[scanIndex]]
-  * only in its plain/.cdx.gz forms; encrypted or signed datapackage
-  * extensions (WACZ signing spec) are out of scope.
+  * Multi-WARC collections (spec-legal, the py-wacz crawl-segment
+  * packaging) are supported on BOTH sides: the writer groups shards
+  * under an optional `collection` column (one inner member per shard,
+  * merged urlkey-sorted index), and every reader resolves any number of
+  * `archive/` members. The spec's big-archive index form
+  * (`indexes/index.cdx.gz` blocks + `indexes/index.idx` pointers) is
+  * supported BOTH ways: `write(indexLinesPerBlock > 0)` emits it and
+  * [[lookupPrefix]] serves prefix queries off it reading only the idx +
+  * matching blocks. Fidelity bounds (documented, loud where reachable):
+  * encrypted or signed datapackage extensions (WACZ signing spec) are
+  * out of scope.
   */
 object Wacz {
 
@@ -84,6 +89,12 @@ object Wacz {
     concat(
       regexp_replace(substring_index(shard, "/", -1), "\\.warc\\.(gz|zst)$", ""),
       lit(".wacz"))
+
+  /** Catalyst twin of [[innerWarcName]] (pre-flight clash check) */
+  private[graft] def innerWarcNameCol(shard: Column): Column =
+    concat(
+      regexp_replace(substring_index(shard, "/", -1), "\\.warc\\.(gz|zst)$", ""),
+      lit(".warc.gz"))
 
   /** minimal JSON string escaper for the in-task index/pages lines (the
     * writer runs where `to_json` can't — offsets exist only mid-write) */
@@ -157,35 +168,64 @@ object Wacz {
   }
 
   /** Write `df` (columns: shard, urlkey, url, ts [14-digit], status,
-    * mime, payload [binary], optional title) as one `<base>.wacz` per
-    * distinct shard under `dir`. Records render through the same
+    * mime, payload [binary]; optional title; optional collection) as one
+    * `.wacz` per distinct COLLECTION under `dir` — a collection holds
+    * one inner `.warc.gz` per distinct shard it contains (the spec-legal
+    * multi-WARC form py-wacz packages crawl segments as). Without a
+    * `collection` column every shard is its own collection (one wacz,
+    * one inner WARC — the simple form). Records render through the same
     * WARC/1.0 framing as [[WarcSink]] (one gzip member each); the CDXJ
     * index is emitted in (urlkey, ts) order by the partition sort — no
-    * in-memory sort, no buffering. Null status rows become `resource`
-    * records and still index; pages list responses only. Publish is
-    * per-file attempt-isolated (write `.tmp`, rename into place), the
-    * CdxSink discipline. */
-  def write(df: DataFrame, dir: String): Unit = {
+    * in-memory sort, no buffering; records INTERLEAVE shards in urlkey
+    * order, each appending to its own shard's staged member (one open
+    * stream per shard in the collection — size collections accordingly).
+    * Null status rows become `resource` records and still index; pages
+    * list responses only. Publish is per-file attempt-isolated (write
+    * `.tmp`, rename into place), the CdxSink discipline.
+    *
+    * `indexLinesPerBlock > 0` writes the spec's BIG-ARCHIVE index form
+    * instead of the plain `index.cdx`: `indexes/index.cdx.gz` (CDXJ
+    * lines in gzip-member blocks of that many lines — the ZipNum block
+    * unit) plus `indexes/index.idx` (one `firstKey TAB index.cdx.gz TAB
+    * offset TAB length` line per block), so [[lookupPrefix]] answers a
+    * prefix query reading only the idx and the matching blocks — never
+    * the whole index. [[scanIndex]] and the V2 source read both forms. */
+  def write(df: DataFrame, dir: String, indexLinesPerBlock: Int = 0): Unit = {
     val need = Seq("shard", "urlkey", "url", "ts", "status", "mime", "payload")
     require(need.forall(df.columns.contains),
       s"Wacz.write needs [${need.mkString(", ")}]; got [${df.columns.mkString(", ")}]")
-    val cols = need ++ (if (df.columns.contains("title")) Seq("title") else Nil)
+    val hasCollection = df.columns.contains("collection")
+    val df1 = if (hasCollection) df else df.withColumn("collection", col("shard"))
+    val cols = Seq("collection") ++ need ++
+      (if (df.columns.contains("title")) Seq("title") else Nil)
     val spark = df.sparkSession
-    // VALIDATE BEFORE WRITE (the WarcSink pre-flight): shard basenames
-    // must be non-null and collision-free — they name the output files
-    val clash = df.select(col("shard"))
-      .groupBy(waczNameCol(col("shard")).as("base"))
-      .agg(countDistinct(col("shard")).as("n"))
+    // VALIDATE BEFORE WRITE (the WarcSink pre-flight): collection
+    // basenames name the output files; shard basenames name the inner
+    // members — both must be non-null and collision-free at their level
+    val clash = df1.select(col("collection"))
+      .groupBy(waczNameCol(col("collection")).as("base"))
+      .agg(countDistinct(col("collection")).as("n"))
       .filter(col("base").isNull || col("n") > 1)
       .limit(5).collect()
     require(clash.isEmpty,
-      "Wacz.write: shard values must be non-null with unique normalized " +
-        "basenames (they name the output .wacz files); offending: " +
-        clash.map(r => String.valueOf(r.get(0))).mkString(", "))
+      "Wacz.write: collection values must be non-null with unique " +
+        "normalized basenames (they name the output .wacz files); " +
+        "offending: " + clash.map(r => String.valueOf(r.get(0))).mkString(", "))
+    val innerClash = df1.select(col("collection"), col("shard"))
+      .groupBy(waczNameCol(col("collection")).as("wacz"),
+        innerWarcNameCol(col("shard")).as("inner"))
+      .agg(countDistinct(col("shard")).as("n"))
+      .filter(col("inner").isNull || col("n") > 1)
+      .limit(5).collect()
+    require(innerClash.isEmpty,
+      "Wacz.write: shard values must be non-null and their normalized " +
+        "basenames unique WITHIN each collection (they name the inner " +
+        "WARC members); offending: " +
+        innerClash.map(r => s"${r.get(0)}!${r.get(1)}").mkString(", "))
     val dirPath = new Path(dir)
     val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(dirPath)
-    // reap dead attempts' staged leftovers: a task that died mid-shard
+    // reap dead attempts' staged leftovers: a task that died mid-archive
     // leaves `.<name>.<attempt>.*.tmp` behind and retries use a NEW
     // attempt id, so nothing ever overwrites them. Age-gated (the
     // WarcSink staging-sweep discipline) so a concurrent writer's live
@@ -199,9 +239,9 @@ object Wacz {
     }
     val sconf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
     val outDir = dir
-    df.select(cols.map(col): _*)
-      .repartition(waczNameCol(col("shard")))
-      .sortWithinPartitions("shard", "urlkey", "ts", "url")
+    df1.select(cols.map(col): _*)
+      .repartition(waczNameCol(col("collection")))
+      .sortWithinPartitions("collection", "urlkey", "ts", "url")
       .foreachPartition { (it: Iterator[Row]) =>
         val iTitle = cols.indexOf("title")
         val pfs = org.apache.hadoop.fs.FileSystem.newInstance(
@@ -215,20 +255,53 @@ object Wacz {
         // context discipline of WarcSink's gzip/zstd hot loops)
         val gzDeflater = Gzip.memberDeflater()
 
-        var current: String = null      // shard value
-        var innerName: String = null    // <base>.warc.gz inside archive/
-        var warc: Staged = null
+        final class InnerWarc(val staged: Staged) { var offset = 0L }
+        var current: String = null      // collection value
+        // inner members keyed by archive name, in first-appearance order
+        // (one OPEN stream per shard in the collection)
+        val warcs = scala.collection.mutable.LinkedHashMap.empty[String, InnerWarc]
         var cdx: Staged = null
+        var idx: Staged = null          // big-archive form only
         var pages: Staged = null
-        var warcOffset = 0L
+        // big-archive form: CDXJ lines buffer into gzip-member BLOCKS of
+        // indexLinesPerBlock lines (O(block) memory); each flushed block
+        // appends one idx pointer line
+        val blockBuf = new java.io.ByteArrayOutputStream()
+        var blockLines = 0
+        var blockFirstKey: String = null
+        var cdxGzOffset = 0L
+        def flushBlock(): Unit = if (blockLines > 0) {
+          val len = Gzip.writeMember(cdx.out, blockBuf.toByteArray, gzDeflater)
+          idx.out.write(
+            s"$blockFirstKey\tindex.cdx.gz\t$cdxGzOffset\t$len\n".getBytes(UTF_8))
+          cdxGzOffset += len
+          blockBuf.reset(); blockLines = 0; blockFirstKey = null
+        }
+        def writeIndexLine(urlkey: String, line: Array[Byte]): Unit =
+          if (indexLinesPerBlock <= 0) cdx.out.write(line)
+          else {
+            if (blockFirstKey == null) blockFirstKey = urlkey
+            blockBuf.write(line, 0, line.length)
+            blockLines += 1
+            if (blockLines >= indexLinesPerBlock) flushBlock()
+          }
 
         def tempPath(kind: String): Path =
           new Path(outDir, s".${waczName(current)}.$attempt.$kind.tmp")
 
-        // assemble the shard's ZIP from the three staged temps + the two
+        def cleanupCurrent(): Unit = if (current != null) {
+          (warcs.values.map(_.staged.path).toSeq ++
+            Seq(tempPath("cdx"), tempPath("pages"),
+              new Path(outDir, s".${waczName(current)}.$attempt.tmp")))
+            .foreach(p => try pfs.delete(p, false) catch { case _: Throwable => })
+        }
+
+        // assemble the collection's ZIP from the staged temps + the two
         // in-memory manifests, then publish by rename
         def close(): Unit = if (current != null) {
-          warc.finish(); cdx.finish(); pages.finish()
+          flushBlock()
+          warcs.values.foreach(_.staged.finish())
+          cdx.finish(); if (idx != null) idx.finish(); pages.finish()
           val name = waczName(current)
           val tmp = new Path(outDir, s".$name.$attempt.tmp")
           val zip = new java.util.zip.ZipOutputStream(pfs.create(tmp, true))
@@ -242,8 +315,16 @@ object Wacz {
                   while (r >= 0) { if (r > 0) out.write(buf, 0, r); r = in.read(buf) }
                 } finally in.close()
               }
-            streamTemp(s"archive/$innerName", warc)
-            streamTemp("indexes/index.cdx", cdx)
+            // name-sorted for deterministic entry order regardless of
+            // which shard's first record arrived first
+            val inners = warcs.toSeq.sortBy(_._1)
+            inners.foreach { case (inner, w) =>
+              streamTemp(s"archive/$inner", w.staged)
+            }
+            val cdxEntryName =
+              if (indexLinesPerBlock > 0) "indexes/index.cdx.gz" else "indexes/index.cdx"
+            streamTemp(cdxEntryName, cdx)
+            if (idx != null) streamTemp("indexes/index.idx", idx)
             streamTemp("pages/pages.jsonl", pages)
             def resource(rname: String, rpath: String, st: Staged): String =
               s"""{"name":${jstr(rname)},"path":${jstr(rpath)},""" +
@@ -251,9 +332,14 @@ object Wacz {
             val datapackage =
               ("""{"profile":"data-package","wacz_version":"1.1.1",""" +
                 """"software":"graft","resources":[""" +
-                resource(innerName, s"archive/$innerName", warc) + "," +
-                resource("index.cdx", "indexes/index.cdx", cdx) + "," +
-                resource("pages.jsonl", "pages/pages.jsonl", pages) +
+                (inners.map { case (inner, w) =>
+                  resource(inner, s"archive/$inner", w.staged)
+                } ++ Seq(
+                  resource(cdxEntryName.stripPrefix("indexes/"), cdxEntryName, cdx)) ++
+                  (if (idx != null)
+                    Seq(resource("index.idx", "indexes/index.idx", idx)) else Nil) ++
+                  Seq(resource("pages.jsonl", "pages/pages.jsonl", pages)))
+                  .mkString(",") +
                 "]}").getBytes(UTF_8)
             putStored(zip, "datapackage.json", datapackage.length.toLong,
               crc32(datapackage))(_.write(datapackage))
@@ -264,8 +350,9 @@ object Wacz {
             putStored(zip, "datapackage-digest.json", dpDigest.length.toLong,
               crc32(dpDigest))(_.write(dpDigest))
           } finally zip.close()
-          pfs.delete(warc.path, false)
+          warcs.values.foreach(w => pfs.delete(w.staged.path, false))
           pfs.delete(cdx.path, false)
+          if (idx != null) pfs.delete(idx.path, false)
           pfs.delete(pages.path, false)
           val fin = new Path(outDir, name)
           if (!pfs.rename(tmp, fin)) {
@@ -273,32 +360,36 @@ object Wacz {
             require(pfs.rename(tmp, fin),
               s"Wacz.write: could not publish ${fin.getName} from ${tmp.getName}")
           }
-          current = null; warc = null; cdx = null; pages = null
+          current = null; warcs.clear(); cdx = null; idx = null; pages = null
         }
 
         try {
           it.foreach { row =>
-            require(!row.isNullAt(0), "Wacz.write: null shard value")
-            val shard = row.getString(0)
-            if (shard != current) {
+            require(!row.isNullAt(0) && !row.isNullAt(1),
+              "Wacz.write: null collection/shard value")
+            val collection = row.getString(0)
+            val shard = row.getString(1)
+            if (collection != current) {
               close()
-              current = shard
-              innerName = innerWarcName(shard)
-              warcOffset = 0L
-              warc = new Staged(pfs, tempPath("warc"))
+              current = collection
               cdx = new Staged(pfs, tempPath("cdx"))
+              idx = if (indexLinesPerBlock > 0) new Staged(pfs, tempPath("idx")) else null
+              cdxGzOffset = 0L
               pages = new Staged(pfs, tempPath("pages"))
               pages.out.write(
                 ("""{"format":"json-pages-1.0","id":"pages","title":"All Pages"}""" +
                   "\n").getBytes(UTF_8))
             }
-            val urlkey = row.getString(1)
-            val url = row.getString(2)
-            val ts = row.getString(3)
+            val innerName = innerWarcName(shard)
+            val w = warcs.getOrElseUpdate(innerName,
+              new InnerWarc(new Staged(pfs, tempPath(s"warc${warcs.size}"))))
+            val urlkey = row.getString(2)
+            val url = row.getString(3)
+            val ts = row.getString(4)
             require(ts != null && WarcSink.isTs14(ts),
               s"Wacz.write: ts must be 14 digits; got $ts for url=$url")
-            val isResp = !row.isNullAt(4)
-            val mime = row.getString(5)
+            val isResp = !row.isNullAt(5)
+            val mime = row.getString(6)
             val payload = Option(row.getAs[Array[Byte]]("payload"))
               .getOrElse(Array.emptyByteArray)
             sha1.reset()
@@ -306,16 +397,16 @@ object Wacz {
             val rec = Warc.renderRecord(Warc.FixtureRecord(
               if (isResp) "response" else "resource",
               url, WarcSink.iso(ts), digest,
-              if (isResp) row.getInt(4) else 0, mime, payload))
-            val memberLen = Gzip.writeMember(warc.out, rec, gzDeflater)
-            // CDXJ: numbers as strings (the pywb dialect); filename is the
-            // inner WARC's name — offsets point inside the STORED entry
-            cdx.out.write((s"$urlkey $ts {" +
+              if (isResp) row.getInt(5) else 0, mime, payload))
+            val memberLen = Gzip.writeMember(w.staged.out, rec, gzDeflater)
+            // CDXJ: numbers as strings (the pywb dialect); filename names
+            // the record's OWN inner member — offsets point inside it
+            writeIndexLine(urlkey, (s"$urlkey $ts {" +
               s""""url":${jstr(url)},""" +
               (if (mime != null) s""""mime":${jstr(mime)},""" else "") +
-              (if (isResp) s""""status":"${row.getInt(4)}",""" else "") +
+              (if (isResp) s""""status":"${row.getInt(5)}",""" else "") +
               s""""digest":${jstr(digest)},""" +
-              s""""length":"$memberLen","offset":"$warcOffset",""" +
+              s""""length":"$memberLen","offset":"${w.offset}",""" +
               s""""filename":${jstr(innerName)}}""" + "\n").getBytes(UTF_8))
             if (isResp) {
               val title =
@@ -327,18 +418,14 @@ object Wacz {
                 (if (title != null) s""","title":${jstr(title)}""" else "") +
                 "}\n").getBytes(UTF_8))
             }
-            warcOffset += memberLen
+            w.offset += memberLen
           }
           close()
         } finally {
-          // a shard failed mid-write: drop ITS staged temps best-effort
-          // (a crashed JVM can't run this — the write-start sweep reaps
-          // those on the next run)
-          if (current != null) {
-            Seq(tempPath("warc"), tempPath("cdx"), tempPath("pages"),
-              new Path(outDir, s".${waczName(current)}.$attempt.tmp"))
-              .foreach(p => try pfs.delete(p, false) catch { case _: Throwable => })
-          }
+          // a collection failed mid-write: drop ITS staged temps
+          // best-effort (a crashed JVM can't run this — the write-start
+          // sweep reaps those on the next run)
+          cleanupCurrent()
           try gzDeflater.end() catch { case _: Throwable => }
           try pfs.close() catch { case _: Throwable => }
         }
@@ -543,6 +630,85 @@ object Wacz {
         try indexLines(positionedReader(in), len, shortName)
           .map(line => org.apache.spark.sql.Row(shortName, line)).iterator
         finally in.close()
+    }
+    spark.createDataFrame(rows, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("wacz",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("line",
+        org.apache.spark.sql.types.StringType))))
+  }
+
+  /** pure block selection for [[lookupPrefix]]: block i covers keys in
+    * [firstKey_i, firstKey_{i+1}] — the CLOSED upper bound because a run
+    * of equal urlkeys can straddle a block boundary — so it can hold a
+    * prefix match iff firstKey_i ≤ (prefix + maxChar) and
+    * firstKey_{i+1} ≥ prefix. Over-selection is harmless (lines are
+    * re-filtered); under-selection would silently drop captures. */
+  private[graft] def selectBlocks(
+      firstKeys: IndexedSeq[String], prefix: String): Seq[Int] = {
+    val hi = prefix + "￿"
+    firstKeys.indices.filter { i =>
+      firstKeys(i) <= hi &&
+        (i + 1 >= firstKeys.length || firstKeys(i + 1) >= prefix)
+    }
+  }
+
+  /** Bounded PREFIX LOOKUP over the big-archive index form (`write`
+    * with `indexLinesPerBlock > 0`): per archive, read the small
+    * `indexes/index.idx` (one pointer line per block), [[selectBlocks]]
+    * the blocks whose key range can hold the prefix, and positioned-read
+    * ONLY those gzip members out of the STORED `indexes/index.cdx.gz` —
+    * O(idx + matching blocks) bytes, never the whole index: the ZipNum
+    * cluster.idx discipline served through a ZIP. Plain-index archives
+    * fall back to a full index read + filter. Rows (wacz, line). */
+  def lookupPrefix(spark: SparkSession, pathGlob: String, prefix: String): DataFrame = {
+    require(prefix.nonEmpty, "Wacz.lookupPrefix: empty prefix (use scanIndex)")
+    val sc = spark.sparkContext
+    val sconf = new SerializableHadoopConf(sc.hadoopConfiguration)
+    val glob = new Path(pathGlob)
+    val fs = glob.getFileSystem(sc.hadoopConfiguration)
+    val files = fs.globStatus(glob)
+    require(files != null && files.nonEmpty,
+      s"Wacz.lookupPrefix: no files match $pathGlob")
+    val paths = files.toSeq.filter(_.isFile).map(st => (st.getPath.toString, st.getLen))
+    val rows = sc.parallelize(paths, math.max(paths.size, 1)).flatMap {
+      case (file, len) =>
+        val shortName = file.substring(file.lastIndexOf('/') + 1)
+        val p = new Path(file)
+        val pfs = p.getFileSystem(sconf.value)
+        val in = pfs.open(p)
+        try {
+          val read = positionedReader(in)
+          val entries = centralDirectory(read, len)
+          val byName = entries.map(e => e.name -> e).toMap
+          val lines: Seq[String] = byName.get("indexes/index.idx") match {
+            case Some(idxEntry) =>
+              val blocks = new String(entryBytes(read, idxEntry), UTF_8)
+                .split("\n", -1).toIndexedSeq.filter(_.nonEmpty).map { l =>
+                  val f = l.split("\t")
+                  require(f.length >= 4, s"$shortName: malformed idx line '$l'")
+                  (f(0), f(2).toLong, f(3).toLong)
+                }
+              val cdxGz = byName.getOrElse("indexes/index.cdx.gz",
+                throw new IllegalArgumentException(
+                  s"$shortName: index.idx without index.cdx.gz"))
+              require(cdxGz.method == 0,
+                s"$shortName: index.cdx.gz must be STORED for block-positioned reads")
+              val base = dataOffset(read, cdxGz)
+              selectBlocks(blocks.map(_._1), prefix).flatMap { i =>
+                val (_, off, blen) = blocks(i)
+                val buf = new Array[Byte](blen.toInt)
+                read(base + off, buf)
+                Gzip.members(new java.io.ByteArrayInputStream(buf))
+                  .flatMap(m => new String(m.bytes, UTF_8).split("\n", -1))
+                  .filter(_.nonEmpty)
+              }
+            case None =>
+              indexLines(read, len, shortName)
+          }
+          lines.filter(_.startsWith(prefix))
+            .map(line => org.apache.spark.sql.Row(shortName, line)).iterator
+        } finally in.close()
     }
     spark.createDataFrame(rows, org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("wacz",

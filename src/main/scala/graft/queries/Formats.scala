@@ -138,6 +138,21 @@ object Formats extends QueryModule {
     * archives — one deterministic build per (session, sf dir), the
     * [[sharedCluster]] discipline verbatim (same reap rationale, same
     * heartbeat, same keyTag-suffixed path so cache keys never alias). */
+  /** the collection-form twin (one wacz per crawl segment, blocked
+    * big-archive index) shared by sink_wacz_collection and
+    * wacz_prefix_lookup */
+  private val waczCollCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def waczCollCorpus(s: SparkSession, d: String): String =
+    sharedBuild(waczCollCache, "waczcoll_shared", s, d)(newDir =>
+      graft.formats.Wacz.write(
+        Cdx.df(s, d).where(col("record_type") === "response")
+          .selectExpr(
+            "regexp_extract(filename, 'seg-[0-9]+', 0) AS collection",
+            "filename AS shard", "urlkey", "url", "ts", "status", "mime",
+            "CAST(concat('payload:', urlkey, '@', ts) AS BINARY) AS payload"),
+        newDir, indexLinesPerBlock = 64))
+
   private val waczCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def waczCorpus(s: SparkSession, d: String): String =
@@ -1037,6 +1052,40 @@ object Formats extends QueryModule {
         .orderBy("wacz", "path")
     }),
 
+    // the spec's MULTI-WARC collection form in its BIG-ARCHIVE index
+    // shape: one .wacz per crawl segment holding one inner member per
+    // WARC shard (the py-wacz packaging), the merged CDXJ urlkey-sorted
+    // ACROSS members by the partition sort and written as index.cdx.gz
+    // blocks + index.idx pointers. This key reads the WHOLE blocked
+    // index back through scanIndex; wacz_prefix_lookup serves the
+    // pruned path off the same archives. The oracle replays
+    // (wacz, urlkey, ts, member) from the cdx CTE, so the grouping, the
+    // cross-member sort, the member attribution, AND the block framing
+    // round trip are all pinned.
+    "sink_wacz_collection" -> ((s, d) => {
+      val dir = waczCollCorpus(s, d)
+      graft.formats.Wacz.scanIndex(s, dir + "/*.wacz")
+        .select(col("wacz") +: Cdx.lineCols(col("line")): _*)
+        .select(col("wacz"), col("urlkey"), col("ts"),
+          get_json_object(col("json"), "$.filename").as("member"))
+        .orderBy("wacz", "urlkey", "ts", "member")
+    }),
+
+    // bounded prefix lookup THROUGH the ZIP (the serving shape a
+    // packaged big archive answers): index.idx block pointers select
+    // only the blocks whose key range can hold the prefix; those gzip
+    // members positioned-read out of the STORED index.cdx.gz — the
+    // ZipNum cluster.idx discipline inside a container. Oracle = the
+    // prefix-filtered inventory, so pruning must be lossless.
+    "wacz_prefix_lookup" -> ((s, d) => {
+      val dir = waczCollCorpus(s, d)
+      graft.formats.Wacz.lookupPrefix(s, dir + "/*.wacz", "org,example,medium)")
+        .select(col("wacz") +: Cdx.lineCols(col("line")): _*)
+        .select(col("wacz"), col("urlkey"), col("ts"),
+          get_json_object(col("json"), "$.filename").as("member"))
+        .orderBy("wacz", "urlkey", "ts", "member")
+    }),
+
     // the V2 provider over the same shared corpus: format("wacz") with a
     // urlkey prefix filter — the filter is applied to the line prefix
     // BEFORE any JSON parse executor-side and re-checked by Spark above
@@ -1340,6 +1389,20 @@ object Formats extends QueryModule {
         "FROM cdx WHERE record_type = 'response') w " +
         "CROSS JOIN (VALUES (0), (1), (2), (3)) p(k) " +
         "ORDER BY wacz, path"),
+    // segment grouping + member attribution replayed from the cdx CTE
+    "sink_wacz_collection" -> o(
+      "SELECT regexp_extract(filename, 'seg-[0-9]+') || '.wacz' AS wacz, " +
+        "urlkey, ts, regexp_extract(filename, '[^/]+$') AS member " +
+        "FROM cdx WHERE record_type = 'response' " +
+        "ORDER BY wacz, urlkey, ts, member"),
+    // block pruning must be lossless: the oracle is the plain
+    // prefix-filtered inventory over the same grouping
+    "wacz_prefix_lookup" -> o(
+      "SELECT regexp_extract(filename, 'seg-[0-9]+') || '.wacz' AS wacz, " +
+        "urlkey, ts, regexp_extract(filename, '[^/]+$') AS member " +
+        "FROM cdx WHERE record_type = 'response' " +
+        "AND urlkey LIKE 'org,example,medium)%' " +
+        "ORDER BY wacz, urlkey, ts, member"),
     // same inventory replay as sink_wacz, cut to the pushed prefix
     "scan_wacz_v2" -> o(
       "SELECT regexp_replace(regexp_extract(filename, '[^/]+$'), " +

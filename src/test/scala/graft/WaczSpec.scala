@@ -183,6 +183,111 @@ class WaczSpec extends SparkSpec {
     assert(ok.nonEmpty && ok.forall(identity))
   }
 
+  test("a collection column packages MULTIPLE inner WARCs per archive") {
+    val dir = s"$base/collection"
+    val p = Paths.get(dir)
+    if (Files.exists(p))
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(q => Files.deleteIfExists(q))
+    Files.createDirectories(p)
+    Wacz.write(fixtureDf.withColumn(
+      "collection", org.apache.spark.sql.functions.lit("coll-A")), dir)
+    assert(Files.list(p).filter(_.toString.endsWith(".wacz")).count() == 1)
+
+    val zf = new java.util.zip.ZipFile(s"$dir/coll-A.wacz")
+    try {
+      import scala.jdk.CollectionConverters._
+      val names = zf.entries().asScala.map(_.getName).toSet
+      assert(names == Set("archive/w-0.warc.gz", "archive/w-1.warc.gz",
+        "indexes/index.cdx", "pages/pages.jsonl",
+        "datapackage.json", "datapackage-digest.json"), names.toString)
+      // the merged index is urlkey-sorted ACROSS members, each line
+      // naming the record's OWN inner member
+      val idx = new String(
+        zf.getInputStream(zf.getEntry("indexes/index.cdx")).readAllBytes(), "UTF-8")
+        .split("\n").filter(_.nonEmpty)
+      assert(idx.map(_.split(" ")(0)).toSeq == idx.map(_.split(" ")(0)).sorted.toSeq)
+      assert(idx.count(_.contains("\"filename\":\"w-0.warc.gz\"")) == 3)
+      assert(idx.count(_.contains("\"filename\":\"w-1.warc.gz\"")) == 1)
+    } finally zf.close()
+
+    // every pointer replays through ITS member
+    import org.apache.spark.sql.functions._
+    val ptrs = Wacz.scanIndex(spark, s"$dir/*.wacz")
+      .select(col("wacz") +: Cdx.lineCols(col("line")): _*)
+      .select(col("wacz"),
+        get_json_object(col("json"), "$.filename").as("filename"),
+        get_json_object(col("json"), "$.offset").cast("long").as("offset"),
+        get_json_object(col("json"), "$.length").cast("long").as("length"))
+    val got = Wacz.fetchRecords(spark, ptrs, dir)
+      .select("payload").collect()
+      .map(r => new String(r.getAs[Array[Byte]](0), "UTF-8")).sorted.toSeq
+    assert(got == Seq("alpha", "beta-body", "gamma \"quoted\"", "{\"x\":1}").sorted)
+
+    // manifest verifies every inner member + the index + pages + seal
+    val ver = Wacz.verify(spark, s"$dir/*.wacz")
+      .select("path", "ok").collect()
+      .map(r => (r.getString(0), r.getBoolean(1))).toMap
+    assert(ver.size == 5, ver.toString)
+    assert(ver.keySet.contains("archive/w-0.warc.gz") &&
+      ver.keySet.contains("archive/w-1.warc.gz"))
+    assert(ver.values.forall(identity), ver.toString)
+  }
+
+  test("selectBlocks is tight and lossless, including boundary-straddling key runs") {
+    val fks = IndexedSeq("a", "c", "c", "f")
+    // a run of 'c' keys can straddle blocks 0-2 (closed upper bounds)
+    assert(Wacz.selectBlocks(fks, "c") == Seq(0, 1, 2))
+    assert(Wacz.selectBlocks(fks, "a") == Seq(0))
+    assert(Wacz.selectBlocks(fks, "b") == Seq(0))
+    // block 2 covers [c, f] CLOSED — it may end with an 'f' key, so the
+    // lossless selection includes it alongside the block that starts at f
+    assert(Wacz.selectBlocks(fks, "f") == Seq(2, 3))
+    assert(Wacz.selectBlocks(fks, "g") == Seq(3)) // last block is open-ended
+  }
+
+  test("big-archive index form: blocked cdx.gz + idx; pruned lookup == filtered scan") {
+    val dir = s"$base/blocked"
+    val p = Paths.get(dir)
+    if (Files.exists(p))
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(q => Files.deleteIfExists(q))
+    Files.createDirectories(p)
+    Wacz.write(fixtureDf.withColumn(
+      "collection", org.apache.spark.sql.functions.lit("big")), dir,
+      indexLinesPerBlock = 2)
+
+    val zf = new java.util.zip.ZipFile(s"$dir/big.wacz")
+    try {
+      import scala.jdk.CollectionConverters._
+      val byName = zf.entries().asScala.map(e => e.getName -> e).toMap
+      assert(byName.contains("indexes/index.cdx.gz") &&
+        byName.contains("indexes/index.idx"), byName.keySet.toString)
+      byName.values.foreach(e =>
+        assert(e.getMethod == java.util.zip.ZipEntry.STORED, e.getName))
+      // 4 records at 2 lines/block = 2 blocks = 2 idx pointer lines
+      val idx = new String(zf.getInputStream(
+        zf.getEntry("indexes/index.idx")).readAllBytes(), "UTF-8")
+        .split("\n").filter(_.nonEmpty)
+      assert(idx.length == 2, idx.toSeq.toString)
+      assert(idx.forall(_.split("\t").length == 4), idx.toSeq.toString)
+    } finally zf.close()
+
+    // the full scan reads the blocked form transparently
+    val full = Wacz.scanIndex(spark, s"$dir/*.wacz")
+      .collect().map(_.getString(1)).sorted.toSeq
+    assert(full.length == 4)
+    // pruned lookup == prefix filter of the full scan (losslessness)
+    val pruned = Wacz.lookupPrefix(spark, s"$dir/*.wacz", "com,example)")
+      .collect().map(_.getString(1)).sorted.toSeq
+    assert(pruned == full.filter(_.startsWith("com,example)")), pruned.toString)
+    assert(pruned.length == 3)
+    // and the manifest still verifies (5 resources + the seal)
+    val ver = Wacz.verify(spark, s"$dir/*.wacz").select("path", "ok")
+      .collect().map(r => (r.getString(0), r.getBoolean(1))).toMap
+    assert(ver.size == 6 && ver.values.forall(identity), ver.toString)
+  }
+
   test("a truncated DEFLATED entry fails loudly instead of hanging") {
     val dir = s"$base/truncated"
     Files.createDirectories(Paths.get(dir))

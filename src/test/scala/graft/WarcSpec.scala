@@ -828,15 +828,18 @@ class WarcSpec extends SparkSpec {
     assert(e.getMessage == null || !e.getMessage.contains("could not publish"))
     assert(java.nio.file.Files.readAllBytes(f.toPath).toSeq == goodBytes,
       "previous corpus must survive a failed staged write byte-for-byte")
+    // scope the leftover checks to THIS target's siblings: /tmp/graft_test
+    // is shared across suites and other tests plant their own orphans
     val parent = new java.io.File(dir).getParentFile
-    assert(!parent.listFiles().exists(_.getName.contains(".staging-")),
+    val base = new java.io.File(dir).getName
+    def siblings = parent.listFiles().map(_.getName).filter(_.startsWith(base + "."))
+    assert(!siblings.exists(_.contains(".staging-")),
       "failed write must clean up its staging directory")
     // and a SUCCESSFUL rewrite replaces the corpus and leaves no staging/backup
     graft.formats.WarcSink.write(df("20250102030405"), dir)
     assert(Warc.scan(spark, dir + "/*.warc.gz").select("ts").collect()
       .map(_.getString(0)).toSeq == Seq("20250102030405"))
-    assert(!parent.listFiles().exists(f =>
-      f.getName.contains(".staging-") || f.getName.contains(".old-")))
+    assert(!siblings.exists(n => n.contains(".staging-") || n.contains(".old-")))
   }
 
   test("WarcSink: orphaned .old-/.staging- siblings from a crashed run are healed on the next write") {
@@ -867,13 +870,26 @@ class WarcSpec extends SparkSpec {
     staging.mkdirs()
     java.nio.file.Files.write(new java.io.File(staging, "partial.tmp").toPath,
       "junk".getBytes("UTF-8"))
-    // next write: restores .old-dead2 (newest), clears dead1/dead3, publishes
+    // a DEAD run's staging is recognized by staleness (the sweep is
+    // age-gated so a live concurrent writer's staging survives)
+    staging.setLastModified(System.currentTimeMillis() - 25L * 3600_000L)
+    // a FRESH staging (a live concurrent writer, contract violation or
+    // not) must NOT be reaped — deleting it would let the other job
+    // publish a silently partial corpus
+    val fresh = new java.io.File(parent, dirFile.getName + ".staging-live4")
+    fresh.mkdirs()
+    java.nio.file.Files.write(new java.io.File(fresh, "inflight.tmp").toPath,
+      "live".getBytes("UTF-8"))
+    // next write: restores .old-dead2 (newest), clears dead1/dead3,
+    // leaves live4 alone, publishes
     graft.formats.WarcSink.write(df("20250102030405"), dir)
     assert(Warc.scan(spark, dir + "/*.warc.gz").select("ts").collect()
       .map(_.getString(0)).toSeq == Seq("20250102030405"))
     val leftovers = parent.listFiles().map(_.getName)
       .filter(n => n.startsWith(dirFile.getName + ".")).toSeq
-    assert(leftovers.isEmpty, s"orphans must be healed, found: $leftovers")
+    assert(leftovers == Seq(dirFile.getName + ".staging-live4"),
+      s"dead orphans healed, live staging preserved — found: $leftovers")
+    new scala.reflect.io.Directory(fresh).deleteRecursively()
 
     // restore-only path: dir absent, one backup, NO write racing it —
     // verify the restored corpus is byte-identical to the pre-crash one
