@@ -1086,6 +1086,45 @@ object Formats extends QueryModule {
         .orderBy("wacz", "urlkey", "ts", "member")
     }),
 
+    // the composed ARCHIVE PUBLISH pipeline — what a collection owner
+    // actually runs: exact-dedup the capture set on payload digest
+    // (time-first original via a MERGEABLE min_by agg — the
+    // sink_warc_revisit_write skew discipline, never a hot-digest
+    // window), package the survivors as multi-WARC segment collections
+    // with the blocked index, GATE the publish on the archives' own
+    // manifest verification (any failed digest aborts), then replay
+    // every record through the ZIP pointers. The oracle replays the
+    // deduped corpus closed-form, so dedup, packaging, verification, and
+    // pointer replay are pinned end-to-end in ONE key.
+    "pipeline_wacz_publish" -> ((s, d) => {
+      val dir = tmp(d, "wacz_publish")
+      val base = Cdx.df(s, d).where(col("record_type") === "response")
+      val deduped = base.groupBy("digest")
+        .agg(min_by(
+          struct(col("filename"), col("urlkey"), col("url"), col("ts"),
+            col("status"), col("mime")),
+          struct(col("ts"), col("id"))).as("o"))
+        .selectExpr(
+          "regexp_extract(o.filename, 'seg-[0-9]+', 0) AS collection",
+          "o.filename AS shard", "o.urlkey AS urlkey", "o.url AS url",
+          "o.ts AS ts", "o.status AS status", "o.mime AS mime",
+          "CAST(concat('payload:', digest) AS BINARY) AS payload")
+      graft.formats.Wacz.write(deduped, dir, indexLinesPerBlock = 64)
+      val bad = graft.formats.Wacz.verify(s, dir + "/*.wacz")
+        .where(!col("ok")).limit(1).collect()
+      require(bad.isEmpty, s"wacz publish failed verification: ${bad.mkString(", ")}")
+      val ptrs = graft.formats.Wacz.scanIndex(s, dir + "/*.wacz")
+        .select(col("wacz") +: Cdx.lineCols(col("line")): _*)
+        .select(col("wacz"),
+          get_json_object(col("json"), "$.filename").as("filename"),
+          get_json_object(col("json"), "$.offset").cast("long").as("offset"),
+          get_json_object(col("json"), "$.length").cast("long").as("length"))
+      graft.formats.Wacz.fetchRecords(s, ptrs, dir)
+        .select(col("url"), col("ts"), col("status"), col("mime"),
+          sha2(col("payload"), 256).as("body_sha256"))
+        .orderBy("url", "ts", "status", "mime", "body_sha256")
+    }),
+
     // the V2 provider over the same shared corpus: format("wacz") with a
     // urlkey prefix filter — the filter is applied to the line prefix
     // BEFORE any JSON parse executor-side and re-checked by Spark above
@@ -1403,6 +1442,13 @@ object Formats extends QueryModule {
         "FROM cdx WHERE record_type = 'response' " +
         "AND urlkey LIKE 'org,example,medium)%' " +
         "ORDER BY wacz, urlkey, ts, member"),
+    // the deduped corpus closed-form: time-first capture per digest
+    "pipeline_wacz_publish" -> o(
+      "SELECT url, ts, status, mime, " +
+        "sha256('payload:' || digest) AS body_sha256 " +
+        "FROM (SELECT *, row_number() OVER (PARTITION BY digest " +
+        "ORDER BY ts, id) AS rn FROM cdx WHERE record_type = 'response') " +
+        "WHERE rn = 1 ORDER BY url, ts, status, mime, body_sha256"),
     // same inventory replay as sink_wacz, cut to the pushed prefix
     "scan_wacz_v2" -> o(
       "SELECT regexp_replace(regexp_extract(filename, '[^/]+$'), " +

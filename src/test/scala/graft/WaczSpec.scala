@@ -244,6 +244,14 @@ class WaczSpec extends SparkSpec {
     // lossless selection includes it alongside the block that starts at f
     assert(Wacz.selectBlocks(fks, "f") == Seq(2, 3))
     assert(Wacz.selectBlocks(fks, "g") == Seq(3)) // last block is open-ended
+
+    // SCALE SHAPE: a point prefix selects O(1) blocks no matter how many
+    // the index holds — the pruning that makes a packaged 100 GB archive
+    // answer a lookup in two positioned reads
+    val many = (0 until 100000).map(i => f"k$i%06d").toIndexedSeq
+    val sel = Wacz.selectBlocks(many, "k050000")
+    assert(sel.size <= 2, s"point prefix selected ${sel.size} of 100k blocks")
+    assert(sel.contains(50000))
   }
 
   test("big-archive index form: blocked cdx.gz + idx; pruned lookup == filtered scan") {
