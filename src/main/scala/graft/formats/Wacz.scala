@@ -263,6 +263,8 @@ object Wacz {
         var cdx: Staged = null
         var idx: Staged = null          // big-archive form only
         var pages: Staged = null
+        var lastShard: String = null
+        var lastInner: String = null
         // big-archive form: CDXJ lines buffer into gzip-member BLOCKS of
         // indexLinesPerBlock lines (O(block) memory); each flushed block
         // appends one idx pointer line
@@ -291,7 +293,7 @@ object Wacz {
 
         def cleanupCurrent(): Unit = if (current != null) {
           (warcs.values.map(_.staged.path).toSeq ++
-            Seq(tempPath("cdx"), tempPath("pages"),
+            Seq(tempPath("cdx"), tempPath("idx"), tempPath("pages"),
               new Path(outDir, s".${waczName(current)}.$attempt.tmp")))
             .foreach(p => try pfs.delete(p, false) catch { case _: Throwable => })
         }
@@ -380,7 +382,14 @@ object Wacz {
                 ("""{"format":"json-pages-1.0","id":"pages","title":"All Pages"}""" +
                   "\n").getBytes(UTF_8))
             }
-            val innerName = innerWarcName(shard)
+            // shard -> inner name memo: innerWarcName compiles a regex,
+            // and this is the per-RECORD loop (shards repeat for long
+            // runs under the urlkey sort)
+            if (shard != lastShard) {
+              lastShard = shard
+              lastInner = innerWarcName(shard)
+            }
+            val innerName = lastInner
             val w = warcs.getOrElseUpdate(innerName,
               new InnerWarc(new Staged(pfs, tempPath(s"warc${warcs.size}"))))
             val urlkey = row.getString(2)
@@ -599,27 +608,79 @@ object Wacz {
       s"(entries: ${dir.map(_.name).mkString(", ")})")
     idx.flatMap { e =>
       val raw = entryBytes(read, e)
-      val bytes =
-        if (e.name.endsWith(".gz"))
-          Gzip.members(new java.io.ByteArrayInputStream(raw))
-            .foldLeft(new java.io.ByteArrayOutputStream()) { (o, m) =>
-              o.write(m.bytes); o
-            }.toByteArray
-        else raw
-      new String(bytes, UTF_8).split("\n", -1).toSeq.filter(_.nonEmpty)
+      if (e.name.endsWith(".gz")) memberLines(raw)
+      else new String(raw, UTF_8).split("\n", -1).toSeq.filter(_.nonEmpty)
     }
   }
 
   /** Scan the CDXJ index out of every `.wacz` matching `pathGlob` —
     * rows (wacz, line). The archive member is never touched: one tail
     * read + the directory + the index entry per file. */
-  def scanIndex(spark: SparkSession, pathGlob: String): DataFrame = {
+  def scanIndex(spark: SparkSession, pathGlob: String): DataFrame =
+    archiveLineRows(spark, pathGlob, "scanIndex")(indexLines)
+
+  /** pure block selection for [[lookupPrefix]]: block i covers keys in
+    * [firstKey_i, firstKey_{i+1}] — the CLOSED upper bound because a run
+    * of equal urlkeys can straddle a block boundary — so it can hold a
+    * prefix match iff firstKey_i < (prefix + U+10FFFF) and
+    * firstKey_{i+1} ≥ prefix. Comparisons are UTF-8 BYTE order via
+    * [[ZipNum.utf8Compare]] with [[ZipNum.MaxCodePoint]] as the
+    * sentinel: the index was sorted by Spark (UTF-8 bytes), and Java's
+    * UTF-16 compareTo inverts supplementary characters vs [U+E000,
+    * U+FFFF] — the exact silent-block-drop ZipNum's reader documents.
+    * Over-selection is harmless (lines are re-filtered);
+    * under-selection would silently drop captures. */
+  private[graft] def selectBlocks(
+      firstKeys: IndexedSeq[String], prefix: String): Seq[Int] = {
+    val hi = prefix + ZipNum.MaxCodePoint
+    firstKeys.indices.filter { i =>
+      ZipNum.utf8Compare(firstKeys(i), hi) < 0 &&
+        (i + 1 >= firstKeys.length ||
+          ZipNum.utf8Compare(firstKeys(i + 1), prefix) >= 0)
+    }
+  }
+
+  /** one idx pointer: (firstKey, member name under indexes/, offset,
+    * length). BOTH public pointer dialects parse: the TAB cluster.idx
+    * form this writer emits (`key TAB member TAB offset TAB length`)
+    * and the CDXJ-json form (`key [ts] {"offset":..,"length":..,
+    * "filename":..}`, the wabac.js compressed-index shape). */
+  private def parseIdxLine(
+      l: String, shortName: String,
+      mapper: com.fasterxml.jackson.databind.ObjectMapper)
+      : (String, String, Long, Long) = {
+    val tabs = l.split("\t")
+    if (tabs.length >= 4)
+      (tabs(0).split(" ")(0), tabs(1), tabs(2).toLong, tabs(3).toLong)
+    else {
+      val brace = l.indexOf('{')
+      require(brace > 0, s"$shortName: unrecognized idx line '$l'")
+      val key = l.substring(0, brace).trim.split(" ")(0)
+      val j = mapper.readTree(l.substring(brace))
+      require(j.get("offset") != null && j.get("length") != null,
+        s"$shortName: idx json without offset/length: '$l'")
+      (key,
+        Option(j.get("filename")).map(_.asText()).getOrElse("index.cdx.gz"),
+        j.get("offset").asLong(), j.get("length").asLong())
+    }
+  }
+
+  /** lines of one decoded index payload: gzip members → text → lines */
+  private def memberLines(raw: Array[Byte]): Seq[String] =
+    Gzip.members(new java.io.ByteArrayInputStream(raw))
+      .flatMap(m => new String(m.bytes, UTF_8).split("\n", -1))
+      .filter(_.nonEmpty).toSeq
+
+  /** shared per-archive scaffolding for the (wacz, line) readers: glob,
+    * one partition per archive, positioned-read fn per file */
+  private def archiveLineRows(spark: SparkSession, pathGlob: String, what: String)(
+      fn: ((Long, Array[Byte]) => Unit, Long, String) => Seq[String]): DataFrame = {
     val sc = spark.sparkContext
     val sconf = new SerializableHadoopConf(sc.hadoopConfiguration)
     val glob = new Path(pathGlob)
     val fs = glob.getFileSystem(sc.hadoopConfiguration)
     val files = fs.globStatus(glob)
-    require(files != null && files.nonEmpty, s"Wacz.scanIndex: no files match $pathGlob")
+    require(files != null && files.nonEmpty, s"Wacz.$what: no files match $pathGlob")
     val paths = files.toSeq.filter(_.isFile).map(st => (st.getPath.toString, st.getLen))
     val rows = sc.parallelize(paths, math.max(paths.size, 1)).flatMap {
       case (file, len) =>
@@ -627,7 +688,7 @@ object Wacz {
         val p = new Path(file)
         val pfs = p.getFileSystem(sconf.value)
         val in = pfs.open(p)
-        try indexLines(positionedReader(in), len, shortName)
+        try fn(positionedReader(in), len, shortName)
           .map(line => org.apache.spark.sql.Row(shortName, line)).iterator
         finally in.close()
     }
@@ -636,21 +697,6 @@ object Wacz {
         org.apache.spark.sql.types.StringType),
       org.apache.spark.sql.types.StructField("line",
         org.apache.spark.sql.types.StringType))))
-  }
-
-  /** pure block selection for [[lookupPrefix]]: block i covers keys in
-    * [firstKey_i, firstKey_{i+1}] — the CLOSED upper bound because a run
-    * of equal urlkeys can straddle a block boundary — so it can hold a
-    * prefix match iff firstKey_i ≤ (prefix + maxChar) and
-    * firstKey_{i+1} ≥ prefix. Over-selection is harmless (lines are
-    * re-filtered); under-selection would silently drop captures. */
-  private[graft] def selectBlocks(
-      firstKeys: IndexedSeq[String], prefix: String): Seq[Int] = {
-    val hi = prefix + "￿"
-    firstKeys.indices.filter { i =>
-      firstKeys(i) <= hi &&
-        (i + 1 >= firstKeys.length || firstKeys(i + 1) >= prefix)
-    }
   }
 
   /** Bounded PREFIX LOOKUP over the big-archive index form (`write`
@@ -663,58 +709,37 @@ object Wacz {
     * fall back to a full index read + filter. Rows (wacz, line). */
   def lookupPrefix(spark: SparkSession, pathGlob: String, prefix: String): DataFrame = {
     require(prefix.nonEmpty, "Wacz.lookupPrefix: empty prefix (use scanIndex)")
-    val sc = spark.sparkContext
-    val sconf = new SerializableHadoopConf(sc.hadoopConfiguration)
-    val glob = new Path(pathGlob)
-    val fs = glob.getFileSystem(sc.hadoopConfiguration)
-    val files = fs.globStatus(glob)
-    require(files != null && files.nonEmpty,
-      s"Wacz.lookupPrefix: no files match $pathGlob")
-    val paths = files.toSeq.filter(_.isFile).map(st => (st.getPath.toString, st.getLen))
-    val rows = sc.parallelize(paths, math.max(paths.size, 1)).flatMap {
-      case (file, len) =>
-        val shortName = file.substring(file.lastIndexOf('/') + 1)
-        val p = new Path(file)
-        val pfs = p.getFileSystem(sconf.value)
-        val in = pfs.open(p)
-        try {
-          val read = positionedReader(in)
-          val entries = centralDirectory(read, len)
-          val byName = entries.map(e => e.name -> e).toMap
-          val lines: Seq[String] = byName.get("indexes/index.idx") match {
-            case Some(idxEntry) =>
-              val blocks = new String(entryBytes(read, idxEntry), UTF_8)
-                .split("\n", -1).toIndexedSeq.filter(_.nonEmpty).map { l =>
-                  val f = l.split("\t")
-                  require(f.length >= 4, s"$shortName: malformed idx line '$l'")
-                  (f(0), f(2).toLong, f(3).toLong)
-                }
-              val cdxGz = byName.getOrElse("indexes/index.cdx.gz",
+    archiveLineRows(spark, pathGlob, "lookupPrefix") { (read, len, shortName) =>
+      val byName = centralDirectory(read, len).map(e => e.name -> e).toMap
+      val lines: Seq[String] = byName.get("indexes/index.idx") match {
+        case Some(idxEntry) =>
+          val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+          val blocks = new String(entryBytes(read, idxEntry), UTF_8)
+            .split("\n", -1).toIndexedSeq.filter(_.nonEmpty)
+            .map(parseIdxLine(_, shortName, mapper))
+          // pointers name their member (sharded cdx.gz parts are
+          // spec-legal) — resolve each member's data offset once
+          val memberBase = scala.collection.mutable.HashMap.empty[String, Long]
+          def baseOf(member: String): Long =
+            memberBase.getOrElseUpdate(member, {
+              val e = byName.getOrElse(s"indexes/$member",
                 throw new IllegalArgumentException(
-                  s"$shortName: index.idx without index.cdx.gz"))
-              require(cdxGz.method == 0,
-                s"$shortName: index.cdx.gz must be STORED for block-positioned reads")
-              val base = dataOffset(read, cdxGz)
-              selectBlocks(blocks.map(_._1), prefix).flatMap { i =>
-                val (_, off, blen) = blocks(i)
-                val buf = new Array[Byte](blen.toInt)
-                read(base + off, buf)
-                Gzip.members(new java.io.ByteArrayInputStream(buf))
-                  .flatMap(m => new String(m.bytes, UTF_8).split("\n", -1))
-                  .filter(_.nonEmpty)
-              }
-            case None =>
-              indexLines(read, len, shortName)
+                  s"$shortName: idx points at missing indexes/$member"))
+              require(e.method == 0,
+                s"$shortName: $member must be STORED for block-positioned reads")
+              dataOffset(read, e)
+            })
+          selectBlocks(blocks.map(_._1), prefix).flatMap { i =>
+            val (_, member, off, blen) = blocks(i)
+            val buf = new Array[Byte](blen.toInt)
+            read(baseOf(member) + off, buf)
+            memberLines(buf)
           }
-          lines.filter(_.startsWith(prefix))
-            .map(line => org.apache.spark.sql.Row(shortName, line)).iterator
-        } finally in.close()
+        case None =>
+          indexLines(read, len, shortName)
+      }
+      lines.filter(_.startsWith(prefix))
     }
-    spark.createDataFrame(rows, org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("wacz",
-        org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("line",
-        org.apache.spark.sql.types.StringType))))
   }
 
   /** Replay single records through the ZIP: `requests` = (wacz, filename,

@@ -138,6 +138,18 @@ object Formats extends QueryModule {
     * archives — one deterministic build per (session, sf dir), the
     * [[sharedCluster]] discipline verbatim (same reap rationale, same
     * heartbeat, same keyTag-suffixed path so cache keys never alias). */
+  private val waczCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def waczCorpus(s: SparkSession, d: String): String =
+    sharedBuild(waczCache, "wacz_shared", s, d)(newDir =>
+      graft.formats.Wacz.write(
+        Cdx.df(s, d).where(col("record_type") === "response")
+          .selectExpr("filename AS shard", "urlkey", "url", "ts", "status",
+            "mime",
+            "CAST(concat('payload:', urlkey, '@', ts) AS BINARY) AS payload",
+            "concat('Title ', id % 100) AS title"),
+        newDir))
+
   /** the collection-form twin (one wacz per crawl segment, blocked
     * big-archive index) shared by sink_wacz_collection and
     * wacz_prefix_lookup */
@@ -152,18 +164,6 @@ object Formats extends QueryModule {
             "filename AS shard", "urlkey", "url", "ts", "status", "mime",
             "CAST(concat('payload:', urlkey, '@', ts) AS BINARY) AS payload"),
         newDir, indexLinesPerBlock = 64))
-
-  private val waczCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def waczCorpus(s: SparkSession, d: String): String =
-    sharedBuild(waczCache, "wacz_shared", s, d)(newDir =>
-      graft.formats.Wacz.write(
-        Cdx.df(s, d).where(col("record_type") === "response")
-          .selectExpr("filename AS shard", "urlkey", "url", "ts", "status",
-            "mime",
-            "CAST(concat('payload:', urlkey, '@', ts) AS BINARY) AS payload",
-            "concat('Title ', id % 100) AS title"),
-        newDir))
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
     // best-effort GC, wholesale: walk() itself (open, or the sorted
@@ -1097,7 +1097,10 @@ object Formats extends QueryModule {
     // deduped corpus closed-form, so dedup, packaging, verification, and
     // pointer replay are pinned end-to-end in ONE key.
     "pipeline_wacz_publish" -> ((s, d) => {
-      val dir = tmp(d, "wacz_publish")
+      // session-unique target (keyTag): tmp() alone keys by basename(d),
+      // so two processes on data dirs sharing a basename would mutate
+      // ONE directory another invocation is glob-reading mid-publish
+      val dir = tmp(d, s"wacz_publish_${keyTag(sessionKey(s, d))}")
       val base = Cdx.df(s, d).where(col("record_type") === "response")
       val deduped = base.groupBy("digest")
         .agg(min_by(

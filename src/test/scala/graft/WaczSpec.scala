@@ -254,6 +254,54 @@ class WaczSpec extends SparkSpec {
     assert(sel.contains(50000))
   }
 
+  test("selectBlocks compares in UTF-8 byte order — supplementary-char prefixes keep their blocks") {
+    // Spark sorts the index in UTF-8 bytes: U+FF61 (EF BD A1) < U+1F600
+    // (F0 9F 98 80). Java's UTF-16 compareTo INVERTS them (0xFF61 >
+    // 0xD83D), and a U+FFFF sentinel sorts BELOW supplementary chars —
+    // either mistake silently drops the straddling block for an
+    // emoji/supplementary prefix.
+    val fks = IndexedSeq("com/a", "com/｡a", "com/😀x")
+    val sel = Wacz.selectBlocks(fks, "com/😀")
+    assert(sel == Seq(1, 2), s"got $sel")
+  }
+
+  test("lookupPrefix parses the CDXJ-json idx dialect and honors its filename field") {
+    val dir = s"$base/jsonidx"
+    Files.createDirectories(Paths.get(dir))
+    val p = Paths.get(s"$dir/jsonidx.wacz")
+    def gz(lines: String): Array[Byte] =
+      graft.formats.Gzip.compressMember(lines.getBytes("UTF-8"))
+    val b1 = gz("com,a)/ 20200101000000 {\"url\":\"http://a/\"}\n" +
+      "com,b)/ 20200102000000 {\"url\":\"http://b/\"}\n")
+    val b2 = gz("org,c)/ 20200103000000 {\"url\":\"http://c/\"}\n")
+    val cdxGz = b1 ++ b2
+    val idx = (s"""com,a)/ 20200101000000 {"offset": 0, "length": ${b1.length}, "filename": "index.cdx.gz"}""" +
+      "\n" +
+      s"""org,c)/ 20200103000000 {"offset": ${b1.length}, "length": ${b2.length}, "filename": "index.cdx.gz"}""" +
+      "\n").getBytes("UTF-8")
+    val out = new java.util.zip.ZipOutputStream(Files.newOutputStream(p))
+    try {
+      def stored(name: String, bytes: Array[Byte]): Unit = {
+        val e = new java.util.zip.ZipEntry(name)
+        e.setMethod(java.util.zip.ZipEntry.STORED)
+        e.setSize(bytes.length.toLong)
+        e.setCompressedSize(bytes.length.toLong)
+        val c = new java.util.zip.CRC32(); c.update(bytes)
+        e.setCrc(c.getValue)
+        e.setTimeLocal(java.time.LocalDateTime.of(2020, 1, 1, 0, 0, 0))
+        out.putNextEntry(e); out.write(bytes); out.closeEntry()
+      }
+      stored("indexes/index.cdx.gz", cdxGz)
+      stored("indexes/index.idx", idx)
+    } finally out.close()
+    val got = Wacz.lookupPrefix(spark, s"$dir/*.wacz", "org,")
+      .collect().map(_.getString(1)).toSeq
+    assert(got == Seq("org,c)/ 20200103000000 {\"url\":\"http://c/\"}"), got.toString)
+    val all = Wacz.lookupPrefix(spark, s"$dir/*.wacz", "com,")
+      .collect().map(_.getString(1)).sorted.toSeq
+    assert(all.length == 2 && all.forall(_.startsWith("com,")), all.toString)
+  }
+
   test("big-archive index form: blocked cdx.gz + idx; pruned lookup == filtered scan") {
     val dir = s"$base/blocked"
     val p = Paths.get(dir)
