@@ -435,6 +435,40 @@ object CdxOps extends QueryModule {
       graft.ops.Psl.registeredDomain(hosts).orderBy("host")
     }),
 
+    // DOMAIN-LEVEL WEB-GRAPH collapse — the public webgraph release
+    // shape above the URL-level feed (html_links): edges roll up to PSL
+    // REGISTERED domains (naive last-two-labels is wrong for ccSLDs,
+    // wildcards, and exceptions — the reason this routes through
+    // ops.Psl), endpoints with no registrable domain (the host IS a
+    // public suffix) drop their edges, weight = link count. Shape: PSL
+    // runs on the DISTINCT endpoint hosts only; the edge corpus takes
+    // two broadcast host→domain joins + ONE (src, dst) hash agg —
+    // a billion-edge graph never shuffles on anything but the final
+    // bounded (domain, domain) key. Planted dst hosts cycle the full
+    // PSL precedence fixture, so wildcard/exception/suffix-null arms
+    // all reach the collapsed graph (3 of 8 dst classes legitimately
+    // drop — the oracle proves exactly which).
+    "graph_domain_collapse" -> ((s, d) => {
+      val edges = Cdx.df(s, d).where(col("record_type") === "response")
+        .select(col("host").as("src_host"),
+          element_at(
+            typedLit(graft.ops.Psl.fixtureHosts),
+            (col("id") % 8 + 1).cast("int")).as("dst_host"))
+      val hosts = edges.select(col("src_host").as("host"))
+        .unionByName(edges.select(col("dst_host").as("host"))).distinct()
+      val reg = graft.ops.Psl.registeredDomain(hosts)
+        .select(col("host"), col("registered_domain"))
+      edges
+        .join(broadcast(reg.withColumnRenamed("host", "src_host")
+          .withColumnRenamed("registered_domain", "src_domain")), "src_host")
+        .join(broadcast(reg.withColumnRenamed("host", "dst_host")
+          .withColumnRenamed("registered_domain", "dst_domain")), "dst_host")
+        .where(col("src_domain").isNotNull && col("dst_domain").isNotNull)
+        .groupBy("src_domain", "dst_domain")
+        .agg(count(lit(1)).as("n_links"))
+        .orderBy("src_domain", "dst_domain")
+    }),
+
     // C4-style broadcast URL/domain blocklist gate (Raffel et al. 2020
     // §2.2): registered-domain membership through the FULL public-suffix
     // precedence (listing low.example.org blocks every www.low.… capture;
@@ -761,6 +795,26 @@ object CdxOps extends QueryModule {
         "THEN array_to_string(l.labels[l.n - coalesce(b.ps_n, 1):], '.') END AS registered_domain " +
         "FROM lab l LEFT JOIN best b USING (host) ORDER BY l.host"),
 
+    // same PSL chain over the edge endpoints' host universe; the
+    // planted dst cycle is replayed as a CASE over id%8
+    "graph_domain_collapse" -> o {
+      val dstCase = "CASE CAST(id % 8 AS INT) " +
+        graft.ops.Psl.fixtureHosts.zipWithIndex
+          .map { case (h, i) => s"WHEN $i THEN '$h'" }.mkString(" ") + " END"
+      s", edges AS (SELECT host AS src_host, $dstCase AS dst_host " +
+        "FROM cdx WHERE record_type = 'response')" +
+        pslChainDuck("SELECT DISTINCT src_host AS host FROM edges " +
+          "UNION SELECT DISTINCT dst_host FROM edges") +
+        ", reg AS (SELECT l.host, CASE WHEN l.n > coalesce(b.ps_n, 1) " +
+        "THEN array_to_string(l.labels[l.n - coalesce(b.ps_n, 1):], '.') END " +
+        "AS registered_domain FROM lab l LEFT JOIN best b USING (host)) " +
+        "SELECT rs.registered_domain AS src_domain, " +
+        "rd.registered_domain AS dst_domain, count(*) AS n_links " +
+        "FROM edges e JOIN reg rs ON e.src_host = rs.host " +
+        "JOIN reg rd ON e.dst_host = rd.host " +
+        "WHERE rs.registered_domain IS NOT NULL AND rd.registered_domain IS NOT NULL " +
+        "GROUP BY 1, 2 ORDER BY 1, 2"
+    },
     // full PSL precedence replay over the gate's host universe, then the
     // two arms exactly as the engine computes them (IN on the nullable
     // registered domain coalesced false, host-equals fallback, substring
