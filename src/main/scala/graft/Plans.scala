@@ -127,7 +127,8 @@ object Plans {
     "sink_ccindex" -> "(crawl, subset) predicates land as PARTITION filters on the columnar index scan: 16 cells on disk, 1 read — directory pruning before any row group opens",
     "wacz_fetch_record" -> "record replay through the ZIP: index scan is one tail read + the index entry per archive; each record is ONE positioned read through the STORED entry — no archive-sized scan anywhere in the plan",
     "wacz_prefix_lookup" -> "blocked big-archive index served boundedly: idx pointers select the blocks whose CLOSED key ranges can hold the prefix; only those gzip members read — O(idx + matching blocks), the cluster.idx discipline through a ZIP",
-    "pipeline_wacz_publish" -> "dedup -> package -> verify-gate -> replay as ONE lazy plan: time-first originals via a mergeable min_by agg (no hot-digest window), verification is a bounded pre-read gate, the replay is pointer-sized")
+    "pipeline_wacz_publish" -> "dedup -> package -> verify-gate -> replay as ONE lazy plan: time-first originals via a mergeable min_by agg (no hot-digest window), verification is a bounded pre-read gate, the replay is pointer-sized",
+    "graph_domain_collapse" -> "PSL runs on DISTINCT endpoint hosts only; the edge corpus takes two BROADCAST host->domain joins + one hash agg on the bounded (domain, domain) key — no edge-sized shuffle anywhere")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse(
