@@ -202,25 +202,30 @@ object Wacz {
     // VALIDATE BEFORE WRITE (the WarcSink pre-flight): collection
     // basenames name the output files; shard basenames name the inner
     // members — both must be non-null and collision-free at their level
+    // a value ending in '/' (or named exactly '.warc.gz') normalizes to
+    // an EMPTY basename → a hidden '.wacz'/'.warc.gz' output that the
+    // stale-temp sweep, the '*.wacz' globs, and the V2 source's
+    // leading-dot exclusion all skip: written but silently unreadable.
+    // Reject empty basenames up front alongside null and clashes.
     val clash = df1.select(col("collection"))
       .groupBy(waczNameCol(col("collection")).as("base"))
       .agg(countDistinct(col("collection")).as("n"))
-      .filter(col("base").isNull || col("n") > 1)
+      .filter(col("base").isNull || col("base") === ".wacz" || col("n") > 1)
       .limit(5).collect()
     require(clash.isEmpty,
-      "Wacz.write: collection values must be non-null with unique " +
-        "normalized basenames (they name the output .wacz files); " +
-        "offending: " + clash.map(r => String.valueOf(r.get(0))).mkString(", "))
+      "Wacz.write: collection values must be non-null with unique, " +
+        "NON-EMPTY normalized basenames (they name the output .wacz " +
+        "files); offending: " + clash.map(r => String.valueOf(r.get(0))).mkString(", "))
     val innerClash = df1.select(col("collection"), col("shard"))
       .groupBy(waczNameCol(col("collection")).as("wacz"),
         innerWarcNameCol(col("shard")).as("inner"))
       .agg(countDistinct(col("shard")).as("n"))
-      .filter(col("inner").isNull || col("n") > 1)
+      .filter(col("inner").isNull || col("inner") === ".warc.gz" || col("n") > 1)
       .limit(5).collect()
     require(innerClash.isEmpty,
       "Wacz.write: shard values must be non-null and their normalized " +
-        "basenames unique WITHIN each collection (they name the inner " +
-        "WARC members); offending: " +
+        "basenames non-empty and unique WITHIN each collection (they " +
+        "name the inner WARC members); offending: " +
         innerClash.map(r => s"${r.get(0)}!${r.get(1)}").mkString(", "))
     val dirPath = new Path(dir)
     val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -665,6 +670,24 @@ object Wacz {
     }
   }
 
+  /** Resolve an archive glob to (path, length) pairs. Directory matches
+    * expand to their `.wacz` children (the V2 source's
+    * planInputPartitions rule) so a dir-only glob fails loudly here
+    * instead of silently yielding an empty frame downstream. */
+  private def archiveFiles(
+      fs: org.apache.hadoop.fs.FileSystem, glob: Path, what: String): Seq[(String, Long)] = {
+    val files = Option(fs.globStatus(glob)).map(_.toSeq).getOrElse(Seq.empty)
+    val paths = files.flatMap { st =>
+      if (st.isFile) Seq(st)
+      else fs.listStatus(st.getPath).toSeq.filter { c =>
+        val n = c.getPath.getName
+        c.isFile && !n.startsWith("_") && !n.startsWith(".") && n.endsWith(".wacz")
+      }
+    }.map(st => (st.getPath.toString, st.getLen))
+    require(paths.nonEmpty, s"Wacz.$what: no archive files match $glob")
+    paths
+  }
+
   /** lines of one decoded index payload: gzip members → text → lines */
   private def memberLines(raw: Array[Byte]): Seq[String] =
     Gzip.members(new java.io.ByteArrayInputStream(raw))
@@ -679,9 +702,7 @@ object Wacz {
     val sconf = new SerializableHadoopConf(sc.hadoopConfiguration)
     val glob = new Path(pathGlob)
     val fs = glob.getFileSystem(sc.hadoopConfiguration)
-    val files = fs.globStatus(glob)
-    require(files != null && files.nonEmpty, s"Wacz.$what: no files match $pathGlob")
-    val paths = files.toSeq.filter(_.isFile).map(st => (st.getPath.toString, st.getLen))
+    val paths = archiveFiles(fs, glob, what)
     val rows = sc.parallelize(paths, math.max(paths.size, 1)).flatMap {
       case (file, len) =>
         val shortName = file.substring(file.lastIndexOf('/') + 1)
@@ -824,9 +845,7 @@ object Wacz {
     val sconf = new SerializableHadoopConf(sc.hadoopConfiguration)
     val glob = new Path(pathGlob)
     val fs = glob.getFileSystem(sc.hadoopConfiguration)
-    val files = fs.globStatus(glob)
-    require(files != null && files.nonEmpty, s"Wacz.verify: no files match $pathGlob")
-    val paths = files.toSeq.filter(_.isFile).map(st => (st.getPath.toString, st.getLen))
+    val paths = archiveFiles(fs, glob, "verify")
     val rows = sc.parallelize(paths, math.max(paths.size, 1)).flatMap {
       case (file, len) =>
         val shortName = file.substring(file.lastIndexOf('/') + 1)
@@ -855,22 +874,30 @@ object Wacz {
             } else {
               require(e.method == 8, s"${e.name}: unsupported method ${e.method}")
               val inf = new java.util.zip.Inflater(true)
-              val cbuf = new Array[Byte](64 << 10)
-              var cdone = 0L
-              var total = 0L
-              while (!inf.finished() && (cdone < e.compressedSize || !inf.needsInput())) {
-                if (inf.needsInput()) {
-                  val n = math.min(cbuf.length.toLong, e.compressedSize - cdone).toInt
-                  val chunk = if (n == cbuf.length) cbuf else new Array[Byte](n)
-                  read(dataOff + cdone, chunk)
-                  inf.setInput(chunk, 0, n)
-                  cdone += n
+              try {
+                val cbuf = new Array[Byte](64 << 10)
+                var cdone = 0L
+                var total = 0L
+                while (!inf.finished() && (cdone < e.compressedSize || !inf.needsInput())) {
+                  if (inf.needsInput()) {
+                    val n = math.min(cbuf.length.toLong, e.compressedSize - cdone).toInt
+                    val chunk = if (n == cbuf.length) cbuf else new Array[Byte](n)
+                    read(dataOff + cdone, chunk)
+                    inf.setInput(chunk, 0, n)
+                    cdone += n
+                  }
+                  val n = inf.inflate(buf)
+                  if (n > 0) { sha.update(buf, 0, n); total += n }
+                  // zero-progress stall guard (the entryBytes rule): an
+                  // inflater that produces nothing while holding input and
+                  // not finished (e.g. needsDictionary on a foreign entry)
+                  // would spin this loop forever — fail the entry loudly
+                  else if (!inf.needsInput() && !inf.finished())
+                    throw new java.util.zip.DataFormatException(
+                      s"${e.name}: deflate stream stalled (no progress)")
                 }
-                val n = inf.inflate(buf)
-                if (n > 0) { sha.update(buf, 0, n); total += n }
-              }
-              inf.end()
-              (hex(sha.digest()), total)
+                (hex(sha.digest()), total)
+              } finally inf.end()
             }
           }
           val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -893,11 +920,18 @@ object Wacz {
               case None =>
                 Row(shortName, path, declaredSha, null, declaredBytes, null, false)
               case Some(e) =>
-                val (actualSha, actualBytes) = digestOf(e)
-                val ok = declaredSha == actualSha &&
-                  (declaredBytes == null || declaredBytes.longValue() == actualBytes)
-                Row(shortName, path, declaredSha, actualSha, declaredBytes,
-                  java.lang.Long.valueOf(actualBytes), ok)
+                // a corrupt/undecodable resource is a PER-RESOURCE failure
+                // (ok=false row), not a job abort: verification stays a
+                // reporting operation across a multi-archive glob
+                scala.util.Try(digestOf(e)) match {
+                  case scala.util.Success((actualSha, actualBytes)) =>
+                    val ok = declaredSha == actualSha &&
+                      (declaredBytes == null || declaredBytes.longValue() == actualBytes)
+                    Row(shortName, path, declaredSha, actualSha, declaredBytes,
+                      java.lang.Long.valueOf(actualBytes), ok)
+                  case scala.util.Failure(_) =>
+                    Row(shortName, path, declaredSha, null, declaredBytes, null, false)
+                }
             }
           }
           // the manifest's own seal

@@ -62,16 +62,22 @@ object WaczSource {
     Set("url", "mime", "status", "digest", "length", "offset", "filename")
 
   /** compile the pushed urlkey predicates into one String => Boolean
-    * (conjunction); ASCII SURT keys make Java/UTF8String orders agree,
-    * and the filters stay residual above the scan regardless */
-  private[sources] def urlkeyPredicate(pushed: Seq[Filter]): String => Boolean = {
+    * (conjunction). Range comparisons use UNSIGNED UTF-8 BYTE order
+    * ([[graft.formats.ZipNum.utf8Compare]]) — the order Spark's
+    * UTF8String comparison uses — NOT Java's UTF-16 `String` order,
+    * which inverts supplementary characters vs [U+E000, U+FFFF].
+    * Because this skip happens BELOW the scan, an under-selection here
+    * would drop rows Spark's residual re-check can never restore; byte
+    * order makes the reader keep exactly what Spark's predicate keeps. */
+  private[graft] def urlkeyPredicate(pushed: Seq[Filter]): String => Boolean = {
+    import graft.formats.ZipNum.utf8Compare
     val tests = pushed.collect {
       case EqualTo("urlkey", v: String) => (k: String) => k == v
       case StringStartsWith("urlkey", v) => (k: String) => k.startsWith(v)
-      case GreaterThanOrEqual("urlkey", v: String) => (k: String) => k >= v
-      case GreaterThan("urlkey", v: String) => (k: String) => k > v
-      case LessThanOrEqual("urlkey", v: String) => (k: String) => k <= v
-      case LessThan("urlkey", v: String) => (k: String) => k < v
+      case GreaterThanOrEqual("urlkey", v: String) => (k: String) => utf8Compare(k, v) >= 0
+      case GreaterThan("urlkey", v: String) => (k: String) => utf8Compare(k, v) > 0
+      case LessThanOrEqual("urlkey", v: String) => (k: String) => utf8Compare(k, v) <= 0
+      case LessThan("urlkey", v: String) => (k: String) => utf8Compare(k, v) < 0
     }
     k => tests.forall(_(k))
   }

@@ -357,4 +357,23 @@ class SourceV2Spec extends SparkSpec {
       GreaterThanOrEqual("ts", "20150220000000")))
     assert(tsOnly.lo.isEmpty && tsOnly.hi.isEmpty)
   }
+
+  test("wacz urlkey pushdown ranges compare in UTF-8 byte order, not UTF-16") {
+    // U+FF61 (EF BD A1) < U+1F600 (F0 9F 98 80) in UTF-8 bytes; Java's
+    // UTF-16 compareTo inverts them (0xFF61 > surrogate 0xD83D). The
+    // skip happens BELOW the scan, so a UTF-16 comparison would drop
+    // rows Spark's residual re-check can never restore.
+    val hi = "com/😀x" // supplementary: 😀
+    val lo = "com/｡a"       // BMP ｡ — UTF-16-greater, UTF-8-smaller
+    val gt = graft.sources.WaczSource.urlkeyPredicate(
+      Seq(org.apache.spark.sql.sources.GreaterThan("urlkey", lo)))
+    assert(gt(hi), "byte order must keep the supplementary key above the BMP bound")
+    val le = graft.sources.WaczSource.urlkeyPredicate(
+      Seq(org.apache.spark.sql.sources.LessThanOrEqual("urlkey", hi)))
+    assert(le(lo), "byte order must keep the BMP key below the supplementary bound")
+    // and the Spark-side truth agrees: UTF8String comparison
+    import org.apache.spark.unsafe.types.UTF8String
+    assert(UTF8String.fromString(hi).compareTo(UTF8String.fromString(lo)) > 0)
+    assert(lo.compareTo(hi) > 0, "Java order really is inverted for this pair")
+  }
 }

@@ -430,4 +430,87 @@ class WaczSpec extends SparkSpec {
     assert(lines.head.getString(0) == "foreign.wacz")
     assert(lines.head.getString(1).startsWith("com,x)/ 20200101000000"))
   }
+
+  test("write pre-flight rejects EMPTY normalized basenames (trailing '/', bare extension)") {
+    val dir = s"$base/emptyname"
+    Files.createDirectories(Paths.get(dir))
+    // collection ending in '/' → basename '' → hidden '.wacz'
+    val e1 = intercept[IllegalArgumentException] {
+      Wacz.write(fixtureDf.withColumn("collection",
+        org.apache.spark.sql.functions.lit("seg/")), dir)
+    }
+    assert(e1.getMessage.contains("NON-EMPTY"), e1.getMessage)
+    // shard named exactly '.warc.gz' → inner basename '' → hidden member
+    val e2 = intercept[IllegalArgumentException] {
+      Wacz.write(fixtureDf
+        .withColumn("collection", org.apache.spark.sql.functions.lit("ok-coll"))
+        .withColumn("shard", org.apache.spark.sql.functions.lit(".warc.gz")), dir)
+    }
+    assert(e2.getMessage.contains("non-empty"), e2.getMessage)
+    // nothing was written
+    assert(Files.list(Paths.get(dir)).filter(_.toString.endsWith(".wacz")).count() == 0)
+  }
+
+  test("scanIndex/verify expand a directory match to its .wacz children; dir with none fails loudly") {
+    val dir = s"$base/dirglob"
+    writeFixture(dir)
+    // the glob matches the DIRECTORY itself — readers expand to children
+    val viaDir = Wacz.scanIndex(spark, dir).collect().map(_.getString(1)).sorted.toSeq
+    val viaGlob = Wacz.scanIndex(spark, s"$dir/*.wacz").collect().map(_.getString(1)).sorted.toSeq
+    assert(viaDir == viaGlob && viaDir.length == 4, viaDir.toString)
+    assert(Wacz.verify(spark, dir).count() == 8)
+    // a directory with NO archives fails loudly, not an empty frame
+    val empty = s"$base/dirglob_empty"
+    Files.createDirectories(Paths.get(empty))
+    val ex = intercept[IllegalArgumentException] {
+      Wacz.scanIndex(spark, empty)
+    }
+    assert(ex.getMessage.contains("no archive files"), ex.getMessage)
+  }
+
+  test("verify reports a corrupt DEFLATED resource as ok=false instead of aborting the glob") {
+    val dir = s"$base/verify_corrupt"
+    val p0 = Paths.get(dir)
+    if (Files.exists(p0))
+      Files.walk(p0).sorted(java.util.Comparator.reverseOrder())
+        .forEach(q => Files.deleteIfExists(q))
+    Files.createDirectories(p0)
+    // a clean engine-written archive next to a foreign one with a
+    // DEFLATED resource whose stream we corrupt mid-data
+    writeFixture(dir)
+    val p = Paths.get(s"$dir/zforeign.wacz")
+    // incompressible body so the deflate stream is long enough that the
+    // corruption window below stays strictly inside the entry's data
+    val body = new Array[Byte](8192)
+    new java.util.Random(42L).nextBytes(body)
+    val out = new java.util.zip.ZipOutputStream(Files.newOutputStream(p))
+    try {
+      val e = new java.util.zip.ZipEntry("archive/x.warc.gz") // DEFLATED
+      e.setTimeLocal(java.time.LocalDateTime.of(2020, 1, 1, 0, 0, 0))
+      out.putNextEntry(e); out.write(body); out.closeEntry()
+      val sha = java.security.MessageDigest.getInstance("SHA-256").digest(body)
+      val hexSha = sha.map(b => f"$b%02x").mkString
+      val dp = (s"""{"resources":[{"path":"archive/x.warc.gz",""" +
+        s""""hash":"sha256:$hexSha","bytes":${body.length}}]}""").getBytes("UTF-8")
+      val de = new java.util.zip.ZipEntry("datapackage.json")
+      de.setMethod(java.util.zip.ZipEntry.STORED)
+      de.setSize(dp.length.toLong); de.setCompressedSize(dp.length.toLong)
+      val crc = new java.util.zip.CRC32(); crc.update(dp)
+      de.setCrc(crc.getValue)
+      de.setTimeLocal(java.time.LocalDateTime.of(2020, 1, 1, 0, 0, 0))
+      out.putNextEntry(de); out.write(dp); out.closeEntry()
+    } finally out.close()
+    // zero a run inside the deflate data so inflate errors or stalls
+    val bytes = Files.readAllBytes(p)
+    val dataStart = 30 + "archive/x.warc.gz".length
+    java.util.Arrays.fill(bytes, dataStart + 40, dataStart + 120, 0.toByte)
+    Files.write(p, bytes)
+    val ver = Wacz.verify(spark, s"$dir/*.wacz")
+      .select("wacz", "path", "ok").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getBoolean(2)).toMap
+    // the corrupt resource is a per-resource failure…
+    assert(ver(("zforeign.wacz", "archive/x.warc.gz")) == false, ver.toString)
+    // …and the clean archives in the SAME glob still verified green
+    assert(ver.count { case ((w, _), ok) => w != "zforeign.wacz" && ok } == 8, ver.toString)
+  }
 }
