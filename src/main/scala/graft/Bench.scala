@@ -31,6 +31,30 @@ object Bench {
   private[graft] def touchedFromEnv(env: Option[String]): Set[String] =
     env.iterator.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty).toSet
 
+  /** The heavy file-IO write lines whose run-to-run swing on this host is
+    * ±70% even idle (BASELINE round-13 rows: sink_wet 3.9↔12.1 s,
+    * sink_warc_revisit_write 8.8↔12.2 s — all BenchOne-stable warm, so
+    * the swing is ambient FS/page-cache state, not plan variance). These
+    * are measured as the MEDIAN OF 3 back-to-back samples (round-14
+    * protocol, BASELINE row documents it): one cold-cache outlier can no
+    * longer own the line, so a future slowdown on them is attributable
+    * to a code change. They are EXCLUDED from the rerun-keep-minimum
+    * path — three samples already bound the noise, and folding a
+    * keep-minimum over a median would bias the statistic downward.
+    *
+    * Membership rule: only keys that do their WRITE WORK ON EVERY CALL
+    * qualify. A key serving from a session-memoized corpus
+    * (sink_wacz_collection — the first protocol run measured its median
+    * at 0.12 s because samples 2–3 hit the sharedBuild cache and the
+    * one-time build fell out of the statistic entirely) must stay
+    * single-sample so its line honestly carries the build. */
+  private[graft] val HeavyWriteMedian3: Set[String] = Set(
+    "sink_wet", "sink_wat", "sink_warc_write", "sink_warc_revisit_write",
+    "pipeline_wacz_publish")
+
+  /** upper median of the sorted successful samples */
+  private[graft] def median(sorted: Seq[Double]): Double = sorted(sorted.size / 2)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -91,7 +115,15 @@ object Bench {
       ((System.nanoTime() - t0) / 1e9, ok)
     }
     val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> timeOne(name, fn, recordFailure = true)
+      val first = timeOne(name, fn, recordFailure = true)
+      // heavy-write lines: two more back-to-back samples, record the
+      // median (see HeavyWriteMedian3) — only when the first run was
+      // green (a failing query must not run three times)
+      if (first._2 && HeavyWriteMedian3.contains(name)) {
+        val more = (1 to 2).map(_ => timeOne(name, fn, recordFailure = false))
+        val oks = (first +: more).filter(_._2).map(_._1).sorted
+        name -> (median(oks), true)
+      } else name -> first
     }
     // BASELINE.md protocol (round-3 verdict item 7): a line >3× its
     // like-for-like idle reference (bench_local32.json, committed in-repo)
@@ -123,7 +155,7 @@ object Bench {
     // failed list is their (loud) record
     val results = firstPass.flatMap { case (name, (t, ok)) =>
       if (!ok) None
-      else if (!susp(name, t)) Some(name -> t)
+      else if (!susp(name, t) || HeavyWriteMedian3.contains(name)) Some(name -> t)
       else Some {
         reran += name
         // a FAILED rerun must not donate its fast wall time (and the

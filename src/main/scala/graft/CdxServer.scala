@@ -201,6 +201,42 @@ final class CdxServer(spark: SparkSession, clusterDir: String) {
       .orderBy("urlkey", "ts", "json")
   }
 
+  /** RULES-DRIVEN fuzzy matching (pywb's rules.yaml fuzzymatcher, the
+    * general form [[fuzzyMatch]]'s drop-the-query rule is one instance
+    * of): the rules table maps SURT prefixes to canonicalization
+    * regexes, the LONGEST prefix matching the query key picks the rule
+    * (the aclj most-specific-wins contract), the rule's regexp-replace
+    * canonicalizes the key, and the re-probe matches every capture
+    * whose OWN canonicalized key (same longest-prefix-rule chain,
+    * compiled into one map-side when-coalesce column — the broadcast
+    * rules table as plan literals) equals the query's. An exact hit
+    * suppresses the fuzzy leg entirely — same in-plan broadcast count
+    * as [[fuzzyMatch]], so the two-stage lookup stays ONE job — and the
+    * fuzzy scan still prunes cluster.idx to the canonical base prefix.
+    * Rule shapes this covers: cache-buster strip (`&cb=\d+` → ``),
+    * param rewrite (`\?a=(\d+)&.*` → `?id=$1`), and the soft-404
+    * drop-everything default (`\?.*` → ``). */
+  def fuzzyMatchRules(urlkey: String, rules: Seq[CdxServer.FuzzyRule]): DataFrame = {
+    require(rules.nonEmpty, "fuzzyMatchRules needs at least one rule")
+    val rule = rules.filter(r => urlkey.startsWith(r.prefix)).sortBy(-_.prefix.length)
+      .headOption
+    // no matching rule: the canonical form is the key itself — the probe
+    // degenerates to exact semantics and only the exact leg can answer
+    val canonical = rule
+      .map(r => urlkey.replaceAll(r.pattern, r.replace)).getOrElse(urlkey)
+    val base = canonical.takeWhile(_ != '?')
+    val exact = exactUrl(urlkey)
+    val hit = exact.agg(count(lit(1)).as("n_exact"))
+    val fallback = scan(Some(base))
+      .filter(col("urlkey") === base || col("urlkey").startsWith(base + "?"))
+      .filter(CdxServer.fuzzyCanonicalCol(col("urlkey"), rules) === canonical)
+      .crossJoin(broadcast(hit)).filter(col("n_exact") === 0).drop("n_exact")
+    exact.select("urlkey", "ts", "json").withColumn("is_fuzzy", lit(false))
+      .unionByName(fallback.select("urlkey", "ts", "json")
+        .withColumn("is_fuzzy", lit(true)))
+      .orderBy("urlkey", "ts", "json")
+  }
+
   /** pagination contract: numPages for a prefix at `blocksPerPage`
     * (pywb showNumPages), computed from cluster.idx alone — no data I/O */
   def numPages(surtPrefix: String, blocksPerPage: Int): Long = {
@@ -345,6 +381,30 @@ final class CdxServer(spark: SparkSession, clusterDir: String) {
 }
 
 object CdxServer {
+
+  /** one pywb rules.yaml-style fuzzy rule: under SURT keys starting with
+    * `prefix`, canonicalize by replacing every `pattern` match with
+    * `replace` (Java regex; `$1`-style group references) */
+  final case class FuzzyRule(prefix: String, pattern: String, replace: String)
+
+  /** The canonicalizing column: each key is rewritten by its
+    * LONGEST-matching-prefix rule; keys no rule covers pass through
+    * unchanged. Compiles to a length-descending when-coalesce chain of
+    * `regexp_replace`s — the rules table rides the plan as literals
+    * (pywb rule sets are O(10²)), all map-side codegen, zero joins, so
+    * index-side canonicalization costs one narrow pass at 100 TB. Two
+    * equal-length distinct prefixes cannot both match one key, so the
+    * order is deterministic (the aclApply argument). */
+  def fuzzyCanonicalCol(
+      key: org.apache.spark.sql.Column,
+      rules: Seq[FuzzyRule]): org.apache.spark.sql.Column = {
+    require(rules.nonEmpty, "fuzzyCanonicalCol needs at least one rule")
+    val sorted = rules.sortBy(-_.prefix.length)
+    coalesce(
+      sorted.map(r =>
+        when(key.startsWith(r.prefix), regexp_replace(key, r.pattern, r.replace))) :+
+        key: _*)
+  }
 
   /** pywb access control (`.aclj` rule files): each rule is a SURT prefix
     * plus an access label (`allow` / `block` / `exclude`), and a capture's

@@ -165,26 +165,64 @@ object Pipeline {
     * plus the WARC-Header-Metadata block real WAT carries. `dsts` is an
     * array<string> of resolved outlink URLs. Null titles are omitted
     * from the JSON (to_json drops null fields), which from_json reads
-    * back as null — the round trip is exact. */
-  def watEnvelope(url: Column, ts: Column, title: Column, dsts: Column): Column = {
+    * back as null — the round trip is exact.
+    *
+    * `headers` (optional, map<string,string>) completes the envelope
+    * with the HTTP RESPONSE HEADER block real WAT carries
+    * (Envelope.Payload-Metadata.HTTP-Response-Metadata.Headers), and
+    * `warcinfo` (map<string,string>) the crawl-metadata block
+    * (Payload-Metadata.WARC-Info-Metadata). Both are APPENDED struct
+    * fields built only when passed, so every envelope written without
+    * them stays byte-identical (existing wat goldens/hashes unchanged);
+    * [[watHeaders]] reads them back. */
+  def watEnvelope(
+      url: Column, ts: Column, title: Column, dsts: Column,
+      headers: Column = null, warcinfo: Column = null): Column = {
     val iso = concat(
       substring(ts, 1, 4), lit("-"), substring(ts, 5, 2), lit("-"), substring(ts, 7, 2),
       lit("T"), substring(ts, 9, 2), lit(":"), substring(ts, 11, 2),
       lit(":"), substring(ts, 13, 2), lit("Z"))
+    val htmlMeta = struct(
+      struct(title.as("Title")).as("Head"),
+      transform(dsts, d =>
+        struct(lit("A@/href").as("path"), d.as("url"))).as("Links")
+    ).as("HTML-Metadata")
+    val httpMeta = struct(
+      Seq(htmlMeta) ++ Option(headers).map(_.as("Headers")): _*
+    ).as("HTTP-Response-Metadata")
+    val payloadMeta = struct(
+      Seq(httpMeta) ++ Option(warcinfo).map(_.as("WARC-Info-Metadata")): _*
+    ).as("Payload-Metadata")
     to_json(struct(
       struct(
         struct(url.as("WARC-Target-URI"), iso.as("WARC-Date"))
           .as("WARC-Header-Metadata"),
-        struct(
-          struct(
-            struct(
-              struct(title.as("Title")).as("Head"),
-              transform(dsts, d =>
-                struct(lit("A@/href").as("path"), d.as("url"))).as("Links")
-            ).as("HTML-Metadata")
-          ).as("HTTP-Response-Metadata")
-        ).as("Payload-Metadata")
+        payloadMeta
       ).as("Envelope")))
+  }
+
+  /** WAT response-header read-back — [[watLinks]]'s sibling over the
+    * header block [[watEnvelope]]'s `headers` argument writes: one row
+    * per (src, ts, name, value) header entry. Same single-materialized-
+    * parse discipline as watLinks (one from_json; explode_outer so
+    * InferFiltersFromGenerate can't inline extra parses; post-hoc null
+    * filter restores plain-explode row semantics). Header-less records
+    * contribute no rows. */
+  def watHeaders(spark: SparkSession, watGlob: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val headersField =
+      StructField("Headers", MapType(StringType, StringType))
+    val envSchema = StructType(Seq(StructField("Envelope", StructType(Seq(
+      StructField("Payload-Metadata", StructType(Seq(
+        StructField("HTTP-Response-Metadata", StructType(Seq(headersField)))))))))))
+    val hdrs = col("env.Envelope.`Payload-Metadata`.`HTTP-Response-Metadata`.Headers")
+    Warc.scan(spark, watGlob)
+      .filter(col("record_type") === "metadata")
+      .select(col("url").as("src"), col("ts"),
+        from_json(col("payload").cast("string"), envSchema).as("env"))
+      .select(col("src"), col("ts"),
+        explode_outer(hdrs).as(Seq("name", "value")))
+      .filter(col("name").isNotNull)
   }
 
   /** WARC responses -> the WAT sidecar's record frame (shard, url, ts,

@@ -306,9 +306,12 @@ object Warc {
     * instead of fabricating a phantom second record. All rows in a member
     * share its (offset, compressedLength): that pair is the re-fetch unit
     * for auditing, and sub-member byte offsets don't survive gzip. */
-  private[graft] def parseWarcRecords(
-      bytes: Array[Byte], offset: Long, length: Long, filename: String): Seq[Row] = {
-    val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+  /** split one decompressed member into (headers, body) record chunks —
+    * the shared walk under [[parseWarcRecords]] (pipeline rows) and
+    * [[parseWarcRecordsMeta]] (segment-aware rows) */
+  private def splitWarcChunks(
+      bytes: Array[Byte]): Seq[(Map[String, String], Array[Byte])] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Map[String, String], Array[Byte])]
     var pos = 0
     while (pos < bytes.length) {
       val headerEnd = crlfCrlf(bytes, pos)
@@ -335,6 +338,15 @@ object Warc {
           }
         }
       val body = java.util.Arrays.copyOfRange(bytes, math.min(bodyStart, bytes.length), bodyEnd)
+      out += ((headers, body))
+      pos = nextPos
+    }
+    out.toSeq
+  }
+
+  private[graft] def parseWarcRecords(
+      bytes: Array[Byte], offset: Long, length: Long, filename: String): Seq[Row] = {
+    val out = splitWarcChunks(bytes).map { case (headers, body) =>
       val recordType = headers.getOrElse("warc-type", "")
       val url = headers.getOrElse("warc-target-uri", null)
       val ts = headers.get("warc-date").map(_.replaceAll("[^0-9]", "").take(14)).orNull
@@ -352,13 +364,56 @@ object Warc {
       val (status, mime, payload) =
         if (isHttpResponse) parseHttp(body)
         else (null: Integer, headers.get("content-type").orNull, body)
-      out += Row(recordType, url, ts, digest, status, mime, offset, length, filename, payload)
-      pos = nextPos
+      Row(recordType, url, ts, digest, status, mime, offset, length, filename, payload)
     }
     if (out.isEmpty) // zero-length member: keep the one-row-per-member contract
-      out += Row("unknown", null, null, null, null, null, offset, length, filename,
-        Array.emptyByteArray)
-    out.toSeq
+      Seq(Row("unknown", null, null, null, null, null, offset, length, filename,
+        Array.emptyByteArray))
+    else out
+  }
+
+  /** [[Warc.schema]] + the ISO 28500 §5 segmentation metadata columns the
+    * reassembly shuffle keys on */
+  val segMetaSchema: StructType = StructType(schema.fields ++ Seq(
+    StructField("record_id", StringType),
+    StructField("seg_num", IntegerType),
+    StructField("seg_origin", StringType),
+    StructField("seg_total", LongType)))
+
+  /** Segment-aware member parse: [[parseWarcRecords]]'s rows widened with
+    * (record_id, seg_num, seg_origin, seg_total). SEGMENTED records
+    * (WARC-Segment-Number present) keep their RAW block as payload with
+    * status/mime null — a first segment's HTTP head can only be parsed
+    * against the ASSEMBLED body ([[reassembleSegments]] does it there);
+    * unsegmented records are bit-identical to the plain parse. */
+  private[graft] def parseWarcRecordsMeta(
+      bytes: Array[Byte], offset: Long, length: Long, filename: String): Seq[Row] = {
+    val out = splitWarcChunks(bytes).map { case (headers, body) =>
+      val recordType = headers.getOrElse("warc-type", "")
+      val url = headers.getOrElse("warc-target-uri", null)
+      val ts = headers.get("warc-date").map(_.replaceAll("[^0-9]", "").take(14)).orNull
+      val digest = headers.get("warc-payload-digest").map(_.stripPrefix("sha1:")).orNull
+      val recordId = headers.getOrElse("warc-record-id", null)
+      val segNum: Integer = headers.get("warc-segment-number")
+        .filter(s => s.nonEmpty && s.length <= 9 && s.forall(_.isDigit))
+        .map(s => Integer.valueOf(s.toInt)).orNull
+      val segOrigin = headers.getOrElse("warc-segment-origin-id", null)
+      val segTotal: java.lang.Long = headers.get("warc-segment-total-length")
+        .filter(s => s.nonEmpty && s.length <= 18 && s.forall(_.isDigit))
+        .map(s => java.lang.Long.valueOf(s.toLong)).orNull
+      val isHttpResponse = (recordType == "response" || recordType == "revisit") &&
+        headers.getOrElse("content-type", "").startsWith("application/http")
+      val (status, mime, payload) =
+        if (segNum != null) (null: Integer, headers.get("content-type").orNull, body)
+        else if (isHttpResponse) parseHttp(body)
+        else (null: Integer, headers.get("content-type").orNull, body)
+      Row(recordType, url, ts, digest, status, mime, offset, length, filename, payload,
+        recordId, segNum, segOrigin, segTotal)
+    }
+    if (out.isEmpty)
+      Seq(Row("unknown", null, null, null, null, null, offset, length, filename,
+        Array.emptyByteArray, null, null, null, null))
+    else out
   }
 
   final case class ArcFixtureRecord(
@@ -446,6 +501,125 @@ object Warc {
         }
     }
     spark.createDataFrame(rows, schema)
+  }
+
+  /** [[scan]] widened with the ISO 28500 §5 segmentation columns
+    * ([[segMetaSchema]]): the raw per-fragment view — segmented records
+    * keep raw blocks. Most callers want [[scanSegments]]. */
+  def scanMeta(
+      spark: SparkSession, pathGlob: String, permissive: Boolean = true): DataFrame = {
+    val rows = spark.sparkContext.binaryFiles(pathGlob).flatMap {
+      case (file, pds) =>
+        val in = pds.open()
+        val shortName = file.substring(file.lastIndexOf('/') + 1)
+        val entries: Iterator[Gzip.Entry] =
+          if (shortName.endsWith(".zst")) ZstdMembers.entries(in, permissive)
+          else Gzip.entries(in, permissive)
+        def closeAll(): Unit = {
+          try in.close() catch { case _: Throwable => }
+          entries match {
+            case c: java.io.Closeable => try c.close() catch { case _: Throwable => }
+            case _ =>
+          }
+        }
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => closeAll()))
+        val it = entries.flatMap {
+          case m: Gzip.Member =>
+            if (isWarc(m.bytes))
+              parseWarcRecordsMeta(m.bytes, m.offset, m.compressedLength, shortName)
+            else // ARC predates segmentation: plain row + null meta
+              Seq(Row.fromSeq(
+                parseArcRecord(m.bytes, m.offset, m.compressedLength, shortName)
+                  .toSeq ++ Seq(null, null, null, null)))
+          case s: Gzip.CorruptSpan =>
+            Seq(Row("corrupt", null, null, null, null, null,
+              s.offset, s.compressedLength, shortName, null, null, null, null, null))
+        }
+        new Iterator[Row] {
+          override def hasNext: Boolean = {
+            val h = it.hasNext
+            if (!h) closeAll()
+            h
+          }
+          override def next(): Row = it.next()
+        }
+    }
+    spark.createDataFrame(rows, segMetaSchema)
+  }
+
+  /** [[scan]] with CONTINUATION-RECORD REASSEMBLY (ISO 28500 §5): a
+    * record too large for one WARC file is written as a first segment
+    * (`WARC-Segment-Number: 1`, original type) plus `continuation`
+    * records carrying `WARC-Segment-Origin-ID` — possibly in OTHER
+    * files (the manifest convention). [[reassembleSegments]] stitches
+    * each origin group back into one logical record. */
+  def scanSegments(
+      spark: SparkSession, pathGlob: String, permissive: Boolean = true): DataFrame =
+    reassembleSegments(scanMeta(spark, pathGlob, permissive))
+
+  /** Stitch segmented records ([[scanMeta]] rows) into logical records.
+    *
+    * Unsegmented rows pass through untouched (bit-identical to [[scan]]).
+    * Segment rows shuffle ONCE on their origin id — `coalesce(
+    * WARC-Segment-Origin-ID, WARC-Record-ID)`, which groups a first
+    * segment with its continuations across members AND files; segment
+    * payloads are fragment-sized, so the exchange moves exactly the
+    * segmented bytes and nothing else. A group reassembles only when it
+    * is PROVABLY complete: segment numbers form 1..n, and the last
+    * fragment declares `WARC-Segment-Total-Length` equal to the
+    * assembled block size (the ISO completeness seal). The assembled
+    * block then gets the normal HTTP parse (status/mime/payload), and
+    * the logical row carries the FIRST fragment's identity with
+    * length = Σ fragment lengths. Anything else — gaps, a missing tail
+    * (no total-length marker), a length mismatch, an anonymous fragment
+    * — degrades to one `record_type='corrupt'` row PER FRAGMENT with
+    * that fragment's exact (offset, length, filename) extent, the
+    * permissive-scan auditing contract. */
+  def reassembleSegments(meta: DataFrame): DataFrame = {
+    val spark = meta.sparkSession
+    import spark.implicits._
+    import functions._
+    val plainCols = schema.fieldNames.map(col).toIndexedSeq
+    val plain = meta.filter(col("seg_num").isNull).select(plainCols: _*)
+    // an anonymous fragment (no origin AND no record id) can never find
+    // its peers: give it a unique key so it degrades alone
+    val okey = coalesce(col("seg_origin"), col("record_id"),
+      concat(lit(" anon:"), col("filename"), lit(":"), col("offset")))
+    val segs = meta.filter(col("seg_num").isNotNull)
+      .select(okey.as("okey"), col("seg_num"), col("record_type"), col("url"),
+        col("ts"), col("digest"), col("mime"), col("offset"), col("length"),
+        col("filename"), col("payload"), col("seg_total"))
+      .as[(String, Int, String, String, String, String, String, Long, Long,
+        String, Array[Byte], Option[Long])]
+    val stitched = segs.groupByKey(_._1).flatMapGroups { (_, it) =>
+      val frags = it.toArray.sortBy(f => (f._2, f._10, f._8)) // (seg_num, filename, offset)
+      val nums = frags.map(_._2).toSeq
+      val total = frags.map(_._11.length.toLong).sum
+      val sealed_ = frags.last._12.contains(total)
+      // a block that cannot fit one BinaryType cell (2 GB) degrades to
+      // per-fragment corrupt rows instead of an allocation failure
+      val complete = nums == (1 to frags.length) && sealed_ && total <= Int.MaxValue
+      if (complete) {
+        val head = frags.head
+        val block = new Array[Byte](total.toInt)
+        var at = 0
+        frags.foreach { f => System.arraycopy(f._11, 0, block, at, f._11.length); at += f._11.length }
+        val isHttp = (head._3 == "response" || head._3 == "revisit") &&
+          head._7 != null && head._7.startsWith("application/http")
+        val (status, mime, payload) =
+          if (isHttp) parseHttp(block)
+          else (null: Integer, head._7, block)
+        Iterator.single((head._3, head._4, head._5, head._6,
+          Option(status).map(_.intValue()), mime,
+          head._8, frags.map(_._9).sum, head._10, payload))
+      } else
+        frags.iterator.map(f =>
+          ("corrupt", null: String, null: String, null: String,
+            None: Option[Int], null: String, f._8, f._9, f._10, null: Array[Byte]))
+    }
+    stitched.toDF(schema.fieldNames.toIndexedSeq: _*)
+      .unionByName(plain)
   }
 
   /** SPLITTABLE `.warc.gz` scan — byte-range splits WITHIN files. The

@@ -1,0 +1,348 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph-based ANN: HNSW (Malkov & Yashunin 2016, arXiv:1603.09320,
+  * public) — the production ANN family whose recall at a fixed probe
+  * budget beats cell-probing indexes (IVF/IVF-PQ under fixed nProbe miss
+  * neighbors that sit across a cell boundary; a small-world graph walks
+  * to them).
+  *
+  * Spark shape (the scatter-gather sharded-graph layout every
+  * distributed graph-ANN deployment uses, since one graph cannot span
+  * executors): the corpus splits into `nShards` deterministic shards
+  * (`vec_id % nShards`), each shard builds an INDEPENDENT in-memory HNSW
+  * graph inside one task (`groupByKey(shard).flatMapGroups` — the graph
+  * build is per-partition imperative logic, the documented last-resort
+  * case), a query greedy-searches EVERY shard's graph (per-shard cost
+  * O(ef·m·log n), not O(n)), and the global top-k merges the per-shard
+  * candidates — one tiny ordered-limit over nShards·k rows. At 100 TB
+  * `nShards` scales so one shard's vectors + adjacency fit an executor
+  * (the build is index-construction cost, amortized through the STORED
+  * adjacency form below), and the nShards searches are embarrassingly
+  * parallel.
+  *
+  * Everything is DETERMINISTIC: insertion order is ascending vec_id
+  * within a shard, node levels come from a seeded splitmix64 of the
+  * vec_id (not an RNG stream — level assignment survives re-builds and
+  * re-partitioning), and every heap/selection comparison tie-breaks on
+  * node id. Two builds of the same shard produce identical graphs, which
+  * is what makes the stored-adjacency serve path bit-equal to the
+  * in-memory one (HnswSpec/SimilaritySpec pin it).
+  *
+  * Distance is cosine distance (1 − cos); results surface the cosine
+  * like every other sim_ann_* key. Zero-norm or malformed vectors
+  * (wrong length / null slot) are excluded from the graph up front —
+  * an index must not die on one bad vector (the ivfpq null-cid policy).
+  */
+object Hnsw {
+
+  /** splitmix64 — the public-domain mixing function (Steele et al.,
+    * "Fast splittable pseudorandom number generators", OOPSLA 2014) */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** deterministic HNSW level for a vector id: floor(−ln(u)·mL) with
+    * u ∈ (0,1] derived from a seeded hash of the id — the standard
+    * exponential level distribution, but reproducible across builds */
+  private[graft] def levelOf(id: Long, mL: Double, seed: Long): Int = {
+    val u = ((mix64(id ^ seed) >>> 11) + 1).toDouble / (1L << 53).toDouble
+    math.floor(-math.log(u) * mL).toInt
+  }
+
+  /** One shard's immutable graph: node arrays are indexed by LOCAL index
+    * (ids sorted ascending); `adj(node)(level)` is that node's neighbor
+    * list at that level (levels 0..levels(node)). */
+  final class Graph(
+      val ids: Array[Long], val vecs: Array[Array[Double]],
+      val levels: Array[Int], val adj: Array[Array[Array[Int]]],
+      val entry: Int, val maxLevel: Int) {
+    def size: Int = ids.length
+  }
+
+  private def dot(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  private def norm(a: Array[Double]): Double = math.sqrt(dot(a, a))
+
+  /** candidate ordered by (dist asc, idx asc) — total order, so heap
+    * contents (not insertion order) decide every poll: determinism */
+  private final case class Cand(dist: Double, idx: Int)
+  private val candOrd: Ordering[Cand] =
+    Ordering.by((c: Cand) => (c.dist, c.idx))
+
+  /** beam search one layer: returns the ef closest (dist asc, idx asc) */
+  private def searchLayer(
+      vecs: Array[Array[Double]], norms: Array[Double],
+      adjAt: Int => Array[Int],
+      q: Array[Double], qNorm: Double,
+      eps: Seq[Int], ef: Int, visited: java.util.BitSet): Array[Cand] = {
+    def distTo(i: Int): Double = {
+      val d = norms(i) * qNorm
+      if (d == 0.0) 1.0 else 1.0 - dot(vecs(i), q) / d
+    }
+    val cand = new java.util.PriorityQueue[Cand](candOrd)
+    // worst-first heap of current results (reverse order)
+    val res = new java.util.PriorityQueue[Cand](candOrd.reverse)
+    visited.clear()
+    eps.foreach { ep =>
+      if (!visited.get(ep)) {
+        visited.set(ep)
+        val c = Cand(distTo(ep), ep)
+        cand.add(c); res.add(c)
+        if (res.size > ef) res.poll()
+      }
+    }
+    var done = false
+    while (!done && !cand.isEmpty) {
+      val c = cand.poll()
+      if (res.size >= ef && candOrd.gt(c, res.peek())) done = true
+      else {
+        val nbs = adjAt(c.idx)
+        var i = 0
+        while (i < nbs.length) {
+          val nb = nbs(i)
+          if (!visited.get(nb)) {
+            visited.set(nb)
+            val d = Cand(distTo(nb), nb)
+            if (res.size < ef || candOrd.lt(d, res.peek())) {
+              cand.add(d); res.add(d)
+              if (res.size > ef) res.poll()
+            }
+          }
+          i += 1
+        }
+      }
+    }
+    val out = new Array[Cand](res.size)
+    var i = out.length - 1
+    while (i >= 0) { out(i) = res.poll(); i -= 1 }
+    out
+  }
+
+  /** Build one shard's graph. `items` must be (vec_id, vector) pairs;
+    * they are sorted ascending by id here so the insertion order — and
+    * therefore the graph — is a pure function of the shard's CONTENT,
+    * never of upstream partition or arrival order. */
+  def build(
+      items: Array[(Long, Array[Double])], m: Int = 8, efC: Int = 64,
+      seed: Long = 20260816L): Graph = {
+    require(m >= 2, s"m must be >= 2, got $m")
+    val sorted = items.sortBy(_._1)
+    val n = sorted.length
+    val ids = sorted.map(_._1)
+    val vecs = sorted.map(_._2)
+    val norms = vecs.map(norm)
+    val mL = 1.0 / math.log(m.toDouble)
+    val levels = ids.map(levelOf(_, mL, seed))
+    // adjacency as growable buffers during construction
+    val adjB = Array.tabulate(n)(i =>
+      Array.fill(levels(i) + 1)(new scala.collection.mutable.ArrayBuffer[Int](m + 1)))
+    val maxM0 = 2 * m // level-0 lists hold 2M (the paper's default)
+    var entry = -1
+    var maxLevel = -1
+    val visited = new java.util.BitSet(n)
+
+    def maxMAt(level: Int): Int = if (level == 0) maxM0 else m
+
+    def distBetween(a: Int, b: Int): Double = {
+      val d = norms(a) * norms(b)
+      if (d == 0.0) 1.0 else 1.0 - dot(vecs(a), vecs(b)) / d
+    }
+
+    // keep a node's list within cap: retain the maxM closest (dist, idx)
+    def shrink(node: Int, level: Int): Unit = {
+      val buf = adjB(node)(level)
+      val cap = maxMAt(level)
+      if (buf.length > cap) {
+        val kept = buf.toArray
+          .map(nb => Cand(distBetween(node, nb), nb))
+          .sorted(candOrd).take(cap).map(_.idx)
+        buf.clear(); buf ++= kept
+      }
+    }
+
+    var i = 0
+    while (i < n) {
+      val l = levels(i)
+      if (entry < 0) { entry = i; maxLevel = l }
+      else {
+        var ep = entry
+        val qv = vecs(i)
+        val qn = norms(i)
+        // layer adjacency accessor, bounds-safe (edges at a layer only
+        // ever connect nodes whose level reaches it, but a defensive
+        // empty list beats an ArrayIndexOutOfBounds if that invariant
+        // is ever perturbed)
+        def adjAt(lev: Int)(node: Int): Array[Int] =
+          if (lev <= levels(node)) adjB(node)(lev).toArray else Array.emptyIntArray
+        // greedy descent through layers above the new node's level
+        var lev = maxLevel
+        while (lev > l) {
+          val got = searchLayer(vecs, norms, adjAt(lev), qv, qn,
+            Seq(ep), ef = 1, visited)
+          if (got.nonEmpty) ep = got(0).idx
+          lev -= 1
+        }
+        // connect at each level from min(l, maxLevel) down to 0
+        var lev2 = math.min(l, maxLevel)
+        var eps = Seq(ep)
+        while (lev2 >= 0) {
+          val found = searchLayer(vecs, norms, adjAt(lev2), qv, qn,
+            eps, efC, visited)
+          val neighbors = found.take(m)
+          neighbors.foreach { nb =>
+            adjB(i)(lev2) += nb.idx
+            adjB(nb.idx)(lev2) += i
+            shrink(nb.idx, lev2)
+          }
+          eps = found.map(_.idx).toSeq
+          lev2 -= 1
+        }
+        if (l > maxLevel) { entry = i; maxLevel = l }
+      }
+      i += 1
+    }
+    new Graph(ids, vecs, levels, adjB.map(_.map(_.toArray)), entry, maxLevel)
+  }
+
+  /** search one graph: greedy descent to level 1, beam `ef` at level 0,
+    * top-k by (cosine desc, id asc). Returns (vec_id, cos). */
+  def search(
+      g: Graph, q: Array[Double], ef: Int = 32, k: Int = 10): Array[(Long, Double)] = {
+    if (g.size == 0) return Array.empty
+    val qn = norm(q)
+    val norms = g.vecs.map(norm)
+    val visited = new java.util.BitSet(g.size)
+    var ep = g.entry
+    var lev = g.maxLevel
+    while (lev > 0) {
+      val got = searchLayer(g.vecs, norms,
+        i => if (lev <= g.levels(i)) g.adj(i)(lev) else Array.emptyIntArray,
+        q, qn, Seq(ep), ef = 1, visited)
+      if (got.nonEmpty) ep = got(0).idx
+      lev -= 1
+    }
+    val found = searchLayer(g.vecs, norms, i => g.adj(i)(0), q, qn,
+      Seq(ep), math.max(ef, k), visited)
+    found.take(k).map(c => (g.ids(c.idx), 1.0 - c.dist))
+  }
+
+  /** valid-vector projection shared by every entry point: (shard,
+    * vec_id, ed) with malformed vectors (wrong length, null slot)
+    * excluded up front */
+  private def sharded(e: DataFrame, nShards: Int, dim: Int): DataFrame =
+    e.filter(size(col("ed")) === dim && !expr("exists(ed, x -> x IS NULL)"))
+      .select(pmod(col("vec_id"), lit(nShards.toLong)).cast("int").as("shard"),
+        col("vec_id"), col("ed"))
+
+  /** In-memory scatter-gather top-k: build each per-shard graph in its
+    * own task, search each, merge nShards·k candidates globally. Output
+    * (vec_id, cos) — the sim_ann_lsh/sim_ann_ivf result shape. */
+  def topK(
+      e: DataFrame, q: Array[Double], k: Int = 10, nShards: Int = 8,
+      m: Int = 8, efC: Int = 64, efS: Int = 32,
+      seed: Long = 20260816L): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val perShard = sharded(e, nShards, q.length)
+      .as[(Int, Long, Array[Double])]
+      .groupByKey(_._1)
+      .flatMapGroups { (shard, it) =>
+        val items = it.map(t => (t._2, t._3)).toArray
+        val g = build(items, m, efC, seed + shard)
+        search(g, q, efS, k).iterator
+      }
+    perShard.toDF("vec_id", "cos")
+      .select(col("vec_id"), round(col("cos"), 6).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** The STORED index form: one row per (shard, vec_id, level) with that
+    * node's neighbor ids — the graph's edges at rest, written beside the
+    * vectors like sim_ann_ivfpq_index's (cid, codes) table. Rebuilding
+    * from this relation reproduces the graph EXACTLY (ids, levels,
+    * edges), so a stored-serve search equals the in-memory one
+    * bit-for-bit; the entry point is derivable (max level, min id). */
+  def adjacency(
+      e: DataFrame, dim: Int, nShards: Int = 8, m: Int = 8, efC: Int = 64,
+      seed: Long = 20260816L): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    sharded(e, nShards, dim)
+      .as[(Int, Long, Array[Double])]
+      .groupByKey(_._1)
+      .flatMapGroups { (shard, it) =>
+        val items = it.map(t => (t._2, t._3)).toArray
+        val g = build(items, m, efC, seed + shard)
+        (0 until g.size).iterator.flatMap { i =>
+          (0 to g.levels(i)).iterator.map { lev =>
+            (shard, g.ids(i), lev, g.adj(i)(lev).map(g.ids(_)))
+          }
+        }
+      }
+      .toDF("shard", "vec_id", "level", "neighbors")
+  }
+
+  /** Serve a query from the STORED adjacency + the vector relation: per
+    * shard, reconstruct the graph verbatim (no rebuild — the edges come
+    * off disk) and run the same search. The scan is shard-partitioned
+    * parquet; every shard is searched (graph ANN is scatter-gather, the
+    * per-shard walk is the cheap part), and the merge is nShards·k rows. */
+  def topKStored(
+      adjacencyDf: DataFrame, vectors: DataFrame, q: Array[Double],
+      k: Int = 10, efS: Int = 32): DataFrame = {
+    val spark = adjacencyDf.sparkSession
+    import spark.implicits._
+    val joined = adjacencyDf
+      .join(vectors.select(col("vec_id"), col("ed")), "vec_id")
+      .select(col("shard").cast("int"), col("vec_id"), col("level").cast("int"),
+        col("neighbors"), col("ed"))
+      .as[(Int, Long, Int, Array[Long], Array[Double])]
+    val perShard = joined
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val rows = it.toArray
+        if (rows.isEmpty) Iterator.empty
+        else {
+          val byId = rows.groupBy(_._2)
+          val ids = byId.keys.toArray.sorted
+          val idx = ids.zipWithIndex.toMap
+          val n = ids.length
+          val vecs = new Array[Array[Double]](n)
+          val levels = new Array[Int](n)
+          ids.zipWithIndex.foreach { case (id, i) =>
+            val rs = byId(id)
+            vecs(i) = rs.head._5
+            levels(i) = rs.map(_._3).max
+          }
+          val adj = Array.tabulate(n) { i =>
+            val rs = byId(ids(i))
+            Array.tabulate(levels(i) + 1) { lev =>
+              rs.find(_._3 == lev).map(_._4.map(idx)).getOrElse(Array.emptyIntArray)
+            }
+          }
+          val maxLevel = levels.max
+          // the build's entry invariant: ascending-id insertion means the
+          // entry is the SMALLEST id among max-level nodes
+          val entry = ids.indices.filter(levels(_) == maxLevel).min
+          val g = new Graph(ids, vecs, levels, adj, entry, maxLevel)
+          search(g, q, efS, k).iterator
+        }
+      }
+    perShard.toDF("vec_id", "cos")
+      .select(col("vec_id"), round(col("cos"), 6).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+  }
+}

@@ -389,6 +389,150 @@ object Media {
       meanAmp = sum / samples, rms = math.sqrt(sumSq / samples))
   }
 
+  // ---------------------------------------------------------- video (MP4)
+
+  final case class Mp4Track(trackId: Int, handler: String, width: Int, height: Int)
+  final case class Mp4Meta(
+      brand: String, timescale: Long, durationMs: Long, tracks: Seq[Mp4Track])
+
+  /** Minimal VALID MP4 (ISO/IEC 14496-12 box structure) — fixture builder
+    * for [[mp4Meta]], the [[withExif]] discipline: closed-form metadata
+    * spliced into real container bytes. Boxes: `ftyp` (brand isom),
+    * `moov` ( `mvhd` v0 with (timescale, duration) + one `trak` per
+    * entry: `tkhd` v0 with (track_id, width, height as 16.16 fixed) and
+    * `mdia`>`hdlr` with the handler type ), then an empty `mdat`. */
+  def mp4Fixture(
+      timescale: Int, duration: Long,
+      tracks: Seq[Mp4Track]): Array[Byte] = {
+    def box(tpe: String, payload: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(8 + payload.length)
+      b.putInt(8 + payload.length).put(tpe.getBytes("US-ASCII")).put(payload)
+      b.array()
+    }
+    val ftyp = box("ftyp", {
+      val b = java.nio.ByteBuffer.allocate(16)
+      b.put("isom".getBytes("US-ASCII")).putInt(0x200)
+        .put("isom".getBytes("US-ASCII")).put("mp41".getBytes("US-ASCII"))
+      b.array()
+    })
+    val mvhd = box("mvhd", {
+      val b = java.nio.ByteBuffer.allocate(100)
+      b.putInt(0) // version 0 + flags
+        .putInt(0).putInt(0) // ctime, mtime
+        .putInt(timescale).putInt(duration.toInt)
+        .putInt(0x00010000).putShort(0x0100.toShort) // rate 1.0, volume 1.0
+      b.position(b.position() + 10) // reserved
+      Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000).foreach(b.putInt)
+      b.position(b.position() + 24) // pre_defined
+      b.putInt(tracks.size + 1) // next_track_ID
+      b.array()
+    })
+    val traks = tracks.map { t =>
+      val tkhd = box("tkhd", {
+        val b = java.nio.ByteBuffer.allocate(84)
+        b.putInt(7) // version 0, flags enabled|in-movie|in-preview
+          .putInt(0).putInt(0) // ctime, mtime
+          .putInt(t.trackId).putInt(0) // reserved
+          .putInt(duration.toInt)
+        b.position(b.position() + 8) // reserved
+        b.putShort(0).putShort(0).putShort(0).putShort(0) // layer, group, volume, reserved
+        Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000).foreach(b.putInt)
+        b.putInt(t.width << 16).putInt(t.height << 16) // 16.16 fixed
+        b.array()
+      })
+      val hdlr = box("hdlr", {
+        val name = (t.handler + "Handler").getBytes("US-ASCII")
+        val b = java.nio.ByteBuffer.allocate(24 + name.length + 1)
+        b.putInt(0).putInt(0) // version/flags, pre_defined
+          .put(t.handler.getBytes("US-ASCII")) // handler_type (4 chars)
+        b.position(b.position() + 12) // reserved
+        b.put(name).put(0.toByte)
+        b.array()
+      })
+      box("trak", tkhd ++ box("mdia", hdlr))
+    }
+    val moov = box("moov", mvhd ++ traks.flatten.toArray)
+    ftyp ++ moov ++ box("mdat", Array.emptyByteArray)
+  }
+
+  /** MP4 metadata walk — the pure-JVM box parser behind `mm_video_meta`:
+    * brand off `ftyp`, (timescale, duration→ms) off `moov`>`mvhd`
+    * (versions 0 AND 1), and the track inventory off each `trak`'s
+    * `tkhd` (id, 16.16 width/height) + `mdia`>`hdlr` handler type. The
+    * [[exifMeta]] discipline throughout: junk, truncation mid-box, a
+    * size field pointing past the buffer, or a missing moov all degrade
+    * to None / partial fields — never an exception (a crawl's video
+    * payloads are full of cut-off downloads). 64-bit `size==1`
+    * largesize boxes and run-to-EOF `size==0` boxes are handled. */
+  def mp4Meta(bytes: Array[Byte]): Option[Mp4Meta] = {
+    def u32(at: Int): Long =
+      ((bytes(at) & 0xffL) << 24) | ((bytes(at + 1) & 0xffL) << 16) |
+        ((bytes(at + 2) & 0xffL) << 8) | (bytes(at + 3) & 0xffL)
+    def u64(at: Int): Long = (u32(at) << 32) | u32(at + 4)
+    def str4(at: Int): String = new String(bytes, at, 4, "US-ASCII")
+    // walk boxes in [from, end): callback (type, payloadStart, payloadEnd)
+    def walk(from: Int, end: Int)(f: (String, Int, Int) => Unit): Unit = {
+      var i = from
+      var go = true
+      while (go && i + 8 <= end) {
+        val size0 = u32(i)
+        val tpe = str4(i + 4)
+        val (payloadStart, boxEnd) =
+          if (size0 == 1L && i + 16 <= end) {
+            val ls = u64(i + 8)
+            (i + 16, if (ls >= 16 && i + ls <= end) (i + ls).toInt else -1)
+          } else if (size0 == 0L) (i + 8, end)
+          else (i + 8, if (size0 >= 8 && i + size0 <= end) (i + size0).toInt else -1)
+        if (boxEnd < 0 || payloadStart > boxEnd) go = false // truncated/junk: stop
+        else {
+          f(tpe, payloadStart, boxEnd)
+          i = boxEnd
+        }
+      }
+    }
+    if (bytes.length < 12 || u32(0) < 12 || str4(4) != "ftyp") return None
+    val brand = str4(8)
+    var timescale = 0L
+    var durationUnits = 0L
+    val tracks = scala.collection.mutable.ArrayBuffer.empty[Mp4Track]
+    walk(0, bytes.length) { (tpe, ps, pe) =>
+      if (tpe == "moov") {
+        walk(ps, pe) { (t2, q, qe) =>
+          if (t2 == "mvhd" && qe - q >= 4) {
+            val v = bytes(q) & 0xff
+            if (v == 1 && qe - q >= 32) {
+              timescale = u32(q + 20); durationUnits = u64(q + 24)
+            } else if (v == 0 && qe - q >= 24) {
+              timescale = u32(q + 12); durationUnits = u32(q + 16)
+            }
+          } else if (t2 == "trak") {
+            var id = 0; var w = 0; var h = 0; var handler: String = null
+            walk(q, qe) { (t3, r, re) =>
+              if (t3 == "tkhd" && re - r >= 84) {
+                val v = bytes(r) & 0xff
+                if (v == 0) {
+                  id = u32(r + 12).toInt
+                  w = (u32(r + 76) >> 16).toInt; h = (u32(r + 80) >> 16).toInt
+                } else if (v == 1 && re - r >= 96) {
+                  id = u32(r + 20).toInt
+                  w = (u32(r + 88) >> 16).toInt; h = (u32(r + 92) >> 16).toInt
+                }
+              } else if (t3 == "mdia") {
+                walk(r, re) { (t4, s2, se) =>
+                  if (t4 == "hdlr" && se - s2 >= 12) handler = str4(s2 + 8)
+                }
+              }
+            }
+            if (id > 0) tracks += Mp4Track(id, handler, w, h)
+          }
+        }
+      }
+    }
+    val durMs =
+      if (timescale > 0) durationUnits * 1000L / timescale else 0L
+    Some(Mp4Meta(brand, timescale, durMs, tracks.toSeq))
+  }
+
   // ------------------------------------------------------- video (GIF89a)
 
   /** a multi-frame animated GIF: nFrames solid-color w×h frames written

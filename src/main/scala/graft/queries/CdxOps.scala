@@ -420,6 +420,32 @@ object CdxOps extends QueryModule {
         .orderBy("filename")
     }),
 
+    // URL-AGNOSTIC dedup audit — the observability twin obs_dedup_savings
+    // implies: per payload digest, surface (a) DANGLING revisits — revisit
+    // rows whose digest has NO stored response original (server-side churn:
+    // a Date-header-bearing digest recorded at crawl time no longer matches
+    // any stored content — replay of these revisits will 404), and
+    // (b) CROSS-URL duplicates — one digest served under >1 urlkey (the
+    // duplicates a URL-keyed dedup pass structurally misses; the case for
+    // digest-keyed revisit writing). ONE digest aggregation, fully
+    // DuckDB-oracled; output is only the mismatch rows, so the report
+    // stays audit-sized at 100 TB (healthy digests never leave the agg).
+    "url_agnostic_dedup" -> ((s, d) =>
+      Cdx.df(s, d)
+        .where(col("digest").isNotNull &&
+          col("record_type").isin("response", "revisit"))
+        .groupBy("digest")
+        .agg(
+          count(when(col("record_type") === "response", 1)).as("n_responses"),
+          count(when(col("record_type") === "revisit", 1)).as("n_revisits"),
+          countDistinct("urlkey").as("n_urlkeys"),
+          min("ts").as("first_ts"), max("ts").as("last_ts"))
+        .withColumn("dangling_revisit",
+          col("n_responses") === 0 && col("n_revisits") > 0)
+        .withColumn("cross_url", col("n_urlkeys") > 1)
+        .filter(col("dangling_revisit") || col("cross_url"))
+        .orderBy("digest")),
+
     // publicsuffix.org eTLD+1 over the corpus's DISTINCT hosts plus the
     // planted precedence fixture — wildcard, exception, ccSLD-style
     // multi-label suffix, default-* (see [[graft.ops.Psl]]). At corpus
@@ -776,6 +802,19 @@ object CdxOps extends QueryModule {
         "ORDER BY ts, id) = 1 AS is_orig " +
         "FROM cdx WHERE record_type = 'response') " +
         "GROUP BY filename ORDER BY filename"),
+    "url_agnostic_dedup" -> o(
+      "SELECT digest, n_responses, n_revisits, n_urlkeys, first_ts, last_ts, " +
+        "dangling_revisit, cross_url FROM (" +
+        "SELECT digest, " +
+        "count(CASE WHEN record_type = 'response' THEN 1 END) AS n_responses, " +
+        "count(CASE WHEN record_type = 'revisit' THEN 1 END) AS n_revisits, " +
+        "count(DISTINCT urlkey) AS n_urlkeys, " +
+        "min(ts) AS first_ts, max(ts) AS last_ts, " +
+        "count(CASE WHEN record_type = 'response' THEN 1 END) = 0 AND " +
+        "count(CASE WHEN record_type = 'revisit' THEN 1 END) > 0 AS dangling_revisit, " +
+        "count(DISTINCT urlkey) > 1 AS cross_url " +
+        "FROM cdx WHERE digest IS NOT NULL AND record_type IN ('response', 'revisit') " +
+        "GROUP BY digest) WHERE dangling_revisit OR cross_url ORDER BY digest"),
     "cdx_revisit_generate" -> o(
       "SELECT id, urlkey, ts, digest, " +
         "CASE WHEN rn = 1 THEN 'response' ELSE 'revisit' END AS out_type, " +

@@ -74,6 +74,15 @@ object Formats extends QueryModule {
   private def cdxLines(s: SparkSession, d: String): DataFrame =
     Cdx.df(s, d).selectExpr(s"$lineExprSpark AS line")
 
+  /** the 3-shape pywb-style fuzzy rules fixture `cdx_fuzzy_rules` and
+    * its oracle replay share: cache-buster strip on the urgent host,
+    * param rewrite on the high host, soft-404 drop-query as the
+    * shorter catch-all prefix (longest-prefix-wins exercises all three) */
+  val fuzzyRulesFixture: Seq[graft.CdxServer.FuzzyRule] = Seq(
+    graft.CdxServer.FuzzyRule("org,example,urgent)", "&b=\\d+", ""),
+    graft.CdxServer.FuzzyRule("org,example,high)", "\\?a=(\\d+)&b=(\\d+)", "?id=$2"),
+    graft.CdxServer.FuzzyRule("org,example,", "\\?.*", ""))
+
   /** Session-keyed SHARED cluster build for the §2.9 serving keys: they
     * all read the same day-1 index, and the build is deterministic
     * (range-sorted lines, fixed shards/linesPerBlock), so one build per
@@ -619,6 +628,24 @@ object Formats extends QueryModule {
       new graft.CdxServer(s, dir).fuzzyMatch(base + "?zzzgraftmissing=1")
     }),
 
+    // RULES-driven fuzzy matching (pywb rules.yaml): the 3-shape fixture
+    // rules table (cache-buster strip / param rewrite / soft-404
+    // drop-query catch-all), longest-prefix rule selection, and the
+    // canonical-key re-probe — all composed with the same idx pruning
+    // and in-plan miss gate as cdx_fuzzy_match. The query plants a
+    // cache-buster value (b=999) outside the fixture's b∈0..6 domain, so
+    // the exact leg misses by construction and the strip rule
+    // canonicalizes the probe back onto every capture sharing the
+    // (path, a) identity regardless of its b.
+    "cdx_fuzzy_rules" -> ((s, d) => {
+      val dir = sharedCluster(s, d)
+      val hot = Cdx.df(s, d).filter(col("urlkey").startsWith("org,example,urgent)"))
+        .groupBy("urlkey").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("urlkey")).head.getString(0)
+      val q = hot.replaceAll("&b=\\d+", "") + "&b=999"
+      new graft.CdxServer(s, dir).fuzzyMatchRules(q, fuzzyRulesFixture)
+    }),
+
     // the cdx-server exact-url + from=/to= shape through the V2 source:
     // Catalyst pushes the urlkey equality AND the ts bounds, which the
     // scan folds into one 'urlkey ts' idx key range — a hot URL's blocks
@@ -676,6 +703,51 @@ object Formats extends QueryModule {
       Warc.scan(s, file)
         .select("record_type", "url", "ts", "digest", "status", "mime", "offset", "length")
         .orderBy("offset")
+    }),
+
+    // CONTINUATION-record reassembly (ISO 28500 §5): a record split
+    // across segments — here across TWO files, the manifest convention —
+    // stitches back into one logical row (one shuffle keyed on the
+    // origin record id, moving only segmented bytes); an incomplete
+    // group (missing middle) degrades to exact-extent corrupt rows.
+    // Oracle-exempt binary-fixture scan (WarcSpec holds the golden);
+    // driver records rows>0.
+    "scan_warc_segments" -> ((s, d) => {
+      val dir = tmp(d, "warc_segments")
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
+      def rec(headers: Seq[String], block: Array[Byte]): Array[Byte] =
+        (Seq("WARC/1.0") ++ headers ++ Seq(s"Content-Length: ${block.length}"))
+          .mkString("", "\r\n", "\r\n\r\n").getBytes("UTF-8") ++ block
+      val body = "segmented-payload-" * 5
+      val http = (s"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n" +
+        s"Content-Length: ${body.length}\r\n\r\n").getBytes("UTF-8") ++
+        body.getBytes("UTF-8")
+      val cut = http.length / 2
+      Warc.writeFixture(s"$dir/s0.warc.gz", Warc.fixtureRecords.take(2))
+      val f1 = java.nio.file.Files.newOutputStream(java.nio.file.Paths.get(s"$dir/s1.warc.gz"))
+      try {
+        graft.formats.Gzip.writeMember(f1, rec(Seq(
+          "WARC-Type: response", "WARC-Record-ID: <urn:uuid:driver-seg-1>",
+          "WARC-Target-URI: http://seg.example/big",
+          "WARC-Date: 2020-03-03T00:00:00Z",
+          "WARC-Payload-Digest: sha1:SEGDIGEST", "WARC-Segment-Number: 1",
+          "Content-Type: application/http; msgtype=response"), http.take(cut)))
+      } finally f1.close()
+      val f2 = java.nio.file.Files.newOutputStream(java.nio.file.Paths.get(s"$dir/s2.warc.gz"))
+      try graft.formats.Gzip.writeMember(f2, rec(Seq(
+        "WARC-Type: continuation", "WARC-Record-ID: <urn:uuid:driver-seg-2>",
+        "WARC-Target-URI: http://seg.example/big",
+        "WARC-Date: 2020-03-03T00:00:00Z",
+        "WARC-Segment-Origin-ID: <urn:uuid:driver-seg-1>",
+        "WARC-Segment-Number: 2",
+        s"WARC-Segment-Total-Length: ${http.length}",
+        "Content-Type: application/octet-stream"), http.drop(cut)))
+      finally f2.close()
+      Warc.scanSegments(s, s"$dir/*.warc.gz")
+        .select("record_type", "url", "ts", "digest", "status", "mime", "length")
+        .orderBy("url", "ts", "record_type")
     }),
 
     // SPLITTABLE gzip WARC scan — the few-huge-files shape (a 500 GB
@@ -995,6 +1067,31 @@ object Formats extends QueryModule {
         dir)
       graft.Pipeline.watLinks(s, dir + "/*.warc.wat.gz")
         .orderBy("src", "ts", "title", "dst")
+    }),
+
+    // the COMPLETE WAT envelope: the same write path as sink_wat plus
+    // the HTTP response-header map and the warcinfo block real WAT
+    // carries, read back through Pipeline.watHeaders (one from_json
+    // parse, map explode). The planted header set derives from cdx
+    // columns, so the oracle replays every (src, ts, name, value) row
+    // closed-form; envelopes written WITHOUT headers stay byte-identical
+    // (sink_wat's hashes are untouched — WarcSpec pins it).
+    "sink_wat_headers" -> ((s, d) => {
+      val dir = tmp(d, "wat_headers_write")
+      graft.formats.WarcSink.writeWat(
+        Cdx.df(s, d).where(col("record_type") === "response")
+          .selectExpr("filename AS shard", "url", "ts",
+            "concat('Title ', id % 100) AS title",
+            "array(concat('http://dst.example.org/', id % 50)) AS dsts",
+            "map('Content-Type', mime, 'X-Status', CAST(status AS STRING)) AS hdrs",
+            "map('software', 'graft-wat', 'segment', CAST(id % 8 AS STRING)) AS winfo")
+          .select(col("shard"), col("url"), col("ts"),
+            graft.Pipeline.watEnvelope(
+              col("url"), col("ts"), col("title"), col("dsts"),
+              headers = col("hdrs"), warcinfo = col("winfo")).as("meta")),
+        dir)
+      graft.Pipeline.watHeaders(s, dir + "/*.warc.wat.gz")
+        .orderBy("src", "ts", "name", "value")
     }),
 
     // WACZ packaging round trip (Webrecorder spec 1.1.1, the pywb-stack
@@ -1344,6 +1441,21 @@ object Formats extends QueryModule {
         "(SELECT urlkey FROM cdx GROUP BY urlkey ORDER BY count(*) DESC, urlkey LIMIT 1)) " +
         "WHERE urlkey = fz_base OR starts_with(urlkey, fz_base || '?') " +
         "ORDER BY urlkey, ts, json"),
+    // replay of the rules chain: the hottest urgent-host key, its
+    // strip-rule canonical form, and the canonical-equality probe over
+    // the base prefix — every key under the urgent host picks the strip
+    // rule (its longest matching prefix) exactly as fuzzyCanonicalCol
+    // does, so replaying just that rule here is the same chain. The
+    // planted b=999 query misses, so every row is fuzzy.
+    "cdx_fuzzy_rules" -> o(
+      s"SELECT urlkey, ts, $jsonExprDuck, TRUE AS is_fuzzy FROM cdx CROSS JOIN " +
+        "(SELECT regexp_replace(urlkey, '&b=\\d+', '', 'g') AS canon, " +
+        "split_part(regexp_replace(urlkey, '&b=\\d+', '', 'g'), '?', 1) AS fz_base " +
+        "FROM (SELECT urlkey FROM cdx WHERE starts_with(urlkey, 'org,example,urgent)') " +
+        "GROUP BY urlkey ORDER BY count(*) DESC, urlkey LIMIT 1)) " +
+        "WHERE (urlkey = fz_base OR starts_with(urlkey, fz_base || '?')) " +
+        "AND regexp_replace(urlkey, '&b=\\d+', '', 'g') = canon " +
+        "ORDER BY urlkey, ts, json"),
     "sink_warc_cdx" -> o(
       "SELECT regexp_replace(regexp_extract(filename, '[^/]+$'), '\\.warc\\.gz$', '.cdx.gz') AS cdx_name, " +
         s"$lineExprDuck AS value FROM cdx ORDER BY value"),
@@ -1402,6 +1514,16 @@ object Formats extends QueryModule {
         "'http://alt.example.org/' || (id % 20) AS dst " +
         "FROM cdx WHERE record_type = 'response' AND id % 3 = 0" +
         ") ORDER BY src, ts, title, dst"),
+    // the planted header set replayed from the cdx CTE: two rows per
+    // response capture, exactly the map watEnvelope packed
+    "sink_wat_headers" -> o(
+      "SELECT src, ts, name, value FROM (" +
+        "SELECT url AS src, ts, 'Content-Type' AS name, mime AS value " +
+        "FROM cdx WHERE record_type = 'response' " +
+        "UNION ALL " +
+        "SELECT url AS src, ts, 'X-Status' AS name, status::VARCHAR AS value " +
+        "FROM cdx WHERE record_type = 'response'" +
+        ") ORDER BY src, ts, name, value"),
     // the CDXJ inventory replayed from the cdx CTE; wacz name = shard
     // basename with the container extension swapped
     "sink_wacz" -> o(

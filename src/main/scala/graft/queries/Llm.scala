@@ -318,6 +318,20 @@ object Llm extends QueryModule {
           graft.ops.Text.langClass(col("text")).as("pred_class"))
         .orderBy("doc_id")),
 
+    // TRAINED language id — char-trigram Naive Bayes over hashed buckets
+    // (ops/LangId): train on the labeled corpus' doc_id%5!=0 split (the
+    // text_quality_train held-out convention), score EVERY doc map-side
+    // with the model riding as per-language literal arrays (no join, no
+    // explode on the scoring pass). The heuristic text_lang_id key stays
+    // as the rule-based twin. Oracle-exempt per the classifier
+    // convention (trained model, libm log); ClassifierSpec pins
+    // planted-language recovery ≥0.9 on held-out docs.
+    "text_lang_id_trained" -> ((s, d) => {
+      val docs = Tables.t(s, d, "documents")
+      val model = graft.ops.LangId.train(docs.where(col("doc_id") % 5 =!= 0))
+      graft.ops.LangId.infer(docs, model).orderBy("doc_id")
+    }),
+
     // quality score: length saturation + stopword-ratio composite
     "text_quality" -> ((s, d) =>
       Tables.t(s, d, "documents")

@@ -460,6 +460,40 @@ object Multimodal extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // MP4 container metadata walk (ISO 14496-12): the payload is a REAL
+    // minimal MP4 (ftyp + moov>mvhd + per-track trak>tkhd/mdia>hdlr +
+    // mdat) built per row with closed-form metadata, and every reported
+    // field is recovered by the pure-JVM box parser walking the bytes —
+    // duration off mvhd (timescale-normalized to ms), dims off the video
+    // tkhd's 16.16 fixed-point, the track inventory off the hdlr types.
+    // The exifMeta discipline (junk/truncation → nulls, MediaSpec pins
+    // it); fully DuckDB-oracled in doc_id arithmetic. Fixture build is
+    // per-row; the mapPartitions keeps codec-init amortization symmetry
+    // with the other mm_* decoders.
+    "mm_video_meta" -> ((s, d) => {
+      import s.implicits._
+      Tables.t(s, d, "documents")
+        .filter(col("doc_id") % 3 === 1)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val w = 16 * (1 + id % 5).toInt
+            val h = 16 * (1 + id % 4).toInt
+            val bytes = graft.ops.Media.mp4Fixture(
+              timescale = 1000, duration = (1 + id % 20) * 500,
+              tracks = Seq(
+                graft.ops.Media.Mp4Track(1, "vide", w, h),
+                graft.ops.Media.Mp4Track(2, "soun", 0, 0)))
+            val m = graft.ops.Media.mp4Meta(bytes).get
+            val vid = m.tracks.find(_.handler == "vide").get
+            (id, m.brand, m.durationMs, m.tracks.length,
+              vid.width, vid.height, m.tracks.map(_.handler).mkString(","))
+          }
+        }
+        .toDF("doc_id", "brand", "duration_ms", "n_tracks", "vid_w", "vid_h", "handlers")
+        .orderBy("doc_id")
+    }),
+
     // REAL multi-frame decode: payload is an animated GIF written by the
     // JDK sequence writer; the frame count is recovered by the GIF reader
     // walking image descriptors in the byte stream (not from a side
@@ -681,6 +715,16 @@ object Multimodal extends QueryModule {
         "'GraftCam-' || (doc_id % 5) AS make, " +
         "'Model-' || (doc_id % 7) AS model " +
         "FROM documents WHERE doc_id % 3 = 0 ORDER BY doc_id"),
+    // every MP4 field replayed from the id arithmetic — the box walk must
+    // recover them from real container bytes
+    "mm_video_meta" ->
+      ("SELECT doc_id, 'isom' AS brand, " +
+        "CAST((1 + doc_id % 20) * 500 AS BIGINT) AS duration_ms, " +
+        "CAST(2 AS INT) AS n_tracks, " +
+        "CAST(16 * (1 + doc_id % 5) AS INT) AS vid_w, " +
+        "CAST(16 * (1 + doc_id % 4) AS INT) AS vid_h, " +
+        "'vide,soun' AS handlers " +
+        "FROM documents WHERE doc_id % 3 = 1 ORDER BY doc_id"),
     "mm_video_frames" ->
       ("SELECT doc_id, CAST(1 + doc_id % 24 AS INT) AS n_frames, " +
         "CAST(frame_no AS INT) AS frame_no, CAST(4 AS INT) AS frame_w FROM (" +

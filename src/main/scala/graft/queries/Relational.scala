@@ -142,15 +142,45 @@ object Relational extends QueryModule {
   /** default split-point count — shared with the oracle interpolation */
   val DefaultSplits = 8
 
+  /** TWO-PHASE distributed exact ranking (round 14 — replaces the
+    * one-partition global window): the sample range-partitions on the
+    * full sort key, each partition ranks LOCALLY (window partitioned by
+    * pid — parallel), and the per-partition counts — P longs, a
+    * driver-side merge in the classic zipWithIndex shape — broadcast
+    * back as rank offsets. global rank = local rank + offset, exactly
+    * the old window's row_number, so the oracle is unchanged; the only
+    * single-point term left is the P-row count collect. */
   def splitPoints(
       s: SparkSession, d: String,
       sampleMod: Int = SplitSampleMod, splits: Int = DefaultSplits): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy("urlkey", "ts", "id")
-    Cdx.df(s, d)
-      .filter(col("id") % sampleMod === 0) // sample BEFORE the global window
-      .select(col("urlkey"), row_number().over(w).as("rn"), count(lit(1)).over().as("cnt"))
-      .filter(col("rn") % ceil(col("cnt") / splits).cast("bigint") === 0 && col("rn") < col("cnt"))
+    import s.implicits._
+    // range partitioning on the full key = partition boundaries in key
+    // order, so pid order IS rank order; localCheckpoint pins the
+    // partitioning for the two consumers (counts pass + rank pass)
+    val sample = Cdx.df(s, d)
+      .filter(col("id") % sampleMod === 0)
+      .select(col("urlkey"), col("ts"), col("id"))
+      .repartitionByRange(col("urlkey"), col("ts"), col("id"))
+      .sortWithinPartitions("urlkey", "ts", "id")
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val counts = sample.groupBy("pid").count()
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val total = counts.map(_._2).sum
+    if (total == 0)
+      return sample.select(col("urlkey").as("boundary"), lit(0).as("rn")).limit(0)
+    val offsets = counts.scanLeft((0, 0L)) { case ((_, acc), (pid, n)) =>
+      (pid, acc + n)
+    }.init.zip(counts).map { case ((_, off), (pid, _)) => (pid, off) }
+    val offDf = offsets.toSeq.toDF("pid", "off")
+    val every = math.ceil(total.toDouble / splits).toLong
+    val w = Window.partitionBy("pid").orderBy("urlkey", "ts", "id")
+    sample
+      .withColumn("lrn", row_number().over(w))
+      .join(broadcast(offDf), "pid")
+      .withColumn("rn", (col("lrn") + col("off")).cast("int"))
+      .filter(col("rn") % every === 0 && col("rn") < total)
       .select(col("urlkey").as("boundary"), col("rn"))
       .orderBy("rn")
   }

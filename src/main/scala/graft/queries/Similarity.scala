@@ -493,6 +493,34 @@ object Similarity extends QueryModule {
         dir = tmp(d, "ivfpq_append"))
     }),
 
+    // Graph-based ANN (HNSW — Malkov & Yashunin 2016): the recall end of
+    // the ANN spectrum. Sharded scatter-gather: nShards independent
+    // per-task graphs, each greedy-searched in O(ef·m·log n), global
+    // top-k merges nShards·k candidate rows. Oracle-exempt: the
+    // candidate set depends on graph traversal (SimilaritySpec pins
+    // planted recall ≥ the IVF-PQ ladder, exact-cosine agreement with
+    // the brute-force scores, and determinism).
+    "sim_ann_hnsw" -> ((s, d) => {
+      val e = emb(s, d).select(col("vec_id"), col("ed"))
+      val q = e.filter(col("vec_id") === 0L).select("ed").head().getSeq[Double](0).toArray
+      graft.ops.Hnsw.topK(e, q)
+    }),
+
+    // HNSW through the STORED adjacency: day 1 writes the graph's edges
+    // as a shard-partitioned parquet relation (the ivfpq_index
+    // write-once/probe-many shape); the serve leg reconstructs each
+    // shard's graph VERBATIM from disk (no rebuild) and answers the
+    // query bit-equal to the in-memory search (SimilaritySpec pins the
+    // parity). Oracle-exempt like sim_ann_hnsw.
+    "sim_ann_hnsw_index" -> ((s, d) => {
+      val e = emb(s, d).select(col("vec_id"), col("ed"))
+      val q = e.filter(col("vec_id") === 0L).select("ed").head().getSeq[Double](0).toArray
+      val dir = tmp(d, "hnsw_index")
+      graft.ops.Hnsw.adjacency(e, dim = q.length)
+        .write.mode("overwrite").partitionBy("shard").parquet(dir)
+      graft.ops.Hnsw.topKStored(s.read.parquet(dir), e, q)
+    }),
+
     // COLD serve: day 1 stores the index AND its model (centroids +
     // codebook, a few KB, parquet beside the codes); day N loads the
     // model and probes the stored cid-partitioned table. NOTHING in the

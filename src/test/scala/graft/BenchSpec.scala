@@ -44,4 +44,16 @@ class BenchSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(Bench.touchedFromEnv(Some("")) == Set.empty[String])
     assert(Bench.touchedFromEnv(Some("a, b ,,c")) == Set("a", "b", "c"))
   }
+
+  test("heavy-write median-of-3 protocol (round 14): members exist, median is the middle sample") {
+    // the designated ±70%-swing write lines must all be REAL query keys —
+    // a renamed key would silently drop out of the protocol
+    Bench.HeavyWriteMedian3.foreach(k =>
+      assert(SparkEntry.queries.contains(k), s"HeavyWriteMedian3 names unknown key '$k'"))
+    assert(Bench.HeavyWriteMedian3.size == 5)
+    // upper-median semantics: 3 samples -> middle; 2 -> upper; 1 -> itself
+    assert(Bench.median(Seq(1.0, 5.0, 90.0)) == 5.0) // the cold outlier loses
+    assert(Bench.median(Seq(2.0, 8.0)) == 8.0)
+    assert(Bench.median(Seq(3.0)) == 3.0)
+  }
 }

@@ -280,4 +280,61 @@ class CdxServerSpec extends SparkSpec {
       ("org,example,urgent)", "org,example,urgent)", "block"),
       ("org,example,open)/a", null, "allow")), out.toString)
   }
+
+  test("fuzzyMatchRules: strip / rewrite / soft-404 shapes, longest-prefix precedence, hit suppression") {
+    val fdir = "/tmp/graft_test/server_fuzzy_rules"
+    val lines = Seq(
+      // session-id cache buster family (strip rule)
+      """com,shop)/item?id=5&sid=123 20200101000000 {"url":"http://shop.com/item?id=5&sid=123"}""",
+      """com,shop)/item?id=5&sid=999 20200102000000 {"url":"http://shop.com/item?id=5&sid=999"}""",
+      """com,shop)/item?id=6&sid=1 20200103000000 {"url":"http://shop.com/item?id=6&sid=1"}""",
+      // timestamped video URL family (rewrite rule keeps only v)
+      """com,video)/watch?t=30&v=abc 20200104000000 {"url":"http://video.com/watch?v=abc&t=30"}""",
+      """com,video)/watch?t=99&v=abc 20200105000000 {"url":"http://video.com/watch?v=abc&t=99"}""",
+      """com,video)/watch?t=1&v=zzz 20200106000000 {"url":"http://video.com/watch?v=zzz&t=1"}""",
+      // bare + tracking-param captures (catch-all drop-query)
+      """org,blog)/post/1 20200107000000 {"url":"http://blog.org/post/1"}""",
+      """org,blog)/post/1?utm=x 20200108000000 {"url":"http://blog.org/post/1?utm=x"}""")
+    graft.formats.ZipNum.write(lines.toDF("line"), fdir, shards = 1, linesPerBlock = 2)
+    val srv = new CdxServer(spark, fdir)
+    val rules = Seq(
+      CdxServer.FuzzyRule("com,shop)", "&sid=\\d+", ""),
+      CdxServer.FuzzyRule("com,video)", "\\?t=\\d+&v=([a-z]+)", "?v=$1"),
+      CdxServer.FuzzyRule("", "\\?.*", ""))
+
+    def keys(df: org.apache.spark.sql.DataFrame): Seq[(String, Boolean)] =
+      df.collect().map(r => (r.getAs[String]("urlkey"), r.getAs[Boolean]("is_fuzzy"))).toSeq
+
+    // strip: the sid buster drops, both id=5 captures match, id=6 does
+    // NOT (the catch-all would have matched all three — longest prefix
+    // must pick the strip rule)
+    val strip = keys(srv.fuzzyMatchRules("com,shop)/item?id=5&sid=777", rules))
+    assert(strip == Seq(
+      ("com,shop)/item?id=5&sid=123", true),
+      ("com,shop)/item?id=5&sid=999", true)), strip.toString)
+
+    // rewrite: a capture-group canonical form — both v=abc captures
+    // match a missing t, v=zzz does not
+    val rew = keys(srv.fuzzyMatchRules("com,video)/watch?t=55&v=abc", rules))
+    assert(rew == Seq(
+      ("com,video)/watch?t=30&v=abc", true),
+      ("com,video)/watch?t=99&v=abc", true)), rew.toString)
+
+    // soft-404 catch-all: drop the whole query — bare AND utm captures
+    val soft = keys(srv.fuzzyMatchRules("org,blog)/post/1?utm=zz", rules))
+    assert(soft == Seq(
+      ("org,blog)/post/1", true),
+      ("org,blog)/post/1?utm=x", true)), soft.toString)
+
+    // an exact hit suppresses the fuzzy leg entirely
+    val hit = keys(srv.fuzzyMatchRules("com,shop)/item?id=5&sid=123", rules))
+    assert(hit == Seq(("com,shop)/item?id=5&sid=123", false)), hit.toString)
+
+    // fuzzyCanonicalCol: keys outside every rule pass through unchanged
+    val untouched = Seq("zz,none)/x?q=1").toDF("urlkey")
+      .select(CdxServer.fuzzyCanonicalCol(col("urlkey"),
+        rules.filter(_.prefix.nonEmpty)).as("c"))
+      .as[String].collect().head
+    assert(untouched == "zz,none)/x?q=1")
+  }
 }

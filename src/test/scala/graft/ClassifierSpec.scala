@@ -60,4 +60,57 @@ class ClassifierSpec extends SparkSpec {
     assert(got.getBoolean(2) == (num >= 0))
     docs.unpersist()
   }
+
+  test("LangId.train recovers planted languages on held-out docs (accuracy >= 0.9)") {
+    import spark.implicits._
+    // three synthetic languages sharing filler vocabulary but each with
+    // its own characteristic word stock — the char-trigram NB must
+    // separate them from n-gram statistics alone
+    val stock = Map(
+      "aa" -> Seq("zyxwv", "qwerty", "plasma", "kraken", "fjord"),
+      "bb" -> Seq("mumble", "bubble", "rumble", "humble", "nimbus"),
+      "cc" -> Seq("starlight", "eststar", "strasse", "lastst", "striate"))
+    val shared = Seq("the", "of", "and", "to", "in")
+    def docText(lang: String, id: Long): String = {
+      val r = new scala.util.Random(id * 31 + lang.hashCode)
+      val own = stock(lang)
+      (0 until 20).map { _ =>
+        if (r.nextDouble() < 0.3) shared(r.nextInt(shared.length))
+        else own(r.nextInt(own.length))
+      }.mkString(" ")
+    }
+    val docs = (0L until 300L).map { id =>
+      val lang = Seq("aa", "bb", "cc")((id % 3).toInt)
+      (id, lang, docText(lang, id))
+    }.toDF("doc_id", "lang", "text")
+    val model = graft.ops.LangId.train(docs.where(col("doc_id") % 5 =!= 0))
+    assert(model.langs.toSeq == Seq("aa", "bb", "cc"))
+    val heldOut = docs.where(col("doc_id") % 5 === 0)
+    val scored = graft.ops.LangId.infer(heldOut, model)
+      .join(heldOut.select("doc_id", "lang"), "doc_id")
+    val n = scored.count().toDouble
+    val acc = scored.where(col("pred_lang") === col("lang")).count() / n
+    info(f"held-out language accuracy: $acc%.3f over ${n.toInt} docs")
+    assert(acc >= 0.9, f"trained lang-id failed planted recovery: acc=$acc%.3f")
+    // determinism: scoring twice yields identical predictions
+    val a = graft.ops.LangId.infer(heldOut, model).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    val b = graft.ops.LangId.infer(heldOut, model).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(a == b)
+  }
+
+  test("text_lang_id_trained driver key: one prediction per doc, never null, prior fallback on empty text") {
+    import spark.implicits._
+    val out = SparkEntry.queries("text_lang_id_trained")(spark, sfDir).collect()
+    val nDocs = Tables.t(spark, sfDir, "documents").count()
+    assert(out.length == nDocs)
+    assert(out.forall(r => r.getString(1) != null))
+    // an empty doc scores by prior alone and still predicts
+    val model = graft.ops.LangId.train(
+      Seq(("en", "hello world common text"), ("de", "zwei drei vier")).toDF("lang", "text"))
+    val empty = graft.ops.LangId.infer(Seq((1L, "")).toDF("doc_id", "text"), model)
+      .collect()
+    assert(empty.length == 1 && empty.head.getString(1) != null)
+  }
 }

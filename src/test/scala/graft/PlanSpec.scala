@@ -313,19 +313,34 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
   }
 
-  test("split_points: 1-in-SplitSampleMod sample filter sits below every global window") {
+  test("split_points: two-phase ranking — every window is pid-PARTITIONED, offsets broadcast") {
     val df = SparkEntry.queries("split_points")(spark, sfDir)
     val wins = df.queryExecution.sparkPlan.collect {
       case w: org.apache.spark.sql.execution.window.WindowExec => w
     }
-    assert(wins.nonEmpty, "expected the boundary-picking window")
-    wins.foreach { w =>
-      val sampled = w.child.collectFirst {
-        case f: org.apache.spark.sql.execution.FilterExec
-          if f.condition.toString.contains(s"% ${graft.queries.Relational.SplitSampleMod}") => f
-      }
-      assert(sampled.nonEmpty, s"sample filter must precede the window:\n$w")
-    }
+    assert(wins.nonEmpty, "expected the local-rank window")
+    // round-14 design: no global window anywhere — local ranks run per
+    // range partition, global rank = local + broadcast offset
+    wins.foreach(w =>
+      assert(w.partitionSpec.nonEmpty, s"unpartitioned window crept back in:\n$w"))
+    df.collect()
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+    assert(p.contains("BroadcastHashJoin"), s"offset join must broadcast:\n$p")
+    // and the result still matches the one-window definition bit for bit
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val wOld = Window.orderBy("urlkey", "ts", "id")
+    val old = Cdx.df(spark, sfDir)
+      .filter(col("id") % graft.queries.Relational.SplitSampleMod === 0)
+      .select(col("urlkey"), row_number().over(wOld).as("rn"),
+        count(lit(1)).over().as("cnt"))
+      .filter(col("rn") % ceil(col("cnt") / graft.queries.Relational.DefaultSplits)
+        .cast("bigint") === 0 && col("rn") < col("cnt"))
+      .select(col("urlkey").as("boundary"), col("rn"))
+      .orderBy("rn").collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+    val got = df.collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+    assert(got == old, s"two-phase boundaries differ from the one-window reference: $got vs $old")
   }
 
   test("agg_pivot: explicit values keep pivot one scan; second agg level runs on reduced rows") {
@@ -703,8 +718,6 @@ class PlanSpec extends SparkSpec {
     }
     // key -> why its unpartitioned window is bounded (the documented sites)
     val allow = Map(
-      "split_points" -> ("Relational.scala splitPoints: the window runs on the " +
-        "1-in-500 SAMPLE (bounded by sampleFraction), never the corpus"),
       "agg_drift_report" -> ("Aggregates.scala drift spine: the window runs on the " +
         "per-(column,bin) rollup — at most |columns|x|bins| rows (~13 here)"),
       "sample_temperature" -> ("Llm.scala mix table: the window runs on the " +

@@ -682,6 +682,45 @@ class WarcSpec extends SparkSpec {
     val watTypes = Warc.scan(spark, watDir + "/*.warc.wat.gz")
       .orderBy("offset").select("record_type").collect().map(_.getString(0)).toSeq
     assert(watTypes.head == "warcinfo" && watTypes.tail.forall(_ == "metadata"), watTypes.toString)
+
+    // ---- WAT with the COMPLETE envelope: headers + warcinfo blocks
+    // written, read back via watHeaders; header-less envelopes stay
+    // byte-identical to the 4-arg form (existing hashes untouched)
+    import spark.implicits._
+    val watRows = Seq(
+      ("s.warc.gz", "http://h.example/a", "20200101000000", "T1",
+        Seq("http://d.example/1"), Map("Content-Type" -> "text/html", "Server" -> "srv/1")),
+      ("s.warc.gz", "http://h.example/b", "20200102000000", "T2",
+        Seq("http://d.example/2"), Map("Content-Type" -> "image/png")))
+      .toDF("shard", "url", "ts", "title", "dsts", "hdrs")
+    val bare = watRows.select(graft.Pipeline.watEnvelope(
+      col("url"), col("ts"), col("title"), col("dsts")).as("j"))
+      .as[String].collect().toSeq
+    val withNulls = watRows.select(graft.Pipeline.watEnvelope(
+      col("url"), col("ts"), col("title"), col("dsts"),
+      headers = null, warcinfo = null).as("j"))
+      .as[String].collect().toSeq
+    assert(bare == withNulls, "omitted blocks must leave the envelope byte-identical")
+    assert(bare.forall(j => !j.contains("\"Headers\"") && !j.contains("WARC-Info-Metadata")))
+    val watHdrDir = dir.resolve("wat_headers").toString
+    graft.formats.WarcSink.writeWat(
+      watRows.select(col("shard"), col("url"), col("ts"),
+        graft.Pipeline.watEnvelope(col("url"), col("ts"), col("title"), col("dsts"),
+          headers = col("hdrs"),
+          warcinfo = typedLit(Map("software" -> "graft-test"))).as("meta")),
+      watHdrDir)
+    val hback = graft.Pipeline.watHeaders(spark, watHdrDir + "/*.warc.wat.gz")
+      .collect().map(r => (r.getString(0), r.getString(2), r.getString(3))).toSet
+    assert(hback == Set(
+      ("http://h.example/a", "Content-Type", "text/html"),
+      ("http://h.example/a", "Server", "srv/1"),
+      ("http://h.example/b", "Content-Type", "image/png")), hback.toString)
+    // watLinks still parses header-carrying envelopes (schema subset)
+    val hlinks = graft.Pipeline.watLinks(spark, watHdrDir + "/*.warc.wat.gz")
+      .select("src", "dst").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(hlinks == Set(
+      ("http://h.example/a", "http://d.example/1"),
+      ("http://h.example/b", "http://d.example/2")), hlinks.toString)
   }
 
   test("scanSplit: byte-range splits return rows bit-identical to the whole-file scan") {
@@ -961,5 +1000,104 @@ class WarcSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("14 digits") || Option(e2.getCause).exists(
       c => String.valueOf(c.getMessage).contains("14 digits")))
+  }
+
+  test("scanSegments: a 3-segment record stitches across FILES; missing middles degrade to exact-extent corrupt rows") {
+    import java.nio.file.{Files, Paths}
+    val dir = "/tmp/graft_test/warc_segments"
+    val p = Paths.get(dir)
+    if (Files.exists(p))
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(q => Files.deleteIfExists(q))
+    Files.createDirectories(p)
+    def rec(headers: Seq[String], block: Array[Byte]): Array[Byte] =
+      (Seq("WARC/1.0") ++ headers ++ Seq(s"Content-Length: ${block.length}"))
+        .mkString("", "\r\n", "\r\n\r\n").getBytes("UTF-8") ++ block
+    val body = "0123456789" * 3 // 30 bytes
+    val http = (s"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n" +
+      s"Content-Length: ${body.length}\r\n\r\n").getBytes("UTF-8") ++ body.getBytes("UTF-8")
+    val (p1, p2, p3) = (http.slice(0, 40), http.slice(40, 70), http.slice(70, http.length))
+    def seg1(id: String, frag: Array[Byte]) = rec(Seq(
+      "WARC-Type: response", s"WARC-Record-ID: <urn:uuid:$id>",
+      "WARC-Target-URI: http://big.example/file", "WARC-Date: 2020-01-01T00:00:00Z",
+      "WARC-Payload-Digest: sha1:BIGDIGEST", "WARC-Segment-Number: 1",
+      "Content-Type: application/http; msgtype=response"), frag)
+    def cont(id: String, origin: String, n: Int, frag: Array[Byte], total: Option[Long]) =
+      rec(Seq(
+        "WARC-Type: continuation", s"WARC-Record-ID: <urn:uuid:$id>",
+        "WARC-Target-URI: http://big.example/file", "WARC-Date: 2020-01-01T00:00:00Z",
+        s"WARC-Segment-Origin-ID: <urn:uuid:$origin>", s"WARC-Segment-Number: $n") ++
+        total.map(t => s"WARC-Segment-Total-Length: $t") :+
+        "Content-Type: application/octet-stream", frag)
+    // file 1: one ordinary record + the first segment
+    val normal = rec(Seq(
+      "WARC-Type: response", "WARC-Record-ID: <urn:uuid:normal-1>",
+      "WARC-Target-URI: http://plain.example/", "WARC-Date: 2020-02-02T00:00:00Z",
+      "WARC-Payload-Digest: sha1:PLAINDIGEST",
+      "Content-Type: application/http; msgtype=response"),
+      "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\nContent-Length: 2\r\n\r\nok".getBytes("UTF-8"))
+    val f1 = Files.newOutputStream(Paths.get(s"$dir/a.warc.gz"))
+    try {
+      graft.formats.Gzip.writeMember(f1, normal)
+      graft.formats.Gzip.writeMember(f1, seg1("big-1", p1))
+    } finally f1.close()
+    // file 2: the continuations (cross-file stitching)
+    val f2 = Files.newOutputStream(Paths.get(s"$dir/b.warc.gz"))
+    try {
+      graft.formats.Gzip.writeMember(f2, cont("big-2", "big-1", 2, p2, None))
+      graft.formats.Gzip.writeMember(f2, cont("big-3", "big-1", 3, p3, Some(http.length.toLong)))
+    } finally f2.close()
+    // file 3: an INCOMPLETE group — first + third segment, middle missing
+    val f3 = Files.newOutputStream(Paths.get(s"$dir/c.warc.gz"))
+    try {
+      graft.formats.Gzip.writeMember(f3, seg1("hole-1", p1))
+      graft.formats.Gzip.writeMember(f3, cont("hole-3", "hole-1", 3, p3, Some(http.length.toLong)))
+    } finally f3.close()
+
+    val rows = Warc.scanSegments(spark, s"$dir/*.warc.gz").collect()
+    // the assembled logical record
+    val big = rows.filter(r => r.getString(1) == "http://big.example/file")
+    assert(big.length == 1, s"expected ONE stitched record, got ${big.length}")
+    val b = big.head
+    assert(b.getString(0) == "response")
+    assert(b.getString(2) == "20200101000000")
+    assert(b.getString(3) == "BIGDIGEST")
+    assert(b.getInt(4) == 200, "status must parse from the ASSEMBLED http head")
+    assert(b.getString(5) == "text/plain")
+    assert(new String(b.getAs[Array[Byte]](9), "UTF-8") == body,
+      "payload must be the de-fragmented full body")
+    assert(b.getString(8) == "a.warc.gz", "logical row carries the FIRST fragment's file")
+    // the ordinary record is untouched and bit-identical to plain scan
+    val plainViaSeg = rows.filter(r => r.getString(1) == "http://plain.example/").head
+    val plainViaScan = Warc.scan(spark, s"$dir/a.warc.gz").collect()
+      .filter(r => r.getString(1) == "http://plain.example/").head
+    assert(plainViaSeg.toSeq.take(9) == plainViaScan.toSeq.take(9))
+    // the holed group degrades to one corrupt row PER fragment with the
+    // fragment's own extent (match against the raw meta view)
+    val corrupt = rows.filter(r => r.getString(0) == "corrupt" && r.getString(8) == "c.warc.gz")
+    val fragsMeta = Warc.scanMeta(spark, s"$dir/c.warc.gz")
+      .filter(org.apache.spark.sql.functions.col("seg_num").isNotNull)
+      .select("offset", "length").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(corrupt.length == 2, s"expected 2 corrupt rows, got ${corrupt.length}")
+    assert(corrupt.map(r => (r.getLong(6), r.getLong(7))).toSet == fragsMeta,
+      "corrupt rows must carry the exact fragment extents")
+    // nothing from the holed group leaks as a stitched or fragment row
+    assert(!rows.exists(r => r.getString(0) == "continuation"))
+
+    // regression guard: over an UNSEGMENTED archive, scanSegments == scan
+    val fix = "/tmp/graft_test/warc_segments_fixture.warc.gz"
+    Warc.writeFixture(fix, Warc.fixtureRecords)
+    val viaSeg = Warc.scanSegments(spark, fix).collect()
+      .map(_.toSeq.map {
+        case b: Array[Byte] => b.toSeq
+        case x => x
+      }).sortBy(_.toString)
+    val viaScan = Warc.scan(spark, fix).collect()
+      .map(_.toSeq.map {
+        case b: Array[Byte] => b.toSeq
+        case x => x
+      }).sortBy(_.toString)
+    assert(viaSeg.toSeq == viaScan.toSeq,
+      "scanSegments must be scan's identity on unsegmented data")
   }
 }
