@@ -23,7 +23,7 @@ object Plans {
     "join_skew_salted" -> "hot-key join shuffles on (key, salt), never broadcast",
     "zipnum_v2_pushdown" -> "urlkey filter pushed into cluster.idx block pruning",
     "topk_closest" -> "TakeOrderedAndProject, not sort-then-limit",
-    "split_points" -> "sample filter sits below the only global window",
+    "split_points" -> "two-phase exact ranking: pid-partitioned local row_number + broadcast count offsets — no global window anywhere",
     "dedup_fuzzy_minhash" -> "LSH band equi-join, no cross join anywhere",
     "dedup_simhash" -> "fused tokenize+sketch kernel: no Generate, no aggregate, all codegen",
     "sim_ann_pq" -> "codebook + ADC table ride as plan literals: scan -> pq_encode projection -> top-k, no join/window/explode",
@@ -128,7 +128,16 @@ object Plans {
     "wacz_fetch_record" -> "record replay through the ZIP: index scan is one tail read + the index entry per archive; each record is ONE positioned read through the STORED entry — no archive-sized scan anywhere in the plan",
     "wacz_prefix_lookup" -> "blocked big-archive index served boundedly: idx pointers select the blocks whose CLOSED key ranges can hold the prefix; only those gzip members read — O(idx + matching blocks), the cluster.idx discipline through a ZIP",
     "pipeline_wacz_publish" -> "dedup -> package -> verify-gate -> replay as ONE lazy plan: time-first originals via a mergeable min_by agg (no hot-digest window), verification is a bounded pre-read gate, the replay is pointer-sized",
-    "graph_domain_collapse" -> "PSL runs on DISTINCT endpoint hosts only; the edge corpus takes two BROADCAST host->domain joins + one hash agg on the bounded (domain, domain) key — no edge-sized shuffle anywhere")
+    "graph_domain_collapse" -> "PSL runs on DISTINCT endpoint hosts only; the edge corpus takes two BROADCAST host->domain joins + one hash agg on the bounded (domain, domain) key — no edge-sized shuffle anywhere",
+    "sim_ann_hnsw_index" -> "sharded graph ANN off the STORED adjacency: shard-partitioned scan + vector equi-join feed per-shard verbatim graph reconstruction (flatMapGroups); the merge is an ordered limit over nShards*k candidate rows",
+    "cdx_fuzzy_rules" -> "rules canonicalization is a map-side regexp_replace when-coalesce chain (the broadcast rules table as plan literals); the exact-miss gate is an in-plan broadcast 1-row count; the re-probe prunes cluster.idx on the canonical base prefix",
+    "scan_warc_segments" -> "continuation reassembly: unsegmented rows pass through exchange-free; segment rows shuffle ONCE on the origin id (only the segmented bytes move), groups assemble or degrade per-fragment in one flatMapGroups",
+    "url_agnostic_dedup" -> "ONE partial+final digest aggregation; dangling/cross-url verdicts are map-side projections and only mismatch rows survive the filter — the report is audit-sized at any corpus scale",
+    "text_lang_id_trained" -> "the trained NB model rides as per-language literal arrays; scoring is map-side aggregate-HOF folds + a struct array_max argmax — no join, no explode, no shuffle but the output sort",
+    "sink_wat_headers" -> "the header map joins the SAME map-side to_json projection as the envelope (no extra pass); read-back parses each envelope once then map-explodes the Headers block",
+    "mm_video_meta" -> "MP4 box walk is one narrow mapPartitions pass — no joins or aggregates before the output sort, the mm_* decoder plan class",
+    "cdx_fuzzy_resolve_batch" -> "index keys canonicalize map-side inside the scan's codegen stage (the rules table as plan literals); the distinct query canon set BROADCASTS — the corpus never shuffles for resolution",
+    "sim_ann_hnsw_append" -> "stored rows cogroup with the batch's shard slice (both sides exchange once on shard); reconstruction + insert run per group, the updated adjacency streams out — no rebuild of unchanged shards' vectors")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse(

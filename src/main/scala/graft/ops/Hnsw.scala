@@ -82,14 +82,9 @@ object Hnsw {
 
   /** beam search one layer: returns the ef closest (dist asc, idx asc) */
   private def searchLayer(
-      vecs: Array[Array[Double]], norms: Array[Double],
+      distTo: Int => Double,
       adjAt: Int => Array[Int],
-      q: Array[Double], qNorm: Double,
       eps: Seq[Int], ef: Int, visited: java.util.BitSet): Array[Cand] = {
-    def distTo(i: Int): Double = {
-      val d = norms(i) * qNorm
-      if (d == 0.0) 1.0 else 1.0 - dot(vecs(i), q) / d
-    }
     val cand = new java.util.PriorityQueue[Cand](candOrd)
     // worst-first heap of current results (reverse order)
     val res = new java.util.PriorityQueue[Cand](candOrd.reverse)
@@ -129,38 +124,43 @@ object Hnsw {
     out
   }
 
-  /** Build one shard's graph. `items` must be (vec_id, vector) pairs;
-    * they are sorted ascending by id here so the insertion order — and
-    * therefore the graph — is a pure function of the shard's CONTENT,
-    * never of upstream partition or arrival order. */
-  def build(
-      items: Array[(Long, Array[Double])], m: Int = 8, efC: Int = 64,
-      seed: Long = 20260816L): Graph = {
+  /** Incremental per-shard graph constructor: [[build]] inserts a sorted
+    * batch from scratch; [[append]] seeds one from an EXISTING graph and
+    * folds a day-2 batch in under the same deterministic rules — node
+    * levels come from the seeded id hash (never "state so far"), so an
+    * append of ids that sort after the base reproduces the
+    * build-from-scratch graph EXACTLY (HnswSpec pins it). */
+  private final class Builder(m: Int, efC: Int, seed: Long) {
     require(m >= 2, s"m must be >= 2, got $m")
-    val sorted = items.sortBy(_._1)
-    val n = sorted.length
-    val ids = sorted.map(_._1)
-    val vecs = sorted.map(_._2)
-    val norms = vecs.map(norm)
-    val mL = 1.0 / math.log(m.toDouble)
-    val levels = ids.map(levelOf(_, mL, seed))
-    // adjacency as growable buffers during construction
-    val adjB = Array.tabulate(n)(i =>
-      Array.fill(levels(i) + 1)(new scala.collection.mutable.ArrayBuffer[Int](m + 1)))
-    val maxM0 = 2 * m // level-0 lists hold 2M (the paper's default)
-    var entry = -1
-    var maxLevel = -1
-    val visited = new java.util.BitSet(n)
+    private val mL = 1.0 / math.log(m.toDouble)
+    private val maxM0 = 2 * m // level-0 lists hold 2M (the paper's default)
+    private val ids = new scala.collection.mutable.ArrayBuffer[Long]()
+    private val vecs = new scala.collection.mutable.ArrayBuffer[Array[Double]]()
+    private val norms = new scala.collection.mutable.ArrayBuffer[Double]()
+    private val levels = new scala.collection.mutable.ArrayBuffer[Int]()
+    private val adjB =
+      new scala.collection.mutable.ArrayBuffer[Array[scala.collection.mutable.ArrayBuffer[Int]]]()
+    private var entry = -1
+    private var maxLevel = -1
+    private val visited = new java.util.BitSet()
 
-    def maxMAt(level: Int): Int = if (level == 0) maxM0 else m
+    def seedFrom(g: Graph): Unit = {
+      require(ids.isEmpty, "seedFrom before any insert")
+      ids ++= g.ids; vecs ++= g.vecs; norms ++= g.vecs.map(norm)
+      levels ++= g.levels
+      adjB ++= g.adj.map(_.map(ns => scala.collection.mutable.ArrayBuffer(ns: _*)))
+      entry = g.entry; maxLevel = g.maxLevel
+    }
 
-    def distBetween(a: Int, b: Int): Double = {
+    private def maxMAt(level: Int): Int = if (level == 0) maxM0 else m
+
+    private def distBetween(a: Int, b: Int): Double = {
       val d = norms(a) * norms(b)
       if (d == 0.0) 1.0 else 1.0 - dot(vecs(a), vecs(b)) / d
     }
 
     // keep a node's list within cap: retain the maxM closest (dist, idx)
-    def shrink(node: Int, level: Int): Unit = {
+    private def shrink(node: Int, level: Int): Unit = {
       val buf = adjB(node)(level)
       val cap = maxMAt(level)
       if (buf.length > cap) {
@@ -171,48 +171,78 @@ object Hnsw {
       }
     }
 
-    var i = 0
-    while (i < n) {
-      val l = levels(i)
-      if (entry < 0) { entry = i; maxLevel = l }
-      else {
-        var ep = entry
-        val qv = vecs(i)
-        val qn = norms(i)
-        // layer adjacency accessor, bounds-safe (edges at a layer only
-        // ever connect nodes whose level reaches it, but a defensive
-        // empty list beats an ArrayIndexOutOfBounds if that invariant
-        // is ever perturbed)
-        def adjAt(lev: Int)(node: Int): Array[Int] =
-          if (lev <= levels(node)) adjB(node)(lev).toArray else Array.emptyIntArray
-        // greedy descent through layers above the new node's level
-        var lev = maxLevel
-        while (lev > l) {
-          val got = searchLayer(vecs, norms, adjAt(lev), qv, qn,
-            Seq(ep), ef = 1, visited)
-          if (got.nonEmpty) ep = got(0).idx
-          lev -= 1
-        }
-        // connect at each level from min(l, maxLevel) down to 0
-        var lev2 = math.min(l, maxLevel)
-        var eps = Seq(ep)
-        while (lev2 >= 0) {
-          val found = searchLayer(vecs, norms, adjAt(lev2), qv, qn,
-            eps, efC, visited)
-          val neighbors = found.take(m)
-          neighbors.foreach { nb =>
-            adjB(i)(lev2) += nb.idx
-            adjB(nb.idx)(lev2) += i
-            shrink(nb.idx, lev2)
-          }
-          eps = found.map(_.idx).toSeq
-          lev2 -= 1
-        }
-        if (l > maxLevel) { entry = i; maxLevel = l }
+    // layer adjacency accessor, bounds-safe (edges at a layer only ever
+    // connect nodes whose level reaches it, but a defensive empty list
+    // beats an ArrayIndexOutOfBounds if that invariant is ever perturbed)
+    private def adjAt(lev: Int)(node: Int): Array[Int] =
+      if (lev <= levels(node)) adjB(node)(lev).toArray else Array.emptyIntArray
+
+    def insert(id: Long, vec: Array[Double]): Unit = {
+      val l = levelOf(id, mL, seed)
+      val i = ids.length
+      ids += id; vecs += vec; norms += norm(vec); levels += l
+      adjB += Array.fill(l + 1)(new scala.collection.mutable.ArrayBuffer[Int](m + 1))
+      if (entry < 0) { entry = i; maxLevel = l; return }
+      val qv = vec
+      val qn = norms(i)
+      def distTo(node: Int): Double = {
+        val d = norms(node) * qn
+        if (d == 0.0) 1.0 else 1.0 - dot(vecs(node), qv) / d
       }
-      i += 1
+      var ep = entry
+      // greedy descent through layers above the new node's level
+      var lev = maxLevel
+      while (lev > l) {
+        val got = searchLayer(distTo, adjAt(lev), Seq(ep), ef = 1, visited)
+        if (got.nonEmpty) ep = got(0).idx
+        lev -= 1
+      }
+      // connect at each level from min(l, maxLevel) down to 0
+      var lev2 = math.min(l, maxLevel)
+      var eps = Seq(ep)
+      while (lev2 >= 0) {
+        val found = searchLayer(distTo, adjAt(lev2), eps, efC, visited)
+        val neighbors = found.take(m)
+        neighbors.foreach { nb =>
+          adjB(i)(lev2) += nb.idx
+          adjB(nb.idx)(lev2) += i
+          shrink(nb.idx, lev2)
+        }
+        eps = found.map(_.idx).toSeq
+        lev2 -= 1
+      }
+      if (l > maxLevel) { entry = i; maxLevel = l }
     }
-    new Graph(ids, vecs, levels, adjB.map(_.map(_.toArray)), entry, maxLevel)
+
+    def result(): Graph =
+      new Graph(ids.toArray, vecs.toArray, levels.toArray,
+        adjB.toArray.map(_.map(_.toArray)), entry, maxLevel)
+  }
+
+  /** Build one shard's graph. `items` must be (vec_id, vector) pairs;
+    * they are sorted ascending by id here so the insertion order — and
+    * therefore the graph — is a pure function of the shard's CONTENT,
+    * never of upstream partition or arrival order. */
+  def build(
+      items: Array[(Long, Array[Double])], m: Int = 8, efC: Int = 64,
+      seed: Long = 20260816L): Graph = {
+    val b = new Builder(m, efC, seed)
+    items.sortBy(_._1).foreach { case (id, v) => b.insert(id, v) }
+    b.result()
+  }
+
+  /** Fold a day-2 batch into an EXISTING graph — HNSW's native
+    * incremental insert, no rebuild. Levels are id-hash-deterministic,
+    * so when the batch's ids sort after the base's (the append-id
+    * convention) the result is bit-identical to a from-scratch build
+    * over base ∪ batch. */
+  def append(
+      g: Graph, items: Array[(Long, Array[Double])], m: Int = 8, efC: Int = 64,
+      seed: Long = 20260816L): Graph = {
+    val b = new Builder(m, efC, seed)
+    b.seedFrom(g)
+    items.sortBy(_._1).foreach { case (id, v) => b.insert(id, v) }
+    b.result()
   }
 
   /** search one graph: greedy descent to level 1, beam `ef` at level 0,
@@ -222,17 +252,22 @@ object Hnsw {
     if (g.size == 0) return Array.empty
     val qn = norm(q)
     val norms = g.vecs.map(norm)
+    def distTo(i: Int): Double = {
+      val d = norms(i) * qn
+      if (d == 0.0) 1.0 else 1.0 - dot(g.vecs(i), q) / d
+    }
     val visited = new java.util.BitSet(g.size)
     var ep = g.entry
     var lev = g.maxLevel
     while (lev > 0) {
-      val got = searchLayer(g.vecs, norms,
-        i => if (lev <= g.levels(i)) g.adj(i)(lev) else Array.emptyIntArray,
-        q, qn, Seq(ep), ef = 1, visited)
+      val l = lev
+      val got = searchLayer(distTo,
+        i => if (l <= g.levels(i)) g.adj(i)(l) else Array.emptyIntArray,
+        Seq(ep), ef = 1, visited)
       if (got.nonEmpty) ep = got(0).idx
       lev -= 1
     }
-    val found = searchLayer(g.vecs, norms, i => g.adj(i)(0), q, qn,
+    val found = searchLayer(distTo, i => g.adj(i)(0),
       Seq(ep), math.max(ef, k), visited)
     found.take(k).map(c => (g.ids(c.idx), 1.0 - c.dist))
   }
@@ -294,55 +329,140 @@ object Hnsw {
       .toDF("shard", "vec_id", "level", "neighbors")
   }
 
+  /** reconstruct one shard's graph VERBATIM from its stored rows
+    * (shard, vec_id, level, neighbor-ids, vector) — no rebuild, the
+    * edges come off disk; the entry point is derived from the build's
+    * ascending-id-insertion invariant (smallest id among max-level
+    * nodes) */
+  private def reconstruct(
+      rows: Array[(Int, Long, Int, Array[Long], Array[Double])]): Graph = {
+    val byId = rows.groupBy(_._2)
+    val ids = byId.keys.toArray.sorted
+    val idx = ids.zipWithIndex.toMap
+    val n = ids.length
+    val vecs = new Array[Array[Double]](n)
+    val levels = new Array[Int](n)
+    ids.zipWithIndex.foreach { case (id, i) =>
+      val rs = byId(id)
+      vecs(i) = rs.head._5
+      levels(i) = rs.map(_._3).max
+    }
+    val adj = Array.tabulate(n) { i =>
+      val rs = byId(ids(i))
+      Array.tabulate(levels(i) + 1) { lev =>
+        rs.find(_._3 == lev).map(_._4.map(idx)).getOrElse(Array.emptyIntArray)
+      }
+    }
+    val maxLevel = levels.max
+    val entry = ids.indices.filter(levels(_) == maxLevel).min
+    new Graph(ids, vecs, levels, adj, entry, maxLevel)
+  }
+
+  /** one graph's rows in the stored-adjacency shape */
+  private def adjacencyRowsOf(
+      g: Graph, shard: Int): Iterator[(Int, Long, Int, Array[Long])] =
+    (0 until g.size).iterator.flatMap { i =>
+      (0 to g.levels(i)).iterator.map { lev =>
+        (shard, g.ids(i), lev, g.adj(i)(lev).map(g.ids(_)))
+      }
+    }
+
+  /** the stored adjacency joined back to its vectors, typed per shard */
+  private def joinedStored(
+      adjacencyDf: DataFrame, vectors: DataFrame) = {
+    val spark = adjacencyDf.sparkSession
+    import spark.implicits._
+    adjacencyDf
+      .join(vectors.select(col("vec_id"), col("ed")), "vec_id")
+      .select(col("shard").cast("int"), col("vec_id"), col("level").cast("int"),
+        col("neighbors"), col("ed"))
+      .as[(Int, Long, Int, Array[Long], Array[Double])]
+  }
+
   /** Serve a query from the STORED adjacency + the vector relation: per
-    * shard, reconstruct the graph verbatim (no rebuild — the edges come
-    * off disk) and run the same search. The scan is shard-partitioned
-    * parquet; every shard is searched (graph ANN is scatter-gather, the
-    * per-shard walk is the cheap part), and the merge is nShards·k rows. */
+    * shard, [[reconstruct]] the graph and run the same search. The scan
+    * is shard-partitioned parquet; every shard is searched (graph ANN
+    * is scatter-gather, the per-shard walk is the cheap part), and the
+    * merge is nShards·k rows. */
   def topKStored(
       adjacencyDf: DataFrame, vectors: DataFrame, q: Array[Double],
       k: Int = 10, efS: Int = 32): DataFrame = {
     val spark = adjacencyDf.sparkSession
     import spark.implicits._
-    val joined = adjacencyDf
-      .join(vectors.select(col("vec_id"), col("ed")), "vec_id")
-      .select(col("shard").cast("int"), col("vec_id"), col("level").cast("int"),
-        col("neighbors"), col("ed"))
-      .as[(Int, Long, Int, Array[Long], Array[Double])]
-    val perShard = joined
+    val perShard = joinedStored(adjacencyDf, vectors)
       .groupByKey(_._1)
       .flatMapGroups { (_, it) =>
         val rows = it.toArray
         if (rows.isEmpty) Iterator.empty
-        else {
-          val byId = rows.groupBy(_._2)
-          val ids = byId.keys.toArray.sorted
-          val idx = ids.zipWithIndex.toMap
-          val n = ids.length
-          val vecs = new Array[Array[Double]](n)
-          val levels = new Array[Int](n)
-          ids.zipWithIndex.foreach { case (id, i) =>
-            val rs = byId(id)
-            vecs(i) = rs.head._5
-            levels(i) = rs.map(_._3).max
-          }
-          val adj = Array.tabulate(n) { i =>
-            val rs = byId(ids(i))
-            Array.tabulate(levels(i) + 1) { lev =>
-              rs.find(_._3 == lev).map(_._4.map(idx)).getOrElse(Array.emptyIntArray)
-            }
-          }
-          val maxLevel = levels.max
-          // the build's entry invariant: ascending-id insertion means the
-          // entry is the SMALLEST id among max-level nodes
-          val entry = ids.indices.filter(levels(_) == maxLevel).min
-          val g = new Graph(ids, vecs, levels, adj, entry, maxLevel)
-          search(g, q, efS, k).iterator
-        }
+        else search(reconstruct(rows), q, efS, k).iterator
       }
     perShard.toDF("vec_id", "cos")
       .select(col("vec_id"), round(col("cos"), 6).as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(k)
+  }
+
+  /** A query BATCH through the sharded graphs in ONE plan (the
+    * ivfpq_batch shape — nobody serves one driver-planned query at a
+    * time): every shard builds once and answers every query (the batch
+    * is a driver artifact, nQ·dim doubles riding the closure like a
+    * codebook), per-(shard, qid) top-k rows merge through one
+    * qid-partitioned window. Output (qid, vec_id, cos) — each qid's
+    * rows bit-equal to its single-query [[topK]] (HnswSpec pins it). */
+  def batchTopK(
+      e: DataFrame, queries: Array[(Long, Array[Double])], k: Int = 10,
+      nShards: Int = 8, m: Int = 8, efC: Int = 64, efS: Int = 32,
+      seed: Long = 20260816L): DataFrame = {
+    require(queries.nonEmpty, "batchTopK needs at least one query")
+    val spark = e.sparkSession
+    import spark.implicits._
+    val dim = queries.head._2.length
+    val perShard = sharded(e, nShards, dim)
+      .as[(Int, Long, Array[Double])]
+      .groupByKey(_._1)
+      .flatMapGroups { (shard, it) =>
+        val items = it.map(t => (t._2, t._3)).toArray
+        val g = build(items, m, efC, seed + shard)
+        queries.iterator.flatMap { case (qid, qv) =>
+          search(g, qv, efS, k).iterator.map { case (id, cos) => (qid, id, cos) }
+        }
+      }
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+    perShard.toDF("qid", "vec_id", "cos")
+      .select(col("qid"), col("vec_id"), round(col("cos"), 6).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .drop("rn")
+      .orderBy(col("qid"), col("cos").desc, col("vec_id"))
+  }
+
+  /** Fold a day-2 vector batch into the STORED adjacency with NO
+    * rebuild — HNSW's native incremental insert, per shard: cogroup the
+    * stored rows with the batch's shard slice, [[reconstruct]], insert,
+    * and emit the updated adjacency relation (the caller writes it to
+    * the next index version dir — read-and-overwrite of one live dir is
+    * the caller's hazard to avoid, the zipnum-merge generation
+    * discipline). A shard with no stored rows builds fresh. When batch
+    * ids sort after the base's (the append-id convention), the updated
+    * graph equals a from-scratch build over base ∪ batch exactly. */
+  def appendStored(
+      adjacencyDf: DataFrame, baseVectors: DataFrame, newVecs: DataFrame,
+      dim: Int, nShards: Int = 8, m: Int = 8, efC: Int = 64,
+      seed: Long = 20260816L): DataFrame = {
+    val spark = adjacencyDf.sparkSession
+    import spark.implicits._
+    val stored = joinedStored(adjacencyDf, baseVectors).groupByKey(_._1)
+    val fresh = sharded(newVecs, nShards, dim)
+      .as[(Int, Long, Array[Double])].groupByKey(_._1)
+    stored.cogroup(fresh) { (shard, adjIt, newIt) =>
+      val adjRows = adjIt.toArray
+      val newItems = newIt.map(t => (t._2, t._3)).toArray
+      val g =
+        if (adjRows.isEmpty) build(newItems, m, efC, seed + shard)
+        else if (newItems.isEmpty) reconstruct(adjRows)
+        else append(reconstruct(adjRows), newItems, m, efC, seed + shard)
+      adjacencyRowsOf(g, shard)
+    }.toDF("shard", "vec_id", "level", "neighbors")
   }
 }

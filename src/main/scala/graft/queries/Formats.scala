@@ -646,6 +646,31 @@ object Formats extends QueryModule {
       new graft.CdxServer(s, dir).fuzzyMatchRules(q, fuzzyRulesFixture)
     }),
 
+    // the BATCH form of rules-driven fuzzy matching — the 100 TB shape:
+    // index keys canonicalize MAP-SIDE under the broadcast rules table
+    // (one when-coalesce regexp chain riding the scan), the query
+    // relation canonicalizes the same way, and resolution is one
+    // broadcast equi-join on the canonical key — no per-query probe, no
+    // driver loop. The query batch is every urgent-host key with its
+    // cache buster replaced by a guaranteed-missing value (all misses,
+    // so every row resolves through the fuzzy chain).
+    "cdx_fuzzy_resolve_batch" -> ((s, d) => {
+      val dir = sharedCluster(s, d)
+      val queries = Cdx.df(s, d)
+        .filter(col("urlkey").startsWith("org,example,urgent)"))
+        .select(regexp_replace(col("urlkey"), "&b=\\d+", "&b=999").as("qkey"))
+        .distinct()
+        .withColumn("canon",
+          graft.CdxServer.fuzzyCanonicalCol(col("qkey"), fuzzyRulesFixture))
+      val idx = s.read.format("zipnum").load(dir)
+        .select("urlkey", "ts", "json")
+        .withColumn("canon",
+          graft.CdxServer.fuzzyCanonicalCol(col("urlkey"), fuzzyRulesFixture))
+      idx.join(broadcast(queries), "canon")
+        .select("qkey", "urlkey", "ts", "json")
+        .orderBy("qkey", "urlkey", "ts", "json")
+    }),
+
     // the cdx-server exact-url + from=/to= shape through the V2 source:
     // Catalyst pushes the urlkey equality AND the ts bounds, which the
     // scan folds into one 'urlkey ts' idx key range — a hot URL's blocks
@@ -1456,6 +1481,19 @@ object Formats extends QueryModule {
         "WHERE (urlkey = fz_base OR starts_with(urlkey, fz_base || '?')) " +
         "AND regexp_replace(urlkey, '&b=\\d+', '', 'g') = canon " +
         "ORDER BY urlkey, ts, json"),
+    // the batch resolve replayed: both sides strip-canonicalized, one
+    // equi-join. Cross-host canonical collisions are impossible (the
+    // canonical form keeps the host prefix), so replaying just the
+    // urgent strip rule — each key's longest matching prefix — is the
+    // same chain fuzzyCanonicalCol applies.
+    "cdx_fuzzy_resolve_batch" -> o(
+      s"SELECT qkey, urlkey, ts, $jsonExprDuck FROM cdx JOIN " +
+        "(SELECT DISTINCT regexp_replace(urlkey, '&b=\\d+', '&b=999', 'g') AS qkey " +
+        "FROM cdx WHERE starts_with(urlkey, 'org,example,urgent)')) q " +
+        "ON regexp_replace(cdx.urlkey, '&b=\\d+', '', 'g') = " +
+        "regexp_replace(q.qkey, '&b=\\d+', '', 'g') " +
+        "AND starts_with(cdx.urlkey, 'org,example,urgent)') " +
+        "ORDER BY qkey, urlkey, ts, json"),
     "sink_warc_cdx" -> o(
       "SELECT regexp_replace(regexp_extract(filename, '[^/]+$'), '\\.warc\\.gz$', '.cdx.gz') AS cdx_name, " +
         s"$lineExprDuck AS value FROM cdx ORDER BY value"),

@@ -521,6 +521,44 @@ object Similarity extends QueryModule {
       graft.ops.Hnsw.topKStored(s.read.parquet(dir), e, q)
     }),
 
+    // BATCHED HNSW: three query vectors through ONE plan (the
+    // sim_ann_ivfpq_batch shape) — each shard builds once and answers
+    // every query, the batch rides the closure as a driver artifact
+    // (nQ·dim doubles, the codebook precedent), per-qid top-k merges
+    // through one qid-partitioned window. Oracle-exempt like the other
+    // graph-ANN keys; HnswSpec pins batch == single per query.
+    "sim_ann_hnsw_batch" -> ((s, d) => {
+      val e = emb(s, d).select(col("vec_id"), col("ed"))
+      val queries = e.filter(col("vec_id").isin(0L, 7L, 23L))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        .sortBy(_._1)
+      graft.ops.Hnsw.batchTopK(e, queries)
+    }),
+
+    // Day-2 APPEND into the stored HNSW adjacency — the graph index's
+    // native incremental insert (no rebuild, no retraining): the planted
+    // twin batch (appendBatch — every 17th vector nudged, fresh ids
+    // above the corpus range) folds into the stored graph per shard via
+    // cogroup, the updated adjacency lands in the NEXT version dir (the
+    // zipnum-merge generation discipline — never read-and-overwrite one
+    // live dir), and the serve answers from it: query 0's planted twin
+    // surfaces in the top-k. Because levels are id-hash-deterministic
+    // and batch ids sort after the base, the appended graph equals a
+    // from-scratch build over base ∪ batch EXACTLY (HnswSpec pins it).
+    // Oracle-exempt like the other graph-ANN keys.
+    "sim_ann_hnsw_append" -> ((s, d) => {
+      val e = emb(s, d).select(col("vec_id"), col("ed"))
+      val q = e.filter(col("vec_id") === 0L).select("ed").head().getSeq[Double](0).toArray
+      val dir = tmp(d, "hnsw_append")
+      graft.ops.Hnsw.adjacency(e, dim = q.length)
+        .write.mode("overwrite").partitionBy("shard").parquet(s"$dir/v1")
+      val batch = appendBatch(e)
+      val all = e.unionByName(batch)
+      graft.ops.Hnsw.appendStored(s.read.parquet(s"$dir/v1"), all, batch, dim = q.length)
+        .write.mode("overwrite").partitionBy("shard").parquet(s"$dir/v2")
+      graft.ops.Hnsw.topKStored(s.read.parquet(s"$dir/v2"), all, q)
+    }),
+
     // COLD serve: day 1 stores the index AND its model (centroids +
     // codebook, a few KB, parquet beside the codes); day N loads the
     // model and probes the stored cid-partitioned table. NOTHING in the

@@ -99,6 +99,50 @@ class HnswSpec extends SparkSpec {
     assert(g1.entry == maxNodes.min)
   }
 
+  test("sim_ann_hnsw_batch: each qid's rows equal its single-query topK bit for bit") {
+    val e = base
+    val queries = e.filter(col("vec_id").isin(0L, 7L, 23L))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val batch = Hnsw.batchTopK(e, queries).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSeq).toMap
+    queries.foreach { case (qid, qv) =>
+      val single = Hnsw.topK(e, qv)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(batch(qid) == single, s"qid $qid: batch ${batch(qid)} != single $single")
+    }
+  }
+
+  test("append: frozen incremental insert == from-scratch build over base ∪ batch; planted twin surfaces") {
+    import graft.queries.Similarity
+    val e = base
+    val q = queryVec
+    val batch = Similarity.appendBatch(e)
+    val all = e.unionByName(batch)
+    val dir = "/tmp/graft_test/hnsw_append_spec"
+    Hnsw.adjacency(e, dim = q.length)
+      .write.mode("overwrite").partitionBy("shard").parquet(s"$dir/v1")
+    val appended = Hnsw.appendStored(spark.read.parquet(s"$dir/v1"), all, batch, dim = q.length)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getSeq[Long](3)))
+      .toSet
+    // the whole UPDATED adjacency equals a from-scratch build's — edge
+    // for edge, level for level (batch ids sort after the base, so the
+    // deterministic insertion order coincides)
+    val rebuilt = Hnsw.adjacency(all, dim = q.length)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getSeq[Long](3)))
+      .toSet
+    assert(appended == rebuilt,
+      s"appended graph differs from rebuild: ${appended.diff(rebuilt).take(3)} / ${rebuilt.diff(appended).take(3)}")
+    // and the serve finds query 0's planted day-2 twin
+    Hnsw.appendStored(spark.read.parquet(s"$dir/v1"), all, batch, dim = q.length)
+      .write.mode("overwrite").partitionBy("shard").parquet(s"$dir/v2")
+    val ids = Hnsw.topKStored(spark.read.parquet(s"$dir/v2"), all, q)
+      .collect().map(_.getLong(0)).toSet
+    assert(ids.contains(Similarity.AppendIdOffset),
+      s"planted twin ${Similarity.AppendIdOffset} missing from appended-index top-k: $ids")
+  }
+
   test("malformed vectors are excluded, never fatal; zero-norm rows cannot poison the walk") {
     val dim = queryVec.length
     val bad = Seq(
