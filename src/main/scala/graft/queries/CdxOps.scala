@@ -439,7 +439,13 @@ object CdxOps extends QueryModule {
           count(when(col("record_type") === "response", 1)).as("n_responses"),
           count(when(col("record_type") === "revisit", 1)).as("n_revisits"),
           countDistinct("urlkey").as("n_urlkeys"),
-          min("ts").as("first_ts"), max("ts").as("last_ts"))
+          // ts min/max over the BIGINT form: a string min/max buffer is
+          // not hash-agg-mutable and would demote the whole aggregation
+          // to SortAggregate — a corpus SORT at 100 TB. 14-digit ts has
+          // no leading zero, so the round trip is exact (PlanSpec pins
+          // the HashAggregate plan).
+          min(col("ts").cast("bigint")).cast("string").as("first_ts"),
+          max(col("ts").cast("bigint")).cast("string").as("last_ts"))
         .withColumn("dangling_revisit",
           col("n_responses") === 0 && col("n_revisits") > 0)
         .withColumn("cross_url", col("n_urlkeys") > 1)

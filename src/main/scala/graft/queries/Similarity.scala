@@ -559,6 +559,43 @@ object Similarity extends QueryModule {
       graft.ops.Hnsw.topKStored(s.read.parquet(s"$dir/v2"), all, q)
     }),
 
+    // ANN RECALL EVALUATION — the report an ANN deployment actually
+    // monitors (closes the quality-observability loop the way
+    // obs_dedup_savings closes storage accounting): for a bounded query
+    // sample, recall@10 of the graph index vs the brute-force exact
+    // top-10. The exact side is ONE corpus pass against the broadcast
+    // query sample (cost |sample|·N — the evaluation budget; at 100 TB
+    // you sample queries and run this per release, not per query); the
+    // index side is the batched graph search. Hits join on (qid,
+    // vec_id); the report is |sample| rows. Oracle-exempt (the index
+    // side is graph traversal); HnswSpec pins the report shape and a
+    // recall floor.
+    "obs_ann_recall" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val e = emb(s, d).select(col("vec_id"), col("ed"))
+      val sample = e.filter(col("vec_id") % 97 === 0)
+      val qarr = sample.collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+      val ann = graft.ops.Hnsw.batchTopK(e, qarr)
+        .select(col("qid"), col("vec_id"))
+      val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+      val exact = e.crossJoin(broadcast(
+          sample.select(col("vec_id").as("qid"), col("ed").as("qed"))))
+        .withColumn("cos", round(call_udf("cosine_sim", col("ed"), col("qed")), 6))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10)
+        .select(col("qid"), col("vec_id"))
+      val hitCounts = exact.join(ann, Seq("qid", "vec_id"), "left_semi")
+        .groupBy("qid").agg(count(lit(1)).as("hits"))
+      // report EVERY sampled query — a zero-recall query must show as a
+      // 0 row, not silently vanish from its own audit
+      sample.select(col("vec_id").as("qid"))
+        .join(hitCounts, Seq("qid"), "left")
+        .select(col("qid"), coalesce(col("hits"), lit(0L)).as("hits"),
+          round(coalesce(col("hits"), lit(0L)) / 10.0, 2).as("recall_at_10"))
+        .orderBy("qid")
+    }),
+
     // COLD serve: day 1 stores the index AND its model (centroids +
     // codebook, a few KB, parquet beside the codes); day N loads the
     // model and probes the stored cid-partitioned table. NOTHING in the

@@ -143,6 +143,20 @@ class HnswSpec extends SparkSpec {
       s"planted twin ${Similarity.AppendIdOffset} missing from appended-index top-k: $ids")
   }
 
+  test("obs_ann_recall: one row per sampled query, recall in [0,1], floor holds") {
+    val rows = SparkEntry.queries("obs_ann_recall")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val nSample = base.filter(col("vec_id") % 97 === 0).count()
+    assert(rows.length == nSample, s"${rows.length} report rows for $nSample sampled queries")
+    rows.foreach { case (qid, hits, rec) =>
+      assert(hits >= 0 && hits <= 10, s"qid $qid hits $hits")
+      assert(math.abs(rec - hits / 10.0) < 1e-9)
+    }
+    // the graph index's whole pitch: high recall on the evaluation report
+    val mean = rows.map(_._3).sum / rows.length
+    assert(mean >= 0.8, s"mean recall@10 $mean below 0.8: $rows")
+  }
+
   test("malformed vectors are excluded, never fatal; zero-norm rows cannot poison the walk") {
     val dim = queryVec.length
     val bad = Seq(

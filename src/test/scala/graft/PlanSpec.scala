@@ -741,6 +741,41 @@ class PlanSpec extends SparkSpec {
     assert(stale.isEmpty, s"stale allowlist entries (no unpartitioned window anymore): $stale")
   }
 
+  test("url_agnostic_dedup: ONE partial+final digest HASH aggregation, no join anywhere") {
+    val p = plan("url_agnostic_dedup")
+    assert(!p.contains("Join"), "the audit is a single aggregation, never a join")
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      "digest agg must run partial+final")
+    // a string min/max buffer demotes the whole agg to SortAggregate —
+    // a corpus sort; the bigint ts form keeps it hash
+    assert(!p.contains("SortAggregate"), "agg must stay HASH, not sort")
+    assert(!p.contains("Window"), "no window — mergeable aggregates only")
+  }
+
+  test("cdx_fuzzy_resolve_batch: canonical equi-join broadcasts; corpus never sort-merges") {
+    val p = plan("cdx_fuzzy_resolve_batch")
+    assert(p.contains("BroadcastHashJoin"), p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "the query canon set must broadcast — the index side never shuffles for resolution")
+  }
+
+  test("scan_warc_segments: segment rows shuffle once on the origin key; plain rows pass through") {
+    val df = SparkEntry.queries("scan_warc_segments")(spark, sfDir)
+    df.collect()
+    // final plan only — the AQE explain repeats operators in its
+    // "Initial Plan" section and would double-count the exchange
+    val p = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+      .split("== Initial Plan ==").head
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      "reassembly is a grouped stitch, never a join")
+    // exactly one data exchange: the okey hash partitioning into the
+    // flatMapGroups (the union's plain leg is exchange-free)
+    val exchanges = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"expected the single origin-key exchange:\n$p")
+  }
+
   test("crawl_recrawl_schedule: shared urlkey exchange, one host shuffle, delays broadcast") {
     val p = plan("crawl_recrawl_schedule")
     // the lag window and the per-urlkey rollup must share ONE urlkey
