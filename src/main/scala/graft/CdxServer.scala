@@ -225,6 +225,19 @@ final class CdxServer(spark: SparkSession, clusterDir: String) {
     val canonical = rule
       .map(r => urlkey.replaceAll(r.pattern, r.replace)).getOrElse(urlkey)
     val base = canonical.takeWhile(_ != '?')
+    // CONTRACT (the pywb rules.yaml reality): fuzzy rules canonicalize
+    // the QUERY STRING only. The probe prunes cluster.idx on the
+    // canonical BASE prefix, so a rule that rewrites the PATH would
+    // silently miss index keys whose raw base differs from the
+    // canonical one — fail loudly when the rule visibly rewrites this
+    // query's path instead of returning a quietly empty fuzzy leg.
+    // (A path-rewriting rule family needs a raw-prefix probe — compose
+    // [[CdxServer.fuzzyCanonicalCol]] over a prefix() scan instead.)
+    require(base == urlkey.takeWhile(_ != '?'),
+      s"fuzzy rule '${rule.map(_.pattern).getOrElse("")}' rewrote the PATH of " +
+        s"'$urlkey' (canonical base '$base'): rules must canonicalize the " +
+        "query string only; use a raw-prefix scan + fuzzyCanonicalCol for " +
+        "path-rewriting rule families")
     val exact = exactUrl(urlkey)
     val hit = exact.agg(count(lit(1)).as("n_exact"))
     val fallback = scan(Some(base))

@@ -202,30 +202,36 @@ object Wacz {
     // VALIDATE BEFORE WRITE (the WarcSink pre-flight): collection
     // basenames name the output files; shard basenames name the inner
     // members — both must be non-null and collision-free at their level
-    // a value ending in '/' (or named exactly '.warc.gz') normalizes to
-    // an EMPTY basename → a hidden '.wacz'/'.warc.gz' output that the
-    // stale-temp sweep, the '*.wacz' globs, and the V2 source's
-    // leading-dot exclusion all skip: written but silently unreadable.
-    // Reject empty basenames up front alongside null and clashes.
+    // a value whose normalized basename is EMPTY (trailing '/', bare
+    // extension) or starts with '.'/'_' produces an output that the
+    // stale-temp sweep, the '*.wacz' globs, and every reader's
+    // hidden-file exclusion all skip: written but silently unreadable.
+    // Reject them up front alongside null and clashes.
+    val hidden = col("base").isNull ||
+      col("base").startsWith(".") || col("base").startsWith("_")
     val clash = df1.select(col("collection"))
       .groupBy(waczNameCol(col("collection")).as("base"))
       .agg(countDistinct(col("collection")).as("n"))
-      .filter(col("base").isNull || col("base") === ".wacz" || col("n") > 1)
+      .filter(hidden || col("n") > 1)
       .limit(5).collect()
     require(clash.isEmpty,
       "Wacz.write: collection values must be non-null with unique, " +
-        "NON-EMPTY normalized basenames (they name the output .wacz " +
-        "files); offending: " + clash.map(r => String.valueOf(r.get(0))).mkString(", "))
+        "NON-EMPTY, non-hidden (no leading '.' or '_') normalized " +
+        "basenames (they name the output .wacz files); offending: " +
+        clash.map(r => String.valueOf(r.get(0))).mkString(", "))
+    val hiddenInner = col("inner").isNull ||
+      col("inner").startsWith(".") || col("inner").startsWith("_")
     val innerClash = df1.select(col("collection"), col("shard"))
       .groupBy(waczNameCol(col("collection")).as("wacz"),
         innerWarcNameCol(col("shard")).as("inner"))
       .agg(countDistinct(col("shard")).as("n"))
-      .filter(col("inner").isNull || col("inner") === ".warc.gz" || col("n") > 1)
+      .filter(hiddenInner || col("n") > 1)
       .limit(5).collect()
     require(innerClash.isEmpty,
       "Wacz.write: shard values must be non-null and their normalized " +
-        "basenames non-empty and unique WITHIN each collection (they " +
-        "name the inner WARC members); offending: " +
+        "basenames non-empty, non-hidden (no leading '.' or '_'), and " +
+        "unique WITHIN each collection (they name the inner WARC " +
+        "members); offending: " +
         innerClash.map(r => s"${r.get(0)}!${r.get(1)}").mkString(", "))
     val dirPath = new Path(dir)
     val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -63,6 +63,10 @@ object Hnsw {
       val levels: Array[Int], val adj: Array[Array[Array[Int]]],
       val entry: Int, val maxLevel: Int) {
     def size: Int = ids.length
+    /** norms are part of the graph, computed ONCE at build/reconstruct —
+      * a per-search recompute would put an O(n·dim) pass in front of
+      * every O(ef·m·log n) walk and dominate batched serving */
+    val norms: Array[Double] = vecs.map(norm)
   }
 
   private def dot(a: Array[Double], b: Array[Double]): Double = {
@@ -146,7 +150,7 @@ object Hnsw {
 
     def seedFrom(g: Graph): Unit = {
       require(ids.isEmpty, "seedFrom before any insert")
-      ids ++= g.ids; vecs ++= g.vecs; norms ++= g.vecs.map(norm)
+      ids ++= g.ids; vecs ++= g.vecs; norms ++= g.norms
       levels ++= g.levels
       adjB ++= g.adj.map(_.map(ns => scala.collection.mutable.ArrayBuffer(ns: _*)))
       entry = g.entry; maxLevel = g.maxLevel
@@ -239,6 +243,19 @@ object Hnsw {
   def append(
       g: Graph, items: Array[(Long, Array[Double])], m: Int = 8, efC: Int = 64,
       seed: Long = 20260816L): Graph = {
+    // the append-id convention is ENFORCED, not assumed: a batch id at
+    // or below the base's max would (a) break the rebuild-parity
+    // contract and (b) let a same-level earlier id silently diverge the
+    // stored serve's derived entry (smallest id at max level) from the
+    // in-memory graph's — a loud failure beats both
+    if (g.size > 0) {
+      val maxBase = g.ids.last // build/reconstruct keep ids ascending
+      val low = items.filter(_._1 <= maxBase)
+      require(low.isEmpty,
+        s"append batch ids must sort AFTER the base (max base id $maxBase); " +
+          s"offending: ${low.take(3).map(_._1).mkString(", ")} — re-mint batch " +
+          "ids above the corpus range (the AppendIdOffset convention)")
+    }
     val b = new Builder(m, efC, seed)
     b.seedFrom(g)
     items.sortBy(_._1).foreach { case (id, v) => b.insert(id, v) }
@@ -250,10 +267,13 @@ object Hnsw {
   def search(
       g: Graph, q: Array[Double], ef: Int = 32, k: Int = 10): Array[(Long, Double)] = {
     if (g.size == 0) return Array.empty
+    // a shorter/longer query would silently cosine over a truncated
+    // prefix (dot() stops at min length) — wrong scores, no signal
+    require(q.length == g.vecs(0).length,
+      s"query dim ${q.length} != index dim ${g.vecs(0).length}")
     val qn = norm(q)
-    val norms = g.vecs.map(norm)
     def distTo(i: Int): Double = {
-      val d = norms(i) * qn
+      val d = g.norms(i) * qn
       if (d == 0.0) 1.0 else 1.0 - dot(g.vecs(i), q) / d
     }
     val visited = new java.util.BitSet(g.size)
@@ -274,11 +294,19 @@ object Hnsw {
 
   /** valid-vector projection shared by every entry point: (shard,
     * vec_id, ed) with malformed vectors (wrong length, null slot)
-    * excluded up front */
-  private def sharded(e: DataFrame, nShards: Int, dim: Int): DataFrame =
+    * excluded up front. A WHOLESALE dim mismatch (query dim != corpus
+    * dim) would filter EVERY row and return an empty result with no
+    * diagnostic — probe one row (LocalLimit 1, the emb_quantize_int8
+    * precedent) and fail loudly instead. */
+  private def sharded(e: DataFrame, nShards: Int, dim: Int): DataFrame = {
+    val probe = e.select(size(col("ed")).as("n")).limit(1).collect()
+    require(probe.isEmpty || probe.head.getInt(0) == dim,
+      s"corpus vectors are ${probe.head.getInt(0)}-dim, caller expects $dim " +
+        "(a truncated-dot cosine would be silently wrong)")
     e.filter(size(col("ed")) === dim && !expr("exists(ed, x -> x IS NULL)"))
       .select(pmod(col("vec_id"), lit(nShards.toLong)).cast("int").as("shard"),
         col("vec_id"), col("ed"))
+  }
 
   /** In-memory scatter-gather top-k: build each per-shard graph in its
     * own task, search each, merge nShards·k candidates globally. Output
@@ -319,12 +347,7 @@ object Hnsw {
       .groupByKey(_._1)
       .flatMapGroups { (shard, it) =>
         val items = it.map(t => (t._2, t._3)).toArray
-        val g = build(items, m, efC, seed + shard)
-        (0 until g.size).iterator.flatMap { i =>
-          (0 to g.levels(i)).iterator.map { lev =>
-            (shard, g.ids(i), lev, g.adj(i)(lev).map(g.ids(_)))
-          }
-        }
+        adjacencyRowsOf(build(items, m, efC, seed + shard), shard)
       }
       .toDF("shard", "vec_id", "level", "neighbors")
   }
@@ -350,7 +373,17 @@ object Hnsw {
     val adj = Array.tabulate(n) { i =>
       val rs = byId(ids(i))
       Array.tabulate(levels(i) + 1) { lev =>
-        rs.find(_._3 == lev).map(_._4.map(idx)).getOrElse(Array.emptyIntArray)
+        rs.find(_._3 == lev).map(_._4.map { nb =>
+          // a neighbor id absent from the joined rows means the vectors
+          // relation lost a node the stored index still references (a
+          // deleted row, or a caller passing only the batch instead of
+          // base ∪ batch) — fail with the invariant, not a bare
+          // NoSuchElementException from a Map lookup
+          idx.getOrElse(nb, throw new IllegalStateException(
+            s"stored adjacency references vec_id $nb with no vector row — " +
+              "the serve's vectors relation must cover every indexed id " +
+              "(base ∪ appended batches)"))
+        }).getOrElse(Array.emptyIntArray)
       }
     }
     val maxLevel = levels.max

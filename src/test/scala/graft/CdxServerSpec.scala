@@ -336,5 +336,14 @@ class CdxServerSpec extends SparkSpec {
         rules.filter(_.prefix.nonEmpty)).as("c"))
       .as[String].collect().head
     assert(untouched == "zz,none)/x?q=1")
+
+    // a PATH-rewriting rule would make the canonical-base idx pruning
+    // silently miss raw keys under the rewritten path — the serving
+    // probe enforces the query-string-only contract loudly
+    val pathRule = Seq(CdxServer.FuzzyRule("com,shop)", "/item", "/thing"))
+    val ex = intercept[IllegalArgumentException] {
+      srv.fuzzyMatchRules("com,shop)/item?id=5", pathRule)
+    }
+    assert(ex.getMessage.contains("query string only"), ex.getMessage)
   }
 }

@@ -157,6 +157,37 @@ class HnswSpec extends SparkSpec {
     assert(mean >= 0.8, s"mean recall@10 $mean below 0.8: $rows")
   }
 
+  test("guards fail loudly: dim mismatch, out-of-order append ids, serve missing a referenced vector") {
+    import graft.queries.Similarity
+    val e = base
+    // a query of the wrong dimension must error, never return an empty
+    // or truncated-cosine result
+    val shortQ = Array.fill(10)(0.5)
+    val ex1 = intercept[IllegalArgumentException] { Hnsw.topK(e, shortQ).collect() }
+    assert(ex1.getMessage.contains("dim"), ex1.getMessage)
+    val g = Hnsw.build(e.limit(50).as[(Long, Array[Double])].collect())
+    val ex2 = intercept[IllegalArgumentException] { Hnsw.search(g, shortQ) }
+    assert(ex2.getMessage.contains("dim"), ex2.getMessage)
+    // append ids at/below the base break both rebuild parity and the
+    // stored entry derivation — enforced, not assumed
+    val ex3 = intercept[IllegalArgumentException] {
+      Hnsw.append(g, Array((0L, queryVec)))
+    }
+    assert(ex3.getMessage.contains("AFTER the base"), ex3.getMessage)
+    // a serve whose vectors relation lost an indexed id must name the
+    // invariant, not throw a bare map-lookup error
+    val dir = "/tmp/graft_test/hnsw_guard"
+    Hnsw.adjacency(e, dim = queryVec.length)
+      .write.mode("overwrite").partitionBy("shard").parquet(dir)
+    val ex4 = intercept[Exception] {
+      Hnsw.topKStored(spark.read.parquet(dir),
+        e.filter(col("vec_id") % 7 =!= 0), queryVec).collect()
+    }
+    assert(ex4.getMessage != null &&
+      (ex4.getMessage.contains("no vector row") ||
+        String.valueOf(ex4.getCause).contains("no vector row")), ex4.toString)
+  }
+
   test("malformed vectors are excluded, never fatal; zero-norm rows cannot poison the walk") {
     val dim = queryVec.length
     val bad = Seq(

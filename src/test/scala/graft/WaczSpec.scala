@@ -447,6 +447,23 @@ class WaczSpec extends SparkSpec {
         .withColumn("shard", org.apache.spark.sql.functions.lit(".warc.gz")), dir)
     }
     assert(e2.getMessage.contains("non-empty"), e2.getMessage)
+    // leading-dot / leading-underscore basenames are equally unreadable:
+    // every reader's hidden-file exclusion (and the stale-temp sweep)
+    // skips them — the pre-flight must reject, not write
+    Seq(".staging", "_tmp").foreach { bad =>
+      val e3 = intercept[IllegalArgumentException] {
+        Wacz.write(fixtureDf.withColumn("collection",
+          org.apache.spark.sql.functions.lit(bad)), dir)
+      }
+      assert(e3.getMessage.contains("non-hidden"), s"$bad: ${e3.getMessage}")
+      val e4 = intercept[IllegalArgumentException] {
+        Wacz.write(fixtureDf
+          .withColumn("collection", org.apache.spark.sql.functions.lit("ok-coll"))
+          .withColumn("shard",
+            org.apache.spark.sql.functions.lit(s"$bad.warc.gz")), dir)
+      }
+      assert(e4.getMessage.contains("non-hidden"), s"$bad inner: ${e4.getMessage}")
+    }
     // nothing was written
     assert(Files.list(Paths.get(dir)).filter(_.toString.endsWith(".wacz")).count() == 0)
   }
