@@ -92,7 +92,9 @@ object Warc {
     } finally out.close()
   }
 
-  private[formats] def renderRecord(r: FixtureRecord): Array[Byte] = {
+  /** a record's BLOCK bytes and its WARC Content-Type — the renderer's
+    * core, shared by [[renderRecord]] and [[renderSegments]] */
+  private def blockAndType(r: FixtureRecord): (Array[Byte], String) = {
     val isResponse = r.recordType == "response"
     // a PROFILE revisit (refersToUri set, status recorded) carries the
     // duplicate capture's HTTP head as its block — no body — exactly the
@@ -117,15 +119,23 @@ object Warc {
       if (isResponse || isRevisitHttp) "application/http; msgtype=response"
       else if (r.recordType == "conversion") "text/plain" // WET convention
       else Option(r.mime).getOrElse("application/octet-stream")
-    // WARC-Record-ID is MANDATORY on every record (ISO 28500 §5.2);
-    // name-based UUID over ALL identifying fields (status/mime included)
-    // keeps output deterministic — only byte-identical records share an
-    // id. Refers-To fields join the seed ONLY when present, so every
-    // record written before the revisit profile existed keeps its id.
-    val rid = java.util.UUID.nameUUIDFromBytes(
+    (block, contentType)
+  }
+
+  /** WARC-Record-ID is MANDATORY on every record (ISO 28500 §5.2);
+    * name-based UUID over ALL identifying fields (status/mime included)
+    * keeps output deterministic — only byte-identical records share an
+    * id. Refers-To fields join the seed ONLY when present, so every
+    * record written before the revisit profile existed keeps its id. */
+  private def recordIdOf(r: FixtureRecord): String =
+    java.util.UUID.nameUUIDFromBytes(
       (s"${r.recordType}|${r.url}|${r.isoDate}|${r.digest}|${r.status}|${r.mime}" +
         (if (r.refersToUri != null) s"|${r.refersToUri}|${r.refersToDate}" else ""))
-        .getBytes(UTF_8))
+        .getBytes(UTF_8)).toString
+
+  private[graft] def renderRecord(r: FixtureRecord): Array[Byte] = {
+    val (block, contentType) = blockAndType(r)
+    val rid = recordIdOf(r)
     val headerLines = Seq("WARC/1.0", s"WARC-Type: ${r.recordType}",
       s"WARC-Record-ID: <urn:uuid:$rid>") ++
       Option(r.url).map(u => s"WARC-Target-URI: $u") ++
@@ -142,6 +152,52 @@ object Warc {
         s"Content-Length: ${block.length}")
     val headers = headerLines.mkString("", "\r\n", "\r\n\r\n")
     headers.getBytes(UTF_8) ++ block
+  }
+
+  /** Render a record as ISO 28500 §5 SEGMENTS when its block exceeds
+    * `maxSegment` bytes (one WARC record per returned element, each its
+    * own compressed member): the first segment keeps the original type +
+    * identity headers and adds `WARC-Segment-Number: 1`; continuations
+    * carry `WARC-Segment-Origin-ID` and the last seals the group with
+    * `WARC-Segment-Total-Length` — exactly what [[reassembleSegments]]
+    * validates before stitching. A block within the budget renders as
+    * the plain single record, byte-identical to [[renderRecord]].
+    * Deterministic throughout: continuation ids are name-UUIDs of
+    * (origin id, segment number). */
+  private[graft] def renderSegments(
+      r: FixtureRecord, maxSegment: Int): Seq[Array[Byte]] = {
+    require(maxSegment > 0, s"maxSegment must be positive, got $maxSegment")
+    val (block, contentType) = blockAndType(r)
+    if (block.length <= maxSegment) return Seq(renderRecord(r))
+    val originId = recordIdOf(r)
+    val parts = block.grouped(maxSegment).toSeq
+    def rec(headerLines: Seq[String], part: Array[Byte]): Array[Byte] =
+      (headerLines ++ Seq(s"Content-Length: ${part.length}"))
+        .mkString("", "\r\n", "\r\n\r\n").getBytes(UTF_8) ++ part
+    val first = rec(Seq("WARC/1.0", s"WARC-Type: ${r.recordType}",
+      s"WARC-Record-ID: <urn:uuid:$originId>") ++
+      Option(r.url).map(u => s"WARC-Target-URI: $u") ++
+      Seq(
+        s"WARC-Date: ${r.isoDate}",
+        s"WARC-Payload-Digest: sha1:${r.digest}",
+        "WARC-Segment-Number: 1",
+        s"Content-Type: $contentType"), parts.head)
+    val conts = parts.tail.zipWithIndex.map { case (part, i) =>
+      val n = i + 2
+      val cid = java.util.UUID.nameUUIDFromBytes(
+        s"$originId|segment|$n".getBytes(UTF_8))
+      rec(Seq("WARC/1.0", "WARC-Type: continuation",
+        s"WARC-Record-ID: <urn:uuid:$cid>") ++
+        Option(r.url).map(u => s"WARC-Target-URI: $u") ++
+        Seq(
+          s"WARC-Date: ${r.isoDate}",
+          s"WARC-Segment-Origin-ID: <urn:uuid:$originId>",
+          s"WARC-Segment-Number: $n") ++
+        (if (n == parts.length) Seq(s"WARC-Segment-Total-Length: ${block.length}")
+        else Seq.empty) ++
+        Seq("Content-Type: application/octet-stream"), part)
+    }
+    first +: conts
   }
 
   /** Parse one decompressed member into raw per-record fields

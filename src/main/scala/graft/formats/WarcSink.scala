@@ -89,12 +89,13 @@ object WarcSink {
   def write(
       df: DataFrame, dir: String, codec: String = "gzip",
       ext: String = null, warcinfo: String = null,
-      zstdDict: Array[Byte] = null): Unit = {
+      zstdDict: Array[Byte] = null, segmentBytes: Int = 0): Unit = {
     val need = Seq("shard", "url", "ts", "status", "mime", "payload")
     require(need.forall(df.columns.contains),
       s"WarcSink.write needs [${need.mkString(", ")}]; got [${df.columns.mkString(", ")}]")
     require(zstdDict == null || codec == "zstd",
       "WarcSink.write: zstdDict only applies to codec=zstd")
+    require(segmentBytes >= 0, s"segmentBytes must be >= 0, got $segmentBytes")
     // deduplicated-corpus support (sink_warc_revisit_write): on REVISIT
     // rows only, `digest` overrides the writer-computed
     // WARC-Payload-Digest (a revisit names the ORIGINAL payload's digest
@@ -338,14 +339,23 @@ object WarcSink {
             // a revisit with a recorded status renders the duplicate
             // capture's HTTP head (identical-payload-digest profile) —
             // status/mime survive dedup, only the payload bytes are shed
-            val rec = Warc.renderRecord(Warc.FixtureRecord(
+            val fr = Warc.FixtureRecord(
               rtype, row.getString(1), iso(row.getString(2)), digest,
               if (isResp && (rtype == "response" || rtype == "revisit")) row.getInt(3) else 0,
               row.getString(4), payload,
               refersToUri = refUrl,
-              refersToDate = if (refTs != null) iso(refTs) else null))
-            if (zctx != null) out.write(zctx.compress(rec))
-            else Gzip.writeMember(out, rec, gzDeflater)
+              refersToDate = if (refTs != null) iso(refTs) else null)
+            // segmentBytes > 0: oversized blocks write as ISO 28500 §5
+            // segment chains (one record per member, all in THIS file —
+            // cross-file segmentation is read-side generality only);
+            // within-budget records stay byte-identical to the plain path
+            val recs =
+              if (segmentBytes > 0) Warc.renderSegments(fr, segmentBytes)
+              else Seq(Warc.renderRecord(fr))
+            recs.foreach { rec =>
+              if (zctx != null) out.write(zctx.compress(rec))
+              else Gzip.writeMember(out, rec, gzDeflater)
+            }
           }
           close()
         } finally {

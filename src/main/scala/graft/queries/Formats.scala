@@ -775,6 +775,30 @@ object Formats extends QueryModule {
         .orderBy("url", "ts", "record_type")
     }),
 
+    // the GENERATION side of segmentation — the full §5 round trip: the
+    // writer renders any record whose block exceeds segmentBytes as a
+    // first-segment + continuation chain (deterministic name-UUID ids,
+    // total-length seal on the last), one member per segment; the read
+    // back goes through the engine's OWN scanSegments stitcher. Planted
+    // payloads put every 5th capture well over the budget (multi-segment)
+    // and the rest under it (plain records) — both arms replay
+    // closed-form from the cdx CTE, so the split points, the seal, and
+    // the reassembled HTTP parse are all inside one oracle hash.
+    "sink_warc_segmented" -> ((s, d) => {
+      val dir = tmp(d, "warc_segmented_write")
+      graft.formats.WarcSink.write(
+        Cdx.df(s, d).where(col("record_type") === "response")
+          .selectExpr("filename AS shard", "url", "ts", "status", "mime",
+            "CAST(CASE WHEN id % 5 = 0 THEN repeat(concat('seg-', id, '-'), 40) " +
+              "ELSE concat('small-', id) END AS BINARY) AS payload"),
+        dir, segmentBytes = 256)
+      graft.formats.Warc.scanSegments(s, dir + "/*.warc.gz")
+        .where(col("record_type") === "response")
+        .selectExpr("url", "ts", "status", "mime",
+          "CAST(payload AS STRING) AS text")
+        .orderBy("url", "ts", "text")
+    }),
+
     // SPLITTABLE gzip WARC scan — the few-huge-files shape (a 500 GB
     // national-library WARC starves a cluster at one task per file):
     // byte-range splits re-synchronize on the gzip member magic with
@@ -1552,6 +1576,14 @@ object Formats extends QueryModule {
         "'http://alt.example.org/' || (id % 20) AS dst " +
         "FROM cdx WHERE record_type = 'response' AND id % 3 = 0" +
         ") ORDER BY src, ts, title, dst"),
+    // the segmented round trip replayed: every response capture hands
+    // back exactly its planted payload with its own status/mime —
+    // whether it crossed the segment budget or not
+    "sink_warc_segmented" -> o(
+      "SELECT url, ts, status, mime, " +
+        "CASE WHEN id % 5 = 0 THEN repeat('seg-' || id || '-', 40) " +
+        "ELSE 'small-' || id END AS text " +
+        "FROM cdx WHERE record_type = 'response' ORDER BY url, ts, text"),
     // the planted header set replayed from the cdx CTE: two rows per
     // response capture, exactly the map watEnvelope packed
     "sink_wat_headers" -> o(

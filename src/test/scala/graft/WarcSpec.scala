@@ -1100,4 +1100,49 @@ class WarcSpec extends SparkSpec {
     assert(viaSeg.toSeq == viaScan.toSeq,
       "scanSegments must be scan's identity on unsegmented data")
   }
+
+  test("sink segmentation: oversized blocks write as §5 chains; round trip is exact; within-budget stays byte-identical") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = "/tmp/graft_test/warc_segmented_sink"
+    val big = "0123456789abcdef" * 40 // 640-byte payload, block > 640
+    val rows = Seq(
+      ("s.warc.gz", "http://seg.example/big", "20200101000000",
+        Integer.valueOf(200), "text/plain", big.getBytes("UTF-8")),
+      ("s.warc.gz", "http://seg.example/small", "20200102000000",
+        Integer.valueOf(200), "text/html", "tiny".getBytes("UTF-8")))
+      .toDF("shard", "url", "ts", "status", "mime", "payload")
+    graft.formats.WarcSink.write(rows, dir, segmentBytes = 256)
+    // the RAW scan proves segmentation actually happened on disk
+    val raw = Warc.scan(spark, s"$dir/*.warc.gz")
+      .select("record_type", "url").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(raw.count(_._1 == "continuation") >= 2,
+      s"expected a multi-continuation chain on disk, got ${raw.toSeq}")
+    assert(raw.count(t => t._1 == "response" && t._2 == "http://seg.example/small") == 1)
+    // the stitched read hands back both records exactly
+    val back = Warc.scanSegments(spark, s"$dir/*.warc.gz")
+      .filter(col("record_type") === "response")
+      .select("url", "status", "mime", "payload").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2),
+        new String(r.getAs[Array[Byte]](3), "UTF-8"))).sortBy(_._1).toSeq
+    assert(back == Seq(
+      ("http://seg.example/big", 200, "text/plain", big),
+      ("http://seg.example/small", 200, "text/html", "tiny")), back.toString)
+    // a within-budget record renders byte-identical to the plain path
+    val fr = Warc.FixtureRecord("response", "http://x/", "2020-01-01T00:00:00Z",
+      "D", 200, "text/plain", "ok".getBytes("UTF-8"))
+    val segs = Warc.renderSegments(fr, maxSegment = 1 << 20)
+    assert(segs.length == 1 &&
+      java.util.Arrays.equals(segs.head, Warc.renderRecord(fr)))
+    // the zstd codec segments the same way and round-trips
+    val zdir = "/tmp/graft_test/warc_segmented_sink_zst"
+    graft.formats.WarcSink.write(rows, zdir, codec = "zstd", segmentBytes = 256)
+    val zback = Warc.scanSegments(spark, s"$zdir/*.warc.zst")
+      .filter(col("record_type") === "response" &&
+        col("url") === "http://seg.example/big")
+      .select("payload").collect()
+      .map(r => new String(r.getAs[Array[Byte]](0), "UTF-8"))
+    assert(zback.toSeq == Seq(big))
+  }
 }
