@@ -498,4 +498,82 @@ object Hnsw {
       adjacencyRowsOf(g, shard)
     }.toDF("shard", "vec_id", "level", "neighbors")
   }
+
+  private def versionDirs(
+      fs: org.apache.hadoop.fs.FileSystem,
+      indexBase: org.apache.hadoop.fs.Path): Seq[(Long, String)] =
+    if (!fs.exists(indexBase)) Seq.empty
+    else fs.listStatus(indexBase).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.matches("v\\d+"))
+      .map(st => (st.getPath.getName.drop(1).toLong, st.getPath.toString))
+      .sortBy(_._1)
+
+  /** One micro-batch of the streaming graph-index ingest — public so a
+    * crash replay is testable as a plain call (the dedupIngestBatch
+    * discipline). Layout under `baseDir`:
+    * `vectors/batch-<id>` (each batch's vectors, overwrite — a replayed
+    * batch rewrites its OWN dir) and `index/v<id>` (the adjacency after
+    * folding this batch in — derived from the newest version BELOW this
+    * batchId plus the batch, so a replay reproduces it from the same
+    * inputs; the build is deterministic). Exactly-once comes from the
+    * batchId-keyed dirs, the streamingZipNumBatches contract.
+    *
+    * Caller contract (enforced by [[append]]): vec_ids ascend across
+    * the stream — the id-minting obligation every ingest here shares
+    * ([[graft.Pipeline.dedupIngestBatch]]'s scaladoc). */
+  def ingestBatch(
+      batch: DataFrame, baseDir: String, batchId: Long, dim: Int,
+      nShards: Int = 8, m: Int = 8, efC: Int = 64,
+      seed: Long = 20260816L): Unit = {
+    val spark = batch.sparkSession
+    // consumed by the vectors write AND the index build
+    val b = batch.localCheckpoint()
+    b.write.mode("overwrite").parquet(f"$baseDir/vectors/batch-$batchId%05d")
+    val fs = new org.apache.hadoop.fs.Path(baseDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prev = versionDirs(fs, new org.apache.hadoop.fs.Path(s"$baseDir/index"))
+      .filter(_._1 < batchId).lastOption
+    val adj = prev match {
+      case None => adjacency(b, dim, nShards, m, efC, seed)
+      case Some((_, prevDir)) =>
+        // the vector relation spans every batch ≤ this one (batch dirs
+        // beyond it cannot exist — offsets commit after foreachBatch);
+        // extra current-batch rows drop in appendStored's inner join
+        val allVecs = spark.read.parquet(s"$baseDir/vectors/batch-*")
+        appendStored(spark.read.parquet(prevDir), allVecs, b,
+          dim, nShards, m, efC, seed)
+    }
+    adj.write.mode("overwrite").partitionBy("shard")
+      .parquet(f"$baseDir/index/v$batchId%05d")
+  }
+
+  /** Streaming graph-index ingest: every arriving vector batch folds
+    * into the stored HNSW adjacency (no rebuild — [[appendStored]] per
+    * batch), each batch publishing the next index version. The
+    * streaming form of the day-2 append lifecycle: the source's offset
+    * log is the skip set, [[ingestBatch]] the per-batch transactional
+    * unit, and [[topKLatest]] serves from whatever version is newest. */
+  def streamingIngest(
+      vectors: DataFrame, baseDir: String, checkpointDir: String, dim: Int,
+      nShards: Int = 8, m: Int = 8, efC: Int = 64,
+      seed: Long = 20260816L): org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          ingestBatch(batch, baseDir, batchId, dim, nShards, m, efC, seed)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
+  /** serve a query from the NEWEST ingested index version */
+  def topKLatest(
+      spark: SparkSession, baseDir: String, q: Array[Double],
+      k: Int = 10, efS: Int = 32): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(baseDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versions = versionDirs(fs, new org.apache.hadoop.fs.Path(s"$baseDir/index"))
+    require(versions.nonEmpty, s"no ingested index versions under $baseDir/index")
+    topKStored(spark.read.parquet(versions.last._2),
+      spark.read.parquet(s"$baseDir/vectors/batch-*"), q, k, efS)
+  }
 }

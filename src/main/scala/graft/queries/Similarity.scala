@@ -596,6 +596,32 @@ object Similarity extends QueryModule {
         .orderBy("qid")
     }),
 
+    // STREAMING graph-index ingest, batch-run (the stream_* driver
+    // convention): three ascending vec_id slices fold in as micro-batches
+    // — each publishes the next index version via the stored-append path
+    // (batchId-keyed vector dirs + version dirs = the exactly-once
+    // contract of streamingZipNumBatches) — and the serve answers from
+    // the NEWEST version. Because levels are id-hash-deterministic and
+    // batches ascend, the final index equals the one-shot build, so the
+    // served top-k equals sim_ann_hnsw's (StreamingSpec pins it, plus
+    // MemoryStream batch-boundary behavior and replay idempotence).
+    // Oracle-exempt like the other graph-ANN keys.
+    "stream_hnsw_ingest" -> ((s, d) => {
+      val e = emb(s, d).select(col("vec_id"), col("ed"))
+      val q = e.filter(col("vec_id") === 0L).select("ed").head().getSeq[Double](0).toArray
+      val dir = tmp(d, "hnsw_stream_ingest")
+      val maxId = e.agg(max("vec_id")).head().getLong(0)
+      val cut1 = maxId / 3
+      val cut2 = 2 * maxId / 3
+      graft.ops.Hnsw.ingestBatch(
+        e.filter(col("vec_id") <= cut1), dir, 0L, dim = q.length)
+      graft.ops.Hnsw.ingestBatch(
+        e.filter(col("vec_id") > cut1 && col("vec_id") <= cut2), dir, 1L, dim = q.length)
+      graft.ops.Hnsw.ingestBatch(
+        e.filter(col("vec_id") > cut2), dir, 2L, dim = q.length)
+      graft.ops.Hnsw.topKLatest(s, dir, q)
+    }),
+
     // COLD serve: day 1 stores the index AND its model (centroids +
     // codebook, a few KB, parquet beside the codes); day N loads the
     // model and probes the stored cid-partitioned table. NOTHING in the

@@ -992,4 +992,53 @@ class StreamingSpec extends SparkSpec {
       assert(replayed == kept1, s"replay must be idempotent: $replayed vs $kept1")
     } finally q.stop()
   }
+
+  test("streamingIngest (HNSW): batches fold into versioned indexes; serve == one-shot build; replay idempotent") {
+    val base = "/tmp/graft_test/stream_hnsw_ingest"
+    new scala.reflect.io.Directory(new java.io.File(base)).deleteRecursively()
+    val e = Tables.t(spark, sfDir, "embeddings")
+      .withColumn("ed", col("embedding").cast("array<double>"))
+      .select(col("vec_id"), col("ed"))
+    val all = e.collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val q0 = all.find(_._1 == 0L).get._2
+    val (b0, b1) = all.splitAt(all.length / 2)
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Array[Double])]
+    val q = graft.ops.Hnsw.streamingIngest(
+      input.toDF().toDF("vec_id", "ed"), s"$base/ix", s"$base/ck", dim = q0.length)
+    try {
+      input.addData(b0.toIndexedSeq)
+      q.processAllAvailable()
+      // after batch 0 the serve answers over b0 only
+      val afterB0 = graft.ops.Hnsw.topKLatest(spark, s"$base/ix", q0)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val directB0 = graft.ops.Hnsw.topK(b0.toSeq.toDF("vec_id", "ed"), q0)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(afterB0 == directB0, s"$afterB0 vs $directB0")
+      input.addData(b1.toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    // the folded index answers EXACTLY like a one-shot build over all
+    // vectors (ascending batches + id-hash levels = identical graph)
+    val served = graft.ops.Hnsw.topKLatest(spark, s"$base/ix", q0)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val direct = graft.ops.Hnsw.topK(e, q0)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(served == direct, s"served $served != one-shot $direct")
+    // crash replay of batch 1 as a plain call rewrites ITS dirs and the
+    // serve is unchanged (batchId-keyed overwrite + deterministic build)
+    graft.ops.Hnsw.ingestBatch(
+      b1.toSeq.toDF("vec_id", "ed"), s"$base/ix", 1L, dim = q0.length)
+    val replayed = graft.ops.Hnsw.topKLatest(spark, s"$base/ix", q0)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(replayed == served, s"replay must be idempotent: $replayed vs $served")
+    // and the batch-run driver key equals the in-memory family key
+    val viaKey = SparkEntry.queries("stream_hnsw_ingest")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val viaMem = SparkEntry.queries("sim_ann_hnsw")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(viaKey == viaMem, s"streamed-ingest serve $viaKey != in-memory $viaMem")
+  }
 }
