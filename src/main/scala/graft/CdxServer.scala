@@ -225,23 +225,27 @@ final class CdxServer(spark: SparkSession, clusterDir: String) {
     val canonical = rule
       .map(r => urlkey.replaceAll(r.pattern, r.replace)).getOrElse(urlkey)
     val base = canonical.takeWhile(_ != '?')
-    // CONTRACT (the pywb rules.yaml reality): fuzzy rules canonicalize
-    // the QUERY STRING only. The probe prunes cluster.idx on the
-    // canonical BASE prefix, so a rule that rewrites the PATH would
-    // silently miss index keys whose raw base differs from the
-    // canonical one — fail loudly when the rule visibly rewrites this
-    // query's path instead of returning a quietly empty fuzzy leg.
-    // (A path-rewriting rule family needs a raw-prefix probe — compose
-    // [[CdxServer.fuzzyCanonicalCol]] over a prefix() scan instead.)
-    require(base == urlkey.takeWhile(_ != '?'),
-      s"fuzzy rule '${rule.map(_.pattern).getOrElse("")}' rewrote the PATH of " +
-        s"'$urlkey' (canonical base '$base'): rules must canonicalize the " +
-        "query string only; use a raw-prefix scan + fuzzyCanonicalCol for " +
-        "path-rewriting rule families")
+    // Pruning soundness: the fuzzy leg must scan every key whose
+    // canonical form can equal the query's. For the common
+    // query-string-only rule (the pywb rules.yaml reality — this
+    // query's path survived canonicalization) that set lives under the
+    // canonical BASE prefix: maximal cluster.idx pruning. A rule that
+    // rewrote THIS query's path (an unanchored pattern matching path
+    // text) makes base pruning unsound — keys under the REWRITTEN-away
+    // path would be missed — so the probe DEGRADES to the matched
+    // rule's own prefix: still correct (every key the rule governs is
+    // scanned; a differently-ruled key's canonical form keeps its own
+    // host prefix and cannot collide), just less pruned. Exact hits
+    // serve either way.
+    val pathRewritten = base != urlkey.takeWhile(_ != '?')
+    val probePrefix = if (pathRewritten) rule.map(_.prefix).getOrElse(base) else base
     val exact = exactUrl(urlkey)
     val hit = exact.agg(count(lit(1)).as("n_exact"))
-    val fallback = scan(Some(base))
-      .filter(col("urlkey") === base || col("urlkey").startsWith(base + "?"))
+    val candidates = scan(Some(probePrefix).filter(_.nonEmpty))
+    val fallback = (
+      if (pathRewritten) candidates
+      else candidates.filter(
+        col("urlkey") === base || col("urlkey").startsWith(base + "?")))
       .filter(CdxServer.fuzzyCanonicalCol(col("urlkey"), rules) === canonical)
       .crossJoin(broadcast(hit)).filter(col("n_exact") === 0).drop("n_exact")
     exact.select("urlkey", "ts", "json").withColumn("is_fuzzy", lit(false))

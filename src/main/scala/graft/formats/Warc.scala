@@ -179,7 +179,15 @@ object Warc {
       Option(r.url).map(u => s"WARC-Target-URI: $u") ++
       Seq(
         s"WARC-Date: ${r.isoDate}",
-        s"WARC-Payload-Digest: sha1:${r.digest}",
+        s"WARC-Payload-Digest: sha1:${r.digest}") ++
+      // the identity headers follow renderRecord EXACTLY — a segmented
+      // revisit must not shed its dedup linkage (profile + refers-to)
+      (if (r.recordType == "revisit" && r.refersToUri != null) Seq(
+        "WARC-Profile: http://netpreserve.org/warc/1.1/revisit/identical-payload-digest",
+        s"WARC-Refers-To-Target-URI: ${r.refersToUri}",
+        s"WARC-Refers-To-Date: ${r.refersToDate}")
+      else Seq.empty) ++
+      Seq(
         "WARC-Segment-Number: 1",
         s"Content-Type: $contentType"), parts.head)
     val conts = parts.tail.zipWithIndex.map { case (part, i) =>

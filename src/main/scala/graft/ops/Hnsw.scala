@@ -58,15 +58,15 @@ object Hnsw {
   /** One shard's immutable graph: node arrays are indexed by LOCAL index
     * (ids sorted ascending); `adj(node)(level)` is that node's neighbor
     * list at that level (levels 0..levels(node)). */
+  /** norms are part of the graph, carried from the Builder (or computed
+    * once at reconstruct) — a per-search recompute would put an
+    * O(n·dim) pass in front of every O(ef·m·log n) walk and dominate
+    * batched serving */
   final class Graph(
       val ids: Array[Long], val vecs: Array[Array[Double]],
       val levels: Array[Int], val adj: Array[Array[Array[Int]]],
-      val entry: Int, val maxLevel: Int) {
+      val entry: Int, val maxLevel: Int, val norms: Array[Double]) {
     def size: Int = ids.length
-    /** norms are part of the graph, computed ONCE at build/reconstruct —
-      * a per-search recompute would put an O(n·dim) pass in front of
-      * every O(ef·m·log n) walk and dominate batched serving */
-    val norms: Array[Double] = vecs.map(norm)
   }
 
   private def dot(a: Array[Double], b: Array[Double]): Double = {
@@ -220,7 +220,7 @@ object Hnsw {
 
     def result(): Graph =
       new Graph(ids.toArray, vecs.toArray, levels.toArray,
-        adjB.toArray.map(_.map(_.toArray)), entry, maxLevel)
+        adjB.toArray.map(_.map(_.toArray)), entry, maxLevel, norms.toArray)
   }
 
   /** Build one shard's graph. `items` must be (vec_id, vector) pairs;
@@ -299,13 +299,18 @@ object Hnsw {
     * diagnostic — probe one row (LocalLimit 1, the emb_quantize_int8
     * precedent) and fail loudly instead. */
   private def sharded(e: DataFrame, nShards: Int, dim: Int): DataFrame = {
-    val probe = e.select(size(col("ed")).as("n")).limit(1).collect()
-    require(probe.isEmpty || probe.head.getInt(0) == dim,
-      s"corpus vectors are ${probe.head.getInt(0)}-dim, caller expects $dim " +
-        "(a truncated-dot cosine would be silently wrong)")
-    e.filter(size(col("ed")) === dim && !expr("exists(ed, x -> x IS NULL)"))
+    val valid = e.filter(size(col("ed")) === dim && !expr("exists(ed, x -> x IS NULL)"))
       .select(pmod(col("vec_id"), lit(nShards.toLong)).cast("int").as("shard"),
         col("vec_id"), col("ed"))
+    // the probe asks "does ANY valid row match dim?" — so a single
+    // malformed/null row (tolerated, excluded above) can never abort the
+    // query, only a wholesale mismatch does. Common case: the limit(1)
+    // under isEmpty short-circuits at the first valid row; the full scan
+    // happens only on the error path.
+    require(valid.isEmpty == e.isEmpty,
+      s"no corpus vector matches the caller's dim=$dim " +
+        "(a truncated-dot cosine would be silently wrong)")
+    valid
   }
 
   /** In-memory scatter-gather top-k: build each per-shard graph in its
@@ -388,7 +393,7 @@ object Hnsw {
     }
     val maxLevel = levels.max
     val entry = ids.indices.filter(levels(_) == maxLevel).min
-    new Graph(ids, vecs, levels, adj, entry, maxLevel)
+    new Graph(ids, vecs, levels, adj, entry, maxLevel, vecs.map(norm))
   }
 
   /** one graph's rows in the stored-adjacency shape */
@@ -528,6 +533,13 @@ object Hnsw {
     val spark = batch.sparkSession
     // consumed by the vectors write AND the index build
     val b = batch.localCheckpoint()
+    // a batch with NO valid vector must publish NOTHING: an empty index
+    // version dir (only _SUCCESS) poisons every later read of it as
+    // prevDir (parquet schema inference fails) and wedges the stream —
+    // skipping leaves the previous version newest, and a replay skips
+    // identically
+    if (b.filter(size(col("ed")) === dim &&
+        !expr("exists(ed, x -> x IS NULL)")).isEmpty) return
     b.write.mode("overwrite").parquet(f"$baseDir/vectors/batch-$batchId%05d")
     val fs = new org.apache.hadoop.fs.Path(baseDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)

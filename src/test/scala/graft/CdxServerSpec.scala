@@ -337,13 +337,13 @@ class CdxServerSpec extends SparkSpec {
       .as[String].collect().head
     assert(untouched == "zz,none)/x?q=1")
 
-    // a PATH-rewriting rule would make the canonical-base idx pruning
-    // silently miss raw keys under the rewritten path — the serving
-    // probe enforces the query-string-only contract loudly
-    val pathRule = Seq(CdxServer.FuzzyRule("com,shop)", "/item", "/thing"))
-    val ex = intercept[IllegalArgumentException] {
-      srv.fuzzyMatchRules("com,shop)/item?id=5", pathRule)
-    }
-    assert(ex.getMessage.contains("query string only"), ex.getMessage)
+    // a PATH-rewriting rule degrades the probe to the rule's own prefix
+    // (base pruning would miss keys under the rewritten-away path) and
+    // still resolves correctly: /amp/post/1 canonicalizes onto the bare
+    // post/1 capture — which base-prefix pruning on 'org,blog)/amp/…'
+    // could never have found
+    val ampRules = Seq(CdxServer.FuzzyRule("org,blog)", "/amp/", "/"))
+    val amp = keys(srv.fuzzyMatchRules("org,blog)/amp/post/1", ampRules))
+    assert(amp == Seq(("org,blog)/post/1", true)), amp.toString)
   }
 }

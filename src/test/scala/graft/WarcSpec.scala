@@ -1135,6 +1135,17 @@ class WarcSpec extends SparkSpec {
     val segs = Warc.renderSegments(fr, maxSegment = 1 << 20)
     assert(segs.length == 1 &&
       java.util.Arrays.equals(segs.head, Warc.renderRecord(fr)))
+    // a segmented PROFILE revisit keeps its dedup linkage headers in
+    // the first segment — segmentation must not shed refers-to
+    val rv = Warc.FixtureRecord("revisit", "http://x/", "2020-01-01T00:00:00Z",
+      "D", 200, "text/plain", Array.emptyByteArray,
+      refersToUri = "http://x/orig", refersToDate = "2019-01-01T00:00:00Z")
+    val rvSegs = Warc.renderSegments(rv, maxSegment = 16)
+    assert(rvSegs.length >= 2, s"profile head must exceed 16 bytes: ${rvSegs.length}")
+    val firstSeg = new String(rvSegs.head, "UTF-8")
+    assert(firstSeg.contains("WARC-Profile:") &&
+      firstSeg.contains("WARC-Refers-To-Target-URI: http://x/orig") &&
+      firstSeg.contains("WARC-Segment-Number: 1"), firstSeg)
     // the zstd codec segments the same way and round-trips
     val zdir = "/tmp/graft_test/warc_segmented_sink_zst"
     graft.formats.WarcSink.write(rows, zdir, codec = "zstd", segmentBytes = 256)
