@@ -137,7 +137,9 @@ object Plans {
     "sink_wat_headers" -> "the header map joins the SAME map-side to_json projection as the envelope (no extra pass); read-back parses each envelope once then map-explodes the Headers block",
     "mm_video_meta" -> "MP4 box walk is one narrow mapPartitions pass — no joins or aggregates before the output sort, the mm_* decoder plan class",
     "cdx_fuzzy_resolve_batch" -> "index keys canonicalize map-side inside the scan's codegen stage (the rules table as plan literals); the distinct query canon set BROADCASTS — the corpus never shuffles for resolution",
-    "sim_ann_hnsw_append" -> "stored rows cogroup with the batch's shard slice (both sides exchange once on shard); reconstruction + insert run per group, the updated adjacency streams out — no rebuild of unchanged shards' vectors")
+    "sim_ann_hnsw_append" -> "stored rows cogroup with the batch's shard slice (both sides exchange once on shard); reconstruction + insert run per group, the updated adjacency streams out — no rebuild of unchanged shards' vectors",
+    "sink_warc_segmented" -> "the write is sink_warc_write's plan (one shard shuffle, streaming members); segmentation is per-record rendering inside the task; the read-back adds scanSegments' single origin-key exchange over segment rows only",
+    "stream_hnsw_ingest" -> "per micro-batch: one shard cogroup folds the batch into the previous version's adjacency; the serve is topKStored over the newest version — index growth never re-shuffles previous batches' vectors")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse(
