@@ -221,6 +221,53 @@ object Llm extends QueryModule {
         .orderBy("a", "b")
     }),
 
+    // LSH CALIBRATION — the dedup family's quality report (the
+    // obs_ann_recall discipline applied to minhash): for every candidate
+    // pair the banded LSH surfaces, compare the SIGNATURE estimate
+    // (matching slots / nHashes — the quantity the banding thresholds
+    // on) against the EXACT 3-shingle Jaccard it estimates. Signatures
+    // and shingle sets are per-doc narrow projections; candidates join
+    // them twice; the per-pair error is map-side arithmetic — so the
+    // report costs the candidate set, never all pairs. Oracle-exempt
+    // (xxhash64 signatures); OperatorPropertiesSpec pins the estimator's
+    // calibration (mean |err| bound on planted near-dup pairs + the
+    // exact leg against a hand Jaccard).
+    "obs_lsh_calibration" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val nearDup = Tables.t(s, d, "documents")
+        .filter(col("doc_id") % 7 === 0)
+        .withColumn("doc_id", col("doc_id") + 200000L)
+        .withColumn("text", expr("substring(text, instr(text, ' ') + 1)"))
+      val corpus = Tables.t(s, d, "documents").unionByName(nearDup)
+      val pairs = graft.ops.Dedup.minhashCandidates(corpus, "doc_id", "text",
+        nHashes = 16, bands = 4, shingleSize = 3)
+      val toks = tokens(col("text"))
+      val shingles = array_distinct(transform(
+        sequence(lit(1), size(toks) - 2),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
+          element_at(toks, i + 2))))
+      // one narrow per-doc projection feeds BOTH sides of the pair join
+      val perDoc = corpus
+        .select(col("doc_id"),
+          expr("minhash_sig_text(text, 16, 3)").as("sig"),
+          shingles.as("sh"))
+        .filter(col("sig").isNotNull)
+      val a = perDoc.select(col("doc_id").as("a"),
+        col("sig").as("sig_a"), col("sh").as("sh_a"))
+      val b = perDoc.select(col("doc_id").as("b"),
+        col("sig").as("sig_b"), col("sh").as("sh_b"))
+      pairs.join(a, "a").join(b, "b")
+        .withColumn("est", round(
+          size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+            v => v)).cast("double") / 16.0, 6))
+        .withColumn("exact", round(
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            size(array_union(col("sh_a"), col("sh_b"))), 6))
+        .select(col("a"), col("b"), col("est"), col("exact"),
+          round(abs(col("est") - col("exact")), 6).as("abs_err"))
+        .orderBy("a", "b")
+    }),
+
     // winnowing (MOSS) fingerprint candidates — the DETERMINISTIC member
     // of the fuzzy-dedup family: any shared token run of >= w + k - 1
     // tokens GUARANTEES a shared fingerprint (minhash recall is only

@@ -1057,4 +1057,35 @@ class OperatorPropertiesSpec extends SparkSpec {
       (3L, 1L, 5L),    // shared tail run only
       (4L, 0L, 0L)), s"got $got")
   }
+
+  test("obs_lsh_calibration: estimator is calibrated; the exact leg matches a hand Jaccard") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("obs_lsh_calibration")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty, "the planted twins must surface candidate pairs")
+    // bounds: est and exact live in [0, 1]; per-pair |err| is bounded by
+    // the n=16 estimator's worst plausible deviation; the MEAN is tight
+    rows.foreach { case (a, b, est, exact, err) =>
+      assert(est >= 0 && est <= 1 && exact >= 0 && exact <= 1, s"($a,$b)")
+      assert(math.abs(err - math.abs(est - exact)) < 1e-9)
+    }
+    val meanErr = rows.map(_._5).sum / rows.length
+    assert(meanErr <= 0.15, f"mean |est-exact| $meanErr%.3f exceeds the n=16 calibration bound")
+    // hand-check the exact leg on one planted twin pair (b = a + 200000:
+    // the dropped-first-token perturbation)
+    val twin = rows.find { case (a, b, _, _, _) => b == a + 200000L }
+    assert(twin.isDefined, "a planted twin pair must be among the candidates")
+    val (a0, b0, _, exact0, _) = twin.get
+    val textA = Tables.t(spark, sfDir, "documents")
+      .filter(col("doc_id") === a0).select("text").as[String].head()
+    val textB = textA.split(" ").drop(1).mkString(" ")
+    def shingleSet(t: String): Set[String] = {
+      val toks = t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+      toks.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    }
+    val (sa, sb) = (shingleSet(textA), shingleSet(textB))
+    val hand = math.rint(sa.intersect(sb).size.toDouble / sa.union(sb).size * 1e6) / 1e6
+    assert(math.abs(exact0 - hand) < 1e-9,
+      s"exact leg $exact0 != hand Jaccard $hand for pair ($a0, $b0)")
+  }
 }
