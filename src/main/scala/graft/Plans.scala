@@ -139,7 +139,8 @@ object Plans {
     "cdx_fuzzy_resolve_batch" -> "index keys canonicalize map-side inside the scan's codegen stage (the rules table as plan literals); the distinct query canon set BROADCASTS — the corpus never shuffles for resolution",
     "sim_ann_hnsw_append" -> "stored rows cogroup with the batch's shard slice (both sides exchange once on shard); reconstruction + insert run per group, the updated adjacency streams out — no rebuild of unchanged shards' vectors",
     "sink_warc_segmented" -> "the write is sink_warc_write's plan (one shard shuffle, streaming members); segmentation is per-record rendering inside the task; the read-back adds scanSegments' single origin-key exchange over segment rows only",
-    "stream_hnsw_ingest" -> "per micro-batch: one shard cogroup folds the batch into the previous version's adjacency; the serve is topKStored over the newest version — index growth never re-shuffles previous batches' vectors")
+    "stream_hnsw_ingest" -> "per micro-batch: one shard cogroup folds the batch into the previous version's adjacency; the serve is topKStored over the newest version — index growth never re-shuffles previous batches' vectors",
+    "obs_lsh_calibration" -> "ONE narrow per-doc projection (signature kernel + shingle HOF) feeds the candidate join twice; per-pair est/exact/err is map-side array math — the report costs the candidate set, never all pairs")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse(

@@ -167,6 +167,39 @@ class CdxMatrixSpec extends SparkSpec {
     assert(engine == brute, s"engine ${engine.size} vs brute ${brute.size}")
   }
 
+  test("matrix: fuzzyMatchRules × filter × fl composes against brute force") {
+    // rules: strip the q= cache param on com,alpha (longest prefix);
+    // drop-everything catch-all below it — the longest-prefix precedence
+    // must hold INSIDE a composed filter/fl chain too
+    val rules = Seq(
+      CdxServer.FuzzyRule("com,alpha)", "\\?q=\\d+", ""),
+      CdxServer.FuzzyRule("", "\\?.*", ""))
+    def canonOf(k: String): String = {
+      val r = rules.filter(r2 => k.startsWith(r2.prefix)).maxBy(_.prefix.length)
+      k.replaceAll(r.pattern, r.replace)
+    }
+    for (miss <- Seq("com,alpha)/p0?q=9", "com,alpha,sub)/p3?q=9");
+         filter <- Seq("status:200", "!mime:warc");
+         fl <- Seq("urlkey,timestamp,mime", "urlkey,digest")) {
+      val engine = collectRows(server.withFields(
+        server.withFilter(server.fuzzyMatchRules(miss, rules), filter), fl))
+      // brute: the planted q=9 never exists, so the result is every
+      // capture whose LONGEST-PREFIX-rule canonical form equals the
+      // query's, through the same filter and projection
+      val cand = caps.filter(c => canonOf(c.urlkey) == canonOf(miss))
+      assert(cand.nonEmpty, s"fixture must offer fuzzy targets for $miss")
+      val brute = canon(bruteFilter(cand, filter).map(bruteFields(_, fl)))
+      assert(canon(engine) == brute,
+        s"fuzzy($miss)×$filter×$fl: engine ${engine.size} vs brute ${brute.size}")
+    }
+    // and an exact HIT under the same rules suppresses the fuzzy leg
+    val hitKey = caps.find(_.urlkey.contains("?q=")).get.urlkey
+    val hit = collectRows(server.fuzzyMatchRules(hitKey, rules))
+    val bruteHit = caps.filter(_.urlkey == hitKey)
+    assert(hit.size == bruteHit.size,
+      s"exact hit must suppress the fuzzy leg: ${hit.size} vs ${bruteHit.size}")
+  }
+
   test("matrix: closest × filter keeps the k-nearest order before filtering") {
     val key = caps.groupBy(_.urlkey).collect {
       case (k, cs) if cs.size >= 4 && cs.map(_.ts).distinct.size == cs.size => k
