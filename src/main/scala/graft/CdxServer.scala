@@ -226,26 +226,30 @@ final class CdxServer(spark: SparkSession, clusterDir: String) {
       .map(r => urlkey.replaceAll(r.pattern, r.replace)).getOrElse(urlkey)
     val base = canonical.takeWhile(_ != '?')
     // Pruning soundness: the fuzzy leg must scan every key whose
-    // canonical form can equal the query's. For the common
-    // query-string-only rule (the pywb rules.yaml reality — this
-    // query's path survived canonicalization) that set lives under the
-    // canonical BASE prefix: maximal cluster.idx pruning. A rule that
-    // rewrote THIS query's path (an unanchored pattern matching path
-    // text) makes base pruning unsound — keys under the REWRITTEN-away
-    // path would be missed — so the probe DEGRADES to the matched
-    // rule's own prefix: still correct (every key the rule governs is
-    // scanned; a differently-ruled key's canonical form keeps its own
-    // host prefix and cannot collide), just less pruned. Exact hits
-    // serve either way.
-    val pathRewritten = base != urlkey.takeWhile(_ != '?')
-    val probePrefix = if (pathRewritten) rule.map(_.prefix).getOrElse(base) else base
+    // canonical form can equal the query's. That is judged from the
+    // RULE's pattern, not from this query's own rewrite: a '?'-anchored
+    // pattern (regex source starting with the literal `\?` — every
+    // match consumes a '?', which in a SURT key sits at or after the
+    // query boundary) can only rewrite query-string text, so EVERY key
+    // the rule governs keeps its path prefix under canonicalization and
+    // the candidate set lives under the canonical BASE prefix: maximal
+    // cluster.idx pruning. Any other pattern CAN touch path text — even
+    // when it happened not to rewrite THIS query's path, same-rule
+    // captures may be rewritten INTO the canonical form from a
+    // different original path (the old pathRewritten test silently
+    // missed those) — so the probe DEGRADES to the matched rule's own
+    // prefix: still correct (every key the rule governs is scanned; a
+    // differently-ruled key's canonical form keeps its own host
+    // prefix), just less pruned. Exact hits serve either way.
+    val queryOnly = rule.forall(CdxServer.queryOnlyPattern)
+    val probePrefix = if (queryOnly) base else rule.map(_.prefix).getOrElse(base)
     val exact = exactUrl(urlkey)
     val hit = exact.agg(count(lit(1)).as("n_exact"))
     val candidates = scan(Some(probePrefix).filter(_.nonEmpty))
     val fallback = (
-      if (pathRewritten) candidates
-      else candidates.filter(
-        col("urlkey") === base || col("urlkey").startsWith(base + "?")))
+      if (queryOnly) candidates.filter(
+        col("urlkey") === base || col("urlkey").startsWith(base + "?"))
+      else candidates)
       .filter(CdxServer.fuzzyCanonicalCol(col("urlkey"), rules) === canonical)
       .crossJoin(broadcast(hit)).filter(col("n_exact") === 0).drop("n_exact")
     exact.select("urlkey", "ts", "json").withColumn("is_fuzzy", lit(false))
@@ -403,6 +407,17 @@ object CdxServer {
     * `prefix`, canonicalize by replacing every `pattern` match with
     * `replace` (Java regex; `$1`-style group references) */
   final case class FuzzyRule(prefix: String, pattern: String, replace: String)
+
+  /** true iff `rule`'s pattern provably rewrites ONLY query-string text:
+    * its regex source is anchored at a literal '?' (`\?` or `[?]`), so
+    * every match starts at a '?' position — in a SURT urlkey always at
+    * or after the first '?', the query boundary — and the path prefix
+    * of every governed key survives canonicalization. The decidable
+    * conservative test [[CdxServer.fuzzyMatchRules]] uses to pick
+    * base-prefix vs rule-prefix probe pruning; anything else (an `&`- or
+    * path-text-anchored pattern) is treated as path-capable. */
+  def queryOnlyPattern(rule: FuzzyRule): Boolean =
+    rule.pattern.startsWith("\\?") || rule.pattern.startsWith("[?]")
 
   /** The canonicalizing column: each key is rewritten by its
     * LONGEST-matching-prefix rule; keys no rule covers pass through

@@ -635,7 +635,9 @@ object Warc {
     * assembled block size (the ISO completeness seal). The assembled
     * block then gets the normal HTTP parse (status/mime/payload), and
     * the logical row carries the FIRST fragment's identity with
-    * length = Σ fragment lengths. Anything else — gaps, a missing tail
+    * length = Σ over distinct (filename, offset) members — a shared
+    * multi-record member counts once, and the triple is a pointer to
+    * the first fragment, not a whole-record extent. Anything else — gaps, a missing tail
     * (no total-length marker), a length mismatch, an anonymous fragment
     * — degrades to one `record_type='corrupt'` row PER FRAGMENT with
     * that fragment's exact (offset, length, filename) extent, the
@@ -674,9 +676,17 @@ object Warc {
         val (status, mime, payload) =
           if (isHttp) parseHttp(block)
           else (null: Integer, head._7, block)
+        // length = Σ over DISTINCT (filename, offset) members: fragments
+        // sharing one gzip member (a foreign multi-record member) must
+        // count it once, or the sum stops being a byte quantity at all.
+        // The (offset, length, filename) triple on a stitched row is a
+        // POINTER to the first fragment's member, not a re-fetchable
+        // extent of the whole logical record — fragments may span files.
+        val memberLen = frags.iterator.map(f => (f._10, f._8) -> f._9)
+          .toMap.values.sum
         Iterator.single((head._3, head._4, head._5, head._6,
           Option(status).map(_.intValue()), mime,
-          head._8, frags.map(_._9).sum, head._10, payload))
+          head._8, memberLen, head._10, payload))
       } else
         frags.iterator.map(f =>
           ("corrupt", null: String, null: String, null: String,

@@ -50,13 +50,16 @@ object LangId {
   /** Train on (lang, text): one nLangs×D-key count aggregation + one
     * per-lang doc count. Collects only the model (driver artifact). */
   def train(docs: DataFrame, langCol: String = "lang", textCol: String = "text"): Model = {
+    // an unlabeled row is excluded, not fatal: a null label would reach
+    // priors.keys and NPE in Array[String].sorted, killing the job
+    val labeled = docs.filter(col(langCol).isNotNull)
     val low = lower(col(textCol))
-    val counts = docs
+    val counts = labeled
       .select(col(langCol).as("lang"), explode(trigrams(low)).as("tri"))
       .groupBy(col("lang"), bucketOf(col("tri")).as("bucket"))
       .agg(count(lit(1)).as("c"))
       .collect()
-    val priors = docs.groupBy(col(langCol).as("lang")).agg(count(lit(1)).as("n")).collect()
+    val priors = labeled.groupBy(col(langCol).as("lang")).agg(count(lit(1)).as("n")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     require(priors.nonEmpty, "LangId.train: empty corpus")
     val langs = priors.keys.toArray.sorted

@@ -528,8 +528,14 @@ object Media {
         }
       }
     }
+    // a hostile 64-bit mvhd v1 duration can overflow the ×1000 multiply
+    // (negative durMs = garbage, not partial) — degrade to 0 instead;
+    // u64 may also have returned negative for a >2^63 field
     val durMs =
-      if (timescale > 0) durationUnits * 1000L / timescale else 0L
+      if (timescale > 0 && durationUnits >= 0 &&
+        durationUnits <= Long.MaxValue / 1000L)
+        durationUnits * 1000L / timescale
+      else 0L
     Some(Mp4Meta(brand, timescale, durMs, tracks.toSeq))
   }
 
