@@ -128,6 +128,45 @@ object Hnsw {
     out
   }
 
+  /** SELECT-NEIGHBORS-HEURISTIC (Malkov & Yashunin 2016 §4 Alg 4, with
+    * keepPrunedConnections): scan candidates nearest-first and keep a
+    * candidate only when it is closer to the target than to every
+    * already-kept neighbor — the diversity test that lays edges ACROSS
+    * cluster gaps instead of spending all M slots inside the target's
+    * own cluster (where simple closest-M strands the greedy walk; the
+    * HnswSpec clustered fixture pins the recall difference). Slots left
+    * after the scan are refilled with the nearest pruned candidates
+    * (the paper's keepPrunedConnections arm), so connectivity at a
+    * given M never drops below closest-M's. Deterministic: `cands` is
+    * (dist asc, idx asc)-sorted and every comparison is a pure function
+    * of the candidate set.
+    *
+    * `cands` carries each candidate's distance TO THE TARGET; `dist`
+    * measures candidate-to-kept distances. Returns ≤ cap local idxs. */
+  private def selectNeighbors(
+      cands: Array[Cand], cap: Int, dist: (Int, Int) => Double): Array[Int] = {
+    if (cands.length <= cap) return cands.map(_.idx)
+    val kept = new scala.collection.mutable.ArrayBuffer[Int](cap)
+    val pruned = new scala.collection.mutable.ArrayBuffer[Cand](cands.length)
+    var i = 0
+    while (i < cands.length && kept.length < cap) {
+      val c = cands(i)
+      var diverse = true
+      var j = 0
+      while (diverse && j < kept.length) {
+        if (dist(c.idx, kept(j)) < c.dist) diverse = false
+        j += 1
+      }
+      if (diverse) kept += c.idx else pruned += c
+      i += 1
+    }
+    var p = 0
+    while (kept.length < cap && p < pruned.length) {
+      kept += pruned(p).idx; p += 1
+    }
+    kept.toArray
+  }
+
   /** Incremental per-shard graph constructor: [[build]] inserts a sorted
     * batch from scratch; [[append]] seeds one from an EXISTING graph and
     * folds a day-2 batch in under the same deterministic rules — node
@@ -163,14 +202,15 @@ object Hnsw {
       if (d == 0.0) 1.0 else 1.0 - dot(vecs(a), vecs(b)) / d
     }
 
-    // keep a node's list within cap: retain the maxM closest (dist, idx)
+    // keep a node's list within cap via the same diversity heuristic the
+    // insert path uses — the paper applies SELECT-NEIGHBORS at both sites
     private def shrink(node: Int, level: Int): Unit = {
       val buf = adjB(node)(level)
       val cap = maxMAt(level)
       if (buf.length > cap) {
-        val kept = buf.toArray
-          .map(nb => Cand(distBetween(node, nb), nb))
-          .sorted(candOrd).take(cap).map(_.idx)
+        val cands = buf.toArray
+          .map(nb => Cand(distBetween(node, nb), nb)).sorted(candOrd)
+        val kept = selectNeighbors(cands, cap, distBetween)
         buf.clear(); buf ++= kept
       }
     }
@@ -206,11 +246,11 @@ object Hnsw {
       var eps = Seq(ep)
       while (lev2 >= 0) {
         val found = searchLayer(distTo, adjAt(lev2), eps, efC, visited)
-        val neighbors = found.take(m)
+        val neighbors = selectNeighbors(found, m, distBetween)
         neighbors.foreach { nb =>
-          adjB(i)(lev2) += nb.idx
-          adjB(nb.idx)(lev2) += i
-          shrink(nb.idx, lev2)
+          adjB(i)(lev2) += nb
+          adjB(nb)(lev2) += i
+          shrink(nb, lev2)
         }
         eps = found.map(_.idx).toSeq
         lev2 -= 1
@@ -292,24 +332,42 @@ object Hnsw {
     found.take(k).map(c => (g.ids(c.idx), 1.0 - c.dist))
   }
 
-  /** valid-vector projection shared by every entry point: (shard,
-    * vec_id, ed) with malformed vectors (wrong length, null slot)
-    * excluded up front. A WHOLESALE dim mismatch (query dim != corpus
-    * dim) would filter EVERY row and return an empty result with no
-    * diagnostic — probe one row (LocalLimit 1, the emb_quantize_int8
-    * precedent) and fail loudly instead. */
-  private def sharded(e: DataFrame, nShards: Int, dim: Int): DataFrame = {
-    val valid = e.filter(size(col("ed")) === dim && !expr("exists(ed, x -> x IS NULL)"))
-      .select(pmod(col("vec_id"), lit(nShards.toLong)).cast("int").as("shard"),
-        col("vec_id"), col("ed"))
-    // the probe asks "does ANY valid row match dim?" — so a single
-    // malformed/null row (tolerated, excluded above) can never abort the
-    // query, only a wholesale mismatch does. Common case: the limit(1)
-    // under isEmpty short-circuits at the first valid row; the full scan
-    // happens only on the error path.
-    require(valid.isEmpty == e.isEmpty,
-      s"no corpus vector matches the caller's dim=$dim " +
-        "(a truncated-dot cosine would be silently wrong)")
+  /** Per-shard row projection shared by every entry point: (shard,
+    * vec_id, ed, sz). A malformed vector (wrong length, null slot) keeps
+    * its row but drops its array — `ed` nulls out and only `sz` (the raw
+    * length) rides the shuffle, so the invalid rows cost metadata, not
+    * bytes — and [[validItems]] inside each shard task tolerates it.
+    * Building the plan runs NO Spark job (the old eager
+    * `valid.isEmpty`/`e.isEmpty` probe was two hidden jobs per query and
+    * failed at construction rather than execution). */
+  private def sharded(e: DataFrame, nShards: Int, dim: Int): DataFrame =
+    e.select(pmod(col("vec_id"), lit(nShards.toLong)).cast("int").as("shard"),
+      col("vec_id"),
+      when(size(col("ed")) === dim && !expr("exists(ed, x -> x IS NULL)"),
+        col("ed")).as("ed"),
+      size(col("ed")).as("sz"))
+
+  private type ShardRow = (Int, Long, Array[Double], Option[Int])
+
+  /** Drain one shard's [[sharded]] rows into (id, vector) items. The
+    * wholesale-dim-mismatch diagnostic runs HERE, inside the task at
+    * execution time: a shard that saw rows but not one valid vector,
+    * where every malformed row agrees on a single length != dim, is the
+    * signature of a caller-dim mismatch (a truncated-dot cosine would be
+    * silently wrong) — fail loudly. Rows malformed for mixed reasons
+    * (null slots, ragged lengths) stay tolerated: the shard just
+    * contributes nothing, the ivfpq null-cid policy. */
+  private def validItems(
+      rows: Array[ShardRow], dim: Int): Array[(Long, Array[Double])] = {
+    val valid = rows.collect { case (_, id, ed, _) if ed != null => (id, ed) }
+    if (valid.isEmpty && rows.nonEmpty) {
+      val szs = rows.flatMap(_._4).distinct
+      if (szs.length == 1 && szs(0) != dim)
+        throw new IllegalArgumentException(
+          s"no corpus vector matches the caller's dim=$dim " +
+            s"(corpus dim=${szs(0)}; a truncated-dot cosine would be " +
+            "silently wrong)")
+    }
     valid
   }
 
@@ -322,12 +380,12 @@ object Hnsw {
       seed: Long = 20260816L): DataFrame = {
     val spark = e.sparkSession
     import spark.implicits._
-    val perShard = sharded(e, nShards, q.length)
-      .as[(Int, Long, Array[Double])]
+    val dim = q.length
+    val perShard = sharded(e, nShards, dim)
+      .as[ShardRow]
       .groupByKey(_._1)
       .flatMapGroups { (shard, it) =>
-        val items = it.map(t => (t._2, t._3)).toArray
-        val g = build(items, m, efC, seed + shard)
+        val g = build(validItems(it.toArray, dim), m, efC, seed + shard)
         search(g, q, efS, k).iterator
       }
     perShard.toDF("vec_id", "cos")
@@ -348,11 +406,10 @@ object Hnsw {
     val spark = e.sparkSession
     import spark.implicits._
     sharded(e, nShards, dim)
-      .as[(Int, Long, Array[Double])]
+      .as[ShardRow]
       .groupByKey(_._1)
       .flatMapGroups { (shard, it) =>
-        val items = it.map(t => (t._2, t._3)).toArray
-        adjacencyRowsOf(build(items, m, efC, seed + shard), shard)
+        adjacencyRowsOf(build(validItems(it.toArray, dim), m, efC, seed + shard), shard)
       }
       .toDF("shard", "vec_id", "level", "neighbors")
   }
@@ -456,11 +513,10 @@ object Hnsw {
     import spark.implicits._
     val dim = queries.head._2.length
     val perShard = sharded(e, nShards, dim)
-      .as[(Int, Long, Array[Double])]
+      .as[ShardRow]
       .groupByKey(_._1)
       .flatMapGroups { (shard, it) =>
-        val items = it.map(t => (t._2, t._3)).toArray
-        val g = build(items, m, efC, seed + shard)
+        val g = build(validItems(it.toArray, dim), m, efC, seed + shard)
         queries.iterator.flatMap { case (qid, qv) =>
           search(g, qv, efS, k).iterator.map { case (id, cos) => (qid, id, cos) }
         }
@@ -492,16 +548,96 @@ object Hnsw {
     import spark.implicits._
     val stored = joinedStored(adjacencyDf, baseVectors).groupByKey(_._1)
     val fresh = sharded(newVecs, nShards, dim)
-      .as[(Int, Long, Array[Double])].groupByKey(_._1)
+      .as[ShardRow].groupByKey(_._1)
     stored.cogroup(fresh) { (shard, adjIt, newIt) =>
       val adjRows = adjIt.toArray
-      val newItems = newIt.map(t => (t._2, t._3)).toArray
+      val newItems = validItems(newIt.toArray, dim)
       val g =
         if (adjRows.isEmpty) build(newItems, m, efC, seed + shard)
         else if (newItems.isEmpty) reconstruct(adjRows)
         else append(reconstruct(adjRows), newItems, m, efC, seed + shard)
       adjacencyRowsOf(g, shard)
     }.toDF("shard", "vec_id", "level", "neighbors")
+  }
+
+  /** Take down nodes from one graph — the vector-index side of the
+    * zipnum_takedown_merge obligation (a GDPR/abuse takedown must leave
+    * the SERVING index, not just the source table). Edge repair is
+    * BOUNDED to the deleted nodes' neighborhoods: a survivor that lost
+    * no neighbor keeps its lists verbatim (only remapped to the new
+    * local idxs); a survivor that did loses only the dead entries and
+    * BRIDGES across them — candidates = its surviving neighbors ∪ each
+    * dead ex-neighbor's surviving neighbors at that level, re-selected
+    * by the same Alg-4 heuristic the build uses, so the walk keeps a
+    * path through the hole the deletion tore. Entry/maxLevel are
+    * re-derived from the survivors (the smallest-id-at-max-level
+    * invariant the stored serve relies on). Deterministic: a pure
+    * function of (graph, dead). */
+  def remove(g: Graph, dead: Set[Long]): Graph = {
+    if (dead.isEmpty || g.size == 0) return g
+    val deadIdx = new java.util.BitSet(g.size)
+    (0 until g.size).foreach(i => if (dead.contains(g.ids(i))) deadIdx.set(i))
+    if (deadIdx.isEmpty) return g
+    val keep = (0 until g.size).filterNot(deadIdx.get).toArray
+    require(keep.nonEmpty, "takedown would empty the shard — drop the " +
+      "shard's adjacency rows instead of serving an entry-less graph")
+    val remap = new Array[Int](g.size)
+    keep.zipWithIndex.foreach { case (old, nw) => remap(old) = nw }
+    def distBetween(a: Int, b: Int): Double = {
+      val d = g.norms(a) * g.norms(b)
+      if (d == 0.0) 1.0 else 1.0 - dot(g.vecs(a), g.vecs(b)) / d
+    }
+    val adj = keep.map { i =>
+      (0 to g.levels(i)).toArray.map { lev =>
+        val nbs = g.adj(i)(lev)
+        val lost = nbs.filter(deadIdx.get)
+        if (lost.isEmpty) nbs.map(remap)
+        else {
+          val alive = nbs.filterNot(deadIdx.get)
+          // bridge: the dead neighbors' own surviving neighbors join the
+          // candidate pool — O(lost·M) candidates, never a rescan
+          val pool = (alive ++ lost.flatMap(d =>
+            if (lev <= g.levels(d)) g.adj(d)(lev) else Array.emptyIntArray))
+            .distinct.filter(nb => !deadIdx.get(nb) && nb != i)
+          // never exceed the old degree: level caps stay respected
+          val cap = math.min(pool.length, nbs.length)
+          val cands = pool.map(nb => Cand(distBetween(i, nb), nb)).sorted(candOrd)
+          selectNeighbors(cands, cap, distBetween).map(remap)
+        }
+      }
+    }
+    val ids = keep.map(g.ids)
+    val levels = keep.map(g.levels)
+    val maxLevel = levels.max
+    val entry = levels.indices.filter(levels(_) == maxLevel).min
+    new Graph(ids, keep.map(g.vecs), levels, adj, entry, maxLevel,
+      keep.map(g.norms))
+  }
+
+  /** Take down ids from the STORED adjacency with no rebuild: per shard,
+    * [[reconstruct]], [[remove]], re-emit — the caller writes the result
+    * to the NEXT index version dir (zipnum_takedown_merge's generation
+    * discipline; never read-and-overwrite a live dir) and drops the
+    * tombstoned rows from the vectors relation it serves with. A shard
+    * emptied by the takedown emits nothing: its rows simply leave the
+    * relation. `tombstones` is a driver-side set (takedown lists are
+    * O(10²) legal orders, not data). */
+  def removeStored(
+      adjacencyDf: DataFrame, vectors: DataFrame, tombstones: Set[Long]): DataFrame = {
+    val spark = adjacencyDf.sparkSession
+    import spark.implicits._
+    joinedStored(adjacencyDf, vectors).groupByKey(_._1)
+      .flatMapGroups { (shard, it) =>
+        val rows = it.toArray
+        if (rows.isEmpty) Iterator.empty
+        else {
+          val g = reconstruct(rows)
+          val survivors = g.ids.count(id => !tombstones.contains(id))
+          if (survivors == 0) Iterator.empty
+          else adjacencyRowsOf(remove(g, tombstones), shard)
+        }
+      }
+      .toDF("shard", "vec_id", "level", "neighbors")
   }
 
   private def versionDirs(

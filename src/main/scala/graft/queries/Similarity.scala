@@ -535,6 +535,31 @@ object Similarity extends QueryModule {
       graft.ops.Hnsw.batchTopK(e, queries)
     }),
 
+    // TAKEDOWN from the stored HNSW adjacency — the vector-index side of
+    // the zipnum_takedown_merge obligation (a legal takedown must leave
+    // the SERVING index, not just the source table): the v1 serve's #2
+    // and #3 hits are tombstoned, Hnsw.removeStored drops their nodes
+    // and BRIDGES the holes (bounded repair: only the deleted nodes'
+    // ex-neighbors re-select, by the same Alg-4 heuristic the build
+    // uses), the pruned adjacency lands in the NEXT version dir, and the
+    // serve re-answers from it WITHOUT the deleted ids — visibly
+    // different top-k, no rebuild. Oracle-exempt like the other
+    // graph-ANN keys; HnswSpec pins never-surfaces + bounded repair.
+    "sim_ann_hnsw_takedown" -> ((s, d) => {
+      val e = emb(s, d).select(col("vec_id"), col("ed"))
+      val q = e.filter(col("vec_id") === 0L).select("ed").head().getSeq[Double](0).toArray
+      val dir = tmp(d, "hnsw_takedown")
+      graft.ops.Hnsw.adjacency(e, dim = q.length)
+        .write.mode("overwrite").partitionBy("shard").parquet(s"$dir/v1")
+      val before = graft.ops.Hnsw.topKStored(s.read.parquet(s"$dir/v1"), e, q)
+        .collect()
+      val dead = before.iterator.drop(1).take(2).map(_.getLong(0)).toSet
+      graft.ops.Hnsw.removeStored(s.read.parquet(s"$dir/v1"), e, dead)
+        .write.mode("overwrite").partitionBy("shard").parquet(s"$dir/v2")
+      val alive = e.filter(!col("vec_id").isin(dead.toSeq.map(Long.box): _*))
+      graft.ops.Hnsw.topKStored(s.read.parquet(s"$dir/v2"), alive, q)
+    }),
+
     // Day-2 APPEND into the stored HNSW adjacency — the graph index's
     // native incremental insert (no rebuild, no retraining): the planted
     // twin batch (appendBatch — every 17th vector nudged, fresh ids
@@ -570,10 +595,22 @@ object Similarity extends QueryModule {
     // vec_id); the report is |sample| rows. Oracle-exempt (the index
     // side is graph traversal); HnswSpec pins the report shape and a
     // recall floor.
+    //
+    // The sample is FIXED-K bottom-k by deterministic hash (the
+    // stream_sample_reservoir recipe): xxhash64(vec_id) ranks every id
+    // in one global random permutation and the k smallest win — a
+    // uniform sample whose size is the EVALUATION BUDGET, not a
+    // fraction of the corpus. The old `% 97` sample grew linearly with
+    // corpus size, so the driver-side collect, the batch closure, AND
+    // the broadcast exact side all scaled with N — at 100 TB the
+    // evaluation would dwarf what it evaluates. orderBy+limit compiles
+    // to TakeOrderedAndProject: per-partition top-k, k-row merge.
     "obs_ann_recall" -> ((s, d) => {
       GraftFunctions.register(s)
       val e = emb(s, d).select(col("vec_id"), col("ed"))
-      val sample = e.filter(col("vec_id") % 97 === 0)
+      val sample = e
+        .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+        .limit(AnnRecallSampleK)
       val qarr = sample.collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
       val ann = graft.ops.Hnsw.batchTopK(e, qarr)
@@ -774,6 +811,15 @@ object Similarity extends QueryModule {
       .filter(col("codes").isNotNull)
   }
 
+  /** IVF-PQ takedown twin of [[graft.ops.Hnsw.removeStored]]: the codes
+    * relation is FLAT (no edges to repair), so a takedown is one
+    * tombstone-pruned rewrite of the (vec_id, cid, codes) table,
+    * published to the next version dir under the same generation
+    * discipline. The filter rides the scan (no shuffle); cid
+    * partitioning is preserved by the caller's partitionBy on write. */
+  def ivfpqRemoveStored(codes: DataFrame, tombstones: Set[Long]): DataFrame =
+    codes.filter(!col("vec_id").isin(tombstones.toSeq.map(Long.box): _*))
+
   /** Encode ANY (vec_id, ed) relation under a FROZEN model — nearest
     * EXISTING coarse cell (no retraining), residual via the native
     * `vec_sub` kernel, PQ codes against the frozen residual codebook.
@@ -842,6 +888,11 @@ object Similarity extends QueryModule {
   /** fresh-id offset for the planted day-2 batch (outside every sf's
     * vec_id range) */
   val AppendIdOffset = 700000L
+
+  /** obs_ann_recall's evaluation budget: the query sample is this many
+    * rows REGARDLESS of corpus size (bottom-k by hash) — the knob an
+    * operator turns per release, never a corpus fraction */
+  val AnnRecallSampleK = 16
 
   /** the deterministic day-2 batch: every 17th base vector, nudged by
     * +0.001 per dimension (a near-duplicate — its twin stays its nearest

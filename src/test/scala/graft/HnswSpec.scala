@@ -143,10 +143,13 @@ class HnswSpec extends SparkSpec {
       s"planted twin ${Similarity.AppendIdOffset} missing from appended-index top-k: $ids")
   }
 
-  test("obs_ann_recall: one row per sampled query, recall in [0,1], floor holds") {
+  test("obs_ann_recall: exactly k sampled queries, recall in [0,1], floor holds") {
     val rows = SparkEntry.queries("obs_ann_recall")(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-    val nSample = base.filter(col("vec_id") % 97 === 0).count()
+    // the sample is FIXED-K (bottom-k by hash): the evaluation budget is
+    // k rows regardless of corpus size — both legs provably bounded
+    val nSample = math.min(
+      graft.queries.Similarity.AnnRecallSampleK.toLong, base.count())
     assert(rows.length == nSample, s"${rows.length} report rows for $nSample sampled queries")
     rows.foreach { case (qid, hits, rec) =>
       assert(hits >= 0 && hits <= 10, s"qid $qid hits $hits")
@@ -157,14 +160,140 @@ class HnswSpec extends SparkSpec {
     assert(mean >= 0.8, s"mean recall@10 $mean below 0.8: $rows")
   }
 
+  test("clustered topology: Alg-4 diversity selection holds recall@10 across cluster gaps") {
+    // The topology where simple closest-M selection degrades (the
+    // dedup_semantic twin-cluster shape, scaled up): 4 tight, mutually
+    // far clusters. Closest-M spends every edge slot INSIDE a node's own
+    // cluster, so the greedy walk from an entry in the wrong cluster has
+    // no bridge to cross; the Alg-4 heuristic keeps a candidate only
+    // when it is closer to the target than to every already-kept
+    // neighbor, which forces inter-cluster edges at the same M. Pin:
+    // recall@10 vs brute force on a single graph at a LEAN probe budget.
+    // centers on a smooth rotation (adjacent clusters cos ≈ 0.88, the
+    // far pair ≈ 0.07) — graded inter-cluster similarity, like real
+    // embedding space; four MUTUALLY ORTHOGONAL centers would make
+    // every inter-cluster distance tie at the maximum and turn bridge
+    // selection into a coin flip no heuristic can win
+    val dim = 16
+    val nPer = 250
+    def center(c: Int): Array[Double] =
+      Array.tabulate(dim)(i =>
+        if (i == 0) math.cos(0.5 * c) else if (i == 1) math.sin(0.5 * c) else 0.0)
+    // aperiodic deterministic noise — a modular pattern with a short
+    // period in j would collapse each cluster to a handful of duplicated
+    // points, and "recall" would measure duplicate-class arbitration,
+    // not graph navigation
+    def pt(c: Int, j: Int): Array[Double] = {
+      val base = center(c)
+      Array.tabulate(dim) { i =>
+        val h = (j * 2654435761L + i * 40503L + c * 69427L) & 0xffffL
+        base(i) + (h.toDouble / 65535.0 - 0.5) * 0.3
+      }
+    }
+    // ids INTERLEAVE clusters (id % 4 = cluster) — the realistic case
+    // (vec_ids carry no cluster signal), and the one that isolates
+    // SELECTION quality: every cluster is present at every build stage,
+    // so upper-layer nodes span clusters and recall is decided by which
+    // M neighbors each node keeps — closest-M spends them all
+    // intra-cluster, the Alg-4 heuristic keeps the bridges.
+    val items = (for (c <- 0 until 4; j <- 0 until nPer)
+      yield ((j * 4 + c).toLong, pt(c, j))).toArray
+    val g = Hnsw.build(items, m = 6, efC = 32)
+    // queries: one per cluster, nudged off a member point — entry is in
+    // ONE cluster, so three of the four walks must bridge a gap
+    def cosTo(q: Array[Double], v: Array[Double]): Double = {
+      val dot = q.zip(v).map { case (a, b) => a * b }.sum
+      dot / (math.sqrt(q.map(x => x * x).sum) * math.sqrt(v.map(x => x * x).sum))
+    }
+    val recalls = (0 until 4).map { c =>
+      val q = pt(c, 999).map(_ + 0.001)
+      val brute = items.map { case (id, v) => (cosTo(q, v), id) }
+        .sortBy(t => (-t._1, t._2)).take(10).map(_._2).toSet
+      val got = Hnsw.search(g, q, ef = 16, k = 10).map(_._1).toSet
+      (brute & got).size / 10.0
+    }
+    val mean = recalls.sum / recalls.length
+    assert(mean >= 0.9, s"clustered recall@10 $mean (per cluster: $recalls)")
+    recalls.foreach(r => assert(r >= 0.7, s"a cluster's recall collapsed: $recalls"))
+  }
+
+  test("takedown: removeStored drops the ids everywhere, bridges the holes, repair is bounded") {
+    val e = plantedCorpus
+    val q = queryVec
+    val dir = "/tmp/graft_test/hnsw_takedown_spec"
+    Hnsw.adjacency(e, dim = q.length)
+      .write.mode("overwrite").partitionBy("shard").parquet(s"$dir/v1")
+    val v1 = spark.read.parquet(s"$dir/v1")
+    val before = Hnsw.topKStored(v1, e, q).collect().map(_.getLong(0))
+    // tombstone two planted twins that DID surface — the serve must change
+    val dead = Set(900001L, 900002L)
+    assert(dead.subsetOf(before.toSet), s"fixture drift: $dead not in ${before.toSeq}")
+    val v2rows = Hnsw.removeStored(v1, e, dead).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getSeq[Long](3)))
+    // the ids are gone as NODES and as NEIGHBORS
+    assert(!v2rows.exists(r => dead.contains(r._2)), "tombstoned node row survived")
+    assert(!v2rows.exists(r => r._4.exists(dead.contains)),
+      "tombstoned id still referenced in a neighbor list")
+    // bounded repair: a (vec_id, level) row may differ from v1 only if
+    // its v1 neighbor list contained a tombstoned id
+    val v1rows = v1.collect()
+      .map(r => (r.getInt(r.fieldIndex("shard")), r.getLong(r.fieldIndex("vec_id")),
+        r.getInt(r.fieldIndex("level")), r.getSeq[Long](r.fieldIndex("neighbors"))))
+    val v1Map = v1rows.map(r => (r._2, r._3) -> r._4).toMap
+    v2rows.foreach { case (_, id, lev, nbs) =>
+      val old = v1Map((id, lev))
+      if (!old.exists(dead.contains))
+        assert(nbs == old, s"untouched node ($id, $lev) was rewritten: $old -> $nbs")
+    }
+    // serve from v2: tombstoned ids never surface; the rest of the
+    // planted family still does
+    Hnsw.removeStored(v1, e, dead)
+      .write.mode("overwrite").partitionBy("shard").parquet(s"$dir/v2")
+    val alive = e.filter(!col("vec_id").isin(dead.toSeq.map(Long.box): _*))
+    val after = Hnsw.topKStored(spark.read.parquet(s"$dir/v2"), alive, q)
+      .collect().map(_.getLong(0)).toSet
+    assert((after & dead).isEmpty, s"tombstoned id served after takedown: $after")
+    assert(Set(0L, 900003L, 900004L, 900005L).subsetOf(after),
+      s"surviving planted family missing after takedown: $after")
+  }
+
+  test("takedown then day-2 append: the pruned index keeps accepting appends; serve == rebuild-without") {
+    import graft.queries.Similarity
+    val e = base
+    val q = queryVec
+    val dir = "/tmp/graft_test/hnsw_takedown_append"
+    Hnsw.adjacency(e, dim = q.length)
+      .write.mode("overwrite").partitionBy("shard").parquet(s"$dir/v1")
+    val dead = Set(7L, 23L)
+    Hnsw.removeStored(spark.read.parquet(s"$dir/v1"), e, dead)
+      .write.mode("overwrite").partitionBy("shard").parquet(s"$dir/v2")
+    val alive = e.filter(!col("vec_id").isin(dead.toSeq.map(Long.box): _*))
+    val batch = Similarity.appendBatch(e)
+    val allAlive = alive.unionByName(batch)
+    Hnsw.appendStored(spark.read.parquet(s"$dir/v2"), allAlive, batch, dim = q.length)
+      .write.mode("overwrite").partitionBy("shard").parquet(s"$dir/v3")
+    val served = Hnsw.topKStored(spark.read.parquet(s"$dir/v3"), allAlive, q)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(!served.exists(t => dead.contains(t._1)), s"tombstoned id reappeared: $served")
+    // a LOCAL repair cannot promise bit-equal graphs to a from-scratch
+    // rebuild without the ids — but the SERVE must agree: same top-k
+    val rebuilt = Hnsw.topK(allAlive, q)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(served == rebuilt, s"takedown+append serve $served != rebuild-without serve $rebuilt")
+  }
+
   test("guards fail loudly: dim mismatch, out-of-order append ids, serve missing a referenced vector") {
     import graft.queries.Similarity
     val e = base
     // a query of the wrong dimension must error, never return an empty
-    // or truncated-cosine result
+    // or truncated-cosine result. The diagnostic is DEFERRED into the
+    // shard tasks (plan construction runs no hidden jobs), so it
+    // surfaces at collect(), wrapped by Spark's task-failure chain.
     val shortQ = Array.fill(10)(0.5)
-    val ex1 = intercept[IllegalArgumentException] { Hnsw.topK(e, shortQ).collect() }
-    assert(ex1.getMessage.contains("dim"), ex1.getMessage)
+    val ex1 = intercept[Exception] { Hnsw.topK(e, shortQ).collect() }
+    val chain1 = Iterator.iterate[Throwable](ex1)(_.getCause)
+      .takeWhile(_ != null).map(String.valueOf).mkString("; ")
+    assert(chain1.contains("dim"), chain1)
     val g = Hnsw.build(e.limit(50).as[(Long, Array[Double])].collect())
     val ex2 = intercept[IllegalArgumentException] { Hnsw.search(g, shortQ) }
     assert(ex2.getMessage.contains("dim"), ex2.getMessage)

@@ -232,6 +232,33 @@ class SimilaritySpec extends SparkSpec {
       s"driver key must self-hit first: ${driverTop.take(3).mkString(",")}")
   }
 
+  test("ivfpqRemoveStored: tombstoned ids never surface; untouched rows byte-identical") {
+    // the IVF-PQ takedown twin of Hnsw.removeStored — flat relation, so
+    // the contract is simpler: rows gone, everything else untouched
+    graft.functions.GraftFunctions.register(spark)
+    val e = Tables.t(spark, sfDir, "embeddings")
+      .withColumn("ed", col("embedding").cast("array<double>"))
+      .select(col("vec_id"), col("ed"))
+    val model = graft.queries.Similarity.ivfpqFit(e)
+    val q = model.vectorOf(0L)
+    val codes = graft.queries.Similarity.ivfpqCodes(model)
+    val before = graft.queries.Similarity.ivfpqProbe(codes, model, q, nProbe = 2)
+      .collect().map(_.getLong(0))
+    val dead = before.drop(1).take(2).toSet // two real hits, not the self-hit
+    val pruned = graft.queries.Similarity.ivfpqRemoveStored(codes, dead)
+    assert(pruned.filter(col("vec_id").isin(dead.toSeq.map(Long.box): _*)).isEmpty,
+      "tombstoned row survived the takedown rewrite")
+    // every surviving row is byte-identical (no repair needed: no edges)
+    val prunedRows = pruned.collect().map(r => (r.getLong(0), r.get(1), r.getSeq[Int](2))).toSet
+    val expect = codes.collect().map(r => (r.getLong(0), r.get(1), r.getSeq[Int](2)))
+      .filterNot(r => dead.contains(r._1)).toSet
+    assert(prunedRows == expect)
+    val after = graft.queries.Similarity.ivfpqProbe(pruned, model, q, nProbe = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert((after & dead).isEmpty, s"tombstoned id served after takedown: $after")
+    assert(after.contains(0L), "self-hit must survive an unrelated takedown")
+  }
+
   test("sim_ann_ivfpq_batch equals the single-probe path bit-for-bit per query") {
     // ONE fitted model feeds both paths. The single probe scores through a
     // driver-built literal ADC table (m lookups per row); the batch probe
