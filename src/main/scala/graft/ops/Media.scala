@@ -539,6 +539,130 @@ object Media {
     Some(Mp4Meta(brand, timescale, durMs, tracks.toSeq))
   }
 
+  // ----------------------------------------------------------- image (WebP)
+
+  final case class WebpMeta(
+      format: String, width: Int, height: Int, animated: Boolean, nFrames: Int)
+
+  /** Minimal VALID WebP (RIFF container, the mm_audio_meta RIFF
+    * discipline) — fixture builder for [[webpMeta]]: closed-form dims
+    * spliced into real container bytes for each of the three bitstream
+    * shapes the format defines. `kind` ∈ VP8 (simple lossy: keyframe
+    * tag + 9D 01 2A start code + 14-bit LE dims), VP8L (simple
+    * lossless: 0x2F signature + bit-packed (w−1, h−1)), VP8X (extended:
+    * flags + 24-bit (w−1, h−1) canvas; `nFrames` > 1 adds the ANIM
+    * header and one ANMF chunk per frame, each carrying an embedded
+    * VP8 keyframe bitstream — the animation layout the spec mandates). */
+  def webpFixture(kind: String, w: Int, h: Int, nFrames: Int = 1): Array[Byte] = {
+    require(w >= 1 && h >= 1 && w <= 0x3fff && h <= 0x3fff, "14-bit dims")
+    def chunk(fourcc: String, payload: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer
+        .allocate(8 + payload.length + (payload.length & 1))
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put(fourcc.getBytes("US-ASCII")).putInt(payload.length).put(payload)
+      b.array() // the odd-size pad byte stays zero, per RIFF
+    }
+    def vp8Payload(fw: Int, fh: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(16).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put(0x30.toByte).put(0.toByte).put(0.toByte) // frame tag: keyframe
+        .put(0x9d.toByte).put(0x01.toByte).put(0x2a.toByte) // start code
+        .putShort((fw & 0x3fff).toShort).putShort((fh & 0x3fff).toShort)
+      b.array()
+    }
+    val body: Array[Byte] = kind match {
+      case "VP8" => chunk("VP8 ", vp8Payload(w, h))
+      case "VP8L" =>
+        val bits = ((w - 1) & 0x3fff) | (((h - 1) & 0x3fff) << 14)
+        val b = java.nio.ByteBuffer.allocate(5).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        b.put(0x2f.toByte).putInt(bits)
+        chunk("VP8L", b.array())
+      case "VP8X" =>
+        val animated = nFrames > 1
+        def u24(v: Int): Array[Byte] =
+          Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte, ((v >> 16) & 0xff).toByte)
+        val vp8x = chunk("VP8X",
+          Array[Byte]((if (animated) 0x02 else 0x00).toByte, 0, 0, 0) ++
+            u24(w - 1) ++ u24(h - 1))
+        if (!animated) vp8x ++ chunk("VP8 ", vp8Payload(w, h))
+        else {
+          val anim = chunk("ANIM", Array.fill[Byte](6)(0)) // bg color + loop count
+          val frames = (0 until nFrames).flatMap { _ =>
+            // ANMF: x(3) y(3) w-1(3) h-1(3) duration(3) flags(1) + frame bytes
+            chunk("ANMF",
+              u24(0) ++ u24(0) ++ u24(w - 1) ++ u24(h - 1) ++ u24(40) ++
+                Array[Byte](0) ++ vp8Payload(w, h))
+          }.toArray
+          vp8x ++ anim ++ frames
+        }
+      case other => throw new IllegalArgumentException(s"unknown WebP kind $other")
+    }
+    val out = java.nio.ByteBuffer.allocate(12 + body.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(4 + body.length)
+      .put("WEBP".getBytes("US-ASCII")).put(body)
+    out.array()
+  }
+
+  /** WebP container metadata walk — pure-JVM RIFF parser behind
+    * `mm_webp_meta`: format off the first bitstream chunk (VP8 simple
+    * lossy / VP8L simple lossless / VP8X extended), dims off that
+    * chunk's own encoding (14-bit LE past the keyframe start code;
+    * bit-packed (w−1, h−1); 24-bit canvas), the animation flag off
+    * VP8X's flags byte, frame count = ANMF chunks seen. The
+    * [[exifMeta]] discipline: junk, a chunk size pointing past the
+    * buffer, or truncation mid-walk degrade to None / partial fields
+    * (dims 0, frames counted so far) — never a throw. */
+  def webpMeta(bytes: Array[Byte]): Option[WebpMeta] = {
+    def str4(at: Int): String = new String(bytes, at, 4, "US-ASCII")
+    def u16le(at: Int): Int = (bytes(at) & 0xff) | ((bytes(at + 1) & 0xff) << 8)
+    def u24le(at: Int): Int = u16le(at) | ((bytes(at + 2) & 0xff) << 16)
+    def u32le(at: Int): Long = u16le(at).toLong | (u16le(at + 2).toLong << 16)
+    if (bytes.length < 12 || str4(0) != "RIFF" || str4(8) != "WEBP") return None
+    var format: String = null
+    var w = 0; var h = 0
+    var animated = false
+    var anmf = 0
+    var i = 12L
+    var go = true
+    while (go && i + 8 <= bytes.length) {
+      val at = i.toInt
+      val fourcc = str4(at)
+      val size = u32le(at + 4)
+      val ps = at + 8
+      val pe = i + 8 + size
+      if (pe > bytes.length) go = false // truncated chunk: keep partials
+      else {
+        val avail = size.toInt
+        fourcc match {
+          case "VP8 " if format == null =>
+            format = "VP8"
+            if (avail >= 10 && (bytes(ps) & 1) == 0 &&
+              (bytes(ps + 3) & 0xff) == 0x9d && (bytes(ps + 4) & 0xff) == 0x01 &&
+              (bytes(ps + 5) & 0xff) == 0x2a) {
+              w = u16le(ps + 6) & 0x3fff; h = u16le(ps + 8) & 0x3fff
+            }
+          case "VP8L" if format == null =>
+            format = "VP8L"
+            if (avail >= 5 && (bytes(ps) & 0xff) == 0x2f) {
+              val bits = u32le(ps + 1)
+              w = (bits & 0x3fff).toInt + 1; h = ((bits >> 14) & 0x3fff).toInt + 1
+            }
+          case "VP8X" if format == null =>
+            format = "VP8X"
+            if (avail >= 10) {
+              animated = (bytes(ps) & 0x02) != 0
+              w = u24le(ps + 4) + 1; h = u24le(ps + 7) + 1
+            }
+          case "ANMF" => anmf += 1
+          case _ => ()
+        }
+        i = pe + (size & 1L) // RIFF chunks are 2-byte aligned
+      }
+    }
+    if (format == null) None
+    else Some(WebpMeta(format, w, h, animated, if (animated) anmf else 1))
+  }
+
   // ------------------------------------------------------- video (GIF89a)
 
   /** a multi-frame animated GIF: nFrames solid-color w×h frames written

@@ -494,6 +494,37 @@ object Multimodal extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // WebP container metadata walk (RIFF): the payload is a REAL minimal
+    // WebP built per row with closed-form dims — one of the three
+    // bitstream shapes by id arithmetic (VP8 simple lossy / VP8L simple
+    // lossless / VP8X extended+animated) — and every reported field is
+    // recovered by the pure-JVM RIFF parser walking the bytes: dims off
+    // each shape's own encoding, the animation flag off VP8X flags,
+    // frame count off the ANMF chunks. The exifMeta discipline
+    // (junk/truncation -> None/partial, MediaSpec pins it); fully
+    // DuckDB-oracled in doc_id arithmetic.
+    "mm_webp_meta" -> ((s, d) => {
+      import s.implicits._
+      Tables.t(s, d, "documents")
+        .filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val w = 8 * (1 + id % 6).toInt
+            val h = 8 * (1 + id % 5).toInt
+            val kind = (id % 3) match {
+              case 0 => "VP8"; case 1 => "VP8L"; case _ => "VP8X"
+            }
+            val nf = if (kind == "VP8X") 2 + (id % 4).toInt else 1
+            val bytes = graft.ops.Media.webpFixture(kind, w, h, nf)
+            val m = graft.ops.Media.webpMeta(bytes).get
+            (id, m.format, m.width, m.height, m.animated, m.nFrames)
+          }
+        }
+        .toDF("doc_id", "format", "width", "height", "animated", "n_frames")
+        .orderBy("doc_id")
+    }),
+
     // REAL multi-frame decode: payload is an animated GIF written by the
     // JDK sequence writer; the frame count is recovered by the GIF reader
     // walking image descriptors in the byte stream (not from a side
@@ -725,6 +756,16 @@ object Multimodal extends QueryModule {
         "CAST(16 * (1 + doc_id % 4) AS INT) AS vid_h, " +
         "'vide,soun' AS handlers " +
         "FROM documents WHERE doc_id % 3 = 1 ORDER BY doc_id"),
+    // every WebP field replayed from the id arithmetic — the RIFF walk
+    // must recover them from real container bytes
+    "mm_webp_meta" ->
+      ("SELECT doc_id, " +
+        "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'VP8' WHEN 1 THEN 'VP8L' ELSE 'VP8X' END AS format, " +
+        "CAST(8 * (1 + doc_id % 6) AS INT) AS width, " +
+        "CAST(8 * (1 + doc_id % 5) AS INT) AS height, " +
+        "(doc_id % 3 = 2) AS animated, " +
+        "CAST(CASE WHEN doc_id % 3 = 2 THEN 2 + doc_id % 4 ELSE 1 END AS INT) AS n_frames " +
+        "FROM documents WHERE doc_id % 2 = 1 ORDER BY doc_id"),
     "mm_video_frames" ->
       ("SELECT doc_id, CAST(1 + doc_id % 24 AS INT) AS n_frames, " +
         "CAST(frame_no AS INT) AS frame_no, CAST(4 AS INT) AS frame_w FROM (" +

@@ -288,6 +288,30 @@ object TimeWindows extends QueryModule {
         .orderBy("id")
     }),
 
+    // STREAM-STREAM interval join, batch-run (the stream_* driver
+    // convention): revisit records join original responses by payload
+    // digest with the original required to PRECEDE the revisit within
+    // the horizon — the continuous form of join_revisit_resolve, whose
+    // unbounded-history equi-join becomes O(horizon) state under the
+    // two watermarks revisitResolveStream sets. Batch-run, the SAME
+    // function computes the interval join over full history (the
+    // analyzer eliminates watermarks on batch inputs); the oracle
+    // replays digest equality + the time bound in epoch-µs arithmetic.
+    // Cross-batch arrival (original and revisit in different
+    // micro-batches) and the batch==stream agreement are pinned in
+    // StreamingSpec.
+    "stream_revisit_resolve" -> ((s, d) => {
+      val c = graft.Cdx.df(s, d)
+      def leg(rt: String) = c.filter(col("record_type") === rt)
+        .select(col("id").as("event_id"),
+          timestamp_micros(col("epoch_us")).as("ts"),
+          col("digest").as("value"))
+      graft.streaming.StreamOps
+        .revisitResolveStream(leg("revisit"), leg("response"), horizon = "17520 hours")
+        .select(col("revisit_id"), col("orig_id"))
+        .orderBy("revisit_id", "orig_id")
+    }),
+
     // ordered funnel (view -> click within 30m -> purchase within 30m of
     // the click) — the product-analytics sequence query. Shape: three
     // event-type slices equi-join on user_id with in-plan time-range
@@ -499,6 +523,17 @@ object TimeWindows extends QueryModule {
     "stream_politeness" -> Curation.oracleSql("crawl_politeness"),
     // the streaming fold must equal the batch window algebra — ONE oracle
     "stream_revisit_generate" -> CdxOps.oracleSql("cdx_revisit_generate"),
+    // join_revisit_resolve's digest join plus the stream op's interval
+    // bound, replayed in epoch-µs (17520 h = 730 d = 63_072_000_000_000 µs
+    // — the fixture ts is daily-grain over years, so the horizon is sized
+    // to produce matches at every SF)
+    "stream_revisit_resolve" -> (graft.Cdx.duckCte +
+      "SELECT r.id AS revisit_id, o.id AS orig_id " +
+      "FROM cdx r JOIN cdx o ON r.digest = o.digest " +
+      "WHERE r.record_type = 'revisit' AND o.record_type = 'response' " +
+      "AND o.epoch_us <= r.epoch_us " +
+      "AND o.epoch_us >= r.epoch_us - 63072000000000 " +
+      "ORDER BY revisit_id, orig_id"),
     "stream_change_rate" -> Curation.oracleSql("crawl_change_rate"),
     // the hash permutation is shared verbatim, so the streamed bottom-k
     // must equal the windowed closed form row-for-row

@@ -227,6 +227,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream_revisit_resolve: streaming run across batch boundaries == batch-run driver key") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val c = graft.Cdx.df(spark, sfDir)
+      .select(col("id"), timestamp_micros(col("epoch_us")).as("ts"),
+        col("digest"), col("record_type"))
+    def legRows(rt: String) = c.filter(col("record_type") === rt)
+      .select(col("id"), col("ts"), col("digest"))
+      .as[(Long, Timestamp, String)].collect().sortBy(_._2.getTime)
+    val rev = legRows("revisit")
+    val org = legRows("response")
+    val rs = MemoryStream[(Long, Timestamp, String)]
+    val os = MemoryStream[(Long, Timestamp, String)]
+    def leg(m: MemoryStream[(Long, Timestamp, String)]) =
+      m.toDF.toDF("event_id", "ts", "value")
+    val q = StreamOps.revisitResolveStream(leg(rs), leg(os), horizon = "17520 hours")
+      .writeStream.format("memory").queryName("srr_sink")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // two TIME-ORDERED halves per side: crossing a batch boundary is
+      // the point (an original from batch 1 resolving a batch-2 revisit);
+      // time order keeps every row ahead of the advancing watermark, so
+      // the streamed result must equal the batch run EXACTLY
+      val (o1, o2) = org.splitAt(org.length / 2)
+      val (r1, r2) = rev.splitAt(rev.length / 2)
+      os.addData(o1.toIndexedSeq); q.processAllAvailable()
+      rs.addData(r1.toIndexedSeq); q.processAllAvailable()
+      os.addData(o2.toIndexedSeq); rs.addData(r2.toIndexedSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("srr_sink")
+        .select("revisit_id", "orig_id").as[(Long, Long)].collect().toSet
+      val batch = SparkEntry.queries("stream_revisit_resolve")(spark, sfDir)
+        .select("revisit_id", "orig_id").as[(Long, Long)].collect().toSet
+      assert(batch.nonEmpty, "fixture must produce matches")
+      assert(streamed == batch,
+        s"stream/batch divergence: stream-only ${(streamed -- batch).take(3)}, " +
+          s"batch-only ${(batch -- streamed).take(3)}")
+    } finally q.stop()
+  }
+
   test("late data beyond the watermark does not resurrect closed windows") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[E]
