@@ -408,6 +408,116 @@ object CdxServer {
     * `replace` (Java regex; `$1`-style group references) */
   final case class FuzzyRule(prefix: String, pattern: String, replace: String)
 
+  /** Parse a pywb-style `rules.yaml` fuzzy-rule file into the engine's
+    * [[FuzzyRule]] table. Recognized shape (the pywb consumer contract —
+    * SURVEY §2.9): a top-level `rules:` list whose items carry
+    * `url_prefix` (scalar, inline `[a, b]` list, or block list — a list
+    * expands to one rule per prefix) and `fuzzy_lookup` (a bare regex
+    * scalar, or a map with `match` and optional `replace`). A rule with
+    * no `replace` canonicalizes by STRIPPING the match (`replace` "")
+    * — the drop-the-querystring default `fuzzy_lookup: '\?.*'`
+    * instantiates pywb's soft-404 rule; other keys under `fuzzy_lookup`
+    * (`filter`, `find_all`, ...) are ignored. The parser is a
+    * deliberate YAML SUBSET (indentation maps/lists, quoted or bare
+    * scalars, `#` comments) — rule files are O(10²) lines of exactly
+    * this shape, and a full YAML engine is not a dependency this build
+    * takes. Rules appear in file order; [[fuzzyMatchRules]] resolves
+    * overlaps longest-prefix-first regardless of order. */
+  def parseRulesYaml(text: String): Seq[FuzzyRule] = {
+    // strip comments/blank lines, keep (indent, content)
+    val lines = text.split("\n", -1).toIndexedSeq
+      .map { l =>
+        val noComment =
+          // a '#' inside quotes stays; rule files only comment full
+          // lines or after whitespace, so cut at " #" or line-start '#'
+          if (l.trim.startsWith("#")) ""
+          else l.replaceAll("\\s#.*$", "")
+        noComment
+      }
+      .filter(_.trim.nonEmpty)
+      .map(l => (l.indexWhere(!_.isWhitespace), l.trim))
+    def unquote(s: String): String = {
+      val t = s.trim
+      if (t.length >= 2 && ((t.head == '\'' && t.last == '\'') ||
+        (t.head == '"' && t.last == '"'))) t.substring(1, t.length - 1)
+      else t
+    }
+    // locate the rules: list
+    val start = lines.indexWhere(_._2 == "rules:")
+    require(start >= 0, "rules.yaml: no top-level 'rules:' key")
+    val body = lines.drop(start + 1)
+      .takeWhile(_._1 > lines(start)._1) // the rules block = deeper indent
+    // split into items at each '- ' line of the item indent
+    val itemIndent = body.headOption.map(_._1).getOrElse(0)
+    val items = scala.collection.mutable.ArrayBuffer.empty[Vector[(Int, String)]]
+    body.foreach { case (ind, s) =>
+      if (ind == itemIndent && s.startsWith("- "))
+        items += Vector((ind + 2, s.substring(2).trim))
+      else if (items.nonEmpty) items(items.length - 1) :+= ((ind, s))
+      // content before the first '- ' is malformed; ignore
+    }
+    items.toSeq.flatMap { item =>
+      var prefixes = Vector.empty[String]
+      var pattern: String = null
+      var replace = ""
+      var i = 0
+      while (i < item.length) {
+        val (ind, s) = item(i)
+        if (s.startsWith("url_prefix:")) {
+          val v = s.stripPrefix("url_prefix:").trim
+          if (v.startsWith("[")) {
+            // inline list: SURT prefixes CONTAIN commas, so quoted items
+            // are extracted as units ('' = the catch-all) and a comma
+            // split only applies to a fully-bare list
+            val inner = v.stripPrefix("[").stripSuffix("]")
+            val quoted = "'([^']*)'|\"([^\"]*)\"".r.findAllMatchIn(inner)
+              .map(m => Option(m.group(1)).getOrElse(m.group(2))).toVector
+            prefixes =
+              if (quoted.nonEmpty) quoted
+              else inner.split(",").toVector.map(_.trim).filter(_.nonEmpty)
+          } else if (v.nonEmpty) prefixes = Vector(unquote(v))
+          else { // block list
+            var j = i + 1
+            while (j < item.length && item(j)._1 > ind && item(j)._2.startsWith("- ")) {
+              prefixes :+= unquote(item(j)._2.substring(2))
+              j += 1
+            }
+            i = j - 1
+          }
+        } else if (s.startsWith("fuzzy_lookup:")) {
+          val v = s.stripPrefix("fuzzy_lookup:").trim
+          if (v.nonEmpty) pattern = unquote(v) // bare regex scalar
+          else { // block map: match / replace (others ignored)
+            var j = i + 1
+            while (j < item.length && item(j)._1 > ind) {
+              val kv = item(j)._2
+              if (kv.startsWith("match:")) pattern = unquote(kv.stripPrefix("match:"))
+              else if (kv.startsWith("replace:")) replace = unquote(kv.stripPrefix("replace:"))
+              j += 1
+            }
+            i = j - 1
+          }
+        }
+        i += 1
+      }
+      require(pattern != null,
+        s"rules.yaml: a rule item lacks fuzzy_lookup (prefixes=$prefixes)")
+      val ps = if (prefixes.isEmpty) Vector("") else prefixes
+      ps.map(p => FuzzyRule(p, pattern, replace))
+    }
+  }
+
+  /** [[parseRulesYaml]] over a file path (any Hadoop-visible FS) — the
+    * rules file is a driver artifact (O(KB)), read once, shipped to the
+    * executors as plan literals by [[fuzzyCanonicalCol]]. */
+  def loadRulesYaml(spark: SparkSession, path: String): Seq[FuzzyRule] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    try parseRulesYaml(new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8))
+    finally in.close()
+  }
+
   /** true iff `rule`'s pattern provably rewrites ONLY query-string text:
     * its regex source is anchored at a literal '?' (`\?` or `[?]`), so
     * every match starts at a '?' position — in a SURT urlkey always at

@@ -75,13 +75,28 @@ object Formats extends QueryModule {
     Cdx.df(s, d).selectExpr(s"$lineExprSpark AS line")
 
   /** the 3-shape pywb-style fuzzy rules fixture `cdx_fuzzy_rules` and
-    * its oracle replay share: cache-buster strip on the urgent host,
-    * param rewrite on the high host, soft-404 drop-query as the
-    * shorter catch-all prefix (longest-prefix-wins exercises all three) */
-  val fuzzyRulesFixture: Seq[graft.CdxServer.FuzzyRule] = Seq(
-    graft.CdxServer.FuzzyRule("org,example,urgent)", "&b=\\d+", ""),
-    graft.CdxServer.FuzzyRule("org,example,high)", "\\?a=(\\d+)&b=(\\d+)", "?id=$2"),
-    graft.CdxServer.FuzzyRule("org,example,", "\\?.*", ""))
+    * its oracle replay share — AS A rules.yaml DOCUMENT, so the driver
+    * keys exercise the actual file-format loader against the same
+    * oracle: cache-buster strip on the urgent host (bare-scalar
+    * fuzzy_lookup), param rewrite on the high host (match/replace map),
+    * soft-404 drop-query as the shorter catch-all prefix (longest-
+    * prefix-wins exercises all three). CdxServerSpec pins the parse
+    * equal to the hand-built table. */
+  val fuzzyRulesYaml: String =
+    """# pywb-style fuzzy match rules
+      |rules:
+      |  - url_prefix: 'org,example,urgent)'
+      |    fuzzy_lookup: '&b=\d+'
+      |  - url_prefix: 'org,example,high)'
+      |    fuzzy_lookup:
+      |      match: '\?a=(\d+)&b=(\d+)'
+      |      replace: '?id=$2'
+      |  - url_prefix: 'org,example,'
+      |    fuzzy_lookup: '\?.*'
+      |""".stripMargin
+
+  val fuzzyRulesFixture: Seq[graft.CdxServer.FuzzyRule] =
+    graft.CdxServer.parseRulesYaml(fuzzyRulesYaml)
 
   /** Session-keyed SHARED cluster build for the §2.9 serving keys: they
     * all read the same day-1 index, and the build is deterministic

@@ -170,10 +170,19 @@ class CdxMatrixSpec extends SparkSpec {
   test("matrix: fuzzyMatchRules × filter × fl composes against brute force") {
     // rules: strip the q= cache param on com,alpha (longest prefix);
     // drop-everything catch-all below it — the longest-prefix precedence
-    // must hold INSIDE a composed filter/fl chain too
-    val rules = Seq(
+    // must hold INSIDE a composed filter/fl chain too. The table is
+    // LOADED from the rules.yaml form (the pywb file format), so the
+    // whole matrix arm drives the loader's output, not a hand-built Seq.
+    val rules = CdxServer.parseRulesYaml(
+      """rules:
+        |  - url_prefix: 'com,alpha)'
+        |    fuzzy_lookup: '\?q=\d+'
+        |  - url_prefix: ''
+        |    fuzzy_lookup: '\?.*'
+        |""".stripMargin)
+    assert(rules == Seq(
       CdxServer.FuzzyRule("com,alpha)", "\\?q=\\d+", ""),
-      CdxServer.FuzzyRule("", "\\?.*", ""))
+      CdxServer.FuzzyRule("", "\\?.*", "")), rules.toString)
     def canonOf(k: String): String = {
       val r = rules.filter(r2 => k.startsWith(r2.prefix)).maxBy(_.prefix.length)
       k.replaceAll(r.pattern, r.replace)

@@ -281,6 +281,55 @@ class CdxServerSpec extends SparkSpec {
       ("org,example,open)/a", null, "allow")), out.toString)
   }
 
+  test("parseRulesYaml: golden parse of a realistic rules file (every supported shape)") {
+    val yaml =
+      """# pywb-style rules file — three fuzzy_lookup shapes + both
+      |# url_prefix list forms
+      |rules:
+      |  # bare-scalar regex, single quoted prefix
+      |  - url_prefix: 'com,shop)'
+      |    fuzzy_lookup: '&sid=\d+'
+      |  # match/replace map; extra keys (find_all) are ignored
+      |  - url_prefix: "com,video)"
+      |    fuzzy_lookup:
+      |      match: '\?t=\d+&v=([a-z]+)'
+      |      replace: '?v=$1'
+      |      find_all: true
+      |  # inline prefix list expands to one rule per prefix
+      |  - url_prefix: ['com,cdn,a)', 'com,cdn,b)']
+      |    fuzzy_lookup: '\?cb=\d+'
+      |  # block prefix list + the soft-404 catch-all
+      |  - url_prefix:
+      |      - 'org,blog)'
+      |      - ''
+      |    fuzzy_lookup: '\?.*'
+      |""".stripMargin
+    val rules = CdxServer.parseRulesYaml(yaml)
+    assert(rules == Seq(
+      CdxServer.FuzzyRule("com,shop)", "&sid=\\d+", ""),
+      CdxServer.FuzzyRule("com,video)", "\\?t=\\d+&v=([a-z]+)", "?v=$1"),
+      CdxServer.FuzzyRule("com,cdn,a)", "\\?cb=\\d+", ""),
+      CdxServer.FuzzyRule("com,cdn,b)", "\\?cb=\\d+", ""),
+      CdxServer.FuzzyRule("org,blog)", "\\?.*", ""),
+      CdxServer.FuzzyRule("", "\\?.*", "")), rules.toString)
+    // file round trip through the Hadoop-FS loader
+    val p = "/tmp/graft_test/rules.yaml"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get("/tmp/graft_test"))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(p), yaml)
+    assert(CdxServer.loadRulesYaml(spark, p) == rules)
+    // malformed inputs fail loudly, not with a silent empty table
+    intercept[IllegalArgumentException] { CdxServer.parseRulesYaml("no rules here") }
+    intercept[IllegalArgumentException] {
+      CdxServer.parseRulesYaml("rules:\n  - url_prefix: 'x)'\n")
+    }
+    // the driver fixture is the PARSED form of its yaml document
+    assert(graft.queries.Formats.fuzzyRulesFixture == Seq(
+      CdxServer.FuzzyRule("org,example,urgent)", "&b=\\d+", ""),
+      CdxServer.FuzzyRule("org,example,high)", "\\?a=(\\d+)&b=(\\d+)", "?id=$2"),
+      CdxServer.FuzzyRule("org,example,", "\\?.*", "")),
+      graft.queries.Formats.fuzzyRulesFixture.toString)
+  }
+
   test("fuzzyMatchRules: strip / rewrite / soft-404 shapes, longest-prefix precedence, hit suppression") {
     val fdir = "/tmp/graft_test/server_fuzzy_rules"
     val lines = Seq(
