@@ -18,6 +18,27 @@ object Dedup {
   def tokens(c: Column): Column =
     filter(split(lower(c), "[^a-z0-9]+"), t => t =!= "")
 
+  private val CjkClass =
+    "\\u3040-\\u30ff\\u3400-\\u4dbf\\u4e00-\\u9fff\\uac00-\\ud7af"
+
+  /** The SKETCH tokenizer — relational twin of the fused kernels'
+    * [[graft.functions.TokenAlg]] contract (NativeExprSpec pins parity):
+    * [[tokens]] plus each CJK character as its OWN single-char token, so
+    * word-k-shingles become character-k-grams on unsegmented scripts
+    * (without this, a space-free CJK document tokenizes to NOTHING and
+    * near-dedup silently skips it). Implementation: space-pad every CJK
+    * char, then split on anything outside [a-z0-9 CJK] — pure-Latin
+    * text tokenizes identically to [[tokens]], so Latin signatures are
+    * byte-unchanged. Used by the composed sketch reference forms; the
+    * general relational [[tokens]] (search/BPE/quality keys and their
+    * SQL oracles) is deliberately untouched. */
+  def sketchTokens(c: Column): Column =
+    filter(
+      split(
+        regexp_replace(lower(c), s"([$CjkClass])", " $1 "),
+        s"[^a-z0-9$CjkClass]+"),
+      t => t =!= "")
+
   /** per-row word-shingle array over a token-array column `w` */
   private def shingleExpr(shingleSize: Int): String =
     s"transform(sequence(1, size(w) - ${shingleSize - 1}), " +
@@ -148,7 +169,7 @@ object Dedup {
   def minhashSignaturesComposed(
       df: DataFrame, idCol: String, textCol: String,
       nHashes: Int = 16, shingleSize: Int = 3): DataFrame = {
-    val corpus = df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("w"))
+    val corpus = df.select(col(idCol).as("doc_id"), sketchTokens(col(textCol)).as("w"))
       .filter(size(col("w")) >= shingleSize)
     val shingled = corpus.select(
       col("doc_id"),
@@ -245,16 +266,24 @@ object Dedup {
 
   /** Composed-builtin reference form of [[winnowFingerprints]] (what the
     * kernel must agree with bit-for-bit — NativeExprSpec pins it).
-    * O(tokens³) interpreted lambda evaluation per row: parity testing
-    * only, never a hot path. */
+    * Parity testing only, never a hot path. The localCheckpoint
+    * barriers exist because Catalyst's projection collapse inlines each
+    * withColumn into the next HOF's lambda, re-evaluating it PER
+    * ELEMENT ACCESS — without them the interpreted tokenizer (now
+    * carrying the CJK regexp) re-runs O(tokens²) times per document and
+    * the reference form stops terminating in test time. Materializing
+    * after each stage restores O(tokens·w) evaluation without touching
+    * the values the kernel is compared against. */
   def winnowFingerprintsComposed(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, w: Int = 4): DataFrame =
-    df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+    df.select(col(idCol).as("doc_id"), sketchTokens(col(textCol)).as("toks"))
+      .localCheckpoint()
       .withColumn("hs", expr(
         s"IF(size(toks) >= $k, transform(sequence(1, size(toks) - ${k - 1}), " +
           s"i -> xxhash64(concat_ws(' ', ${(0 until k).map(j => s"toks[i-1+$j]").mkString(", ")}))), " +
           "CAST(array() AS array<bigint>))"))
+      .localCheckpoint()
       .withColumn("fps", expr(
         // the empty guard matters: sequence(1, 0) would run DESCENDING
         s"IF(size(hs) = 0, CAST(array() AS array<bigint>), " +
@@ -348,7 +377,7 @@ object Dedup {
     * is what the queries/pipelines use. */
   def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val exploded = df.select(col(idCol).as("doc_id"),
-      explode(tokens(col(textCol))).as("tok"))
+      explode(sketchTokens(col(textCol))).as("tok"))
       .withColumn("h", xxhash64(col("tok")))
     val bitSums = (0 until 64).map(b =>
       sum(when(expr(s"(h >> $b) & 1") === 1, 1).otherwise(-1)).as(s"s$b"))

@@ -241,7 +241,10 @@ object Llm extends QueryModule {
       val corpus = Tables.t(s, d, "documents").unionByName(nearDup)
       val pairs = graft.ops.Dedup.minhashCandidates(corpus, "doc_id", "text",
         nHashes = 16, bands = 4, shingleSize = 3)
-      val toks = tokens(col("text"))
+      // the exact leg must replay the KERNEL's tokenization (sketchTokens
+      // = tokens + per-char CJK), or a CJK pair's "exact" Jaccard would
+      // measure a different shingle set than the signature estimates
+      val toks = graft.ops.Dedup.sketchTokens(col("text"))
       val shingles = array_distinct(transform(
         sequence(lit(1), size(toks) - 2),
         i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),

@@ -419,6 +419,46 @@ class NativeExprSpec extends SparkSpec {
       "kernel and composed winnow fingerprint sets differ")
   }
 
+  test("CJK parity: fused kernels == composed sketchTokens forms on a mixed-script corpus") {
+    GraftFunctions.register(spark)
+    // the kernel's byte-level CJK arm and the relational sketchTokens
+    // twin must agree bit-for-bit on every script mix — pure CJK, mixed
+    // CJK+Latin, kana, Hangul, and plain Latin
+    val docs = Seq(
+      (1L, "機械学習のモデルを訓練するためのデータセット"),
+      (2L, "mixed 漢字 and latin tokens 深層学習 2024"),
+      (3L, "한국어 문서 중복 제거 테스트"),
+      (4L, "plain latin text with no cjk at all"),
+      (5L, "ひらがなとカタカナのテキスト")
+    ).toDF("doc_id", "text")
+    val mhNative = docs
+      .select(col("doc_id"), ops.Dedup.sketchTokens(col("text")).as("w"))
+      .filter(size(col("w")) >= 3)
+      .selectExpr("doc_id",
+        "minhash_sig(transform(sequence(1, size(w) - 2), " +
+          "i -> concat_ws(' ', w[i-1], w[i], w[i+1])), 16) AS sig")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val mhFused = docs.selectExpr("doc_id", "minhash_sig_text(text, 16, 3) AS sig")
+      .filter(col("sig").isNotNull)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(mhFused == mhNative, s"minhash CJK divergence:\nfused $mhFused\narray $mhNative")
+    val mhComposed = ops.Dedup.minhashSignaturesComposed(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(mhComposed == mhFused, s"composed/fused CJK divergence")
+    val wnNative = ops.Dedup.winnowFingerprints(docs, "doc_id", "text", k = 3, w = 4)
+    val wnComposed = ops.Dedup.winnowFingerprintsComposed(docs, "doc_id", "text", k = 3, w = 4)
+    assert(wnNative.exceptAll(wnComposed).isEmpty && wnComposed.exceptAll(wnNative).isEmpty,
+      "winnow CJK divergence between kernel and composed")
+    val shNative = ops.Dedup.simhash64Native(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val shComposed = ops.Dedup.simhash64(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(shNative == shComposed, s"simhash CJK divergence: $shNative vs $shComposed")
+    // a pure-CJK doc must actually produce tokens (the Latin-only rule
+    // reduced it to zero and skipped it)
+    assert(mhFused.contains(1L) && mhFused.contains(3L) && mhFused.contains(5L))
+  }
+
   test("winnow_fps_text edge semantics: short docs, truncated window, nulls") {
     GraftFunctions.register(spark)
     val rows = Seq(

@@ -108,6 +108,59 @@ class OperatorPropertiesSpec extends SparkSpec {
       s"recovered ${recovered.size}/${planted.size}")
   }
 
+  test("CJK dedup tokenization: planted CJK twins collide in minhash AND winnow candidates; Latin signatures byte-unchanged") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // unsegmented text: no spaces, no ASCII — under the Latin-only rule
+    // these docs tokenize to NOTHING and near-dedup silently skips them;
+    // per-char tokens turn word-3-shingles into char-3-grams
+    def han(seed: Int, n: Int): String =
+      (0 until n).map(i => (0x4e00 + ((seed * 131 + i * 13) % 2000)).toChar).mkString
+    val base = han(1, 80)
+    val twin = base.substring(0, 40) + "改" + base.substring(41) // one-char edit
+    val other = han(9, 80)
+    val docs = Seq(
+      (1L, base), (2L, twin), (3L, other),
+      (4L, "an unrelated latin document with several plain english words")
+    ).toDF("doc_id", "text")
+    val mh = graft.ops.Dedup.minhashCandidates(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mh.contains((1L, 2L)), s"CJK twin pair missing from minhash candidates: $mh")
+    val wn = graft.ops.Dedup.winnowCandidates(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(wn.contains((1L, 2L)), s"CJK twin pair missing from winnow candidates: $wn")
+    // the unrelated CJK doc must not pair with the twins in winnowing
+    // (winnow fingerprints are exact shared-shingle evidence)
+    assert(!wn.contains((1L, 3L)) && !wn.contains((2L, 3L)),
+      s"unrelated CJK doc paired: $wn")
+    // simhash: the twins are close in Hamming distance, the stranger far
+    val sh = docs.filter(col("doc_id") <= 3)
+      .selectExpr("doc_id", "simhash64_text(text) AS s")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(1L), sh(2L)) <= 8, s"twin simhash distance ${ham(sh(1L), sh(2L))}")
+    assert(ham(sh(1L), sh(3L)) > 12, s"stranger simhash distance ${ham(sh(1L), sh(3L))}")
+
+    // LATIN GOLDENS: the CJK arm must leave pure-Latin signatures
+    // byte-identical to the pre-CJK kernels (captured r15, before the
+    // TokenAlg change landed) — the whole corpus's stored sketches stay
+    // valid across the upgrade
+    val s = "The Quick brown fox-jumps over 2 lazy dogs, 42 times! quick brown fox again."
+    val g = Seq(s).toDF("text").selectExpr(
+      "minhash_sig_text(text, 16, 3) AS mh",
+      "winnow_fps_text(text, 3, 4) AS wf",
+      "simhash64_text(text) AS sh").head()
+    assert(g.getSeq[Long](0) == Seq(-9213327934255662574L, -7489657284875650352L,
+      -9092747249416386855L, -7667229316808148878L, -8554148688878529044L,
+      -9190863898320566651L, -8502869757821798861L, -6801764170861783050L,
+      -8961140093432188753L, -8373399340422865643L, -8547138353482891199L,
+      -7256371554161643759L, -8849902322149840065L, -5828306065544254788L,
+      -7858350852037593492L, -2389336141369753230L), g.getSeq[Long](0).toString)
+    assert(g.getSeq[Long](1) == Seq(345504233276632630L, -4274353001565259909L,
+      -5230607506890700381L), g.getSeq[Long](1).toString)
+    assert(g.getLong(2) == -6996861889526390540L, g.getLong(2).toString)
+  }
+
   test("dedup_incremental_minhash: stored-index probe == full-batch cross pairs, index side exchange-free") {
     // the incremental probe must find EXACTLY the corpus×new-batch pairs
     // the full-batch self-join would (the stored index changes where
