@@ -331,6 +331,60 @@ class SkewSpec extends SparkSpec {
       f"celebrity pagerank $ts%.1fs vs uniform $tu%.1fs")
   }
 
+  test("sharded HNSW under cluster skew: wall-clock near the uniform twin, recall holds") {
+    // the ANN skew shape: half the corpus collapses into ONE tight
+    // cluster (near-duplicate embeddings — the crawl reality of
+    // boilerplate pages), the rest spreads over 7 more. Shards are
+    // vec_id-hashed so each shard INHERITS the cluster skew; the risk
+    // is graph-build blowup (neighbor lists churning inside the hot
+    // cluster) and recall collapse for queries outside it. Pin both
+    // against a uniform twin of the same volume.
+    val n = 40000L
+    val dim = 16
+    def corpusWithCl(clustered: Boolean): DataFrame = {
+      val cl =
+        if (clustered)
+          when(col("id") % 2 === 0, lit(0)).otherwise(pmod(col("id"), lit(7)) + 1)
+        else pmod(hash(col("id")), lit(997))
+      spark.range(n)
+        .select(col("id").as("vec_id"), cl.cast("double").as("_cl"))
+        .select(col("vec_id"),
+          expr(
+            s"""transform(sequence(0, ${dim - 1}), i ->
+               |  CASE WHEN i = 0 THEN cos(0.5D * _cl)
+               |       WHEN i = 1 THEN sin(0.5D * _cl) ELSE 0D END
+               |  + (pmod(hash(vec_id, i), 1000) / 1000D - 0.5D) * 0.3D)"""
+              .stripMargin).as("ed"))
+    }
+    // queries: one in the HOT cluster's direction, one in a cold one
+    def qv(c: Double): Array[Double] =
+      Array.tabulate(dim)(i =>
+        if (i == 0) math.cos(0.5 * c) else if (i == 1) math.sin(0.5 * c) else 0.001)
+    val (skew, uni) = (corpusWithCl(clustered = true), corpusWithCl(clustered = false))
+    val (_, tu) = time(graft.ops.Hnsw.topK(uni, qv(0.0), k = 10).collect())
+    val (hotTop, ts) = time(graft.ops.Hnsw.topK(skew, qv(0.0), k = 10).collect())
+    assert(ts <= math.max(4 * tu, tu + 20.0),
+      f"clustered HNSW $ts%.1fs vs uniform $tu%.1fs — graph build blew up under cluster skew")
+    // recall vs brute force, hot AND cold cluster queries (the cold one
+    // is where intra-cluster edge monopolies would strand the walk)
+    val rows = skew.collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def brute(q: Array[Double]): Set[Long] = {
+      def cos(a: Array[Double], b: Array[Double]): Double = {
+        var s = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) { s += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+        s / math.sqrt(na * nb)
+      }
+      rows.map { case (id, v) => (cos(q, v), id) }
+        .sortBy(t => (-t._1, t._2)).take(10).map(_._2).toSet
+    }
+    val hotRecall = (hotTop.map(_.getLong(0)).toSet & brute(qv(0.0))).size / 10.0
+    val coldTop = graft.ops.Hnsw.topK(skew, qv(2.5), k = 10)
+      .collect().map(_.getLong(0)).toSet
+    val coldRecall = (coldTop & brute(qv(2.5))).size / 10.0
+    assert(hotRecall >= 0.8, f"hot-cluster recall $hotRecall%.1f under skew")
+    assert(coldRecall >= 0.7, f"cold-cluster recall $coldRecall%.1f under skew")
+  }
+
   // ------------------------------------------------ growth-exponent pins
 
   /** least-squares log-log slope of wall-clock vs volume over a ladder —
