@@ -140,7 +140,11 @@ object Plans {
     "sim_ann_hnsw_append" -> "stored rows cogroup with the batch's shard slice (both sides exchange once on shard); reconstruction + insert run per group, the updated adjacency streams out — no rebuild of unchanged shards' vectors",
     "sink_warc_segmented" -> "the write is sink_warc_write's plan (one shard shuffle, streaming members); segmentation is per-record rendering inside the task; the read-back adds scanSegments' single origin-key exchange over segment rows only",
     "stream_hnsw_ingest" -> "per micro-batch: one shard cogroup folds the batch into the previous version's adjacency; the serve is topKStored over the newest version — index growth never re-shuffles previous batches' vectors",
-    "obs_lsh_calibration" -> "ONE narrow per-doc projection (signature kernel + shingle HOF) feeds the candidate join twice; per-pair est/exact/err is map-side array math — the report costs the candidate set, never all pairs")
+    "obs_lsh_calibration" -> "ONE narrow per-doc projection (signature kernel + shingle HOF) feeds the candidate join twice; per-pair est/exact/err is map-side array math — the report costs the candidate set, never all pairs",
+    "sim_ann_hnsw_takedown" -> "takedown = one shard-grouped pass over the v1 adjacency⋈vectors relation (reconstruct, drop, bounded bridge repair) streamed to the next version dir; both serves are the standard scatter-gather — unchanged shards' rows pass through verbatim",
+    "stream_revisit_resolve" -> "the interval stream-stream join batch-run: one digest equi-join with the time bound as a join-side predicate (no post-filter of a wider join), both legs pruned to their record_type before the exchange",
+    "mm_webp_meta" -> "RIFF walk is one narrow mapPartitions pass — no joins or aggregates before the output sort, the mm_* decoder plan class",
+    "obs_ann_recall" -> "the query sample is TakeOrderedAndProject (fixed-k bottom-k by hash, never a corpus fraction); the exact leg broadcasts those k rows against one corpus pass; hits merge via left-semi on (qid, vec_id)")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse(
