@@ -424,16 +424,28 @@ object CdxServer {
     * takes. Rules appear in file order; [[fuzzyMatchRules]] resolves
     * overlaps longest-prefix-first regardless of order. */
   def parseRulesYaml(text: String): Seq[FuzzyRule] = {
-    // strip comments/blank lines, keep (indent, content)
-    val lines = text.split("\n", -1).toIndexedSeq
-      .map { l =>
-        val noComment =
-          // a '#' inside quotes stays; rule files only comment full
-          // lines or after whitespace, so cut at " #" or line-start '#'
-          if (l.trim.startsWith("#")) ""
-          else l.replaceAll("\\s#.*$", "")
-        noComment
+    // strip comments/blank lines, keep (indent, content). A comment
+    // starts at a whitespace-preceded '#' OUTSIDE quotes — a '#' inside
+    // a quoted scalar (e.g. a regex character class `[0-9 #]`) is
+    // content, and a naive `\s#.*$` cut would truncate the pattern into
+    // one that fails only at query time
+    def stripComment(l: String): String = {
+      var i = 0
+      var quote: Char = 0
+      while (i < l.length) {
+        val c = l(i)
+        if (quote != 0) { if (c == quote) quote = 0 }
+        else c match {
+          case '\'' | '"' => quote = c
+          case '#' if i == 0 || l(i - 1).isWhitespace => return l.substring(0, i)
+          case _ =>
+        }
+        i += 1
       }
+      l
+    }
+    val lines = text.split("\n", -1).toIndexedSeq
+      .map(stripComment)
       .filter(_.trim.nonEmpty)
       .map(l => (l.indexWhere(!_.isWhitespace), l.trim))
     def unquote(s: String): String = {
@@ -522,12 +534,37 @@ object CdxServer {
     * its regex source is anchored at a literal '?' (`\?` or `[?]`), so
     * every match starts at a '?' position — in a SURT urlkey always at
     * or after the first '?', the query boundary — and the path prefix
-    * of every governed key survives canonicalization. The decidable
-    * conservative test [[CdxServer.fuzzyMatchRules]] uses to pick
-    * base-prefix vs rule-prefix probe pruning; anything else (an `&`- or
-    * path-text-anchored pattern) is treated as path-capable. */
-  def queryOnlyPattern(rule: FuzzyRule): Boolean =
-    rule.pattern.startsWith("\\?") || rule.pattern.startsWith("[?]")
+    * of every governed key survives canonicalization. The anchor is
+    * binding only when the pattern has NO top-level alternation: in
+    * `\?.*|;sess\d+` the second branch matches path text anywhere, so
+    * such a pattern is treated as path-capable (degraded pruning)
+    * despite its leading `\?`. The decidable conservative test
+    * [[CdxServer.fuzzyMatchRules]] uses to pick base-prefix vs
+    * rule-prefix probe pruning; anything unproven is treated as
+    * path-capable — degraded pruning is always correct, a missed
+    * capture never is. */
+  def queryOnlyPattern(rule: FuzzyRule): Boolean = {
+    val p = rule.pattern
+    def topLevelAlternation: Boolean = {
+      var depth = 0
+      var inClass = false
+      var i = 0
+      while (i < p.length) {
+        p(i) match {
+          case '\\' => i += 1 // escaped char: not structural
+          case '[' if !inClass => inClass = true
+          case ']' if inClass => inClass = false
+          case '(' if !inClass => depth += 1
+          case ')' if !inClass => depth -= 1
+          case '|' if !inClass && depth == 0 => return true
+          case _ =>
+        }
+        i += 1
+      }
+      false
+    }
+    (p.startsWith("\\?") || p.startsWith("[?]")) && !topLevelAlternation
+  }
 
   /** The canonicalizing column: each key is rewritten by its
     * LONGEST-matching-prefix rule; keys no rule covers pass through

@@ -351,22 +351,30 @@ object Hnsw {
 
   /** Drain one shard's [[sharded]] rows into (id, vector) items. The
     * wholesale-dim-mismatch diagnostic runs HERE, inside the task at
-    * execution time: a shard that saw rows but not one valid vector,
-    * where every malformed row agrees on a single length != dim, is the
-    * signature of a caller-dim mismatch (a truncated-dot cosine would be
-    * silently wrong) — fail loudly. Rows malformed for mixed reasons
-    * (null slots, ragged lengths) stay tolerated: the shard just
-    * contributes nothing, the ivfpq null-cid policy. */
+    * execution time: a shard that saw rows, has not one valid vector,
+    * and where NOT ONE row even has the caller's length (regardless of
+    * how ragged the rest are) is the signature of a caller-dim mismatch
+    * (a truncated-dot cosine would be silently wrong) — fail loudly.
+    * A row of the right length whose slots are null is "generally
+    * malformed": tolerated, the shard just contributes nothing (the
+    * ivfpq null-cid policy). Residual one-sided error, accepted and
+    * documented: in a mixed-dim corpus where EVERY dim-matching row
+    * happens to hash away from one shard, that shard fails loudly
+    * where a dataset-wide probe would have passed — with vec_id-hash
+    * sharding that requires an adversarial id/dim correlation, and
+    * loud-on-ambiguity beats the old probe's two hidden driver jobs
+    * per query. */
   private def validItems(
       rows: Array[ShardRow], dim: Int): Array[(Long, Array[Double])] = {
     val valid = rows.collect { case (_, id, ed, _) if ed != null => (id, ed) }
     if (valid.isEmpty && rows.nonEmpty) {
-      val szs = rows.flatMap(_._4).distinct
-      if (szs.length == 1 && szs(0) != dim)
+      val szs = rows.flatMap(_._4).distinct.sorted
+      if (!szs.contains(dim))
         throw new IllegalArgumentException(
-          s"no corpus vector matches the caller's dim=$dim " +
-            s"(corpus dim=${szs(0)}; a truncated-dot cosine would be " +
-            "silently wrong)")
+          s"no corpus vector matches the caller's dim=$dim (observed " +
+            s"dims: ${szs.take(5).mkString(", ")}" +
+            s"${if (szs.length > 5) ", …" else ""}; a truncated-dot " +
+            "cosine would be silently wrong)")
     }
     valid
   }

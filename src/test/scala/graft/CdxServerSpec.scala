@@ -317,6 +317,17 @@ class CdxServerSpec extends SparkSpec {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get("/tmp/graft_test"))
     java.nio.file.Files.writeString(java.nio.file.Paths.get(p), yaml)
     assert(CdxServer.loadRulesYaml(spark, p) == rules)
+    // a '#' INSIDE a quoted pattern is content, not a comment — a naive
+    // whitespace-# cut would truncate the regex into one that fails only
+    // at query time; a trailing comment outside the quotes still strips
+    val hashRules = CdxServer.parseRulesYaml(
+      """rules:
+        |  - url_prefix: 'com,x)'   # trailing comment strips
+        |    fuzzy_lookup: '\?q=[0-9 #]+'  # comment after quoted value
+        |""".stripMargin)
+    assert(hashRules == Seq(CdxServer.FuzzyRule("com,x)", "\\?q=[0-9 #]+", "")),
+      hashRules.toString)
+
     // malformed inputs fail loudly, not with a silent empty table
     intercept[IllegalArgumentException] { CdxServer.parseRulesYaml("no rules here") }
     intercept[IllegalArgumentException] {
@@ -343,7 +354,10 @@ class CdxServerSpec extends SparkSpec {
       """com,video)/watch?t=1&v=zzz 20200106000000 {"url":"http://video.com/watch?v=zzz&t=1"}""",
       // bare + tracking-param captures (catch-all drop-query)
       """org,blog)/post/1 20200107000000 {"url":"http://blog.org/post/1"}""",
-      """org,blog)/post/1?utm=x 20200108000000 {"url":"http://blog.org/post/1?utm=x"}""")
+      """org,blog)/post/1?utm=x 20200108000000 {"url":"http://blog.org/post/1?utm=x"}""",
+      // path-suffixed session-id capture: only reachable by a rule whose
+      // pattern can rewrite PATH text (the alternation-soundness arm)
+      """org,blog)/post/1;sess7 20200109000000 {"url":"http://blog.org/post/1;sess7"}""")
     graft.formats.ZipNum.write(lines.toDF("line"), fdir, shards = 1, linesPerBlock = 2)
     val srv = new CdxServer(spark, fdir)
     val rules = Seq(
@@ -394,5 +408,29 @@ class CdxServerSpec extends SparkSpec {
     val ampRules = Seq(CdxServer.FuzzyRule("org,blog)", "/amp/", "/"))
     val amp = keys(srv.fuzzyMatchRules("org,blog)/amp/post/1", ampRules))
     assert(amp == Seq(("org,blog)/post/1", true)), amp.toString)
+
+    // a '?'-LEADING pattern with TOP-LEVEL ALTERNATION is NOT
+    // query-only: the other branch rewrites path text, so a query whose
+    // own path is already canonical must still probe the rule's prefix
+    // — base pruning would miss the path-variant capture the same rule
+    // rewrites INTO the canonical form. utm=x strips via the first
+    // branch; the planted bare capture resolves; and with a ';sess'
+    // branch a path-suffixed capture must also be found.
+    val altRule = Seq(CdxServer.FuzzyRule("org,blog)", "\\?.*|;sess\\d+", ""))
+    assert(!CdxServer.queryOnlyPattern(altRule.head),
+      "top-level alternation must disqualify query-only pruning")
+    assert(CdxServer.queryOnlyPattern(
+      CdxServer.FuzzyRule("", "\\?a=(\\d+|\\w+)", "")),
+      "alternation INSIDE a group after the anchor stays query-only")
+    // the query's own path is ALREADY canonical (no ';sess'), yet the
+    // ';sess7' capture — whose key the same rule rewrites INTO the
+    // canonical form from a different path — must be found: exactly the
+    // capture base-prefix pruning would have missed under the naive
+    // "starts with \?" test
+    val altHit = keys(srv.fuzzyMatchRules("org,blog)/post/1?utm=zz", altRule))
+    assert(altHit == Seq(
+      ("org,blog)/post/1", true),
+      ("org,blog)/post/1;sess7", true),
+      ("org,blog)/post/1?utm=x", true)), altHit.toString)
   }
 }

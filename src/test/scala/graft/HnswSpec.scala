@@ -294,6 +294,21 @@ class HnswSpec extends SparkSpec {
     val chain1 = Iterator.iterate[Throwable](ex1)(_.getCause)
       .takeWhile(_ != null).map(String.valueOf).mkString("; ")
     assert(chain1.contains("dim"), chain1)
+    // RAGGED wholesale mismatch: a corpus of mixed wrong lengths (none
+    // matching the caller) must still fail loudly — not return an empty
+    // top-k because the sizes disagree with each other
+    val ragged = (0L until 64L).map(i =>
+      (i, Array.fill(if (i % 5 == 0) 7 else 32)(0.5))).toDF("vec_id", "ed")
+    val exR = intercept[Exception] { Hnsw.topK(ragged, shortQ).collect() }
+    val chainR = Iterator.iterate[Throwable](exR)(_.getCause)
+      .takeWhile(_ != null).map(String.valueOf).mkString("; ")
+    assert(chainR.contains("dim"), chainR)
+    // right-LENGTH rows whose slots are null are generally malformed,
+    // not a dim mismatch: tolerated, the result is just empty
+    val nullSlots = (0L until 16L)
+      .map(i => (i, Array.fill(10)(null.asInstanceOf[java.lang.Double])))
+      .toDF("vec_id", "ed")
+    assert(Hnsw.topK(nullSlots, shortQ).collect().isEmpty)
     val g = Hnsw.build(e.limit(50).as[(Long, Array[Double])].collect())
     val ex2 = intercept[IllegalArgumentException] { Hnsw.search(g, shortQ) }
     assert(ex2.getMessage.contains("dim"), ex2.getMessage)
