@@ -332,6 +332,91 @@ object Hnsw {
     found.take(k).map(c => (g.ids(c.idx), 1.0 - c.dist))
   }
 
+  /** FILTERED-walk beam search of one layer (the filtered-HNSW /
+    * filtered-DiskANN traversal rule, public): the result heap admits
+    * only nodes passing `admit`, but the FRONTIER traverses everything —
+    * non-matching nodes are stepping stones, and a pre-filtered graph
+    * (drop-then-walk) would disconnect under selective predicates. The
+    * frontier-entry bound stays distance-vs-worst-ADMITTED-result, so
+    * exploration widens exactly when admitted results are scarce;
+    * worst case (selectivity → 0) the walk visits the component — the
+    * documented floor every filtered-ANN scheme shares. `admit` TRUE for
+    * every node reproduces [[searchLayer]]'s result bit-for-bit. */
+  private def searchLayerFiltered(
+      distTo: Int => Double,
+      adjAt: Int => Array[Int],
+      eps: Seq[Int], ef: Int, visited: java.util.BitSet,
+      admit: Int => Boolean): Array[Cand] = {
+    val cand = new java.util.PriorityQueue[Cand](candOrd)
+    val res = new java.util.PriorityQueue[Cand](candOrd.reverse)
+    visited.clear()
+    eps.foreach { ep =>
+      if (!visited.get(ep)) {
+        visited.set(ep)
+        val c = Cand(distTo(ep), ep)
+        cand.add(c)
+        if (admit(ep)) { res.add(c); if (res.size > ef) res.poll() }
+      }
+    }
+    var done = false
+    while (!done && !cand.isEmpty) {
+      val c = cand.poll()
+      if (res.size >= ef && candOrd.gt(c, res.peek())) done = true
+      else {
+        val nbs = adjAt(c.idx)
+        var i = 0
+        while (i < nbs.length) {
+          val nb = nbs(i)
+          if (!visited.get(nb)) {
+            visited.set(nb)
+            val d = Cand(distTo(nb), nb)
+            if (res.size < ef || candOrd.lt(d, res.peek())) {
+              cand.add(d)
+              if (admit(nb)) { res.add(d); if (res.size > ef) res.poll() }
+            }
+          }
+          i += 1
+        }
+      }
+    }
+    val out = new Array[Cand](res.size)
+    var i = out.length - 1
+    while (i >= 0) { out(i) = res.poll(); i -= 1 }
+    out
+  }
+
+  /** [[search]] under a metadata predicate on the EXTERNAL vec_id: the
+    * greedy descent routes unfiltered (routing needs the whole graph),
+    * the level-0 beam admits only matching nodes into the result set
+    * while traversing through the rest ([[searchLayerFiltered]]).
+    * `admit` always-true equals [[search]] exactly. */
+  def searchFiltered(
+      g: Graph, q: Array[Double], admit: Long => Boolean,
+      ef: Int = 32, k: Int = 10): Array[(Long, Double)] = {
+    if (g.size == 0) return Array.empty
+    require(q.length == g.vecs(0).length,
+      s"query dim ${q.length} != index dim ${g.vecs(0).length}")
+    val qn = norm(q)
+    def distTo(i: Int): Double = {
+      val d = g.norms(i) * qn
+      if (d == 0.0) 1.0 else 1.0 - dot(g.vecs(i), q) / d
+    }
+    val visited = new java.util.BitSet(g.size)
+    var ep = g.entry
+    var lev = g.maxLevel
+    while (lev > 0) {
+      val l = lev
+      val got = searchLayer(distTo,
+        i => if (l <= g.levels(i)) g.adj(i)(l) else Array.emptyIntArray,
+        Seq(ep), ef = 1, visited)
+      if (got.nonEmpty) ep = got(0).idx
+      lev -= 1
+    }
+    val found = searchLayerFiltered(distTo, i => g.adj(i)(0),
+      Seq(ep), math.max(ef, k), visited, i => admit(g.ids(i)))
+    found.take(k).map(c => (g.ids(c.idx), 1.0 - c.dist))
+  }
+
   /** Per-shard row projection shared by every entry point: (shard,
     * vec_id, ed, sz). A malformed vector (wrong length, null slot) keeps
     * its row but drops its array — `ed` nulls out and only `sz` (the raw
@@ -395,6 +480,50 @@ object Hnsw {
       .flatMapGroups { (shard, it) =>
         val g = build(validItems(it.toArray, dim), m, efC, seed + shard)
         search(g, q, efS, k).iterator
+      }
+    perShard.toDF("vec_id", "cos")
+      .select(col("vec_id"), round(col("cos"), 6).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** FILTERED scatter-gather top-k: [[topK]] under a metadata predicate.
+    * `e` is (vec_id, ed, allowed: boolean) — the caller computes the
+    * predicate as a COLUMN on the vector relation (a lang/license/date
+    * gate joined or projected upstream), so at 100 TB the filter is
+    * Catalyst-planned like any other and only a 1-bit flag rides the
+    * shard shuffle. Each shard builds its graph over the FULL slice
+    * (matching and not — a pre-filtered build disconnects under
+    * selective predicates) and walks it filtered: non-matching nodes
+    * route, only matching ones surface ([[searchFiltered]]). A
+    * null-allowed row is treated as NOT matching. The global merge is
+    * unchanged. Selectivity note: recall at fixed ef degrades as the
+    * predicate sharpens (the walk must tunnel through non-matching
+    * regions) — callers raise efS with 1/selectivity, the knob every
+    * filtered-ANN deployment exposes. */
+  def topKFiltered(
+      e: DataFrame, q: Array[Double], k: Int = 10, nShards: Int = 8,
+      m: Int = 8, efC: Int = 64, efS: Int = 32,
+      seed: Long = 20260816L): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val dim = q.length
+    val rows = e.select(
+      pmod(col("vec_id"), lit(nShards.toLong)).cast("int").as("shard"),
+      col("vec_id"),
+      when(size(col("ed")) === dim && !expr("exists(ed, x -> x IS NULL)"),
+        col("ed")).as("ed"),
+      size(col("ed")).as("sz"),
+      coalesce(col("allowed"), lit(false)).as("allowed"))
+      .as[(Int, Long, Array[Double], Option[Int], Boolean)]
+    val perShard = rows.groupByKey(_._1)
+      .flatMapGroups { (shard, it) =>
+        val all = it.toArray
+        val items = validItems(all.map(t => (t._1, t._2, t._3, t._4)), dim)
+        val ok = new java.util.HashSet[java.lang.Long]()
+        all.foreach(t => if (t._5 && t._3 != null) ok.add(t._2))
+        val g = build(items, m, efC, seed + shard)
+        searchFiltered(g, q, id => ok.contains(id), efS, k).iterator
       }
     perShard.toDF("vec_id", "cos")
       .select(col("vec_id"), round(col("cos"), 6).as("cos"))

@@ -535,6 +535,26 @@ object Similarity extends QueryModule {
       graft.ops.Hnsw.batchTopK(e, queries)
     }),
 
+    // FILTERED ANN — the production vector-search reality (top-k among
+    // docs passing a metadata predicate: language, license, date): the
+    // predicate is a plain COLUMN on the vector relation (Catalyst
+    // plans it like any filter; only a 1-bit flag rides the shard
+    // shuffle), each shard's graph builds over its FULL slice and walks
+    // FILTERED — non-matching nodes route the walk, only matching ones
+    // surface (the filtered-HNSW traversal rule; a pre-filtered build
+    // would disconnect under selective predicates). The fixture
+    // predicate vec_id % 3 == 1 excludes the query's own self-hit, so
+    // the filter is visibly load-bearing. efS rises with 1/selectivity
+    // (64 here for the 1/3 gate). Oracle-exempt like the graph-ANN
+    // family; HnswSpec pins predicate-purity, recall vs the filtered
+    // brute force, and admit-all == plain topK bit-for-bit.
+    "sim_ann_hnsw_filtered" -> ((s, d) => {
+      val e = emb(s, d).select(col("vec_id"), col("ed"))
+      val q = e.filter(col("vec_id") === 0L).select("ed").head().getSeq[Double](0).toArray
+      graft.ops.Hnsw.topKFiltered(
+        e.withColumn("allowed", col("vec_id") % 3 === 1), q, efS = 64)
+    }),
+
     // TAKEDOWN from the stored HNSW adjacency — the vector-index side of
     // the zipnum_takedown_merge obligation (a legal takedown must leave
     // the SERVING index, not just the source table): the v1 serve's #2

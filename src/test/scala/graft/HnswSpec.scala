@@ -217,6 +217,38 @@ class HnswSpec extends SparkSpec {
     recalls.foreach(r => assert(r >= 0.7, s"a cluster's recall collapsed: $recalls"))
   }
 
+  test("sim_ann_hnsw_filtered: predicate purity, recall vs filtered brute force, admit-all == topK") {
+    import graft.functions.GraftFunctions
+    GraftFunctions.register(spark)
+    val e = base
+    val q = queryVec
+    // predicate purity + the self-hit excluded by construction
+    val got = SparkEntry.queries("sim_ann_hnsw_filtered")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.length == 10)
+    assert(got.forall(_._1 % 3 == 1), s"non-matching id surfaced: ${got.toSeq}")
+    assert(!got.exists(_._1 == 0L), "the filtered-out self-hit surfaced")
+    // recall vs the brute-force top-10 OVER THE MATCHING SUBSET
+    val brute = e.filter(col("vec_id") % 3 === 1)
+      .withColumn("cos", call_udf("cosine_sim", col("ed"), typedLit(q.toSeq)))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(10).select("vec_id").as[Long].collect().toSet
+    val recall = (got.map(_._1).toSet & brute).size
+    assert(recall >= 8, s"filtered recall@10 $recall/10 below 0.8")
+    // an always-true predicate must reproduce the unfiltered search
+    // bit-for-bit (same walk, same admission, same merge)
+    val allTrue = Hnsw.topKFiltered(e.withColumn("allowed", lit(true)), q)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val plain = Hnsw.topK(e, q)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(allTrue == plain, s"admit-all $allTrue != plain $plain")
+    // null flags mean NOT matching, never a crash
+    val nullFlag = Hnsw.topKFiltered(
+      e.withColumn("allowed", when(col("vec_id") % 3 === 1, lit(true))), q)
+      .collect().map(_.getLong(0))
+    assert(nullFlag.forall(_ % 3 == 1))
+  }
+
   test("takedown: removeStored drops the ids everywhere, bridges the holes, repair is bounded") {
     val e = plantedCorpus
     val q = queryVec
