@@ -634,6 +634,71 @@ object Hnsw {
       .limit(k)
   }
 
+  /** [[topKStored]] under a metadata predicate: the serving-side form of
+    * [[topKFiltered]] — the index is already on disk, the predicate is a
+    * boolean `allowed` column on the VECTORS relation (where metadata
+    * lives; the adjacency stays predicate-free, one index serving every
+    * filter), and each shard reconstructs verbatim then walks filtered.
+    * Bit-equal to the in-memory filtered search (HnswSpec pins it). */
+  def topKStoredFiltered(
+      adjacencyDf: DataFrame, vectors: DataFrame, q: Array[Double],
+      k: Int = 10, efS: Int = 32): DataFrame = {
+    val spark = adjacencyDf.sparkSession
+    import spark.implicits._
+    val joined = adjacencyDf
+      .join(vectors.select(col("vec_id"), col("ed"),
+        coalesce(col("allowed"), lit(false)).as("allowed")), "vec_id")
+      .select(col("shard").cast("int"), col("vec_id"), col("level").cast("int"),
+        col("neighbors"), col("ed"), col("allowed"))
+      .as[(Int, Long, Int, Array[Long], Array[Double], Boolean)]
+    val perShard = joined
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val rows = it.toArray
+        if (rows.isEmpty) Iterator.empty
+        else {
+          val ok = new java.util.HashSet[java.lang.Long]()
+          rows.foreach(r => if (r._6) ok.add(r._2))
+          val g = reconstruct(rows.map(r => (r._1, r._2, r._3, r._4, r._5)))
+          searchFiltered(g, q, id => ok.contains(id), efS, k).iterator
+        }
+      }
+    perShard.toDF("vec_id", "cos")
+      .select(col("vec_id"), round(col("cos"), 6).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Per-shard graph-index HEALTH report off the STORED adjacency — the
+    * structural audit an ANN deployment monitors next to its recall
+    * report ([[graft.queries.Similarity]]'s obs_ann_recall): node count,
+    * level histogram depth, entry id (smallest id at max level — the
+    * derivation the serve relies on), mean/max level-0 degree, and the
+    * count of level-0 SINKS (nodes with no outgoing level-0 edges —
+    * unreachable-in-reverse regions a takedown repair could tear). Pure
+    * relational aggregation over the (shard, vec_id, level, neighbors)
+    * relation — no reconstruction, no vectors read, so the audit runs on
+    * the index alone at any scale. */
+  def indexHealth(adjacencyDf: DataFrame): DataFrame = {
+    val level0 = adjacencyDf.filter(col("level") === 0)
+    val maxLvl = adjacencyDf.groupBy("shard", "vec_id")
+      .agg(max("level").as("node_level"))
+    val entries = maxLvl
+      .groupBy("shard").agg(max("node_level").as("max_level"))
+      .join(maxLvl, "shard")
+      .filter(col("node_level") === col("max_level"))
+      .groupBy("shard", "max_level").agg(min("vec_id").as("entry_id"))
+    level0.groupBy("shard").agg(
+      count(lit(1)).as("n_nodes"),
+      round(avg(size(col("neighbors"))), 4).as("mean_degree0"),
+      max(size(col("neighbors"))).as("max_degree0"),
+      sum(when(size(col("neighbors")) === 0, 1L).otherwise(0L)).as("sinks0"))
+      .join(entries, "shard")
+      .select(col("shard"), col("n_nodes"), col("max_level"), col("entry_id"),
+        col("mean_degree0"), col("max_degree0"), col("sinks0"))
+      .orderBy("shard")
+  }
+
   /** A query BATCH through the sharded graphs in ONE plan (the
     * ivfpq_batch shape — nobody serves one driver-planned query at a
     * time): every shard builds once and answers every query (the batch

@@ -555,6 +555,24 @@ object Similarity extends QueryModule {
         e.withColumn("allowed", col("vec_id") % 3 === 1), q, efS = 64)
     }),
 
+    // GRAPH-INDEX HEALTH — the structural audit an ANN deployment
+    // monitors next to its recall report (obs_ann_recall answers "is
+    // the index still accurate?"; this answers "is the index still
+    // WELL-FORMED?" — node counts per shard, level depth, the entry
+    // derivation, degree stats, level-0 sinks): one relational
+    // aggregation over the stored adjacency alone — no vectors read, no
+    // graph reconstruction, so the audit is index-sized at 100 TB.
+    // Oracle-exempt (the adjacency content is graph traversal);
+    // HnswSpec pins the report invariants against the graph's caps.
+    "obs_index_health" -> ((s, d) => {
+      val e = emb(s, d).select(col("vec_id"), col("ed"))
+      val q = e.filter(col("vec_id") === 0L).select("ed").head().getSeq[Double](0).toArray
+      val dir = tmp(d, "hnsw_health")
+      graft.ops.Hnsw.adjacency(e, dim = q.length)
+        .write.mode("overwrite").partitionBy("shard").parquet(dir)
+      graft.ops.Hnsw.indexHealth(s.read.parquet(dir))
+    }),
+
     // TAKEDOWN from the stored HNSW adjacency — the vector-index side of
     // the zipnum_takedown_merge obligation (a legal takedown must leave
     // the SERVING index, not just the source table): the v1 serve's #2

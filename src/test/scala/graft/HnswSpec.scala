@@ -249,6 +249,46 @@ class HnswSpec extends SparkSpec {
     assert(nullFlag.forall(_ % 3 == 1))
   }
 
+  test("stored filtered serve == in-memory filtered search, bit for bit") {
+    val e = plantedCorpus
+    val q = queryVec
+    val dir = "/tmp/graft_test/hnsw_filtered_stored"
+    Hnsw.adjacency(e, dim = q.length)
+      .write.mode("overwrite").partitionBy("shard").parquet(dir)
+    val withFlag = e.withColumn("allowed", col("vec_id") % 3 === 1)
+    val stored = Hnsw.topKStoredFiltered(spark.read.parquet(dir), withFlag, q)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val mem = Hnsw.topKFiltered(withFlag, q)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(stored == mem, s"stored-filtered $stored != in-memory-filtered $mem")
+    assert(stored.forall(_._1 % 3 == 1), stored.toString)
+  }
+
+  test("obs_index_health: report invariants hold against the graph's own caps") {
+    val rows = SparkEntry.queries("obs_index_health")(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 8, s"${rows.length} shard rows")
+    val nTotal = rows.map(_.getAs[Long]("n_nodes")).sum
+    assert(nTotal == base.count(), s"node total $nTotal != corpus size")
+    rows.foreach { r =>
+      assert(r.getAs[Int]("max_degree0") <= 16, r.toString) // 2M cap, M=8
+      assert(r.getAs[Double]("mean_degree0") > 0.0, r.toString)
+      assert(r.getAs[Long]("sinks0") == 0,
+        s"level-0 sink in a freshly built graph: $r")
+      assert(r.getAs[Int]("max_level") >= 0 && r.getAs[Long]("entry_id") >= 0, r.toString)
+    }
+    // the reported entry matches the serve's derivation (smallest id at
+    // max level) on one reconstructed shard
+    val e = base
+    import spark.implicits._
+    val shard0 = e.filter(pmod(col("vec_id"), lit(8)) === 0)
+      .as[(Long, Array[Double])].collect()
+    val g = Hnsw.build(shard0)
+    val rep = rows.find(_.getAs[Int]("shard") == 0).get
+    assert(rep.getAs[Long]("entry_id") == g.ids(g.entry),
+      s"reported entry ${rep.getAs[Long]("entry_id")} != graph entry ${g.ids(g.entry)}")
+    assert(rep.getAs[Int]("max_level") == g.maxLevel)
+  }
+
   test("takedown: removeStored drops the ids everywhere, bridges the holes, repair is bounded") {
     val e = plantedCorpus
     val q = queryVec
