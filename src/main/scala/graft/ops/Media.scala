@@ -663,6 +663,112 @@ object Media {
     else Some(WebpMeta(format, w, h, animated, if (animated) anmf else 1))
   }
 
+  // ------------------------------------------------------- image (GIF)
+
+  final case class GifMeta(version: String, width: Int, height: Int,
+      gctSize: Int, nFrames: Int, looped: Boolean)
+
+  /** Minimal VALID GIF — fixture builder for [[gifMeta]] (the
+    * webpFixture discipline: closed-form fields spliced into real
+    * container bytes). Header + logical screen descriptor, optional
+    * global color table (`gctEntries` 0 or a power of two ≤ 256),
+    * optional NETSCAPE2.0 looping application extension (GIF89a's
+    * de-facto animation standard), then `nFrames` image descriptors
+    * each carrying a 1-byte LZW stub sub-block, and the 0x3B trailer. */
+  def gifFixture(version: String, w: Int, h: Int, nFrames: Int,
+      gctEntries: Int = 0, looped: Boolean = false): Array[Byte] = {
+    require(version == "87a" || version == "89a", s"bad version $version")
+    require(gctEntries == 0 ||
+      (gctEntries >= 2 && gctEntries <= 256 && Integer.bitCount(gctEntries) == 1),
+      s"gctEntries must be 0 or a power of two in [2,256]: $gctEntries")
+    val out = new ByteArrayOutputStream()
+    def u16le(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    out.write(("GIF" + version).getBytes("US-ASCII"))
+    u16le(w); u16le(h)
+    if (gctEntries > 0) {
+      // packed: GCT flag | color resolution 0 | sort 0 | size 2^(n+1)
+      out.write(0x80 | (31 - Integer.numberOfLeadingZeros(gctEntries) - 1))
+      out.write(0); out.write(0) // bg index, aspect
+      (0 until gctEntries).foreach(i => { out.write(i); out.write(i); out.write(i) })
+    } else { out.write(0); out.write(0); out.write(0) }
+    if (looped) {
+      out.write(0x21); out.write(0xff); out.write(11)
+      out.write("NETSCAPE2.0".getBytes("US-ASCII"))
+      out.write(3); out.write(1); u16le(0) // sub-block: loop forever
+      out.write(0) // sub-block terminator
+    }
+    (0 until nFrames).foreach { _ =>
+      out.write(0x2c)
+      u16le(0); u16le(0); u16le(w); u16le(h)
+      out.write(0) // no local color table
+      out.write(2) // LZW min code size
+      out.write(1); out.write(0) // one stub data sub-block
+      out.write(0) // terminator
+    }
+    out.write(0x3b)
+    out.toByteArray
+  }
+
+  /** GIF container metadata walk (GIF87a/89a spec, public) — pure-JVM
+    * block parser behind `mm_gif_meta`, the hand-rolled complement of
+    * the ImageIO-backed [[gifFrames]] (MediaSpec pins the two agree on
+    * real JDK-encoded animations): version off the header, canvas dims
+    * + global-color-table size off the logical screen descriptor, frame
+    * count = image descriptors walked (local color tables and LZW data
+    * sub-blocks skipped by their own length fields), looping off the
+    * NETSCAPE2.0 application extension. The [[exifMeta]] discipline:
+    * junk, an unknown block code, or truncation mid-walk degrade to
+    * None / partial fields (frames counted so far) — never a throw. */
+  def gifMeta(bytes: Array[Byte]): Option[GifMeta] = {
+    if (bytes.length < 13) return None
+    val hdr = new String(bytes, 0, 6, "US-ASCII")
+    if (hdr != "GIF87a" && hdr != "GIF89a") return None
+    val version = hdr.substring(3)
+    def u16le(at: Int): Int = (bytes(at) & 0xff) | ((bytes(at + 1) & 0xff) << 8)
+    val w = u16le(6); val h = u16le(8)
+    val packed = bytes(10) & 0xff
+    val gctSize = if ((packed & 0x80) != 0) 2 << (packed & 7) else 0
+    // sub-block chains terminate on a 0-length block; -1 = truncated
+    def skipSubBlocks(at0: Int): Int = {
+      var at = at0
+      while (at < bytes.length && (bytes(at) & 0xff) != 0) at += 1 + (bytes(at) & 0xff)
+      if (at < bytes.length) at + 1 else -1
+    }
+    var i = 13 + 3 * gctSize
+    var frames = 0
+    var looped = false
+    var go = true
+    while (go && i < bytes.length && (bytes(i) & 0xff) != 0x3b) {
+      (bytes(i) & 0xff) match {
+        case 0x2c => // image descriptor
+          if (i + 10 > bytes.length) go = false
+          else {
+            val lp = bytes(i + 9) & 0xff
+            val lctSize = if ((lp & 0x80) != 0) 2 << (lp & 7) else 0
+            val lzw = i + 10 + 3 * lctSize
+            if (lzw + 1 > bytes.length) go = false
+            else {
+              val next = skipSubBlocks(lzw + 1)
+              if (next < 0) go = false
+              else { frames += 1; i = next }
+            }
+          }
+        case 0x21 => // extension: label byte + sub-block chain
+          if (i + 2 > bytes.length) go = false
+          else {
+            if ((bytes(i + 1) & 0xff) == 0xff && i + 14 <= bytes.length &&
+              (bytes(i + 2) & 0xff) == 11 &&
+              new String(bytes, i + 3, 11, "US-ASCII") == "NETSCAPE2.0")
+              looped = true
+            val next = skipSubBlocks(i + 2)
+            if (next < 0) go = false else i = next
+          }
+        case _ => go = false // junk block code: keep partials
+      }
+    }
+    Some(GifMeta(version, w, h, gctSize, frames, looped))
+  }
+
   // ------------------------------------------------------- video (GIF89a)
 
   /** a multi-frame animated GIF: nFrames solid-color w×h frames written

@@ -246,6 +246,267 @@ object Graph extends QueryModule {
       .select(col("src"), col("nb"), round(col("cos"), 6).as("cos"), col("rn"))
   }
 
+  /** max-label propagation with pointer-jump shortcutting: lbl(v) = max
+    * node id that can REACH v along `edges` (directed). The SCC kernel's
+    * shared primitive — both the forward coloring and the class-restricted
+    * backward pass are this one routine over different edge relations.
+    *
+    * Soundness invariant: lbl(v) only ever holds ids that reach v —
+    * initialization (v reaches v), propagation (u ⇝ src and src→dst ⇒
+    * u ⇝ dst), and the pointer jump (c ⇝ v and c′ ⇝ c ⇒ c′ ⇝ v;
+    * reachability composes, exactly the resolveClusters shortcut argument
+    * transposed to the directed max). Completeness at fixpoint: were some
+    * u ⇝ v with u > lbl(v), the first edge on u's path where the label
+    * drops would still fire a propagation — so a changed-count of zero IS
+    * the correct answer, and the jump only accelerates (rounds ~
+    * log(diameter) instead of diameter). Convergence is counted by
+    * observe() riding the per-round localCheckpoint (no extra action),
+    * converged-or-throw (the resolveClusters policy: a wrong-but-plausible
+    * label would silently merge/split components downstream).
+    */
+  private def maxReachLabel(nodes: DataFrame, edges: DataFrame,
+      maxRounds: Int): DataFrame = {
+    val ec = edges.select("src", "dst").localCheckpoint()
+    var labels = nodes.select(col("v"), col("v").as("lbl")).localCheckpoint()
+    var converged = false
+    var r = 0
+    while (!converged && r < maxRounds) {
+      val nbrMax = ec.join(labels.select(col("v").as("src"), col("lbl")), "src")
+        .groupBy(col("dst").as("nv")).agg(max("lbl").as("nbr_lbl"))
+      val propagated = labels.join(nbrMax, labels("v") === nbrMax("nv"), "left")
+        .select(col("v"), col("lbl").as("prev"),
+          greatest(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
+      val obs = org.apache.spark.sql.Observation()
+      labels = propagated.alias("x")
+        .join(propagated.select(col("v").as("jv"), col("lbl").as("jlbl")).alias("y"),
+          col("x.lbl") === col("y.jv"), "left")
+        .select(col("x.v").as("v"),
+          greatest(col("x.lbl"), coalesce(col("y.jlbl"), col("x.lbl"))).as("lbl"),
+          col("x.prev").as("prev"))
+        .observe(obs, count(when(col("lbl") =!= col("prev"), 1)).as("changed"))
+        .select("v", "lbl")
+        .localCheckpoint() // materializes -> the observation is harvested
+      converged = obs.get("changed").asInstanceOf[Long] == 0
+      r += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"maxReachLabel did not converge in $maxRounds rounds — " +
+        "pathological diameter or too-small maxRounds")
+    labels
+  }
+
+  /** Strongly connected components — trim + forward-coloring peeling (the
+    * coloring / FW-BW-Trim family: Orzan 2004; Hong, Rodia & Olukotun
+    * 2013; Slota, Rajamanickam & Madduri 2014 — all public). The SCC
+    * decomposition is THE structural primitive of web-graph analysis
+    * (Broder et al. 2000 computed it on a 200M-page crawl to expose the
+    * bow-tie). Returns (node, scc) with scc = min member id — the
+    * graph_connected_components id convention, which the DuckDB
+    * mutual-closure oracle replays exactly.
+    *
+    * Per outer round, everything stays edge/node-relational:
+    *  - TRIM to fixpoint: a remaining node with no in-edge or no out-edge
+    *    is a singleton SCC (two left_anti joins against the endpoint
+    *    sets); repeating collapses entire DAG regions with zero
+    *    propagation, so coloring only ever runs on the cyclic remainder.
+    *  - COLOR: color(v) = max id reaching v ([[maxReachLabel]] forward).
+    *    Each color class c is exactly {v : c ⇝ v} and c is its own class
+    *    maximum (anything above c in its class would out-rank the color).
+    *  - PEEL: within class-internal edges REVERSED, bcolor(v) = max id v
+    *    can reach inside its class; v belongs to SCC(c) iff bcolor(v) = c
+    *    (mutual-reachability paths between same-SCC nodes never leave the
+    *    class: every intermediate w has w ⇝ c and c ⇝ w, forcing
+    *    color(w) = c). EVERY color class peels its root's SCC in the same
+    *    round — a web graph (giant core + small periphery) resolves in a
+    *    handful of outer rounds, not one-SCC-at-a-time.
+    * All relations localCheckpoint per round (pageRank hygiene); the only
+    * driver scalars are emptiness checks and observe() counts. */
+  def scc(e: DataFrame, maxOuter: Int = 50, maxProp: Int = 30): DataFrame = {
+    // ONE corpus-sized scan feeds both derivations below
+    val e0 = e.select("src", "dst").localCheckpoint()
+    // nodes come from the UNFILTERED edge list: a pure-self-loop node is
+    // still a (singleton) SCC even though its edge is useless for cycles
+    var remNodes = e0.select(col("src").as("v"))
+      .unionByName(e0.select(col("dst").as("v"))).distinct().localCheckpoint()
+    var remEdges = e0.filter(col("src") =!= col("dst")).distinct().localCheckpoint()
+    // settled batches accumulate LAZILY: each batch is itself
+    // checkpointed, so the union's lineage depth is #batches (bounded by
+    // outer rounds), and skipping a per-batch re-checkpoint saves one job
+    // per peel/trim on the hot loop
+    var out: DataFrame = null
+    def settle(batch: DataFrame): Unit = {
+      out = if (out == null) batch else out.unionByName(batch)
+      remNodes = remNodes.join(batch.select("v"), Seq("v"), "left_anti").localCheckpoint()
+      remEdges = remEdges
+        .join(remNodes.select(col("v").as("src")), Seq("src"), "left_semi")
+        .join(remNodes.select(col("v").as("dst")), Seq("dst"), "left_semi")
+        .localCheckpoint()
+    }
+    var outer = 0
+    var remEmpty = remNodes.isEmpty
+    while (!remEmpty && outer < maxOuter) {
+      var trimming = true
+      while (trimming) {
+        val trimmed = remNodes
+          .join(remEdges.select(col("src").as("v")).distinct(), Seq("v"), "left_anti")
+          .unionByName(remNodes
+            .join(remEdges.select(col("dst").as("v")).distinct(), Seq("v"), "left_anti"))
+          .distinct()
+          .localCheckpoint() // consumed by BOTH the isEmpty probe and settle
+        if (trimmed.isEmpty) trimming = false
+        else settle(trimmed.select(col("v"), col("v").as("scc")))
+      }
+      remEmpty = remNodes.isEmpty
+      if (!remEmpty) {
+        val colors = maxReachLabel(remNodes, remEdges, maxProp)
+        // class-internal edges, REVERSED: bcolor = max id v reaches in-class
+        val classEdges = remEdges
+          .join(colors.select(col("v").as("src"), col("lbl").as("csrc")), "src")
+          .join(colors.select(col("v").as("dst"), col("lbl").as("cdst")), "dst")
+          .filter(col("csrc") === col("cdst"))
+          .select(col("dst").as("src"), col("src").as("dst"))
+        val bcolors = maxReachLabel(remNodes, classEdges, maxProp)
+          .withColumnRenamed("lbl", "blbl")
+        val members = colors.join(bcolors, "v")
+          .filter(col("lbl") === col("blbl"))
+          .select(col("v"), col("lbl").as("root"))
+        // scc id = min member, the CC convention (roots are class MAXIMA)
+        val ids = members.groupBy("root").agg(min("v").as("scc"))
+        settle(members.join(ids, "root").select("v", "scc").localCheckpoint())
+        remEmpty = remNodes.isEmpty
+      }
+      outer += 1
+    }
+    if (!remEmpty) throw new IllegalStateException(
+      s"scc did not settle every node in $maxOuter outer rounds")
+    if (out == null) e0.select(col("src").as("node"), col("dst").as("scc")).limit(0)
+    else out.select(col("v").as("node"), col("scc"))
+  }
+
+  /** Bow-tie decomposition of a directed graph around its largest SCC
+    * (Broder et al. 2000 §3, "Graph structure in the Web" — the canonical
+    * web-crawl macro-structure: CORE / IN / OUT / TUBES / TENDRILS /
+    * DISCONNECTED). Ties for largest SCC break to the smallest scc id so
+    * the result is deterministic and the DuckDB oracle replays it.
+    *
+    * Segments, per node:
+    *  - CORE: the largest SCC.
+    *  - IN: reaches the core, not in it.  OUT: reachable from the core.
+    *  - TUBE: reachable from IN AND reaches OUT without touching the core.
+    *  - TENDRIL: reachable from IN or reaches OUT (exactly one side) —
+    *    Broder's dangling threads off either lobe.
+    *  - OTHER_WCC: weakly connected to the core's component but none of
+    *    the above (reverse-edge hangers-on Broder's taxonomy lumps into
+    *    tendril mass); DISCONNECTED: a different weak component entirely.
+    *
+    * Shape: the core row is a 1-row broadcast; the four reachability
+    * passes are [[bfsHops]] frontier expansions (early-exit, settled-set,
+    * each round one edges⋈frontier shuffle); the weak components reuse
+    * the dedup pointer-jumping kernel; the final classification is one
+    * chain of node-keyed left joins feeding a single when-cascade. */
+  def bowTie(e: DataFrame, sccDf: DataFrame): DataFrame = {
+    val ec = e.select("src", "dst").localCheckpoint()
+    // fwd ("f") and bwd ("b") reachability share one tagged frontier
+    // expansion — HALF the per-round jobs of two separate BFS passes,
+    // and the tag rides the same (tag, src) shuffle key
+    val both = ec.withColumn("tag", lit("f"))
+      .unionByName(ec.select(col("dst").as("src"), col("src").as("dst"))
+        .withColumn("tag", lit("b")))
+      .localCheckpoint()
+    def bothTags(nodes: DataFrame): DataFrame =
+      nodes.withColumn("tag", lit("f"))
+        .unionByName(nodes.withColumn("tag", lit("b")))
+    def slice(reach: DataFrame, tag: String): DataFrame =
+      reach.filter(col("tag") === tag).select("node")
+    val core = sccDf.groupBy("scc").agg(count(lit(1)).as("m"))
+      .orderBy(col("m").desc, col("scc")).limit(1)
+      .select(col("scc").as("core_scc"))
+    val coreMembers = sccDf.join(broadcast(core), col("scc") === col("core_scc"))
+      .select("node").localCheckpoint()
+    val reach1 = taggedReach(both, bothTags(coreMembers))
+    val fwd = slice(reach1, "f")
+    val bwd = slice(reach1, "b")
+    val inSet = bwd.join(coreMembers, Seq("node"), "left_anti")
+    val outSet = fwd.join(coreMembers, Seq("node"), "left_anti")
+    val reach2 = taggedReach(both,
+      inSet.withColumn("tag", lit("f"))
+        .unionByName(outSet.withColumn("tag", lit("b"))))
+    val fromIn = slice(reach2, "f")
+    val toOut = slice(reach2, "b")
+    val classified = sccDf.select("node")
+      .join(coreMembers.withColumn("is_core", lit(true)), Seq("node"), "left")
+      .join(bwd.withColumn("in_bwd", lit(true)), Seq("node"), "left")
+      .join(fwd.withColumn("in_fwd", lit(true)), Seq("node"), "left")
+      .join(fromIn.withColumn("from_in", lit(true)), Seq("node"), "left")
+      .join(toOut.withColumn("to_out", lit(true)), Seq("node"), "left")
+      .localCheckpoint()
+    val directSeg =
+      when(col("is_core"), "CORE")
+        .when(col("in_bwd"), "IN")
+        .when(col("in_fwd"), "OUT")
+        .when(col("from_in") && col("to_out"), "TUBE")
+        .when(col("from_in") || col("to_out"), "TENDRIL")
+    // the weak-component solve only distinguishes OTHER_WCC from
+    // DISCONNECTED — on a crawl-shaped graph (giant bow-tie, thin
+    // periphery) the residual is tiny or empty, so gate the whole
+    // pointer-jumping pass on one bounded emptiness probe
+    val residual = classified.filter(
+      coalesce(col("is_core"), col("in_bwd"), col("in_fwd"),
+        col("from_in"), col("to_out")).isNull)
+    if (residual.isEmpty)
+      classified.select(col("node"),
+        directSeg.otherwise("DISCONNECTED").as("segment"))
+    else {
+      val und = undirected(ec)
+      val verts = und.select(col("a").as("v"))
+        .unionByName(und.select(col("b").as("v"))).distinct()
+      val comp = graft.ops.Dedup.resolveClusters(verts, und)
+        .select(col("v").as("node"), col("rep"))
+      // all core members share one weak rep by construction — 1-row broadcast
+      val coreRep = comp.join(coreMembers, "node")
+        .select(col("rep").as("core_rep")).distinct()
+      classified
+        .join(comp, Seq("node"), "left")
+        .crossJoin(broadcast(coreRep))
+        .select(col("node"),
+          directSeg
+            .when(col("rep") === col("core_rep"), "OTHER_WCC")
+            .otherwise("DISCONNECTED").as("segment"))
+    }
+  }
+
+  /** multi-tag reachability closure: one frontier expansion carrying a
+    * `tag` column, so independent BFS sweeps (forward + backward, or
+    * from-IN + to-OUT) share each round's shuffle instead of running
+    * sequentially. Same settled-set/early-exit shape as [[bfsHops]]. */
+  private def taggedReach(edges: DataFrame, seeds: DataFrame): DataFrame = {
+    var reached = seeds.select("tag", "node").distinct().localCheckpoint()
+    var frontier = reached
+    var done = frontier.isEmpty
+    while (!done) {
+      val next = edges.join(frontier.withColumnRenamed("node", "src"), Seq("tag", "src"))
+        .select(col("tag"), col("dst").as("node")).distinct()
+        .join(reached, Seq("tag", "node"), "left_anti")
+        .localCheckpoint()
+      if (next.isEmpty) done = true
+      else {
+        reached = reached.unionByName(next).localCheckpoint()
+        frontier = next
+      }
+    }
+    reached
+  }
+
+  /** SCC memo over the driver stand-in graph — the decomposition is
+    * deterministic (integer labels, converged-or-throw), and BOTH
+    * graph_scc and graph_bowtie consume the identical relation, so one
+    * localCheckpointed solve serves the pair (the ivfpqFitMemo argument;
+    * keyed by [[sessionKey]] for the same second-session reasons). */
+  private val sccCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def sccMemo(s: SparkSession, d: String): DataFrame =
+    sccCache.computeIfAbsent(sessionKey(s, d), _ => scc(edges(s, d)).localCheckpoint())
+
   /** multi-source BFS: minimum hop distance from `sources` within
     * `maxHops`, as iterative frontier expansion — each round is ONE
     * edges⋈frontier shuffle + a distinct + an anti-join against the
@@ -436,6 +697,21 @@ object Graph extends QueryModule {
         .orderBy("node")
     }),
 
+    // strongly connected components — the directed counterpart of
+    // graph_connected_components and the structural primitive of
+    // web-graph analysis (Broder et al. 2000). Integer labels +
+    // converged-or-throw make it exactly replayable: the DuckDB oracle
+    // derives the same min-member ids from an independent
+    // mutual-reachability closure.
+    "graph_scc" -> ((s, d) => sccMemo(s, d).orderBy("node")),
+
+    // bow-tie decomposition around the largest SCC (Broder et al. 2000
+    // §3): CORE / IN / OUT / TUBE / TENDRIL / OTHER_WCC / DISCONNECTED
+    // per node. Shares the memoized SCC solve with graph_scc (one
+    // decomposition serves both keys, the ivfpq-fit discipline).
+    "graph_bowtie" -> ((s, d) =>
+      bowTie(edges(s, d), sccMemo(s, d)).orderBy("node")),
+
     // HyperBall harmonic centrality — oracle-exempt (HLL register
     // internals are engine-specific, like agg_hll_merge); GraphSpec pins
     // exact path/star closed forms in the sketch's exact range, ball
@@ -506,6 +782,63 @@ object Graph extends QueryModule {
         "UNION " +
         "SELECT n.v, r.r FROM nbr n JOIN reach r ON n.n = r.v) " +
         "SELECT v AS node, min(r) AS component FROM reach GROUP BY v ORDER BY node"),
+    // independent mutual-reachability closure: v and r share an SCC iff
+    // reach holds BOTH (v,r) and (r,v); scc id = min such r (self-pairs
+    // put v itself in the candidate set). UNION-deduped, so the working
+    // set is bounded by nodes², never walk counts.
+    "graph_scc" ->
+      (s"WITH RECURSIVE e AS $edgesDuck, " +
+        "n AS (SELECT src AS v FROM e UNION SELECT dst FROM e), " +
+        "reach(v, r) AS (" +
+        "SELECT v, v FROM n " +
+        "UNION " +
+        "SELECT rr.v, e2.dst FROM reach rr JOIN e e2 ON e2.src = rr.r) " +
+        "SELECT a.v AS node, min(a.r) AS scc " +
+        "FROM reach a JOIN reach b ON a.v = b.r AND a.r = b.v " +
+        "GROUP BY a.v ORDER BY node"),
+    // the same closure re-read six ways: scc → largest-by-(count, min id)
+    // core, fwd/bwd = reachability to/from core members, fromin/toout =
+    // the tendril/tube tests, plus the weak-component closure for the
+    // OTHER_WCC vs DISCONNECTED split — each CASE arm mirrors one
+    // when-clause of the Spark cascade in the same precedence order
+    "graph_bowtie" ->
+      (s"WITH RECURSIVE e AS $edgesDuck, " +
+        "n AS (SELECT src AS v FROM e UNION SELECT dst FROM e), " +
+        "reach(v, r) AS (" +
+        "SELECT v, v FROM n " +
+        "UNION " +
+        "SELECT rr.v, e2.dst FROM reach rr JOIN e e2 ON e2.src = rr.r), " +
+        "scc AS (SELECT a.v AS node, min(a.r) AS sid FROM reach a " +
+        "JOIN reach b ON a.v = b.r AND a.r = b.v GROUP BY a.v), " +
+        "core AS (SELECT sid FROM (SELECT sid, count(*) AS m FROM scc " +
+        "GROUP BY sid ORDER BY m DESC, sid LIMIT 1)), " +
+        "corem AS (SELECT node FROM scc WHERE sid = (SELECT sid FROM core)), " +
+        "fwd AS (SELECT DISTINCT r.r AS node FROM reach r JOIN corem c ON r.v = c.node), " +
+        "bwd AS (SELECT DISTINCT r.v AS node FROM reach r JOIN corem c ON r.r = c.node), " +
+        "ins AS (SELECT node FROM bwd WHERE node NOT IN (SELECT node FROM corem)), " +
+        "outs AS (SELECT node FROM fwd WHERE node NOT IN (SELECT node FROM corem)), " +
+        "fromin AS (SELECT DISTINCT r.r AS node FROM reach r JOIN ins i ON r.v = i.node), " +
+        "toout AS (SELECT DISTINCT r.v AS node FROM reach r JOIN outs o ON r.r = o.node), " +
+        "und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM e), " +
+        "nbr AS (SELECT a AS v, b AS n FROM und UNION ALL SELECT b, a FROM und), " +
+        "wreach(v, r) AS (" +
+        "SELECT v, v FROM (SELECT DISTINCT v FROM nbr) " +
+        "UNION " +
+        "SELECT nb.v, wr.r FROM nbr nb JOIN wreach wr ON nb.n = wr.v), " +
+        "wcomp AS (SELECT v, min(r) AS rep FROM wreach GROUP BY v), " +
+        "corerep AS (SELECT DISTINCT w.rep FROM wcomp w JOIN corem c ON w.v = c.node) " +
+        "SELECT s.node, " +
+        "CASE WHEN s.node IN (SELECT node FROM corem) THEN 'CORE' " +
+        "WHEN s.node IN (SELECT node FROM bwd) THEN 'IN' " +
+        "WHEN s.node IN (SELECT node FROM fwd) THEN 'OUT' " +
+        "WHEN s.node IN (SELECT node FROM fromin) " +
+        "AND s.node IN (SELECT node FROM toout) THEN 'TUBE' " +
+        "WHEN s.node IN (SELECT node FROM fromin) " +
+        "OR s.node IN (SELECT node FROM toout) THEN 'TENDRIL' " +
+        "WHEN (SELECT rep FROM wcomp w WHERE w.v = s.node) = " +
+        "(SELECT rep FROM corerep) THEN 'OTHER_WCC' " +
+        "ELSE 'DISCONNECTED' END AS segment " +
+        "FROM scc s ORDER BY s.node"),
     // id-order orientation — any acyclic orientation yields the same count
     "graph_triangle_count" ->
       (s"WITH e AS $edgesDuck, " +

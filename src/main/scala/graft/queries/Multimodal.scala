@@ -525,6 +525,32 @@ object Multimodal extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // GIF container walk (hand-rolled 87a/89a block parser — version,
+    // canvas dims, global-color-table size, frame count, NETSCAPE loop
+    // flag) over deterministic closed-form fixtures; the parse itself is
+    // the real work, the oracle replays the id arithmetic
+    "mm_gif_meta" -> ((s, d) => {
+      import s.implicits._
+      Tables.t(s, d, "documents")
+        .filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val version = if (id % 2 == 0) "89a" else "87a"
+            val w = 1 + (id % 9).toInt
+            val h = 1 + (id % 7).toInt
+            val gct = if (id % 5 == 0) 0 else 2 << (id % 4).toInt
+            val looped = version == "89a" && id % 4 == 0
+            val nf = 1 + (id % 6).toInt
+            val bytes = graft.ops.Media.gifFixture(version, w, h, nf, gct, looped)
+            val m = graft.ops.Media.gifMeta(bytes).get
+            (id, m.version, m.width, m.height, m.gctSize, m.nFrames, m.looped)
+          }
+        }
+        .toDF("doc_id", "version", "width", "height", "gct_size", "n_frames", "looped")
+        .orderBy("doc_id")
+    }),
+
     // REAL multi-frame decode: payload is an animated GIF written by the
     // JDK sequence writer; the frame count is recovered by the GIF reader
     // walking image descriptors in the byte stream (not from a side
@@ -766,6 +792,16 @@ object Multimodal extends QueryModule {
         "(doc_id % 3 = 2) AS animated, " +
         "CAST(CASE WHEN doc_id % 3 = 2 THEN 2 + doc_id % 4 ELSE 1 END AS INT) AS n_frames " +
         "FROM documents WHERE doc_id % 2 = 1 ORDER BY doc_id"),
+    "mm_gif_meta" ->
+      ("SELECT doc_id, " +
+        "CASE WHEN doc_id % 2 = 0 THEN '89a' ELSE '87a' END AS version, " +
+        "CAST(1 + doc_id % 9 AS INT) AS width, " +
+        "CAST(1 + doc_id % 7 AS INT) AS height, " +
+        "CAST(CASE WHEN doc_id % 5 = 0 THEN 0 " +
+        "ELSE 2 * power(2, CAST(doc_id % 4 AS INT)) END AS INT) AS gct_size, " +
+        "CAST(1 + doc_id % 6 AS INT) AS n_frames, " +
+        "(doc_id % 2 = 0 AND doc_id % 4 = 0) AS looped " +
+        "FROM documents WHERE doc_id % 3 = 0 ORDER BY doc_id"),
     "mm_video_frames" ->
       ("SELECT doc_id, CAST(1 + doc_id % 24 AS INT) AS n_frames, " +
         "CAST(frame_no AS INT) AS frame_no, CAST(4 AS INT) AS frame_w FROM (" +

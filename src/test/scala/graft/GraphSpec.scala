@@ -226,4 +226,123 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(capped == Map(1L -> 0, 2L -> 1, 3L -> 1, 4L -> 2), s"got $capped")
   }
+
+  // ------------------------------------------------------------------- scc
+
+  private def sccMap(pairs: Seq[(Long, Long)]): Map[Long, Long] =
+    Graph.scc(edgesOf(pairs)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("scc: two cycles over a one-way bridge, a DAG tail, and a self-loop") {
+    // cycle {0,1,2} → bridge 2→10 → cycle {10,11,12} → tail 12→20; 30⟲
+    val got = sccMap(Seq((0L, 1L), (1L, 2L), (2L, 0L),
+      (2L, 10L), (10L, 11L), (11L, 12L), (12L, 10L), (12L, 20L), (30L, 30L)))
+    assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 30L -> 30L), s"got $got")
+  }
+
+  test("scc: a pure DAG is all singletons (the trim path, no coloring)") {
+    val got = sccMap(Seq((0L, 1L), (1L, 2L), (2L, 3L), (0L, 3L)))
+    assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L), s"got $got")
+  }
+
+  test("scc: one big directed cycle is one component under min id") {
+    val n = 12L
+    val got = sccMap((0L until n).map(i => (i, (i + 1) % n)))
+    assert(got == (0L until n).map(_ -> 0L).toMap, s"got $got")
+  }
+
+  /** independent reference replay: iterative Kosaraju (explicit stacks —
+    * no recursion-depth dependence) over collected edges */
+  private def kosaraju(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val fwd = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).distinct }
+    val rev = edges.groupBy(_._2).map { case (k, v) => k -> v.map(_._1).distinct }
+    val visited = scala.collection.mutable.Set.empty[Long]
+    val order = scala.collection.mutable.ArrayBuffer.empty[Long]
+    for (s <- nodes if !visited.contains(s)) {
+      // explicit-stack DFS emitting finish order
+      val stack = scala.collection.mutable.Stack[(Long, Int)]((s, 0))
+      visited += s
+      while (stack.nonEmpty) {
+        val (v, i) = stack.pop()
+        val nbrs = fwd.getOrElse(v, Seq.empty)
+        if (i < nbrs.size) {
+          stack.push((v, i + 1))
+          val w = nbrs(i)
+          if (!visited.contains(w)) { visited += w; stack.push((w, 0)) }
+        } else order += v
+      }
+    }
+    val assigned = scala.collection.mutable.Map.empty[Long, Long]
+    for (s <- order.reverse if !assigned.contains(s)) {
+      val members = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val stack = scala.collection.mutable.Stack[Long](s)
+      assigned(s) = s
+      while (stack.nonEmpty) {
+        val v = stack.pop(); members += v
+        for (w <- rev.getOrElse(v, Seq.empty) if !assigned.contains(w)) {
+          assigned(w) = s; stack.push(w)
+        }
+      }
+      val mn = members.min
+      members.foreach(m => assigned(m) = mn)
+    }
+    assigned.toMap
+  }
+
+  test("graph_scc matches an independent Kosaraju replay on the sf0.001 graph") {
+    val got = SparkEntry.queries("graph_scc")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val edges = graft.Tables.t(spark, sfDir, "lineitem")
+      .select((col("l_orderkey") % 500).as("src"), (col("l_partkey") % 500).as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = kosaraju(edges)
+    assert(got == want,
+      s"diff: ${(got.toSet diff want.toSet).take(5)} / ${(want.toSet diff got.toSet).take(5)}")
+  }
+
+  // --------------------------------------------------------------- bow-tie
+
+  test("bowTie: every Broder segment on a planted fixture") {
+    // core {5,6}; IN chain 2→1→5; OUT 6→8→9; tube 1→3→8; tendril-from-IN
+    // 1→4; tendril-into-OUT 7→8; reverse hanger 13→4 (OTHER_WCC);
+    // disconnected pair 100→101. {5,6} wins the largest-SCC tie (no
+    // other SCC has 2 members).
+    val e = edgesOf(Seq((5L, 6L), (6L, 5L), (2L, 1L), (1L, 5L),
+      (6L, 8L), (8L, 9L), (1L, 3L), (3L, 8L), (1L, 4L), (7L, 8L),
+      (13L, 4L), (100L, 101L)))
+    val got = Graph.bowTie(e, Graph.scc(e)).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = Map(5L -> "CORE", 6L -> "CORE", 1L -> "IN", 2L -> "IN",
+      8L -> "OUT", 9L -> "OUT", 3L -> "TUBE", 4L -> "TENDRIL",
+      7L -> "TENDRIL", 13L -> "OTHER_WCC",
+      100L -> "DISCONNECTED", 101L -> "DISCONNECTED")
+    assert(got == want, s"got $got")
+  }
+
+  test("bowTie: largest-SCC tie breaks to the smallest scc id") {
+    // two 2-cycles {3,4} and {1,2}, weakly joined; {1,2} must be CORE
+    val e = edgesOf(Seq((3L, 4L), (4L, 3L), (1L, 2L), (2L, 1L), (2L, 3L)))
+    val got = Graph.bowTie(e, Graph.scc(e)).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "CORE", 2L -> "CORE", 3L -> "OUT", 4L -> "OUT"),
+      s"got $got")
+  }
+
+  test("graph_scc / graph_bowtie driver keys: deterministic and consistent") {
+    val a = SparkEntry.queries("graph_scc")(spark, sfDir).collect().toSeq
+    val b = SparkEntry.queries("graph_scc")(spark, sfDir).collect().toSeq
+    assert(a == b, "scc not deterministic across runs")
+    val bt = SparkEntry.queries("graph_bowtie")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val scc = a.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the bow-tie covers exactly the scc node set, and CORE is exactly
+    // the largest component (ties to smallest id)
+    assert(bt.keySet == scc.keySet)
+    val bySize = scc.groupBy(_._2).map { case (id, m) => (id, m.size) }
+    val coreId = bySize.toSeq.maxBy { case (id, n) => (n, -id) }._1
+    assert(bt.filter(_._2 == "CORE").keySet == scc.filter(_._2 == coreId).keySet)
+  }
 }
