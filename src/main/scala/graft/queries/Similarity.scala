@@ -440,6 +440,22 @@ object Similarity extends QueryModule {
     "sim_ann_ivfpq" -> ((s, d) =>
       ivfpqTopKModel(ivfpqFitMemo(s, d), queryId = 0L, nProbe = 2)),
 
+    // FILTERED IVF-PQ — sim_ann_hnsw_filtered's inverted-file twin: the
+    // predicate is a plain boolean column on the codes relation, matching
+    // rows filter BEFORE ranking, and the probe WIDENS to
+    // ceil(nProbe × corpus/allowed) cells via an in-plan broadcast
+    // aggregate (the filtered-HNSW frontier-widening analog), so recall
+    // survives selective predicates. Oracle-exempt like the family;
+    // SimilaritySpec pins admit-all == plain probe bit-for-bit,
+    // predicate purity, the widened-probe exactness bound, and
+    // null-flag-is-not-matching.
+    "sim_ann_ivfpq_filtered" -> ((s, d) => {
+      val model = ivfpqFitMemo(s, d)
+      ivfpqProbeFiltered(
+        ivfpqCodes(model).withColumn("allowed", col("vec_id") % 3 === 1),
+        model, model.vectorOf(0L), nProbe = 2)
+    }),
+
     // IVF-PQ through the MATERIALIZED index: write (vec_id, cid, codes)
     // as a cid-partitioned parquet table, then answer the query from the
     // stored table — the probe's cid filter partition-prunes the read to
@@ -971,6 +987,57 @@ object Similarity extends QueryModule {
     codes.filter(col("cid").isin(probes.map(Int.box).toSeq: _*))
       .select(col("vec_id"), col("cid").cast("int").as("cid"),
         round(adist, 6).as("approx_dist"))
+      .orderBy("approx_dist", "vec_id")
+      .limit(k)
+  }
+
+  /** FILTERED IVF-PQ probe — the metadata-predicate search
+    * (`sim_ann_hnsw_filtered`'s inverted-file twin): `codes` carries an
+    * `allowed` boolean column (the predicate evaluated as a plain
+    * Catalyst column on the vector relation — only a 1-bit flag rides
+    * the cid layout), matching rows are filtered BEFORE the ranking,
+    * and — the IVF analog of the filtered-HNSW frontier widening — the
+    * probe visits ceil(nProbe × corpus/allowed) cells (capped at
+    * nCells), so a 1%-selective predicate probes ~100× the cells and
+    * recall doesn't collapse with selectivity. The widening factor is
+    * an IN-PLAN broadcast 1-row aggregate (never a driver collect), and
+    * the dynamic cell count rides `slice`'s length argument, so cell
+    * ranking stays the batch probe's per-row expression (no shuffle on
+    * the probe side). A null `allowed` is NOT matching, in both the
+    * filter and the widening denominator. Under an all-true predicate
+    * the widening is exactly nProbe and the result equals [[ivfpqProbe]]
+    * bit-for-bit (same pq_adc accumulation order; SimilaritySpec pins
+    * it). */
+  def ivfpqProbeFiltered(
+      codes: DataFrame, model: IvfPqModel, q: Array[Double],
+      nProbe: Int, k: Int = 10): DataFrame = {
+    GraftFunctions.register(codes.sparkSession)
+    val nCells = model.coarse.length
+    val cellsLit = typedLit(model.coarse.map(_.toSeq).toSeq)
+    val bookLit = typedLit(model.book.map(_.toSeq).toSeq)
+    val allowedCnt = sum(when(col("allowed"), 1L).otherwise(0L))
+    val widen = codes.agg(
+      least(lit(nCells).cast("long"),
+        when(allowedCnt === 0L, lit(nCells).cast("long"))
+          .otherwise(ceil(lit(nProbe) * count(lit(1)) / allowedCnt))).as("np"))
+    val qcells = codes.sparkSession.range(1)
+      .select(typedLit(q.toSeq).as("qed"))
+      .crossJoin(broadcast(widen))
+      .withColumn("cells", cellsLit)
+      .select(col("qed"), posexplode(expr(
+        s"""slice(array_sort(zip_with(
+           |  transform(cells, cd -> l2_dist(qed, cd)),
+           |  sequence(0, ${nCells - 1}),
+           |  (d, i) -> struct(d AS cdist, i AS cid))), 1, CAST(np AS INT))""".stripMargin))
+        .as(Seq("pos", "probe")))
+      .select(col("probe.cid").as("cid"),
+        call_udf("vec_sub", col("qed"),
+          element_at(cellsLit, col("probe.cid") + 1)).as("qres"))
+    codes.filter(col("allowed"))
+      .join(broadcast(qcells), "cid")
+      .withColumn("approx_dist", round(
+        call_udf("pq_adc", col("qres"), col("codes"), bookLit, lit(model.nCent)), 6))
+      .select(col("vec_id"), col("cid").cast("int").as("cid"), col("approx_dist"))
       .orderBy("approx_dist", "vec_id")
       .limit(k)
   }

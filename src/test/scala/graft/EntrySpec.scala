@@ -21,7 +21,7 @@ class EntrySpec extends SparkSpec {
   }
 
   test("all queries are distinct objects and total count matches COVERAGE.md") {
-    assert(SparkEntry.queries.size == 309, s"got ${SparkEntry.queries.size}")
+    assert(SparkEntry.queries.size == 310, s"got ${SparkEntry.queries.size}")
     assert(SparkEntry.oracleSql.size == 249, s"got ${SparkEntry.oracleSql.size}")
   }
 

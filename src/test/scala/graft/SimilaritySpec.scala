@@ -703,4 +703,48 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((1L, 2L)), s"got $pairs")
   }
+
+  test("sim_ann_ivfpq_filtered: admit-all parity, predicate purity, widened exactness, null flag") {
+    graft.functions.GraftFunctions.register(spark)
+    val e = Tables.t(spark, sfDir, "embeddings")
+      .withColumn("ed", col("embedding").cast("array<double>"))
+      .select(col("vec_id"), col("ed"))
+    val model = graft.queries.Similarity.ivfpqFit(e)
+    val codes = graft.queries.Similarity.ivfpqCodes(model).localCheckpoint()
+    val q = model.vectorOf(0L)
+    // admit-all: widening factor is exactly nProbe, result == plain probe
+    // bit-for-bit (same pq_adc accumulation, same tie-break)
+    val plain = graft.queries.Similarity
+      .ivfpqProbe(codes, model, q, nProbe = 2).collect().toSeq
+    val all = graft.queries.Similarity
+      .ivfpqProbeFiltered(codes.withColumn("allowed", lit(true)), model, q, nProbe = 2)
+      .collect().toSeq
+    assert(all == plain, s"admit-all drifted from the plain probe:\n$all\nvs\n$plain")
+    // selective predicate: every hit matches, and because the widening
+    // (ceil(2 x 10) capped at 16) probes EVERY cell, the filtered top-k
+    // equals the all-cell ADC ranking restricted to matching rows
+    val filt = graft.queries.Similarity
+      .ivfpqProbeFiltered(codes.withColumn("allowed", col("vec_id") % 10 === 3),
+        model, q, nProbe = 2).collect().toSeq
+    assert(filt.nonEmpty && filt.forall(_.getAs[Long]("vec_id") % 10 == 3),
+      s"non-matching ids surfaced: $filt")
+    val brute = graft.queries.Similarity
+      .ivfpqProbe(codes, model, q, nProbe = 16, k = Int.MaxValue).collect()
+      .filter(_.getAs[Long]("vec_id") % 10 == 3).take(10).toSeq
+    assert(filt == brute, s"widened probe missed matching candidates:\n$filt\nvs\n$brute")
+    // a null flag is NOT matching — same result as an explicit false
+    val withNull = codes.withColumn("allowed",
+      when(col("vec_id") % 10 === 3, lit(true)).otherwise(lit(null).cast("boolean")))
+    val viaNull = graft.queries.Similarity
+      .ivfpqProbeFiltered(withNull, model, q, nProbe = 2).collect().toSeq
+    assert(viaNull == filt, "null flag must behave exactly like false")
+  }
+
+  test("sim_ann_ivfpq_filtered driver key: deterministic, pure, k-bounded") {
+    val a = SparkEntry.queries("sim_ann_ivfpq_filtered")(spark, sfDir).collect().toSeq
+    val b = SparkEntry.queries("sim_ann_ivfpq_filtered")(spark, sfDir).collect().toSeq
+    assert(a == b, "not deterministic across runs")
+    assert(a.nonEmpty && a.size <= 10)
+    assert(a.forall(_.getAs[Long]("vec_id") % 3 == 1))
+  }
 }
