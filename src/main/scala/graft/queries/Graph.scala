@@ -309,16 +309,14 @@ object Graph extends QueryModule {
     *    is a singleton SCC (two left_anti joins against the endpoint
     *    sets); repeating collapses entire DAG regions with zero
     *    propagation, so coloring only ever runs on the cyclic remainder.
-    *  - COLOR: color(v) = max id reaching v ([[maxReachLabel]] forward).
-    *    Each color class c is exactly {v : c ⇝ v} and c is its own class
-    *    maximum (anything above c in its class would out-rank the color).
-    *  - PEEL: within class-internal edges REVERSED, bcolor(v) = max id v
-    *    can reach inside its class; v belongs to SCC(c) iff bcolor(v) = c
-    *    (mutual-reachability paths between same-SCC nodes never leave the
-    *    class: every intermediate w has w ⇝ c and c ⇝ w, forcing
-    *    color(w) = c). EVERY color class peels its root's SCC in the same
-    *    round — a web graph (giant core + small periphery) resolves in a
-    *    handful of outer rounds, not one-SCC-at-a-time.
+    *  - PEEL (two-label coloring): f(v) = max id reaching v
+    *    ([[maxReachLabel]] forward), b(v) = max id v reaches (the same
+    *    primitive over reversed edges). f(v) = b(v) = d holds exactly
+    *    when d ⇝ v and v ⇝ d, i.e. v ∈ SCC(d) — every such d peels its
+    *    WHOLE SCC in the same round, and the remaining maximum id always
+    *    qualifies, so progress per round is guaranteed. A web graph
+    *    (giant core + small periphery) resolves in a handful of outer
+    *    rounds, not one-SCC-at-a-time.
     * All relations localCheckpoint per round (pageRank hygiene); the only
     * driver scalars are emptiness checks and observe() counts. */
   def scc(e: DataFrame, maxOuter: Int = 50, maxProp: Int = 30): DataFrame = {
@@ -358,19 +356,20 @@ object Graph extends QueryModule {
       }
       remEmpty = remNodes.isEmpty
       if (!remEmpty) {
+        // f(v) = max id reaching v; b(v) = max id v reaches (the same
+        // primitive over reversed edges). f(v) = b(v) = d ⟺ d ⇝ v and
+        // v ⇝ d ⟺ v ∈ SCC(d) — so every such d peels its whole SCC in
+        // this round, and the remaining max id always qualifies
+        // (progress is guaranteed). This is the two-label form of the
+        // coloring peel: no class-restricted edge derivation needed.
         val colors = maxReachLabel(remNodes, remEdges, maxProp)
-        // class-internal edges, REVERSED: bcolor = max id v reaches in-class
-        val classEdges = remEdges
-          .join(colors.select(col("v").as("src"), col("lbl").as("csrc")), "src")
-          .join(colors.select(col("v").as("dst"), col("lbl").as("cdst")), "dst")
-          .filter(col("csrc") === col("cdst"))
-          .select(col("dst").as("src"), col("src").as("dst"))
-        val bcolors = maxReachLabel(remNodes, classEdges, maxProp)
+        val bcolors = maxReachLabel(remNodes,
+            remEdges.select(col("dst").as("src"), col("src").as("dst")), maxProp)
           .withColumnRenamed("lbl", "blbl")
         val members = colors.join(bcolors, "v")
           .filter(col("lbl") === col("blbl"))
           .select(col("v"), col("lbl").as("root"))
-        // scc id = min member, the CC convention (roots are class MAXIMA)
+        // scc id = min member, the CC convention (roots are SCC MAXIMA)
         val ids = members.groupBy("root").agg(min("v").as("scc"))
         settle(members.join(ids, "root").select("v", "scc").localCheckpoint())
         remEmpty = remNodes.isEmpty
