@@ -769,6 +769,137 @@ object Media {
     Some(GifMeta(version, w, h, gctSize, frames, looped))
   }
 
+  // ------------------------------------------------------- image (PNG)
+
+  final case class PngMeta(width: Int, height: Int, bitDepth: Int,
+      colorType: Int, interlaced: Boolean, animated: Boolean, nFrames: Int)
+
+  private val PngSig: Array[Byte] =
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  private def crc32(bytes: Array[Byte], off: Int, len: Int): Long = {
+    val c = new java.util.zip.CRC32()
+    c.update(bytes, off, len)
+    c.getValue
+  }
+
+  /** Minimal VALID PNG/APNG — fixture builder for [[pngMeta]] (the
+    * gifFixture discipline: closed-form fields spliced into real,
+    * CRC-correct container bytes). Signature, IHDR, a 2-entry PLTE when
+    * `colorType` is 3 (indexed images require one), the APNG acTL +
+    * per-frame fcTL chain when `nFrames` > 1 (frame 0 over IDAT, later
+    * frames over fdAT stubs — the apng spec's layout), IEND. The IDAT
+    * payload is a stub: the walk reads structure, never inflates. */
+  def pngFixture(w: Int, h: Int, bitDepth: Int, colorType: Int,
+      interlaced: Boolean = false, nFrames: Int = 1): Array[Byte] = {
+    val validBd = colorType match {
+      case 0 => Set(1, 2, 4, 8, 16)
+      case 3 => Set(1, 2, 4, 8)
+      case 2 | 4 | 6 => Set(8, 16)
+      case _ => Set.empty[Int]
+    }
+    require(validBd(bitDepth), s"bit depth $bitDepth invalid for color type $colorType")
+    require(nFrames >= 1, s"nFrames $nFrames")
+    val out = new ByteArrayOutputStream()
+    out.write(PngSig)
+    def u32be(b: ByteArrayOutputStream, v: Long): Unit = {
+      b.write(((v >> 24) & 0xff).toInt); b.write(((v >> 16) & 0xff).toInt)
+      b.write(((v >> 8) & 0xff).toInt); b.write((v & 0xff).toInt)
+    }
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      u32be(out, data.length.toLong)
+      val body = typ.getBytes("US-ASCII") ++ data
+      out.write(body)
+      u32be(out, crc32(body, 0, body.length))
+    }
+    val ihdr = new ByteArrayOutputStream()
+    u32be(ihdr, w.toLong); u32be(ihdr, h.toLong)
+    ihdr.write(bitDepth); ihdr.write(colorType)
+    ihdr.write(0); ihdr.write(0) // compression, filter: only 0 is defined
+    ihdr.write(if (interlaced) 1 else 0)
+    chunk("IHDR", ihdr.toByteArray)
+    if (colorType == 3) chunk("PLTE", Array[Byte](0, 0, 0, -1, -1, -1))
+    if (nFrames > 1) {
+      val actl = new ByteArrayOutputStream()
+      u32be(actl, nFrames.toLong); u32be(actl, 0L) // num_plays 0 = forever
+      chunk("acTL", actl.toByteArray)
+    }
+    var seq = 0L
+    def fctl(): Unit = {
+      val b = new ByteArrayOutputStream()
+      u32be(b, seq); seq += 1
+      u32be(b, w.toLong); u32be(b, h.toLong); u32be(b, 0L); u32be(b, 0L)
+      b.write(0); b.write(1) // delay 0/1
+      b.write(0); b.write(0) // dispose, blend
+      chunk("fcTL", b.toByteArray)
+    }
+    if (nFrames > 1) fctl()
+    chunk("IDAT", Array[Byte](0x78, 0x01, 0x03, 0x00)) // zlib-shaped stub
+    (1 until nFrames).foreach { _ =>
+      fctl()
+      val fdat = new ByteArrayOutputStream()
+      u32be(fdat, seq); seq += 1
+      fdat.write(Array[Byte](0x78, 0x01, 0x03, 0x00))
+      chunk("fdAT", fdat.toByteArray)
+    }
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** PNG container metadata walk (PNG spec / APNG extension, public) —
+    * pure-JVM chunk parser behind `mm_png_meta`, the hand-rolled
+    * complement of the ImageIO-backed PNG decode the mm_image keys use
+    * (MediaSpec pins the two agree on real JDK-encoded images): dims /
+    * bit depth / color type / interlace off IHDR, animation + declared
+    * frame count off the APNG acTL chunk (1 frame when absent). Every
+    * chunk's CRC is VERIFIED — hostile crawl bytes with a corrupted
+    * chunk stop the walk at the damage, keeping fields parsed so far
+    * (the exifMeta degrade-to-partial discipline); junk, a missing or
+    * malformed IHDR, or truncation mid-chunk likewise degrade to
+    * None / partial, never a throw. */
+  def pngMeta(bytes: Array[Byte]): Option[PngMeta] = {
+    if (bytes.length < PngSig.length + 25) return None // sig + IHDR chunk
+    if (!PngSig.indices.forall(i => bytes(i) == PngSig(i))) return None
+    def u32be(at: Int): Long =
+      ((bytes(at) & 0xffL) << 24) | ((bytes(at + 1) & 0xffL) << 16) |
+        ((bytes(at + 2) & 0xffL) << 8) | (bytes(at + 3) & 0xffL)
+    var i = PngSig.length
+    var meta: Option[PngMeta] = None
+    var animated = false
+    var nFrames = 1
+    var go = true
+    while (go && i + 8 <= bytes.length) {
+      val len = u32be(i)
+      if (len > Int.MaxValue - 12 || i + 12 + len > bytes.length) go = false // truncated
+      else {
+        val typ = new String(bytes, i + 4, 4, "US-ASCII")
+        if (crc32(bytes, i + 4, 4 + len.toInt) != u32be(i + 8 + len.toInt))
+          go = false // corrupted chunk: keep partials, stop the walk
+        else typ match {
+          case "IHDR" =>
+            if (len != 13) go = false
+            else {
+              val w = u32be(i + 8); val h = u32be(i + 12)
+              if (w <= 0 || h <= 0 || w > Int.MaxValue || h > Int.MaxValue) go = false
+              else meta = Some(PngMeta(w.toInt, h.toInt,
+                bytes(i + 16) & 0xff, bytes(i + 17) & 0xff,
+                interlaced = (bytes(i + 20) & 0xff) == 1,
+                animated = false, nFrames = 1))
+            }
+          case "acTL" =>
+            if (len >= 8 && meta.isDefined) {
+              animated = true
+              nFrames = math.max(1, u32be(i + 8).min(Int.MaxValue).toInt)
+            }
+          case "IEND" => go = false
+          case _ => // ancillary/unknown chunks (PLTE, fcTL, fdAT, tEXt…): skip
+        }
+        if (go) i += 12 + len.toInt
+      }
+    }
+    meta.map(m => m.copy(animated = animated, nFrames = if (animated) nFrames else 1))
+  }
+
   // ------------------------------------------------------- video (GIF89a)
 
   /** a multi-frame animated GIF: nFrames solid-color w×h frames written

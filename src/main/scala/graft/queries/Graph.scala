@@ -506,6 +506,51 @@ object Graph extends QueryModule {
   private def sccMemo(s: SparkSession, d: String): DataFrame =
     sccCache.computeIfAbsent(sessionKey(s, d), _ => scc(edges(s, d)).localCheckpoint())
 
+  /** k-core decomposition — coreness(v) = the largest k such that v
+    * survives in the k-core (every member has ≥ k neighbors inside the
+    * core), the density ladder web-graph and community analyses peel
+    * against (Batagelj & Zaversnik 2003 is the sequential algorithm).
+    * The sequential min-degree peel is inherently serial, so this runs
+    * the DISTRIBUTED fixpoint instead: iterate the H-operator
+    * h(v) ← H({h(u) : u ∈ N(v)}) from the degree initialization —
+    * Lü et al. 2016 (Nature Physics, public) prove the iterates are
+    * monotonically non-increasing and converge exactly to coreness.
+    *
+    * Scale shape (the 100 TB contract): per round, ONE neighbors⋈est
+    * hash join + a node-partitioned window computing each node's
+    * H-index WITHOUT collecting neighbor lists — rank neighbors by
+    * estimate desc, H = max(least(est, rank)) (invariant to tie order:
+    * equal values contribute the same (value, rank) pair multiset) —
+    * then one hash agg. Node state is ONE long; no degree-sized arrays
+    * ever materialize, so a 10^7-degree celebrity host costs a
+    * per-partition sort, not memory. Rounds are bounded by how far a
+    * low-coreness boundary must propagate (graph-diameter-ish on web
+    * graphs, NOT node count); converged-or-throw like [[scc]], with the
+    * per-round localCheckpoint lineage hygiene. */
+  def coreness(e: DataFrame, maxIters: Int = 100): DataFrame = {
+    val und = undirected(e)
+    val nbr = und.select(col("a").as("v"), col("b").as("n"))
+      .union(und.select(col("b").as("v"), col("a").as("n")))
+      .localCheckpoint()
+    var est = nbr.groupBy("v").agg(count(lit(1)).as("h")).localCheckpoint()
+    var changed = 1L
+    var round = 0
+    while (changed > 0 && round < maxIters) {
+      val w = Window.partitionBy("v").orderBy(col("hn").desc, col("n"))
+      val next = nbr
+        .join(est.select(col("v").as("n"), col("h").as("hn")), "n")
+        .withColumn("r", row_number().over(w))
+        .groupBy("v").agg(max(least(col("hn"), col("r"))).as("h"))
+        .localCheckpoint()
+      changed = next.join(est.withColumnRenamed("h", "prev"), "v")
+        .filter(col("h") =!= col("prev")).count()
+      est = next
+      round += 1
+    }
+    require(changed == 0, s"coreness did not converge in $maxIters rounds")
+    est.select(col("v").as("node"), col("h").cast("long").as("core"))
+  }
+
   /** multi-source BFS: minimum hop distance from `sources` within
     * `maxHops`, as iterative frontier expansion — each round is ONE
     * edges⋈frontier shuffle + a distinct + an anti-join against the
@@ -710,6 +755,13 @@ object Graph extends QueryModule {
     // decomposition serves both keys, the ivfpq-fit discipline).
     "graph_bowtie" -> ((s, d) =>
       bowTie(edges(s, d), sccMemo(s, d)).orderBy("node")),
+
+    // k-core decomposition via the distributed H-operator fixpoint —
+    // integer-exact and converged-or-throw, but the peel itself has no
+    // closed SQL form (aggregation over a recursive relation), so
+    // prop/golden: GraphSpec pins clique/path/cycle closed forms and an
+    // independent sequential Batagelj-Zaversnik peel replay at sf0.001
+    "graph_kcore" -> ((s, d) => coreness(edges(s, d)).orderBy("node")),
 
     // HyperBall harmonic centrality — oracle-exempt (HLL register
     // internals are engine-specific, like agg_hll_merge); GraphSpec pins

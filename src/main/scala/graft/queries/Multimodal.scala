@@ -551,6 +551,39 @@ object Multimodal extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // PNG container walk (hand-rolled CRC-verified chunk parser — dims,
+    // bit depth, color type, interlace off IHDR; animation + declared
+    // frame count off the APNG acTL chunk) over deterministic
+    // closed-form fixtures; the parse is the real work, the oracle
+    // replays the id arithmetic. Completes the web image container
+    // family: JPEG/EXIF, GIF, WebP, and now the web's #1 lossless format
+    "mm_png_meta" -> ((s, d) => {
+      import s.implicits._
+      Tables.t(s, d, "documents")
+        .filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val ct = (id % 4) match { case 0 => 0; case 1 => 2; case 2 => 3; case _ => 6 }
+            val bd = ct match {
+              case 0 => Array(1, 2, 4, 8, 16)(((id / 4) % 5).toInt)
+              case 3 => Array(1, 2, 4, 8)(((id / 4) % 4).toInt)
+              case _ => if ((id / 4) % 2 == 0) 8 else 16
+            }
+            val nf = if (id % 5 == 1) 2 + ((id / 5) % 4).toInt else 1
+            val bytes = graft.ops.Media.pngFixture(
+              1 + (id % 9).toInt, 1 + (id % 7).toInt, bd, ct,
+              interlaced = id % 3 == 0, nFrames = nf)
+            val m = graft.ops.Media.pngMeta(bytes).get
+            (id, m.width, m.height, m.bitDepth, m.colorType,
+              m.interlaced, m.animated, m.nFrames)
+          }
+        }
+        .toDF("doc_id", "width", "height", "bit_depth", "color_type",
+          "interlaced", "animated", "n_frames")
+        .orderBy("doc_id")
+    }),
+
     // REAL multi-frame decode: payload is an animated GIF written by the
     // JDK sequence writer; the frame count is recovered by the GIF reader
     // walking image descriptors in the byte stream (not from a side
@@ -802,6 +835,24 @@ object Multimodal extends QueryModule {
         "CAST(1 + doc_id % 6 AS INT) AS n_frames, " +
         "(doc_id % 2 = 0 AND doc_id % 4 = 0) AS looped " +
         "FROM documents WHERE doc_id % 3 = 0 ORDER BY doc_id"),
+    // every PNG field replayed from the id arithmetic — the CRC-verified
+    // chunk walk must recover them from real container bytes
+    "mm_png_meta" ->
+      ("SELECT doc_id, " +
+        "CAST(1 + doc_id % 9 AS INT) AS width, " +
+        "CAST(1 + doc_id % 7 AS INT) AS height, " +
+        "CAST(CASE CAST(doc_id % 4 AS INT) " +
+        "WHEN 0 THEN CASE CAST((doc_id // 4) % 5 AS INT) " +
+        "WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 WHEN 3 THEN 8 ELSE 16 END " +
+        "WHEN 2 THEN CASE CAST((doc_id // 4) % 4 AS INT) " +
+        "WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END " +
+        "ELSE CASE WHEN (doc_id // 4) % 2 = 0 THEN 8 ELSE 16 END END AS INT) AS bit_depth, " +
+        "CAST(CASE CAST(doc_id % 4 AS INT) " +
+        "WHEN 0 THEN 0 WHEN 1 THEN 2 WHEN 2 THEN 3 ELSE 6 END AS INT) AS color_type, " +
+        "(doc_id % 3 = 0) AS interlaced, " +
+        "(doc_id % 5 = 1) AS animated, " +
+        "CAST(CASE WHEN doc_id % 5 = 1 THEN 2 + (doc_id // 5) % 4 ELSE 1 END AS INT) AS n_frames " +
+        "FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id"),
     "mm_video_frames" ->
       ("SELECT doc_id, CAST(1 + doc_id % 24 AS INT) AS n_frames, " +
         "CAST(frame_no AS INT) AS frame_no, CAST(4 AS INT) AS frame_w FROM (" +

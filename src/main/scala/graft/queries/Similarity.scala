@@ -411,6 +411,33 @@ object Similarity extends QueryModule {
       ivfTrainedTopK(e, cents, queryId = 0L, nProbe = 2)
     }),
 
+    // K-MEANS CLUSTERING as a first-class curation output — the semantic
+    // partitioning step of cluster-based dedup / diversity sampling
+    // (SemDeDup and the cluster-balanced corpus recipes, public): the
+    // SAME seeded Lloyd's trainer the quantizers use, but the DELIVERABLE
+    // is the assignment table (vec_id → cluster) downstream curation
+    // joins on, not a probe result. Assignment is one narrow codegen
+    // pq_encode pass against the literal centroids (k×dim doubles riding
+    // the plan — no centroid join, no argmin window); at 100 TB the FIT
+    // runs on a seeded sample while the assignment pass still touches
+    // every row exactly once. Oracle-exempt for the family reason
+    // (trained centroids depend on distributed float-summation order);
+    // SimilaritySpec pins planted-cluster recovery, total coverage,
+    // cluster-id range, and objective improvement over the seed.
+    "emb_kmeans" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val e = emb(s, d).select(col("vec_id"), col("ed"))
+      val k = 8
+      val cents = graft.ops.KMeans.train(
+        e, "ed", graft.ops.KMeans.seedById(e, "vec_id", "ed", k, dim = 64), maxIters = 5)
+      val centLit = typedLit(cents.map(_.toSeq).toSeq)
+      e.withColumn("cluster",
+          element_at(call_udf("pq_encode", col("ed"), centLit, lit(64), lit(k)), 1))
+        .filter(col("cluster").isNotNull)
+        .select(col("vec_id"), col("cluster"))
+        .orderBy("vec_id")
+    }),
+
     // PQ with TRAINED per-subspace codebooks: m independent seeded
     // k-means runs over the corpus's subvector slices (each a narrow
     // slice projection + the same KMeans DataFrame loop), then the

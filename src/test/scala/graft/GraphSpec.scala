@@ -345,4 +345,71 @@ class GraphSpec extends SparkSpec {
     val coreId = bySize.toSeq.maxBy { case (id, n) => (n, -id) }._1
     assert(bt.filter(_._2 == "CORE").keySet == scc.filter(_._2 == coreId).keySet)
   }
+
+  // --------------------------------------------------------------- k-core
+
+  private def corenessMap(pairs: Seq[(Long, Long)]): Map[Long, Long] =
+    Graph.coreness(edgesOf(pairs)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  /** independent sequential peel (Batagelj & Zaversnik 2003): repeatedly
+    * remove a minimum-degree node; coreness(v) = the running max of the
+    * minimum degree at v's removal. */
+  private def sequentialCoreness(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val adj = scala.collection.mutable.Map[Long, scala.collection.mutable.Set[Long]]()
+    pairs.foreach { case (a, b) =>
+      if (a != b) {
+        adj.getOrElseUpdate(a, scala.collection.mutable.Set[Long]()) += b
+        adj.getOrElseUpdate(b, scala.collection.mutable.Set[Long]()) += a
+      }
+    }
+    val core = scala.collection.mutable.Map[Long, Long]()
+    var k = 0L
+    while (adj.nonEmpty) {
+      val (v, nb) = adj.minBy { case (n, s) => (s.size, n) }
+      k = math.max(k, nb.size.toLong)
+      core(v) = k
+      nb.foreach(u => adj(u) -= v)
+      adj.remove(v)
+    }
+    core.toMap
+  }
+
+  test("coreness: clique, path, cycle closed forms") {
+    // K5: every node survives to the 4-core
+    val k5 = for (i <- 0L until 5L; j <- (i + 1) until 5L) yield (i, j)
+    assert(corenessMap(k5) == (0L until 5L).map(_ -> 4L).toMap)
+    // a path is all 1s (endpoints peel, the 1-boundary propagates inward)
+    val path = (0L until 9L).map(i => (i, i + 1))
+    assert(corenessMap(path) == (0L to 9L).map(_ -> 1L).toMap)
+    // a cycle is all 2s
+    val cycle = (0L until 8L).map(i => (i, (i + 1) % 8))
+    assert(corenessMap(cycle) == (0L until 8L).map(_ -> 2L).toMap)
+  }
+
+  test("coreness: mixed-ladder fixture — K4, a bridge path, a triangle, a pendant") {
+    // K4 {0..3} (core 3) — bridge 3-4-5 (node 4 core 2: both its
+    // neighbors survive the 2-core, so it does too, despite lying on no
+    // cycle) — triangle {5,6,7} (core 2) — pendant 8 off 4 (core 1):
+    // three rungs of the density ladder plus the degree-1 fringe
+    val e = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L),
+      (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L), (7L, 5L), (4L, 8L))
+    val want = Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L,
+      4L -> 2L, 5L -> 2L, 6L -> 2L, 7L -> 2L, 8L -> 1L)
+    val got = corenessMap(e)
+    assert(got == want, s"got $got")
+    assert(got == sequentialCoreness(e))
+  }
+
+  test("graph_kcore matches an independent sequential peel on the sf0.001 graph") {
+    val got = SparkEntry.queries("graph_kcore")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val edges = graft.Tables.t(spark, sfDir, "lineitem")
+      .select((col("l_orderkey") % 500).as("src"), (col("l_partkey") % 500).as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = sequentialCoreness(edges)
+    assert(got == want,
+      s"diff: ${(got.toSet diff want.toSet).take(5)} / ${(want.toSet diff got.toSet).take(5)}")
+  }
 }

@@ -96,6 +96,44 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(self.getAs[Double]("cos") - 1.0) < 1e-6, "query must self-hit at cos 1")
   }
 
+  test("emb_kmeans: planted twin clusters recover exactly and the fit improves on the seed") {
+    // two tight clusters on orthogonal axes, ids interleaved so the
+    // by-id seeding starts with one seed in each — Lloyd's must separate
+    // them perfectly (the margin dwarfs the jitter)
+    graft.functions.GraftFunctions.register(spark)
+    val dim = 64
+    def jittered(axis: Int, i: Int): Seq[Double] =
+      (0 until dim).map(j =>
+        (if (j == axis) 1.0 else 0.0) + (if (j == 10 + (i % 3)) 0.01 * i else 0.0))
+    val vecs = (0 until 40).map(i => (i.toLong, jittered(if (i % 2 == 0) 0 else 1, i)))
+    val e = vecs.toDF("vec_id", "ed")
+    val seed = graft.ops.KMeans.seedById(e, "vec_id", "ed", k = 2, dim = dim)
+    val trained = graft.ops.KMeans.train(e, "ed", seed, maxIters = 5)
+    def inertia(cents: Array[Array[Double]]): Double =
+      vecs.map { case (_, v) =>
+        cents.map(c => v.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum).min
+      }.sum
+    assert(inertia(trained) <= inertia(seed) + 1e-12,
+      s"Lloyd's must not worsen the objective: ${inertia(trained)} vs ${inertia(seed)}")
+    val assigned = e.withColumn("cluster",
+        element_at(call_udf("pq_encode", col("ed"),
+          typedLit(trained.map(_.toSeq).toSeq), lit(dim), lit(2)), 1))
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cluster"))
+    val byAxis = assigned.groupBy { case (id, _) => id % 2 }.view.mapValues(_.map(_._2).toSet)
+    assert(byAxis(0L).size == 1 && byAxis(1L).size == 1 && byAxis(0L) != byAxis(1L),
+      s"planted clusters not separated: $byAxis")
+  }
+
+  test("emb_kmeans driver key: every vector assigned exactly once, ids in range") {
+    val rows = SparkEntry.queries("emb_kmeans")(spark, sfDir).collect()
+    val n = Tables.t(spark, sfDir, "embeddings").count()
+    assert(rows.length.toLong == n, s"${rows.length} assignments for $n vectors")
+    assert(rows.map(_.getAs[Long]("vec_id")).distinct.length == rows.length)
+    val cl = rows.map(_.getAs[Int]("cluster"))
+    assert(cl.forall(c => c >= 0 && c < 8), "cluster id out of [0, k)")
+    assert(cl.distinct.length > 1, "degenerate single-cluster fit")
+  }
+
   test("dedup_simhash_pairs recovers most planted near-dups via banding") {
     val pairs = SparkEntry.queries("dedup_simhash_pairs")(spark, sfDir)
       .as[(Long, Long)].collect().toSet
