@@ -144,7 +144,9 @@ object Plans {
     "sim_ann_hnsw_takedown" -> "takedown = one shard-grouped pass over the v1 adjacency⋈vectors relation (reconstruct, drop, bounded bridge repair) streamed to the next version dir; both serves are the standard scatter-gather — unchanged shards' rows pass through verbatim",
     "stream_revisit_resolve" -> "the interval stream-stream join batch-run: one digest equi-join with the time bound as a join-side predicate (no post-filter of a wider join), both legs pruned to their record_type before the exchange",
     "mm_webp_meta" -> "RIFF walk is one narrow mapPartitions pass — no joins or aggregates before the output sort, the mm_* decoder plan class",
-    "obs_ann_recall" -> "the query sample is TakeOrderedAndProject (fixed-k bottom-k by hash, never a corpus fraction); the exact leg broadcasts those k rows against one corpus pass; hits merge via left-semi on (qid, vec_id)")
+    "obs_ann_recall" -> "the query sample is TakeOrderedAndProject (fixed-k bottom-k by hash, never a corpus fraction); the exact leg broadcasts those k rows against one corpus pass; hits merge via left-semi on (qid, vec_id)",
+    "emb_kmeans" -> "assignment is ONE narrow codegen pq_encode pass against literal centroids — no centroid join, no argmin window, no explode; the only exchange is the output sort",
+    "graph_kcore" -> "per H-operator round: one neighbors join + a node-partitioned window-rank H-index (no neighbor-list collection — hub state stays one long) + one hash agg, off a checkpointed neighbor list")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse(

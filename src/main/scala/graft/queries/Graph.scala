@@ -99,6 +99,57 @@ object Graph extends QueryModule {
     ranks
   }
 
+  /** Personalized PageRank — random walk with restart to a SEED set
+    * (the teleport-vector generalization in Page et al. 1999; Jeh &
+    * Widom 2003 formalize it as Personalized PageRank): rank measures
+    * proximity to the seeds, THE seed-expansion primitive of focused
+    * crawling and TrustRank-style source curation ("how close is this
+    * host to my trusted seeds"), where global pageRank measures
+    * popularity from everywhere. Same per-round scale shape as
+    * [[pageRank]] — one edges⋈ranks shuffle + hash agg, dangling mass
+    * as an in-plan broadcast 1-row aggregate, localCheckpoint lineage
+    * hygiene — with the uniform restart column replaced by the
+    * seed-indicator teleport tp (1/|seeds| on seeds, 0 elsewhere):
+    * rank = (1−d)·tp + d·(in-mass + dangling·tp). Dangling mass
+    * restarts AT THE SEEDS (the walk teleports home, not uniformly), so
+    * Σrank = 1 holds every round and nodes unreachable from the seeds
+    * stay at EXACTLY 0 — an integer-sharp property the spec pins.
+    * Seeds absent from the graph are ignored (their teleport share
+    * would leak mass to phantom nodes). */
+  def personalizedPageRank(
+      e: DataFrame, seeds: DataFrame,
+      iterations: Int = 10, damping: Double = 0.85): DataFrame = {
+    val ec = e.select(col("src"), col("dst")).localCheckpoint()
+    val nodes = ec.select(col("src").as("node"))
+      .unionByName(ec.select(col("dst").as("node"))).distinct().localCheckpoint()
+    val present = nodes.join(seeds.select("node").distinct(), "node")
+    val ns = present.count()
+    require(ns > 0, "personalizedPageRank needs at least one seed present in the graph")
+    val tp = nodes
+      .join(present.withColumn("tp", lit(1.0 / ns)), Seq("node"), "left")
+      .na.fill(0.0, Seq("tp")).localCheckpoint()
+    val outDeg = ec.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("odeg")).localCheckpoint()
+    var ranks = tp.select(col("node"), col("tp").as("rank"))
+    for (i <- 1 to iterations) {
+      val withOdeg = ranks.join(outDeg, "node")
+      val contribs = ec
+        .join(withOdeg.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("rank") / col("odeg")).as("cs"))
+      val dangling = withOdeg.agg((lit(1.0) - sum("rank")).as("dmass"))
+      ranks = tp
+        .join(contribs, Seq("node"), "left")
+        .crossJoin(broadcast(dangling))
+        .withColumn("rank",
+          lit(1 - damping) * col("tp") +
+            lit(damping) * (coalesce(col("cs"), lit(0.0)) + col("dmass") * col("tp")))
+        .select("node", "rank")
+      if (i % 2 == 0 || i == iterations) ranks = ranks.localCheckpoint()
+    }
+    ranks
+  }
+
   /** HITS hubs & authorities (Kleinberg 1999) over an arbitrary edge
     * relation — pageRank's query-independent sibling for link-quality
     * scoring: auth ← Σ hub(in-neighbors), hub ← Σ auth(out-neighbors),
@@ -684,6 +735,20 @@ object Graph extends QueryModule {
       pageRank(edges(s, d), iterations = 10)
         .select(col("node"), round(col("rank") * 1000, 6).as("pr_permille"))
         .orderBy("node")),
+
+    // Personalized PageRank from a deterministic seed set (every 50th
+    // node) — the seed-proximity scorer focused crawling ranks its
+    // frontier with. Oracle-exempt like graph_pagerank (iterative float
+    // accumulation); GraphSpec pins an exact scalar replay on a 2-node
+    // cycle, mass conservation, the unreachable-stays-at-zero sharp
+    // property, and driver-key determinism.
+    "graph_ppr" -> ((s, d) => {
+      import s.implicits._
+      val seeds = (0L until NMod by 50L).toDF("node")
+      personalizedPageRank(edges(s, d), seeds, iterations = 10)
+        .select(col("node"), round(col("rank") * 1000, 6).as("ppr_permille"))
+        .orderBy("node")
+    }),
 
     // exact triangle count, degree-ordered orientation
     "graph_triangle_count" -> ((s, d) => triangleCount(undirected(edges(s, d)))),

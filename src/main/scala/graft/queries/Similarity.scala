@@ -67,6 +67,21 @@ object Similarity extends QueryModule {
       sessionKey(s, d),
       _ => ivfpqFit(emb(s, d).select(col("vec_id"), col("ed"))))
 
+  /** emb_kmeans fit memo — the assignment key and the cluster-quality
+    * report (obs_cluster_quality) share ONE Lloyd's fit per sf dir (the
+    * ivfpqFitMemo discipline). Unlike the ivfpq memo the artifact is a
+    * plain k×dim codebook (no session-owned checkpoint blocks), but the
+    * key stays session-scoped so a refit under a new session is a fresh
+    * deterministic train, never a stale read. */
+  private val kmeansFitCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
+  private def kmeansFitMemo(s: SparkSession, d: String, k: Int): Array[Array[Double]] =
+    kmeansFitCache.computeIfAbsent(sessionKey(s, d), { _ =>
+      val e = emb(s, d).select(col("vec_id"), col("ed"))
+      graft.ops.KMeans.train(
+        e, "ed", graft.ops.KMeans.seedById(e, "vec_id", "ed", k, dim = 64), maxIters = 5)
+    })
+
 
   override def queries: Map[String, QFn] = Map(
     // L2 normalization (unit vectors) — first element + norm checked
@@ -426,16 +441,54 @@ object Similarity extends QueryModule {
     // cluster-id range, and objective improvement over the seed.
     "emb_kmeans" -> ((s, d) => {
       GraftFunctions.register(s)
-      val e = emb(s, d).select(col("vec_id"), col("ed"))
       val k = 8
-      val cents = graft.ops.KMeans.train(
-        e, "ed", graft.ops.KMeans.seedById(e, "vec_id", "ed", k, dim = 64), maxIters = 5)
-      val centLit = typedLit(cents.map(_.toSeq).toSeq)
-      e.withColumn("cluster",
+      val centLit = typedLit(kmeansFitMemo(s, d, k).map(_.toSeq).toSeq)
+      emb(s, d).select(col("vec_id"), col("ed"))
+        .withColumn("cluster",
           element_at(call_udf("pq_encode", col("ed"), centLit, lit(64), lit(k)), 1))
         .filter(col("cluster").isNotNull)
         .select(col("vec_id"), col("cluster"))
         .orderBy("vec_id")
+    }),
+
+    // CLUSTER-QUALITY REPORT beside emb_kmeans (the obs_* discipline —
+    // obs_ann_recall asks "is the index still accurate?", this asks "is
+    // the clustering MEANINGFUL?"): per cluster, member count, mean L2
+    // to the own centroid (compactness), distance to the nearest OTHER
+    // centroid (separation), and their Davies-Bouldin-style ratio.
+    // Shares the memoized fit with emb_kmeans (one Lloyd's run serves
+    // the pair — the ivfpq-fit discipline); compactness is ONE narrow
+    // assignment+distance pass and a k-row hash agg, separation is k×k
+    // driver arithmetic on the codebook — never corpus-sized. Output is
+    // k rows at any corpus scale. Oracle-exempt (trained centroids);
+    // SimilaritySpec pins the planted-cluster separation story and the
+    // report's structural invariants on the driver corpus.
+    "obs_cluster_quality" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val k = 8
+      val cents = kmeansFitMemo(s, d, k)
+      val centLit = typedLit(cents.map(_.toSeq).toSeq)
+      // nearest-other-centroid separation: pure driver math on k vectors
+      val sep = cents.indices.map { i =>
+        i -> cents.indices.filter(_ != i).map { j =>
+          math.sqrt(cents(i).zip(cents(j)).map { case (a, b) => (a - b) * (a - b) }.sum)
+        }.min
+      }
+      val sepLit = map(sep.flatMap { case (c, v) => Seq(lit(c), lit(v)) }: _*)
+      emb(s, d).select(col("ed"))
+        .withColumn("cluster",
+          element_at(call_udf("pq_encode", col("ed"), centLit, lit(64), lit(k)), 1))
+        .filter(col("cluster").isNotNull)
+        .withColumn("dist",
+          call_udf("l2_dist", col("ed"), element_at(centLit, col("cluster") + 1)))
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("n"), avg("dist").as("m"))
+        .withColumn("no", element_at(sepLit, col("cluster")))
+        .select(col("cluster"), col("n"),
+          round(col("m"), 6).as("mean_l2"),
+          round(col("no"), 6).as("nearest_other"),
+          round(col("m") / col("no"), 6).as("db_ratio"))
+        .orderBy("cluster")
     }),
 
     // PQ with TRAINED per-subspace codebooks: m independent seeded

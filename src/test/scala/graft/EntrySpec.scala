@@ -21,7 +21,7 @@ class EntrySpec extends SparkSpec {
   }
 
   test("all queries are distinct objects and total count matches COVERAGE.md") {
-    assert(SparkEntry.queries.size == 313, s"got ${SparkEntry.queries.size}")
+    assert(SparkEntry.queries.size == 315, s"got ${SparkEntry.queries.size}")
     assert(SparkEntry.oracleSql.size == 250, s"got ${SparkEntry.oracleSql.size}")
   }
 

@@ -346,6 +346,47 @@ class GraphSpec extends SparkSpec {
     assert(bt.filter(_._2 == "CORE").keySet == scc.filter(_._2 == coreId).keySet)
   }
 
+  // ------------------------------------------------- personalized pagerank
+
+  test("personalizedPageRank: exact scalar replay on a cycle; unreachable stays at 0") {
+    import spark.implicits._
+    // 0⇄1 with seed {0}; 7→8 is unreachable from the seed, so both must
+    // hold rank EXACTLY 0 (the sharp property global pagerank lacks)
+    val e = edgesOf(Seq((0L, 1L), (1L, 0L), (7L, 8L)))
+    val got = Graph.personalizedPageRank(e, Seq(0L).toDF("node"), iterations = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // scalar replay mirroring the plan's arithmetic shapes exactly
+    val d = 0.85
+    var (r0, r1, r7) = (1.0, 0.0, 0.0)
+    (1 to 10).foreach { _ =>
+      val dm = 1.0 - (r0 + r1 + r7) // out-edged nodes: 0, 1, 7
+      val n0 = (1 - d) * 1.0 + d * (r1 + dm * 1.0)
+      val n1 = (1 - d) * 0.0 + d * (r0 + dm * 0.0)
+      r0 = n0; r1 = n1; r7 = 0.0
+    }
+    assert(got(0L) == r0 && got(1L) == r1, s"got $got want ($r0, $r1)")
+    assert(got(7L) == 0.0 && got(8L) == 0.0, s"unreachable must be exactly 0: $got")
+  }
+
+  test("personalizedPageRank: seeds missing from the graph are ignored, mass conserved") {
+    import spark.implicits._
+    val e = edgesOf(Seq((0L, 1L), (1L, 0L)))
+    // phantom seed 99 must not leak teleport mass out of the graph
+    val got = Graph.personalizedPageRank(e, Seq(0L, 99L).toDF("node"), iterations = 6)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(got.values.sum - 1.0) < 1e-12, s"mass leaked: ${got.values.sum}")
+    assert(got(0L) > got(1L), "seed must out-rank the non-seed on a symmetric cycle")
+  }
+
+  test("graph_ppr driver key: deterministic, conserves permille mass, non-negative") {
+    val a = SparkEntry.queries("graph_ppr")(spark, sfDir).collect().toSeq
+    val b = SparkEntry.queries("graph_ppr")(spark, sfDir).collect().toSeq
+    assert(a == b, "ppr not deterministic across runs")
+    val vals = a.map(_.getDouble(1))
+    assert(vals.forall(_ >= 0.0))
+    assert(math.abs(vals.sum - 1000.0) < 0.01, s"permille mass ${vals.sum}")
+  }
+
   // --------------------------------------------------------------- k-core
 
   private def corenessMap(pairs: Seq[(Long, Long)]): Map[Long, Long] =

@@ -807,6 +807,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("MapPartitions"), "codec init must amortize per partition")
   }
 
+  test("emb_kmeans: assignment is one narrow codegen pass — no join, no window, no explode") {
+    val p = plan("emb_kmeans")
+    // the centroids ride as plan literals: a centroid JOIN or an argmin
+    // WINDOW in this plan would mean the 100 TB assignment pass shuffles
+    assert(!p.contains("Join") && !p.contains("Window") && !p.contains("Generate"),
+      "k-means assignment must stay map-side against literal centroids")
+    val exchangeOps = p.linesIterator.filter(_.trim.matches("""\(\d+\) Exchange.*""")).toSeq
+    assert(exchangeOps.size == 1 && p.contains("rangepartitioning"),
+      s"one range exchange (output sort) expected:\n${exchangeOps.mkString("\n")}")
+  }
+
   test("search_bm25_rank: stats ride as broadcasts, top-k avoids a global sort") {
     val df = SparkEntry.queries("search_bm25_rank")(spark, sfDir)
     df.collect()

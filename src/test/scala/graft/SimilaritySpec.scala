@@ -134,6 +134,38 @@ class SimilaritySpec extends SparkSpec {
     assert(cl.distinct.length > 1, "degenerate single-cluster fit")
   }
 
+  test("obs_cluster_quality: k-bounded report consistent with emb_kmeans; metric sane on planted data") {
+    val rep = SparkEntry.queries("obs_cluster_quality")(spark, sfDir).collect()
+    assert(rep.length <= 8 && rep.nonEmpty)
+    val sizes = rep.map(r => r.getAs[Int]("cluster") -> r.getAs[Long]("n")).toMap
+    // shared fit memo ⇒ the report's cluster sizes must equal the
+    // assignment table's group counts exactly
+    val fromAssign = SparkEntry.queries("emb_kmeans")(spark, sfDir).collect()
+      .groupBy(_.getAs[Int]("cluster")).view.mapValues(_.length.toLong).toMap
+    assert(sizes == fromAssign, s"report $sizes vs assignment $fromAssign")
+    rep.foreach { r =>
+      val (m, no, db) = (r.getAs[Double]("mean_l2"),
+        r.getAs[Double]("nearest_other"), r.getAs[Double]("db_ratio"))
+      assert(m >= 0.0 && no > 0.0, s"degenerate row $r")
+      assert(math.abs(db - m / no) < 1e-4, s"ratio drifted from its legs: $r")
+    }
+    // metric semantics on planted separated clusters: compactness must
+    // beat separation (the report's whole point is telling these apart)
+    val dim = 64
+    def axis(a: Int, i: Int): Seq[Double] =
+      (0 until dim).map(j => (if (j == a) 1.0 else 0.0) + (if (j == 20 + (i % 3)) 0.005 * i else 0.0))
+    val vecs = (0 until 30).map(i => (i.toLong, axis(if (i % 2 == 0) 0 else 1, i)))
+    val e = vecs.toDF("vec_id", "ed")
+    val cents = graft.ops.KMeans.train(e, "ed",
+      graft.ops.KMeans.seedById(e, "vec_id", "ed", k = 2, dim = dim), maxIters = 5)
+    def l2(a: Seq[Double], b: Seq[Double]): Double =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    val separation = l2(cents(0).toSeq, cents(1).toSeq)
+    val compactness = vecs.map { case (_, v) => cents.map(c => l2(v, c.toSeq)).min }.sum / vecs.size
+    assert(compactness < separation,
+      s"planted clusters must be compact vs separated: $compactness >= $separation")
+  }
+
   test("dedup_simhash_pairs recovers most planted near-dups via banding") {
     val pairs = SparkEntry.queries("dedup_simhash_pairs")(spark, sfDir)
       .as[(Long, Long)].collect().toSet
