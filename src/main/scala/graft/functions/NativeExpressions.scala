@@ -729,7 +729,8 @@ object GraftFunctions {
     "char_entropy" -> ((exprs: Seq[Expression]) => CharEntropyExpr(exprs.head)),
     "bloom_might_contain" -> ((exprs: Seq[Expression]) => BloomMightContainExpr(exprs(0), exprs(1))),
     "multi_contains" -> ((exprs: Seq[Expression]) => MultiContainsExpr(exprs(0), exprs(1))),
-    "bpe_piece_count" -> ((exprs: Seq[Expression]) => BpePieceCountExpr(exprs(0), exprs(1))))
+    "bpe_piece_count" -> ((exprs: Seq[Expression]) => BpePieceCountExpr(exprs(0), exprs(1))),
+    "heavy_hitters" -> ((exprs: Seq[Expression]) => MisraGriesAgg(exprs(0), exprs(1))))
 
   def register(spark: SparkSession): Unit = all.foreach { case (name, builder) =>
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "built-in")

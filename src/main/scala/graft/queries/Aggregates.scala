@@ -275,6 +275,29 @@ object Aggregates extends QueryModule {
         .orderBy("user_id")
     }),
 
+    // heavy hitters through the NATIVE Misra-Gries mergeable aggregate
+    // (functions/SketchAggregates.MisraGriesAgg — the repo's first
+    // TypedImperativeAggregate: a bounded-map summary whose
+    // decrement-on-overflow update genuinely can't be composed from
+    // built-ins the way the CMS/KMV cells are). One pass, map-side
+    // partials, ≤ capacity pairs per partition on the wire, final state
+    // capacity-bounded at any corpus size — the "which hosts dominate
+    // the crawl" one-pass answer. Capacity 2048 EXCEEDS the corpus's
+    // distinct-user count at every SF, so the summary is provably EXACT
+    // here and the full DuckDB oracle applies; the approximation
+    // guarantee at tight capacity (undercount ≤ n/(cap+1), guaranteed
+    // retention above it, partitioning-independence) is property-pinned
+    // in NativeExprSpec.
+    "agg_heavy_hitters" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      Tables.events(s, d)
+        .agg(expr("heavy_hitters(user_id, 2048)").as("hh"))
+        .select(explode(col("hh")).as("e"))
+        .select(col("e.key").as("user_id"), col("e.cnt").as("cnt"))
+        .orderBy(col("cnt").desc, col("user_id"))
+        .limit(20)
+    }),
+
     // CDC changelog compaction — last-writer-wins: an ordered op log
     // (I/U/D per key, seq = the change's position) collapses to the
     // final table state. The natural form is a per-key window (rank by
@@ -629,6 +652,12 @@ object Aggregates extends QueryModule {
     }}
 
   override def oracleSql: Map[String, String] = Map(
+    // capacity > distinct users at every SF ⇒ the Misra-Gries summary is
+    // exact and the plain GROUP BY replays it; tie-break (cnt desc,
+    // user_id asc) matches the aggregate's eval ordering
+    "agg_heavy_hitters" ->
+      ("SELECT user_id, CAST(count(*) AS BIGINT) AS cnt FROM events " +
+        "GROUP BY user_id ORDER BY cnt DESC, user_id LIMIT 20"),
     // struct max compares fields in order — the same (n, event_type)
     // lexicographic tie-break as the Spark side
     "agg_mode" ->

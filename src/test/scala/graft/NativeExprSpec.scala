@@ -635,4 +635,53 @@ class NativeExprSpec extends SparkSpec {
     assert(e3.getMessage.contains("literal"), e3.getMessage)
   }
 
+  // ------------------------------------------------- heavy_hitters (MG)
+
+  test("heavy_hitters: exact at ample capacity, equals GROUP BY under any partitioning") {
+    GraftFunctions.register(spark)
+    val rows = (0L until 20000L).map(i => i % 97) // 97 distinct, uniform-ish
+    def run(parts: Int): Seq[(Long, Long)] =
+      rows.toDF("k").repartition(parts)
+        .agg(expr("heavy_hitters(k, 128)").as("hh"))
+        .select(explode(col("hh")).as("e"))
+        .select(col("e.key"), col("e.cnt")).as[(Long, Long)].collect().toSeq
+    val exact = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val one = run(1)
+    assert(one.toMap == exact, "capacity 128 > 97 distinct must be exact")
+    assert(run(13) == one, "merge must be partitioning-independent on the exact path")
+    // eval ordering: count desc, key asc
+    assert(one == one.sortBy { case (k, c) => (-c, k) })
+  }
+
+  test("heavy_hitters: Misra-Gries bound at tight capacity — undercount ≤ n/(cap+1), hot keys retained") {
+    GraftFunctions.register(spark)
+    // skewed: keys 0..4 hot (2000 each), 500 singleton tail keys
+    val rows = (0L until 5L).flatMap(k => Seq.fill(2000)(k)) ++ (100L until 600L)
+    val n = rows.size
+    val cap = 8
+    val exact = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    Seq(1, 7).foreach { parts =>
+      val got = rows.toDF("k").repartition(parts)
+        .agg(expr(s"heavy_hitters(k, $cap)").as("hh"))
+        .select(explode(col("hh")).as("e"))
+        .select(col("e.key"), col("e.cnt")).as[(Long, Long)].collect().toMap
+      assert(got.size <= cap, s"state must stay capacity-bounded: ${got.size}")
+      got.foreach { case (k, c) =>
+        assert(c <= exact(k), s"parts=$parts: reported $c > true ${exact(k)} for $k")
+        assert(exact(k) - c <= n / (cap + 1),
+          s"parts=$parts: undercount ${exact(k) - c} breaks the n/(cap+1)=${n / (cap + 1)} bound")
+      }
+      (0L until 5L).foreach(k => assert(got.contains(k),
+        s"parts=$parts: hot key $k (freq 2000 > ${n / (cap + 1)}) must be retained"))
+    }
+  }
+
+  test("agg_heavy_hitters driver key matches the exact top-20 at sf0.001") {
+    val got = SparkEntry.queries("agg_heavy_hitters")(spark, sfDir)
+      .as[(Long, Long)].collect().toSeq
+    val want = Tables.events(spark, sfDir).groupBy("user_id").count()
+      .as[(Long, Long)].collect().sortBy { case (k, c) => (-c, k) }.take(20).toSeq
+    assert(got == want, s"got ${got.take(5)}... want ${want.take(5)}...")
+  }
+
 }

@@ -331,6 +331,23 @@ class SkewSpec extends SparkSpec {
       f"celebrity pagerank $ts%.1fs vs uniform $tu%.1fs")
   }
 
+  test("k-core with a celebrity node (30% of edges) stays near the uniform twin") {
+    // the H-operator's skew exposure is the per-node window sort: the
+    // celebrity's ~45k-neighbor rank runs inside ONE partition's sort.
+    // That is O(deg log deg) in a single task — the pin bounds it near
+    // the uniform twin instead of letting it quietly go quadratic.
+    val n = 150000L
+    val (cu, tu) = time(
+      graft.queries.Graph.coreness(edgeGraph(n, celebrity = false), maxIters = 300)
+        .agg(max("core")).as[Long].head())
+    val (cs, ts) = time(
+      graft.queries.Graph.coreness(edgeGraph(n, celebrity = true), maxIters = 300)
+        .agg(max("core")).as[Long].head())
+    assert(cu >= 1 && cs >= 1)
+    assert(ts <= math.max(6 * tu, tu + 15.0),
+      f"celebrity k-core $ts%.1fs vs uniform $tu%.1fs")
+  }
+
   test("sharded HNSW under cluster skew: wall-clock near the uniform twin, recall holds") {
     // the ANN skew shape: half the corpus collapses into ONE tight
     // cluster (near-duplicate embeddings — the crawl reality of
