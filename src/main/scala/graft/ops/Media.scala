@@ -900,6 +900,112 @@ object Media {
     meta.map(m => m.copy(animated = animated, nFrames = if (animated) nFrames else 1))
   }
 
+  // ------------------------------------------------------- image (ICO)
+
+  final case class IcoMeta(kind: String, nImages: Int, maxW: Int, maxH: Int,
+      has256: Boolean, bpp: Int)
+
+  /** Minimal VALID ICO/CUR — fixture builder for [[icoMeta]]: ICONDIR
+    * header + one ICONDIRENTRY per (w, h, bpp) with stub image payloads
+    * at correct offsets. Width/height bytes encode 256 as 0 per spec. */
+  def icoFixture(kind: String, entries: Seq[(Int, Int, Int)]): Array[Byte] = {
+    require(kind == "ICO" || kind == "CUR", s"bad kind $kind")
+    require(entries.nonEmpty && entries.forall { case (w, h, _) =>
+      w >= 1 && w <= 256 && h >= 1 && h <= 256 }, "dims must be in [1,256]")
+    val out = new ByteArrayOutputStream()
+    def u16le(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def u32le(v: Int): Unit = { u16le(v & 0xffff); u16le((v >>> 16) & 0xffff) }
+    u16le(0); u16le(if (kind == "ICO") 1 else 2); u16le(entries.size)
+    val stub = Array[Byte](1, 2, 3, 4) // payload bytes are opaque to the walk
+    var off = 6 + 16 * entries.size
+    entries.foreach { case (w, h, bpp) =>
+      out.write(if (w == 256) 0 else w)
+      out.write(if (h == 256) 0 else h)
+      out.write(0); out.write(0) // palette count, reserved
+      u16le(1); u16le(bpp)
+      u32le(stub.length); u32le(off)
+      off += stub.length
+    }
+    entries.foreach(_ => out.write(stub))
+    out.toByteArray
+  }
+
+  /** ICO/CUR container walk (the classic favicon format — every crawl
+    * sees millions of `/favicon.ico` fetches): kind + image count off
+    * ICONDIR, per-entry dims (0 byte = 256) and bit depth off the
+    * ICONDIRENTRY table; reports the LARGEST entry (what a renderer
+    * picks) and whether a 256-px entry exists. The exifMeta discipline:
+    * junk / a bad header / truncation mid-table degrade to None or the
+    * entries parsed so far, never a throw. */
+  def icoMeta(bytes: Array[Byte]): Option[IcoMeta] = {
+    if (bytes.length < 6) return None
+    def u16le(at: Int): Int = (bytes(at) & 0xff) | ((bytes(at + 1) & 0xff) << 8)
+    if (u16le(0) != 0) return None
+    val kind = u16le(2) match {
+      case 1 => "ICO"; case 2 => "CUR"; case _ => return None
+    }
+    val declared = u16le(4)
+    if (declared == 0) return None
+    var (n, maxW, maxH, bpp, has256) = (0, 0, 0, 0, false)
+    var i = 6
+    while (n < declared && i + 16 <= bytes.length) {
+      val w = if ((bytes(i) & 0xff) == 0) 256 else bytes(i) & 0xff
+      val h = if ((bytes(i + 1) & 0xff) == 0) 256 else bytes(i + 1) & 0xff
+      if (w.toLong * h > maxW.toLong * maxH) { maxW = w; maxH = h; bpp = u16le(i + 6) }
+      if (w == 256 || h == 256) has256 = true
+      n += 1
+      i += 16
+    }
+    if (n == 0) None else Some(IcoMeta(kind, n, maxW, maxH, has256, bpp))
+  }
+
+  // -------------------------------------------------------- image (SVG)
+
+  final case class SvgMeta(width: Option[Int], height: Option[Int],
+      vbW: Option[Int], vbH: Option[Int], nPaths: Int)
+
+  /** deterministic SVG document — real XML text with the attribute
+    * shapes in the wild: width/height present or viewBox-only, and a
+    * body of `<path>` elements */
+  def svgFixture(w: Int, h: Int, withWH: Boolean, nPaths: Int): Array[Byte] = {
+    val wh = if (withWH) s"""width="${w}px" height="$h" """ else ""
+    val paths = (0 until nPaths)
+      .map(i => s"""<path d="M0 0L$i $i"/>""").mkString("\n  ")
+    (s"""<?xml version="1.0" encoding="UTF-8"?>
+       |<!-- crawl fixture -->
+       |<svg xmlns="http://www.w3.org/2000/svg" $wh viewBox="0 0 $w $h">
+       |  $paths
+       |</svg>
+       |""".stripMargin).getBytes("UTF-8")
+  }
+
+  /** SVG metadata off the document TEXT (SVG is XML — the one image
+    * format a crawl parses as markup): declared width/height (absent in
+    * the viewBox-only idiom — kept as None, not guessed), the viewBox
+    * extent, and the `<path>` element count as a complexity proxy. A
+    * tolerant tag scan, not a full XML parse — a truncated or
+    * junk-ridden document degrades to None/partial like every other
+    * mm_* walker. Only integral px values are reported (unit suffixes
+    * beyond px and fractional sizes degrade to None — never a guess). */
+  def svgMeta(bytes: Array[Byte]): Option[SvgMeta] = {
+    val text = new String(bytes, 0, math.min(bytes.length, 64 * 1024), "UTF-8")
+    val root = "(?s)<svg\\b[^>]*>".r.findFirstIn(text).getOrElse(return None)
+    def attr(name: String): Option[String] =
+      (name + "\\s*=\\s*\"([^\"]*)\"").r.findFirstMatchIn(root).map(_.group(1))
+    def px(v: String): Option[Int] = {
+      val s = v.trim.stripSuffix("px").trim
+      if (s.nonEmpty && s.forall(_.isDigit)) Some(s.toInt) else None
+    }
+    val vb = attr("viewBox").map(_.trim.split("\\s+")).filter(_.length == 4)
+    SvgMeta(
+      attr("width").flatMap(px), attr("height").flatMap(px),
+      vb.flatMap(a => px(a(2))), vb.flatMap(a => px(a(3))),
+      "<path\\b".r.findAllIn(text).size) match {
+      case SvgMeta(None, None, None, None, 0) => None // nothing recovered
+      case m => Some(m)
+    }
+  }
+
   // ------------------------------------------------------- video (GIF89a)
 
   /** a multi-frame animated GIF: nFrames solid-color w×h frames written

@@ -584,6 +584,52 @@ object Multimodal extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // ICO container walk (the favicon format — every crawl fetches
+    // millions of /favicon.ico): ICONDIR header + per-entry dims/bpp
+    // table, reporting the largest entry and the 256-px flag; the parse
+    // is the real work, the oracle replays the id arithmetic
+    "mm_ico_meta" -> ((s, d) => {
+      import s.implicits._
+      Tables.t(s, d, "documents")
+        .filter(col("doc_id") % 4 === 1)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val n = 1 + (id % 3).toInt
+            val dims = (0 until n).map(i => 16 * (1 + ((id + i) % 4).toInt))
+            val entries = dims.zipWithIndex.map { case (wh, i) =>
+              if (i == 0 && id % 5 == 0) (256, 256, 32) else (wh, wh, 32)
+            }
+            val m = graft.ops.Media.icoMeta(graft.ops.Media.icoFixture("ICO", entries)).get
+            (id, m.kind, m.nImages, m.maxW, m.maxH, m.has256, m.bpp)
+          }
+        }
+        .toDF("doc_id", "kind", "n_images", "max_w", "max_h", "has_256", "bpp")
+        .orderBy("doc_id")
+    }),
+
+    // SVG metadata off the document TEXT (the one image format a crawl
+    // parses as markup): declared width/height — absent in the
+    // viewBox-only idiom, kept NULL rather than guessed — the viewBox
+    // extent, and the <path> count as a complexity proxy
+    "mm_svg_meta" -> ((s, d) => {
+      import s.implicits._
+      Tables.t(s, d, "documents")
+        .filter(col("doc_id") % 4 === 3)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val (w, h) = (10 * (1 + (id % 20).toInt), 10 * (1 + (id % 15).toInt))
+            val bytes = graft.ops.Media.svgFixture(
+              w, h, withWH = id % 3 != 0, nPaths = 1 + (id % 5).toInt)
+            val m = graft.ops.Media.svgMeta(bytes).get
+            (id, m.width, m.height, m.vbW, m.vbH, m.nPaths)
+          }
+        }
+        .toDF("doc_id", "width", "height", "vb_w", "vb_h", "n_paths")
+        .orderBy("doc_id")
+    }),
+
     // REAL multi-frame decode: payload is an animated GIF written by the
     // JDK sequence writer; the frame count is recovered by the GIF reader
     // walking image descriptors in the byte stream (not from a side
@@ -853,6 +899,32 @@ object Multimodal extends QueryModule {
         "(doc_id % 5 = 1) AS animated, " +
         "CAST(CASE WHEN doc_id % 5 = 1 THEN 2 + (doc_id // 5) % 4 ELSE 1 END AS INT) AS n_frames " +
         "FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id"),
+    // the largest-entry pick replayed via an unrolled greatest over the
+    // ≤3-entry series; the 256-sentinel arm overrides it
+    "mm_ico_meta" ->
+      ("SELECT doc_id, 'ICO' AS kind, " +
+        "CAST(1 + doc_id % 3 AS INT) AS n_images, " +
+        "CAST(CASE WHEN doc_id % 5 = 0 THEN 256 " +
+        "WHEN doc_id % 3 = 0 THEN 16 * (1 + doc_id % 4) " +
+        "WHEN doc_id % 3 = 1 THEN greatest(16 * (1 + doc_id % 4), 16 * (1 + (doc_id + 1) % 4)) " +
+        "ELSE greatest(16 * (1 + doc_id % 4), 16 * (1 + (doc_id + 1) % 4), 16 * (1 + (doc_id + 2) % 4)) " +
+        "END AS INT) AS max_w, " +
+        "CAST(CASE WHEN doc_id % 5 = 0 THEN 256 " +
+        "WHEN doc_id % 3 = 0 THEN 16 * (1 + doc_id % 4) " +
+        "WHEN doc_id % 3 = 1 THEN greatest(16 * (1 + doc_id % 4), 16 * (1 + (doc_id + 1) % 4)) " +
+        "ELSE greatest(16 * (1 + doc_id % 4), 16 * (1 + (doc_id + 1) % 4), 16 * (1 + (doc_id + 2) % 4)) " +
+        "END AS INT) AS max_h, " +
+        "(doc_id % 5 = 0) AS has_256, " +
+        "CAST(32 AS INT) AS bpp " +
+        "FROM documents WHERE doc_id % 4 = 1 ORDER BY doc_id"),
+    "mm_svg_meta" ->
+      ("SELECT doc_id, " +
+        "CASE WHEN doc_id % 3 = 0 THEN NULL ELSE CAST(10 * (1 + doc_id % 20) AS INT) END AS width, " +
+        "CASE WHEN doc_id % 3 = 0 THEN NULL ELSE CAST(10 * (1 + doc_id % 15) AS INT) END AS height, " +
+        "CAST(10 * (1 + doc_id % 20) AS INT) AS vb_w, " +
+        "CAST(10 * (1 + doc_id % 15) AS INT) AS vb_h, " +
+        "CAST(1 + doc_id % 5 AS INT) AS n_paths " +
+        "FROM documents WHERE doc_id % 4 = 3 ORDER BY doc_id"),
     "mm_video_frames" ->
       ("SELECT doc_id, CAST(1 + doc_id % 24 AS INT) AS n_frames, " +
         "CAST(frame_no AS INT) AS frame_no, CAST(4 AS INT) AS frame_w FROM (" +

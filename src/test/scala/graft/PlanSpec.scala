@@ -818,6 +818,16 @@ class PlanSpec extends SparkSpec {
       s"one range exchange (output sort) expected:\n${exchangeOps.mkString("\n")}")
   }
 
+  test("agg_heavy_hitters: the MG summary combines MAP-SIDE (partial ObjectHashAggregate)") {
+    val p = plan("agg_heavy_hitters")
+    // a TypedImperativeAggregate plans as ObjectHashAggregate; the
+    // partial mode is the whole scale story — without it every raw row
+    // crosses the wire instead of ≤ capacity pairs per partition
+    assert(p.contains("ObjectHashAggregate"), "summary must plan as ObjectHashAggregate")
+    assert(p.contains("partial_heavy_hitters") || p.contains("partial heavy_hitters"),
+      "partial (map-side) aggregation must precede the exchange")
+  }
+
   test("search_bm25_rank: stats ride as broadcasts, top-k avoids a global sort") {
     val df = SparkEntry.queries("search_bm25_rank")(spark, sfDir)
     df.collect()
