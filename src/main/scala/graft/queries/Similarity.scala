@@ -76,7 +76,9 @@ object Similarity extends QueryModule {
   private val kmeansFitCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
   private def kmeansFitMemo(s: SparkSession, d: String, k: Int): Array[Array[Double]] =
-    kmeansFitCache.computeIfAbsent(sessionKey(s, d), { _ =>
+    // k rides the cache key: a future caller with a different k must
+    // refit, not silently read the first caller's codebook
+    kmeansFitCache.computeIfAbsent(sessionKey(s, d) + s":k=$k", { _ =>
       val e = emb(s, d).select(col("vec_id"), col("ed"))
       graft.ops.KMeans.train(
         e, "ed", graft.ops.KMeans.seedById(e, "vec_id", "ed", k, dim = 64), maxIters = 5)
