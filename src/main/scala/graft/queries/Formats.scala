@@ -2,7 +2,7 @@ package graft.queries
 
 
 import graft.{Cdx, QueryModule}
-import graft.formats.{CdxSink, Warc, ZipNum}
+import graft.formats.{CdxSink, Har, Warc, ZipNum}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -16,6 +16,39 @@ import org.apache.spark.sql.functions._
 object Formats extends QueryModule {
 
   private def o(sql: String): String = Cdx.duckCte + sql
+
+  /** deterministic capture projection of `documents` feeding the HAR
+    * round-trip pair — every field closed-form in doc_id so the DuckDB
+    * oracle can replay the whole chain */
+  private def harCaptures(s: SparkSession, d: String): DataFrame =
+    graft.Tables.t(s, d, "documents").select(
+      concat(lit("har-"), col("doc_id") % 4).as("shard"),
+      concat(lit("http://site-"), col("doc_id") % 7,
+        lit(".example.org/doc/"), col("doc_id")).as("url"),
+      concat(lit("20260101"),
+        lpad(expr("CAST(doc_id DIV 3600 % 24 AS STRING)"), 2, "0"),
+        lpad(expr("CAST(doc_id DIV 60 % 60 AS STRING)"), 2, "0"),
+        lpad(expr("CAST(doc_id % 60 AS STRING)"), 2, "0")).as("ts"),
+      lit("GET").as("method"),
+      when(col("doc_id") % 10 === 0, 404)
+        .when(col("doc_id") % 10 === 1, 301)
+        .otherwise(200).cast("int").as("status"),
+      when(col("doc_id") % 2 === 0, "text/html")
+        .otherwise("application/json").as("mime"),
+      encode(col("text"), "UTF-8").as("payload"),
+      (col("doc_id") % 3 === 0).as("b64"))
+
+  private val harTsDuck =
+    "'20260101' || lpad(CAST(doc_id // 3600 % 24 AS VARCHAR), 2, '0') || " +
+      "lpad(CAST(doc_id // 60 % 60 AS VARCHAR), 2, '0') || " +
+      "lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0')"
+
+  private val harFieldsDuck =
+    s"$harTsDuck AS ts, " +
+      "CAST(CASE WHEN doc_id % 10 = 0 THEN 404 WHEN doc_id % 10 = 1 THEN 301 " +
+      "ELSE 200 END AS INT) AS status, " +
+      "CASE WHEN doc_id % 2 = 0 THEN 'text/html' ELSE 'application/json' END AS mime, " +
+      "CAST(n_chars AS BIGINT) AS n_chars"
 
   // DuckDB fragments for the scan_sitemap oracle, one-to-one with
   // graft.ops.Sitemap: block-tag extract, whitespace strip (all of \s,
@@ -280,6 +313,50 @@ object Formats extends QueryModule {
         .option("rowTag", "doc").option("rootTag", "docs").xml(dir)
       s.read.schema("doc_id LONG, lang STRING, source STRING, n_chars LONG")
         .option("rowTag", "doc").xml(dir)
+        .orderBy("doc_id")
+    }),
+
+    // HAR round trip — the devtools/proxy capture export (HTTP Archive
+    // 1.2, the format har2warc converts into WARC in the webrecorder
+    // ecosystem): documents render as capture entries through the
+    // hand-built JSON writer (formats/Har — full string escaping,
+    // deterministic entry order, one .har per shard), read back through
+    // the INDEPENDENT from_json parser. Binary responses ride the
+    // base64 arm (doc_id%3==0), text responses inline — so the oracle
+    // exercises escaping AND base64 on real document text.
+    "scan_har" -> ((s, d) => {
+      val dir = tmp(d, "docs_har")
+      Har.write(harCaptures(s, d), dir)
+      Har.scan(s, dir + "/*.har")
+        .select(
+          regexp_extract(col("url"), "/doc/(\\d+)$", 1).cast("long").as("doc_id"),
+          col("ts"), col("method"), col("status"), col("mime"),
+          length(decode(col("payload"), "UTF-8")).cast("long").as("n_chars"))
+        .orderBy("doc_id")
+    }),
+
+    // HAR → WARC conversion (the har2warc shape): the SAME capture
+    // relation crosses from the HAR stack into the WARC stack — scan
+    // the .har session files, hand the rows to WarcSink, re-read
+    // through the independent WARC member scan. The oracle is identical
+    // to scan_har's, so losing or mangling anything in the conversion
+    // (status, mime, payload bytes, timestamp) hash-fails.
+    "pipeline_har2warc" -> ((s, d) => {
+      val harDir = tmp(d, "docs_har2warc_in")
+      val warcDir = tmp(d, "docs_har2warc_out")
+      Har.write(harCaptures(s, d), harDir)
+      val captures = Har.scan(s, harDir + "/*.har")
+        .select(
+          regexp_replace(substring_index(col("har_file"), "/", -1), "\\.har$", "")
+            .as("shard"),
+          col("url"), col("ts"), col("status"), col("mime"), col("payload"))
+      graft.formats.WarcSink.write(captures, warcDir)
+      Warc.scan(s, warcDir + "/*.warc.gz")
+        .filter(col("record_type") === "response")
+        .select(
+          regexp_extract(col("url"), "/doc/(\\d+)$", 1).cast("long").as("doc_id"),
+          col("ts"), col("status"), col("mime"),
+          length(decode(col("payload"), "UTF-8")).cast("long").as("n_chars"))
         .orderBy("doc_id")
     }),
 
@@ -1375,6 +1452,12 @@ object Formats extends QueryModule {
     "scan_text_lines" -> o(s"SELECT $lineExprDuck AS value FROM cdx ORDER BY value"),
     "scan_jsonl" ->
       "SELECT doc_id, lang, source, n_chars FROM documents ORDER BY doc_id",
+    "scan_har" ->
+      (s"SELECT doc_id, $harFieldsDuck, 'GET' AS method " +
+        "FROM documents ORDER BY doc_id"),
+    "pipeline_har2warc" ->
+      (s"SELECT doc_id, $harFieldsDuck " +
+        "FROM documents ORDER BY doc_id"),
     "scan_csv" ->
       "SELECT doc_id, lang, source, n_chars FROM documents ORDER BY doc_id",
     "scan_xml" ->
