@@ -415,6 +415,25 @@ object Llm extends QueryModule {
             "ELSE stop_hits * 10 >= n_units END AS keep")
         .orderBy("doc_id")),
 
+    // the DATA CARD a training-corpus release publishes (the
+    // datasheets-for-datasets practice, public): per language —
+    // document count, token total, mean document length, distinct
+    // payload count and the exact-dup fraction. ONE hash aggregation
+    // over documents (the digest distinct-count rides the same agg);
+    // the report is |langs| rows at any corpus size — the per-release
+    // observability twin of obs_pipeline_counters.
+    "obs_corpus_card" -> ((s, d) =>
+      Tables.t(s, d, "documents")
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(graft.ops.Text.wordCount(col("text")).cast("long")).as("total_tokens"),
+          round(avg(col("n_chars")), 6).as("mean_chars"),
+          countDistinct(md5(col("text"))).as("n_unique"),
+          round((count(lit(1)) - countDistinct(md5(col("text")))).cast("double") /
+            count(lit(1)), 6).as("dup_frac"))
+        .orderBy("lang")),
+
     // token counting: whitespace tokens + a chars/4 BPE-style estimate
     "text_token_count" -> ((s, d) =>
       Tables.t(s, d, "documents")
@@ -1203,6 +1222,14 @@ object Llm extends QueryModule {
     "text_token_count" ->
       (s"SELECT doc_id, len($tokensDuck) AS ws_tokens, " +
         "CAST(ceil(length(text) / 4.0) AS BIGINT) AS bpe_est FROM documents ORDER BY doc_id"),
+    // md5 hex agrees between engines, so the distinct-payload legs match
+    "obs_corpus_card" ->
+      (s"SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, " +
+        s"CAST(sum(len($tokensDuck)) AS BIGINT) AS total_tokens, " +
+        "round(avg(n_chars), 6) AS mean_chars, " +
+        "CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique, " +
+        "round((count(*) - count(DISTINCT md5(text)))::DOUBLE / count(*), 6) AS dup_frac " +
+        "FROM documents GROUP BY lang ORDER BY lang"),
     // per-language lists + the zh char path, derived from the SAME
     // mlStopLists/mlZhChars the Spark side reads
     "text_quality_multilang" ->
