@@ -11,6 +11,58 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggreg
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StructField, StructType}
 
+/** The Misra-Gries kernel itself, shared between the batch aggregate
+  * ([[MisraGriesAgg]]) and the streaming processor
+  * (`StreamOps.HeavyHittersProcessor`) — ONE definition of the update /
+  * merge / wire format, so the two surfaces cannot drift. */
+object MisraGries {
+
+  /** decrement-on-overflow update (Misra & Gries 1982) */
+  def update(buf: mutable.HashMap[Long, Long], k: Long, capacity: Int): Unit =
+    buf.get(k) match {
+      case Some(c) => buf.update(k, c + 1)
+      case None if buf.size < capacity => buf.update(k, 1L)
+      case None =>
+        val dead = buf.iterator.collect { case (key, 1L) => key }.toList
+        buf.mapValuesInPlace((_, c) => c - 1)
+        dead.foreach(buf.remove)
+    }
+
+  /** pairwise-sum then subtract-(capacity+1)-th-largest (Agarwal et al.
+    * PODS 2012) — preserves the n/(capacity+1) bound across merges */
+  def merge(buf: mutable.HashMap[Long, Long],
+      other: mutable.HashMap[Long, Long], capacity: Int): Unit = {
+    other.foreach { case (k, c) => buf.update(k, buf.getOrElse(k, 0L) + c) }
+    if (buf.size > capacity) {
+      val counts = buf.values.toArray
+      java.util.Arrays.sort(counts)
+      val sub = counts(counts.length - capacity - 1)
+      val dead = buf.iterator.collect { case (key, c) if c <= sub => key }.toList
+      buf.mapValuesInPlace((_, c) => c - sub)
+      dead.foreach(buf.remove)
+    }
+  }
+
+  /** deterministic report order: count desc, key asc */
+  def top(buf: mutable.HashMap[Long, Long]): Array[(Long, Long)] =
+    buf.toArray.sortBy { case (k, c) => (-c, k) }
+
+  def serialize(buf: mutable.HashMap[Long, Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 16 * buf.size)
+    bb.putInt(buf.size)
+    buf.foreach { case (k, c) => bb.putLong(k); bb.putLong(c) }
+    bb.array()
+  }
+
+  def deserialize(bytes: Array[Byte]): mutable.HashMap[Long, Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = mutable.HashMap.empty[Long, Long]
+    (0 until n).foreach(_ => buf.update(bb.getLong, bb.getLong))
+    buf
+  }
+}
+
 /** Misra-Gries heavy hitters as a native MERGEABLE aggregate — the
   * repo's first [[TypedImperativeAggregate]], because this summary
   * genuinely cannot be composed from built-ins the way the CMS / KMV /
@@ -68,58 +120,25 @@ case class MisraGriesAgg(
   override def update(
       buf: mutable.HashMap[Long, Long], input: InternalRow): mutable.HashMap[Long, Long] = {
     val v = child.eval(input)
-    if (v != null) {
-      val k = v.asInstanceOf[Long]
-      buf.get(k) match {
-        case Some(c) => buf.update(k, c + 1)
-        case None if buf.size < capacity => buf.update(k, 1L)
-        case None =>
-          // decrement-all: retires this row plus one count from each
-          // tracked key — the classic n/(capacity+1) error budget
-          val dead = buf.iterator.collect { case (key, 1L) => key }.toList
-          buf.mapValuesInPlace((_, c) => c - 1)
-          dead.foreach(buf.remove)
-      }
-    }
+    if (v != null) MisraGries.update(buf, v.asInstanceOf[Long], capacity)
     buf
   }
 
   override def merge(
       buf: mutable.HashMap[Long, Long],
       other: mutable.HashMap[Long, Long]): mutable.HashMap[Long, Long] = {
-    other.foreach { case (k, c) => buf.update(k, buf.getOrElse(k, 0L) + c) }
-    if (buf.size > capacity) {
-      // subtract the (capacity+1)-th largest count, drop what hits ≤ 0:
-      // exactly capacity (or fewer) survivors, error bound preserved
-      val counts = buf.values.toArray
-      java.util.Arrays.sort(counts)
-      val sub = counts(counts.length - capacity - 1)
-      val dead = buf.iterator.collect { case (key, c) if c <= sub => key }.toList
-      buf.mapValuesInPlace((_, c) => c - sub)
-      dead.foreach(buf.remove)
-    }
+    MisraGries.merge(buf, other, capacity)
     buf
   }
 
-  override def eval(buf: mutable.HashMap[Long, Long]): Any = {
-    val sorted = buf.toArray.sortBy { case (k, c) => (-c, k) }
-    new GenericArrayData(sorted.map { case (k, c) => InternalRow(k, c) })
-  }
+  override def eval(buf: mutable.HashMap[Long, Long]): Any =
+    new GenericArrayData(MisraGries.top(buf).map { case (k, c) => InternalRow(k, c) })
 
-  override def serialize(buf: mutable.HashMap[Long, Long]): Array[Byte] = {
-    val bb = ByteBuffer.allocate(4 + 16 * buf.size)
-    bb.putInt(buf.size)
-    buf.foreach { case (k, c) => bb.putLong(k); bb.putLong(c) }
-    bb.array()
-  }
+  override def serialize(buf: mutable.HashMap[Long, Long]): Array[Byte] =
+    MisraGries.serialize(buf)
 
-  override def deserialize(bytes: Array[Byte]): mutable.HashMap[Long, Long] = {
-    val bb = ByteBuffer.wrap(bytes)
-    val n = bb.getInt
-    val buf = mutable.HashMap.empty[Long, Long]
-    (0 until n).foreach(_ => buf.update(bb.getLong, bb.getLong))
-    buf
-  }
+  override def deserialize(bytes: Array[Byte]): mutable.HashMap[Long, Long] =
+    MisraGries.deserialize(bytes)
 
   override def withNewMutableAggBufferOffset(newOffset: Int): MisraGriesAgg =
     copy(mutableAggBufferOffset = newOffset)

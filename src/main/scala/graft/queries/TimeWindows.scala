@@ -234,6 +234,24 @@ object TimeWindows extends QueryModule {
         .orderBy("host", "status_class")
     }),
 
+    // per-group Misra-Gries heavy hitters as CONTINUOUS state (one
+    // capacity-bounded summary per event_type, folded forward batch
+    // after batch — the SAME kernel as the agg_heavy_hitters batch
+    // aggregate, so the streaming and batch surfaces share one
+    // definition; see HeavyHittersProcessor). Capacity exceeds the
+    // corpus's distinct users, so the batch-run summary is exact and
+    // the top-10-per-group oracle is a plain window over GROUP BY.
+    "stream_heavy_hitters" -> ((s, d) => {
+      import s.implicits._
+      val in = Tables.events(s, d)
+        .select(col("event_type").as("group"), col("user_id").as("k"))
+        .as[graft.streaming.StreamOps.HHIn]
+      graft.streaming.StreamOps.heavyHitters(in, capacity = 2048, topN = 10)
+        .toDF()
+        .select(col("group").as("event_type"), col("key").as("user_id"), col("cnt"))
+        .orderBy(col("event_type"), col("cnt").desc, col("user_id"))
+    }),
+
     // the politeness planner as CONTINUOUS state (ValueState = one long
     // per host, the last granted slot; see PolitenessProcessor): the
     // streaming twin of crawl_politeness, sharing its closed-form oracle
@@ -648,6 +666,14 @@ object TimeWindows extends QueryModule {
     "stream_late_policy" ->
       ("SELECT event_id, user_id FROM events " +
         "WHERE ts >= (SELECT max(ts) - INTERVAL 1 HOUR FROM events) ORDER BY event_id"),
+    // capacity > distinct users ⇒ the folded summary is exact; tie-break
+    // (cnt desc, user_id asc) matches the kernel's top() ordering
+    "stream_heavy_hitters" ->
+      ("SELECT event_type, user_id, cnt FROM (" +
+        "SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS cnt, " +
+        "row_number() OVER (PARTITION BY event_type ORDER BY count(*) DESC, user_id) AS rn " +
+        "FROM events GROUP BY event_type, user_id) " +
+        "WHERE rn <= 10 ORDER BY event_type, cnt DESC, user_id"),
     "stream_dedup" ->
       "SELECT event_id, user_id, event_type FROM events ORDER BY event_id",
     "win_range_frame" ->

@@ -371,6 +371,56 @@ object StreamOps {
       .transformWithState(new FrontierProcessor(ttl), TimeMode.None(), OutputMode.Append())
   }
 
+  // ---- per-group Misra-Gries heavy hitters as CONTINUOUS state ----
+
+  final case class HHIn(group: String, k: Long)
+  final case class HHOut(group: String, key: Long, cnt: Long)
+
+  /** Per-group heavy hitters as CONTINUOUS state: each group carries a
+    * capacity-bounded Misra-Gries summary (the SAME kernel the batch
+    * `heavy_hitters` aggregate runs — [[graft.functions.MisraGries]],
+    * one definition so the two surfaces cannot drift), folded forward
+    * batch after batch, emitting the current top-`topN` per group on
+    * every update. State is ≤ capacity (key, count) pairs per group
+    * FOREVER — the property that makes an all-time "who dominates this
+    * host/type" dashboard affordable where an exact GROUP BY's state
+    * grows with distinct keys. Exact while a group's distinct keys fit
+    * the capacity; past it, the n/(capacity+1) undercount bound holds
+    * per group (the batch aggregate's property suite covers the bound;
+    * StreamingSpec pins cross-batch fold == one-shot here). */
+  def heavyHitters(
+      in: Dataset[HHIn], capacity: Int, topN: Int): Dataset[HHOut] = {
+    import in.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    ensureStateStoreCoordinator(in.sparkSession)
+    in.groupByKey(_.group)
+      .transformWithState(
+        new HeavyHittersProcessor(capacity, topN), TimeMode.None(), OutputMode.Update())
+  }
+
+  final class HeavyHittersProcessor(capacity: Int, topN: Int)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[String, HHIn, HHOut] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+
+    @transient private var mg: ValueState[Array[Byte]] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      mg = getHandle.getValueState[Array[Byte]]("mg", Encoders.BINARY, TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: String, inputRows: Iterator[HHIn],
+        timerValues: TimerValues): Iterator[HHOut] = {
+      val buf = Option(mg.get())
+        .map(graft.functions.MisraGries.deserialize)
+        .getOrElse(scala.collection.mutable.HashMap.empty[Long, Long])
+      inputRows.foreach(r => graft.functions.MisraGries.update(buf, r.k, capacity))
+      mg.update(graft.functions.MisraGries.serialize(buf))
+      graft.functions.MisraGries.top(buf).take(topN).iterator
+        .map { case (k, c) => HHOut(key, k, c) }
+    }
+  }
+
   // ---- event-time-timer session flush (arbitrary state v2 TIMERS) ----
 
   final case class TimedEvent(user_id: Long, ts: java.sql.Timestamp)

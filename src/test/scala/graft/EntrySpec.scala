@@ -21,8 +21,8 @@ class EntrySpec extends SparkSpec {
   }
 
   test("all queries are distinct objects and total count matches COVERAGE.md") {
-    assert(SparkEntry.queries.size == 321, s"got ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 256, s"got ${SparkEntry.oracleSql.size}")
+    assert(SparkEntry.queries.size == 322, s"got ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 257, s"got ${SparkEntry.oracleSql.size}")
   }
 
   test("ledgers cover every driver key; the plan list names only real keys") {

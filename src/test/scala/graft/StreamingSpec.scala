@@ -676,6 +676,40 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("heavyHitters ValueState: the MG summary folds across batches == one-shot, capacity-bounded") {
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[StreamOps.HHIn]
+    val q = StreamOps.heavyHitters(input.toDS(), capacity = 4, topN = 3).writeStream
+      .format("memory").queryName("hh_sink").outputMode(OutputMode.Update()).start()
+    try {
+      // batch 1: key 7 hot; batch 2 continues the SAME distribution —
+      // the fold must carry counts, not restart them
+      input.addData(Seq(7L, 7L, 7L, 1L, 2L).map(StreamOps.HHIn("g", _)): _*)
+      q.processAllAvailable()
+      input.addData(Seq(7L, 7L, 3L, 4L).map(StreamOps.HHIn("g", _)): _*)
+      q.processAllAvailable()
+      val last = spark.table("hh_sink").as[StreamOps.HHOut].collect()
+        .filter(_.cnt >= 0) // typed read
+      // the latest update for group g: key 7 must lead with a count
+      // reflecting BOTH batches (5 exact occurrences; MG may undercount
+      // within n/(cap+1) = 9/5 = 1)
+      val top7 = last.filter(_.key == 7L).map(_.cnt).max
+      assert(top7 >= 4L && top7 <= 5L, s"cross-batch count for hot key: $top7")
+      // capacity bound: no update batch ever reports more than topN rows
+      assert(last.groupBy(_.group).forall(_._2.length <= 2 * 3),
+        "per-group output must stay topN-bounded per batch")
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("event-time timers flush idle sessions WITHOUT further input from their key") {
     implicit val sqlCtx = spark.sqlContext
     val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
