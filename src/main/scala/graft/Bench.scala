@@ -55,6 +55,17 @@ object Bench {
   /** upper median of the sorted successful samples */
   private[graft] def median(sorted: Seq[Double]): Double = sorted(sorted.size / 2)
 
+  /** idle-reference parser, extracted so BenchSpec can pin BOTH JSON
+    * spellings: Bench itself writes "k":v, but the round-15 splice
+    * committed bench_local32.json as "k": v (colon-space) and the old
+    * no-whitespace regex silently matched NOTHING — every query landed in
+    * no_ref, disabling the rerun-keep-minimum protocol and the ratio
+    * stats for the whole round-15 driver run. */
+  private[graft] def parseRefs(txt: String): Map[String, Double] =
+    "\"([a-z0-9_]+)\"\\s*:\\s*([0-9][0-9.eE+-]*)".r.findAllMatchIn(txt)
+      .map(m => m.group(1) -> m.group(2).toDouble)
+      .filter { case (k, _) => k != "value" }.toMap
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -131,11 +142,8 @@ object Bench {
     // minimum, so one load spike can't masquerade as a 12× regression. A
     // real regression stays slow on the rerun and is still reported.
     val refs: Map[String, Double] = try {
-      val txt = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get("bench_local32.json")), "UTF-8")
-      "\"([a-z0-9_]+)\":([0-9][0-9.eE+-]*)".r.findAllMatchIn(txt)
-        .map(m => m.group(1) -> m.group(2).toDouble)
-        .filter { case (k, _) => k != "value" }.toMap
+      parseRefs(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("bench_local32.json")), "UTF-8"))
     } catch { case _: Throwable => Map.empty }
     val reran = scala.collection.mutable.ListBuffer[String]()
     // A query ABSENT from the idle reference (i.e. new this round) can

@@ -40,6 +40,35 @@ object Tables {
     }
   }
 
+  /** Scale-adaptive scan fan-out (optimization guide §2.5 "input skew:
+    * one huge unsplittable file … repartition immediately after the
+    * read"). The driver's test tables are single-file, single-row-group
+    * parquet, so EVERY scan is exactly one task and a CPU-dense map-side
+    * projection (regex HTML parsing, per-row codecs, text scoring)
+    * serializes onto 1 of N cores until the first exchange. At 100 TB the
+    * same table is thousands of splits and this helper is the IDENTITY —
+    * the guard is the number of input files feeding the frame, not a
+    * local-mode constant. `inputFiles` only consults the already-built
+    * FileIndex (no Spark job, no codegen of the discarded subtree — an
+    * `rdd.getNumPartitions` probe would compile the physical plan twice).
+    *
+    * Keyed form (`keys` non-empty) hash-partitions — deterministic under
+    * task retry with no sort-before-repartition cost; callers pass a
+    * high-cardinality column (doc_id, id). Keyless falls back to
+    * round-robin (deterministic here: parquet input order is fixed and
+    * sortBeforeRepartition is on by default).
+    *
+    * ONLY for keys whose result is partition-layout-independent (no
+    * sample()/rand()/monotonically_increasing_id downstream) and whose
+    * final orderBy is total — both re-checked against the DuckDB oracle
+    * for every key this touched in round 15. */
+  def fanOut(df: DataFrame, keys: org.apache.spark.sql.Column*): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.inputFiles.length >= target) df
+    else if (keys.nonEmpty) df.repartition(target, keys: _*)
+    else df.repartition(target)
+  }
+
   /** Epoch-µs of the events `ts` column — ONE definition of the idiom
     * (the explicit CAST makes the extraction exact whether ts decoded as
     * TIMESTAMP or TIMESTAMP_NTZ; the session TZ is pinned UTC, so the

@@ -289,7 +289,7 @@ object Curation extends QueryModule {
           .otherwise(concat(lit("<a href='./x/../up/"),
             (col("doc_id") % 6).cast("string"), lit(".html'>Up</a>"))),
         lit("</p></body></html>"))
-      Tables.t(s, d, "documents")
+      Tables.fanOut(Tables.t(s, d, "documents"), col("doc_id"))
         .select(col("doc_id"),
           posexplode(graft.ops.Html.links(page, base)))
         .select(col("doc_id"), col("pos").cast("bigint").as("pos"),

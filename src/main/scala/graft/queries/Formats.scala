@@ -246,7 +246,11 @@ object Formats extends QueryModule {
     // newline text scan incl. transparent .gz (zipnumclusterjob.py §mapper)
     "scan_text_lines" -> ((s, d) => {
       val dir = tmp(d, "text_gz")
-      cdxLines(s, d).coalesce(4)
+      // repartition, not coalesce: coalesce(4) of the single-split scan
+      // STAYS one partition (coalesce only merges), so line rendering +
+      // gzip ran on one core; the hash exchange fans the write out to 4
+      // gzip tasks (output stays 4 files — guide §6 file sizing)
+      cdxLines(s, d).repartition(4, col("line"))
         .write.mode("overwrite").option("compression", "gzip").text(dir)
       s.read.text(dir).orderBy("value")
     }),
@@ -494,6 +498,11 @@ object Formats extends QueryModule {
       Cdx.df(s, d)
         .withColumn("seg", split_part(col("filename"), lit("/"), lit(2)))
         .selectExpr("seg", s"$lineExprSpark AS line")
+        // one task per segment instead of one task writing all 8 segment
+        // dirs serially (the single-split scan input): the seg hash
+        // exchange makes the dynamic-partition write 8-way parallel and
+        // each seg dir still gets exactly one gzip file
+        .repartition(col("seg"))
         .write.mode("overwrite").partitionBy("seg").option("compression", "gzip").text(dir)
       // read the base DIR (exists before analysis), not a "seg=*" glob:
       // Spark 4's hybrid analyzer logs a spurious first-pass

@@ -35,7 +35,7 @@ object Llm extends QueryModule {
     * would divide 0/0: NaN on Spark, NULL on DuckDB, a guaranteed
     * verify mismatch), so the two set-similarity queries cannot drift. */
   private def consecutiveTokenPairs(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.t(s, d, "documents")
+    val docs = Tables.fanOut(Tables.t(s, d, "documents"), col("doc_id"))
       .select(col("doc_id"), array_distinct(tokens(col("text"))).as("toks"))
     val a = docs.select(col("doc_id"), col("toks").as("toks_a"))
     val b = docs.select((col("doc_id") - 1).as("doc_id"), col("toks").as("toks_b"))
@@ -92,7 +92,9 @@ object Llm extends QueryModule {
   private def bpeMerges(s: SparkSession, d: String): Seq[graft.ops.Bpe.Merge] =
     bpeCache.computeIfAbsent(d, _ =>
       graft.ops.Bpe.train(
-        graft.ops.Bpe.wordFreq(Tables.t(s, d, "documents"), "text"), nMerges = 24))
+        graft.ops.Bpe.wordFreq(
+          Tables.fanOut(Tables.t(s, d, "documents"), col("doc_id")), "text"),
+        nMerges = 24))
 
   /** documents ∪ re-keyed copy of every 5th doc — gives the dedup
     * operators real duplicates to find (the base table is all-distinct). */
@@ -215,7 +217,7 @@ object Llm extends QueryModule {
         .withColumn("doc_id", col("doc_id") + 200000L)
         // perturb: drop the first token — high but non-exact overlap
         .withColumn("text", expr("substring(text, instr(text, ' ') + 1)"))
-      val corpus = Tables.t(s, d, "documents").unionByName(nearDup)
+      val corpus = Tables.fanOut(Tables.t(s, d, "documents").unionByName(nearDup), col("doc_id"))
       graft.ops.Dedup.minhashCandidates(corpus, "doc_id", "text",
           nHashes = 16, bands = 4, shingleSize = 3)
         .orderBy("a", "b")
@@ -238,7 +240,7 @@ object Llm extends QueryModule {
         .filter(col("doc_id") % 7 === 0)
         .withColumn("doc_id", col("doc_id") + 200000L)
         .withColumn("text", expr("substring(text, instr(text, ' ') + 1)"))
-      val corpus = Tables.t(s, d, "documents").unionByName(nearDup)
+      val corpus = Tables.fanOut(Tables.t(s, d, "documents").unionByName(nearDup), col("doc_id"))
       val pairs = graft.ops.Dedup.minhashCandidates(corpus, "doc_id", "text",
         nHashes = 16, bands = 4, shingleSize = 3)
       // the exact leg must replay the KERNEL's tokenization (sketchTokens
@@ -285,7 +287,7 @@ object Llm extends QueryModule {
         .filter(col("doc_id") % 7 === 0)
         .withColumn("doc_id", col("doc_id") + 300000L)
         .withColumn("text", expr("substring(text, instr(text, ' ') + 1)"))
-      val corpus = Tables.t(s, d, "documents").unionByName(nearDup)
+      val corpus = Tables.fanOut(Tables.t(s, d, "documents").unionByName(nearDup), col("doc_id"))
       graft.ops.Dedup.winnowCandidates(corpus, "doc_id", "text", k = 3, w = 4)
         .orderBy("a", "b")
     }),
@@ -299,7 +301,7 @@ object Llm extends QueryModule {
     // the plan, LlmSpec pins probe pairs == the full-batch path's
     // cross pairs). Oracle-exempt (xxhash64, like dedup_fuzzy_minhash).
     "dedup_incremental_minhash" -> ((s, d) => {
-      val docs = Tables.t(s, d, "documents")
+      val docs = Tables.fanOut(Tables.t(s, d, "documents"), col("doc_id"))
       // same catalog/warehouse hygiene as join_bucketed_colocated
       val wh = new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir"))
       val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -325,7 +327,7 @@ object Llm extends QueryModule {
     // == the full-batch winnowCandidates cross pairs + the exchange-free
     // index side.
     "dedup_incremental_winnow" -> ((s, d) => {
-      val docs = Tables.t(s, d, "documents")
+      val docs = Tables.fanOut(Tables.t(s, d, "documents"), col("doc_id"))
       val wh = new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir"))
       val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
       s.sql("DROP TABLE IF EXISTS graft_winnow_index")
@@ -377,7 +379,7 @@ object Llm extends QueryModule {
     // convention (trained model, libm log); ClassifierSpec pins
     // planted-language recovery ≥0.9 on held-out docs.
     "text_lang_id_trained" -> ((s, d) => {
-      val docs = Tables.t(s, d, "documents")
+      val docs = Tables.fanOut(Tables.t(s, d, "documents"), col("doc_id"))
       val model = graft.ops.LangId.train(docs.where(col("doc_id") % 5 =!= 0))
       graft.ops.LangId.infer(docs, model).orderBy("doc_id")
     }),
@@ -540,7 +542,7 @@ object Llm extends QueryModule {
     // broadcast single row, so the plan is two hash aggs + one equi join
     // — no collect, no global window — and scales linearly in tokens.
     "text_tfidf" -> ((s, d) => {
-      val docs = Tables.t(s, d, "documents")
+      val docs = Tables.fanOut(Tables.t(s, d, "documents"), col("doc_id"))
       val terms = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       val docFreq = terms.distinct().groupBy("term").agg(count(lit(1)).as("df"))
@@ -789,7 +791,7 @@ object Llm extends QueryModule {
         .filter(col("doc_id") % 7 === 0)
         .withColumn("doc_id", col("doc_id") + 400000L)
         .withColumn("text", expr("substring(text, instr(text, ' ') + 1)"))
-      val corpus = Tables.t(s, d, "documents").unionByName(nearDup)
+      val corpus = Tables.fanOut(Tables.t(s, d, "documents").unionByName(nearDup), col("doc_id"))
       graft.Pipeline.curateCorpus(corpus, exactThreshold = true).orderBy("cluster_id")
     }),
 
@@ -889,7 +891,8 @@ object Llm extends QueryModule {
     // = doc_id % 5 != 0 (the held-out fifth never touches training).
     "text_quality_train" -> ((s, d) => {
       import s.implicits._
-      val docs = Tables.t(s, d, "documents").where(col("doc_id") % 5 =!= 0)
+      val docs = Tables.fanOut(
+        Tables.t(s, d, "documents"), col("doc_id")).where(col("doc_id") % 5 =!= 0)
       val labels = docs.select(col("doc_id"),
         (size(filter(tokens(col("text")), t => t === "fast")) >
           size(filter(tokens(col("text")), t => t === "slow"))).cast("int").as("y"))
@@ -1082,7 +1085,8 @@ object Llm extends QueryModule {
     // per-doc piece counts + the compression diagnostic a
     // tokenizer-training run reports
     "text_bpe_encode" -> ((s, d) =>
-      graft.ops.Bpe.encode(Tables.t(s, d, "documents"), "doc_id", "text",
+      graft.ops.Bpe.encode(
+        Tables.fanOut(Tables.t(s, d, "documents"), col("doc_id")), "doc_id", "text",
           bpeMerges(s, d).map(m => (m.left, m.right)))
         .withColumn("compression", round(
           col("n_chars_tok").cast("double") / greatest(col("n_pieces"), lit(1)), 6))

@@ -314,7 +314,8 @@ object Similarity extends QueryModule {
         .filter(col("doc_id") % 11 === 0)
         .withColumn("doc_id", col("doc_id") + 300000L)
         .withColumn("text", expr("substring(text, instr(text, ' ') + 1)"))
-      val corpus = Tables.t(s, d, "documents").unionByName(nearDup)
+      val corpus = Tables.fanOut(
+        Tables.t(s, d, "documents").unionByName(nearDup), col("doc_id"))
       graft.ops.Dedup.simhashCandidates(
           graft.ops.Dedup.simhash64Native(corpus, "doc_id", "text"), bands = 4)
         .orderBy("a", "b")

@@ -32,6 +32,19 @@ class BenchSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(!Bench.suspicious(refs, touched ++ Set("fast_q"), "fast_q", 0.9))
   }
 
+  test("parseRefs reads both JSON spellings (compact and colon-space)") {
+    // Bench writes "k":v; the round-15 splice committed the reference as
+    // "k": v — the old no-whitespace regex matched nothing and silently
+    // disabled the rerun protocol for a whole driver run. Pin both.
+    val compact = """{"value":1.5,"queries":{"agg_mode":0.25,"sort_global":1.2}}"""
+    val spaced = """{"value": 1.5, "queries": {"agg_mode": 0.25, "sort_global": 1.2}}"""
+    val want = Map("agg_mode" -> 0.25, "sort_global" -> 1.2)
+    assert((Bench.parseRefs(compact) - "n_queries") == want)
+    assert((Bench.parseRefs(spaced) - "n_queries") == want)
+    // the headline total must never masquerade as a query reference
+    assert(!Bench.parseRefs(spaced).contains("value"))
+  }
+
   test("unreferenced (new) query: the absolute 20s guard triggers") {
     assert(!Bench.suspicious(refs, none, "new_q", 19.0))
     assert(Bench.suspicious(refs, none, "new_q", 20.5))

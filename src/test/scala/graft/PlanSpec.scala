@@ -532,11 +532,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("UDF("), "no Scala UDF may remain on the encode path")
     assert(p.linesIterator.exists(l => l.contains("bpe_piece_count") && l.contains("*(")),
       s"BPE segmentation must sit inside a codegen'd (starred) operator:\n$p")
-    // map-side only below the final presentation sort: encoding itself
-    // must not shuffle (the plan's only exchange is the orderBy's range
-    // partitioning over the tiny per-doc stats output)
-    assert(!p.contains("Exchange hashpartitioning"),
-      s"encode must not hash-shuffle the corpus:\n$p")
+    // encoding itself must not shuffle: beyond the orderBy's range
+    // partitioning, the only allowed exchange is the r15 scan fan-out
+    // (Tables.fanOut — doc_id hash, identity at scale), which sits BELOW
+    // the kernel; no aggregate/join may shuffle the corpus
+    val hashEx = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(hashEx.forall(_.contains("doc_id")),
+      s"only the doc_id scan fan-out may hash-shuffle:\n$p")
   }
 
   test("join_dpp_partitioned: the fact scan dynamically prunes to the 8 weekend partitions") {
@@ -627,9 +629,14 @@ class PlanSpec extends SparkSpec {
 
   test("html_links: extraction is map-side; the single Generate is the output posexplode") {
     val p = plan("html_links")
+    // two exchanges: the r15 scan fan-out (doc_id hash — Tables.fanOut,
+    // identity at scale) below the extraction, plus the output range sort
     val exchangeOps = p.linesIterator.filter(_.trim.matches("""\(\d+\) Exchange.*""")).toSeq
-    assert(exchangeOps.size == 1 && p.contains("rangepartitioning"),
-      s"one range exchange (output sort) expected:\n${exchangeOps.mkString("\n")}")
+    assert(exchangeOps.size <= 2 && p.contains("rangepartitioning"),
+      s"fan-out hash + output range sort expected:\n${exchangeOps.mkString("\n")}")
+    assert(p.linesIterator.filter(_.contains("Exchange hashpartitioning"))
+      .forall(_.contains("doc_id")),
+      s"only the doc_id scan fan-out may hash-shuffle:\n$p")
     val gens = p.linesIterator.count(_.trim.matches("""\(\d+\) Generate.*"""))
     assert(gens == 1, s"exactly the output posexplode may Generate, got $gens")
     assert(!p.contains("HashAggregate") && !p.contains("Join"),

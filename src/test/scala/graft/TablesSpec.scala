@@ -45,6 +45,31 @@ class TablesSpec extends SparkSpec {
       Seq((1L, 1700000000000000L), (2L, 1700000123456789L)))
   }
 
+  test("fanOut: single-file scan spreads to defaultParallelism, content unchanged") {
+    val docs = Tables.t(spark, sfDir, "documents")
+    val fanned = Tables.fanOut(docs, col("doc_id"))
+    // the driver parquet is one file (< defaultParallelism), so the
+    // fan-out must fire and yield exactly defaultParallelism partitions
+    assert(docs.inputFiles.length < spark.sparkContext.defaultParallelism)
+    assert(fanned.rdd.getNumPartitions == spark.sparkContext.defaultParallelism)
+    // same multiset of rows — the fan-out is content-invariant
+    assert(fanned.count() == docs.count())
+    assert(fanned.exceptAll(docs).isEmpty && docs.exceptAll(fanned).isEmpty)
+  }
+
+  test("fanOut: identity when the scan already has enough input files") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_fanout_many").toString
+    val n = spark.sparkContext.defaultParallelism
+    (0L until 64L).toDF("id").repartition(n)
+      .write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+    assert(df.inputFiles.length >= n, "fixture must have >= parallelism files")
+    // eq: fanOut must return the SAME frame, not a repartitioned copy —
+    // at 100 TB (thousands of splits) the helper is the identity
+    assert(Tables.fanOut(df, col("id")) eq df)
+  }
+
   test("every driver table loads with rows at sf0.001 (regeneration canary)") {
     // the driver regenerated the testdata mid-round-6 with a changed
     // events encoding; this canary makes the NEXT regeneration fail a
