@@ -200,7 +200,7 @@ object Formats extends QueryModule {
   private def waczCorpus(s: SparkSession, d: String): String =
     sharedBuild(waczCache, "wacz_shared", s, d)(newDir =>
       graft.formats.Wacz.write(
-        Cdx.df(s, d).where(col("record_type") === "response")
+        graft.Tables.fanOut(Cdx.df(s, d), col("id")).where(col("record_type") === "response")
           .selectExpr("filename AS shard", "urlkey", "url", "ts", "status",
             "mime",
             "CAST(concat('payload:', urlkey, '@', ts) AS BINARY) AS payload",
@@ -215,7 +215,7 @@ object Formats extends QueryModule {
   private def waczCollCorpus(s: SparkSession, d: String): String =
     sharedBuild(waczCollCache, "waczcoll_shared", s, d)(newDir =>
       graft.formats.Wacz.write(
-        Cdx.df(s, d).where(col("record_type") === "response")
+        graft.Tables.fanOut(Cdx.df(s, d), col("id")).where(col("record_type") === "response")
           .selectExpr(
             "regexp_extract(filename, 'seg-[0-9]+', 0) AS collection",
             "filename AS shard", "urlkey", "url", "ts", "status", "mime",
@@ -888,7 +888,7 @@ object Formats extends QueryModule {
     "sink_warc_segmented" -> ((s, d) => {
       val dir = tmp(d, "warc_segmented_write")
       graft.formats.WarcSink.write(
-        Cdx.df(s, d).where(col("record_type") === "response")
+        graft.Tables.fanOut(Cdx.df(s, d), col("id")).where(col("record_type") === "response")
           .selectExpr("filename AS shard", "url", "ts", "status", "mime",
             "CAST(CASE WHEN id % 5 = 0 THEN repeat(concat('seg-', id, '-'), 40) " +
               "ELSE concat('small-', id) END AS BINARY) AS payload"),
@@ -1044,7 +1044,8 @@ object Formats extends QueryModule {
     "sink_warc_cdx" -> ((s, d) => {
       val dir = tmp(d, "warc_cdx")
       CdxSink.writePerWarc(
-        Cdx.df(s, d).selectExpr("filename", s"$lineExprSpark AS line"), dir)
+        graft.Tables.fanOut(Cdx.df(s, d), col("id"))
+          .selectExpr("filename", s"$lineExprSpark AS line"), dir)
       // dir path + pathGlobFilter, not a "*.cdx.gz" glob path — same
       // spurious-first-pass-resolution note as sink_text_gz
       s.read.option("pathGlobFilter", "*.cdx.gz").text(dir)
@@ -1076,7 +1077,7 @@ object Formats extends QueryModule {
     "sink_warc_write" -> ((s, d) => {
       val dir = tmp(d, "warc_write")
       graft.formats.WarcSink.write(
-        Cdx.df(s, d).where(col("record_type") === "response")
+        graft.Tables.fanOut(Cdx.df(s, d), col("id")).where(col("record_type") === "response")
           .selectExpr("filename AS shard", "url", "ts", "status", "mime",
             "CAST(concat('payload:', urlkey, '@', ts) AS BINARY) AS payload"),
         dir)
@@ -1095,7 +1096,7 @@ object Formats extends QueryModule {
     "sink_warc_zst_write" -> ((s, d) => {
       val dir = tmp(d, "warc_write_zst")
       graft.formats.WarcSink.write(
-        Cdx.df(s, d).where(col("record_type") === "response")
+        graft.Tables.fanOut(Cdx.df(s, d), col("id")).where(col("record_type") === "response")
           .selectExpr("filename AS shard", "url", "ts", "status", "mime",
             "CAST(concat('payload:', urlkey, '@', ts) AS BINARY) AS payload"),
         dir, codec = "zstd")
@@ -1132,7 +1133,8 @@ object Formats extends QueryModule {
       // arm): a digest-less capture must pass through as a stored
       // response — a bare equi-join on a nullable key would silently
       // DROP it from the written corpus (null keys never equi-join)
-      val base = Cdx.df(s, d).where(col("record_type") === "response")
+      val base = graft.Tables.fanOut(Cdx.df(s, d), col("id"))
+        .where(col("record_type") === "response")
         .selectExpr("filename AS shard", "url", "ts", "status", "mime", "id",
           "coalesce(digest, ' null:' || id) AS cdigest",
           "CAST(concat('payload:', coalesce(digest, CAST(id AS STRING))) AS BINARY) AS payload")
@@ -1184,7 +1186,7 @@ object Formats extends QueryModule {
     "sink_wet" -> ((s, d) => {
       val dir = tmp(d, "wet_write")
       graft.formats.WarcSink.writeWet(
-        Cdx.df(s, d).where(col("record_type") === "response")
+        graft.Tables.fanOut(Cdx.df(s, d), col("id")).where(col("record_type") === "response")
           .selectExpr("filename AS shard", "url", "ts",
             "concat('wet text of capture ', id, ' at ', urlkey) AS text"),
         dir)
@@ -1205,7 +1207,7 @@ object Formats extends QueryModule {
     "sink_wat" -> ((s, d) => {
       val dir = tmp(d, "wat_write")
       graft.formats.WarcSink.writeWat(
-        Cdx.df(s, d).where(col("record_type") === "response")
+        graft.Tables.fanOut(Cdx.df(s, d), col("id")).where(col("record_type") === "response")
           .selectExpr("filename AS shard", "url", "ts",
             "concat('Title ', id % 100) AS title",
             "filter(array(concat('http://dst.example.org/', id % 50), " +
@@ -1229,7 +1231,7 @@ object Formats extends QueryModule {
     "sink_wat_headers" -> ((s, d) => {
       val dir = tmp(d, "wat_headers_write")
       graft.formats.WarcSink.writeWat(
-        Cdx.df(s, d).where(col("record_type") === "response")
+        graft.Tables.fanOut(Cdx.df(s, d), col("id")).where(col("record_type") === "response")
           .selectExpr("filename AS shard", "url", "ts",
             "concat('Title ', id % 100) AS title",
             "array(concat('http://dst.example.org/', id % 50)) AS dsts",
@@ -1348,7 +1350,8 @@ object Formats extends QueryModule {
       // so two processes on data dirs sharing a basename would mutate
       // ONE directory another invocation is glob-reading mid-publish
       val dir = tmp(d, s"wacz_publish_${keyTag(sessionKey(s, d))}")
-      val base = Cdx.df(s, d).where(col("record_type") === "response")
+      val base = graft.Tables.fanOut(Cdx.df(s, d), col("id"))
+        .where(col("record_type") === "response")
       val deduped = base.groupBy("digest")
         .agg(min_by(
           struct(col("filename"), col("urlkey"), col("url"), col("ts"),
@@ -1406,6 +1409,10 @@ object Formats extends QueryModule {
           "regexp_extract(filename, 'seg-[0-9]+', 0) AS crawl",
           "CASE WHEN record_type IN ('response', 'revisit') THEN 'warc' " +
             "ELSE 'crawldiagnostics' END AS subset")
+        // one task per (crawl, subset) cell instead of one task writing
+        // all 16 cell dirs serially off the single-split scan; each cell
+        // still lands as one zstd parquet file (guide §6 file sizing)
+        .repartition(col("crawl"), col("subset"))
         .write.mode("overwrite").partitionBy("crawl", "subset")
         .option("compression", "zstd").parquet(dir)
       s.read.parquet(dir)

@@ -383,29 +383,42 @@ object Graph extends QueryModule {
     // outer rounds), and skipping a per-batch re-checkpoint saves one job
     // per peel/trim on the hot loop
     var out: DataFrame = null
+    // remaining-node count rides settle's own checkpoint (observe idiom)
+    // so the outer loop's emptiness checks stop costing a probe job each
+    var remCount = -1L
     def settle(batch: DataFrame): Unit = {
       out = if (out == null) batch else out.unionByName(batch)
-      remNodes = remNodes.join(batch.select("v"), Seq("v"), "left_anti").localCheckpoint()
+      val obs = org.apache.spark.sql.Observation()
+      remNodes = remNodes.join(batch.select("v"), Seq("v"), "left_anti")
+        .observe(obs, count(lit(1)).as("n"))
+        .localCheckpoint()
+      remCount = obs.get("n").asInstanceOf[Long]
       remEdges = remEdges
         .join(remNodes.select(col("v").as("src")), Seq("src"), "left_semi")
         .join(remNodes.select(col("v").as("dst")), Seq("dst"), "left_semi")
         .localCheckpoint()
     }
+    def remEmptyNow(): Boolean =
+      if (remCount >= 0) remCount == 0L else remNodes.isEmpty
     var outer = 0
     var remEmpty = remNodes.isEmpty
     while (!remEmpty && outer < maxOuter) {
       var trimming = true
       while (trimming) {
+        // emptiness probe folded into the checkpoint (observe idiom) —
+        // the checkpointed frame still feeds settle when non-empty
+        val obs = org.apache.spark.sql.Observation()
         val trimmed = remNodes
           .join(remEdges.select(col("src").as("v")).distinct(), Seq("v"), "left_anti")
           .unionByName(remNodes
             .join(remEdges.select(col("dst").as("v")).distinct(), Seq("v"), "left_anti"))
           .distinct()
-          .localCheckpoint() // consumed by BOTH the isEmpty probe and settle
-        if (trimmed.isEmpty) trimming = false
+          .observe(obs, count(lit(1)).as("n"))
+          .localCheckpoint()
+        if (obs.get("n").asInstanceOf[Long] == 0L) trimming = false
         else settle(trimmed.select(col("v"), col("v").as("scc")))
       }
-      remEmpty = remNodes.isEmpty
+      remEmpty = remEmptyNow()
       if (!remEmpty) {
         // f(v) = max id reaching v; b(v) = max id v reaches (the same
         // primitive over reversed edges). f(v) = b(v) = d ⟺ d ⇝ v and
@@ -423,7 +436,7 @@ object Graph extends QueryModule {
         // scc id = min member, the CC convention (roots are SCC MAXIMA)
         val ids = members.groupBy("root").agg(min("v").as("scc"))
         settle(members.join(ids, "root").select("v", "scc").localCheckpoint())
-        remEmpty = remNodes.isEmpty
+        remEmpty = remEmptyNow()
       }
       outer += 1
     }
@@ -534,11 +547,16 @@ object Graph extends QueryModule {
     var frontier = reached
     var done = frontier.isEmpty
     while (!done) {
+      // the emptiness probe rides the SAME action as the frontier's
+      // checkpoint (observe(), the maxReachLabel idiom) — one job per
+      // round instead of checkpoint + a separate isEmpty job
+      val obs = org.apache.spark.sql.Observation()
       val next = edges.join(frontier.withColumnRenamed("node", "src"), Seq("tag", "src"))
         .select(col("tag"), col("dst").as("node")).distinct()
         .join(reached, Seq("tag", "node"), "left_anti")
+        .observe(obs, count(lit(1)).as("n"))
         .localCheckpoint()
-      if (next.isEmpty) done = true
+      if (obs.get("n").asInstanceOf[Long] == 0L) done = true
       else {
         reached = reached.unionByName(next).localCheckpoint()
         frontier = next
@@ -588,13 +606,22 @@ object Graph extends QueryModule {
     var round = 0
     while (changed > 0 && round < maxIters) {
       val w = Window.partitionBy("v").orderBy(col("hn").desc, col("n"))
+      // the convergence count rides the SAME action as the round's
+      // checkpoint (observe() on the materializing plan — the
+      // maxReachLabel idiom): one job per round instead of a checkpoint
+      // job plus a separate join+count job. The prev join is node-sized
+      // (broadcast); every v in the aggregate exists in est, so the
+      // inner join drops nothing and h values are unchanged.
+      val obs = org.apache.spark.sql.Observation()
       val next = nbr
         .join(est.select(col("v").as("n"), col("h").as("hn")), "n")
         .withColumn("r", row_number().over(w))
         .groupBy("v").agg(max(least(col("hn"), col("r"))).as("h"))
-        .localCheckpoint()
-      changed = next.join(est.withColumnRenamed("h", "prev"), "v")
-        .filter(col("h") =!= col("prev")).count()
+        .join(est.withColumnRenamed("h", "prev"), "v")
+        .observe(obs, count(when(col("h") =!= col("prev"), 1)).as("changed"))
+        .select("v", "h")
+        .localCheckpoint() // materializes -> the observation is harvested
+      changed = obs.get("changed").asInstanceOf[Long]
       est = next
       round += 1
     }
@@ -619,12 +646,16 @@ object Graph extends QueryModule {
     var hop = 1
     var done = false
     while (hop <= maxHops && !done) {
+      // emptiness probe folded into the checkpoint action (observe — the
+      // maxReachLabel idiom): one job per hop, not two
+      val obs = org.apache.spark.sql.Observation()
       val next = ec.join(frontier.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node")).distinct()
         .join(dist.select("node"), Seq("node"), "left_anti")
         .withColumn("dist", lit(hop))
+        .observe(obs, count(lit(1)).as("n"))
         .localCheckpoint()
-      if (next.isEmpty) done = true
+      if (obs.get("n").asInstanceOf[Long] == 0L) done = true
       else {
         dist = dist.unionByName(next).localCheckpoint()
         frontier = next.select("node")
@@ -682,6 +713,10 @@ object Graph extends QueryModule {
       val merged = contrib.groupBy("node")
         .agg(hll_union_agg(col("sketch"), lit(false)).as("sketch"))
         .withColumn("est", hll_sketch_estimate(col("sketch")))
+      // the "any counter changed?" early-exit probe rides the SAME action
+      // as the round's checkpoint (observe idiom) — one job per round
+      // instead of checkpoint + a separate isEmpty job on the filter
+      val obs = org.apache.spark.sql.Observation()
       state = merged
         .join(state.select(col("node"), col("sketch").as("prev_sketch"),
           col("est").as("prev"), col("harmonic")), "node")
@@ -696,10 +731,11 @@ object Graph extends QueryModule {
         // conservatively-true flag only costs rounds, never correctness)
         .withColumn("changed", not(col("sketch") <=> col("prev_sketch")))
         .select("node", "sketch", "est", "harmonic", "changed")
+        .observe(obs, count(when(col("changed"), 1)).as("n_changed"))
         .localCheckpoint()
       active = state.where(col("changed")).select("node", "sketch")
       // bounded driver scalar (the bfsHops early-exit discipline)
-      if (active.isEmpty) done = true
+      if (obs.get("n_changed").asInstanceOf[Long] == 0L) done = true
       r += 1
     }
     state.select(col("node"), col("est").as("ball_size"), col("harmonic"))
