@@ -40,7 +40,23 @@ object Cdx {
     * record_type, digest, length, filename, redirect, robotflags.
     */
   def df(spark: SparkSession, dir: String): DataFrame =
-    Tables.t(spark, dir, "orders").selectExpr(
+    derive(Tables.t(spark, dir, "orders"))
+
+  /** [[df]] with the scale-adaptive scan fan-out UNDER the derivation:
+    * wrapping the derived frame in [[Tables.fanOut]] leaves the derive
+    * Project below the exchange (Catalyst never pulls a Project above a
+    * repartition), so the regex/sha2/date_format work would still run in
+    * the single scan task. Fanning the RAW orders read first puts the
+    * derivation on every core. For the CPU-heavy consumers (sink
+    * round-trips, cluster builds) whose results are partition-independent;
+    * identity at scale like fanOut itself. */
+  def dfFan(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    derive(Tables.fanOut(Tables.t(spark, dir, "orders"), col("o_orderkey")))
+  }
+
+  private def derive(base: DataFrame): DataFrame =
+    base.selectExpr(
       "o_orderkey AS id",
       "lower(regexp_replace(split_part(o_orderpriority, '-', 2), '[^A-Za-z]', '')) AS hostword",
       "'/order/' || (o_orderkey % 1000) AS path",

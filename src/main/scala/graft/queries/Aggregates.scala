@@ -114,7 +114,8 @@ object Aggregates extends QueryModule {
     // agg_approx_distinct: exact count + rel err ride along.
     "agg_kmv_distinct" -> ((s, d) => {
       val k = 64
-      val hashes = Cdx.df(s, d).select(col("hostword"),
+      val cdx = Cdx.dfFan(s, d)
+      val hashes = cdx.select(col("hostword"),
         conv(substring(md5(concat(col("urlkey"), lit(":kmv"))), 1, 8), 16, 10)
           .cast("bigint").as("h"))
         .distinct()
@@ -125,7 +126,7 @@ object Aggregates extends QueryModule {
         .filter(col("rn") <= k)
         .groupBy("hostword")
         .agg(count(lit(1)).as("n_in_sketch"), max("h").as("h_k"))
-      val exact = Cdx.df(s, d).groupBy("hostword")
+      val exact = cdx.groupBy("hostword")
         .agg(countDistinct("urlkey").as("exact_urlkeys"))
       sketch.join(exact, "hostword")
         // floor, not round: CAST(double AS BIGINT) is round-half-even on
@@ -163,7 +164,7 @@ object Aggregates extends QueryModule {
       val k = 64
       val cut = "19960101000000" // the agg_crawl_overlap generation split
       val w = org.apache.spark.sql.expressions.Window
-      val hashes = Cdx.df(s, d).select(col("hostword"),
+      val hashes = Cdx.dfFan(s, d).select(col("hostword"),
           when(col("ts") < cut, lit("a")).otherwise(lit("b")).as("gen"),
           conv(substring(md5(concat(col("digest"), lit(":kmv"))), 1, 8), 16, 10)
             .cast("bigint").as("h"))

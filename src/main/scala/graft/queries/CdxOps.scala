@@ -402,7 +402,7 @@ object CdxOps extends QueryModule {
       // dkey coalesces null digests to a synthetic singleton (the
       // revisitGenerate arm): digest-less captures are their OWN
       // originals — a bare equi-join would drop them from the ledger
-      val resp = Cdx.df(s, d).where(col("record_type") === "response")
+      val resp = Cdx.dfFan(s, d).where(col("record_type") === "response")
         .select(col("id"), col("ts"), col("filename"), col("length"), col("digest"),
           coalesce(col("digest"), concat(lit(" null:"), col("id"))).as("dkey"))
       val orig = resp.groupBy("dkey")
@@ -431,7 +431,7 @@ object CdxOps extends QueryModule {
     // DuckDB-oracled; output is only the mismatch rows, so the report
     // stays audit-sized at 100 TB (healthy digests never leave the agg).
     "url_agnostic_dedup" -> ((s, d) =>
-      Cdx.df(s, d)
+      Cdx.dfFan(s, d)
         .where(col("digest").isNotNull &&
           col("record_type").isin("response", "revisit"))
         .groupBy("digest")

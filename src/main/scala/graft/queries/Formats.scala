@@ -200,7 +200,7 @@ object Formats extends QueryModule {
   private def waczCorpus(s: SparkSession, d: String): String =
     sharedBuild(waczCache, "wacz_shared", s, d)(newDir =>
       graft.formats.Wacz.write(
-        graft.Tables.fanOut(Cdx.df(s, d), col("id")).where(col("record_type") === "response")
+        Cdx.dfFan(s, d).where(col("record_type") === "response")
           .selectExpr("filename AS shard", "urlkey", "url", "ts", "status",
             "mime",
             "CAST(concat('payload:', urlkey, '@', ts) AS BINARY) AS payload",
@@ -215,7 +215,7 @@ object Formats extends QueryModule {
   private def waczCollCorpus(s: SparkSession, d: String): String =
     sharedBuild(waczCollCache, "waczcoll_shared", s, d)(newDir =>
       graft.formats.Wacz.write(
-        graft.Tables.fanOut(Cdx.df(s, d), col("id")).where(col("record_type") === "response")
+        Cdx.dfFan(s, d).where(col("record_type") === "response")
           .selectExpr(
             "regexp_extract(filename, 'seg-[0-9]+', 0) AS collection",
             "filename AS shard", "urlkey", "url", "ts", "status", "mime",
@@ -250,7 +250,7 @@ object Formats extends QueryModule {
       // STAYS one partition (coalesce only merges), so line rendering +
       // gzip ran on one core; the hash exchange fans the write out to 4
       // gzip tasks (output stays 4 files — guide §6 file sizing)
-      cdxLines(s, d).repartition(4, col("line"))
+      Cdx.dfFan(s, d).selectExpr(s"$lineExprSpark AS line").repartition(4, col("line"))
         .write.mode("overwrite").option("compression", "gzip").text(dir)
       s.read.text(dir).orderBy("value")
     }),
@@ -495,7 +495,7 @@ object Formats extends QueryModule {
     // round-trip as scan_text_lines but partitioned by crawl segment
     "sink_text_gz" -> ((s, d) => {
       val dir = tmp(d, "text_gz_by_seg")
-      Cdx.df(s, d)
+      Cdx.dfFan(s, d)
         .withColumn("seg", split_part(col("filename"), lit("/"), lit(2)))
         .selectExpr("seg", s"$lineExprSpark AS line")
         // one task per segment instead of one task writing all 8 segment
@@ -628,7 +628,7 @@ object Formats extends QueryModule {
       // a quarter of the captures: the query is 3 cluster writes, and
       // merge losslessness is scale-free — keep the bench line honest
       // about MERGE cost, not fixture-building cost
-      val lines = Cdx.df(s, d).filter(col("id") % 4 === 0)
+      val lines = Cdx.dfFan(s, d).filter(col("id") % 4 === 0)
         .selectExpr(s"$lineExprSpark AS line")
       ZipNum.write(lines.filter(length(col("line")) % 2 === 0), dirA, 4, 100)
       ZipNum.write(lines.filter(length(col("line")) % 2 === 1), dirB, 4, 100)
@@ -650,7 +650,7 @@ object Formats extends QueryModule {
       val dirA = tmp(d, "zipnum_take_a")
       val dirB = tmp(d, "zipnum_take_b")
       val out = tmp(d, "zipnum_taken")
-      val lines = Cdx.df(s, d).filter(col("id") % 4 === 0)
+      val lines = Cdx.dfFan(s, d).filter(col("id") % 4 === 0)
         .selectExpr(s"$lineExprSpark AS line")
       ZipNum.write(lines.filter(length(col("line")) % 2 === 0), dirA, 4, 100)
       ZipNum.write(lines.filter(length(col("line")) % 2 === 1), dirB, 4, 100)
@@ -888,7 +888,7 @@ object Formats extends QueryModule {
     "sink_warc_segmented" -> ((s, d) => {
       val dir = tmp(d, "warc_segmented_write")
       graft.formats.WarcSink.write(
-        graft.Tables.fanOut(Cdx.df(s, d), col("id")).where(col("record_type") === "response")
+        Cdx.dfFan(s, d).where(col("record_type") === "response")
           .selectExpr("filename AS shard", "url", "ts", "status", "mime",
             "CAST(CASE WHEN id % 5 = 0 THEN repeat(concat('seg-', id, '-'), 40) " +
               "ELSE concat('small-', id) END AS BINARY) AS payload"),
@@ -1044,8 +1044,7 @@ object Formats extends QueryModule {
     "sink_warc_cdx" -> ((s, d) => {
       val dir = tmp(d, "warc_cdx")
       CdxSink.writePerWarc(
-        graft.Tables.fanOut(Cdx.df(s, d), col("id"))
-          .selectExpr("filename", s"$lineExprSpark AS line"), dir)
+        Cdx.dfFan(s, d).selectExpr("filename", s"$lineExprSpark AS line"), dir)
       // dir path + pathGlobFilter, not a "*.cdx.gz" glob path — same
       // spurious-first-pass-resolution note as sink_text_gz
       s.read.option("pathGlobFilter", "*.cdx.gz").text(dir)
@@ -1077,7 +1076,7 @@ object Formats extends QueryModule {
     "sink_warc_write" -> ((s, d) => {
       val dir = tmp(d, "warc_write")
       graft.formats.WarcSink.write(
-        graft.Tables.fanOut(Cdx.df(s, d), col("id")).where(col("record_type") === "response")
+        Cdx.dfFan(s, d).where(col("record_type") === "response")
           .selectExpr("filename AS shard", "url", "ts", "status", "mime",
             "CAST(concat('payload:', urlkey, '@', ts) AS BINARY) AS payload"),
         dir)
@@ -1096,7 +1095,7 @@ object Formats extends QueryModule {
     "sink_warc_zst_write" -> ((s, d) => {
       val dir = tmp(d, "warc_write_zst")
       graft.formats.WarcSink.write(
-        graft.Tables.fanOut(Cdx.df(s, d), col("id")).where(col("record_type") === "response")
+        Cdx.dfFan(s, d).where(col("record_type") === "response")
           .selectExpr("filename AS shard", "url", "ts", "status", "mime",
             "CAST(concat('payload:', urlkey, '@', ts) AS BINARY) AS payload"),
         dir, codec = "zstd")
@@ -1133,8 +1132,7 @@ object Formats extends QueryModule {
       // arm): a digest-less capture must pass through as a stored
       // response — a bare equi-join on a nullable key would silently
       // DROP it from the written corpus (null keys never equi-join)
-      val base = graft.Tables.fanOut(Cdx.df(s, d), col("id"))
-        .where(col("record_type") === "response")
+      val base = Cdx.dfFan(s, d).where(col("record_type") === "response")
         .selectExpr("filename AS shard", "url", "ts", "status", "mime", "id",
           "coalesce(digest, ' null:' || id) AS cdigest",
           "CAST(concat('payload:', coalesce(digest, CAST(id AS STRING))) AS BINARY) AS payload")
@@ -1186,7 +1184,7 @@ object Formats extends QueryModule {
     "sink_wet" -> ((s, d) => {
       val dir = tmp(d, "wet_write")
       graft.formats.WarcSink.writeWet(
-        graft.Tables.fanOut(Cdx.df(s, d), col("id")).where(col("record_type") === "response")
+        Cdx.dfFan(s, d).where(col("record_type") === "response")
           .selectExpr("filename AS shard", "url", "ts",
             "concat('wet text of capture ', id, ' at ', urlkey) AS text"),
         dir)
@@ -1207,7 +1205,7 @@ object Formats extends QueryModule {
     "sink_wat" -> ((s, d) => {
       val dir = tmp(d, "wat_write")
       graft.formats.WarcSink.writeWat(
-        graft.Tables.fanOut(Cdx.df(s, d), col("id")).where(col("record_type") === "response")
+        Cdx.dfFan(s, d).where(col("record_type") === "response")
           .selectExpr("filename AS shard", "url", "ts",
             "concat('Title ', id % 100) AS title",
             "filter(array(concat('http://dst.example.org/', id % 50), " +
@@ -1231,7 +1229,7 @@ object Formats extends QueryModule {
     "sink_wat_headers" -> ((s, d) => {
       val dir = tmp(d, "wat_headers_write")
       graft.formats.WarcSink.writeWat(
-        graft.Tables.fanOut(Cdx.df(s, d), col("id")).where(col("record_type") === "response")
+        Cdx.dfFan(s, d).where(col("record_type") === "response")
           .selectExpr("filename AS shard", "url", "ts",
             "concat('Title ', id % 100) AS title",
             "array(concat('http://dst.example.org/', id % 50)) AS dsts",
@@ -1350,8 +1348,7 @@ object Formats extends QueryModule {
       // so two processes on data dirs sharing a basename would mutate
       // ONE directory another invocation is glob-reading mid-publish
       val dir = tmp(d, s"wacz_publish_${keyTag(sessionKey(s, d))}")
-      val base = graft.Tables.fanOut(Cdx.df(s, d), col("id"))
-        .where(col("record_type") === "response")
+      val base = Cdx.dfFan(s, d).where(col("record_type") === "response")
       val deduped = base.groupBy("digest")
         .agg(min_by(
           struct(col("filename"), col("urlkey"), col("url"), col("ts"),
@@ -1401,7 +1398,7 @@ object Formats extends QueryModule {
     // scan's partitions shrink 16x), the oracle replays the slice.
     "sink_ccindex" -> ((s, d) => {
       val dir = tmp(d, "ccindex")
-      Cdx.df(s, d).selectExpr(
+      Cdx.dfFan(s, d).selectExpr(
           "urlkey AS url_surtkey", "url", "host AS url_host_name",
           "epoch_us AS fetch_time_us", "status AS fetch_status",
           "mime AS content_mime_type", "digest AS content_digest",

@@ -222,7 +222,7 @@ object Graph extends QueryModule {
       .unionByName(und.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
     // orient each edge from the lower-(deg, id) endpoint to the higher
-    val dir = und
+    val dir0 = und
       .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
       .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
       .select(
@@ -231,6 +231,18 @@ object Graph extends QueryModule {
         when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
           col("b")).otherwise(col("a")).as("hi"))
       .localCheckpoint() // consumed three times below — compute the orientation once
+    // parallelism FLOOR on the probe side: AQE coalesces the small
+    // orientation to ~1 partition (it is only a few MB), but the wedge
+    // join EXPANDS it ~Σdeg²/|E|-fold — a dense 500-node graph makes 26M
+    // wedge rows out of 227k edges, all in that one task. Re-spread the
+    // checkpointed relation to the cluster width before the broadcast
+    // probes (getNumPartitions on a checkpointed frame is free — the RDD
+    // is already materialized); at scale the checkpoint is already wide
+    // and this is the identity.
+    val par = und.sparkSession.sparkContext.defaultParallelism
+    val dir =
+      if (dir0.rdd.getNumPartitions < par) dir0.repartition(par).localCheckpoint()
+      else dir0
     dir.as("e1")
       .join(dir.as("e2"), col("e1.hi") === col("e2.lo"))
       .join(dir.as("e3"),

@@ -197,8 +197,16 @@ object Joins extends QueryModule {
         val loc = new org.apache.hadoop.fs.Path(wh, t)
         if (fs.exists(loc)) fs.delete(loc, true)
       }
+      // repartition on the bucket key with the bucket count BEFORE the
+      // bucketed write: the single-split scan otherwise makes ONE task
+      // sort+write all 8 bucket files of each table serially. Spark's
+      // bucket id and HashPartitioning share the murmur3 hash, so each
+      // writer task owns whole buckets and every bucket stays one sorted
+      // file — the shuffle-free colocated join below is untouched.
       val li = Tables.t(s, d, "lineitem").select("l_orderkey", "l_quantity")
+        .repartition(nBuckets, col("l_orderkey"))
       val ord = Tables.t(s, d, "orders").select("o_orderkey", "o_orderpriority")
+        .repartition(nBuckets, col("o_orderkey"))
       li.write.mode("overwrite")
         .bucketBy(nBuckets, "l_orderkey").sortBy("l_orderkey")
         .saveAsTable(liT)

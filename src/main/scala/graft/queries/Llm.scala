@@ -644,7 +644,7 @@ object Llm extends QueryModule {
     // Threshold rounded to the score's own 6-decimal grain so the >=
     // comparison is stable across engines.
     "filter_quality_quantile" -> ((s, d) => {
-      val scored = Tables.t(s, d, "documents")
+      val scored = Tables.fanOut(Tables.t(s, d, "documents"), col("doc_id"))
         .select(col("doc_id"), col("lang"),
           graft.ops.Text.qualityScore(col("text")).as("quality"))
       val thr = scored.groupBy("lang")
@@ -662,7 +662,7 @@ object Llm extends QueryModule {
     // graph as dedup_cluster_resolve so DuckDB can oracle the fixpoint;
     // the keep choice is one row_number over (cluster, quality desc).
     "dedup_keep_best" -> ((s, d) => {
-      val docs = Tables.t(s, d, "documents")
+      val docs = Tables.fanOut(Tables.t(s, d, "documents"), col("doc_id"))
       val ids = docs.select(col("doc_id"))
       val edges = ids.filter(col("doc_id") % 5 =!= 4)
         .select(col("doc_id").as("a"), (col("doc_id") + 1).as("b"))
@@ -772,7 +772,7 @@ object Llm extends QueryModule {
     // over levels, never one document window per language) but
     // hash-equal to the naive per-language window the oracle runs.
     "corpus_budget_fill" -> ((s, d) => {
-      val docs = Tables.t(s, d, "documents").select(
+      val docs = Tables.fanOut(Tables.t(s, d, "documents"), col("doc_id")).select(
         col("doc_id"), col("lang"),
         graft.ops.Text.qualityScore(col("text")).as("quality"),
         graft.ops.Text.wordCount(col("text")).cast("long").as("ws_tokens"))
