@@ -200,7 +200,7 @@ object Formats extends QueryModule {
   private def waczCorpus(s: SparkSession, d: String): String =
     sharedBuild(waczCache, "wacz_shared", s, d)(newDir =>
       graft.formats.Wacz.write(
-        Cdx.dfFan(s, d).where(col("record_type") === "response")
+        Cdx.df(s, d).where(col("record_type") === "response")
           .selectExpr("filename AS shard", "urlkey", "url", "ts", "status",
             "mime",
             "CAST(concat('payload:', urlkey, '@', ts) AS BINARY) AS payload",
@@ -215,7 +215,7 @@ object Formats extends QueryModule {
   private def waczCollCorpus(s: SparkSession, d: String): String =
     sharedBuild(waczCollCache, "waczcoll_shared", s, d)(newDir =>
       graft.formats.Wacz.write(
-        Cdx.dfFan(s, d).where(col("record_type") === "response")
+        Cdx.df(s, d).where(col("record_type") === "response")
           .selectExpr(
             "regexp_extract(filename, 'seg-[0-9]+', 0) AS collection",
             "filename AS shard", "urlkey", "url", "ts", "status", "mime",
@@ -888,7 +888,7 @@ object Formats extends QueryModule {
     "sink_warc_segmented" -> ((s, d) => {
       val dir = tmp(d, "warc_segmented_write")
       graft.formats.WarcSink.write(
-        Cdx.dfFan(s, d).where(col("record_type") === "response")
+        Cdx.df(s, d).where(col("record_type") === "response")
           .selectExpr("filename AS shard", "url", "ts", "status", "mime",
             "CAST(CASE WHEN id % 5 = 0 THEN repeat(concat('seg-', id, '-'), 40) " +
               "ELSE concat('small-', id) END AS BINARY) AS payload"),
@@ -1076,7 +1076,7 @@ object Formats extends QueryModule {
     "sink_warc_write" -> ((s, d) => {
       val dir = tmp(d, "warc_write")
       graft.formats.WarcSink.write(
-        Cdx.dfFan(s, d).where(col("record_type") === "response")
+        Cdx.df(s, d).where(col("record_type") === "response")
           .selectExpr("filename AS shard", "url", "ts", "status", "mime",
             "CAST(concat('payload:', urlkey, '@', ts) AS BINARY) AS payload"),
         dir)
@@ -1095,7 +1095,7 @@ object Formats extends QueryModule {
     "sink_warc_zst_write" -> ((s, d) => {
       val dir = tmp(d, "warc_write_zst")
       graft.formats.WarcSink.write(
-        Cdx.dfFan(s, d).where(col("record_type") === "response")
+        Cdx.df(s, d).where(col("record_type") === "response")
           .selectExpr("filename AS shard", "url", "ts", "status", "mime",
             "CAST(concat('payload:', urlkey, '@', ts) AS BINARY) AS payload"),
         dir, codec = "zstd")
@@ -1153,6 +1153,11 @@ object Formats extends QueryModule {
             expr("base32(unhex(sha1(concat('payload:', cdigest))))")).as("digest"),
           when(col("id") =!= col("o.id"), col("o.url")).as("refers_url"),
           when(col("id") =!= col("o.id"), col("o.ts")).as("refers_ts"))
+        // materialized ONCE (the pipeline_wacz_publish rationale):
+        // WarcSink.write's clash pre-flight re-executes its input
+        // lineage, which here is the min_by agg + digest join — without
+        // this the dedup plan runs twice per write
+        .localCheckpoint()
       graft.formats.WarcSink.write(ded, dir)
       // resolve-on-read in ONE join over TWO corpus scans (not a
       // scan-per-branch union): every row — original or revisit — takes
@@ -1184,7 +1189,7 @@ object Formats extends QueryModule {
     "sink_wet" -> ((s, d) => {
       val dir = tmp(d, "wet_write")
       graft.formats.WarcSink.writeWet(
-        Cdx.dfFan(s, d).where(col("record_type") === "response")
+        Cdx.df(s, d).where(col("record_type") === "response")
           .selectExpr("filename AS shard", "url", "ts",
             "concat('wet text of capture ', id, ' at ', urlkey) AS text"),
         dir)
@@ -1348,7 +1353,7 @@ object Formats extends QueryModule {
       // so two processes on data dirs sharing a basename would mutate
       // ONE directory another invocation is glob-reading mid-publish
       val dir = tmp(d, s"wacz_publish_${keyTag(sessionKey(s, d))}")
-      val base = Cdx.dfFan(s, d).where(col("record_type") === "response")
+      val base = Cdx.df(s, d).where(col("record_type") === "response")
       val deduped = base.groupBy("digest")
         .agg(min_by(
           struct(col("filename"), col("urlkey"), col("url"), col("ts"),
@@ -1359,6 +1364,11 @@ object Formats extends QueryModule {
           "o.filename AS shard", "o.urlkey AS urlkey", "o.url AS url",
           "o.ts AS ts", "o.status AS status", "o.mime AS mime",
           "CAST(concat('payload:', digest) AS BINARY) AS payload")
+        // materialized ONCE: Wacz.write's two pre-flight validation jobs
+        // re-execute their input lineage (pruned, but the dedup AGG must
+        // still run) — without this the digest aggregation runs three
+        // times per publish (2 pre-flights + the write itself)
+        .localCheckpoint()
       graft.formats.Wacz.write(deduped, dir, indexLinesPerBlock = 64)
       val bad = graft.formats.Wacz.verify(s, dir + "/*.wacz")
         .where(!col("ok")).limit(1).collect()

@@ -240,7 +240,7 @@ object Llm extends QueryModule {
         .filter(col("doc_id") % 7 === 0)
         .withColumn("doc_id", col("doc_id") + 200000L)
         .withColumn("text", expr("substring(text, instr(text, ' ') + 1)"))
-      val corpus = Tables.fanOut(Tables.t(s, d, "documents").unionByName(nearDup), col("doc_id"))
+      val corpus = Tables.t(s, d, "documents").unionByName(nearDup)
       val pairs = graft.ops.Dedup.minhashCandidates(corpus, "doc_id", "text",
         nHashes = 16, bands = 4, shingleSize = 3)
       // the exact leg must replay the KERNEL's tokenization (sketchTokens
@@ -301,7 +301,7 @@ object Llm extends QueryModule {
     // the plan, LlmSpec pins probe pairs == the full-batch path's
     // cross pairs). Oracle-exempt (xxhash64, like dedup_fuzzy_minhash).
     "dedup_incremental_minhash" -> ((s, d) => {
-      val docs = Tables.fanOut(Tables.t(s, d, "documents"), col("doc_id"))
+      val docs = Tables.t(s, d, "documents")
       // same catalog/warehouse hygiene as join_bucketed_colocated
       val wh = new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir"))
       val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -327,7 +327,7 @@ object Llm extends QueryModule {
     // == the full-batch winnowCandidates cross pairs + the exchange-free
     // index side.
     "dedup_incremental_winnow" -> ((s, d) => {
-      val docs = Tables.fanOut(Tables.t(s, d, "documents"), col("doc_id"))
+      val docs = Tables.t(s, d, "documents")
       val wh = new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir"))
       val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
       s.sql("DROP TABLE IF EXISTS graft_winnow_index")
