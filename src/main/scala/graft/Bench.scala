@@ -102,10 +102,18 @@ object Bench {
     // cdx_fl_projection joined in round 8: it builds the zipnum cluster
     // itself (zipnum_v2_pushdown only warms the V2 READ path), and the r7
     // driver line was 9.9 s cold / 2.6 s warm with identical rows.
+    // html_links joined in round 15: it is the only member of the
+    // heavy-regex HTML-extraction expression family (nested HOF lambdas
+    // over ~40 regex kernels), and BenchOne showed a 10.5 s cold / 3.4 s
+    // warm split — the JIT/codegen warm-up every other family amortizes
+    // through its own warm-up member was landing entirely on this line
+    // (html_main_content, which runs immediately after it, measured
+    // 0.16 s off the warmth html_links paid for).
     Seq("scan_parquet", "agg_count_by_key", "win_rank_captures", "join_broadcast_dim",
       "sink_text_gz", "sink_zipnum",
       "zipnum_v2_pushdown", "sim_ann_pq", "sim_ann_pq_rerank", "join_skip_existing",
-      "sim_ann_lsh", "join_skew_salted", "join_range_block", "cdx_fl_projection")
+      "sim_ann_lsh", "join_skew_salted", "join_range_block", "cdx_fl_projection",
+      "html_links")
       .foreach { q =>
         try SparkEntry.queries.get(q).foreach(_(spark, sfDir).count())
         catch { case _: Throwable => }

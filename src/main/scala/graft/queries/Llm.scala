@@ -662,7 +662,7 @@ object Llm extends QueryModule {
     // graph as dedup_cluster_resolve so DuckDB can oracle the fixpoint;
     // the keep choice is one row_number over (cluster, quality desc).
     "dedup_keep_best" -> ((s, d) => {
-      val docs = Tables.fanOut(Tables.t(s, d, "documents"), col("doc_id"))
+      val docs = Tables.t(s, d, "documents")
       val ids = docs.select(col("doc_id"))
       val edges = ids.filter(col("doc_id") % 5 =!= 4)
         .select(col("doc_id").as("a"), (col("doc_id") + 1).as("b"))
@@ -791,7 +791,7 @@ object Llm extends QueryModule {
         .filter(col("doc_id") % 7 === 0)
         .withColumn("doc_id", col("doc_id") + 400000L)
         .withColumn("text", expr("substring(text, instr(text, ' ') + 1)"))
-      val corpus = Tables.fanOut(Tables.t(s, d, "documents").unionByName(nearDup), col("doc_id"))
+      val corpus = Tables.t(s, d, "documents").unionByName(nearDup)
       graft.Pipeline.curateCorpus(corpus, exactThreshold = true).orderBy("cluster_id")
     }),
 

@@ -103,7 +103,10 @@ object Relational extends QueryModule {
     // between free counters and doubling the job.
     "obs_pipeline_counters" -> ((s, d) => {
       val obs = org.apache.spark.sql.Observation()
-      Cdx.df(s, d)
+      // dfFan: the counters are exact global aggregates (counts/sum and
+      // min/max over exact strings — partition-layout-independent), and
+      // the single-split scan otherwise derives + counts on one core
+      Cdx.dfFan(s, d)
         .observe(obs,
           count(lit(1)).as("n_rows"),
           count(when(col("status") >= 400, 1)).as("n_err"),
