@@ -69,6 +69,23 @@ object Tables {
     else df.repartition(target)
   }
 
+  /** Materialize `df` for the duration of `body`, then FREE its blocks
+    * (optimization guide §5 "unpersist when done"). The one-shot sibling
+    * of the iterative code's `localCheckpoint()`: a staged writer's
+    * pre-flight validation jobs re-execute their input lineage, so the
+    * input must be computed once — but a localCheckpoint's blocks cannot
+    * be released (the lineage is truncated, so Spark must keep them for
+    * the session) and every sink key in a long run leaves its corpus in
+    * the block manager, evicting/churning against 32-way execution
+    * memory late in the run. persist() gives the same compute-once
+    * behavior for a one-shot consumer set while letting the blocks go
+    * the moment the last consumer inside `body` finishes. Lazy: the
+    * first action (the writer's own pre-flight) populates the cache. */
+  def withPersisted[T](df: DataFrame)(body: DataFrame => T): T = {
+    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try body(df) finally df.unpersist(blocking = false)
+  }
+
   /** Epoch-µs of the events `ts` column — ONE definition of the idiom
     * (the explicit CAST makes the extraction exact whether ts decoded as
     * TIMESTAMP or TIMESTAMP_NTZ; the session TZ is pinned UTC, so the

@@ -36,6 +36,14 @@ object Bpe {
     * argmax ties break (freq DESC, left, right). Stops early when no
     * pair remains (every word fused to a single symbol). */
   def train(wordFreqDf: DataFrame, nMerges: Int): Seq[Merge] = {
+    // localCheckpoint per round, deliberately NOT a persist chain: a
+    // chained persist nests each round's InMemoryRelation inside the
+    // next round's cached plan, and Spark 4's plan-string generation for
+    // the SQL-execution event walks final + initial AQE plan per nesting
+    // level — exponential in rounds; 24 rounds OOMed an 8 GB driver
+    // (round-16 negative result). The checkpoint flattens each round to
+    // a LogicalRDD, which is what keeps both the plan and its printed
+    // form O(1) per round.
     var wf = wordFreqDf
       .withColumn("syms",
         expr("transform(sequence(1, length(word)), i -> substr(word, i, 1))"))

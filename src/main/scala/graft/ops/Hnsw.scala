@@ -869,32 +869,38 @@ object Hnsw {
       nShards: Int = 8, m: Int = 8, efC: Int = 64,
       seed: Long = 20260816L): Unit = {
     val spark = batch.sparkSession
-    // consumed by the vectors write AND the index build
-    val b = batch.localCheckpoint()
-    // a batch with NO valid vector must publish NOTHING: an empty index
-    // version dir (only _SUCCESS) poisons every later read of it as
-    // prevDir (parquet schema inference fails) and wedges the stream —
-    // skipping leaves the previous version newest, and a replay skips
-    // identically
-    if (b.filter(size(col("ed")) === dim &&
-        !expr("exists(ed, x -> x IS NULL)")).isEmpty) return
-    b.write.mode("overwrite").parquet(f"$baseDir/vectors/batch-$batchId%05d")
-    val fs = new org.apache.hadoop.fs.Path(baseDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val prev = versionDirs(fs, new org.apache.hadoop.fs.Path(s"$baseDir/index"))
-      .filter(_._1 < batchId).lastOption
-    val adj = prev match {
-      case None => adjacency(b, dim, nShards, m, efC, seed)
-      case Some((_, prevDir)) =>
-        // the vector relation spans every batch ≤ this one (batch dirs
-        // beyond it cannot exist — offsets commit after foreachBatch);
-        // extra current-batch rows drop in appendStored's inner join
-        val allVecs = spark.read.parquet(s"$baseDir/vectors/batch-*")
-        appendStored(spark.read.parquet(prevDir), allVecs, b,
-          dim, nShards, m, efC, seed)
+    // consumed by the validity probe, the vectors write AND the index
+    // build — persist-then-free (Tables.withPersisted), not
+    // localCheckpoint: the batch lineage is shallow (no truncation
+    // needed) and a checkpoint's blocks could never be released, so a
+    // 3-batch ingest left 3 dead vector corpora in the block manager
+    // for the rest of the session (optimization guide §5)
+    graft.Tables.withPersisted(batch) { b =>
+      // a batch with NO valid vector must publish NOTHING: an empty index
+      // version dir (only _SUCCESS) poisons every later read of it as
+      // prevDir (parquet schema inference fails) and wedges the stream —
+      // skipping leaves the previous version newest, and a replay skips
+      // identically
+      if (b.filter(size(col("ed")) === dim &&
+          !expr("exists(ed, x -> x IS NULL)")).isEmpty) return
+      b.write.mode("overwrite").parquet(f"$baseDir/vectors/batch-$batchId%05d")
+      val fs = new org.apache.hadoop.fs.Path(baseDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val prev = versionDirs(fs, new org.apache.hadoop.fs.Path(s"$baseDir/index"))
+        .filter(_._1 < batchId).lastOption
+      val adj = prev match {
+        case None => adjacency(b, dim, nShards, m, efC, seed)
+        case Some((_, prevDir)) =>
+          // the vector relation spans every batch ≤ this one (batch dirs
+          // beyond it cannot exist — offsets commit after foreachBatch);
+          // extra current-batch rows drop in appendStored's inner join
+          val allVecs = spark.read.parquet(s"$baseDir/vectors/batch-*")
+          appendStored(spark.read.parquet(prevDir), allVecs, b,
+            dim, nShards, m, efC, seed)
+      }
+      adj.write.mode("overwrite").partitionBy("shard")
+        .parquet(f"$baseDir/index/v$batchId%05d")
     }
-    adj.write.mode("overwrite").partitionBy("shard")
-      .parquet(f"$baseDir/index/v$batchId%05d")
   }
 
   /** Streaming graph-index ingest: every arriving vector batch folds

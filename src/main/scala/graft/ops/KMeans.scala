@@ -90,22 +90,45 @@ object KMeans {
     val sampled =
       if (sampleFraction < 1.0) base.sample(withReplacement = false, sampleFraction, seed)
       else base
-    val sample = if (checkpointInput) sampled.localCheckpoint() else sampled
+    // persist, not localCheckpoint (guide §5): the sample is re-read by
+    // every Lloyd's round but dead after the last one — persist serves
+    // the rounds from the same materialized blocks (the first round's
+    // action populates it; no separate eager checkpoint job) and the
+    // finally below RELEASES them; a checkpoint's blocks would outlive
+    // the training for the rest of the session. Single-partition order
+    // is unchanged either way, so the trained book is bit-identical.
+    val sample =
+      if (checkpointInput)
+        sampled.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else sampled
     var book = initBook
     var iter = 0
     var shift = Double.MaxValue
     while (iter < maxIters && shift > tol) {
       val bookLit = typedLit(book.map(_.toSeq).toSeq)
+      // EXPLODE THE CODES (m rows per vector), never the vector elements:
+      // the previous posexplode(v) shape left pq_encode in the Project
+      // ABOVE the Generate, so Catalyst evaluated the full argmin kernel
+      // once per exploded ELEMENT — dim× per vector per round (the
+      // duplicated-expression trap of optimization guide §7.2; at dim=64
+      // that was 64× the assignment CPU of every Lloyd's round, at any
+      // corpus size). Here pq_encode is an attribute of the Generate's
+      // child (computed once per row), the explode fans only m subspace
+      // entries, and the update aggregates subDim avg columns per
+      // (subspace, code) group. Float accumulation ORDER is unchanged —
+      // same contributions, same row order, one avg per element position
+      // — so the trained book is bit-identical to the old shape's.
       val means = sample
         .select(
           call_udf("pq_encode", col("v"), bookLit, lit(subDim), lit(nCent)).as("codes"),
-          posexplode(col("v")))
+          col("v"))
         .filter(col("codes").isNotNull) // rows not tiling the codebook
-        .withColumn("j", (col("pos") / subDim).cast("int"))
-        .select(col("j"),
-          element_at(col("codes"), col("j") + 1).as("code"),
-          (col("pos") % subDim).as("spos"), col("col"))
-        .groupBy("j", "code", "spos").agg(avg("col").as("m"))
+        .select(posexplode(col("codes")), col("v"))
+        .select(col("pos").as("j"), col("col").as("code"),
+          slice(col("v"), col("pos") * subDim + lit(1), lit(subDim)).as("sub"))
+        .groupBy("j", "code")
+        .agg(avg(col("sub")(0)).as("m0"),
+          (1 until subDim).map(i => avg(col("sub")(i)).as(s"m$i")): _*)
         .collect()
       // zero assignments on the FIRST pass = no vector tiled the
       // codebook (empty sample / fully damaged corpus): returning the
@@ -113,13 +136,17 @@ object KMeans {
       require(iter > 0 || means.nonEmpty,
         "trainSubspaces: no vector matched the codebook shape — training would be a no-op")
       val next = book.map(_.clone())
-      means.foreach(r =>
-        next(r.getInt(0) * nCent + r.getInt(1))(r.getInt(2)) = r.getDouble(3))
+      means.foreach { r =>
+        val tgt = next(r.getInt(0) * nCent + r.getInt(1))
+        var i = 0
+        while (i < subDim) { tgt(i) = r.getDouble(2 + i); i += 1 }
+      }
       shift = book.indices.map(i =>
         graft.functions.VecAlg.l2DistArr(book(i), next(i))).max
       book = next
       iter += 1
     }
+    if (checkpointInput) sample.unpersist(blocking = false)
     book
   }
 }

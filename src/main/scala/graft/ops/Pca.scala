@@ -39,7 +39,11 @@ object Pca {
       // s² sum covers — counting them would silently deflate λ by the
       // damaged fraction (the direction v was never affected)
       .filter(col("cd").isNotNull)
-      .localCheckpoint()
+      // persist, not localCheckpoint (guide §5; the KMeans.trainSubspaces
+      // rationale): re-read by every power iteration, dead after the
+      // last — the unpersist below frees the blocks, and round 1's
+      // aggregation populates the cache without a separate eager job
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var v = Array.fill(dim)(1.0 / math.sqrt(dim))
     var lambda = 0.0
     var it = 0
@@ -61,6 +65,7 @@ object Pca {
       lambda = row.getDouble(1) / row.getLong(2)
       it += 1
     }
+    centered.unpersist(blocking = false)
     // sign canonicalization: v and -v span the same component
     val k = v.indices.maxBy(i => math.abs(v(i)))
     if (v(k) < 0) v = v.map(-_)

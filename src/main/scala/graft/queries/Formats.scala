@@ -199,13 +199,18 @@ object Formats extends QueryModule {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def waczCorpus(s: SparkSession, d: String): String =
     sharedBuild(waczCache, "wacz_shared", s, d)(newDir =>
-      graft.formats.Wacz.write(
-        Cdx.df(s, d).where(col("record_type") === "response")
+      // dfFan + persist-then-free: Wacz.write's TWO pre-flight clash jobs
+      // re-execute the input lineage, so the r15 bare fan-out paid its
+      // exchange 3× against a ~0.4 s serial derive and was reverted; with
+      // the input persisted the derive (and its fan-out exchange) runs
+      // ONCE at cluster width and the pre-flights read the cache
+      graft.Tables.withPersisted(
+        Cdx.dfFan(s, d).where(col("record_type") === "response")
           .selectExpr("filename AS shard", "urlkey", "url", "ts", "status",
             "mime",
             "CAST(concat('payload:', urlkey, '@', ts) AS BINARY) AS payload",
-            "concat('Title ', id % 100) AS title"),
-        newDir))
+            "concat('Title ', id % 100) AS title"))(
+        graft.formats.Wacz.write(_, newDir)))
 
   /** the collection-form twin (one wacz per crawl segment, blocked
     * big-archive index) shared by sink_wacz_collection and
@@ -214,13 +219,14 @@ object Formats extends QueryModule {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def waczCollCorpus(s: SparkSession, d: String): String =
     sharedBuild(waczCollCache, "waczcoll_shared", s, d)(newDir =>
-      graft.formats.Wacz.write(
-        Cdx.df(s, d).where(col("record_type") === "response")
+      // dfFan + persist-then-free — the waczCorpus rationale above
+      graft.Tables.withPersisted(
+        Cdx.dfFan(s, d).where(col("record_type") === "response")
           .selectExpr(
             "regexp_extract(filename, 'seg-[0-9]+', 0) AS collection",
             "filename AS shard", "urlkey", "url", "ts", "status", "mime",
-            "CAST(concat('payload:', urlkey, '@', ts) AS BINARY) AS payload"),
-        newDir, indexLinesPerBlock = 64))
+            "CAST(concat('payload:', urlkey, '@', ts) AS BINARY) AS payload"))(
+        graft.formats.Wacz.write(_, newDir, indexLinesPerBlock = 64)))
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
     // best-effort GC, wholesale: walk() itself (open, or the sorted
@@ -887,12 +893,15 @@ object Formats extends QueryModule {
     // the reassembled HTTP parse are all inside one oracle hash.
     "sink_warc_segmented" -> ((s, d) => {
       val dir = tmp(d, "warc_segmented_write")
-      graft.formats.WarcSink.write(
-        Cdx.df(s, d).where(col("record_type") === "response")
+      // dfFan + persist-then-free — the sink_warc_write rationale (the
+      // repeat()×40 oversize-payload render is the heaviest of the
+      // plain-sink derives, so it gains the most from running fanned)
+      graft.Tables.withPersisted(
+        Cdx.dfFan(s, d).where(col("record_type") === "response")
           .selectExpr("filename AS shard", "url", "ts", "status", "mime",
             "CAST(CASE WHEN id % 5 = 0 THEN repeat(concat('seg-', id, '-'), 40) " +
-              "ELSE concat('small-', id) END AS BINARY) AS payload"),
-        dir, segmentBytes = 256)
+              "ELSE concat('small-', id) END AS BINARY) AS payload"))(
+        graft.formats.WarcSink.write(_, dir, segmentBytes = 256))
       graft.formats.Warc.scanSegments(s, dir + "/*.warc.gz")
         .where(col("record_type") === "response")
         .selectExpr("url", "ts", "status", "mime",
@@ -1075,11 +1084,14 @@ object Formats extends QueryModule {
     // by construction, but full-row duplicates are order-insensitive.
     "sink_warc_write" -> ((s, d) => {
       val dir = tmp(d, "warc_write")
-      graft.formats.WarcSink.write(
-        Cdx.df(s, d).where(col("record_type") === "response")
+      // dfFan + persist-then-free (the waczCorpus rationale): r15's bare
+      // fan-out lost because WarcSink's pre-flight re-ran the fanned
+      // lineage; persisted, the derive runs once at cluster width
+      graft.Tables.withPersisted(
+        Cdx.dfFan(s, d).where(col("record_type") === "response")
           .selectExpr("filename AS shard", "url", "ts", "status", "mime",
-            "CAST(concat('payload:', urlkey, '@', ts) AS BINARY) AS payload"),
-        dir)
+            "CAST(concat('payload:', urlkey, '@', ts) AS BINARY) AS payload"))(
+        graft.formats.WarcSink.write(_, dir))
       Warc.scan(s, dir + "/*.warc.gz")
         .where(col("record_type") === "response")
         .select(col("url"), col("ts"), col("status"), col("mime"),
@@ -1094,11 +1106,12 @@ object Formats extends QueryModule {
     // the compression swap is pinned invisible end-to-end
     "sink_warc_zst_write" -> ((s, d) => {
       val dir = tmp(d, "warc_write_zst")
-      graft.formats.WarcSink.write(
-        Cdx.df(s, d).where(col("record_type") === "response")
+      // dfFan + persist-then-free — the sink_warc_write rationale
+      graft.Tables.withPersisted(
+        Cdx.dfFan(s, d).where(col("record_type") === "response")
           .selectExpr("filename AS shard", "url", "ts", "status", "mime",
-            "CAST(concat('payload:', urlkey, '@', ts) AS BINARY) AS payload"),
-        dir, codec = "zstd")
+            "CAST(concat('payload:', urlkey, '@', ts) AS BINARY) AS payload"))(
+        graft.formats.WarcSink.write(_, dir, codec = "zstd"))
       Warc.scan(s, dir + "/*.warc.zst")
         .where(col("record_type") === "response")
         .select(col("url"), col("ts"), col("status"), col("mime"),
@@ -1153,12 +1166,17 @@ object Formats extends QueryModule {
             expr("base32(unhex(sha1(concat('payload:', cdigest))))")).as("digest"),
           when(col("id") =!= col("o.id"), col("o.url")).as("refers_url"),
           when(col("id") =!= col("o.id"), col("o.ts")).as("refers_ts"))
-        // materialized ONCE (the pipeline_wacz_publish rationale):
-        // WarcSink.write's clash pre-flight re-executes its input
-        // lineage, which here is the min_by agg + digest join — without
-        // this the dedup plan runs twice per write
-        .localCheckpoint()
-      graft.formats.WarcSink.write(ded, dir)
+      // materialized ONCE (the pipeline_wacz_publish rationale):
+      // WarcSink.write's clash pre-flight re-executes its input lineage,
+      // which here is the min_by agg + digest join — without this the
+      // dedup plan runs twice per write. persist-then-free, NOT
+      // localCheckpoint: the r15 checkpoint of this payload-bearing frame
+      // could never be released and the bench's median-of-3 protocol
+      // stacked three of them into the block manager back-to-back —
+      // the round-15 driver run measured this key at 26.4 s at 32 cores
+      // (0.24 scaling ratio) under exactly that eviction pressure
+      graft.Tables.withPersisted(ded)(
+        graft.formats.WarcSink.write(_, dir))
       // resolve-on-read in ONE join over TWO corpus scans (not a
       // scan-per-branch union): every row — original or revisit — takes
       // its payload from its digest's stored original; for a response
@@ -1188,11 +1206,12 @@ object Formats extends QueryModule {
     // equal to Html.extract in WarcSpec.
     "sink_wet" -> ((s, d) => {
       val dir = tmp(d, "wet_write")
-      graft.formats.WarcSink.writeWet(
-        Cdx.df(s, d).where(col("record_type") === "response")
+      // dfFan + persist-then-free — the sink_warc_write rationale
+      graft.Tables.withPersisted(
+        Cdx.dfFan(s, d).where(col("record_type") === "response")
           .selectExpr("filename AS shard", "url", "ts",
-            "concat('wet text of capture ', id, ' at ', urlkey) AS text"),
-        dir)
+            "concat('wet text of capture ', id, ' at ', urlkey) AS text"))(
+        graft.formats.WarcSink.writeWet(_, dir))
       graft.Pipeline.wetToCorpus(s, dir + "/*.warc.wet.gz")
         .select(col("url"), col("ts"), col("text"))
         .orderBy("url", "ts", "text")
@@ -1209,7 +1228,10 @@ object Formats extends QueryModule {
     // (Pipeline.toWat over Html.title/links) is pinned in WarcSpec.
     "sink_wat" -> ((s, d) => {
       val dir = tmp(d, "wat_write")
-      graft.formats.WarcSink.writeWat(
+      // persist-then-free: the JSON-envelope render is the heavy leg and
+      // already runs fanned; persisted, the writer's pre-flight reads the
+      // cache instead of re-running the fanned derive
+      graft.Tables.withPersisted(
         Cdx.dfFan(s, d).where(col("record_type") === "response")
           .selectExpr("filename AS shard", "url", "ts",
             "concat('Title ', id % 100) AS title",
@@ -1218,8 +1240,8 @@ object Formats extends QueryModule {
               "x -> x IS NOT NULL) AS dsts")
           .select(col("shard"), col("url"), col("ts"),
             graft.Pipeline.watEnvelope(
-              col("url"), col("ts"), col("title"), col("dsts")).as("meta")),
-        dir)
+              col("url"), col("ts"), col("title"), col("dsts")).as("meta")))(
+        graft.formats.WarcSink.writeWat(_, dir))
       graft.Pipeline.watLinks(s, dir + "/*.warc.wat.gz")
         .orderBy("src", "ts", "title", "dst")
     }),
@@ -1233,7 +1255,8 @@ object Formats extends QueryModule {
     // (sink_wat's hashes are untouched — WarcSpec pins it).
     "sink_wat_headers" -> ((s, d) => {
       val dir = tmp(d, "wat_headers_write")
-      graft.formats.WarcSink.writeWat(
+      // persist-then-free — the sink_wat rationale
+      graft.Tables.withPersisted(
         Cdx.dfFan(s, d).where(col("record_type") === "response")
           .selectExpr("filename AS shard", "url", "ts",
             "concat('Title ', id % 100) AS title",
@@ -1243,8 +1266,8 @@ object Formats extends QueryModule {
           .select(col("shard"), col("url"), col("ts"),
             graft.Pipeline.watEnvelope(
               col("url"), col("ts"), col("title"), col("dsts"),
-              headers = col("hdrs"), warcinfo = col("winfo")).as("meta")),
-        dir)
+              headers = col("hdrs"), warcinfo = col("winfo")).as("meta")))(
+        graft.formats.WarcSink.writeWat(_, dir))
       graft.Pipeline.watHeaders(s, dir + "/*.warc.wat.gz")
         .orderBy("src", "ts", "name", "value")
     }),
@@ -1364,12 +1387,15 @@ object Formats extends QueryModule {
           "o.filename AS shard", "o.urlkey AS urlkey", "o.url AS url",
           "o.ts AS ts", "o.status AS status", "o.mime AS mime",
           "CAST(concat('payload:', digest) AS BINARY) AS payload")
-        // materialized ONCE: Wacz.write's two pre-flight validation jobs
-        // re-execute their input lineage (pruned, but the dedup AGG must
-        // still run) — without this the digest aggregation runs three
-        // times per publish (2 pre-flights + the write itself)
-        .localCheckpoint()
-      graft.formats.Wacz.write(deduped, dir, indexLinesPerBlock = 64)
+      // materialized ONCE: Wacz.write's two pre-flight validation jobs
+      // re-execute their input lineage (pruned, but the dedup AGG must
+      // still run) — without this the digest aggregation runs three
+      // times per publish (2 pre-flights + the write itself).
+      // persist-then-free (Tables.withPersisted), not localCheckpoint:
+      // same compute-once effect, but the blocks are released after the
+      // write instead of living in the block manager for the session
+      graft.Tables.withPersisted(deduped)(
+        graft.formats.Wacz.write(_, dir, indexLinesPerBlock = 64))
       val bad = graft.formats.Wacz.verify(s, dir + "/*.wacz")
         .where(!col("ok")).limit(1).collect()
       require(bad.isEmpty, s"wacz publish failed verification: ${bad.mkString(", ")}")
