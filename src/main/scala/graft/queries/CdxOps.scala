@@ -481,7 +481,11 @@ object CdxOps extends QueryModule {
     // all reach the collapsed graph (3 of 8 dst classes legitimately
     // drop — the oracle proves exactly which).
     "graph_domain_collapse" -> ((s, d) => {
-      val edges = Cdx.df(s, d).where(col("record_type") === "response")
+      // dfFan (guide §2.5): the edge derive, BOTH broadcast host→domain
+      // joins and the partial (src,dst) aggregation all sit below the
+      // first exchange — single-task on the unfanned scan. Exact count
+      // agg + broadcast joins ⇒ partition-independent result.
+      val edges = Cdx.dfFan(s, d).where(col("record_type") === "response")
         .select(col("host").as("src_host"),
           element_at(
             typedLit(graft.ops.Psl.fixtureHosts),

@@ -210,7 +210,14 @@ object Search extends QueryModule {
     // freq table is a broadcast vocab artifact and the only data-sized
     // shuffles are the prefix-token join + the two set fetches.
     "join_set_similarity" -> ((s, d) => {
-      val base = docs(s, d).filter(col("doc_id") % 10 === 0)
+      // fan the RAW scan below the tokenize (the Cdx.dfFan placement
+      // rule): both union branches and the checkpointed sets relation
+      // otherwise tokenize+sort the whole corpus in the single scan
+      // task (guide §2.5). Result is partition-independent: freq is an
+      // exact count agg, the prefix window orders totally by (tf, term),
+      // verification is per-pair.
+      val base = graft.Tables.fanOut(docs(s, d), col("doc_id"))
+        .filter(col("doc_id") % 10 === 0)
       val twins = base.filter(col("doc_id") % 7 === 0)
         .withColumn("doc_id", col("doc_id") + 400000L)
         .withColumn("text", expr("substring(text, instr(text, ' ') + 1)"))
